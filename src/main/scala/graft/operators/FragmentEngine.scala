@@ -1,0 +1,359 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{RangeBuckets, RangeMeta, RoundRobinMeta}
+import graft.catalog.FragmentCatalog
+
+import scala.util.control.NonFatal
+
+/** Spark-native horizontal-fragmentation engine.
+  *
+  * Re-expresses the reference's 8-function API (reference `tester1.py:30-80`:
+  * loadRatings, rangePartition, roundRobinPartition, rangeInsert,
+  * roundRobinInsert, rangeQuery, pointQuery, deleteTables) Spark-first:
+  *
+  *   - N physical fragment *tables* become ONE parquet dataset per scheme,
+  *     Hive-partitioned by a `part` column. Catalyst partition pruning then
+  *     replaces the reference's hand-rolled `selectMode` fragment-pruning
+  *     loop (reference `Interface1.py:273-290`) at the FileIndex level:
+  *     a filter on `part` never lists, opens, or reads pruned fragments.
+  *   - The reference's full-table `fetchall()` + O(n·rows) client-side bucket
+  *     passes (reference `Interface1.py:115-139`) become a single narrow
+  *     `withColumn("part", <bucket expr>)` projection — one distributed pass,
+  *     no shuffle, no driver materialization; this is what survives a 100 TB
+  *     input where the reference design cannot.
+  *   - Round-robin determinism: the reference relies on PG heap insertion
+  *     order; we materialize load order once as an explicit `_rowid` column
+  *     (zipWithIndex at load) so `part = _rowid % n` is reproducible under
+  *     any degree of read parallelism.
+  *
+  * Error style mirrors the reference (best-effort: catch, print, continue —
+  * reference `Interface1.py:19-21` et al.) on the public API; `*DF` variants
+  * throw, for tests and composition.
+  */
+final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
+  import FragmentEngine._
+
+  val catalog = new FragmentCatalog(dataRoot)
+
+  private def logErr(op: String)(e: Throwable): Unit = {
+    System.err.println(s"[$op] Exception occurred: ${e.getMessage}")
+    e.printStackTrace()
+  }
+
+  // ---- load ----------------------------------------------------------------
+
+  /** Parse MovieLens `::`-delimited text (`userid::movieid::rating::timestamp`,
+    * timestamp dropped — reference `Interface1.py:29-30`) into the master
+    * dataset, recording load order as `_rowid`.
+    *
+    * Parsing runs on executors (vs the reference's one INSERT round-trip per
+    * line, `Interface1.py:28-30`). zipWithIndex indexes rows by (split offset,
+    * position-in-split), which equals file line order — stable and
+    * deterministic regardless of parallelism.
+    */
+  def loadRatings(tableName: String, filePath: String): Unit =
+    try {
+      val rows = spark.sparkContext
+        .textFile(filePath)
+        .filter(_.nonEmpty)
+        .zipWithIndex()
+        .map { case (line, idx) =>
+          val f = line.split("::")
+          org.apache.spark.sql.Row(f(0).toInt, f(1).toInt, f(2).toDouble, idx)
+        }
+      val df = spark.createDataFrame(rows, masterSchema)
+      df.write.mode(SaveMode.Overwrite).parquet(catalog.tablePath(tableName))
+    } catch { case NonFatal(e) => logErr("loadRatings")(e) }
+
+  def master(tableName: String = "ratings"): DataFrame =
+    spark.read.parquet(catalog.tablePath(tableName))
+
+  // ---- partitioning --------------------------------------------------------
+
+  /** Range-fragment the master table into `n` fixed-width rating buckets over
+    * the hard-coded domain [0.0, 5.0] (reference `Interface1.py:122-123`).
+    *
+    * One narrow pass: `withColumn("part", bucketExpr)` →
+    * `write.partitionBy("part")`. The bucket expression is a chained
+    * `when`/`otherwise` over bounds accumulated with the reference's exact
+    * float arithmetic (see [[graft.RangeBuckets]]) so boundary ratings land
+    * in the same fragment bit-for-bit. Rows outside the domain are dropped,
+    * matching the reference (they match no bucket, so are never inserted).
+    */
+  def rangePartition(tableName: String, n: Int): Unit =
+    try {
+      require(n > 0, "numberofpartitions not an instance of int or <= 0")
+      require(catalog.tableExists(tableName), s"$tableName table does not exist")
+      val buckets = RangeBuckets(n, DomainMin, DomainMax)
+      val df = master(tableName)
+      df.withColumn("part", bucketExpr(buckets, col("rating")))
+        .filter(col("part").isNotNull)
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("part")
+        .parquet(catalog.tablePath(RangeDataset))
+      catalog.writeRangeMeta(RangeMeta(n, DomainMin, DomainMax, buckets.interval))
+    } catch { case NonFatal(e) => logErr("rangePartition")(e) }
+
+  /** Round-robin fragment: row k (0-based load order) → fragment k mod n
+    * (reference `Interface1.py:169-174`). Deterministic because `_rowid` is
+    * explicit; Spark's own `repartition(n)` round-robin is NOT row-stable and
+    * would not reproduce the reference's per-fragment contents.
+    */
+  def roundRobinPartition(tableName: String, n: Int): Unit =
+    try {
+      require(n > 0, "numberofpartitions not an instance of int or <= 0")
+      require(catalog.tableExists(tableName), s"$tableName table does not exist")
+      val df = master(tableName)
+      df.withColumn("part", pmod(col("_rowid"), lit(n.toLong)).cast(IntegerType))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("part")
+        .parquet(catalog.tablePath(RoundRobinDataset))
+      val count = master(tableName).count()
+      val lastInserted = if (count == 0) -1L else (count - 1) % n
+      catalog.writeRoundRobinMeta(RoundRobinMeta(n, lastInserted))
+    } catch { case NonFatal(e) => logErr("roundRobinPartition")(e) }
+
+  // ---- inserts (dual-write: master + routed fragment) -----------------------
+
+  /** Insert into BOTH the master table and the single range fragment whose
+    * interval contains `rating` (reference `Interface1.py:225-256`).
+    * Routing is a driver-side bucket lookup (metadata is tiny); the appends
+    * are partition-directory writes, so a routed insert touches exactly one
+    * fragment directory — at cluster scale this is the same "write one
+    * partition" pattern used for streaming upserts.
+    */
+  def rangeInsert(tableName: String, userid: Int, itemid: Int, rating: Double): Unit =
+    try {
+      require(catalog.tableExists(tableName), s"$tableName table does not exist")
+      val rowid = appendToMaster(tableName, userid, itemid, rating)
+      val meta = catalog
+        .readRangeMeta()
+        .getOrElse(throw new IllegalStateException("RANGE_METADATA missing"))
+      require(meta.totalPartitions > 0, "Total partitions <= 0")
+      val buckets = RangeBuckets(meta.totalPartitions, meta.minValue, meta.maxValue)
+      val b = buckets.bucketOf(rating)
+      if (b >= 0) appendToFragment(RangeDataset, b, userid, itemid, rating, rowid)
+    } catch { case NonFatal(e) => logErr("rangeInsert")(e) }
+
+  /** Insert into master + fragment `(lastInserted+1) mod n`, then advance the
+    * metadata counter (reference `Interface1.py:193-209`). The counter is
+    * inherently serial driver-side state — kept as a cheap metadata update,
+    * exactly like the reference's singleton UPDATE.
+    */
+  def roundRobinInsert(tableName: String, userid: Int, itemid: Int, rating: Double): Unit =
+    try {
+      require(catalog.tableExists(tableName), s"$tableName table does not exist")
+      val rowid = appendToMaster(tableName, userid, itemid, rating)
+      val meta = catalog
+        .readRoundRobinMeta()
+        .getOrElse(throw new IllegalStateException("ROUND_ROBIN_METADATA missing"))
+      require(meta.totalPartitions > 0, "Total partitions <= 0")
+      val next = ((meta.lastInserted + 1) % meta.totalPartitions).toInt
+      appendToFragment(RoundRobinDataset, next, userid, itemid, rating, rowid)
+      catalog.writeRoundRobinMeta(meta.copy(lastInserted = next.toLong))
+    } catch { case NonFatal(e) => logErr("roundRobinInsert")(e) }
+
+  private def appendToMaster(tableName: String, u: Int, m: Int, r: Double): Long = {
+    val nextId =
+      master(tableName).agg(max("_rowid")).head().getAs[Any](0) match {
+        case null    => 0L
+        case l: Long => l + 1
+      }
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(u, m, r, nextId)),
+      masterSchema
+    )
+    df.write.mode(SaveMode.Append).parquet(catalog.tablePath(tableName))
+    nextId
+  }
+
+  private def appendToFragment(
+      dataset: String,
+      part: Int,
+      u: Int,
+      m: Int,
+      r: Double,
+      rowid: Long
+  ): Unit = {
+    val df = spark
+      .createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(u, m, r, rowid)),
+        masterSchema
+      )
+      .withColumn("part", lit(part))
+    df.write
+      .mode(SaveMode.Append)
+      .partitionBy("part")
+      .parquet(catalog.tablePath(dataset))
+  }
+
+  // ---- queries ---------------------------------------------------------------
+
+  private def readFragments(dataset: String): DataFrame =
+    spark.read.parquet(catalog.tablePath(dataset))
+
+  /** Range query `[qmin, qmax]` (inclusive both ends) as a DataFrame with
+    * columns `(tablename, userid, movieid, rating)` — range-fragment section
+    * first (pruned to overlapping fragments, globally ascending by rating,
+    * ties in load order), then ALL round-robin fragments (fragment order,
+    * load order within) — reference `Interface1.py:261-304`. Rows present in
+    * both schemes appear twice, by design (SURVEY §2.4.2).
+    *
+    * Pruning: `part.isin(surviving)` on the Hive partition column becomes a
+    * FileIndex partition filter — pruned fragments are never read, the
+    * distributed analog of the reference's selectMode loop. The rating
+    * predicate additionally pushes into parquet row-group stats.
+    */
+  def rangeQueryDF(qmin: Double, qmax: Double): (DataFrame, DataFrame) = {
+    val meta = catalog
+      .readRangeMeta()
+      .getOrElse(throw new IllegalStateException("RANGE_METADATA missing"))
+    val rrMeta = catalog
+      .readRoundRobinMeta()
+      .getOrElse(throw new IllegalStateException("ROUND_ROBIN_METADATA missing"))
+    require(meta.totalPartitions > 0, "range partitions == 0")
+    val buckets = RangeBuckets(meta.totalPartitions, meta.minValue, meta.maxValue)
+    val surviving = buckets.bucketsOverlapping(qmin, qmax)
+
+    val rangeSide = readFragments(RangeDataset)
+      .filter(col("part").isin(surviving: _*))
+      .filter(col("rating") >= qmin && col("rating") <= qmax)
+      .orderBy(col("part"), col("rating"), col("_rowid"))
+      .select(fragmentName(RangePrefix), col("userid"), col("movieid"), col("rating"))
+
+    val rrSide = readFragments(RoundRobinDataset)
+      .filter(col("rating") >= qmin && col("rating") <= qmax)
+      .orderBy(col("part"), col("_rowid"))
+      .select(fragmentName(RoundRobinPrefix), col("userid"), col("movieid"), col("rating"))
+    (rangeSide, rrSide)
+  }
+
+  /** Point query `rating = v`: prunes to the SINGLE range fragment containing
+    * v (equality on the partition domain → one partition read), plus all
+    * round-robin fragments (reference `Interface1.py:310-343`).
+    */
+  def pointQueryDF(v: Double): (DataFrame, DataFrame) = {
+    val meta = catalog
+      .readRangeMeta()
+      .getOrElse(throw new IllegalStateException("RANGE_METADATA missing"))
+    val rrMeta = catalog
+      .readRoundRobinMeta()
+      .getOrElse(throw new IllegalStateException("ROUND_ROBIN_METADATA missing"))
+    require(meta.totalPartitions > 0, "range partitions == 0")
+    val buckets = RangeBuckets(meta.totalPartitions, meta.minValue, meta.maxValue)
+    val b = buckets.bucketOf(v)
+
+    val rangeSide = readFragments(RangeDataset)
+      .filter(if (b >= 0) col("part") === b else lit(false))
+      .filter(col("rating") === v)
+      .orderBy(col("rating"), col("_rowid"))
+      .select(fragmentName(RangePrefix), col("userid"), col("movieid"), col("rating"))
+
+    val rrSide = readFragments(RoundRobinDataset)
+      .filter(col("rating") === v)
+      .orderBy(col("part"), col("_rowid"))
+      .select(fragmentName(RoundRobinPrefix), col("userid"), col("movieid"), col("rating"))
+    (rangeSide, rrSide)
+  }
+
+  /** Golden-format sink: CSV lines `fragmentname,userid,movieid,rating`, no
+    * header, no trailing newline (reference `Interface1.py:300-304`). Result
+    * sets of pruned point/range queries are small by construction (that is
+    * the point of pruning), so a driver-side collect is appropriate; large
+    * extracts should use the `*DF` variants and a distributed writer.
+    */
+  def rangeQuery(qmin: Double, qmax: Double, outputPath: String): Unit =
+    try {
+      val (rangeSide, rrSide) = rangeQueryDF(qmin, qmax)
+      writeGolden(rangeSide, rrSide, outputPath)
+    } catch { case NonFatal(e) => logErr("rangeQuery")(e) }
+
+  def pointQuery(v: Double, outputPath: String): Unit =
+    try {
+      val (rangeSide, rrSide) = pointQueryDF(v)
+      writeGolden(rangeSide, rrSide, outputPath)
+    } catch { case NonFatal(e) => logErr("pointQuery")(e) }
+
+  private def writeGolden(a: DataFrame, b: DataFrame, outputPath: String): Unit = {
+    val lines = formatLines(a) ++ formatLines(b)
+    Files.write(
+      Paths.get(outputPath),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    )
+  }
+
+  /** Distributed line formatting (codegen'd concat), collect only the final
+    * strings. Double → string via Spark's cast, which matches the reference's
+    * Python `str(float)` for the rating domain (e.g. `2.0`, `4.5`).
+    */
+  private def formatLines(df: DataFrame): Array[String] =
+    df.select(
+      concat_ws(
+        ",",
+        col(df.columns(0)),
+        col("userid").cast(StringType),
+        col("movieid").cast(StringType),
+        col("rating").cast(StringType)
+      ).as("line")
+    ).collect().map(_.getString(0))
+
+  // ---- DDL -------------------------------------------------------------------
+
+  /** Drop one dataset, or everything when `name == "ALL"` (reference
+    * `Interface1.py:372-393`).
+    */
+  def deleteTables(name: String): Unit =
+    try {
+      if (name.equalsIgnoreCase("ALL")) catalog.dropAll()
+      else catalog.dropTable(name)
+    } catch { case NonFatal(e) => logErr("deleteTables")(e) }
+}
+
+object FragmentEngine {
+  /** Reference constants `Interface1.py:6-7`. */
+  val RangePrefix = "range_ratings_part"
+  val RoundRobinPrefix = "round_robin_ratings_part"
+  val RangeDataset = "range_ratings"
+  val RoundRobinDataset = "round_robin_ratings"
+  /** Hard-coded rating domain (reference `Interface1.py:122-123`). */
+  val DomainMin = 0.0
+  val DomainMax = 5.0
+
+  val masterSchema: StructType = StructType(
+    Seq(
+      StructField("userid", IntegerType, nullable = false),
+      StructField("movieid", IntegerType, nullable = false),
+      StructField("rating", DoubleType, nullable = false),
+      StructField("_rowid", LongType, nullable = false)
+    )
+  )
+
+  /** Chained when/otherwise over the reference's accumulated bucket bounds —
+    * codegen-friendly, no UDF; `null` when outside the domain. Kept as
+    * explicit bounds (not `floor(rating/inc)`) so float boundary behavior is
+    * bit-identical to the reference loop (SURVEY §7.4.1).
+    */
+  def bucketExpr(buckets: RangeBuckets, rating: Column): Column = {
+    val first = when(
+      rating >= buckets.bounds(0)._1 && rating <= buckets.bounds(0)._2,
+      lit(0)
+    )
+    val chained = (1 until buckets.n).foldLeft(first) { (acc, i) =>
+      val (lo, hi) = buckets.bounds(i)
+      acc.when(rating > lo && rating <= hi, lit(i))
+    }
+    chained.otherwise(lit(null).cast(IntegerType))
+  }
+
+  private[operators] def fragmentName(prefix: String): Column =
+    concat(lit(prefix), col("part").cast(StringType)).as("tablename")
+}

@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.FragmentEngine
+
+/** Reference-parity suite over the MovieLens fixture, mirroring the oracle
+  * styles of reference `testHelper1.py` / `tester1.py` (SURVEY §5):
+  * golden outputs, fragmentation invariants, per-fragment count oracles,
+  * insert placement, load count.
+  */
+class FragmentEngineSpec extends SparkSpec {
+
+  private val Fixture = "/root/reference/test_data1.txt"
+  private def golden(name: String): String =
+    new String(Files.readAllBytes(Paths.get(s"/root/reference/$name")), StandardCharsets.UTF_8)
+
+  private def freshEngine(root: String): FragmentEngine = {
+    val e = new FragmentEngine(spark, root)
+    e.loadRatings("ratings", Fixture)
+    e
+  }
+
+  test("loadRatings: row count equals input line count, timestamp dropped") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      val m = e.master()
+      assert(m.count() === 20)
+      assert(m.columns.toSet === Set("userid", "movieid", "rating", "_rowid"))
+      // rating of line `1::122::5::...` is 5.0 (timestamp 838985046 dropped)
+      assert(m.filter(col("movieid") === 122).head().getAs[Double]("rating") === 5.0)
+    }
+  }
+
+  test("rangeQuery(1.5, 3.5) reproduces golden rangeResult.txt byte-for-byte") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      e.rangePartition("ratings", 5)
+      e.roundRobinPartition("ratings", 5)
+      val out = s"$root/rangeResult.txt"
+      e.rangeQuery(1.5, 3.5, out)
+      val got = new String(Files.readAllBytes(Paths.get(out)), StandardCharsets.UTF_8)
+      assert(got === golden("rangeResult.txt"))
+    }
+  }
+
+  test("pointQuery(4.5) reproduces golden pointResult.txt byte-for-byte") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      e.rangePartition("ratings", 5)
+      e.roundRobinPartition("ratings", 5)
+      val out = s"$root/pointResult.txt"
+      e.pointQuery(4.5, out)
+      val got = new String(Files.readAllBytes(Paths.get(out)), StandardCharsets.UTF_8)
+      assert(got === golden("pointResult.txt"))
+    }
+  }
+
+  test("range fragmentation invariants: completeness, disjointness, reconstruction") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      e.rangePartition("ratings", 5)
+      val frags = spark.read.parquet(s"$root/${FragmentEngine.RangeDataset}")
+      // reconstruction: union of fragments == input count (=> completeness + disjointness)
+      assert(frags.count() === 20)
+      // per-row disjointness: no (userid, movieid, _rowid) in two fragments
+      assert(frags.select("_rowid").distinct().count() === 20)
+    }
+  }
+
+  test("range per-fragment counts match the boundary-rule oracle") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      val n = 5
+      e.rangePartition("ratings", n)
+      val buckets = RangeBuckets(n, 0.0, 5.0)
+      val expected = e
+        .master()
+        .collect()
+        .map(r => buckets.bucketOf(r.getAs[Double]("rating")))
+        .groupBy(identity)
+        .view
+        .mapValues(_.length.toLong)
+        .toMap
+      val got = spark.read
+        .parquet(s"$root/${FragmentEngine.RangeDataset}")
+        .groupBy("part")
+        .count()
+        .collect()
+        .map(r => r.getAs[Int]("part") -> r.getAs[Long]("count"))
+        .toMap
+      assert(got === expected)
+    }
+  }
+
+  test("round-robin per-fragment counts match the row_number mod n oracle") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      val n = 5
+      e.roundRobinPartition("ratings", n)
+      val got = spark.read
+        .parquet(s"$root/${FragmentEngine.RoundRobinDataset}")
+        .groupBy("part")
+        .count()
+        .collect()
+        .map(r => r.getAs[Int]("part") -> r.getAs[Long]("count"))
+        .toMap
+      // 20 rows, n=5 → every fragment has exactly 4 rows
+      assert(got === (0 until n).map(_ -> 4L).toMap)
+    }
+  }
+
+  test("rangeInsert routes rating 3.0 (n=5) into fragment 2 and master") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      e.rangePartition("ratings", 5)
+      e.rangeInsert("ratings", 100, 2, 3.0)
+      assert(e.master().count() === 21)
+      val frag2 = spark.read
+        .parquet(s"$root/${FragmentEngine.RangeDataset}")
+        .filter(col("part") === 2 && col("userid") === 100 && col("movieid") === 2)
+      assert(frag2.count() === 1)
+    }
+  }
+
+  test("roundRobinInsert routes the 21st row into fragment 0, advances counter") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      e.roundRobinPartition("ratings", 5)
+      e.roundRobinInsert("ratings", 100, 1, 3.0)
+      assert(e.master().count() === 21)
+      val frag0 = spark.read
+        .parquet(s"$root/${FragmentEngine.RoundRobinDataset}")
+        .filter(col("part") === 0 && col("userid") === 100 && col("movieid") === 1)
+      assert(frag0.count() === 1)
+      assert(e.catalog.readRoundRobinMeta().get.lastInserted === 0L)
+    }
+  }
+
+  test("invalid n is a no-op (reference best-effort error style)") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      e.rangePartition("ratings", 0)   // swallowed, prints
+      e.roundRobinPartition("ratings", -3)
+      assert(!e.catalog.tableExists(FragmentEngine.RangeDataset))
+      assert(e.catalog.readRangeMeta().isEmpty)
+    }
+  }
+
+  test("deleteTables: single table and ALL") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      e.rangePartition("ratings", 5)
+      e.deleteTables("ratings")
+      assert(!e.catalog.tableExists("ratings"))
+      assert(e.catalog.tableExists(FragmentEngine.RangeDataset))
+      e.deleteTables("ALL")
+      assert(e.catalog.listTables().isEmpty)
+      assert(e.catalog.readRangeMeta().isEmpty)
+    }
+  }
+
+  test("query pruning: point query reads exactly one range fragment directory") {
+    withTempDir { root =>
+      val e = freshEngine(root)
+      e.rangePartition("ratings", 5)
+      e.roundRobinPartition("ratings", 5)
+      val (rangeSide, _) = e.pointQueryDF(4.5)
+      val plan = rangeSide.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scan = plan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.isDefined)
+      // partitionFilters prune at the FileIndex: only part=4 files selected
+      assert(scan.get.partitionFilters.nonEmpty)
+      val selected = scan.get.relation.location
+        .listFiles(scan.get.partitionFilters, scan.get.dataFilters)
+      assert(selected.map(_.files.size).sum > 0)
+      assert(selected.size === 1)
+    }
+  }
+}
