@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for engine-standard Spark configuration.
+  *
+  * Scale rationale (targets a real multi-executor cluster even though tests
+  * run `local[*]`):
+  *   - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *     replace hand-tuned partition counts at 100 TB.
+  *   - `nanosAsLong`: the `events` table carries TIMESTAMP(NANOS) parquet,
+  *     which Spark's vectorized reader rejects; we read nanos as long and
+  *     convert explicitly (see [[Tables.events]]).
+  *   - UTC session timezone so timestamp formatting is deterministic and
+  *     matches the DuckDB oracle.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Apply the engine-standard runtime confs to an externally-created session
+    * (the driver owns session creation in Verify/Bench).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-contract query: a Spark implementation plus (when the operator
+  * is SQL-expressible) an equivalent ANSI SQL string the driver runs in DuckDB
+  * over the same parquet tables. Column names are aliased identically on both
+  * sides — the driver's compare sorts columns by name before hashing.
+  *
+  * Cross-engine determinism rules every entry follows:
+  *   - double aggregates are `round(..., k)`-ed on BOTH sides (sum order
+  *     differs between engines; rounding collapses the 1e-10 noise),
+  *   - no raw timestamps in output — formatted to strings in UTC,
+  *   - hash functions in oracled outputs restricted to md5 (identical hex in
+  *     Spark and DuckDB); engine-internal hashes (xxhash64 etc.) appear only
+  *     in rows-only entries.
+  */
+final case class QEntry(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+object QEntry {
+  def sql(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QEntry =
+    QEntry(name, run, Some(oracle))
+
+  /** Rows-only check (driver records row count, no DuckDB compare) — for
+    * operators whose semantics aren't expressible in portable SQL.
+    */
+  def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): QEntry =
+    QEntry(name, run, None)
+}

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** SQL-operator inventory (SURVEY.md §2.3) plus the general analytics layer a
+  * complete engine needs: scans, literal projection, range/equality
+  * predicates, sort, top-k, count, group-by aggregation, distinct, union all,
+  * window functions, modulo arithmetic, broadcast + shuffle + semi + anti
+  * joins, date-range pushdown, JSON field extraction, and time-bucketed event
+  * aggregation.
+  *
+  * Scale posture per entry is noted inline; PlanQualitySpec asserts the
+  * plan-shape claims (pushed filters, broadcast exchange, partial aggregation).
+  */
+object RelationalQueries {
+
+  val entries: Seq[QEntry] = Seq(
+    // Top-k: sort + limit with a unique tiebreaker (deterministic across
+    // engines). Spark executes as TakeOrderedAndProject — no global sort
+    // materialization, O(k) per partition then driver-side merge: the only
+    // sane global-sort shape at 100 TB.
+    QEntry.sql(
+      "q_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
+    // TPC-H Q1 shape: the canonical scan→partial-agg→shuffle→final-agg. Six
+    // groups total, so the shuffle moves ~6 rows per map task regardless of
+    // input size — map-side combine is what makes this 100 TB-safe.
+    QEntry.sql(
+      "q_agg_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("cnt")
+        )
+    },
+
+    // Star join over two tiny dims — explicitly broadcast: zero shuffle of the
+    // fact side, the only viable shape when `customer` is 100 TB-scale.
+    QEntry.sql(
+      "q_join_broadcast_dims",
+      """SELECT r_name, n_name, count(*) AS customers,
+        |  round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("customers"), round(sum("c_acctbal"), 2).as("acctbal"))
+    },
+
+    // Fact-fact shuffle join (orders ⋈ lineitem ⋈ broadcast customer-dim
+    // path): revenue rollup. AQE handles skew/coalesce at runtime.
+    QEntry.sql(
+      "q_join_revenue_rollup",
+      """SELECT o_orderpriority, l_returnflag,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS line_cnt
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority, l_returnflag"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("line_cnt")
+        )
+    },
+
+    // Semi join (EXISTS): TPC-H Q4 shape — dedup-free existence check, no
+    // row multiplication, safe under skew.
+    QEntry.sql(
+      "q_semi_join_priority",
+      """SELECT o_orderpriority, count(*) AS order_cnt FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |GROUP BY o_orderpriority"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      orders(s, d)
+        .join(
+          lineitem(s, d).filter(col("l_quantity") > 45).select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_cnt"))
+    },
+
+    // Anti join: customers with no orders.
+    QEntry.sql(
+      "q_anti_join_no_orders",
+      """SELECT count(*) AS cnt FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // Distinct (shuffle-dedup with partial aggregation).
+    QEntry.sql(
+      "q_distinct_flags",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+    ) { (s, d) => lineitem(s, d).select("l_returnflag", "l_linestatus").distinct() },
+
+    // UNION ALL + count (reconstruction-style concatenation, no dedup).
+    QEntry.sql(
+      "q_union_all_count",
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 49
+        |  UNION ALL
+        |  SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000) t"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey").as("k"))
+        .union(
+          orders(s, d).filter(col("o_totalprice") > 400000).select(col("o_orderkey").as("k"))
+        )
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // Window function: per-customer top order (row_number partitioned —
+    // scales because the window key is the shuffle key; no global sort).
+    QEntry.sql(
+      "q_window_top_order_per_cust",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn = 1"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    },
+
+    // Date-range predicate — pushed to the parquet scan (row-group min/max
+    // skipping); the 100 TB equivalent of the reference's fragment pruning.
+    QEntry.sql(
+      "q_date_range_revenue",
+      """SELECT count(*) AS cnt,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+        )
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")
+        )
+    },
+
+    // Time-bucketed event aggregation (batch twin of the streaming windowed
+    // agg in graft.streaming): tumbling 1h windows, formatted as UTC strings
+    // so both engines hash identically.
+    QEntry.sql(
+      "q_events_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type")
+        )
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+    },
+
+    // Semi-structured extraction: pull an int field out of the JSON props
+    // column with a portable regex (codegen'd, no UDF).
+    QEntry.sql(
+      "q_events_json_extract",
+      """SELECT event_type,
+        |  sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          sum(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("bigint")).as("sum_k"),
+          count(lit(1)).as("cnt")
+        )
+    }
+  )
+}
