@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline, all expressed as
+  * built-in column expressions (codegen'd / higher-order functions — no UDFs,
+  * so they stay inside WholeStageCodegen or at worst Spark's optimized
+  * HigherOrderFunction eval, and scale linearly with no driver involvement).
+  *
+  * Every function here has a portable ANSI-SQL twin used by the DuckDB
+  * oracle entries in [[graft.queries.TextQueries]] — hence md5 (identical hex
+  * in both engines) rather than xxhash64 for fingerprints.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the BPE-ish regex split of the builder brief). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are sentence punctuation, rounded for
+    * cross-engine float stability.
+    */
+  def punctRatio(text: Column): Column =
+    round(
+      (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+        .cast("double") / length(text),
+      4
+    )
+
+  /** English-ish stopword list shared with the SQL oracle. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  def stopwordRatio(text: Column): Column = {
+    val sw = array(Stopwords.map(lit): _*)
+    round(
+      size(filter(tokens(text), w => array_contains(sw, w))).cast("double") /
+        size(tokens(text)),
+      4
+    )
+  }
+
+  /** Heuristic quality score in [0,1]: length saturation + stopword density +
+    * punctuation sanity. Deliberately simple arithmetic so the DuckDB twin is
+    * bit-identical after rounding.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(lit(1.0), tokenCount(text).cast("double") / 100.0)
+    val sw = size(filter(tokens(text), w => array_contains(array(Stopwords.map(lit): _*), w)))
+      .cast("double") / tokenCount(text)
+    val punct = (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+      .cast("double") / length(text)
+    round(lenScore * 0.5 + sw * 0.3 + (lit(1.0) - punct) * 0.2, 4)
+  }
+
+  /** Language-marker stopword sets for the n-gram/stopword language-ID
+    * heuristic. Order is the deterministic tie-break (first wins).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "es", "una"),
+    "fr" -> Seq("le", "les", "et", "une", "est"),
+    "zh" -> Seq("的", "是", "不", "我", "在")
+  )
+
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => array_contains(array(markers.map(lit): _*), w)))
+
+  /** Argmax over marker-hit counts with first-wins tie-break (CASE chain on
+    * `score = greatest(...)`); "und" (unknown) when no marker matched at all.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (code, ms) => code -> markerHits(text, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    val argmax = scores.foldRight(lit("und")) { case ((code, s), fallback) =>
+      when(s === best, lit(code)).otherwise(fallback)
+    }
+    when(best > 0, argmax).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the casefolded, punctuation-collapsed text.
+    * (Content-defined rolling-hash winnowing lives in Dedup.simhash / minhash;
+    * this is the exact-normalized-dup key.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+}

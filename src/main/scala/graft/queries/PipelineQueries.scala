@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline inventory: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine) and similarity search
+  * (brute-force cosine top-k baseline + LSH-bucketed ANN scale path).
+  *
+  * Engine-portable hashing (md5) lets DuckDB verify MinHash/SimHash sketches
+  * value-for-value; the LSH-ANN entries use engine-internal hashing and are
+  * rows-only checked here, with recall asserted in SimilaritySpec.
+  */
+object PipelineQueries {
+
+  private val wordsSql = """string_split_regex(trim(text), '\s+')"""
+  /** 3-word shingles, 1-based list indexing — twin of Dedup.shingles. */
+  private val shinglesSql =
+    s"""list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+       |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  private def minhashSql(j: Int) =
+    s"list_aggregate(list_transform(sh, x -> md5('$j|' || x)), 'min')"
+
+  val entries: Seq[QEntry] = Seq(
+    // Exact dedup: content-hash group, keep lowest id.
+    QEntry.sql(
+      "dedup_exact",
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY 1"
+    ) { (s, d) => Dedup.exactDedup(documents(s, d), "doc_id", "text") },
+
+    // MinHash signatures + LSH band keys, verified value-for-value.
+    QEntry.sql(
+      "dedup_minhash_sig", {
+        val ms = (0 until 8).map(j => s"${minhashSql(j)} AS m$j").mkString(", ")
+        val bands = (0 until 4)
+          .map(b => s"md5(m${2 * b} || '|' || m${2 * b + 1}) AS band$b")
+          .mkString(", ")
+        s"""SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, $bands
+           |FROM (SELECT doc_id, $ms
+           |      FROM (SELECT doc_id, $shinglesSql AS sh
+           |            FROM (SELECT doc_id, $wordsSql AS words FROM documents) w) s) t"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) => Dedup.minhashSignatures(documents(s, d), "doc_id", "text") },
+
+    // LSH candidate pairs (equi-join on band keys; empty on this corpus — the
+    // mechanism is exercised on synthetic dups in DedupSpec).
+    QEntry.sql(
+      "dedup_minhash_pairs", {
+        val ms = (0 until 8).map(j => s"${minhashSql(j)} AS m$j").mkString(", ")
+        s"""SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |FROM (SELECT doc_id, unnest([md5(m0 || '|' || m1), md5(m2 || '|' || m3),
+           |              md5(m4 || '|' || m5), md5(m6 || '|' || m7)]) AS band
+           |      FROM (SELECT doc_id, $ms
+           |            FROM (SELECT doc_id, $shinglesSql AS sh
+           |                  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w) s) t) a
+           |JOIN (SELECT doc_id, unnest([md5(m0 || '|' || m1), md5(m2 || '|' || m3),
+           |              md5(m4 || '|' || m5), md5(m6 || '|' || m7)]) AS band
+           |      FROM (SELECT doc_id, $ms
+           |            FROM (SELECT doc_id, $shinglesSql AS sh
+           |                  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w) s) t) b
+           |ON a.band = b.band AND a.doc_id < b.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) => Dedup.minhashCandidatePairs(documents(s, d), "doc_id", "text") },
+
+    // SimHash-64 sketch (per-bit token majority over md5 nibbles).
+    QEntry.sql(
+      "dedup_simhash",
+      s"""SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+         |  CASE WHEN 2 * list_sum(list_transform(words, t ->
+         |         ((strpos('0123456789abcdef', substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |          // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2))
+         |       >= len(words) THEN '1' ELSE '0' END), '') AS simhash
+         |FROM (SELECT doc_id, $wordsSql AS words FROM documents) w"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    },
+
+    // Exact n-gram Jaccard within (lang, source) candidate blocks.
+    QEntry.sql(
+      "dedup_ngram_jaccard",
+      s"""SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |FROM (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |      FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) a
+         |JOIN (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |      FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) b
+         |ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
+    },
+
+    // Embedding-cosine near-dup pairs (exact, low threshold so the check has
+    // rows on this corpus; production path uses LSH blocking — see ann_lsh_*).
+    QEntry.sql(
+      "dedup_embedding_cosine",
+      """SELECT id1, id2, cos FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_dot_product(a.e, b.e) /
+        |          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) a
+        |  JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) b
+        |  ON a.vec_id < b.vec_id) t WHERE cos >= 0.45"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Similarity.nearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45, blocked = false)
+    },
+
+    // Brute-force cosine top-10 for the first 5 vectors (the exact baseline).
+    QEntry.sql(
+      "ann_topk_bruteforce",
+      """SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      round(list_dot_product(q.e, c.e) /
+        |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos
+        |    FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |          FROM embeddings WHERE vec_id < 5) q,
+        |         (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |          FROM embeddings) c
+        |    WHERE c.vec_id != q.vec_id) s) r WHERE rank <= 10"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb,
+        emb.filter(col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        10
+      )
+    },
+
+    // LSH bucket assignment (engine-internal hyperplane hash → rows-only).
+    QEntry.rowsOnly("ann_lsh_buckets") { (s, d) =>
+      Similarity.lshBuckets(embeddings(s, d), "vec_id", "embedding").drop("embedding")
+    },
+
+    // LSH-restricted approximate top-k (recall asserted in SimilaritySpec).
+    QEntry.rowsOnly("ann_lsh_topk") { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, bits = 4)
+    }
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextAnalysis._
+
+/** Text-analysis inventory over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting. Spark
+  * implementations in [[graft.functions.TextAnalysis]]; the oracle SQL mirrors
+  * the same arithmetic in portable DuckDB (note `'g'` flags — DuckDB
+  * regexp_replace is first-match-only by default, Spark's replaces all).
+  */
+object TextQueries {
+
+  private val wordsSql = """string_split_regex(trim(text), '\s+')"""
+  private val swListSql =
+    Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val tokensSql = s"len($wordsSql)"
+  private val swCntSql =
+    s"len(list_filter($wordsSql, w -> list_contains($swListSql, w)))"
+  private val punctCntSql =
+    """(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"""
+
+  private val langScoreSql: Seq[(String, String)] = LangMarkers.map { case (code, ms) =>
+    val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+    code -> s"len(list_filter($wordsSql, w -> list_contains($lst, w)))"
+  }
+
+  val entries: Seq[QEntry] = Seq(
+    // Token + char counting and ratio metrics, one narrow codegen pass.
+    QEntry.sql(
+      "txt_stats",
+      s"""SELECT doc_id, length(text) AS chars, $tokensSql AS tokens,
+         |  round(CAST($punctCntSql AS DOUBLE) / length(text), 4) AS punct_ratio,
+         |  round(CAST($swCntSql AS DOUBLE) / $tokensSql, 4) AS stopword_ratio
+         |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        charCount(col("text")).as("chars"),
+        tokenCount(col("text")).as("tokens"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio")
+      )
+    },
+
+    // Composite quality score (length saturation + stopword density + punct).
+    QEntry.sql(
+      "txt_quality",
+      s"""SELECT doc_id, round(least(1.0, CAST(tokens AS DOUBLE) / 100.0) * 0.5
+         |  + (CAST(sw AS DOUBLE) / tokens) * 0.3
+         |  + (1.0 - CAST(punct AS DOUBLE) / chars) * 0.2, 4) AS quality
+         |FROM (SELECT doc_id, length(text) AS chars, $tokensSql AS tokens,
+         |        $swCntSql AS sw, $punctCntSql AS punct
+         |      FROM documents) t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d).select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    },
+
+    // Stopword-marker language ID (argmax with first-wins tie-break).
+    QEntry.sql(
+      "txt_langid", {
+        val scoreDefs = langScoreSql.map { case (c, e) => s"$e AS s_$c" }.mkString(", ")
+        val best = langScoreSql.map { case (c, _) => s"s_$c" }.mkString("greatest(", ", ", ")")
+        val cases = langScoreSql.map { case (c, _) => s"WHEN s_$c = m THEN '$c'" }.mkString(" ")
+        s"""SELECT doc_id, lang, CASE WHEN m = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess
+           |FROM (SELECT doc_id, lang, $best AS m, s_en, s_de, s_es, s_fr, s_zh
+           |      FROM (SELECT doc_id, lang, $scoreDefs FROM documents) t1) t2"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        col("lang"),
+        langId(col("text")).as("lang_guess")
+      )
+    },
+
+    // Normalized-content fingerprint (md5 of casefolded, punct-collapsed text).
+    QEntry.sql(
+      "txt_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    }
+  )
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+/** Behavior tests for the training-data pipeline operators on synthetic
+  * fixtures where ground truth is known (the sf-data oracle entries only
+  * prove engine-agreement; these prove the operators do the right thing).
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).appName("pipeline-ops-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content and keeps lowest id") {
+    val df = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "unrelated text here")
+    val out = Dedup.exactDedup(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("tonight", "today") // 1-word edit
+    val other =
+      "completely different content about spark query engines and distributed columnar storage systems"
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other, 4L -> other.toUpperCase)
+    val pairs = Dedup
+      .minhashCandidatePairs(df, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing from $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: near-identical docs agree on most bits, unrelated docs don't") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    val near = base.replace("woods", "forest")
+    val other = "spark catalyst optimizer pushes filters into columnar parquet scans efficiently"
+    val df = docs(1L -> base, 2L -> near, 3L -> other)
+    val sh = df
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(sh(1L).length == 64)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    assert(hamming(sh(1L), sh(2L)) <= 16)
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs 0.0") {
+    val df = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y z w v u")
+      .withColumn("block", lit("all"))
+    val out = Dedup
+      .ngramJaccardPairs(df, "doc_id", "text", Seq("block"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == 0.0)
+  }
+
+  test("language id picks the language with most marker hits") {
+    val df = docs(
+      1L -> "the cat sat on the mat and the dog",
+      2L -> "der hund ist gross und die katze ist klein",
+      3L -> "qqq www eee rrr"
+    )
+    val out = df
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("brute-force cosine topk is exact and lsh topk has reasonable recall") {
+    val s = spark
+    import s.implicits._
+    // deterministic synthetic vectors: 40 points in 8 dims
+    val vecs = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(j =>
+        math.sin(i * 0.7 + j * 1.3).toFloat + (if (j == i % 8) 2.0f else 0.0f)
+      )
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val exact = Similarity
+      .bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact.size == 15)
+    val approx = Similarity
+      .lshTopK(df, queries, "vec_id", "embedding", 5, bits = 2)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+    // approx results are a subset of legal neighbors (never the query itself)
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("near-dup pairs via embedding cosine finds planted duplicate") {
+    val s = spark
+    import s.implicits._
+    val v1 = Array.tabulate(8)(_.toFloat + 1)
+    val v1b = v1.map(x => x * 1.0001f) // same direction → cosine ~ 1
+    val v2 = Array.tabulate(8)(j => if (j % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, v1), (2L, v1b), (3L, v2)).toDF("vec_id", "embedding")
+    val pairs = Similarity
+      .nearDupPairs(df, "vec_id", "embedding", 0.99, blocked = false)
+      .select("id1", "id2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
