@@ -162,6 +162,52 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       catalog.writeRoundRobinMeta(meta.copy(lastInserted = next.toLong))
     } catch { case NonFatal(e) => logErr("roundRobinInsert")(e) }
 
+  /** Batch variant of roundRobinInsert for streaming ingestion (see
+    * graft.streaming.StreamingOps.roundRobinRouter): appends a whole
+    * micro-batch of (userid, movieid, rating) rows to master + fragments,
+    * continuing the `lastInserted` counter as if the rows had been inserted
+    * sequentially — one distributed write per batch instead of a metadata
+    * round-trip per row.
+    */
+  def roundRobinInsertBatch(tableName: String, batch: DataFrame): Unit =
+    try {
+      require(catalog.tableExists(tableName), s"$tableName table does not exist")
+      val meta = catalog
+        .readRoundRobinMeta()
+        .getOrElse(throw new IllegalStateException("ROUND_ROBIN_METADATA missing"))
+      require(meta.totalPartitions > 0, "Total partitions <= 0")
+      val n = meta.totalPartitions
+      val nextId =
+        master(tableName).agg(max("_rowid")).head().getAs[Any](0) match {
+          case null    => 0L
+          case l: Long => l + 1
+        }
+      val rows = batch
+        .select(
+          col("userid").cast(IntegerType),
+          col("movieid").cast(IntegerType),
+          col("rating").cast(DoubleType)
+        )
+        .rdd
+        .zipWithIndex()
+        .map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getInt(0), r.getInt(1), r.getDouble(2), nextId + i)
+        }
+      val df = spark.createDataFrame(rows, masterSchema)
+      val cnt = df.count()
+      if (cnt > 0) {
+        df.write.mode(SaveMode.Append).parquet(catalog.tablePath(tableName))
+        df.withColumn("part", pmod(col("_rowid") + (meta.lastInserted + 1 - nextId), lit(n.toLong)).cast(IntegerType))
+          .write
+          .mode(SaveMode.Append)
+          .partitionBy("part")
+          .parquet(catalog.tablePath(RoundRobinDataset))
+        catalog.writeRoundRobinMeta(
+          meta.copy(lastInserted = ((meta.lastInserted + cnt) % n))
+        )
+      }
+    } catch { case NonFatal(e) => logErr("roundRobinInsertBatch")(e) }
+
   private def appendToMaster(tableName: String, u: Int, m: Int, r: Double): Long = {
     val nextId =
       master(tableName).agg(max("_rowid")).head().getAs[Any](0) match {

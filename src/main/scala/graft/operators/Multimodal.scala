@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video handled as opaque `binary`
+  * payloads with typed metadata, processed batch-at-a-time on executors.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in this
+  * container): [[DecodeStub.decode]] derives deterministic fake features from
+  * the raw bytes. Everything around it — the schema, the binary column
+  * construction, the mapPartitions batch shape, partitioning behavior, and
+  * the column-expression fast paths (byte length, magic bytes, frame
+  * sampling by byte-range) — is real Spark plumbing, tested in
+  * MultimodalSpec and oracle-checked where portable.
+  *
+  * Scale notes: payloads stay on executors end-to-end (no collect); decode
+  * runs per-partition so a real codec would amortize native init per batch,
+  * exactly like an mapInPandas/mapInArrow UDF batch; metadata-only queries
+  * (byte length, magic) never touch payload internals thanks to parquet
+  * column pruning of the struct.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte])
+
+  /** Decoded (stub) features — the shape a real decoder would emit. */
+  case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      bytes: Long,
+      magic: String,
+      width: Int,
+      height: Int,
+      n_frames: Int
+  )
+
+  /** Build a media table from the documents corpus: UTF-8 payload bytes,
+    * modality assigned round-robin. Binary columns are first-class — at scale
+    * this is the parquet-backed blob-lake layout.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+      ).as("modality"),
+      encode(col("text"), "UTF-8").as("payload")
+    )
+
+  /** STUB decoder: deterministic fake features derived from payload bytes.
+    * A production build replaces the body with a real codec call; the
+    * signature, batch iteration, and schema stay identical.
+    */
+  object DecodeStub {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val n = r.payload.length.toLong
+      // ??? real codec goes here; deterministic fake below
+      val magic = r.payload.take(4).map(b => f"$b%02X").mkString
+      MediaFeatures(
+        media_id = r.media_id,
+        modality = r.modality,
+        bytes = n,
+        magic = magic,
+        width = (64 + n % 512).toInt,
+        height = (64 + (n * 7) % 384).toInt,
+        n_frames = if (r.modality == "video") (1 + n % 240).toInt else 1
+      )
+    }
+  }
+
+  /** Batch decode via mapPartitions — per-partition iterator is where a real
+    * decoder would hold its native context.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(DecodeStub.decode))
+  }
+
+  /** Column-expression fast path for metadata-only queries (no row-by-row
+    * JVM object churn): byte length, magic bytes, stub dimensions.
+    */
+  def metaColumns(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("modality"),
+      octet_length(col("payload")).cast("bigint").as("bytes"),
+      hex(substring(col("payload"), 1, 4)).as("magic"),
+      (lit(64) + pmod(octet_length(col("payload")).cast("bigint"), lit(512L)))
+        .cast("int")
+        .as("width"),
+      (lit(64) + pmod(octet_length(col("payload")).cast("bigint") * 7, lit(384L)))
+        .cast("int")
+        .as("height")
+    )
+
+  /** Frame sampling: fixed-stride byte-range slices of the payload (a real
+    * video path would seek keyframes; the slicing/fan-out shape is the same).
+    * One row per sampled frame, md5 of the slice as the stand-in frame feature.
+    */
+  def frameSlices(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame = {
+    val n = octet_length(col("payload"))
+    val nFrames = least(
+      ceil(n.cast("double") / frameBytes).cast("int"),
+      lit(maxFrames)
+    )
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        md5(
+          expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
+        ).as("frame_md5")
+      )
+  }
+
+  /** Resize stub: truncate payload to `maxBytes` (a real image path would
+    * re-encode; the byte-budget contract is the same).
+    */
+  def resizeTo(media: DataFrame, maxBytes: Int): DataFrame =
+    media.withColumn("payload", substring(col("payload"), 1, maxBytes))
+}

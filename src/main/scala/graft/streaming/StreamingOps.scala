@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.FragmentEngine
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference has no streaming (SURVEY §1.5); these are the extension
+  * operators a live training-data pipeline needs, built on the standard
+  * primitives: watermark + tumbling-window aggregation, arbitrary stateful
+  * processing via mapGroupsWithState, and a foreachBatch router that gives
+  * the reference's round-robin *insert* semantics a streaming ingestion path.
+  *
+  * Scale notes: state is keyed (event_type / user bucket), so it shards
+  * across executors; watermarks bound state size; foreachBatch appends are
+  * partition-directory writes — the same layout batch inserts use, so batch
+  * and streaming readers see one dataset.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windowed counts with a watermark bounding late data and
+    * state. Works on any DataFrame with (ts: timestamp, event_type, value) —
+    * streaming or batch (identical results; asserted in StreamingSpec).
+    */
+  def hourlyEventCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_value")
+      )
+
+  case class EventRow(ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class TypeRunning(event_type: String, cnt: Long, sum_value: Double)
+
+  /** Arbitrary stateful op: running per-type totals via mapGroupsWithState
+    * (the KeyValueGroupedDataset custom-state path). ProcessingTimeTimeout
+    * keeps state forever here; a production pipeline would expire idle keys.
+    */
+  def runningTotals(events: Dataset[EventRow]): Dataset[TypeRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[TypeRunning, TypeRunning](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[TypeRunning]) =>
+          val prev = state.getOption.getOrElse(TypeRunning(key, 0L, 0.0))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            TypeRunning(key, acc.cnt + 1, acc.sum_value + r.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming round-robin ingestion: every micro-batch is appended to the
+    * master dataset AND round-robin-routed to fragments, continuing the
+    * engine's `lastInserted` counter exactly like sequential
+    * roundRobinInsert calls (reference `Interface1.py:193-209`), but with
+    * one distributed write per batch instead of one metadata round-trip per
+    * row. Start with `.writeStream.foreachBatch(roundRobinRouter(engine, "ratings"))`.
+    */
+  def roundRobinRouter(
+      engine: FragmentEngine,
+      tableName: String
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    engine.roundRobinInsertBatch(tableName, batch)
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FragmentEngine, Multimodal}
+import graft.streaming.StreamingOps
+
+class MultimodalStreamingSpec extends SparkSpec {
+
+  test("media table: payload is real binary, stub decode matches column fast path") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "hello world of binary payloads"), (2L, "tiny")).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+
+    // typed mapPartitions decode == column-expression metadata fast path
+    val typed = media.as[Multimodal.MediaRecord]
+    val decoded = Multimodal
+      .decodeFeatures(typed)
+      .collect()
+      .map(f => f.media_id -> f)
+      .toMap
+    val fast = Multimodal
+      .metaColumns(media)
+      .collect()
+      .map(r => r.getAs[Long]("media_id") -> r)
+      .toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(decoded(id).bytes == fast(id).getAs[Long]("bytes"))
+      assert(decoded(id).magic == fast(id).getAs[String]("magic"))
+      assert(decoded(id).width == fast(id).getAs[Int]("width"))
+      assert(decoded(id).height == fast(id).getAs[Int]("height"))
+    }
+    // magic bytes of "hell" = 68656C6C
+    assert(fast(1L).getAs[String]("magic") == "68656C6C")
+  }
+
+  test("frame slices cover the payload with the configured stride") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x" * 700)).toDF("doc_id", "text")
+    val frames = Multimodal
+      .frameSlices(Multimodal.fromDocuments(docs), 256, 4)
+      .collect()
+    assert(frames.length == 3) // ceil(700/256) = 3 <= 4
+    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Array(0, 1, 2)))
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val rows = Seq(
+      (at(0), "click", 1.0),
+      (at(10), "click", 2.0),
+      (at(50), "view", 3.0),
+      (at(70), "click", 4.0) // next hour window
+    )
+    mem.addData(rows: _*)
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps
+      .hourlyEventCounts(streamDf)
+      .writeStream
+      .format("memory")
+      .queryName("hourly_out")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("hourly_out")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = StreamingOps
+      .hourlyEventCounts(rows.toDF("ts", "event_type", "value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed(("2024-01-01 10:00", "click")) == ((2L, 3.0)))
+  }
+
+  test("mapGroupsWithState running totals accumulate across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val q = StreamingOps
+      .runningTotals(mem.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("running_out")
+      .outputMode("update")
+      .start()
+    mem.addData(StreamingOps.EventRow(t, "click", 1.0), StreamingOps.EventRow(t, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.EventRow(t, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark
+      .table("running_out")
+      .filter($"event_type" === "click")
+      .orderBy($"cnt".desc)
+      .head()
+    assert(last.getAs[Long]("cnt") == 3L)
+    assert(last.getAs[Double]("sum_value") == 6.0)
+  }
+
+  test("foreachBatch round-robin router continues the insert counter") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val root = Files.createTempDirectory("graft-stream").toString
+    val eng = new FragmentEngine(spark, root)
+    eng.loadRatings("ratings", "/root/reference/test_data1.txt") // 20 rows
+    eng.roundRobinPartition("ratings", 5) // lastInserted = 19 % 5 = 4
+
+    val mem = MemoryStream[(Int, Int, Double)]
+    val q = mem
+      .toDF()
+      .toDF("userid", "movieid", "rating")
+      .writeStream
+      .foreachBatch(StreamingOps.roundRobinRouter(eng, "ratings"))
+      .start()
+    mem.addData((100, 1, 1.0), (101, 2, 2.0), (102, 3, 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(eng.master("ratings").count() == 23)
+    val rr = spark.read.parquet(s"$root/round_robin_ratings")
+    // rows 20,21,22 → parts 0,1,2 (counter continued from 4)
+    val placed = rr
+      .filter($"userid" >= 100)
+      .select("userid", "part")
+      .collect()
+      .map(r => r.getInt(0) -> r.getInt(1))
+      .toMap
+    assert(placed == Map(100 -> 0, 101 -> 1, 102 -> 2))
+    assert(eng.catalog.readRoundRobinMeta().get.lastInserted == 2L)
+  }
+}

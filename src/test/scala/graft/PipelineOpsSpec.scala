@@ -1,9 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.BeforeAndAfterAll
-import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Similarity}
@@ -12,11 +9,7 @@ import graft.operators.{Dedup, Similarity}
   * fixtures where ground truth is known (the sf-data oracle entries only
   * prove engine-agreement; these prove the operators do the right thing).
   */
-class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
-  private lazy val spark: SparkSession =
-    GraftSession.builder("local[4]", 4).appName("pipeline-ops-spec").getOrCreate()
-
-  override def afterAll(): Unit = spark.stop()
+class PipelineOpsSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = {
     val s = spark

@@ -24,14 +24,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  /** JVM-wide session shared by every suite. Never stop() it — getOrCreate
+    * hands the same instance to all suites, so a stop in one suite's afterAll
+    * would kill the SparkContext under every later suite.
+    */
   lazy val session: SparkSession = {
-    val s = SparkSession
-      .builder()
-      .master("local[4]")
+    val s = GraftSession
+      .builder("local[4]", 4)
       .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
