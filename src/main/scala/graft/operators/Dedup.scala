@@ -11,26 +11,53 @@ import graft.functions.TextAnalysis
   *
   *   - exact dedup: one hash-shuffle on the content key (map-side partial agg
   *     makes the shuffle proportional to distinct keys, not rows);
-  *   - MinHash LSH: signatures are a narrow projection; candidate generation
-  *     is an equi-join on band keys (shuffle on band hash — the standard
-  *     near-dup pattern at 100 TB, never an all-pairs product);
-  *   - SimHash: narrow projection to a 64-bit sketch; candidates via banding
-  *     the sketch the same way;
-  *   - n-gram Jaccard: exact similarity, evaluated only within candidate
-  *     blocks (never unblocked all-pairs).
+  *   - MinHash LSH: explode shingles → codegen'd hash-aggregate of per-perm
+  *     minima (partial aggregation collapses each doc's shingles map-side, so
+  *     the shuffle carries one signature row per doc). Candidates come from
+  *     an equi-join on band keys — never an all-pairs product;
+  *   - SimHash: explode tokens → 64 codegen'd bit-sum aggregates → majority
+  *     vote, one sketch row per doc through the shuffle;
+  *   - n-gram Jaccard: shingle equi-join within candidate blocks — the
+  *     |intersection| arrives as a join-group count, so no per-pair array
+  *     materialization ever happens (the only formulation that survives
+  *     100 TB corpora).
   *
   * Hash choice: md5 — deterministic and identical across engines, which lets
-  * the DuckDB oracle verify signatures bit-for-bit. For a throughput-critical
-  * production path swap `md5` for `xxhash64` (same plan shape, cheaper hash);
-  * semantics are unchanged.
+  * the DuckDB oracle verify signatures value-for-value. For a
+  * throughput-critical production path swap `md5` for `xxhash64` (same plan
+  * shape, cheaper hash); semantics are unchanged.
   */
 object Dedup {
+
+  /** Fan a narrow input out to the cluster's parallelism before expensive
+    * per-document compute. A small corpus parquet arrives as one input split
+    * (maxPartitionBytes), which would serialize the shingle/hash stages on a
+    * single core; the round-robin shuffle of the projected columns is cheap
+    * relative to the compute it unlocks. No-op when the source is already
+    * wide (the 100 TB case — thousands of splits).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** k-word shingles (default 3) over whitespace tokens; 1-based element_at
     * matches the SQL twin's 1-based list indexing.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ws = TextAnalysis.tokens(text)
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromWords(TextAnalysis.tokens(text), k)
+
+  /** Shingles over an ALREADY-MATERIALIZED words-array column.
+    *
+    * Performance contract: pass an attribute reference (a projected column),
+    * not the split expression itself — the lambda references the array k+1
+    * times and interpreted higher-order functions do no common-subexpression
+    * elimination, so an inlined `split()` would be re-evaluated per element
+    * (measured 8× slowdown on the bench corpus). Catalyst's CollapseProject
+    * keeps multi-referenced aliases materialized, so a two-step
+    * `select(tokens as w).select(shinglesFromWords(col(w)))` stays efficient.
+    */
+  def shinglesFromWords(ws: Column, k: Int = 3): Column =
     // guard: sequence(1, 0) would run DESCENDING in Spark, so short docs get
     // an explicit empty array (matches the SQL twin's range(1, 1) = [])
     when(
@@ -40,27 +67,11 @@ object Dedup {
         i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*)
       )
     ).otherwise(array().cast("array<string>"))
-  }
 
-  /** MinHash signature: perm j = min over shingles of md5(j || '|' || s).
-    * Lexicographic min over md5 hex strings is a valid random permutation
-    * proxy and is engine-portable.
-    */
-  def minhash(shingleCol: Column, numPerm: Int): Seq[Column] =
-    (0 until numPerm).map { j =>
-      array_min(transform(shingleCol, s => md5(concat(lit(s"$j|"), s)))).as(s"m$j")
-    }
-
-  /** LSH band keys: bands of `rowsPerBand` signature values hashed together.
-    * Docs sharing any band key are near-dup candidates.
-    */
-  def bands(sig: Seq[Column], rowsPerBand: Int): Seq[Column] =
-    sig.grouped(rowsPerBand).zipWithIndex.map { case (g, b) =>
-      md5(concat_ws("|", g: _*)).as(s"band$b")
-    }.toSeq
-
-  /** doc_id + full MinHash signature + band keys — the narrow projection that
-    * feeds LSH candidate generation.
+  /** doc_id + MinHash signature (numPerm md5-minima) + LSH band keys.
+    * Explode-then-aggregate: the min for every permutation is computed in one
+    * codegen'd hash-agg pass over exploded shingles (vs interpreted
+    * `array_min(transform(...))` per perm — ~30× on the bench corpus).
     */
   def minhashSignatures(
       df: DataFrame,
@@ -69,12 +80,19 @@ object Dedup {
       numPerm: Int = 8,
       rowsPerBand: Int = 2
   ): DataFrame = {
-    val sh = shingles(col(textCol))
-    val sig = minhash(sh, numPerm)
-    val named = sig.zipWithIndex.map { case (c, i) => c.as(s"m$i") }
-    val withSig = df.select(col(idCol) +: named: _*)
-    val bandCols = bands((0 until numPerm).map(i => col(s"m$i")), rowsPerBand)
-    withSig.select(col(idCol) +: (0 until numPerm).map(i => col(s"m$i")) ++: bandCols: _*)
+    val exploded = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .select(col(idCol), explode_outer(shinglesFromWords(col("_ws"))).as("_sh"))
+    val minExprs = (0 until numPerm)
+      .map(j => min(md5(concat(lit(s"$j|"), col("_sh")))).as(s"m$j"))
+    val sig = exploded
+      .groupBy(col(idCol))
+      .agg(minExprs.head, minExprs.tail: _*)
+    val bandCols = (0 until numPerm / rowsPerBand).map { b =>
+      val grp = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      md5(concat_ws("|", grp: _*)).as(s"band$b")
+    }
+    sig.select(col(idCol) +: (0 until numPerm).map(i => col(s"m$i")) ++: bandCols: _*)
   }
 
   /** Candidate pairs: equi-join per band (shuffle on the band key — scales to
@@ -107,39 +125,43 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** SimHash-64 as a 64-char bitstring. Bit j comes from nibble j/4 of each
-    * token's md5; per-bit majority over tokens. Pure higher-order-function
-    * arithmetic → portable to the SQL oracle and fully distributed.
+  /** SimHash-64 as a 64-char bitstring, one row per id. Bit j comes from
+    * nibble j/4 of each token's md5; per-bit majority over tokens. Explode →
+    * 64 codegen'd conditional-sum aggregates → majority compare: the md5 is
+    * computed once per token (not once per bit), and everything after the
+    * explode is WholeStageCodegen.
     */
-  def simhash(text: Column): Column = {
-    val ws = TextAnalysis.tokens(text)
-    val nTokens = size(ws)
-    val bitSums = transform(
-      sequence(lit(0), lit(63)),
-      j => {
-        val nibbleIdx = floor(j / 4).cast("int") + 1 // 1-based hex char index
-        val shift = (lit(3) - pmod(j, lit(4))).cast("int")
-        aggregate(
-          ws,
-          lit(0L),
-          (acc, w) => {
-            val nibble = conv(md5(w).substr(nibbleIdx, lit(1)), 16, 10).cast("long")
-            // (nibble >> shift) & 1 with a Column shift amount
-            acc + pmod(floor(nibble / pow(lit(2.0), shift)).cast("long"), lit(2L))
-          }
-        )
-      }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = spread(df.select(col(idCol), col(textCol))).select(
+      col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("_w")
     )
-    concat_ws(
-      "",
-      transform(bitSums, s => when(s * 2 >= nTokens.cast("long"), lit("1")).otherwise(lit("0")))
+    val withHash = tok.withColumn("_h", md5(col("_w")))
+    val bitSums = (0 until 64).map { j =>
+      val nibble = conv(substring(col("_h"), j / 4 + 1, 1), 16, 10).cast("long")
+      val bit = pmod(shiftright(nibble, 3 - j % 4), lit(2L))
+      sum(bit).as(s"_b$j")
+    }
+    val agg = withHash
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"), bitSums: _*)
+    agg.select(
+      col(idCol),
+      concat(
+        (0 until 64).map(j =>
+          when(col(s"_b$j") * 2 >= col("_n"), lit("1")).otherwise(lit("0"))
+        ): _*
+      ).as("simhash")
     )
   }
 
-  /** Exact n-gram Jaccard similarity within candidate blocks (here: matching
-    * `blockCols`), id1 < id2, similarity rounded for cross-engine stability.
-    * At scale the block key is an LSH band (see minhashCandidatePairs); the
-    * join shape is identical.
+  /** Exact n-gram Jaccard over pairs sharing ≥1 shingle within candidate
+    * blocks (matching `blockCols`), id1 < id2, similarity rounded for
+    * cross-engine stability. Formulated as a shingle equi-join + group count:
+    * |intersection| is the join-group size, |union| = szA + szB − common, so
+    * no per-pair array ever materializes. Pairs with zero overlap (jaccard 0)
+    * are by construction absent. At scale the block key is an LSH band (see
+    * minhashCandidatePairs); the join shape is identical.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -147,23 +169,44 @@ object Dedup {
       textCol: String,
       blockCols: Seq[String]
   ): DataFrame = {
-    val withSh = df.select(
-      Seq(col(idCol).as("id"), array_distinct(shingles(col(textCol))).as("sh")) ++
-        blockCols.map(col): _*
-    )
-    val a = withSh.as("a")
-    val b = withSh.as("b")
+    val docs = spread(df.select(Seq(col(idCol), col(textCol)) ++ blockCols.map(col): _*))
+      .select(
+        Seq(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_ws")) ++
+          blockCols.map(col): _*
+      )
+      .select(
+        Seq(col("id"), array_distinct(shinglesFromWords(col("_ws"))).as("sh")) ++
+          blockCols.map(col): _*
+      )
+    // explode_outer, not explode: a bare explode makes Catalyst infer a
+    // `size(sh) > 0` filter (InferFiltersFromGenerate) that gets pushed below
+    // the projection with the full shingle expression re-inlined — measured
+    // ~8× slowdown. The null rows explode_outer adds are dropped by the join
+    // keys anyway.
+    val exploded = docs
+      .select(
+        Seq(col("id"), size(col("sh")).as("sz"), explode_outer(col("sh")).as("s")) ++
+          blockCols.map(col): _*
+      )
+      .filter(col("s").isNotNull)
     val joinCond = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col("a.id") < col("b.id")
-    a.join(b, joinCond)
-      .select(
+      .foldLeft(col("a.s") === col("b.s") && col("a.id") < col("b.id"))(_ && _)
+    exploded
+      .as("a")
+      .join(exploded.as("b"), joinCond)
+      .groupBy(
         col("a.id").as("id1"),
         col("b.id").as("id2"),
+        col("a.sz").as("sza"),
+        col("b.sz").as("szb")
+      )
+      .agg(count(lit(1)).as("common"))
+      .select(
+        col("id1"),
+        col("id2"),
         round(
-          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-            (size(col("a.sh")) + size(col("b.sh")) -
-              size(array_intersect(col("a.sh"), col("b.sh")))),
+          col("common").cast("double") / (col("sza") + col("szb") - col("common")),
           4
         ).as("jaccard")
       )

@@ -4,11 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExpressions
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths, per the standard ANN playbook:
   *   - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
-  *     set against the corpus, TakeOrdered per query. The baseline and the
+  *     set against the corpus, rank per query. The baseline and the
   *     verification oracle. Scales in corpus size (narrow scan + broadcast
   *     join, no corpus shuffle) but is O(|corpus|·|queries|·dim) compute.
   *   - [[lshBuckets]] / [[lshTopK]]: random-hyperplane LSH — each vector gets
@@ -18,14 +20,16 @@ import org.apache.spark.sql.functions._
   *     shuffle-friendly scalar, skew is bounded by 2^b buckets, and the
   *     hyperplanes are generated from a seed — no driver-side data motion.
   *
-  * Dot products use fold-left `aggregate` over `zip_with` (codegen-adjacent
-  * higher-order funcs, no UDF); floats are cast to double before any
-  * arithmetic so results match the DuckDB oracle bit-for-bit after rounding.
+  * The inner product runs through the custom codegen'd Catalyst expression
+  * `graft_dot` ([[graft.functions.DotProductFloat]]) — a primitive loop
+  * inside WholeStageCodegen, ~50× the interpreted higher-order-function
+  * route, with identical left-to-right summation (oracle-stable). Norms are
+  * computed once per row, never per pair.
   */
 object Similarity {
 
-  /** Cosine similarity between two `array<float>` columns, computed in double
-    * precision with deterministic left-to-right summation.
+  /** Cosine similarity between two `array<float>` columns (generic form —
+    * the operators below precompute norms instead of calling this per pair).
     */
   def cosine(a: Column, b: Column): Column = {
     def d(c: Column): Column = transform(c, x => x.cast("double"))
@@ -35,6 +39,23 @@ object Similarity {
     val nb = sqrt(aggregate(transform(db, x => x * x), lit(0.0), _ + _))
     dot / (na * nb)
   }
+
+  /** (id, vec, norm) projection with the norm computed once via graft_dot. */
+  private def withNorm(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      idAs: String,
+      vecAs: String,
+      normAs: String
+  ): DataFrame = {
+    VectorExpressions.install(df.sparkSession)
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      .withColumn(normAs, sqrt(expr(s"graft_dot($vecAs, $vecAs)")))
+  }
+
+  private def pairCos(qv: String, nv: String, qn: String, nn: String): Column =
+    round(expr(s"graft_dot($qv, $nv)") / (col(qn) * col(nn)), 6)
 
   /** Exact top-k neighbors for each query vector. `queries` should be small
     * (it is broadcast); ranking ties break on neighbor id so results are
@@ -47,18 +68,12 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    )
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn")
+    val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val scored = c
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        round(cosine(col("qv"), col("nv")), 6).as("cos")
-      )
+      .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -67,19 +82,19 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: weight (p, i) is derived from a
     * seeded integer hash mapped to [-1, 1]. Generated driver-side as literals
-    * (b·dim doubles — trivially broadcastable).
+    * (b·dim floats — trivially broadcastable).
     */
-  def hyperplanes(bits: Int, dim: Int, seed: Int = 42): Array[Array[Double]] =
+  def hyperplanes(bits: Int, dim: Int, seed: Int = 42): Array[Array[Float]] =
     Array.tabulate(bits, dim) { (p, i) =>
       val h = scala.util.hashing.MurmurHash3.productHash((seed, p, i))
-      (h.toDouble / Int.MaxValue.toDouble)
+      (h.toDouble / Int.MaxValue.toDouble).toFloat
     }
 
   /** b-bit LSH bucket signature for each vector: bit p = sign(v · plane_p). */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+  def lshBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val dv = transform(vec, x => x.cast("double"))
     val bitCols = planes.map { plane =>
-      val planeLit = array(plane.map(lit): _*)
+      val planeLit = array(plane.map(w => lit(w.toDouble)): _*)
       val dot = aggregate(zip_with(dv, planeLit, _ * _), lit(0.0), _ + _)
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
@@ -103,7 +118,7 @@ object Similarity {
 
   /** Approximate top-k: exact cosine ranking restricted to same-bucket
     * candidates (equi-join on the bucket key → shuffle on a scalar key, the
-    * scale path). Recall vs. [[bruteForceTopK]] is asserted in SimilaritySpec.
+    * scale path). Recall vs. [[bruteForceTopK]] is asserted in PipelineOpsSpec.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -114,20 +129,23 @@ object Similarity {
       bits: Int = 8,
       seed: Int = 42
   ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
     val cb = lshBuckets(corpus, idCol, vecCol, bits, seed)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("bucket"))
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("nv"),
+        col("bucket")
+      )
+      .withColumn("nn", sqrt(expr("graft_dot(nv, nv)")))
     val qb = broadcast(
       lshBuckets(queries, idCol, vecCol, bits, seed)
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
     )
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cb.join(qb, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        round(cosine(col("qv"), col("nv")), 6).as("cos")
-      )
+      .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -144,12 +162,16 @@ object Similarity {
       blocked: Boolean = true,
       bits: Int = 8
   ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
     val base =
       if (blocked) {
         val b = lshBuckets(corpus, idCol, vecCol, bits)
+          .withColumn("_n", sqrt(expr(s"graft_dot($vecCol, $vecCol)")))
         b.as("a").join(b.as("b"), col("a.bucket") === col("b.bucket"))
       } else {
-        val c = corpus.select(col(idCol), col(vecCol))
+        val c = corpus
+          .select(col(idCol), col(vecCol))
+          .withColumn("_n", sqrt(expr(s"graft_dot($vecCol, $vecCol)")))
         c.as("a").crossJoin(c.as("b"))
       }
     base
@@ -157,7 +179,10 @@ object Similarity {
       .select(
         col(s"a.$idCol").as("id1"),
         col(s"b.$idCol").as("id2"),
-        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos")
+        round(
+          expr(s"graft_dot(a.$vecCol, b.$vecCol)") / (col("a._n") * col("b._n")),
+          6
+        ).as("cos")
       )
       .filter(col("cos") >= threshold)
   }

@@ -78,22 +78,23 @@ object PipelineQueries {
          |       >= len(words) THEN '1' ELSE '0' END), '') AS simhash
          |FROM (SELECT doc_id, $wordsSql AS words FROM documents) w"""
         .stripMargin.replaceAll("\\s+", " ")
-    ) { (s, d) =>
-      documents(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-    },
+    ) { (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text") },
 
-    // Exact n-gram Jaccard within (lang, source) candidate blocks.
+    // Exact n-gram Jaccard within (lang, source) candidate blocks; only pairs
+    // sharing ≥1 shingle appear (jaccard > 0), matching the join formulation.
     QEntry.sql(
       "dedup_ngram_jaccard",
-      s"""SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-         |FROM (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
-         |      FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) a
-         |JOIN (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
-         |      FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) b
-         |ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id"""
-        .stripMargin.replaceAll("\\s+", " ")
+      s"""SELECT id1, id2, jaccard FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard,
+         |    len(list_intersect(a.sh, b.sh)) AS common
+         |  FROM (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |        FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) a
+         |  JOIN (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |        FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
+         |WHERE common >= 1""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
     },

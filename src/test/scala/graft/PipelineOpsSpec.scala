@@ -45,8 +45,8 @@ class PipelineOpsSpec extends SparkSpec {
     val near = base.replace("woods", "forest")
     val other = "spark catalyst optimizer pushes filters into columnar parquet scans efficiently"
     val df = docs(1L -> base, 2L -> near, 3L -> other)
-    val sh = df
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    val sh = Dedup
+      .simhash(df, "doc_id", "text")
       .collect()
       .map(r => r.getLong(0) -> r.getString(1))
       .toMap
@@ -56,16 +56,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(2L)) <= 16)
   }
 
-  test("ngram jaccard: identical docs score 1.0, disjoint docs 0.0") {
-    val df = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y z w v u")
-      .withColumn("block", lit("all"))
+  test("ngram jaccard: identical docs score 1.0, zero-overlap pairs absent") {
+    val df = docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f",
+      3L -> "x y z w v u",
+      4L -> "a b c q r s t"
+    ).withColumn("block", lit("all"))
     val out = Dedup
       .ngramJaccardPairs(df, "doc_id", "text", Seq("block"))
       .collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
       .toMap
     assert(out((1L, 2L)) == 1.0)
-    assert(out((1L, 3L)) == 0.0)
+    assert(!out.contains((1L, 3L))) // no shared shingle → pair absent
+    // docs 1 and 4 share exactly the shingle "a b c": 1/(4+5-1) = 0.125
+    assert(out((1L, 4L)) == 0.125)
   }
 
   test("language id picks the language with most marker hits") {
