@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.FragmentEngine
+
+/** Asserts the physical-plan properties the 100 TB design depends on — not
+  * just that queries return correct rows, but that they execute with the
+  * shapes that survive scale: scan-level filter/projection pushdown,
+  * broadcast joins for dims, TakeOrdered for top-k, partial aggregation,
+  * whole-stage codegen, and Hive-partition pruning for fragment queries.
+  */
+class PlanQualitySpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** AQE query stages don't expose their subtrees as children, so scan-level
+    * assertions plan with AQE off (the static plan has the same FileIndex
+    * pruning behavior).
+    */
+  private def withoutAqe[A](f: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Execute (so AQE finalizes) and unwrap the adaptive root. */
+  private def finalPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+  private def executedPlan(df: DataFrame): String = finalPlan(df).toString
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter and projection push into the parquet scan") {
+    val df = Tables
+      .lineitem(spark, sf)
+      .filter(col("l_quantity") === 25.0)
+      .select("l_orderkey", "l_quantity")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), EqualTo(l_quantity,25.0)]"), plan)
+    // column pruning: only the two referenced columns are read
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("dim joins broadcast (no shuffle of the fact side)") {
+    val plan = executedPlan(
+      SparkEntry.queries("q_join_broadcast_dims")(spark, sf)
+    )
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(SparkEntry.queries("q_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("group-by aggregation is partial (map-side combine before shuffle)") {
+    val plan = executedPlan(SparkEntry.queries("q_agg_pricing_summary")(spark, sf))
+    // partial then final HashAggregate around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+  }
+
+  test("pricing summary runs inside WholeStageCodegen") {
+    // "*(n)" node prefixes mark whole-stage-codegen stages in plan strings
+    val plan = executedPlan(SparkEntry.queries("q_agg_pricing_summary")(spark, sf))
+    assert(plan.contains("*("), plan)
+  }
+
+  test("graft_dot is codegen-compatible (no CodegenFallback in the plan)") {
+    graft.functions.VectorExpressions.install(spark)
+    val df = Tables
+      .embeddings(spark, sf)
+      .withColumn("n2", expr("graft_dot(embedding, embedding)"))
+      .filter(col("n2") > 0)
+    assert(df.count() > 0)
+    // the Filter/Project evaluating graft_dot must carry the codegen marker
+    // (a CodegenFallback expression would split the codegen stage)
+    val plan = executedPlan(df)
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")), plan)
+  }
+
+  test("point query on fragments prunes to a single partition directory") {
+    withTempDir { root => withoutAqe {
+      val e = new FragmentEngine(spark, root)
+      e.loadRatings("ratings", "/root/reference/test_data1.txt")
+      e.rangePartition("ratings", 5)
+      e.roundRobinPartition("ratings", 5)
+      val (rangeSide, _) = e.pointQueryDF(4.5)
+      val plan = formatted(rangeSide)
+      // 4.5 falls in fragment 4: the file index must keep exactly 1 of 5
+      // partition dirs (partition filter on `part`, not a data filter)
+      assert(plan.contains("part#") && plan.contains("PartitionFilters"), plan)
+      val scanned = finalPlan(rangeSide)
+        .collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.partitionCount
+        }
+        .headOption
+      assert(scanned.contains(1), s"expected 1 partition scanned, got $scanned")
+    } }
+  }
+
+  test("range query scans only overlapping fragments") {
+    withTempDir { root => withoutAqe {
+      val e = new FragmentEngine(spark, root)
+      e.loadRatings("ratings", "/root/reference/test_data1.txt")
+      e.rangePartition("ratings", 5)
+      e.roundRobinPartition("ratings", 5)
+      val (rangeSide, _) = e.rangeQueryDF(1.5, 3.5)
+      val scanned = finalPlan(rangeSide)
+        .collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.partitionCount
+        }
+        .headOption
+      // [1.5, 3.5] overlaps fragments 1,2,3 of [0,1],(1,2],(2,3],(3,4],(4,5]
+      assert(scanned.contains(3), s"expected 3 partitions scanned, got $scanned")
+    } }
+  }
+}
