@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.RangeBuckets
 import graft.Tables._
+import graft.operators.Fragmentation
 import graft.operators.FragmentEngine.bucketExpr
 
 /** Fragmentation-parity inventory (SURVEY.md §2.1) re-expressed over the
@@ -153,6 +154,37 @@ object FragQueries {
         .select(col("l_quantity").as("rating"))
         .distinct()
         .withColumn("part", bucketExpr(B5, col("rating")))
+    },
+
+    // Generalized fragmentation (extension): hash scheme — md5-derived
+    // bucket, engine-portable, the default co-location scheme for big joins.
+    QEntry.sql(
+      "frag_hash_assign_counts",
+      """SELECT CAST(list_sum(list_transform(range(1, 9), i ->
+        |  (strpos('0123456789abcdef',
+        |          substr(md5(CAST(l_orderkey AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |  * pow(16, 8 - i))) AS BIGINT) % 5 AS part, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Fragmentation
+        .hashFragment(lineitem(s, d), "l_orderkey", 5)
+        .groupBy(col("part").cast("bigint").as("part"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // Generalized fragmentation (extension): range scheme over a
+    // data-derived domain (closed-form width bucket, IEEE-identical across
+    // engines), vs the reference's hard-coded [0,5].
+    QEntry.sql(
+      "frag_range_auto_counts",
+      """SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 8)), 7) AS INT) AS part,
+        |  count(*) AS cnt
+        |FROM lineitem, (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |                FROM lineitem) b
+        |GROUP BY 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val (fragged, _) = Fragmentation.rangeFragmentAuto(lineitem(s, d), "l_extendedprice", 8)
+      fragged.groupBy("part").agg(count(lit(1)).as("cnt"))
     }
   )
 }

@@ -214,6 +214,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
     },
 
+    // Plain-SQL surface: the same engine through spark.sql over registered
+    // views (with graft custom functions installed) — users can bring SQL
+    // text instead of the DataFrame API.
+    QEntry.sql(
+      "q_sql_interface",
+      """SELECT n_name, count(*) AS suppliers, round(sum(s_acctbal), 2) AS acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      graft.GraftSQL.sql(
+        s,
+        d,
+        """SELECT n_name, count(*) AS suppliers, round(sum(s_acctbal), 2) AS acctbal
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin
+      )
+    },
+
     // Semi-structured extraction: pull an int field out of the JSON props
     // column with a portable regex (codegen'd, no UDF).
     QEntry.sql(
