@@ -150,6 +150,57 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale path:
+    * every `centroidStride`-th corpus vector serves as a deterministic
+    * centroid (a production build would k-means; the plan shape is
+    * identical); corpus vectors are assigned to their nearest centroid's
+    * cell once (broadcast argmax — no corpus shuffle), queries probe their
+    * `nProbe` nearest cells, and exact cosine ranking runs only inside the
+    * probed cells via an equi-join on the cell id. Compute drops from
+    * O(|corpus|·|queries|) to O(|corpus|·|queries|/nlist·nProbe); the cell
+    * id is a scalar shuffle key, so the join partitions cleanly at any scale.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidStride: Int = 37,
+      nProbe: Int = 3
+  ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
+    val centroids = broadcast(
+      corpus
+        .filter(pmod(col(idCol), lit(centroidStride)) === 0)
+        .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+        .withColumn("cn", sqrt(expr("graft_dot(cv, cv)")))
+    )
+    def assign(df: DataFrame, asId: String, asVec: String, probes: Int): DataFrame = {
+      val w = Window
+        .partitionBy(asId)
+        .orderBy(col("_cellCos").desc, col("cell"))
+      df.select(col(idCol).as(asId), col(vecCol).as(asVec))
+        .withColumn("_n", sqrt(expr(s"graft_dot($asVec, $asVec)")))
+        .crossJoin(centroids)
+        .withColumn("_cellCos", expr(s"graft_dot($asVec, cv)") / (col("_n") * col("cn")))
+        .withColumn("_cr", row_number().over(w))
+        .filter(col("_cr") <= probes)
+        .select(col(asId), col(asVec), col("_n"), col("cell"))
+    }
+    val corpusCells = assign(corpus, "neighbor_id", "nv", 1)
+      .withColumnRenamed("_n", "nn")
+    val queryCells = assign(queries, "query_id", "qv", nProbe)
+      .withColumnRenamed("_n", "qn")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpusCells
+      .join(queryCells, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` (id1 < id2).
     * All-pairs only within LSH buckets when `blocked`; exact all-pairs
     * otherwise (verification / small corpora).

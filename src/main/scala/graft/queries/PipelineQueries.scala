@@ -151,6 +151,13 @@ object PipelineQueries {
     QEntry.rowsOnly("ann_lsh_topk") { (s, d) =>
       val emb = embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, bits = 4)
+    },
+
+    // IVF coarse-quantizer approximate top-k (recall asserted in
+    // PipelineOpsSpec) — the inverted-list ANN scale path.
+    QEntry.rowsOnly("ann_ivf_topk") { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     }
   )
 }

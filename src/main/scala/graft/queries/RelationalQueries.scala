@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.operators.AsOfJoin
 
 /** SQL-operator inventory (SURVEY.md §2.3) plus the general analytics layer a
   * complete engine needs: scans, literal projection, range/equality
@@ -230,6 +231,56 @@ object RelationalQueries {
           |FROM supplier JOIN nation ON s_nationkey = n_nationkey
           |GROUP BY n_name""".stripMargin
       )
+    },
+
+    // Backward as-of join (operator Spark lacks; DuckDB ASOF JOIN oracles
+    // it): for every error event, the latest preceding click of the same
+    // user. Union-sort-carry composition — one shuffle, no candidate-pair
+    // materialization (see graft.operators.AsOfJoin).
+    QEntry.sql(
+      "q_asof_click_before_error",
+      """SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |ON e.user_id = c.user_id AND e.ts >= c.ts"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ev = events(s, d)
+      val errors = ev
+        .filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin
+        .asOfBackward(errors, clicks, Seq("user_id"), "ts", "click_ts", Seq("click_ts"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+          date_format(col("asof_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts")
+        )
+    },
+
+    // Approximate sketches (rows-only: sketch estimates are engine-specific;
+    // accuracy vs exact is asserted in PipelineOpsSpec).
+    QEntry.rowsOnly("q_sketch_distinct_users") { (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("cnt")
+        )
+    },
+    QEntry.rowsOnly("q_sketch_value_quantiles") { (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+            .as("quantiles")
+        )
     },
 
     // Semi-structured extraction: pull an int field out of the JSON props

@@ -121,6 +121,71 @@ class PipelineOpsSpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("as-of join attaches the latest preceding right row per key") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq(
+      (1L, "u1", ts(100)),
+      (2L, "u1", ts(50)),
+      (3L, "u2", ts(100)),
+      (4L, "u3", ts(100)) // u3 has no right rows → dropped (inner semantics)
+    ).toDF("event_id", "k", "lts")
+    val right = Seq(
+      ("u1", ts(40), "a"),
+      ("u1", ts(90), "b"),
+      ("u1", ts(101), "c"), // after both left rows of u1
+      ("u2", ts(100), "d")  // tie: rightTs == leftTs counts (<=)
+    ).toDF("k", "rts", "payload")
+    val out = graft.operators.AsOfJoin
+      .asOfBackward(left, right, Seq("k"), "lts", "rts", Seq("payload"))
+      .select("event_id", "asof_payload")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out == Map(1L -> "b", 2L -> "a", 3L -> "d"))
+  }
+
+  test("ivf topk recall vs brute force is reasonable") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val v = Array.tabulate(8)(j =>
+        math.sin(i * 0.7 + j * 1.3).toFloat + (if (j == i % 8) 2.0f else 0.0f)
+      )
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "neighbor_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5))
+    val ivf = pairs(
+      Similarity.ivfTopK(df, queries, "vec_id", "embedding", 5, centroidStride = 10, nProbe = 3)
+    )
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
+  test("sketches: approx distinct and quantiles near exact values") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val approx = ev
+      .agg(approx_count_distinct(col("user_id")).as("a"))
+      .head()
+      .getLong(0)
+      .toDouble
+    val exact = ev.select("user_id").distinct().count().toDouble
+    assert(math.abs(approx - exact) / exact <= 0.1, s"HLL estimate $approx vs $exact")
+
+    val q = ev
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("m"))
+      .head()
+      .getDouble(0)
+    val sorted = ev.select("value").orderBy("value").collect().map(_.getDouble(0))
+    val exactMedian = sorted(sorted.length / 2)
+    assert(math.abs(q - exactMedian) <= math.abs(exactMedian) * 0.05 + 1e-6)
+  }
+
   test("near-dup pairs via embedding cosine finds planted duplicate") {
     val s = spark
     import s.implicits._
