@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProductFloat
+
+/** Spark-standard extension entry point: inject the engine's custom Catalyst
+  * pieces at session build time —
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * Currently registers the codegen'd `graft_dot` vector kernel (see
+  * [[graft.functions.DotProductFloat]]); [[graft.functions.VectorExpressions.install]]
+  * is the imperative equivalent for an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_dot(a, b) takes exactly 2 arguments")
+          DotProductFloat(children.head, children(1))
+        }
+      )
+    )
+  }
+}

@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // inject custom Catalyst pieces (graft_dot) the Spark-standard way
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(
+        "spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"
+      )
       .config("spark.ui.enabled", "false")
 
   /** Apply the engine-standard runtime confs to an externally-created session

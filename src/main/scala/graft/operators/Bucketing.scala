@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed co-located joins — the zero-shuffle join layout for repeated
+  * fact-fact joins at scale.
+  *
+  * `coBucket` writes both sides bucketed (and sorted) by the join key into
+  * the session catalog; a subsequent equi-join on that key requires no
+  * Exchange on either side (asserted in PlanQualitySpec): at 100 TB this
+  * converts every recurring orders⋈lineitem-style join from a full two-sided
+  * shuffle into a local per-bucket sort-merge. Bucket count should match the
+  * target parallelism (one task per bucket pair).
+  */
+object Bucketing {
+
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Bucket both join sides on the key; returns the co-located frames. */
+  def coBucket(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      leftTable: String,
+      rightTable: String,
+      leftKey: String,
+      rightKey: String,
+      numBuckets: Int
+  ): (DataFrame, DataFrame) = {
+    writeBucketed(left, leftTable, leftKey, numBuckets)
+    writeBucketed(right, rightTable, rightKey, numBuckets)
+    (spark.table(leftTable), spark.table(rightTable))
+  }
+}

@@ -121,6 +121,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("salted join returns exactly the plain join's rows under skew") {
+    val s = spark
+    import s.implicits._
+    // heavily skewed probe: 90% of rows share key 1
+    val probe = ((1 to 900).map(i => (1L, s"p$i")) ++ (1 to 100).map(i => (i.toLong + 1, s"q$i")))
+      .toDF("pk", "pv")
+    val build = (1L to 101L).map(k => (k, s"b$k")).toDF("bk", "bv")
+    val plain = probe
+      .join(build, $"pk" === $"bk")
+      .select("pk", "pv", "bv")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val salted = graft.operators.SkewJoin
+      .saltedEquiJoin(probe, build, "pk", "bk", salt = 8)
+      .select("pk", "pv", "bv")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(salted == plain)
+    assert(plain.size == 1000)
+  }
+
   test("as-of join attaches the latest preceding right row per key") {
     val s = spark
     import s.implicits._

@@ -87,6 +87,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")), plan)
   }
 
+  test("co-bucketed join plans with no shuffle exchange") {
+    withoutAqe {
+      def cleanup(): Unit = Seq("b_orders", "b_lineitem").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+        if (loc.exists()) org.apache.commons.io.FileUtils.deleteQuietly(loc)
+      }
+      cleanup()
+      // force the sort-merge path: with broadcast allowed the planner skips
+      // bucketing entirely on these tiny tables
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+        val lineitem = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+        val (bo, bl) = graft.operators.Bucketing.coBucket(
+          spark, orders, lineitem,
+          "b_orders", "b_lineitem", "o_orderkey", "l_orderkey", 8
+        )
+        val joined = bo.join(bl, col("o_orderkey") === col("l_orderkey"))
+        val plan = executedPlan(joined)
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"), plan)
+        assert(joined.count() > 0)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        cleanup()
+      }
+    }
+  }
+
+  test("session extensions register graft_dot via spark.sql.extensions") {
+    // the shared session is built with spark.sql.extensions=graft.GraftExtensions
+    assert(spark.conf.get("spark.sql.extensions") == "graft.GraftExtensions")
+    assert(
+      spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))
+    )
+  }
+
   test("point query on fragments prunes to a single partition directory") {
     withTempDir { root => withoutAqe {
       val e = new FragmentEngine(spark, root)
