@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Second relational battery: multi-dimensional aggregation (rollup/cube),
+  * set operators (intersect/except), running and offset window functions,
+  * scalar subqueries, sessionization, and pivot — rounding out the "a user
+  * of the reference could run every query they run today, and the ones
+  * they'd want tomorrow" claim. All DuckDB-oracled.
+  */
+object AnalyticsQueries {
+
+  val entries: Seq[QEntry] = Seq(
+    // ROLLUP: hierarchical subtotals in one pass (Expand + partial agg —
+    // the shuffle still carries only group rows).
+    QEntry.sql(
+      "q_rollup_revenue",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("revenue"))
+    },
+
+    // CUBE: all grouping-set combinations.
+    QEntry.sql(
+      "q_cube_order_counts",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // INTERSECT (distinct set semantics).
+    QEntry.sql(
+      "q_intersect_keys",
+      """SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 49
+        |INTERSECT
+        |SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 300000"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey").as("k"))
+        .intersect(
+          orders(s, d).filter(col("o_totalprice") > 300000).select(col("o_orderkey").as("k"))
+        )
+    },
+
+    // EXCEPT (distinct set difference).
+    QEntry.sql(
+      "q_except_keys",
+      """SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000
+        |EXCEPT
+        |SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 30"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("k"))
+        .except(
+          lineitem(s, d).filter(col("l_quantity") >= 30).select(col("l_orderkey").as("k"))
+        )
+    },
+
+    // Running aggregate window (per-customer cumulative spend in date order).
+    QEntry.sql(
+      "q_window_running_spend",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d).select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend")
+      )
+    },
+
+    // Offset window function (lag): price delta vs the customer's previous
+    // order.
+    QEntry.sql(
+      "q_window_lag_delta",
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+        |FROM orders""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      orders(s, d).select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(col("o_totalprice") - lag(col("o_totalprice"), 1, 0.0).over(w), 2).as("delta")
+      )
+    },
+
+    // Scalar subquery: orders above the global average price.
+    QEntry.sql(
+      "q_scalar_subquery",
+      """SELECT count(*) AS cnt FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d)
+      val avgPrice = o.agg(avg("o_totalprice").as("ap"))
+      o.join(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("ap"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // Sessionization: 30-minute-gap sessions per user (lag + conditional
+    // cumulative sum — the batch twin of stateful streaming sessionization).
+    QEntry.sql(
+      "q_sessionize_users",
+      """SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions, count(*) AS events
+        |FROM (
+        |  SELECT user_id, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 0
+        |           WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |             PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
+        |           ELSE 0 END AS new_session
+        |    FROM events) g) s
+        |GROUP BY user_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn(
+          "new_session",
+          when(col("prev_ts").isNull, 0)
+            .when(
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+              1
+            )
+            .otherwise(0)
+        )
+        .withColumn("session_id", sum("new_session").over(running))
+        .groupBy("user_id")
+        .agg(
+          (max("session_id") + 1).cast("bigint").as("n_sessions"),
+          count(lit(1)).as("events")
+        )
+    },
+
+    // Pivot (explicit value list), expressed as conditional aggregation in
+    // the oracle — identical results, portable SQL.
+    QEntry.sql(
+      "q_pivot_event_counts",
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase
+        |FROM events GROUP BY user_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+    }
+  )
+}
