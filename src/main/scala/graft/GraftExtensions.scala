@@ -21,6 +21,8 @@ import graft.functions.DotProductFloat
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // engine-knowledge pruning: rating predicates imply fragment predicates
+    ext.injectOptimizerRule(_ => graft.plans.DeriveFragmentPruning())
     ext.injectFunction(
       (
         FunctionIdentifier("graft_dot"),

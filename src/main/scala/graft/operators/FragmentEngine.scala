@@ -247,6 +247,22 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
   private def readFragments(dataset: String): DataFrame =
     spark.read.parquet(catalog.tablePath(dataset))
 
+  /** The range-fragmented dataset for ad-hoc querying. Publishes the bucket
+    * metadata to the session conf so [[graft.plans.DeriveFragmentPruning]]
+    * can turn any `rating` predicate into fragment-partition pruning — the
+    * caller gets selectMode-equivalent pruning from a plain
+    * `.filter($"rating" ...)`, no engine API needed.
+    */
+  def rangeFragments(): DataFrame = {
+    catalog.readRangeMeta().foreach { m =>
+      spark.conf.set(
+        graft.plans.DeriveFragmentPruning.MetaKey,
+        s"${m.totalPartitions},${m.minValue},${m.maxValue}"
+      )
+    }
+    readFragments(RangeDataset)
+  }
+
   /** Range query `[qmin, qmax]` (inclusive both ends) as a DataFrame with
     * columns `(tablename, userid, movieid, rating)` — range-fragment section
     * first (pruned to overlapping fragments, globally ascending by rating,

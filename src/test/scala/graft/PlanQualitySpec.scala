@@ -148,6 +148,39 @@ class PlanQualitySpec extends SparkSpec {
     } }
   }
 
+  test("optimizer rule derives fragment pruning from plain rating filters") {
+    withTempDir { root => withoutAqe {
+      val e = new FragmentEngine(spark, root)
+      e.loadRatings("ratings", "/root/reference/test_data1.txt")
+      e.rangePartition("ratings", 5)
+      try {
+        // NO engine query API, no manual part predicate — just a filter
+        val adHoc = e.rangeFragments().filter(col("rating") >= 1.5 && col("rating") <= 3.5)
+        val scanned = finalPlan(adHoc)
+          .collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.selectedPartitions.partitionCount
+          }
+          .headOption
+        assert(scanned.contains(3), s"expected 3 partitions via derived pruning, got $scanned")
+        // equality filter prunes to one fragment
+        val point = e.rangeFragments().filter(col("rating") === 4.5)
+        val scanned1 = finalPlan(point)
+          .collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.selectedPartitions.partitionCount
+          }
+          .headOption
+        assert(scanned1.contains(1), s"expected 1 partition via derived pruning, got $scanned1")
+        // and results are identical to the unpruned scan
+        val expected = spark.read.parquet(s"$root/range_ratings")
+          .filter(col("rating") >= 1.5 && col("rating") <= 3.5)
+          .agg(count(lit(1))).head().getLong(0)
+        assert(adHoc.count() == expected)
+      } finally spark.conf.unset(graft.plans.DeriveFragmentPruning.MetaKey)
+    } }
+  }
+
   test("range query scans only overlapping fragments") {
     withTempDir { root => withoutAqe {
       val e = new FragmentEngine(spark, root)
