@@ -84,9 +84,46 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: md5 of the casefolded, punctuation-collapsed text.
-    * (Content-defined rolling-hash winnowing lives in Dedup.simhash / minhash;
+    * (Content-defined winnowing fingerprints live in [[winnowFingerprints]];
     * this is the exact-normalized-dup key.)
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** BPE-ish regex tokenizer (GPT-2-style shape, ASCII-simplified so the
+    * same pattern runs identically under Java regex and DuckDB's RE2):
+    * contractions, letter runs with optional leading space, digit runs,
+    * punctuation runs.
+    */
+  val BpePattern = "'[a-z]+|[a-zA-Z]+| ?[0-9]+|[^a-zA-Z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Winnowing fingerprints (Schleimer et al.): char k-gram rolling hashes,
+    * minimum per sliding window of `w` hashes, distinct survivors. The
+    * guarantee: any shared substring of length k+w-1 between two docs yields
+    * at least one shared fingerprint — the standard plagiarism/near-dup
+    * sketch. `hashes` must be a materialized attribute column of k-gram
+    * hashes (see the CSE note on [[graft.operators.Dedup.shinglesFromWords]]).
+    */
+  def kgramHashes(text: Column, k: Int = 8): Column =
+    when(
+      length(text) >= k,
+      transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => md5(text.substr(i, lit(k))).substr(lit(1), lit(8))
+      )
+    ).otherwise(array().cast("array<string>"))
+
+  def winnowFingerprints(hashes: Column, w: Int = 4): Column =
+    when(
+      size(hashes) >= w,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(hashes) - (w - 1)),
+          i => array_min(slice(hashes, i, lit(w)))
+        )
+      )
+    ).otherwise(array().cast("array<string>")) // < w grams → no full window, no fingerprints
 }

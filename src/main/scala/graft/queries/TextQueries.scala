@@ -85,6 +85,41 @@ object TextQueries {
         |FROM documents""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       documents(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    },
+
+    // BPE-ish regex token counting (second tokenizer — same pattern semantics
+    // under Java regex and RE2).
+    QEntry.sql(
+      "txt_bpe_tokens",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '''[a-z]+|[a-zA-Z]+| ?[0-9]+|[^a-zA-Z0-9 ]+')) AS bpe_tokens
+        |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d).select(col("doc_id"), size(bpeTokens(col("text"))).as("bpe_tokens"))
+    },
+
+    // Winnowing fingerprints: char-8-gram rolling hashes, min per window of
+    // 4, distinct survivors — the classic near-dup/plagiarism sketch.
+    QEntry.sql(
+      "txt_winnow_fp",
+      """SELECT doc_id, len(fp) AS n_fp,
+        |  list_aggregate(fp, 'min') AS min_fp, list_aggregate(fp, 'max') AS max_fp
+        |FROM (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 7, 0) + 1 - 3),
+        |    i -> list_aggregate(list_transform(range(0, 4),
+        |           j -> substr(md5(substr(text, CAST(i + j AS INT), 8)), 1, 8)), 'min'))) AS fp
+        |  FROM documents) t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), kgramHashes(col("text")).as("_h"))
+        .select(col("doc_id"), winnowFingerprints(col("_h")).as("fp"))
+        .select(
+          col("doc_id"),
+          size(col("fp")).as("n_fp"),
+          array_min(col("fp")).as("min_fp"),
+          array_max(col("fp")).as("max_fp")
+        )
     }
   )
 }

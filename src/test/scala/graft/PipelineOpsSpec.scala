@@ -74,6 +74,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((1L, 4L)) == 0.125)
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint; bpe tokenizer splits punctuation") {
+    val s = spark
+    import s.implicits._
+    val shared = "the entire shared passage stays identical here"
+    val df = Seq(
+      (1L, s"AAAA prefix one $shared suffix alpha"),
+      (2L, s"ZZZZ completely different lead-in $shared and tail"),
+      (3L, "nothing in common with the others at all, honestly")
+    ).toDF("doc_id", "text")
+    val fps = df
+      .select($"doc_id", TextAnalysis.kgramHashes($"text").as("_h"))
+      .select($"doc_id", TextAnalysis.winnowFingerprints($"_h").as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .toMap
+    // guarantee: shared substring of length >= k+w-1 (11) ⇒ shared fingerprint
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    // distinct docs still distinguishable
+    assert(fps(1L) != fps(3L))
+
+    val bpe = df
+      .select(size(TextAnalysis.bpeTokens(lit("don't split, just count: 42 tokens!"))).as("n"))
+      .head()
+      .getInt(0)
+    // don|'t|split|,|just|count|:|42|tokens|! → 10
+    assert(bpe == 10)
+  }
+
   test("language id picks the language with most marker hits") {
     val df = docs(
       1L -> "the cat sat on the mat and the dog",
