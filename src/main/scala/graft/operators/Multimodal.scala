@@ -36,6 +36,28 @@ object Multimodal {
       n_frames: Int
   )
 
+  /** Read a directory of raw media files via Spark's `binaryFile` source —
+    * the real on-ramp for image/audio/video blobs (each file becomes a row
+    * with path/length/content; executors read the bytes, nothing passes
+    * through the driver). Modality is inferred from the file extension.
+    */
+  def readMediaDir(spark: SparkSession, dir: String): DataFrame = {
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    spark.read
+      .format("binaryFile")
+      .load(dir)
+      .select(
+        col("path"),
+        when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), "image")
+          .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+          .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+          .otherwise("binary")
+          .as("modality"),
+        col("length").as("bytes"),
+        col("content").as("payload")
+      )
+  }
+
   /** Build a media table from the documents corpus: UTF-8 payload bytes,
     * modality assigned round-robin. Binary columns are first-class — at scale
     * this is the parquet-backed blob-lake layout.

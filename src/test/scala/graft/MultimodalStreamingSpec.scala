@@ -50,6 +50,48 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Array(0, 1, 2)))
   }
 
+  test("binaryFile source reads a media directory with inferred modality") {
+    val dir = Files.createTempDirectory("graft-media")
+    Files.write(dir.resolve("a.png"), Array[Byte](0x50, 0x4E, 0x47, 0x21))
+    Files.write(dir.resolve("b.wav"), Array[Byte](0x52, 0x49, 0x46, 0x46, 0x00))
+    Files.write(dir.resolve("c.bin"), Array[Byte](1, 2, 3))
+    val media = Multimodal.readMediaDir(spark, dir.toString)
+    val rows = media.collect().map(r => (r.getAs[String]("modality"), r.getAs[Long]("bytes"))).toSet
+    assert(rows == Set(("image", 4L), ("audio", 5L), ("binary", 3L)))
+    assert(media.schema("payload").dataType.typeName == "binary")
+  }
+
+  test("streaming file source: windowed counts over the events table via availableNow") {
+    val s = spark
+    import s.implicits._
+    val batchDf = Tables.events(spark, "/root/testdata/sf0.001")
+    // FileStreamSource wants a directory of files — stage the single parquet
+    val streamDir = Files.createTempDirectory("graft-events-stream")
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("events.parquet")
+    )
+    val stream = spark.readStream
+      .schema(Tables.table(spark, "/root/testdata/sf0.001", "events").schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingOps
+      .hourlyEventCounts(stream, watermark = "10 days")
+      .writeStream
+      .format("memory")
+      .queryName("file_stream_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("file_stream_out").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = StreamingOps.hourlyEventCounts(batchDf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val s = spark
     import s.implicits._
