@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Fragmentation
+
+/** Property tests (seeded sampling — the scalatest/scalacheck bridge isn't in
+  * the offline cache) for the generalized fragmentation expressions: the
+  * fragmentation correctness triple (totality → completeness, determinism +
+  * single assignment → disjointness; together → reconstruction) plus
+  * interval-membership of the closed-form range rule.
+  *
+  * Expressions are evaluated in one batch per property (a single local
+  * collect), not per sample — keeps the suite fast.
+  */
+class FragmentationPropsSpec extends SparkSpec {
+  private val rnd = new scala.util.Random(4242)
+
+  private def domains(k: Int): Seq[(Double, Double, Int)] =
+    Seq.fill(k) {
+      val lo = rnd.nextDouble() * 2000 - 1000
+      val span = 0.5 + rnd.nextDouble() * 2000
+      (lo, lo + span, 1 + rnd.nextInt(32))
+    }
+
+  test("rangeBucket: every in-domain value maps to exactly one bucket whose interval contains it") {
+    for ((min, max, n) <- domains(60)) {
+      val vs = Seq(min, max, (min + max) / 2) ++
+        Seq.fill(20)(min + rnd.nextDouble() * (max - min))
+      val width = (max - min) / n
+      val cols = vs.zipWithIndex.map { case (v, i) =>
+        Fragmentation.rangeBucket(lit(v), n, min, max).as(s"b$i")
+      }
+      val row = spark.range(1).select(cols: _*).head()
+      vs.zipWithIndex.foreach { case (v, i) =>
+        assert(!row.isNullAt(i), s"in-domain $v got null (n=$n, [$min,$max])")
+        val b = row.getInt(i)
+        assert(b >= 0 && b < n, s"v=$v bucket out of range: $b")
+        assert(v >= min + b * width - 1e-9 * math.max(1, math.abs(max)))
+        assert(
+          b == n - 1 || v <= min + (b + 1) * width + 1e-9 * math.max(1, math.abs(max)),
+          s"v=$v above bucket $b upper bound (n=$n, [$min,$max])"
+        )
+      }
+    }
+  }
+
+  test("rangeBucket: out-of-domain values map to null") {
+    for ((min, max, n) <- domains(30)) {
+      val cols = Seq(min - 1.0, max + 1.0).zipWithIndex.map { case (v, i) =>
+        Fragmentation.rangeBucket(lit(v), n, min, max).as(s"b$i")
+      }
+      val row = spark.range(1).select(cols: _*).head()
+      assert(row.isNullAt(0) && row.isNullAt(1), s"out-of-domain value bucketed (n=$n)")
+    }
+  }
+
+  test("hashBucket: total, in [0, n), deterministic, and reasonably uniform") {
+    val keys = Seq.fill(400)(rnd.nextLong())
+    val n = 8
+    val cols = keys.zipWithIndex.map { case (k, i) =>
+      Fragmentation.hashBucket(lit(k), n).as(s"b$i")
+    }
+    val row1 = spark.range(1).select(cols: _*).head()
+    val row2 = spark.range(1).select(cols: _*).head()
+    val buckets = keys.indices.map(row1.getInt)
+    assert(buckets.forall(b => b >= 0 && b < n))
+    assert(buckets == keys.indices.map(row2.getInt), "hashBucket not deterministic")
+    val counts = buckets.groupBy(identity).view.mapValues(_.size)
+    // 400 keys over 8 buckets: expect ~50 each; loose 3-sigma-ish bound
+    assert(counts.values.forall(c => c > 20 && c < 90), s"skewed: ${counts.toMap}")
+  }
+}
