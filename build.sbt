@@ -14,6 +14,9 @@ Test / fork := true
 // must not interleave (a stop() in one would kill another's SparkContext).
 Test / parallelExecution := false
 run / fork := true
+// Stream the forked main's stdout directly (no "[info] " logger prefix) so
+// the driver can parse Bench's single JSON output line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
