@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Similarity}
 
 /** Training-data pipeline inventory: deduplication (exact, MinHash+LSH,
@@ -158,6 +159,48 @@ object PipelineQueries {
     QEntry.rowsOnly("ann_ivf_topk") { (s, d) =>
       val emb = embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    },
+
+    // End-to-end training-data curation pipeline in ONE declarative plan:
+    // quality-score filter → language filter → exact dedup keep-first →
+    // per-source rollup. The point: composition stays a single Catalyst plan
+    // (filters fuse into the scan, dedup is one shuffle) — no materialization
+    // between stages.
+    QEntry.sql(
+      "pipe_curation_rollup", {
+        val wordsSql = """string_split_regex(trim(text), '\s+')"""
+        val swList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val tokens = s"len($wordsSql)"
+        val sw = s"len(list_filter($wordsSql, w -> list_contains($swList, w)))"
+        val punct = """(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"""
+        val qual =
+          s"""round(least(1.0, CAST($tokens AS DOUBLE) / 100.0) * 0.5
+             | + (CAST($sw AS DOUBLE) / $tokens) * 0.3
+             | + (1.0 - CAST($punct AS DOUBLE) / length(text)) * 0.2, 4)""".stripMargin
+        s"""WITH scored AS (
+           |  SELECT doc_id, source, text, $qual AS q FROM documents),
+           |filtered AS (SELECT * FROM scored WHERE q >= 0.5),
+           |keepers AS (SELECT min(doc_id) AS keep_id FROM filtered GROUP BY md5(text))
+           |SELECT f.source, count(*) AS docs, round(avg(f.q), 4) AS avg_quality
+           |FROM filtered f JOIN keepers k ON f.doc_id = k.keep_id
+           |GROUP BY f.source""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val scored = documents(s, d)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("text"),
+          TextAnalysis.qualityScore(col("text")).as("q")
+        )
+        .filter(col("q") >= 0.5)
+      val keepers = Dedup
+        .exactDedup(scored, "doc_id", "text")
+        .select(col("keep_id"))
+      scored
+        .join(keepers, scored("doc_id") === keepers("keep_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), round(avg("q"), 4).as("avg_quality"))
     }
   )
 }
