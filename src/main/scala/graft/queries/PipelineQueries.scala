@@ -134,13 +134,9 @@ object PipelineQueries {
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val emb = embeddings(s, d)
-      Similarity.bruteForceTopK(
-        emb,
-        emb.filter(col("vec_id") < 5),
-        "vec_id",
-        "embedding",
-        10
-      )
+      Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .withColumn("rank", col("rank").cast("bigint")) // match oracle's BIGINT row_number
     },
 
     // LSH bucket assignment (engine-internal hyperplane hash → rows-only).

@@ -288,7 +288,7 @@ object RelationalQueries {
     QEntry.sql(
       "q_events_json_extract",
       """SELECT event_type,
-        |  sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS cnt
         |FROM events GROUP BY event_type"""
         .stripMargin.replaceAll("\\s+", " ")

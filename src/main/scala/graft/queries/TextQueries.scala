@@ -38,8 +38,8 @@ object TextQueries {
     ) { (s, d) =>
       documents(s, d).select(
         col("doc_id"),
-        charCount(col("text")).as("chars"),
-        tokenCount(col("text")).as("tokens"),
+        charCount(col("text")).cast("bigint").as("chars"),
+        tokenCount(col("text")).cast("bigint").as("tokens"),
         punctRatio(col("text")).as("punct_ratio"),
         stopwordRatio(col("text")).as("stopword_ratio")
       )
@@ -95,7 +95,8 @@ object TextQueries {
         |  len(regexp_extract_all(text, '''[a-z]+|[a-zA-Z]+| ?[0-9]+|[^a-zA-Z0-9 ]+')) AS bpe_tokens
         |FROM documents""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
-      documents(s, d).select(col("doc_id"), size(bpeTokens(col("text"))).as("bpe_tokens"))
+      documents(s, d)
+        .select(col("doc_id"), size(bpeTokens(col("text"))).cast("bigint").as("bpe_tokens"))
     },
 
     // Winnowing fingerprints: char-8-gram rolling hashes, min per window of
@@ -116,7 +117,7 @@ object TextQueries {
         .select(col("doc_id"), winnowFingerprints(col("_h")).as("fp"))
         .select(
           col("doc_id"),
-          size(col("fp")).as("n_fp"),
+          size(col("fp")).cast("bigint").as("n_fp"),
           array_min(col("fp")).as("min_fp"),
           array_max(col("fp")).as("max_fp")
         )
