@@ -255,10 +255,8 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     */
   def rangeFragments(): DataFrame = {
     catalog.readRangeMeta().foreach { m =>
-      spark.conf.set(
-        graft.plans.DeriveFragmentPruning.MetaKey,
-        s"${m.totalPartitions},${m.minValue},${m.maxValue}"
-      )
+      graft.plans.DeriveFragmentPruning
+        .publish(spark, "ref", "rating", m.totalPartitions, m.minValue, m.maxValue)
     }
     readFragments(RangeDataset)
   }

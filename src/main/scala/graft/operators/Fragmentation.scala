@@ -46,6 +46,29 @@ object Fragmentation {
     (df.withColumn(partCol, rangeBucket(col(valueCol), n, lo, hi)), (lo, hi))
   }
 
+  /** Range-fragment on a data-derived domain, write as a Hive-partitioned
+    * dataset, and publish the bucket metadata so
+    * [[graft.plans.DeriveFragmentPruning]] prunes fragment directories for
+    * any ad-hoc filter on the value column. Returns the re-opened dataset.
+    */
+  def writeRangeFragmentedAuto(
+      df: DataFrame,
+      valueCol: String,
+      n: Int,
+      path: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val (fragged, (lo, hi)) = rangeFragmentAuto(df, valueCol, n)
+    fragged
+      .filter(col("part").isNotNull)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("part")
+      .parquet(path)
+    graft.plans.DeriveFragmentPruning.publish(spark, "closed", valueCol, n, lo, hi)
+    spark.read.parquet(path)
+  }
+
   /** Hash fragment: md5-derived bucket (engine-portable, verified against the
     * DuckDB oracle — Spark's internal `hash()` is not cross-engine). The
     * first 8 md5 hex digits as an integer mod n: uniform, deterministic,

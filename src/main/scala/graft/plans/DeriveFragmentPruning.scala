@@ -7,25 +7,28 @@ import org.apache.spark.sql.internal.SQLConf
 
 import graft.RangeBuckets
 
-/** Optimizer rule: derive fragment-partition predicates from rating
+/** Optimizer rule: derive fragment-partition predicates from value-column
   * predicates — the one piece of engine knowledge Catalyst cannot infer
-  * itself, because `part = bucket(rating)` is a graft invariant, not a
+  * itself, because `part = bucket(value)` is a graft invariant, not a
   * catalog fact.
   *
-  * When a Filter over a fragment dataset (output has both `rating` and the
-  * `part` partition column) constrains `rating`, we conjoin the implied
-  * `part IN (overlapping buckets)` predicate; Spark's stock
-  * PruneFileSourcePartitions then turns it into FileIndex partition pruning,
-  * so pruned fragment directories are never listed or read. This gives any
-  * ad-hoc DataFrame/SQL query over the fragmented dataset the same pruning
-  * the engine's own rangeQuery/pointQuery do by hand (asserted equivalent in
-  * PlanQualitySpec).
+  * When a Filter over a fragment dataset (output has both the fragmented
+  * value column and the `part` partition column) constrains the value, we
+  * conjoin the implied `part IN (overlapping buckets)` predicate; Spark's
+  * stock PruneFileSourcePartitions then turns it into FileIndex partition
+  * pruning, so pruned fragment directories are never listed or read. This
+  * gives any ad-hoc DataFrame/SQL query over a fragmented dataset the same
+  * pruning the engine's own rangeQuery/pointQuery do by hand (asserted
+  * equivalent in PlanQualitySpec).
   *
   * Bucket metadata travels via the session conf key `spark.graft.range.meta`
-  * (= "n,min,max"), set by FragmentEngine when a range fragmentation is
-  * created or opened. Registered through
-  * [[graft.GraftExtensions]].injectOptimizerRule — the standard
-  * SparkSessionExtensions path.
+  * = `style,column,n,min,max`, published by [[graft.operators.FragmentEngine]]
+  * (`style=ref`: the reference's accumulated-bound boundary rule) and
+  * [[graft.operators.Fragmentation]] (`style=closed`: closed-form width
+  * buckets). Overlap is computed with the SAME arithmetic as the matching
+  * assignment expression, so pruning can never disagree with assignment at a
+  * float boundary. Registered through [[graft.GraftExtensions]]
+  * .injectOptimizerRule — the standard SparkSessionExtensions path.
   */
 case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
 
@@ -34,24 +37,33 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
       try SQLConf.get.getConfString(DeriveFragmentPruning.MetaKey, "")
       catch { case _: Throwable => "" }
     if (metaStr.isEmpty) return plan
-    val buckets = metaStr.split(",") match {
-      case Array(n, mn, mx) => RangeBuckets(n.toInt, mn.toDouble, mx.toDouble)
-      case _                => return plan
+    val (style, valueCol, n, mn, mx) = metaStr.split(",") match {
+      case Array(s, c, n0, mn0, mx0) => (s, c, n0.toInt, mn0.toDouble, mx0.toDouble)
+      case _                         => return plan
     }
     plan.transform {
       case f @ Filter(cond, child)
           if child.output.exists(_.name == "part") &&
-            child.output.exists(_.name == "rating") &&
+            child.output.exists(_.name == valueCol) &&
             !cond.references.exists(_.name == "part") =>
-        ratingBounds(cond) match {
+        valueBounds(cond, valueCol) match {
           case Some((lo, hi)) =>
             // clamp to the fragmented domain: stored rows are always within
             // [min, max], so an out-of-domain query range selects no buckets
-            val clampedLo = math.max(lo, buckets.min)
-            val clampedHi = math.min(hi, buckets.max)
-            val parts =
+            val clampedLo = math.max(lo, mn)
+            val clampedHi = math.min(hi, mx)
+            val parts: Seq[Int] =
               if (clampedLo > clampedHi) Seq.empty
-              else buckets.bucketsOverlapping(clampedLo, clampedHi)
+              else if (style == "ref")
+                RangeBuckets(n, mn, mx).bucketsOverlapping(clampedLo, clampedHi)
+              else {
+                // closed-form width rule — identical arithmetic to
+                // Fragmentation.rangeBucket, so overlap == assignment
+                val width = (mx - mn) / n
+                val b0 = math.min(math.floor((clampedLo - mn) / width).toInt, n - 1)
+                val b1 = math.min(math.floor((clampedHi - mn) / width).toInt, n - 1)
+                b0 to b1
+              }
             val partAttr = child.output.find(_.name == "part").get
             val partPred: Expression =
               if (parts.isEmpty) Literal.FalseLiteral
@@ -62,12 +74,12 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
     }
   }
 
-  /** Extract a conservative [lo, hi] interval implied for `rating` by the
-    * conjunctive predicate; None if rating is unconstrained (or only
-    * constrained under OR/NOT, where deriving bounds would be unsound
-    * without interval union logic).
+  /** Extract a conservative [lo, hi] interval implied for the value column by
+    * the conjunctive predicate; None if unconstrained (or only constrained
+    * under OR/NOT, where deriving bounds would be unsound without interval
+    * union logic).
     */
-  private def ratingBounds(e: Expression): Option[(Double, Double)] = {
+  private def valueBounds(e: Expression, name: String): Option[(Double, Double)] = {
     var lo = Double.NegativeInfinity
     var hi = Double.PositiveInfinity
     var found = false
@@ -75,34 +87,34 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
       case n: Number => Some(n.doubleValue())
       case _         => None
     }
-    def isRating(x: Expression): Boolean = x match {
-      case a: Attribute => a.name == "rating"
+    def isTarget(x: Expression): Boolean = x match {
+      case a: Attribute => a.name == name
       case _            => false
     }
     def walk(x: Expression): Unit = x match {
       case And(l, r) => walk(l); walk(r)
-      case GreaterThanOrEqual(a, lit: Literal) if isRating(a) =>
+      case GreaterThanOrEqual(a, lit: Literal) if isTarget(a) =>
         num(lit).foreach { v => lo = math.max(lo, v); found = true }
-      case GreaterThan(a, lit: Literal) if isRating(a) =>
+      case GreaterThan(a, lit: Literal) if isTarget(a) =>
         num(lit).foreach { v => lo = math.max(lo, v); found = true }
-      case LessThanOrEqual(a, lit: Literal) if isRating(a) =>
+      case LessThanOrEqual(a, lit: Literal) if isTarget(a) =>
         num(lit).foreach { v => hi = math.min(hi, v); found = true }
-      case LessThan(a, lit: Literal) if isRating(a) =>
+      case LessThan(a, lit: Literal) if isTarget(a) =>
         num(lit).foreach { v => hi = math.min(hi, v); found = true }
-      case EqualTo(a, lit: Literal) if isRating(a) =>
+      case EqualTo(a, lit: Literal) if isTarget(a) =>
         num(lit).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v); found = true }
       // mirrored literal-first forms
-      case GreaterThanOrEqual(lit: Literal, a) if isRating(a) =>
+      case GreaterThanOrEqual(lit: Literal, a) if isTarget(a) =>
         num(lit).foreach { v => hi = math.min(hi, v); found = true }
-      case GreaterThan(lit: Literal, a) if isRating(a) =>
+      case GreaterThan(lit: Literal, a) if isTarget(a) =>
         num(lit).foreach { v => hi = math.min(hi, v); found = true }
-      case LessThanOrEqual(lit: Literal, a) if isRating(a) =>
+      case LessThanOrEqual(lit: Literal, a) if isTarget(a) =>
         num(lit).foreach { v => lo = math.max(lo, v); found = true }
-      case LessThan(lit: Literal, a) if isRating(a) =>
+      case LessThan(lit: Literal, a) if isTarget(a) =>
         num(lit).foreach { v => lo = math.max(lo, v); found = true }
-      case EqualTo(lit: Literal, a) if isRating(a) =>
+      case EqualTo(lit: Literal, a) if isTarget(a) =>
         num(lit).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v); found = true }
-      case _ => () // other conjuncts don't constrain rating; OR/NOT ignored
+      case _ => () // other conjuncts don't constrain the column; OR/NOT ignored
     }
     walk(e)
     if (found) Some((lo, hi)) else None
@@ -111,4 +123,15 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
 
 object DeriveFragmentPruning {
   val MetaKey = "spark.graft.range.meta"
+
+  /** Publish bucket metadata for [[DeriveFragmentPruning]]. */
+  def publish(
+      spark: org.apache.spark.sql.SparkSession,
+      style: String,
+      valueCol: String,
+      n: Int,
+      min: Double,
+      max: Double
+  ): Unit =
+    spark.conf.set(MetaKey, s"$style,$valueCol,$n,$min,$max")
 }

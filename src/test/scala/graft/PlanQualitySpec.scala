@@ -181,6 +181,33 @@ class PlanQualitySpec extends SparkSpec {
     } }
   }
 
+  test("generic fragmented dataset prunes via the closed-form rule metadata") {
+    withTempDir { root => withoutAqe {
+      try {
+        val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+        // l_quantity domain is [1, 50]; n=10 → width 4.9
+        val ds = graft.operators.Fragmentation
+          .writeRangeFragmentedAuto(li, "l_quantity", 10, s"$root/li_frag")
+        val q = ds.filter(col("l_quantity") >= 12.5 && col("l_quantity") <= 28.5)
+        val scanned = finalPlan(q)
+          .collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.selectedPartitions.partitionCount
+          }
+          .headOption
+        // buckets floor((12.5-1)/4.9)=2 .. floor((28.5-1)/4.9)=5 → 4 of 10
+        assert(scanned.contains(4), s"expected 4 partitions, got $scanned")
+        val prunedCount = q.count()
+        // pruning never drops rows: recount with the rule disabled
+        spark.conf.unset(graft.plans.DeriveFragmentPruning.MetaKey)
+        val expected = spark.read.parquet(s"$root/li_frag")
+          .filter(col("l_quantity") >= 12.5 && col("l_quantity") <= 28.5)
+          .count()
+        assert(prunedCount == expected)
+      } finally spark.conf.unset(graft.plans.DeriveFragmentPruning.MetaKey)
+    } }
+  }
+
   test("range query scans only overlapping fragments") {
     withTempDir { root => withoutAqe {
       val e = new FragmentEngine(spark, root)
