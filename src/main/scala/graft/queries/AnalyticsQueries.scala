@@ -162,6 +162,74 @@ object AnalyticsQueries {
         )
     },
 
+    // Scalar-function batteries: string, math, and date functions with
+    // engine-identical semantics (math outputs rounded — libm last-ulp
+    // differences between the JVM and DuckDB's C++ are below 1e-6 here).
+    QEntry.sql(
+      "q_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        |  substr(p_name, 1, 8) AS name8,
+        |  replace(p_type, ' ', '_') AS type_us,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  concat(p_brand, ':', p_type) AS brand_type,
+        |  length(p_name) AS name_len
+        |FROM part""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("bigint").as("name_len")
+      )
+    },
+    QEntry.sql(
+      "q_math_funcs",
+      """SELECT p_partkey,
+        |  abs(p_retailprice - 1000.0) AS abs_delta,
+        |  CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS price_ceil,
+        |  CAST(floor(p_retailprice / 100.0) AS BIGINT) AS price_floor,
+        |  round(sqrt(p_retailprice), 6) AS price_sqrt,
+        |  round(ln(p_retailprice), 6) AS price_ln,
+        |  CAST(p_size % 7 AS INT) AS size_mod
+        |FROM part""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        abs(col("p_retailprice") - 1000.0).as("abs_delta"),
+        ceil(col("p_retailprice") / 100.0).cast("bigint").as("price_ceil"),
+        floor(col("p_retailprice") / 100.0).cast("bigint").as("price_floor"),
+        round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+        round(log(col("p_retailprice")), 6).as("price_ln"),
+        (col("p_size") % 7).cast("int").as("size_mod")
+      )
+    },
+    QEntry.sql(
+      "q_date_funcs",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+        |FROM orders""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("ym"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("bigint")
+          .as("days_since")
+      )
+    },
+
     // Pivot (explicit value list), expressed as conditional aggregation in
     // the oracle — identical results, portable SQL.
     QEntry.sql(
