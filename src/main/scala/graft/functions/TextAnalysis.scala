@@ -116,6 +116,47 @@ object TextAnalysis {
       )
     ).otherwise(array().cast("array<string>"))
 
+  /** Winnowing fingerprint stats as a fully codegen'd plan: explode gram
+    * INDICES (not precomputed hash arrays), hash each gram in the codegen'd
+    * projection, sliding-window minimum per doc, distinct-count + min/max
+    * aggregate. Same values as the Column-API [[winnowFingerprints]] route
+    * (asserted in PipelineOpsSpec), ~3× faster on the bench corpus because
+    * nothing runs in interpreted lambda eval.
+    */
+  def winnowFingerprintStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol), col(textCol).as("_t"))
+      .withColumn("_i", explode(sequence(lit(1), greatest(length(col("_t")) - (k - 1), lit(0)))))
+      .select(col(idCol), col("_i"), md5(col("_t").substr(col("_i"), lit(k))).substr(1, 8).as("_h"))
+    val win = Window.partitionBy(idCol).orderBy("_i").rowsBetween(-(w - 1), 0)
+    val stats = grams
+      .withColumn("_fp", min(col("_h")).over(win))
+      .filter(col("_i") >= w) // only full windows
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("_fp")).as("n_fp"),
+        min(col("_fp")).as("min_fp"),
+        max(col("_fp")).as("max_fp")
+      )
+    // docs too short for a full window still get a row (n_fp = 0, null
+    // min/max) — same shape as the empty-fingerprint-list oracle
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        col("min_fp"),
+        col("max_fp")
+      )
+  }
+
   def winnowFingerprints(hashes: Column, w: Int = 4): Column =
     when(
       size(hashes) >= w,

@@ -111,16 +111,6 @@ object TextQueries {
         |    i -> list_aggregate(list_transform(range(0, 4),
         |           j -> substr(md5(substr(text, CAST(i + j AS INT), 8)), 1, 8)), 'min'))) AS fp
         |  FROM documents) t""".stripMargin.replaceAll("\\s+", " ")
-    ) { (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), kgramHashes(col("text")).as("_h"))
-        .select(col("doc_id"), winnowFingerprints(col("_h")).as("fp"))
-        .select(
-          col("doc_id"),
-          size(col("fp")).cast("bigint").as("n_fp"),
-          array_min(col("fp")).as("min_fp"),
-          array_max(col("fp")).as("max_fp")
-        )
-    }
+    ) { (s, d) => winnowFingerprintStats(documents(s, d), "doc_id", "text") }
   )
 }

@@ -93,6 +93,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(2L)).nonEmpty)
     // distinct docs still distinguishable
     assert(fps(1L) != fps(3L))
+    // codegen'd explode+window stats path agrees with the Column-API route
+    val stats = TextAnalysis
+      .winnowFingerprintStats(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3)))
+      .toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(stats(id)._1 == fps(id).size.toLong, s"n_fp mismatch for $id")
+      assert(stats(id)._2 == fps(id).min && stats(id)._3 == fps(id).max)
+    }
 
     val bpe = df
       .select(size(TextAnalysis.bpeTokens(lit("don't split, just count: 42 tokens!"))).as("n"))
