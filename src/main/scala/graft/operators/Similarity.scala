@@ -90,12 +90,14 @@ object Similarity {
       (h.toDouble / Int.MaxValue.toDouble).toFloat
     }
 
-  /** b-bit LSH bucket signature for each vector: bit p = sign(v · plane_p). */
+  /** b-bit LSH bucket signature for each vector: bit p = sign(v · plane_p).
+    * Plane dot products run through the codegen'd graft_dot kernel (plane
+    * literals are array<float>).
+    */
   def lshBucket(vec: Column, planes: Array[Array[Float]]): Column = {
-    val dv = transform(vec, x => x.cast("double"))
     val bitCols = planes.map { plane =>
-      val planeLit = array(plane.map(w => lit(w.toDouble)): _*)
-      val dot = aggregate(zip_with(dv, planeLit, _ * _), lit(0.0), _ + _)
+      val planeLit = array(plane.map(lit(_)): _*)
+      val dot = call_function("graft_dot", vec, planeLit)
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bitCols: _*)
@@ -108,6 +110,7 @@ object Similarity {
       bits: Int = 8,
       seed: Int = 42
   ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     corpus.select(
       col(idCol),
