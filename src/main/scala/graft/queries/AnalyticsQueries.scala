@@ -162,6 +162,25 @@ object AnalyticsQueries {
         )
     },
 
+    // Collection aggregate: per-group distinct set, deterministically sorted
+    // and joined to a string (portable across engines; raw array outputs
+    // don't hash portably).
+    QEntry.sql(
+      "q_collect_sorted_set",
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  count(DISTINCT l_linestatus) AS n
+        |FROM lineitem GROUP BY l_returnflag"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+          countDistinct(col("l_linestatus")).as("n")
+        )
+    },
+
     // Scalar-function batteries: string, math, and date functions with
     // engine-identical semantics (math outputs rounded — libm last-ulp
     // differences between the JVM and DuckDB's C++ are below 1e-6 here).
