@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.operators.TimeSeries
 
 /** Second relational battery: multi-dimensional aggregation (rollup/cube),
   * set operators (intersect/except), running and offset window functions,
@@ -160,6 +161,28 @@ object AnalyticsQueries {
           (max("session_id") + 1).cast("bigint").as("n_sessions"),
           count(lit(1)).as("events")
         )
+    },
+
+    // Time-series resample onto a uniform daily grid with zero-filled counts
+    // and forward-filled values (last observation carried forward).
+    QEntry.sql(
+      "q_resample_ffill",
+      """SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |  coalesce(cnt, 0) AS cnt, filled
+        |FROM (
+        |  SELECT g.user_id, g.d, daily.cnt,
+        |    last_value(daily.avg_v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM (SELECT u.user_id, g0.d FROM (SELECT DISTINCT user_id FROM events) u,
+        |        (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+        |                INTERVAL 1 DAY)) AS d) g0) g
+        |  LEFT JOIN (SELECT user_id, date_trunc('day', ts) AS d, count(*) AS cnt,
+        |               round(avg(value), 4) AS avg_v
+        |             FROM events GROUP BY 1, 2) daily
+        |  ON g.user_id = daily.user_id AND g.d = daily.d) t"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      TimeSeries.resampleFfill(events(s, d), "user_id", "ts", "value", "2024-01-01", "2024-01-30")
     },
 
     // Collection aggregate: per-group distinct set, deterministically sorted
