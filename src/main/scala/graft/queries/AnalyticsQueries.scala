@@ -163,6 +163,29 @@ object AnalyticsQueries {
         )
     },
 
+    // Custom typed Aggregator (expressions.Aggregator → functions.udaf):
+    // top-3 users by total value per event type, O(k) buffer through partial
+    // aggregation; oracled by a DuckDB window + ordered string_agg.
+    QEntry.sql(
+      "q_topk_per_group_agg",
+      """SELECT event_type, string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rn) AS top_users
+        |FROM (
+        |  SELECT event_type, user_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY tv DESC, CAST(user_id AS VARCHAR)) AS rn
+        |  FROM (SELECT event_type, user_id, round(sum(value), 2) AS tv
+        |        FROM events GROUP BY 1, 2) t) r
+        |WHERE rn <= 3 GROUP BY event_type"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val topk = udaf(graft.functions.TopKLabels(3))
+      events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(round(sum("value"), 2).as("tv"))
+        .groupBy("event_type")
+        .agg(topk(col("user_id").cast("string"), col("tv")).as("top_users"))
+    },
+
     // Time-series resample onto a uniform daily grid with zero-filled counts
     // and forward-filled values (last observation carried forward).
     QEntry.sql(
