@@ -163,6 +163,43 @@ object AnalyticsQueries {
         )
     },
 
+    // Explicit GROUPING SETS through the SQL surface (Dataset API exposes
+    // rollup/cube; arbitrary set lists are SQL-only).
+    QEntry.sql(
+      "q_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      graft.GraftSQL.sql(
+        s,
+        d,
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+      )
+    },
+
+    // Correlated scalar subquery (TPC-H Q17 shape): lineitems under 50% of
+    // their part's average quantity. The DataFrame side decorrelates by hand
+    // (broadcast per-part aggregate); DuckDB decorrelates the subquery.
+    QEntry.sql(
+      "q_correlated_subquery",
+      """SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val li = lineitem(s, d)
+      val perPart = li.groupBy(col("l_partkey").as("_pk"))
+        .agg((avg("l_quantity") * 0.5).as("_half_avg"))
+      li.join(perPart, col("l_partkey") === col("_pk"))
+        .filter(col("l_quantity") < col("_half_avg"))
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+    },
+
     // Custom typed Aggregator (expressions.Aggregator → functions.udaf):
     // top-3 users by total value per event type, O(k) buffer through partial
     // aggregation; oracled by a DuckDB window + ordered string_agg.
