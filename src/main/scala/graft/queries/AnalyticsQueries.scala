@@ -57,6 +57,25 @@ object AnalyticsQueries {
         )
     },
 
+    // UNION (distinct) — the dedup twin of q_union_all_count.
+    QEntry.sql(
+      "q_union_distinct",
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 49
+        |  UNION
+        |  SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000) t"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey").as("k"))
+        .union(
+          orders(s, d).filter(col("o_totalprice") > 400000).select(col("o_orderkey").as("k"))
+        )
+        .distinct()
+        .agg(count(lit(1)).as("cnt"))
+    },
+
     // EXCEPT (distinct set difference).
     QEntry.sql(
       "q_except_keys",
