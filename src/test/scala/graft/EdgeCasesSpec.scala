@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fragmentation, TimeSeries}
+
+/** Edge-case hardening for the custom expression and generic operators. */
+class EdgeCasesSpec extends SparkSpec {
+
+  test("graft_dot: null inputs are null, mismatched lengths use the common prefix") {
+    graft.functions.VectorExpressions.install(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(2.0f, 3.0f, 4.0f)),
+      (2L, null.asInstanceOf[Array[Float]], Array(1.0f)),
+      (3L, Array(1.0f, 1.0f, 1.0f), Array(5.0f)) // length mismatch → prefix
+    ).toDF("id", "a", "b")
+    val out = df
+      .select(col("id"), expr("graft_dot(a, b)").as("d"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1L).contains(2.0 + 6.0 + 12.0))
+    assert(out(2L).isEmpty)
+    assert(out(3L).contains(5.0))
+    // interpreted eval path agrees with codegen
+    val e = graft.functions.DotProductFloat(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+      ),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0f, 4.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+      )
+    )
+    assert(e.eval(null) == 11.0)
+  }
+
+  test("generic round-robin fragment: k-th row by order key goes to k mod n") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(30L, 10L, 20L, 50L, 40L).toDF("k")
+    val out = Fragmentation
+      .roundRobinFragment(df, Seq("k"), 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    // sorted order 10,20,30,40,50 → parts 0,1,2,0,1
+    assert(out == Map(10L -> 0, 20L -> 1, 30L -> 2, 40L -> 0, 50L -> 1))
+  }
+
+  test("resample: gaps are zero-count and forward-filled; leading gaps stay null") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val df = Seq(
+      (1L, ts(2), 10.0), // day 1 is a leading gap for user 1
+      (1L, ts(4), 20.0)  // day 3 gap → forward-filled with 10.0
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries
+      .resampleFfill(df, "user_id", "ts", "value", "2024-01-01", "2024-01-04")
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out("2024-01-01") == ((0L, None)))
+    assert(out("2024-01-02") == ((1L, Some(10.0))))
+    assert(out("2024-01-03") == ((0L, Some(10.0))))
+    assert(out("2024-01-04") == ((1L, Some(20.0))))
+  }
+}

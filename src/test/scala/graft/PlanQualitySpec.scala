@@ -56,6 +56,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("semi and anti joins plan as LeftSemi/LeftAnti (no row multiplication)") {
+    val semi = executedPlan(SparkEntry.queries("q_semi_join_priority")(spark, sf))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = executedPlan(SparkEntry.queries("q_anti_join_no_orders")(spark, sf))
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     val plan = executedPlan(SparkEntry.queries("q_topk")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
