@@ -40,6 +40,10 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // best-effort: lets an externally-built session read the events table
+    // (ignored if the conf is static in this Spark build)
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => () }
     spark
   }
 }
