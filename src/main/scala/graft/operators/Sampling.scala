@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * `sample(fraction)` and `rand()` are not reproducible across runs, engines,
+  * or partitionings — useless for train/test splits that must be stable for
+  * the lifetime of a dataset. Hashing the row KEY instead gives a sample
+  * that is (a) uniform, (b) identical on every engine that agrees on md5,
+  * (c) stable under repartitioning/retries, and (d) consistent across tables
+  * sharing the key (the classic "hash-split" every feature store uses).
+  *
+  * All narrow expressions — sampling never shuffles; the stratified variant
+  * shuffles once on the strata key (window rank).
+  */
+object Sampling {
+
+  /** Uniform hash position of a key in [0, 1): first 8 md5 hex digits as a
+    * fraction of 16^8. Same arithmetic as the DuckDB oracle twin.
+    */
+  def hashPosition(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0) // 16^8
+
+  /** Deterministic Bernoulli sample: keep rows whose key hashes below
+    * `fraction`.
+    */
+  def bernoulliByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashPosition(col(keyCol)) < fraction)
+
+  /** Deterministic train/test split tag (`test` when the key's hash position
+    * falls below `testFraction`). Rows with the same key always land on the
+    * same side — across tables, runs, and engines.
+    */
+  def splitTag(key: Column, testFraction: Double): Column =
+    when(hashPosition(key) < testFraction, lit("test")).otherwise(lit("train"))
+
+  /** Deterministic per-stratum sample: the k smallest key-hashes within each
+    * stratum (one shuffle on the strata columns).
+    */
+  def stratifiedByHash(
+      df: DataFrame,
+      strataCols: Seq[String],
+      keyCol: String,
+      k: Int
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity}
 
 /** Training-data pipeline inventory: deduplication (exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine) and similarity search
@@ -155,6 +155,42 @@ object PipelineQueries {
     QEntry.rowsOnly("ann_ivf_topk") { (s, d) =>
       val emb = embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    },
+
+    // Deterministic hash sampling: reproducible across engines, runs, and
+    // partitionings (rand()/sample() are none of those). hashpos = first 8
+    // md5 hex digits of the key as a fraction of 16^8.
+    QEntry.sql(
+      "sample_split_counts",
+      """SELECT event_type, split, count(*) AS cnt FROM (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(list_sum(list_transform(range(1, 9), i ->
+        |           (strpos('0123456789abcdef',
+        |                   substr(md5(CAST(event_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |           * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0 < 0.2
+        |         THEN 'test' ELSE 'train' END AS split
+        |  FROM events) t GROUP BY event_type, split"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      events(s, d)
+        .withColumn("split", Sampling.splitTag(col("event_id"), 0.2))
+        .groupBy("event_type", "split")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // Deterministic per-stratum sample: the 5 smallest key-hashes per lang.
+    QEntry.sql(
+      "sample_stratified",
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t WHERE rk <= 5"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Sampling
+        .stratifiedByHash(documents(s, d), Seq("lang"), "doc_id", 5)
+        .select("lang", "doc_id")
     },
 
     // End-to-end training-data curation pipeline in ONE declarative plan:
