@@ -37,10 +37,18 @@ object Bench {
       }
       name -> times.min
     }
+    println(renderJson(results, sfDir))
+    spark.stop()
+  }
+
+  /** The single machine-parsed output line — kept as a pure function so the
+    * test suite can guard the contract (valid JSON, expected keys, no
+    * logger prefixes are the caller's job via run/outputStrategy).
+    */
+  def renderJson(results: Map[String, Double], sfDir: String): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

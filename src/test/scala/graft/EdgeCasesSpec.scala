@@ -38,6 +38,18 @@ class EdgeCasesSpec extends SparkSpec {
     assert(e.eval(null) == 11.0)
   }
 
+  test("bench JSON contract: single parseable line with expected keys") {
+    val json = Bench.renderJson(Map("q1" -> 1.5, "q2" -> 0.25), "/x/sf0.1")
+    assert(!json.contains("\n"))
+    // minimal structural check without a JSON lib: balanced + expected fields
+    assert(json.startsWith("{") && json.endsWith("}"))
+    for (k <- Seq("\"metric\":\"total\"", "\"value\":1.75", "\"unit\":\"sec\"",
+                  "\"queries\":{", "\"q1\":1.5", "\"sf\":\"/x/sf0.1\""))
+      assert(json.contains(k), s"missing $k in $json")
+    // and the driver-side parser accepts it (same shape json.loads expects)
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+  }
+
   test("generic round-robin fragment: k-th row by order key goes to k mod n") {
     val s = spark
     import s.implicits._
