@@ -40,6 +40,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("minhash LSH recall on a 2000-doc corpus with 100 planted near-dups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("spark", "query", "shuffle", "filter", "join", "window",
+      "column", "row", "hash", "sort", "scan", "merge", "agg", "stream",
+      "batch", "vector", "table", "index", "cache", "plan")
+    def doc() = Seq.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 1900).map(i => (i.toLong, doc()))
+    // 100 planted near-dups: copy of a base doc with ONE word changed
+    val dups = (0 until 100).map { i =>
+      val src = base(i * 19)._2.split(" ")
+      src(rnd.nextInt(src.length)) = "mutated"
+      (10000L + i, src.mkString(" "))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashCandidatePairs(df, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val planted = (0 until 100).map(i => ((i * 19).toLong, 10000L + i)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"minhash recall too low: $recall (found ${pairs.size} pairs)")
+  }
+
   test("simhash: near-identical docs agree on most bits, unrelated docs don't") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
     val near = base.replace("woods", "forest")
