@@ -46,9 +46,14 @@ object Bench {
     * logger prefixes are the caller's job via run/outputStrategy).
     */
   def renderJson(results: Map[String, Double], sfDir: String): String = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the whole line well under 2 KB: the driver captures only the tail
+    // of the run output, and a long line gets its HEAD truncated, leaving
+    // unparseable JSON (BENCH parsed:null in rounds 1-2). 3-decimal seconds
+    // is plenty of resolution for 64 sub-10s queries.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -264,22 +264,66 @@ object RelationalQueries {
         )
     },
 
-    // Approximate sketches (rows-only: sketch estimates are engine-specific;
-    // accuracy vs exact is asserted in PipelineOpsSpec).
-    QEntry.rowsOnly("q_sketch_distinct_users") { (s, d) =>
+    // Approximate sketches, made deterministically oracle-able: the output
+    // carries the EXACT statistic (portable) plus a boolean asserting the
+    // sketch estimate landed within tolerance — so the DuckDB twin is the
+    // exact computation + literal true. Raw sketch estimates stay
+    // engine-specific and are additionally accuracy-asserted in
+    // PipelineOpsSpec.
+    QEntry.sql(
+      "q_sketch_distinct_users",
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS approx_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      // rsd 0.01 → HLL++ stderr ~1%; the 5% gate leaves ~5 sigma of headroom,
+      // so the boolean is deterministic-in-practice at any sf.
       events(s, d)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("cnt")
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("_approx")
+        )
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          (abs(col("_approx") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_within_5pct")
         )
     },
-    QEntry.rowsOnly("q_sketch_value_quantiles") { (s, d) =>
+    QEntry.sql(
+      "q_sketch_value_quantiles",
+      // Exact interpolated quantiles match Spark's `percentile` definition
+      // (linear interpolation at p*(n-1)); one UNION ALL branch per p keeps
+      // the quantile parameter constant as DuckDB requires.
+      Seq(0.5, 0.95, 0.99)
+        .map(p =>
+          s"""SELECT event_type, CAST($p AS DOUBLE) AS p,
+             |  round(quantile_cont(value, $p), 4) AS exact_q,
+             |  true AS approx_ok
+             |FROM events GROUP BY event_type""".stripMargin.replaceAll("\\s+", " ")
+        )
+        .mkString(" UNION ALL ")
+    ) { (s, d) =>
+      // percentile_approx(accuracy=10000) has rank error <= n/10000 — at most
+      // a handful of ranks at bench scale — so the estimate sits within a
+      // whisker of the exact quantile; assert 5% relative (or 1e-6 absolute
+      // for near-zero quantiles) and output rows, never arrays (array-typed
+      // outputs crash the driver's pandas sort).
+      val ps = array(lit(0.5), lit(0.95), lit(0.99))
       events(s, d)
         .groupBy("event_type")
         .agg(
-          percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-            .as("quantiles")
+          percentile_approx(col("value"), ps, lit(10000)).as("_aq"),
+          expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("_eq")
+        )
+        .select(col("event_type"), posexplode(col("_eq")).as(Seq("_i", "_exact")), col("_aq"))
+        .select(
+          col("event_type"),
+          element_at(ps, col("_i") + 1).as("p"),
+          round(col("_exact"), 4).as("exact_q"),
+          (abs(element_at(col("_aq"), col("_i") + 1) - col("_exact")) <=
+            greatest(abs(col("_exact")) * 0.05, lit(1e-6))).as("approx_ok")
         )
     },
 
