@@ -40,7 +40,10 @@ final class FragmentCatalog(val root: String) {
     }
   }
 
-  def dropTable(name: String): Unit = deleteRecursively(Paths.get(root, name))
+  def dropTable(name: String): Unit = {
+    deleteRecursively(Paths.get(root, name))
+    Files.deleteIfExists(Paths.get(root, rowIdFile(name)))
+  }
 
   /** Drop everything under the root — `deleteTables('ALL')` analog
     * (reference `Interface1.py:375-381`).
@@ -50,6 +53,13 @@ final class FragmentCatalog(val root: String) {
     Seq(RangeMetaFile, RoundRobinMetaFile)
       .map(Paths.get(root, _))
       .foreach(Files.deleteIfExists(_))
+    val s = Files.list(Paths.get(root))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(RowIdSuffix))
+        .foreach(Files.deleteIfExists(_))
+    } finally s.close()
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -96,6 +106,20 @@ final class FragmentCatalog(val root: String) {
         f("round_robin_last_inserted").toLong
       )
     }
+
+  /** Per-table next-`_rowid` counter. Inserts allocate load-order ids from
+    * here instead of scanning the master table for `max(_rowid)` — the same
+    * singleton-metadata pattern as `lastInserted`, and the difference between
+    * an O(1) insert and a full-table scan per row at scale.
+    */
+  private val RowIdSuffix = "_rowid.json"
+  private def rowIdFile(table: String): String = s"$table$RowIdSuffix"
+
+  def writeNextRowId(table: String, next: Long): Unit =
+    writeString(rowIdFile(table), s"""{"next_rowid":$next}""")
+
+  def readNextRowId(table: String): Option[Long] =
+    readString(rowIdFile(table)).map(s => jsonFields(s)("next_rowid").toLong)
 
   private def writeString(name: String, content: String): Unit =
     Files.write(Paths.get(root, name), content.getBytes(StandardCharsets.UTF_8))

@@ -68,29 +68,43 @@ object Dedup {
       )
     ).otherwise(array().cast("array<string>"))
 
-  /** doc_id + MinHash signature (numPerm md5-minima) + LSH band keys.
+  /** doc_id + MinHash signature (numPerm hash-minima) + LSH band keys.
     * Explode-then-aggregate: the min for every permutation is computed in one
     * codegen'd hash-agg pass over exploded shingles (vs interpreted
     * `array_min(transform(...))` per perm — ~30× on the bench corpus).
+    *
+    * `fast = false` (default) hashes with md5 — cross-engine deterministic,
+    * which is what lets the DuckDB oracle verify signatures value-for-value.
+    * `fast = true` swaps in xxhash64 (one 64-bit mix vs a 128-bit digest +
+    * hex formatting, and numPerm of them per shingle): identical plan shape
+    * and banding semantics, signature values are longs instead of hex
+    * strings. Use it on production corpora; keep md5 where external
+    * verification matters.
     */
   def minhashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numPerm: Int = 8,
-      rowsPerBand: Int = 2
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
   ): DataFrame = {
     val exploded = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
       .select(col(idCol), explode_outer(shinglesFromWords(col("_ws"))).as("_sh"))
-    val minExprs = (0 until numPerm)
-      .map(j => min(md5(concat(lit(s"$j|"), col("_sh")))).as(s"m$j"))
+    val minExprs = (0 until numPerm).map { j =>
+      val h =
+        if (fast) xxhash64(lit(j), col("_sh"))
+        else md5(concat(lit(s"$j|"), col("_sh")))
+      min(h).as(s"m$j")
+    }
     val sig = exploded
       .groupBy(col(idCol))
       .agg(minExprs.head, minExprs.tail: _*)
     val bandCols = (0 until numPerm / rowsPerBand).map { b =>
       val grp = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      md5(concat_ws("|", grp: _*)).as(s"band$b")
+      val h = if (fast) xxhash64(grp: _*) else md5(concat_ws("|", grp: _*))
+      h.as(s"band$b")
     }
     sig.select(col(idCol) +: (0 until numPerm).map(i => col(s"m$i")) ++: bandCols: _*)
   }
@@ -103,9 +117,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       numPerm: Int = 8,
-      rowsPerBand: Int = 2
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
   ): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numPerm, rowsPerBand)
+    val sigs = minhashSignatures(df, idCol, textCol, numPerm, rowsPerBand, fast)
     val nBands = numPerm / rowsPerBand
     val exploded = sigs.select(
       col(idCol).as("id"),

@@ -70,6 +70,8 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
         }
       val df = spark.createDataFrame(rows, masterSchema)
       df.write.mode(SaveMode.Overwrite).parquet(catalog.tablePath(tableName))
+      // seed the insert counter (parquet metadata count — no data scan)
+      catalog.writeNextRowId(tableName, master(tableName).count())
     } catch { case NonFatal(e) => logErr("loadRatings")(e) }
 
   def master(tableName: String = "ratings"): DataFrame =
@@ -177,11 +179,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
         .getOrElse(throw new IllegalStateException("ROUND_ROBIN_METADATA missing"))
       require(meta.totalPartitions > 0, "Total partitions <= 0")
       val n = meta.totalPartitions
-      val nextId =
-        master(tableName).agg(max("_rowid")).head().getAs[Any](0) match {
-          case null    => 0L
-          case l: Long => l + 1
-        }
+      val nextId = nextRowId(tableName)
       val rows = batch
         .select(
           col("userid").cast(IntegerType),
@@ -205,20 +203,31 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
         catalog.writeRoundRobinMeta(
           meta.copy(lastInserted = ((meta.lastInserted + cnt) % n))
         )
+        catalog.writeNextRowId(tableName, nextId + cnt)
       }
     } catch { case NonFatal(e) => logErr("roundRobinInsertBatch")(e) }
 
-  private def appendToMaster(tableName: String, u: Int, m: Int, r: Double): Long = {
-    val nextId =
+  /** Next load-order id from the persisted catalog counter. Datasets written
+    * before the counter existed fall back to ONE `max(_rowid)` scan, whose
+    * result is immediately persisted — after that every insert is O(1)
+    * metadata, never a master-table scan.
+    */
+  private def nextRowId(tableName: String): Long =
+    catalog.readNextRowId(tableName).getOrElse {
       master(tableName).agg(max("_rowid")).head().getAs[Any](0) match {
         case null    => 0L
         case l: Long => l + 1
       }
+    }
+
+  private def appendToMaster(tableName: String, u: Int, m: Int, r: Double): Long = {
+    val nextId = nextRowId(tableName)
     val df = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(u, m, r, nextId)),
       masterSchema
     )
     df.write.mode(SaveMode.Append).parquet(catalog.tablePath(tableName))
+    catalog.writeNextRowId(tableName, nextId + 1)
     nextId
   }
 
@@ -256,7 +265,8 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
   def rangeFragments(): DataFrame = {
     catalog.readRangeMeta().foreach { m =>
       graft.plans.DeriveFragmentPruning
-        .publish(spark, "ref", "rating", m.totalPartitions, m.minValue, m.maxValue)
+        .publish(spark, "ref", "rating", m.totalPartitions, m.minValue, m.maxValue,
+          new java.io.File(catalog.tablePath(RangeDataset)).getAbsolutePath)
     }
     readFragments(RangeDataset)
   }

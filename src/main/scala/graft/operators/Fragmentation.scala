@@ -65,7 +65,8 @@ object Fragmentation {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("part")
       .parquet(path)
-    graft.plans.DeriveFragmentPruning.publish(spark, "closed", valueCol, n, lo, hi)
+    graft.plans.DeriveFragmentPruning
+      .publish(spark, "closed", valueCol, n, lo, hi, new java.io.File(path).getAbsolutePath)
     spark.read.parquet(path)
   }
 
@@ -85,6 +86,14 @@ object Fragmentation {
   /** Round-robin by explicit order key — k-th row (0-based) → k mod n.
     * The order columns make the assignment reproducible under any read
     * parallelism (Spark's own repartition round-robin is not row-stable).
+    *
+    * SCALE WARNING: a global row number needs a TOTAL order, so this window
+    * (no partitionBy) funnels every row through one reducer — correct, and
+    * exactly the oracle's definition, but single-threaded by construction.
+    * Fine for verification entries and small-to-medium frames; for bulk data
+    * use [[FragmentEngine.loadRatings]]'s `zipWithIndex` path (stable order
+    * from split offsets, no shuffle) or [[hashFragment]], which is what a
+    * distributed engine actually round-robins with.
     */
   def roundRobinFragment(
       df: DataFrame,

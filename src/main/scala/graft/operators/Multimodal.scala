@@ -130,7 +130,15 @@ object Multimodal {
       lit(maxFrames)
     )
     media
-      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      // empty payload → nFrames=0 → sequence(0,-1) would generate DESCENDING
+      // (two spurious rows); guard with an explicitly empty array instead
+      .withColumn(
+        "frame_idx",
+        explode(
+          when(nFrames > 0, sequence(lit(0), nFrames - 1))
+            .otherwise(array().cast("array<int>"))
+        )
+      )
       .select(
         col("media_id"),
         col("frame_idx"),

@@ -80,14 +80,22 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplanes: weight (p, i) is derived from a
-    * seeded integer hash mapped to [-1, 1]. Generated driver-side as literals
-    * (b·dim floats — trivially broadcastable).
+  /** Deterministic pseudo-random hyperplanes: weight (p, i) = the first 8 hex
+    * digits of md5("plane|seed|p|i") as a fraction of 2^32, mapped to [-1, 1)
+    * and rounded to float. Generated driver-side as literals (b·dim floats —
+    * trivially broadcastable). md5 rather than an engine-internal hash so an
+    * external engine can regenerate the identical planes from SQL — the
+    * DuckDB twins of the ann_lsh_* driver entries do exactly that.
     */
   def hyperplanes(bits: Int, dim: Int, seed: Int = 42): Array[Array[Float]] =
     Array.tabulate(bits, dim) { (p, i) =>
-      val h = scala.util.hashing.MurmurHash3.productHash((seed, p, i))
-      (h.toDouble / Int.MaxValue.toDouble).toFloat
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md
+        .digest(s"plane|$seed|$p|$i".getBytes("UTF-8"))
+        .take(4)
+        .map(b => f"${b & 0xff}%02x")
+        .mkString
+      ((java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0) * 2 - 1).toFloat
     }
 
   /** b-bit LSH bucket signature for each vector: bit p = sign(v · plane_p).
@@ -103,19 +111,27 @@ object Similarity {
     concat(bitCols: _*)
   }
 
+  /** Vector dimension: explicit when the caller knows it (no Spark job),
+    * probed from the first corpus row otherwise. An empty corpus infers 0
+    * planes (empty bucket string) instead of throwing.
+    */
+  private def dimOf(corpus: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim > 0) dim
+    else corpus.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+
   def lshBuckets(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       bits: Int = 8,
-      seed: Int = 42
+      seed: Int = 42,
+      dim: Int = 0
   ): DataFrame = {
     VectorExpressions.install(corpus.sparkSession)
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     corpus.select(
       col(idCol),
       col(vecCol),
-      lshBucket(col(vecCol), hyperplanes(bits, dim, seed)).as("bucket")
+      lshBucket(col(vecCol), hyperplanes(bits, dimOf(corpus, vecCol, dim), seed)).as("bucket")
     )
   }
 
@@ -130,19 +146,27 @@ object Similarity {
       vecCol: String,
       k: Int,
       bits: Int = 8,
-      seed: Int = 42
+      seed: Int = 42,
+      dim: Int = 0
   ): DataFrame = {
     VectorExpressions.install(corpus.sparkSession)
-    val cb = lshBuckets(corpus, idCol, vecCol, bits, seed)
+    // planes built once and shared by both sides (a dim probe, when needed,
+    // runs a single first-row job instead of one per lshBuckets call)
+    val planes = hyperplanes(bits, dimOf(corpus, vecCol, dim), seed)
+    val cb = corpus
       .select(
         col(idCol).as("neighbor_id"),
         col(vecCol).as("nv"),
-        col("bucket")
+        lshBucket(col(vecCol), planes).as("bucket")
       )
       .withColumn("nn", sqrt(expr("graft_dot(nv, nv)")))
     val qb = broadcast(
-      lshBuckets(queries, idCol, vecCol, bits, seed)
-        .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+      queries
+        .select(
+          col(idCol).as("query_id"),
+          col(vecCol).as("qv"),
+          lshBucket(col(vecCol), planes).as("bucket")
+        )
         .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
     )
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -205,8 +229,16 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` (id1 < id2).
-    * All-pairs only within LSH buckets when `blocked`; exact all-pairs
-    * otherwise (verification / small corpora).
+    *
+    * When `blocked`, candidates come from `tables` independent LSH tables
+    * (hyperplane sets seeded seed..seed+tables-1) OR-ed together — the
+    * standard multi-table trick: a single b-bit table misses any near-dup
+    * pair the planes happen to split, while the miss probability decays
+    * geometrically in the table count. The pair set is deduplicated BEFORE
+    * the cosine computation, so each surviving pair costs one graft_dot no
+    * matter how many tables proposed it. All joins are bucket equi-joins
+    * (shuffle on a scalar key) — never all-pairs. `blocked = false` is the
+    * exact all-pairs verification baseline for small corpora.
     */
   def nearDupPairs(
       corpus: DataFrame,
@@ -214,29 +246,44 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       blocked: Boolean = true,
-      bits: Int = 8
+      bits: Int = 8,
+      dim: Int = 0,
+      tables: Int = 1,
+      seed: Int = 42
   ): DataFrame = {
     VectorExpressions.install(corpus.sparkSession)
-    val base =
+    val vecs = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("_n", sqrt(expr(s"graft_dot($vecCol, $vecCol)")))
+    val pairs =
       if (blocked) {
-        val b = lshBuckets(corpus, idCol, vecCol, bits)
-          .withColumn("_n", sqrt(expr(s"graft_dot($vecCol, $vecCol)")))
-        b.as("a").join(b.as("b"), col("a.bucket") === col("b.bucket"))
+        val d = dimOf(corpus, vecCol, dim)
+        // one row per (vector, table): bucket key prefixed with the table id
+        // so the equi-join never matches across tables
+        val bucketByTable = array((0 until tables).map { t =>
+          concat(lit(s"$t:"), lshBucket(col(vecCol), hyperplanes(bits, d, seed + t)))
+        }: _*)
+        val tagged = corpus
+          .select(col(idCol), explode(bucketByTable).as("bucket"))
+        tagged
+          .as("a")
+          .join(tagged.as("b"), col("a.bucket") === col("b.bucket"))
+          .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+          .distinct()
       } else {
-        val c = corpus
-          .select(col(idCol), col(vecCol))
-          .withColumn("_n", sqrt(expr(s"graft_dot($vecCol, $vecCol)")))
-        c.as("a").crossJoin(c.as("b"))
+        vecs
+          .select(col(idCol).as("id1"))
+          .crossJoin(vecs.select(col(idCol).as("id2")))
+          .filter(col("id1") < col("id2"))
       }
-    base
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+    pairs
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("_v1"), col("_n").as("_n1")), "id1")
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("_v2"), col("_n").as("_n2")), "id2")
       .select(
-        col(s"a.$idCol").as("id1"),
-        col(s"b.$idCol").as("id2"),
-        round(
-          expr(s"graft_dot(a.$vecCol, b.$vecCol)") / (col("a._n") * col("b._n")),
-          6
-        ).as("cos")
+        col("id1"),
+        col("id2"),
+        round(expr("graft_dot(_v1, _v2)") / (col("_n1") * col("_n2")), 6).as("cos")
       )
       .filter(col("cos") >= threshold)
   }

@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** @param step e.g. "interval 1 day" — any Spark sequence step interval */
+  /** @param step any FIXED-LENGTH Spark interval (days/hours/minutes/...);
+    *   calendar intervals (month/year) have no constant micro-length and are
+    *   rejected. Events are snapped to `start + k*step` for integer k — the
+    *   exact timestamps `sequence(start, end, step)` generates — so any step
+    *   and any (non-midnight) start align. Events after `end` are dropped;
+    *   events before `start` do not appear in the output but DO seed the
+    *   forward-fill, so the first grid buckets inherit the last pre-start
+    *   observation instead of starting null.
+    */
   def resampleFfill(
       events: DataFrame,
       keyCol: String,
@@ -27,8 +35,20 @@ object TimeSeries {
       end: String,
       step: String = "interval 1 day"
   ): DataFrame = {
-    val bucket = date_trunc("day", col(tsCol))
+    require(
+      !step.toLowerCase.matches(".*(month|year).*"),
+      s"resampleFfill needs a fixed-length step; calendar interval '$step' is not"
+    )
+    // constant-folded scalars: step length in microseconds and the grid origin
+    val stepUs = expr(s"unix_micros(timestamp'$start' + $step) - unix_micros(timestamp'$start')")
+    val startUs = expr(s"unix_micros(timestamp'$start')")
+    // floor-snap to the grid: pmod (not %) so pre-start events (negative
+    // delta) still snap DOWN to their own bucket
+    val deltaUs = unix_micros(col(tsCol)) - startUs
+    val bucket = timestamp_micros(startUs + (deltaUs - pmod(deltaUs, stepUs)))
+
     val perBucket = events
+      .filter(col(tsCol) <= expr(s"timestamp'$end' + $step")) // post-grid rows can never surface
       .groupBy(col(keyCol), bucket.as("_d"))
       .agg(count(lit(1)).as("_cnt"), round(avg(col(valueCol)), 4).as("_avg"))
     val grid = events
@@ -43,16 +63,32 @@ object TimeSeries {
             ).as("_d")
           )
       )
+    val onGrid = grid
+      .join(perBucket.filter(col("_d") >= expr(s"timestamp'$start'")), Seq(keyCol, "_d"), "left")
+      .withColumn("_on_grid", lit(true))
+    // pre-start observations ride along (ordered before every grid bucket)
+    // purely to seed the forward-fill window, then drop out of the output
+    val preStart = perBucket
+      .filter(col("_d") < expr(s"timestamp'$start'"))
+      .select(col(keyCol), col("_d"), col("_cnt"), col("_avg"), lit(false).as("_on_grid"))
     val w = Window
       .partitionBy(keyCol)
       .orderBy("_d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(perBucket, Seq(keyCol, "_d"), "left")
+    onGrid
+      .select(col(keyCol), col("_d"), col("_cnt"), col("_avg"), col("_on_grid"))
+      .union(preStart)
       .withColumn("_filled", last(col("_avg"), ignoreNulls = true).over(w))
+      .filter(col("_on_grid"))
       .select(
         col(keyCol),
-        date_format(col("_d"), "yyyy-MM-dd").as("day"),
+        // sub-daily steps need a sub-daily label or distinct buckets would
+        // print identically
+        date_format(
+          col("_d"),
+          if (step.toLowerCase.matches(".*(hour|min|sec).*")) "yyyy-MM-dd HH:mm:ss"
+          else "yyyy-MM-dd"
+        ).as("day"),
         coalesce(col("_cnt"), lit(0L)).as("cnt"),
         col("_filled").as("filled")
       )

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
 
 import graft.RangeBuckets
@@ -22,7 +23,7 @@ import graft.RangeBuckets
   * equivalent in PlanQualitySpec).
   *
   * Bucket metadata travels via the session conf key `spark.graft.range.meta`
-  * = `style,column,n,min,max`, published by [[graft.operators.FragmentEngine]]
+  * = `style,column,n,min,max,path`, published by [[graft.operators.FragmentEngine]]
   * (`style=ref`: the reference's accumulated-bound boundary rule) and
   * [[graft.operators.Fragmentation]] (`style=closed`: closed-form width
   * buckets). Overlap is computed with the SAME arithmetic as the matching
@@ -37,15 +38,18 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
       try SQLConf.get.getConfString(DeriveFragmentPruning.MetaKey, "")
       catch { case _: Throwable => "" }
     if (metaStr.isEmpty) return plan
-    val (style, valueCol, n, mn, mx) = metaStr.split(",") match {
-      case Array(s, c, n0, mn0, mx0) => (s, c, n0.toInt, mn0.toDouble, mx0.toDouble)
-      case _                         => return plan
+    // path is last and parsed with a split limit: it may itself contain commas
+    val (style, valueCol, n, mn, mx, dsPath) = metaStr.split(",", 6) match {
+      case Array(s, c, n0, mn0, mx0, p) =>
+        (s, c, n0.toInt, mn0.toDouble, mx0.toDouble, p.stripSuffix("/"))
+      case _ => return plan
     }
     plan.transform {
       case f @ Filter(cond, child)
           if child.output.exists(_.name == "part") &&
             child.output.exists(_.name == valueCol) &&
-            !cond.references.exists(_.name == "part") =>
+            !cond.references.exists(_.name == "part") &&
+            scansFragmentedDataset(child, dsPath) =>
         valueBounds(cond, valueCol) match {
           case Some((lo, hi)) =>
             // clamp to the fragmented domain: stored rows are always within
@@ -73,6 +77,26 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
         }
     }
   }
+
+  /** True iff the subtree actually scans the published fragmented dataset —
+    * a file relation whose root paths sit at/under `dsPath`. Matching by
+    * column names alone would misfire on ANY DataFrame that happens to carry
+    * `part` + the value column (the engine's own round-robin dataset does!)
+    * and silently drop its rows; the dataset path is the identity.
+    */
+  private def scansFragmentedDataset(plan: LogicalPlan, dsPath: String): Boolean =
+    dsPath.nonEmpty && plan.collectLeaves().exists {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists { rp =>
+              val p = rp.toUri.getPath
+              p == dsPath || p.startsWith(dsPath + "/")
+            }
+          case _ => false
+        }
+      case _ => false
+    }
 
   /** Extract a conservative [lo, hi] interval implied for the value column by
     * the conjunctive predicate; None if unconstrained (or only constrained
@@ -124,14 +148,18 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
 object DeriveFragmentPruning {
   val MetaKey = "spark.graft.range.meta"
 
-  /** Publish bucket metadata for [[DeriveFragmentPruning]]. */
+  /** Publish bucket metadata for [[DeriveFragmentPruning]]. `path` is the
+    * fragmented dataset's root directory — the rule only rewrites Filters
+    * whose subtree scans THAT dataset, never a column-name coincidence.
+    */
   def publish(
       spark: org.apache.spark.sql.SparkSession,
       style: String,
       valueCol: String,
       n: Int,
       min: Double,
-      max: Double
+      max: Double,
+      path: String
   ): Unit =
-    spark.conf.set(MetaKey, s"$style,$valueCol,$n,$min,$max")
+    spark.conf.set(MetaKey, s"$style,$valueCol,$n,$min,$max,$path")
 }

@@ -26,6 +26,34 @@ object PipelineQueries {
   private def minhashSql(j: Int) =
     s"list_aggregate(list_transform(sh, x -> md5('$j|' || x)), 'min')"
 
+  /** Embedding vector dimension in the testdata tables (all sf). Passed
+    * explicitly so the LSH operators never probe the data for it.
+    */
+  private val EmbDim = 64
+
+  /** DuckDB CTEs regenerating the EXACT hyperplanes of
+    * [[graft.operators.Similarity.hyperplanes]] (md5-derived, float-rounded,
+    * widened back to double — bit-identical, validated) plus per-vector
+    * bucket signatures; `rel` filters the vecs CTE (e.g. "vec_id < 5").
+    */
+  private def bucketsSql(bits: Int, seed: Int = 42): String =
+    s"""planes AS (
+       |  SELECT p, list_transform(range(0, $EmbDim), i ->
+       |    CAST(CAST(list_sum(list_transform(range(1, 9), ii ->
+       |      (strpos('0123456789abcdef',
+       |              substr(md5('plane|$seed|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+       |                     CAST(ii AS INT), 1)) - 1) * pow(16, 8 - ii)))
+       |      / 4294967296.0 * 2 - 1 AS REAL) AS DOUBLE)) AS w
+       |  FROM (SELECT unnest(range(0, $bits)) AS p)),
+       |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |         FROM embeddings),
+       |buckets AS (
+       |  SELECT vec_id, e,
+       |    string_agg(CASE WHEN list_dot_product(e, w) >= 0 THEN '1' ELSE '0' END,
+       |               '' ORDER BY p) AS bucket
+       |  FROM vecs, planes GROUP BY vec_id, e)"""
+      .stripMargin.replaceAll("\\s+", " ")
+
   val entries: Seq[QEntry] = Seq(
     // Exact dedup: content-hash group, keep lowest id.
     QEntry.sql(
@@ -100,20 +128,45 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
     },
 
-    // Embedding-cosine near-dup pairs (exact, low threshold so the check has
-    // rows on this corpus; production path uses LSH blocking — see ann_lsh_*).
+    // Embedding-cosine near-dup pairs on the LSH-blocked scale path (the plan
+    // you'd run at 100 TB: bucket equi-joins OR-ed over 4 independent 4-bit
+    // hyperplane tables, candidate pairs deduplicated before the cosine —
+    // never all-pairs). The twin regenerates the identical md5 hyperplanes
+    // and bucket keys in SQL, so the blocking itself is verified
+    // value-for-value, not just the final pairs.
     QEntry.sql(
       "dedup_embedding_cosine",
-      """SELECT id1, id2, cos FROM (
-        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |    round(list_dot_product(a.e, b.e) /
-        |          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
-        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) a
-        |  JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) b
-        |  ON a.vec_id < b.vec_id) t WHERE cos >= 0.45"""
+      s"""WITH planes AS (
+         |  SELECT t, p, list_transform(range(0, $EmbDim), i ->
+         |    CAST(CAST(list_sum(list_transform(range(1, 9), ii ->
+         |      (strpos('0123456789abcdef',
+         |              substr(md5('plane|' || CAST(42 + t AS VARCHAR) || '|' ||
+         |                         CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+         |                     CAST(ii AS INT), 1)) - 1) * pow(16, 8 - ii)))
+         |      / 4294967296.0 * 2 - 1 AS REAL) AS DOUBLE)) AS w
+         |  FROM (SELECT unnest(range(0, 4)) AS t), (SELECT unnest(range(0, 4)) AS p)),
+         |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |         FROM embeddings),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    string_agg(CASE WHEN list_dot_product(e, w) >= 0 THEN '1' ELSE '0' END,
+         |               '' ORDER BY p) AS bucket
+         |  FROM vecs, planes GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM buckets a JOIN buckets b
+         |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, cos FROM (
+         |  SELECT id1, id2,
+         |    round(list_dot_product(va.e, vb.e) /
+         |          (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos
+         |  FROM cand JOIN vecs va ON id1 = va.vec_id
+         |            JOIN vecs vb ON id2 = vb.vec_id) t WHERE cos >= 0.45"""
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
-      Similarity.nearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45, blocked = false)
+      Similarity
+        .nearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45, blocked = true,
+          bits = 4, dim = EmbDim, tables = 4)
     },
 
     // Brute-force cosine top-10 for the first 5 vectors (the exact baseline).
@@ -139,22 +192,73 @@ object PipelineQueries {
         .withColumn("rank", col("rank").cast("bigint")) // match oracle's BIGINT row_number
     },
 
-    // LSH bucket assignment (engine-internal hyperplane hash → rows-only).
-    QEntry.rowsOnly("ann_lsh_buckets") { (s, d) =>
-      Similarity.lshBuckets(embeddings(s, d), "vec_id", "embedding").drop("embedding")
+    // LSH bucket assignment, verified value-for-value: the twin regenerates
+    // the md5-derived hyperplanes and recomputes every 8-bit signature.
+    QEntry.sql(
+      "ann_lsh_buckets",
+      s"WITH ${bucketsSql(bits = 8)} SELECT vec_id, bucket FROM buckets"
+    ) { (s, d) =>
+      Similarity
+        .lshBuckets(embeddings(s, d), "vec_id", "embedding", dim = EmbDim)
+        .drop("embedding")
     },
 
-    // LSH-restricted approximate top-k (recall asserted in SimilaritySpec).
-    QEntry.rowsOnly("ann_lsh_topk") { (s, d) =>
+    // LSH-restricted approximate top-k (recall vs brute force asserted in
+    // PipelineOpsSpec; here the twin replays bucketing + candidate ranking).
+    QEntry.sql(
+      "ann_lsh_topk",
+      s"""WITH ${bucketsSql(bits = 4)}
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round(list_dot_product(q.e, c.e) /
+         |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos
+         |    FROM (SELECT * FROM buckets WHERE vec_id < 5) q
+         |    JOIN buckets c ON q.bucket = c.bucket AND c.vec_id != q.vec_id) s) r
+         |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
       val emb = embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, bits = 4)
+      Similarity
+        .lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          bits = 4, dim = EmbDim)
+        .withColumn("rank", col("rank").cast("bigint"))
     },
 
-    // IVF coarse-quantizer approximate top-k (recall asserted in
-    // PipelineOpsSpec) — the inverted-list ANN scale path.
-    QEntry.rowsOnly("ann_ivf_topk") { (s, d) =>
+    // IVF coarse-quantizer approximate top-k — the inverted-list ANN scale
+    // path. Stride centroids are deterministic, so the twin replays the whole
+    // assign → probe → rank pipeline (cell argmax on unrounded cosine, exact
+    // ranking inside probed cells).
+    QEntry.sql(
+      "ann_ivf_topk",
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |             FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, e AS ce FROM vecs WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT vec_id, e, cell, cr FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.e, c.ce) /
+        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+        |        c.cell) AS cr
+        |    FROM vecs v, cents c) t)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      round(list_dot_product(q.e, n.e) /
+        |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))), 6) AS cos
+        |    FROM (SELECT * FROM assign WHERE vec_id < 5 AND cr <= 3) q
+        |    JOIN (SELECT * FROM assign WHERE cr <= 1) n
+        |    ON q.cell = n.cell AND n.vec_id != q.vec_id) s) r
+        |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
       val emb = embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      Similarity
+        .ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .withColumn("rank", col("rank").cast("bigint"))
     },
 
     // Deterministic hash sampling: reproducible across engines, runs, and

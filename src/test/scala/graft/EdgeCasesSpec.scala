@@ -81,4 +81,57 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out("2024-01-03") == ((0L, Some(10.0))))
     assert(out("2024-01-04") == ((1L, Some(20.0))))
   }
+
+  test("rowid counter: persisted across inserts, batches, and engine restarts; no rescan") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rowid").toString
+    val e1 = new operators.FragmentEngine(spark, root)
+    e1.loadRatings("ratings", "/root/reference/test_data1.txt") // 20 rows → next = 20
+    e1.rangePartition("ratings", 5)
+    e1.roundRobinPartition("ratings", 5)
+    assert(e1.catalog.readNextRowId("ratings").contains(20L))
+    e1.rangeInsert("ratings", 100, 1, 3.0) // _rowid 20
+    e1.roundRobinInsert("ratings", 101, 2, 2.5) // _rowid 21
+    assert(e1.catalog.readNextRowId("ratings").contains(22L))
+    // a fresh engine over the same root continues the sequence (restart)
+    val e2 = new operators.FragmentEngine(spark, root)
+    val s = spark
+    import s.implicits._
+    e2.roundRobinInsertBatch("ratings", Seq((102, 3, 1.5), (103, 4, 4.5)).toDF("userid", "movieid", "rating"))
+    assert(e2.catalog.readNextRowId("ratings").contains(24L))
+    val ids = e2.master("ratings").select("_rowid").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(0L until 24L), s"rowids not dense: ${ids.mkString(",")}")
+    // migration path: a pre-counter dataset (no rowid file) falls back to one
+    // max-scan and then persists — and allocates the correct next id
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "ratings_rowid.json"))
+    e2.rangeInsert("ratings", 104, 5, 2.0) // _rowid 24 via max+1 fallback
+    assert(e2.catalog.readNextRowId("ratings").contains(25L))
+    assert(e2.master("ratings").agg(max("_rowid")).head().getLong(0) == 24L)
+    e2.deleteTables("ratings")
+    assert(e2.catalog.readNextRowId("ratings").isEmpty) // dropTable clears it
+  }
+
+  test("resample: non-daily step snaps to the grid; pre-start observation seeds the fill") {
+    val s = spark
+    import s.implicits._
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val df = Seq(
+      (1L, ts("2023-12-31 22:00:00"), 5.0), // before the grid: seeds ffill only
+      (1L, ts("2024-01-01 07:30:00"), 10.0) // inside the 06:00 bucket
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries
+      .resampleFfill(df, "user_id", "ts", "value",
+        "2024-01-01 00:00:00", "2024-01-01 12:00:00", "interval 6 hours")
+      .collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out.size == 3) // 00:00, 06:00, 12:00 — pre-start bucket not emitted
+    assert(out("2024-01-01 00:00:00") == ((0L, Some(5.0)))) // seeded, zero-count
+    assert(out("2024-01-01 06:00:00") == ((1L, Some(10.0))))
+    assert(out("2024-01-01 12:00:00") == ((0L, Some(10.0))))
+    // calendar intervals have no fixed micro-length → rejected loudly
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleFfill(df, "user_id", "ts", "value",
+        "2024-01-01", "2024-03-01", "interval 1 month")
+    }
+  }
 }

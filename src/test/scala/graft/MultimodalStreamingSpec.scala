@@ -48,6 +48,10 @@ class MultimodalStreamingSpec extends SparkSpec {
       .collect()
     assert(frames.length == 3) // ceil(700/256) = 3 <= 4
     assert(frames.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Array(0, 1, 2)))
+    // empty payload → zero frames, not the sequence(0,-1) descending hazard
+    // (which would emit spurious frame_idx 0 and -1 rows)
+    val empty = Seq((2L, "")).toDF("doc_id", "text")
+    assert(Multimodal.frameSlices(Multimodal.fromDocuments(empty), 256, 4).count() == 0)
   }
 
   test("binaryFile source reads a media directory with inferred modality") {

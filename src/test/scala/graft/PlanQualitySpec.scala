@@ -188,6 +188,35 @@ class PlanQualitySpec extends SparkSpec {
     } }
   }
 
+  test("pruning rule is scoped to the fragmented dataset path, not column names") {
+    withTempDir { root => withoutAqe {
+      val e = new FragmentEngine(spark, root)
+      e.loadRatings("ratings", "/root/reference/test_data1.txt")
+      e.rangePartition("ratings", 5)
+      e.roundRobinPartition("ratings", 5)
+      try {
+        e.rangeFragments() // publishes range meta for 'rating'
+        // the round-robin dataset ALSO carries (rating, part) columns, but
+        // part = _rowid mod n there — injecting range-bucket pruning into it
+        // would silently drop rows. The path scope must keep the rule out.
+        val rrPath = s"$root/${FragmentEngine.RoundRobinDataset}"
+        val rr = spark.read.parquet(rrPath).filter(col("rating") === 4.5)
+        val got = rr.count()
+        spark.conf.unset(graft.plans.DeriveFragmentPruning.MetaKey)
+        val expected = spark.read.parquet(rrPath).filter(col("rating") === 4.5).count()
+        assert(got == expected, s"rule misfired on round-robin dataset: $got != $expected")
+        assert(expected > 0) // the check is vacuous if nothing matches
+        // ... and an in-memory DataFrame with coincidental column names
+        e.rangeFragments() // re-publish
+        val s = spark
+        import s.implicits._
+        val coincidental = Seq((4.5, 0), (4.5, 3)).toDF("rating", "part")
+          .filter(col("rating") === 4.5)
+        assert(coincidental.count() == 2)
+      } finally spark.conf.unset(graft.plans.DeriveFragmentPruning.MetaKey)
+    } }
+  }
+
   test("generic fragmented dataset prunes via the closed-form rule metadata") {
     withTempDir { root => withoutAqe {
       try {
