@@ -23,11 +23,14 @@ object Bench {
         graft.operators.Dedup
           .minhashSignatures(Tables.documents(s, d), "doc_id", "text", fast = true))
     )
+    // optional comma-separated name filter for single-query iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val picked = allQueries.filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup lap at the smallest sf: JIT + codegen compilation + parquet
     // footer caches, so timed numbers reflect steady state
     val warmDir = "/root/testdata/sf0.001"
     if (sys.env.get("SPARK_GRAFT_NOWARMUP").isEmpty && new java.io.File(warmDir).isDirectory) {
-      allQueries.foreach { case (_, fn) =>
+      picked.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -36,7 +39,7 @@ object Bench {
     // as multi-second spikes on sub-second queries; the min is the honest
     // steady-state cost of the plan
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = allQueries.map { case (name, fn) =>
+    val results = picked.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

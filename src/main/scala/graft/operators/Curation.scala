@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Corpus-curation operators a large-scale training-data pipeline runs after
+  * dedup and before training: eval-set decontamination, PII redaction,
+  * repetition-based quality signals, and token-budget sequence packing.
+  *
+  * Everything is column expressions + equi-joins + keyed windows — the shapes
+  * that survive 100 TB. No driver loops, no UDFs, and every operator has a
+  * portable DuckDB twin (see [[graft.queries.CurationQueries]]).
+  */
+object Curation {
+
+  /** Train/eval contamination pairs: training docs sharing at least
+    * `minOverlap` distinct word k-grams with an eval doc, with the overlap
+    * count. The join key is the shingle (shuffle on a scalar string key, same
+    * shape as [[Dedup.ngramJaccardPairs]]) — |overlap| arrives as the
+    * join-group count, so no per-pair set materializes and the eval side,
+    * being small, broadcasts. This is the standard n-gram decontamination
+    * check (eval benchmarks leaking into pretraining corpora).
+    */
+  def contaminationPairs(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      minOverlap: Int = 1
+  ): DataFrame = {
+    def shingled(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as), TextAnalysis.tokens(col(textCol)).as("_ws"))
+        .select(col(as), array_distinct(Dedup.shinglesFromWords(col("_ws"), k)).as("_shs"))
+        .select(col(as), explode_outer(col("_shs")).as("_sh"))
+        .filter(col("_sh").isNotNull)
+    shingled(train, "train_id")
+      .join(broadcast(shingled(eval, "eval_id")), "_sh")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minOverlap)
+  }
+
+  // PII patterns, ASCII-simplified so the identical regex runs under both
+  // Java regex and DuckDB's RE2. Deliberately conservative shapes: emails,
+  // IPv4s, and long digit runs (account/phone-number-ish).
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val LongDigitsPattern = "[0-9]{9,}"
+
+  /** Per-document PII counts + the scrubbed text with typed placeholders.
+    * Order matters: emails first (they contain digits/dots), then IPv4s,
+    * then long digit runs.
+    */
+  def piiScrub(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, LongDigitsPattern, "<NUM>")
+  }
+
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("bigint"),
+    size(regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"), lit(Ipv4Pattern), lit(0)))
+      .cast("bigint"),
+    size(
+      regexp_extract_all(
+        regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"),
+        lit(LongDigitsPattern),
+        lit(0)
+      )
+    ).cast("bigint")
+  )
+
+  /** Word-repetition quality stats (the Gopher-style repetition signal):
+    * per-doc total/distinct token counts, the most-frequent token's share,
+    * and the duplicate-word ratio. Explode → two-level hash aggregate —
+    * partial aggregation keeps the shuffle at one row per (doc, word).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .select(col(idCol), explode_outer(col("_ws")).as("_w"))
+      .filter(col("_w").isNotNull && col("_w") =!= "")
+    words
+      .groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("_c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("_c").as("_maxc")
+      )
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(col("_maxc").cast("double") / col("n_tokens"), 4).as("top_token_ratio"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4).as("dup_ratio")
+      )
+  }
+
+  /** Token-budget sequence packing: within each `partCols` stratum, assign
+    * docs (in `idCol` order) to consecutive packs of ~`budget` tokens via a
+    * running token total — pack k holds the docs whose cumulative count lands
+    * in (k*budget, (k+1)*budget]. The window is PARTITIONED (keyed shuffle +
+    * sort): packing parallelizes across strata, which is how you'd shard it
+    * at 100 TB (per language/source/date-bucket), never one global order.
+    */
+  def packByTokenBudget(
+      df: DataFrame,
+      partCols: Seq[String],
+      idCol: String,
+      textCol: String,
+      budget: Int
+  ): DataFrame = {
+    require(partCols.nonEmpty, "packByTokenBudget needs stratum columns — a global pack order would serialize")
+    val w = Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+      partCols.map(col) ++ Seq(
+        col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("bigint").as("n_tokens")
+      ): _*
+    ).withColumn("pack_id", floor((sum("n_tokens").over(w) - 1) / budget).cast("bigint"))
+  }
+}

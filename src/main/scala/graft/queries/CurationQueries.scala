@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.Curation
+
+/** Corpus-curation battery: eval-set decontamination, PII scrub, repetition
+  * quality signals, token-budget packing. All DuckDB-oracled value-for-value.
+  */
+object CurationQueries {
+
+  private val wordsSql = """string_split_regex(trim(text), '\s+')"""
+  /** 3-word shingles, 1-based list indexing — twin of Dedup.shingles. */
+  private val shinglesSql =
+    s"""list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+       |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  // deterministic synthetic PII, buildable identically in both engines — the
+  // documents corpus itself is clean, so the scrubber needs planted targets
+  private val piiTextSql =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |'@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |' ref ' || CAST(900000000 + doc_id AS VARCHAR)"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  val entries: Seq[QEntry] = Seq(
+    // Decontamination: training docs sharing any 3-gram with the (synthetic)
+    // eval split doc_id % 10 == 0. Shingle equi-join; overlap = group count.
+    QEntry.sql(
+      "cur_decontamination",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+         |  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w)
+         |SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS common
+         |FROM (SELECT * FROM sh WHERE doc_id % 10 != 0) a
+         |JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b ON a.s = b.s
+         |GROUP BY 1, 2""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      Curation.contaminationPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id",
+        "text"
+      )
+    },
+
+    // PII scrub: counts per category + md5 of the redacted text (email →
+    // IPv4 → long-digit-run, in that order on both engines).
+    QEntry.sql(
+      "cur_pii_scrub", {
+        val email = Curation.EmailPattern.replace("\\", "\\")
+        val ip = Curation.Ipv4Pattern
+        val num = Curation.LongDigitsPattern
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(regexp_replace(t, '$email', '<EMAIL>', 'g'), '$ip')) AS BIGINT) AS n_ips,
+           |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+           |        '$ip', '<IP>', 'g'), '$num')) AS BIGINT) AS n_nums,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+           |        '$ip', '<IP>', 'g'), '$num', '<NUM>', 'g')) AS red_md5
+           |FROM (SELECT doc_id, $piiTextSql AS t FROM documents) p"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val withPii = documents(s, d).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0.0."), (col("doc_id") % 256).cast("string"),
+          lit(" ref "), (col("doc_id") + 900000000L).cast("string")
+        ).as("t")
+      )
+      val (nEmails, nIps, nNums) = Curation.piiCounts(col("t"))
+      withPii.select(
+        col("doc_id"),
+        nEmails.as("n_emails"),
+        nIps.as("n_ips"),
+        nNums.as("n_nums"),
+        md5(Curation.piiScrub(col("t"))).as("red_md5")
+      )
+    },
+
+    // Repetition quality signal (Gopher-style): token totals, distincts,
+    // top-token share, duplicate-word ratio.
+    QEntry.sql(
+      "cur_repetition",
+      s"""SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_distinct,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_ratio,
+         |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_ratio
+         |FROM (
+         |  SELECT doc_id, w, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents) u
+         |  WHERE w != '' GROUP BY doc_id, w) t
+         |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Curation.repetitionStats(documents(s, d), "doc_id", "text") },
+
+    // Token-budget packing within language strata: running token totals in
+    // doc_id order → pack assignment (keyed window — parallel across langs).
+    QEntry.sql(
+      "cur_token_packing",
+      s"""SELECT lang, doc_id, n_tokens,
+         |  CAST(floor((cum - 1) / 500.0) AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT lang, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT lang, doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tokens
+         |        FROM documents) t) c""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.packByTokenBudget(documents(s, d), Seq("lang"), "doc_id", "text", 500)
+    }
+  )
+}

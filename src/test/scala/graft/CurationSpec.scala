@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Targeted semantics tests for the corpus-curation operators (the sf0.01
+  * value-for-value checks live in the DuckDB oracle entries).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("decontamination flags only train docs sharing a 3-gram with eval") {
+    val train = docs(
+      1L -> "the quick brown fox jumps over fences",
+      2L -> "completely unrelated training content here",
+      3L -> "quick brown fox appears here too somehow"
+    )
+    val eval = docs(100L -> "watch the quick brown fox leap")
+    val out = Curation
+      .contaminationPairs(train, eval, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares "the quick brown" + "quick brown fox" (2 grams), doc 3
+    // shares "quick brown fox" (1); doc 2 is clean
+    assert(out.map(t => ((t._1, t._2), t._3)).toMap == Map((1L, 100L) -> 2L, (3L, 100L) -> 1L))
+  }
+
+  test("pii scrub redacts emails, IPv4s, and long digit runs in order") {
+    val df = docs(1L -> "mail bob.smith+x@corp.example.org from 192.168.0.1 acct 123456789 tail")
+    val red = df.select(Curation.piiScrub(col("text"))).head().getString(0)
+    assert(red == "mail <EMAIL> from <IP> acct <NUM> tail")
+    val (e, i, n) = Curation.piiCounts(col("text"))
+    val counts = df.select(e, i, n).head()
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((1L, 1L, 1L)))
+    // short digit runs and bare words survive
+    val clean = docs(2L -> "version 1.2.3 build 42")
+    assert(clean.select(Curation.piiScrub(col("text"))).head().getString(0) == "version 1.2.3 build 42")
+  }
+
+  test("repetition stats: totals, distincts, top-token share, dup ratio") {
+    val df = docs(1L -> "a a a b b c", 2L -> "x y z")
+    val out = Curation
+      .repetitionStats(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((6L, 3L, 0.5, 0.5)))   // 6 tokens, 3 distinct, 'a' 3/6
+    assert(out(2L) == ((3L, 3L, 0.3333, 0.0)))
+  }
+
+  test("token packing: cumulative budget boundaries, parallel per stratum") {
+    val s = spark
+    import s.implicits._
+    // 4 docs of 3 tokens each, budget 6 → packs 0,0,1,1 within the stratum
+    val df = Seq(
+      ("en", 1L, "w w w"), ("en", 2L, "w w w"), ("en", 3L, "w w w"), ("en", 4L, "w w w"),
+      ("de", 9L, "w w w w w w w") // 7 tokens > budget: alone in pack 1 (cum 7)
+    ).toDF("lang", "doc_id", "text")
+    val out = Curation
+      .packByTokenBudget(df, Seq("lang"), "doc_id", "text", 6)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(out(("en", 1L)) == 0L && out(("en", 2L)) == 0L) // cum 3, 6
+    assert(out(("en", 3L)) == 1L && out(("en", 4L)) == 1L) // cum 9, 12
+    assert(out(("de", 9L)) == 1L)
+    // a global (un-stratified) pack order is refused
+    intercept[IllegalArgumentException] {
+      Curation.packByTokenBudget(df, Seq.empty, "doc_id", "text", 6)
+    }
+  }
+}
