@@ -60,6 +60,23 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup on a content key: duplicates arriving within the
+    * watermark horizon are dropped (state holds one entry per key and is
+    * evicted once the watermark passes — bounded, unlike a global
+    * dropDuplicates whose state grows forever). The batch twin is
+    * [[graft.operators.Dedup.exactDedup]]; on a batch frame Spark executes
+    * this as a plain aggregate-style distinct.
+    */
+  def dedupWithinWatermark(
+      docs: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Streaming round-robin ingestion: every micro-batch is appended to the
     * master dataset AND round-robin-routed to fragments, continuing the
     * engine's `lastInserted` counter exactly like sequential

@@ -134,6 +134,29 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed(("2024-01-01 10:00", "click")) == ((2L, 3.0)))
   }
 
+  test("streaming dedup within watermark drops duplicate content keys across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val q = StreamingOps
+      .dedupWithinWatermark(mem.toDF().toDF("ts", "h"), Seq("h"))
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    mem.addData((at(0), "doc-a"), (at(1), "doc-b"), (at(2), "doc-a")) // in-batch dup
+    q.processAllAvailable()
+    mem.addData((at(3), "doc-b"), (at(4), "doc-c")) // cross-batch dup (inside watermark)
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_out").collect().map(_.getString(1)).sorted
+    assert(keys.sameElements(Array("doc-a", "doc-b", "doc-c")), keys.mkString(","))
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     val s = spark
     import s.implicits._

@@ -94,6 +94,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")), plan)
   }
 
+  test("curation plans: broadcast eval side, no cartesian, keyed pack window") {
+    // decontamination: the eval side broadcasts; the join is a hash join on
+    // the shingle key — never a nested-loop/cartesian product
+    val decon = executedPlan(SparkEntry.queries("cur_decontamination")(spark, sf))
+    assert(decon.contains("BroadcastHashJoin"), decon)
+    assert(!decon.contains("CartesianProduct") && !decon.contains("BroadcastNestedLoopJoin"), decon)
+    // blocked near-dup: bucket equi-joins only — the cartesian baseline must
+    // not appear in the driver entry's plan
+    val ndup = executedPlan(SparkEntry.queries("dedup_embedding_cosine")(spark, sf))
+    assert(!ndup.contains("CartesianProduct") && !ndup.contains("BroadcastNestedLoopJoin"), ndup)
+    // token packing: the running-total window partitions by the stratum key
+    val pack = executedPlan(SparkEntry.queries("cur_token_packing")(spark, sf))
+    assert(pack.contains("Window"), pack)
+    assert(pack.contains("partitionBy" ) || pack.contains("hashpartitioning(lang"), pack)
+  }
+
   test("co-bucketed join plans with no shuffle exchange") {
     withoutAqe {
       def cleanup(): Unit = Seq("b_orders", "b_lineitem").foreach { t =>
