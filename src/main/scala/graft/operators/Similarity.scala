@@ -204,16 +204,46 @@ object Similarity {
         .withColumn("cn", sqrt(expr("graft_dot(cv, cv)")))
     )
     def assign(df: DataFrame, asId: String, asVec: String, probes: Int): DataFrame = {
-      val w = Window
-        .partitionBy(asId)
-        .orderBy(col("_cellCos").desc, col("cell"))
-      df.select(col(idCol).as(asId), col(vecCol).as(asVec))
+      val scored = df
+        .select(col(idCol).as(asId), col(vecCol).as(asVec))
         .withColumn("_n", sqrt(expr(s"graft_dot($asVec, $asVec)")))
         .crossJoin(centroids)
         .withColumn("_cellCos", expr(s"graft_dot($asVec, cv)") / (col("_n") * col("cn")))
-        .withColumn("_cr", row_number().over(w))
-        .filter(col("_cr") <= probes)
-        .select(col(asId), col(asVec), col("_n"), col("cell"))
+      if (probes == 1) {
+        // corpus side: argmax as an AGGREGATE (max over (cos, -cell) ranks
+        // exactly like the window's cos DESC, cell ASC) — partial aggregation
+        // collapses the ×nlist centroid fan-out map-side, so the shuffle
+        // carries one row per vector. The window formulation would shuffle
+        // AND sort ×nlist rows — the difference between fine and pathological
+        // at 100 TB corpus scale.
+        scored
+          .groupBy(col(asId))
+          .agg(
+            max(
+              struct(
+                col("_cellCos"),
+                (-col("cell")).as("_negCell"),
+                col(asVec).as("_v"),
+                col("_n").as("_nn")
+              )
+            ).as("_best")
+          )
+          .select(
+            col(asId),
+            col("_best._v").as(asVec),
+            col("_best._nn").as("_n"),
+            (-col("_best._negCell")).as("cell")
+          )
+      } else {
+        // query side: tiny by construction — a window top-nProbe is fine
+        val w = Window
+          .partitionBy(asId)
+          .orderBy(col("_cellCos").desc, col("cell"))
+        scored
+          .withColumn("_cr", row_number().over(w))
+          .filter(col("_cr") <= probes)
+          .select(col(asId), col(asVec), col("_n"), col("cell"))
+      }
     }
     val corpusCells = assign(corpus, "neighbor_id", "nv", 1)
       .withColumnRenamed("_n", "nn")
