@@ -278,10 +278,17 @@ object RelationalQueries {
     ) { (s, d) =>
       // rsd 0.01 → HLL++ stderr ~1%; the 5% gate leaves ~5 sigma of headroom,
       // so the boolean is deterministic-in-practice at any sf.
+      // Two-level aggregate, not countDistinct+HLL in one agg: mixing a
+      // distinct aggregate with a non-distinct one makes Catalyst Expand
+      // every input row; pre-distincting the pairs keeps both levels plain
+      // partial-agg shuffles (HLL over distinct ids = HLL over raw ids —
+      // duplicate-insensitive by construction).
       events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("_dup"))
         .groupBy("event_type")
         .agg(
-          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.01).as("_approx")
         )
         .select(
