@@ -50,7 +50,26 @@ object TimeSeries {
     val perBucket = events
       .filter(col(tsCol) <= expr(s"timestamp'$end' + $step")) // post-grid rows can never surface
       .groupBy(col(keyCol), bucket.as("_d"))
-      .agg(count(lit(1)).as("_cnt"), round(avg(col(valueCol)), 4).as("_avg"))
+      // Bucket mean in EXACT integer arithmetic (1e-6 value units), rounded
+      // HALF_UP to 4 dp via integer floor((units + 50·cnt) / (100·cnt)).
+      // Two cross-engine hazards force this: (1) avg(double) is summation-
+      // order-dependent (Spark partial agg vs a sequential oracle — observed
+      // 2/45000 boundary flips at sf0.1); (2) even on identical doubles,
+      // Spark's round() rounds the SHORTEST DECIMAL STRING of the double
+      // (67.49124999…→"67.49125"→HALF_UP→67.4913) while engines that round
+      // the binary value get 67.4912. Integers sidestep both. Non-negative
+      // values assumed (floor == toward-zero); 1e-6 quantization is exact
+      // for inputs with ≤6 decimal digits.
+      .agg(
+        count(lit(1)).as("_cnt"),
+        sum((col(valueCol).cast("decimal(24,6)") * 1000000).cast("long")).as("_units")
+      )
+      .select(
+        col(keyCol),
+        col("_d"),
+        col("_cnt"),
+        (expr("(_units + _cnt * 50) div (_cnt * 100)").cast("double") / 10000.0).as("_avg")
+      )
     val grid = events
       .select(col(keyCol))
       .distinct()

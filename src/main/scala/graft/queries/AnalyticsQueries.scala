@@ -256,7 +256,8 @@ object AnalyticsQueries {
         |        (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
         |                INTERVAL 1 DAY)) AS d) g0) g
         |  LEFT JOIN (SELECT user_id, date_trunc('day', ts) AS d, count(*) AS cnt,
-        |               round(avg(value), 4) AS avg_v
+        |               CAST((CAST(sum(CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT)) AS BIGINT)
+        |                     + count(*) * 50) // (count(*) * 100) AS DOUBLE) / 10000.0 AS avg_v
         |             FROM events GROUP BY 1, 2) daily
         |  ON g.user_id = daily.user_id AND g.d = daily.d) t"""
         .stripMargin.replaceAll("\\s+", " ")
