@@ -9,7 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Cross-engine determinism rules every entry follows:
   *   - double aggregates are `round(..., k)`-ed on BOTH sides (sum order
-  *     differs between engines; rounding collapses the 1e-10 noise),
+  *     differs between engines; rounding collapses the 1e-10 noise). Note
+  *     rounding is mitigation, not proof: a mean/sum landing within 1e-10 of
+  *     a round-boundary can still flip (and Spark's round() rounds the
+  *     double's SHORTEST DECIMAL STRING, not its binary value — a second
+  *     disagreement source at exact .5 strings). Where a boundary flip was
+  *     actually observed (resampleFfill at sf0.1) the stat is computed in
+  *     exact integer units instead — use that pattern if another entry ever
+  *     goes boundary-flaky,
   *   - no raw timestamps in output — formatted to strings in UTC,
   *   - hash functions in oracled outputs restricted to md5 (identical hex in
   *     Spark and DuckDB); engine-internal hashes (xxhash64 etc.) appear only
