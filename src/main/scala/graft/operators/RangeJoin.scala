@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bin-bucketized range (interval) join — the non-equi join Spark has no
+  * native operator for. A naive `a.join(b, $"p" >= $"lo" && $"p" < $"hi")`
+  * plans as BroadcastNestedLoopJoin: O(|points|·|intervals|) comparisons,
+  * the plan that dies first at scale.
+  *
+  * The standard fix (used by every interval-join engine): quantize the value
+  * domain into fixed-width bins. A point belongs to exactly ONE bin; an
+  * interval is exploded to every bin it overlaps. The join becomes an
+  * EQUI-join on the bin id (shuffle on a scalar key) followed by the exact
+  * `lo <= p < hi` residual filter. Cost drops to O(candidates in same bin);
+  * each (point, interval) pair meets at most once — the point's single bin —
+  * so no post-join dedup is needed. Bin width trades explode fan-out
+  * (wide intervals / narrow bins) against candidate density (wide bins).
+  */
+object RangeJoin {
+
+  private def binOf(v: Column, width: Double): Column =
+    floor(v / width).cast("long")
+
+  /** Join `points` (value `pointCol`) to `intervals` (half-open
+    * [`loCol`, `hiCol`)) on containment. All other columns of both inputs
+    * are carried through.
+    */
+  def pointIntervalJoin(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("_bin", binOf(col(pointCol), binWidth))
+    val iv = intervals
+      .withColumn(
+        "_bin",
+        // hi is exclusive: an interval ending exactly on a bin boundary does
+        // not overlap that bin (guard against the descending-sequence hazard
+        // for empty intervals lo >= hi)
+        explode(
+          when(
+            col(loCol) < col(hiCol),
+            sequence(
+              binOf(col(loCol), binWidth),
+              binOf(col(hiCol), binWidth) -
+                when(pmod(col(hiCol), lit(binWidth)) === 0.0, 1L).otherwise(0L)
+            )
+          ).otherwise(array().cast("array<long>"))
+        )
+      )
+    p.join(iv, "_bin")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bin")
+  }
+}

@@ -265,6 +265,39 @@ object AnalyticsQueries {
       TimeSeries.resampleFfill(events(s, d), "user_id", "ts", "value", "2024-01-01", "2024-01-30")
     },
 
+    // Range (interval) join via bin bucketization: events land in OVERLAPPING
+    // value bands [b*10, b*10+15) — a genuine non-equi join that Spark would
+    // otherwise nested-loop. The operator quantizes to 10-wide bins, exploding
+    // each band to its 2-3 bins, and equi-joins on the bin id; DuckDB oracles
+    // it with the plain inequality join.
+    QEntry.sql(
+      "q_range_join_bands",
+      """SELECT band_id, count(*) AS cnt, round(CAST(sum(CAST(CAST(value AS DECIMAL(24,6))
+        |    * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_v
+        |FROM (SELECT band_id, band_id * 10.0 AS lo, band_id * 10.0 + 15.0 AS hi
+        |      FROM (SELECT unnest(range(0, 56)) AS band_id)) b
+        |JOIN events e ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val bands = s.range(56).select(
+        col("id").as("band_id"),
+        (col("id") * 10.0).as("lo"),
+        (col("id") * 10.0 + 15.0).as("hi")
+      )
+      graft.operators.RangeJoin
+        .pointIntervalJoin(events(s, d).select("event_id", "value"), "value", bands, "lo", "hi", 10.0)
+        .groupBy("band_id")
+        .agg(
+          count(lit(1)).as("cnt"),
+          // exact integer-unit sum → order-free (see QEntry scaladoc)
+          round(
+            sum((col("value").cast("decimal(24,6)") * 1000000).cast("long")).cast("double")
+              / 1000000.0,
+            2
+          ).as("sum_v")
+        )
+    },
+
     // Collection aggregate: per-group distinct set, deterministically sorted
     // and joined to a string (portable across engines; raw array outputs
     // don't hash portably).
