@@ -65,6 +65,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val sf = sfDir.stripSuffix("/").split('/').last // basename: every byte of margin counts
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
   }
 }
