@@ -62,7 +62,10 @@ object Bench {
     // unparseable JSON (BENCH parsed:null in rounds 1-2). 3-decimal seconds
     // is plenty of resolution for 64 sub-10s queries.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    // per-query at 2 decimals (10 ms — plenty for regression tracking);
+    // only the headline total keeps 3
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sf = sfDir.stripSuffix("/").split('/').last // basename: every byte of margin counts

@@ -57,4 +57,45 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval × interval overlap join: pairs with
+    * [lo1, hi1) ∩ [lo2, hi2) ≠ ∅, i.e. `lo1 < hi2 && lo2 < hi1`. Both sides
+    * explode to their overlapped bins and equi-join on the bin id; a pair
+    * sharing several bins would match once per shared bin, so the residual
+    * keeps only the FIRST shared bin (`bin == max(bin(lo1), bin(lo2))`) —
+    * the standard dedup-free formulation (no distinct over the pair set).
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      leftLo: String,
+      leftHi: String,
+      right: DataFrame,
+      rightLo: String,
+      rightHi: String,
+      binWidth: Double
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn(
+        "_bin",
+        explode(
+          when(
+            col(lo) < col(hi),
+            sequence(
+              binOf(col(lo), binWidth),
+              binOf(col(hi), binWidth) -
+                when(pmod(col(hi), lit(binWidth)) === 0.0, 1L).otherwise(0L)
+            )
+          ).otherwise(array().cast("array<long>"))
+        )
+      )
+    binned(left, leftLo, leftHi)
+      .as("a")
+      .join(binned(right, rightLo, rightHi).as("b"), col("a._bin") === col("b._bin"))
+      .filter(
+        col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi) &&
+          col("a._bin") === greatest(binOf(col(leftLo), binWidth), binOf(col(rightLo), binWidth))
+      )
+      .drop("_bin")
+  }
 }

@@ -298,6 +298,33 @@ object AnalyticsQueries {
         )
     },
 
+    // Interval × interval overlap join (bin-bucketized, dedup-free first-
+    // shared-bin residual): per-user observed value range vs overlapping
+    // alert bands. min/max are order-insensitive, so no float hazards.
+    QEntry.sql(
+      "q_interval_overlap_bands",
+      """SELECT band_id, count(*) AS n_users
+        |FROM (SELECT band_id, band_id * 25.0 AS blo, band_id * 25.0 + 30.0 AS bhi
+        |      FROM (SELECT unnest(range(0, 23)) AS band_id)) b
+        |JOIN (SELECT user_id, min(value) AS lo, max(value) + 1.0 AS hi
+        |      FROM events GROUP BY user_id) u
+        |ON b.blo < u.hi AND u.lo < b.bhi
+        |GROUP BY band_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val bands = s.range(23).select(
+        col("id").as("band_id"),
+        (col("id") * 25.0).as("blo"),
+        (col("id") * 25.0 + 30.0).as("bhi")
+      )
+      val userRanges = events(s, d)
+        .groupBy("user_id")
+        .agg(min("value").as("lo"), (max("value") + 1.0).as("hi"))
+      graft.operators.RangeJoin
+        .intervalOverlapJoin(bands, "blo", "bhi", userRanges, "lo", "hi", 25.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // Collection aggregate: per-group distinct set, deterministically sorted
     // and joined to a string (portable across engines; raw array outputs
     // don't hash portably).

@@ -44,7 +44,7 @@ class EdgeCasesSpec extends SparkSpec {
     // minimal structural check without a JSON lib: balanced + expected fields
     assert(json.startsWith("{") && json.endsWith("}"))
     for (k <- Seq("\"metric\":\"total\"", "\"value\":1.750", "\"unit\":\"sec\"",
-                  "\"queries\":{", "\"q1\":1.500", "\"sf\":\"sf0.1\""))
+                  "\"queries\":{", "\"q1\":1.50", "\"sf\":\"sf0.1\""))
       assert(json.contains(k), s"missing $k in $json")
     // and the driver-side parser accepts it (same shape json.loads expects)
     assert(json.count(_ == '{') == json.count(_ == '}'))
