@@ -35,19 +35,26 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    // best-of-N per query: transient machine noise (GC, co-tenants) shows up
-    // as multi-second spikes on sub-second queries; the min is the honest
-    // steady-state cost of the plan
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = picked.map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+    // best-of-N per query, INTERLEAVED: one pass over the whole suite per
+    // lap, per-query min across laps. Back-to-back repeats of one query share
+    // whatever transient is active (GC pause, co-tenant burst), so both
+    // samples spike together and best-of-N damps nothing — round 3 saw 4-10×
+    // phantom swings on unchanged plans this way. Laps decorrelate the
+    // samples (~suite-length apart), and an explicit GC between laps keeps
+    // one lap's garbage from billing the next lap's queries.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to iters).foreach { _ =>
+      picked.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
       }
-      name -> times.min
+      System.gc()
     }
+    val results = picked.map { case (name, _) => name -> best(name) }
     println(renderJson(results, sfDir))
     spark.stop()
   }

@@ -75,11 +75,16 @@ object Dedup {
     *
     * `fast = false` (default) hashes with md5 — cross-engine deterministic,
     * which is what lets the DuckDB oracle verify signatures value-for-value.
-    * `fast = true` swaps in xxhash64 (one 64-bit mix vs a 128-bit digest +
-    * hex formatting, and numPerm of them per shingle): identical plan shape
-    * and banding semantics, signature values are longs instead of hex
-    * strings. Use it on production corpora; keep md5 where external
-    * verification matters.
+    * ONE digest per shingle: perm j is hex slice [4j, 4j+4) of md5(shingle)
+    * (16 independent bits each, plenty for min-of-many-shingles banding) —
+    * 8× less hashing than a digest per perm, which was the single most
+    * expensive stage in the round-3 bench. The digest is materialized as a
+    * projected column BEFORE the aggregate so the slices share it (aggregate
+    * expressions get no cross-expression CSE).
+    * `fast = true` swaps in xxhash64 per perm (a 64-bit mix is ~free next to
+    * a digest): identical plan shape and banding semantics, signature values
+    * are longs instead of hex strings. Use it on production corpora; keep
+    * md5 where external verification matters.
     */
   def minhashSignatures(
       df: DataFrame,
@@ -89,16 +94,20 @@ object Dedup {
       rowsPerBand: Int = 2,
       fast: Boolean = false
   ): DataFrame = {
+    require(fast || numPerm * 4 <= 32, s"md5 path: numPerm <= 8 (got $numPerm)")
     val exploded = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
       .select(col(idCol), explode_outer(shinglesFromWords(col("_ws"))).as("_sh"))
+    val hashed =
+      if (fast) exploded
+      else exploded.select(col(idCol), md5(col("_sh")).as("_h"))
     val minExprs = (0 until numPerm).map { j =>
       val h =
         if (fast) xxhash64(lit(j), col("_sh"))
-        else md5(concat(lit(s"$j|"), col("_sh")))
+        else substring(col("_h"), j * 4 + 1, 4)
       min(h).as(s"m$j")
     }
-    val sig = exploded
+    val sig = hashed
       .groupBy(col(idCol))
       .agg(minExprs.head, minExprs.tail: _*)
     val bandCols = (0 until numPerm / rowsPerBand).map { b =>

@@ -170,8 +170,21 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     * continuing the `lastInserted` counter as if the rows had been inserted
     * sequentially — one distributed write per batch instead of a metadata
     * round-trip per row.
+    *
+    * Within-batch order, which decides each row's fragment, comes from
+    * `orderCols` when given (a global sort — deterministic for ANY batch
+    * partitioning, the option to use when the batch arrives through a
+    * shuffle). With `orderCols` empty the order is zipWithIndex over the
+    * batch's existing partitions — deterministic exactly when the batch's
+    * partition contents are (true for file-backed / single-partition
+    * micro-batches, NOT for a freshly shuffled frame); both contracts are
+    * specced in StreamingSpec.
     */
-  def roundRobinInsertBatch(tableName: String, batch: DataFrame): Unit =
+  def roundRobinInsertBatch(
+      tableName: String,
+      batch: DataFrame,
+      orderCols: Seq[String] = Nil
+  ): Unit =
     try {
       require(catalog.tableExists(tableName), s"$tableName table does not exist")
       val meta = catalog
@@ -180,7 +193,8 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       require(meta.totalPartitions > 0, "Total partitions <= 0")
       val n = meta.totalPartitions
       val nextId = nextRowId(tableName)
-      val rows = batch
+      val src = if (orderCols.nonEmpty) batch.orderBy(orderCols.map(col): _*) else batch
+      val rows = src
         .select(
           col("userid").cast(IntegerType),
           col("movieid").cast(IntegerType),

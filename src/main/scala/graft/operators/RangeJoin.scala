@@ -22,6 +22,15 @@ object RangeJoin {
   private def binOf(v: Column, width: Double): Column =
     floor(v / width).cast("long")
 
+  /** Last bin overlapped by an EXCLUSIVE upper bound: ceil(hi/w) - 1. An
+    * interval ending exactly on a bin boundary (hi/w integral) stops at the
+    * previous bin with no separate float-modulo boundary test; for inexact
+    * quotients ceil errs at most one bin HIGH, which only adds candidates the
+    * exact residual filter then drops — never drops a true match.
+    */
+  private def lastBin(hi: Column, width: Double): Column =
+    (ceil(hi / width) - 1).cast("long")
+
   /** Join `points` (value `pointCol`) to `intervals` (half-open
     * [`loCol`, `hiCol`)) on containment. All other columns of both inputs
     * are carried through.
@@ -39,17 +48,12 @@ object RangeJoin {
     val iv = intervals
       .withColumn(
         "_bin",
-        // hi is exclusive: an interval ending exactly on a bin boundary does
-        // not overlap that bin (guard against the descending-sequence hazard
-        // for empty intervals lo >= hi)
+        // hi is exclusive — covered bins are [bin(lo), ceil(hi/w)-1] (guard
+        // against the descending-sequence hazard for empty intervals lo >= hi)
         explode(
           when(
             col(loCol) < col(hiCol),
-            sequence(
-              binOf(col(loCol), binWidth),
-              binOf(col(hiCol), binWidth) -
-                when(pmod(col(hiCol), lit(binWidth)) === 0.0, 1L).otherwise(0L)
-            )
+            sequence(binOf(col(loCol), binWidth), lastBin(col(hiCol), binWidth))
           ).otherwise(array().cast("array<long>"))
         )
       )
@@ -81,11 +85,7 @@ object RangeJoin {
         explode(
           when(
             col(lo) < col(hi),
-            sequence(
-              binOf(col(lo), binWidth),
-              binOf(col(hi), binWidth) -
-                when(pmod(col(hi), lit(binWidth)) === 0.0, 1L).otherwise(0L)
-            )
+            sequence(binOf(col(lo), binWidth), lastBin(col(hi), binWidth))
           ).otherwise(array().cast("array<long>"))
         )
       )

@@ -194,14 +194,21 @@ object Similarity {
       vecCol: String,
       k: Int,
       centroidStride: Int = 37,
-      nProbe: Int = 3
+      nProbe: Int = 3,
+      kmeansIters: Int = 0
   ): DataFrame = {
     VectorExpressions.install(corpus.sparkSession)
+    val seed = corpus
+      .filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(expr("graft_dot(cv, cv)")))
+    // Optional Lloyd refinement over the stride seed (kmeansIters = 0 keeps
+    // the deterministic stride centroids the external oracle replays). Each
+    // pass = one broadcast argmax assignment + one element-wise mean: the
+    // posexplode/two-level aggregate keeps everything distributed — only the
+    // nlist×dim centroid matrix is ever broadcast, nothing collects.
     val centroids = broadcast(
-      corpus
-        .filter(pmod(col(idCol), lit(centroidStride)) === 0)
-        .select(col(idCol).as("cell"), col(vecCol).as("cv"))
-        .withColumn("cn", sqrt(expr("graft_dot(cv, cv)")))
+      (1 to kmeansIters).foldLeft(seed)((c, _) => refineCentroids(corpus, idCol, vecCol, c))
     )
     def assign(df: DataFrame, asId: String, asVec: String, probes: Int): DataFrame = {
       val scored = df
@@ -256,6 +263,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** One Lloyd pass: assign every corpus vector to its nearest current
+    * centroid (cosine argmax as a partial-aggregated max — the same 100 TB
+    * shape as the IVF corpus assignment), then recompute each cell's centroid
+    * as the element-wise mean of its members (posexplode → (cell, pos) avg →
+    * array reassembly; two keyed aggregates, no driver-side data motion).
+    * Cells that lose every member drop out.
+    */
+  private def refineCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame
+  ): DataFrame = {
+    val bc = broadcast(cents)
+    val assigned = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", sqrt(expr("graft_dot(_v, _v)")))
+      .crossJoin(bc)
+      .withColumn("_cos", expr("graft_dot(_v, cv)") / (col("_n") * col("cn")))
+      .groupBy(col("_id"))
+      .agg(max(struct(col("_cos"), (-col("cell")).as("_negCell"), col("_v").as("_mv"))).as("_b"))
+      .select((-col("_b._negCell")).as("cell"), col("_b._mv").as("_mv"))
+    assigned
+      .select(col("cell"), posexplode(col("_mv")).as(Seq("_pos", "_x")))
+      .groupBy(col("cell"), col("_pos"))
+      .agg(avg(col("_x")).as("_m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
+      .select(
+        col("cell"),
+        transform(col("_pm"), e => e.getField("_m").cast("float")).as("cv")
+      )
+      .withColumn("cn", sqrt(expr("graft_dot(cv, cv)")))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` (id1 < id2).

@@ -23,8 +23,11 @@ object PipelineQueries {
        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"""
       .stripMargin.replaceAll("\\s+", " ")
 
+  /** Twin of Dedup.minhashSignatures' md5 path: perm j = hex slice
+    * [4j, 4j+4) of the single per-shingle digest, min over shingles.
+    */
   private def minhashSql(j: Int) =
-    s"list_aggregate(list_transform(sh, x -> md5('$j|' || x)), 'min')"
+    s"list_aggregate(list_transform(sh, x -> substr(md5(x), ${j * 4 + 1}, 4)), 'min')"
 
   /** Embedding vector dimension in the testdata tables (all sf). Passed
     * explicitly so the LSH operators never probe the data for it.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Bucketing, SkewJoin}
 
 /** SQL-operator inventory (SURVEY.md §2.3) plus the general analytics layer a
   * complete engine needs: scans, literal projection, range/equality
@@ -350,6 +350,105 @@ object RelationalQueries {
           sum(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("bigint")).as("sum_k"),
           count(lit(1)).as("cnt")
         )
+    },
+
+    // Left outer join with null-handling: every customer, with the count of
+    // their high-value orders — zero (not absent) for customers with none.
+    // count(o_orderkey) counts non-null matches only; the sum coalesces to 0.
+    QEntry.sql(
+      "q_left_join_order_counts",
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS order_cnt,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS spend
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      customer(s, d)
+        .join(
+          orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"),
+          "left"
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend")
+        )
+    },
+
+    // Full outer join over partially-overlapping key sets: high-balance
+    // customers vs customers with any 350k+ order — rows survive with a null
+    // side in BOTH directions (the using-join coalesces the key).
+    QEntry.sql(
+      "q_full_outer_balance_orders",
+      """SELECT coalesce(a.k, b.k) AS custkey, a.acctbal, b.big_orders
+        |FROM (SELECT c_custkey AS k, round(c_acctbal, 2) AS acctbal
+        |      FROM customer WHERE c_acctbal > 9000) a
+        |FULL OUTER JOIN (SELECT o_custkey AS k, count(*) AS big_orders
+        |                 FROM orders WHERE o_totalprice > 350000 GROUP BY o_custkey) b
+        |ON a.k = b.k"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val rich = customer(s, d)
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("acctbal"))
+      val spenders = orders(s, d)
+        .filter(col("o_totalprice") > 350000)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("big_orders"))
+      rich
+        .join(spenders, Seq("k"), "full_outer")
+        .select(col("k").as("custkey"), col("acctbal"), col("big_orders"))
+    },
+
+    // Bucketed co-located fact-fact join: both sides written bucketed+sorted
+    // by the join key, so the join needs no Exchange on either side (plan
+    // asserted in PlanQualitySpec) — results are identical to the plain join,
+    // which is exactly what the twin runs.
+    QEntry.sql(
+      "q_bucketed_join_rollup",
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val (bo, bl) = Bucketing.coBucket(
+        s,
+        orders(s, d).select("o_orderkey", "o_orderstatus"),
+        lineitem(s, d).select("l_orderkey", "l_quantity"),
+        "graft_q_b_orders",
+        "graft_q_b_lineitem",
+        "o_orderkey",
+        "l_orderkey",
+        8
+      )
+      bo.join(bl, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+    },
+
+    // Salted skew join: the build side (supplier) is replicated `salt` ways
+    // and the probe's hot keys spread across salt sub-keys — identical
+    // results to the plain equi-join (the twin), minus the straggler reducer.
+    QEntry.sql(
+      "q_skew_join_salted",
+      """SELECT s_nationkey, count(*) AS cnt, round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      SkewJoin
+        .saltedEquiJoin(
+          lineitem(s, d).select("l_suppkey", "l_extendedprice"),
+          supplier(s, d).select("s_suppkey", "s_nationkey"),
+          "l_suppkey",
+          "s_suppkey",
+          8
+        )
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("price"))
     }
   )
 }

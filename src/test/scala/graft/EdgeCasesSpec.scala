@@ -110,6 +110,36 @@ class EdgeCasesSpec extends SparkSpec {
     assert(e2.catalog.readNextRowId("ratings").isEmpty) // dropTable clears it
   }
 
+  test("roundRobinInsertBatch: explicit order key → deterministic fragments for a multi-partition batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rrbatch").toString
+    val e = new operators.FragmentEngine(spark, root)
+    e.loadRatings("ratings", "/root/reference/test_data1.txt") // 20 rows → next _rowid 20
+    e.roundRobinPartition("ratings", 3) // lastInserted = 19 % 3 = 1
+    val s = spark
+    import s.implicits._
+    // a shuffled 4-partition batch: zipWithIndex order would follow partition
+    // layout; the explicit order key pins within-batch order to userid
+    val batch = (0 until 12)
+      .map(i => (200 + i, i, 1.0 + (i % 4) * 0.5))
+      .toDF("userid", "movieid", "rating")
+      .repartition(4)
+    assert(batch.rdd.getNumPartitions >= 2)
+    e.roundRobinInsertBatch("ratings", batch, orderCols = Seq("userid"))
+    // sorted by userid: row j → _rowid 20+j → fragment (lastInserted+1+j) % 3
+    val rr = spark.read.parquet(
+      e.catalog.tablePath(operators.FragmentEngine.RoundRobinDataset)
+    )
+    val got = rr
+      .filter($"userid" >= 200)
+      .select($"userid", $"part".cast("int"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getInt(1))
+      .toMap
+    val expected = (0 until 12).map(j => (200 + j) -> ((2 + j) % 3)).toMap
+    assert(got == expected, s"got $got")
+    e.deleteTables("ALL")
+  }
+
   test("resample: non-daily step snaps to the grid; pre-start observation seeds the fill") {
     val s = spark
     import s.implicits._

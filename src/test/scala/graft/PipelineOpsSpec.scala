@@ -266,6 +266,16 @@ class PipelineOpsSpec extends SparkSpec {
     )
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.4, s"IVF recall too low: $recall")
+    // Lloyd refinement (kmeansIters > 0) must not degrade recall — the
+    // refined centroids fit the data better than the raw stride seed, so the
+    // probed cells cover at least as many true neighbors on this fixture.
+    val ivfKm = pairs(
+      Similarity.ivfTopK(df, queries, "vec_id", "embedding", 5,
+        centroidStride = 10, nProbe = 3, kmeansIters = 2)
+    )
+    val recallKm = exact.intersect(ivfKm).size.toDouble / exact.size
+    assert(recallKm >= recall, s"k-means refinement degraded recall: $recallKm < $recall")
+    assert(recallKm >= 0.5, s"refined IVF recall too low: $recallKm")
   }
 
   test("sketches: approx distinct and quantiles near exact values") {
