@@ -19,13 +19,25 @@ object Bucketing {
       table: String,
       key: String,
       numBuckets: Int
-  ): Unit =
+  ): Unit = {
+    val spark = df.sparkSession
+    // A managed-table directory left by a PREVIOUS session blocks the write
+    // even in Overwrite mode: the fresh in-memory catalog has no entry for
+    // the table, so Spark refuses to claim the existing location
+    // (LOCATION_ALREADY_EXISTS). Drop the catalog entry and clear the stale
+    // directory explicitly before writing.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Bucket both join sides on the key; returns the co-located frames. */
   def coBucket(
