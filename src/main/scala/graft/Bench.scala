@@ -21,7 +21,15 @@ object Bench {
     val allQueries = SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "x_minhash_sig_fast" -> ((s, d) =>
         graft.operators.Dedup
-          .minhashSignatures(Tables.documents(s, d), "doc_id", "text", fast = true))
+          .minhashSignatures(Tables.documents(s, d), "doc_id", "text", fast = true)),
+      // Lloyd-refined IVF (ann_ivf_topk's oracle twin replays the stride
+      // seed, so the k-means path is timed here instead)
+      "x_ivf_kmeans_topk" -> ((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.Similarity.ivfTopK(
+          emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+          "vec_id", "embedding", 10, kmeansIters = 2)
+      })
     )
     // optional comma-separated name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

@@ -427,6 +427,57 @@ object AnalyticsQueries {
         .pivot("event_type", Seq("click", "view", "purchase"))
         .agg(count(lit(1)))
         .na.fill(0L, Seq("click", "view", "purchase"))
+    },
+
+    // Value-based (RANGE) window frame: per-user trailing-1-hour count and
+    // sum — the time-windowed feature shape row-based frames can't express.
+    // Deterministic even with timestamp ties because RANGE frames are
+    // value-bracketed (tied rows share one frame); Spark orders by
+    // unix_micros so the bracket matches DuckDB's INTERVAL arithmetic at
+    // full microsecond precision. Partitioned by user_id → shuffle key =
+    // window key, scales.
+    QEntry.sql(
+      "q_window_range_frame",
+      """SELECT event_id, user_id, count(*) OVER w AS cnt_1h,
+        |  round(sum(value) OVER w, 2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, d).select(
+        col("event_id"),
+        col("user_id"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        round(sum("value").over(w), 2).as("sum_1h")
+      )
+    },
+
+    // Real JSON parsing (JsonToStructs, not the regex fast path of
+    // q_events_json_extract): props parsed into a typed struct, field
+    // aggregated per type.
+    QEntry.sql(
+      "q_events_json_struct",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      events(s, d)
+        .select(
+          col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k")
+            .as("k")
+        )
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
     }
   )
 }

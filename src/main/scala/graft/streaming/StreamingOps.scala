@@ -77,6 +77,34 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream inner join: for every `left` event, matching
+    * `right` events of the same key within `[left.ts - lookback, left.ts]` —
+    * the click→conversion attribution shape. Both sides carry watermarks and
+    * the join condition brackets the right timestamp against the left one,
+    * which is exactly what lets Spark bound BOTH state stores: a right row
+    * can be evicted once the left watermark passes `ts + lookback`, a left
+    * row once the right watermark passes its ts. Without the time bracket the
+    * state would grow forever — the classic unbounded stream-join mistake.
+    * Works identically on batch frames (parity asserted in
+    * MultimodalStreamingSpec).
+    */
+  def timeBracketJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      lookback: String = "interval 1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+      r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") - expr(lookback) &&
+        col("r.ts") <= col("l.ts")
+    )
+  }
+
   /** Streaming round-robin ingestion: every micro-batch is appended to the
     * master dataset AND round-robin-routed to fragments, continuing the
     * engine's `lastInserted` counter exactly like sequential

@@ -184,6 +184,50 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(last.getAs[Double]("sum_value") == 6.0)
   }
 
+  test("watermarked stream-stream time-bracket join equals the batch join") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    // conv 201 (u1@10:45, lookback [9:45,10:45]) → clicks 101@10:00, 102@10:30;
+    // conv 202 (u2@10:00, lookback [9:00,10:00]) → click 100@9:00 (inclusive edge)
+    val clickRows = Seq((at(-60), "u2", 100L), (at(0), "u1", 101L), (at(30), "u1", 102L))
+    val convRows = Seq((at(45), "u1", 201L), (at(0), "u2", 202L))
+    val memC = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val memV = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val joined = StreamingOps
+      .timeBracketJoin(
+        memV.toDF().toDF("ts", "user_id", "conv_id"),
+        memC.toDF().toDF("ts", "user_id", "click_id"),
+        "user_id"
+      )
+      .select(col("conv_id"), col("click_id"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("ssjoin_out")
+      .outputMode("append")
+      .start()
+    memC.addData(clickRows: _*)
+    memV.addData(convRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed =
+      spark.table("ssjoin_out").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = StreamingOps
+      .timeBracketJoin(
+        convRows.toDF("ts", "user_id", "conv_id"),
+        clickRows.toDF("ts", "user_id", "click_id"),
+        "user_id"
+      )
+      .select(col("conv_id"), col("click_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Set((201L, 101L), (201L, 102L), (202L, 100L)), streamed.toString)
+  }
+
   test("foreachBatch round-robin router continues the insert counter") {
     val s = spark
     import s.implicits._
