@@ -110,6 +110,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(pack.contains("partitionBy" ) || pack.contains("hashpartitioning(lang"), pack)
   }
 
+  test("outer joins and range-frame window keep their scale shapes") {
+    // left outer: the filtered (small) orders side broadcasts — the fact
+    // side (customer at 100 TB) never shuffles for the join
+    val lj = executedPlan(SparkEntry.queries("q_left_join_order_counts")(spark, sf))
+    assert(lj.contains("BroadcastHashJoin") && lj.contains("LeftOuter"), lj)
+    // full outer cannot broadcast: both sides must shuffle-sort-merge
+    val fo = executedPlan(SparkEntry.queries("q_full_outer_balance_orders")(spark, sf))
+    assert(fo.contains("SortMergeJoin") && fo.contains("FullOuter"), fo)
+    // RANGE frame window partitions by user_id (shuffle key = window key),
+    // never the single-partition global-window shape
+    val rf = executedPlan(SparkEntry.queries("q_window_range_frame")(spark, sf))
+    assert(rf.contains("Window"), rf)
+    assert(rf.contains("hashpartitioning(user_id"), rf)
+  }
+
   test("co-bucketed join plans with no shuffle exchange") {
     withoutAqe {
       def cleanup(): Unit = Seq("b_orders", "b_lineitem").foreach { t =>
