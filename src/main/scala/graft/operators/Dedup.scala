@@ -187,6 +187,90 @@ object Dedup {
     )
   }
 
+  /** Connected components over an undirected edge list — the cluster-resolution
+    * stage of the dedup pipeline (near-dup PAIRS from [[minhashCandidatePairs]]
+    * become one canonical cluster id per document).
+    *
+    * Algorithm: iterative min-label propagation. Every node starts labeled
+    * with its own id; each round a node adopts the minimum label among itself
+    * and its neighbors; the fixpoint labels each node with the smallest id in
+    * its component. Each round is one equi-join + one hash aggregate — both
+    * key-partitioned shuffles that scale to any corpus. Convergence is
+    * detected with a scalar fingerprint aggregate (sum of per-row hashes):
+    * labels only ever decrease, so an unchanged fingerprint IS the fixpoint —
+    * no data ever reaches the driver.
+    *
+    * Rounds needed = graph diameter. Near-dup clusters are dense (diameter
+    * 2-3); `maxIter` bounds adversarial chains. Lineage is truncated every
+    * round with `localCheckpoint` (an iterative plan otherwise grows a new
+    * join+agg layer per round and analysis time explodes); on a multi-node
+    * cluster prefer reliable `checkpoint()` with a checkpoint dir so a lost
+    * executor cannot lose label blocks. For graphs whose diameter rivals
+    * log(n) — not dedup graphs — the two-phase large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce") converges in
+    * O(log n) rounds with the same per-round join+agg shape.
+    *
+    * @param edges two columns interpreted as (src, dst) node ids
+    * @param nodes one column of node ids (isolated nodes keep their own id)
+    * @return (id, comp) — comp is the min node id of the component
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): DataFrame = {
+    val half = edges.toDF("s", "d")
+    val sym = half.union(half.select(col("d"), col("s"))).localCheckpoint()
+    var labels = nodes.toDF("id").select(col("id"), col("id").as("comp")).localCheckpoint()
+
+    // decimal accumulator: a long sum of 2^63-range hashes overflows under
+    // ANSI arithmetic; decimal(38,0) holds any realistic row count
+    def fingerprint(df: DataFrame): String =
+      String.valueOf(
+        df.agg(sum(xxhash64(col("id"), col("comp")).cast("decimal(38,0)"))).head.get(0)
+      )
+
+    var fp = fingerprint(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = sym
+        .join(labels, sym("d") === labels("id"))
+        .select(sym("s").as("id"), col("comp"))
+      val updated = labels
+        .union(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val nfp = fingerprint(updated)
+      labels.unpersist()
+      converged = nfp == fp
+      fp = nfp
+      labels = updated
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup clustering: MinHash/LSH candidate pairs →
+    * connected components → (doc_id, cluster_id, cluster_size). Documents
+    * with no near-dup are singleton clusters of themselves. The size window
+    * partitions by cluster_id (shuffle key = window key — never global).
+    */
+  def dedupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
+  ): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, numPerm, rowsPerBand, fast)
+    val cc = connectedComponents(pairs, df.select(col(idCol)))
+    cc.select(col("id").as(idCol), col("comp").as("cluster_id"))
+      .withColumn(
+        "cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id")))
+      )
+  }
+
   /** Exact n-gram Jaccard over pairs sharing ≥1 shingle within candidate
     * blocks (matching `blockCols`), id1 < id2, similarity rounded for
     * cross-engine stability. Formulated as a shingle equi-join + group count:

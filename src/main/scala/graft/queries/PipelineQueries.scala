@@ -34,6 +34,27 @@ object PipelineQueries {
     */
   private val EmbDim = 64
 
+  /** Twin of Dedup.minhashCandidatePairs (md5 path): LSH band equi-join,
+    * id1 < id2, distinct across bands. Shared by the pairs entry and the
+    * cluster entry's edge CTE.
+    */
+  private val pairsSql: String = {
+    val ms = (0 until 8).map(j => s"${minhashSql(j)} AS m$j").mkString(", ")
+    s"""SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |FROM (SELECT doc_id, unnest([md5(m0 || '|' || m1), md5(m2 || '|' || m3),
+       |              md5(m4 || '|' || m5), md5(m6 || '|' || m7)]) AS band
+       |      FROM (SELECT doc_id, $ms
+       |            FROM (SELECT doc_id, $shinglesSql AS sh
+       |                  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w) s) t) a
+       |JOIN (SELECT doc_id, unnest([md5(m0 || '|' || m1), md5(m2 || '|' || m3),
+       |              md5(m4 || '|' || m5), md5(m6 || '|' || m7)]) AS band
+       |      FROM (SELECT doc_id, $ms
+       |            FROM (SELECT doc_id, $shinglesSql AS sh
+       |                  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w) s) t) b
+       |ON a.band = b.band AND a.doc_id < b.doc_id"""
+      .stripMargin.replaceAll("\\s+", " ")
+  }
+
   /** DuckDB CTEs regenerating the EXACT hyperplanes of
     * [[graft.operators.Similarity.hyperplanes]] (md5-derived, float-rounded,
     * widened back to double — bit-identical, validated) plus per-vector
@@ -81,24 +102,30 @@ object PipelineQueries {
 
     // LSH candidate pairs (equi-join on band keys; empty on this corpus — the
     // mechanism is exercised on synthetic dups in DedupSpec).
+    QEntry.sql("dedup_minhash_pairs", pairsSql) { (s, d) =>
+      Dedup.minhashCandidatePairs(documents(s, d), "doc_id", "text")
+    },
+
+    // Cluster resolution: near-dup pairs → connected components → one
+    // canonical cluster id (min doc_id of the component) per document.
+    // Spark side is iterative min-label propagation (join + min-agg per round,
+    // scalar-fingerprint convergence); the twin computes the same fixpoint as
+    // a recursive transitive-closure CTE — tractable at oracle scale, and the
+    // min-per-node of both formulations is the same component minimum.
     QEntry.sql(
-      "dedup_minhash_pairs", {
-        val ms = (0 until 8).map(j => s"${minhashSql(j)} AS m$j").mkString(", ")
-        s"""SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           |FROM (SELECT doc_id, unnest([md5(m0 || '|' || m1), md5(m2 || '|' || m3),
-           |              md5(m4 || '|' || m5), md5(m6 || '|' || m7)]) AS band
-           |      FROM (SELECT doc_id, $ms
-           |            FROM (SELECT doc_id, $shinglesSql AS sh
-           |                  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w) s) t) a
-           |JOIN (SELECT doc_id, unnest([md5(m0 || '|' || m1), md5(m2 || '|' || m3),
-           |              md5(m4 || '|' || m5), md5(m6 || '|' || m7)]) AS band
-           |      FROM (SELECT doc_id, $ms
-           |            FROM (SELECT doc_id, $shinglesSql AS sh
-           |                  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w) s) t) b
-           |ON a.band = b.band AND a.doc_id < b.doc_id"""
-          .stripMargin.replaceAll("\\s+", " ")
-      }
-    ) { (s, d) => Dedup.minhashCandidatePairs(documents(s, d), "doc_id", "text") },
+      "dedup_clusters",
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |cc(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id)
+         |SELECT id AS doc_id, min(comp) AS cluster_id,
+         |       count(*) OVER (PARTITION BY min(comp)) AS cluster_size
+         |FROM cc GROUP BY id"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Dedup.dedupClusters(documents(s, d), "doc_id", "text") },
 
     // SimHash-64 sketch (per-bit token majority over md5 nibbles).
     QEntry.sql(

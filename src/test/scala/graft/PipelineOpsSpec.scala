@@ -51,6 +51,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fastSig.schema("m0").dataType.typeName == "long")
   }
 
+  test("connectedComponents resolves chains, merges and singletons to component minima") {
+    val s = spark
+    import s.implicits._
+    // component {1..4} is a chain (diameter 3 → needs >1 round), {5,6} a pair,
+    // {8} a self-loop, {9,10} arrives reversed; 7 is isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L), (8L, 8L), (10L, 9L)).toDF("a", "b")
+    val nodes = (1L to 10L).toDF("id")
+    val got = Dedup
+      .connectedComponents(edges, nodes)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L,
+      8L -> 8L, 9L -> 9L, 10L -> 9L)
+    assert(got == want)
+  }
+
+  test("connectedComponents matches driver-side union-find on a random graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40L
+    val edges = Seq.fill(30)((rnd.nextLong().abs % n, rnd.nextLong().abs % n))
+    // reference union-find (test-only, driver-side by design)
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val minOf = (0L until n).groupBy(find).flatMap { case (_, ms) => ms.map(_ -> ms.min) }
+    val got = Dedup
+      .connectedComponents(edges.toDF("x", "y"), (0L until n).toDF("id"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == minOf)
+  }
+
+  test("dedupClusters assigns exact copies one cluster and strangers their own") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val df = docs(
+      1L -> base,
+      2L -> base,
+      3L -> base.replace("tonight", "today"),
+      4L -> "completely different content about spark query engines and columnar storage"
+    )
+    val out = Dedup
+      .dedupClusters(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    assert(out(1L) == (1L, 3L) && out(2L) == (1L, 3L) && out(3L) == (1L, 3L))
+    assert(out(4L) == (4L, 1L))
+  }
+
   test("minhash LSH recall on a 2000-doc corpus with 100 planted near-dups") {
     val s = spark
     import s.implicits._
