@@ -128,4 +128,29 @@ object Curation {
       ): _*
     ).withColumn("pack_id", floor((sum("n_tokens").over(w) - 1) / budget).cast("bigint"))
   }
+
+  /** Quality-quantile band filter: keep documents whose heuristic quality
+    * score sits in the [lo, hi] percentile band WITHIN each stratum (the
+    * standard "drop the worst X% and the suspicious best Y%" curation step,
+    * stratified so one language's score distribution never gates another's).
+    * percent_rank is the exact rational (rank-1)/(n-1) — one correctly
+    * rounded division, so scores and the band cut are engine-deterministic.
+    * The window partitions by the stratum (shuffle key = window key).
+    */
+  def qualityBand(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      lo: Double,
+      hi: Double
+  ): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("quality"), col(idCol))
+    df.select(
+      col(idCol),
+      col(strataCol),
+      TextAnalysis.qualityScore(col(textCol)).as("quality")
+    ).withColumn("pct", percent_rank().over(w))
+      .filter(col("pct") >= lo && col("pct") <= hi)
+  }
 }

@@ -113,6 +113,21 @@ object CurationQueries {
          |        FROM documents) t) c""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Curation.packByTokenBudget(documents(s, d), Seq("lang"), "doc_id", "text", 500)
+    },
+
+    // Quality-quantile band filter: keep the [20%, 80%] quality band per
+    // language (drop the worst and the suspicious best). percent_rank is the
+    // exact rational (rank-1)/(n-1) — engine-deterministic, no rounding.
+    QEntry.sql(
+      "cur_quality_bands",
+      s"""SELECT doc_id, lang, quality, pct FROM (
+         |  SELECT doc_id, lang, quality,
+         |    percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pct
+         |  FROM (SELECT doc_id, lang, ${TextQueries.qualityExprSql} AS quality
+         |        FROM documents) q) t
+         |WHERE pct >= 0.2 AND pct <= 0.8""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.qualityBand(documents(s, d), "doc_id", "text", "lang", 0.2, 0.8)
     }
   )
 }

@@ -449,6 +449,43 @@ object RelationalQueries {
         )
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("price"))
+    },
+
+    // Dense-grid zero-fill: complete nation × order-status matrix with
+    // absent combinations reported as 0 — the one legitimate cross-join
+    // shape (BOUNDED dims only: the product is |nations|×|statuses|, never
+    // fact-sized). Both dims broadcast, the fact side is pre-aggregated to
+    // dim cardinality before the left join, so nothing here grows with the
+    // fact table.
+    QEntry.sql(
+      "q_cross_grid_zero_fill",
+      """SELECT n_name, status, coalesce(cnt, 0) AS orders_cnt
+        |FROM (SELECT n_nationkey, n_name FROM nation) n
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) st
+        |LEFT JOIN (SELECT c_nationkey, o_orderstatus, count(*) AS cnt
+        |           FROM orders JOIN customer ON o_custkey = c_custkey
+        |           GROUP BY c_nationkey, o_orderstatus) f
+        |ON n.n_nationkey = f.c_nationkey AND st.status = f.o_orderstatus"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dims = nation(s, d).select("n_nationkey", "n_name")
+      val statuses = orders(s, d).select(col("o_orderstatus").as("status")).distinct()
+      val grid = broadcast(dims).crossJoin(broadcast(statuses))
+      val counts = orders(s, d)
+        .select("o_custkey", "o_orderstatus")
+        .join(
+          customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey")
+        )
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+      grid
+        .join(
+          counts,
+          col("n_nationkey") === col("c_nationkey") && col("status") === col("o_orderstatus"),
+          "left"
+        )
+        .select(col("n_name"), col("status"), coalesce(col("cnt"), lit(0L)).as("orders_cnt"))
     }
   )
 }

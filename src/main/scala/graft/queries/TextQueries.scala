@@ -27,6 +27,16 @@ object TextQueries {
     code -> s"len(list_filter($wordsSql, w -> list_contains($lst, w)))"
   }
 
+  /** Inline single-expression twin of TextAnalysis.qualityScore (same
+    * arithmetic as the txt_quality entry's subquery form). Shared with
+    * CurationQueries' quality-band entry.
+    */
+  private[queries] val qualityExprSql: String =
+    s"""round(least(1.0, CAST($tokensSql AS DOUBLE) / 100.0) * 0.5
+       |  + (CAST($swCntSql AS DOUBLE) / $tokensSql) * 0.3
+       |  + (1.0 - CAST($punctCntSql AS DOUBLE) / length(text)) * 0.2, 4)"""
+      .stripMargin.replaceAll("\\s+", " ")
+
   val entries: Seq[QEntry] = Seq(
     // Token + char counting and ratio metrics, one narrow codegen pass.
     QEntry.sql(
@@ -111,6 +121,30 @@ object TextQueries {
         |    i -> list_aggregate(list_transform(range(0, 4),
         |           j -> substr(md5(substr(text, CAST(i + j AS INT), 8)), 1, 8)), 'min'))) AS fp
         |  FROM documents) t""".stripMargin.replaceAll("\\s+", " ")
-    ) { (s, d) => winnowFingerprintStats(documents(s, d), "doc_id", "text") }
+    ) { (s, d) => winnowFingerprintStats(documents(s, d), "doc_id", "text") },
+
+    // TF-IDF characteristic terms: top-3 per doc. The oracled entry uses the
+    // raw-ratio idf variant (score = tf*N/df — integer product + one exact
+    // division, bit-identical across engines); the classic ln() variant is
+    // the operator's production default, spec-covered in CurationSpec.
+    QEntry.sql(
+      "txt_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf_cnt FROM toks
+        |       WHERE term IS NOT NULL AND term <> '' GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf_cnt, doc_freq, tfidf, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf_cnt, dfq.doc_freq,
+        |    CAST(tf.tf_cnt * n.n_docs AS DOUBLE) / dfq.doc_freq AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf_cnt * n.n_docs AS DOUBLE) / dfq.doc_freq DESC, tf.term) AS rank
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n) t
+        |WHERE rank <= 3""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      graft.operators.TermStats.tfIdfTopTerms(documents(s, d), "doc_id", "text", k = 3, logIdf = false)
+    }
   )
 }

@@ -75,4 +75,49 @@ class CurationSpec extends SparkSpec {
       Curation.packByTokenBudget(df, Seq.empty, "doc_id", "text", 6)
     }
   }
+
+  test("quality band keeps the middle percentiles per stratum") {
+    val s = spark
+    import s.implicits._
+    // 5 docs per stratum with strictly increasing quality (longer → higher
+    // length-saturation score) → percent_rank 0, .25, .5, .75, 1
+    def doc(n: Int) = Seq.fill(n * 8)("word").mkString(" ")
+    val df = (1 to 5).flatMap(i =>
+      Seq(("en", i.toLong, doc(i)), ("de", 10L + i, doc(i)))
+    ).toDF("lang", "doc_id", "text")
+    val kept = Curation
+      .qualityBand(df, "doc_id", "text", "lang", 0.2, 0.8)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    // rank 0 (worst) and rank 1.0 (best) fall outside [0.2, 0.8] in BOTH strata
+    assert(kept == Set(2L, 3L, 4L, 12L, 13L, 14L), s"kept $kept")
+  }
+
+  test("tf-idf ranks a rare distinctive term above ubiquitous ones") {
+    val corpus = docs(
+      1L -> "common common common zebra",
+      2L -> "common words fill this doc",
+      3L -> "common words appear here again",
+      4L -> "common words everywhere as usual"
+    )
+    // log-idf production variant: doc 1's top term must be the corpus-unique
+    // "zebra" (tf 1 × high idf), not "common" (tf 3 × idf ~ 0)
+    val top = graft.operators.TermStats
+      .tfIdfTopTerms(corpus, "doc_id", "text", k = 1, logIdf = true)
+      .filter(col("doc_id") === 1L)
+      .select("term")
+      .head()
+      .getString(0)
+    assert(top == "zebra")
+    // ratio variant agrees on this corpus
+    val topRatio = graft.operators.TermStats
+      .tfIdfTopTerms(corpus, "doc_id", "text", k = 1, logIdf = false)
+      .filter(col("doc_id") === 1L)
+      .select("term")
+      .head()
+      .getString(0)
+    assert(topRatio == "zebra")
+  }
 }

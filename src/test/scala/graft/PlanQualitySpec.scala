@@ -125,6 +125,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(rf.contains("hashpartitioning(user_id"), rf)
   }
 
+  test("tf-idf, quality band and cross-grid keep their scale shapes") {
+    // tf-idf: the top-k window partitions by doc id (shuffle key = window
+    // key); the 1-row corpus count arrives via broadcast
+    val tfidf = executedPlan(SparkEntry.queries("txt_tfidf")(spark, sf))
+    assert(tfidf.contains("Window"), tfidf)
+    assert(tfidf.contains("hashpartitioning(doc_id"), tfidf)
+    // quality band: percentile window partitions by the stratum
+    val band = executedPlan(SparkEntry.queries("cur_quality_bands")(spark, sf))
+    assert(band.contains("Window") && band.contains("hashpartitioning(lang"), band)
+    // cross-grid: the only cross product is dim × dim via broadcast — the
+    // pre-aggregated fact side joins the grid, it never enters a cartesian
+    val grid = executedPlan(SparkEntry.queries("q_cross_grid_zero_fill")(spark, sf))
+    assert(grid.contains("BroadcastNestedLoopJoin"), grid)
+    assert(!grid.contains("CartesianProduct"), grid)
+  }
+
   test("co-bucketed join plans with no shuffle exchange") {
     withoutAqe {
       def cleanup(): Unit = Seq("b_orders", "b_lineitem").foreach { t =>
