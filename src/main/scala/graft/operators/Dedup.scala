@@ -249,6 +249,37 @@ object Dedup {
     labels
   }
 
+  /** Precision stage for LSH recall: verify candidate pairs with exact
+    * normalized Levenshtein distance and keep pairs at or under `maxNorm`.
+    * The edit distance runs only on LSH-candidate pairs (never all pairs) —
+    * the join fetching both texts is two id equi-joins, and the distance is
+    * a codegen'd built-in. The normalizer max(len) division is one exact
+    * IEEE division, so the ratio is engine-deterministic unrounded.
+    */
+  def fuzzyPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxNorm: Double = 0.4,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
+  ): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, numPerm, rowsPerBand, fast)
+    val texts = df.select(col(idCol), col(textCol))
+    pairs
+      .join(texts.select(col(idCol).as("id1"), col(textCol).as("_t1")), "id1")
+      .join(texts.select(col(idCol).as("id2"), col(textCol).as("_t2")), "id2")
+      .select(
+        col("id1"),
+        col("id2"),
+        levenshtein(col("_t1"), col("_t2")).cast("bigint").as("edit_dist"),
+        (levenshtein(col("_t1"), col("_t2")).cast("double") /
+          greatest(length(col("_t1")), length(col("_t2")))).as("norm_dist")
+      )
+      .filter(col("norm_dist") <= maxNorm)
+  }
+
   /** End-to-end near-dup clustering: MinHash/LSH candidate pairs →
     * connected components → (doc_id, cluster_id, cluster_size). Documents
     * with no near-dup are singleton clusters of themselves. The size window

@@ -112,6 +112,46 @@ object AnalyticsQueries {
       )
     },
 
+    // ntile quartiles of customer spend WITHIN each nation (keyed window —
+    // a global ntile would serialize on one reducer; stratified quantiles
+    // are the shape that scales). Spend is summed in exact integer cents:
+    // a double sum is order-dependent across engines, a long sum is not.
+    QEntry.sql(
+      "q_ntile_spend_quartiles",
+      """WITH spend AS (
+        |  SELECT c_nationkey, o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS spend_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, o_custkey)
+        |SELECT c_nationkey, quartile, count(*) AS customers,
+        |  min(spend_cents) AS min_cents, max(spend_cents) AS max_cents
+        |FROM (SELECT c_nationkey, spend_cents, o_custkey,
+        |        CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |          ORDER BY spend_cents, o_custkey) AS BIGINT) AS quartile
+        |      FROM spend) t
+        |GROUP BY c_nationkey, quartile""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+      val spend = orders(s, d)
+        .select(col("o_custkey"), cents.as("_c"))
+        .join(
+          customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey")
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(sum("_c").cast("bigint").as("spend_cents"))
+      val w = Window.partitionBy("c_nationkey").orderBy("spend_cents", "o_custkey")
+      spend
+        .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+          count(lit(1)).as("customers"),
+          min("spend_cents").as("min_cents"),
+          max("spend_cents").as("max_cents")
+        )
+    },
+
     // Offset window function (lag): price delta vs the customer's previous
     // order.
     QEntry.sql(

@@ -127,6 +127,22 @@ object PipelineQueries {
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Dedup.dedupClusters(documents(s, d), "doc_id", "text") },
 
+    // Precision stage over the LSH candidates: exact normalized Levenshtein
+    // on candidate pairs only (both engines implement the classic DP edit
+    // distance; the normalizer is one exact division — no rounding needed).
+    QEntry.sql(
+      "dedup_fuzzy_pairs",
+      s"""SELECT id1, id2, edit_dist, norm_dist FROM (
+         |  SELECT p.id1, p.id2,
+         |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         |    CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+         |      greatest(length(a.text), length(b.text)) AS norm_dist
+         |  FROM ($pairsSql) p
+         |  JOIN documents a ON p.id1 = a.doc_id
+         |  JOIN documents b ON p.id2 = b.doc_id) t
+         |WHERE norm_dist <= 0.4""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Dedup.fuzzyPairs(documents(s, d), "doc_id", "text", maxNorm = 0.4) },
+
     // SimHash-64 sketch (per-bit token majority over md5 nibbles).
     QEntry.sql(
       "dedup_simhash",

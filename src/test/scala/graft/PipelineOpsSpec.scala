@@ -51,6 +51,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fastSig.schema("m0").dataType.typeName == "long")
   }
 
+  test("fuzzyPairs keeps verified near-dups and rejects distant candidates") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val df = docs(
+      1L -> base,
+      2L -> base.replace("tonight", "today"), // tiny edit → low norm_dist
+      3L -> "completely different content about spark query engines and columnar storage"
+    )
+    val out = Dedup
+      .fuzzyPairs(df, "doc_id", "text", maxNorm = 0.2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L, out.mkString(","))
+    assert(out.head._3 <= 7L) // "tonight" -> "today" is a ≤7-char edit
+    // a strict threshold drops even the near-dup
+    assert(Dedup.fuzzyPairs(df, "doc_id", "text", maxNorm = 0.01).count() == 0L)
+  }
+
   test("connectedComponents resolves chains, merges and singletons to component minima") {
     val s = spark
     import s.implicits._

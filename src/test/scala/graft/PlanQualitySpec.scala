@@ -139,6 +139,9 @@ class PlanQualitySpec extends SparkSpec {
     val grid = executedPlan(SparkEntry.queries("q_cross_grid_zero_fill")(spark, sf))
     assert(grid.contains("BroadcastNestedLoopJoin"), grid)
     assert(!grid.contains("CartesianProduct"), grid)
+    // ntile quartiles: the window partitions by nation (keyed, never global)
+    val nt = executedPlan(SparkEntry.queries("q_ntile_spend_quartiles")(spark, sf))
+    assert(nt.contains("Window") && nt.contains("hashpartitioning(c_nationkey"), nt)
   }
 
   test("co-bucketed join plans with no shuffle exchange") {
