@@ -48,6 +48,14 @@ class EdgeCasesSpec extends SparkSpec {
       assert(json.contains(k), s"missing $k in $json")
     // and the driver-side parser accepts it (same shape json.loads expects)
     assert(json.count(_ == '{') == json.count(_ == '}'))
+    // tail budget: the driver keeps only the last 2000 chars of output, so
+    // an oversized suite must degrade to slow-queries + rest_n/rest_sec
+    // rollup instead of overflowing the line
+    val many = (1 to 120).map(i => s"q_some_rather_long_query_name_$i" -> (if (i <= 30) 2.0 else 0.05)).toMap
+    val bounded = Bench.renderJson(many, "/x/sf0.1")
+    assert(bounded.length <= 1900, s"line too long: ${bounded.length}")
+    assert(bounded.contains("\"rest_n\":90") && bounded.contains("\"rest_sec\":4.50"), bounded)
+    assert(bounded.contains("q_some_rather_long_query_name_1\":2.00"), bounded)
   }
 
   test("generic round-robin fragment: k-th row by order key goes to k mod n") {
