@@ -217,7 +217,13 @@ object Dedup {
   def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): DataFrame = {
     val half = edges.toDF("s", "d")
     val sym = half.union(half.select(col("d"), col("s"))).localCheckpoint()
-    var labels = nodes.toDF("id").select(col("id"), col("id").as("comp")).localCheckpoint()
+    // iterate ONLY over edge-touched nodes: in a dedup graph almost every
+    // document is isolated, so propagating labels for the full corpus would
+    // shuffle the whole node set every round for nothing. Isolated nodes are
+    // their own component by definition and rejoin after the fixpoint.
+    val allNodes = nodes.toDF("id")
+    val touched = sym.select(col("s").as("id")).distinct().localCheckpoint()
+    var labels = touched.select(col("id"), col("id").as("comp")).localCheckpoint()
 
     // decimal accumulator: a long sum of 2^63-range hashes overflows under
     // ANSI arithmetic; decimal(38,0) holds any realistic row count
@@ -246,7 +252,12 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels
+    // singletons (nodes with no edge) keep their own id; left-anti keeps the
+    // join narrow — touched is tiny relative to the corpus
+    val isolated = allNodes
+      .join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    labels.union(isolated)
   }
 
   /** Precision stage for LSH recall: verify candidate pairs with exact
