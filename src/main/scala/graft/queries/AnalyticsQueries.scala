@@ -222,6 +222,42 @@ object AnalyticsQueries {
         )
     },
 
+    // Native session windows: Spark's session_window operator (the same
+    // machinery the streaming path uses, merging events whose gap < 30 min
+    // into [first_ts, last_ts + gap) windows). The twin sessionizes via
+    // lag/cumsum — note `>=` on the gap test: Spark's window end is
+    // EXCLUSIVE, so an event exactly gap after its predecessor opens a new
+    // session.
+    QEntry.sql(
+      "q_session_window",
+      """SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 0
+        |           WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |             PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000 THEN 1
+        |           ELSE 0 END AS new_session
+        |    FROM events) g) s
+        |GROUP BY user_id, session_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events")
+        )
+    },
+
     // Explicit GROUPING SETS through the SQL surface (Dataset API exposes
     // rollup/cube; arbitrary set lists are SQL-only).
     QEntry.sql(

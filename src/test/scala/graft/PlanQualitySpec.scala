@@ -142,6 +142,9 @@ class PlanQualitySpec extends SparkSpec {
     // ntile quartiles: the window partitions by nation (keyed, never global)
     val nt = executedPlan(SparkEntry.queries("q_ntile_spend_quartiles")(spark, sf))
     assert(nt.contains("Window") && nt.contains("hashpartitioning(c_nationkey"), nt)
+    // native session windows: session aggregation shuffles on the user key
+    val sw = executedPlan(SparkEntry.queries("q_session_window")(spark, sf))
+    assert(sw.contains("hashpartitioning(user_id"), sw)
   }
 
   test("co-bucketed join plans with no shuffle exchange") {
