@@ -152,6 +152,83 @@ object AnalyticsQueries {
         )
     },
 
+    // Conditional aggregation (FILTER-clause semantics) — several disjoint
+    // slices in ONE scan + one partial-agg shuffle, instead of N filtered
+    // passes over the fact table.
+    QEntry.sql(
+      "q_conditional_agg",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS rev_finished,
+        |  round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderdate >= DATE '1995-01-01'), 0), 2)
+        |    AS rev_recent
+        |FROM orders GROUP BY o_orderpriority"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2)
+            .as("rev_finished"),
+          round(
+            coalesce(
+              sum(when(col("o_orderdate") >= lit("1995-01-01"), col("o_totalprice"))),
+              lit(0.0)
+            ),
+            2
+          ).as("rev_recent")
+        )
+    },
+
+    // Unpivot (melt): wide metric columns to long (metric, value) rows —
+    // a narrow per-row reshape, no shuffle at all.
+    QEntry.sql(
+      "q_unpivot_metrics",
+      """SELECT doc_id, 'chars' AS metric, CAST(length(text) AS BIGINT) AS value FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'tokens' AS metric,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS value FROM documents"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("bigint").as("chars"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).cast("bigint").as("tokens")
+        )
+        .unpivot(Array(col("doc_id")), Array(col("chars"), col("tokens")), "metric", "value")
+    },
+
+    // Frame-anchored value windows: first/last/nth over the full partition
+    // frame (per-customer order history context on every row).
+    QEntry.sql(
+      "q_window_first_last_nth",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderdate) OVER w AS first_date,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d).select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        first(col("o_orderdate")).over(w).as("first_date"),
+        last(col("o_orderkey")).over(w).as("last_key"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price")
+      )
+    },
+
     // Offset window function (lag): price delta vs the customer's previous
     // order.
     QEntry.sql(
