@@ -37,6 +37,30 @@ object StreamingOps {
         col("sum_value")
       )
 
+  /** Watermarked native session windows: events within `gap` of each other
+    * merge into one [first_ts, last_ts + gap) session per user. In streaming
+    * append mode a session emits once the watermark passes its end — state
+    * is keyed by user and bounded by the watermark. Batch runs of the same
+    * function produce every session (batch ignores watermarks); the
+    * streaming output is exactly the closed subset (parity asserted in
+    * MultimodalStreamingSpec).
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events")
+      )
+
   case class EventRow(ts: java.sql.Timestamp, event_type: String, value: Double)
   case class TypeRunning(event_type: String, cnt: Long, sum_value: Double)
 

@@ -134,6 +134,46 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed(("2024-01-01 10:00", "click")) == ((2L, 3.0)))
   }
 
+  test("streaming session windows emit exactly the watermark-closed batch sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    // user a: one 3-event session (0-20) and a later singleton; user b: one
+    val batch1 = Seq((at(0), "a"), (at(10), "a"), (at(20), "a"), (at(5), "b"))
+    // far-future event pushes the watermark (t - 2h) past every session end,
+    // closing them; its own session stays open and must NOT emit
+    val batch2 = Seq((at(600), "a"))
+    val streamDf = mem.toDF().toDF("ts", "user_id")
+    val q = StreamingOps
+      .sessionCounts(streamDf)
+      .writeStream
+      .format("memory")
+      .queryName("session_out")
+      .outputMode("append")
+      .start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))
+    val streamed = spark.table("session_out").collect().map(key).toSet
+    // batch ignores watermarks → all sessions; streamed = the closed subset
+    val all = StreamingOps
+      .sessionCounts((batch1 ++ batch2).toDF("ts", "user_id"))
+      .collect()
+      .map(key)
+      .toSet
+    val open = ("a", "2024-01-01 20:00:00", "2024-01-01 20:30:00", 1L)
+    assert(streamed == all - open, s"streamed=$streamed all=$all")
+    assert(streamed.contains(("a", "2024-01-01 10:00:00", "2024-01-01 10:50:00", 3L)))
+    assert(streamed.contains(("b", "2024-01-01 10:05:00", "2024-01-01 10:35:00", 1L)))
+  }
+
   test("streaming dedup within watermark drops duplicate content keys across batches") {
     val s = spark
     import s.implicits._
