@@ -22,6 +22,11 @@ object Bench {
       "x_minhash_sig_fast" -> ((s, d) =>
         graft.operators.Dedup
           .minhashSignatures(Tables.documents(s, d), "doc_id", "text", fast = true)),
+      // production-hash cluster resolution (same plan as dedup_clusters,
+      // xxhash64 pair generation instead of md5)
+      "x_dedup_clusters_fast" -> ((s, d) =>
+        graft.operators.Dedup
+          .dedupClusters(Tables.documents(s, d), "doc_id", "text", fast = true)),
       // Lloyd-refined IVF (ann_ivf_topk's oracle twin replays the stride
       // seed, so the k-means path is timed here instead)
       "x_ivf_kmeans_topk" -> ((s, d) => {

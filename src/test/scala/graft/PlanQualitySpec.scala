@@ -147,6 +147,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(sw.contains("hashpartitioning(user_id"), sw)
   }
 
+  test("hive-style partitioned write prunes non-matching partition dirs at read") {
+    withTempDir { dir =>
+      val out = s"$dir/docs_by_lang"
+      Tables.documents(spark, sf).write.partitionBy("lang").parquet(out)
+      withoutAqe {
+        val read = spark.read.parquet(out).filter(col("lang") === "en").select("doc_id")
+        val scan = executedPlan(read)
+        // partition filter reaches the FileIndex — only lang=en directories scan
+        assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+        val scanned = finalPlan(read)
+          .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.partitionCount
+          }
+          .headOption
+        assert(scanned.contains(1), s"expected 1 partition dir scanned, got $scanned")
+      }
+    }
+  }
+
   test("co-bucketed join plans with no shuffle exchange") {
     withoutAqe {
       def cleanup(): Unit = Seq("b_orders", "b_lineitem").foreach { t =>
