@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{AsOfJoin, Bucketing, SkewJoin}
+import graft.operators.{AsOfJoin, Bucketing, SemiReduce, SkewJoin}
 
 /** SQL-operator inventory (SURVEY.md §2.3) plus the general analytics layer a
   * complete engine needs: scans, literal projection, range/equality
@@ -486,6 +486,33 @@ object RelationalQueries {
           "left"
         )
         .select(col("n_name"), col("status"), coalesce(col("cnt"), lit(0L)).as("orders_cnt"))
+    },
+
+    // Bloom semi-join reduction: the probe side is prefiltered by a KB-scale
+    // sketch of the qualifying suppliers BEFORE any shuffle, then the exact
+    // semi join removes the sketch's false positives — so results equal the
+    // plain semi join (the twin) by construction, while at scale the shuffle
+    // carries only rows that might match.
+    QEntry.sql(
+      "q_bloom_semi_reduce",
+      """SELECT l_suppkey, count(*) AS cnt, round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+        |GROUP BY l_suppkey""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dim = supplier(s, d).filter(col("s_nationkey") < 5).select("s_suppkey")
+      val pre = SemiReduce.bloomPrefilter(
+        lineitem(s, d).select("l_suppkey", "l_extendedprice"),
+        "l_suppkey",
+        dim,
+        "s_suppkey",
+        expectedItems = 10000L,
+        numBits = 1L << 17
+      )
+      pre
+        .join(dim, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("price"))
     }
   )
 }

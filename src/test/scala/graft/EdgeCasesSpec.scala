@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Fragmentation, TimeSeries}
+import graft.operators.{Fragmentation, SemiReduce, TimeSeries}
 
 /** Edge-case hardening for the custom expression and generic operators. */
 class EdgeCasesSpec extends SparkSpec {
@@ -171,5 +171,19 @@ class EdgeCasesSpec extends SparkSpec {
       TimeSeries.resampleFfill(df, "user_id", "ts", "value",
         "2024-01-01", "2024-03-01", "interval 1 month")
     }
+  }
+
+  test("bloom prefilter: superset of exact semi join, selective, empty dim is empty") {
+    val s = spark
+    import s.implicits._
+    val fact = (1L to 1000L).toDF("k")
+    val dim = Seq(5L, 10L, 15L).toDF("dk")
+    val pre = SemiReduce.bloomPrefilter(fact, "k", dim, "dk", 100L, 4096L)
+    val preKeys = pre.as[Long].collect().toSet
+    assert(Set(5L, 10L, 15L).subsetOf(preKeys)) // no false negatives, ever
+    assert(preKeys.size <= 50, s"sketch admits too much: ${preKeys.size}") // selective
+    val exact = pre.join(dim, col("k") === col("dk"), "left_semi").as[Long].collect().toSet
+    assert(exact == Set(5L, 10L, 15L)) // prefilter + exact join == exact join
+    assert(SemiReduce.bloomPrefilter(fact, "k", dim.filter(col("dk") < 0), "dk").count() == 0)
   }
 }
