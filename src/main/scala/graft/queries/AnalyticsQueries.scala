@@ -229,6 +229,24 @@ object AnalyticsQueries {
       )
     },
 
+    // Exact per-group median (sort-based percentile, linear interpolation —
+    // both engines use lower + (upper-lower)*frac over the same sorted
+    // values, so the unrounded doubles agree).
+    QEntry.sql(
+      "q_median_groups",
+      """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+          count(lit(1)).as("n")
+        )
+    },
+
     // Offset window function (lag): price delta vs the customer's previous
     // order.
     QEntry.sql(

@@ -145,6 +145,27 @@ object TextQueries {
         |WHERE rank <= 3""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       graft.operators.TermStats.tfIdfTopTerms(documents(s, d), "doc_id", "text", k = 3, logIdf = false)
+    },
+
+    // Corpus vocabulary heavy hitters: global top-20 terms by occurrence
+    // (explode → partial-agg count + distinct-doc count → TakeOrdered).
+    // Rank-20 ties break on the term, so the LIMIT content is deterministic.
+    QEntry.sql(
+      "txt_top_terms",
+      """SELECT term, cnt, docs FROM (
+        |  SELECT term, count(*) AS cnt, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents) t
+        |  WHERE term IS NOT NULL AND term <> '' GROUP BY term) g
+        |ORDER BY cnt DESC, term LIMIT 20""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
+        .filter(col("term").isNotNull && col("term") =!= "")
+        .groupBy("term")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("docs"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(20)
     }
   )
 }
