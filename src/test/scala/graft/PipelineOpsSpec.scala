@@ -85,23 +85,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("connectedComponents matches driver-side union-find on a random graph") {
+  test("connectedComponents matches driver-side union-find on random graphs") {
     val s = spark
     import s.implicits._
-    val rnd = new scala.util.Random(7)
-    val n = 40L
-    val edges = Seq.fill(30)((rnd.nextLong().abs % n, rnd.nextLong().abs % n))
-    // reference union-find (test-only, driver-side by design)
-    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
-    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
-    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
-    val minOf = (0L until n).groupBy(find).flatMap { case (_, ms) => ms.map(_ -> ms.min) }
-    val got = Dedup
-      .connectedComponents(edges.toDF("x", "y"), (0L until n).toDF("id"))
-      .as[(Long, Long)]
-      .collect()
-      .toMap
-    assert(got == minOf)
+    for (seed <- Seq(7, 13, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40L
+      val edges = Seq.fill(30)((rnd.nextLong().abs % n, rnd.nextLong().abs % n))
+      // reference union-find (test-only, driver-side by design)
+      val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val minOf = (0L until n).groupBy(find).flatMap { case (_, ms) => ms.map(_ -> ms.min) }
+      val got = Dedup
+        .connectedComponents(edges.toDF("x", "y"), (0L until n).toDF("id"))
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+      assert(got == minOf, s"seed $seed")
+    }
   }
 
   test("dedupClusters assigns exact copies one cluster and strangers their own") {
