@@ -33,5 +33,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       )
     )
+    // bloom semi-join reduction pair (same builders SemiReduce.install uses)
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          "graft_bloom_agg"
+        ),
+        (children: Seq[Expression]) => {
+          require(children.size == 3, "graft_bloom_agg(value, items, bits) takes exactly 3 arguments")
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            children(0), children(1), children(2))
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bloom_contains"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          "graft_bloom_contains"
+        ),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_bloom_contains(bf, value) takes exactly 2 arguments")
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))
+        }
+      )
+    )
   }
 }

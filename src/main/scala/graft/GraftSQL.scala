@@ -21,6 +21,7 @@ object GraftSQL {
       df.createOrReplaceTempView(t)
     }
     graft.functions.VectorExpressions.install(spark)
+    graft.operators.SemiReduce.install(spark)
   }
 
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {

@@ -200,10 +200,12 @@ class PlanQualitySpec extends SparkSpec {
   test("session extensions register graft_dot via spark.sql.extensions") {
     // the shared session is built with spark.sql.extensions=graft.GraftExtensions
     assert(spark.conf.get("spark.sql.extensions") == "graft.GraftExtensions")
-    assert(
-      spark.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))
-    )
+    for (fn <- Seq("graft_dot", "graft_bloom_agg", "graft_bloom_contains"))
+      assert(
+        spark.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
+        fn
+      )
   }
 
   test("point query on fragments prunes to a single partition directory") {
