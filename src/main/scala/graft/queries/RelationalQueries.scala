@@ -215,6 +215,28 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
     },
 
+    // Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    // event lands in exactly 2 overlapping windows (the Generate fans out
+    // BEFORE the partial agg, so the shuffle still carries group rows).
+    // Both engines bucket on the same epoch-aligned 30-minute grid.
+    QEntry.sql(
+      "q_hopping_window_counts",
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type, count(*) AS cnt
+        |FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+        |             event_type FROM events) t
+        |GROUP BY 1, 2""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"),
+          col("cnt")
+        )
+    },
+
     // Plain-SQL surface: the same engine through spark.sql over registered
     // views (with graft custom functions installed) — users can bring SQL
     // text instead of the DataFrame API.
