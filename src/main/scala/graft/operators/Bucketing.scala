@@ -20,12 +20,17 @@ object Bucketing {
       key: String,
       numBuckets: Int
   ): Unit = {
+    // single-part names only: a qualified `db.table` would break both the
+    // backtick-quoted DROP and the default-layout path computed below
+    require(!table.contains('.'), s"writeBucketed takes a single-part table name, got '$table'")
     val spark = df.sparkSession
     // A managed-table directory left by a PREVIOUS session blocks the write
     // even in Overwrite mode: the fresh in-memory catalog has no entry for
     // the table, so Spark refuses to claim the existing location
-    // (LOCATION_ALREADY_EXISTS). Drop the catalog entry and clear the stale
-    // directory explicitly before writing.
+    // (LOCATION_ALREADY_EXISTS). DROP cleans a REGISTERED managed table's
+    // directory itself; the explicit delete below only targets the
+    // default-database layout <warehouse>/<name> this managed write is about
+    // to claim — never a registered external table's (arbitrary) location.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)

@@ -75,12 +75,21 @@ object Dedup {
     *
     * `fast = false` (default) hashes with md5 — cross-engine deterministic,
     * which is what lets the DuckDB oracle verify signatures value-for-value.
-    * ONE digest per shingle: perm j is hex slice [4j, 4j+4) of md5(shingle)
-    * (16 independent bits each, plenty for min-of-many-shingles banding) —
-    * 8× less hashing than a digest per perm, which was the single most
-    * expensive stage in the round-3 bench. The digest is materialized as a
-    * projected column BEFORE the aggregate so the slices share it (aggregate
+    * ONE digest per shingle: perm j is hex slice [4j, 4j+4) of md5(shingle),
+    * which caps the md5 path at numPerm <= 8 (enforced below) — 8× less
+    * hashing than a digest per perm, which was the single most expensive
+    * stage in the round-3 bench. The digest is materialized as a projected
+    * column BEFORE the aggregate so the slices share it (aggregate
     * expressions get no cross-expression CSE).
+    *
+    * 16-bit-slice regime: each perm value is uniform on [0, 2^16), so over a
+    * doc of S shingles the minimum concentrates near 65536/S. The slices stay
+    * discriminating while typical docs have up to a few thousand shingles
+    * (bench corpus: ~10^2); for corpora of much longer documents the band
+    * keys of UNRELATED docs start colliding (min saturates toward 0) and the
+    * candidate-pair count grows quadratically — there, use `fast = true`,
+    * whose 64-bit per-perm hashes never saturate and which is the production
+    * path anyway (md5 exists for cross-engine verification).
     * `fast = true` swaps in xxhash64 per perm (a 64-bit mix is ~free next to
     * a digest): identical plan shape and banding semantics, signature values
     * are longs instead of hex strings. Use it on production corpora; keep
@@ -251,6 +260,13 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    // truncated propagation must not masquerade as a fixpoint: unconverged
+    // labels are silently-wrong cluster ids downstream
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+          "raise maxIter (rounds needed = component diameter)"
+      )
     sym.unpersist()
     // singletons (nodes with no edge) keep their own id; left-anti keeps the
     // join narrow — touched is tiny relative to the corpus
@@ -265,7 +281,11 @@ object Dedup {
     * The edit distance runs only on LSH-candidate pairs (never all pairs) —
     * the join fetching both texts is two id equi-joins, and the distance is
     * a codegen'd built-in. The normalizer max(len) division is one exact
-    * IEEE division, so the ratio is engine-deterministic unrounded.
+    * IEEE division, so the ratio is engine-deterministic unrounded. The
+    * normalizer is floored at 1: two empty/whitespace-only texts DO become
+    * LSH candidates (their band hashes collapse to the empty-concat digest),
+    * and without the floor their 0/0 distance would be NULL and the pair —
+    * an exact duplicate — silently dropped by the `<= maxNorm` filter.
     */
   def fuzzyPairs(
       df: DataFrame,
@@ -286,7 +306,7 @@ object Dedup {
         col("id2"),
         levenshtein(col("_t1"), col("_t2")).cast("bigint").as("edit_dist"),
         (levenshtein(col("_t1"), col("_t2")).cast("double") /
-          greatest(length(col("_t1")), length(col("_t2")))).as("norm_dist")
+          greatest(length(col("_t1")), length(col("_t2")), lit(1))).as("norm_dist")
       )
       .filter(col("norm_dist") <= maxNorm)
   }

@@ -22,14 +22,17 @@ object RangeJoin {
   private def binOf(v: Column, width: Double): Column =
     floor(v / width).cast("long")
 
-  /** Last bin overlapped by an EXCLUSIVE upper bound: ceil(hi/w) - 1. An
-    * interval ending exactly on a bin boundary (hi/w integral) stops at the
-    * previous bin with no separate float-modulo boundary test; for inexact
-    * quotients ceil errs at most one bin HIGH, which only adds candidates the
-    * exact residual filter then drops — never drops a true match.
+  /** Last candidate bin for an EXCLUSIVE upper bound: ceil(hi/w), i.e. one
+    * bin PAST the tightest cover. The deliberate +1 slack makes the cover
+    * robust to division rounding: any point p < hi satisfies
+    * rounded(p/w) <= rounded(hi/w) (double division is monotone), so
+    * floor(p/w) <= ceil(hi/w) always — no ulp corner can drop a true match,
+    * which a tight ceil(hi/w)-1 cover cannot guarantee when the correctly
+    * rounded quotient lands exactly on an integer. The extra bin only adds
+    * candidates that the exact residual filter drops.
     */
   private def lastBin(hi: Column, width: Double): Column =
-    (ceil(hi / width) - 1).cast("long")
+    ceil(hi / width).cast("long")
 
   /** Join `points` (value `pointCol`) to `intervals` (half-open
     * [`loCol`, `hiCol`)) on containment. All other columns of both inputs
@@ -48,7 +51,7 @@ object RangeJoin {
     val iv = intervals
       .withColumn(
         "_bin",
-        // hi is exclusive — covered bins are [bin(lo), ceil(hi/w)-1] (guard
+        // hi is exclusive — candidate bins are [bin(lo), ceil(hi/w)] (guard
         // against the descending-sequence hazard for empty intervals lo >= hi)
         explode(
           when(

@@ -136,7 +136,7 @@ object PipelineQueries {
          |  SELECT p.id1, p.id2,
          |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
          |    CAST(levenshtein(a.text, b.text) AS DOUBLE) /
-         |      greatest(length(a.text), length(b.text)) AS norm_dist
+         |      greatest(length(a.text), length(b.text), 1) AS norm_dist
          |  FROM ($pairsSql) p
          |  JOIN documents a ON p.id1 = a.doc_id
          |  JOIN documents b ON p.id2 = b.doc_id) t

@@ -68,6 +68,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Dedup.fuzzyPairs(df, "doc_id", "text", maxNorm = 0.01).count() == 0L)
   }
 
+  test("fuzzyPairs keeps a pair of empty texts (norm_dist 0, no div-by-zero NULL)") {
+    // empty texts ARE LSH candidates (band hashes collapse to the empty-concat
+    // digest); without the floored normalizer 0/0 → NULL would drop the pair
+    val df = docs(1L -> "", 2L -> "", 3L -> "some actual content words here repeated words here")
+    val out = Dedup
+      .fuzzyPairs(df, "doc_id", "text", maxNorm = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 0L, 0.0)), out.mkString(","))
+  }
+
   test("connectedComponents resolves chains, merges and singletons to component minima") {
     val s = spark
     import s.implicits._
@@ -83,6 +94,18 @@ class PipelineOpsSpec extends SparkSpec {
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L,
       8L -> 8L, 9L -> 9L, 10L -> 9L)
     assert(got == want)
+  }
+
+  test("connectedComponents refuses to return unconverged labels at maxIter") {
+    val s = spark
+    import s.implicits._
+    // a 6-node chain has diameter 5 → cannot reach fixpoint in 2 rounds
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (1L to 6L).toDF("id")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, nodes, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("connectedComponents matches driver-side union-find on random graphs") {

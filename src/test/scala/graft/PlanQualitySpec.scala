@@ -197,6 +197,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("writeBucketed rejects qualified table names before touching the filesystem") {
+    val df = Tables.orders(spark, sf).select("o_orderkey")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Bucketing.writeBucketed(df, "db.b_orders", "o_orderkey", 4)
+    }
+    assert(ex.getMessage.contains("single-part"))
+  }
+
   test("session extensions register graft_dot via spark.sql.extensions") {
     // the shared session is built with spark.sql.extensions=graft.GraftExtensions
     assert(spark.conf.get("spark.sql.extensions") == "graft.GraftExtensions")
