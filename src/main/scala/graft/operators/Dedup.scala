@@ -333,6 +333,73 @@ object Dedup {
       )
   }
 
+  /** Chunk-level ("line-level") exact dedup — the corpus-wide boilerplate
+    * remover every web-scale curation pipeline runs (headers, footers, cookie
+    * banners repeated across millions of pages). The classic formulation
+    * dedupes newline-split lines; this corpus has no newlines, so the unit is
+    * a fixed-width token chunk — same pipeline shape, pluggable splitter.
+    *
+    * Per document: tokenize, group tokens into `chunkTokens`-wide chunks,
+    * then keep only each chunk content's FIRST corpus-wide occurrence
+    * (ordered by doc id, then position) and reassemble the survivors in
+    * original order. The first-occurrence winner per chunk is
+    * `min(struct(id, idx))` under a `groupBy(chunk)` — a partial (map-side)
+    * aggregate, so a boilerplate chunk repeated a billion times collapses to
+    * one row per map task BEFORE the shuffle; the window-over-content
+    * alternative would funnel the full hot key through one reducer. The
+    * reassembly `collect_list` is bounded by single-document size.
+    *
+    * @return (id, text_dedup, kept_chunks, dropped_chunks) — one row per
+    *         input document; a document whose every chunk appeared earlier
+    *         elsewhere keeps an empty string.
+    */
+  def chunkDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 10
+  ): DataFrame = {
+    val ws = TextAnalysis.tokens(col(textCol))
+    // split("") yields [""] (size 1) in both engines, so nChunks >= 1 for any
+    // non-null text — no descending-sequence hazard
+    val nChunks = floor((size(col("_ws")) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int")
+    val chunked = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), ws.as("_ws"))
+      .select(
+        col(idCol),
+        nChunks.as("_total"),
+        posexplode(
+          transform(
+            sequence(lit(0), nChunks - 1),
+            i => array_join(slice(col("_ws"), i * chunkTokens + 1, lit(chunkTokens)), " ")
+          )
+        ).as(Seq("_idx", "_chunk"))
+      )
+    val winners = chunked
+      .groupBy(col("_chunk"))
+      .agg(min(struct(col(idCol), col("_idx"))).as("_w"))
+      .select(col("_w")(idCol).as(idCol), col("_w")("_idx").as("_idx"), col("_chunk"))
+    val reassembled = winners
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_idx"), col("_chunk")))), _("_chunk")),
+          " "
+        ).as("text_dedup"),
+        count(lit(1)).as("kept_chunks")
+      )
+    chunked
+      .groupBy(col(idCol))
+      .agg(first(col("_total")).cast("bigint").as("_total"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        (col("_total") - coalesce(col("kept_chunks"), lit(0L))).as("dropped_chunks")
+      )
+  }
+
   /** Exact n-gram Jaccard over pairs sharing ≥1 shingle within candidate
     * blocks (matching `blockCols`), id1 < id2, similarity rounded for
     * cross-engine stability. Formulated as a shingle equi-join + group count:

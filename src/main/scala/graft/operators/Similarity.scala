@@ -359,4 +359,38 @@ object Similarity {
       )
       .filter(col("cos") >= threshold)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× storage/bandwidth shrink before an ANN index is built over a
+    * 100 TB vector corpus. Per vector: scale by `127 / max(|x|)` and round
+    * half-up (`floor(x·127/m + 0.5)` — exact for negatives too, unlike a
+    * round() builtin whose half-way rule differs across engines).
+    *
+    * Every step is an EXACTLY-specified IEEE operation (float→double widen,
+    * multiply, divide, floor, max of abs) — correctly rounded in any
+    * conforming engine, so the quantized values are verifiable bit-for-bit
+    * cross-engine with no rounding mitigation. A zero vector (max |x| = 0)
+    * quantizes to zeros rather than dividing by zero. Narrow per-row
+    * column expressions throughout: no shuffle, no UDF; output is exploded
+    * to scalar rows only because the verification contract can't hash
+    * array columns.
+    *
+    * @return (id, pos, q, scale_max_abs) — pos is the 0-based component.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dv = transform(col(vecCol), x => x.cast("double"))
+    df.select(
+        col(idCol),
+        array_max(transform(dv, x => abs(x))).as("_m"),
+        posexplode(dv).as(Seq("pos", "_x"))
+      )
+      .select(
+        col(idCol),
+        col("pos").cast("bigint").as("pos"),
+        when(col("_m") === 0.0, lit(0L))
+          .otherwise(floor(col("_x") * lit(127.0) / col("_m") + lit(0.5)))
+          .as("q"),
+        col("_m").as("scale_max_abs")
+      )
+  }
 }

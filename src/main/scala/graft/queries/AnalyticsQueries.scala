@@ -561,6 +561,40 @@ object AnalyticsQueries {
         (col("p_size") % 7).cast("int").as("size_mod")
       )
     },
+    // Collection-function battery over token arrays: size/distinct/contains/
+    // position/filter/except/sort/slice/join — all narrow per-row expressions
+    // (no shuffle, no explode; the arrays never leave their row).
+    QEntry.sql(
+      "q_array_funcs",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(words) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+         |  list_contains(words, 'the') AS has_the,
+         |  CAST(coalesce(list_position(words, 'the'), 0) AS BIGINT) AS pos_the,
+         |  CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to'], x)))
+         |    AS BIGINT) AS n_stop,
+         |  CAST(len(list_filter(list_distinct(words),
+         |    x -> NOT list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS n_except,
+         |  array_to_string(list_sort(list_distinct(words))[1:3], ',') AS first3
+         |FROM w""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      documents(s, d)
+        .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("_ws"))
+        .select(
+          col("doc_id"),
+          size(col("_ws")).cast("bigint").as("n_tokens"),
+          size(array_distinct(col("_ws"))).cast("bigint").as("n_distinct"),
+          array_contains(col("_ws"), "the").as("has_the"),
+          array_position(col("_ws"), "the").as("pos_the"),
+          size(filter(col("_ws"), x => array_contains(stop, x))).cast("bigint").as("n_stop"),
+          size(array_except(col("_ws"), stop)).cast("bigint").as("n_except"),
+          array_join(slice(array_sort(array_distinct(col("_ws"))), 1, 3), ",").as("first3")
+        )
+    },
+
     QEntry.sql(
       "q_date_funcs",
       """SELECT o_orderkey,

@@ -383,6 +383,51 @@ object PipelineQueries {
         .join(keepers, scored("doc_id") === keepers("keep_id"), "left_semi")
         .groupBy("source")
         .agg(count(lit(1)).as("docs"), round(avg("q"), 4).as("avg_quality"))
-    }
+    },
+
+    // Chunk-level ("line-level") corpus dedup: each 10-token chunk survives
+    // only at its first corpus-wide occurrence (doc id, then position);
+    // documents are reassembled from the surviving chunks. The twin replays
+    // the chunking with DuckDB list slicing and picks winners with a window
+    // (oracle-side only — the Spark path uses a partial-agg min(struct), see
+    // Dedup.chunkDedup's scale note).
+    QEntry.sql(
+      "dedup_chunk_lines",
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |c AS (SELECT doc_id, words,
+         |        unnest(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS idx
+         |      FROM w),
+         |ch AS (SELECT doc_id, idx,
+         |         array_to_string(words[(idx*10 + 1):(idx*10 + 10)], ' ') AS chunk
+         |       FROM c),
+         |kept AS (SELECT doc_id, idx, chunk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+         |    FROM ch) t WHERE rn = 1),
+         |tot AS (SELECT doc_id, CAST(ceil(len(words) / 10.0) AS BIGINT) AS total FROM w)
+         |SELECT t.doc_id,
+         |  coalesce(string_agg(k.chunk, ' ' ORDER BY k.idx), '') AS text_dedup,
+         |  count(k.chunk) AS kept_chunks,
+         |  t.total - count(k.chunk) AS dropped_chunks
+         |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         |GROUP BY t.doc_id, t.total""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Dedup.chunkDedup(documents(s, d), "doc_id", "text", chunkTokens = 10) },
+
+    // Symmetric int8 embedding quantization — every step is an exactly-
+    // specified IEEE op (widen, multiply, divide, floor, max-of-abs), so the
+    // quantized components verify bit-for-bit with no rounding mitigation.
+    QEntry.sql(
+      "emb_quantize_int8",
+      """SELECT vec_id, CAST(pos - 1 AS BIGINT) AS pos,
+        |  CASE WHEN m = 0 THEN 0
+        |       ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)
+        |  END AS q,
+        |  m AS scale_max_abs
+        |FROM (SELECT vec_id,
+        |        unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS pos,
+        |        list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS m
+        |      FROM embeddings) e"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Similarity.quantizeInt8(embeddings(s, d), "vec_id", "embedding") }
   )
 }

@@ -134,6 +134,47 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // MERGE / CDC upsert (latest-wins): base ∪ updates reduced to one row per
+    // key by version. The winner is `max(struct(version, ...))` under a
+    // groupBy — partial (map-side) aggregation, so a hot key's update burst
+    // collapses before the shuffle; the row_number()-window formulation the
+    // twin uses would funnel every version of a key through one reducer.
+    QEntry.sql(
+      "q_upsert_latest_wins",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+        |         1 AS version
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(version AS INT) AS version
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |      FROM allv) t
+        |WHERE rn = 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), lit(0).as("version"))
+      val upd = orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1.0).as("o_totalprice"),
+          lit(1).as("version")
+        )
+      base
+        .union(upd)
+        .groupBy("o_orderkey")
+        .agg(max(struct(col("version"), col("o_totalprice"), col("o_orderstatus"))).as("_w"))
+        .select(
+          col("o_orderkey"),
+          col("_w")("o_orderstatus").as("o_orderstatus"),
+          col("_w")("o_totalprice").as("o_totalprice"),
+          col("_w")("version").as("version")
+        )
+    },
+
     // Distinct (shuffle-dedup with partial aggregation).
     QEntry.sql(
       "q_distinct_flags",

@@ -79,6 +79,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 0L, 0.0)), out.mkString(","))
   }
 
+  test("chunkDedup keeps first corpus-wide occurrence and reassembles in order") {
+    // chunks of 2 tokens; "a b" and "c d" repeat across docs
+    val df = docs(
+      1L -> "a b c d e f",       // chunks: "a b", "c d", "e f" — all first
+      2L -> "a b x y",           // "a b" dropped, "x y" kept
+      3L -> "c d c d",           // both "c d" dropped (doc 1 owns it)
+      4L -> "e f"                // dropped
+    )
+    val out = graft.operators.Dedup
+      .chunkDedup(df, "doc_id", "text", chunkTokens = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("a b c d e f", 3L, 0L)))
+    assert(out(2L) == (("x y", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 2L)))
+    assert(out(4L) == (("", 0L, 1L)))
+  }
+
+  test("chunkDedup within-doc repeats collapse to the earliest position") {
+    val df = docs(1L -> "p q p q r s")
+    val out = graft.operators.Dedup
+      .chunkDedup(df, "doc_id", "text", chunkTokens = 2)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "p q r s")
+    assert(out.head.getLong(2) == 2L && out.head.getLong(3) == 1L)
+  }
+
+  test("quantizeInt8 is exact symmetric quantization with zero-vector guard") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .quantizeInt8(df, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // vec 1: max|x| = 1.0 → q = floor(127*x + 0.5)
+    assert(out((1L, 0L)) == 127L)
+    assert(out((1L, 1L)) == -63L) // floor(-63.5 + 0.5) = -63
+    assert(out((1L, 2L)) == 32L)  // floor(31.75 + 0.5) = 32
+    assert(out((1L, 3L)) == 0L)
+    // zero vector: no div-by-zero, all zeros
+    assert((0L to 3L).forall(p => out((2L, p)) == 0L))
+  }
+
   test("connectedComponents resolves chains, merges and singletons to component minima") {
     val s = spark
     import s.implicits._
