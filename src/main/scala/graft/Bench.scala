@@ -27,6 +27,12 @@ object Bench {
       "x_dedup_clusters_fast" -> ((s, d) =>
         graft.operators.Dedup
           .dedupClusters(Tables.documents(s, d), "doc_id", "text", fast = true)),
+      // production-hash winnowing (same plan as txt_winnow_fp; xxhash64 per
+      // gram instead of an md5 digest per corpus character, long fingerprints
+      // so min/max aggregate without SortAggregate)
+      "x_winnow_fp_fast" -> ((s, d) =>
+        graft.functions.TextAnalysis
+          .winnowFingerprintStats(Tables.documents(s, d), "doc_id", "text", fast = true)),
       // Lloyd-refined IVF (ann_ivf_topk's oracle twin replays the stride
       // seed, so the k-means path is timed here instead)
       "x_ivf_kmeans_topk" -> ((s, d) => {

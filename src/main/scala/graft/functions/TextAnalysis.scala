@@ -122,19 +122,29 @@ object TextAnalysis {
     * aggregate. Same values as the Column-API [[winnowFingerprints]] route
     * (asserted in PipelineOpsSpec), ~3× faster on the bench corpus because
     * nothing runs in interpreted lambda eval.
+    *
+    * `fast = true` swaps the per-gram md5 (one digest per CHARACTER of the
+    * corpus — the dominant cost, kept because DuckDB can replay it) for
+    * xxhash64: identical plan, and the fingerprints become longs, so the
+    * min/max aggregates run as hash-aggregates instead of the SortAggregate
+    * that string min/max forces. Production path; the oracled entry stays
+    * on md5.
     */
   def winnowFingerprintStats(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 8,
-      w: Int = 4
+      w: Int = 4,
+      fast: Boolean = false
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def gramHash(g: Column): Column =
+      if (fast) xxhash64(g) else md5(g).substr(1, 8)
     val grams = df
       .select(col(idCol), col(textCol).as("_t"))
       .withColumn("_i", explode(sequence(lit(1), greatest(length(col("_t")) - (k - 1), lit(0)))))
-      .select(col(idCol), col("_i"), md5(col("_t").substr(col("_i"), lit(k))).substr(1, 8).as("_h"))
+      .select(col(idCol), col("_i"), gramHash(col("_t").substr(col("_i"), lit(k))).as("_h"))
     val win = Window.partitionBy(idCol).orderBy("_i").rowsBetween(-(w - 1), 0)
     val stats = grams
       .withColumn("_fp", min(col("_h")).over(win))
