@@ -363,11 +363,15 @@ object Dedup {
     // split("") yields [""] (size 1) in both engines, so nChunks >= 1 for any
     // non-null text — no descending-sequence hazard
     val nChunks = floor((size(col("_ws")) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int")
-    val chunked = spread(df.select(col(idCol), col(textCol)))
+    val docs = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), ws.as("_ws"))
+    // Per-doc chunk totals come from the doc-level projection (one row per
+    // doc, tokenize only) — NOT from re-aggregating the exploded chunks,
+    // which would run the explode and shuffle every chunk a second time.
+    val totals = docs.select(col(idCol), nChunks.cast("bigint").as("_total"))
+    val chunked = docs
       .select(
         col(idCol),
-        nChunks.as("_total"),
         posexplode(
           transform(
             sequence(lit(0), nChunks - 1),
@@ -375,6 +379,14 @@ object Dedup {
           )
         ).as(Seq("_idx", "_chunk"))
       )
+    // Scale note: the winner groupBy keys on the raw chunk STRING. An
+    // xxhash64 key would narrow the shuffle key, but reassembly needs the
+    // chunk text grouped by winner doc anyway, so the string must ride the
+    // shuffle once regardless (as key here, or as a struct field beside a
+    // hash key — same bytes), and a hash key silently merges colliding
+    // distinct chunks. Partial aggregation already collapses repeated
+    // chunks per map task before the shuffle, which is where the 100 TB
+    // win lives; the exact string key is kept for collision-free dedup.
     val winners = chunked
       .groupBy(col("_chunk"))
       .agg(min(struct(col(idCol), col("_idx"))).as("_w"))
@@ -388,9 +400,7 @@ object Dedup {
         ).as("text_dedup"),
         count(lit(1)).as("kept_chunks")
       )
-    chunked
-      .groupBy(col(idCol))
-      .agg(first(col("_total")).cast("bigint").as("_total"))
+    totals
       .join(reassembled, Seq(idCol), "left")
       .select(
         col(idCol),

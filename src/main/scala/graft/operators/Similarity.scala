@@ -363,8 +363,10 @@ object Similarity {
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4× storage/bandwidth shrink before an ANN index is built over a
     * 100 TB vector corpus. Per vector: scale by `127 / max(|x|)` and round
-    * half-up (`floor(x·127/m + 0.5)` — exact for negatives too, unlike a
-    * round() builtin whose half-way rule differs across engines).
+    * via `floor(x·127/m + 0.5)`, which sends exact halves toward +infinity
+    * for BOTH signs (63.5→64, −63.5→−63) — a deliberate, deterministic
+    * convention (asserted in PipelineOpsSpec), chosen over a round()
+    * builtin whose half-way rule differs across engines.
     *
     * Every step is an EXACTLY-specified IEEE operation (float→double widen,
     * multiply, divide, floor, max of abs) — correctly rounded in any

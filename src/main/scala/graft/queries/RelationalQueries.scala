@@ -149,7 +149,8 @@ object RelationalQueries {
         |  FROM orders WHERE o_orderkey % 10 = 0),
         |allv AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
         |SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(version AS INT) AS version
-        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY version DESC, o_totalprice DESC, o_orderstatus DESC) AS rn
         |      FROM allv) t
         |WHERE rn = 1""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
