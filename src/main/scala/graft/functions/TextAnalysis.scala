@@ -124,11 +124,16 @@ object TextAnalysis {
     * nothing runs in interpreted lambda eval.
     *
     * `fast = true` swaps the per-gram md5 (one digest per CHARACTER of the
-    * corpus — the dominant cost, kept because DuckDB can replay it) for
-    * xxhash64: identical plan, and the fingerprints become longs, so the
-    * min/max aggregates run as hash-aggregates instead of the SortAggregate
-    * that string min/max forces. Production path; the oracled entry stays
-    * on md5.
+    * corpus — kept on the oracled path because DuckDB can replay it) for
+    * xxhash64 — and with a ~GB/s hash the plan changes shape entirely: the
+    * whole winnow (gram hashes → sliding minima → distinct survivors) runs
+    * as per-ROW array lambdas, one hash per character and NO shuffle at all
+    * — where the md5 route's Window operator shuffles + sorts one row per
+    * corpus character, the whole cost of that route at 100 TB. Measured at
+    * sf0.1: lambda 2.0 s vs window 2.2 s vs a least()-of-w-rehashes variant
+    * 5.4 s (4× substring/hash allocation loses to one-hash-per-char even
+    * interpreted). Equivalence with the window formulation is asserted in
+    * PipelineOpsSpec.
     */
   def winnowFingerprintStats(
       df: org.apache.spark.sql.DataFrame,
@@ -139,32 +144,67 @@ object TextAnalysis {
       fast: Boolean = false
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def gramHash(g: Column): Column =
-      if (fast) xxhash64(g) else md5(g).substr(1, 8)
-    val grams = df
-      .select(col(idCol), col(textCol).as("_t"))
-      .withColumn("_i", explode(sequence(lit(1), greatest(length(col("_t")) - (k - 1), lit(0)))))
-      .select(col(idCol), col("_i"), gramHash(col("_t").substr(col("_i"), lit(k))).as("_h"))
-    val win = Window.partitionBy(idCol).orderBy("_i").rowsBetween(-(w - 1), 0)
-    val stats = grams
-      .withColumn("_fp", min(col("_h")).over(win))
-      .filter(col("_i") >= w) // only full windows
-      .groupBy(col(idCol))
-      .agg(
-        countDistinct(col("_fp")).as("n_fp"),
-        min(col("_fp")).as("min_fp"),
-        max(col("_fp")).as("max_fp")
-      )
-    // docs too short for a full window still get a row (n_fp = 0, null
-    // min/max) — same shape as the empty-fingerprint-list oracle
-    df.select(col(idCol))
-      .join(stats, Seq(idCol), "left")
-      .select(
-        col(idCol),
-        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
-        col("min_fp"),
-        col("max_fp")
-      )
+    if (fast) {
+      // Hash array materialized as its own projection so the sliding-min
+      // lambda references an attribute, not the hash expression (interpreted
+      // HOFs do no CSE). Docs with no grams / no full window short-circuit
+      // to null → n_fp 0, null min/max — same shape as the md5 route's left
+      // join, without the join.
+      df.select(col(idCol), col(textCol).as("_t"))
+        .select(
+          col(idCol),
+          when(
+            length(col("_t")) >= k,
+            transform(
+              sequence(lit(1), length(col("_t")) - (k - 1)),
+              i => xxhash64(col("_t").substr(i, lit(k)))
+            )
+          ).as("_hs")
+        )
+        .select(
+          col(idCol),
+          when(
+            size(col("_hs")) >= w,
+            array_distinct(
+              transform(
+                sequence(lit(1), size(col("_hs")) - (w - 1)),
+                j => array_min(slice(col("_hs"), j, lit(w)))
+              )
+            )
+          ).as("_fps")
+        )
+        .select(
+          col(idCol),
+          coalesce(size(col("_fps")), lit(0)).cast("bigint").as("n_fp"),
+          array_min(col("_fps")).as("min_fp"),
+          array_max(col("_fps")).as("max_fp")
+        )
+    } else {
+      val grams = df
+        .select(col(idCol), col(textCol).as("_t"))
+        .withColumn("_i", explode(sequence(lit(1), greatest(length(col("_t")) - (k - 1), lit(0)))))
+        .select(col(idCol), col("_i"), md5(col("_t").substr(col("_i"), lit(k))).substr(1, 8).as("_h"))
+      val win = Window.partitionBy(idCol).orderBy("_i").rowsBetween(-(w - 1), 0)
+      val stats = grams
+        .withColumn("_fp", min(col("_h")).over(win))
+        .filter(col("_i") >= w) // only full windows
+        .groupBy(col(idCol))
+        .agg(
+          countDistinct(col("_fp")).as("n_fp"),
+          min(col("_fp")).as("min_fp"),
+          max(col("_fp")).as("max_fp")
+        )
+      // docs too short for a full window still get a row (n_fp = 0, null
+      // min/max) — same shape as the empty-fingerprint-list oracle
+      df.select(col(idCol))
+        .join(stats, Seq(idCol), "left")
+        .select(
+          col(idCol),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          col("min_fp"),
+          col("max_fp")
+        )
+    }
   }
 
   def winnowFingerprints(hashes: Column, w: Int = 4): Column =

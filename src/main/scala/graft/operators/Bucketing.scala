@@ -14,11 +14,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Property key recording what a bucketed table was built from, so a
+    * repeat `coBucket` over the same source can skip the rewrite — bucketing
+    * is a write-once/join-many layout, and the recurring case must not pay
+    * the write again.
+    */
+  private val SourceProp = "graft.bucket.source"
+
   def writeBucketed(
       df: DataFrame,
       table: String,
       key: String,
-      numBuckets: Int
+      numBuckets: Int,
+      sourceTag: Option[String] = None
   ): Unit = {
     // single-part names only: a qualified `db.table` would break both the
     // backtick-quoted DROP and the default-layout path computed below
@@ -31,6 +39,18 @@ object Bucketing {
     // directory itself; the explicit delete below only targets the
     // default-database layout <warehouse>/<name> this managed write is about
     // to claim — never a registered external table's (arbitrary) location.
+    val fullTag = sourceTag.map(t => s"$t|$key|$numBuckets")
+    // Reuse: same session, same (source, key, buckets) → the table on disk is
+    // byte-equivalent to what this write would produce; skip it.
+    if (
+      fullTag.isDefined && spark.catalog.tableExists(table) && {
+        import org.apache.spark.sql.catalyst.TableIdentifier
+        spark.sessionState.catalog
+          .getTableMetadata(TableIdentifier(table))
+          .properties
+          .get(SourceProp) == fullTag
+      }
+    ) return
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
@@ -42,9 +62,16 @@ object Bucketing {
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+    fullTag.foreach { t =>
+      spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('$SourceProp' = '$t')")
+    }
   }
 
-  /** Bucket both join sides on the key; returns the co-located frames. */
+  /** Bucket both join sides on the key; returns the co-located frames.
+    * With a `sourceTag` (any stable identifier of the input, e.g. its
+    * directory), repeat calls over the same source reuse the existing
+    * bucketed tables instead of rewriting them.
+    */
   def coBucket(
       spark: SparkSession,
       left: DataFrame,
@@ -53,10 +80,11 @@ object Bucketing {
       rightTable: String,
       leftKey: String,
       rightKey: String,
-      numBuckets: Int
+      numBuckets: Int,
+      sourceTag: Option[String] = None
   ): (DataFrame, DataFrame) = {
-    writeBucketed(left, leftTable, leftKey, numBuckets)
-    writeBucketed(right, rightTable, rightKey, numBuckets)
+    writeBucketed(left, leftTable, leftKey, numBuckets, sourceTag)
+    writeBucketed(right, rightTable, rightKey, numBuckets, sourceTag)
     (spark.table(leftTable), spark.table(rightTable))
   }
 }

@@ -486,7 +486,8 @@ object RelationalQueries {
         "graft_q_b_lineitem",
         "o_orderkey",
         "l_orderkey",
-        8
+        8,
+        sourceTag = Some(d)
       )
       bo.join(bl, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")

@@ -294,6 +294,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bpe == 10)
   }
 
+  test("fast winnowing (shuffle-free per-row formulation) equals the window formulation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "AAAA prefix one the entire shared passage stays identical here suffix alpha"),
+      (2L, "short"), // < k chars: no grams at all
+      (3L, "exactly10c"), // grams exist but fewer than w: no full window
+      (4L, "nothing in common with the others at all, honestly")
+    ).toDF("doc_id", "text")
+    def stats(d: org.apache.spark.sql.DataFrame) = d
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    val fast = stats(TextAnalysis.winnowFingerprintStats(df, "doc_id", "text", fast = true))
+    // window-formulation twin over the same xxhash64 gram hash
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("_i").rowsBetween(-3, 0)
+    val exp = stats(
+      df.select($"doc_id", $"text".as("_t"))
+        .withColumn("_i", explode(sequence(lit(1), greatest(length($"_t") - 7, lit(0)))))
+        .select($"doc_id", $"_i", xxhash64($"_t".substr($"_i", lit(8))).as("_h"))
+        .withColumn("_fp", min($"_h").over(win))
+        .filter($"_i" >= 4)
+        .groupBy($"doc_id")
+        .agg(countDistinct($"_fp").as("n_fp"), min($"_fp").as("mn"), max($"_fp").as("mx"))
+    )
+    for (id <- Seq(1L, 4L)) assert(fast(id) == exp(id), s"doc $id")
+    // short docs keep a row with n_fp = 0 and null min/max (and no phantom
+    // fingerprint from xxhash64's ignore-null-input behavior)
+    for (id <- Seq(2L, 3L)) assert(fast(id) == ((0L, None, None)), s"doc $id")
+  }
+
   test("language id picks the language with most marker hits") {
     val df = docs(
       1L -> "the cat sat on the mat and the dog",
