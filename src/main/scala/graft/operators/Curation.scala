@@ -153,4 +153,28 @@ object Curation {
     ).withColumn("pct", percent_rank().over(w))
       .filter(col("pct") >= lo && col("pct") <= hi)
   }
+
+  /** Deterministic source-weighted mixture sampling — the "data mixing" step
+    * of a pretraining pipeline: each source keeps the fraction of its rows
+    * given by `weights` (sources absent from the map keep `defaultWeight`).
+    * Membership is by md5 hash position of the row key
+    * ([[Sampling.hashPosition]]), so the mixture is reproducible across
+    * engines, runs, and partitionings, and upweighting a source later (e.g.
+    * 0.25 → 0.5) KEEPS every previously-sampled row — hash-position sampling
+    * is nested by construction, which rand() mixtures are not.
+    *
+    * A narrow filter expression: no shuffle, fuses into the scan.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 0.0
+  ): DataFrame = {
+    val weight = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    df.filter(Sampling.hashPosition(col(keyCol)) < weight)
+  }
 }

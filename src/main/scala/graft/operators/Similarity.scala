@@ -395,4 +395,73 @@ object Similarity {
         col("_m").as("scale_max_abs")
       )
   }
+
+  /** Product-quantization (PQ) codes — the memory layout behind
+    * billion-vector ANN indexes (IVF-PQ): each vector splits into `m`
+    * sub-vectors, each replaced by the id of its nearest codebook entry
+    * (dim·4 bytes → m codes). Runs over the int8-QUANTIZED vectors (same
+    * arithmetic as [[quantizeInt8]]), so every distance is an exact BIGINT
+    * sum of squared integer differences — bit-identical cross-engine, no
+    * float ranking. The codebook is every `codebookStride`-th corpus vector
+    * (deterministic and externally replayable — the stride-seed convention
+    * of [[ivfTopK]]; a production build would k-means-refine it, assignment
+    * plan unchanged). Assignment: broadcast the KB-scale sub-codebook,
+    * cross-match per subspace, then a partial-aggregated argmin — the
+    * shuffle carries one row per (vector, subspace), never the ×|codebook|
+    * fan-out.
+    *
+    * @return (id, sub, code, dist) — `code` is the codebook row's id,
+    *         `dist` the exact squared int8 distance in that subspace.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      codebookStride: Int = 31
+  ): DataFrame = {
+    val dim = dimOf(corpus, vecCol, 0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val quantized = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_mx", array_max(transform(col("_v"), x => abs(x.cast("double")))))
+      .select(
+        col("_id"),
+        when(col("_mx") === 0.0, transform(col("_v"), _ => lit(0L)))
+          .otherwise(
+            transform(col("_v"), x => floor(x.cast("double") * lit(127.0) / col("_mx") + lit(0.5)))
+          )
+          .as("_q")
+      )
+    val subs = quantized.select(
+      col("_id"),
+      posexplode(
+        transform(sequence(lit(0), lit(m - 1)), s => slice(col("_q"), s * sub + 1, lit(sub)))
+      ).as(Seq("sub", "_sv"))
+    )
+    val codebook = broadcast(
+      subs
+        .filter(pmod(col("_id"), lit(codebookStride)) === 0)
+        .select(col("_id").as("_code"), col("sub"), col("_sv").as("_cv"))
+    )
+    subs
+      .join(codebook, "sub")
+      .withColumn(
+        "_dist",
+        aggregate(
+          zip_with(col("_sv"), col("_cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L),
+          (acc, v) => acc + v
+        )
+      )
+      .groupBy(col("_id"), col("sub"))
+      .agg(min(struct(col("_dist"), col("_code"))).as("_b"))
+      .select(
+        col("_id").as(idCol),
+        col("sub").cast("bigint").as("sub"),
+        col("_b._code").as("code"),
+        col("_b._dist").as("dist")
+      )
+  }
 }

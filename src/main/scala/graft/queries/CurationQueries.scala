@@ -128,6 +128,36 @@ object CurationQueries {
          |WHERE pct >= 0.2 AND pct <= 0.8""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Curation.qualityBand(documents(s, d), "doc_id", "text", "lang", 0.2, 0.8)
+    },
+
+    // Deterministic source-weighted mixture ("data mixing"): per-source keep
+    // fractions by md5 hash position of the doc id — reproducible across
+    // engines/runs/partitionings, and nested under weight increases. Narrow
+    // filter, no shuffle.
+    QEntry.sql(
+      "cur_mixture_sample", {
+        val hashpos =
+          """CAST(list_sum(list_transform(range(1, 9), i ->
+            |  (strpos('0123456789abcdef',
+            |          substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+            |  * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0""".stripMargin
+        s"""SELECT doc_id, source FROM documents
+           |WHERE $hashpos < CASE WHEN source = 'src0' THEN 1.0
+           |                      WHEN source = 'src1' THEN 0.75
+           |                      WHEN source = 'src2' THEN 0.5
+           |                      WHEN source = 'src3' THEN 0.25
+           |                      ELSE 0.1 END""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Curation
+        .mixtureSample(
+          documents(s, d),
+          "doc_id",
+          "source",
+          Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+          defaultWeight = 0.1
+        )
+        .select("doc_id", "source")
     }
   )
 }

@@ -428,6 +428,36 @@ object PipelineQueries {
         |        list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS m
         |      FROM embeddings) e"""
         .stripMargin.replaceAll("\\s+", " ")
-    ) { (s, d) => Similarity.quantizeInt8(embeddings(s, d), "vec_id", "embedding") }
+    ) { (s, d) => Similarity.quantizeInt8(embeddings(s, d), "vec_id", "embedding") },
+
+    // Product-quantization codes over the int8-quantized vectors: m=4
+    // subspaces of 16 dims, codebook = every 31st corpus vector. All
+    // distances are exact BIGINT sums of squared integer differences, so
+    // the argmin (tie-break on code) is bit-identical cross-engine.
+    QEntry.sql(
+      "emb_pq_codes",
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding, x ->
+        |                CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) END AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+        |        FROM embeddings) e),
+        |subs AS (
+        |  SELECT vec_id, s, list_slice(qv, CAST(s * 16 + 1 AS INT), CAST(s * 16 + 16 AS INT)) AS sv
+        |  FROM q, (SELECT unnest(range(0, 4)) AS s) ss),
+        |cb AS (SELECT vec_id AS code, s, sv AS cv FROM subs WHERE vec_id % 31 = 0),
+        |d AS (
+        |  SELECT subs.vec_id, subs.s, cb.code,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      (sv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |      * (sv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS BIGINT) AS dist
+        |  FROM subs JOIN cb ON subs.s = cb.s)
+        |SELECT vec_id, s AS sub, code, dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        |  FROM d) t
+        |WHERE rn = 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Similarity.pqEncode(embeddings(s, d), "vec_id", "embedding") }
   )
 }

@@ -326,6 +326,39 @@ class PipelineOpsSpec extends SparkSpec {
     for (id <- Seq(2L, 3L)) assert(fast(id) == ((0L, None, None)), s"doc $id")
   }
 
+  test("mixture sampling: weight 1 keeps all, weight 0 drops all, samples nest under weight increase") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    def ids(w: Map[String, Double]) =
+      graft.operators.Curation
+        .mixtureSample(df, "id", "src", w)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Map("a" -> 1.0)) == (2L to 200L by 2).toSet) // all of a, none of b (default 0)
+    val low = ids(Map("a" -> 0.3, "b" -> 0.2))
+    val high = ids(Map("a" -> 0.7, "b" -> 0.6))
+    assert(low.subsetOf(high), "hash-position sampling must be nested under weight increases")
+    assert(low.nonEmpty && high.size < 200)
+  }
+
+  test("pq codes: codebook rows encode to themselves with zero distance; codes come from the codebook") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 13 + j * 7) % 19 - 9).toFloat / 3f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(vecs, "vec_id", "embedding", m = 2, codebookStride = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.size == 40 * 2) // one code per (vector, subspace)
+    val codebookIds = Set(0L, 10L, 20L, 30L)
+    assert(out.values.map(_._1).toSet.subsetOf(codebookIds))
+    for (id <- codebookIds; sub <- Seq(0L, 1L))
+      assert(out((id, sub)) == ((id, 0L)), s"codebook row $id sub $sub must self-encode at dist 0")
+    assert(out.values.forall(_._2 >= 0L))
+  }
+
   test("language id picks the language with most marker hits") {
     val df = docs(
       1L -> "the cat sat on the mat and the dog",
