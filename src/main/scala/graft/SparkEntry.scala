@@ -17,7 +17,7 @@ object SparkEntry {
   private def inventory: Seq[QEntry] =
     FragQueries.entries ++ RelationalQueries.entries ++ AnalyticsQueries.entries ++
       TextQueries.entries ++ PipelineQueries.entries ++ CurationQueries.entries ++
-      MultimodalQueries.entries
+      MultimodalQueries.entries ++ SourceQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

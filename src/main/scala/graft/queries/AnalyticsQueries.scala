@@ -683,6 +683,67 @@ object AnalyticsQueries {
         )
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+    },
+
+    // Map-typed column battery: construction, key lookup, cardinality,
+    // sorted key list, value transform, predicate filter — all narrow
+    // codegen'd expressions. The twin computes the same scalars directly
+    // (map types never cross the verification boundary — same rule as
+    // arrays).
+    QEntry.sql(
+      "q_map_funcs",
+      """SELECT o_orderkey,
+        |  o_orderstatus AS status_v,
+        |  CAST(2 AS INT) AS n_keys,
+        |  'prio,status' AS keys_csv,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS n_f_vals
+        |FROM orders""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = map(
+        lit("status"), col("o_orderstatus"),
+        lit("prio"), col("o_orderpriority")
+      )
+      orders(s, d)
+        .select(col("o_orderkey"), m.as("_m"))
+        .select(
+          col("o_orderkey"),
+          element_at(col("_m"), "status").as("status_v"),
+          size(col("_m")).as("n_keys"),
+          array_join(array_sort(map_keys(col("_m"))), ",").as("keys_csv"),
+          element_at(transform_values(col("_m"), (_, v) => upper(v)), "prio").as("prio_upper"),
+          size(map_filter(col("_m"), (k, v) => k === "status" && v === "F")).as("n_f_vals")
+        )
+    },
+
+    // Equal-width histogram over a data-derived domain: global min/max via a
+    // broadcast scalar aggregate, bin = floor((x-mn)*nb/(mx-mn)) clamped to
+    // the last bin. Every float op (subtract, multiply, divide, floor) is
+    // written in the same order in both engines — correctly-rounded IEEE
+    // steps, so bin edges agree bit-for-bit with no rounding mitigation.
+    QEntry.sql(
+      "q_histogram_bins",
+      """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |           FROM lineitem)
+        |SELECT LEAST(CAST(floor(((l_extendedprice - mn) * 20.0) / (mx - mn)) AS BIGINT),
+        |             19) AS bin,
+        |       count(*) AS cnt
+        |FROM lineitem, b GROUP BY 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val li = lineitem(s, d)
+      val bounds = li.agg(
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx")
+      )
+      li.crossJoin(broadcast(bounds))
+        .select(
+          least(
+            floor(((col("l_extendedprice") - col("mn")) * lit(20.0)) / (col("mx") - col("mn"))),
+            lit(19L)
+          ).as("bin")
+        )
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"))
     }
   )
 }

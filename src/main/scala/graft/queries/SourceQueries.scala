@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source-format coverage — the engine ingests more than parquet.
+  *
+  * Each entry converts the documents table to another format ONCE (cached
+  * under `target/graft_src_cache`, keyed by format + sf basename, rebuilt
+  * only when the `_SUCCESS` marker is absent) and reads it back through the
+  * corresponding Spark source with an explicit schema; the DuckDB oracle
+  * reads the ORIGINAL parquet. A green row therefore proves the full
+  * write→read round-trip (quoting, escaping, header handling, type parsing)
+  * reproduces the parquet content exactly.
+  *
+  * Scale note: these sources are executor-parallel file scans exactly like
+  * parquet (splittable by file; CSV additionally by range when multiLine is
+  * off) — the round-trip here is a correctness harness, not a layout
+  * recommendation. For 100 TB, columnar formats win; the point is that
+  * text-format ingestion into that layout is proven.
+  */
+object SourceQueries {
+
+  private val docsSql = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+  private def roundTrip(s: SparkSession, d: String, fmt: String): DataFrame = {
+    val base = graft.Tables.documents(s, d)
+    val sf = d.stripSuffix("/").split('/').last
+    // cwd is the repo root in every driver flow; never write outside it
+    val path = s"target/graft_src_cache/${fmt}_$sf"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val w = base.write.mode("overwrite")
+      fmt match {
+        // RFC-4180-style doubled quotes (escape = quote) + multiLine read:
+        // correct even for text with embedded quotes/newlines/separators
+        case "csv" => w.option("header", "true").option("escape", "\"").csv(path)
+        case "json" => w.json(path)
+        case "orc" => w.orc(path)
+      }
+    }
+    fmt match {
+      case "csv" =>
+        s.read
+          .schema(base.schema)
+          .option("header", "true")
+          .option("escape", "\"")
+          .option("multiLine", "true")
+          .csv(path)
+      case "json" => s.read.schema(base.schema).json(path)
+      case "orc" => s.read.orc(path)
+    }
+  }
+
+  def entries: Seq[QEntry] = Seq(
+    QEntry.sql("src_json_docs", docsSql)((s, d) => roundTrip(s, d, "json")),
+    QEntry.sql("src_csv_docs", docsSql)((s, d) => roundTrip(s, d, "csv")),
+    QEntry.sql("src_orc_docs", docsSql)((s, d) => roundTrip(s, d, "orc"))
+  )
+}
