@@ -413,6 +413,38 @@ object Similarity {
     * @return (id, sub, code, dist) — `code` is the codebook row's id,
     *         `dist` the exact squared int8 distance in that subspace.
     */
+  /** Int8-quantize ([[quantizeInt8]] arithmetic) and split into `m`
+    * sub-vectors: one row per (id, subspace) with the BIGINT sub-vector.
+    */
+  private def quantizedSubs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      sub: Int,
+      asId: String
+  ): DataFrame =
+    df.select(col(idCol).as(asId), col(vecCol).as("_v"))
+      .withColumn("_mx", array_max(transform(col("_v"), x => abs(x.cast("double")))))
+      .select(
+        col(asId),
+        when(col("_mx") === 0.0, transform(col("_v"), _ => lit(0L)))
+          .otherwise(
+            transform(col("_v"), x => floor(x.cast("double") * lit(127.0) / col("_mx") + lit(0.5)))
+          )
+          .as("_q")
+      )
+      .select(
+        col(asId),
+        posexplode(
+          transform(sequence(lit(0), lit(m - 1)), s => slice(col("_q"), s * sub + 1, lit(sub)))
+        ).as(Seq("sub", "_sv"))
+      )
+
+  /** Exact BIGINT squared distance between two integer sub-vectors. */
+  private def sqIntDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
   def pqEncode(
       corpus: DataFrame,
       idCol: String,
@@ -423,23 +455,7 @@ object Similarity {
     val dim = dimOf(corpus, vecCol, 0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val quantized = corpus
-      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .withColumn("_mx", array_max(transform(col("_v"), x => abs(x.cast("double")))))
-      .select(
-        col("_id"),
-        when(col("_mx") === 0.0, transform(col("_v"), _ => lit(0L)))
-          .otherwise(
-            transform(col("_v"), x => floor(x.cast("double") * lit(127.0) / col("_mx") + lit(0.5)))
-          )
-          .as("_q")
-      )
-    val subs = quantized.select(
-      col("_id"),
-      posexplode(
-        transform(sequence(lit(0), lit(m - 1)), s => slice(col("_q"), s * sub + 1, lit(sub)))
-      ).as(Seq("sub", "_sv"))
-    )
+    val subs = quantizedSubs(corpus, idCol, vecCol, m, sub, "_id")
     val codebook = broadcast(
       subs
         .filter(pmod(col("_id"), lit(codebookStride)) === 0)
@@ -447,14 +463,7 @@ object Similarity {
     )
     subs
       .join(codebook, "sub")
-      .withColumn(
-        "_dist",
-        aggregate(
-          zip_with(col("_sv"), col("_cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L),
-          (acc, v) => acc + v
-        )
-      )
+      .withColumn("_dist", sqIntDist(col("_sv"), col("_cv")))
       .groupBy(col("_id"), col("sub"))
       .agg(min(struct(col("_dist"), col("_code"))).as("_b"))
       .select(
@@ -463,5 +472,61 @@ object Similarity {
         col("_b._code").as("code"),
         col("_b._dist").as("dist")
       )
+  }
+
+  /** PQ approximate top-k — the scan shape of an IVF-PQ index probe: corpus
+    * vectors are represented by their m PQ codes ([[pqEncode]]), the query's
+    * distance to EVERY codebook entry is tabulated once into a lookup table
+    * (|queries|·m·|codebook| rows — KBs), and the approximate distance of a
+    * corpus vector is the sum of its m code's LUT entries. The LUT
+    * broadcasts; the probe is a broadcast equi-join on (subspace, code) plus
+    * a partial-aggregated sum — the shuffle carries one row per
+    * (query, corpus vector), and the corpus vectors themselves are never
+    * touched after encoding (that is the entire point of PQ at 100 TB: the
+    * scan reads m bytes per vector, not dim·4). Quantizing the query too
+    * keeps every distance an exact BIGINT (symmetric DC), so ranking is
+    * bit-identical cross-engine.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      codebookStride: Int = 31
+  ): DataFrame = {
+    val dim = dimOf(corpus, vecCol, 0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val corpusSubs = quantizedSubs(corpus, idCol, vecCol, m, sub, "_id")
+    val codebook =
+      corpusSubs
+        .filter(pmod(col("_id"), lit(codebookStride)) === 0)
+        .select(col("_id").as("_code"), col("sub"), col("_sv").as("_cv"))
+    val codes = corpusSubs
+      .join(broadcast(codebook), "sub")
+      .withColumn("_dist", sqIntDist(col("_sv"), col("_cv")))
+      .groupBy(col("_id"), col("sub"))
+      .agg(min(struct(col("_dist"), col("_code"))).as("_b"))
+      .select(col("_id").as("neighbor_id"), col("sub"), col("_b._code").as("_code"))
+    val lut = broadcast(
+      quantizedSubs(queries, idCol, vecCol, m, sub, "query_id")
+        .join(codebook, "sub")
+        .select(
+          col("query_id"),
+          col("sub"),
+          col("_code"),
+          sqIntDist(col("_sv"), col("_cv")).as("_pdist")
+        )
+    )
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    codes
+      .join(lut, Seq("sub", "_code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_pdist")).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
   }
 }

@@ -407,6 +407,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall too low: $recall")
     // approx results are a subset of legal neighbors (never the query itself)
     assert(approx.forall { case (q, n) => q != n })
+    // PQ symmetric-DC search over the same corpus: with a dense stride
+    // codebook (every 5th vector) the quantized-distance ranking should
+    // recover most of the exact cosine top-5 (L2-vs-cosine + int8 noise
+    // keeps it short of perfect)
+    val pq = Similarity
+      .pqTopK(df, queries, "vec_id", "embedding", 5, m = 2, codebookStride = 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pq.forall { case (q, n) => q != n })
+    assert(pq.size == 15)
+    val pqRecall = exact.intersect(pq).size.toDouble / exact.size
+    assert(pqRecall >= 0.4, s"PQ recall too low: $pqRecall")
   }
 
   test("salted join returns exactly the plain join's rows under skew") {
