@@ -176,6 +176,65 @@ object RelationalQueries {
         )
     },
 
+    // CDC apply incl. tombstones: base ∪ updates ∪ deletes, latest version
+    // wins per key, keys whose final operation is a delete disappear. Same
+    // partial-aggregated max(struct) shape as q_upsert_latest_wins — a hot
+    // key's change burst collapses map-side; no window over the full
+    // history. Delete rows carry the base values (no nulls inside the
+    // comparison struct, so the cross-engine ordering is total).
+    QEntry.sql(
+      "q_cdc_apply",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version, 'I' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+        |         1 AS version, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |del AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 2 AS version, 'D' AS op
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |         UNION ALL SELECT * FROM del)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(version AS INT) AS version
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY version DESC, op DESC, o_totalprice DESC, o_orderstatus DESC) AS rn
+        |      FROM allv) t
+        |WHERE rn = 1 AND op <> 'D'""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d)
+      val base = o.select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(0).as("version"), lit("I").as("op"))
+      val upd = o
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1.0).as("o_totalprice"),
+          lit(1).as("version"), lit("U").as("op"))
+      val del = o
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit(2).as("version"), lit("D").as("op"))
+      base
+        .union(upd)
+        .union(del)
+        .groupBy("o_orderkey")
+        .agg(
+          max(
+            struct(col("version"), col("op"), col("o_totalprice"), col("o_orderstatus"))
+          ).as("_w")
+        )
+        .filter(col("_w")("op") =!= "D")
+        .select(
+          col("o_orderkey"),
+          col("_w")("o_orderstatus").as("o_orderstatus"),
+          col("_w")("o_totalprice").as("o_totalprice"),
+          col("_w")("version").as("version")
+        )
+    },
+
     // Distinct (shuffle-dedup with partial aggregation).
     QEntry.sql(
       "q_distinct_flags",
@@ -492,6 +551,30 @@ object RelationalQueries {
       bo.join(bl, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+    },
+
+    // Z-order (Morton) values — the two-dimensional data-skipping sort key
+    // (Delta/Iceberg OPTIMIZE ZORDER BY). Pure bit arithmetic, replayed
+    // shift-for-shift by the twin; the layout op itself (range partition +
+    // sort by this key) is ZOrder.cluster2, bbox-compactness asserted in
+    // PipelineOpsSpec.
+    QEntry.sql(
+      "q_zorder_values", {
+        val terms = (0 until 10)
+          .flatMap(i =>
+            Seq(
+              s"((((o_custkey & 1023) >> $i) & 1) << ${2 * i})",
+              s"((((o_orderkey & 1023) >> $i) & 1) << ${2 * i + 1})"
+            )
+          )
+          .mkString(" | ")
+        s"SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM orders"
+      }
+    ) { (s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        graft.operators.ZOrder.zValue2(col("o_custkey"), col("o_orderkey"), 10).as("zval")
+      )
     },
 
     // Salted skew join: the build side (supplier) is replicated `salt` ways

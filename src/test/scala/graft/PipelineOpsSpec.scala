@@ -423,6 +423,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pqRecall >= 0.4, s"PQ recall too low: $pqRecall")
   }
 
+  test("z-order: interleaving matches reference morton code; clustering gives compact partition boxes") {
+    val s = spark
+    import s.implicits._
+    def morton(x: Int, y: Int, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((a, i) =>
+        a | (((x >> i) & 1).toLong << (2 * i)) | (((y >> i) & 1).toLong << (2 * i + 1))
+      )
+    val df = (for { x <- 0 to 7; y <- 0 to 7 } yield (x, y)).toDF("x", "y")
+    graft.operators.ZOrder
+    df.select($"x", $"y", graft.operators.ZOrder.zValue2($"x", $"y", 3).as("z"))
+      .collect()
+      .foreach(r => assert(r.getLong(2) == morton(r.getInt(0), r.getInt(1), 3)))
+    // masking: values beyond `bits` wrap onto the low bits only
+    assert(
+      df.sparkSession.range(1)
+        .select(graft.operators.ZOrder.zValue2(lit(0x1234 & 7), lit(0), 3))
+        .head.getLong(0) == morton(0x1234 & 7, 0, 3)
+    )
+    // clustering a 16x16 grid into 8 z-range partitions: every partition's
+    // (x, y) bounding box stays a small rectangle — two-dimensional
+    // skippability, which a plain sort by x cannot give y
+    val grid = (for { x <- 0 until 16; y <- 0 until 16 } yield (x, y)).toDF("x", "y")
+    val parts = graft.operators.ZOrder
+      .cluster2(grid, "x", "y", 8, bits = 4)
+      .rdd.glom().collect().filter(_.nonEmpty)
+    val areas = parts.map { rows =>
+      val xs = rows.map(_.getInt(0)); val ys = rows.map(_.getInt(1))
+      (xs.max - xs.min + 1).toLong * (ys.max - ys.min + 1)
+    }
+    assert(areas.forall(_ <= 128), s"z-partition bbox too large: ${areas.mkString(",")}")
+    assert(areas.sum.toDouble / areas.length <= 80.0, s"avg bbox ${areas.sum / areas.length}")
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     val s = spark
     import s.implicits._
