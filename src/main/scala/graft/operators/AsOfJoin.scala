@@ -33,6 +33,33 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       carry: Seq[String]
+  ): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, carry, forward = false)
+
+  /** Forward as-of join: for every left row, the single right row with the
+    * SMALLEST `rightTs >= leftTs` per key — the mirror of [[asOfBackward]]
+    * ("next reading after the event"). Identical one-shuffle union-sort-carry
+    * plan; only the traversal direction flips (descending timestamps, so the
+    * carried right row is always the nearest future one).
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      carry: Seq[String]
+  ): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, carry, forward = true)
+
+  private def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      carry: Seq[String],
+      forward: Boolean
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     val carryStruct = struct(carry.map(col): _*)
@@ -52,9 +79,11 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(col): _*
     )
 
+    // right rows (_tag 0) sort before left rows on timestamp ties in either
+    // direction, so <= / >= inclusivity holds exactly
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_tag"))
+      .orderBy(if (forward) col("_ts").desc else col("_ts"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedRight

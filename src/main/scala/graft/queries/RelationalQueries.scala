@@ -387,6 +387,36 @@ object RelationalQueries {
         )
     },
 
+    // Forward as-of: each error attached to the NEXT click at-or-after it —
+    // the mirror traversal, same one-shuffle plan (DuckDB ASOF with the
+    // comparison flipped is the oracle).
+    QEntry.sql(
+      "q_asof_click_after_error",
+      """SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |ON e.user_id = c.user_id AND e.ts <= c.ts"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ev = events(s, d)
+      val errors = ev
+        .filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin
+        .asOfForward(errors, clicks, Seq("user_id"), "ts", "click_ts", Seq("click_ts"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+          date_format(col("asof_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts")
+        )
+    },
+
     // Approximate sketches, made deterministically oracle-able: the output
     // carries the EXACT statistic (portable) plus a boolean asserting the
     // sketch estimate landed within tolerance — so the DuckDB twin is the

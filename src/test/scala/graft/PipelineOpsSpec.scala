@@ -502,6 +502,14 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1))
       .toMap
     assert(out == Map(1L -> "b", 2L -> "a", 3L -> "d"))
+    // forward: smallest rightTs >= leftTs; ties count; u3 still dropped
+    val fwd = graft.operators.AsOfJoin
+      .asOfForward(left, right, Seq("k"), "lts", "rts", Seq("payload"))
+      .select("event_id", "asof_payload")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(fwd == Map(1L -> "c", 2L -> "b", 3L -> "d"))
   }
 
   test("ivf topk recall vs brute force is reasonable") {
