@@ -229,6 +229,29 @@ object AnalyticsQueries {
       )
     },
 
+    // rank/dense_rank tie semantics (l_quantity repeats within a group, so
+    // rank gaps and dense compaction are both exercised; row-number over the
+    // same tie-broken order pins a deterministic output).
+    QEntry.sql(
+      "q_window_rank_dense",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window.partitionBy("l_orderkey").orderBy("l_quantity")
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk")
+        )
+    },
+
     // Exact per-group median (sort-based percentile, linear interpolation —
     // both engines use lower + (upper-lower)*frac over the same sorted
     // values, so the unrounded doubles agree).

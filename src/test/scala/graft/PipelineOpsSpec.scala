@@ -456,6 +456,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(areas.sum.toDouble / areas.length <= 80.0, s"avg bbox ${areas.sum / areas.length}")
   }
 
+  test("compaction rewrites many small parquet files into few, preserving content") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val path = s"$dir/table"
+      val df = (1L to 2000L).map(i => (i, s"row$i")).toDF("id", "v")
+      df.repartition(64).write.parquet(path)
+      val (before, after) =
+        graft.operators.Compaction.compactParquet(s, path, targetBytes = 256 * 1024)
+      assert(before == 64)
+      assert(after < 16, s"expected few output files, got $after")
+      val back = s.read.parquet(path).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(back == (1L to 2000L).map(i => (i, s"row$i")).toSet)
+    }
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     val s = spark
     import s.implicits._
