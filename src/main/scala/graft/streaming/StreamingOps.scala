@@ -129,6 +129,17 @@ object StreamingOps {
     )
   }
 
+  /** Stream-static enrichment join: every micro-batch of the stream joins
+    * the (small) static dimension, broadcast to executors — the standard
+    * "attach dimension attributes on ingest" shape. No state store and no
+    * watermark: nothing is buffered, because the static side is complete by
+    * definition and is re-resolved per micro-batch (a dim TABLE updated
+    * between batches is picked up). Left join keeps stream rows with no dim
+    * match — enrichment must never drop facts.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
+
   /** Streaming round-robin ingestion: every micro-batch is appended to the
     * master dataset AND round-robin-routed to fragments, continuing the
     * engine's `lastInserted` counter exactly like sequential

@@ -134,6 +134,35 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed(("2024-01-01 10:00", "click")) == ((2L, 3.0)))
   }
 
+  test("stream-static enrichment join attaches dim attributes per micro-batch without state") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = StreamingOps
+      .enrichWithDim(mem.toDF().toDF("user_id", "value"), dim, "user_id")
+      .writeStream
+      .format("memory")
+      .queryName("enrich_out")
+      .outputMode("append")
+      .start()
+    mem.addData((1L, 10.0), (3L, 30.0))
+    q.processAllAvailable()
+    mem.addData((2L, 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark
+      .table("enrich_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+      .toSet
+    // dim match enriches; missing key survives with null tier (left join)
+    assert(
+      out == Set((1L, 10.0, Some("gold")), (3L, 30.0, None), (2L, 20.0, Some("silver")))
+    )
+  }
+
   test("streaming session windows emit exactly the watermark-closed batch sessions") {
     val s = spark
     import s.implicits._
