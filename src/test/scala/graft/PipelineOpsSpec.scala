@@ -456,6 +456,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(areas.sum.toDouble / areas.length <= 80.0, s"avg bbox ${areas.sum / areas.length}")
   }
 
+  test("schema evolution: mergeSchema reads old and new parquet generations as one table") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      // generation 0 lacks the `score` column added later — the standard
+      // additive-evolution case a long-lived dataset accumulates
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t/gen=0")
+      Seq((2L, "b", 3.5)).toDF("id", "v", "score").write.parquet(s"$dir/t/gen=1")
+      val merged = s.read.option("mergeSchema", "true").parquet(s"$dir/t")
+      assert(merged.columns.toSet == Set("id", "v", "score", "gen"))
+      val rows = merged
+        .select("id", "v", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+        .toSet
+      assert(rows == Set((1L, "a", None), (2L, "b", Some(3.5))))
+    }
+  }
+
   test("compaction rewrites many small parquet files into few, preserving content") {
     val s = spark
     import s.implicits._
