@@ -38,6 +38,23 @@ object Sampling {
   def splitTag(key: Column, testFraction: Double): Column =
     when(hashPosition(key) < testFraction, lit("test")).otherwise(lit("train"))
 
+  /** Deterministic training-order shard shuffle: every row gets a shard
+    * (hash of key mod `nShards`) and a position within its shard (ordered
+    * by key hash) — a reproducible pseudo-random global permutation, the
+    * final step before a corpus is written out for data-parallel training.
+    * One shuffle keyed by shard; within-shard ordering parallelizes across
+    * shards (size `nShards` to the writer parallelism — thousands at
+    * 100 TB — never 1).
+    */
+  def shardShuffle(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val w = Window
+      .partitionBy("shard")
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("shard", h % nShards)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+  }
+
   /** Deterministic per-stratum sample: the k smallest key-hashes within each
     * stratum (one shuffle on the strata columns).
     */

@@ -229,6 +229,71 @@ object AnalyticsQueries {
       )
     },
 
+    // Second-moment statistics (variance/stddev/correlation) made
+    // engine-deterministic: stddev_samp/corr builtins accumulate doubles in
+    // partition order (Welford vs naive differs per engine in the last
+    // ulps), so instead the moments are EXACT integer sums over cents
+    // (decimal(38,0) — sum(xxhash-scale bigints overflows long under ANSI),
+    // and variance/corr reduce to ONE correctly-rounded division of exact
+    // integers; sqrt is correctly rounded too. Same partial-agg shuffle
+    // shape as any groupBy — determinism costs nothing at scale.
+    QEntry.sql(
+      "q_stats_moments",
+      """SELECT l_returnflag, n,
+        |  CAST(CAST(n AS HUGEINT) * sq - s * s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0 AS var_price,
+        |  sqrt(CAST(CAST(n AS HUGEINT) * sq - s * s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (n - 1))) / 100.0 AS stddev_price,
+        |  CAST(CAST(n AS HUGEINT) * spq - s * q AS DOUBLE)
+        |    / sqrt(CAST(CAST(n AS HUGEINT) * sq - s * s AS DOUBLE))
+        |    / sqrt(CAST(CAST(n AS HUGEINT) * qq - q * q AS DOUBLE)) AS corr_price_qty
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS s, CAST(sum(c * c) AS HUGEINT) AS sq,
+        |    CAST(sum(qv) AS HUGEINT) AS q, CAST(sum(qv * qv) AS HUGEINT) AS qq,
+        |    CAST(sum(c * qv) AS HUGEINT) AS spq
+        |  FROM (SELECT l_returnflag,
+        |          CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+        |          CAST(l_quantity AS BIGINT) AS qv
+        |        FROM lineitem) t
+        |  GROUP BY l_returnflag) m""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val base = lineitem(s, d).select(
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("c"),
+        col("l_quantity").cast("bigint").as("qv")
+      )
+      val m = base
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c").cast(dec)).as("s"),
+          sum((col("c") * col("c")).cast(dec)).as("sq"),
+          sum(col("qv").cast(dec)).as("q"),
+          sum((col("qv") * col("qv")).cast(dec)).as("qq"),
+          sum((col("c") * col("qv")).cast(dec)).as("spq")
+        )
+      val n = col("n")
+      def num(
+          sxy: org.apache.spark.sql.Column,
+          sx: org.apache.spark.sql.Column,
+          sy: org.apache.spark.sql.Column
+      ): org.apache.spark.sql.Column =
+        (n.cast(dec) * sxy - sx * sy).cast("double")
+      m.select(
+        col("l_returnflag"),
+        n,
+        (num(col("sq"), col("s"), col("s")) / (n.cast("double") * (n - 1)) / 10000.0)
+          .as("var_price"),
+        (sqrt(num(col("sq"), col("s"), col("s")) / (n.cast("double") * (n - 1))) / 100.0)
+          .as("stddev_price"),
+        (num(col("spq"), col("s"), col("q"))
+          / sqrt(num(col("sq"), col("s"), col("s")))
+          / sqrt(num(col("qq"), col("q"), col("q")))).as("corr_price_qty")
+      )
+    },
+
     // rank/dense_rank tie semantics (l_quantity repeats within a group, so
     // rank gaps and dense compaction are both exercised; row-number over the
     // same tie-broken order pins a deterministic output).

@@ -328,6 +328,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // Deterministic shard shuffle: reproducible pseudo-random training order
+    // (shard = key-hash mod n, position = within-shard hash order).
+    QEntry.sql(
+      "sample_shard_shuffle",
+      """SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |      * pow(16, 8 - i))) AS BIGINT) % 8 AS shard
+        |  FROM documents) t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Sampling
+        .shardShuffle(documents(s, d), "doc_id", 8)
+        .select("doc_id", "shard", "pos")
+    },
+
     // Deterministic per-stratum sample: the 5 smallest key-hashes per lang.
     QEntry.sql(
       "sample_stratified",

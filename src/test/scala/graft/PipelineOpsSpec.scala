@@ -456,6 +456,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(areas.sum.toDouble / areas.length <= 80.0, s"avg bbox ${areas.sum / areas.length}")
   }
 
+  test("deterministic moment statistics agree with Spark's builtin var/stddev/corr") {
+    val s = spark
+    val out = graft.queries.AnalyticsQueries.entries
+      .find(_.name == "q_stats_moments").get
+      .run(s, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val builtin = graft.Tables.lineitem(s, "/root/testdata/sf0.001")
+      .groupBy("l_returnflag")
+      .agg(
+        var_samp(col("l_extendedprice")).as("v"),
+        stddev_samp(col("l_extendedprice")).as("sd"),
+        corr(col("l_extendedprice"), col("l_quantity")).as("c")
+      )
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    for ((k, (v, sd, c)) <- builtin) {
+      val (v2, sd2, c2) = out(k)
+      assert(math.abs(v - v2) / v < 1e-9, s"var mismatch for $k: $v vs $v2")
+      assert(math.abs(sd - sd2) / sd < 1e-9)
+      assert(math.abs(c - c2) < 1e-9)
+    }
+  }
+
   test("schema evolution: mergeSchema reads old and new parquet generations as one table") {
     val s = spark
     import s.implicits._
