@@ -229,6 +229,86 @@ object AnalyticsQueries {
       )
     },
 
+    // Ordered funnel (view → click-after-view → purchase-after-click):
+    // per-stage earliest qualifying timestamp via keyed min-agg + join —
+    // each stage is one shuffle on user_id, no window over event history,
+    // no row explosion. The classic product-analytics query.
+    QEntry.sql(
+      "q_events_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id)
+        |SELECT stage, count(*) AS users FROM (
+        |  SELECT v.user_id,
+        |    CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |              WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |         LEFT JOIN p ON v.user_id = p.user_id) t
+        |GROUP BY stage""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ev = events(s, d)
+      val v = ev
+        .filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev
+        .filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev
+        .filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+        .select(
+          when(col("t3").isNotNull, 3L)
+            .when(col("t2").isNotNull, 2L)
+            .otherwise(1L)
+            .as("stage")
+        )
+        .groupBy("stage")
+        .agg(count(lit(1)).as("users"))
+    },
+
+    // Cohort retention: users grouped by first-seen ISO week, counted in
+    // each later activity week. Distinct (user, week) pairs first (partial
+    // agg), then one keyed join to the cohort table — both shuffles on
+    // user_id.
+    QEntry.sql(
+      "q_retention_cohorts",
+      """WITH f AS (SELECT user_id, date_trunc('week', CAST(min(ts) AS DATE)) AS cw
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS aw
+        |      FROM events)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', f.cw, a.aw) / 7 AS BIGINT) AS week_offset,
+        |  count(*) AS users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1, 2""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ev = events(s, d)
+      val f = ev
+        .groupBy("user_id")
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+      val a = ev
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("aw"))
+        .distinct()
+      f.join(a, "user_id")
+        .select(
+          date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("aw"), col("cohort_week")) / 7).cast("bigint").as("week_offset")
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("users"))
+    },
+
     // Second-moment statistics (variance/stddev/correlation) made
     // engine-deterministic: stddev_samp/corr builtins accumulate doubles in
     // partition order (Welford vs naive differs per engine in the last
