@@ -173,6 +173,35 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("round-6 operator guards: pq dim divisibility, zorder bits bound, compaction target, mixture defaults") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.pqEncode(vecs, "vec_id", "embedding", m = 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.zValue2(lit(1), lit(1), bits = 32)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Compaction.compactParquet(s, "/tmp/nonexistent", targetBytes = 0)
+    }
+    // zero-vector corpus: PQ still assigns (dist 0 to the zero codebook row)
+    val zeros = Seq((0L, Array(0f, 0f)), (1L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val z = graft.operators.Similarity
+      .pqEncode(zeros, "vec_id", "embedding", m = 1, codebookStride = 1)
+      .collect()
+    assert(z.forall(_.getAs[Long]("dist") == 0L))
+    // mixture: empty weight map + default 0 keeps nothing; default 1 keeps all
+    val docs = (1L to 50L).map(i => (i, "s")).toDF("id", "src")
+    assert(graft.operators.Curation.mixtureSample(docs, "id", "src", Map.empty).count() == 0)
+    assert(
+      graft.operators.Curation
+        .mixtureSample(docs, "id", "src", Map.empty, defaultWeight = 1.0)
+        .count() == 50
+    )
+  }
+
   test("bloom prefilter: superset of exact semi join, selective, empty dim is empty") {
     val s = spark
     import s.implicits._
