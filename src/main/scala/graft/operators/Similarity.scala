@@ -441,9 +441,22 @@ object Similarity {
         ).as(Seq("sub", "_sv"))
       )
 
-  /** Exact BIGINT squared distance between two integer sub-vectors. */
-  private def sqIntDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+  /** Add a float mirror of the BIGINT sub-vector plus its self-dot, so
+    * squared distances run through the codegen'd `graft_dot` kernel instead
+    * of interpreted HOF lambdas in the ×|codebook| hot loop:
+    * ‖a−b‖² = ‖a‖² + ‖b‖² − 2⟨a,b⟩. Int8 components (|q| ≤ 127) and their
+    * 16-term product sums are far below 2^24, so every float/double step is
+    * EXACT — the result is still a bit-identical integer.
+    */
+  private def withSubFloats(df: DataFrame, vec: String, f: String, sq: String): DataFrame =
+    df.withColumn(f, transform(col(vec), x => x.cast("float")))
+      .withColumn(sq, expr(s"graft_dot($f, $f)"))
+
+  /** Exact squared distance via the codegen'd kernel (see [[withSubFloats]]);
+    * inputs are the self-dots and float mirrors, output is an exact BIGINT.
+    */
+  private def sqIntDist(sqA: Column, sqB: Column, fA: String, fB: String): Column =
+    (sqA + sqB - lit(2.0) * expr(s"graft_dot($fA, $fB)")).cast("long")
 
   def pqEncode(
       corpus: DataFrame,
@@ -452,18 +465,19 @@ object Similarity {
       m: Int = 4,
       codebookStride: Int = 31
   ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
     val dim = dimOf(corpus, vecCol, 0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val subs = quantizedSubs(corpus, idCol, vecCol, m, sub, "_id")
+    val subs = withSubFloats(quantizedSubs(corpus, idCol, vecCol, m, sub, "_id"), "_sv", "_svf", "_ssq")
     val codebook = broadcast(
       subs
         .filter(pmod(col("_id"), lit(codebookStride)) === 0)
-        .select(col("_id").as("_code"), col("sub"), col("_sv").as("_cv"))
+        .select(col("_id").as("_code"), col("sub"), col("_svf").as("_cvf"), col("_ssq").as("_csq"))
     )
     subs
       .join(codebook, "sub")
-      .withColumn("_dist", sqIntDist(col("_sv"), col("_cv")))
+      .withColumn("_dist", sqIntDist(col("_ssq"), col("_csq"), "_svf", "_cvf"))
       .groupBy(col("_id"), col("sub"))
       .agg(min(struct(col("_dist"), col("_code"))).as("_b"))
       .select(
@@ -496,28 +510,30 @@ object Similarity {
       m: Int = 4,
       codebookStride: Int = 31
   ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
     val dim = dimOf(corpus, vecCol, 0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val corpusSubs = quantizedSubs(corpus, idCol, vecCol, m, sub, "_id")
+    val corpusSubs =
+      withSubFloats(quantizedSubs(corpus, idCol, vecCol, m, sub, "_id"), "_sv", "_svf", "_ssq")
     val codebook =
       corpusSubs
         .filter(pmod(col("_id"), lit(codebookStride)) === 0)
-        .select(col("_id").as("_code"), col("sub"), col("_sv").as("_cv"))
+        .select(col("_id").as("_code"), col("sub"), col("_svf").as("_cvf"), col("_ssq").as("_csq"))
     val codes = corpusSubs
       .join(broadcast(codebook), "sub")
-      .withColumn("_dist", sqIntDist(col("_sv"), col("_cv")))
+      .withColumn("_dist", sqIntDist(col("_ssq"), col("_csq"), "_svf", "_cvf"))
       .groupBy(col("_id"), col("sub"))
       .agg(min(struct(col("_dist"), col("_code"))).as("_b"))
       .select(col("_id").as("neighbor_id"), col("sub"), col("_b._code").as("_code"))
     val lut = broadcast(
-      quantizedSubs(queries, idCol, vecCol, m, sub, "query_id")
+      withSubFloats(quantizedSubs(queries, idCol, vecCol, m, sub, "query_id"), "_sv", "_svf", "_ssq")
         .join(codebook, "sub")
         .select(
           col("query_id"),
           col("sub"),
           col("_code"),
-          sqIntDist(col("_sv"), col("_cv")).as("_pdist")
+          sqIntDist(col("_ssq"), col("_csq"), "_svf", "_cvf").as("_pdist")
         )
     )
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
