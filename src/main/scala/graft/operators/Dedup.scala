@@ -410,6 +410,57 @@ object Dedup {
       )
   }
 
+  /** SimHash near-duplicate pairs: block on the sketch's 4 16-bit bands
+    * (pigeonhole: any pair within Hamming distance 3 of each other shares at
+    * least one identical band, so recall at `maxHamming` ≤ 3 is EXACT — no
+    * probabilistic miss), then verify with the exact Hamming distance. The
+    * band equi-join shuffles on a 16-bit scalar key; pairs are deduplicated
+    * before the distance, so multi-band hits cost one comparison. The
+    * distance runs only on candidates — never all pairs.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val sk = simhash(df, idCol, textCol)
+    val banded = sk.select(
+      col(idCol),
+      col("simhash"),
+      posexplode(
+        array((0 until 4).map(b => substring(col("simhash"), b * 16 + 1, 16)): _*)
+      ).as(Seq("_band", "_bv"))
+    )
+    val pairs = banded
+      .as("a")
+      .join(
+        banded.as("b"),
+        col("a._band") === col("b._band") && col("a._bv") === col("b._bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol")
+      )
+      .select(
+        col(s"a.$idCol").as("id1"),
+        col(s"b.$idCol").as("id2"),
+        col("a.simhash").as("_s1"),
+        col("b.simhash").as("_s2")
+      )
+      .distinct()
+    pairs
+      .select(
+        col("id1"),
+        col("id2"),
+        aggregate(
+          zip_with(split(col("_s1"), ""), split(col("_s2"), ""), (x, y) =>
+            when(x === y, 0L).otherwise(1L)
+          ),
+          lit(0L),
+          (acc, v) => acc + v
+        ).as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard over pairs sharing ≥1 shingle within candidate
     * blocks (matching `blockCols`), id1 < id2, similarity rounded for
     * cross-engine stability. Formulated as a shingle equi-join + group count:

@@ -155,6 +155,33 @@ object PipelineQueries {
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text") },
 
+    // SimHash pairing: 16-bit-band blocking (pigeonhole-exact recall at
+    // hamming ≤ 3) + exact Hamming verification on candidates only. A loose
+    // maxHamming=8 keeps the entry's result set non-trivial at sf0.01.
+    QEntry.sql(
+      "dedup_simhash_pairs",
+      s"""WITH sk AS (SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+         |  CASE WHEN 2 * list_sum(list_transform(words, t ->
+         |         ((strpos('0123456789abcdef', substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |          // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2))
+         |       >= len(words) THEN '1' ELSE '0' END), '') AS simhash
+         |  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w),
+         |banded AS (SELECT doc_id, simhash,
+         |    b, substr(simhash, CAST(b * 16 + 1 AS INT), 16) AS bv
+         |  FROM sk, (SELECT unnest(range(0, 4)) AS b) bs),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.simhash AS s1, b.simhash AS s2
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, hamming FROM (
+         |  SELECT id1, id2,
+         |    CAST(len(list_filter(range(1, 65), i ->
+         |      substr(s1, CAST(i AS INT), 1) != substr(s2, CAST(i AS INT), 1))) AS BIGINT)
+         |      AS hamming
+         |  FROM pairs) t
+         |WHERE hamming <= 8""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 8) },
+
     // Exact n-gram Jaccard within (lang, source) candidate blocks; only pairs
     // sharing ≥1 shingle appear (jaccard > 0), matching the join formulation.
     QEntry.sql(

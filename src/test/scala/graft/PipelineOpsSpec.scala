@@ -294,6 +294,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bpe == 10)
   }
 
+  test("simhash pairs: identical docs at hamming 0, near-dup found, stranger absent") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away " +
+      "into the deep woods tonight while the moon rises slowly over the hills"
+    val df = docs(
+      1L -> base,
+      2L -> base, // identical → hamming 0
+      3L -> base.replace("tonight", "today"), // one-token edit → few bits flip
+      4L -> "completely unrelated text about databases indexes and query planners only"
+    )
+    val out = Dedup
+      .simhashPairs(df, "doc_id", "text", maxHamming = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out((1L, 2L)) == 0L)
+    assert(out.contains(1L -> 3L) && out((1L, 3L)) > 0L, s"near-dup not found: $out")
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L }, s"stranger paired: $out")
+  }
+
   test("fast winnowing (shuffle-free per-row formulation) equals the window formulation") {
     val s = spark
     import s.implicits._
