@@ -424,15 +424,23 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
+    // Bands travel as 16-bit INTEGERS (not 16-char strings): the candidate
+    // join carries 4 longs per side and the Hamming distance is 4 codegen'd
+    // bit_count(xor) terms — no per-pair array/string work. On a
+    // homogeneous corpus band collisions are the cost driver (similar word
+    // distributions ⇒ similar sketch bits), so keeping the per-candidate
+    // payload/compute minimal is what keeps the blocking viable.
     val sk = simhash(df, idCol, textCol)
-    val banded = sk.select(
-      col(idCol),
-      col("simhash"),
-      posexplode(
-        array((0 until 4).map(b => substring(col("simhash"), b * 16 + 1, 16)): _*)
-      ).as(Seq("_band", "_bv"))
+    val withBands = sk.select(
+      col(idCol) +: (0 until 4).map(b =>
+        conv(substring(col("simhash"), b * 16 + 1, 16), 2, 10).cast("long").as(s"_i$b")
+      ): _*
     )
-    val pairs = banded
+    val banded = withBands.select(
+      (col(idCol) +: (0 until 4).map(b => col(s"_i$b"))) :+
+        posexplode(array((0 until 4).map(b => col(s"_i$b")): _*)).as(Seq("_band", "_bv")): _*
+    )
+    banded
       .as("a")
       .join(
         banded.as("b"),
@@ -442,23 +450,14 @@ object Dedup {
       .select(
         col(s"a.$idCol").as("id1"),
         col(s"b.$idCol").as("id2"),
-        col("a.simhash").as("_s1"),
-        col("b.simhash").as("_s2")
-      )
-      .distinct()
-    pairs
-      .select(
-        col("id1"),
-        col("id2"),
-        aggregate(
-          zip_with(split(col("_s1"), ""), split(col("_s2"), ""), (x, y) =>
-            when(x === y, 0L).otherwise(1L)
-          ),
-          lit(0L),
-          (acc, v) => acc + v
-        ).as("hamming")
+        (0 until 4)
+          .map(b => bit_count(col(s"a._i$b").bitwiseXOR(col(s"b._i$b"))))
+          .reduce(_ + _)
+          .cast("bigint")
+          .as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard over pairs sharing ≥1 shingle within candidate
