@@ -229,6 +229,60 @@ object AnalyticsQueries {
       )
     },
 
+    // Quantified subqueries (> ALL / = ANY): decorrelated by hand into a
+    // broadcast scalar aggregate + a semi join — the plans Catalyst itself
+    // produces for ALL/ANY, made explicit.
+    QEntry.sql(
+      "q_any_all_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1)
+        |  AND o_orderstatus = ANY (SELECT DISTINCT o_orderstatus FROM orders
+        |                           WHERE o_totalprice > 400000)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d)
+      val mx = o.filter(col("o_custkey") === 1).agg(max("o_totalprice").as("_mx"))
+      val statuses = o
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderstatus")).distinct()
+      o.crossJoin(broadcast(mx))
+        .filter(col("o_totalprice") > col("_mx"))
+        .join(statuses, Seq("o_orderstatus"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL preserve duplicate
+    // multiplicities (min / difference of per-row counts) — Spark's
+    // intersectAll/exceptAll, same partial-agg shuffle as DISTINCT.
+    QEntry.sql(
+      "q_bag_set_ops",
+      """SELECT 'inter' AS op, l_returnflag, l_linestatus, count(*) AS cnt FROM (
+        |  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 10
+        |  INTERSECT ALL
+        |  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_extendedprice < 20000) i
+        |GROUP BY l_returnflag, l_linestatus
+        |UNION ALL
+        |SELECT 'except' AS op, l_returnflag, l_linestatus, count(*) AS cnt FROM (
+        |  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 10
+        |  EXCEPT ALL
+        |  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_extendedprice < 20000) e
+        |GROUP BY l_returnflag, l_linestatus"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val li = lineitem(s, d)
+      val a = li.filter(col("l_quantity") < 10).select("l_returnflag", "l_linestatus")
+      val b = li.filter(col("l_extendedprice") < 20000).select("l_returnflag", "l_linestatus")
+      val inter = a.intersectAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("inter").as("op"), col("l_returnflag"), col("l_linestatus"), col("cnt"))
+      val ex = a.exceptAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("except").as("op"), col("l_returnflag"), col("l_linestatus"), col("cnt"))
+      inter.union(ex)
+    },
+
     // Ordered funnel (view → click-after-view → purchase-after-click):
     // per-stage earliest qualifying timestamp via keyed min-agg + join —
     // each stage is one shuffle on user_id, no window over event history,
