@@ -154,6 +154,47 @@ object Curation {
       .filter(col("pct") >= lo && col("pct") <= hi)
   }
 
+  /** Sliding-window token chunking with overlap — the standard context-prep
+    * op (RAG indexing, long-doc training windows): chunk k covers tokens
+    * `[k·stride, k·stride + chunkTokens)`, so consecutive chunks share
+    * `chunkTokens − stride` tokens. Start count is exact integer arithmetic
+    * (`1 + ceil((n − chunkTokens)/stride)` for n > chunkTokens, else 1), so
+    * every token is covered and no start begins at/after the end. Pure
+    * per-row array expressions — no shuffle; the explode multiplies rows by
+    * ~n/stride, the unavoidable output size.
+    *
+    * @return (id, chunk_id, start_tok, n_tok, chunk_text)
+    */
+  def chunkWithOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 64,
+      stride: Int = 48
+  ): DataFrame = {
+    require(stride >= 1 && stride <= chunkTokens, s"need 1 <= stride <= chunkTokens")
+    val n = size(col("_ws"))
+    val nStarts =
+      when(n <= chunkTokens, lit(1))
+        .otherwise(floor((n - chunkTokens + stride - 1) / lit(stride.toDouble)).cast("int") + 1)
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .select(
+        col(idCol),
+        col("_ws"),
+        posexplode(sequence(lit(0), nStarts - 1)).as(Seq("chunk_id", "_k"))
+      )
+      .select(
+        col(idCol),
+        col("chunk_id").cast("bigint").as("chunk_id"),
+        (col("_k") * stride).cast("bigint").as("start_tok"),
+        least(size(col("_ws")) - col("_k") * stride, lit(chunkTokens))
+          .cast("bigint")
+          .as("n_tok"),
+        array_join(slice(col("_ws"), col("_k") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text")
+      )
+  }
+
   /** Deterministic source-weighted mixture sampling — the "data mixing" step
     * of a pretraining pipeline: each source keeps the fraction of its rows
     * given by `weights` (sources absent from the map keep `defaultWeight`).

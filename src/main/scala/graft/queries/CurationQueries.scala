@@ -130,6 +130,26 @@ object CurationQueries {
       Curation.qualityBand(documents(s, d), "doc_id", "text", "lang", 0.2, 0.8)
     },
 
+    // Sliding-window token chunking with overlap (chunk 64, stride 48 →
+    // 16-token overlap): the RAG/long-doc context-prep op. Start count is
+    // exact integer arithmetic; both engines slice the same token array.
+    QEntry.sql(
+      "cur_chunk_overlap",
+      s"""SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  CAST(k * 48 AS BIGINT) AS start_tok,
+         |  CAST(least(len(ws) - k * 48, 64) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(ws, CAST(k * 48 + 1 AS INT),
+         |                             CAST(k * 48 + 64 AS INT)), ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0, CASE WHEN len(ws) <= 64 THEN 1
+         |      ELSE CAST(floor((len(ws) - 64 + 47) / 48.0) AS INT) + 1 END)) AS k
+         |  FROM (SELECT doc_id, $wordsSql AS ws FROM documents) w) t"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.chunkWithOverlap(documents(s, d), "doc_id", "text", 64, 48)
+    },
+
     // Deterministic source-weighted mixture ("data mixing"): per-source keep
     // fractions by md5 hash position of the doc id — reproducible across
     // engines/runs/partitionings, and nested under weight increases. Narrow

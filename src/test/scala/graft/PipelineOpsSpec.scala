@@ -536,6 +536,43 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("zValue2 interleave is a bijection on 16-bit pairs (random sample)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    pairs.toDF("x", "y")
+      .select(graft.operators.ZOrder.zValue2($"x", $"y", 16).as("z"), $"x", $"y")
+      .collect()
+      .foreach { r =>
+        val z = r.getLong(0)
+        var x = 0L; var y = 0L
+        for (i <- 0 until 16) {
+          x |= ((z >> (2 * i)) & 1) << i
+          y |= ((z >> (2 * i + 1)) & 1) << i
+        }
+        assert(x == r.getInt(1) && y == r.getInt(2), s"deinterleave mismatch at z=$z")
+      }
+  }
+
+  test("chunkWithOverlap covers every token, overlaps by chunk-stride, no empty chunks") {
+    val words = (1 to 150).map(i => s"w$i")
+    val df = docs(1L -> words.mkString(" "), 2L -> "tiny doc")
+    val out = graft.operators.Curation
+      .chunkWithOverlap(df, "doc_id", "text", chunkTokens = 64, stride = 48)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0, 48, 96 — last start < 150, and 96 + 64 >= 150 covers the tail
+    assert(d1.map(_._3).toSeq == Seq(0L, 48L, 96L))
+    assert(d1.last._4 == 54L) // 150 - 96
+    assert(d1.forall(c => c._5.split(" ").length == c._4))
+    // consecutive chunks share exactly chunkTokens - stride = 16 tokens
+    assert(d1(0)._5.split(" ").drop(48).toSeq == d1(1)._5.split(" ").take(16).toSeq)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 2L && d2.head._5 == "tiny doc")
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     val s = spark
     import s.implicits._
