@@ -147,6 +147,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(sw.contains("hashpartitioning(user_id"), sw)
   }
 
+  test("round-6 operators keep their scale shapes") {
+    // PQ probe: codebook/LUT sides broadcast — no shuffle join, no cartesian
+    val pq = executedPlan(SparkEntry.queries("ann_pq_topk")(spark, sf))
+    assert(pq.contains("BroadcastHashJoin"), pq)
+    assert(!pq.contains("CartesianProduct") && !pq.contains("BroadcastNestedLoopJoin"), pq)
+    // mixture sampling: a narrow filter — no exchange anywhere in the plan
+    val mix = executedPlan(SparkEntry.queries("cur_mixture_sample")(spark, sf))
+    assert(!mix.contains("Exchange"), mix)
+    // overlap chunking: per-row generate — no exchange
+    val chunk = executedPlan(SparkEntry.queries("cur_chunk_overlap")(spark, sf))
+    assert(!chunk.contains("Exchange"), chunk)
+    assert(chunk.contains("Generate"), chunk)
+    // funnel: every join keyed on user_id (no broadcast of the big side
+    // needed for correctness, but no cartesian either)
+    val fun = executedPlan(SparkEntry.queries("q_events_funnel")(spark, sf))
+    assert(!fun.contains("CartesianProduct"), fun)
+    // shard shuffle: the within-shard window partitions by shard (keyed,
+    // never a global single-partition window)
+    val shard = executedPlan(SparkEntry.queries("sample_shard_shuffle")(spark, sf))
+    assert(shard.contains("hashpartitioning(shard"), shard)
+    // moment statistics: partial aggregation before the exchange
+    val mom = executedPlan(SparkEntry.queries("q_stats_moments")(spark, sf))
+    assert(mom.contains("partial_"), mom)
+  }
+
   test("hive-style partitioned write prunes non-matching partition dirs at read") {
     withTempDir { dir =>
       val out = s"$dir/docs_by_lang"
