@@ -511,6 +511,29 @@ object Similarity {
       codebookStride: Int = 31
   ): DataFrame = {
     VectorExpressions.install(corpus.sparkSession)
+    val (codes, lut) = pqCodesAndLut(corpus, queries, idCol, vecCol, m, codebookStride)
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    codes
+      .join(lut, Seq("sub", "_code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_pdist")).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Corpus PQ codes (neighbor_id, sub, _code) and the broadcast query LUT
+    * (query_id, sub, _code, _pdist) — shared by [[pqTopK]] and
+    * [[ivfPqTopK]].
+    */
+  private def pqCodesAndLut(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      codebookStride: Int
+  ): (DataFrame, DataFrame) = {
     val dim = dimOf(corpus, vecCol, 0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -536,10 +559,64 @@ object Similarity {
           sqIntDist(col("_ssq"), col("_csq"), "_svf", "_cvf").as("_pdist")
         )
     )
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    codes
-      .join(lut, Seq("sub", "_code"))
+    (codes, lut)
+  }
+
+  /** IVF-PQ — the composition that serves billion-vector ANN in production
+    * (FAISS IVF-PQ): the IVF coarse quantizer restricts candidates to the
+    * query's `nProbe` cells, and ranking inside those cells reads only PQ
+    * codes (m bytes per vector) against the broadcast LUT. Candidate
+    * generation shuffles on the scalar cell id; ranking shuffles one row per
+    * (query, candidate); the raw vectors are touched exactly once, at
+    * encode time. Deterministic end-to-end (stride centroids + exact
+    * integer PQ distances), so the oracle replays assign → encode → probe →
+    * rank in full.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidStride: Int = 37,
+      nProbe: Int = 3,
+      m: Int = 4,
+      codebookStride: Int = 31
+  ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
+    val cents = broadcast(
+      corpus
+        .filter(pmod(col(idCol), lit(centroidStride)) === 0)
+        .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+        .withColumn("cn", sqrt(expr("graft_dot(cv, cv)")))
+    )
+    def scored(df: DataFrame, asId: String): DataFrame = df
+      .select(col(idCol).as(asId), col(vecCol).as("_v"))
+      .withColumn("_n", sqrt(expr("graft_dot(_v, _v)")))
+      .crossJoin(cents)
+      .withColumn("_cc", expr("graft_dot(_v, cv)") / (col("_n") * col("cn")))
+    // corpus side: argmax as a partial-aggregated max (one shuffled row per
+    // vector — the ivfTopK shape); query side: tiny, window top-nProbe
+    val corpusCells = scored(corpus, "neighbor_id")
+      .groupBy("neighbor_id")
+      .agg(max(struct(col("_cc"), (-col("cell")).as("_nc"))).as("_b"))
+      .select(col("neighbor_id"), (-col("_b._nc")).as("cell"))
+    val qw = Window.partitionBy("query_id").orderBy(col("_cc").desc, col("cell"))
+    val queryCells = scored(queries, "query_id")
+      .withColumn("_cr", row_number().over(qw))
+      .filter(col("_cr") <= nProbe)
+      .select("query_id", "cell")
+    val (codes, lut) = pqCodesAndLut(corpus, queries, idCol, vecCol, m, codebookStride)
+    // each corpus vector lives in exactly one cell, so a (query, neighbor)
+    // pair appears at most once — no dedup needed
+    val cands = corpusCells
+      .join(queryCells, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    cands
+      .join(codes, "neighbor_id")
+      .join(lut, Seq("query_id", "sub", "_code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("_pdist")).as("adist"))
       .withColumn("rank", row_number().over(w).cast("bigint"))

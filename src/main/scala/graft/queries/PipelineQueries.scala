@@ -549,6 +549,66 @@ object PipelineQueries {
     ) { (s, d) =>
       val emb = embeddings(s, d)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    },
+
+    // IVF-PQ — the full production ANN composition: IVF cells restrict
+    // candidates, PQ codes + broadcast LUT rank them. Stride centroids and
+    // exact integer PQ distances keep the whole pipeline replayable.
+    QEntry.sql(
+      "ann_ivfpq_topk",
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |             FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, e AS ce FROM vecs WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT vec_id, cell, cr FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.e, c.ce) /
+        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+        |        c.cell) AS cr
+        |    FROM vecs v, cents c) t),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding, x ->
+        |                CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) END AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+        |        FROM embeddings) e),
+        |subs AS (
+        |  SELECT vec_id, s, list_slice(qv, CAST(s * 16 + 1 AS INT), CAST(s * 16 + 16 AS INT)) AS sv
+        |  FROM q, (SELECT unnest(range(0, 4)) AS s) ss),
+        |cb AS (SELECT vec_id AS code, s, sv AS cv FROM subs WHERE vec_id % 31 = 0),
+        |dists AS (
+        |  SELECT subs.vec_id, subs.s, cb.code,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      (sv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |      * (sv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS BIGINT) AS dist
+        |  FROM subs JOIN cb ON subs.s = cb.s),
+        |codes AS (
+        |  SELECT vec_id AS neighbor_id, s, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        |    FROM dists) t WHERE rn = 1),
+        |lut AS (SELECT vec_id AS query_id, s, code, dist AS pdist
+        |        FROM dists WHERE vec_id < 5),
+        |cands AS (
+        |  SELECT qa.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM (SELECT * FROM assign WHERE vec_id < 5 AND cr <= 3) qa
+        |  JOIN (SELECT * FROM assign WHERE cr <= 1) n
+        |  ON qa.cell = n.cell AND n.vec_id != qa.vec_id),
+        |ad AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(sum(lut.pdist) AS BIGINT) AS adist
+        |  FROM cands c
+        |  JOIN codes ON codes.neighbor_id = c.neighbor_id
+        |  JOIN lut ON lut.query_id = c.query_id AND lut.s = codes.s AND lut.code = codes.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+        |  FROM ad) t
+        |WHERE rn <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     }
   )
 }

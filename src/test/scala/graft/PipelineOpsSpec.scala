@@ -658,6 +658,16 @@ class PipelineOpsSpec extends SparkSpec {
     val recallKm = exact.intersect(ivfKm).size.toDouble / exact.size
     assert(recallKm >= recall, s"k-means refinement degraded recall: $recallKm < $recall")
     assert(recallKm >= 0.5, s"refined IVF recall too low: $recallKm")
+    // IVF-PQ: candidates from IVF cells, ranking from PQ codes — recall
+    // bounded by the IVF candidate set; a dense codebook keeps PQ ranking
+    // from losing much more on this fixture
+    val ivfpq = pairs(
+      Similarity.ivfPqTopK(df, queries, "vec_id", "embedding", 5,
+        centroidStride = 10, nProbe = 3, m = 2, codebookStride = 5)
+    )
+    val recallPq = exact.intersect(ivfpq).size.toDouble / exact.size
+    assert(recallPq >= 0.4, s"IVF-PQ recall too low: $recallPq")
+    assert(ivfpq.forall { case (q, n) => q != n })
   }
 
   test("sketches: approx distinct and quantiles near exact values") {
