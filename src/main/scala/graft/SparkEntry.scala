@@ -14,7 +14,7 @@ import graft.queries._
   * the driver's Verify flow.
   */
 object SparkEntry {
-  private def inventory: Seq[QEntry] =
+  private[graft] def inventory: Seq[QEntry] =
     FragQueries.entries ++ RelationalQueries.entries ++ AnalyticsQueries.entries ++
       TextQueries.entries ++ PipelineQueries.entries ++ CurationQueries.entries ++
       MultimodalQueries.entries ++ SourceQueries.entries

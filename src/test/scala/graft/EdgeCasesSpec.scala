@@ -173,6 +173,14 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: entry names unique (ListMap would silently drop a duplicate)") {
+    val names = SparkEntry.inventory.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate entry names: $dups")
+    assert(SparkEntry.queries.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("round-6 operator guards: pq dim divisibility, zorder bits bound, compaction target, mixture defaults") {
     val s = spark
     import s.implicits._
