@@ -562,6 +562,43 @@ object Similarity {
     (codes, lut)
   }
 
+  /** Two-stage retrieval: PQ shortlist → exact re-rank — the standard
+    * accuracy recovery for quantized search: [[pqTopK]] produces a cheap
+    * `shortlist`-deep candidate set from codes alone, then ONLY those
+    * candidates fetch their raw vectors (an id equi-join) for exact cosine
+    * ranking. At 100 TB the expensive float work touches `shortlist`
+    * vectors per query instead of the corpus.
+    */
+  def pqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlist: Int = 50,
+      m: Int = 4,
+      codebookStride: Int = 31
+  ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
+    val cand = pqTopK(corpus, queries, idCol, vecCol, shortlist, m, codebookStride)
+      .select(col("query_id"), col("neighbor_id"))
+    val nv = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nn", sqrt(expr("graft_dot(nv, nv)")))
+    val qv = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+    )
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(nv, "neighbor_id")
+      .join(qv, "query_id")
+      .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-PQ — the composition that serves billion-vector ANN in production
     * (FAISS IVF-PQ): the IVF coarse quantizer restricts candidates to the
     * query's `nProbe` cells, and ranking inside those cells reads only PQ

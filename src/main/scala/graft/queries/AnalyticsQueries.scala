@@ -428,6 +428,33 @@ object AnalyticsQueries {
       )
     },
 
+    // Bounded ROWS-frame moving average (trailing 3 orders per customer).
+    // Engine-deterministic: the frame SUM runs over exact integer cents
+    // (order-independent), then ONE division — float window aggregates are
+    // a cross-engine trap (Spark slides with add/retract, DuckDB uses
+    // segment trees; both reorder float summation).
+    QEntry.sql(
+      "q_window_moving_avg",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |    / (count(*) OVER w * 100.0) AS mov_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+      orders(s, d).select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        (sum(round(col("o_totalprice") * 100).cast("bigint")).over(w).cast("double")
+          / (count(lit(1)).over(w) * 100.0)).as("mov_avg")
+      )
+    },
+
     // rank/dense_rank tie semantics (l_quantity repeats within a group, so
     // rank gaps and dense compaction are both exercised; row-number over the
     // same tie-broken order pins a deterministic output).

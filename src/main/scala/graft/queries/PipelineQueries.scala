@@ -609,6 +609,64 @@ object PipelineQueries {
     ) { (s, d) =>
       val emb = embeddings(s, d)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    },
+
+    // Two-stage retrieval: PQ shortlist (50 deep, codes only) → exact cosine
+    // re-rank of just the shortlist — the standard quantized-search accuracy
+    // recovery. Only shortlist vectors are ever fetched raw.
+    QEntry.sql(
+      "ann_pq_rerank_topk",
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding, x ->
+        |                CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) END AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+        |        FROM embeddings) e),
+        |subs AS (
+        |  SELECT vec_id, s, list_slice(qv, CAST(s * 16 + 1 AS INT), CAST(s * 16 + 16 AS INT)) AS sv
+        |  FROM q, (SELECT unnest(range(0, 4)) AS s) ss),
+        |cb AS (SELECT vec_id AS code, s, sv AS cv FROM subs WHERE vec_id % 31 = 0),
+        |dists AS (
+        |  SELECT subs.vec_id, subs.s, cb.code,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      (sv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |      * (sv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS BIGINT) AS dist
+        |  FROM subs JOIN cb ON subs.s = cb.s),
+        |codes AS (
+        |  SELECT vec_id AS neighbor_id, s, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        |    FROM dists) t WHERE rn = 1),
+        |lut AS (SELECT vec_id AS query_id, s, code, dist AS pdist
+        |        FROM dists WHERE vec_id < 5),
+        |ad AS (
+        |  SELECT lut.query_id, codes.neighbor_id, CAST(sum(lut.pdist) AS BIGINT) AS adist
+        |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+        |  WHERE codes.neighbor_id != lut.query_id
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+        |  FROM ad) t WHERE rn <= 50),
+        |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |         FROM embeddings)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT sh.query_id, sh.neighbor_id,
+        |      round(list_dot_product(qe.e, ne.e) /
+        |            (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))), 6)
+        |        AS cos
+        |    FROM short sh
+        |    JOIN vecs ne ON ne.vec_id = sh.neighbor_id
+        |    JOIN vecs qe ON qe.vec_id = sh.query_id) s) r
+        |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity
+        .pqRerankTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .withColumn("rank", col("rank").cast("bigint"))
     }
   )
 }

@@ -440,6 +440,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pq.size == 15)
     val pqRecall = exact.intersect(pq).size.toDouble / exact.size
     assert(pqRecall >= 0.4, s"PQ recall too low: $pqRecall")
+    // exact re-rank of a deep PQ shortlist must recover at least plain-PQ
+    // recall (and approaches exact as the shortlist grows)
+    val rr = Similarity
+      .pqRerankTopK(df, queries, "vec_id", "embedding", 5,
+        shortlist = 20, m = 2, codebookStride = 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val rrRecall = exact.intersect(rr).size.toDouble / exact.size
+    assert(rrRecall >= pqRecall, s"re-rank degraded recall: $rrRecall < $pqRecall")
   }
 
   test("z-order: interleaving matches reference morton code; clustering gives compact partition boxes") {
