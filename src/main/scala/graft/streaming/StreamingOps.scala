@@ -140,6 +140,23 @@ object StreamingOps {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), "left")
 
+  /** Exactly-once `foreachBatch` file sink: each micro-batch lands in its
+    * own `_batch=<id>` partition directory, and a batch id that already has
+    * a `_SUCCESS` marker is SKIPPED — so the epoch replay Structured
+    * Streaming performs after a failure (foreachBatch is at-least-once by
+    * itself) cannot duplicate rows. This is the standard idempotent-sink
+    * idiom for file targets; transactional formats get it from their commit
+    * log, raw directories get it from the batch-id partition.
+    */
+  def idempotentAppend(path: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val dir = new java.io.File(s"$path/_batch=$batchId")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      batch.write
+        .mode("overwrite") // partial output from a crashed attempt is replaced
+        .parquet(dir.toString)
+    }
+  }
+
   /** Streaming round-robin ingestion: every micro-batch is appended to the
     * master dataset AND round-robin-routed to fragments, continuing the
     * engine's `lastInserted` counter exactly like sequential

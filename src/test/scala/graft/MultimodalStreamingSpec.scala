@@ -163,6 +163,23 @@ class MultimodalStreamingSpec extends SparkSpec {
     )
   }
 
+  test("idempotent foreachBatch sink: batch replay does not duplicate rows") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val sink = StreamingOps.idempotentAppend(s"$dir/out")
+      val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      sink(b0, 0L)
+      sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+      // epoch replay after a "failure": same batch id arrives again — skipped
+      sink(b0, 0L)
+      val back = s.read.parquet(s"$dir/out").select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(back == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(s.read.parquet(s"$dir/out").count() == 3)
+    }
+  }
+
   test("streaming session windows emit exactly the watermark-closed batch sessions") {
     val s = spark
     import s.implicits._
