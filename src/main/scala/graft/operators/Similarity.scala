@@ -526,9 +526,11 @@ object Similarity {
     * (query_id, sub, _code, _pdist) — shared by [[pqTopK]] and
     * [[ivfPqTopK]].
     */
-  private def pqCodesAndLut(
+  /** Corpus PQ codebook (sub, _code, _cvf, _csq) and codes
+    * (neighbor_id, sub, _code).
+    */
+  private def pqCodebookAndCodes(
       corpus: DataFrame,
-      queries: DataFrame,
       idCol: String,
       vecCol: String,
       m: Int,
@@ -549,7 +551,21 @@ object Similarity {
       .groupBy(col("_id"), col("sub"))
       .agg(min(struct(col("_dist"), col("_code"))).as("_b"))
       .select(col("_id").as("neighbor_id"), col("sub"), col("_b._code").as("_code"))
-    val lut = broadcast(
+    (codebook, codes)
+  }
+
+  /** Broadcast query LUT (query_id, sub, _code, _pdist) against a codebook. */
+  private def pqLut(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      codebook: DataFrame
+  ): DataFrame = {
+    val dim = dimOf(queries, vecCol, 0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    broadcast(
       withSubFloats(quantizedSubs(queries, idCol, vecCol, m, sub, "query_id"), "_sv", "_svf", "_ssq")
         .join(codebook, "sub")
         .select(
@@ -559,7 +575,65 @@ object Similarity {
           sqIntDist(col("_ssq"), col("_csq"), "_svf", "_cvf").as("_pdist")
         )
     )
-    (codes, lut)
+  }
+
+  private def pqCodesAndLut(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      codebookStride: Int
+  ): (DataFrame, DataFrame) = {
+    val (codebook, codes) = pqCodebookAndCodes(corpus, idCol, vecCol, m, codebookStride)
+    (codes, pqLut(queries, idCol, vecCol, m, codebook))
+  }
+
+  /** Persist a PQ index — encode ONCE, query many times: at 100 TB the
+    * encode pass over raw vectors is the expensive step, and every
+    * subsequent query batch should read only the m-bytes-per-vector codes
+    * plus the KB-scale codebook. Layout: `path/codebook`, `path/codes`
+    * parquet.
+    */
+  def buildPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      m: Int = 4,
+      codebookStride: Int = 31
+  ): Unit = {
+    VectorExpressions.install(corpus.sparkSession)
+    val (codebook, codes) = pqCodebookAndCodes(corpus, idCol, vecCol, m, codebookStride)
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** PQ top-k against a persisted index ([[buildPqIndex]]) — identical
+    * results to [[pqTopK]] over the corpus the index was built from
+    * (asserted in PipelineOpsSpec), without touching any raw corpus vector.
+    */
+  def pqTopKFromIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      path: String,
+      m: Int = 4
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    VectorExpressions.install(spark)
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+    val lut = pqLut(queries, idCol, vecCol, m, codebook)
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    codes
+      .join(lut, Seq("sub", "_code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_pdist")).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
   }
 
   /** Two-stage retrieval: PQ shortlist → exact re-rank — the standard

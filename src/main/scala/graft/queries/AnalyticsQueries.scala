@@ -428,6 +428,32 @@ object AnalyticsQueries {
       )
     },
 
+    // Key-skew report: the top-10 heaviest join keys with their share of
+    // the table — the diagnostic every skew mitigation (salting, AQE split)
+    // starts from. One partial-agg groupBy + a broadcast total + top-k.
+    QEntry.sql(
+      "q_key_skew_report",
+      """SELECT l_suppkey, cnt,
+        |  CAST(cnt AS DOUBLE) / total AS share
+        |FROM (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey) k,
+        |     (SELECT count(*) AS total FROM lineitem) t
+        |ORDER BY cnt DESC, l_suppkey LIMIT 10"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val li = lineitem(s, d)
+      val counts = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      val total = li.agg(count(lit(1)).as("total"))
+      counts
+        .crossJoin(broadcast(total))
+        .select(
+          col("l_suppkey"),
+          col("cnt"),
+          (col("cnt").cast("double") / col("total")).as("share")
+        )
+        .orderBy(col("cnt").desc, col("l_suppkey"))
+        .limit(10)
+    },
+
     // Bounded ROWS-frame moving average (trailing 3 orders per customer).
     // Engine-deterministic: the frame SUM runs over exact integer cents
     // (order-independent), then ONE division — float window aggregates are

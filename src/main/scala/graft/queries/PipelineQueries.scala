@@ -355,6 +355,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // Incremental-ingest dedup: new documents (odd ids) kept only if their
+    // content hash is absent from the existing corpus (even ids) — the
+    // anti-join shape every continuous ingestion pipeline runs per batch
+    // (hash the small new side, anti-join against the big corpus's hashes;
+    // at scale the corpus side is a pre-built hash table/bloom, the join
+    // key is the digest either way).
+    QEntry.sql(
+      "dedup_incremental",
+      """SELECT n.doc_id FROM (SELECT doc_id, md5(text) AS h FROM documents
+        |                      WHERE doc_id % 2 = 1) n
+        |WHERE NOT EXISTS (SELECT 1 FROM (SELECT md5(text) AS h FROM documents
+        |                                 WHERE doc_id % 2 = 0) e
+        |                  WHERE e.h = n.h)""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val newDocs = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("h"))
+      newDocs.join(existing, Seq("h"), "left_anti").select("doc_id")
+    },
+
     // Deterministic shard shuffle: reproducible pseudo-random training order
     // (shard = key-hash mod n, position = within-shard hash order).
     QEntry.sql(

@@ -583,6 +583,34 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
     },
 
+    // Star-schema multi-join rollup (TPC-H Q5 shape): fact ⋈ orders ⋈
+    // customer ⋈ nation ⋈ region with two dim broadcasts — exercises join
+    // reordering and mixed broadcast/shuffle strategies in one plan.
+    QEntry.sql(
+      "q_star_join_rollup",
+      """SELECT n_name, count(*) AS cnt,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue")
+        )
+    },
+
     // Z-order (Morton) values — the two-dimensional data-skipping sort key
     // (Delta/Iceberg OPTIMIZE ZORDER BY). Pure bit arithmetic, replayed
     // shift-for-shift by the twin; the layout op itself (range partition +

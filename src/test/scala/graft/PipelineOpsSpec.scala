@@ -345,6 +345,28 @@ class PipelineOpsSpec extends SparkSpec {
     for (id <- Seq(2L, 3L)) assert(fast(id) == ((0L, None, None)), s"doc $id")
   }
 
+  test("persisted pq index returns exactly the direct pqTopK results") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 13 + j * 7) % 19 - 9).toFloat / 3f)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "adist", "rank")
+      .collect().map(_.toSeq).toSet
+    withTempDir { dir =>
+      Similarity.buildPqIndex(vecs, "vec_id", "embedding", s"$dir/idx", m = 2, codebookStride = 10)
+      val fromIndex = rows(
+        Similarity.pqTopKFromIndex(queries, "vec_id", "embedding", 5, s"$dir/idx", m = 2)
+      )
+      val direct = rows(
+        Similarity.pqTopK(vecs, queries, "vec_id", "embedding", 5, m = 2, codebookStride = 10)
+      )
+      assert(fromIndex == direct && fromIndex.nonEmpty)
+    }
+  }
+
   test("mixture sampling: weight 1 keeps all, weight 0 drops all, samples nest under weight increase") {
     val s = spark
     import s.implicits._
