@@ -16,8 +16,8 @@ import graft.queries._
 object SparkEntry {
   private[graft] def inventory: Seq[QEntry] =
     FragQueries.entries ++ RelationalQueries.entries ++ AnalyticsQueries.entries ++
-      TextQueries.entries ++ PipelineQueries.entries ++ CurationQueries.entries ++
-      MultimodalQueries.entries ++ SourceQueries.entries
+      BehaviorQueries.entries ++ TextQueries.entries ++ PipelineQueries.entries ++
+      CurationQueries.entries ++ MultimodalQueries.entries ++ SourceQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

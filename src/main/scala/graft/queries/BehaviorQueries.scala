@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Behavioral / event-sequence analytics battery: gaps-and-islands streaks,
+  * ordered-sequence pattern matching (MATCH_RECOGNIZE-lite), time-weighted
+  * averages, and percent-of-total reporting. The queries a product-analytics
+  * user runs daily over an event log — each built as keyed (per-user /
+  * per-month) shuffles that stay parallel at 100 TB, and each deterministic
+  * cross-engine (integer date/µs arithmetic; exact integer numerators with a
+  * single correctly-rounded division where a ratio is reported).
+  */
+object BehaviorQueries {
+
+  val entries: Seq[QEntry] = Seq(
+    // Gaps-and-islands: longest run of CONSECUTIVE active days per user.
+    // Classic trick: within each user, row_number over distinct active days
+    // minus the day index is constant across a consecutive run — group on
+    // that anchor date. All date/integer arithmetic (no floats); the window
+    // is keyed by user_id so the shuffle stays parallel (distinct days per
+    // user is bounded by the calendar, not the corpus).
+    QEntry.sql(
+      "q_gaps_islands",
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |seq AS (SELECT user_id, d,
+        |          CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS rn
+        |        FROM days),
+        |lens AS (SELECT user_id, d - rn AS anchor, count(*) AS len
+        |         FROM seq GROUP BY user_id, anchor)
+        |SELECT user_id, max(len) AS longest_streak, count(*) AS n_islands
+        |FROM lens GROUP BY user_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val days = events(s, d).select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val rn = row_number().over(Window.partitionBy("user_id").orderBy("d"))
+      days
+        .withColumn("_rn", rn)
+        .withColumn("_anchor", expr("date_sub(d, _rn)"))
+        .groupBy("user_id", "_anchor")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"), count(lit(1)).as("n_islands"))
+    },
+
+    // Ordered-sequence pattern match (MATCH_RECOGNIZE-lite): encode each
+    // user's event history as a code string in (ts, event_id) order and run
+    // a regex over it — here "an error later followed by a purchase with no
+    // signup in between". One keyed collect per user (state bounded by that
+    // user's history, the same contract as any sessionizer); the regex scan
+    // is then a narrow per-row op. (ts, event_id) makes the order total, so
+    // both engines build the identical string.
+    QEntry.sql(
+      "q_event_pattern_match",
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS codes
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(codes) AS BIGINT) AS seq_len,
+        |  regexp_matches(codes, 'e[^s]*p') AS recovered
+        |FROM seqs""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      events(s, d)
+        .select(
+          col("user_id"),
+          struct(
+            unix_micros(col("ts")).as("us"),
+            col("event_id"),
+            substring(col("event_type"), 1, 1).as("code")
+          ).as("ev")
+        )
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(col("ev"))).as("evs"))
+        .select(
+          col("user_id"),
+          array_join(expr("transform(evs, x -> x.code)"), "").as("codes")
+        )
+        .select(
+          col("user_id"),
+          length(col("codes")).cast("bigint").as("seq_len"),
+          col("codes").rlike("e[^s]*p").as("recovered")
+        )
+    },
+
+    // Time-weighted average of `value` per user: each reading holds until the
+    // next event, so its weight is the gap duration. Keyed lead() window
+    // (parallel across users); the weighted sum is EXACT — value quantized to
+    // integer cents via floor(value*100) (the same single IEEE multiply in
+    // both engines), durations in integer µs, products summed as BIGINT
+    // (56021 cents × 2.6e12 µs total ≈ 1.5e17, far under 2^63 — staying in
+    // int64 matters because int64→double is a correctly-rounded single
+    // instruction in BOTH engines, whereas DuckDB's HUGEINT→double goes
+    // through two float ops and disagrees with Spark's decimal→double in the
+    // last ulp — observed here at sf0.01). One double division at the end —
+    // the float-determinism ladder's "numerator exact, ONE div" rung.
+    QEntry.sql(
+      "q_time_weighted_avg",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |             CAST(floor(value * 100) AS BIGINT) AS vu FROM events),
+        |g AS (SELECT user_id, vu,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur
+        |      FROM e),
+        |a AS (SELECT user_id, CAST(sum(vu * dur) AS BIGINT) AS num,
+        |        CAST(sum(dur) AS BIGINT) AS den
+        |      FROM g WHERE dur IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, den AS total_dur_us,
+        |  CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100) AS tw_avg
+        |FROM a""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      events(s, d)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * lit(100)).cast("bigint").as("vu")
+        )
+        .withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dur").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          sum(col("vu") * col("dur")).as("num"),
+          sum("dur").cast("bigint").as("den")
+        )
+        .select(
+          col("user_id"),
+          col("den").as("total_dur_us"),
+          (col("num").cast("double") / (col("den").cast("double") * lit(100))).as("tw_avg")
+        )
+    },
+
+    // Percent-of-total (ratio_to_report): each order priority's share of its
+    // month's revenue. Facts pre-aggregate to (month, priority) integer-cent
+    // sums BEFORE the window — the share window then runs over ~5 rows per
+    // month partition, never over raw orders. Share = one double division of
+    // two exact integers.
+    QEntry.sql(
+      "q_ratio_to_report",
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY month, o_orderpriority)
+        |SELECT month, o_orderpriority, cents,
+        |  CAST(cents AS DOUBLE) /
+        |    CAST(sum(cents) OVER (PARTITION BY month) AS DOUBLE) AS share
+        |FROM m""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+      val m = orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"), col("o_orderpriority"), cents.as("_c"))
+        .groupBy("month", "o_orderpriority")
+        .agg(sum("_c").cast("bigint").as("cents"))
+      m.select(
+        col("month"),
+        col("o_orderpriority"),
+        col("cents"),
+        (col("cents").cast("double") /
+          sum("cents").over(Window.partitionBy("month")).cast("double")).as("share")
+      )
+    }
+  )
+}
