@@ -218,4 +218,41 @@ object Curation {
     }
     df.filter(Sampling.hashPosition(col(keyCol)) < weight)
   }
+
+  /** C4-style heuristic cleaning flags (Raffel et al. 2020 §2.2 adapted to a
+    * whitespace-token corpus): minimum document length, mean-word-length band,
+    * and stopword presence. Every rule is INTEGER arithmetic over counts —
+    * the mean-word-length band is the cross-multiplied
+    * `lo·words ≤ letters ≤ hi·words`, never a float division — so flags are
+    * bit-identical across engines and partitionings.
+    *
+    * Narrow per-row expressions: no shuffle, fuses into the scan; the usual
+    * consumer is a (lang, source) rollup of rule hit-counts (see
+    * `cur_c4_filters`), whose shuffle carries only group rows.
+    */
+  def c4Rules(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 20,
+      meanLenLo: Int = 3,
+      meanLenHi: Int = 5,
+      stopword: String = "the"
+  ): DataFrame = {
+    val t = col(textCol)
+    val words = TextAnalysis.tokenCount(t)
+    val letters = length(regexp_replace(t, "\\s", ""))
+    df.withColumn("too_short", words < minWords)
+      .withColumn(
+        "wordlen_out",
+        !(letters >= words * meanLenLo && letters <= words * meanLenHi)
+      )
+      .withColumn(
+        "no_stopword",
+        instr(concat(lit(" "), t, lit(" ")), s" $stopword ") === 0
+      )
+      .withColumn(
+        "kept",
+        !col("too_short") && !col("wordlen_out") && !col("no_stopword")
+      )
+  }
 }

@@ -178,6 +178,40 @@ object CurationQueries {
           defaultWeight = 0.1
         )
         .select("doc_id", "source")
+    },
+
+    // C4-style cleaning-rule rollup: per (lang, source), how many docs each
+    // heuristic rule rejects and how many survive all of them. Rules are
+    // integer-count arithmetic (cross-multiplied mean-word-length band — no
+    // float division), so both engines flag identical docs.
+    QEntry.sql(
+      "cur_c4_filters", {
+        val words = s"len($wordsSql)"
+        val letters = """length(regexp_replace(text, '\s', '', 'g'))"""
+        s"""SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN $words < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           |  CAST(sum(CASE WHEN NOT ($letters >= $words * 3 AND $letters <= $words * 5)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_wordlen_out,
+           |  CAST(sum(CASE WHEN strpos(' ' || text || ' ', ' the ') = 0
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_no_stop,
+           |  CAST(sum(CASE WHEN $words >= 20
+           |                 AND ($letters >= $words * 3 AND $letters <= $words * 5)
+           |                 AND strpos(' ' || text || ' ', ' the ') > 0
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM documents GROUP BY lang, source"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Curation
+        .c4Rules(documents(s, d), "text")
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("too_short"), 1).otherwise(0)).as("n_short"),
+          sum(when(col("wordlen_out"), 1).otherwise(0)).as("n_wordlen_out"),
+          sum(when(col("no_stopword"), 1).otherwise(0)).as("n_no_stop"),
+          sum(when(col("kept"), 1).otherwise(0)).as("n_kept")
+        )
     }
   )
 }

@@ -50,9 +50,41 @@ object SourceQueries {
     }
   }
 
+  /** Hive-partitioned parquet layout (`lang=<v>/` directories) — the standard
+    * warehouse layout for a 100 TB corpus keyed by a low-cardinality column.
+    * Written once per sf (same `_SUCCESS` cache rule as [[roundTrip]]); reads
+    * recover `lang` from the directory name, and a `lang` filter prunes at
+    * the FileIndex level so non-matching partitions are never even listed
+    * into the scan (asserted in PlanQualitySpec).
+    */
+  private[graft] def partitionedDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.documents(s, d)
+    val sf = d.stripSuffix("/").split('/').last
+    val path = s"target/graft_src_cache/partitioned_$sf"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      base.write.mode("overwrite").partitionBy("lang").parquet(path)
+    s.read.parquet(path)
+  }
+
   def entries: Seq[QEntry] = Seq(
     QEntry.sql("src_json_docs", docsSql)((s, d) => roundTrip(s, d, "json")),
     QEntry.sql("src_csv_docs", docsSql)((s, d) => roundTrip(s, d, "csv")),
-    QEntry.sql("src_orc_docs", docsSql)((s, d) => roundTrip(s, d, "orc"))
+    QEntry.sql("src_orc_docs", docsSql)((s, d) => roundTrip(s, d, "orc")),
+    // partition-pruned aggregate over the lang=en directory only; the oracle
+    // reads the ORIGINAL parquet, proving the partitioned write→read (incl.
+    // the partition-column round-trip through directory names) is lossless.
+    QEntry.sql(
+      "src_partitioned_docs",
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      partitionedDocs(s, d)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("bigint").as("sum_chars"))
+    }
   )
 }
