@@ -39,7 +39,15 @@ object Bucketing {
     // directory itself; the explicit delete below only targets the
     // default-database layout <warehouse>/<name> this managed write is about
     // to claim — never a registered external table's (arbitrary) location.
-    val fullTag = sourceTag.map(t => s"$t|$key|$numBuckets")
+    // The tag identifies the ACTUAL DataFrame being written, not just its
+    // source directory: the analyzed plan's semanticHash covers the
+    // projection/filter applied on top of the source, so a later caller
+    // bucketing a DIFFERENT view of the same source into the same table name
+    // rebuilds instead of silently reusing stale data. `sourceTag` remains
+    // part of the key because the semantic hash alone is not stable across
+    // sessions for path-based relations.
+    val fullTag =
+      sourceTag.map(t => s"$t|$key|$numBuckets|${df.queryExecution.analyzed.semanticHash()}")
     // Reuse: same session, same (source, key, buckets) → the table on disk is
     // byte-equivalent to what this write would produce; skip it.
     if (
@@ -63,14 +71,22 @@ object Bucketing {
       .sortBy(key)
       .saveAsTable(table)
     fullTag.foreach { t =>
-      spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('$SourceProp' = '$t')")
+      // set via the catalog API, not interpolated SQL — a tag containing a
+      // quote (tags are caller-supplied paths) must not break the statement
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      val cat = spark.sessionState.catalog
+      val meta = cat.getTableMetadata(TableIdentifier(table))
+      cat.alterTable(meta.copy(properties = meta.properties + (SourceProp -> t)))
     }
   }
 
   /** Bucket both join sides on the key; returns the co-located frames.
     * With a `sourceTag` (any stable identifier of the input, e.g. its
     * directory), repeat calls over the same source reuse the existing
-    * bucketed tables instead of rewriting them.
+    * bucketed tables instead of rewriting them. The shared tag is safe for
+    * both sides because the reuse key also hashes each side's analyzed
+    * plan — the two sides (and any later different projection) never
+    * collide.
     */
   def coBucket(
       spark: SparkSession,

@@ -12,9 +12,15 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *
   * The rewrite streams through executors (read → repartition →
   * write-to-sibling → swap); the only driver work is the file listing. The
-  * directory swap is not transactional — concurrent readers belong to a
-  * table format with a commit log (Delta/Iceberg), not raw directories;
-  * this operator is the compaction KERNEL those formats schedule.
+  * swap renames the live directory ASIDE before renaming the compacted one
+  * in, so a crash at any point leaves a complete copy of the data under
+  * either the original name or the `_precompact` backup — the
+  * delete-then-rename ordering that could lose the live copy is avoided,
+  * and each FileSystem call's boolean result is checked (HDFS signals
+  * failure by returning false, not by throwing). The swap is still not
+  * transactional for CONCURRENT READERS — those belong to a table format
+  * with a commit log (Delta/Iceberg), not raw directories; this operator is
+  * the compaction KERNEL those formats schedule.
   */
 object Compaction {
 
@@ -39,8 +45,18 @@ object Compaction {
       .write
       .mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    val backup = new Path(path.getParent, path.getName + "_precompact")
+    if (fs.exists(backup) && !fs.delete(backup, true))
+      sys.error(s"compaction: could not clear stale backup $backup")
+    if (!fs.rename(path, backup))
+      sys.error(s"compaction: could not move $path aside to $backup")
+    if (!fs.rename(tmp, path)) {
+      // restore the original so the table stays readable under its own name
+      fs.rename(backup, path)
+      sys.error(s"compaction: could not move compacted $tmp into $path")
+    }
+    if (!fs.delete(backup, true))
+      sys.error(s"compaction: swap complete but backup $backup was not removed")
     (before.length, dataFiles(path).length)
   }
 }

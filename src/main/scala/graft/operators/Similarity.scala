@@ -396,23 +396,6 @@ object Similarity {
       )
   }
 
-  /** Product-quantization (PQ) codes — the memory layout behind
-    * billion-vector ANN indexes (IVF-PQ): each vector splits into `m`
-    * sub-vectors, each replaced by the id of its nearest codebook entry
-    * (dim·4 bytes → m codes). Runs over the int8-QUANTIZED vectors (same
-    * arithmetic as [[quantizeInt8]]), so every distance is an exact BIGINT
-    * sum of squared integer differences — bit-identical cross-engine, no
-    * float ranking. The codebook is every `codebookStride`-th corpus vector
-    * (deterministic and externally replayable — the stride-seed convention
-    * of [[ivfTopK]]; a production build would k-means-refine it, assignment
-    * plan unchanged). Assignment: broadcast the KB-scale sub-codebook,
-    * cross-match per subspace, then a partial-aggregated argmin — the
-    * shuffle carries one row per (vector, subspace), never the ×|codebook|
-    * fan-out.
-    *
-    * @return (id, sub, code, dist) — `code` is the codebook row's id,
-    *         `dist` the exact squared int8 distance in that subspace.
-    */
   /** Int8-quantize ([[quantizeInt8]] arithmetic) and split into `m`
     * sub-vectors: one row per (id, subspace) with the BIGINT sub-vector.
     */
@@ -458,6 +441,25 @@ object Similarity {
   private def sqIntDist(sqA: Column, sqB: Column, fA: String, fB: String): Column =
     (sqA + sqB - lit(2.0) * expr(s"graft_dot($fA, $fB)")).cast("long")
 
+  /** Product-quantization (PQ) codes — the memory layout behind
+    * billion-vector ANN indexes (IVF-PQ): each vector splits into `m`
+    * sub-vectors, each replaced by the id of its nearest codebook entry
+    * (dim·4 bytes → m codes). Runs over the int8-QUANTIZED vectors (same
+    * arithmetic as [[quantizeInt8]]), so every distance is an exact BIGINT
+    * sum of squared integer differences — bit-identical cross-engine, no
+    * float ranking. The codebook is every `codebookStride`-th corpus vector
+    * (deterministic and externally replayable — the stride-seed convention
+    * of [[ivfTopK]]; a production build would k-means-refine it, assignment
+    * plan unchanged). Assignment: broadcast the KB-scale sub-codebook,
+    * cross-match per subspace, then a partial-aggregated argmin — the
+    * shuffle carries one row per (vector, subspace), never the ×|codebook|
+    * fan-out. Thin rename over [[pqCodebookAndCodes]], the single
+    * implementation every PQ path (direct entry, persisted index, IVF-PQ)
+    * shares — the encode arithmetic cannot drift between them.
+    *
+    * @return (id, sub, code, dist) — `code` is the codebook row's id,
+    *         `dist` the exact squared int8 distance in that subspace.
+    */
   def pqEncode(
       corpus: DataFrame,
       idCol: String,
@@ -466,26 +468,13 @@ object Similarity {
       codebookStride: Int = 31
   ): DataFrame = {
     VectorExpressions.install(corpus.sparkSession)
-    val dim = dimOf(corpus, vecCol, 0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-    val subs = withSubFloats(quantizedSubs(corpus, idCol, vecCol, m, sub, "_id"), "_sv", "_svf", "_ssq")
-    val codebook = broadcast(
-      subs
-        .filter(pmod(col("_id"), lit(codebookStride)) === 0)
-        .select(col("_id").as("_code"), col("sub"), col("_svf").as("_cvf"), col("_ssq").as("_csq"))
+    val (_, codes) = pqCodebookAndCodes(corpus, idCol, vecCol, m, codebookStride)
+    codes.select(
+      col("neighbor_id").as(idCol),
+      col("sub").cast("bigint").as("sub"),
+      col("_code").as("code"),
+      col("_dist").as("dist")
     )
-    subs
-      .join(codebook, "sub")
-      .withColumn("_dist", sqIntDist(col("_ssq"), col("_csq"), "_svf", "_cvf"))
-      .groupBy(col("_id"), col("sub"))
-      .agg(min(struct(col("_dist"), col("_code"))).as("_b"))
-      .select(
-        col("_id").as(idCol),
-        col("sub").cast("bigint").as("sub"),
-        col("_b._code").as("code"),
-        col("_b._dist").as("dist")
-      )
   }
 
   /** PQ approximate top-k — the scan shape of an IVF-PQ index probe: corpus
@@ -522,12 +511,10 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Corpus PQ codes (neighbor_id, sub, _code) and the broadcast query LUT
-    * (query_id, sub, _code, _pdist) — shared by [[pqTopK]] and
-    * [[ivfPqTopK]].
-    */
   /** Corpus PQ codebook (sub, _code, _cvf, _csq) and codes
-    * (neighbor_id, sub, _code).
+    * (neighbor_id, sub, _code, _dist) — the one place the codebook build +
+    * argmin assignment live; [[pqEncode]], [[buildPqIndex]] and
+    * [[pqCodesAndLut]] are all expressed in terms of it.
     */
   private def pqCodebookAndCodes(
       corpus: DataFrame,
@@ -550,7 +537,12 @@ object Similarity {
       .withColumn("_dist", sqIntDist(col("_ssq"), col("_csq"), "_svf", "_cvf"))
       .groupBy(col("_id"), col("sub"))
       .agg(min(struct(col("_dist"), col("_code"))).as("_b"))
-      .select(col("_id").as("neighbor_id"), col("sub"), col("_b._code").as("_code"))
+      .select(
+        col("_id").as("neighbor_id"),
+        col("sub"),
+        col("_b._code").as("_code"),
+        col("_b._dist").as("_dist")
+      )
     (codebook, codes)
   }
 
@@ -577,6 +569,10 @@ object Similarity {
     )
   }
 
+  /** Corpus PQ codes (neighbor_id, sub, _code) and the broadcast query LUT
+    * (query_id, sub, _code, _pdist) — shared by [[pqTopK]] and
+    * [[ivfPqTopK]].
+    */
   private def pqCodesAndLut(
       corpus: DataFrame,
       queries: DataFrame,
@@ -586,7 +582,7 @@ object Similarity {
       codebookStride: Int
   ): (DataFrame, DataFrame) = {
     val (codebook, codes) = pqCodebookAndCodes(corpus, idCol, vecCol, m, codebookStride)
-    (codes, pqLut(queries, idCol, vecCol, m, codebook))
+    (codes.drop("_dist"), pqLut(queries, idCol, vecCol, m, codebook))
   }
 
   /** Persist a PQ index — encode ONCE, query many times: at 100 TB the
@@ -606,7 +602,9 @@ object Similarity {
     VectorExpressions.install(corpus.sparkSession)
     val (codebook, codes) = pqCodebookAndCodes(corpus, idCol, vecCol, m, codebookStride)
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
+    // the index stores only the m codes per vector — that byte budget is the
+    // point of PQ; the assignment distance is recomputable and not persisted
+    codes.drop("_dist").write.mode("overwrite").parquet(s"$path/codes")
   }
 
   /** PQ top-k against a persisted index ([[buildPqIndex]]) — identical

@@ -245,8 +245,10 @@ object AnalyticsQueries {
       val statuses = o
         .filter(col("o_totalprice") > 400000)
         .select(col("o_orderstatus")).distinct()
+      // `> ALL (empty set)` is TRUE: max over zero rows is null, so the
+      // null branch must KEEP the row, not drop it (x > null would).
       o.crossJoin(broadcast(mx))
-        .filter(col("o_totalprice") > col("_mx"))
+        .filter(col("_mx").isNull || col("o_totalprice") > col("_mx"))
         .join(statuses, Seq("o_orderstatus"), "left_semi")
         .select("o_orderkey", "o_totalprice")
     },

@@ -149,8 +149,13 @@ object StreamingOps {
     * log, raw directories get it from the batch-id partition.
     */
   def idempotentAppend(path: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val dir = new java.io.File(s"$path/_batch=$batchId")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    // Resolve through Hadoop's FileSystem so the _SUCCESS probe works for
+    // hdfs:///s3a:// sinks too — a java.io.File check is always false off
+    // the local filesystem, which would silently re-run every replayed
+    // batch and re-open the duplicate-output window this sink closes.
+    val dir = new org.apache.hadoop.fs.Path(path, s"_batch=$batchId")
+    val fs = dir.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
       batch.write
         .mode("overwrite") // partial output from a crashed attempt is replaced
         .parquet(dir.toString)
