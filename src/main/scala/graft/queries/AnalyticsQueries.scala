@@ -1021,6 +1021,100 @@ object AnalyticsQueries {
         )
         .groupBy("bin")
         .agg(count(lit(1)).as("cnt"))
+    },
+
+    // Relative-standing window functions: percent_rank and cume_dist of each
+    // order's price within its status class. Both are single divisions of
+    // exact integer rank/count components — (rank−1)/(n−1) and peers/n — so
+    // the doubles are correctly rounded and bit-identical cross-engine; ties
+    // share a rank in both engines by definition. Keyed by status: the sort
+    // is per-partition, never global.
+    QEntry.sql(
+      "q_percent_rank_cume",
+      """SELECT o_orderkey, o_orderstatus,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+      val w = Window.partitionBy("o_orderstatus").orderBy(cents)
+      orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd")
+      )
+    },
+
+    // Exact discrete percentiles (p25/p50/p75) per group — quantile_disc
+    // semantics: the value at ordered position ceil(q·n), an ACTUAL data
+    // value (no interpolation, no floats). One keyed sort assigns positions,
+    // a conditional aggregation picks the three order statistics —
+    // all-integer arithmetic, so both engines select the identical cents.
+    QEntry.sql(
+      "q_percentile_disc",
+      """WITH r AS (
+        |  SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |               o_orderkey) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS p25,
+        |  max(CASE WHEN rn = (n * 2 + 3) // 4 THEN cents END) AS p50,
+        |  max(CASE WHEN rn = (n * 3 + 3) // 4 THEN cents END) AS p75,
+        |  max(n) AS n
+        |FROM r GROUP BY o_orderstatus""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+      val w = Window.partitionBy("o_orderstatus").orderBy(cents, col("o_orderkey"))
+      val wn = Window.partitionBy("o_orderstatus")
+      val r = orders(s, d).select(
+        col("o_orderstatus"),
+        cents.as("cents"),
+        row_number().over(w).cast("bigint").as("rn"),
+        count(lit(1)).over(wn).as("n")
+      )
+      def pick(k: Int) = max(when(col("rn") === expr(s"(n * $k + 3) div 4"), col("cents")))
+      r.groupBy("o_orderstatus")
+        .agg(pick(1).as("p25"), pick(2).as("p50"), pick(3).as("p75"), max("n").as("n"))
+    },
+
+    // Gini impurity of the priority mix per order-month — category
+    // concentration as scaled integer arithmetic: gini = 1 − Σ(cᵢ/n)² is
+    // reported in parts-per-million as (n² − Σcᵢ²)·10⁶ // n², every step an
+    // exact BIGINT (n ≤ 10⁶ → products < 2^53 in DuckDB's double-safe range
+    // and far under int64) — no float summation anywhere. Two partial-agg
+    // shuffles (month×priority counts, then month), both parallel at scale.
+    QEntry.sql(
+      "q_gini_impurity",
+      """WITH c AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY month, o_orderpriority)
+        |SELECT month, sum(cnt) AS n,
+        |  (sum(cnt) * sum(cnt) - sum(cnt * cnt)) * 1000000 //
+        |    (sum(cnt) * sum(cnt)) AS gini_ppm
+        |FROM c GROUP BY month""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      orders(s, d)
+        .groupBy(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderpriority")
+        )
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("month")
+        .agg(sum("cnt").as("n"), sum(col("cnt") * col("cnt")).as("_sq"))
+        .select(
+          col("month"),
+          col("n"),
+          expr("(n * n - _sq) * 1000000 div (n * n)").as("gini_ppm")
+        )
     }
   )
 }

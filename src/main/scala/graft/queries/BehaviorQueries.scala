@@ -159,6 +159,152 @@ object BehaviorQueries {
         (col("cents").cast("double") /
           sum("cents").over(Window.partitionBy("month")).cast("double")).as("share")
       )
+    },
+
+    // First-order Markov transition matrix over each user's event stream:
+    // lag(event_type) within (user, ts, event_id) order pairs every event
+    // with its predecessor, a global count per (prev, cur) follows, and the
+    // row-conditional probability is ONE double division of two exact BIGINT
+    // counts (correctly rounded, bit-identical cross-engine). The lag window
+    // is keyed by user — per-user history bounds the state, the transition
+    // count aggregation is an ordinary partial-agg shuffle over ≤|types|²
+    // keys. (ts, event_id) is a total order, so both engines pair
+    // identically.
+    QEntry.sql(
+      "q_markov_transitions",
+      """WITH steps AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |t AS (SELECT prev, cur, count(*) AS cnt FROM steps
+        |      WHERE prev IS NOT NULL GROUP BY prev, cur)
+        |SELECT prev, cur, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE) AS p
+        |FROM t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_type").as("cur"), lag("event_type", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "cur")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn(
+          "p",
+          col("cnt").cast("double") /
+            sum("cnt").over(Window.partitionBy("prev")).cast("double")
+        )
+    },
+
+    // Skyline (Pareto frontier) per priority class: orders not dominated on
+    // (price, date) — dominated means some STRICTLY pricier order in the
+    // class is also at least as recent. The classic quadratic NOT EXISTS is
+    // replaced by one keyed sort: with integer cents ordered DESC, a RANGE
+    // frame ending at 1 PRECEDING is exactly "all strictly pricier rows",
+    // and a running max(date) over it decides domination in O(n log n) per
+    // partition — the scale-safe skyline shape. Integer cents/epoch-day
+    // arithmetic throughout.
+    QEntry.sql(
+      "q_skyline_pareto",
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pri, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dday
+        |  FROM orders),
+        |m AS (SELECT pri, o_orderkey, cents, dday,
+        |        max(dday) OVER (PARTITION BY pri ORDER BY cents DESC
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_d
+        |      FROM o)
+        |SELECT pri, o_orderkey, cents, dday
+        |FROM m WHERE best_d IS NULL OR dday > best_d"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        col("o_orderpriority").as("pri"),
+        col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("bigint").as("dday")
+      )
+      val pricier = Window
+        .partitionBy("pri")
+        .orderBy(col("cents").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      o.withColumn("best_d", max("dday").over(pricier))
+        .filter(col("best_d").isNull || col("dday") > col("best_d"))
+        .select("pri", "o_orderkey", "cents", "dday")
+    },
+
+    // Exponentially-weighted moving average with half-life 1 over each
+    // customer's most recent ≤16 orders. Floats make EWMA order-dependent;
+    // with α = 1/2 every weight is a power of two, so numerator and
+    // denominator are EXACT BIGINTs (cents < 2^26, weights ≤ 2^15, 16 terms
+    // → < 2^45) and the reported average is one correctly-rounded division —
+    // bit-identical cross-engine. Keyed window (customer), bounded frame:
+    // state per key is 16 rows regardless of corpus size.
+    QEntry.sql(
+      "q_ewma_halflife",
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  sum(cents * (CAST(1 AS BIGINT) << CAST(16 - rn AS INT))) AS num,
+        |  sum(CAST(1 AS BIGINT) << CAST(16 - rn AS INT)) AS den,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(16 - rn AS INT))) AS DOUBLE) /
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(16 - rn AS INT)) AS DOUBLE) AS ewma
+        |FROM r WHERE rn <= 16 GROUP BY o_custkey"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val weight = expr("shiftleft(1L, cast(16 - rn as int))")
+      orders(s, d)
+        .select(
+          col("o_custkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+          row_number().over(w).cast("bigint").as("rn")
+        )
+        .filter(col("rn") <= 16)
+        .groupBy("o_custkey")
+        .agg(
+          sum(col("cents") * weight).as("num"),
+          sum(weight).as("den")
+        )
+        .withColumn("ewma", col("num").cast("double") / col("den").cast("double"))
+    },
+
+    // Statistical mode with a deterministic tie-break: each customer's most
+    // frequent order priority, ties resolved lexicographically — the
+    // argmax-per-group idiom as a keyed count + one max(struct) partial agg
+    // (no window, no second shuffle: the struct packs (cnt, reversed-rank
+    // key) so max() is the tie-broken argmax). DuckDB twin spells the same
+    // rule with row_number.
+    QEntry.sql(
+      "q_mode_per_group",
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY o_custkey, o_orderpriority),
+        |r AS (SELECT o_custkey, o_orderpriority, cnt,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        |      FROM c)
+        |SELECT o_custkey, o_orderpriority AS mode_priority, cnt
+        |FROM r WHERE rn = 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      // argmax via max(struct): higher cnt wins; on equal cnt the LOWER
+      // priority string must win, so compare on a per-char reversed key
+      // (translate swaps the '1'-'5' priority prefix ordering).
+      orders(s, d)
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("_inv", translate(col("o_orderpriority"), "12345", "54321"))
+        .groupBy("o_custkey")
+        .agg(max(struct(col("cnt"), col("_inv"), col("o_orderpriority"))).as("_b"))
+        .select(
+          col("o_custkey"),
+          col("_b.o_orderpriority").as("mode_priority"),
+          col("_b.cnt").as("cnt")
+        )
     }
   )
 }
