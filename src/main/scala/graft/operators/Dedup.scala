@@ -151,6 +151,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Estimated Jaccard similarity for an explicit pair list from MinHash
+    * signature agreement — the unbiased estimator Ĵ = |{j : aⱼ = bⱼ}| /
+    * numPerm that LSH banding implicitly thresholds; surfacing it gives the
+    * downstream policy layer a graded score instead of a binary candidate
+    * flag. The signatures join to the pair list by id (two equi-joins — the
+    * pair side is the small LSH-candidate output, never the corpus
+    * crossed with itself), the match count is an exact integer, and the
+    * estimate is ONE correctly-rounded division — bit-identical
+    * cross-engine.
+    *
+    * @param pairs (id1, id2) rows to score, e.g. [[minhashCandidatePairs]]
+    *              output or an evaluation sample.
+    */
+  def minhashJaccardEstimate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
+  ): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numPerm, rowsPerBand, fast)
+    val perms = (0 until numPerm)
+    val a = sigs.select(col(idCol).as("id1") +: perms.map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sigs.select(col(idCol).as("id2") +: perms.map(j => col(s"m$j").as(s"b$j")): _*)
+    val matches = perms
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .select("id1", "id2")
+      .join(a, "id1")
+      .join(b, "id2")
+      .select(
+        col("id1"),
+        col("id2"),
+        matches.as("matching_perms"),
+        (matches.cast("double") / lit(numPerm.toDouble)).as("jaccard_est")
+      )
+  }
+
   /** Exact dedup: group by content hash, keep the lowest id (one shuffle whose
     * width is the distinct-key count thanks to partial aggregation).
     */

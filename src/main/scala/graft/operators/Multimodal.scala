@@ -153,4 +153,46 @@ object Multimodal {
     */
   def resizeTo(media: DataFrame, maxBytes: Int): DataFrame =
     media.withColumn("payload", substring(col("payload"), 1, maxBytes))
+
+  /** OVERLAPPING strided windows over the payload — the spectrogram/STFT
+    * frame shape for audio (`hopBytes` < `windowBytes` means consecutive
+    * windows share bytes, unlike [[frameSlices]]' disjoint frames). Emits
+    * per-window a stand-in feature pair a real DSP kernel would replace:
+    * the window's md5 and its exact integer byte-sum "energy" (ASCII
+    * payloads: one codepoint = one byte, which is what lets the oracle
+    * mirror it). The fan-out is a per-row `explode` of ≤ `maxWindows`
+    * indices — narrow, no shuffle; payload bytes never leave the executors.
+    */
+  def stridedWindows(
+      media: DataFrame,
+      windowBytes: Int,
+      hopBytes: Int,
+      maxWindows: Int
+  ): DataFrame = {
+    require(windowBytes > 0 && hopBytes > 0, "window and hop must be positive")
+    val n = octet_length(col("payload")).cast("bigint")
+    val full = ((n - windowBytes) / hopBytes) + 1
+    val nWin = least(
+      when(n >= windowBytes, full).when(n > 0, lit(1L)).otherwise(lit(0L)),
+      lit(maxWindows.toLong)
+    ).cast("int")
+    val win = s"substring(payload, win_idx * $hopBytes + 1, $windowBytes)"
+    media
+      .withColumn(
+        "win_idx",
+        // empty payload → zero windows: sequence(0, -1) would descend
+        explode(
+          when(nWin > 0, sequence(lit(0), nWin - 1))
+            .otherwise(array().cast("array<int>"))
+        )
+      )
+      .select(
+        col("media_id"),
+        col("win_idx"),
+        md5(expr(win)).as("win_md5"),
+        expr(
+          s"aggregate(split(decode($win, 'UTF-8'), ''), 0L, (acc, c) -> acc + ascii(c))"
+        ).as("energy")
+      )
+  }
 }

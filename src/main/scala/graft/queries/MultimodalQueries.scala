@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.Tables._
 import graft.operators.Multimodal
 
@@ -39,6 +41,36 @@ object MultimodalQueries {
         |  FROM documents) t""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Multimodal.frameSlices(Multimodal.fromDocuments(documents(s, d)), 256, 4)
+    },
+
+    // Overlapping strided windows (hop < window — the spectrogram frame
+    // shape) over the audio-modality payloads: md5 + exact integer byte-sum
+    // energy per window. ASCII corpus ⇒ DuckDB's per-char ord() sums equal
+    // Spark's per-byte sums exactly.
+    QEntry.sql(
+      "mm_audio_windows",
+      """SELECT media_id, CAST(win_idx AS INT) AS win_idx,
+        |  md5(substr(text, CAST(win_idx * 256 + 1 AS INT), 512)) AS win_md5,
+        |  CAST(list_sum(list_transform(
+        |    range(1, length(substr(text, CAST(win_idx * 256 + 1 AS INT), 512)) + 1),
+        |    i -> ord(substr(substr(text, CAST(win_idx * 256 + 1 AS INT), 512),
+        |                    CAST(i AS INT), 1)))) AS BIGINT) AS energy
+        |FROM (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(range(0, least(
+        |      CASE WHEN octet_length(encode(text)) >= 512
+        |             THEN (octet_length(encode(text)) - 512) // 256 + 1
+        |           WHEN octet_length(encode(text)) > 0 THEN 1 ELSE 0 END,
+        |      6))) AS win_idx
+        |  FROM documents WHERE doc_id % 3 = 1) t"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Multimodal.stridedWindows(
+        Multimodal.fromDocuments(documents(s, d)).filter(col("modality") === "audio"),
+        windowBytes = 512,
+        hopBytes = 256,
+        maxWindows = 6
+      )
     }
   )
 }

@@ -106,6 +106,37 @@ object PipelineQueries {
       Dedup.minhashCandidatePairs(documents(s, d), "doc_id", "text")
     },
 
+    // Graded similarity from signature agreement: Ĵ = matching perms /
+    // numPerm on an explicit pair list (here an all-pairs evaluation sample
+    // over the 30 lowest doc ids — the LSH candidate set is empty on this
+    // natural corpus). Match count exact, estimate one division of two
+    // exact values — bit-identical cross-engine.
+    QEntry.sql(
+      "dedup_minhash_est", {
+        val ms = (0 until 8).map(j => s"${minhashSql(j)} AS m$j").mkString(", ")
+        val matches =
+          (0 until 8).map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, $ms
+           |  FROM (SELECT doc_id, $shinglesSql AS sh
+           |        FROM (SELECT doc_id, $wordsSql AS words
+           |              FROM documents WHERE doc_id < 30) w) s)
+           |SELECT a.doc_id AS id1, b.doc_id AS id2,
+           |  CAST($matches AS BIGINT) AS matching_perms,
+           |  CAST($matches AS DOUBLE) / 8.0 AS jaccard_est
+           |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d).filter(col("doc_id") < 30)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids
+        .select(col("doc_id").as("id1"))
+        .crossJoin(ids.select(col("doc_id").as("id2")))
+        .filter(col("id1") < col("id2"))
+      Dedup.minhashJaccardEstimate(docs, "doc_id", "text", pairs)
+    },
+
     // Cluster resolution: near-dup pairs → connected components → one
     // canonical cluster id (min doc_id of the component) per document.
     // Spark side is iterative min-label propagation (join + min-agg per round,

@@ -166,6 +166,61 @@ object TextQueries {
         .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("docs"))
         .orderBy(col("cnt").desc, col("term"))
         .limit(20)
+    },
+
+    // Bigram collocations ranked by lift (the PMI argument without the log —
+    // same ordering, exact arithmetic): lift = P(w1w2)/(P(w1)P(w2)) reported
+    // in parts-per-million as c_xy·N·10⁶ // (c_x·c_y), every step an exact
+    // BIGINT (no log/float ranking, so the top-100 is bit-identical
+    // cross-engine). Unigram and bigram counts are partial-agg shuffles;
+    // the count join is equi on the word; the scalar N broadcasts; top-100
+    // is TakeOrderedAndProject — all 100 TB-safe shapes.
+    QEntry.sql(
+      "txt_collocations",
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |uc AS (SELECT term, count(*) AS c FROM
+        |         (SELECT unnest(words) AS term FROM w) u
+        |       WHERE term <> '' GROUP BY term),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_words FROM uc),
+        |bc AS (SELECT bg, count(*) AS c_xy FROM
+        |         (SELECT unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+        |                  i -> words[i] || ' ' || words[i+1])) AS bg FROM w) b
+        |       GROUP BY bg HAVING count(*) >= 3)
+        |SELECT bg AS bigram, c_xy, u1.c AS c_w1, u2.c AS c_w2, n_words,
+        |  c_xy * n_words * 1000000 // (u1.c * u2.c) AS lift_ppm
+        |FROM bc CROSS JOIN n
+        |JOIN uc u1 ON u1.term = string_split(bg, ' ')[1]
+        |JOIN uc u2 ON u2.term = string_split(bg, ' ')[2]
+        |ORDER BY lift_ppm DESC, bigram LIMIT 100"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = documents(s, d).select(tokens(col("text")).as("_ws"))
+      val uc = w
+        .select(explode(col("_ws")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term")
+        .agg(count(lit(1)).as("c"))
+      val n = uc.agg(sum("c").as("n_words"))
+      val bc = w
+        .select(explode(graft.operators.Dedup.shinglesFromWords(col("_ws"), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 3)
+      bc.crossJoin(broadcast(n))
+        .withColumn("_w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("_w2", split(col("bigram"), " ").getItem(1))
+        .join(uc.select(col("term").as("_w1"), col("c").as("c_w1")), "_w1")
+        .join(uc.select(col("term").as("_w2"), col("c").as("c_w2")), "_w2")
+        .select(
+          col("bigram"),
+          col("c_xy"),
+          col("c_w1"),
+          col("c_w2"),
+          col("n_words"),
+          expr("c_xy * n_words * 1000000 div (c_w1 * c_w2)").as("lift_ppm")
+        )
+        .orderBy(col("lift_ppm").desc, col("bigram"))
+        .limit(100)
     }
   )
 }

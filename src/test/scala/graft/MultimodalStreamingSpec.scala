@@ -54,6 +54,31 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(Multimodal.frameSlices(Multimodal.fromDocuments(empty), 256, 4).count() == 0)
   }
 
+  test("strided windows overlap by window-minus-hop bytes with exact energies") {
+    val s = spark
+    import s.implicits._
+    // 1000 bytes, window 512, hop 256 → full windows at 0,256,488? no:
+    // (1000-512)/256+1 = 2 full starts (0, 256); start 512 would clip.
+    val docs = Seq((1L, "ab" * 500)).toDF("doc_id", "text")
+    val wins = Multimodal
+      .stridedWindows(Multimodal.fromDocuments(docs), 512, 256, 6)
+      .collect()
+      .sortBy(_.getAs[Int]("win_idx"))
+    assert(wins.length == 2)
+    // energy of 512 alternating 'a'(97)/'b'(98) bytes = 256·97 + 256·98
+    wins.foreach(w => assert(w.getAs[Long]("energy") == 256L * 97 + 256L * 98))
+    // shorter-than-window payload → exactly one clipped window
+    val short = Seq((2L, "abc")).toDF("doc_id", "text")
+    val sw = Multimodal.stridedWindows(Multimodal.fromDocuments(short), 512, 256, 6).collect()
+    assert(sw.length == 1 && sw.head.getAs[Long]("energy") == 97L + 98 + 99)
+    // empty payload → zero windows (sequence(0,-1) hazard guarded)
+    val empty = Seq((3L, "")).toDF("doc_id", "text")
+    assert(Multimodal.stridedWindows(Multimodal.fromDocuments(empty), 512, 256, 6).count() == 0)
+    // maxWindows caps the fan-out
+    val long = Seq((4L, "x" * 5000)).toDF("doc_id", "text")
+    assert(Multimodal.stridedWindows(Multimodal.fromDocuments(long), 512, 256, 6).count() == 6)
+  }
+
   test("binaryFile source reads a media directory with inferred modality") {
     val dir = Files.createTempDirectory("graft-media")
     Files.write(dir.resolve("a.png"), Array[Byte](0x50, 0x4E, 0x47, 0x21))

@@ -51,6 +51,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fastSig.schema("m0").dataType.typeName == "long")
   }
 
+  test("minhashJaccardEstimate grades near-dups high and unrelated docs low") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val df = docs(
+      1L -> base,
+      2L -> base.replace("tonight", "today"), // 1-word edit → most perms agree
+      3L -> "completely different content about spark query engines and columnar storage systems"
+    )
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val est = Dedup
+      .minhashJaccardEstimate(df, "doc_id", "text", pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard_est"))
+      .toMap
+    assert(est((1L, 2L)) >= 0.5, s"near-dup estimate too low: $est")
+    assert(est((1L, 3L)) == 0.0, s"unrelated estimate nonzero: $est")
+    // estimate is matches/numPerm: exact multiples of 1/8
+    est.values.foreach(v => assert((v * 8) == math.round(v * 8).toDouble))
+  }
+
   test("fuzzyPairs keeps verified near-dups and rejects distant candidates") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
     val df = docs(
