@@ -17,7 +17,8 @@ object SparkEntry {
   private[graft] def inventory: Seq[QEntry] =
     FragQueries.entries ++ RelationalQueries.entries ++ AnalyticsQueries.entries ++
       BehaviorQueries.entries ++ TextQueries.entries ++ PipelineQueries.entries ++
-      CurationQueries.entries ++ MultimodalQueries.entries ++ SourceQueries.entries
+      CurationQueries.entries ++ MultimodalQueries.entries ++ SourceQueries.entries ++
+      RetrievalQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Corpus retrieval primitives: BM25 ranking, inverted-index construction and
+  * chi-square term keyness. These are the search-side counterparts of the
+  * TF-IDF statistics in [[TermStats]] — what a training-data pipeline uses to
+  * find, weigh and contrast documents at corpus scale.
+  *
+  * Plan shapes (all keyed shuffles; nothing touches the driver):
+  *   - BM25: explode tokens → (doc, term) tf hash-agg → broadcast the per-term
+  *     document frequencies and the 1-row corpus stats → keyed row_number
+  *     window for top-k. Shuffle width is the matched (doc, term) set only —
+  *     the term filter runs BEFORE the tf aggregate, so off-query tokens never
+  *     enter a shuffle.
+  *   - inverted index: explode → per-term hash aggregate. Posting lists are
+  *     explicitly capped (`maxPostings`): an uncapped list for a stopword-like
+  *     term is a single-key memory bomb at 100 TB. Production layouts shard
+  *     hot terms further ((term, bucket) composite keys); the cap keeps this
+  *     operator's per-group state bounded either way.
+  *   - keyness: explode → per-term conditional-sum aggregate (one pass for
+  *     both corpus slices) → broadcast 1-row totals → arithmetic-only χ²
+  *     scoring. χ² is chosen over log-likelihood-ratio keyness deliberately:
+  *     it is pure +/×/÷ on exact integer counts, which IEEE-754 requires
+  *     correctly rounded, so scores are bit-identical across engines (the
+  *     QEntry determinism contract) — ln() is not and would make ranking
+  *     engine-dependent near ties.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k documents per query term.
+    *
+    * Classic saturation formula with the ratio idf variant
+    * `idf = (N - df + 0.5)/(df + 0.5) + 1` (the +1-shifted Robertson idf
+    * without the ln — every operation is exact-or-correctly-rounded, see the
+    * object doc). Document length is the whitespace token count; `avgdl` is
+    * computed from the corpus in the same pass.
+    *
+    * @param queryTerms literal term set to score (each term is ranked
+    *                   independently — a disjunctive query is the sum of its
+    *                   per-term rows)
+    */
+  def bm25TopDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+    val dl = base.select(
+      col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl")
+    )
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val toks = base
+      .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf and the saturation term are parenthesized identically to the DuckDB
+    // twin so every intermediate double matches bit-for-bit
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    val score = idf * ((col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + (lit(k1) * ((lit(1.0) - lit(b)) + (lit(b) * (col("dl") / avgdl))))))
+    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col(idCol))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("term"),
+        col(idCol),
+        col("tf"),
+        col("dl"),
+        round(col("score"), 4).as("bm25"),
+        col("rank")
+      )
+  }
+
+  /** Inverted index: per term, document frequency, collection frequency and a
+    * sorted, capped posting list rendered as a comma-joined string (strings
+    * hash portably across engines; the cap bounds per-term state — see the
+    * object doc for the 100 TB sharding note).
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTermLen: Int = 3,
+      maxPostings: Int = 40
+  ): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+    toks
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col(idCol)).as("df"),
+        count(lit(1)).as("cf"),
+        array_join(
+          slice(array_sort(collect_set(col(idCol))), 1, maxPostings).cast("array<string>"),
+          ","
+        ).as("postings")
+      )
+  }
+
+  /** Chi-square keyness of terms between one corpus slice (`groupCol ===
+    * focus`) and the rest. For each term the 2×2 contingency table is
+    * (a = occurrences in focus, b = occurrences elsewhere, c/d = the group
+    * remainders); χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)). Factors are
+    * cast to double BEFORE multiplying (the raw bigint products overflow at
+    * corpus scale); the double math is correctly rounded from exact integer
+    * inputs, so scores — and the top-k cut — are engine-deterministic.
+    *
+    * @return top-`k` terms by χ² with their slice counts and the slice the
+    *         term is over-represented in (decided by exact integer
+    *         cross-multiplication, no float compare)
+    */
+  def chi2Keyness(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      focus: String,
+      k: Int = 20
+  ): DataFrame = {
+    val toks = docs
+      .select(col(groupCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col(groupCol) === focus, 1L).otherwise(0L)).as("a"),
+        count(lit(1)).as("tot")
+      )
+      .withColumn("b", col("tot") - col("a"))
+    val totals = counts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val withTotals = counts
+      .crossJoin(broadcast(totals))
+      .withColumn("c", col("ta") - col("a"))
+      .withColumn("d", col("tb") - col("b"))
+    // square via self-multiplication, not pow(): x*x is a single correctly
+    // rounded multiply everywhere; pow's libm path is not guaranteed to be
+    val diff = col("a").cast("double") * col("d") - col("b").cast("double") * col("c")
+    val num = (col("ta") + col("tb")).cast("double") * (diff * diff)
+    val den = (((col("a") + col("b")).cast("double") * (col("c") + col("d"))) *
+      (col("a") + col("c"))) * (col("b") + col("d"))
+    withTotals
+      .withColumn("chi2", num / den)
+      .withColumn(
+        "overrep",
+        when(col("a") * col("tb") > col("b") * col("ta"), lit(focus)).otherwise(lit("rest"))
+      )
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(k)
+      .select(
+        col("term"),
+        col("a").as("focus_cnt"),
+        col("b").as("rest_cnt"),
+        round(col("chi2"), 4).as("chi2"),
+        col("overrep")
+      )
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.Tables._
+import graft.operators.Retrieval
+
+/** Retrieval-layer inventory over `documents`: BM25 ranking, inverted-index
+  * construction, chi-square keyness. Spark implementations in
+  * [[graft.operators.Retrieval]]; each oracle replays the identical
+  * arithmetic in DuckDB (identical parenthesization — see the determinism
+  * notes on [[QEntry]] and the χ²-over-LLR rationale in the operator doc).
+  */
+object RetrievalQueries {
+
+  private val wordsSql = """string_split_regex(trim(text), '\s+')"""
+
+  val entries: Seq[QEntry] = Seq(
+    // Okapi BM25 top-5 docs per query term (ratio idf variant — no ln, so
+    // scores and the top-k cut are bit-deterministic across engines).
+    QEntry.sql(
+      "txt_bm25_topdocs",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark', 'join', 'vector', 'stream') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+         |    (((s.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5) + 1.0)
+         |    * ((tf.tf * (1.2 + 1.0)) / (tf.tf + (1.2 * ((1.0 - 0.75)
+         |       + (0.75 * (dl.dl / (CAST(s.tot AS DOUBLE) / s.n_docs))))))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+         |SELECT term, doc_id, tf, dl, round(score, 4) AS bm25, rank
+         |FROM (SELECT scored.*, CAST(row_number() OVER
+         |        (PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |      FROM scored) t
+         |WHERE rank <= 5""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval.bm25TopDocs(
+        documents(s, d),
+        "doc_id",
+        "text",
+        Seq("spark", "join", "vector", "stream"),
+        k = 5
+      )
+    },
+
+    // Inverted index: df, cf, sorted capped posting list per term.
+    QEntry.sql(
+      "txt_inverted_index",
+      s"""SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, count(*) AS cf,
+         |  array_to_string(list_sort(list(DISTINCT doc_id))[1:40], ',') AS postings
+         |FROM (SELECT doc_id, unnest($wordsSql) AS term FROM documents) t
+         |WHERE length(term) >= 3
+         |GROUP BY term""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval.invertedIndex(documents(s, d), "doc_id", "text")
+    },
+
+    // Chi-square keyness: top-20 terms separating lang='en' docs from the rest.
+    QEntry.sql(
+      "txt_keyness_chi2",
+      s"""WITH toks AS (SELECT lang, unnest($wordsSql) AS term FROM documents),
+         |counts AS (SELECT term,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    count(*) AS tot
+         |  FROM toks WHERE term <> '' GROUP BY term),
+         |cb AS (SELECT term, a, tot - a AS b FROM counts),
+         |totals AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM cb),
+         |scored AS (SELECT term, a, b, ta - a AS c, tb - b AS d, ta, tb
+         |  FROM cb CROSS JOIN totals),
+         |chi AS (SELECT term, a, b,
+         |    (CAST(ta + tb AS DOUBLE)
+         |      * ((CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+         |         * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)))
+         |    / (((CAST(a + b AS DOUBLE) * (c + d)) * (a + c)) * (b + d)) AS chi2,
+         |    CASE WHEN a * tb > b * ta THEN 'en' ELSE 'rest' END AS overrep
+         |  FROM scored)
+         |SELECT term, a AS focus_cnt, b AS rest_cnt, round(chi2, 4) AS chi2, overrep
+         |FROM (SELECT * FROM chi ORDER BY chi2 DESC, term LIMIT 20) top"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval.chi2Keyness(documents(s, d), "doc_id", "text", "lang", "en", k = 20)
+    }
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Unit semantics for the retrieval layer (BM25 / inverted index / keyness)
+  * on tiny hand-checkable corpora; oracle parity at sf runs through the
+  * txt_bm25_topdocs / txt_inverted_index / txt_keyness_chi2 driver entries.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark spark spark join", "en"),
+    (2L, "spark join join join", "en"),
+    (3L, "vector vector stream", "de"),
+    (4L, "stream stream stream stream", "de"),
+    (5L, "join vector", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("bm25TopDocs ranks higher-tf docs first at equal length and caps at k") {
+    val out = Retrieval
+      .bm25TopDocs(corpus, "doc_id", "text", Seq("spark", "stream"), k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
+      .toSet
+    // doc 1 (tf=3, dl=4) beats doc 2 (tf=1, dl=4) for "spark"; doc 4 (tf=4)
+    // beats doc 3 (tf=2) for "stream"; k=2 keeps exactly two rows per term
+    assert(out === Set(("spark", 1L, 1L), ("spark", 2L, 2L), ("stream", 4L, 1L), ("stream", 3L, 2L)))
+  }
+
+  test("bm25 saturation: tf growth raises the score sublinearly") {
+    val scores = Retrieval
+      .bm25TopDocs(corpus, "doc_id", "text", Seq("spark"), k = 5)
+      .orderBy(col("rank"))
+      .select(col("bm25"))
+      .as[Double]
+      .collect()
+    assert(scores.length === 2)
+    // tf 3 vs 1 at equal dl: score grows, but by less than 3×
+    assert(scores(0) > scores(1) && scores(0) < scores(1) * 3.0)
+  }
+
+  test("invertedIndex emits sorted capped postings with df and cf") {
+    val idx = Retrieval
+      .invertedIndex(corpus, "doc_id", "text", minTermLen = 3, maxPostings = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(idx("join") === ((3L, 5L, "1,2")))   // docs 1,2,5 → capped to 2
+    assert(idx("vector") === ((2L, 3L, "3,5")))
+    assert(idx("stream") === ((2L, 5L, "3,4")))
+  }
+
+  test("chi2Keyness flags group-exclusive terms as most key, with the right slice") {
+    val rows = Retrieval
+      .chi2Keyness(corpus, "doc_id", "text", "lang", "en", k = 10)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getString(4))))
+      .toMap
+    // "stream" occurs only outside en, "spark"/"join" predominantly inside
+    assert(rows("stream")._2 === "rest")
+    assert(rows("spark")._2 === "en")
+    // exclusive terms separate the slices more strongly than the shared "vector"
+    assert(rows("stream")._1 > rows("vector")._1)
+    assert(rows("spark")._1 > rows("vector")._1)
+    assert(rows.values.forall(_._1 >= 0.0))
+  }
+}
