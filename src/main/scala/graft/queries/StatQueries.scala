@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.GeoJoin
+
+/** Statistical-analytics inventory: per-group linear regression, distribution
+  * entropy, frequency heavy hitters, rolling medians, bitmap aggregates and
+  * grid-bucketed proximity joins.
+  *
+  * Determinism strategy (see [[QEntry]]): wherever a formula can be expressed
+  * over EXACT integer sums (counts, cents, scaled units), it is — the final
+  * double combination is then correctly-rounded arithmetic on identical
+  * inputs, so results are bit-identical across engines and ship UNROUNDED.
+  * Only ln/log2-based scores (entropy) round, and only to absorb libm
+  * last-ulp drift.
+  */
+object StatQueries {
+
+  private val wordsSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** Shared slope-numerator/denominator SQL for the regression twin —
+    * identical parenthesization to the Spark side.
+    */
+  private val numSql = "((CAST(n AS DOUBLE) * sxy) - (CAST(sx AS DOUBLE) * sy))"
+  private val denSql = "((CAST(n AS DOUBLE) * sxx) - (CAST(sx AS DOUBLE) * sx))"
+  private val denYSql = "((CAST(n AS DOUBLE) * syy) - (CAST(sy AS DOUBLE) * sy))"
+
+  val entries: Seq[QEntry] = Seq(
+    // Per-group least-squares regression + Pearson correlation of extended
+    // price against quantity, from exact integer sums (price in cents):
+    // the five sufficient statistics are bigint/decimal-exact, the closed-form
+    // combination is correctly-rounded double math → bit-identical output,
+    // no rounding needed. One partial-aggregated pass over lineitem.
+    QEntry.sql(
+      "q_regr_per_group",
+      s"""WITH b AS (SELECT l_returnflag AS flag,
+         |    CAST(round(l_quantity) AS BIGINT) AS qx,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS py
+         |  FROM lineitem),
+         |s AS (SELECT flag, count(*) AS n,
+         |    CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(py) AS BIGINT) AS sy,
+         |    CAST(sum(qx * qx) AS BIGINT) AS sxx, CAST(sum(qx * py) AS BIGINT) AS sxy,
+         |    CAST(sum(py * py) AS DOUBLE) AS syy
+         |  FROM b GROUP BY flag)
+         |SELECT flag, n,
+         |  (($numSql / $denSql) / 100.0) AS slope,
+         |  (((CAST(sy AS DOUBLE) - ($numSql / $denSql) * CAST(sx AS DOUBLE))
+         |     / CAST(n AS DOUBLE)) / 100.0) AS intercept,
+         |  ($numSql / (sqrt($denSql) * sqrt($denYSql))) AS corr
+         |FROM s""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val b = lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        round(col("l_quantity")).cast("long").as("qx"),
+        round(col("l_extendedprice") * 100).cast("long").as("py")
+      )
+      val sums = b
+        .groupBy(col("flag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("qx")).as("sx"),
+          sum(col("py")).as("sy"),
+          sum(col("qx") * col("qx")).as("sxx"),
+          sum(col("qx") * col("py")).as("sxy"),
+          // per-row squares fit a long; only the SUM needs decimal headroom
+          sum((col("py") * col("py")).cast("decimal(38,0)")).cast("double").as("syy")
+        )
+      val nD = col("n").cast("double")
+      val num = (nD * col("sxy")) - (col("sx").cast("double") * col("sy"))
+      val den = (nD * col("sxx")) - (col("sx").cast("double") * col("sx"))
+      val denY = (nD * col("syy")) - (col("sy").cast("double") * col("sy"))
+      val slope100 = num / den
+      sums.select(
+        col("flag"),
+        col("n"),
+        (slope100 / 100.0).as("slope"),
+        (((col("sy").cast("double") - slope100 * col("sx").cast("double")) / nD) / 100.0)
+          .as("intercept"),
+        (num / (sqrt(den) * sqrt(denY))).as("corr")
+      )
+    },
+
+    // Shannon entropy (bits) of the event-type distribution per user bucket:
+    // two-level hash aggregate, broadcast totals join, log2 rounded to absorb
+    // libm ulp drift.
+    QEntry.sql(
+      "q_entropy_groups",
+      """WITH c AS (SELECT user_id % 10 AS bucket, event_type, count(*) AS cnt
+        |  FROM events GROUP BY bucket, event_type),
+        |t AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS n_types
+        |  FROM c GROUP BY bucket)
+        |SELECT c.bucket, t.tot AS n_events, t.n_types,
+        |  round(-sum((CAST(cnt AS DOUBLE) / tot) * log2(CAST(cnt AS DOUBLE) / tot)), 4)
+        |    AS entropy
+        |FROM c JOIN t ON c.bucket = t.bucket
+        |GROUP BY c.bucket, t.tot, t.n_types""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val c = events(s, d)
+        .groupBy((col("user_id") % 10).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val t = c.groupBy(col("bucket")).agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_types"))
+      val p = col("cnt").cast("double") / col("tot")
+      c.join(broadcast(t), "bucket")
+        .groupBy(col("bucket"), col("tot").as("n_events"), col("n_types"))
+        .agg(round(-sum(p * log2(p)), 4).as("entropy"))
+    },
+
+    // Frequency heavy hitters over corpus tokens: terms above a 2% support
+    // threshold of all tokens. Exact counts + one broadcast total — the
+    // distributed analogue of a Misra-Gries pass with exact output.
+    QEntry.sql(
+      "q_heavy_hitters_tokens",
+      s"""WITH toks AS (SELECT t.term FROM (SELECT unnest($wordsSql) AS term
+         |    FROM documents) t WHERE t.term <> ''),
+         |tot AS (SELECT count(*) AS t FROM toks),
+         |cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY term)
+         |SELECT term, c AS cnt, CAST(c AS DOUBLE) / t AS ratio
+         |FROM cnt, tot WHERE c >= 0.02 * t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val toks = documents(s, d)
+        .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tot = toks.agg(count(lit(1)).as("t"))
+      toks
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(tot))
+        .filter(col("c") >= lit(0.02) * col("t"))
+        .select(col("term"), col("c").as("cnt"), (col("c").cast("double") / col("t")).as("ratio"))
+    },
+
+    // 7-day rolling median of daily revenue per return flag. Revenue is
+    // aggregated to exact integer cents FIRST, so the median interpolation
+    // ((a+b)/2 on integer-valued doubles) is exact and ships unrounded.
+    // Spark has no median window function — the rolling frame materializes
+    // as a sorted 7-element array (bounded state) with explicit middle-pick.
+    QEntry.sql(
+      "q_rolling_median_rev",
+      """WITH daily AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)
+        |      AS rev_cents
+        |  FROM lineitem GROUP BY flag, d)
+        |SELECT flag, strftime(d, '%Y-%m-%d') AS day, rev_cents,
+        |  (median(rev_cents) OVER (PARTITION BY flag ORDER BY d
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) / 100.0 AS med7
+        |FROM daily""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val daily = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("d"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 100)
+            .cast("long")
+            .as("rev_cents")
+        )
+      val w = Window.partitionBy(col("flag")).orderBy(col("d")).rowsBetween(-6, 0)
+      val arr = array_sort(collect_list(col("rev_cents")).over(w))
+      val n = size(arr)
+      val med = when(
+        pmod(n, lit(2)) === 1,
+        element_at(arr, ((n + lit(1)) / lit(2)).cast("int")).cast("double")
+      ).otherwise(
+        (element_at(arr, (n / lit(2)).cast("int")) +
+          element_at(arr, ((n / lit(2)) + lit(1)).cast("int"))) / lit(2.0)
+      )
+      daily.select(
+        col("flag"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("rev_cents"),
+        (med / 100.0).as("med7")
+      )
+    },
+
+    // Bitmap aggregate: which ship months a (flag, status) group covers, as a
+    // single bigint bitmask via bit_or — the cheapest "distinct small ints
+    // per group" representation (no distinct shuffle, map-side combinable).
+    QEntry.sql(
+      "q_bitmap_months",
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  bit_or(CAST(1 AS BIGINT) << month(l_shipdate)) AS month_bitmap,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << month(l_shipdate))) AS BIGINT)
+        |    AS n_months
+        |FROM lineitem GROUP BY flag, status""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      // functions.shiftleft only takes a literal Int shift — SQL form allows
+      // a column amount
+      val bit = expr("shiftleft(CAST(1 AS BIGINT), month(l_shipdate))")
+      lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+        .agg(
+          bit_or(bit).as("month_bitmap"),
+          bit_count(bit_or(bit)).cast("long").as("n_months")
+        )
+    },
+
+    // Grid-bucketed proximity join (GeoJoin operator): customer and supplier
+    // points on a synthetic coordinate plane, pairs within 10 units. The
+    // oracle replays the naive cross-join form — same rows by construction;
+    // the Spark plan is the 3×3-neighbor-cell equi-join (asserted no
+    // nested-loop in PlanQualitySpec).
+    QEntry.sql(
+      "q_geo_grid_join",
+      """WITH a AS (SELECT c_custkey,
+        |    (c_custkey % 1800) / 10.0 - 90.0 AS lat,
+        |    ((c_custkey * 7) % 3600) / 10.0 - 180.0 AS lon FROM customer),
+        |b AS (SELECT s_suppkey,
+        |    ((s_suppkey * 13) % 1800) / 10.0 - 90.0 AS lat,
+        |    ((s_suppkey * 29) % 3600) / 10.0 - 180.0 AS lon FROM supplier)
+        |SELECT c_custkey, s_suppkey,
+        |  sqrt(((a.lat - b.lat) * (a.lat - b.lat)) + ((a.lon - b.lon) * (a.lon - b.lon)))
+        |    AS dist
+        |FROM a, b
+        |WHERE sqrt(((a.lat - b.lat) * (a.lat - b.lat)) + ((a.lon - b.lon) * (a.lon - b.lon)))
+        |  <= 10.0""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val c = customer(s, d).select(
+        col("c_custkey"),
+        ((col("c_custkey") % 1800) / lit(10.0) - lit(90.0)).as("lat"),
+        (((col("c_custkey") * 7) % 3600) / lit(10.0) - lit(180.0)).as("lon")
+      )
+      val sup = supplier(s, d).select(
+        col("s_suppkey"),
+        (((col("s_suppkey") * 13) % 1800) / lit(10.0) - lit(90.0)).as("lat"),
+        (((col("s_suppkey") * 29) % 3600) / lit(10.0) - lit(180.0)).as("lon")
+      )
+      GeoJoin.gridProximityJoin(c, "c_custkey", sup, "s_suppkey", "lat", "lon", 10.0)
+    }
+  )
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GeoJoin
+import graft.queries.StatQueries
+
+/** Semantics of the statistical-analytics batch: grid proximity join
+  * equivalence against the naive quadratic join, regression on a known line,
+  * rolling-median middle-pick against a brute-force recompute.
+  */
+class StatOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def entry(name: String) =
+    StatQueries.entries.find(_.name == name).get.run(spark, sf)
+
+  test("gridProximityJoin equals the naive cross-join filter for several radii") {
+    // deterministic pseudo-random points on a 100×100 plane
+    val pts = (1L to 120L).map(k => (k, (k * 37 % 1000) / 10.0, (k * 73 % 1000) / 10.0))
+    val a = pts.toDF("id", "lat", "lon")
+    val b = pts.map { case (k, x, y) => (k + 1000, y, x) }.toDF("id", "lat", "lon")
+    for (radius <- Seq(3.0, 7.5, 12.5)) {
+      val fast = GeoJoin
+        .gridProximityJoin(a, "id", b.withColumnRenamed("id", "rid"), "rid", "lat", "lon", radius)
+        .select(col("id"), col("rid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val naive = a
+        .crossJoin(
+          b.select(col("id").as("rid"), col("lat").as("rlat"), col("lon").as("rlon"))
+        )
+        .filter(
+          sqrt(
+            ((col("lat") - col("rlat")) * (col("lat") - col("rlat"))) +
+              ((col("lon") - col("rlon")) * (col("lon") - col("rlon")))
+          ) <= lit(radius)
+        )
+        .select(col("id"), col("rid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(fast === naive, s"radius=$radius")
+      assert(naive.nonEmpty, s"degenerate fixture at radius=$radius")
+    }
+  }
+
+  test("gridProximityJoin plans an equi-join, not a nested loop") {
+    val a = Seq((1L, 0.0, 0.0)).toDF("id", "lat", "lon")
+    val b = Seq((2L, 1.0, 1.0)).toDF("rid", "lat", "lon")
+    val plan = GeoJoin
+      .gridProximityJoin(a, "id", b, "rid", "lat", "lon", 5.0)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
+  test("q_regr_per_group recovers an exact linear relationship") {
+    // y = 250x + 1000 cents-exact → slope 2.5, intercept 10.0 in price units
+    val df = (1 to 40)
+      .map(i => (i % 2 == 0, i.toDouble % 7 + 1, ((i.toDouble % 7 + 1) * 250 + 1000) / 100.0))
+      .toDF("flag", "l_quantity", "l_extendedprice")
+      .withColumn("l_returnflag", when(col("flag"), "A").otherwise("B"))
+    withTempDir { dir =>
+      df.select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .write
+        .parquet(s"$dir/lineitem.parquet")
+      val out = StatQueries.entries
+        .find(_.name == "q_regr_per_group")
+        .get
+        .run(spark, dir)
+        .collect()
+      assert(out.length === 2)
+      out.foreach { r =>
+        assert(math.abs(r.getAs[Double]("slope") - 2.5) < 1e-12)
+        assert(math.abs(r.getAs[Double]("intercept") - 10.0) < 1e-9)
+        assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-12)
+      }
+    }
+  }
+
+  test("q_rolling_median_rev matches a brute-force window recompute") {
+    val rows = entry("q_rolling_median_rev")
+      .filter(col("flag") === "A")
+      .orderBy(col("day"))
+      .select(col("rev_cents"), col("med7"))
+      .collect()
+    val revs = rows.map(_.getLong(0))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val frame = revs.slice(math.max(0, i - 6), i + 1).sorted
+      val n = frame.length
+      val expect =
+        if (n % 2 == 1) frame(n / 2).toDouble
+        else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+      assert(r.getDouble(1) === expect / 100.0, s"row $i")
+    }
+    assert(rows.length > 100)
+  }
+
+  test("q_entropy_groups stays within [0, log2(n_types)]") {
+    entry("q_entropy_groups").collect().foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val nt = r.getAs[Long]("n_types")
+      assert(h >= 0.0 && h <= math.log(nt.toDouble) / math.log(2.0) + 1e-9, r.toString)
+    }
+  }
+
+  test("q_bitmap_months bitmap agrees with its popcount and the month domain") {
+    entry("q_bitmap_months").collect().foreach { r =>
+      val bm = r.getAs[Long]("month_bitmap")
+      assert((bm & ~0x1ffeL) === 0L, s"bits outside months 1..12: $bm")
+      assert(java.lang.Long.bitCount(bm).toLong === r.getAs[Long]("n_months"))
+    }
+  }
+}
