@@ -731,4 +731,75 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
+
+  /** 1-bit (sign) quantization: the embedding as a bitstring plus its
+    * positive-component count. 64× smaller than float32 — the coarsest rung
+    * of the quantization ladder (float → int8 → PQ → binary); retrieval over
+    * it is [[hammingTopK]]. A narrow codegen'd projection, no shuffle.
+    */
+  def binaryQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      array_join(transform(col(vecCol), x => when(x >= 0, "1").otherwise("0")), "")
+        .as("bits"),
+      size(filter(col(vecCol), x => x >= 0)).cast("long").as("n_pos")
+    )
+
+  /** Top-k by Hamming distance between sign-bit vectors — binary-quantized
+    * retrieval. Same broadcast-queries shape as [[bruteForceTopK]] but the
+    * per-pair work is integer XOR-count instead of a float dot product (and
+    * the candidate scan reads 1 bit per dimension from storage once binary
+    * codes are materialized). Exact integer distances → engine-deterministic
+    * ranking with (ham, neighbor) tie-break.
+    */
+  def hammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    def signBits(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      transform(col(vecCol), x => when(x >= 0, 1).otherwise(0)).as(s"_${as}_b")
+    )
+    val q = broadcast(signBits(queries, "query_id"))
+    val ham = aggregate(
+      zip_with(col("_query_id_b"), col("_neighbor_id_b"), (a, b) => abs(a - b)),
+      lit(0),
+      (acc, x) => acc + x
+    )
+    val w = Window.partitionBy("query_id").orderBy(col("ham"), col("neighbor_id"))
+    signBits(corpus, "neighbor_id")
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), ham.cast("long").as("ham"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall@k of an approximate top-k against the exact one: per query, the
+    * fraction of exact neighbors the approximate list found. Both inputs are
+    * (query_id, neighbor_id, ...) top-k outputs (e.g. [[bruteForceTopK]] vs
+    * [[lshTopK]]). Queries the approximate index missed entirely still get a
+    * row (recall 0) via the left join from the exact query set. This is the
+    * evaluation loop an ANN deployment runs on a sample before trusting an
+    * index at corpus scale.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact
+      .select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits"))
+    exact
+      .select(col("query_id"))
+      .distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall")
+      )
+  }
 }

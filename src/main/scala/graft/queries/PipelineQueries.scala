@@ -720,6 +720,81 @@ object PipelineQueries {
       Similarity
         .pqRerankTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .withColumn("rank", col("rank").cast("bigint"))
+    },
+
+    // 1-bit sign quantization: bitstring + positive-component count.
+    QEntry.sql(
+      "emb_binary_quantize",
+      """SELECT vec_id,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bits,
+        |  CAST(len(list_filter(embedding, x -> x >= 0)) AS BIGINT) AS n_pos
+        |FROM embeddings""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Similarity.binaryQuantize(embeddings(s, d), "vec_id", "embedding") },
+
+    // Binary-quantized retrieval: Hamming top-10 over sign bits (exact
+    // integer distances — deterministic ranking, no rounding anywhere).
+    QEntry.sql(
+      "ann_hamming_topk",
+      s"""WITH qb AS (SELECT vec_id AS query_id, list_transform(embedding,
+         |    x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS b
+         |  FROM embeddings WHERE vec_id < 5),
+         |cb AS (SELECT vec_id AS neighbor_id, list_transform(embedding,
+         |    x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS b
+         |  FROM embeddings)
+         |SELECT query_id, neighbor_id, ham, rank FROM (
+         |  SELECT query_id, neighbor_id, ham,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id)
+         |      AS BIGINT) AS rank
+         |  FROM (SELECT q.query_id, c.neighbor_id,
+         |      CAST(list_sum(list_transform(range(1, ${EmbDim + 1}),
+         |        i -> abs(q.b[i] - c.b[i]))) AS BIGINT) AS ham
+         |    FROM qb q, cb c WHERE c.neighbor_id != q.query_id) s) r
+         |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    },
+
+    // ANN index evaluation: recall@10 of the LSH top-k against the exact
+    // brute-force top-k, per query. The twin recomputes both retrievals
+    // (bucketsSql regenerates the md5 hyperplanes) and joins them.
+    QEntry.sql(
+      "ann_recall_eval",
+      s"""WITH ${bucketsSql(bits = 4)},
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round(list_dot_product(q.e, c.e) /
+         |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         |        AS cos
+         |    FROM (SELECT * FROM vecs WHERE vec_id < 5) q, vecs c
+         |    WHERE c.vec_id != q.vec_id) s) r WHERE rank <= 10),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round(list_dot_product(q.e, c.e) /
+         |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         |        AS cos
+         |    FROM (SELECT * FROM buckets WHERE vec_id < 5) q
+         |    JOIN buckets c ON q.bucket = c.bucket AND c.vec_id != q.vec_id) s) r
+         |  WHERE rank <= 10),
+         |hits AS (SELECT bf.query_id, count(*) AS hits
+         |  FROM bf JOIN ap ON bf.query_id = ap.query_id AND bf.neighbor_id = ap.neighbor_id
+         |  GROUP BY bf.query_id)
+         |SELECT q.query_id, COALESCE(hits.hits, 0) AS hits,
+         |  COALESCE(hits.hits, 0) / 10.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN hits USING (query_id)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      val ap =
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10, bits = 4, dim = EmbDim)
+      Similarity.recallAtK(bf, ap, 10)
     }
   )
 }
