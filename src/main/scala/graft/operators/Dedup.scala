@@ -138,7 +138,12 @@ object Dedup {
       rowsPerBand: Int = 2,
       fast: Boolean = false
   ): DataFrame = {
+    // localCheckpoint before the self-join: without it each aliased side
+    // re-runs the whole signature pipeline (shingle explode → digest →
+    // min-aggregates) — ReuseExchange does not fire across the branches.
+    // One row per doc (id + band keys): negligible to materialize.
     val sigs = minhashSignatures(df, idCol, textCol, numPerm, rowsPerBand, fast)
+      .localCheckpoint()
     val nBands = numPerm / rowsPerBand
     val exploded = sigs.select(
       col(idCol).as("id"),
@@ -472,11 +477,18 @@ object Dedup {
     // distributions ⇒ similar sketch bits), so keeping the per-candidate
     // payload/compute minimal is what keeps the blocking viable.
     val sk = simhash(df, idCol, textCol)
+    // localCheckpoint: the self-join below would otherwise execute the whole
+    // sketch pipeline (token explode → md5 → 64 bit-sum aggregates) once per
+    // side — Spark's ReuseExchange does not fire across the aliased branches
+    // (measured: 0 ReusedExchange, md5 twice in the plan). The checkpointed
+    // relation is one row of 5 longs per doc — negligible to materialize,
+    // and it halves the expensive phase. On a multi-node cluster prefer
+    // reliable checkpoint() (same caveat as connectedComponents).
     val withBands = sk.select(
       col(idCol) +: (0 until 4).map(b =>
         conv(substring(col("simhash"), b * 16 + 1, 16), 2, 10).cast("long").as(s"_i$b")
       ): _*
-    )
+    ).localCheckpoint()
     val banded = withBands.select(
       (col(idCol) +: (0 until 4).map(b => col(s"_i$b"))) :+
         posexplode(array((0 until 4).map(b => col(s"_i$b")): _*)).as(Seq("_band", "_bv")): _*
@@ -538,9 +550,13 @@ object Dedup {
     val joinCond = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.s") === col("b.s") && col("a.id") < col("b.id"))(_ && _)
-    exploded
+    // self-join recompute guard (see simhashPairs): one row per shingle —
+    // bigger than a signature table but still far cheaper than running the
+    // shingle pipeline twice
+    val cached = exploded.localCheckpoint()
+    cached
       .as("a")
-      .join(exploded.as("b"), joinCond)
+      .join(cached.as("b"), joinCond)
       .groupBy(
         col("a.id").as("id1"),
         col("b.id").as("id2"),
