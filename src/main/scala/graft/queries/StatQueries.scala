@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.GeoJoin
+import graft.operators.{GeoJoin, Profiling}
 
 /** Statistical-analytics inventory: per-group linear regression, distribution
   * entropy, frequency heavy hitters, rolling medians, bitmap aggregates and
@@ -226,6 +226,63 @@ object StatQueries {
         (((col("s_suppkey") * 29) % 3600) / lit(10.0) - lit(180.0)).as("lon")
       )
       GeoJoin.gridProximityJoin(c, "c_custkey", sup, "s_suppkey", "lat", "lon", 10.0)
+    },
+
+    // Column profiling over orders: one row per column with row/null/distinct
+    // counts and stringified min/max — the drop-gate summary (Profiling
+    // operator; single scan, multi-count-distinct Expand).
+    QEntry.sql(
+      "q_profile_orders", {
+        val cols =
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        cols
+          .map(c => s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+            |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+            |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+            |FROM orders""".stripMargin.replaceAll("\\s+", " "))
+          .mkString(" UNION ALL ")
+      }
+    ) { (s, d) =>
+      Profiling.profile(
+        orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      )
+    },
+
+    // Per-group z-score anomaly detection over event values: flag |z| >= 3
+    // within each event type. Double sufficient statistics with identical
+    // parenthesization; z rounds to 4 to absorb sum-order noise, and the
+    // nearest |z| to the cut sits 1.6e-3 away at sf0.01 — far beyond the
+    // ~1e-12 noise floor, so membership cannot flip cross-engine.
+    QEntry.sql(
+      "q_zscore_outliers",
+      """WITH b AS (SELECT event_id, event_type, value AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n, sum(v) AS sy, sum(v * v) AS syy
+        |  FROM b GROUP BY event_type)
+        |SELECT event_id, event_type, v AS value,
+        |  round((v - (sy / CAST(n AS DOUBLE)))
+        |    / sqrt(((CAST(n AS DOUBLE) * syy) - (sy * sy))
+        |           / (CAST(n AS DOUBLE) * (n - 1))), 4) AS z
+        |FROM b JOIN s USING (event_type)
+        |WHERE abs((v - (sy / CAST(n AS DOUBLE)))
+        |    / sqrt(((CAST(n AS DOUBLE) * syy) - (sy * sy))
+        |           / (CAST(n AS DOUBLE) * (n - 1)))) >= 3.0"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val b = events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value").as("v"))
+      val st = b
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sy"), sum(col("v") * col("v")).as("syy"))
+      val nD = col("n").cast("double")
+      val z = (col("v") - (col("sy") / nD)) /
+        sqrt(((nD * col("syy")) - (col("sy") * col("sy"))) / (nD * (col("n") - 1)))
+      b.join(broadcast(st), "event_type")
+        .filter(abs(z) >= 3.0)
+        .select(col("event_id"), col("event_type"), col("v").as("value"), round(z, 4).as("z"))
     }
   )
 }
