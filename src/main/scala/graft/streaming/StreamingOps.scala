@@ -129,6 +129,35 @@ object StreamingOps {
     )
   }
 
+  /** Left-outer variant of [[timeBracketJoin]]: every left event emits, with
+    * nulls when no right event fell in its bracket. The semantics Structured
+    * Streaming gives this are deliberately surfaced here: a left row with no
+    * match is held in state and emitted ONLY once the watermark passes the
+    * point where a match has provably become impossible (`ts`, since the
+    * bracket ends there) — so "unmatched" rows arrive late by up to the
+    * watermark delay, but are never retracted. Both state stores stay
+    * bounded exactly as in the inner variant. The attribution shape this
+    * serves: conversions WITHOUT a preceding click are the interesting rows
+    * (organic traffic), and an inner join silently drops them.
+    */
+  def timeBracketLeftJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      lookback: String = "interval 1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+      r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") - expr(lookback) &&
+        col("r.ts") <= col("l.ts"),
+      "left_outer"
+    )
+  }
+
   /** Stream-static enrichment join: every micro-batch of the stream joins
     * the (small) static dimension, broadcast to executors — the standard
     * "attach dimension attributes on ingest" shape. No state store and no

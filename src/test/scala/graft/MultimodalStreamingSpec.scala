@@ -339,6 +339,50 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed == Set((201L, 101L), (201L, 102L), (202L, 100L)), streamed.toString)
   }
 
+  test("timeBracketLeftJoin emits unmatched lefts with nulls once the watermark closes them") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    // conv 201 (u1@10:45) has click 101@10:00 in bracket; conv 202 (u3@10:00)
+    // has NO click — the organic-traffic row an inner join would drop
+    val memC = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val memV = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val joined = StreamingOps
+      .timeBracketLeftJoin(
+        memV.toDF().toDF("ts", "user_id", "conv_id"),
+        memC.toDF().toDF("ts", "user_id", "click_id"),
+        "user_id"
+      )
+      .select(col("conv_id"), col("click_id"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("ssleft_out")
+      .outputMode("append")
+      .start()
+    memC.addData((at(0), "u1", 101L))
+    memV.addData((at(45), "u1", 201L), (at(0), "u3", 202L))
+    q.processAllAvailable()
+    // advance the watermark far past conv 202's ts on BOTH streams (the query
+    // watermark is the min across inputs), then run one more batch so the
+    // state store flushes the now-provably-unmatched left row
+    memC.addData((at(600), "w1", 900L))
+    memV.addData((at(600), "w2", 901L))
+    q.processAllAvailable()
+    memC.addData((at(620), "w1", 902L))
+    memV.addData((at(620), "w2", 903L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark
+      .table("ssleft_out")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(out.contains((201L, Some(101L))), out.toString) // matched pair
+    assert(out.contains((202L, None)), out.toString) // unmatched left, null right
+  }
+
   test("foreachBatch round-robin router continues the insert counter") {
     val s = spark
     import s.implicits._
