@@ -283,6 +283,69 @@ object StatQueries {
       b.join(broadcast(st), "event_type")
         .filter(abs(z) >= 3.0)
         .select(col("event_id"), col("event_type"), col("v").as("value"), round(z, 4).as("z"))
+    },
+
+    // Rolling 7-day distinct active users per event type. Spark lacks
+    // DISTINCT window aggregates — size(collect_set) over a RANGE frame is
+    // the equivalent (bounded by the window's user count); the day-grain
+    // pre-distinct keeps the frame state one row per (type, day, user).
+    QEntry.sql(
+      "q_window_distinct_users",
+      """WITH base AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id
+        |  FROM events),
+        |wn AS (SELECT event_type, d,
+        |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS day_num, user_id
+        |  FROM base)
+        |SELECT DISTINCT event_type, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS users7
+        |FROM wn""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+        .distinct()
+      val w = Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("day_num"))
+        .rangeBetween(-6, 0)
+      base
+        .withColumn("day_num", datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
+        .withColumn("users7", size(collect_set(col("user_id")).over(w)).cast("long"))
+        .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"), col("users7"))
+        .distinct()
+    },
+
+    // Unigram-LM cross-entropy per document (bits/token): how surprising a
+    // doc is under the corpus's own unigram distribution — the cheap
+    // perplexity-style quality signal. Corpus term stats broadcast back to
+    // the token stream; one keyed aggregate per doc.
+    QEntry.sql(
+      "txt_lm_cross_entropy",
+      s"""WITH toks AS (SELECT doc_id, t.term FROM (SELECT doc_id, unnest($wordsSql) AS term
+         |    FROM documents) t WHERE t.term <> ''),
+         |tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+         |tot AS (SELECT count(*) AS t FROM toks)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round((-sum(log2(CAST(c AS DOUBLE) / t))) / count(*), 4) AS cross_entropy
+         |FROM toks JOIN tf USING (term) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      toks
+        .join(broadcast(tf), "term")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(
+            (-sum(log2(col("c").cast("double") / col("t")))) / count(lit(1)),
+            4
+          ).as("cross_entropy")
+        )
     }
   )
 }

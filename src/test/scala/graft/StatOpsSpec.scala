@@ -109,6 +109,38 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_window_distinct_users rolling count bounds its single-day count") {
+    val rows = entry("q_window_distinct_users").collect()
+    assert(rows.nonEmpty)
+    // rolling 7-day distinct can never fall below 1 nor exceed the total
+    // distinct users of the whole stream
+    val totalUsers = graft.Tables
+      .events(spark, sf)
+      .select(col("user_id"))
+      .distinct()
+      .count()
+    rows.foreach { r =>
+      val u = r.getAs[Long]("users7")
+      assert(u >= 1L && u <= totalUsers, r.toString)
+    }
+  }
+
+  test("txt_lm_cross_entropy is positive and bounded by log2(total tokens)") {
+    // every token occurs at least once, so p(t) >= 1/T and per-doc
+    // cross-entropy <= log2(T) (NOT log2(vocab): rare-token docs exceed the
+    // distribution's own entropy bound)
+    val total = graft.Tables
+      .documents(spark, sf)
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .count()
+    val bound = math.log(total.toDouble) / math.log(2.0) + 1e-9
+    entry("txt_lm_cross_entropy").collect().foreach { r =>
+      val h = r.getAs[Double]("cross_entropy")
+      assert(h > 0.0 && h <= bound, s"$r total=$total")
+    }
+  }
+
   test("q_bitmap_months bitmap agrees with its popcount and the month domain") {
     entry("q_bitmap_months").collect().foreach { r =>
       val bm = r.getAs[Long]("month_bitmap")
