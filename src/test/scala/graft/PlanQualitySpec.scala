@@ -172,6 +172,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(mom.contains("partial_"), mom)
   }
 
+  test("round-7 operators keep their scale shapes") {
+    // formatted (full static) plans: the AQE-finalized string collapses
+    // completed stages to references, hiding upstream exchanges; broadcasts
+    // here are explicit hints so the static plan already shows them
+    // BM25: per-term df and corpus stats broadcast; the only wide shuffles
+    // are the (doc, term) tf aggregate and the per-term rank window
+    val bm = formatted(SparkEntry.queries("txt_bm25_topdocs")(spark, sf))
+    assert(bm.contains("BroadcastExchange"), bm)
+    // the 1-row corpus-stats cross join plans as a broadcast nested loop by
+    // design (same shape as a scalar subquery); what must never appear is an
+    // unbroadcast cartesian
+    assert(!bm.contains("CartesianProduct"), bm)
+    // grid proximity join: equi-join on cells, never a nested loop
+    val geo = formatted(SparkEntry.queries("q_geo_grid_join")(spark, sf))
+    assert(!geo.contains("NestedLoop") && !geo.contains("CartesianProduct"), geo)
+    // profiling: single scan of orders (one FileScan), no join
+    val prof = formatted(SparkEntry.queries("q_profile_orders")(spark, sf))
+    // formatted mode mentions each scan twice (tree + detail); count the
+    // numbered detail headers, one per physical scan
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(prof).length == 1, prof)
+    assert(!prof.contains("Join"), prof)
+    // regression: one partial-aggregated pass, no window, no join
+    val regr = formatted(SparkEntry.queries("q_regr_per_group")(spark, sf))
+    assert(regr.contains("partial_"), regr)
+    assert(!regr.contains("Join"), regr)
+    // rolling median: window keyed by flag (never a global single-partition
+    // window)
+    val med = formatted(SparkEntry.queries("q_rolling_median_rev")(spark, sf))
+    assert(med.contains("hashpartitioning(flag"), med)
+    // z-score outliers: per-type stats broadcast back to the event stream
+    val z = formatted(SparkEntry.queries("q_zscore_outliers")(spark, sf))
+    assert(z.contains("BroadcastHashJoin"), z)
+    // Hamming top-k: query side broadcast, rank window partitioned by query
+    val ham = formatted(SparkEntry.queries("ann_hamming_topk")(spark, sf))
+    assert(ham.contains("BroadcastExchange"), ham)
+    assert(ham.contains("hashpartitioning(query_id"), ham)
+  }
+
   test("hive-style partitioned write prunes non-matching partition dirs at read") {
     withTempDir { dir =>
       val out = s"$dir/docs_by_lang"
