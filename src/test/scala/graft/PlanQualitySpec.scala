@@ -187,12 +187,14 @@ class PlanQualitySpec extends SparkSpec {
     // grid proximity join: equi-join on cells, never a nested loop
     val geo = formatted(SparkEntry.queries("q_geo_grid_join")(spark, sf))
     assert(!geo.contains("NestedLoop") && !geo.contains("CartesianProduct"), geo)
-    // profiling: single scan of orders (one FileScan), no join
+    // profiling: exactly two scans (count/distinct pass + narrow min/max
+    // pass, crossed as 1-row relations), the distinct pass hash-aggregated
     val prof = formatted(SparkEntry.queries("q_profile_orders")(spark, sf))
     // formatted mode mentions each scan twice (tree + detail); count the
     // numbered detail headers, one per physical scan
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(prof).length == 1, prof)
-    assert(!prof.contains("Join"), prof)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(prof).length == 2, prof)
+    assert(prof.contains("HashAggregate"), prof)
+    assert(!prof.contains("CartesianProduct"), prof)
     // regression: one partial-aggregated pass, no window, no join
     val regr = formatted(SparkEntry.queries("q_regr_per_group")(spark, sf))
     assert(regr.contains("partial_"), regr)
