@@ -52,6 +52,82 @@ object AsOfJoin {
   ): DataFrame =
     asOf(left, right, keys, leftTs, rightTs, carry, forward = true)
 
+  /** Nearest as-of join: for every left row, the right row minimizing
+    * |rightTs − leftTs| per key, in EITHER direction — the sensor-alignment
+    * shape ("closest reading to the event", not just the preceding one).
+    *
+    * One shuffle, two sorted passes over the same keyed partition: the
+    * tagged union computes the nearest-preceding and nearest-following
+    * candidate with two cumulative `last(ignoreNulls)` windows (ascending
+    * and descending), then picks the closer by exact integer microsecond
+    * distance. No candidate-pair materialization — same scale shape as the
+    * directional variants.
+    *
+    * Determinism: distances are exact `unix_micros` integers; an exact tie
+    * between directions resolves to the PRECEDING row, and equal-timestamp
+    * candidates resolve by the carry struct itself (which leads with
+    * `rightTs`, then the carry columns in declaration order) — so declare an
+    * id column first in `carry` to pin total order. Timestamp columns only.
+    *
+    * @return left rows that matched in at least one direction, with
+    *         `asof_<carry>` columns and `asof_dt_us` (absolute distance)
+    */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      carry: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // rightTs leads the struct: equal-distance same-direction ties order by
+    // (cts, carry...) — the max struct wins in both window scans
+    val carryStruct = struct((rightTs +: carry.filterNot(_ == rightTs)).map(col): _*)
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("_ts"), lit(0).as("_tag"), carryStruct.as("_carry")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*
+    )
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(
+          col(leftTs).as("_ts"),
+          lit(1).as("_tag"),
+          lit(null).cast(taggedRight.schema("_carry").dataType).as("_carry")
+        ) ++
+        leftCols.filterNot(keys.contains).map(col): _*
+    )
+    // _tag asc keeps right rows before the probe at equal timestamps in both
+    // directions (inclusive <=/>=); _carry asc makes the max struct the one
+    // last() carries for equal-timestamp right rows
+    val wb = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_tag"), col("_carry"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").desc, col("_tag"), col("_carry"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ts = col("_ts")
+    val dPrev = unix_micros(ts) - unix_micros(col(s"_prev.$rightTs"))
+    val dNext = unix_micros(col(s"_next.$rightTs")) - unix_micros(ts)
+    val pick = when(col("_next").isNull, col("_prev"))
+      .when(col("_prev").isNull, col("_next"))
+      .otherwise(when(dPrev <= dNext, col("_prev")).otherwise(col("_next")))
+    taggedRight
+      .unionByName(taggedLeft)
+      .withColumn("_prev", last(col("_carry"), ignoreNulls = true).over(wb))
+      .withColumn("_next", last(col("_carry"), ignoreNulls = true).over(wf))
+      .filter(col("_tag") === 1 && (col("_prev").isNotNull || col("_next").isNotNull))
+      .withColumn("_pick", pick)
+      .select(
+        leftCols.map(col) ++
+          carry.map(c => col(s"_pick.$c").as(s"asof_$c")) :+
+          abs(unix_micros(col(s"_pick.$rightTs")) - unix_micros(ts)).as("asof_dt_us"): _*
+      )
+  }
+
   private def asOf(
       left: DataFrame,
       right: DataFrame,

@@ -417,6 +417,45 @@ object RelationalQueries {
         )
     },
 
+    // Nearest as-of: each error attached to the CLOSEST click either side
+    // (sensor-alignment shape). One-shuffle two-window composition; exact
+    // integer microsecond distances; tie → preceding click, equal-timestamp
+    // candidates → max click_id (mirrored in the twin's ORDER BY). The
+    // DuckDB twin ranks the per-user candidate pairs directly — same rows by
+    // construction, quadratic only in the oracle.
+    QEntry.sql(
+      "q_asof_nearest_click",
+      """WITH err AS (SELECT event_id AS error_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |clk AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |cand AS (SELECT e.error_id, e.user_id, e.ts, c.click_id,
+        |    abs(epoch_us(c.cts) - epoch_us(e.ts)) AS dt, epoch_us(c.cts) AS cus
+        |  FROM err e JOIN clk c ON e.user_id = c.user_id)
+        |SELECT error_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+        |  click_id, CAST(dt AS BIGINT) AS asof_dt_us
+        |FROM (SELECT cand.*, row_number() OVER (PARTITION BY error_id
+        |        ORDER BY dt, cus, click_id DESC) AS rn FROM cand) t
+        |WHERE rn = 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ev = events(s, d)
+      val errors = ev
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+      AsOfJoin
+        .asOfNearest(errors, clicks, Seq("user_id"), "ts", "cts", Seq("click_id"))
+        .select(
+          col("error_id"),
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+          col("asof_click_id").as("click_id"),
+          col("asof_dt_us")
+        )
+    },
+
     // Approximate sketches, made deterministically oracle-able: the output
     // carries the EXACT statistic (portable) plus a boolean asserting the
     // sketch estimate landed within tolerance — so the DuckDB twin is the

@@ -683,6 +683,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fwd == Map(1L -> "c", 2L -> "b", 3L -> "d"))
   }
 
+  test("nearest as-of picks the closer side, preferring preceding on exact ties") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq(
+      (1L, "u1", ts(100)), // prev 90 (d=10) vs next 105 (d=5) → next
+      (2L, "u1", ts(95)),  // prev 90 (d=5) vs next 105 (d=10) → prev
+      (3L, "u2", ts(100)), // prev 90 and next 110 both d=10 → tie → prev
+      (4L, "u3", ts(100)), // only a future row → forward fallback
+      (5L, "u4", ts(100))  // no right rows at all → dropped
+    ).toDF("event_id", "k", "lts")
+    val right = Seq(
+      ("u1", ts(90), 10L),
+      ("u1", ts(105), 11L),
+      ("u2", ts(90), 20L),
+      ("u2", ts(110), 21L),
+      ("u3", ts(130), 30L)
+    ).toDF("k", "rts", "rid")
+    val out = graft.operators.AsOfJoin
+      .asOfNearest(left, right, Seq("k"), "lts", "rts", Seq("rid"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> ((r.getAs[Long]("asof_rid"), r.getAs[Long]("asof_dt_us"))))
+      .toMap
+    assert(out === Map(
+      1L -> ((11L, 5000000L)),
+      2L -> ((10L, 5000000L)),
+      3L -> ((20L, 10000000L)),
+      4L -> ((30L, 30000000L))
+    ))
+  }
+
   test("ivf topk recall vs brute force is reasonable") {
     val s = spark
     import s.implicits._
