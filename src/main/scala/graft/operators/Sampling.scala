@@ -71,4 +71,31 @@ object Sampling {
       .filter(col("_rk") <= k)
       .drop("_rk")
   }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-ES): each row draws its uniform from the md5 hash position
+    * of its key and scores `ln(u)/w` — the k LARGEST scores are a weighted
+    * sample where inclusion probability scales with `weightCol`. Same
+    * reproducibility contract as the other samplers (stable across engines,
+    * runs and partitionings), which an RNG-based weighted sample cannot
+    * give. The top-k is a TakeOrderedAndProject (never a global sort); the
+    * rank window after it touches only k rows.
+    *
+    * Determinism note: ln() is libm (not correctly rounded), but it is
+    * applied to identical doubles on every engine and the order statistics
+    * of n hash positions are ~1/n apart — last-ulp drift cannot reorder
+    * them (same argument as the oracle's replay; scores round to 6 in the
+    * output for hash stability).
+    *
+    * @param weightCol positive weights; larger weight → more likely sampled
+    */
+  def weightedTopK(df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    val score = log(hashPosition(col(keyCol))) / col(weightCol)
+    val w = Window.orderBy(col("_sk").desc, col(keyCol))
+    df.withColumn("_sk", score)
+      .orderBy(col("_sk").desc, col(keyCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(keyCol), col(weightCol), round(col("_sk"), 6).as("sample_key"), col("rank"))
+  }
 }

@@ -443,6 +443,26 @@ object PipelineQueries {
         .select("lang", "doc_id")
     },
 
+    // Deterministic weighted sampling without replacement (A-ES): longer
+    // documents proportionally more likely; the twin replays the md5 hash
+    // position digit-by-digit and the same ln(u)/w ranking.
+    QEntry.sql(
+      "sample_weighted_topk", {
+        val hashpos =
+          """CAST(list_sum(list_transform(range(1, 9), i ->
+            |  (strpos('0123456789abcdef',
+            |          substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+            |  * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0""".stripMargin
+        s"""WITH s AS (SELECT doc_id, n_chars, ln($hashpos) / n_chars AS sk FROM documents)
+           |SELECT doc_id, n_chars, round(sk, 6) AS sample_key,
+           |  CAST(row_number() OVER (ORDER BY sk DESC, doc_id) AS BIGINT) AS rank
+           |FROM s ORDER BY sk DESC, doc_id LIMIT 50"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Sampling.weightedTopK(documents(s, d), "doc_id", "n_chars", 50)
+    },
+
     // End-to-end training-data curation pipeline in ONE declarative plan:
     // quality-score filter → language filter → exact dedup keep-first →
     // per-source rollup. The point: composition stays a single Catalyst plan

@@ -683,6 +683,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fwd == Map(1L -> "c", 2L -> "b", 3L -> "d"))
   }
 
+  test("weighted sampling overrepresents heavy rows and plans a TakeOrdered top-k") {
+    val s = spark
+    import s.implicits._
+    // 200 light rows (w=1) vs 200 heavy rows (w=50): a 40-row A-ES sample
+    // should be dominated by heavy rows (P[light row beats heavy rows] ~ w
+    // ratio); determinism makes the check exact, not flaky
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 200) 1.0 else 50.0)).toDF("id", "w")
+    val out = graft.operators.Sampling.weightedTopK(df, "id", "w", 40)
+    val picked = out.select("id").collect().map(_.getLong(0))
+    assert(picked.length == 40)
+    val heavy = picked.count(_ > 200)
+    assert(heavy >= 30, s"expected heavy dominance, got $heavy/40")
+    // same seed-free determinism: a second run returns the identical sample
+    val again = graft.operators.Sampling.weightedTopK(df, "id", "w", 40)
+      .select("id").collect().map(_.getLong(0))
+    assert(picked.sameElements(again))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("nearest as-of picks the closer side, preferring preceding on exact ties") {
     val s = spark
     import s.implicits._

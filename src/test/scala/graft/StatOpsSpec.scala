@@ -48,6 +48,43 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("gridProximityJoin property: equivalence on seeded random clouds and radii") {
+    // seeded random point clouds (negative coords included — floor on
+    // negatives is the classic off-by-one trap) across random radii
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 4) {
+      val n = 60 + rnd.nextInt(60)
+      val cloudA = (1 to n).map(i =>
+        (i.toLong, rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 120 - 60)
+      )
+      val cloudB = (1 to n).map(i =>
+        (i.toLong + 10000, rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 120 - 60)
+      )
+      val radius = 0.5 + rnd.nextDouble() * 25
+      val a = cloudA.toDF("id", "lat", "lon")
+      val b = cloudB.toDF("rid", "lat", "lon")
+      val fast = GeoJoin
+        .gridProximityJoin(a, "id", b, "rid", "lat", "lon", radius)
+        .select(col("id"), col("rid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val naive = a
+        .crossJoin(b.select(col("rid"), col("lat").as("rlat"), col("lon").as("rlon")))
+        .filter(
+          sqrt(
+            ((col("lat") - col("rlat")) * (col("lat") - col("rlat"))) +
+              ((col("lon") - col("rlon")) * (col("lon") - col("rlon")))
+          ) <= lit(radius)
+        )
+        .select(col("id"), col("rid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(fast === naive, s"trial=$trial radius=$radius n=$n")
+    }
+  }
+
   test("gridProximityJoin plans an equi-join, not a nested loop") {
     val a = Seq((1L, 0.0, 0.0)).toDF("id", "lat", "lon")
     val b = Seq((2L, 1.0, 1.0)).toDF("rid", "lat", "lon")
