@@ -102,16 +102,26 @@ object Retrieval {
     val toks = docs
       .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) >= minTermLen)
-    toks
+    val counts = toks
+      .groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("cf"))
+    // rank BEFORE collecting so the aggregate only ever sees `maxPostings`
+    // ids per term — collect_set with a post-hoc slice would still buffer
+    // the full posting list for hot terms, exactly the single-key state
+    // bomb the cap exists to prevent. WindowGroupLimit prunes the ranked
+    // rows before the window's own sort at scale.
+    val w = Window.partitionBy(col("term")).orderBy(col(idCol))
+    val postings = toks
+      .select(col("term"), col(idCol))
+      .distinct()
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPostings)
       .groupBy(col("term"))
       .agg(
-        countDistinct(col(idCol)).as("df"),
-        count(lit(1)).as("cf"),
-        array_join(
-          slice(array_sort(collect_set(col(idCol))), 1, maxPostings).cast("array<string>"),
-          ","
-        ).as("postings")
+        array_join(array_sort(collect_list(col(idCol))).cast("array<string>"), ",")
+          .as("postings")
       )
+    counts.join(postings, Seq("term"))
   }
 
   /** Chi-square keyness of terms between one corpus slice (`groupCol ===
