@@ -165,8 +165,13 @@ object Retrieval {
     val num = (col("ta") + col("tb")).cast("double") * (diff * diff)
     val den = (((col("a") + col("b")).cast("double") * (col("c") + col("d"))) *
       (col("a") + col("c"))) * (col("b") + col("d"))
+    // try_divide: a single-slice corpus (one side empty) zeroes every
+    // contingency denominator, and ANSI mode makes the plain divide THROW
+    // (double included in Spark 4). Degenerate tables score 0 — the
+    // ranking-safe "no separation evidence" value (a NaN would sort above
+    // every real score descending).
     withTotals
-      .withColumn("chi2", num / den)
+      .withColumn("chi2", coalesce(try_divide(num, den), lit(0.0)))
       .withColumn(
         "overrep",
         when(col("a") * col("tb") > col("b") * col("ta"), lit(focus)).otherwise(lit("rest"))

@@ -68,13 +68,16 @@ object RetrievalQueries {
          |totals AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM cb),
          |scored AS (SELECT term, a, b, ta - a AS c, tb - b AS d, ta, tb
          |  FROM cb CROSS JOIN totals),
-         |chi AS (SELECT term, a, b,
+         |chi0 AS (SELECT term, a, b, ta, tb,
          |    (CAST(ta + tb AS DOUBLE)
          |      * ((CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
          |         * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)))
-         |    / (((CAST(a + b AS DOUBLE) * (c + d)) * (a + c)) * (b + d)) AS chi2,
+         |    / (((CAST(a + b AS DOUBLE) * (c + d)) * (a + c)) * (b + d)) AS chi2raw
+         |  FROM scored),
+         |chi AS (SELECT term, a, b,
+         |    CASE WHEN isnan(chi2raw) THEN 0.0 ELSE chi2raw END AS chi2,
          |    CASE WHEN a * tb > b * ta THEN 'en' ELSE 'rest' END AS overrep
-         |  FROM scored)
+         |  FROM chi0)
          |SELECT term, a AS focus_cnt, b AS rest_cnt, round(chi2, 4) AS chi2, overrep
          |FROM (SELECT * FROM chi ORDER BY chi2 DESC, term LIMIT 20) top"""
         .stripMargin.replaceAll("\\s+", " ")

@@ -223,4 +223,47 @@ class EdgeCasesSpec extends SparkSpec {
     assert(exact == Set(5L, 10L, 15L)) // prefilter + exact join == exact join
     assert(SemiReduce.bloomPrefilter(fact, "k", dim.filter(col("dk") < 0), "dk").count() == 0)
   }
+
+  test("round-7 operator edges: empty/degenerate inputs return empty or safe results") {
+    val s = spark
+    import s.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // retrieval over an empty corpus: empty results, no divide-by-zero
+    assert(graft.operators.Retrieval
+      .bm25TopDocs(emptyDocs, "doc_id", "text", Seq("spark")).count() == 0)
+    assert(graft.operators.Retrieval.invertedIndex(emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.operators.Retrieval
+      .chi2Keyness(emptyDocs, "doc_id", "text", "text", "en").count() == 0)
+    // single-slice corpus: every contingency denominator is 0 → the nanvl
+    // guard scores degenerate tables 0, never NaN (which would out-rank
+    // every real score descending)
+    val one = Seq((1L, "spark join", "en")).toDF("doc_id", "text", "lang")
+    val key = graft.operators.Retrieval
+      .chi2Keyness(one, "doc_id", "text", "lang", "en")
+      .collect()
+    assert(key.nonEmpty)
+    assert(key.forall(r => r.getAs[Double]("chi2") == 0.0), key.mkString(","))
+    // geo join with an empty side
+    val pts = Seq((1L, 0.0, 0.0)).toDF("id", "lat", "lon")
+    val emptyPts = Seq.empty[(Long, Double, Double)].toDF("rid", "lat", "lon")
+    assert(graft.operators.GeoJoin
+      .gridProximityJoin(pts, "id", emptyPts, "rid", "lat", "lon", 5.0).count() == 0)
+    // weighted sampling with k larger than the table
+    val tiny = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "w")
+    assert(graft.operators.Sampling.weightedTopK(tiny, "id", "w", 10).count() == 2)
+    // nearest as-of with an empty right side drops every left row
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val l = Seq((1L, "u", ts(10))).toDF("id", "k", "lts")
+    val r = Seq.empty[(String, java.sql.Timestamp, Long)].toDF("k", "rts", "rid")
+    assert(graft.operators.AsOfJoin
+      .asOfNearest(l, r, Seq("k"), "lts", "rts", Seq("rid")).count() == 0)
+    // profiling a table with an all-null column
+    val nulls = Seq((Some(1), Option.empty[String]), (Some(2), None)).toDF("i", "s")
+    val prof = graft.operators.Profiling
+      .profile(nulls, Seq("s"))
+      .collect()
+      .head
+    assert(prof.getAs[Long]("n_nulls") == 2L && prof.getAs[Long]("n_distinct") == 0L)
+    assert(prof.isNullAt(prof.fieldIndex("min_val")))
+  }
 }
