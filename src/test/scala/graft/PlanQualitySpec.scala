@@ -212,6 +212,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(ham.contains("hashpartitioning(query_id"), ham)
   }
 
+  test("dynamic partition pruning fires when a dim filter restricts the partition key") {
+    // 100 TB shape: the fact side is partitioned on the join key, the dim
+    // filter is only known at runtime — DPP injects a subquery that prunes
+    // fact partitions before the scan instead of reading the whole table
+    val s = spark
+    import s.implicits._
+    val fact = graft.queries.SourceQueries.partitionedDocs(s, "/root/testdata/sf0.001")
+    withTempDir { dir =>
+      // the dim must be a real relation: a LocalRelation's filter constant-
+      // folds away (ConvertToLocalRelation) before the PartitionPruning rule
+      // looks for a selective predicate, and DPP never fires
+      Seq(("en", "English"), ("de", "German"))
+        .toDF("lang", "lang_name")
+        .write
+        .parquet(s"$dir/langdim")
+      val dim = s.read.parquet(s"$dir/langdim")
+      val joined = fact
+        .join(dim.filter(col("lang_name") === "English"), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+      // and it still answers correctly
+      val rows = joined.collect()
+      assert(rows.length == 1 && rows.head.getString(0) == "en")
+    }
+  }
+
   test("hive-style partitioned write prunes non-matching partition dirs at read") {
     withTempDir { dir =>
       val out = s"$dir/docs_by_lang"
