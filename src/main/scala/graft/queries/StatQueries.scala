@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{GeoJoin, Profiling}
+import graft.operators.{GeoJoin, Profiling, QualityChecks}
 
 /** Statistical-analytics inventory: per-group linear regression, distribution
   * entropy, frequency heavy hitters, rolling medians, bitmap aggregates and
@@ -345,6 +345,95 @@ object StatQueries {
             (-sum(log2(col("c").cast("double") / col("t")))) / count(lit(1)),
             4
           ).as("cross_entropy")
+        )
+    },
+
+    // Data-quality gate (QualityChecks operator): uniqueness, non-null,
+    // accepted values, row predicate and FK integrity over orders, one
+    // violations row per check — the dbt-test/Deequ shape a pipeline runs
+    // before promoting a drop.
+    QEntry.sql(
+      "q_dq_report",
+      """SELECT 'unique_o_orderkey' AS check_name,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+        |  (count(*) - count(DISTINCT o_orderkey)) = 0 AS pass FROM orders
+        |UNION ALL SELECT 'non_null_o_custkey',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL SELECT 'accepted_values_o_orderstatus',
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |                  OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |           OR o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL SELECT 'positive_totalprice',
+        |  CAST(sum(CASE WHEN NOT (o_totalprice > 0)
+        |                  OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN NOT (o_totalprice > 0)
+        |           OR o_totalprice IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL SELECT 'fk_o_custkey_in_c_custkey',
+        |  CAST((SELECT count(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey)) = 0"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d)
+      QualityChecks.reportAll(Seq(
+        QualityChecks.unique(o, "o_orderkey"),
+        QualityChecks.nonNull(o, "o_custkey"),
+        QualityChecks.acceptedValues(o, "o_orderstatus", Seq("O", "F", "P")),
+        QualityChecks.expression(o, "positive_totalprice", col("o_totalprice") > 0),
+        QualityChecks.referential(o, "o_custkey", customer(s, d), "c_custkey")
+      ))
+    },
+
+    // ROLLUP with GROUPING() markers — the standard way to tell a subtotal
+    // row's NULL from a data NULL.
+    QEntry.sql(
+      "q_rollup_grouping_id",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n")
+        )
+    },
+
+    // Interpolated quartiles over exact integer cents: the (n-1)*p index has
+    // an exact binary fraction for p in {.25, .5, .75}, and a + (b-a)*frac
+    // on integer-valued doubles is exact — so the interpolated values are
+    // bit-identical cross-engine and ship unrounded (same argument as the
+    // rolling median).
+    QEntry.sql(
+      "q_percentile_cont_quartiles",
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
+        |SELECT flag,
+        |  quantile_cont(cents, 0.25) / 100.0 AS q1,
+        |  quantile_cont(cents, 0.5) / 100.0 AS q2,
+        |  quantile_cont(cents, 0.75) / 100.0 AS q3
+        |FROM b GROUP BY flag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")
+        )
+        .groupBy(col("flag"))
+        .agg(
+          (expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)") / 100.0).as("q1"),
+          (expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)") / 100.0).as("q2"),
+          (expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)") / 100.0).as("q3")
         )
     }
   )

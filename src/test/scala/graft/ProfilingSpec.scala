@@ -39,6 +39,43 @@ class ProfilingSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("quality checks count violations exactly and pass only when clean") {
+    import graft.operators.QualityChecks
+    val df = Seq(
+      (Some(1L), Some("O"), 10.0),
+      (Some(1L), Some("F"), -5.0), // dup key + negative price
+      (Some(2L), Some("X"), 3.0),  // bad status
+      (None, None, 0.0)            // null key + null status + zero price
+    ).toDF("k", "status", "price")
+    val parent = Seq(1L).toDF("pk") // 2 and null are orphans (anti join skips null)
+    val out = QualityChecks
+      .reportAll(Seq(
+        QualityChecks.unique(df, "k"),
+        QualityChecks.nonNull(df, "k"),
+        QualityChecks.acceptedValues(df, "status", Seq("O", "F", "P")),
+        QualityChecks.expression(df, "positive_price", col("price") > 0),
+        QualityChecks.referential(df, "k", parent, "pk")
+      ))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out("unique_k") === ((2L, false))) // 4 rows - 2 distinct non-null (dup + null)
+    assert(out("non_null_k") === ((1L, false)))
+    assert(out("accepted_values_status") === ((2L, false))) // 'X' + null
+    assert(out("positive_price") === ((2L, false))) // -5 and 0
+    assert(out("fk_k_in_pk") === ((2L, false))) // k=2 orphan + null (anti join keeps it)
+    // a clean table passes everything
+    val clean = Seq((Some(1L), Some("O"), 10.0)).toDF("k", "status", "price")
+    val cleanOut = QualityChecks
+      .reportAll(Seq(
+        QualityChecks.unique(clean, "k"),
+        QualityChecks.acceptedValues(clean, "status", Seq("O")),
+        QualityChecks.referential(clean, "k", parent, "pk")
+      ))
+      .collect()
+    assert(cleanOut.forall(_.getBoolean(2)), cleanOut.mkString(","))
+  }
+
   test("q_zscore_outliers only emits rows beyond the 3-sigma cut") {
     val out = StatQueries.entries
       .find(_.name == "q_zscore_outliers")
