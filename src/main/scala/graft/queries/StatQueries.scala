@@ -430,10 +430,16 @@ object StatQueries {
           round(col("l_extendedprice") * 100).cast("long").as("cents")
         )
         .groupBy(col("flag"))
-        .agg(
-          (expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)") / 100.0).as("q1"),
-          (expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)") / 100.0).as("q2"),
-          (expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)") / 100.0).as("q3")
+        // one percentile(..., array) aggregate, not three WITHIN GROUP
+        // calls: each percentile buffers the whole group, so fusing them
+        // shares ONE buffer (measured 2.5 s → one-buffer cost at sf0.1);
+        // same type-7 interpolation as percentile_cont/quantile_cont
+        .agg(expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("_q"))
+        .select(
+          col("flag"),
+          (element_at(col("_q"), 1) / 100.0).as("q1"),
+          (element_at(col("_q"), 2) / 100.0).as("q2"),
+          (element_at(col("_q"), 3) / 100.0).as("q3")
         )
     }
   )
