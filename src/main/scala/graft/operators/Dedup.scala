@@ -225,19 +225,29 @@ object Dedup {
           conv(substring(col("_h"), k + 1, 1), 16, 10).cast("long").as(s"_nib$k")
         ): _*
       )
-    val bitSums = (0 until 64).map { j =>
-      val bit = pmod(shiftright(col(s"_nib${j / 4}"), 3 - j % 4), lit(2L))
-      sum(bit).as(s"_b$j")
+    // pack the 4 per-bit counters of each nibble into ONE long sum (16-bit
+    // fields, safe to 65535 tokens/doc — far above any real document): 16
+    // aggregate columns instead of 64 quarters the aggregation buffer and
+    // the codegen'd update loop, same counts bit-for-bit after unpacking
+    val packedSums = (0 until 16).map { k =>
+      val nib = col(s"_nib$k")
+      val packed = (shiftright(nib, 3).bitwiseAND(lit(1L)) * lit(281474976710656L)) + // 2^48
+        (shiftright(nib, 2).bitwiseAND(lit(1L)) * lit(4294967296L)) + // 2^32
+        (shiftright(nib, 1).bitwiseAND(lit(1L)) * lit(65536L)) + // 2^16
+        nib.bitwiseAND(lit(1L))
+      sum(packed).as(s"_p$k")
     }
     val agg = withNibbles
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("_n"), bitSums: _*)
+      .agg(count(lit(1)).as("_n"), packedSums: _*)
     agg.select(
       col(idCol),
       concat(
-        (0 until 64).map(j =>
-          when(col(s"_b$j") * 2 >= col("_n"), lit("1")).otherwise(lit("0"))
-        ): _*
+        (0 until 64).map { j =>
+          // bit j lives in nibble j/4, packed field (3 - j%4)
+          val cnt = shiftright(col(s"_p${j / 4}"), 16 * (3 - j % 4)).bitwiseAND(lit(65535L))
+          when(cnt * 2 >= col("_n"), lit("1")).otherwise(lit("0"))
+        }: _*
       ).as("simhash")
     )
   }
