@@ -124,6 +124,60 @@ object Retrieval {
     counts.join(postings, Seq("term"))
   }
 
+  /** Boolean-AND retrieval over the term postings: documents containing ALL
+    * query terms, via the posting-intersection shape (distinct (doc, term)
+    * pairs filtered to the query, grouped per doc, kept when every term
+    * matched) — never a rescan of the text per term. Returns (doc_id,
+    * n_terms_matched).
+    */
+  def booleanAndSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String]
+  ): DataFrame = {
+    val wanted = queryTerms.distinct
+    docs
+      .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(wanted: _*))
+      .select(col(idCol), col("term"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_matched"))
+      .filter(col("n_terms_matched") === wanted.length)
+  }
+
+  /** Exact phrase search via a positional index: token positions are
+    * materialized once (posexplode) and consecutive query terms join on
+    * `pos + 1` — the positional-posting intersection of an IR engine, not a
+    * substring rescan. Returns one row per occurrence (doc_id, start_pos,
+    * 1-based).
+    */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]
+  ): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val pos = docs
+      .select(col(idCol), posexplode_outer(TextAnalysis.tokens(col(textCol))).as(Seq("p", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+      // 1-based positions; keep only query terms in the index slice
+      .select(col(idCol), (col("p") + 1).as("p"), col("term"))
+    val first = pos
+      .filter(col("term") === phrase.head)
+      .select(col(idCol), col("p").as("start_pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(
+        pos
+          .filter(col("term") === t)
+          .select(col(idCol), (col("p") - i).as("start_pos")),
+        Seq(idCol, "start_pos")
+      )
+    }
+  }
+
   /** Chi-square keyness of terms between one corpus slice (`groupCol ===
     * focus`) and the rest. For each term the 2×2 contingency table is
     * (a = occurrences in focus, b = occurrences elsewhere, c/d = the group

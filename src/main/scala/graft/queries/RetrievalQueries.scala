@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.Tables._
 import graft.operators.Retrieval
 
@@ -54,6 +56,37 @@ object RetrievalQueries {
          |GROUP BY term""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Retrieval.invertedIndex(documents(s, d), "doc_id", "text")
+    },
+
+    // Boolean-AND retrieval: posting intersection, never a text rescan.
+    QEntry.sql(
+      "txt_boolean_and_search",
+      s"""SELECT doc_id, count(*) AS n_terms_matched
+         |FROM (SELECT DISTINCT doc_id, term
+         |      FROM (SELECT doc_id, unnest($wordsSql) AS term FROM documents) t
+         |      WHERE term IN ('spark', 'vector', 'stream')) m
+         |GROUP BY doc_id HAVING count(*) = 3""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval.booleanAndSearch(documents(s, d), "doc_id", "text", Seq("spark", "vector", "stream"))
+    },
+
+    // Exact phrase search from a positional index (pos+1 joins, IR-style).
+    QEntry.sql(
+      "txt_phrase_search",
+      s"""WITH pos0 AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(words) + 1),
+         |      i -> struct_pack(p := i, term := words[i]))) AS u
+         |  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w),
+         |pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.term AS term
+         |  FROM pos0 WHERE u.term IN ('spark', 'join'))
+         |SELECT a.doc_id, a.p AS start_pos
+         |FROM (SELECT doc_id, p FROM pos WHERE term = 'spark') a
+         |JOIN (SELECT doc_id, p - 1 AS p FROM pos WHERE term = 'join') b
+         |ON a.doc_id = b.doc_id AND a.p = b.p""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval
+        .phraseSearch(documents(s, d), "doc_id", "text", Seq("spark", "join"))
+        .select(col("doc_id"), col("start_pos").cast("long").as("start_pos"))
     },
 
     // Chi-square keyness: top-20 terms separating lang='en' docs from the rest.

@@ -53,6 +53,35 @@ class RetrievalSpec extends SparkSpec {
     assert(idx("stream") === ((2L, 5L, "3,4")))
   }
 
+  test("booleanAndSearch keeps only docs matching every query term") {
+    val hits = Retrieval
+      .booleanAndSearch(corpus, "doc_id", "text", Seq("spark", "join"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(hits === Set(1L, 2L)) // docs 1,2 contain both; 5 has join only
+  }
+
+  test("phraseSearch finds consecutive positions, including repeats and 3-term phrases") {
+    val docs = Seq(
+      (1L, "a b c a b"), // "a b" at 1 and 4
+      (2L, "a c b"),     // both terms, never adjacent
+      (3L, "a b c d")    // 3-term phrase "a b c" at 1
+    ).toDF("doc_id", "text")
+    val two = Retrieval
+      .phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSet
+    assert(two === Set((1L, 1), (1L, 4), (3L, 1)))
+    val three = Retrieval
+      .phraseSearch(docs, "doc_id", "text", Seq("a", "b", "c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSet
+    assert(three === Set((1L, 1), (3L, 1)))
+  }
+
   test("chi2Keyness flags group-exclusive terms as most key, with the right slice") {
     val rows = Retrieval
       .chi2Keyness(corpus, "doc_id", "text", "lang", "en", k = 10)
