@@ -348,6 +348,58 @@ object StatQueries {
         )
     },
 
+    // Rolling z-score anomalies: each day's revenue against its OWN trailing
+    // 28-day baseline (frame excludes the current row — a spike must not
+    // defend itself). Window sums over exact integer cents → z is
+    // bit-deterministic unrounded; n >= 14 guards cold starts. The
+    // continuous-monitoring twin of the global q_zscore_outliers.
+    QEntry.sql(
+      "q_rolling_zscore_anomalies",
+      """WITH daily AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY flag, d),
+        |wn AS (SELECT flag, d, c,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(c) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(c * c) OVER w AS DOUBLE) AS syy
+        |  FROM daily WINDOW w AS (PARTITION BY flag ORDER BY d
+        |    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+        |SELECT flag, strftime(d, '%Y-%m-%d') AS day, c / 100.0 AS rev,
+        |  ((CAST(c AS DOUBLE) - (CAST(sy AS DOUBLE) / n))
+        |   / sqrt(((CAST(n AS DOUBLE) * syy) - (CAST(sy AS DOUBLE) * sy))
+        |          / (CAST(n AS DOUBLE) * (n - 1)))) AS z
+        |FROM wn WHERE n >= 14
+        |  AND abs((CAST(c AS DOUBLE) - (CAST(sy AS DOUBLE) / n))
+        |   / sqrt(((CAST(n AS DOUBLE) * syy) - (CAST(sy AS DOUBLE) * sy))
+        |          / (CAST(n AS DOUBLE) * (n - 1)))) >= 2.0"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val daily = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("d"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 100)
+            .cast("long")
+            .as("c")
+        )
+      val w = Window.partitionBy(col("flag")).orderBy(col("d")).rowsBetween(-28, -1)
+      val wn = daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sy", sum(col("c")).over(w))
+        .withColumn("syy", sum(col("c") * col("c")).over(w).cast("double"))
+      val nD = col("n").cast("double")
+      val z = (col("c").cast("double") - (col("sy").cast("double") / col("n"))) /
+        sqrt(((nD * col("syy")) - (col("sy").cast("double") * col("sy"))) /
+          (nD * (col("n") - 1)))
+      wn.filter(col("n") >= 14)
+        .filter(abs(z) >= 2.0)
+        .select(
+          col("flag"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          (col("c") / 100.0).as("rev"),
+          z.as("z")
+        )
+    },
+
     // Data-quality gate (QualityChecks operator): uniqueness, non-null,
     // accepted values, row predicate and FK integrity over orders, one
     // violations row per check — the dbt-test/Deequ shape a pipeline runs

@@ -178,6 +178,18 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_rolling_zscore_anomalies emits only beyond-2-sigma days with a warm baseline") {
+    val rows = entry("q_rolling_zscore_anomalies").collect()
+    assert(rows.length > 50)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z")) >= 2.0, r.toString)
+      assert(r.getAs[Double]("rev") > 0.0)
+    }
+    // a self-defending baseline (frame including the current row) would
+    // shrink extreme z-scores; sanity-check genuinely large ones exist
+    assert(rows.exists(r => math.abs(r.getAs[Double]("z")) > 3.0))
+  }
+
   test("q_bitmap_months bitmap agrees with its popcount and the month domain") {
     entry("q_bitmap_months").collect().foreach { r =>
       val bm = r.getAs[Long]("month_bitmap")
