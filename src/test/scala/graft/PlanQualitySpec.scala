@@ -212,6 +212,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(ham.contains("hashpartitioning(query_id"), ham)
   }
 
+  test("AQE re-plans a sort-merge join to broadcast once runtime stats reveal a small side") {
+    // static planning sees two "large" relations (stats unknown past the
+    // filter), but at runtime the filtered side is tiny — AQE must convert
+    // the exchange to a broadcast. This is the 1000-executor behavior that
+    // saves the shuffle when a dim-like subset emerges mid-query.
+    val li = graft.Tables.lineitem(spark, sf)
+    val o = graft.Tables
+      .orders(spark, sf)
+      .filter(col("o_totalprice") > 400000.0) // runtime-small subset
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val joined = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val plan = executedPlan(joined) // collects → AQE finalizes
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastQueryStage"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("dynamic partition pruning fires when a dim filter restricts the partition key") {
     // 100 TB shape: the fact side is partitioned on the join key, the dim
     // filter is only known at runtime — DPP injects a subquery that prunes
