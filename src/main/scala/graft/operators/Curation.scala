@@ -255,4 +255,37 @@ object Curation {
         !col("too_short") && !col("wordlen_out") && !col("no_stopword")
       )
   }
+
+  /** Deterministic MLM-style token masking: token `p` of a document is
+    * masked iff the md5 hash position of `"<id>:<p>"` falls below `rate` —
+    * the same reproducibility contract as [[graft.operators.Sampling]]
+    * (identical mask across engines, runs and partitionings, which an RNG
+    * mask cannot give; re-runs of a training pipeline see the same tokens
+    * hidden). Per-doc output: token count, masked count and the sorted
+    * masked positions (state bounded by document length). Narrow explode +
+    * one keyed aggregate.
+    */
+  def mlmMask(docs: DataFrame, idCol: String, textCol: String, rate: Double): DataFrame = {
+    val toks = docs
+      .select(
+        col(idCol),
+        posexplode_outer(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("_p0", "_term"))
+      )
+      .select(col(idCol), (col("_p0") + 1).as("p"))
+    val masked = Sampling.hashPosition(
+      concat(col(idCol).cast("string"), lit(":"), col("p").cast("string"))
+    ) < rate
+    toks
+      .withColumn("_m", masked)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_m"), 1L).otherwise(0L)).as("n_masked"),
+        array_join(
+          array_sort(collect_list(when(col("_m"), col("p")))).cast("array<string>"),
+          ","
+        ).as("masked_positions")
+      )
+  }
 }

@@ -212,6 +212,34 @@ object CurationQueries {
           sum(when(col("no_stopword"), 1).otherwise(0)).as("n_no_stop"),
           sum(when(col("kept"), 1).otherwise(0)).as("n_kept")
         )
+    },
+
+    // Deterministic MLM masking: token (doc, p) masked iff the md5 hash
+    // position of "id:p" < 15% — identical mask across engines/runs; the
+    // twin replays the hash position digit-by-digit per token.
+    QEntry.sql(
+      "cur_mlm_mask", {
+        val hashpos =
+          """CAST(list_sum(list_transform(range(1, 9), i ->
+            |  (strpos('0123456789abcdef',
+            |          substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(m.p AS VARCHAR)),
+            |                 CAST(i AS INT), 1)) - 1)
+            |  * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0""".stripMargin
+        s"""WITH toks AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(words) + 1), i -> i)) AS p
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+           |        FROM documents) w),
+           |m AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+           |    ($hashpos) < 0.15 AS masked
+           |  FROM toks m)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           |  COALESCE(array_to_string(list_sort(list(p) FILTER (WHERE masked)), ','), '')
+           |    AS masked_positions
+           |FROM m GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Curation.mlmMask(documents(s, d), "doc_id", "text", 0.15)
     }
   )
 }

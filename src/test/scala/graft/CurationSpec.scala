@@ -120,4 +120,26 @@ class CurationSpec extends SparkSpec {
       .getString(0)
     assert(topRatio == "zebra")
   }
+
+  test("mlm mask is deterministic, near the target rate, and position-consistent") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Curation.mlmMask(docs, "doc_id", "text", 0.15).collect()
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    val masked = out.map(_.getAs[Long]("n_masked")).sum
+    val rate = masked.toDouble / total
+    assert(rate > 0.10 && rate < 0.20, s"rate $rate")
+    out.foreach { r =>
+      val pos = r.getAs[String]("masked_positions")
+      val n = if (pos.isEmpty) 0 else pos.split(",").length
+      assert(n.toLong == r.getAs[Long]("n_masked"), r.toString)
+      if (n > 0) {
+        val ps = pos.split(",").map(_.toLong)
+        assert(ps.sameElements(ps.sorted) && ps.forall(p => p >= 1 && p <= r.getAs[Long]("n_tokens")))
+      }
+    }
+    // identical mask on rerun (no RNG anywhere)
+    val again = graft.operators.Curation.mlmMask(docs, "doc_id", "text", 0.15).collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(3)).toMap ==
+      again.map(r => r.getLong(0) -> r.getString(3)).toMap)
+  }
 }
