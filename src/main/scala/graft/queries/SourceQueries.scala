@@ -66,7 +66,22 @@ object SourceQueries {
     s.read.parquet(path)
   }
 
+  /** Raw line-delimited text: one document per line via `spark.read.text` —
+    * the rawest ingestion path a text corpus arrives through (the synthetic
+    * documents are single-line, so line = document holds). Only the text
+    * column round-trips; the oracle projects the same single column.
+    */
+  private def textLines(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.documents(s, d)
+    val sf = d.stripSuffix("/").split('/').last
+    val path = s"target/graft_src_cache/text_$sf"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      base.select("text").write.mode("overwrite").text(path)
+    s.read.text(path).withColumnRenamed("value", "text")
+  }
+
   def entries: Seq[QEntry] = Seq(
+    QEntry.sql("src_text_docs", "SELECT text FROM documents")((s, d) => textLines(s, d)),
     QEntry.sql("src_json_docs", docsSql)((s, d) => roundTrip(s, d, "json")),
     QEntry.sql("src_csv_docs", docsSql)((s, d) => roundTrip(s, d, "csv")),
     QEntry.sql("src_orc_docs", docsSql)((s, d) => roundTrip(s, d, "orc")),
