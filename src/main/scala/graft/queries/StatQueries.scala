@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -346,6 +347,74 @@ object StatQueries {
             4
           ).as("cross_entropy")
         )
+    },
+
+    // Pairwise covariance/correlation matrix of (quantity, price-cents,
+    // discount-bp) — all three integer-scalable, so the sufficient
+    // statistics are exact and every matrix cell ships unrounded
+    // bit-identical. One partial-aggregated pass; cells unpivot to rows for
+    // the scalar-hashing verify contract. Covariances are in the SCALED
+    // integer units (cents / basis points — divide by the scale product for
+    // natural units); correlations are unit-free.
+    QEntry.sql(
+      "q_covariance_matrix", {
+        def cell(pair: String, sx: String, sy: String, sxy: String, sxx: String, syy: String) =
+          s"""SELECT '$pair' AS pair,
+             |  ((CAST(n AS DOUBLE) * $sxy) - (CAST($sx AS DOUBLE) * $sy))
+             |    / (CAST(n AS DOUBLE) * (n - 1)) AS cov,
+             |  ((CAST(n AS DOUBLE) * $sxy) - (CAST($sx AS DOUBLE) * $sy))
+             |    / (sqrt((CAST(n AS DOUBLE) * $sxx) - (CAST($sx AS DOUBLE) * $sx))
+             |       * sqrt((CAST(n AS DOUBLE) * $syy) - (CAST($sy AS DOUBLE) * $sy))) AS corr
+             |FROM s""".stripMargin
+        s"""WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+           |    CAST(round(l_discount * 10000) AS BIGINT) AS d0
+           |  FROM lineitem),
+           |s AS (SELECT count(*) AS n,
+           |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+           |    CAST(sum(d0) AS BIGINT) AS sd,
+           |    CAST(sum(q * q) AS DOUBLE) AS sqx, CAST(sum(p * p) AS DOUBLE) AS spy,
+           |    CAST(sum(d0 * d0) AS DOUBLE) AS sdy,
+           |    CAST(sum(q * p) AS BIGINT) AS sqp, CAST(sum(q * d0) AS BIGINT) AS sqd,
+           |    CAST(sum(p * d0) AS DOUBLE) AS spd
+           |  FROM b)
+           |SELECT pair, cov, corr FROM (
+           |${cell("q_p", "sq", "sp", "sqp", "sqx", "spy")} UNION ALL
+           |${cell("q_d", "sq", "sd", "sqd", "sqx", "sdy")} UNION ALL
+           |${cell("p_d", "sp", "sd", "spd", "spy", "sdy")}) t"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val b = lineitem(s, d).select(
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("p"),
+        round(col("l_discount") * 10000).cast("long").as("d0")
+      )
+      val sums = b.agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("p")).as("sp"),
+        sum(col("d0")).as("sd"),
+        sum(col("q") * col("q")).cast("double").as("sqx"),
+        sum((col("p") * col("p")).cast("decimal(38,0)")).cast("double").as("spy"),
+        sum(col("d0") * col("d0")).cast("double").as("sdy"),
+        sum(col("q") * col("p")).as("sqp"),
+        sum(col("q") * col("d0")).as("sqd"),
+        sum((col("p") * col("d0")).cast("decimal(38,0)")).cast("double").as("spd")
+      )
+      val nD = col("n").cast("double")
+      def cell(name: String, sx: Column, sy: Column, sxy: Column, sxx: Column, syy: Column) = {
+        val num = (nD * sxy) - (sx.cast("double") * sy)
+        sums.select(
+          lit(name).as("pair"),
+          (num / (nD * (col("n") - 1))).as("cov"),
+          (num / (sqrt((nD * sxx) - (sx.cast("double") * sx)) *
+            sqrt((nD * syy) - (sy.cast("double") * sy)))).as("corr")
+        )
+      }
+      cell("q_p", col("sq"), col("sp"), col("sqp"), col("sqx"), col("spy"))
+        .unionByName(cell("q_d", col("sq"), col("sd"), col("sqd"), col("sqx"), col("sdy")))
+        .unionByName(cell("p_d", col("sp"), col("sd"), col("spd"), col("spy"), col("sdy")))
     },
 
     // Rolling z-score anomalies: each day's revenue against its OWN trailing
