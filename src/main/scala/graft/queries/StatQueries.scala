@@ -417,6 +417,36 @@ object StatQueries {
         .unionByName(cell("p_d", col("sp"), col("sd"), col("spd"), col("spy"), col("sdy")))
     },
 
+    // Median absolute deviation per group — the robust scale estimate
+    // outlier-heavy pipelines prefer over stddev. Doubling to half-cent
+    // integers keeps both medians' interpolation exact (deviations are
+    // integer multiples of 0.5 cent), so median and MAD ship unrounded
+    // bit-identical. Two keyed aggregates + a broadcast join of the 3-row
+    // median table.
+    QEntry.sql(
+      "q_mad_per_group",
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |med AS (SELECT flag, quantile_cont(c, 0.5) AS m FROM b GROUP BY flag),
+        |dev AS (SELECT b.flag, abs(b.c * 2 - med.m * 2) AS dev2
+        |  FROM b JOIN med USING (flag))
+        |SELECT dev.flag, med.m / 100.0 AS median,
+        |  (quantile_cont(dev2, 0.5) / 2.0) / 100.0 AS mad
+        |FROM dev JOIN med USING (flag) GROUP BY dev.flag, med.m"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val b = lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("c")
+      )
+      val med = b.groupBy(col("flag")).agg(expr("percentile(c, 0.5D)").as("m"))
+      b.join(broadcast(med), "flag")
+        .select(col("flag"), col("m"), abs(col("c") * 2 - col("m") * 2).as("dev2"))
+        .groupBy(col("flag"), col("m"))
+        .agg((expr("percentile(dev2, 0.5D)") / 2.0 / 100.0).as("mad"))
+        .select(col("flag"), (col("m") / 100.0).as("median"), col("mad"))
+    },
+
     // Rolling z-score anomalies: each day's revenue against its OWN trailing
     // 28-day baseline (frame excludes the current row — a spike must not
     // defend itself). Window sums over exact integer cents → z is
