@@ -776,6 +776,36 @@ object PipelineQueries {
       Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     },
 
+    // Matryoshka (truncated-dimension) retrieval: exact cosine top-k over
+    // only the FIRST 16 of 64 dimensions — the adaptive-retrieval trick for
+    // prefix-trained embeddings (4× less compute/bandwidth per candidate;
+    // re-rank survivors at full width). Same broadcast-queries plan; the
+    // twin slices the list before the dot product.
+    QEntry.sql(
+      "ann_matryoshka_topk",
+      """SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |      AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      round(list_dot_product(q.e, c.e) /
+        |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+        |        AS cos
+        |    FROM (SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e
+        |          FROM embeddings WHERE vec_id < 5) q,
+        |         (SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e
+        |          FROM embeddings) c
+        |    WHERE c.vec_id != q.vec_id) s) r WHERE rank <= 10"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val truncated = embeddings(s, d)
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      Similarity
+        .bruteForceTopK(truncated, truncated.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .withColumn("rank", col("rank").cast("bigint"))
+    },
+
     // ANN index evaluation: recall@10 of the LSH top-k against the exact
     // brute-force top-k, per query. The twin recomputes both retrievals
     // (bucketsSql regenerates the md5 hyperplanes) and joins them.
