@@ -71,6 +71,25 @@ object MultimodalQueries {
         hopBytes = 256,
         maxWindows = 6
       )
+    },
+
+    // Resize/byte-budget stub: payload truncated to 300 bytes (a real codec
+    // would re-encode; the budget contract and plumbing are identical).
+    // ASCII corpus ⇒ DuckDB's char-wise substr equals Spark's byte truncate.
+    QEntry.sql(
+      "mm_resize_budget",
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(substr(text, 1, 300))) AS bytes,
+        |  md5(substr(text, 1, 300)) AS payload_md5
+        |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Multimodal
+        .resizeTo(Multimodal.fromDocuments(documents(s, d)), 300)
+        .select(
+          col("media_id"),
+          octet_length(col("payload")).as("bytes"),
+          md5(col("payload")).as("payload_md5")
+        )
     }
   )
 }
