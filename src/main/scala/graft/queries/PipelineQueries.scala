@@ -158,6 +158,39 @@ object PipelineQueries {
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Dedup.dedupClusters(documents(s, d), "doc_id", "text") },
 
+    // Cluster-size distribution — the dedup observability rollup (how much
+    // mass sits in near-dup clusters vs singletons) read before choosing a
+    // keep policy. Composes the cluster resolution with a two-level count.
+    QEntry.sql(
+      "dedup_cluster_sizes",
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |cc(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id),
+         |docs2 AS (SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |          FROM docs2 GROUP BY cluster_id)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |       count(*) AS n_clusters,
+         |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY cluster_size""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Dedup
+        .dedupClusters(documents(s, d), "doc_id", "text")
+        .select(col("cluster_id"), col("cluster_size"))
+        .distinct()
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(
+          col("cluster_size"),
+          col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs")
+        )
+    },
+
     // Precision stage over the LSH candidates: exact normalized Levenshtein
     // on candidate pairs only (both engines implement the classic DP edit
     // distance; the normalizer is one exact division — no rounding needed).
