@@ -33,6 +33,11 @@ object Bench {
       "x_winnow_fp_fast" -> ((s, d) =>
         graft.functions.TextAnalysis
           .winnowFingerprintStats(Tables.documents(s, d), "doc_id", "text", fast = true)),
+      // production-hash MLM mask (same plan as cur_mlm_mask, xxhash64
+      // threshold instead of the md5 hash position)
+      "x_mlm_mask_fast" -> ((s, d) =>
+        graft.operators.Curation
+          .mlmMask(Tables.documents(s, d), "doc_id", "text", 0.15, fast = true)),
       // Lloyd-refined IVF (ann_ivf_topk's oracle twin replays the stride
       // seed, so the k-means path is timed here instead)
       "x_ivf_kmeans_topk" -> ((s, d) => {

@@ -265,7 +265,13 @@ object Curation {
     * masked positions (state bounded by document length). Narrow explode +
     * one keyed aggregate.
     */
-  def mlmMask(docs: DataFrame, idCol: String, textCol: String, rate: Double): DataFrame = {
+  def mlmMask(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rate: Double,
+      fast: Boolean = false
+  ): DataFrame = {
     val toks = docs
       .select(
         col(idCol),
@@ -273,9 +279,12 @@ object Curation {
           .as(Seq("_p0", "_term"))
       )
       .select(col(idCol), (col("_p0") + 1).as("p"))
-    val masked = Sampling.hashPosition(
-      concat(col(idCol).cast("string"), lit(":"), col("p").cast("string"))
-    ) < rate
+    val key = concat(col(idCol).cast("string"), lit(":"), col("p").cast("string"))
+    // fast path: xxhash64 basis-point threshold (production hash, not
+    // DuckDB-replayable) — same plan, benched as x_mlm_mask_fast
+    val masked =
+      if (fast) pmod(xxhash64(key), lit(10000L)) < (rate * 10000).toLong
+      else Sampling.hashPosition(key) < rate
     toks
       .withColumn("_m", masked)
       .groupBy(col(idCol))
