@@ -80,7 +80,32 @@ object SourceQueries {
     s.read.text(path).withColumnRenamed("value", "text")
   }
 
+  /** Schema evolution: two parquet batches with different schemas (a later
+    * drop adds the `lang` column) merged by `mergeSchema` — earlier rows
+    * backfill null. The inevitable 100 TB warehouse situation: producers
+    * evolve, readers must not break.
+    */
+  private def schemaEvolution(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = graft.Tables.documents(s, d)
+    val sf = d.stripSuffix("/").split('/').last
+    val path = s"target/graft_src_cache/evolve_$sf"
+    if (!new java.io.File(s"$path/b1", "_SUCCESS").exists()) {
+      base.select(col("doc_id"), col("text"), lit(0).as("_batch"))
+        .write.mode("overwrite").parquet(s"$path/b1")
+      base.select(col("doc_id"), col("text"), col("lang"), lit(1).as("_batch"))
+        .write.mode("overwrite").parquet(s"$path/b2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$path/b1", s"$path/b2")
+  }
+
   def entries: Seq[QEntry] = Seq(
+    QEntry.sql(
+      "src_schema_evolution",
+      """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, 0 AS _batch FROM documents
+        |UNION ALL SELECT doc_id, text, lang, 1 AS _batch FROM documents"""
+        .stripMargin.replaceAll("\\s+", " ")
+    )((s, d) => schemaEvolution(s, d)),
     QEntry.sql("src_text_docs", "SELECT text FROM documents")((s, d) => textLines(s, d)),
     QEntry.sql("src_json_docs", docsSql)((s, d) => roundTrip(s, d, "json")),
     QEntry.sql("src_csv_docs", docsSql)((s, d) => roundTrip(s, d, "csv")),
