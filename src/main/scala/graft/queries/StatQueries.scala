@@ -362,9 +362,10 @@ object StatQueries {
           s"""SELECT '$pair' AS pair,
              |  ((CAST(n AS DOUBLE) * $sxy) - (CAST($sx AS DOUBLE) * $sy))
              |    / (CAST(n AS DOUBLE) * (n - 1)) AS cov,
-             |  ((CAST(n AS DOUBLE) * $sxy) - (CAST($sx AS DOUBLE) * $sy))
+             |  round(((CAST(n AS DOUBLE) * $sxy) - (CAST($sx AS DOUBLE) * $sy))
              |    / (sqrt((CAST(n AS DOUBLE) * $sxx) - (CAST($sx AS DOUBLE) * $sx))
-             |       * sqrt((CAST(n AS DOUBLE) * $syy) - (CAST($sy AS DOUBLE) * $sy))) AS corr
+             |       * sqrt((CAST(n AS DOUBLE) * $syy) - (CAST($sy AS DOUBLE) * $sy))), 6)
+             |    AS corr
              |FROM s""".stripMargin
         s"""WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
            |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
@@ -408,8 +409,16 @@ object StatQueries {
         sums.select(
           lit(name).as("pair"),
           (num / (nD * (col("n") - 1))).as("cov"),
-          (num / (sqrt((nD * sxx) - (sx.cast("double") * sx)) *
-            sqrt((nD * syy) - (sy.cast("double") * sy)))).as("corr")
+          // corr rounds to 6: the Σp² sufficient statistic exceeds 2^53, and
+          // DuckDB's hugeint→double cast can differ from Spark's
+          // decimal→double by one ulp (observed 1e-19 at sf0.1) — same
+          // mitigation class as libm scores. cov never touches an
+          // over-2^53 statistic and stays unrounded.
+          round(
+            num / (sqrt((nD * sxx) - (sx.cast("double") * sx)) *
+              sqrt((nD * syy) - (sy.cast("double") * sy))),
+            6
+          ).as("corr")
         )
       }
       cell("q_p", col("sq"), col("sp"), col("sqp"), col("sqx"), col("spy"))
