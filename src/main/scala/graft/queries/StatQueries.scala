@@ -50,7 +50,7 @@ object StatQueries {
          |  (($numSql / $denSql) / 100.0) AS slope,
          |  (((CAST(sy AS DOUBLE) - ($numSql / $denSql) * CAST(sx AS DOUBLE))
          |     / CAST(n AS DOUBLE)) / 100.0) AS intercept,
-         |  ($numSql / (sqrt($denSql) * sqrt($denYSql))) AS corr
+         |  round($numSql / (sqrt($denSql) * sqrt($denYSql)), 6) AS corr
          |FROM s""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val b = lineitem(s, d).select(
@@ -80,7 +80,11 @@ object StatQueries {
         (slope100 / 100.0).as("slope"),
         (((col("sy").cast("double") - slope100 * col("sx").cast("double")) / nD) / 100.0)
           .as("intercept"),
-        (num / (sqrt(den) * sqrt(denY))).as("corr")
+        // corr rounds to 6: denY's syy statistic exceeds int64 at sf0.1+,
+        // and the decimal/hugeint→double casts can differ by one ulp
+        // between engines (see q_covariance_matrix / DETERMINISM.md);
+        // slope/intercept touch only sub-2^53 sums and stay unrounded
+        round(num / (sqrt(den) * sqrt(denY)), 6).as("corr")
       )
     },
 
