@@ -547,15 +547,28 @@ object RelationalQueries {
       events(s, d)
         .groupBy("event_type")
         .agg(
+          count(lit(1)).as("_n"),
           percentile_approx(col("value"), ps, lit(10000)).as("_aq"),
           expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("_eq")
         )
-        .select(col("event_type"), posexplode(col("_eq")).as(Seq("_i", "_exact")), col("_aq"))
+        .select(
+          col("event_type"),
+          posexplode(col("_eq")).as(Seq("_i", "_exact")),
+          col("_aq"),
+          col("_n")
+        )
         .select(
           col("event_type"),
           element_at(ps, col("_i") + 1).as("p"),
           round(col("_exact"), 4).as("exact_q"),
-          (abs(element_at(col("_aq"), col("_i") + 1) - col("_exact")) <=
+          // tolerance claim needs TAIL SUPPORT: with (1-p)*n < 2 rows past
+          // the quantile, the interpolated exact value and the sketch's
+          // actual-data value legitimately differ by the local order-stat
+          // gap (>5% on tiny groups) — the check is vacuous there, true by
+          // definition, and real from ~200 rows/group up (the verification
+          // sf and beyond)
+          ((lit(1.0) - element_at(ps, col("_i") + 1)) * col("_n") < 2.0 ||
+            abs(element_at(col("_aq"), col("_i") + 1) - col("_exact")) <=
             greatest(abs(col("_exact")) * 0.05, lit(1e-6))).as("approx_ok")
         )
     },
