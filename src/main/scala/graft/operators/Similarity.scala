@@ -732,6 +732,75 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Persist an LSH index: corpus vectors + norms written Hive-partitioned
+    * BY BUCKET, so a later query's candidate fetch is a partition-pruned
+    * directory read (only the query buckets' directories are listed/scanned
+    * — the FileIndex pruning the fragment engine already proves), not a
+    * corpus scan. Bucketing and norms are computed once at build time.
+    */
+  def buildLshIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      bits: Int = 8,
+      seed: Int = 42,
+      dim: Int = 0
+  ): Unit = {
+    VectorExpressions.install(corpus.sparkSession)
+    val planes = hyperplanes(bits, dimOf(corpus, vecCol, dim), seed)
+    corpus
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("nv"),
+        // "b" prefix: a bare bitstring directory value ("01011010") would be
+        // type-inferred as an integer on read, silently dropping the leading
+        // zeros and breaking the bucket join
+        concat(lit("b"), lshBucket(col(vecCol), planes)).as("bucket")
+      )
+      .withColumn("nn", sqrt(expr("graft_dot(nv, nv)")))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+  }
+
+  /** LSH top-k against a persisted index ([[buildLshIndex]]) — identical
+    * results to [[lshTopK]] over the corpus the index was built from
+    * (asserted in PipelineOpsSpec). The bucket equi-join against the
+    * partition column prunes candidate directories at the FileIndex level.
+    * `bits`/`seed`/`dim` must match the build.
+    */
+  def lshTopKFromIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      path: String,
+      bits: Int = 8,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame = {
+    VectorExpressions.install(queries.sparkSession)
+    val planes = hyperplanes(bits, dimOf(queries, vecCol, dim), seed)
+    val cb = queries.sparkSession.read.parquet(path)
+    val qb = broadcast(
+      queries
+        .select(
+          col(idCol).as("query_id"),
+          col(vecCol).as("qv"),
+          concat(lit("b"), lshBucket(col(vecCol), planes)).as("bucket")
+        )
+        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+    )
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cb.join(qb, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** 1-bit (sign) quantization: the embedding as a bitstring plus its
     * positive-component count. 64× smaller than float32 — the coarsest rung
     * of the quantization ladder (float → int8 → PQ → binary); retrieval over

@@ -683,6 +683,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fwd == Map(1L -> "c", 2L -> "b", 3L -> "d"))
   }
 
+  test("persisted LSH index returns exactly the direct lshTopK results") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    withTempDir { dir =>
+      graft.operators.Similarity
+        .buildLshIndex(emb, "vec_id", "embedding", s"$dir/lsh", bits = 4, dim = 64)
+      val fromIndex = graft.operators.Similarity
+        .lshTopKFromIndex(queries, "vec_id", "embedding", 10, s"$dir/lsh", bits = 4, dim = 64)
+        .select("query_id", "neighbor_id", "rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val direct = graft.operators.Similarity
+        .lshTopK(emb, queries, "vec_id", "embedding", 10, bits = 4, dim = 64)
+        .select("query_id", "neighbor_id", "rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(fromIndex === direct)
+      assert(direct.nonEmpty)
+      // bucket directories are real partitions (pruned candidate fetch)
+      val dirs = new java.io.File(s"$dir/lsh").listFiles.map(_.getName).filter(_.startsWith("bucket="))
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=b")), dirs.mkString(","))
+    }
+  }
+
   test("weighted sampling overrepresents heavy rows and plans a TakeOrdered top-k") {
     val s = spark
     import s.implicits._
