@@ -512,6 +512,26 @@ object StatQueries {
         )
     },
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL bucket
+    // (here status 'P' nulled out) MATCHES itself — a plain equi-join would
+    // silently drop it, the classic bug when joining on nullable derived
+    // keys.
+    QEntry.sql(
+      "q_null_safe_join",
+      """WITH g AS (SELECT NULLIF(o_orderstatus, 'P') AS k, count(*) AS n
+        |  FROM orders GROUP BY NULLIF(o_orderstatus, 'P'))
+        |SELECT a.k, a.n AS n_left, b.n AS n_right
+        |FROM g a JOIN g b ON a.k IS NOT DISTINCT FROM b.k"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val g = orders(s, d)
+        .groupBy(nullif(col("o_orderstatus"), lit("P")).as("k"))
+        .agg(count(lit(1)).as("n"))
+      g.as("a")
+        .join(g.as("b"), col("a.k") <=> col("b.k"))
+        .select(col("a.k").as("k"), col("a.n").as("n_left"), col("b.n").as("n_right"))
+    },
+
     // Data-quality gate (QualityChecks operator): uniqueness, non-null,
     // accepted values, row predicate and FK integrity over orders, one
     // violations row per check — the dbt-test/Deequ shape a pipeline runs

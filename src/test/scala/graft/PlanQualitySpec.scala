@@ -210,6 +210,10 @@ class PlanQualitySpec extends SparkSpec {
     val ham = formatted(SparkEntry.queries("ann_hamming_topk")(spark, sf))
     assert(ham.contains("BroadcastExchange"), ham)
     assert(ham.contains("hashpartitioning(query_id"), ham)
+    // inverted index: posting rank prunes BEFORE the collect (bounded
+    // aggregate state) — WindowGroupLimit must appear below the final agg
+    val idx = formatted(SparkEntry.queries("txt_inverted_index")(spark, sf))
+    assert(idx.contains("WindowGroupLimit"), idx)
   }
 
   test("AQE re-plans a sort-merge join to broadcast once runtime stats reveal a small side") {
