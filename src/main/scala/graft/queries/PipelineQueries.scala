@@ -191,6 +191,52 @@ object PipelineQueries {
         )
     },
 
+    // Keep policy: the final dedup stage — per cluster keep the HIGHEST
+    // QUALITY member (not the lowest id), tie-broken by id. Composes cluster
+    // resolution with the shared quality score and a per-cluster argmax
+    // window; the policy a production pipeline actually ships.
+    QEntry.sql(
+      "dedup_keep_policy", {
+        val qualSql = TextQueries.qualityExprSql
+        s"""WITH RECURSIVE pairs AS ($pairsSql),
+           |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id),
+           |docs2 AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id),
+           |q AS (SELECT doc_id, $qualSql AS quality FROM documents)
+           |SELECT cluster_id, doc_id AS keep_doc_id, quality AS keep_quality,
+           |  CAST(n_members AS BIGINT) AS n_members
+           |FROM (SELECT d.cluster_id, d.doc_id, q.quality,
+           |    count(*) OVER (PARTITION BY d.cluster_id) AS n_members,
+           |    row_number() OVER (PARTITION BY d.cluster_id
+           |      ORDER BY q.quality DESC, d.doc_id) AS rn
+           |  FROM docs2 d JOIN q ON d.doc_id = q.doc_id) t
+           |WHERE rn = 1""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val cl = Dedup.dedupClusters(docs, "doc_id", "text").select("doc_id", "cluster_id")
+      val q = docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("cluster_id"))
+      val rnW = Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      cl.join(q, "doc_id")
+        .withColumn("n_members", count(lit(1)).over(w))
+        .withColumn("_rn", row_number().over(rnW))
+        .filter(col("_rn") === 1)
+        .select(
+          col("cluster_id"),
+          col("doc_id").as("keep_doc_id"),
+          col("quality").as("keep_quality"),
+          col("n_members")
+        )
+    },
+
     // Precision stage over the LSH candidates: exact normalized Levenshtein
     // on candidate pairs only (both engines implement the classic DP edit
     // distance; the normalizer is one exact division — no rounding needed).
