@@ -683,6 +683,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fwd == Map(1L -> "c", 2L -> "b", 3L -> "d"))
   }
 
+  test("dedup keep policy keeps the highest-quality member, not the lowest id") {
+    val s = spark
+    import s.implicits._
+    // planted near-dup pair: docs 10 and 11 share their shingles (identical
+    // text), doc 11 padded with richer prose so its quality score is higher;
+    // the min-id convention would keep 10 — the policy must keep 11
+    val dupBase = Array.fill(30)("the and was for that with spark join").mkString(" ")
+    // doc 11 shares 10's shingles (same prefix → LSH pairs them) but carries
+    // a pure-stopword tail that raises its stopword-ratio quality term
+    val docs = Seq(
+      (10L, dupBase),
+      (11L, dupBase + " " + Array.fill(20)("the and was that").mkString(" ")),
+      (20L, Array.fill(40)("value column window batch merge the was").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.queries.PipelineQueries.entries
+      .find(_.name == "dedup_keep_policy")
+      .get
+    // run the Spark side directly on a temp dir holding this corpus
+    withTempDir { dir =>
+      docs.write.parquet(s"$dir/documents.parquet")
+      val kept = out
+        .run(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .toSet
+      // cluster {10, 11}: 11's higher quality beats 10's lower id (the
+      // min-id convention would keep 10); singleton 20 keeps itself
+      assert(kept === Set((10L, 11L, 2L), (20L, 20L, 1L)), kept.toString)
+    }
+  }
+
   test("persisted LSH index returns exactly the direct lshTopK results") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 5)
