@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -81,7 +81,8 @@ object BpeTrain {
         .collect()
       best.headOption match {
         case None => exhausted = true
-        case Some(Row(l: String, r: String, cnt: Long)) =>
+        case Some(row) =>
+          val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((rank, l, r, l + r, cnt))
           // left-to-right greedy merge: carry holds the previous unemitted
           // symbol; (carry == l && x == r) emits the merged token and clears
