@@ -117,6 +117,14 @@ object BpeTrain {
   /** Segment words with a learned merge table: replays the merges in rank
     * order over each word's character sequence — the deterministic encode
     * side of [[learnMerges]] (one HOF fold per merge, no shuffle).
+    *
+    * Scale limit: each merge nests another `aggregate` HOF into ONE column
+    * expression, so this Column-API replay is for small merge tables
+    * (tests, analyses — tens of merges). A production tokenizer with a
+    * 30k-merge vocabulary applies the table imperatively per partition
+    * (`mapPartitions` with a trie/priority-queue encoder, the same shape as
+    * the multimodal decode plumbing) — the expression tree is the wrong
+    * representation at that depth, not the distribution.
     */
   def applyMerges(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val base = docs.select(
