@@ -83,6 +83,24 @@ object Fragmentation {
   def hashFragment(df: DataFrame, keyCol: String, n: Int, partCol: String = "part"): DataFrame =
     df.withColumn(partCol, hashBucket(col(keyCol), n))
 
+  /** Write a hash-fragmented dataset Hive-partitioned by bucket and publish
+    * its metadata, so [[graft.plans.DeriveFragmentPruning]] turns ad-hoc
+    * `key = literal` / `key IN (...)` filters into FileIndex partition
+    * pruning — the hash analog of [[writeRangeFragmentedAuto]]'s interval
+    * pruning (point lookups read 1 of n fragment directories).
+    */
+  def writeHashFragmented(df: DataFrame, keyCol: String, n: Int, path: String): DataFrame = {
+    val spark = df.sparkSession
+    hashFragment(df, keyCol, n)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("part")
+      .parquet(path)
+    graft.plans.DeriveFragmentPruning
+      .publishHash(spark, keyCol, n, new java.io.File(path).getAbsolutePath)
+    spark.read.parquet(path)
+  }
+
   /** Round-robin by explicit order key — k-th row (0-based) → k mod n.
     * The order columns make the assignment reproducible under any read
     * parallelism (Spark's own repartition round-robin is not row-stable).

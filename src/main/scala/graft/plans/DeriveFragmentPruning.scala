@@ -46,7 +46,26 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
     }
     plan.transform {
       case f @ Filter(cond, child)
-          if child.output.exists(_.name == "part") &&
+          if style == "hash" &&
+            child.output.exists(_.name == "part") &&
+            child.output.exists(_.name == valueCol) &&
+            !cond.references.exists(_.name == "part") &&
+            scansFragmentedDataset(child, dsPath) =>
+        // hash scheme: only EQUALITY / IN predicates imply buckets (an
+        // interval says nothing about md5 positions)
+        equalityValues(cond, valueCol) match {
+          case Some(vals) =>
+            val parts = vals.map(v => DeriveFragmentPruning.hashBucketOf(v, n)).distinct
+            val partAttr = child.output.find(_.name == "part").get
+            val partPred: Expression =
+              if (parts.isEmpty) Literal.FalseLiteral
+              else In(partAttr, parts.map(i => Literal(i)))
+            Filter(And(cond, partPred), child)
+          case None => f
+        }
+      case f @ Filter(cond, child)
+          if style != "hash" &&
+            child.output.exists(_.name == "part") &&
             child.output.exists(_.name == valueCol) &&
             !cond.references.exists(_.name == "part") &&
             scansFragmentedDataset(child, dsPath) =>
@@ -97,6 +116,44 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
         }
       case _ => false
     }
+
+  /** Collect the literal values the conjunctive predicate pins the key column
+    * to via `=` or `IN` — None when unconstrained (or constrained only under
+    * OR/NOT, where derivation would be unsound). Only integer/string
+    * literals qualify: their Scala `toString` is guaranteed to match Spark's
+    * `cast(key AS STRING)` rendering, which the md5 bucket hashes; float
+    * renderings are not, so they conservatively bail out.
+    */
+  private def equalityValues(e: Expression, name: String): Option[Seq[String]] = {
+    def isTarget(x: Expression): Boolean = x match {
+      case a: Attribute => a.name == name
+      case _            => false
+    }
+    def litStr(l: Literal): Option[String] = l.value match {
+      case null                                             => None
+      case u: org.apache.spark.unsafe.types.UTF8String      => Some(u.toString)
+      case i: Byte                                          => Some(i.toString)
+      case i: Short                                         => Some(i.toString)
+      case i: Int                                           => Some(i.toString)
+      case i: Long                                          => Some(i.toString)
+      case _                                                => None
+    }
+    var found: Option[Seq[String]] = None
+    def record(vals: Seq[Option[String]]): Unit =
+      // every literal must be derivable, else the conjunct is unusable
+      if (vals.nonEmpty && vals.forall(_.isDefined) && found.isEmpty)
+        found = Some(vals.flatten)
+    def walk(x: Expression): Unit = x match {
+      case And(l, r)                                => walk(l); walk(r)
+      case EqualTo(a, lit: Literal) if isTarget(a)  => record(Seq(litStr(lit)))
+      case EqualTo(lit: Literal, a) if isTarget(a)  => record(Seq(litStr(lit)))
+      case In(a, lits) if isTarget(a) && lits.forall(_.isInstanceOf[Literal]) =>
+        record(lits.map(l => litStr(l.asInstanceOf[Literal])))
+      case _ => ()
+    }
+    walk(e)
+    found
+  }
 
   /** Extract a conservative [lo, hi] interval implied for the value column by
     * the conjunctive predicate; None if unconstrained (or only constrained
@@ -162,4 +219,26 @@ object DeriveFragmentPruning {
       path: String
   ): Unit =
     spark.conf.set(MetaKey, s"$style,$valueCol,$n,$min,$max,$path")
+
+  /** Publish metadata for a HASH-fragmented dataset (`style=hash`; the
+    * domain fields are unused).
+    */
+  def publishHash(
+      spark: org.apache.spark.sql.SparkSession,
+      keyCol: String,
+      n: Int,
+      path: String
+  ): Unit = publish(spark, "hash", keyCol, n, 0.0, 0.0, path)
+
+  /** Driver-side mirror of [[graft.operators.Fragmentation.hashBucket]]:
+    * first 8 md5 hex digits of the key's string form, as a long, mod n —
+    * byte-identical to the executor expression, so a derived `part` filter
+    * can never disagree with assignment.
+    */
+  def hashBucketOf(key: String, n: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val v = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    (((v % n) + n) % n).toInt
+  }
 }

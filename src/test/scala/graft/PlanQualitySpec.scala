@@ -263,6 +263,37 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("hash-fragmented dataset prunes point lookups and IN-lists via the derived rule") {
+    withTempDir { root => withoutAqe {
+      try {
+        val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+        val ds = graft.operators.Fragmentation
+          .writeHashFragmented(li, "l_orderkey", 8, s"$root/li_hash")
+        def scannedParts(q: org.apache.spark.sql.DataFrame): Option[Int] =
+          finalPlan(q)
+            .collect {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+                f.selectedPartitions.partitionCount
+            }
+            .headOption
+        // point lookup → exactly the key's bucket directory
+        val point = ds.filter(col("l_orderkey") === 19L)
+        assert(scannedParts(point).contains(1), scannedParts(point).toString)
+        // IN-list → at most one directory per listed key
+        val inq = ds.filter(col("l_orderkey").isin(19L, 23L, 57L))
+        assert(scannedParts(inq).exists(_ <= 3), scannedParts(inq).toString)
+        // pruning never changes results: recount with the rule unpublished
+        val prunedCount = point.count()
+        spark.conf.unset(graft.plans.DeriveFragmentPruning.MetaKey)
+        val expected = spark.read
+          .parquet(s"$root/li_hash")
+          .filter(col("l_orderkey") === 19L)
+          .count()
+        assert(prunedCount == expected && expected > 0)
+      } finally spark.conf.unset(graft.plans.DeriveFragmentPruning.MetaKey)
+    } }
+  }
+
   test("hive-style partitioned write prunes non-matching partition dirs at read") {
     withTempDir { dir =>
       val out = s"$dir/docs_by_lang"
