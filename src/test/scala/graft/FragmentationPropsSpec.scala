@@ -45,6 +45,26 @@ class FragmentationPropsSpec extends SparkSpec {
     }
   }
 
+  test("hashBucketOf mirror equals the executor hashBucket expression for arbitrary keys") {
+    // the derived-pruning rule computes buckets driver-side; a divergence
+    // from the executor expression would silently DROP rows from pruned
+    // point lookups — the worst failure mode. Longs, negatives and strings.
+    val keys: Seq[String] =
+      Seq.fill(40)(rnd.nextLong().toString) ++
+        Seq.fill(20)(rnd.nextInt(1000).toString) ++
+        Seq("0", "-1", "", "abc", "key with spaces", "ünïcödé")
+    for (n <- Seq(1, 5, 8, 32)) {
+      val cols = keys.zipWithIndex.map { case (k, i) =>
+        Fragmentation.hashBucket(lit(k), n).as(s"b$i")
+      }
+      val row = spark.range(1).select(cols: _*).head()
+      keys.zipWithIndex.foreach { case (k, i) =>
+        val expect = graft.plans.DeriveFragmentPruning.hashBucketOf(k, n)
+        assert(row.getInt(i) == expect, s"key=$k n=$n executor=${row.getInt(i)} driver=$expect")
+      }
+    }
+  }
+
   test("rangeBucket: out-of-domain values map to null") {
     for ((min, max, n) <- domains(30)) {
       val cols = Seq(min - 1.0, max + 1.0).zipWithIndex.map { case (v, i) =>
