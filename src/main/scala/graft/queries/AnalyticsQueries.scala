@@ -1097,9 +1097,9 @@ object AnalyticsQueries {
         |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
         |    count(*) AS cnt
         |  FROM orders GROUP BY month, o_orderpriority)
-        |SELECT month, sum(cnt) AS n,
-        |  (sum(cnt) * sum(cnt) - sum(cnt * cnt)) * 1000000 //
-        |    (sum(cnt) * sum(cnt)) AS gini_ppm
+        |SELECT month, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST((sum(cnt) * sum(cnt) - sum(cnt * cnt)) * 1000000 //
+        |    (sum(cnt) * sum(cnt)) AS BIGINT) AS gini_ppm
         |FROM c GROUP BY month""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       orders(s, d)

@@ -249,8 +249,8 @@ object BehaviorQueries {
         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
         |  FROM orders)
         |SELECT o_custkey,
-        |  sum(cents * (CAST(1 AS BIGINT) << CAST(16 - rn AS INT))) AS num,
-        |  sum(CAST(1 AS BIGINT) << CAST(16 - rn AS INT)) AS den,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(16 - rn AS INT))) AS BIGINT) AS num,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(16 - rn AS INT)) AS BIGINT) AS den,
         |  CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(16 - rn AS INT))) AS DOUBLE) /
         |    CAST(sum(CAST(1 AS BIGINT) << CAST(16 - rn AS INT)) AS DOUBLE) AS ewma
         |FROM r WHERE rn <= 16 GROUP BY o_custkey"""

@@ -22,6 +22,22 @@ TABLES = [
 ]
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class as the driver's hash sees it. The driver hashes
+    rendered values, so int64 123 vs float64 123.0 is a mismatch even when
+    numerically equal (e.g. a DuckDB HUGEINT sum reaching pandas as float64
+    while Spark wrote int64 — the r7 ewma/gini failure class)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize ints/floats so int32 vs int64 etc. compare equal
@@ -59,6 +75,17 @@ def main(out_dir: str, sf_dir: str) -> int:
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+            failures += 1
+            continue
+        # dtype-class drift: canon() normalizes widths, but the driver hashes
+        # the un-normalized rendering — flag any int/float/object class skew.
+        drift = [
+            (c, dtype_class(got[c]), dtype_class(want[c]))
+            for c in g.columns
+            if dtype_class(got[c]) != dtype_class(want[c])
+        ]
+        if drift:
+            print(f"FAIL {name}: dtype-class drift (spark vs oracle) {drift}")
             failures += 1
             continue
         if len(g) != len(w):
