@@ -297,4 +297,69 @@ object Curation {
         ).as("masked_positions")
       )
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4), deterministic: a
+    * span STARTS at token `p` of a document iff the md5 hash position of
+    * `"<id>:<p>"` falls below `rate / spanLen` — the same engine/run/
+    * partitioning-independent contract as [[mlmMask]] — and covers the next
+    * `spanLen` tokens; overlapping or adjacent starts merge into one span.
+    * Expected corrupted fraction ≈ `rate` (exactly `rate` in the
+    * non-overlapping limit). The corrupted text replaces each merged span
+    * with one `<extra_id_K>` sentinel, K numbered left-to-right per doc, as a
+    * T5 encoder input would be.
+    *
+    * Shapes: coverage is a keyed trailing `spanLen−1` window over dense
+    * 1-based positions (bounded frame — per-key state is `spanLen` rows at
+    * any scale), span numbering a keyed running sum, reconstruction one keyed
+    * aggregate whose state is bounded by document length. No global windows,
+    * no driver-side data.
+    */
+  def spanCorrupt(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rate: Double = 0.15,
+      spanLen: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(
+        col(idCol),
+        posexplode_outer(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("_p0", "_term"))
+      )
+      .select(col(idCol), (col("_p0") + 1).as("p"), col("_term"))
+    val key = concat(col(idCol).cast("string"), lit(":"), col("p").cast("string"))
+    val wCover = Window
+      .partitionBy(idCol)
+      .orderBy("p")
+      .rowsBetween(-(spanLen - 1), Window.currentRow)
+    val wOrd = Window.partitionBy(idCol).orderBy("p")
+    val marked = toks
+      .withColumn("_st", Sampling.hashPosition(key) < rate / spanLen)
+      .withColumn("_cov", max(when(col("_st"), 1).otherwise(0)).over(wCover) === 1)
+      .withColumn(
+        "_open",
+        col("_cov") && !coalesce(lag("_cov", 1).over(wOrd), lit(false))
+      )
+      .withColumn("_k", sum(when(col("_open"), 1L).otherwise(0L)).over(wOrd))
+    val outTok = when(!col("_cov"), col("_term"))
+      .when(col("_open"), concat(lit("<extra_id_"), (col("_k") - 1).cast("string"), lit(">")))
+    marked
+      .withColumn("_out", outTok)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_cov"), 1L).otherwise(0L)).as("n_corrupted"),
+        sum(when(col("_open"), 1L).otherwise(0L)).as("n_spans"),
+        array_join(
+          array_sort(collect_list(when(col("_cov"), col("p")))).cast("array<string>"),
+          ","
+        ).as("corrupted_positions"),
+        array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN _out IS NOT NULL THEN struct(p, _out) END)), x -> x._out)"),
+          " "
+        ).as("corrupted_text")
+      )
+  }
 }

@@ -240,6 +240,53 @@ object CurationQueries {
       }
     ) { (s, d) =>
       Curation.mlmMask(documents(s, d), "doc_id", "text", 0.15)
+    },
+
+    // T5 span corruption: a span starts at (doc, p) iff the md5 hash
+    // position of "id:p" < rate/spanLen (0.15/3); coverage is a trailing
+    // 2-PRECEDING window, adjacent spans merge, each merged span becomes one
+    // <extra_id_K> sentinel. The twin replays the hash digit-by-digit and
+    // the identical window algebra. Threshold interpolated from the SAME
+    // Scala double division so both engines compare against the same bits.
+    QEntry.sql(
+      "cur_span_corrupt", {
+        val hashpos =
+          """CAST(list_sum(list_transform(range(1, 9), i ->
+            |  (strpos('0123456789abcdef',
+            |          substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)),
+            |                 CAST(i AS INT), 1)) - 1)
+            |  * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0""".stripMargin
+        s"""WITH toks AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(words) + 1),
+           |      i -> struct_pack(p := i, term := words[i]))) AS tp
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+           |        FROM documents) w),
+           |t AS (SELECT doc_id, CAST(tp.p AS BIGINT) AS p, tp.term AS term FROM toks),
+           |s AS (SELECT doc_id, p, term, ($hashpos) < ${0.15 / 3} AS st FROM t),
+           |c AS (SELECT doc_id, p, term, st,
+           |    max(CASE WHEN st THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+           |      ORDER BY p ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS cov
+           |  FROM s),
+           |f AS (SELECT doc_id, p, term, cov,
+           |    cov AND NOT COALESCE(lag(cov) OVER (PARTITION BY doc_id ORDER BY p),
+           |                         FALSE) AS opn
+           |  FROM c),
+           |g AS (SELECT doc_id, p, term, cov, opn,
+           |    sum(CASE WHEN opn THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY p) AS k
+           |  FROM f)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted,
+           |  CAST(sum(CASE WHEN opn THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           |  COALESCE(array_to_string(list_sort(list(p) FILTER (WHERE cov)), ','), '')
+           |    AS corrupted_positions,
+           |  COALESCE(string_agg(CASE WHEN NOT cov THEN term
+           |      WHEN opn THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '>' END,
+           |      ' ' ORDER BY p), '') AS corrupted_text
+           |FROM g GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Curation.spanCorrupt(documents(s, d), "doc_id", "text", 0.15, 3)
     }
   )
 }

@@ -142,4 +142,48 @@ class CurationSpec extends SparkSpec {
     assert(out.map(r => r.getLong(0) -> r.getString(3)).toMap ==
       again.map(r => r.getLong(0) -> r.getString(3)).toMap)
   }
+
+  test("span corruption hits the target rate, merges spans, and is partition-independent") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Curation.spanCorrupt(docs, "doc_id", "text", 0.15, 3).collect()
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    val corrupted = out.map(_.getAs[Long]("n_corrupted")).sum
+    val rate = corrupted.toDouble / total
+    // expected ≈ 0.15 minus overlap shrinkage; generous band
+    assert(rate > 0.09 && rate < 0.21, s"rate $rate")
+    out.foreach { r =>
+      val nCov = r.getAs[Long]("n_corrupted")
+      val nSpans = r.getAs[Long]("n_spans")
+      // merged spans: each covers >= 1 token, at most spanLen tokens per
+      // contributing start, and numbering is dense 0..n_spans-1 in the text
+      assert(nSpans <= nCov && (nCov == 0) == (nSpans == 0), r.toString)
+      val text = r.getAs[String]("corrupted_text")
+      val sentinels = "<extra_id_(\\d+)>".r.findAllMatchIn(text).map(_.group(1).toInt).toSeq
+      assert(sentinels.size.toLong == nSpans, r.toString)
+      assert(sentinels == (0 until sentinels.size), s"non-dense sentinels: $sentinels")
+      // every corrupted run in the position list is contiguous per span count
+      val pos = r.getAs[String]("corrupted_positions")
+      if (pos.nonEmpty) {
+        val ps = pos.split(",").map(_.toLong)
+        val runs = ps.foldLeft(List.empty[List[Long]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 => (p :: acc.head) :: acc.tail
+          case (acc, p)                                           => List(p) :: acc
+        }
+        assert(runs.size.toLong == nSpans, r.toString)
+        // every merged span is >= spanLen tokens unless truncated by doc end
+        val nTok = r.getAs[Long]("n_tokens")
+        assert(
+          runs.forall(run => run.size >= 3 || run.contains(nTok)),
+          s"interior span shorter than spanLen: $r"
+        )
+      }
+    }
+    // identical output under a different physical partitioning — the md5
+    // position contract is data-dependent only
+    val shuffled = graft.operators.Curation
+      .spanCorrupt(docs.repartition(7, col("source")), "doc_id", "text", 0.15, 3)
+      .collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(5)).toMap ==
+      shuffled.map(r => r.getLong(0) -> r.getString(5)).toMap)
+  }
 }
