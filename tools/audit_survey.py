@@ -52,6 +52,12 @@ def defining_file(name):
 def main():
     if len(sys.argv) > 1 and os.path.exists(f"{sys.argv[1]}/oracle_sql.json"):
         names = sorted(json.load(open(f"{sys.argv[1]}/oracle_sql.json")))
+        # a name-filtered Verify dump must not shrink the index — merge with
+        # whatever the current index already lists
+        survey_now = open(os.path.join(REPO, "SURVEY.md")).read()
+        m = re.search(re.escape(BEGIN) + r"(.*?)" + re.escape(END), survey_now, re.S)
+        if m:
+            names = sorted(set(names) | set(re.findall(r"^\| `([a-z0-9_]+)` \|", m.group(1), re.M)))
     else:
         names = sorted(entry_names_from_src())
     survey_path = os.path.join(REPO, "SURVEY.md")
