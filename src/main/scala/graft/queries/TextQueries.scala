@@ -110,7 +110,11 @@ object TextQueries {
     },
 
     // Winnowing fingerprints: char-8-gram rolling hashes, min per window of
-    // 4, distinct survivors — the classic near-dup/plagiarism sketch.
+    // 4, distinct survivors — the classic near-dup/plagiarism sketch. The
+    // oracled slice is the deterministic 1-in-10 doc subset: the md5-per-char
+    // hash is the ORACLE-portable formulation (DuckDB must replay every
+    // digit), so its cost is oracle tax, not production cost — the xxhash64
+    // production twin `x_winnow_fp_fast` benches the FULL corpus alongside.
     QEntry.sql(
       "txt_winnow_fp",
       """SELECT doc_id, len(fp) AS n_fp,
@@ -120,8 +124,11 @@ object TextQueries {
         |    range(1, greatest(length(text) - 7, 0) + 1 - 3),
         |    i -> list_aggregate(list_transform(range(0, 4),
         |           j -> substr(md5(substr(text, CAST(i + j AS INT), 8)), 1, 8)), 'min'))) AS fp
-        |  FROM documents) t""".stripMargin.replaceAll("\\s+", " ")
-    ) { (s, d) => winnowFingerprintStats(documents(s, d), "doc_id", "text") },
+        |  FROM documents WHERE doc_id % 10 = 0) t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      winnowFingerprintStats(
+        documents(s, d).filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    },
 
     // TF-IDF characteristic terms: top-3 per doc. The oracled entry uses the
     // raw-ratio idf variant (score = tf*N/df — integer product + one exact
