@@ -226,7 +226,10 @@ object Dedup {
         ): _*
       )
     // pack the 4 per-bit counters of each nibble into ONE long sum (16-bit
-    // fields, safe to 65535 tokens/doc — far above any real document): 16
+    // fields, safe to 32767 tokens/doc — the 2^48 field reaches the long
+    // sign bit at 32768·2^48 = 2^63, where Spark 4's ANSI sum THROWS rather
+    // than wraps, a loud failure, never a silent one; documents past ~32k
+    // tokens should be chunked upstream, cf. Curation.chunkWithOverlap): 16
     // aggregate columns instead of 64 quarters the aggregation buffer and
     // the codegen'd update loop, same counts bit-for-bit after unpacking
     val packedSums = (0 until 16).map { k =>

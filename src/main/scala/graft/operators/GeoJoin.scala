@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   * distance predicate then filters the candidates. No pair dedup is needed:
   * the right row sits in exactly one cell, so a pair meets at most once.
   *
+  * Boundary caveat: the "never 2" argument is exact-arithmetic; in computed
+  * IEEE doubles a pair whose per-axis gap is within one ulp of EXACTLY
+  * `radius` can land 2 cells apart (the divisions round toward different
+  * integers) while the rounded `dist` still compares `<= radius` — such a
+  * knife-edge pair would be silently dropped where an exact-distance oracle
+  * keeps it. Measurement coordinates make an exact-radius gap a measure-zero
+  * coincidence; callers needing closed-boundary certainty should widen the
+  * grid side by one ulp (`Math.nextUp(radius)`) so the grid is strictly
+  * looser than the kept predicate.
+  *
   * Scale shape: shuffle keys are grid cells — candidate volume is bounded by
   * local density, never the cross product (the naive formulation Spark would
   * otherwise plan as BroadcastNestedLoopJoin). The 9× left fan-out is narrow

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * struct array — the driver never touches data. Min/max are cast to strings
   * so heterogeneous column types share one schema. At 100 TB swap
   * countDistinct for approx_count_distinct to drop the Expand entirely.
+  *
+  * String rendering caveat: double min/max go through Java's
+  * `Double.toString`, which switches to scientific notation at |x| ≥ 1e7 or
+  * < 1e-3, while SQL engines' `CAST(double AS VARCHAR)` (e.g. the DuckDB
+  * oracle) render plain notation over a wider range — the cross-engine
+  * string contract holds only while extreme values stay inside the
+  * plain-notation window (true of every profiled testdata column; asserted
+  * in ProfilingSpec). For columns that can leave it, quantize first (cast to
+  * a fixed-scale decimal) so both engines render identically.
   */
 object Profiling {
 

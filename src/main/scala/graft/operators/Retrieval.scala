@@ -179,9 +179,12 @@ object Retrieval {
   }
 
   /** Chi-square keyness of terms between one corpus slice (`groupCol ===
-    * focus`) and the rest. For each term the 2×2 contingency table is
-    * (a = occurrences in focus, b = occurrences elsewhere, c/d = the group
-    * remainders); χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)). Factors are
+    * focus`) and the rest. The table is built from token OCCURRENCES, not
+    * per-document frequencies — a term used 50× in one focus doc counts 50
+    * (keyness of usage mass; for doc-frequency keyness, distinct (doc, term)
+    * first). For each term the 2×2 contingency table is (a = occurrences in
+    * focus, b = occurrences elsewhere, c/d = the group remainders);
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)). Factors are
     * cast to double BEFORE multiplying (the raw bigint products overflow at
     * corpus scale); the double math is correctly rounded from exact integer
     * inputs, so scores — and the top-k cut — are engine-deterministic.
@@ -192,7 +195,6 @@ object Retrieval {
     */
   def chi2Keyness(
       docs: DataFrame,
-      idCol: String,
       textCol: String,
       groupCol: String,
       focus: String,

@@ -108,14 +108,15 @@ object RetrievalQueries {
          |    / (((CAST(a + b AS DOUBLE) * (c + d)) * (a + c)) * (b + d)) AS chi2raw
          |  FROM scored),
          |chi AS (SELECT term, a, b,
-         |    CASE WHEN isnan(chi2raw) THEN 0.0 ELSE chi2raw END AS chi2,
+         |    CASE WHEN chi2raw IS NULL OR isnan(chi2raw) THEN 0.0
+         |         ELSE chi2raw END AS chi2,
          |    CASE WHEN a * tb > b * ta THEN 'en' ELSE 'rest' END AS overrep
          |  FROM chi0)
          |SELECT term, a AS focus_cnt, b AS rest_cnt, round(chi2, 4) AS chi2, overrep
          |FROM (SELECT * FROM chi ORDER BY chi2 DESC, term LIMIT 20) top"""
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
-      Retrieval.chi2Keyness(documents(s, d), "doc_id", "text", "lang", "en", k = 20)
+      Retrieval.chi2Keyness(documents(s, d), "text", "lang", "en", k = 20)
     }
   )
 }

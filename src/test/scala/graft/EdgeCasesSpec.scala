@@ -148,6 +148,50 @@ class EdgeCasesSpec extends SparkSpec {
     e.deleteTables("ALL")
   }
 
+  test("roundRobinInsertBatch: file-backed multi-partition batch without orderCols is deterministic") {
+    // the zipWithIndex leg of the contract: with orderCols empty, placement
+    // follows (partition index, within-partition order) — stable for a
+    // file-backed batch because a parquet scan enumerates splits and rows in
+    // a fixed order. Two engines over fresh roots must agree fragment-for-
+    // fragment. (A freshly SHUFFLED frame has no such guarantee — that case
+    // must pass orderCols, per the scaladoc and the spec above.)
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-rrsrc").toString
+    (0 until 12)
+      .map(i => (300 + i, i, 1.0 + (i % 4) * 0.5))
+      .toDF("userid", "movieid", "rating")
+      .repartition(3)
+      .write.mode("overwrite").parquet(src)
+    def run(): Map[Int, Int] = {
+      val root = java.nio.file.Files.createTempDirectory("graft-rrdet").toString
+      val e = new operators.FragmentEngine(spark, root)
+      e.loadRatings("ratings", "/root/reference/test_data1.txt")
+      e.roundRobinPartition("ratings", 3)
+      val batch = spark.read.parquet(src)
+      assert(batch.rdd.getNumPartitions >= 2)
+      e.roundRobinInsertBatch("ratings", batch)
+      val rr = spark.read.parquet(
+        e.catalog.tablePath(operators.FragmentEngine.RoundRobinDataset)
+      )
+      val got = rr
+        .filter($"userid" >= 300)
+        .select($"userid", $"part".cast("int"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getInt(1))
+        .toMap
+      e.deleteTables("ALL")
+      got
+    }
+    val first = run()
+    val second = run()
+    assert(first.size == 12)
+    assert(first == second, s"placement not deterministic: $first vs $second")
+    // fragments are balanced: 12 rows over 3 fragments, zipWithIndex is a
+    // dense sequence regardless of which rows land where
+    assert(first.values.groupBy(identity).view.mapValues(_.size).toMap.values.forall(_ == 4))
+  }
+
   test("resample: non-daily step snaps to the grid; pre-start observation seeds the fill") {
     val s = spark
     import s.implicits._
@@ -233,13 +277,13 @@ class EdgeCasesSpec extends SparkSpec {
       .bm25TopDocs(emptyDocs, "doc_id", "text", Seq("spark")).count() == 0)
     assert(graft.operators.Retrieval.invertedIndex(emptyDocs, "doc_id", "text").count() == 0)
     assert(graft.operators.Retrieval
-      .chi2Keyness(emptyDocs, "doc_id", "text", "text", "en").count() == 0)
+      .chi2Keyness(emptyDocs, "text", "text", "en").count() == 0)
     // single-slice corpus: every contingency denominator is 0 → the nanvl
     // guard scores degenerate tables 0, never NaN (which would out-rank
     // every real score descending)
     val one = Seq((1L, "spark join", "en")).toDF("doc_id", "text", "lang")
     val key = graft.operators.Retrieval
-      .chi2Keyness(one, "doc_id", "text", "lang", "en")
+      .chi2Keyness(one, "text", "lang", "en")
       .collect()
     assert(key.nonEmpty)
     assert(key.forall(r => r.getAs[Double]("chi2") == 0.0), key.mkString(","))

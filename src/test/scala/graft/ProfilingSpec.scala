@@ -31,6 +31,23 @@ class ProfilingSpec extends SparkSpec {
     assert(out("x") === ((4L, 1L, 2L, "-1.0", "2.5")))
   }
 
+  test("profiled testdata numeric extremes stay in Double.toString's plain-notation window") {
+    // the cross-engine string contract for double min/max (see the operator
+    // scaladoc) requires |x| in [1e-3, 1e7) or exactly 0 — scientific
+    // notation would diverge from the oracle's CAST AS VARCHAR rendering
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val out = Profiling
+      .profile(orders, Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+      .collect()
+    out.foreach { r =>
+      for (i <- Seq(4, 5)) {
+        val v = r.getString(i)
+        assert(v == null || !v.matches(".*\\d[Ee][+-]?\\d.*"),
+          s"scientific notation leaked into profile output: $v")
+      }
+    }
+  }
+
   test("profile plans two passes crossed as 1-row relations, never a cartesian") {
     val df = Seq((1, "a"), (2, "b")).toDF("i", "s")
     val plan = Profiling.profile(df, Seq("i", "s")).queryExecution.executedPlan.toString

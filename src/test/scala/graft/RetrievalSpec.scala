@@ -84,7 +84,7 @@ class RetrievalSpec extends SparkSpec {
 
   test("chi2Keyness flags group-exclusive terms as most key, with the right slice") {
     val rows = Retrieval
-      .chi2Keyness(corpus, "doc_id", "text", "lang", "en", k = 10)
+      .chi2Keyness(corpus, "text", "lang", "en", k = 10)
       .collect()
       .map(r => r.getString(0) -> ((r.getDouble(3), r.getString(4))))
       .toMap
