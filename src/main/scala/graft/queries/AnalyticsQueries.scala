@@ -1115,6 +1115,107 @@ object AnalyticsQueries {
           col("n"),
           expr("(n * n - _sq) * 1000000 div (n * n)").as("gini_ppm")
         )
+    },
+
+    // CUSUM change-point over the monthly revenue series: the month m*
+    // maximizing |n·S_i − i·S_n| (the integer-scaled form of the classic
+    // |S_i − (i/n)·S_n| CUSUM statistic — multiplying through by n keeps
+    // EVERY step exact BIGINT; n ≤ months, S ≤ total cents, so n·S stays
+    // far under 2^63 even at sf1000). Facts pre-aggregate to ~100 month
+    // rows BEFORE any window; the cumulative window then runs over a
+    // calendar-bounded series (partitioned by a constant key — single
+    // partition by design, ~100 rows, not a data-sized global window). The
+    // normalized statistic is one division of two exact BIGINTs.
+    QEntry.sql(
+      "q_cusum_changepoint",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY month),
+        |c AS (SELECT month, cents,
+        |    CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS i,
+        |    CAST(sum(cents) OVER (ORDER BY month
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM m),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sn FROM m)
+        |SELECT month, abs(n * s - i * sn) AS d_stat,
+        |  CAST(abs(n * s - i * sn) AS DOUBLE) / (CAST(n AS DOUBLE) * sn)
+        |    AS d_norm
+        |FROM c CROSS JOIN t
+        |ORDER BY d_stat DESC, month LIMIT 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      // single-partition BY DESIGN over the ~100 calendar-bounded month
+      // rows; pmod(col, 1) is a constant-0 key the optimizer can't fold
+      // away (a foldable lit(0) is eliminated, leaving an empty partition
+      // spec and the global-window warning)
+      val w = Window.partitionBy(pmod(col("cents"), lit(1))).orderBy("month")
+      val c = m
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("s", sum("cents").over(w).cast("long"))
+      val t = m.agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sn"))
+      c.crossJoin(broadcast(t))
+        .select(
+          col("month"),
+          abs(col("n") * col("s") - col("i") * col("sn")).as("d_stat"),
+          (abs(col("n") * col("s") - col("i") * col("sn")).cast("double") /
+            (col("n").cast("double") * col("sn"))).as("d_norm")
+        )
+        .orderBy(col("d_stat").desc, col("month"))
+        .limit(1)
+    },
+
+    // Benford leading-digit audit of order totals — the fraud/data-quality
+    // screen over any financial column. Counts are exact; observed shares in
+    // integer ppm (one BIGINT floor-division); expected shares are the nine
+    // log10(1+1/d) constants interpolated from the SAME Scala doubles into
+    // both engines, so the comparison column is literal-identical. One
+    // partial-agg shuffle over 9 keys.
+    QEntry.sql(
+      "q_benford_digits", {
+        // write each literal WITH an exponent: DuckDB types a bare
+        // many-digit literal as DECIMAL first (even under a CAST), whose
+        // re-conversion to double can miss the Scala double by one ulp; an
+        // e-notation literal is typed DOUBLE from the start
+        val caseSql = (1 to 9)
+          .map { dd =>
+            val v = math.log10(1.0 + 1.0 / dd).toString
+            val lit = if (v.contains("E") || v.contains("e")) v else s"${v}e0"
+            s"WHEN '$dd' THEN $lit"
+          }
+          .mkString(" ")
+        s"""WITH b AS (SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+           |      AS VARCHAR), 1, 1) AS digit
+           |  FROM orders),
+           |c AS (SELECT digit, count(*) AS cnt FROM b GROUP BY digit),
+           |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+           |SELECT digit, CAST(cnt AS BIGINT) AS cnt,
+           |  cnt * 1000000 // n AS obs_ppm,
+           |  CASE digit $caseSql END AS exp_share
+           |FROM c CROSS JOIN t""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val expShare = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, dd) =>
+        when(col("digit") === lit(dd.toString), lit(math.log10(1.0 + 1.0 / dd)))
+          .otherwise(acc)
+      }
+      val c = orders(s, d)
+        .select(
+          substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+            .as("digit")
+        )
+        .groupBy("digit")
+        .agg(count(lit(1)).as("cnt"))
+      val t = c.agg(sum("cnt").cast("long").as("n"))
+      c.crossJoin(broadcast(t))
+        .select(
+          col("digit"),
+          col("cnt"),
+          expr("cnt * 1000000 div n").as("obs_ppm"),
+          expShare.as("exp_share")
+        )
     }
   )
 }

@@ -305,6 +305,69 @@ object BehaviorQueries {
           col("_b.o_orderpriority").as("mode_priority"),
           col("_b.cnt").as("cnt")
         )
+    },
+
+    // Interval coalescing: merge each supplier's overlapping-or-touching
+    // busy windows ([shipdate, shipdate + quantity days] — quantity is
+    // integral, so the end is exact integer arithmetic) and report merged
+    // count + covered days. Island rule: an interval opens a new island iff
+    // its start exceeds the running max(end) of all prior intervals (ROWS …
+    // 1 PRECEDING frame, ordered by start) — tied starts always merge
+    // (end ≥ start), so island COUNTS are order-stable under ties. All
+    // integer epoch-day arithmetic; windows keyed by supplier (state
+    // bounded by one supplier's lineitems).
+    QEntry.sql(
+      "q_merge_intervals",
+      """WITH iv AS (SELECT l_suppkey AS supp,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      + CAST(l_quantity AS BIGINT) AS e
+        |  FROM lineitem),
+        |m AS (SELECT supp, s, e,
+        |    max(e) OVER (PARTITION BY supp ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |f AS (SELECT supp, s, e,
+        |    CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS opn
+        |  FROM m),
+        |g AS (SELECT supp, s, e,
+        |    sum(opn) OVER (PARTITION BY supp ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |isl AS (SELECT supp, island,
+        |    min(s) AS lo, max(e) AS hi FROM g GROUP BY supp, island)
+        |SELECT supp, count(*) AS n_merged,
+        |  CAST(sum(hi - lo + 1) AS BIGINT) AS days_covered
+        |FROM isl GROUP BY supp""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val iv = lineitem(s, d).select(
+        col("l_suppkey").as("supp"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("bigint").as("s"),
+        (datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("bigint")
+          + col("l_quantity").cast("bigint")).as("e")
+      )
+      val wPrev = Window
+        .partitionBy("supp")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window
+        .partitionBy("supp")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv
+        .withColumn("prev_max", max("e").over(wPrev))
+        .withColumn(
+          "opn",
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1L).otherwise(0L)
+        )
+        .withColumn("island", sum("opn").over(wRun))
+        .groupBy("supp", "island")
+        .agg(min("s").as("lo"), max("e").as("hi"))
+        .groupBy("supp")
+        .agg(
+          count(lit(1)).as("n_merged"),
+          sum(col("hi") - col("lo") + 1).cast("bigint").as("days_covered")
+        )
     }
   )
 }

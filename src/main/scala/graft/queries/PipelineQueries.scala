@@ -938,6 +938,86 @@ object PipelineQueries {
       val ap =
         Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10, bits = 4, dim = EmbDim)
       Similarity.recallAtK(bf, ap, 10)
+    },
+
+    // Pairwise cosine between per-label embedding centroids — the cluster-
+    // separation diagnostic over a labeled corpus. Float sums are order-
+    // dependent, so every per-dimension element is quantized to
+    // DECIMAL(18,10) and summed EXACTLY (order-free); the mean's 1/n cancels
+    // in cosine, so centroids never need a division — cos(centroid_a,
+    // centroid_b) = dot(sum_a, sum_b) / (‖sum_a‖·‖sum_b‖), with decimal-
+    // exact dots and norms; the output rounds to 9 because the DECIMAL(38,20)
+    // → double conversion goes through an int128 whose two-step rounding in
+    // DuckDB can miss Spark's by an ulp (DETERMINISM.md's over-2^53 rule).
+    // Shapes: posexplode → (label, dim) partial agg (one shuffled row per
+    // element, the E63 pattern); the 64-row-per-label sums table is
+    // localCheckpointed before its self-join (ReuseExchange doesn't fire
+    // across aliased branches).
+    QEntry.sql(
+      "emb_group_centroids",
+      s"""WITH ex AS (SELECT label,
+         |    unnest(list_transform(range(0, $EmbDim),
+         |      i -> struct_pack(i := i, v := embedding[i + 1]))) AS t
+         |  FROM embeddings),
+         |p AS (SELECT label, CAST(t.i AS BIGINT) AS i,
+         |    CAST(CAST(t.v AS DOUBLE) AS DECIMAL(18,10)) AS v FROM ex),
+         |sums AS (SELECT label, i, CAST(sum(v) AS DECIMAL(18,10)) AS sv
+         |  FROM p GROUP BY label, i),
+         |norms AS (SELECT label, CAST(sum(sv * sv) AS DECIMAL(38,20)) AS norm2
+         |  FROM sums GROUP BY label),
+         |cnts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+         |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+         |    CAST(sum(a.sv * b.sv) AS DECIMAL(38,20)) AS dot
+         |  FROM sums a JOIN sums b ON a.i = b.i AND a.label < b.label
+         |  GROUP BY a.label, b.label)
+         |SELECT d.label_a, d.label_b,
+         |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+         |  round(CAST(d.dot AS DOUBLE) /
+         |    (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))), 9)
+         |    AS cos_centroid
+         |FROM dots d
+         |JOIN norms na ON d.label_a = na.label
+         |JOIN norms nb ON d.label_b = nb.label
+         |JOIN cnts ca ON d.label_a = ca.label
+         |JOIN cnts cb ON d.label_b = cb.label"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val e = embeddings(s, d)
+      val sums = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(
+          col("label"),
+          col("i").cast("bigint").as("i"),
+          col("v").cast("double").cast("decimal(18,10)").as("v")
+        )
+        .groupBy("label", "i")
+        .agg(sum("v").cast("decimal(18,10)").as("sv"))
+        .localCheckpoint()
+      val norms = sums
+        .groupBy("label")
+        .agg(sum(col("sv") * col("sv")).cast("decimal(38,20)").as("norm2"))
+      val cnts = e.groupBy("label").agg(count(lit(1)).as("n"))
+      val dots = sums
+        .toDF("label_a", "i", "sva")
+        .join(sums.toDF("label_b", "i2", "svb"), col("i") === col("i2") && col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(sum(col("sva") * col("svb")).cast("decimal(38,20)").as("dot"))
+      dots
+        .join(broadcast(norms.select(col("label").as("label_a"), col("norm2").as("_na"))), "label_a")
+        .join(broadcast(norms.select(col("label").as("label_b"), col("norm2").as("_nb"))), "label_b")
+        .join(broadcast(cnts.select(col("label").as("label_a"), col("n").as("n_a"))), "label_a")
+        .join(broadcast(cnts.select(col("label").as("label_b"), col("n").as("n_b"))), "label_b")
+        .select(
+          col("label_a"),
+          col("label_b"),
+          col("n_a"),
+          col("n_b"),
+          round(
+            col("dot").cast("double") /
+              (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))),
+            9
+          ).as("cos_centroid")
+        )
     }
   )
 }

@@ -625,6 +625,61 @@ object StatQueries {
           (element_at(col("_q"), 2) / 100.0).as("q2"),
           (element_at(col("_q"), 3) / 100.0).as("q3")
         )
+    },
+
+    // Winsorized mean per group: clamp to the exact [p5, p95] discrete
+    // percentiles (percentile_disc semantics — the ⌈p·n⌉-th value, type-
+    // preserving, no interpolation) and average the clamped cents. Bounds
+    // come from one keyed sort window; the mean is an exact BIGINT sum with
+    // ONE correctly-rounded division (sum < 2^53 at oracle scales; at larger
+    // scales route the sum through decimal before the divide). The robust
+    // location estimate a metrics pipeline ships when MAD is too aggressive.
+    QEntry.sql(
+      "q_winsorize_clip",
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |r AS (SELECT flag, cents,
+        |    CAST(row_number() OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n
+        |  FROM b),
+        |p AS (SELECT flag,
+        |    max(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS lo,
+        |    max(CASE WHEN rn = (n * 19 + 19) // 20 THEN cents END) AS hi,
+        |    CAST(max(n) AS BIGINT) AS n
+        |  FROM r GROUP BY flag)
+        |SELECT b.flag, p.n, p.lo, p.hi,
+        |  CAST(sum(CASE WHEN b.cents < p.lo THEN p.lo
+        |                WHEN b.cents > p.hi THEN p.hi
+        |                ELSE b.cents END) AS DOUBLE) / (CAST(p.n AS DOUBLE) * 100)
+        |    AS winsor_mean
+        |FROM b JOIN p ON b.flag = p.flag
+        |GROUP BY b.flag, p.n, p.lo, p.hi""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val b = lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents")
+      )
+      val wOrd = Window.partitionBy("flag").orderBy("cents")
+      val wAll = Window.partitionBy("flag")
+      val r = b
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val p = r
+        .groupBy("flag")
+        .agg(
+          max(when(col("rn") === expr("(n + 19) div 20"), col("cents"))).as("lo"),
+          max(when(col("rn") === expr("(n * 19 + 19) div 20"), col("cents"))).as("hi"),
+          max("n").cast("long").as("n")
+        )
+      val clamped = when(col("cents") < col("lo"), col("lo"))
+        .when(col("cents") > col("hi"), col("hi"))
+        .otherwise(col("cents"))
+      b.join(broadcast(p), "flag")
+        .groupBy("flag", "n", "lo", "hi")
+        .agg(
+          (sum(clamped).cast("double") / (col("n").cast("double") * 100))
+            .as("winsor_mean")
+        )
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -228,6 +229,123 @@ object TextQueries {
         )
         .orderBy(col("lift_ppm").desc, col("bigram"))
         .limit(100)
+    },
+
+    // Pairwise vocabulary overlap between corpus sources: Jaccard of the
+    // distinct term sets for every source pair with a non-empty
+    // intersection. |A∩B| via a self-equi-join on term (per-term candidate
+    // volume is bounded by sources², never the corpus); |A| by a small
+    // broadcast rollup; Jaccard one division of exact BIGINTs. The corpus-
+    // mixing diagnostic read before setting mixture weights.
+    QEntry.sql(
+      "txt_vocab_overlap",
+      s"""WITH v AS (SELECT DISTINCT source, unnest($wordsSql) AS term
+         |  FROM documents),
+         |v2 AS (SELECT source, term FROM v WHERE term <> ''),
+         |sz AS (SELECT source, count(*) AS n FROM v2 GROUP BY source),
+         |iv AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+         |  FROM v2 a JOIN v2 b ON a.term = b.term AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT iv.src_a, iv.src_b, CAST(iv.inter AS BIGINT) AS inter,
+         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |  CAST(iv.inter AS DOUBLE) / (sa.n + sb.n - iv.inter) AS jaccard
+         |FROM iv JOIN sz sa ON iv.src_a = sa.source
+         |        JOIN sz sb ON iv.src_b = sb.source"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val v = documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+      val sz = v.groupBy("source").agg(count(lit(1)).as("n"))
+      val iv = v
+        .toDF("src_a", "term")
+        .join(v.toDF("src_b", "term"), "term")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("inter"))
+      iv
+        .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+        .select(
+          col("src_a"),
+          col("src_b"),
+          col("inter"),
+          col("n_a"),
+          col("n_b"),
+          (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+            .as("jaccard")
+        )
+    },
+
+    // Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the top-100
+    // corpus terms. The log values (libm, identical inputs both engines)
+    // are quantized to 9 decimals and summed as DECIMAL — exact and
+    // summation-order-independent, so the only float steps are the final
+    // slope/intercept combinations on identical inputs; outputs round to 6
+    // to absorb libm last-ulp drift (the established entropy-entry rule).
+    // The top-100 cut is a TakeOrdered with a term tie-break.
+    QEntry.sql(
+      "txt_zipf_slope",
+      s"""WITH tf AS (SELECT term, count(*) AS cnt
+         |  FROM (SELECT unnest($wordsSql) AS term FROM documents) t
+         |  WHERE term <> '' GROUP BY term),
+         |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+         |  FROM tf ORDER BY cnt DESC, term LIMIT 100),
+         |pts AS (SELECT
+         |    CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(15,9)) AS x,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(15,9)) AS y
+         |  FROM top),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS DECIMAL(28,9)) AS sx, CAST(sum(y) AS DECIMAL(28,9)) AS sy,
+         |    CAST(sum(x * y) AS DECIMAL(38,18)) AS sxy,
+         |    CAST(sum(x * x) AS DECIMAL(38,18)) AS sxx
+         |  FROM pts)
+         |SELECT n,
+         |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) -
+         |         (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+         |        ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) -
+         |         (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 6) AS zipf_slope
+         |FROM s""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val tf = documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term")
+        .agg(count(lit(1)).as("cnt"))
+      val top = tf
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(100)
+        .withColumn(
+          "rank",
+          // constant-0 non-foldable key: single partition by design over the
+          // 100 post-limit rows, without the empty-partition-spec warning
+          row_number().over(
+            Window.partitionBy(pmod(col("cnt"), lit(1))).orderBy(col("cnt").desc, col("term"))
+          )
+        )
+      val pts = top.select(
+        round(log(col("rank").cast("double")), 9).cast("decimal(15,9)").as("x"),
+        round(log(col("cnt").cast("double")), 9).cast("decimal(15,9)").as("y")
+      )
+      pts
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").cast("decimal(28,9)").as("sx"),
+          sum("y").cast("decimal(28,9)").as("sy"),
+          sum(col("x") * col("y")).cast("decimal(38,18)").as("sxy"),
+          sum(col("x") * col("x")).cast("decimal(38,18)").as("sxx")
+        )
+        .select(
+          col("n"),
+          round(
+            ((col("n").cast("double") * col("sxy").cast("double")) -
+              (col("sx").cast("double") * col("sy").cast("double"))) /
+              ((col("n").cast("double") * col("sxx").cast("double")) -
+                (col("sx").cast("double") * col("sx").cast("double"))),
+            6
+          ).as("zipf_slope")
+        )
     }
   )
 }
