@@ -298,6 +298,71 @@ object Curation {
       )
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document by how
+    * much more likely its tokens are under a TARGET distribution than under
+    * the RAW corpus distribution, using hashed unigram features —
+    * `w(doc) = Σ_t [ln p̂_target(bucket(t)) − ln p̂_raw(bucket(t))]` with
+    * add-one smoothing over `buckets` hashed vocabulary cells (the hashing
+    * is what bounds the feature space at corpus scale; md5-derived so every
+    * engine agrees on cell assignment). High-weight docs look like the
+    * target slice; resampling by these weights steers a pretraining mixture
+    * toward it.
+    *
+    * Shapes: the bucket statistics table is `buckets` rows — broadcast to
+    * the token stream; the per-doc reduction quantizes each log-ratio to 9
+    * decimals and sums as DECIMAL, so document scores are independent of
+    * token summation order (float Σ is not); outputs round to 6 to absorb
+    * libm ln() drift. One narrow explode, two partial-agg shuffles (bucket
+    * stats, per-doc sum).
+    *
+    * @param targetPred rows where this predicate holds form the target slice
+    * @param buckets    hashed vocabulary size (power of two conventional)
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      buckets: Int = 1024
+  ): DataFrame = {
+    val toks = docs
+      .select(col(idCol), targetPred.as("_tgt"), explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("_t"))
+      .filter(col("_t") =!= "")
+      .withColumn(
+        "_b",
+        pmod(conv(substring(md5(col("_t")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+      )
+    val stats = toks
+      .groupBy("_b")
+      .agg(
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
+        count(lit(1)).as("_cr")
+      )
+    val totals = stats.agg(
+      sum("_ct").cast("long").as("_nt"),
+      sum("_cr").cast("long").as("_nr")
+    )
+    val ratio = stats
+      .crossJoin(broadcast(totals))
+      .select(
+        col("_b"),
+        round(
+          log((col("_ct") + 1).cast("double") / (col("_nt") + buckets).cast("double")) -
+            log((col("_cr") + 1).cast("double") / (col("_nr") + buckets).cast("double")),
+          9
+        ).cast("decimal(18,9)").as("_lr")
+      )
+    toks
+      .join(broadcast(ratio), "_b")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("_lr").cast("decimal(28,9)").cast("double").as("_w")
+      )
+      .select(col(idCol), col("n_tokens"), round(col("_w"), 6).as("dsir_weight"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4), deterministic: a
     * span STARTS at token `p` of a document iff the md5 hash position of
     * `"<id>:<p>"` falls below `rate / spanLen` — the same engine/run/

@@ -1216,6 +1216,117 @@ object AnalyticsQueries {
           expr("cnt * 1000000 div n").as("obs_ppm"),
           expShare.as("exp_share")
         )
+    },
+
+    // Theil-Sen robust trend of monthly revenue: the LOWER MEDIAN of all
+    // pairwise slopes (c_j − c_i)/(j − i) over the pre-aggregated month
+    // series. Facts reduce to ~100 calendar-bounded rows before the
+    // quadratic pair join (≤ ~5000 pairs — bounded by the calendar², never
+    // the corpus); each slope is ONE correctly-rounded division of exact
+    // BIGINTs, and the median PICKS an element (no averaging), with a
+    // (slope, i, j) total order, so the result ships bit-identical and
+    // unrounded. The robust alternative q_regr_per_group's OLS can't give.
+    QEntry.sql(
+      "q_theilsen_trend",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY month),
+        |idx AS (SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS i FROM m),
+        |pr AS (SELECT a.i AS i, b.i AS j,
+        |    CAST(b.cents - a.cents AS DOUBLE) / (b.i - a.i) AS slope
+        |  FROM idx a JOIN idx b ON a.i < b.i),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr),
+        |r AS (SELECT slope,
+        |    row_number() OVER (ORDER BY slope, i, j) AS rn FROM pr)
+        |SELECT np.n_pairs, r.slope AS theil_slope
+        |FROM r CROSS JOIN np WHERE r.rn = (np.n_pairs + 1) // 2"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      val idx = m
+        .select(
+          col("cents"),
+          row_number()
+            .over(Window.partitionBy(pmod(col("cents"), lit(1))).orderBy("month"))
+            .cast("long")
+            .as("i")
+        )
+      val pr = idx
+        .toDF("ca", "i")
+        .join(idx.toDF("cb", "j"), col("i") < col("j"))
+        .select(
+          col("i"),
+          col("j"),
+          ((col("cb") - col("ca")).cast("double") / (col("j") - col("i"))).as("slope")
+        )
+      val np = pr.agg(count(lit(1)).as("n_pairs"))
+      pr
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(pmod(col("i"), lit(1))).orderBy("slope", "i", "j")
+          )
+        )
+        .crossJoin(broadcast(np))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("n_pairs"), col("slope").as("theil_slope"))
+    },
+
+    // Two-proportion z-test: weekend vs weekday purchase-conversion rate
+    // over the event log. Day-of-week from pure integer epoch-day
+    // arithmetic ((dday % 7): 0 = Thursday ⇒ weekend = {2, 3}) — no engine
+    // calendar functions whose week conventions differ. The z statistic is
+    // a fixed-parenthesization chain of correctly-rounded ops over four
+    // exact BIGINTs, so it ships unrounded.
+    QEntry.sql(
+      "q_ab_test_z",
+      """WITH e AS (SELECT
+        |    (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7) IN (2, 3)
+        |      AS weekend,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        |g AS (SELECT weekend, count(*) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c FROM e GROUP BY weekend),
+        |s AS (SELECT
+        |    CAST(max(CASE WHEN weekend THEN n END) AS BIGINT) AS n_a,
+        |    max(CASE WHEN weekend THEN c END) AS c_a,
+        |    CAST(max(CASE WHEN NOT weekend THEN n END) AS BIGINT) AS n_b,
+        |    max(CASE WHEN NOT weekend THEN c END) AS c_b
+        |  FROM g)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  ((CAST(c_a AS DOUBLE) / n_a) - (CAST(c_b AS DOUBLE) / n_b)) /
+        |    sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (CAST(1 AS DOUBLE) - (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)))
+        |      * ((CAST(1 AS DOUBLE) / n_a) + (CAST(1 AS DOUBLE) / n_b))) AS z
+        |FROM s""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val e = events(s, d).select(
+        (pmod(datediff(to_date(col("ts")), lit("1970-01-01")).cast("bigint"), lit(7L))
+          .isin(2L, 3L)).as("weekend"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv")
+      )
+      val g = e.groupBy("weekend").agg(count(lit(1)).as("n"), sum("conv").cast("long").as("c"))
+      val sRow = g.agg(
+        max(when(col("weekend"), col("n"))).cast("long").as("n_a"),
+        max(when(col("weekend"), col("c"))).as("c_a"),
+        max(when(!col("weekend"), col("n"))).cast("long").as("n_b"),
+        max(when(!col("weekend"), col("c"))).as("c_b")
+      )
+      val pa = col("c_a").cast("double") / col("n_a")
+      val pb = col("c_b").cast("double") / col("n_b")
+      val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+      sRow.select(
+        col("n_a"),
+        col("c_a"),
+        col("n_b"),
+        col("c_b"),
+        ((pa - pb) /
+          sqrt(pp * (lit(1.0) - pp) *
+            ((lit(1.0) / col("n_a")) + (lit(1.0) / col("n_b"))))).as("z")
+      )
     }
   )
 }

@@ -287,6 +287,38 @@ object CurationQueries {
       }
     ) { (s, d) =>
       Curation.spanCorrupt(documents(s, d), "doc_id", "text", 0.15, 3)
+    },
+
+    // DSIR importance weights: target slice = lang 'en'. The twin replays
+    // the md5 bucket hash digit-by-digit, the add-one-smoothed log-ratios
+    // (quantized to 9 decimals → DECIMAL, so per-doc sums are summation-
+    // order-independent) and the final round(6).
+    QEntry.sql(
+      "cur_dsir_weight",
+      s"""WITH toks AS (SELECT doc_id, (lang = 'en') AS tgt, unnest($wordsSql) AS t
+         |  FROM documents),
+         |tk AS (SELECT doc_id, tgt, t,
+         |    CAST(list_sum(list_transform(range(1, 9), i ->
+         |      (strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1)
+         |      * pow(16, 8 - i))) AS BIGINT) % 1024 AS b
+         |  FROM toks WHERE t <> ''),
+         |stats AS (SELECT b,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    count(*) AS cr
+         |  FROM tk GROUP BY b),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |    CAST(sum(cr) AS BIGINT) AS nr FROM stats),
+         |ratio AS (SELECT b,
+         |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+         |             - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9)) AS lr
+         |  FROM stats CROSS JOIN tot)
+         |SELECT tk.doc_id, count(*) AS n_tokens,
+         |  round(CAST(CAST(sum(lr) AS DECIMAL(28,9)) AS DOUBLE), 6) AS dsir_weight
+         |FROM tk JOIN ratio ON tk.b = ratio.b
+         |GROUP BY tk.doc_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.dsirWeights(documents(s, d), "doc_id", "text", col("lang") === "en", 1024)
     }
   )
 }

@@ -346,6 +346,75 @@ object TextQueries {
             6
           ).as("zipf_slope")
         )
+    },
+
+    // Rank-biased overlap (Webber et al. 2010) between the occurrence-count
+    // and doc-frequency top-20 term rankings — the standard top-weighted
+    // agreement metric for comparing two rankers. Truncated form:
+    // RBO@k = Σ_{d≤k} (1−p)·p^(d−1) · |A_d ∩ B_d| / d, p = 0.9. The 20
+    // geometric weights are Scala-computed literals interpolated into BOTH
+    // engines (e-notation, typed DOUBLE); prefix-overlap counts are exact
+    // ints; each depth's contribution quantizes to 12 decimals and sums as
+    // DECIMAL (order-free). Both rankings are TakeOrdered top-20s — the
+    // depth join touches ≤ 20×20 rows.
+    QEntry.sql(
+      "txt_rbo_rankings", {
+        val wCase = (1 to 20)
+          .map { dd =>
+            val v = (0.1 * math.pow(0.9, dd - 1)).toString
+            val l = if (v.contains("E") || v.contains("e")) s"${v.replace("E", "e")}" else s"${v}e0"
+            s"WHEN $dd THEN $l"
+          }
+          .mkString(" ")
+        s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+           |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+           |tf AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+           |atop AS (SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS ra
+           |  FROM (SELECT * FROM tf ORDER BY cnt DESC, term LIMIT 20) t),
+           |dfq AS (SELECT term, count(*) AS dfc
+           |  FROM (SELECT DISTINCT doc_id, term FROM tk) u GROUP BY term),
+           |btop AS (SELECT term, row_number() OVER (ORDER BY dfc DESC, term) AS rb
+           |  FROM (SELECT * FROM dfq ORDER BY dfc DESC, term LIMIT 20) t),
+           |ab AS (SELECT atop.term, ra, rb FROM atop JOIN btop USING (term)),
+           |ds AS (SELECT unnest(range(1, 21)) AS d),
+           |xd AS (SELECT ds.d AS d, count(ab.term) AS x
+           |  FROM ds LEFT JOIN ab ON ab.ra <= ds.d AND ab.rb <= ds.d GROUP BY ds.d),
+           |c AS (SELECT d, CAST(round((CASE d $wCase END) * x / d, 12)
+           |    AS DECIMAL(16,12)) AS contrib FROM xd)
+           |SELECT CAST(20 AS BIGINT) AS k,
+           |  round(CAST(CAST(sum(contrib) AS DECIMAL(28,12)) AS DOUBLE), 6) AS rbo
+           |FROM c""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val tk = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      def ranked(counts: org.apache.spark.sql.DataFrame, cName: String, rName: String) =
+        counts
+          .orderBy(col(cName).desc, col("term"))
+          .limit(20)
+          .withColumn(
+            rName,
+            row_number().over(
+              Window.partitionBy(pmod(col(cName), lit(1))).orderBy(col(cName).desc, col("term"))
+            )
+          )
+          .select(col("term"), col(rName))
+      val atop = ranked(tk.groupBy("term").agg(count(lit(1)).as("cnt")), "cnt", "ra")
+      val btop = ranked(tk.distinct().groupBy("term").agg(count(lit(1)).as("dfc")), "dfc", "rb")
+      val ab = atop.join(btop, "term")
+      val ds = s.range(1, 21).toDF("d")
+      val xd = ds
+        .join(ab, col("ra") <= col("d") && col("rb") <= col("d"), "left")
+        .groupBy("d")
+        .agg(count(col("term")).as("x"))
+      val wExpr = (1 to 20).foldLeft(lit(null).cast("double")) { (acc, dd) =>
+        when(col("d") === dd, lit(0.1 * math.pow(0.9, dd - 1))).otherwise(acc)
+      }
+      xd
+        .select(round(wExpr * col("x") / col("d"), 12).cast("decimal(16,12)").as("contrib"))
+        .agg(sum("contrib").cast("decimal(28,12)").cast("double").as("_r"))
+        .select(lit(20L).as("k"), round(col("_r"), 6).as("rbo"))
     }
   )
 }

@@ -143,6 +143,32 @@ class CurationSpec extends SparkSpec {
       again.map(r => r.getLong(0) -> r.getString(3)).toMap)
   }
 
+  test("dsir weights rank target-like docs above off-target docs; partition-independent") {
+    val s = spark
+    import s.implicits._
+    // target slice (id < 10) speaks "alpha"; the rest speak "omega"; probe
+    // docs mix them — weight must order by target-likeness
+    val rows =
+      (0L until 10L).map(i => (i, "alpha alpha alpha alpha", true)) ++
+        (10L until 20L).map(i => (i, "omega omega omega omega", false)) ++
+        Seq((100L, "alpha alpha alpha omega", false), (101L, "alpha omega omega omega", false))
+    val docs = rows.toDF("doc_id", "text", "tgt")
+    val out = graft.operators.Curation
+      .dsirWeights(docs, "doc_id", "text", col("tgt"), 64)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("dsir_weight"))
+      .toMap
+    assert(out(0L) > out(100L), s"pure target not above mixed: $out")
+    assert(out(100L) > out(101L), s"3:1 mix not above 1:3 mix: $out")
+    assert(out(101L) > out(10L), s"1:3 mix not above pure off-target: $out")
+    val again = graft.operators.Curation
+      .dsirWeights(docs.repartition(5), "doc_id", "text", col("tgt"), 64)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("dsir_weight"))
+      .toMap
+    assert(out == again, "weights changed under repartitioning")
+  }
+
   test("span corruption hits the target rate, merges spans, and is partition-independent") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = graft.operators.Curation.spanCorrupt(docs, "doc_id", "text", 0.15, 3).collect()
