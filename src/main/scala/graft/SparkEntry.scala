@@ -18,7 +18,7 @@ object SparkEntry {
     FragQueries.entries ++ RelationalQueries.entries ++ AnalyticsQueries.entries ++
       BehaviorQueries.entries ++ TextQueries.entries ++ PipelineQueries.entries ++
       CurationQueries.entries ++ MultimodalQueries.entries ++ SourceQueries.entries ++
-      RetrievalQueries.entries ++ StatQueries.entries
+      RetrievalQueries.entries ++ StatQueries.entries ++ GraphQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

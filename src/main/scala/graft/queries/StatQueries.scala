@@ -680,6 +680,65 @@ object StatQueries {
           (sum(clamped).cast("double") / (col("n").cast("double") * 100))
             .as("winsor_mean")
         )
+    },
+
+    // Approximate-quantile GUARANTEE gate: the sketch value itself is not
+    // oracle-replayable (DuckDB has no GK sketch), but its rank-error BOUND
+    // is — approx_percentile(·, 0.5, a) must return a value whose rank is
+    // within n/a (+1 slack for rank conventions) of the true median rank,
+    // for ANY partitioning/merge order. The entry outputs the exact lower
+    // median (value-oracled the usual way) plus the bound check as a
+    // boolean; the oracle asserts TRUE, so a sketch regression flips the
+    // row red. This is how an approximate operator earns a hard oracle.
+    QEntry.sql(
+      "q_approx_quantile_guard",
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |r AS (SELECT flag, cents,
+        |    CAST(row_number() OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n
+        |  FROM b)
+        |SELECT flag, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS exact_median_cents,
+        |  TRUE AS approx_within_bound
+        |FROM r GROUP BY flag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val acc = 10000
+      val b = lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents")
+      )
+      val approx = b
+        .groupBy("flag")
+        .agg(expr(s"approx_percentile(cents, 0.5D, $acc)").as("v"))
+      val wOrd = Window.partitionBy("flag").orderBy("cents")
+      val wAll = Window.partitionBy("flag")
+      val exact = b
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("flag")
+        .agg(
+          max("n").cast("long").as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+            .as("exact_median_cents")
+        )
+      val ranks = b
+        .join(broadcast(approx), "flag")
+        .groupBy("flag")
+        .agg(
+          sum(when(col("cents") < col("v"), 1L).otherwise(0L)).as("c_lt"),
+          sum(when(col("cents") <= col("v"), 1L).otherwise(0L)).as("c_le")
+        )
+      exact
+        .join(broadcast(ranks), "flag")
+        .select(
+          col("flag"),
+          col("n"),
+          col("exact_median_cents"),
+          ((col("c_lt") + 1 <= expr(s"(n + 1) div 2") + expr(s"n div $acc") + 1) &&
+            (col("c_le") >= expr(s"(n + 1) div 2") - expr(s"n div $acc") - 1))
+            .as("approx_within_bound")
+        )
     }
   )
 }
