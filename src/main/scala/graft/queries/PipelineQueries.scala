@@ -961,11 +961,12 @@ object PipelineQueries {
          |  FROM embeddings),
          |p AS (SELECT label, CAST(t.i AS BIGINT) AS i,
          |    CAST(CAST(t.v AS DOUBLE) AS DECIMAL(18,10)) AS v FROM ex),
-         |sums AS (SELECT label, i, CAST(sum(v) AS DECIMAL(18,10)) AS sv
+         |sums AS (SELECT label, i, CAST(sum(v) AS DECIMAL(18,10)) AS sv,
+         |    count(*) AS nv
          |  FROM p GROUP BY label, i),
          |norms AS (SELECT label, CAST(sum(sv * sv) AS DECIMAL(38,20)) AS norm2
          |  FROM sums GROUP BY label),
-         |cnts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+         |cnts AS (SELECT label, nv AS n FROM sums WHERE i = 0),
          |dots AS (SELECT a.label AS label_a, b.label AS label_b,
          |    CAST(sum(a.sv * b.sv) AS DECIMAL(38,20)) AS dot
          |  FROM sums a JOIN sums b ON a.i = b.i AND a.label < b.label
@@ -991,15 +992,20 @@ object PipelineQueries {
           col("v").cast("double").cast("decimal(18,10)").as("v")
         )
         .groupBy("label", "i")
-        .agg(sum("v").cast("decimal(18,10)").as("sv"))
+        .agg(sum("v").cast("decimal(18,10)").as("sv"), count(lit(1)).as("nv"))
         .localCheckpoint()
       val norms = sums
         .groupBy("label")
         .agg(sum(col("sv") * col("sv")).cast("decimal(38,20)").as("norm2"))
-      val cnts = e.groupBy("label").agg(count(lit(1)).as("n"))
+      // vector count rides the per-dim aggregate (row count at i = 0), so
+      // the embeddings table is scanned ONCE
+      val cnts = sums.filter(col("i") === 0).select(col("label"), col("nv").as("n"))
       val dots = sums
+        .select("label", "i", "sv")
         .toDF("label_a", "i", "sva")
-        .join(sums.toDF("label_b", "i2", "svb"), col("i") === col("i2") && col("label_a") < col("label_b"))
+        .join(
+          sums.select("label", "i", "sv").toDF("label_b", "i2", "svb"),
+          col("i") === col("i2") && col("label_a") < col("label_b"))
         .groupBy("label_a", "label_b")
         .agg(sum(col("sva") * col("svb")).cast("decimal(38,20)").as("dot"))
       dots
