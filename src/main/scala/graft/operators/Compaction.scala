@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Small-file compaction — the table-maintenance pass every long-lived
   * ingestion path needs: streaming and per-batch appends accumulate
@@ -58,5 +60,59 @@ object Compaction {
     if (!fs.delete(backup, true))
       sys.error(s"compaction: swap complete but backup $backup was not removed")
     (before.length, dataFiles(path).length)
+  }
+
+  /** SELECTIVE compaction planning — the step before [[compactParquet]]'s
+    * whole-directory rewrite when most files are already well-sized: group
+    * only the undersized files into rewrite bins of roughly `targetBytes`,
+    * leaving big files untouched (rewriting them buys nothing and costs a
+    * full copy).
+    *
+    * Greedy NEXT-FIT shelf assignment as one keyed window: files ordered
+    * (size DESC, path), running byte sum over the small files,
+    * `bin = floor((cumsum − size) / target)` — each bin fills to at least
+    * `targetBytes` before the next opens, and every bin stays under
+    * `target + its largest member`. Keyed by the table partition columns,
+    * so planning parallelizes across partitions with one running scalar of
+    * state per key; the rewrite step groups by (partition, bin) and writes
+    * one file per bin.
+    *
+    * @param files       one row per file with `partCols`, `pathCol`, `sizeCol`
+    * @param partCols    partition-directory columns planning is keyed by
+    *                    (empty = whole listing as one planning key)
+    * @param targetBytes rewrite bin target size, > 0
+    * @return input rows plus `bin` (−1 = keep as-is) and `bin_bytes`
+    */
+  def planBins(
+      files: DataFrame,
+      partCols: Seq[String],
+      pathCol: String,
+      sizeCol: String,
+      targetBytes: Long
+  ): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val keyCols =
+      if (partCols.nonEmpty) partCols.map(col)
+      else Seq(pmod(length(col(pathCol)), lit(1))) // constant, non-foldable
+    val w = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col(sizeCol).desc, col(pathCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val small = col(sizeCol) < targetBytes
+    val cum = sum(when(small, col(sizeCol)).otherwise(0L)).over(w)
+    val bins = files
+      .withColumn("_cum", cum)
+      .withColumn(
+        "bin",
+        when(small, ((col("_cum") - col(sizeCol)) / targetBytes).cast("long"))
+          .otherwise(lit(-1L))
+      )
+    val wBin = Window.partitionBy(keyCols :+ col("bin"): _*)
+    bins
+      .withColumn(
+        "bin_bytes",
+        when(col("bin") >= 0, sum(col(sizeCol)).over(wBin)).otherwise(col(sizeCol))
+      )
+      .drop("_cum")
   }
 }
