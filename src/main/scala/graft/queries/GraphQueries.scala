@@ -35,17 +35,22 @@ object GraphQueries {
   /** One PageRank step: r' = round((1−d)/N + d·Σ_in round(r_u/outdeg_u, 12),
     * 12), with the inner sum DECIMAL-exact. `ranks` is (node, r) with r
     * DECIMAL(18,12).
+    *
+    * `edgesW` carries outdeg pre-joined (computed ONCE, not per iteration)
+    * and the rank vector is BROADCAST: it is node-sized (≤ |supplier|, the
+    * slow-growing dimension), so each iteration is a broadcast-hash join over
+    * the stationary edge partitioning plus one partial agg — no edge shuffle
+    * per round. At a node count past broadcast range, drop the hint and the
+    * same plan degrades gracefully to a shuffle join.
     */
   private def step(
       ranks: DataFrame,
-      edges: DataFrame,
-      outdeg: DataFrame,
+      edgesW: DataFrame,
       nodes: DataFrame,
       invN: Double
   ): DataFrame = {
-    val contrib = edges
-      .join(ranks.withColumnRenamed("node", "src"), "src")
-      .join(outdeg, "src")
+    val contrib = edgesW
+      .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
       .select(
         col("dst").as("node"),
         round(col("r").cast("double") / col("outdeg"), 12)
@@ -55,7 +60,7 @@ object GraphQueries {
       .groupBy("node")
       .agg(sum("c").cast("decimal(28,12)").as("inflow"))
     nodes
-      .join(contrib, Seq("node"), "left")
+      .join(broadcast(contrib), Seq("node"), "left")
       .select(
         col("node"),
         round(
@@ -111,12 +116,16 @@ object GraphQueries {
       val nodes = supplier(s, d).select(col("s_suppkey").as("node"))
       val n = nodes.count() // one scalar: N is metadata, not data
       val invN = 1.0 / n
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // outdeg joined once, lineage truncated — without this every iteration
+      // re-aggregates the edge list and re-runs the edges⋈outdeg join
+      val edgesW = edges
+        .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .localCheckpoint()
       val r0 = nodes.select(
         col("node"),
         round(lit(invN), 12).cast("decimal(18,12)").as("r")
       )
-      val r3 = (1 to Iters).foldLeft(r0)((r, _) => step(r, edges, outdeg, nodes, invN))
+      val r3 = (1 to Iters).foldLeft(r0)((r, _) => step(r, edgesW, nodes, invN))
       r3
         .orderBy(col("r").desc, col("node"))
         .limit(20)
