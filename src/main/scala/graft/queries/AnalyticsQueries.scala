@@ -1327,6 +1327,181 @@ object AnalyticsQueries {
           sqrt(pp * (lit(1.0) - pp) *
             ((lit(1.0) / col("n_a")) + (lit(1.0) / col("n_b"))))).as("z")
       )
+    },
+
+    // Market-basket association rules over part brands co-occurring in an
+    // order: support / confidence / lift for the top-50 brand pairs, all
+    // three as exact integer-ppm ratios of BIGINT counts (no float division
+    // anywhere). The pair generation is an ORDER-KEYED self-join — fan-out
+    // bounded by distinct-brands-per-order², never |brands|² over the corpus
+    // — and the (order, brand) frame is lineage-truncated because three
+    // consumers (order count, brand counts, pair counts) would otherwise
+    // each re-run the lineitem⋈part join. Counts stay within int64 through
+    // sf1 (pair·orders·10⁶ ≤ ~2e18); beyond that route the lift product
+    // through DECIMAL(38,0) like q_gini_concentration.
+    QEntry.sql(
+      "q_basket_lift",
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+        |bc AS (SELECT brand, CAST(count(*) AS BIGINT) AS cnt FROM ob GROUP BY brand),
+        |pc AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY a.brand, b.brand)
+        |SELECT pc.brand_a, pc.brand_b, pc.pair_cnt,
+        |  CAST(pc.pair_cnt * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+        |  CAST(pc.pair_cnt * 1000000 // ca.cnt AS BIGINT) AS conf_a_to_b_ppm,
+        |  CAST(pc.pair_cnt * n.n_orders * 1000000 // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+        |FROM pc CROSS JOIN n
+        |JOIN bc ca ON ca.brand = pc.brand_a
+        |JOIN bc cb ON cb.brand = pc.brand_b
+        |ORDER BY pc.pair_cnt DESC, pc.brand_a, pc.brand_b LIMIT 50"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ob = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+        .join(part(s, d).select(col("p_partkey"), col("p_brand").as("brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select("ok", "brand")
+        .distinct()
+        .localCheckpoint() // three consumers; don't re-run the fact⋈dim join
+      val nOrders = ob.agg(countDistinct("ok").cast("long").as("n_orders"))
+      val bc = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
+      val pc = ob
+        .toDF("ok", "brand_a")
+        .join(ob.toDF("ok", "brand_b"), "ok")
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(count(lit(1)).as("pair_cnt"))
+      pc
+        .crossJoin(broadcast(nOrders))
+        .join(broadcast(bc.toDF("brand_a", "cnt_a")), "brand_a")
+        .join(broadcast(bc.toDF("brand_b", "cnt_b")), "brand_b")
+        .select(
+          col("brand_a"),
+          col("brand_b"),
+          col("pair_cnt"),
+          expr("pair_cnt * 1000000L div n_orders").as("support_ppm"),
+          expr("pair_cnt * 1000000L div cnt_a").as("conf_a_to_b_ppm"),
+          expr("pair_cnt * n_orders * 1000000L div (cnt_a * cnt_b)").as("lift_ppm")
+        )
+        .orderBy(col("pair_cnt").desc, col("brand_a"), col("brand_b"))
+        .limit(50)
+    },
+
+    // Per-nation Gini coefficient of customer spend concentration (the
+    // wealth-inequality Gini over the Lorenz curve — distinct from the
+    // category-mix impurity of q_gini_impurity): with per-customer spend
+    // cents x₁ ≤ … ≤ xₙ ranked inside each nation,
+    // G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), reported in exact ppm. The rank
+    // is a total order ((cents, custkey)) so both engines see identical i;
+    // every sum is BIGINT; the single overflow-prone step — numerator×10⁶
+    // reaches ~4e20 at sf0.1 — runs as DECIMAL(38,0) integral division on
+    // both sides. Keyed window per nation: state bounded by customers per
+    // nation, never the corpus.
+    QEntry.sql(
+      "q_gini_concentration",
+      """WITH sp AS (SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |x AS (SELECT n.n_name AS nation, sp.cents, sp.ck,
+        |    CAST(row_number() OVER (PARTITION BY n.n_name
+        |      ORDER BY sp.cents, sp.ck) AS BIGINT) AS i
+        |  FROM sp JOIN customer c ON sp.ck = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS tot,
+        |    CAST(sum(i * cents) AS BIGINT) AS wsum
+        |  FROM x GROUP BY nation)
+        |SELECT nation, n, tot,
+        |  CAST(CAST(2 * wsum - (n + 1) * tot AS HUGEINT) * 1000000
+        |    // (n * tot) AS BIGINT) AS gini_ppm
+        |FROM g""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val sp = orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      val x = sp
+        .join(customer(s, d), col("ck") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("n_name").as("nation"),
+          col("cents"),
+          row_number()
+            .over(Window.partitionBy("n_name").orderBy("cents", "ck"))
+            .cast("long")
+            .as("i")
+        )
+      x.groupBy("nation")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("cents").cast("long").as("tot"),
+          sum(col("i") * col("cents")).cast("long").as("wsum")
+        )
+        .select(
+          col("nation"),
+          col("n"),
+          col("tot"),
+          expr(
+            "CAST((CAST(2 * wsum - (n + 1) * tot AS DECIMAL(38,0)) * 1000000)" +
+              " div (n * tot) AS BIGINT)"
+          ).as("gini_ppm")
+        )
+    },
+
+    // Mann-Whitney U as ROC-AUC per order-month: does URGENT priority
+    // predict a higher order value? Midranks handled exactly — the DOUBLED
+    // rank sum 2·R₁ = Σ(2·rank_min + ties − 1) stays integer, so
+    // AUC = (2R₁ − n₁(n₁+1)) / (2·n₁·n₂) is one exact-integer ppm division.
+    // Both windows are month-keyed (calendar-bounded partitions); support
+    // gating n₁>0 ∧ n₂>0 keeps degenerate months out on both engines.
+    QEntry.sql(
+      "q_mannwhitney_auc",
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp
+        |  FROM orders),
+        |r AS (SELECT month, cents, grp,
+        |    CAST(rank() OVER (PARTITION BY month ORDER BY cents) AS BIGINT) AS rmin,
+        |    CAST(count(*) OVER (PARTITION BY month, cents) AS BIGINT) AS ties
+        |  FROM o),
+        |g AS (SELECT month,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 2 * rmin + ties - 1 END) AS BIGINT) AS r2_urgent,
+        |    CAST(sum(grp) AS BIGINT) AS n1,
+        |    CAST(count(*) AS BIGINT) - CAST(sum(grp) AS BIGINT) AS n2
+        |  FROM r GROUP BY month)
+        |SELECT month, n1, n2,
+        |  CAST((r2_urgent - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2) AS BIGINT) AS auc_ppm
+        |FROM g WHERE n1 > 0 AND n2 > 0"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("grp")
+      )
+      val r = o.select(
+        col("month"),
+        col("grp"),
+        rank().over(Window.partitionBy("month").orderBy("cents")).cast("long").as("rmin"),
+        count(lit(1)).over(Window.partitionBy("month", "cents")).cast("long").as("ties")
+      )
+      r.groupBy("month")
+        .agg(
+          sum(when(col("grp") === 1L, lit(2L) * col("rmin") + col("ties") - 1L))
+            .cast("long")
+            .as("r2_urgent"),
+          sum("grp").cast("long").as("n1"),
+          (count(lit(1)) - sum("grp")).cast("long").as("n2")
+        )
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .select(
+          col("month"),
+          col("n1"),
+          col("n2"),
+          expr("(r2_urgent - n1 * (n1 + 1)) * 1000000L div (2 * n1 * n2)").as("auc_ppm")
+        )
     }
   )
 }

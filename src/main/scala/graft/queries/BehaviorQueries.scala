@@ -368,6 +368,43 @@ object BehaviorQueries {
           count(lit(1)).as("n_merged"),
           sum(col("hi") - col("lo") + 1).cast("bigint").as("days_covered")
         )
+    },
+
+    // SCD Type-2 dimension build from the event log: each user's event_type
+    // history collapses to effective-dated rows (valid_from, valid_to,
+    // version, is_current) — change detection via lag over the (ts,
+    // event_id) total order, interval close via lead, literal far-future
+    // sentinel on the open row. Both windows are USER-KEYED: state is one
+    // user's history, so the build parallelizes by entity at warehouse
+    // scale (vs the serial MERGE-loop formulation).
+    QEntry.sql(
+      "q_scd2_intervals",
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us, event_id FROM events),
+        |o AS (SELECT user_id, event_type, us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |ch AS (SELECT user_id, event_type, us, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS vt,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS BIGINT) AS version
+        |  FROM ch)
+        |SELECT user_id, event_type,
+        |  strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  COALESCE(strftime(make_timestamp(vt), '%Y-%m-%d %H:%M:%S.%f'),
+        |    '9999-12-31 00:00:00.000000') AS valid_to,
+        |  version, CAST(vt IS NULL AS INT) AS is_current
+        |FROM v""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      graft.operators.Scd2.buildType2(
+        events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        keyCols = Seq("user_id"),
+        attrCols = Seq("event_type"),
+        orderCol = "ts",
+        tieCol = "event_id"
+      )
     }
   )
 }

@@ -805,6 +805,69 @@ object RelationalQueries {
         .join(dim, col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("price"))
+    },
+
+    // Largest-remainder proration: allocate a per-order fee pot (1% of the
+    // order total, in cents) across the order's line items proportionally
+    // to extended price, with the rounding residue distributed one cent at
+    // a time to the largest remainders — so Σalloc == pot EXACTLY per
+    // order (the invariant float proration can't give). Every step is
+    // BIGINT: base = pot·v // V, remainder rank = (pot·v mod V) desc with
+    // linenumber tie-break. All three windows are ORDER-KEYED (≤ 7 rows of
+    // state); products stay under 2^46. The textbook financial-allocation
+    // kernel, embarrassingly parallel by order.
+    QEntry.sql(
+      "q_prorate_fee",
+      """WITH l AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS pot FROM orders),
+        |j AS (SELECT l.l_orderkey, l.ln, l.v, o.pot,
+        |    CAST(sum(l.v) OVER (PARTITION BY l.l_orderkey) AS BIGINT) AS tv
+        |  FROM l JOIN o ON l.l_orderkey = o.o_orderkey),
+        |b AS (SELECT l_orderkey, ln, pot, tv,
+        |    pot * v // tv AS base, pot * v % tv AS rem FROM j),
+        |r AS (SELECT l_orderkey, ln, pot, base,
+        |    CAST(row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, ln) AS BIGINT) AS rk,
+        |    CAST(sum(base) OVER (PARTITION BY l_orderkey) AS BIGINT) AS sb
+        |  FROM b)
+        |SELECT l_orderkey, ln AS l_linenumber,
+        |  CAST(base + CASE WHEN rk <= pot - sb THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_cents
+        |FROM r""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val wOrd = Window.partitionBy("l_orderkey")
+      val l = lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("ln"),
+        round(col("l_extendedprice") * 100).cast("long").as("v")
+      )
+      val o = orders(s, d).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100").as("pot")
+      )
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("tv", sum("v").over(wOrd).cast("long"))
+        .select(
+          col("l_orderkey"),
+          col("ln"),
+          col("pot"),
+          expr("pot * v div tv").as("base"),
+          expr("pot * v % tv").as("rem")
+        )
+        .withColumn(
+          "rk",
+          row_number().over(wOrd.orderBy(col("rem").desc, col("ln"))).cast("long")
+        )
+        .withColumn("sb", sum("base").over(wOrd).cast("long"))
+        .select(
+          col("l_orderkey"),
+          col("ln").as("l_linenumber"),
+          (col("base") + when(col("rk") <= col("pot") - col("sb"), 1L).otherwise(0L))
+            .cast("long")
+            .as("alloc_cents")
+        )
     }
   )
 }

@@ -415,6 +415,54 @@ object TextQueries {
         .select(round(wExpr * col("x") / col("d"), 12).cast("decimal(16,12)").as("contrib"))
         .agg(sum("contrib").cast("decimal(28,12)").cast("double").as("_r"))
         .select(lit(20L).as("k"), round(col("_r"), 6).as("rbo"))
+    },
+
+    // SymSpell typo restoration end-to-end: md5-deterministic single-char
+    // deletions are INJECTED at rate 1/8 (same replay contract as
+    // cur_mlm_mask), the vocabulary self-calibrates on a RELATIVE frequency
+    // cut (≥ max/4 — scale-invariant where an absolute count flips between
+    // sfs), and each OOV form meets its source word on a deletion-variant
+    // EQUI-join — SymSpell's blocking, never an all-pairs edit-distance
+    // scan. See operators/SymSpell.scala for the scale shape.
+    QEntry.sql(
+      "txt_symspell_restore", {
+        val key = "CAST(doc_id AS VARCHAR) || ':' || CAST(u.s.p AS VARCHAR) || ':' || u.s.tk"
+        val hashpos =
+          s"""CAST(list_sum(list_transform(range(1, 9), i ->
+             |  (strpos('0123456789abcdef', substr(md5($key), CAST(i AS INT), 1)) - 1)
+             |  * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0""".stripMargin
+        val delval =
+          s"""CAST(list_sum(list_transform(range(9, 17), i ->
+             |  (strpos('0123456789abcdef', substr(md5($key), CAST(i AS INT), 1)) - 1)
+             |  * pow(16, 16 - i))) AS BIGINT)""".stripMargin
+        s"""WITH toks AS (
+           |  SELECT doc_id, u.s.p AS p, u.s.tk AS tok,
+           |    ($hashpos) < 0.125 AS corrupt,
+           |    1 + ($delval) % length(u.s.tk) AS delpos
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+           |        FROM documents) w,
+           |    unnest(list_transform(range(1, len(words) + 1),
+           |      i -> struct_pack(p := i, tk := words[i]))) AS u(s)
+           |  WHERE length(u.s.tk) >= 4),
+           |stream AS (SELECT CASE WHEN corrupt
+           |    THEN substr(tok, 1, CAST(delpos - 1 AS INT)) || substr(tok, CAST(delpos + 1 AS INT))
+           |    ELSE tok END AS tok FROM toks),
+           |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM stream GROUP BY tok),
+           |mx AS (SELECT CAST(max(freq) AS BIGINT) AS m FROM cnt),
+           |vocab AS (SELECT tok, freq FROM cnt CROSS JOIN mx WHERE freq >= m // 4),
+           |oov AS (SELECT tok, freq FROM cnt CROSS JOIN mx WHERE freq < m // 4),
+           |vr AS (SELECT v.tok AS good, v.freq AS good_freq, u.x AS variant
+           |  FROM vocab v, unnest(list_transform(range(1, CAST(length(v.tok) AS INT) + 1),
+           |    i -> substr(v.tok, 1, i - 1) || substr(v.tok, i + 1))) AS u(x)),
+           |cand AS (SELECT o.tok AS bad_tok, o.freq AS n_occ, vr.good, vr.good_freq,
+           |    row_number() OVER (PARTITION BY o.tok
+           |      ORDER BY vr.good_freq DESC, vr.good) AS rk
+           |  FROM oov o JOIN vr ON o.tok = vr.variant)
+           |SELECT bad_tok, good AS restored_tok, n_occ, good_freq AS restored_freq
+           |FROM cand WHERE rk = 1""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      graft.operators.SymSpell.restoreTypos(documents(s, d), "doc_id", "text")
     }
   )
 }
