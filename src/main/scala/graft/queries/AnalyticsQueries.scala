@@ -1502,6 +1502,108 @@ object AnalyticsQueries {
           col("n2"),
           expr("(r2_urgent - n1 * (n1 + 1)) * 1000000L div (2 * n1 * n2)").as("auc_ppm")
         )
+    },
+
+    // Population Stability Index — the production data-drift gate: per
+    // priority segment, compare the order-value distribution before vs
+    // after a cutover date across the REFERENCE period's deciles.
+    // Boundaries are exact order-stat picks over a (cents, orderkey) total
+    // order; bucket assignment counts boundaries ≤ x against the broadcast
+    // 9-value array; Laplace smoothing ((c+1)/(n+10)) removes the
+    // empty-bucket ln singularity without a data-dependent branch. The ten
+    // PSI terms are libm outputs, so each is quantized to 12 dp and summed
+    // as DECIMAL (order-free), final round 6 — the txt_zipf_slope ladder.
+    // Windows are segment-keyed (same posture as q_mad_per_group: few
+    // large partitions, parallel across segments at scale).
+    QEntry.sql(
+      "q_psi_drift",
+      """WITH r AS (SELECT o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey,
+        |    o_orderdate >= TIMESTAMP '1998-01-01' AS cur FROM orders),
+        |ref AS (SELECT prio, cents,
+        |    CAST(row_number() OVER (PARTITION BY prio ORDER BY cents, o_orderkey)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+        |  FROM r WHERE NOT cur),
+        |bnd AS (SELECT prio, list_sort(list(cents)) AS bs FROM ref
+        |  WHERE list_contains(list_transform(range(1, 10), k -> (k * n + 9) // 10), rn)
+        |  GROUP BY prio),
+        |bkt AS (SELECT r.prio, r.cur,
+        |    len(list_filter(b.bs, x -> r.cents >= x)) AS bucket
+        |  FROM r JOIN bnd b ON r.prio = b.prio),
+        |cnts AS (SELECT prio, cur, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM bkt GROUP BY prio, cur, bucket),
+        |grid AS (SELECT b.prio, u.k AS bucket FROM bnd b, unnest(range(0, 10)) AS u(k)),
+        |f AS (SELECT g.prio, g.bucket,
+        |    COALESCE(max(CASE WHEN NOT c.cur THEN c.c END), 0) AS ca,
+        |    COALESCE(max(CASE WHEN c.cur THEN c.c END), 0) AS cb
+        |  FROM grid g LEFT JOIN cnts c ON g.prio = c.prio AND g.bucket = c.bucket
+        |  GROUP BY g.prio, g.bucket),
+        |tot AS (SELECT prio, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM f GROUP BY prio),
+        |terms AS (SELECT f.prio,
+        |    CAST(round(
+        |      ((CAST(ca + 1 AS DOUBLE) / (na + 10)) - (CAST(cb + 1 AS DOUBLE) / (nb + 10)))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) / (CAST(cb + 1 AS DOUBLE) / (nb + 10))),
+        |      12) AS DECIMAL(16,12)) AS term
+        |  FROM f JOIN tot ON f.prio = tot.prio)
+        |SELECT t2.prio, tot.na AS n_ref, tot.nb AS n_cur,
+        |  round(CAST(CAST(sum(t2.term) AS DECIMAL(20,12)) AS DOUBLE), 6) AS psi
+        |FROM terms t2 JOIN tot ON t2.prio = tot.prio
+        |GROUP BY t2.prio, tot.na, tot.nb"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val r = orders(s, d).select(
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"),
+        expr("o_orderdate >= TIMESTAMP '1998-01-01'").as("cur")
+      )
+      val wp = Window.partitionBy("prio")
+      val ref = r
+        .filter(!col("cur"))
+        .select(
+          col("prio"),
+          col("cents"),
+          row_number().over(wp.orderBy("cents", "o_orderkey")).cast("long").as("rn"),
+          count(lit(1)).over(wp).cast("long").as("n")
+        )
+      val bnd = ref
+        .filter(expr("array_contains(transform(sequence(1, 9), k -> (k * n + 9) div 10), rn)"))
+        .groupBy("prio")
+        .agg(sort_array(collect_list("cents")).as("bs"))
+      val bkt = r
+        .join(broadcast(bnd), "prio")
+        .select(
+          col("prio"),
+          col("cur"),
+          expr("size(filter(bs, x -> cents >= x))").cast("long").as("bucket")
+        )
+      val cnts = bkt.groupBy("prio", "cur", "bucket").agg(count(lit(1)).as("c"))
+      val grid = bnd.select(col("prio"), explode(sequence(lit(0L), lit(9L))).as("bucket"))
+      val f = grid
+        .join(cnts, Seq("prio", "bucket"), "left")
+        .groupBy("prio", "bucket")
+        .agg(
+          coalesce(max(when(!col("cur"), col("c"))), lit(0L)).as("ca"),
+          coalesce(max(when(col("cur"), col("c"))), lit(0L)).as("cb")
+        )
+      val tot = f
+        .groupBy("prio")
+        .agg(sum("ca").cast("long").as("na"), sum("cb").cast("long").as("nb"))
+      val pa = (col("ca") + 1).cast("double") / (col("na") + 10)
+      val pb = (col("cb") + 1).cast("double") / (col("nb") + 10)
+      val terms = f
+        .join(tot, "prio")
+        .select(
+          col("prio"),
+          col("na"),
+          col("nb"),
+          round((pa - pb) * log(pa / pb), 12).cast("decimal(16,12)").as("term")
+        )
+      terms
+        .groupBy(col("prio"), col("na").as("n_ref"), col("nb").as("n_cur"))
+        .agg(round(sum("term").cast("decimal(20,12)").cast("double"), 6).as("psi"))
     }
   )
 }
