@@ -25,6 +25,43 @@ import graft.Tables._
   */
 object GraphQueries {
 
+  /** Recurring part co-occurrence graph shared by the triangle / k-core /
+    * assortativity entries: undirected edges (u < v) between parts sharing
+    * ≥ 2 distinct orders. The threshold keeps the graph sparse (the raw
+    * co-occurrence graph at sf0.1 fans 41M wedges); the build is one
+    * order-keyed self-join + partial agg.
+    */
+  private val GraphSql =
+    """lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |und AS (SELECT a.pk AS u, b.pk AS v FROM lp a JOIN lp b
+      |  ON a.ok = b.ok AND a.pk < b.pk GROUP BY u, v HAVING count(*) >= 2)"""
+      .stripMargin
+
+  /** Spark twin of [[GraphSql]]; caller decides whether to checkpoint. */
+  private def recurringPartGraph(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): DataFrame = {
+    val lp = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .distinct() // edge weight = distinct shared orders, not line pairs
+    lp.toDF("ok", "u")
+      .join(lp.toDF("ok", "v"), "ok")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("_w"))
+      .filter(col("_w") >= 2)
+      .select("u", "v")
+  }
+
+  /** Degree table of an undirected (u, v) edge list. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges
+      .select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("d"))
+
   private val Damping = 0.85
   // NOT computed as 1.0 − Damping: that double is 0.15000000000000002,
   // while both engines' literal 0.15 is the nearest double BELOW — the
@@ -143,10 +180,7 @@ object GraphQueries {
     // equi-join + partial agg over integer keys; counts are exact BIGINTs.
     QEntry.sql(
       "q_triangle_parts",
-      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |und AS (SELECT a.pk AS u, b.pk AS v
-        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY u, v HAVING count(*) >= 2),
+      s"""WITH $GraphSql,
         |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d FROM
         |  (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) GROUP BY x),
         |rk AS (SELECT node, d * 1000000000 + node AS r FROM deg),
@@ -162,23 +196,9 @@ object GraphQueries {
         |    ON w.x = o.s AND w.y = o.t) AS n_triangles"""
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-        .distinct() // edge weight = distinct shared orders, not line pairs
-      val und = li
-        .toDF("ok", "u")
-        .join(li.toDF("ok", "v"), "ok")
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v")
-        .agg(count(lit(1)).as("_w"))
-        .filter(col("_w") >= 2)
-        .select("u", "v")
+      val und = recurringPartGraph(s, d)
         .localCheckpoint() // degree pass + orientation both consume it
-      val deg = und
-        .select(col("u").as("node"))
-        .unionAll(und.select(col("v").as("node")))
-        .groupBy("node")
-        .agg(count(lit(1)).as("d"))
+      val deg = degrees(und)
       val rk = deg.select(col("node"), (col("d") * 1000000000L + col("node")).as("r"))
       val oriented = und
         .join(rk.toDF("u", "ru"), "u")
@@ -202,6 +222,112 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_edges"))
         .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
         .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+    },
+
+    // k-core decomposition, k=3, three unrolled prune rounds: drop nodes
+    // of degree < 3, keep edges whose endpoints both survive, repeat. Each
+    // round is one partial-agg (degrees) plus two semi-join-shaped equi
+    // joins — the standard distributed peel step; rounds are UNROLLED here
+    // (fixed 3) and at production depth run under localCheckpoint per
+    // round like Dedup.connectedComponents, converging when the node count
+    // fixes. Per-round (nodes, edges) census output; all counts exact.
+    QEntry.sql(
+      "q_kcore_parts",
+      s"""WITH $GraphSql,
+        |d1 AS (SELECT x AS node, count(*) AS d FROM
+        |  (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) GROUP BY x),
+        |n1 AS (SELECT node FROM d1 WHERE d >= 3),
+        |e1 AS (SELECT u, v FROM und JOIN n1 a ON und.u = a.node JOIN n1 b ON und.v = b.node),
+        |d2 AS (SELECT x AS node, count(*) AS d FROM
+        |  (SELECT u AS x FROM e1 UNION ALL SELECT v AS x FROM e1) GROUP BY x),
+        |n2 AS (SELECT node FROM d2 WHERE d >= 3),
+        |e2 AS (SELECT u, v FROM e1 JOIN n2 a ON e1.u = a.node JOIN n2 b ON e1.v = b.node),
+        |d3 AS (SELECT x AS node, count(*) AS d FROM
+        |  (SELECT u AS x FROM e2 UNION ALL SELECT v AS x FROM e2) GROUP BY x),
+        |n3 AS (SELECT node FROM d3 WHERE d >= 3),
+        |e3 AS (SELECT u, v FROM e2 JOIN n3 a ON e2.u = a.node JOIN n3 b ON e2.v = b.node)
+        |SELECT 1 AS round,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM n1) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges
+        |UNION ALL SELECT 2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM n2),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e2)
+        |UNION ALL SELECT 3,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM n3),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e3)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val e0 = recurringPartGraph(s, d).localCheckpoint()
+      // one peel: survivors have degree >= k among current edges
+      def peel(edges: DataFrame): (DataFrame, DataFrame) = {
+        val keep = degrees(edges).filter(col("d") >= 3).select("node")
+        val pruned = edges
+          .join(keep.toDF("u"), Seq("u"), "left_semi")
+          .join(keep.toDF("v"), Seq("v"), "left_semi")
+          .select("u", "v")
+          .localCheckpoint() // next round + census both consume it
+        (keep, pruned)
+      }
+      val (n1, e1) = peel(e0)
+      val (n2, e2) = peel(e1)
+      val (n3, e3) = peel(e2)
+      def census(round: Int, nodes: DataFrame, edges: DataFrame): DataFrame =
+        nodes
+          .agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
+      census(1, n1, e1).unionAll(census(2, n2, e2)).unionAll(census(3, n3, e3))
+    },
+
+    // Degree assortativity (Newman's r): Pearson correlation of endpoint
+    // degrees over the symmetrized edge-end list. All sufficient
+    // statistics (m, Σx, Σx², Σxy) are exact BIGINT sums — symmetry makes
+    // Σy = Σx — and r is a single fixed-parenthesization double division,
+    // so it ships unrounded. Degenerate regular-graph denominator guarded
+    // identically on both engines (CASE, not try_divide, so the oracle
+    // text matches semantics literally).
+    QEntry.sql(
+      "q_degree_assortativity",
+      s"""WITH $GraphSql,
+        |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) GROUP BY x),
+        |ends AS (SELECT du.d AS x, dv.d AS y FROM und
+        |    JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node
+        |  UNION ALL SELECT dv.d, du.d FROM und
+        |    JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM ends)
+        |SELECT m AS m_ends,
+        |  CASE WHEN m * sxx - sx * sx = 0 THEN 0.0
+        |    ELSE CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE)
+        |  END AS r_assort
+        |FROM s""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val und = recurringPartGraph(s, d).localCheckpoint() // degrees + both end joins
+      val deg = degrees(und)
+      val withDeg = und
+        .join(deg.toDF("u", "du"), "u")
+        .join(deg.toDF("v", "dv"), "v")
+      val ends = withDeg
+        .select(col("du").as("x"), col("dv").as("y"))
+        .unionAll(withDeg.select(col("dv").as("x"), col("du").as("y")))
+      ends
+        .agg(
+          count(lit(1)).as("m"),
+          sum("x").cast("long").as("sx"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("x") * col("y")).cast("long").as("sxy")
+        )
+        .select(
+          col("m").as("m_ends"),
+          when(col("m") * col("sxx") - col("sx") * col("sx") === 0L, lit(0.0))
+            .otherwise(
+              (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+                (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+            )
+            .as("r_assort")
+        )
     }
   )
 }
