@@ -1604,6 +1604,245 @@ object AnalyticsQueries {
       terms
         .groupBy(col("prio"), col("na").as("n_ref"), col("nb").as("n_cur"))
         .agg(round(sum("term").cast("decimal(20,12)").cast("double"), 6).as("psi"))
+    },
+
+    // Brown double-exponential smoothing (lagged second smooth) over each
+    // priority's monthly revenue series — with α = ½ the recursion is PURE
+    // INTEGER (truncating halving; Spark `div` ≡ DuckDB `//` including
+    // negatives): s1_t = (x_t + s1) div 2, s2_t = (s1 + s2) div 2 on the
+    // PRIOR s1, seeded s1₁ = s2₁ = x₁; level = 2s1 − s2, trend = s1 − s2.
+    // No float enters at any step, so the outputs are bit-identical by
+    // construction. DuckDB 1.0's list_reduce mutates STRUCT accumulators
+    // in place (a later field reads an earlier field's NEW value —
+    // verified by probe), so the oracle runs SCALAR folds only: the s1
+    // prefix series via per-index folds (O(n²) on the ~80-month calendar —
+    // trivial) and s2 as a second scalar fold. Spark's aggregate() is
+    // purely functional, so it folds the (s1, s2) struct directly. Keyed
+    // by segment; series state bounded by the calendar.
+    QEntry.sql(
+      "q_holt_smooth",
+      """WITH m AS (SELECT o_orderpriority AS prio,
+        |    strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS rev
+        |  FROM orders GROUP BY prio, month),
+        |arr AS (SELECT prio,
+        |    list_transform(list_sort(list(struct_pack(mo := month, r := rev))),
+        |      e -> e.r) AS xs
+        |  FROM m GROUP BY prio),
+        |f1 AS (SELECT prio, CAST(len(xs) AS BIGINT) AS n_months,
+        |    list_transform(range(1, len(xs) + 1),
+        |      i -> list_reduce(list_slice(xs, 1, i), (acc, x) -> (x + acc) // 2)) AS s1s
+        |  FROM arr),
+        |f2 AS (SELECT prio, n_months, list_extract(s1s, len(s1s)) AS s1,
+        |    list_reduce(list_prepend(s1s[1], list_slice(s1s, 1, len(s1s) - 1)),
+        |      (acc, x) -> (x + acc) // 2) AS s2
+        |  FROM f1)
+        |SELECT prio, n_months, 2 * s1 - s2 AS level_k, s1 - s2 AS trend_k,
+        |  3 * s1 - 2 * s2 AS forecast_k
+        |FROM f2""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      orders(s, d)
+        .groupBy(
+          col("o_orderpriority").as("prio"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month")
+        )
+        .agg(
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100000")
+            .as("rev")
+        )
+        .groupBy("prio")
+        .agg(
+          expr("transform(sort_array(collect_list(struct(month AS mo, rev AS r))), e -> e.r)")
+            .as("xs")
+        )
+        .select(
+          col("prio"),
+          size(col("xs")).cast("long").as("n_months"),
+          expr(
+            "aggregate(slice(xs, 2, size(xs) - 1)," +
+              " named_struct('s1', element_at(xs, 1), 's2', element_at(xs, 1))," +
+              " (acc, x) -> named_struct(" +
+              "'s1', (x + acc.s1) div 2," +
+              "'s2', (acc.s1 + acc.s2) div 2))"
+          ).as("st")
+        )
+        .select(
+          col("prio"),
+          col("n_months"),
+          (lit(2L) * col("st.s1") - col("st.s2")).as("level_k"),
+          (col("st.s1") - col("st.s2")).as("trend_k"),
+          (lit(3L) * col("st.s1") - lit(2L) * col("st.s2")).as("forecast_k")
+        )
+    },
+
+    // Cross-correlation of the monthly revenue and order-count series at
+    // lags 0–3: Pearson r from exact BIGINT sufficient statistics per lag
+    // (revenue pre-quantized to k$ units so n·Σx² stays far inside int64
+    // at any sf), one fixed-parenthesization double expression — sqrt is
+    // IEEE-exact, so r ships UNROUNDED. The only window indexes the ~80-row
+    // pre-aggregated month series (calendar-bounded by design, the
+    // q_cusum_changepoint posture).
+    QEntry.sql(
+      "q_xcorr_lags",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS rev,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY month),
+        |s AS (SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS i,
+        |    rev, cnt FROM m),
+        |lags AS (SELECT u.k AS lag FROM unnest(range(0, 4)) AS u(k)),
+        |p AS (SELECT lags.lag, a.rev AS x, b.cnt AS y FROM lags
+        |  JOIN s a ON TRUE JOIN s b ON a.i = b.i + lags.lag),
+        |g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY lag)
+        |SELECT lag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+        |FROM g""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100000")
+            .as("rev"),
+          count(lit(1)).as("cnt")
+        )
+      val series = m.select(
+        row_number()
+          .over(Window.partitionBy(pmod(lit(0), lit(1))).orderBy("month"))
+          .cast("long")
+          .as("i"),
+        col("rev"),
+        col("cnt")
+      )
+      val lagRows = s.range(0, 4).toDF("lag")
+      series
+        .toDF("i", "x", "_c")
+        .crossJoin(lagRows)
+        .join(series.toDF("j", "_r", "y"), col("i") === col("j") + col("lag"))
+        .groupBy("lag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").cast("long").as("sx"),
+          sum("y").cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy")
+        )
+        .select(
+          col("lag"),
+          col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("r")
+        )
+    },
+
+    // Multiplicative seasonal index per calendar month: mean monthly
+    // revenue for that calendar month over the grand monthly mean, as one
+    // exact integer-ppm cross-multiplied division (k$ quantization keeps
+    // s_m·n_all·10⁶ inside int64 at any realistic sf). Two partial-agg
+    // passes over the ~80-row month series.
+    QEntry.sql(
+      "q_seasonal_index",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |    CAST(strftime(o_orderdate, '%m') AS BIGINT) AS cal,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS rev
+        |  FROM orders GROUP BY ym, cal),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(rev) AS BIGINT) AS s_all FROM m),
+        |c AS (SELECT cal, CAST(count(*) AS BIGINT) AS n_m,
+        |    CAST(sum(rev) AS BIGINT) AS s_m FROM m GROUP BY cal)
+        |SELECT cal AS cal_month, n_m AS n_months,
+        |  CAST(s_m * n_all * 1000000 // (n_m * s_all) AS BIGINT) AS idx_ppm
+        |FROM c CROSS JOIN t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          month(col("o_orderdate")).cast("long").as("cal")
+        )
+        .agg(
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100000")
+            .as("rev")
+        )
+        .localCheckpoint() // grand total + per-calendar-month both consume it
+      val t = m.agg(count(lit(1)).as("n_all"), sum("rev").cast("long").as("s_all"))
+      m.groupBy("cal")
+        .agg(count(lit(1)).as("n_m"), sum("rev").cast("long").as("s_m"))
+        .crossJoin(broadcast(t))
+        .select(
+          col("cal").as("cal_month"),
+          col("n_m").as("n_months"),
+          expr("s_m * n_all * 1000000L div (n_m * s_all)").as("idx_ppm")
+        )
+    },
+
+    // RFM segmentation: recency / frequency / monetary quintile codes per
+    // market segment, reported as cell counts. Each quintile is an exact
+    // rank bucket (1 + 5·(rn−1) div n) over a (metric, custkey) total
+    // order — no percentile interpolation, no floats. Three windows, all
+    // SEGMENT-keyed (the q_mad_per_group posture: few large partitions,
+    // parallel across segments; at 100 TB the segment count grows with
+    // the business dimension, not the fact table).
+    QEntry.sql(
+      "q_rfm_segments",
+      """WITH cust AS (SELECT c.c_custkey AS ck, c.c_mktsegment AS seg,
+        |    CAST(date_diff('day', max(o.o_orderdate), TIMESTAMP '2001-09-01')
+        |      AS BIGINT) AS rdays,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mcents
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey, c.c_mktsegment),
+        |q AS (SELECT seg, ck,
+        |    1 + 5 * (CAST(row_number() OVER (PARTITION BY seg ORDER BY rdays, ck)
+        |      AS BIGINT) - 1) // CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS r_q,
+        |    1 + 5 * (CAST(row_number() OVER (PARTITION BY seg ORDER BY f DESC, ck)
+        |      AS BIGINT) - 1) // CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS f_q,
+        |    1 + 5 * (CAST(row_number() OVER (PARTITION BY seg ORDER BY mcents DESC, ck)
+        |      AS BIGINT) - 1) // CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS m_q
+        |  FROM cust)
+        |SELECT seg, r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM q GROUP BY seg, r_q, f_q, m_q"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val cust = customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+        .agg(
+          datediff(to_date(lit("2001-09-01")), to_date(max("o_orderdate")))
+            .cast("long")
+            .as("rdays"),
+          count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("mcents")
+        )
+      cust
+        .select(
+          col("seg"),
+          col("ck"),
+          expr(
+            "1 + 5 * (CAST(row_number() OVER (PARTITION BY seg ORDER BY rdays, ck)" +
+              " AS BIGINT) - 1) div CAST(count(*) OVER (PARTITION BY seg) AS BIGINT)"
+          ).as("r_q"),
+          expr(
+            "1 + 5 * (CAST(row_number() OVER (PARTITION BY seg ORDER BY f DESC, ck)" +
+              " AS BIGINT) - 1) div CAST(count(*) OVER (PARTITION BY seg) AS BIGINT)"
+          ).as("f_q"),
+          expr(
+            "1 + 5 * (CAST(row_number() OVER (PARTITION BY seg ORDER BY mcents DESC, ck)" +
+              " AS BIGINT) - 1) div CAST(count(*) OVER (PARTITION BY seg) AS BIGINT)"
+          ).as("m_q")
+        )
+        .groupBy("seg", "r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"))
     }
   )
 }
