@@ -204,4 +204,66 @@ object StreamingOps {
   ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     engine.roundRobinInsertBatch(tableName, batch)
   }
+
+  case class ChangeEvent(
+      user_id: Long,
+      event_type: String,
+      ts: java.sql.Timestamp,
+      event_id: Long
+  )
+  case class Scd2State(attr: String, version: Long, validFromUs: Long)
+  case class Scd2Update(
+      user_id: Long,
+      event_type: String,
+      version: Long,
+      valid_from_us: Long,
+      valid_to_us: Option[Long],
+      is_current: Boolean
+  )
+
+  /** Streaming SCD Type-2: the incremental twin of
+    * [[graft.operators.Scd2.buildType2]]. Per-key state carries the OPEN
+    * version (attr, version, valid_from); each micro-batch sorts its rows
+    * into the (ts, event_id) total order and, on an attribute change, emits
+    * the CLOSED predecessor row (valid_to set, is_current=false) followed
+    * by the new open row — upsert-shaped output a sink merges by
+    * (user_id, version), after which the table equals the batch builder's
+    * output over the same prefix of the log.
+    *
+    * State is one struct per entity — bounded by the KEY population, never
+    * the event volume — and shards across executors by the group key.
+    * Assumes per-key event-time monotonicity ACROSS batches (the usual
+    * CDC-replay discipline); within a batch, order is restored by the sort.
+    */
+  def scd2Updates(events: Dataset[ChangeEvent]): Dataset[Scd2Update] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Update](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (key, rows, state: GroupState[Scd2State]) =>
+        val ordered = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Update]
+        var st = state.getOption
+        ordered.foreach { r =>
+          val us = micros(r.ts)
+          st match {
+            case None =>
+              st = Some(Scd2State(r.event_type, 1L, us))
+              out += Scd2Update(key, r.event_type, 1L, us, None, is_current = true)
+            case Some(s) if s.attr != r.event_type =>
+              out += Scd2Update(key, s.attr, s.version, s.validFromUs, Some(us), is_current = false)
+              st = Some(Scd2State(r.event_type, s.version + 1, us))
+              out += Scd2Update(key, r.event_type, s.version + 1, us, None, is_current = true)
+            case _ => () // unchanged attribute collapses into the open version
+          }
+        }
+        st.foreach(state.update)
+        out.iterator
+      }
+  }
 }

@@ -100,6 +100,78 @@ class Scd2SymSpellSpec extends SparkSpec {
     }
   }
 
+  test("streaming scd2Updates replayed through an upsert equals the batch builder") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.ChangeEvent
+    def at(secs: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${"%02d".format(secs)}")
+    val batch1 = Seq(
+      ChangeEvent(1L, "a", at(1), 1L),
+      ChangeEvent(1L, "a", at(2), 2L),
+      ChangeEvent(2L, "x", at(1), 3L)
+    )
+    val batch2 = Seq(
+      ChangeEvent(1L, "b", at(3), 4L), // change -> closes v1, opens v2
+      ChangeEvent(2L, "x", at(5), 5L), // unchanged -> no emission
+      ChangeEvent(1L, "a", at(6), 6L)  // back to 'a' -> v3
+    )
+    val mem = MemoryStream[ChangeEvent]
+    val q = StreamingOps
+      .scd2Updates(mem.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("scd2_out")
+      .outputMode("append")
+      .start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // upsert by (user_id, version): the LAST emission wins (a close
+    // supersedes the open it closes)
+    val streamed = spark
+      .table("scd2_out")
+      .collect()
+      .zipWithIndex
+      .groupBy(r => (r._1.getAs[Long]("user_id"), r._1.getAs[Long]("version")))
+      .map { case (_, vs) => vs.maxBy(_._2)._1 }
+      .map(r =>
+        (
+          r.getAs[Long]("user_id"),
+          r.getAs[String]("event_type"),
+          r.getAs[Long]("version"),
+          r.getAs[Long]("valid_from_us"),
+          Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.longValue),
+          r.getAs[Boolean]("is_current")
+        )
+      )
+      .toSet
+    // batch builder over the SAME log
+    val log = (batch1 ++ batch2).toDF()
+    val expected = graft.operators.Scd2
+      .buildType2(log, Seq("user_id"), Seq("event_type"), "ts", "event_id")
+      .collect()
+      .map { r =>
+        def us(str: String): Long =
+          java.sql.Timestamp.valueOf(str).toInstant.getEpochSecond * 1000000L
+        (
+          r.getAs[Long]("user_id"),
+          r.getAs[String]("event_type"),
+          r.getAs[Long]("version"),
+          us(r.getAs[String]("valid_from")),
+          if (r.getAs[Int]("is_current") == 1) None
+          else Some(us(r.getAs[String]("valid_to"))),
+          r.getAs[Int]("is_current") == 1
+        )
+      }
+      .toSet
+    assert(streamed == expected)
+  }
+
   test("typo injection is partition-independent (pure function of doc_id:pos:tok)") {
     val a = SymSpell
       .injectTypos(corpus.repartition(7), "doc_id", "text", 0.125, 4)
