@@ -739,6 +739,108 @@ object StatQueries {
             (col("c_le") >= expr(s"(n + 1) div 2") - expr(s"n div $acc") - 1))
             .as("approx_within_bound")
         )
+    },
+
+    // Weighted median: per return flag, the price at which CUMULATIVE
+    // QUANTITY first crosses half the flag's total quantity — the
+    // inventory-weighted center no unweighted percentile gives. The
+    // cumulative sum runs over a (cents, orderkey, linenumber) total order
+    // (exact BIGINTs, keyed by flag — the q_mad_per_group posture), and
+    // the crossing pick is a rank-1 filter, not an interpolation.
+    QEntry.sql(
+      "q_weighted_median",
+      """WITH l AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS q, l_orderkey, l_linenumber FROM lineitem),
+        |c AS (SELECT flag, cents, q,
+        |    CAST(sum(q) OVER (PARTITION BY flag
+        |      ORDER BY cents, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |    CAST(sum(q) OVER (PARTITION BY flag) AS BIGINT) AS tw FROM l),
+        |m AS (SELECT flag, cents, cw, tw,
+        |    row_number() OVER (PARTITION BY flag ORDER BY cw, cents) AS rk
+        |  FROM c WHERE 2 * cw >= tw)
+        |SELECT flag, cents AS wmedian_cents, tw AS total_qty FROM m WHERE rk = 1"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val l = lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("q"),
+        col("l_orderkey"),
+        col("l_linenumber")
+      )
+      val wf = Window.partitionBy("flag")
+      val c = l.select(
+        col("flag"),
+        col("cents"),
+        sum("q")
+          .over(
+            wf.orderBy("cents", "l_orderkey", "l_linenumber")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          )
+          .cast("long")
+          .as("cw"),
+        sum("q").over(wf).cast("long").as("tw")
+      )
+      c.filter(lit(2L) * col("cw") >= col("tw"))
+        .withColumn("rk", row_number().over(wf.orderBy("cw", "cents")))
+        .filter(col("rk") === 1)
+        .select(col("flag"), col("cents").as("wmedian_cents"), col("tw").as("total_qty"))
+    },
+
+    // One-way ANOVA F across priority groups on order value (dollars —
+    // pre-quantized so Σv² stays inside int64 through sf10). Sufficient
+    // statistics per group are exact BIGINTs; the between-group term
+    // Σ S_g²/n_g is an IEEE-deterministic double chain (int64→double
+    // conversions exact below 2^53, each op correctly rounded in a fixed
+    // order) quantized to 6 dp per group and summed as DECIMAL so group
+    // order can't perturb it. F ships rounded 6.
+    QEntry.sql(
+      "q_anova_f",
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v FROM orders),
+        |gr AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS ss FROM o GROUP BY g),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS BIGINT) AS stot, CAST(sum(ss) AS BIGINT) AS sstot,
+        |    CAST(sum(CAST(round(CAST(s AS DOUBLE) * s / n, 6) AS DECIMAL(30,6)))
+        |      AS DECIMAL(32,6)) AS sgr
+        |  FROM gr)
+        |SELECT k, nn,
+        |  round((CAST(sgr AS DOUBLE) - CAST(stot AS DOUBLE) * stot / nn) / (k - 1) /
+        |    ((CAST(sstot AS DOUBLE) - CAST(sgr AS DOUBLE)) / (nn - k)), 6) AS f_stat
+        |FROM t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100").as("v")
+      )
+      val gr = o
+        .groupBy("g")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("v").cast("long").as("s"),
+          sum(col("v") * col("v")).cast("long").as("ss")
+        )
+      gr.agg(
+        count(lit(1)).as("k"),
+        sum("n").cast("long").as("nn"),
+        sum("s").cast("long").as("stot"),
+        sum("ss").cast("long").as("sstot"),
+        sum(round(col("s").cast("double") * col("s") / col("n"), 6).cast("decimal(30,6)"))
+          .cast("decimal(32,6)")
+          .as("sgr")
+      ).select(
+        col("k"),
+        col("nn"),
+        round(
+          (col("sgr").cast("double") - col("stot").cast("double") * col("stot") / col("nn")) /
+            (col("k") - 1) /
+            ((col("sstot").cast("double") - col("sgr").cast("double")) / (col("nn") - col("k"))),
+          6
+        ).as("f_stat")
+      )
     }
   )
 }
