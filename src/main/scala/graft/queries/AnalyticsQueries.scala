@@ -1361,7 +1361,7 @@ object AnalyticsQueries {
     ) { (s, d) =>
       val ob = lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey"))
-        .join(part(s, d).select(col("p_partkey"), col("p_brand").as("brand")),
+        .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand").as("brand"))),
           col("l_partkey") === col("p_partkey"))
         .select("ok", "brand")
         .distinct()

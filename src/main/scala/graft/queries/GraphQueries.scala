@@ -201,8 +201,8 @@ object GraphQueries {
       val deg = degrees(und)
       val rk = deg.select(col("node"), (col("d") * 1000000000L + col("node")).as("r"))
       val oriented = und
-        .join(rk.toDF("u", "ru"), "u")
-        .join(rk.toDF("v", "rv"), "v")
+        .join(broadcast(rk.toDF("u", "ru")), "u")
+        .join(broadcast(rk.toDF("v", "rv")), "v")
         .select(
           when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("s"),
           when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("t"),
@@ -262,8 +262,8 @@ object GraphQueries {
       def peel(edges: DataFrame): (DataFrame, DataFrame) = {
         val keep = degrees(edges).filter(col("d") >= 3).select("node")
         val pruned = edges
-          .join(keep.toDF("u"), Seq("u"), "left_semi")
-          .join(keep.toDF("v"), Seq("v"), "left_semi")
+          .join(broadcast(keep.toDF("u")), Seq("u"), "left_semi")
+          .join(broadcast(keep.toDF("v")), Seq("v"), "left_semi")
           .select("u", "v")
           .localCheckpoint() // next round + census both consume it
         (keep, pruned)
@@ -307,8 +307,8 @@ object GraphQueries {
       val und = recurringPartGraph(s, d).localCheckpoint() // degrees + both end joins
       val deg = degrees(und)
       val withDeg = und
-        .join(deg.toDF("u", "du"), "u")
-        .join(deg.toDF("v", "dv"), "v")
+        .join(broadcast(deg.toDF("u", "du")), "u")
+        .join(broadcast(deg.toDF("v", "dv")), "v")
       val ends = withDeg
         .select(col("du").as("x"), col("dv").as("y"))
         .unionAll(withDeg.select(col("dv").as("x"), col("du").as("y")))
