@@ -405,6 +405,79 @@ object BehaviorQueries {
         orderCol = "ts",
         tieCol = "event_id"
       )
+    },
+
+    // Position-based multi-touch attribution (40/40/20): every purchase
+    // distributes EXACTLY 100 integer credit points over the user's clicks
+    // in a 7-day lookback — first and last touch get 40 each, middles share
+    // 20 by largest remainder (earliest middles take the residue), n=1→100,
+    // n=2→50/50. Pure integer arithmetic, so Σcredit = purchases·100 by
+    // construction (the float version never balances). The click⋈purchase
+    // bracket is a USER-keyed join with a µs range predicate, and the
+    // position windows are purchase-keyed — both bounded by one user's
+    // 7-day activity, never the event corpus.
+    QEntry.sql(
+      "q_attribution_credit",
+      """WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.pid, c.cid,
+        |    CAST(row_number() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid)
+        |      AS BIGINT) AS pos,
+        |    CAST(count(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.cts < p.pts AND c.cts >= p.pts - 604800000000),
+        |cr AS (SELECT user_id, pid, cid,
+        |    CASE WHEN n = 1 THEN 100 WHEN n = 2 THEN 50
+        |         WHEN pos = 1 OR pos = n THEN 40
+        |         ELSE 20 // (n - 2)
+        |           + (CASE WHEN pos - 1 <= 20 % (n - 2) THEN 1 ELSE 0 END)
+        |    END AS credit FROM j)
+        |SELECT user_id, CAST(count(DISTINCT pid) AS BIGINT) AS purchases,
+        |  CAST(count(*) AS BIGINT) AS credited_clicks,
+        |  CAST(sum(credit) AS BIGINT) AS credit_total
+        |FROM cr GROUP BY user_id"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val p = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("us").as("pts"))
+      val c = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("event_id").as("cid"), col("us").as("cts"))
+      val wp = Window.partitionBy("pid")
+      val j = p
+        .join(
+          c,
+          col("user_id") === col("cuser") &&
+            col("cts") < col("pts") && col("cts") >= col("pts") - lit(604800000000L)
+        )
+        .select(
+          col("user_id"),
+          col("pid"),
+          col("cid"),
+          row_number().over(wp.orderBy("cts", "cid")).cast("long").as("pos"),
+          count(lit(1)).over(wp).cast("long").as("n")
+        )
+      j.select(
+        col("user_id"),
+        col("pid"),
+        when(col("n") === 1L, 100L)
+          .when(col("n") === 2L, 50L)
+          .when(col("pos") === 1L || col("pos") === col("n"), 40L)
+          .otherwise(
+            expr("20L div (n - 2) + (CASE WHEN pos - 1 <= 20L % (n - 2) THEN 1 ELSE 0 END)")
+          )
+          .as("credit")
+      ).groupBy("user_id")
+        .agg(
+          countDistinct("pid").cast("long").as("purchases"),
+          count(lit(1)).as("credited_clicks"),
+          sum("credit").cast("long").as("credit_total")
+        )
     }
   )
 }
