@@ -868,6 +868,49 @@ object RelationalQueries {
             .cast("long")
             .as("alloc_cents")
         )
+    },
+
+    // Order→ship latency in BUSINESS DAYS per month — weekday arithmetic as
+    // pure integer epoch-day math (day 0 = Thursday ⇒ dow 2/3 = Sat/Sun,
+    // the q_ab_test_z convention; no engine calendar functions whose week
+    // conventions differ): busdays(a,b) = (b−a) − #Sat − #Sun in [a,b),
+    // each weekend count one closed-form division (validated against a
+    // day-by-day reference). One fact join + one partial agg; the average
+    // ships as an exact milli-day integer division.
+    QEntry.sql(
+      "q_busday_latency", {
+        def cnt(c: Int) =
+          s"greatest(0, (days - (($c + 7 - (ad % 7)) % 7) + 6) // 7)"
+        s"""WITH x AS (SELECT
+           |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ad,
+           |    CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) -
+           |      CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS days,
+           |    strftime(o.o_orderdate, '%Y-%m') AS month
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |b AS (SELECT month, days - ${cnt(2)} - ${cnt(3)} AS bd
+           |  FROM x WHERE days >= 0)
+           |SELECT month, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(bd) * 1000 // count(*) AS BIGINT) AS avg_bd_milli
+           |FROM b GROUP BY month""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      def cnt(c: Int) =
+        s"greatest(0L, (days - (($c + 7 - (ad % 7)) % 7) + 6) div 7)"
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("ad"),
+          (datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long") -
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")).as("days"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month")
+        )
+        .filter(col("days") >= 0)
+        .select(col("month"), expr(s"days - ${cnt(2)} - ${cnt(3)}").as("bd"))
+        .groupBy("month")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("sum(bd) * 1000L div count(*)").cast("long").as("avg_bd_milli")
+        )
     }
   )
 }

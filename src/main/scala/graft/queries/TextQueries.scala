@@ -463,6 +463,47 @@ object TextQueries {
       }
     ) { (s, d) =>
       graft.operators.SymSpell.restoreTypos(documents(s, d), "doc_id", "text")
+    },
+
+    // Term burstiness: variance-to-mean ratio of per-document counts over
+    // the WHOLE corpus (absent docs contribute c = 0, which vanishes from
+    // both sums — so the population VMR needs only the present rows).
+    // Sufficient statistics are exact BIGINTs; VMR ships as one UNROUNDED
+    // fixed-parenthesization double division. VMR ≈ 1 is Poisson
+    // (unbursty); content words exceed it. One (doc, term) partial agg →
+    // one term agg; no per-term threshold here because the synthetic
+    // vocabulary is bounded — at corpus scale add a support cut to bound
+    // the output, same as the collocation entries.
+    QEntry.sql(
+      "txt_burstiness",
+      """WITH tc AS (SELECT d.doc_id, lower(t.tk) AS term,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents d, unnest(string_split_regex(trim(d.text), '\s+')) AS t(tk)
+        |  WHERE length(t.tk) >= 4 GROUP BY d.doc_id, lower(t.tk)),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |g AS (SELECT term, CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(sum(c * c) AS BIGINT) AS scc FROM tc GROUP BY term)
+        |SELECT g.term, g.sc AS total_occ,
+        |  CAST(nd.n_docs * g.scc - g.sc * g.sc AS DOUBLE) /
+        |    (CAST(nd.n_docs AS DOUBLE) * g.sc) AS vmr
+        |FROM g CROSS JOIN nd"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val tc = documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tk"))
+        .filter(length(col("tk")) >= 4)
+        .groupBy(col("doc_id"), lower(col("tk")).as("term"))
+        .agg(count(lit(1)).as("c"))
+      val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tc.groupBy("term")
+        .agg(sum("c").cast("long").as("sc"), sum(col("c") * col("c")).cast("long").as("scc"))
+        .crossJoin(broadcast(nd))
+        .select(
+          col("term"),
+          col("sc").as("total_occ"),
+          ((col("n_docs") * col("scc") - col("sc") * col("sc")).cast("double") /
+            (col("n_docs").cast("double") * col("sc"))).as("vmr")
+        )
     }
   )
 }
