@@ -72,6 +72,35 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Exact-count stratified sample: each stratum contributes EXACTLY
+    * round(N_g · pct/100) rows — the count guarantee a hash-threshold
+    * Bernoulli sample cannot give (its per-stratum counts are binomial).
+    * Selection order inside a stratum is the md5 hash of the key (with the
+    * key as tie-break), so membership is stable across engines, runs and
+    * partitionings, and growing `pct` only ADDS rows (nested samples).
+    * One stratum-keyed window + a broadcast per-stratum target join.
+    *
+    * @param pct integer percentage (round-half-up per stratum)
+    */
+  def exactStratifiedSample(
+      df: DataFrame,
+      strataCols: Seq[String],
+      keyCol: String,
+      pct: Int
+  ): DataFrame = {
+    val strata = strataCols.map(col)
+    val targets = df
+      .groupBy(strata: _*)
+      .agg(expr(s"(count(*) * $pct + 50) div 100").as("_target"))
+    val w = Window
+      .partitionBy(strata: _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rk", row_number().over(w).cast("long"))
+      .join(broadcast(targets), strataCols)
+      .filter(col("_rk") <= col("_target"))
+      .drop("_rk", "_target")
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis-
     * Spirakis A-ES): each row draws its uniform from the md5 hash position
     * of its key and scores `ln(u)/w` — the k LARGEST scores are a weighted

@@ -536,6 +536,28 @@ object PipelineQueries {
         .select("lang", "doc_id")
     },
 
+    // Exact-count stratified sample: every stratum contributes EXACTLY
+    // round(N_g · 20%) rows — the guarantee the hash-threshold Bernoulli
+    // sampler can't give (binomial per-stratum counts). Membership is the
+    // md5-smallest 20% per stratum, so samples NEST as the rate grows.
+    QEntry.sql(
+      "sample_exact_strata",
+      """WITH r AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |t AS (SELECT lang, CAST((count(*) * 20 + 50) // 100 AS BIGINT) AS n_target
+        |  FROM r GROUP BY lang),
+        |k AS (SELECT r.lang, r.doc_id,
+        |    CAST(row_number() OVER (PARTITION BY r.lang ORDER BY r.h, r.doc_id)
+        |      AS BIGINT) AS rn FROM r)
+        |SELECT k.lang, k.doc_id FROM k JOIN t ON k.lang = t.lang
+        |WHERE k.rn <= t.n_target"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Sampling
+        .exactStratifiedSample(documents(s, d), Seq("lang"), "doc_id", 20)
+        .select("lang", "doc_id")
+    },
+
     // Deterministic weighted sampling without replacement (A-ES): longer
     // documents proportionally more likely; the twin replays the md5 hash
     // position digit-by-digit and the same ln(u)/w ranking.

@@ -310,4 +310,54 @@ class EdgeCasesSpec extends SparkSpec {
     assert(prof.getAs[Long]("n_nulls") == 2L && prof.getAs[Long]("n_distinct") == 0L)
     assert(prof.isNullAt(prof.fieldIndex("min_val")))
   }
+
+  test("malformed source rows: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "rows.csv"),
+      "1,alpha,10\n2,beta,not_a_number\n3,gamma,30\n".getBytes
+    )
+    val schema = StructType(
+      Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("qty", LongType),
+        StructField("_bad", StringType)
+      )
+    )
+    val permissive = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(dir)
+    val rows = permissive.collect().sortBy(_.getAs[Long]("id"))
+    assert(rows.length == 3)
+    // the malformed row keeps its parseable prefix AND the raw line in _bad
+    val bad = rows.filter(!_.isNullAt(3))
+    assert(bad.length == 1 && bad.head.getAs[String]("_bad") == "2,beta,not_a_number")
+    assert(bad.head.isNullAt(2)) // qty unparseable -> null, not a crash
+    // a CSV type-cast failure is NOT structurally malformed in Spark 4
+    // (the row survives DROPMALFORMED with a null field); use broken JSON
+    // for the structural-malformation modes
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "rows.json"),
+      "{\"id\":1,\"qty\":10}\n{broken json\n{\"id\":3,\"qty\":30}\n".getBytes
+    )
+    val jsonSchema = StructType(
+      Seq(StructField("id", LongType), StructField("qty", LongType))
+    )
+    val dropped = spark.read
+      .schema(jsonSchema)
+      .option("mode", "DROPMALFORMED")
+      .json(s"$dir/rows.json")
+    assert(dropped.count() == 2)
+    intercept[org.apache.spark.SparkException] {
+      spark.read
+        .schema(jsonSchema)
+        .option("mode", "FAILFAST")
+        .json(s"$dir/rows.json")
+        .collect()
+    }
+  }
 }
