@@ -38,6 +38,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full contract name list, UNFILTERED — the authoritative input for
+    // tools/audit_survey.py's §2.6 index (a name-filtered dump must still
+    // advertise the whole contract or the index drifts)
+    Files.writeString(
+      Paths.get(s"$outDir/entry_names.json"),
+      SparkEntry.queries.keys.map(q).mkString("[", ",", "]")
+    )
     spark.stop()
   }
 }

@@ -558,6 +558,88 @@ object PipelineQueries {
         .select("lang", "doc_id")
     },
 
+    // Mean pairwise cosine per label WITHOUT a pair join: the Gram identity
+    // Σ_{i≠j} ûᵢ·ûⱼ = ‖Σû‖² − Σ‖û‖² turns an O(n²·d) all-pairs product
+    // into one O(n·d) pass — the measurement that tells a curation run how
+    // redundant a label's embeddings are, at any corpus size. Per-vector
+    // norms are SEQUENTIAL double folds (identical op order on both
+    // engines ⇒ bit-identical), unit components are 10-dp DECIMAL
+    // quantized, and every aggregate after that is exact DECIMAL — the
+    // emb_group_centroids ladder. Zero-vectors are filtered before the
+    // division; n ≥ 2 gates the degenerate group.
+    QEntry.sql(
+      "emb_pairwise_cos", {
+        s"""WITH nv AS (SELECT vec_id, label, embedding,
+           |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |      (a, b) -> a + b) AS norm2
+           |  FROM embeddings),
+           |u AS (SELECT vec_id, label,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sqrt(norm2), 10)
+           |      AS DECIMAL(18,10))) AS uq
+           |  FROM nv WHERE norm2 > 0),
+           |ex AS (SELECT label, vec_id,
+           |    unnest(list_transform(range(0, $EmbDim),
+           |      i -> struct_pack(i := i, v := uq[i + 1]))) AS t
+           |  FROM u),
+           |e2 AS (SELECT label, vec_id, CAST(t.i AS BIGINT) AS pos, t.v AS uv FROM ex),
+           |dimsum AS (SELECT label, pos, CAST(sum(uv) AS DECIMAL(18,10)) AS sv
+           |  FROM e2 GROUP BY label, pos),
+           |g AS (SELECT label, CAST(sum(sv * sv) AS DECIMAL(38,20)) AS norm2g
+           |  FROM dimsum GROUP BY label),
+           |sf AS (SELECT label, CAST(sum(uv * uv) AS DECIMAL(38,20)) AS selfsum,
+           |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM e2 GROUP BY label)
+           |SELECT g.label, sf.n,
+           |  round(CAST(g.norm2g - sf.selfsum AS DOUBLE) / (sf.n * (sf.n - 1)), 9) AS mean_cos
+           |FROM g JOIN sf ON g.label = sf.label WHERE sf.n >= 2"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val nv = embeddings(s, d).select(
+        col("vec_id"),
+        col("label"),
+        col("embedding"),
+        expr(
+          "aggregate(embedding, CAST(0 AS DOUBLE)," +
+            " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ).as("norm2")
+      )
+      val u = nv
+        .filter(col("norm2") > 0)
+        .select(
+          col("vec_id"),
+          col("label"),
+          expr(
+            "transform(embedding," +
+              " x -> CAST(round(CAST(x AS DOUBLE) / sqrt(norm2), 10) AS DECIMAL(18,10)))"
+          ).as("uq")
+        )
+      val e2 = u
+        .select(col("label"), col("vec_id"), posexplode(col("uq")).as(Seq("pos", "uv")))
+        .localCheckpoint() // dim sums + self sums both consume the explode
+      val dimsum = e2
+        .groupBy("label", "pos")
+        .agg(sum("uv").cast("decimal(18,10)").as("sv"))
+      val g = dimsum
+        .groupBy("label")
+        .agg(sum(col("sv") * col("sv")).cast("decimal(38,20)").as("norm2g"))
+      val sf2 = e2
+        .groupBy("label")
+        .agg(
+          sum(col("uv") * col("uv")).cast("decimal(38,20)").as("selfsum"),
+          countDistinct("vec_id").cast("long").as("n")
+        )
+      g.join(sf2, "label")
+        .filter(col("n") >= 2)
+        .select(
+          col("label"),
+          col("n"),
+          round(
+            (col("norm2g") - col("selfsum")).cast("double") / (col("n") * (col("n") - 1)),
+            9
+          ).as("mean_cos")
+        )
+    },
+
     // Deterministic weighted sampling without replacement (A-ES): longer
     // documents proportionally more likely; the twin replays the md5 hash
     // position digit-by-digit and the same ln(u)/w ranking.

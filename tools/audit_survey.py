@@ -28,7 +28,10 @@ END = "<!-- END GENERATED ENTRY INDEX -->"
 
 def entry_names_from_src():
     out = subprocess.run(
-        ["grep", "-rn", '-P', r'^\s*"[a-z0-9_]+",\s*$|QEntry[a-zA-Z.]*\(\s*"[a-z0-9_]+"',
+        # the third alternation catches `"name", {`-style registrations whose
+        # QEntry.sql( sits on the previous line (block-SQL entries)
+        ["grep", "-rn", '-P',
+         r'^\s*"[a-z0-9_]+",\s*$|QEntry[a-zA-Z.]*\(\s*"[a-z0-9_]+"|^\s*"[a-z0-9_]+",\s*\{\s*$',
          os.path.join(REPO, "src/main/scala/graft")],
         capture_output=True, text=True).stdout
     names = {}
@@ -50,10 +53,14 @@ def defining_file(name):
 
 
 def main():
-    if len(sys.argv) > 1 and os.path.exists(f"{sys.argv[1]}/oracle_sql.json"):
+    if len(sys.argv) > 1 and os.path.exists(f"{sys.argv[1]}/entry_names.json"):
+        # Verify writes the FULL contract name list even for filtered dumps
+        # — authoritative, REPLACES the index (self-heals junk rows)
+        names = sorted(json.load(open(f"{sys.argv[1]}/entry_names.json")))
+    elif len(sys.argv) > 1 and os.path.exists(f"{sys.argv[1]}/oracle_sql.json"):
         names = sorted(json.load(open(f"{sys.argv[1]}/oracle_sql.json")))
-        # a name-filtered Verify dump must not shrink the index — merge with
-        # whatever the current index already lists
+        # an old-style name-filtered dump must not shrink the index — merge
+        # with whatever the current index already lists
         survey_now = open(os.path.join(REPO, "SURVEY.md")).read()
         m = re.search(re.escape(BEGIN) + r"(.*?)" + re.escape(END), survey_now, re.S)
         if m:
