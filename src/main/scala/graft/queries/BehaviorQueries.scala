@@ -478,6 +478,51 @@ object BehaviorQueries {
           count(lit(1)).as("credited_clicks"),
           sum("credit").cast("long").as("credit_total")
         )
+    },
+
+    // Point-in-time snapshot over the SCD2 dimension (E156): each user's
+    // state AT an instant is the unique version whose [valid_from,
+    // valid_to) interval brackets it — the dimensional lookup every
+    // effective-dated warehouse read performs. Exactly one row per user
+    // active before the snapshot (intervals tile by construction; the
+    // far-future sentinel keeps the open row match null-free). Same
+    // user-keyed windows as the builder; the snapshot filter prunes to
+    // one row per user before any further join.
+    QEntry.sql(
+      "q_scd2_snapshot",
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us, event_id FROM events),
+        |o AS (SELECT user_id, event_type, us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |ch AS (SELECT user_id, event_type, us, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, us AS vf,
+        |    COALESCE(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+        |      253402300800000000) AS vt FROM ch)
+        |SELECT user_id, event_type AS state_at_snapshot
+        |FROM v WHERE vf <= epoch_us(TIMESTAMP '2024-01-15 12:00:00')
+        |  AND epoch_us(TIMESTAMP '2024-01-15 12:00:00') < vt"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val snapUs = 1705320000000000L // 2024-01-15T12:00:00Z in epoch micros
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val e = events(s, d).select(
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id")
+      )
+      e.withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("us").as("vf"),
+          coalesce(lead(col("us"), 1).over(w), lit(253402300800000000L)).as("vt")
+        )
+        .filter(col("vf") <= snapUs && lit(snapUs) < col("vt"))
+        .select(col("user_id"), col("event_type").as("state_at_snapshot"))
     }
   )
 }
