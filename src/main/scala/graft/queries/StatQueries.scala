@@ -841,6 +841,71 @@ object StatQueries {
           6
         ).as("f_stat")
       )
+    },
+
+    // Count-Min sketch, FULLY DETERMINISTIC: the d=4 hash rows are
+    // md5-derived, so both engines build the identical 4×64 counter table
+    // and the point estimate (min over rows) is exactly oracled — no
+    // tolerance band needed, unlike engine-internal sketches (E26). The
+    // top-10 heaviest users are probed against the sketch; the one-sided
+    // error (est ≥ true, overestimates from bucket collisions) is visible
+    // in the output. Build = one ×4 row expansion + partial agg into 256
+    // cells — the fixed-size summary a 100 TB stream reduces to.
+    QEntry.sql(
+      "q_cms_estimate", {
+        def hexval(key: String) =
+          s"""CAST(list_sum(list_transform(range(1, 9), i ->
+             |  (strpos('0123456789abcdef', substr(md5($key), CAST(i AS INT), 1)) - 1)
+             |  * pow(16, 8 - i))) AS BIGINT)""".stripMargin
+        s"""WITH rows_ AS (SELECT u.k AS j FROM unnest(range(0, 4)) AS u(k)),
+           |x AS (SELECT r.j,
+           |    (${hexval("CAST(r.j AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}) % 64
+           |      AS bucket
+           |  FROM events e CROSS JOIN rows_ r),
+           |cms AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY j, bucket),
+           |tru AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+           |  FROM events GROUP BY user_id),
+           |top AS (SELECT user_id, true_cnt FROM tru
+           |  ORDER BY true_cnt DESC, user_id LIMIT 10),
+           |probe AS (SELECT r.j, t.user_id, t.true_cnt,
+           |    (${hexval("CAST(r.j AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)")}) % 64
+           |      AS bucket
+           |  FROM top t CROSS JOIN rows_ r)
+           |SELECT p.user_id, p.true_cnt, CAST(min(cms.c) AS BIGINT) AS cms_est
+           |FROM probe p JOIN cms ON p.j = cms.j AND p.bucket = cms.bucket
+           |GROUP BY p.user_id, p.true_cnt"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      def bucket(j: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+        conv(
+          substring(md5(concat(j.cast("string"), lit(":"), key.cast("string"))), 1, 8),
+          16,
+          10
+        ).cast("long") % 64
+      val rows = s.range(0, 4).toDF("j")
+      val ev = events(s, d).select("user_id")
+      val cms = ev
+        .crossJoin(broadcast(rows))
+        .select(col("j"), bucket(col("j"), col("user_id")).as("bucket"))
+        .groupBy("j", "bucket")
+        .agg(count(lit(1)).as("c"))
+      val top = ev
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("user_id"))
+        .limit(10)
+      top
+        .crossJoin(broadcast(rows))
+        .select(
+          col("user_id"),
+          col("true_cnt"),
+          col("j"),
+          bucket(col("j"), col("user_id")).as("bucket")
+        )
+        .join(broadcast(cms), Seq("j", "bucket"))
+        .groupBy("user_id", "true_cnt")
+        .agg(min("c").cast("long").as("cms_est"))
     }
   )
 }
