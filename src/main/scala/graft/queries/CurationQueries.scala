@@ -319,6 +319,35 @@ object CurationQueries {
          |GROUP BY tk.doc_id""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Curation.dsirWeights(documents(s, d), "doc_id", "text", col("lang") === "en", 1024)
+    },
+
+    // Mixture concentration (Herfindahl–Hirschman index) of the source
+    // mix: HHI = Σ shareᵢ² in exact ppm — the single number a curation
+    // run monitors to catch one source swamping the blend (1/HHI = the
+    // effective source count). The >int64 product at corpus scale routes
+    // through HUGEINT/DECIMAL(38,0) like q_gini_concentration; one
+    // source-keyed partial agg, then a 20-row reduction.
+    QEntry.sql(
+      "cur_mixture_hhi",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(CAST(n AS HUGEINT) * n) * 1000000
+        |    // (CAST(max(t.nn) AS HUGEINT) * max(t.nn)) AS BIGINT) AS hhi_ppm
+        |FROM c CROSS JOIN t"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val c = documents(s, d).groupBy("source").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum("n").cast("long").as("nn"))
+      c.crossJoin(broadcast(t))
+        .agg(
+          count(lit(1)).as("n_sources"),
+          expr(
+            "CAST(CAST(sum(n * n) AS DECIMAL(38,0)) * 1000000" +
+              " div (CAST(max(nn) AS DECIMAL(38,0)) * max(nn)) AS BIGINT)"
+          ).as("hhi_ppm")
+        )
     }
   )
 }

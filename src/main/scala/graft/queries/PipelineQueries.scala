@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -556,6 +557,40 @@ object PipelineQueries {
       Sampling
         .exactStratifiedSample(documents(s, d), Seq("lang"), "doc_id", 20)
         .select("lang", "doc_id")
+    },
+
+    // Deterministic stratified k-fold assignment: fold = (md5-rank − 1)
+    // mod k within each stratum, so folds are balanced within ±1 PER
+    // STRATUM by construction and membership is reproducible across
+    // engines, runs, and partitionings — the CV-split contract an
+    // RNG-based splitter can't give. Output is the (stratum, fold) count
+    // matrix that proves the balance.
+    QEntry.sql(
+      "sample_kfold_assign",
+      """WITH r AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT lang, CAST((rn - 1) % 5 AS BIGINT) AS fold,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM r GROUP BY lang, fold"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d)
+        .select(
+          col("lang"),
+          row_number()
+            .over(
+              Window
+                .partitionBy("lang")
+                .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+            )
+            .cast("long")
+            .as("rn")
+        )
+        .select(col("lang"), ((col("rn") - 1) % 5).as("fold"))
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n"))
     },
 
     // Mean pairwise cosine per label WITHOUT a pair join: the Gram identity
