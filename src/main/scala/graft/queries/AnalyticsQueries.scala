@@ -1824,6 +1824,103 @@ object AnalyticsQueries {
           count(lit(1)).as("f"),
           sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("mcents")
         )
+      rfmCust(cust)
+    },
+
+    // Two-level hierarchy share: each nation's revenue as ppm of its
+    // REGION's total — percent-of-parent in a dimension hierarchy (the
+    // ratio-to-report family, E130, one level up). Broadcast dims, one
+    // fact partial agg, then a 25-row share division via HUGEINT/DECIMAL.
+    QEntry.sql(
+      "q_hierarchy_share",
+      """WITH rev AS (SELECT n.n_name AS nation, r.r_name AS region,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name, r.r_name),
+        |t AS (SELECT region, CAST(sum(cents) AS BIGINT) AS rtot FROM rev GROUP BY region)
+        |SELECT rev.region, rev.nation,
+        |  CAST(CAST(rev.cents AS HUGEINT) * 1000000 // t.rtot AS BIGINT) AS share_ppm
+        |FROM rev JOIN t ON rev.region = t.region"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val rev = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      val t = rev.groupBy("region").agg(sum("cents").cast("long").as("rtot"))
+      rev
+        .join(broadcast(t), "region")
+        .select(
+          col("region"),
+          col("nation"),
+          expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div rtot AS BIGINT)")
+            .as("share_ppm")
+        )
+    },
+
+    // Lorenz curve decile table per nation: cumulative spend share at
+    // each exact customer-decile boundary — the curve behind
+    // q_gini_concentration (E154), as the monitoring table a fairness /
+    // concentration dashboard reads. Boundary rows are exact rank
+    // positions (i·10 ≡ 0 mod n, plus the endpoint); all arithmetic
+    // BIGINT with the share division through HUGEINT/DECIMAL. Windows
+    // nation-keyed throughout.
+    QEntry.sql(
+      "q_lorenz_deciles",
+      """WITH sp AS (SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |x AS (SELECT n.n_name AS nation, sp.cents, sp.ck,
+        |    CAST(row_number() OVER (PARTITION BY n.n_name
+        |      ORDER BY sp.cents, sp.ck) AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY n.n_name) AS BIGINT) AS n,
+        |    CAST(sum(sp.cents) OVER (PARTITION BY n.n_name
+        |      ORDER BY sp.cents, sp.ck ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(sp.cents) OVER (PARTITION BY n.n_name) AS BIGINT) AS tot
+        |  FROM sp JOIN customer c ON sp.ck = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |SELECT nation, CAST(i * 10 // n AS BIGINT) AS decile,
+        |  CAST(max(CAST(cum AS HUGEINT) * 1000000 // tot) AS BIGINT) AS cum_share_ppm
+        |FROM x WHERE i * 10 % n = 0 OR i = n
+        |GROUP BY nation, decile"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val sp = orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      val wN = Window.partitionBy("n_name")
+      val ord = wN.orderBy("cents", "ck")
+      val x = sp
+        .join(customer(s, d), col("ck") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("n_name").as("nation"),
+          row_number().over(ord).cast("long").as("i"),
+          count(lit(1)).over(wN).cast("long").as("n"),
+          sum("cents")
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long")
+            .as("cum"),
+          sum("cents").over(wN).cast("long").as("tot")
+        )
+      x.filter(col("i") * 10 % col("n") === 0 || col("i") === col("n"))
+        .groupBy(col("nation"), expr("i * 10 div n").as("decile"))
+        .agg(
+          max(expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)"))
+            .cast("long")
+            .as("cum_share_ppm")
+        )
+    }
+  )
+
+  /** RFM quintile coding + cell counts (split out so the entry Seq stays
+    * readable); windows are all segment-keyed.
+    */
+  private def rfmCust(cust: org.apache.spark.sql.DataFrame) = {
       cust
         .select(
           col("seg"),
@@ -1843,6 +1940,5 @@ object AnalyticsQueries {
         )
         .groupBy("seg", "r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_customers"))
-    }
-  )
+  }
 }

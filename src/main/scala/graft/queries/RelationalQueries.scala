@@ -911,6 +911,65 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           expr("sum(bd) * 1000L div count(*)").cast("long").as("avg_bd_milli")
         )
+    },
+
+    // Snapshot reconciliation: classify every key across two table
+    // versions as added / removed / changed / unchanged — the audit query
+    // every CDC or backfill pipeline runs before switching readers. The
+    // two "versions" are date-windowed views of orders (old < 2000, new
+    // ≥ 1996) with a deterministic status mutation so all four classes
+    // appear at every sf. One full-outer join on the key + a 4-row
+    // partial agg; at scale this is the one-pass diff that replaces
+    // row-by-row comparison scripts.
+    QEntry.sql(
+      "q_snapshot_diff",
+      """WITH old AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+        |new_ AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |      THEN 'F' ELSE o_orderstatus END AS s,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+        |j AS (SELECT COALESCE(o.k, n.k) AS k,
+        |    CASE WHEN o.k IS NULL THEN 'added'
+        |         WHEN n.k IS NULL THEN 'removed'
+        |         WHEN o.s <> n.s OR o.v <> n.v THEN 'changed'
+        |         ELSE 'unchanged' END AS cls
+        |  FROM old o FULL OUTER JOIN new_ n ON o.k = n.k)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY cls"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("s"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        col("o_orderdate")
+      )
+      val old = base
+        .filter(expr("o_orderdate < TIMESTAMP '2000-01-01'"))
+        .select(col("k").as("ok"), col("s").as("os"), col("v").as("ov"))
+      val neu = base
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01'"))
+        .select(
+          col("k").as("nk"),
+          when(
+            col("s") === "O" && expr("o_orderdate < TIMESTAMP '1997-01-01'"),
+            lit("F")
+          ).otherwise(col("s")).as("ns"),
+          col("v").as("nv")
+        )
+      old
+        .join(neu, col("ok") === col("nk"), "full_outer")
+        .select(
+          when(col("ok").isNull, "added")
+            .when(col("nk").isNull, "removed")
+            .when(col("os") =!= col("ns") || col("ov") =!= col("nv"), "changed")
+            .otherwise("unchanged")
+            .as("cls")
+        )
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n"))
     }
   )
 }
