@@ -970,6 +970,49 @@ object RelationalQueries {
         )
         .groupBy("cls")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // Accumulating-snapshot fact: collapse each order's line milestones
+    // (first ship, last ship) into one row, then report per-month average
+    // order→first-ship lead and first→last ship span — the milestone
+    // durations an accumulating snapshot tracks. All integer epoch-day
+    // arithmetic, exact milli-day averages; one line-fact partial agg +
+    // one order join.
+    QEntry.sql(
+      "q_order_lifecycle",
+      """WITH ls AS (SELECT l_orderkey AS k,
+        |    CAST(min(CAST(l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) AS first_ship,
+        |    CAST(max(CAST(l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) AS last_ship
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(ls.first_ship - (CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'))
+        |    * 1000 // count(*) AS BIGINT) AS avg_to_first_milli,
+        |  CAST(sum(ls.last_ship - ls.first_ship) * 1000 // count(*) AS BIGINT)
+        |    AS avg_span_milli
+        |FROM orders o JOIN ls ON o.o_orderkey = ls.k GROUP BY month"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ls = lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(
+          datediff(to_date(min("l_shipdate")), lit("1970-01-01")).cast("long").as("first_ship"),
+          datediff(to_date(max("l_shipdate")), lit("1970-01-01")).cast("long").as("last_ship")
+        )
+      orders(s, d)
+        .join(ls, col("o_orderkey") === col("k"))
+        .select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          (col("first_ship") -
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")).as("lead_d"),
+          (col("last_ship") - col("first_ship")).as("span_d")
+        )
+        .groupBy("month")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("sum(lead_d) * 1000L div count(*)").cast("long").as("avg_to_first_milli"),
+          expr("sum(span_d) * 1000L div count(*)").cast("long").as("avg_span_milli")
+        )
     }
   )
 }

@@ -504,6 +504,39 @@ object TextQueries {
           ((col("n_docs") * col("scc") - col("sc") * col("sc")).cast("double") /
             (col("n_docs").cast("double") * col("sc"))).as("vmr")
         )
+    },
+
+    // Vocabulary growth statistics per source: token count, type count,
+    // hapax legomena, and type-token ratio in exact ppm — the Heaps'-law
+    // inputs a corpus-health dashboard tracks (a source whose TTR
+    // collapses is templated/duplicated text). One (source, term) partial
+    // agg then a source rollup; all exact BIGINTs.
+    QEntry.sql(
+      "txt_heaps_ttr",
+      """WITH tok AS (SELECT d.source, lower(t.tk) AS tk
+        |  FROM documents d, unnest(string_split_regex(trim(d.text), '\s+')) AS t(tk)
+        |  WHERE length(t.tk) >= 1),
+        |tc AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, tk)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS tokens,
+        |  CAST(count(*) AS BIGINT) AS types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm
+        |FROM tc GROUP BY source"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tk"))
+        .filter(length(col("tk")) >= 1)
+        .groupBy(col("source"), lower(col("tk")).as("term"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(
+          sum("c").cast("long").as("tokens"),
+          count(lit(1)).as("types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long").as("hapax"),
+          expr("count(*) * 1000000L div sum(c)").cast("long").as("ttr_ppm")
+        )
     }
   )
 }
