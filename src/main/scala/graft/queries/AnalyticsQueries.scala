@@ -1914,6 +1914,211 @@ object AnalyticsQueries {
             .cast("long")
             .as("cum_share_ppm")
         )
+    },
+
+    // Spearman rank correlation per order priority: does order value move
+    // with line-item count? The rank-based (monotone-association) partner
+    // of q_regr_per_group's Pearson. Ties take midranks, held EXACTLY as
+    // doubled ranks 2r = 2·rank_min + ties − 1 (the q_mannwhitney_auc
+    // identity) — Pearson is scale-invariant, so ρ over 2r equals ρ over
+    // r with zero tie error. The five sufficient sums are DECIMAL(38,0)/
+    // HUGEINT-exact (4n³ passes 2^63 near sf10); the closed form is one
+    // fixed-parenthesization double expression over exact integers —
+    // sqrt/div correctly rounded, so ρ ships bit-identical UNROUNDED.
+    // Priority-keyed windows + one partial agg: parallel across groups,
+    // no global sort, at any scale.
+    QEntry.sql(
+      "q_spearman_rank",
+      """WITH li AS (SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS items
+        |  FROM lineitem GROUP BY l_orderkey),
+        |o AS (SELECT o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, li.items
+        |  FROM orders JOIN li ON o_orderkey = li.ok),
+        |r AS (SELECT pri,
+        |    2 * CAST(rank() OVER (PARTITION BY pri ORDER BY cents) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY pri, cents) AS BIGINT) - 1 AS u,
+        |    2 * CAST(rank() OVER (PARTITION BY pri ORDER BY items) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY pri, items) AS BIGINT) - 1 AS v
+        |  FROM o),
+        |a AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(u AS HUGEINT)) AS su, sum(CAST(v AS HUGEINT)) AS sv,
+        |    sum(CAST(u AS HUGEINT) * u) AS suu, sum(CAST(v AS HUGEINT) * v) AS svv,
+        |    sum(CAST(u AS HUGEINT) * v) AS suv
+        |  FROM r GROUP BY pri)
+        |SELECT pri, n,
+        |  CAST(n * suv - su * sv AS DOUBLE)
+        |    / (sqrt(CAST(n * suu - su * su AS DOUBLE))
+        |       * sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS spearman_rho
+        |FROM a"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val li = lineitem(s, d)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("items"))
+      val o = orders(s, d)
+        .join(li, col("o_orderkey") === col("ok"))
+        .select(
+          col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("items")
+        )
+      val r = o.select(
+        col("pri"),
+        (lit(2L) * rank().over(Window.partitionBy("pri").orderBy("cents")).cast("long")
+          + count(lit(1)).over(Window.partitionBy("pri", "cents")).cast("long") - 1L).as("u"),
+        (lit(2L) * rank().over(Window.partitionBy("pri").orderBy("items")).cast("long")
+          + count(lit(1)).over(Window.partitionBy("pri", "items")).cast("long") - 1L).as("v")
+      )
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      r.groupBy("pri")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("u"))).as("su"),
+          sum(dec(col("v"))).as("sv"),
+          sum(dec(col("u")) * col("u")).as("suu"),
+          sum(dec(col("v")) * col("v")).as("svv"),
+          sum(dec(col("u")) * col("v")).as("suv")
+        )
+        .select(
+          col("pri"),
+          col("n"),
+          ((col("n") * col("suv") - col("su") * col("sv")).cast("double")
+            / (sqrt((col("n") * col("suu") - col("su") * col("su")).cast("double"))
+              * sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast("double"))))
+            .as("spearman_rho")
+        )
+    },
+
+    // Kendall τ-b between the monthly revenue and monthly order-count
+    // series — concordance-based trend agreement, robust where Pearson is
+    // leverage-bound. The fact table pre-aggregates to the ~84-month
+    // calendar series BEFORE the quadratic pair join (pairs bounded by
+    // calendar², never corpus — the q_theilsen_trend posture), so
+    // concordant/discordant/tie counts are small exact BIGINTs. τ-b's tie
+    // correction needs only those counts; the final expression is one
+    // fixed-parenthesization double over exact integers, shipped
+    // UNROUNDED.
+    QEntry.sql(
+      "q_kendall_tau",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY month),
+        |p AS (SELECT
+        |    CASE WHEN (b.rev > a.rev AND b.cnt > a.cnt)
+        |      OR (b.rev < a.rev AND b.cnt < a.cnt) THEN 1 ELSE 0 END AS conc,
+        |    CASE WHEN (b.rev > a.rev AND b.cnt < a.cnt)
+        |      OR (b.rev < a.rev AND b.cnt > a.cnt) THEN 1 ELSE 0 END AS disc,
+        |    CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END AS ty
+        |  FROM m a JOIN m b ON a.month < b.month)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(conc) AS BIGINT) AS concordant,
+        |  CAST(sum(disc) AS BIGINT) AS discordant,
+        |  CAST(sum(conc) - sum(disc) AS DOUBLE)
+        |    / (sqrt(CAST(count(*) - sum(tx) AS DOUBLE))
+        |       * sqrt(CAST(count(*) - sum(ty) AS DOUBLE))) AS tau_b
+        |FROM p"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(
+          sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("rev"),
+          count(lit(1)).as("cnt")
+        )
+      val a = m.toDF("ma", "ra", "ca")
+      val b = m.toDF("mb", "rb", "cb")
+      a.join(b, col("ma") < col("mb"))
+        .select(
+          when(
+            (col("rb") > col("ra") && col("cb") > col("ca"))
+              || (col("rb") < col("ra") && col("cb") < col("ca")),
+            1L
+          ).otherwise(0L).as("conc"),
+          when(
+            (col("rb") > col("ra") && col("cb") < col("ca"))
+              || (col("rb") < col("ra") && col("cb") > col("ca")),
+            1L
+          ).otherwise(0L).as("disc"),
+          when(col("rb") === col("ra"), 1L).otherwise(0L).as("tx"),
+          when(col("cb") === col("ca"), 1L).otherwise(0L).as("ty")
+        )
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum("conc").cast("long").as("concordant"),
+          sum("disc").cast("long").as("discordant"),
+          ((sum("conc") - sum("disc")).cast("double")
+            / (sqrt((count(lit(1)) - sum("tx")).cast("double"))
+              * sqrt((count(lit(1)) - sum("ty")).cast("double")))).as("tau_b")
+        )
+    },
+
+    // Mann-Kendall trend test on monthly distinct-customer counts: S =
+    // Σ_{i<j} sgn(x_j − x_i) with the tie-corrected variance 18·Var(S) =
+    // n(n−1)(2n+5) − Σ t(t−1)(2t+5) — every term an exact BIGINT over the
+    // pre-aggregated calendar series (quadratic join bounded by
+    // calendar²). The continuity-corrected Z = (S − sgn(S)) / sqrt(Var)
+    // is the only double step — correctly-rounded sqrt/div over exact
+    // integers, shipped UNROUNDED. The nonparametric partner of
+    // q_theilsen_trend (which estimates the slope this test scores).
+    QEntry.sql(
+      "q_mann_kendall",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS x
+        |  FROM orders GROUP BY month),
+        |n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+        |s_ AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM m a JOIN m b ON a.month < b.month),
+        |t_ AS (SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tc
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM m GROUP BY x) g WHERE t > 1)
+        |SELECT n_.n, s_.s AS s_stat,
+        |  n_.n * (n_.n - 1) * (2 * n_.n + 5) - t_.tc AS var18,
+        |  CAST(s_.s - CASE WHEN s_.s > 0 THEN 1 WHEN s_.s < 0 THEN -1 ELSE 0 END
+        |      AS DOUBLE)
+        |    / sqrt(CAST(n_.n * (n_.n - 1) * (2 * n_.n + 5) - t_.tc AS DOUBLE) / 18)
+        |    AS z_score
+        |FROM n_ CROSS JOIN s_ CROSS JOIN t_"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(countDistinct("o_custkey").as("x"))
+      val nRow = m.agg(count(lit(1)).as("n"))
+      val a = m.toDF("ma", "xa")
+      val b = m.toDF("mb", "xb")
+      val sRow = a
+        .join(b, col("ma") < col("mb"))
+        .agg(
+          sum(
+            when(col("xb") > col("xa"), 1L)
+              .when(col("xb") < col("xa"), -1L)
+              .otherwise(0L)
+          ).cast("long").as("s")
+        )
+      val tRow = m
+        .groupBy("x")
+        .agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(
+          coalesce(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).cast("long"), lit(0L))
+            .as("tc")
+        )
+      nRow
+        .crossJoin(broadcast(sRow))
+        .crossJoin(broadcast(tRow))
+        .select(
+          col("n"),
+          col("s").as("s_stat"),
+          (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tc")).as("var18"),
+          ((col("s") - when(col("s") > 0, 1L).when(col("s") < 0, -1L).otherwise(0L))
+            .cast("double")
+            / sqrt(
+              (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tc"))
+                .cast("double") / 18
+            )).as("z_score")
+        )
     }
   )
 

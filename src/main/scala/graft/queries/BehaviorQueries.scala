@@ -523,6 +523,41 @@ object BehaviorQueries {
         )
         .filter(col("vf") <= snapUs && lit(snapUs) < col("vt"))
         .select(col("user_id"), col("event_type").as("state_at_snapshot"))
+    },
+
+    // Inter-purchase gap distribution: consecutive order-date gaps per
+    // customer (lag over a customer-keyed (date, orderkey) total order —
+    // deterministic under same-day orders), histogrammed by gap week.
+    // The purchase-cadence curve behind churn/LTV models, reduced to
+    // exact integer epoch-day arithmetic: gap days, floor-week bucket,
+    // counts and day totals all BIGINT — bit-identical cross-engine.
+    // Customer-keyed window + one partial agg; scales as orders/customers.
+    QEntry.sql(
+      "q_interpurchase_gaps",
+      """WITH d AS (SELECT o_custkey AS ck,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ad,
+        |    o_orderkey AS ok FROM orders),
+        |g AS (SELECT ad - lag(ad) OVER (PARTITION BY ck ORDER BY ad, ok) AS gap
+        |  FROM d)
+        |SELECT CAST(gap // 7 AS BIGINT) AS gap_week,
+        |  CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS total_days
+        |FROM g WHERE gap IS NOT NULL GROUP BY gap_week"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = orders(s, d).select(
+        col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("ad"),
+        col("o_orderkey").as("ok")
+      )
+      base
+        .withColumn(
+          "gap",
+          col("ad") - lag("ad", 1).over(Window.partitionBy("ck").orderBy("ad", "ok"))
+        )
+        .filter(col("gap").isNotNull)
+        .groupBy(expr("gap div 7").as("gap_week"))
+        .agg(count(lit(1)).as("n_gaps"), sum("gap").cast("long").as("total_days"))
     }
   )
 }
