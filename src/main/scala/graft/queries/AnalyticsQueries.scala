@@ -2119,6 +2119,62 @@ object AnalyticsQueries {
                 .cast("double") / 18
             )).as("z_score")
         )
+    },
+
+    // Cramér's V between order priority (5 levels) and order status (3) —
+    // the bounded [0,1] association strength behind txt_chi2_keyness'
+    // unnormalized χ². χ² = N·(Σ O²/(r·c) − 1) is held as a DEFINED
+    // fixed-point quantity: each cell contributes O²·10¹² div (r·c) (one
+    // truncating integral division, error < cells/10¹² — documented, not
+    // float drift), summed exactly in HUGEINT/DECIMAL(38,0); chi2_ppm is
+    // then one more integral division. V = √(χ²/(N·min(r−1,c−1))) is the
+    // only double step (min(r−1,c−1) = 2 for this 5×3 table). Margins and
+    // cells are three partial aggs over one scan; every joined side is
+    // ≤ levels² rows — broadcast by construction at any scale.
+    QEntry.sql(
+      "q_cramers_v",
+      """WITH o AS (SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders),
+        |cell AS (SELECT a, b, CAST(count(*) AS BIGINT) AS oab FROM o GROUP BY a, b),
+        |ra AS (SELECT a, CAST(count(*) AS BIGINT) AS r FROM o GROUP BY a),
+        |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY b),
+        |n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |t_ AS (SELECT CAST(sum((CAST(oab AS HUGEINT) * oab * 1000000000000)
+        |      // (r * c)) AS HUGEINT) AS t
+        |  FROM cell JOIN ra USING (a) JOIN cb USING (b))
+        |SELECT n_.n,
+        |  CAST((CAST(n_.n AS HUGEINT) * (t_.t - 1000000000000)) // 1000000
+        |    AS BIGINT) AS chi2_ppm,
+        |  sqrt(CAST(CAST((CAST(n_.n AS HUGEINT) * (t_.t - 1000000000000)) // 1000000
+        |      AS BIGINT) AS DOUBLE) / 1000000 / (n_.n * 2)) AS cramers_v
+        |FROM n_ CROSS JOIN t_"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d)
+        .select(col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+      val cell = o.groupBy("a", "b").agg(count(lit(1)).as("oab"))
+      val ra = o.groupBy("a").agg(count(lit(1)).as("r"))
+      val cb = o.groupBy("b").agg(count(lit(1)).as("c"))
+      val nRow = o.agg(count(lit(1)).as("n"))
+      val t = cell
+        .join(broadcast(ra), "a")
+        .join(broadcast(cb), "b")
+        .agg(
+          sum(expr("(CAST(oab AS DECIMAL(38,0)) * oab * 1000000000000) div (r * c)"))
+            .cast("decimal(38,0)")
+            .as("t")
+        )
+      nRow
+        .crossJoin(broadcast(t))
+        .select(
+          col("n"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * (t - 1000000000000)) div 1000000 AS BIGINT)")
+            .as("chi2_ppm"),
+          sqrt(
+            expr(
+              "CAST((CAST(n AS DECIMAL(38,0)) * (t - 1000000000000)) div 1000000 AS BIGINT)"
+            ).cast("double") / 1000000 / (col("n") * 2)
+          ).as("cramers_v")
+        )
     }
   )
 

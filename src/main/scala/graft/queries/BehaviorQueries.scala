@@ -558,6 +558,109 @@ object BehaviorQueries {
         .filter(col("gap").isNotNull)
         .groupBy(expr("gap div 7").as("gap_week"))
         .agg(count(lit(1)).as("n_gaps"), sum("gap").cast("long").as("total_days"))
+    },
+
+    // Kaplan-Meier survival of time-to-second-purchase, right-censored at
+    // the corpus horizon: S(t) = Π_{u≤t} (n_u − d_u)/n_u over the weekly
+    // event table. The fact table reduces to ≤ calendar-weeks rows BEFORE
+    // any quadratic work, so the global windows and the one-row list agg
+    // are calendar-bounded (the q_theilsen_trend posture). The product is
+    // a SEQUENTIAL integer fold seeded at 10¹² — each step the exact
+    // identity (acc div n)·(n−d) + ((acc mod n)·(n−d)) div n, which never
+    // exceeds max(10¹², n²) < 2⁶³ — replayed per week over a list slice
+    // (O(weeks²) on ≤ ~400 encoded BIGINTs). Encoding t·2⁴⁸ + n·2²⁴ + d
+    // keeps the fold input one sorted BIGINT list; n < 2²⁴ holds through
+    // sf10 (documented bound). Bit-identical cross-engine, no rounding.
+    QEntry.sql(
+      "q_kaplan_meier", {
+        val nx = "((x // 16777216) % 16777216)"
+        val dx = "(x % 16777216)"
+        s"""WITH o AS (SELECT o_custkey AS ck,
+           |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ad,
+           |    o_orderkey AS ok FROM orders),
+           |r AS (SELECT ck, ad,
+           |    row_number() OVER (PARTITION BY ck ORDER BY ad, ok) AS rn FROM o),
+           |f AS (SELECT ck, min(CASE WHEN rn = 1 THEN ad END) AS ad1,
+           |    min(CASE WHEN rn = 2 THEN ad END) AS ad2
+           |  FROM r WHERE rn <= 2 GROUP BY ck),
+           |mx AS (SELECT max(ad) AS m FROM o),
+           |ev AS (SELECT CASE WHEN f.ad2 IS NOT NULL THEN (f.ad2 - f.ad1) // 7
+           |      ELSE (mx.m - f.ad1) // 7 END AS t,
+           |    CASE WHEN f.ad2 IS NOT NULL THEN 1 ELSE 0 END AS e
+           |  FROM f CROSS JOIN mx),
+           |wk AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+           |    CAST(count(*) AS BIGINT) AS m FROM ev GROUP BY t),
+           |rk AS (SELECT t, d,
+           |    CAST(sum(m) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS n,
+           |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS k FROM wk),
+           |ar AS (SELECT list_sort(list(t * 281474976710656 + n * 16777216 + d))
+           |    AS arr FROM rk)
+           |SELECT rk.t AS t_week, rk.n AS n_risk, rk.d AS d_events,
+           |  list_reduce(
+           |    list_prepend(CAST(1000000000000 AS BIGINT), list_slice(ar.arr, 1, rk.k)),
+           |    (acc, x) -> (acc // $nx) * ($nx - $dx)
+           |      + ((acc % $nx) * ($nx - $dx)) // $nx) AS surv_e12
+           |FROM rk CROSS JOIN ar""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val nx = "((x div 16777216) % 16777216)"
+      val dx = "(x % 16777216)"
+      val o = orders(s, d).select(
+        col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("ad"),
+        col("o_orderkey").as("ok")
+      )
+      val r = o
+        .withColumn("rn", row_number().over(Window.partitionBy("ck").orderBy("ad", "ok")))
+        .filter(col("rn") <= 2)
+      val f = r
+        .groupBy("ck")
+        .agg(
+          min(when(col("rn") === 1, col("ad"))).as("ad1"),
+          min(when(col("rn") === 2, col("ad"))).as("ad2")
+        )
+      val mx = o.agg(max("ad").as("m"))
+      val ev = f
+        .crossJoin(broadcast(mx))
+        .select(
+          when(col("ad2").isNotNull, expr("(ad2 - ad1) div 7"))
+            .otherwise(expr("(m - ad1) div 7"))
+            .as("t"),
+          when(col("ad2").isNotNull, 1L).otherwise(0L).as("e")
+        )
+      val wk = ev.groupBy("t").agg(sum("e").cast("long").as("d"), count(lit(1)).as("m"))
+      val one = pmod(col("t"), lit(1)) // single-partition key for the calendar-sized frame
+      val rk = wk.select(
+        col("t"),
+        col("d"),
+        sum("m")
+          .over(
+            Window
+              .partitionBy(one)
+              .orderBy(col("t").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          )
+          .cast("long")
+          .as("n"),
+        row_number().over(Window.partitionBy(one).orderBy("t")).cast("long").as("k")
+      )
+      val ar = rk.agg(
+        sort_array(
+          collect_list(col("t") * lit(281474976710656L) + col("n") * 16777216L + col("d"))
+        ).as("arr")
+      )
+      rk.crossJoin(broadcast(ar))
+        .select(
+          col("t").as("t_week"),
+          col("n").as("n_risk"),
+          col("d").as("d_events"),
+          expr(
+            s"aggregate(slice(arr, 1, k), CAST(1000000000000 AS BIGINT)," +
+              s" (acc, x) -> (acc div $nx) * ($nx - $dx)" +
+              s" + ((acc % $nx) * ($nx - $dx)) div $nx)"
+          ).as("surv_e12")
+        )
     }
   )
 }

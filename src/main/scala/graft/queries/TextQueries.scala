@@ -537,6 +537,56 @@ object TextQueries {
           sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long").as("hapax"),
           expr("count(*) * 1000000L div sum(c)").cast("long").as("ttr_ppm")
         )
+    },
+
+    // Per-source KL divergence from the corpus unigram distribution —
+    // D(P_src ‖ P_corpus) in nats, the one-number "how far does this
+    // source's vocabulary drift from the blend" monitor (the directed
+    // relative of cur_mixture_hhi's concentration). Every source term
+    // also appears in the corpus, so q > 0 wherever p > 0 and no
+    // smoothing is needed. Term probabilities are exact BIGINT ratios;
+    // each p·ln(p/q) term is a libm output, so it takes the q_psi_drift
+    // ladder: quantize to 12 dp, sum as DECIMAL (order-free), round 6.
+    // One (source, term) partial agg + a broadcast corpus side.
+    QEntry.sql(
+      "txt_kl_sources",
+      """WITH tok AS (SELECT d.source, lower(t.tk) AS tk
+        |  FROM documents d, unnest(string_split_regex(trim(d.text), '\s+')) AS t(tk)
+        |  WHERE length(t.tk) >= 1),
+        |sc AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, tk),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+        |gc AS (SELECT tk, CAST(sum(c) AS BIGINT) AS g FROM sc GROUP BY tk),
+        |gt AS (SELECT CAST(sum(g) AS BIGINT) AS ng FROM gc),
+        |terms AS (SELECT sc.source,
+        |    CAST(round((CAST(sc.c AS DOUBLE) / st.ns)
+        |      * ln((CAST(sc.c AS DOUBLE) / st.ns) / (CAST(gc.g AS DOUBLE) / gt.ng)),
+        |      12) AS DECIMAL(16,12)) AS term
+        |  FROM sc JOIN st USING (source) JOIN gc USING (tk) CROSS JOIN gt)
+        |SELECT source, round(CAST(CAST(sum(term) AS DECIMAL(20,12)) AS DOUBLE), 6)
+        |    AS kl_nats
+        |FROM terms GROUP BY source"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val sc = documents(s, d)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tk"))
+        .filter(length(col("tk")) >= 1)
+        .groupBy(col("source"), lower(col("tk")).as("tk"))
+        .agg(count(lit(1)).as("c"))
+      val st = sc.groupBy("source").agg(sum("c").cast("long").as("ns"))
+      val gc = sc.groupBy("tk").agg(sum("c").cast("long").as("g"))
+      val gt = gc.agg(sum("g").cast("long").as("ng"))
+      val p = col("c").cast("double") / col("ns")
+      val q = col("g").cast("double") / col("ng")
+      sc.join(broadcast(st), "source")
+        .join(broadcast(gc), "tk")
+        .crossJoin(broadcast(gt))
+        .select(
+          col("source"),
+          round(p * log(p / q), 12).cast("decimal(16,12)").as("term")
+        )
+        .groupBy("source")
+        .agg(round(sum("term").cast("decimal(20,12)").cast("double"), 6).as("kl_nats"))
     }
   )
 }

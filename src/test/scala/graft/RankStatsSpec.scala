@@ -13,14 +13,17 @@ class RankStatsSpec extends SparkSpec {
   /** Crafted orders (+ lineitem) dir shaped like the testdata layout. */
   private def ordersDir(
       orders: Seq[(Long, Long, Double, String, String)], // key, cust, price, date, priority
-      itemsPerOrder: Map[Long, Int] = Map.empty
+      itemsPerOrder: Map[Long, Int] = Map.empty,
+      statusOf: Map[Long, String] = Map.empty
   ): String = {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rank").toString
+    val status = udf((k: Long) => statusOf.getOrElse(k, "F"))
     orders
       .toDF("o_orderkey", "o_custkey", "o_totalprice", "d", "o_orderpriority")
       .withColumn("o_orderdate", to_timestamp(col("d")))
+      .withColumn("o_orderstatus", status(col("o_orderkey")))
       .drop("d")
       .write
       .mode("overwrite")
@@ -122,5 +125,88 @@ class RankStatsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     assert(out == Map(1L -> ((1L, 10L)), 2L -> ((1L, 14L))))
+  }
+
+  test("q_cramers_v: perfect association and independence, fixed-point exact") {
+    // The entry's divisor min(r−1,c−1)=2 is the production 5×3 table's —
+    // these crafted 2×2 tables validate the χ² fixed-point mechanics.
+    // Perfect 2×2 association: χ² = N → chi2_ppm = N·10⁶
+    val dirAssoc = ordersDir(
+      Seq(
+        (1L, 1L, 1.0, "1994-01-01", "A"),
+        (2L, 1L, 1.0, "1994-01-02", "A"),
+        (3L, 1L, 1.0, "1994-01-03", "B"),
+        (4L, 1L, 1.0, "1994-01-04", "B")
+      ),
+      statusOf = Map(1L -> "X", 2L -> "X", 3L -> "Y", 4L -> "Y")
+    )
+    val r1 = SparkEntry.queries("q_cramers_v")(spark, dirAssoc).collect()(0)
+    assert(r1.getLong(1) == 4000000L)
+    assert(math.abs(r1.getDouble(2) - math.sqrt(0.5)) < 1e-12)
+    // independence: every cell 1 → χ² = 0 exactly (no truncation residue)
+    val dirInd = ordersDir(
+      Seq(
+        (1L, 1L, 1.0, "1994-01-01", "A"),
+        (2L, 1L, 1.0, "1994-01-02", "A"),
+        (3L, 1L, 1.0, "1994-01-03", "B"),
+        (4L, 1L, 1.0, "1994-01-04", "B")
+      ),
+      statusOf = Map(1L -> "X", 2L -> "Y", 3L -> "X", 4L -> "Y")
+    )
+    val r2 = SparkEntry.queries("q_cramers_v")(spark, dirInd).collect()(0)
+    assert(r2.getLong(1) == 0L)
+    assert(r2.getDouble(2) == 0.0)
+  }
+
+  test("q_kaplan_meier: risk sets, events and the integer survival fold") {
+    // c1: second order at week 1 (event); c2: at week 3 (event);
+    // c3: single order, censored at the horizon (day 21 → week 3).
+    // S(1) = 2/3 → 666666666666; S(3) = S(1)·1/2 → 333333333333.
+    val dir = ordersDir(
+      Seq(
+        (1L, 1L, 1.0, "1970-01-01", "A"),
+        (2L, 1L, 1.0, "1970-01-08", "A"),
+        (3L, 2L, 1.0, "1970-01-01", "A"),
+        (4L, 2L, 1.0, "1970-01-22", "A"),
+        (5L, 3L, 1.0, "1970-01-01", "A")
+      )
+    )
+    val out = SparkEntry
+      .queries("q_kaplan_meier")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(
+      out == Set((1L, 3L, 1L, 666666666666L), (3L, 2L, 1L, 333333333333L)),
+      out.toString
+    )
+  }
+
+  test("txt_kl_sources: ladder-exact KL against a hand-built two-source corpus") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kl").toString
+    Seq((1L, "a a b", "S1"), (2L, "a b b b", "S2"))
+      .toDF("doc_id", "text", "source")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def ladder(terms: Seq[Double]): Double = {
+      val q = terms.map(t => BigDecimal(t).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      BigDecimal(q.sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expS1 = ladder(
+      Seq(2.0 / 3 * math.log((2.0 / 3) / (3.0 / 7)), 1.0 / 3 * math.log((1.0 / 3) / (4.0 / 7)))
+    )
+    val expS2 = ladder(
+      Seq(1.0 / 4 * math.log((1.0 / 4) / (3.0 / 7)), 3.0 / 4 * math.log((3.0 / 4) / (4.0 / 7)))
+    )
+    val out = SparkEntry
+      .queries("txt_kl_sources")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(math.abs(out("S1") - expS1) < 1e-9, s"${out("S1")} vs $expS1")
+    assert(math.abs(out("S2") - expS2) < 1e-9, s"${out("S2")} vs $expS2")
   }
 }
