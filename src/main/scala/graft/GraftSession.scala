@@ -44,6 +44,10 @@ object GraftSession {
     // (ignored if the conf is static in this Spark build)
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Exception => () }
+    // a session built WITHOUT spark.sql.extensions=graft.GraftExtensions
+    // still gets the custom kernels (graft_dot etc.) — idempotent installs
+    graft.functions.VectorExpressions.install(spark)
+    graft.operators.SemiReduce.install(spark)
     spark
   }
 }

@@ -1163,6 +1163,84 @@ object PipelineQueries {
             9
           ).as("cos_centroid")
         )
+    },
+
+    // One deterministic Lloyd assignment step (k = 8) — the clustering
+    // pass a curation pipeline runs to diversity-sample or balance a
+    // corpus. Seeds are the 8 md5-smallest vec_ids (TakeOrdered — no
+    // global window; the k-row rank window is k-bounded, the
+    // weightedTopK precedent), so initialization is reproducible across
+    // engines/runs/partitionings with no RNG. Assignment: d² = (x·x −
+    // 2·x·c) + c·c with every dot the codegen'd graft_dot kernel (twin:
+    // list_dot_product over DOUBLE lists — same left-to-right fold) and
+    // the combination parenthesization pinned, so d² is bit-identical
+    // and the (d², seed-rank) argmin needs no tolerance. Per-vector
+    // windows are 8-row; inertia takes the quantize-9dp → DECIMAL-sum →
+    // round-6 ladder. Corpus scan × broadcast seeds: one wide pass, no
+    // shuffle beyond the final 8-group agg.
+    QEntry.sql(
+      "emb_kmeans_step",
+      """WITH vecs AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |sd AS (SELECT vec_id AS sid, e AS ce,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+        |  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |asg AS (SELECT v.vec_id, s.sid, s.r,
+        |    (list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, s.ce))
+        |      + list_dot_product(s.ce, s.ce) AS d2
+        |  FROM vecs v CROSS JOIN sd s),
+        |best AS (SELECT vec_id, sid, r, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, r) AS rn FROM asg)
+        |SELECT CAST(r AS BIGINT) AS centroid_rank, sid AS seed_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  round(CAST(CAST(sum(CAST(round(d2, 9) AS DECIMAL(18,9)))
+        |    AS DECIMAL(28,9)) AS DOUBLE), 6) AS inertia
+        |FROM best WHERE rn = 1 GROUP BY r, sid"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val vecs = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val sdBase = vecs
+        .select(
+          col("vec_id").as("sid"),
+          col("embedding").as("ce"),
+          md5(col("vec_id").cast("string")).as("h")
+        )
+        .orderBy("h", "sid")
+        .limit(8)
+      val sd = sdBase.select(
+        col("sid"),
+        col("ce"),
+        row_number()
+          .over(Window.partitionBy(pmod(col("sid"), lit(1))).orderBy("h", "sid"))
+          .cast("long")
+          .as("r")
+      )
+      val asg = vecs
+        .crossJoin(broadcast(sd))
+        .select(
+          col("vec_id"),
+          col("sid"),
+          col("r"),
+          ((expr("graft_dot(embedding, embedding)")
+            - lit(2) * expr("graft_dot(embedding, ce)"))
+            + expr("graft_dot(ce, ce)")).as("d2")
+        )
+      asg
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy("vec_id").orderBy("d2", "r"))
+        )
+        .filter(col("rn") === 1)
+        .groupBy(col("r").as("centroid_rank"), col("sid").as("seed_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          round(
+            sum(round(col("d2"), 9).cast("decimal(18,9)"))
+              .cast("decimal(28,9)")
+              .cast("double"),
+            6
+          ).as("inertia")
+        )
     }
   )
 }

@@ -913,6 +913,76 @@ object RelationalQueries {
         )
     },
 
+    // Blocked record-linkage scoring (the Fellegi-Sunter shape): candidate
+    // customer pairs from equi-join blocks on (nation, segment, $2000
+    // balance band) — NEVER all-pairs; the block key bounds the quadratic
+    // term and is the standard recall tradeoff (near-$100 agreement across
+    // a band boundary is missed — documented). Each pair scores integer
+    // agreement weights over three derived fields: balance within $100
+    // (+32), same first-order year (+16, only when both present — the FS
+    // missing-field convention), same order count (+8). Output is the
+    // exact score histogram. All BIGINT; per-customer order features come
+    // from one partial agg, pairs from one shuffle join on the block key.
+    QEntry.sql(
+      "q_record_linkage",
+      """WITH c AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+        |    c_mktsegment AS seg, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |oa AS (SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS n_ord,
+        |    CAST(min(CAST(strftime(o_orderdate, '%Y') AS INTEGER)) AS BIGINT) AS yr1
+        |  FROM orders GROUP BY o_custkey),
+        |p AS (SELECT c.ck, c.nk, c.seg, c.cents, c.cents // 200000 AS band,
+        |    COALESCE(oa.n_ord, 0) AS n_ord, oa.yr1
+        |  FROM c LEFT JOIN oa ON c.ck = oa.ck),
+        |s AS (SELECT
+        |    (CASE WHEN abs(a.cents - b.cents) <= 10000 THEN 32 ELSE 0 END)
+        |    + (CASE WHEN a.yr1 IS NOT NULL AND b.yr1 IS NOT NULL
+        |        AND a.yr1 = b.yr1 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN a.n_ord = b.n_ord THEN 8 ELSE 0 END) AS score
+        |  FROM p a JOIN p b ON a.nk = b.nk AND a.seg = b.seg
+        |    AND a.band = b.band AND a.ck < b.ck)
+        |SELECT CAST(score AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM s GROUP BY score"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val c = customer(s, d).select(
+        col("c_custkey").as("ck"),
+        col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("cents")
+      )
+      val oa = orders(s, d)
+        .groupBy(col("o_custkey").as("ock"))
+        .agg(
+          count(lit(1)).as("n_ord"),
+          min(date_format(col("o_orderdate"), "yyyy").cast("int")).cast("long").as("yr1")
+        )
+      val p = c
+        .join(oa, col("ck") === col("ock"), "left")
+        .select(
+          col("ck"),
+          col("nk"),
+          col("seg"),
+          col("cents"),
+          expr("cents div 200000").as("band"),
+          coalesce(col("n_ord"), lit(0L)).as("n_ord"),
+          col("yr1")
+        )
+      val a = p.toDF("ack", "nk", "seg", "acents", "band", "an", "ay")
+      val b = p.toDF("bck", "nk2", "seg2", "bcents", "band2", "bn", "by")
+      a.join(
+        b,
+        col("nk") === col("nk2") && col("seg") === col("seg2")
+          && col("band") === col("band2") && col("ack") < col("bck")
+      ).select(
+        (when(abs(col("acents") - col("bcents")) <= 10000, 32L).otherwise(0L)
+          + when(col("ay").isNotNull && col("by").isNotNull && col("ay") === col("by"), 16L)
+            .otherwise(0L)
+          + when(col("an") === col("bn"), 8L).otherwise(0L)).as("score")
+      ).groupBy("score")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // Snapshot reconciliation: classify every key across two table
     // versions as added / removed / changed / unchanged — the audit query
     // every CDC or backfill pipeline runs before switching readers. The

@@ -906,6 +906,87 @@ object StatQueries {
         .join(broadcast(cms), Seq("j", "bucket"))
         .groupBy("user_id", "true_cnt")
         .agg(min("c").cast("long").as("cms_est"))
+    },
+
+    // Fully deterministic HyperLogLog (m = 64 registers) over the yearly
+    // order-key sets — unlike q_sketch_distinct_users' engine-internal
+    // HLL++ (rows-gated, tolerance-banded), every register and the
+    // estimate itself are EXACTLY oracled: the hash is the first 13 hex
+    // chars of md5 (52 bits — within double-exact range for the oracle's
+    // digit-fold), register = top 6 bits, ρ = 47 − bitlength(low 46 bits)
+    // via the engines' shared bin() string (no libm log2 at a power-of-2
+    // boundary), Z's harmonic sum is held as Σ 2^(47−M) in exact BIGINT
+    // shifts, and E = α·m²·2⁴⁷ / Z is one HUGEINT/DECIMAL(38,0) integral
+    // division with α = 709/1000 literal on both engines. One partial
+    // agg per (year, register); 64-row groups thereafter. The one-sided
+    // raw-estimator bias below 2.5m shows up at sf0.001 (documented —
+    // the small-range linear-counting branch needs ln, deliberately
+    // omitted to keep the estimate exactly reproducible).
+    QEntry.sql(
+      "q_hll_estimate", {
+        val hexFold =
+          """CAST(list_sum(list_transform(range(1, 14), i ->
+            |  (strpos('0123456789abcdef',
+            |     substr(md5(CAST(o_orderkey AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+            |  * pow(16, 13 - i))) AS BIGINT)""".stripMargin
+        s"""WITH h AS (SELECT strftime(o_orderdate, '%Y') AS yr,
+           |    $hexFold AS hv FROM orders),
+           |reg AS (SELECT yr, hv // 70368744177664 AS idx,
+           |    max(CASE WHEN hv % 70368744177664 = 0 THEN 47
+           |      ELSE 47 - length(bin(hv % 70368744177664)) END) AS m
+           |  FROM h GROUP BY yr, idx),
+           |z AS (SELECT yr,
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(47 - m AS INT)) AS BIGINT)
+           |      + (64 - CAST(count(*) AS BIGINT)) * 140737488355328 AS zn
+           |  FROM reg GROUP BY yr),
+           |tru AS (SELECT strftime(o_orderdate, '%Y') AS yr,
+           |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_true
+           |  FROM orders GROUP BY yr),
+           |e AS (SELECT tru.yr, tru.n_true,
+           |    CAST((CAST(2904064 AS HUGEINT) * 140737488355328) // (1000 * z.zn)
+           |      AS BIGINT) AS hll_est
+           |  FROM tru JOIN z ON tru.yr = z.yr)
+           |SELECT yr, n_true, hll_est,
+           |  CAST((hll_est - n_true) * 1000000 // n_true AS BIGINT) AS err_ppm
+           |FROM e""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val h = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy").as("yr"),
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 13), 16, 10)
+          .cast("long")
+          .as("hv")
+      )
+      val reg = h
+        .groupBy(col("yr"), expr("hv div 70368744177664").as("idx"))
+        .agg(
+          max(
+            when(expr("hv % 70368744177664") === 0, lit(47))
+              .otherwise(lit(47) - length(expr("bin(hv % 70368744177664)")))
+          ).as("m")
+        )
+      val z = reg
+        .groupBy("yr")
+        .agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(47 - m AS INT))")).cast("long").as("s"),
+          count(lit(1)).as("nreg")
+        )
+        .select(col("yr"), (col("s") + (lit(64L) - col("nreg")) * 140737488355328L).as("zn"))
+      val tru = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("yr"))
+        .agg(countDistinct("o_orderkey").as("n_true"))
+      tru
+        .join(z, "yr")
+        .withColumn(
+          "hll_est",
+          expr("CAST((CAST(2904064 AS DECIMAL(38,0)) * 140737488355328) div (1000 * zn) AS BIGINT)")
+        )
+        .select(
+          col("yr"),
+          col("n_true"),
+          col("hll_est"),
+          expr("(hll_est - n_true) * 1000000L div n_true").cast("long").as("err_ppm")
+        )
     }
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground truth for the deterministic-HLL, record-linkage and k-means-step
+  * entries: the HLL registers/estimate are replayed by an independent Scala
+  * mirror, the linkage histogram is hand-computed, and the Lloyd step is
+  * checked against its invariants (self-assignment, zero inertia on a
+  * seeds-only corpus, member conservation).
+  */
+class SketchClusterSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  test("q_hll_estimate matches an independent Scala replay of the sketch") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val keys = (1L to 500L)
+    keys
+      .map(k => (k, "1994-06-01"))
+      .toDF("o_orderkey", "dt")
+      .withColumn("o_orderdate", to_timestamp(col("dt")))
+      .drop("dt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+
+    // independent mirror: 13-hex-char md5 hash, m=64, rho over low 46 bits
+    val regs = scala.collection.mutable.Map.empty[Long, Int]
+    keys.foreach { k =>
+      val hv = java.lang.Long.parseLong(md5hex(k.toString).substring(0, 13), 16)
+      val idx = hv / 70368744177664L
+      val w = hv % 70368744177664L
+      val rho = if (w == 0L) 47 else 47 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      regs(idx) = math.max(regs.getOrElse(idx, 0), rho)
+    }
+    val zn = regs.values.map(m => 1L << (47 - m)).sum +
+      (64L - regs.size) * 140737488355328L
+    val est = (BigInt(2904064) * BigInt(140737488355328L) / (BigInt(1000) * BigInt(zn))).toLong
+    val errPpm = (est - 500L) * 1000000L / 500L
+
+    val r = SparkEntry.queries("q_hll_estimate")(spark, dir).collect()(0)
+    assert(r.getString(0) == "1994")
+    assert(r.getLong(1) == 500L)
+    assert(r.getLong(2) == est, s"entry ${r.getLong(2)} vs mirror $est")
+    assert(r.getLong(3) == errPpm)
+  }
+
+  test("q_record_linkage: hand-computed agreement-score histogram") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_link").toString
+    // nation 1 / segment S, band 0: ck1 ($100, 2 orders 1994),
+    // ck2 ($150, 2 orders 1995), ck5 ($100, no orders); ck3 sits in band 2,
+    // ck4 in another nation → pairs (1,2)=40, (1,5)=32, (2,5)=32
+    Seq(
+      (1L, 1, 100.0, "S"),
+      (2L, 1, 150.0, "S"),
+      (3L, 1, 5000.0, "S"),
+      (4L, 2, 100.0, "S"),
+      (5L, 1, 100.0, "S")
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    Seq(
+      (10L, 1L, "1994-02-01"),
+      (11L, 1L, "1994-07-01"),
+      (12L, 2L, "1995-03-01"),
+      (13L, 2L, "1995-08-01")
+    ).toDF("o_orderkey", "o_custkey", "dt")
+      .withColumn("o_orderdate", to_timestamp(col("dt")))
+      .drop("dt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val out = SparkEntry
+      .queries("q_record_linkage")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map(40L -> 1L, 32L -> 2L), out.toString)
+  }
+
+  test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_km").toString
+    // 8 well-separated axis vectors and one near-duplicate of vec 0. Seeds
+    // are the 8 md5-smallest ids; id 3's md5 (eccbc…) is the largest among
+    // 0–8, so giving the near-duplicate id 3 pins it as the one non-seed.
+    val dim = 16
+    def axis(i: Int, scale: Float): Array[Float] = {
+      val a = Array.fill(dim)(0f); a(i) = scale; a
+    }
+    val base = Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L).zipWithIndex
+      .map { case (id, i) => (id, axis(i, 10f)) }
+    val extra = Seq((3L, axis(0, 9f))) // closest to vec 0 by L2
+    (base ++ extra)
+      .toDF("vec_id", "embedding")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry
+      .queries("emb_kmeans_step")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 9 vectors conserved across 8 clusters; vec 8 joins seed 0's cluster
+    assert(out.map(_._2).sum == 9L)
+    val (big, rest) = out.partition(_._2 == 2L)
+    assert(big.length == 1 && big.head._1 == 0L, out.mkString(", "))
+    assert(math.abs(big.head._3 - 1.0) < 1e-9) // |10−9|² = 1
+    assert(rest.forall(t => t._2 == 1L && t._3 == 0.0), out.mkString(", "))
+  }
+}
