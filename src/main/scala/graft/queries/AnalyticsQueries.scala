@@ -2175,6 +2175,130 @@ object AnalyticsQueries {
             ).cast("double") / 1000000 / (col("n") * 2)
           ).as("cramers_v")
         )
+    },
+
+    // Winsorized mean per order priority — the robust location estimate a
+    // quality dashboard prefers over the raw mean when tails are fat.
+    // Clip bounds are EXACT p5/p95 order statistics (the q_percentile_disc
+    // ceil-rank convention over a (cents, orderkey) total order — picked
+    // values, never interpolation), broadcast back onto the fact scan;
+    // the clipped mean ships as an exact milli-cent integral division.
+    // Priority-keyed windows, one clip pass, one partial agg — parallel
+    // across groups at any scale.
+    QEntry.sql(
+      "q_winsorized_mean",
+      """WITH r AS (SELECT o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |  FROM orders),
+        |b AS (SELECT pri,
+        |    max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo,
+        |    max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi
+        |  FROM r GROUP BY pri)
+        |SELECT r.pri, max(r.n) AS n, max(b.lo) AS lo_cents, max(b.hi) AS hi_cents,
+        |  CAST(sum(least(greatest(r.cents, b.lo), b.hi)) * 1000 // max(r.n)
+        |    AS BIGINT) AS wmean_milli
+        |FROM r JOIN b ON r.pri = b.pri GROUP BY r.pri"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val wp = Window.partitionBy("pri")
+      val r = orders(s, d)
+        .select(col("o_orderpriority").as("pri"), cents.as("cents"), col("o_orderkey"))
+        .select(
+          col("pri"),
+          col("cents"),
+          row_number().over(wp.orderBy("cents", "o_orderkey")).cast("long").as("rn"),
+          count(lit(1)).over(wp).cast("long").as("n")
+        )
+      val b = r
+        .groupBy("pri")
+        .agg(
+          max(when(col("rn") === expr("(n * 5 + 99) div 100"), col("cents"))).as("lo"),
+          max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("cents"))).as("hi")
+        )
+      r.join(broadcast(b), "pri")
+        .groupBy("pri")
+        .agg(
+          max("n").as("n"),
+          max("lo").as("lo_cents"),
+          max("hi").as("hi_cents"),
+          expr("CAST(sum(least(greatest(cents, lo), hi)) * 1000 div max(n) AS BIGINT)")
+            .as("wmean_milli")
+        )
+    },
+
+    // Cohort LTV curve: average cumulative spend per customer by cohort
+    // month × months-since-first-order — the lifetime-value table behind
+    // q_retention_cohorts' activity matrix. Month index is pure integer
+    // (y·12 + m) arithmetic; the running revenue is a cohort-keyed
+    // cumulative window over the ≤ calendar² (cohort, age) grid, and the
+    // per-customer average ships as one exact milli-cent integral
+    // division by the FIXED cohort size (denominator constant down the
+    // curve — LTV convention, not surviving-customer average).
+    QEntry.sql(
+      "q_cohort_ltv",
+      """WITH o AS (SELECT o_custkey AS ck,
+        |    CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+        |      + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS mi,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |fc AS (SELECT ck, min(mi) AS cm FROM o GROUP BY ck),
+        |sz AS (SELECT cm, CAST(count(*) AS BIGINT) AS n_cust FROM fc GROUP BY cm),
+        |rev AS (SELECT fc.cm, o.mi - fc.cm AS age,
+        |    CAST(sum(o.cents) AS BIGINT) AS m_cents
+        |  FROM o JOIN fc ON o.ck = fc.ck GROUP BY fc.cm, o.mi - fc.cm),
+        |cum AS (SELECT cm, age,
+        |    CAST(sum(m_cents) OVER (PARTITION BY cm ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_cents FROM rev)
+        |SELECT CAST(cum.cm // 12 AS BIGINT) || '-' ||
+        |    CASE WHEN cum.cm % 12 + 1 < 10 THEN '0' ELSE '' END ||
+        |    CAST(cum.cm % 12 + 1 AS BIGINT) AS cohort,
+        |  CAST(cum.age AS BIGINT) AS age_months, sz.n_cust,
+        |  CAST(cum.c_cents * 1000 // sz.n_cust AS BIGINT) AS ltv_milli
+        |FROM cum JOIN sz ON cum.cm = sz.cm"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        col("o_custkey").as("ck"),
+        (date_format(col("o_orderdate"), "yyyy").cast("long") * 12
+          + date_format(col("o_orderdate"), "MM").cast("long") - 1).as("mi"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+      val fc = o.groupBy("ck").agg(min("mi").as("cm"))
+      val sz = fc.groupBy("cm").agg(count(lit(1)).as("n_cust"))
+      val rev = o
+        .join(fc, "ck")
+        .groupBy(col("cm"), (col("mi") - col("cm")).as("age"))
+        .agg(sum("cents").cast("long").as("m_cents"))
+      val cum = rev.select(
+        col("cm"),
+        col("age"),
+        sum("m_cents")
+          .over(
+            Window
+              .partitionBy("cm")
+              .orderBy("age")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          )
+          .cast("long")
+          .as("c_cents")
+      )
+      cum
+        .join(broadcast(sz), "cm")
+        .select(
+          concat(
+            expr("CAST(cm div 12 AS BIGINT)").cast("string"),
+            lit("-"),
+            when(col("cm") % 12 + 1 < 10, "0").otherwise(""),
+            (col("cm") % 12 + 1).cast("string")
+          ).as("cohort"),
+          col("age").as("age_months"),
+          col("n_cust"),
+          expr("CAST(c_cents * 1000 div n_cust AS BIGINT)").as("ltv_milli")
+        )
     }
   )
 

@@ -182,6 +182,40 @@ class RankStatsSpec extends SparkSpec {
     )
   }
 
+  test("q_winsorized_mean: exact p5/p95 clip bounds and milli-cent mean") {
+    // cents 100..10000 in steps of 100 (n=100): lo = rank 5 → 500,
+    // hi = rank 95 → 9500; clipped sum = 4·500 + Σ₅⁹⁵ 100i + 5·9500 = 504500
+    val dir = ordersDir(
+      (1 to 100).map(i => (i.toLong, 1L, i.toDouble, "1994-01-01", "A"))
+    )
+    val r = SparkEntry.queries("q_winsorized_mean")(spark, dir).collect()(0)
+    assert(
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        (("A", 100L, 500L, 9500L, 5045000L))
+    )
+  }
+
+  test("q_cohort_ltv: cumulative spend over the fixed cohort denominator") {
+    // cohort 1994-01 (2 customers): age 0 revenue 600¢, age 2 revenue 200¢
+    // → LTV 300000 then 400000 milli-cents per customer
+    val dir = ordersDir(
+      Seq(
+        (1L, 1L, 1.0, "1994-01-10", "A"),
+        (2L, 1L, 2.0, "1994-03-15", "A"),
+        (3L, 2L, 5.0, "1994-01-20", "A")
+      )
+    )
+    val out = SparkEntry
+      .queries("q_cohort_ltv")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(
+      out == Set(("1994-01", 0L, 2L, 300000L), ("1994-01", 2L, 2L, 400000L)),
+      out.toString
+    )
+  }
+
   test("txt_kl_sources: ladder-exact KL against a hand-built two-source corpus") {
     val s = spark
     import s.implicits._

@@ -88,6 +88,52 @@ class SketchClusterSpec extends SparkSpec {
     assert(out == Map(40L -> 1L, 32L -> 2L), out.toString)
   }
 
+  test("q_ref_integrity: every check fires on a crafted corrupt snapshot") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ri").toString
+    // orders: key 1 duplicated, order 2 references missing customer 7
+    Seq((1L, 1L, "1994-01-01"), (1L, 1L, "1994-01-02"), (2L, 7L, "1994-01-03"))
+      .toDF("o_orderkey", "o_custkey", "dt")
+      .withColumn("o_orderdate", to_timestamp(col("dt")))
+      .drop("dt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    // lineitem 99 is an orphan; part 2 is never ordered
+    Seq((2L, 1L), (99L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "a"), (5L, "b"))
+      .toDF("c_custkey", "c_name")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    Seq((1L, "p1"), (2L, "p2"))
+      .toDF("p_partkey", "p_name")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/part.parquet")
+    val out = SparkEntry
+      .queries("q_ref_integrity")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(
+      out == Map(
+        "lineitem_orphan_orderkey" -> 1L,
+        "orders_orphan_custkey" -> 1L,
+        "orders_dup_pk" -> 1L,
+        "customer_dup_pk" -> 0L,
+        "customers_no_orders" -> 1L,
+        "parts_never_ordered" -> 1L
+      ),
+      out.toString
+    )
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
