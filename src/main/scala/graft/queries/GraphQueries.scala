@@ -328,6 +328,67 @@ object GraphQueries {
             )
             .as("r_assort")
         )
+    },
+
+    // Newman modularity of the brand partition over the recurring-part
+    // graph: Q = Σ_c (m_c/m − (d_c/2m)²), held EXACT over the common
+    // denominator 4m² — Q_ppm = (4m·intra − Σ_c d_c²)·10⁶ div (4m²), one
+    // HUGEINT/DECIMAL integral division over exact BIGINT edge/degree
+    // sums. The "is this partition a real community structure" number a
+    // graph-curation pass reports alongside E158's k-core and E159's
+    // assortativity. Brand lookup is a broadcast dim join; intra-edge and
+    // degree-mass sums are partial aggs on the shared sparse edge list.
+    QEntry.sql(
+      "q_modularity",
+      s"""WITH $GraphSql,
+         |bu AS (SELECT p_partkey AS pk, p_brand AS b FROM part),
+         |eb AS (SELECT e.u, e.v, a.b AS ub, c.b AS vb FROM und e
+         |  JOIN bu a ON e.u = a.pk JOIN bu c ON e.v = c.pk),
+         |m_ AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN ub = vb THEN 1 ELSE 0 END) AS BIGINT) AS intra
+         |  FROM eb),
+         |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) x
+         |  GROUP BY node),
+         |dc AS (SELECT bu.b, CAST(sum(dg.d) AS BIGINT) AS dsum
+         |  FROM dg JOIN bu ON dg.node = bu.pk GROUP BY bu.b),
+         |sq AS (SELECT CAST(sum(CAST(dsum AS HUGEINT) * dsum) AS HUGEINT) AS dsq,
+         |    CAST(count(*) AS BIGINT) AS n_comm FROM dc)
+         |SELECT m_.m AS m_edges, m_.intra AS intra_edges, sq.n_comm,
+         |  CAST((CAST(4 AS HUGEINT) * m_.m * m_.intra - sq.dsq) * 1000000
+         |    // (CAST(4 AS HUGEINT) * m_.m * m_.m) AS BIGINT) AS q_ppm
+         |FROM m_ CROSS JOIN sq""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val edges = recurringPartGraph(s, d).localCheckpoint()
+      val bu = part(s, d).select(col("p_partkey").as("pk"), col("p_brand").as("b"))
+      val eb = edges
+        .join(broadcast(bu.toDF("pk", "ub")), col("u") === col("pk"))
+        .drop("pk")
+        .join(broadcast(bu.toDF("pk", "vb")), col("v") === col("pk"))
+      val mRow = eb.agg(
+        count(lit(1)).as("m"),
+        sum(when(col("ub") === col("vb"), 1L).otherwise(0L)).cast("long").as("intra")
+      )
+      val dg = degrees(edges)
+      val dc = dg
+        .join(broadcast(bu), col("node") === col("pk"))
+        .groupBy("b")
+        .agg(sum("d").cast("long").as("dsum"))
+      val sq = dc.agg(
+        sum(col("dsum").cast("decimal(38,0)") * col("dsum")).cast("decimal(38,0)").as("dsq"),
+        count(lit(1)).as("n_comm")
+      )
+      mRow
+        .crossJoin(broadcast(sq))
+        .select(
+          col("m").as("m_edges"),
+          col("intra").as("intra_edges"),
+          col("n_comm"),
+          expr(
+            "CAST((CAST(4 AS DECIMAL(38,0)) * m * intra - dsq) * 1000000" +
+              " div (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)"
+          ).as("q_ppm")
+        )
     }
   )
 }

@@ -987,6 +987,86 @@ object StatQueries {
           col("hll_est"),
           expr("(hll_est - n_true) * 1000000L div n_true").cast("long").as("err_ppm")
         )
+    },
+
+    // Sample-based quantile estimation with its exact error — the third
+    // member of the deterministic-sketch family (E177 CMS counts, E192
+    // HLL cardinality, this one quantiles): per priority, the 256
+    // md5-smallest orderkeys form a reproducible uniform sample; both the
+    // sample estimate and the exact population quantile use the E136
+    // ceil-rank pick at q ∈ {25, 50, 75, 90}, so est, truth AND err_ppm
+    // are all exact BIGINTs (rank-boundary ties pick a well-defined VALUE
+    // whatever the tie order). The quantile grid joins on the rank match —
+    // boundary rows only, no 4× fan-out of the fact scan. Windows
+    // priority-keyed throughout.
+    QEntry.sql(
+      "q_sample_quantile_err",
+      """WITH o AS (SELECT o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey AS ok,
+        |    md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders),
+        |sr AS (SELECT pri, cents,
+        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY h, ok) AS BIGINT)
+        |      AS hr FROM o),
+        |sq_ AS (SELECT pri, cents,
+        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS sn
+        |  FROM sr WHERE hr <= 256),
+        |tq AS (SELECT pri, cents,
+        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY cents, ok) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n FROM o),
+        |g AS (SELECT CAST(u.q AS BIGINT) AS q FROM unnest([25, 50, 75, 90]) AS u(q)),
+        |est AS (SELECT s.pri, g.q, s.cents AS est_cents
+        |  FROM sq_ s JOIN g ON s.rn = (s.sn * g.q + 99) // 100),
+        |tru AS (SELECT t.pri, g.q, t.cents AS true_cents
+        |  FROM tq t JOIN g ON t.rn = (t.n * g.q + 99) // 100)
+        |SELECT est.pri, est.q, est.est_cents, tru.true_cents,
+        |  CAST((est.est_cents - tru.true_cents) * 1000000 // tru.true_cents
+        |    AS BIGINT) AS err_ppm
+        |FROM est JOIN tru ON est.pri = tru.pri AND est.q = tru.q"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey").as("ok"),
+        md5(col("o_orderkey").cast("string")).as("h")
+      )
+      val wp = Window.partitionBy("pri")
+      val sq = o
+        .select(
+          col("pri"),
+          col("cents"),
+          row_number().over(wp.orderBy("h", "ok")).cast("long").as("hr")
+        )
+        .filter(col("hr") <= 256)
+        .select(
+          col("pri"),
+          col("cents"),
+          row_number().over(wp.orderBy("cents")).cast("long").as("rn"),
+          count(lit(1)).over(wp).cast("long").as("sn")
+        )
+      val tq = o.select(
+        col("pri"),
+        col("cents"),
+        row_number().over(wp.orderBy("cents", "ok")).cast("long").as("rn"),
+        count(lit(1)).over(wp).cast("long").as("n")
+      )
+      val g = s.range(0, 4).select(expr("element_at(array(25L, 50L, 75L, 90L), CAST(id + 1 AS INT))").as("q"))
+      val est = sq
+        .join(broadcast(g), expr("rn = (sn * q + 99) div 100"))
+        .select(col("pri"), col("q"), col("cents").as("est_cents"))
+      val tru = tq
+        .join(broadcast(g), expr("rn = (n * q + 99) div 100"))
+        .select(col("pri").as("tpri"), col("q").as("tquant"), col("cents").as("true_cents"))
+      est
+        .join(tru, col("pri") === col("tpri") && col("q") === col("tquant"))
+        .select(
+          col("pri"),
+          col("q"),
+          col("est_cents"),
+          col("true_cents"),
+          expr("(est_cents - true_cents) * 1000000L div true_cents").cast("long").as("err_ppm")
+        )
     }
   )
 }

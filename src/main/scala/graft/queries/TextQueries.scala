@@ -587,6 +587,63 @@ object TextQueries {
         )
         .groupBy("source")
         .agg(round(sum("term").cast("decimal(20,12)").cast("double"), 6).as("kl_nats"))
+    },
+
+    // Flesch-style readability per source, in EXACT milli-points: flesch =
+    // 206.835 − 1.015·(words/sentences) − 84.6·(vowelgroups/words), held
+    // as 206835 − 1015·W div S − 84600·V div W — two truncating integral
+    // divisions (a DEFINED fixed-point, not float drift). Sentences are
+    // non-empty [.!?]+ splits, syllables the vowel-group proxy both
+    // engines count identically via regex. The corpus-quality score a
+    // readability filter thresholds on. One token explode + partial agg.
+    QEntry.sql(
+      "txt_readability",
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      x -> trim(x) <> '')) AS BIGINT) AS sents, text FROM documents),
+        |w AS (SELECT d.source, lower(t.tk) AS tk
+        |  FROM d, unnest(string_split_regex(trim(d.text), '\s+')) AS t(tk)
+        |  WHERE length(t.tk) >= 1),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS wrds,
+        |    CAST(sum(CAST(len(regexp_extract_all(tk, '[aeiou]+')) AS BIGINT))
+        |      AS BIGINT) AS vgs
+        |  FROM w GROUP BY source),
+        |sct AS (SELECT source, CAST(sum(sents) AS BIGINT) AS sents
+        |  FROM d GROUP BY source)
+        |SELECT a.source, sct.sents, a.wrds AS words, a.vgs AS vowel_groups,
+        |  206835 - CAST(1015 * a.wrds // sct.sents AS BIGINT)
+        |    - CAST(84600 * a.vgs // a.wrds AS BIGINT) AS flesch_milli
+        |FROM a JOIN sct ON a.source = sct.source"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d).select(
+        col("source"),
+        expr("size(filter(split(text, '[.!?]+'), x -> trim(x) != ''))")
+          .cast("long")
+          .as("sents"),
+        col("text")
+      )
+      val w = docs
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tk"))
+        .filter(length(col("tk")) >= 1)
+        .select(col("source"), lower(col("tk")).as("tk"))
+      val a = w
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("wrds"),
+          sum(expr("regexp_count(tk, '[aeiou]+')")).cast("long").as("vgs")
+        )
+      val sct = docs.groupBy("source").agg(sum("sents").cast("long").as("sents"))
+      a.join(sct, "source")
+        .select(
+          col("source"),
+          col("sents"),
+          col("wrds").as("words"),
+          col("vgs").as("vowel_groups"),
+          (lit(206835L) - expr("1015 * wrds div sents") - expr("84600 * vgs div wrds"))
+            .cast("long")
+            .as("flesch_milli")
+        )
     }
   )
 }

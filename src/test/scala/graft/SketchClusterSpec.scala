@@ -134,6 +134,78 @@ class SketchClusterSpec extends SparkSpec {
     )
   }
 
+  test("txt_readability: sentence/word/vowel-group counts and milli Flesch") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_read").toString
+    // "go. stop! now what" → 3 sentences, 4 words, 4 vowel groups →
+    // 206835 − 1015·4//3 − 84600·4//4 = 120882
+    Seq((1L, "go. stop! now what", "S1"))
+      .toDF("doc_id", "text", "source")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("txt_readability")(spark, dir).collect()(0)
+    assert(
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        (("S1", 3L, 4L, 4L, 120882L))
+    )
+  }
+
+  test("q_modularity: perfect two-community split = 0.5, single blob = 0") {
+    val s = spark
+    import s.implicits._
+    def build(brandOf: Map[Long, String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mod").toString
+      // parts (1,2) share orders 10,11; parts (3,4) share orders 12,13 →
+      // exactly two edges in the ≥2-shared-orders graph
+      Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 3L), (12L, 4L), (13L, 3L), (13L, 4L))
+        .toDF("l_orderkey", "l_partkey")
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+      (1L to 4L)
+        .map(k => (k, brandOf(k)))
+        .toDF("p_partkey", "p_brand")
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/part.parquet")
+      dir
+    }
+    val split = build(Map(1L -> "B1", 2L -> "B1", 3L -> "B2", 4L -> "B2"))
+    val r1 = SparkEntry.queries("q_modularity")(spark, split).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((2L, 2L, 2L, 500000L)))
+    val blob = build(Map(1L -> "B1", 2L -> "B1", 3L -> "B1", 4L -> "B1"))
+    val r2 = SparkEntry.queries("q_modularity")(spark, blob).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((2L, 2L, 1L, 0L)))
+  }
+
+  test("q_sample_quantile_err: sample ⊇ population ⇒ zero error, ceil ranks") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqe").toString
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .map { case (k, p) => (k, 1L, p, "A") }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val out = SparkEntry
+      .queries("q_sample_quantile_err")(spark, dir)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(
+      out == Map(
+        25L -> ((100L, 100L, 0L)),
+        50L -> ((200L, 200L, 0L)),
+        75L -> ((300L, 300L, 0L)),
+        90L -> ((400L, 400L, 0L))
+      ),
+      out.toString
+    )
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
