@@ -2177,6 +2177,79 @@ object AnalyticsQueries {
         )
     },
 
+    // Wald–Wolfowitz runs test on monthly revenue vs its lower median —
+    // "is the series random noise or does it trend/cycle?", the
+    // randomness complement of q_mann_kendall's monotone-trend test.
+    // Median is an exact order-stat pick; months equal to it drop
+    // (standard); runs = 1 + sign changes via lag. n₁/n₂/R are exact
+    // BIGINTs over the ≤ calendar-months frame (single-partition windows
+    // are calendar-bounded by construction); z is one
+    // fixed-parenthesization double expression, shipped UNROUNDED.
+    QEntry.sql(
+      "q_runs_test",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY month),
+        |md AS (SELECT cents AS med FROM (
+        |    SELECT cents, CAST(row_number() OVER (ORDER BY cents, month) AS BIGINT)
+        |      AS rn, CAST(count(*) OVER () AS BIGINT) AS n FROM m) x
+        |  WHERE rn = (n + 1) // 2),
+        |sg AS (SELECT m.month, CASE WHEN m.cents > md.med THEN 1 ELSE 0 END AS s
+        |  FROM m CROSS JOIN md WHERE m.cents <> md.med),
+        |ru AS (SELECT s, lag(s) OVER (ORDER BY month) AS ps FROM sg),
+        |a AS (SELECT CAST(sum(s) AS BIGINT) AS n1,
+        |    CAST(count(*) - sum(s) AS BIGINT) AS n2,
+        |    CAST(1 + sum(CASE WHEN ps IS NOT NULL AND ps <> s THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS runs
+        |  FROM ru)
+        |SELECT n1, n2, runs,
+        |  (CAST(runs AS DOUBLE) - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1))
+        |  / sqrt(CAST(2 * n1 * n2 AS DOUBLE) * (2 * n1 * n2 - n1 - n2)
+        |     / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)) / (n1 + n2 - 1)) AS z_score
+        |FROM a"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      val one = pmod(col("cents"), lit(1))
+      val md = m
+        .select(
+          col("cents"),
+          row_number().over(Window.partitionBy(one).orderBy("cents", "month")).cast("long").as("rn"),
+          count(lit(1)).over(Window.partitionBy(one)).cast("long").as("n")
+        )
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("cents").as("med"))
+      val sg = m
+        .crossJoin(broadcast(md))
+        .filter(col("cents") =!= col("med"))
+        .select(col("month"), when(col("cents") > col("med"), 1L).otherwise(0L).as("s"))
+      val ru = sg.select(
+        col("s"),
+        lag("s", 1).over(Window.partitionBy(pmod(col("s"), lit(1))).orderBy("month")).as("ps")
+      )
+      ru.agg(
+        sum("s").cast("long").as("n1"),
+        (count(lit(1)) - sum("s")).cast("long").as("n2"),
+        (lit(1L) + sum(when(col("ps").isNotNull && col("ps") =!= col("s"), 1L).otherwise(0L)))
+          .cast("long")
+          .as("runs")
+      ).select(
+        col("n1"),
+        col("n2"),
+        col("runs"),
+        ((col("runs").cast("double")
+          - ((lit(2L) * col("n1") * col("n2")).cast("double") / (col("n1") + col("n2")) + 1))
+          / sqrt(
+            (lit(2L) * col("n1") * col("n2")).cast("double")
+              * (lit(2L) * col("n1") * col("n2") - col("n1") - col("n2"))
+              / ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2")))
+              / (col("n1") + col("n2") - 1)
+          )).as("z_score")
+      )
+    },
+
     // Winsorized mean per order priority — the robust location estimate a
     // quality dashboard prefers over the raw mean when tails are fat.
     // Clip bounds are EXACT p5/p95 order statistics (the q_percentile_disc

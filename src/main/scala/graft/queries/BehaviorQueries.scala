@@ -560,6 +560,132 @@ object BehaviorQueries {
         .agg(count(lit(1)).as("n_gaps"), sum("gap").cast("long").as("total_days"))
     },
 
+    // Growth accounting — the monthly active-customer ledger every
+    // product-analytics stack reports: each (customer, active-month) pair
+    // classifies as new (first month ever), retained (also active the
+    // previous month), or resurrected (active before, but not last
+    // month); churned counts customers active last month who went
+    // silent. The classification needs only a customer-keyed lag over
+    // the distinct (customer, month-index) frame — integer month
+    // arithmetic, no engine calendar conventions past the initial
+    // strftime. Identity new+retained+resurrected = MAU holds by
+    // construction and is spec-asserted. One distinct partial agg + one
+    // keyed window; scales as active pairs.
+    QEntry.sql(
+      "q_growth_accounting",
+      """WITH am AS (SELECT DISTINCT o_custkey AS ck,
+        |    CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+        |      + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS mi
+        |  FROM orders),
+        |lg AS (SELECT ck, mi,
+        |    lag(mi) OVER (PARTITION BY ck ORDER BY mi) AS pmi FROM am),
+        |cls AS (SELECT mi,
+        |    CASE WHEN pmi IS NULL THEN 'new'
+        |         WHEN pmi = mi - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS st FROM lg),
+        |act AS (SELECT mi, st, CAST(count(*) AS BIGINT) AS c
+        |  FROM cls GROUP BY mi, st),
+        |ch AS (SELECT l.mi + 1 AS mi, 'churned' AS st,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT ck, mi,
+        |      lead(mi) OVER (PARTITION BY ck ORDER BY mi) AS nmi FROM am) l
+        |  WHERE l.nmi IS NULL OR l.nmi > l.mi + 1 GROUP BY l.mi + 1),
+        |u AS (SELECT * FROM act UNION ALL SELECT * FROM ch)
+        |SELECT CAST(mi // 12 AS BIGINT) || '-' ||
+        |    CASE WHEN mi % 12 + 1 < 10 THEN '0' ELSE '' END ||
+        |    CAST(mi % 12 + 1 AS BIGINT) AS month, st AS status, c AS n_customers
+        |FROM u"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val am = orders(s, d)
+        .select(
+          col("o_custkey").as("ck"),
+          (date_format(col("o_orderdate"), "yyyy").cast("long") * 12
+            + date_format(col("o_orderdate"), "MM").cast("long") - 1).as("mi")
+        )
+        .distinct()
+      val wc = Window.partitionBy("ck").orderBy("mi")
+      val cls = am
+        .withColumn("pmi", lag("mi", 1).over(wc))
+        .select(
+          col("mi"),
+          when(col("pmi").isNull, "new")
+            .when(col("pmi") === col("mi") - 1, "retained")
+            .otherwise("resurrected")
+            .as("st")
+        )
+      val act = cls.groupBy("mi", "st").agg(count(lit(1)).as("c"))
+      val ch = am
+        .withColumn("nmi", lead("mi", 1).over(wc))
+        .filter(col("nmi").isNull || col("nmi") > col("mi") + 1)
+        .groupBy((col("mi") + 1).as("mi"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("mi"), lit("churned").as("st"), col("c"))
+      act
+        .unionAll(ch)
+        .select(
+          concat(
+            expr("CAST(mi div 12 AS BIGINT)").cast("string"),
+            lit("-"),
+            when(col("mi") % 12 + 1 < 10, "0").otherwise(""),
+            (col("mi") % 12 + 1).cast("string")
+          ).as("month"),
+          col("st").as("status"),
+          col("c").as("n_customers")
+        )
+    },
+
+    // Cumulative reach curve: distinct customers ever seen, by month —
+    // "running COUNT(DISTINCT)" WITHOUT carrying distinct state down the
+    // stream: each customer collapses to a first-seen month (one partial
+    // agg), then new-per-month counts take one cumulative window over
+    // the ≤ calendar-months frame. The audience-saturation curve next to
+    // q_growth_accounting's monthly ledger. All exact BIGINTs.
+    QEntry.sql(
+      "q_cumulative_reach",
+      """WITH fs AS (SELECT o_custkey AS ck,
+        |    min(CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+        |      + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1) AS mi
+        |  FROM orders GROUP BY o_custkey),
+        |nm AS (SELECT mi, CAST(count(*) AS BIGINT) AS new_cust
+        |  FROM fs GROUP BY mi)
+        |SELECT CAST(mi // 12 AS BIGINT) || '-' ||
+        |    CASE WHEN mi % 12 + 1 < 10 THEN '0' ELSE '' END ||
+        |    CAST(mi % 12 + 1 AS BIGINT) AS month, new_cust,
+        |  CAST(sum(new_cust) OVER (ORDER BY mi ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cumulative_reach
+        |FROM nm"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val fs = orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(
+          min(
+            date_format(col("o_orderdate"), "yyyy").cast("long") * 12
+              + date_format(col("o_orderdate"), "MM").cast("long") - 1
+          ).as("mi")
+        )
+      val nm = fs.groupBy("mi").agg(count(lit(1)).as("new_cust"))
+      nm.select(
+        concat(
+          expr("CAST(mi div 12 AS BIGINT)").cast("string"),
+          lit("-"),
+          when(col("mi") % 12 + 1 < 10, "0").otherwise(""),
+          (col("mi") % 12 + 1).cast("string")
+        ).as("month"),
+        col("new_cust"),
+        sum("new_cust")
+          .over(
+            Window
+              .partitionBy(pmod(col("mi"), lit(1)))
+              .orderBy("mi")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          )
+          .cast("long")
+          .as("cumulative_reach")
+      )
+    },
+
     // Kaplan-Meier survival of time-to-second-purchase, right-censored at
     // the corpus horizon: S(t) = Π_{u≤t} (n_u − d_u)/n_u over the weekly
     // event table. The fact table reduces to ≤ calendar-weeks rows BEFORE

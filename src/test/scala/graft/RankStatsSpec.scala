@@ -216,6 +216,72 @@ class RankStatsSpec extends SparkSpec {
     )
   }
 
+  test("q_growth_accounting: new/retained/resurrected/churned hand-checked") {
+    // c1 active Jan, Feb, Apr; c2 active Jan only
+    val dir = ordersDir(
+      Seq(
+        (1L, 1L, 1.0, "1994-01-10", "A"),
+        (2L, 1L, 1.0, "1994-02-10", "A"),
+        (3L, 1L, 1.0, "1994-04-10", "A"),
+        (4L, 2L, 1.0, "1994-01-20", "A")
+      )
+    )
+    val out = SparkEntry
+      .queries("q_growth_accounting")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(
+      out == Map(
+        ("1994-01", "new") -> 2L,
+        ("1994-02", "retained") -> 1L,
+        ("1994-02", "churned") -> 1L,
+        ("1994-03", "churned") -> 1L,
+        ("1994-04", "resurrected") -> 1L,
+        ("1994-05", "churned") -> 1L
+      ),
+      out.toString
+    )
+    // MAU identity: new + retained + resurrected = distinct active customers
+    val jan = out.collect { case ((m, s), c) if m == "1994-01" && s != "churned" => c }.sum
+    assert(jan == 2L)
+  }
+
+  test("q_cumulative_reach: first-seen collapse and running total") {
+    val dir = ordersDir(
+      Seq(
+        (1L, 1L, 1.0, "1994-01-10", "A"),
+        (2L, 1L, 1.0, "1994-02-10", "A"),
+        (3L, 2L, 1.0, "1994-01-20", "A"),
+        (4L, 3L, 1.0, "1994-04-05", "A")
+      )
+    )
+    val out = SparkEntry
+      .queries("q_cumulative_reach")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(("1994-01", 2L, 2L), ("1994-04", 1L, 3L)), out.toString)
+  }
+
+  test("q_runs_test: runs count, median drop, and the closed-form z") {
+    // monthly cents [100,500,200,600,300]: median 300 drops May;
+    // signs [0,1,0,1] → runs 4, n1 = n2 = 2
+    val dir = ordersDir(
+      Seq(
+        (1L, 1L, 1.0, "1994-01-10", "A"),
+        (2L, 1L, 5.0, "1994-02-10", "A"),
+        (3L, 1L, 2.0, "1994-03-10", "A"),
+        (4L, 1L, 6.0, "1994-04-10", "A"),
+        (5L, 1L, 3.0, "1994-05-10", "A")
+      )
+    )
+    val r = SparkEntry.queries("q_runs_test")(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 4L)))
+    val expZ = (4.0 - (8.0 / 4 + 1)) / math.sqrt(8.0 * (8.0 - 4) / (4.0 * 4) / 3)
+    assert(math.abs(r.getDouble(3) - expZ) < 1e-12)
+  }
+
   test("txt_kl_sources: ladder-exact KL against a hand-built two-source corpus") {
     val s = spark
     import s.implicits._
