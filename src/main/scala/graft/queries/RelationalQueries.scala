@@ -913,6 +913,96 @@ object RelationalQueries {
         )
     },
 
+    // Open-orders backlog series: average concurrently-open orders per
+    // month, from exact interval-overlap day counts — the Little's-law
+    // denominator an ops dashboard tracks. Each order is open from order
+    // date to its last ship date (one fact partial agg); the month grid
+    // (≤ calendar months, BROADCAST) joins on the interval-overlap range
+    // predicate, so the non-equi join fans out only to the months an
+    // order actually touches. Month bounds via make_date — pure calendar
+    // construction, no week conventions; overlap day counts and the
+    // milli-order average are exact BIGINT arithmetic.
+    QEntry.sql(
+      "q_open_orders_series",
+      """WITH se AS (SELECT o.o_orderkey,
+        |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd,
+        |    CAST(max(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) + 1
+        |      AS ed
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY o.o_orderkey, o.o_orderdate),
+        |mg AS (SELECT DISTINCT
+        |    CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS y,
+        |    CAST(strftime(o_orderdate, '%m') AS INTEGER) AS m FROM orders),
+        |mb AS (SELECT y, m,
+        |    CAST(make_date(y, m, 1) - DATE '1970-01-01' AS BIGINT) AS ms,
+        |    CAST(make_date(y + m // 12, m % 12 + 1, 1) - DATE '1970-01-01'
+        |      AS BIGINT) AS me FROM mg),
+        |ov AS (SELECT mb.y, mb.m, mb.ms, mb.me,
+        |    least(se.ed, mb.me) - greatest(se.sd, mb.ms) AS od
+        |  FROM se JOIN mb ON se.sd < mb.me AND se.ed > mb.ms)
+        |SELECT CAST(y AS BIGINT) || '-' ||
+        |    CASE WHEN m < 10 THEN '0' ELSE '' END || CAST(m AS BIGINT) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_touching,
+        |  CAST(sum(od) AS BIGINT) AS open_days,
+        |  CAST(sum(od) * 1000 // (max(me) - max(ms)) AS BIGINT) AS avg_open_milli
+        |FROM ov GROUP BY y, m"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val se = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("sd")
+        )
+        .agg(
+          (max(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))).cast("long") + 1)
+            .as("ed")
+        )
+      val mg = orders(s, d)
+        .select(
+          date_format(col("o_orderdate"), "yyyy").cast("int").as("y"),
+          date_format(col("o_orderdate"), "MM").cast("int").as("m")
+        )
+        .distinct()
+      val mb = mg.select(
+        col("y"),
+        col("m"),
+        datediff(make_date(col("y"), col("m"), lit(1)), lit("1970-01-01"))
+          .cast("long")
+          .as("ms"),
+        datediff(
+          make_date(col("y") + expr("m div 12"), expr("m % 12 + 1"), lit(1)),
+          lit("1970-01-01")
+        ).cast("long").as("me")
+      )
+      val ov = se
+        .join(broadcast(mb), col("sd") < col("me") && col("ed") > col("ms"))
+        .select(
+          col("y"),
+          col("m"),
+          col("ms"),
+          col("me"),
+          (least(col("ed"), col("me")) - greatest(col("sd"), col("ms"))).as("od")
+        )
+      ov.groupBy("y", "m")
+        .agg(
+          count(lit(1)).as("n_touching"),
+          sum("od").cast("long").as("open_days"),
+          expr("CAST(sum(od) * 1000 div (max(me) - max(ms)) AS BIGINT)").as("avg_open_milli")
+        )
+        .select(
+          concat(
+            col("y").cast("string"),
+            lit("-"),
+            when(col("m") < 10, "0").otherwise(""),
+            col("m").cast("string")
+          ).as("month"),
+          col("n_touching"),
+          col("open_days"),
+          col("avg_open_milli")
+        )
+    },
+
     // Referential-integrity + coverage audit — the constraint checks a
     // warehouse runs before promoting a snapshot, as one result table:
     // FK orphans both directions (anti-join counts), PK duplicate keys,

@@ -989,6 +989,103 @@ object StatQueries {
         )
     },
 
+    // Deterministic Bloom filter with its EXACT measured false-positive
+    // rate — the fourth deterministic sketch (E177 counts, E192
+    // cardinality, E200 quantiles, this one membership). m = 1024 bits
+    // as 32 OR-aggregated 32-bit words (NOT 64-bit: DuckDB's BIGINT <<
+    // throws on a shift into the sign bit), k = 2 md5-derived positions per
+    // key (engine-portable, like the CMS rows); members are nation-0..4
+    // customers, probes the rest, so false positives are exactly
+    // countable — no tolerance band, the fill ratio (bits_set) and
+    // fpr_ppm are hash-checked verbatim. Probe side joins the BROADCAST
+    // 16-word table; everything else is partial aggs. The theory-side
+    // (1−e^(−kn/m))^k check needs libm exp and is deliberately left to
+    // the spec, keeping the entry bit-exact.
+    QEntry.sql(
+      "q_bloom_fpr", {
+        def pos(i: Int, key: String) =
+          s"""CAST(list_sum(list_transform(range(1, 9), ii ->
+             |  (strpos('0123456789abcdef', substr(md5('$i:' || $key),
+             |     CAST(ii AS INT), 1)) - 1) * pow(16, 8 - ii))) AS BIGINT) % 1024"""
+            .stripMargin
+        s"""WITH mem AS (SELECT c_custkey AS ck FROM customer WHERE c_nationkey < 5),
+           |pb AS (SELECT c_custkey AS ck FROM customer WHERE c_nationkey >= 5),
+           |mp AS (SELECT u.i, CASE WHEN u.i = 0
+           |      THEN ${pos(0, "CAST(ck AS VARCHAR)")}
+           |      ELSE ${pos(1, "CAST(ck AS VARCHAR)")} END AS p
+           |  FROM mem CROSS JOIN (SELECT unnest(range(0, 2)) AS i) u),
+           |w AS (SELECT p // 32 AS word,
+           |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS BIGINT) AS mask
+           |  FROM mp GROUP BY p // 32),
+           |pp AS (SELECT pb.ck, u.i, CASE WHEN u.i = 0
+           |      THEN ${pos(0, "CAST(pb.ck AS VARCHAR)")}
+           |      ELSE ${pos(1, "CAST(pb.ck AS VARCHAR)")} END AS p
+           |  FROM pb CROSS JOIN (SELECT unnest(range(0, 2)) AS i) u),
+           |hit AS (SELECT pp.ck,
+           |    CAST(sum(CASE WHEN w.mask IS NOT NULL
+           |      AND (w.mask >> CAST(pp.p % 32 AS INT)) & 1 = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |  FROM pp LEFT JOIN w ON pp.p // 32 = w.word GROUP BY pp.ck),
+           |st AS (SELECT CAST(sum(bit_count(mask)) AS BIGINT) AS bits_set FROM w),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           |    CAST(sum(CASE WHEN hits = 2 THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+           |  FROM hit),
+           |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM mem)
+           |SELECT nm.n_members, st.bits_set, agg.n_probes, agg.false_pos,
+           |  CAST(agg.false_pos * 1000000 // agg.n_probes AS BIGINT) AS fpr_ppm
+           |FROM nm CROSS JOIN st CROSS JOIN agg"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      def pos(i: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+        conv(
+          substring(md5(concat(i.cast("string"), lit(":"), key.cast("string"))), 1, 8),
+          16,
+          10
+        ).cast("long") % 1024
+      val two = broadcast(s.range(0, 2).toDF("i"))
+      val mem = customer(s, d).filter(col("c_nationkey") < 5).select(col("c_custkey").as("ck"))
+      val pb = customer(s, d).filter(col("c_nationkey") >= 5).select(col("c_custkey").as("ck"))
+      val w = mem
+        .crossJoin(two)
+        .select(pos(col("i"), col("ck")).as("p"))
+        .groupBy(expr("p div 32").as("word"))
+        .agg(
+          expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))")
+            .cast("long")
+            .as("mask")
+        )
+      val hit = pb
+        .crossJoin(two)
+        .select(col("ck"), pos(col("i"), col("ck")).as("p"))
+        .join(broadcast(w), expr("p div 32") === col("word"), "left")
+        .groupBy("ck")
+        .agg(
+          sum(
+            when(
+              col("mask").isNotNull
+                && expr("(shiftright(mask, CAST(p % 32 AS INT))) & 1") === 1,
+              1L
+            ).otherwise(0L)
+          ).cast("long").as("hits")
+        )
+      val st = w.agg(sum(expr("bit_count(mask)")).cast("long").as("bits_set"))
+      val agg = hit.agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("hits") === 2L, 1L).otherwise(0L)).cast("long").as("false_pos")
+      )
+      val nm = mem.agg(count(lit(1)).as("n_members"))
+      nm.crossJoin(broadcast(st))
+        .crossJoin(broadcast(agg))
+        .select(
+          col("n_members"),
+          col("bits_set"),
+          col("n_probes"),
+          col("false_pos"),
+          expr("false_pos * 1000000L div n_probes").cast("long").as("fpr_ppm")
+        )
+    },
+
     // Sample-based quantile estimation with its exact error — the third
     // member of the deterministic-sketch family (E177 CMS counts, E192
     // HLL cardinality, this one quantiles): per priority, the 256

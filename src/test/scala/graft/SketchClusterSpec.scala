@@ -206,6 +206,66 @@ class SketchClusterSpec extends SparkSpec {
     )
   }
 
+  test("q_bloom_fpr matches an independent Scala replay of the filter") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val members = (1L to 100L)
+    val probes = (1001L to 1100L)
+    (members.map((_, 0)) ++ probes.map((_, 9)))
+      .toDF("c_custkey", "c_nationkey")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+
+    def pos(i: Int, ck: Long): Int =
+      (java.lang.Long.parseLong(md5hex(s"$i:$ck").substring(0, 8), 16) % 1024).toInt
+    val bits = scala.collection.mutable.Set.empty[Int]
+    members.foreach { ck => bits += pos(0, ck); bits += pos(1, ck) }
+    val fp = probes.count(ck => bits.contains(pos(0, ck)) && bits.contains(pos(1, ck)))
+
+    val r = SparkEntry.queries("q_bloom_fpr")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 100L)
+    assert(r.getLong(1) == bits.size.toLong, s"bits ${r.getLong(1)} vs ${bits.size}")
+    assert(r.getLong(2) == 100L)
+    assert(r.getLong(3) == fp.toLong, s"fp ${r.getLong(3)} vs $fp")
+    assert(r.getLong(4) == fp.toLong * 1000000L / 100L)
+  }
+
+  test("q_open_orders_series: exact interval-overlap day accounting") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_open").toString
+    // order 1 open [Jan 20, Feb 11): 12 days in Jan, 10 in Feb;
+    // order 2 open [Feb 5, Feb 7): 2 days in Feb
+    Seq((1L, "1994-01-20"), (2L, "1994-02-05"))
+      .toDF("o_orderkey", "dt")
+      .withColumn("o_orderdate", to_timestamp(col("dt")))
+      .drop("dt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    Seq((1L, "1994-02-10"), (1L, "1994-01-25"), (2L, "1994-02-06"))
+      .toDF("l_orderkey", "sdt")
+      .withColumn("l_shipdate", to_timestamp(col("sdt")))
+      .drop("sdt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry
+      .queries("q_open_orders_series")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(
+      out == Set(
+        ("1994-01", 1L, 12L, 12000L / 31L),
+        ("1994-02", 2L, 12L, 12000L / 28L)
+      ),
+      out.toString
+    )
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
