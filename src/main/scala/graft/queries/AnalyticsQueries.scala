@@ -2177,6 +2177,165 @@ object AnalyticsQueries {
         )
     },
 
+    // ABC inventory classification per part type — the Pareto 80/95 split
+    // a supply chain runs nightly: parts ranked by revenue inside their
+    // type, class A while the RUNNING share ≤ 80%, B to 95%, C beyond.
+    // Cumulative shares are exact ppm integral divisions over a
+    // (revenue desc, partkey) total order; windows are type-keyed (the
+    // ~150-type dimension bounds each partition — the q_lorenz_deciles
+    // posture, never a global sort). One fact partial agg + one window
+    // pass + a 3-class rollup.
+    QEntry.sql(
+      "q_abc_by_type",
+      """WITH pr AS (SELECT p.p_type AS t, l.l_partkey AS pk,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_type, l.l_partkey),
+        |cu AS (SELECT t, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY t ORDER BY cents DESC, pk
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cents) OVER (PARTITION BY t) AS BIGINT) AS tot FROM pr),
+        |cl AS (SELECT t, cents,
+        |    CASE WHEN CAST(cum AS HUGEINT) * 1000000 // tot <= 800000 THEN 'A'
+        |         WHEN CAST(cum AS HUGEINT) * 1000000 // tot <= 950000 THEN 'B'
+        |         ELSE 'C' END AS cls FROM cu)
+        |SELECT t AS part_type, cls AS abc_class,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS class_rev_cents
+        |FROM cl GROUP BY t, cls"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val pr = lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type").as("t"), col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("cents"))
+      val wt = Window.partitionBy("t")
+      val cu = pr.select(
+        col("t"),
+        col("cents"),
+        sum("cents")
+          .over(
+            wt.orderBy(col("cents").desc, col("pk"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          )
+          .cast("long")
+          .as("cum"),
+        sum("cents").over(wt).cast("long").as("tot")
+      )
+      cu.select(
+        col("t"),
+        col("cents"),
+        when(expr("CAST(cum AS DECIMAL(38,0)) * 1000000 div tot") <= 800000, "A")
+          .when(expr("CAST(cum AS DECIMAL(38,0)) * 1000000 div tot") <= 950000, "B")
+          .otherwise("C")
+          .as("cls")
+      ).groupBy(col("t").as("part_type"), col("cls").as("abc_class"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum("cents").cast("long").as("class_rev_cents")
+        )
+    },
+
+    // Peak concurrent open orders per year — the capacity-planning
+    // companion to q_open_orders_series' monthly average: a ±1 event
+    // sweep over order open/close days, with the running sum YEAR-KEYED
+    // (each year's window carries a base = orders already open at Jan 1,
+    // one non-equi count against the BROADCAST year grid — so no global
+    // data-sized window, and years process in parallel). Close events
+    // sort before opens on the same day ([start, end) semantics, delta
+    // ascending in the tiebreak). Peak day is the argmax with an
+    // earliest-day tiebreak — all exact BIGINTs.
+    QEntry.sql(
+      "q_peak_backlog",
+      """WITH se AS (SELECT o.o_orderkey,
+        |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd,
+        |    CAST(max(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) + 1
+        |      AS ed
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY o.o_orderkey, o.o_orderdate),
+        |yr AS (SELECT DISTINCT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS y
+        |  FROM orders),
+        |yb AS (SELECT y,
+        |    CAST(CAST(make_date(CAST(y AS INTEGER), 1, 1) AS DATE)
+        |      - DATE '1970-01-01' AS BIGINT) AS y0,
+        |    CAST(CAST(make_date(CAST(y + 1 AS INTEGER), 1, 1) AS DATE)
+        |      - DATE '1970-01-01' AS BIGINT) AS y1 FROM yr),
+        |base AS (SELECT yb.y, CAST(count(se.o_orderkey) AS BIGINT) AS b0
+        |  FROM yb LEFT JOIN se ON se.sd < yb.y0 AND se.ed > yb.y0
+        |  GROUP BY yb.y),
+        |ev AS (SELECT yb.y, e.d, e.delta FROM yb JOIN (
+        |    SELECT sd AS d, CAST(1 AS BIGINT) AS delta FROM se
+        |    UNION ALL SELECT ed, CAST(-1 AS BIGINT) FROM se) e
+        |  ON e.d >= yb.y0 AND e.d < yb.y1),
+        |rs AS (SELECT y, d,
+        |    CAST(sum(delta) OVER (PARTITION BY y ORDER BY d, delta
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM ev),
+        |pk AS (SELECT rs.y, rs.d, rs.run,
+        |    row_number() OVER (PARTITION BY rs.y ORDER BY rs.run DESC, rs.d) AS rn
+        |  FROM rs)
+        |SELECT pk.y AS year, base.b0 + pk.run AS peak_open,
+        |  CAST(pk.d AS BIGINT) AS peak_epoch_day
+        |FROM pk JOIN base ON pk.y = base.y WHERE pk.rn = 1"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val se = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("sd")
+        )
+        .agg(
+          (max(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))).cast("long") + 1)
+            .as("ed")
+        )
+        .localCheckpoint() // reused by base/events — scan once
+      val yb = orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy").cast("long").as("y"))
+        .distinct()
+        .select(
+          col("y"),
+          datediff(make_date(col("y").cast("int"), lit(1), lit(1)), lit("1970-01-01"))
+            .cast("long")
+            .as("y0"),
+          datediff(make_date((col("y") + 1).cast("int"), lit(1), lit(1)), lit("1970-01-01"))
+            .cast("long")
+            .as("y1")
+        )
+      val base = broadcast(yb)
+        .join(se, col("sd") < col("y0") && col("ed") > col("y0"), "left")
+        .groupBy("y")
+        .agg(count(col("o_orderkey")).as("b0"))
+      val ev = se
+        .select(col("sd").as("d"), lit(1L).as("delta"))
+        .unionAll(se.select(col("ed").as("d"), lit(-1L).as("delta")))
+        .join(broadcast(yb), col("d") >= col("y0") && col("d") < col("y1"))
+        .select(col("y"), col("d"), col("delta"))
+      val rs = ev.select(
+        col("y"),
+        col("d"),
+        sum("delta")
+          .over(
+            Window
+              .partitionBy("y")
+              .orderBy("d", "delta")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          )
+          .cast("long")
+          .as("run")
+      )
+      rs.withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("y").orderBy(col("run").desc, col("d")))
+      ).filter(col("rn") === 1)
+        .join(base, "y")
+        .select(
+          col("y").as("year"),
+          (col("b0") + col("run")).as("peak_open"),
+          col("d").as("peak_epoch_day")
+        )
+    },
+
     // Wald–Wolfowitz runs test on monthly revenue vs its lower median —
     // "is the series random noise or does it trend/cycle?", the
     // randomness complement of q_mann_kendall's monotone-trend test.

@@ -913,6 +913,49 @@ object RelationalQueries {
         )
     },
 
+    // Single-source supply risk per part type: parts where one supplier
+    // holds > 50% of shipped units — the procurement-risk gate beside
+    // E179's blend-concentration HHI. Unit counts are exact BIGINTs
+    // (TPC-H quantities are integer-valued; round() pins the double),
+    // the dominant share is max-units over total-units per part (value
+    // well-defined under supplier ties), and the 50% test is one exact
+    // ppm integral division. Two partial aggs + a type rollup — no
+    // windows at all.
+    QEntry.sql(
+      "q_single_source_risk",
+      """WITH ps AS (SELECT p.p_type AS t, l.l_partkey AS pk, l.l_suppkey AS sk,
+        |    CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS units
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_type, l.l_partkey, l.l_suppkey),
+        |pa AS (SELECT t, pk, CAST(max(units) AS BIGINT) AS mx,
+        |    CAST(sum(units) AS BIGINT) AS tot FROM ps GROUP BY t, pk),
+        |sh AS (SELECT t, CAST(CAST(mx AS HUGEINT) * 1000000 // tot AS BIGINT)
+        |    AS share_ppm FROM pa)
+        |SELECT t AS part_type, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CASE WHEN share_ppm > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_single_source,
+        |  CAST(max(share_ppm) AS BIGINT) AS worst_share_ppm
+        |FROM sh GROUP BY t"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ps = lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type").as("t"), col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_quantity")).cast("long")).cast("long").as("units"))
+      val pa = ps
+        .groupBy("t", "pk")
+        .agg(max("units").cast("long").as("mx"), sum("units").cast("long").as("tot"))
+      pa.select(
+        col("t"),
+        expr("CAST(CAST(mx AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)").as("share_ppm")
+      ).groupBy(col("t").as("part_type"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum(when(col("share_ppm") > 500000, 1L).otherwise(0L)).cast("long").as("n_single_source"),
+          max("share_ppm").cast("long").as("worst_share_ppm")
+        )
+    },
+
     // Open-orders backlog series: average concurrently-open orders per
     // month, from exact interval-overlap day counts — the Little's-law
     // denominator an ops dashboard tracks. Each order is open from order

@@ -266,6 +266,85 @@ class SketchClusterSpec extends SparkSpec {
     )
   }
 
+  test("q_abc_by_type: running-share class boundaries at exactly 80/95") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_abc").toString
+    // revenues 70/15/10/5 → cum shares 70, 85, 95, 100% → A, B, B, C
+    Seq((1L, 70.0), (2L, 15.0), (3L, 10.0), (4L, 5.0))
+      .map { case (pk, rev) => (pk, pk, rev) }
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    (1L to 4L)
+      .map(k => (k, "T"))
+      .toDF("p_partkey", "p_type")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/part.parquet")
+    val out = SparkEntry
+      .queries("q_abc_by_type")(spark, dir)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(("A", 1L, 7000L), ("B", 2L, 2500L), ("C", 1L, 500L)), out.toString)
+  }
+
+  test("q_peak_backlog: year-keyed sweep with cross-year base carry") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_peak").toString
+    // order 3 spans the year boundary → 1994's base = 1 open at Jan 1
+    Seq(
+      (1L, "1994-01-10", "1994-01-19"),
+      (2L, "1994-01-15", "1994-02-09"),
+      (3L, "1993-12-20", "1994-01-04")
+    ).map { case (k, od, sd) => (k, od, sd) }
+      .toDF("o_orderkey", "od", "sd")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/_stage.parquet")
+    val st = spark.read.parquet(s"$dir/_stage.parquet")
+    st.select(col("o_orderkey"), to_timestamp(col("od")).as("o_orderdate"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    st.select(col("o_orderkey").as("l_orderkey"), to_timestamp(col("sd")).as("l_shipdate"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry
+      .queries("q_peak_backlog")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val d93 = java.time.LocalDate.of(1993, 12, 20).toEpochDay
+    val d94 = java.time.LocalDate.of(1994, 1, 15).toEpochDay
+    assert(out == Map(1993L -> ((1L, d93)), 1994L -> ((2L, d94))), out.toString)
+  }
+
+  test("q_single_source_risk: the 50% dominance boundary is strict") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssr").toString
+    // part 1: 60/40 split → single-source; part 2: 50/50 → not (strict >)
+    Seq((1L, 1L, 10L, 60.0), (1L, 1L, 20L, 40.0), (2L, 2L, 10L, 50.0), (2L, 2L, 20L, 50.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "T"), (2L, "T"))
+      .toDF("p_partkey", "p_type")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/part.parquet")
+    val r = SparkEntry.queries("q_single_source_risk")(spark, dir).collect()(0)
+    assert(
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (("T", 2L, 1L, 600000L))
+    )
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
