@@ -2237,6 +2237,63 @@ object AnalyticsQueries {
         )
     },
 
+    // XYZ demand-variability classes per part type — ABC's (E206)
+    // companion axis: X (steady, CV ≤ 0.5), Y (CV ≤ 1), Z (erratic)
+    // over each part's monthly shipped units ACROSS THE FULL HORIZON
+    // (absent months are true zeros: they inflate variance through the
+    // global month count M without materializing zero rows — the E172
+    // present-rows-only identity). The CV thresholds compare SQUARED:
+    // 4·(M·Σx² − T²) ≤ T² etc. — pure HUGEINT/DECIMAL integer
+    // comparisons, NO sqrt, no float anywhere. One fact partial agg,
+    // scalar M broadcast, type rollup.
+    QEntry.sql(
+      "q_xyz_by_type",
+      """WITH mm AS (SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m'))
+        |    AS BIGINT) AS m FROM lineitem),
+        |pm AS (SELECT l.l_partkey AS pk, strftime(l.l_shipdate, '%Y-%m') AS mo,
+        |    CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS units
+        |  FROM lineitem l GROUP BY pk, mo),
+        |ps AS (SELECT pk, CAST(sum(units) AS BIGINT) AS t,
+        |    CAST(sum(CAST(units AS HUGEINT) * units) AS HUGEINT) AS sq
+        |  FROM pm GROUP BY pk),
+        |cl AS (SELECT p.p_type AS pt,
+        |    CASE WHEN 4 * (mm.m * ps.sq - CAST(ps.t AS HUGEINT) * ps.t)
+        |        <= CAST(ps.t AS HUGEINT) * ps.t THEN 'X'
+        |      WHEN mm.m * ps.sq - CAST(ps.t AS HUGEINT) * ps.t
+        |        <= CAST(ps.t AS HUGEINT) * ps.t THEN 'Y'
+        |      ELSE 'Z' END AS cls
+        |  FROM ps JOIN part p ON ps.pk = p.p_partkey CROSS JOIN mm)
+        |SELECT pt AS part_type, cls AS xyz_class,
+        |  CAST(count(*) AS BIGINT) AS n_parts
+        |FROM cl GROUP BY pt, cls"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val mm = lineitem(s, d)
+        .agg(countDistinct(date_format(col("l_shipdate"), "yyyy-MM")).as("m"))
+      val pm = lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"), date_format(col("l_shipdate"), "yyyy-MM").as("mo"))
+        .agg(sum(round(col("l_quantity")).cast("long")).cast("long").as("units"))
+      val ps = pm
+        .groupBy("pk")
+        .agg(
+          sum("units").cast("long").as("t"),
+          sum(col("units").cast("decimal(38,0)") * col("units")).cast("decimal(38,0)").as("sq")
+        )
+      val varNum = expr("m * sq - CAST(t AS DECIMAL(38,0)) * t")
+      val t2 = expr("CAST(t AS DECIMAL(38,0)) * t")
+      ps.join(part(s, d), col("pk") === col("p_partkey"))
+        .crossJoin(broadcast(mm))
+        .select(
+          col("p_type").as("pt"),
+          when(lit(4) * varNum <= t2, "X")
+            .when(varNum <= t2, "Y")
+            .otherwise("Z")
+            .as("cls")
+        )
+        .groupBy(col("pt").as("part_type"), col("cls").as("xyz_class"))
+        .agg(count(lit(1)).as("n_parts"))
+    },
+
     // Peak concurrent open orders per year — the capacity-planning
     // companion to q_open_orders_series' monthly average: a ±1 event
     // sweep over order open/close days, with the running sum YEAR-KEYED

@@ -913,6 +913,96 @@ object RelationalQueries {
         )
     },
 
+    // OTIF (on-time-in-full) per order month: orders whose EVERY line
+    // shipped within 30 days — max(shipdate) is the binding line, so the
+    // all-lines predicate collapses to one per-order max agg, no
+    // per-line bookkeeping. The fulfillment KPI next to q_busday_latency.
+    // Exact epoch-day arithmetic; the rate one ppm integral division.
+    QEntry.sql(
+      "q_otif_rate",
+      """WITH x AS (SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m') AS month,
+        |    CAST(max(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE))
+        |      AS BIGINT) AS worst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY o.o_orderkey, month)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN worst <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_otif,
+        |  CAST(sum(CASE WHEN worst <= 30 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS otif_ppm
+        |FROM x GROUP BY month"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val x = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(
+          max(
+            datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          ).cast("long").as("worst")
+        )
+      x.groupBy("month")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("worst") <= 30, 1L).otherwise(0L)).cast("long").as("n_otif"),
+          expr(
+            "CAST(sum(CASE WHEN worst <= 30 THEN 1 ELSE 0 END) * 1000000 div count(*)" +
+              " AS BIGINT)"
+          ).as("otif_ppm")
+        )
+    },
+
+    // Return-rate per brand with the Wilson 95% score interval — the
+    // shrinkage-aware CI a quality dashboard ranks brands by (small
+    // brands don't dominate on noise, unlike the raw rate). Counts and
+    // the point rate are exact BIGINT/ppm; the interval is the one
+    // fixed-parenthesization double expression over exact integers
+    // (z = 1.96 literal-identical on both engines), shipped UNROUNDED.
+    // One fact partial agg, broadcast part dim.
+    QEntry.sql(
+      "q_return_rate_wilson",
+      """WITH b AS (SELECT p.p_brand AS brand,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_brand)
+        |SELECT brand, n, r,
+        |  CAST(r * 1000000 // n AS BIGINT) AS rate_ppm,
+        |  ((CAST(r AS DOUBLE) / n + 1.96 * 1.96 / (2 * n))
+        |    - 1.96 * sqrt((CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n) / n
+        |        + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE) * n)))
+        |    / (1 + 1.96 * 1.96 / n) AS wilson_lo,
+        |  ((CAST(r AS DOUBLE) / n + 1.96 * 1.96 / (2 * n))
+        |    + 1.96 * sqrt((CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n) / n
+        |        + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE) * n)))
+        |    / (1 + 1.96 * 1.96 / n) AS wilson_hi
+        |FROM b"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val b = lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).cast("long").as("r")
+        )
+      val p = col("r").cast("double") / col("n")
+      val z2 = lit(1.96) * lit(1.96)
+      val center = p + z2 / (lit(2) * col("n"))
+      val spread = lit(1.96) * sqrt(
+        p * (lit(1) - p) / col("n") + z2 / (lit(4) * col("n").cast("double") * col("n"))
+      )
+      val denom = lit(1) + z2 / col("n")
+      b.select(
+        col("brand"),
+        col("n"),
+        col("r"),
+        expr("CAST(r * 1000000 div n AS BIGINT)").as("rate_ppm"),
+        ((center - spread) / denom).as("wilson_lo"),
+        ((center + spread) / denom).as("wilson_hi")
+      )
+    },
+
     // Single-source supply risk per part type: parts where one supplier
     // holds > 50% of shipped units — the procurement-risk gate beside
     // E179's blend-concentration HHI. Unit counts are exact BIGINTs

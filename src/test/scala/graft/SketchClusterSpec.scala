@@ -345,6 +345,101 @@ class SketchClusterSpec extends SparkSpec {
     )
   }
 
+  test("q_otif_rate: the worst line binds the whole order") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_otif").toString
+    Seq((1L, "1994-01-10"), (2L, "1994-01-15"))
+      .toDF("o_orderkey", "dt")
+      .withColumn("o_orderdate", to_timestamp(col("dt")))
+      .drop("dt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    // order 1: lines at +10 and +31 days → late; order 2: +5, +30 → OTIF
+    Seq((1L, "1994-01-20"), (1L, "1994-02-10"), (2L, "1994-01-20"), (2L, "1994-02-14"))
+      .toDF("l_orderkey", "sdt")
+      .withColumn("l_shipdate", to_timestamp(col("sdt")))
+      .drop("sdt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_otif_rate")(spark, dir).collect()(0)
+    assert(
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        (("1994-01", 2L, 1L, 500000L))
+    )
+  }
+
+  test("q_return_rate_wilson: closed form replay and the p=0 lower bound") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wil").toString
+    Seq(
+      (1L, 1L, "R"), (2L, 1L, "N"), (3L, 1L, "N"), (4L, 1L, "A"),
+      (5L, 2L, "N"), (6L, 2L, "N")
+    ).toDF("l_orderkey", "l_partkey", "l_returnflag")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "B1"), (2L, "B2"))
+      .toDF("p_partkey", "p_brand")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/part.parquet")
+    def wilson(r: Long, n: Long): (Double, Double) = {
+      val p = r.toDouble / n
+      val z2 = 1.96 * 1.96
+      val c = p + z2 / (2 * n)
+      val sp = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n.toDouble * n))
+      val dn = 1 + z2 / n
+      ((c - sp) / dn, (c + sp) / dn)
+    }
+    val out = SparkEntry
+      .queries("q_return_rate_wilson")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val (lo1, hi1) = wilson(1, 4)
+    assert(out("B1")._1 == 4L && out("B1")._2 == 1L && out("B1")._3 == 250000L)
+    assert(math.abs(out("B1")._4 - lo1) < 1e-12 && math.abs(out("B1")._5 - hi1) < 1e-12)
+    // p = 0: center and spread cancel exactly → lower bound 0
+    assert(out("B2")._4 == 0.0, out("B2").toString)
+  }
+
+  test("q_xyz_by_type: CV class boundaries without any sqrt") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xyz").toString
+    // 3 horizon months; part 1 steady (CV 0 → X), part 2 CV = 1 exactly
+    // on the inclusive Y boundary... part 2 [20,10,0] → CV² = 2/3 → Y;
+    // part 3 [30,0,0] → CV² = 2 → Z
+    val rows = Seq(
+      (1L, 1L, "1994-01-05", 10.0), (2L, 1L, "1994-02-05", 10.0), (3L, 1L, "1994-03-05", 10.0),
+      (4L, 2L, "1994-01-10", 20.0), (5L, 2L, "1994-02-10", 10.0),
+      (6L, 3L, "1994-01-15", 30.0)
+    )
+    rows
+      .toDF("l_orderkey", "l_partkey", "sdt", "l_quantity")
+      .withColumn("l_shipdate", to_timestamp(col("sdt")))
+      .drop("sdt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    (1L to 3L)
+      .map(k => (k, "T"))
+      .toDF("p_partkey", "p_type")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/part.parquet")
+    val out = SparkEntry
+      .queries("q_xyz_by_type")(spark, dir)
+      .collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+      .toMap
+    assert(out == Map("X" -> 1L, "Y" -> 1L, "Z" -> 1L), out.toString)
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
