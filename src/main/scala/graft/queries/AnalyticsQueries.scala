@@ -2237,6 +2237,116 @@ object AnalyticsQueries {
         )
     },
 
+    // Difference-in-differences estimator: did URGENT orders' average
+    // value move differently across the 1997 cutover than everyone
+    // else's? The 2×2 (treated × period) cell means are exact milli-cent
+    // integral divisions and the DiD contrast subtracts those DEFINED
+    // fixed-point values — deterministic end to end, no float. The
+    // causal-inference primitive on top of q_ab_test_z's cross-sectional
+    // test. One partial agg over the fact scan; 4 cells + 1 row out.
+    QEntry.sql(
+      "q_did_urgent",
+      """WITH c AS (SELECT
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS treated,
+        |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END
+        |      AS post,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |m AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) * 1000 // count(*) AS BIGINT) AS mean_milli
+        |  FROM c GROUP BY treated, post)
+        |SELECT
+        |  max(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END) AS t_post,
+        |  max(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END) AS t_pre,
+        |  max(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END) AS c_post,
+        |  max(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END) AS c_pre,
+        |  (max(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)
+        |    - max(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END))
+        |  - (max(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)
+        |    - max(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END))
+        |    AS did_milli
+        |FROM m"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val c = orders(s, d).select(
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("treated"),
+        when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)
+          .as("post"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+      val m = c
+        .groupBy("treated", "post")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("CAST(sum(cents) * 1000 div count(*) AS BIGINT)").as("mean_milli")
+        )
+      def cell(t: Int, p: Int) =
+        max(when(col("treated") === t && col("post") === p, col("mean_milli")))
+      m.agg(
+        cell(1, 1).as("t_post"),
+        cell(1, 0).as("t_pre"),
+        cell(0, 1).as("c_post"),
+        cell(0, 0).as("c_pre"),
+        ((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))).as("did_milli")
+      )
+    },
+
+    // Open-order aging at the horizon — the receivables-style aging
+    // report: orders still open at the corpus horizon (order placed, last
+    // line not yet shipped), bucketed by days outstanding into the
+    // classic 0-30/31-60/61-90/90+ bands. Horizon and spans are exact
+    // epoch-day integers (one scalar broadcast + the per-order max agg);
+    // bucket label derivation is pure integer CASE. Counts and exposure
+    // cents exact.
+    QEntry.sql(
+      "q_order_aging",
+      """WITH se AS (SELECT o.o_orderkey,
+        |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(max(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) + 1
+        |      AS ed
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice),
+        |h AS (SELECT max(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |    AS BIGINT)) AS hz FROM orders),
+        |open_ AS (SELECT se.cents, h.hz - se.sd AS age
+        |  FROM se CROSS JOIN h WHERE se.sd <= h.hz AND se.ed > h.hz)
+        |SELECT CASE WHEN age <= 30 THEN '00-30' WHEN age <= 60 THEN '31-60'
+        |    WHEN age <= 90 THEN '61-90' ELSE '90+' END AS age_band,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS exposure_cents
+        |FROM open_ GROUP BY age_band"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val se = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("sd"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")
+        )
+        .agg(
+          (max(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))).cast("long") + 1)
+            .as("ed")
+        )
+      val h = orders(s, d)
+        .agg(max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")).as("hz"))
+      se.crossJoin(broadcast(h))
+        .filter(col("sd") <= col("hz") && col("ed") > col("hz"))
+        .select(
+          col("cents"),
+          (col("hz") - col("sd")).as("age")
+        )
+        .groupBy(
+          when(col("age") <= 30, "00-30")
+            .when(col("age") <= 60, "31-60")
+            .when(col("age") <= 90, "61-90")
+            .otherwise("90+")
+            .as("age_band")
+        )
+        .agg(count(lit(1)).as("n_orders"), sum("cents").cast("long").as("exposure_cents"))
+    },
+
     // XYZ demand-variability classes per part type — ABC's (E206)
     // companion axis: X (steady, CV ≤ 0.5), Y (CV ≤ 1), Z (erratic)
     // over each part's monthly shipped units ACROSS THE FULL HORIZON

@@ -1165,6 +1165,54 @@ object PipelineQueries {
         )
     },
 
+    // Per-dimension variance of the embedding corpus — the "which
+    // coordinates carry signal" profile behind dimensionality-reduction
+    // / Matryoshka-truncation decisions. Elements quantize to
+    // DECIMAL(18,10) (the E145 centroid idiom) so Σv and Σv² are EXACT and
+    // order-free; the variance combination runs entirely in double with
+    // pinned parenthesization (σ² = Σv²/n − (Σv/n)², no decimal×bigint
+    // products whose precision-capping differs between engines), rounded
+    // 9 for the DECIMAL→double int128 ulp rule. One posexplode partial
+    // agg — 64 output rows at any corpus size.
+    QEntry.sql(
+      "emb_dim_variance",
+      s"""WITH ex AS (SELECT unnest(list_transform(range(0, $EmbDim),
+         |      i -> struct_pack(i := i, v := embedding[i + 1]))) AS t
+         |  FROM embeddings),
+         |p AS (SELECT CAST(t.i AS BIGINT) AS i,
+         |    CAST(CAST(t.v AS DOUBLE) AS DECIMAL(18,10)) AS v FROM ex),
+         |s AS (SELECT i, CAST(sum(v) AS DECIMAL(18,10)) AS sv,
+         |    CAST(sum(CAST(v * v AS DECIMAL(38,20))) AS DECIMAL(38,20)) AS sq,
+         |    CAST(count(*) AS BIGINT) AS n FROM p GROUP BY i)
+         |SELECT i AS dim, n AS n_vecs,
+         |  round(CAST(sq AS DOUBLE) / n
+         |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 9) AS var_pop
+         |FROM s""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val p = embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(
+          col("i").cast("bigint").as("i"),
+          col("v").cast("double").cast("decimal(18,10)").as("v")
+        )
+      val st = p
+        .groupBy("i")
+        .agg(
+          sum("v").cast("decimal(18,10)").as("sv"),
+          sum((col("v") * col("v")).cast("decimal(38,20)")).cast("decimal(38,20)").as("sq"),
+          count(lit(1)).as("n")
+        )
+      st.select(
+        col("i").as("dim"),
+        col("n").as("n_vecs"),
+        round(
+          col("sq").cast("double") / col("n")
+            - (col("sv").cast("double") / col("n")) * (col("sv").cast("double") / col("n")),
+          9
+        ).as("var_pop")
+      )
+    },
+
     // One deterministic Lloyd assignment step (k = 8) — the clustering
     // pass a curation pipeline runs to diversity-sample or balance a
     // corpus. Seeds are the 8 md5-smallest vec_ids (TakeOrdered — no

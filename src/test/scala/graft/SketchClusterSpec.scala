@@ -440,6 +440,86 @@ class SketchClusterSpec extends SparkSpec {
     assert(out == Map("X" -> 1L, "Y" -> 1L, "Z" -> 1L), out.toString)
   }
 
+  test("q_did_urgent: 2x2 cell means and the DiD contrast") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_did").toString
+    Seq(
+      (1L, "1-URGENT", 1.0, "1996-06-01"),
+      (2L, "1-URGENT", 3.0, "1997-06-01"),
+      (3L, "5-LOW", 1.0, "1996-06-01"),
+      (4L, "5-LOW", 2.0, "1997-06-01")
+    ).toDF("o_orderkey", "o_orderpriority", "o_totalprice", "dt")
+      .withColumn("o_orderdate", to_timestamp(col("dt")))
+      .drop("dt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_did_urgent")(spark, dir).collect()(0)
+    assert(
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((300000L, 100000L, 200000L, 100000L, 100000L))
+    )
+  }
+
+  test("q_order_aging: open-at-horizon filter and band boundaries") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_age").toString
+    // horizon = 1994-05-01; ages 0 / 45 / 100 open, one closed order out
+    Seq(
+      (1L, 1.0, "1994-05-01"),
+      (2L, 1.0, "1994-03-17"),
+      (3L, 1.0, "1994-01-21"),
+      (4L, 1.0, "1994-01-01")
+    ).toDF("o_orderkey", "o_totalprice", "dt")
+      .withColumn("o_orderdate", to_timestamp(col("dt")))
+      .drop("dt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    Seq((1L, "1994-05-02"), (2L, "1994-06-01"), (3L, "1994-06-01"), (4L, "1994-01-10"))
+      .toDF("l_orderkey", "sdt")
+      .withColumn("l_shipdate", to_timestamp(col("sdt")))
+      .drop("sdt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry
+      .queries("q_order_aging")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map("00-30" -> 1L, "31-60" -> 1L, "90+" -> 1L), out.toString)
+  }
+
+  test("emb_dim_variance: hand-checked per-dimension population variance") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvar").toString
+    Seq(
+      (1L, Array(0f, 0f, 1f, 3f)),
+      (2L, Array(0f, 2f, 1f, 5f))
+    ).toDF("vec_id", "embedding")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry
+      .queries("emb_dim_variance")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(
+      out == Map(
+        0L -> ((2L, 0.0)),
+        1L -> ((2L, 1.0)),
+        2L -> ((2L, 0.0)),
+        3L -> ((2L, 1.0))
+      ),
+      out.toString
+    )
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
