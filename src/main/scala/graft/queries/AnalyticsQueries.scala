@@ -2237,6 +2237,145 @@ object AnalyticsQueries {
         )
     },
 
+    // Interval-union coverage per nation: total days each customer had at
+    // least one order open, overlaps counted ONCE — the interval-algebra
+    // union (distinct from E127 gaps-islands' consecutive-day runs: these
+    // are real [start, end) spans that nest and overlap). Islands start
+    // where a span's start clears the customer's running max end (the
+    // classic sweep, customer-keyed windows); per-island coverage =
+    // max(ed) − min(sd) summed exactly. Nation rollup via broadcast dims.
+    QEntry.sql(
+      "q_interval_union",
+      """WITH se AS (SELECT o.o_custkey AS ck, o.o_orderkey,
+        |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd,
+        |    CAST(max(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) + 1
+        |      AS ed
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate),
+        |sw AS (SELECT ck, sd, ed, o_orderkey,
+        |    max(ed) OVER (PARTITION BY ck ORDER BY sd, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM se),
+        |il AS (SELECT ck, sd, ed,
+        |    CAST(sum(CASE WHEN pmax IS NULL OR sd > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY ck ORDER BY sd, o_orderkey
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
+        |  FROM sw),
+        |cov AS (SELECT ck, CAST(sum(mx - mn) AS BIGINT) AS days FROM (
+        |    SELECT ck, isl, min(sd) AS mn, max(ed) AS mx FROM il
+        |    GROUP BY ck, isl) x GROUP BY ck)
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cov.days) AS BIGINT) AS covered_days
+        |FROM cov JOIN customer c ON cov.ck = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val se = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          col("o_custkey").as("ck"),
+          col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("sd")
+        )
+        .agg(
+          (max(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))).cast("long") + 1)
+            .as("ed")
+        )
+      val wc = Window.partitionBy("ck").orderBy("sd", "o_orderkey")
+      val sw = se.select(
+        col("ck"),
+        col("sd"),
+        col("ed"),
+        col("o_orderkey"),
+        max("ed")
+          .over(wc.rowsBetween(Window.unboundedPreceding, -1))
+          .as("pmax")
+      )
+      // the island running sum MUST use the same (sd, orderkey) total order
+      // as pmax — numbering over a different tie order can split an island
+      val il = sw.select(
+        col("ck"),
+        col("sd"),
+        col("ed"),
+        sum(when(col("pmax").isNull || col("sd") > col("pmax"), 1L).otherwise(0L))
+          .over(
+            Window
+              .partitionBy("ck")
+              .orderBy("sd", "o_orderkey")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          )
+          .cast("long")
+          .as("isl")
+      )
+      val cov = il
+        .groupBy("ck", "isl")
+        .agg(min("sd").as("mn"), max("ed").as("mx"))
+        .groupBy("ck")
+        .agg(sum(col("mx") - col("mn")).cast("long").as("days"))
+      cov
+        .join(customer(s, d), col("ck") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum("days").cast("long").as("covered_days")
+        )
+    },
+
+    // Two-sample Kolmogorov-Smirnov distance per order month: URGENT vs
+    // the rest on order value — D = max |F₁ − F₂| held EXACT as
+    // |c₁·n₂ − c₂·n₁|·10⁶ div (n₁·n₂) over pooled running counts
+    // (month-keyed windows, calendar-bounded partitions; no float CDFs).
+    // The distribution-shift gate next to q_psi_drift's binned PSI —
+    // KS needs no binning and catches shape changes PSI's deciles smooth
+    // over. Support gating keeps degenerate months out on both engines.
+    QEntry.sql(
+      "q_ks_two_sample",
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey AS ok,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        |  FROM orders),
+        |r AS (SELECT month, g,
+        |    CAST(sum(g) OVER (PARTITION BY month ORDER BY cents, ok
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+        |    CAST(sum(1 - g) OVER (PARTITION BY month ORDER BY cents, ok
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2,
+        |    CAST(sum(g) OVER (PARTITION BY month) AS BIGINT) AS n1,
+        |    CAST(sum(1 - g) OVER (PARTITION BY month) AS BIGINT) AS n2
+        |  FROM o)
+        |SELECT month, max(n1) AS n1, max(n2) AS n2,
+        |  CAST(max(abs(c1 * n2 - c2 * n1)) * 1000000 // (max(n1) * max(n2))
+        |    AS BIGINT) AS ks_ppm
+        |FROM r WHERE n1 > 0 AND n2 > 0 GROUP BY month"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey").as("ok"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g")
+      )
+      val wm = Window.partitionBy("month")
+      val run = wm.orderBy("cents", "ok").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = o.select(
+        col("month"),
+        sum("g").over(run).cast("long").as("c1"),
+        sum(lit(1L) - col("g")).over(run).cast("long").as("c2"),
+        sum("g").over(wm).cast("long").as("n1"),
+        sum(lit(1L) - col("g")).over(wm).cast("long").as("n2")
+      )
+      r.filter(col("n1") > 0 && col("n2") > 0)
+        .groupBy("month")
+        .agg(
+          max("n1").as("n1"),
+          max("n2").as("n2"),
+          expr(
+            "CAST(max(abs(c1 * n2 - c2 * n1)) * 1000000 div (max(n1) * max(n2)) AS BIGINT)"
+          ).as("ks_ppm")
+        )
+    },
+
     // Difference-in-differences estimator: did URGENT orders' average
     // value move differently across the 1997 cutover than everyone
     // else's? The 2×2 (treated × period) cell means are exact milli-cent

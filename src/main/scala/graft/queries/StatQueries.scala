@@ -989,6 +989,63 @@ object StatQueries {
         )
     },
 
+    // Hill tail-index of the customer-spend distribution — α̂ = k / Σ
+    // ln(xᵢ/x_k) over the top-k order statistics: the heavy-tail
+    // exponent behind "do whales dominate revenue", complementing
+    // E154's Gini with an extreme-value view. Top-(k+1) is a TakeOrdered
+    // (k-bounded — no global window on data); each ln term is libm so it
+    // takes the E160 quantize-12dp → DECIMAL-sum ladder; α rounds to 6.
+    // Spend totals are exact cents; ties with the threshold contribute
+    // exact zeros.
+    QEntry.sql(
+      "q_hill_tail_index",
+      """WITH sp AS (SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |top AS (SELECT cents, ck FROM sp ORDER BY cents DESC, ck LIMIT 101),
+        |rk AS (SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, ck) AS BIGINT) AS rn
+        |  FROM top),
+        |xk AS (SELECT cents AS thr FROM rk WHERE rn = 101),
+        |terms AS (SELECT CAST(round(ln(CAST(rk.cents AS DOUBLE) / xk.thr), 12)
+        |      AS DECIMAL(16,12)) AS term
+        |  FROM rk CROSS JOIN xk WHERE rk.rn <= 100)
+        |SELECT CAST(100 AS BIGINT) AS k, max(xk.thr) AS xk_cents,
+        |  round(100 / CAST((SELECT CAST(sum(term) AS DECIMAL(20,12)) FROM terms)
+        |    AS DOUBLE), 6) AS hill_alpha
+        |FROM xk"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val sp = orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      val top = sp.orderBy(col("cents").desc, col("ck")).limit(101)
+      val rk = top.select(
+        col("cents"),
+        row_number()
+          .over(Window.partitionBy(pmod(col("ck"), lit(1))).orderBy(col("cents").desc, col("ck")))
+          .cast("long")
+          .as("rn")
+      )
+      val xk = rk.filter(col("rn") === 101).select(col("cents").as("thr"))
+      val terms = rk
+        .filter(col("rn") <= 100)
+        .crossJoin(broadcast(xk))
+        .select(
+          round(log(col("cents").cast("double") / col("thr")), 12)
+            .cast("decimal(16,12)")
+            .as("term")
+        )
+      val tsum = terms.agg(sum("term").cast("decimal(20,12)").as("tsum"))
+      xk.agg(max(col("thr")).as("xk_cents"))
+        .crossJoin(broadcast(tsum))
+        .select(
+          lit(100L).as("k"),
+          col("xk_cents"),
+          round(lit(100) / col("tsum").cast("double"), 6).as("hill_alpha")
+        )
+    },
+
     // Deterministic Bloom filter with its EXACT measured false-positive
     // rate — the fourth deterministic sketch (E177 counts, E192
     // cardinality, E200 quantiles, this one membership). m = 1024 bits

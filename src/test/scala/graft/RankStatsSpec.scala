@@ -282,6 +282,37 @@ class RankStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - expZ) < 1e-12)
   }
 
+  test("q_ks_two_sample: exact rational D on a hand-laid pooled sequence") {
+    // urgent [100, 300]¢ vs other [200, 400]¢ → D = 1/2 → 500000 ppm
+    val dir = ordersDir(
+      Seq(
+        (1L, 1L, 1.0, "1994-01-05", "1-URGENT"),
+        (2L, 1L, 3.0, "1994-01-10", "1-URGENT"),
+        (3L, 1L, 2.0, "1994-01-15", "5-LOW"),
+        (4L, 1L, 4.0, "1994-01-20", "5-LOW")
+      )
+    )
+    val r = SparkEntry.queries("q_ks_two_sample")(spark, dir).collect()(0)
+    assert(
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        (("1994-01", 2L, 2L, 500000L))
+    )
+  }
+
+  test("q_hill_tail_index: ladder-exact alpha on a two-level tail") {
+    // 100 customers at $2, the rank-101 threshold at $1, one below at $0.5
+    val rows = (1L to 100L).map(k => (k, k, 2.0, "1994-01-05", "A")) ++
+      Seq((101L, 101L, 1.0, "1994-01-06", "A"), (102L, 102L, 0.5, "1994-01-07", "A"))
+    val dir = ordersDir(rows)
+    val r = SparkEntry.queries("q_hill_tail_index")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 100L)
+    val term = BigDecimal(math.log(2.0)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val exp = BigDecimal(100.0 / (term * 100).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(math.abs(r.getDouble(2) - exp) < 1e-9, s"${r.getDouble(2)} vs $exp")
+  }
+
   test("txt_kl_sources: ladder-exact KL against a hand-built two-source corpus") {
     val s = spark
     import s.implicits._

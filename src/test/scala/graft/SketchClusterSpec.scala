@@ -520,6 +520,42 @@ class SketchClusterSpec extends SparkSpec {
     )
   }
 
+  test("q_interval_union: overlaps count once, sd-ties stay in one island") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_iu").toString
+    // spans [10,20) [10,15) (tie in sd) [18,25) [30,35) → 15 + 5 = 20 days
+    val d0 = java.time.LocalDate.ofEpochDay(0)
+    def ts(day: Long) = d0.plusDays(day).toString
+    Seq((1L, 1L, ts(10)), (2L, 1L, ts(10)), (3L, 1L, ts(18)), (4L, 1L, ts(30)))
+      .toDF("o_orderkey", "o_custkey", "dt")
+      .withColumn("o_orderdate", to_timestamp(col("dt")))
+      .drop("dt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    // ed = shipdate + 1 → ship on day (end − 1)
+    Seq((1L, ts(19)), (2L, ts(14)), (3L, ts(24)), (4L, ts(34)))
+      .toDF("l_orderkey", "sdt")
+      .withColumn("l_shipdate", to_timestamp(col("sdt")))
+      .drop("sdt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 7))
+      .toDF("c_custkey", "c_nationkey")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    Seq((7, "GAUL"))
+      .toDF("n_nationkey", "n_name")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/nation.parquet")
+    val r = SparkEntry.queries("q_interval_union")(spark, dir).collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("GAUL", 1L, 20L)))
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
