@@ -560,6 +560,50 @@ object BehaviorQueries {
         .agg(count(lit(1)).as("n_gaps"), sum("gap").cast("long").as("total_days"))
     },
 
+    // DAU/MAU stickiness per month — "how many of the month's users show
+    // up on an average day", the engagement ratio product analytics
+    // tracks beside q_growth_accounting's ledger. Distinct-user state is
+    // (month, day)-keyed partial aggs (never a running distinct);
+    // avg-DAU and the stickiness ratio ship as exact milli/ppm integral
+    // divisions over active-day counts (days with zero events don't
+    // exist in the log and are excluded by definition — documented).
+    QEntry.sql(
+      "q_dau_stickiness",
+      """WITH dd AS (SELECT strftime(ts, '%Y-%m') AS month,
+        |    strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+        |dau AS (SELECT month, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM dd GROUP BY month, day),
+        |mau AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM dd GROUP BY month),
+        |da AS (SELECT month, CAST(sum(dau) AS BIGINT) AS sdau,
+        |    CAST(count(*) AS BIGINT) AS ndays FROM dau GROUP BY month)
+        |SELECT da.month, mau.mau, da.ndays,
+        |  CAST(da.sdau * 1000 // da.ndays AS BIGINT) AS avg_dau_milli,
+        |  CAST(da.sdau * 1000000 // (da.ndays * mau.mau) AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM da JOIN mau ON da.month = mau.month"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dd = events(s, d).select(
+        date_format(col("ts"), "yyyy-MM").as("month"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id")
+      )
+      val dau = dd.groupBy("month", "day").agg(countDistinct("user_id").as("dau"))
+      val mau = dd.groupBy("month").agg(countDistinct("user_id").as("mau"))
+      val da = dau
+        .groupBy("month")
+        .agg(sum("dau").cast("long").as("sdau"), count(lit(1)).as("ndays"))
+      da.join(mau, "month")
+        .select(
+          col("month"),
+          col("mau"),
+          col("ndays"),
+          expr("CAST(sdau * 1000 div ndays AS BIGINT)").as("avg_dau_milli"),
+          expr("CAST(sdau * 1000000 div (ndays * mau) AS BIGINT)").as("stickiness_ppm")
+        )
+    },
+
     // Growth accounting — the monthly active-customer ledger every
     // product-analytics stack reports: each (customer, active-month) pair
     // classifies as new (first month ever), retained (also active the

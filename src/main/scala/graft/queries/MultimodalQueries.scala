@@ -43,6 +43,41 @@ object MultimodalQueries {
       Multimodal.frameSlices(Multimodal.fromDocuments(documents(s, d)), 256, 4)
     },
 
+    // Cross-media duplicate-frame detection: the sampled frames of
+    // mm_frame_hashes, grouped by content hash across the whole corpus —
+    // the "same intro/credits in every video" dedup a multimodal
+    // pipeline runs before feature extraction. One hash-keyed partial
+    // agg over the frame table (payload bytes never leave executors;
+    // only 32-char digests shuffle); duplicate mass = Σ(count−1), all
+    // exact BIGINTs in a single summary row.
+    QEntry.sql(
+      "mm_frame_dedup",
+      """WITH fr AS (SELECT
+        |    md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS h
+        |  FROM (SELECT text,
+        |      unnest(range(0, CAST(least(ceil(octet_length(encode(text)) / 256.0), 4)
+        |        AS BIGINT))) AS frame_idx
+        |    FROM documents) t),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM fr GROUP BY h)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_frames,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |  CAST(sum(c - 1) AS BIGINT) AS dup_frames
+        |FROM g"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val g = Multimodal
+        .frameSlices(Multimodal.fromDocuments(documents(s, d)), 256, 4)
+        .groupBy("frame_md5")
+        .agg(count(lit(1)).as("c"))
+      g.agg(
+        sum("c").cast("long").as("n_frames"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_groups"),
+        sum(col("c") - 1).cast("long").as("dup_frames")
+      )
+    },
+
     // Overlapping strided windows (hop < window — the spectrogram frame
     // shape) over the audio-modality payloads: md5 + exact integer byte-sum
     // energy per window. ASCII corpus ⇒ DuckDB's per-char ord() sums equal

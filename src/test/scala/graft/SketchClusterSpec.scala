@@ -556,6 +556,46 @@ class SketchClusterSpec extends SparkSpec {
     assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("GAUL", 1L, 20L)))
   }
 
+  test("mm_frame_dedup: shared leading frames collapse to one hash group") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmd").toString
+    // identical first 256-byte frame, divergent second frame
+    Seq((1L, "A" * 300), (2L, "A" * 300 + "B" * 10))
+      .toDF("doc_id", "text")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("mm_frame_dedup")(spark, dir).collect()(0)
+    assert(
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 3L, 1L, 1L)),
+      r.toString
+    )
+  }
+
+  test("q_dau_stickiness: day-keyed distinct aggregation and the ratio") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dau").toString
+    // day 1: users {1, 2}; day 2: {1} → MAU 2, ΣDAU 3, stickiness 750000
+    Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (2L, "2024-01-01 11:00:00", 2L),
+      (3L, "2024-01-02 10:00:00", 1L)
+    ).toDF("event_id", "dt", "user_id")
+      .withColumn("ts", unix_micros(to_timestamp(col("dt"))) * 1000)
+      .drop("dt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_dau_stickiness")(spark, dir).collect()(0)
+    assert(
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        (("2024-01", 2L, 2L, 1500L, 750000L)),
+      r.toString
+    )
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
