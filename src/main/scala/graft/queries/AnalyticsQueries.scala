@@ -2715,16 +2715,15 @@ object AnalyticsQueries {
       )
     },
 
-    // Winsorized mean per order priority — the robust location estimate a
-    // quality dashboard prefers over the raw mean when tails are fat.
-    // Clip bounds are EXACT p5/p95 order statistics (the q_percentile_disc
-    // ceil-rank convention over a (cents, orderkey) total order — picked
-    // values, never interpolation), broadcast back onto the fact scan;
-    // the clipped mean ships as an exact milli-cent integral division.
-    // Priority-keyed windows, one clip pass, one partial agg — parallel
-    // across groups at any scale.
+    // Tukey IQR outlier fence per order priority — the boxplot-standard
+    // outlier AUDIT (vs q_winsorize_clip's location estimate and
+    // q_mad_per_group's scale): quartiles are EXACT q_percentile_disc
+    // ceil-rank picks, and the 1.5·IQR fences are compared DOUBLED
+    // (2·x < 2·Q1 − 3·IQR) so the half stays integer — no float
+    // anywhere. Priority-keyed windows + one fence pass with the bounds
+    // broadcast back onto the scan.
     QEntry.sql(
-      "q_winsorized_mean",
+      "q_iqr_outlier_fence",
       """WITH r AS (SELECT o_orderpriority AS pri,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |    CAST(row_number() OVER (PARTITION BY o_orderpriority
@@ -2733,12 +2732,14 @@ object AnalyticsQueries {
         |    CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
         |  FROM orders),
         |b AS (SELECT pri,
-        |    max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo,
-        |    max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+        |    max(CASE WHEN rn = (n * 3 + 3) // 4 THEN cents END) AS q3
         |  FROM r GROUP BY pri)
-        |SELECT r.pri, max(r.n) AS n, max(b.lo) AS lo_cents, max(b.hi) AS hi_cents,
-        |  CAST(sum(least(greatest(r.cents, b.lo), b.hi)) * 1000 // max(r.n)
-        |    AS BIGINT) AS wmean_milli
+        |SELECT r.pri, max(r.n) AS n, max(b.q1) AS q1_cents, max(b.q3) AS q3_cents,
+        |  CAST(sum(CASE WHEN 2 * r.cents < 2 * b.q1 - 3 * (b.q3 - b.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+        |  CAST(sum(CASE WHEN 2 * r.cents > 2 * b.q3 + 3 * (b.q3 - b.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
         |FROM r JOIN b ON r.pri = b.pri GROUP BY r.pri"""
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
@@ -2755,17 +2756,21 @@ object AnalyticsQueries {
       val b = r
         .groupBy("pri")
         .agg(
-          max(when(col("rn") === expr("(n * 5 + 99) div 100"), col("cents"))).as("lo"),
-          max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("cents"))).as("hi")
+          max(when(col("rn") === expr("(n + 3) div 4"), col("cents"))).as("q1"),
+          max(when(col("rn") === expr("(n * 3 + 3) div 4"), col("cents"))).as("q3")
         )
       r.join(broadcast(b), "pri")
         .groupBy("pri")
         .agg(
           max("n").as("n"),
-          max("lo").as("lo_cents"),
-          max("hi").as("hi_cents"),
-          expr("CAST(sum(least(greatest(cents, lo), hi)) * 1000 div max(n) AS BIGINT)")
-            .as("wmean_milli")
+          max("q1").as("q1_cents"),
+          max("q3").as("q3_cents"),
+          sum(when(lit(2) * col("cents") < lit(2) * col("q1") - lit(3) * (col("q3") - col("q1")), 1L).otherwise(0L))
+            .cast("long")
+            .as("n_low_outliers"),
+          sum(when(lit(2) * col("cents") > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")), 1L).otherwise(0L))
+            .cast("long")
+            .as("n_high_outliers")
         )
     },
 

@@ -182,16 +182,18 @@ class RankStatsSpec extends SparkSpec {
     )
   }
 
-  test("q_winsorized_mean: exact p5/p95 clip bounds and milli-cent mean") {
-    // cents 100..10000 in steps of 100 (n=100): lo = rank 5 → 500,
-    // hi = rank 95 → 9500; clipped sum = 4·500 + Σ₅⁹⁵ 100i + 5·9500 = 504500
-    val dir = ordersDir(
-      (1 to 100).map(i => (i.toLong, 1L, i.toDouble, "1994-01-01", "A"))
-    )
-    val r = SparkEntry.queries("q_winsorized_mean")(spark, dir).collect()(0)
+  test("q_iqr_outlier_fence: exact quartile picks and doubled-fence counts") {
+    // cents 100..10000 step 100 plus outliers at -20000 and 40000 (n=102):
+    // Q1 = rank ⌈102/4⌉=26 → 2500¢, Q3 = rank ⌈306/4⌉=77 → 7600¢,
+    // IQR = 5100 → fences [-5150, 15250] → 1 low, 1 high
+    val rows = (1 to 100).map(i => (i.toLong, 1L, i.toDouble, "1994-01-01", "A")) ++
+      Seq((101L, 1L, -200.0, "1994-01-02", "A"), (102L, 1L, 400.0, "1994-01-03", "A"))
+    val dir = ordersDir(rows)
+    val r = SparkEntry.queries("q_iqr_outlier_fence")(spark, dir).collect()(0)
     assert(
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
-        (("A", 100L, 500L, 9500L, 5045000L))
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        (("A", 102L, 2500L, 7600L, 1L, 1L)),
+      r.toString
     )
   }
 
