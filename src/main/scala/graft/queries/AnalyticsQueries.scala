@@ -2237,90 +2237,69 @@ object AnalyticsQueries {
         )
     },
 
-    // Interval-union coverage per nation: total days each customer had at
-    // least one order open, overlaps counted ONCE — the interval-algebra
-    // union (distinct from E127 gaps-islands' consecutive-day runs: these
-    // are real [start, end) spans that nest and overlap). Islands start
-    // where a span's start clears the customer's running max end (the
-    // classic sweep, customer-keyed windows); per-island coverage =
-    // max(ed) − min(sd) summed exactly. Nation rollup via broadcast dims.
+    // Allen interval-relations census over consecutive order spans per
+    // customer — which temporal relation does each next order hold to
+    // the previous one (precedes / meets / overlaps / starts / contains
+    // / equals)? The interval-ALGEBRA classifier (E142 coalesces; this
+    // one taxonomizes — the input a process-mining or SLA model reads).
+    // With pairs taken in (sd, orderkey) order the second span never
+    // starts earlier, so six mutually-exclusive integer comparisons
+    // cover the relation set; CASE order pins ties deterministically.
+    // One customer-keyed lag, one 6-row rollup — all exact BIGINTs.
     QEntry.sql(
-      "q_interval_union",
-      """WITH se AS (SELECT o.o_custkey AS ck, o.o_orderkey,
+      "q_allen_relations",
+      """WITH se AS (SELECT o.o_custkey AS ck, o.o_orderkey AS ok,
         |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd,
         |    CAST(max(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) + 1
         |      AS ed
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |  GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate),
-        |sw AS (SELECT ck, sd, ed, o_orderkey,
-        |    max(ed) OVER (PARTITION BY ck ORDER BY sd, o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |pr AS (SELECT ck, sd, ed,
+        |    lag(sd) OVER (PARTITION BY ck ORDER BY sd, ok) AS psd,
+        |    lag(ed) OVER (PARTITION BY ck ORDER BY sd, ok) AS ped
         |  FROM se),
-        |il AS (SELECT ck, sd, ed,
-        |    CAST(sum(CASE WHEN pmax IS NULL OR sd > pmax THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY ck ORDER BY sd, o_orderkey
-        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
-        |  FROM sw),
-        |cov AS (SELECT ck, CAST(sum(mx - mn) AS BIGINT) AS days FROM (
-        |    SELECT ck, isl, min(sd) AS mn, max(ed) AS mx FROM il
-        |    GROUP BY ck, isl) x GROUP BY ck)
-        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
-        |  CAST(sum(cov.days) AS BIGINT) AS covered_days
-        |FROM cov JOIN customer c ON cov.ck = c.c_custkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY n.n_name"""
+        |cl AS (SELECT CASE
+        |    WHEN psd = sd AND ped = ed THEN 'equals'
+        |    WHEN psd = sd THEN 'starts'
+        |    WHEN ped < sd THEN 'precedes'
+        |    WHEN ped = sd THEN 'meets'
+        |    WHEN ed <= ped THEN 'contains'
+        |    ELSE 'overlaps' END AS rel
+        |  FROM pr WHERE psd IS NOT NULL)
+        |SELECT rel, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM cl GROUP BY rel"""
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val se = orders(s, d)
         .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy(
           col("o_custkey").as("ck"),
-          col("o_orderkey"),
+          col("o_orderkey").as("ok"),
           datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("sd")
         )
         .agg(
           (max(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))).cast("long") + 1)
             .as("ed")
         )
-      val wc = Window.partitionBy("ck").orderBy("sd", "o_orderkey")
-      val sw = se.select(
-        col("ck"),
+      val wc = Window.partitionBy("ck").orderBy("sd", "ok")
+      val pr = se.select(
         col("sd"),
         col("ed"),
-        col("o_orderkey"),
-        max("ed")
-          .over(wc.rowsBetween(Window.unboundedPreceding, -1))
-          .as("pmax")
+        lag("sd", 1).over(wc).as("psd"),
+        lag("ed", 1).over(wc).as("ped")
       )
-      // the island running sum MUST use the same (sd, orderkey) total order
-      // as pmax — numbering over a different tie order can split an island
-      val il = sw.select(
-        col("ck"),
-        col("sd"),
-        col("ed"),
-        sum(when(col("pmax").isNull || col("sd") > col("pmax"), 1L).otherwise(0L))
-          .over(
-            Window
-              .partitionBy("ck")
-              .orderBy("sd", "o_orderkey")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          )
-          .cast("long")
-          .as("isl")
-      )
-      val cov = il
-        .groupBy("ck", "isl")
-        .agg(min("sd").as("mn"), max("ed").as("mx"))
-        .groupBy("ck")
-        .agg(sum(col("mx") - col("mn")).cast("long").as("days"))
-      cov
-        .join(customer(s, d), col("ck") === col("c_custkey"))
-        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name").as("nation"))
-        .agg(
-          count(lit(1)).as("n_customers"),
-          sum("days").cast("long").as("covered_days")
+      pr.filter(col("psd").isNotNull)
+        .select(
+          when(col("psd") === col("sd") && col("ped") === col("ed"), "equals")
+            .when(col("psd") === col("sd"), "starts")
+            .when(col("ped") < col("sd"), "precedes")
+            .when(col("ped") === col("sd"), "meets")
+            .when(col("ed") <= col("ped"), "contains")
+            .otherwise("overlaps")
+            .as("rel")
         )
+        .groupBy("rel")
+        .agg(count(lit(1)).as("n_pairs"))
     },
 
     // Two-sample Kolmogorov-Smirnov distance per order month: URGENT vs

@@ -520,40 +520,57 @@ class SketchClusterSpec extends SparkSpec {
     )
   }
 
-  test("q_interval_union: overlaps count once, sd-ties stay in one island") {
+  test("q_allen_relations: each relation class fires on a crafted timeline") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_iu").toString
-    // spans [10,20) [10,15) (tie in sd) [18,25) [30,35) → 15 + 5 = 20 days
+    val dir = java.nio.file.Files.createTempDirectory("graft_allen").toString
     val d0 = java.time.LocalDate.ofEpochDay(0)
     def ts(day: Long) = d0.plusDays(day).toString
-    Seq((1L, 1L, ts(10)), (2L, 1L, ts(10)), (3L, 1L, ts(18)), (4L, 1L, ts(30)))
+    // customer 1 spans (sd, ed)): [10,20)→[30,35) precedes, →[35,40) meets,
+    // →[38,50) overlaps, →[38,45) starts... crafted pairwise:
+    // c1: [10,20) then [30,35) → precedes
+    // c2: [10,20) then [20,25) → meets
+    // c3: [10,20) then [15,30) → overlaps
+    // c4: [10,20) then [12,18) → contains
+    // c5: [10,20) then [10,20) → equals
+    // c6: [10,20) then [10,25) → starts
+    val spans = Seq(
+      (1L, 10L, 20L), (2L, 30L, 35L),
+      (3L, 10L, 20L), (4L, 20L, 25L),
+      (5L, 10L, 20L), (6L, 15L, 30L),
+      (7L, 10L, 20L), (8L, 12L, 18L),
+      (9L, 10L, 20L), (10L, 10L, 20L),
+      (11L, 10L, 20L), (12L, 10L, 25L)
+    )
+    val custOf = spans.zipWithIndex.map { case ((ok, _, _), i) => ok -> (i / 2 + 1).toLong }.toMap
+    spans
+      .map { case (ok, sd, _) => (ok, custOf(ok), ts(sd)) }
       .toDF("o_orderkey", "o_custkey", "dt")
       .withColumn("o_orderdate", to_timestamp(col("dt")))
       .drop("dt")
       .write
       .mode("overwrite")
       .parquet(s"$dir/orders.parquet")
-    // ed = shipdate + 1 → ship on day (end − 1)
-    Seq((1L, ts(19)), (2L, ts(14)), (3L, ts(24)), (4L, ts(34)))
+    spans
+      .map { case (ok, _, ed) => (ok, ts(ed - 1)) } // ed = shipdate + 1
       .toDF("l_orderkey", "sdt")
       .withColumn("l_shipdate", to_timestamp(col("sdt")))
       .drop("sdt")
       .write
       .mode("overwrite")
       .parquet(s"$dir/lineitem.parquet")
-    Seq((1L, 7))
-      .toDF("c_custkey", "c_nationkey")
-      .write
-      .mode("overwrite")
-      .parquet(s"$dir/customer.parquet")
-    Seq((7, "GAUL"))
-      .toDF("n_nationkey", "n_name")
-      .write
-      .mode("overwrite")
-      .parquet(s"$dir/nation.parquet")
-    val r = SparkEntry.queries("q_interval_union")(spark, dir).collect()(0)
-    assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("GAUL", 1L, 20L)))
+    val out = SparkEntry
+      .queries("q_allen_relations")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(
+      out == Map(
+        "precedes" -> 1L, "meets" -> 1L, "overlaps" -> 1L,
+        "contains" -> 1L, "equals" -> 1L, "starts" -> 1L
+      ),
+      out.toString
+    )
   }
 
   test("mm_frame_dedup: shared leading frames collapse to one hash group") {
