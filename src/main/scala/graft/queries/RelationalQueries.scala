@@ -1136,31 +1136,20 @@ object RelationalQueries {
         )
     },
 
-    // Referential-integrity + coverage audit — the constraint checks a
-    // warehouse runs before promoting a snapshot, as one result table:
-    // FK orphans both directions (anti-join counts), PK duplicate keys,
-    // and the coverage stats (customers with no orders, parts never
-    // ordered) that catch silently-empty joins. Every check is a
-    // broadcast-or-shuffle anti/semi join + count — no row data moves to
-    // the driver, and each scales as its input. Exact BIGINTs; UNION ALL
-    // keeps it one deterministic 6-row frame.
+    // Cross-table orphan/coverage audit — the anti-join sweep that
+    // complements q_dq_report's single-table constraint gate (E111): the
+    // checks a snapshot promotion needs that dq_report does NOT carry —
+    // fact-side orphans (lineitems whose order vanished) and the
+    // dimension-coverage stats (customers with no orders, parts never
+    // ordered, suppliers never used) that catch silently-empty joins
+    // before a dashboard reads zero rows. Each check is one anti-join +
+    // count, no row data to the driver; UNION ALL keeps one
+    // deterministic 4-row frame of exact BIGINTs.
     QEntry.sql(
-      "q_ref_integrity",
+      "q_orphan_coverage",
       """SELECT 'lineitem_orphan_orderkey' AS chk, CAST(count(*) AS BIGINT) AS n_bad
         |FROM lineitem l WHERE NOT EXISTS
         |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-        |UNION ALL
-        |SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
-        |FROM orders o WHERE NOT EXISTS
-        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-        |UNION ALL
-        |SELECT 'orders_dup_pk', CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
-        |FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM orders
-        |  GROUP BY o_orderkey) g WHERE c > 1
-        |UNION ALL
-        |SELECT 'customer_dup_pk', CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
-        |FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM customer
-        |  GROUP BY c_custkey) g WHERE c > 1
         |UNION ALL
         |SELECT 'customers_no_orders', CAST(count(*) AS BIGINT)
         |FROM customer c WHERE NOT EXISTS
@@ -1168,34 +1157,35 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'parts_never_ordered', CAST(count(*) AS BIGINT)
         |FROM part p WHERE NOT EXISTS
-        |  (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)"""
+        |  (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |UNION ALL
+        |SELECT 'suppliers_never_used', CAST(count(*) AS BIGINT)
+        |FROM supplier s WHERE NOT EXISTS
+        |  (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)"""
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
         df.agg(count(lit(1)).as("n_bad")).select(lit(name).as("chk"), col("n_bad"))
-      def dup(df: org.apache.spark.sql.DataFrame, key: String, name: String) =
-        df.groupBy(key)
-          .agg(count(lit(1)).as("c"))
-          .filter(col("c") > 1)
-          .agg(coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("n_bad"))
-          .select(lit(name).as("chk"), col("n_bad"))
       val li = lineitem(s, d)
-      val o = orders(s, d)
-      val c = customer(s, d)
-      val p = part(s, d)
       cnt(
-        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"),
+        li.join(orders(s, d), col("l_orderkey") === col("o_orderkey"), "left_anti"),
         "lineitem_orphan_orderkey"
       ).unionAll(
-        cnt(o.join(c, col("o_custkey") === col("c_custkey"), "left_anti"), "orders_orphan_custkey")
-      ).unionAll(dup(o, "o_orderkey", "orders_dup_pk"))
-        .unionAll(dup(c, "c_custkey", "customer_dup_pk"))
-        .unionAll(
-          cnt(c.join(o, col("c_custkey") === col("o_custkey"), "left_anti"), "customers_no_orders")
+        cnt(
+          customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti"),
+          "customers_no_orders"
         )
-        .unionAll(
-          cnt(p.join(li, col("p_partkey") === col("l_partkey"), "left_anti"), "parts_never_ordered")
+      ).unionAll(
+        cnt(
+          part(s, d).join(li, col("p_partkey") === col("l_partkey"), "left_anti"),
+          "parts_never_ordered"
         )
+      ).unionAll(
+        cnt(
+          supplier(s, d).join(li, col("s_suppkey") === col("l_suppkey"), "left_anti"),
+          "suppliers_never_used"
+        )
+      )
     },
 
     // Blocked record-linkage scoring (the Fellegi-Sunter shape): candidate

@@ -88,21 +88,20 @@ class SketchClusterSpec extends SparkSpec {
     assert(out == Map(40L -> 1L, 32L -> 2L), out.toString)
   }
 
-  test("q_ref_integrity: every check fires on a crafted corrupt snapshot") {
+  test("q_orphan_coverage: every check fires on a crafted corrupt snapshot") {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ri").toString
-    // orders: key 1 duplicated, order 2 references missing customer 7
-    Seq((1L, 1L, "1994-01-01"), (1L, 1L, "1994-01-02"), (2L, 7L, "1994-01-03"))
+    Seq((1L, 1L, "1994-01-01"), (2L, 1L, "1994-01-03"))
       .toDF("o_orderkey", "o_custkey", "dt")
       .withColumn("o_orderdate", to_timestamp(col("dt")))
       .drop("dt")
       .write
       .mode("overwrite")
       .parquet(s"$dir/orders.parquet")
-    // lineitem 99 is an orphan; part 2 is never ordered
-    Seq((2L, 1L), (99L, 1L))
-      .toDF("l_orderkey", "l_partkey")
+    // lineitem 99 is an orphan; part 2 and supplier 20 are never used
+    Seq((2L, 1L, 10L), (99L, 1L, 10L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
       .write
       .mode("overwrite")
       .parquet(s"$dir/lineitem.parquet")
@@ -116,19 +115,22 @@ class SketchClusterSpec extends SparkSpec {
       .write
       .mode("overwrite")
       .parquet(s"$dir/part.parquet")
+    Seq((10L, "s1"), (20L, "s2"))
+      .toDF("s_suppkey", "s_name")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/supplier.parquet")
     val out = SparkEntry
-      .queries("q_ref_integrity")(spark, dir)
+      .queries("q_orphan_coverage")(spark, dir)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
     assert(
       out == Map(
         "lineitem_orphan_orderkey" -> 1L,
-        "orders_orphan_custkey" -> 1L,
-        "orders_dup_pk" -> 1L,
-        "customer_dup_pk" -> 0L,
         "customers_no_orders" -> 1L,
-        "parts_never_ordered" -> 1L
+        "parts_never_ordered" -> 1L,
+        "suppliers_never_used" -> 1L
       ),
       out.toString
     )
