@@ -2237,6 +2237,122 @@ object AnalyticsQueries {
         )
     },
 
+    // Laspeyres unit-value price index by month — "how much would the
+    // BASE month's basket cost at this month's prices", the inflation
+    // series a pricing team tracks. Unit values are defined fixed-point
+    // rationals (rev·q₀·1000 div units per part — one truncating
+    // division each, documented); the index is one ppm division of two
+    // exact sums over parts present in both periods. Base = the first
+    // calendar month (scalar broadcast); everything else is (part,
+    // month) partial aggs + one broadcast join on the base basket.
+    QEntry.sql(
+      "q_laspeyres_index",
+      """WITH pm AS (SELECT l_partkey AS pk, strftime(l_shipdate, '%Y-%m') AS mo,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS units
+        |  FROM lineitem GROUP BY pk, mo),
+        |b0 AS (SELECT min(mo) AS base FROM pm),
+        |bas AS (SELECT pm.pk, pm.rev AS rev0, pm.units AS q0
+        |  FROM pm CROSS JOIN b0 WHERE pm.mo = b0.base),
+        |t AS (SELECT pm.mo,
+        |    CAST(sum((CAST(pm.rev AS HUGEINT) * bas.q0 * 1000) // pm.units)
+        |      AS HUGEINT) AS num,
+        |    CAST(sum((CAST(bas.rev0 AS HUGEINT) * bas.q0 * 1000) // bas.q0)
+        |      AS HUGEINT) AS den
+        |  FROM pm JOIN bas ON pm.pk = bas.pk GROUP BY pm.mo)
+        |SELECT mo AS month,
+        |  CAST(num * 1000000 // den AS BIGINT) AS laspeyres_ppm
+        |FROM t"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val pm = lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"), date_format(col("l_shipdate"), "yyyy-MM").as("mo"))
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("rev"),
+          sum(round(col("l_quantity")).cast("long")).cast("long").as("units")
+        )
+      val b0 = pm.agg(min("mo").as("base"))
+      val bas = pm
+        .crossJoin(broadcast(b0))
+        .filter(col("mo") === col("base"))
+        .select(col("pk"), col("rev").as("rev0"), col("units").as("q0"))
+      pm.join(bas, "pk")
+        .groupBy(col("mo").as("month"))
+        .agg(
+          sum(expr("(CAST(rev AS DECIMAL(38,0)) * q0 * 1000) div units"))
+            .cast("decimal(38,0)")
+            .as("num"),
+          sum(expr("(CAST(rev0 AS DECIMAL(38,0)) * q0 * 1000) div q0"))
+            .cast("decimal(38,0)")
+            .as("den")
+        )
+        .select(
+          col("month"),
+          expr("CAST((num * 1000000) div den AS BIGINT)").as("laspeyres_ppm")
+        )
+    },
+
+    // Shift-share decomposition of nation revenue across the 1997
+    // cutover: each nation's actual change splits into the NATIONAL
+    // growth it would have had at the aggregate rate (expected =
+    // rev₁·R₂ div R₁, one exact integral division) and the residual
+    // competitive shift — the regional-economics decomposition behind
+    // "did we grow, or did the market". All BIGINT cents; scalars
+    // broadcast; one fact partial agg per period.
+    QEntry.sql(
+      "q_shift_share",
+      """WITH r AS (SELECT n.n_name AS nation,
+        |    CASE WHEN o.o_orderdate >= TIMESTAMP '1997-01-01' THEN 2 ELSE 1 END
+        |      AS per,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, per),
+        |w AS (SELECT nation,
+        |    CAST(COALESCE(max(CASE WHEN per = 1 THEN rev END), 0) AS BIGINT) AS r1,
+        |    CAST(COALESCE(max(CASE WHEN per = 2 THEN rev END), 0) AS BIGINT) AS r2
+        |  FROM r GROUP BY nation),
+        |tot AS (SELECT CAST(sum(r1) AS BIGINT) AS t1, CAST(sum(r2) AS BIGINT) AS t2
+        |  FROM w)
+        |SELECT w.nation, w.r1 AS rev1_cents, w.r2 AS rev2_cents,
+        |  CAST((CAST(w.r1 AS HUGEINT) * tot.t2) // tot.t1 AS BIGINT)
+        |    AS expected2_cents,
+        |  w.r2 - CAST((CAST(w.r1 AS HUGEINT) * tot.t2) // tot.t1 AS BIGINT)
+        |    AS competitive_shift_cents
+        |FROM w CROSS JOIN tot"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val r = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(
+          col("n_name").as("nation"),
+          when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"), 2L)
+            .otherwise(1L)
+            .as("per")
+        )
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("rev"))
+      val w = r
+        .groupBy("nation")
+        .agg(
+          coalesce(max(when(col("per") === 1L, col("rev"))), lit(0L)).cast("long").as("r1"),
+          coalesce(max(when(col("per") === 2L, col("rev"))), lit(0L)).cast("long").as("r2")
+        )
+      val tot = w.agg(sum("r1").cast("long").as("t1"), sum("r2").cast("long").as("t2"))
+      w.crossJoin(broadcast(tot))
+        .select(
+          col("nation"),
+          col("r1").as("rev1_cents"),
+          col("r2").as("rev2_cents"),
+          expr("CAST((CAST(r1 AS DECIMAL(38,0)) * t2) div t1 AS BIGINT)")
+            .as("expected2_cents"),
+          (col("r2") - expr("CAST((CAST(r1 AS DECIMAL(38,0)) * t2) div t1 AS BIGINT)"))
+            .as("competitive_shift_cents")
+        )
+    },
+
     // Allen interval-relations census over consecutive order spans per
     // customer — which temporal relation does each next order hold to
     // the previous one (precedes / meets / overlaps / starts / contains

@@ -560,6 +560,90 @@ object BehaviorQueries {
         .agg(count(lit(1)).as("n_gaps"), sum("gap").cast("long").as("total_days"))
     },
 
+    // Funnel stage latency: the MEDIAN time users take between funnel
+    // stages (view→click, click→purchase), by cohort month of the first
+    // view — q_events_funnel counts who converts; this measures HOW
+    // LONG, the number a UX team actually moves. Earliest-qualifying
+    // stage times via the same keyed min-agg chain (no windows over
+    // event history); gaps are exact epoch-second integers and the
+    // median is an exact ceil-rank pick over (month, stage)-keyed
+    // windows, so each partition holds one cohort month's converters.
+    QEntry.sql(
+      "q_funnel_latency",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id),
+        |g AS (SELECT strftime(v.t1, '%Y-%m') AS month, 'view_to_click' AS stage,
+        |    (epoch_us(c.t2) - epoch_us(v.t1)) // 1000000 AS gap_s
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |  UNION ALL
+        |  SELECT strftime(v.t1, '%Y-%m'), 'click_to_purchase',
+        |    (epoch_us(p.t3) - epoch_us(c.t2)) // 1000000
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |  JOIN p ON c.user_id = p.user_id),
+        |r AS (SELECT month, stage, gap_s,
+        |    CAST(row_number() OVER (PARTITION BY month, stage ORDER BY gap_s)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY month, stage) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT month, stage, max(n) AS n_users,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN gap_s END) AS median_gap_s
+        |FROM r GROUP BY month, stage"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ev = events(s, d)
+      val v = ev
+        .filter(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(min("ts").as("t1"))
+      val c = ev
+        .filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("t1"))
+        .groupBy("user_id")
+        .agg(min("ts").as("t2"))
+      val p = ev
+        .filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") >= col("t2"))
+        .groupBy("user_id")
+        .agg(min("ts").as("t3"))
+      val g1 = v
+        .join(c, "user_id")
+        .select(
+          date_format(col("t1"), "yyyy-MM").as("month"),
+          lit("view_to_click").as("stage"),
+          expr("(unix_micros(t2) - unix_micros(t1)) div 1000000").as("gap_s")
+        )
+      val g2 = v
+        .join(c, "user_id")
+        .join(p, "user_id")
+        .select(
+          date_format(col("t1"), "yyyy-MM").as("month"),
+          lit("click_to_purchase").as("stage"),
+          expr("(unix_micros(t3) - unix_micros(t2)) div 1000000").as("gap_s")
+        )
+      val wms = Window.partitionBy("month", "stage")
+      g1.unionAll(g2)
+        .select(
+          col("month"),
+          col("stage"),
+          col("gap_s"),
+          row_number().over(wms.orderBy("gap_s")).cast("long").as("rn"),
+          count(lit(1)).over(wms).cast("long").as("n")
+        )
+        .groupBy("month", "stage")
+        .agg(
+          max("n").as("n_users"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("gap_s"))).as("median_gap_s")
+        )
+    },
+
     // DAU/MAU stickiness per month — "how many of the month's users show
     // up on an average day", the engagement ratio product analytics
     // tracks beside q_growth_accounting's ledger. Distinct-user state is

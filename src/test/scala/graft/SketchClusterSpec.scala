@@ -615,6 +615,80 @@ class SketchClusterSpec extends SparkSpec {
     )
   }
 
+  test("q_laspeyres_index: base month pins at exactly 1e6 ppm") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsp").toString
+    // Jan (base): p1 100¢/1u, p2 200¢/2u; Feb: p1 300¢/2u, p2 220¢/2u
+    Seq(
+      (1L, 1L, "1994-01-05", 1.0, 1.0),
+      (2L, 2L, "1994-01-10", 2.0, 2.0),
+      (3L, 1L, "1994-02-05", 3.0, 2.0),
+      (4L, 2L, "1994-02-10", 2.2, 2.0)
+    ).toDF("l_orderkey", "l_partkey", "sdt", "l_extendedprice", "l_quantity")
+      .withColumn("l_shipdate", to_timestamp(col("sdt")))
+      .drop("sdt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry
+      .queries("q_laspeyres_index")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map("1994-01" -> 1000000L, "1994-02" -> 1233333L), out.toString)
+  }
+
+  test("q_shift_share: expected growth at the aggregate rate, shifts sum to 0") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    Seq(
+      (1L, 1L, 1.0, "1996-06-01"), (2L, 2L, 1.0, "1996-06-02"),
+      (3L, 1L, 3.0, "1997-06-01"), (4L, 2L, 1.0, "1997-06-02")
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "dt")
+      .withColumn("o_orderdate", to_timestamp(col("dt")))
+      .drop("dt")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    Seq((1L, 1), (2L, 2)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1, "A"), (2, "B")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val out = SparkEntry
+      .queries("q_shift_share")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out == Map("A" -> ((200L, 100L)), "B" -> ((200L, -100L))), out.toString)
+  }
+
+  test("q_funnel_latency: median gap per stage, non-converters drop") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fl").toString
+    // user 1: view 0s, click 100s, purchase 400s; user 2: view 0s, click 300s
+    Seq(
+      (1L, 0L, 1L, "view"), (2L, 100L, 1L, "click"), (3L, 400L, 1L, "purchase"),
+      (4L, 0L, 2L, "view"), (5L, 300L, 2L, "click")
+    ).toDF("event_id", "secs", "user_id", "event_type")
+      .withColumn("ts", col("secs") * 1000000000L) // seconds → nanos
+      .drop("secs")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = SparkEntry
+      .queries("q_funnel_latency")(spark, dir)
+      .collect()
+      .map(r => (r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(
+      out == Map("view_to_click" -> ((2L, 100L)), "click_to_purchase" -> ((1L, 300L))),
+      out.toString
+    )
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
