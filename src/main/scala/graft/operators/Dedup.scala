@@ -586,4 +586,54 @@ object Dedup {
         ).as("jaccard")
       )
   }
+
+  /** Asymmetric shingle containment over the same blocked candidate pairs
+    * as [[ngramJaccardPairs]]: C(A→B) = |S_A ∩ S_B| / |S_A| — near 1 when A
+    * is (close to) a subset of B, which symmetric Jaccard dilutes whenever
+    * the sizes differ (the quote-inside-a-bigger-document case). Join and
+    * checkpoint shape identical to the Jaccard path; only the final
+    * normalization differs, emitted in BOTH directions per pair.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String]
+  ): DataFrame = {
+    val docs = spread(df.select(Seq(col(idCol), col(textCol)) ++ blockCols.map(col): _*))
+      .select(
+        Seq(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_ws")) ++
+          blockCols.map(col): _*
+      )
+      .select(
+        Seq(col("id"), array_distinct(shinglesFromWords(col("_ws"))).as("sh")) ++
+          blockCols.map(col): _*
+      )
+    val exploded = docs
+      .select(
+        Seq(col("id"), size(col("sh")).as("sz"), explode_outer(col("sh")).as("s")) ++
+          blockCols.map(col): _*
+      )
+      .filter(col("s").isNotNull)
+    val joinCond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.s") === col("b.s") && col("a.id") < col("b.id"))(_ && _)
+    val cached = exploded.localCheckpoint()
+    cached
+      .as("a")
+      .join(cached.as("b"), joinCond)
+      .groupBy(
+        col("a.id").as("id1"),
+        col("b.id").as("id2"),
+        col("a.sz").as("sza"),
+        col("b.sz").as("szb")
+      )
+      .agg(count(lit(1)).as("common"))
+      .select(
+        col("id1"),
+        col("id2"),
+        round(col("common").cast("double") / col("sza"), 4).as("cont_1in2"),
+        round(col("common").cast("double") / col("szb"), 4).as("cont_2in1")
+      )
+  }
 }

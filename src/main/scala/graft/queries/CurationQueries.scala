@@ -348,6 +348,49 @@ object CurationQueries {
               " div (CAST(max(nn) AS DECIMAL(38,0)) * max(nn)) AS BIGINT)"
           ).as("hhi_ppm")
         )
+    },
+
+    // Boilerplate detection, CCNet-style: sentences whose EXACT content
+    // recurs across ≥ 3 documents of a source (nav bars, footers,
+    // templates) — the cross-document line-frequency pass that runs
+    // before intra-doc repetition scoring (cur_repetition is Gopher's
+    // WITHIN-doc signal; this is the corpus-level one). Sentences are
+    // the shared [.!?]+ split; only 32-char digests shuffle for the
+    // document-frequency count; instance counts and the contamination
+    // share are exact BIGINT/ppm.
+    QEntry.sql(
+      "cur_boilerplate",
+      """WITH sen AS (SELECT d.doc_id, d.source, trim(t.sn) AS sn
+        |  FROM documents d, unnest(string_split_regex(d.text, '[.!?]+')) AS t(sn)
+        |  WHERE trim(t.sn) <> ''),
+        |h AS (SELECT doc_id, source, md5(sn) AS hh FROM sen),
+        |df AS (SELECT source, hh, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+        |    CAST(count(*) AS BIGINT) AS inst FROM h GROUP BY source, hh)
+        |SELECT source, CAST(sum(inst) AS BIGINT) AS n_sentences,
+        |  CAST(sum(CASE WHEN docs >= 3 THEN inst ELSE 0 END) AS BIGINT)
+        |    AS n_boilerplate,
+        |  CAST(sum(CASE WHEN docs >= 3 THEN inst ELSE 0 END) * 1000000
+        |    // sum(inst) AS BIGINT) AS boiler_share_ppm
+        |FROM df GROUP BY source"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val sen = documents(s, d)
+        .select(col("doc_id"), col("source"), explode(split(col("text"), "[.!?]+")).as("sn"))
+        .select(col("doc_id"), col("source"), trim(col("sn")).as("sn"))
+        .filter(col("sn") =!= "")
+      val df = sen
+        .select(col("doc_id"), col("source"), md5(col("sn")).as("hh"))
+        .groupBy("source", "hh")
+        .agg(countDistinct("doc_id").as("docs"), count(lit(1)).as("inst"))
+      df.groupBy("source")
+        .agg(
+          sum("inst").cast("long").as("n_sentences"),
+          sum(when(col("docs") >= 3, col("inst")).otherwise(0L)).cast("long").as("n_boilerplate"),
+          expr(
+            "CAST(sum(CASE WHEN docs >= 3 THEN inst ELSE 0 END) * 1000000 div sum(inst)" +
+              " AS BIGINT)"
+          ).as("boiler_share_ppm")
+        )
     }
   )
 }

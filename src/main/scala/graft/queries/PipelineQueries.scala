@@ -326,6 +326,32 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
     },
 
+    // Asymmetric shingle CONTAINMENT over the same blocked candidates —
+    // C(A→B) = |∩|/|S_A| in both directions per pair: near 1 when one
+    // document (almost) embeds in the other, which symmetric Jaccard
+    // dilutes whenever sizes differ — the quote/subset duplication
+    // training-data dedup misses if it only thresholds Jaccard. Same
+    // shingle-equi-join + checkpoint shape as dedup_ngram_jaccard; only
+    // the normalization differs.
+    QEntry.sql(
+      "dedup_containment",
+      s"""SELECT id1, id2, cont_1in2, cont_2in1 FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4)
+         |      AS cont_1in2,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 4)
+         |      AS cont_2in1,
+         |    len(list_intersect(a.sh, b.sh)) AS common
+         |  FROM (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |        FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) a
+         |  JOIN (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |        FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
+         |WHERE common >= 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Dedup.ngramContainmentPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
+    },
+
     // Embedding-cosine near-dup pairs on the LSH-blocked scale path (the plan
     // you'd run at 100 TB: bucket equi-joins OR-ed over 4 independent 4-bit
     // hyperplane tables, candidate pairs deduplicated before the cosine —

@@ -689,6 +689,47 @@ class SketchClusterSpec extends SparkSpec {
     )
   }
 
+  test("dedup_containment: subset pair scores 1.0 where Jaccard dilutes") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    // A's 2 shingles ⊂ B's 4 → C(A→B)=1.0, C(B→A)=0.5 (Jaccard only 0.5)
+    Seq(
+      (1L, "a b c d", "en", "S"),
+      (2L, "a b c d e f", "en", "S")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("dedup_containment")(spark, dir).collect()(0)
+    assert(
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+        ((1L, 2L, 1.0, 0.5)),
+      r.toString
+    )
+  }
+
+  test("cur_boilerplate: df>=3 sentences flag, share over all instances") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bp").toString
+    Seq(
+      (1L, "same footer here. unique one", "S"),
+      (2L, "same footer here. unique two", "S"),
+      (3L, "same footer here. unique three", "S"),
+      (4L, "only unique four", "S")
+    ).toDF("doc_id", "text", "source")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("cur_boilerplate")(spark, dir).collect()(0)
+    assert(
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        (("S", 7L, 3L, 3L * 1000000L / 7L)),
+      r.toString
+    )
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
