@@ -2266,12 +2266,15 @@ object AnalyticsQueries {
         |FROM t"""
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
+      // the (part, month) aggregate feeds three branches (base scalar, base
+      // basket, current join) — checkpoint so the fact scan runs once
       val pm = lineitem(s, d)
         .groupBy(col("l_partkey").as("pk"), date_format(col("l_shipdate"), "yyyy-MM").as("mo"))
         .agg(
           sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("rev"),
           sum(round(col("l_quantity")).cast("long")).cast("long").as("units")
         )
+        .localCheckpoint()
       val b0 = pm.agg(min("mo").as("base"))
       val bas = pm
         .crossJoin(broadcast(b0))
