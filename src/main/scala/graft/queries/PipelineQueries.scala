@@ -352,6 +352,90 @@ object PipelineQueries {
       Dedup.ngramContainmentPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
     },
 
+    // Sketch-quality evaluation for the near-dup pipeline: precision and
+    // recall of the PRODUCTION SimHash blocking (16-bit bands, hamming
+    // ≤ 8) against exact shingle-Jaccard ≥ 0.5 ground truth, restricted
+    // to the truth's (lang, source) domain — the measured-accuracy
+    // discipline the deterministic sketches follow (E192 HLL, E204
+    // Bloom), applied to dedup itself. Every count is an exact BIGINT
+    // from pair-set joins; -1 sentinels keep degenerate empty sides
+    // deterministic rather than division errors.
+    QEntry.sql(
+      "dedup_simhash_eval",
+      s"""WITH sk AS (SELECT doc_id, lang, source,
+         |  array_to_string(list_transform(range(0, 64), j ->
+         |  CASE WHEN 2 * list_sum(list_transform(words, t ->
+         |         ((strpos('0123456789abcdef', substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |          // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2))
+         |       >= len(words) THEN '1' ELSE '0' END), '') AS simhash
+         |  FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w),
+         |banded AS (SELECT doc_id, lang, source, simhash,
+         |    b, substr(simhash, CAST(b * 16 + 1 AS INT), 16) AS bv
+         |  FROM sk, (SELECT unnest(range(0, 4)) AS b) bs),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.simhash AS s1, b.simhash AS s2
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |    AND a.lang = b.lang AND a.source = b.source),
+         |pred AS (SELECT id1, id2 FROM (
+         |  SELECT id1, id2,
+         |    CAST(len(list_filter(range(1, 65), i ->
+         |      substr(s1, CAST(i AS INT), 1) != substr(s2, CAST(i AS INT), 1))) AS BIGINT)
+         |      AS hamming
+         |  FROM cand) t WHERE hamming <= 8),
+         |sh AS (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w),
+         |tru AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) >= 1
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM pred JOIN tru ON pred.id1 = tru.id1 AND pred.id2 = tru.id2),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM pred),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tru)
+         |SELECT nt.n_true, np.n_pred, h.n_hit,
+         |  CASE WHEN np.n_pred = 0 THEN -1
+         |    ELSE CAST(h.n_hit * 1000000 // np.n_pred AS BIGINT) END AS precision_ppm,
+         |  CASE WHEN nt.n_true = 0 THEN -1
+         |    ELSE CAST(h.n_hit * 1000000 // nt.n_true AS BIGINT) END AS recall_ppm
+         |FROM nt CROSS JOIN np CROSS JOIN h"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val meta = documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      val pred = Dedup
+        .simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 8)
+        .join(broadcast(meta.toDF("id1", "l1", "s1_")), "id1")
+        .join(broadcast(meta.toDF("id2", "l2", "s2_")), "id2")
+        .filter(col("l1") === col("l2") && col("s1_") === col("s2_"))
+        .select("id1", "id2")
+        .localCheckpoint()
+      val tru = Dedup
+        .ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
+        .filter(col("jaccard") >= 0.5)
+        .select("id1", "id2")
+        .localCheckpoint()
+      val h = pred.join(tru, Seq("id1", "id2")).agg(count(lit(1)).as("n_hit"))
+      val np = pred.agg(count(lit(1)).as("n_pred"))
+      val nt = tru.agg(count(lit(1)).as("n_true"))
+      nt.crossJoin(broadcast(np))
+        .crossJoin(broadcast(h))
+        .select(
+          col("n_true"),
+          col("n_pred"),
+          col("n_hit"),
+          when(col("n_pred") === 0L, -1L)
+            .otherwise(expr("n_hit * 1000000L div n_pred"))
+            .cast("long")
+            .as("precision_ppm"),
+          when(col("n_true") === 0L, -1L)
+            .otherwise(expr("n_hit * 1000000L div n_true"))
+            .cast("long")
+            .as("recall_ppm")
+        )
+    },
+
     // Embedding-cosine near-dup pairs on the LSH-blocked scale path (the plan
     // you'd run at 100 TB: bucket equi-joins OR-ed over 4 independent 4-bit
     // hyperplane tables, candidate pairs deduplicated before the cosine —

@@ -730,6 +730,24 @@ class SketchClusterSpec extends SparkSpec {
     )
   }
 
+  test("dedup_simhash_eval: identical pair is found, recall pins at 1e6") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_she").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "S"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "S"),
+      (3L, "one two three four five six seven eight", "en", "S")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("dedup_simhash_eval")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 1L, r.toString) // one true near-dup pair
+    assert(r.getLong(2) == 1L, r.toString) // found by the sketch
+    assert(r.getLong(4) == 1000000L, r.toString) // recall 100%
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
