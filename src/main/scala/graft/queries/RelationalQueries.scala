@@ -913,6 +913,40 @@ object RelationalQueries {
         )
     },
 
+    // Correlated LATERAL subquery — the SQL-surface top-N-per-group
+    // idiom (each nation's top-2 spenders via a per-row correlated
+    // ORDER BY … LIMIT subquery, run as the SAME SQL text through
+    // spark.sql): the "switch your BI tool over" proof that Spark's
+    // lateral join decorrelation handles what the window formulation
+    // (q_topk) expresses relationally. Deterministic (cents DESC, ck)
+    // total order inside the lateral.
+    QEntry.sql(
+      "q_lateral_topn",
+      """SELECT n.n_name AS nation, t.ck, t.cents
+        |FROM nation n, LATERAL (
+        |  SELECT c.c_custkey AS ck,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  GROUP BY c.c_custkey ORDER BY cents DESC, ck LIMIT 2) t"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      graft.GraftSQL.sql(
+        s,
+        d,
+        """SELECT n.n_name AS nation, t.ck, t.cents
+          |FROM nation n JOIN LATERAL (
+          |  SELECT c.c_custkey AS ck,
+          |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |      AS cents
+          |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  GROUP BY c.c_custkey ORDER BY cents DESC, ck LIMIT 2) t"""
+          .stripMargin
+      )
+    },
+
     // OTIF (on-time-in-full) per order month: orders whose EVERY line
     // shipped within 30 days — max(shipdate) is the binding line, so the
     // all-lines predicate collapses to one per-order max agg, no

@@ -748,6 +748,30 @@ class SketchClusterSpec extends SparkSpec {
     assert(r.getLong(4) == 1000000L, r.toString) // recall 100%
   }
 
+  test("q_lateral_topn: per-nation correlated LIMIT keeps exactly two rows") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lat").toString
+    Seq((1, "A")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 1), (2L, 1), (3L, 1)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, 3.0), (11L, 2L, 2.0), (12L, 3L, 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // GraftSQL registers every table; provide empty-but-present siblings
+    for (t <- Seq("region", "supplier", "part", "lineitem", "documents", "embeddings"))
+      Seq((0L, 0L)).toDF("a", "b").write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    Seq((0L, 0L, 0L, "x", 0.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry
+      .queries("q_lateral_topn")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(("A", 1L, 300L), ("A", 2L, 200L)), out.toString)
+  }
+
   test("emb_kmeans_step: self-assignment, conservation, zero seed inertia") {
     val s = spark
     import s.implicits._
