@@ -469,6 +469,66 @@ object Dedup {
       )
   }
 
+  /** Exact-substring duplication measure (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): per document, the
+    * fraction of its `k`-token spans that occur verbatim in at least one
+    * OTHER document (within-doc repetition is cur_repetition's signal, not
+    * this one — hence the distinct-doc frequency test). The suffix-array
+    * formulation of the paper is a single-machine construction; at corpus
+    * scale the same measure distributes as span-digest aggregation:
+    * explode spans → md5 → distinct-per-doc df count → flag df ≥ 2 →
+    * per-doc position share. Only 32-char digests shuffle; the partial
+    * aggregate collapses a span repeated a billion times to one row per
+    * map task before the exchange.
+    *
+    * `k` = 8 tokens here (the paper uses 50 on web-scale text; the knob is
+    * the span width and the synthetic docs average ~54 tokens). dup_ppm is
+    * an exact integral division; empty-span docs (< k tokens) carry the -1
+    * sentinel.
+    *
+    * @return one row per document: (id, n_spans, n_dup, dup_ppm)
+    */
+  def spanDuplication(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    val docs = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
+    // one digest per span POSITION (duplicate spans within a doc keep their
+    // multiplicity — the per-doc share is over positions, per the paper)
+    val spans = docs
+      .select(col(idCol), explode_outer(shinglesFromWords(col("_ws"), k)).as("_sp"))
+      .select(col(idCol), md5(col("_sp")).as("_h"))
+    // corpus-duplicated spans: present in ≥ 2 DISTINCT docs. distinct()
+    // before the df count so a hot span collapses map-side twice (per-doc,
+    // then per-digest) and the df aggregate never sees position fan-out.
+    val dup = spans
+      .filter(col("_h").isNotNull)
+      .distinct()
+      .groupBy("_h")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2)
+      .select(col("_h"), lit(1L).as("_isdup"))
+    spans
+      .join(dup, Seq("_h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(col("_h")).as("n_spans"),
+        count(col("_isdup")).as("n_dup")
+      )
+      .select(
+        col(idCol),
+        col("n_spans"),
+        col("n_dup"),
+        when(col("n_spans") === 0L, lit(-1L))
+          .otherwise(expr("n_dup * 1000000L div n_spans"))
+          .cast("long")
+          .as("dup_ppm")
+      )
+  }
+
   /** SimHash near-duplicate pairs: block on the sketch's 4 16-bit bands
     * (pigeonhole: any pair within Hamming distance 3 of each other shares at
     * least one identical band, so recall at `maxHamming` ≤ 3 is EXACT — no

@@ -326,6 +326,35 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
     },
 
+    // Exact-substring duplication per Lee et al. 2022: share of each doc's
+    // 8-token spans appearing verbatim in ≥ 2 distinct docs. The paper's
+    // suffix array is single-machine; the distributed formulation is span-
+    // digest aggregation (only md5 hex shuffles). The twin replays the
+    // span construction position-for-position; counts and the ppm division
+    // are exact integers, so rows hash-match bit-for-bit.
+    QEntry.sql(
+      "dedup_exact_substring",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |           FROM documents),
+        |sp AS (SELECT doc_id, md5(s) AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+        |      || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6]
+        |      || ' ' || words[i+7])) AS s FROM w) t),
+        |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+        |                       FROM sp GROUP BY h) t WHERE df >= 2),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(count(*) FILTER (h IN (SELECT h FROM dup)) AS BIGINT) AS n_dup
+        |  FROM sp GROUP BY doc_id)
+        |SELECT w.doc_id, COALESCE(tot.n_spans, 0) AS n_spans,
+        |  COALESCE(tot.n_dup, 0) AS n_dup,
+        |  CAST(CASE WHEN COALESCE(tot.n_spans, 0) = 0 THEN -1
+        |       ELSE COALESCE(tot.n_dup, 0) * 1000000 // tot.n_spans END AS BIGINT)
+        |    AS dup_ppm
+        |FROM w LEFT JOIN tot USING (doc_id)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Dedup.spanDuplication(documents(s, d), "doc_id", "text", k = 8) },
+
     // Asymmetric shingle CONTAINMENT over the same blocked candidates —
     // C(A→B) = |∩|/|S_A| in both directions per pair: near 1 when one
     // document (almost) embeds in the other, which symmetric Jaccard
@@ -475,6 +504,40 @@ object PipelineQueries {
       Similarity
         .nearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45, blocked = true,
           bits = 4, dim = EmbDim, tables = 4)
+    },
+
+    // SemDeDup (cluster-then-prune): near-dup cosine restricted to the
+    // vector's own k-means-style cluster — the composition that bounds the
+    // quadratic by cluster size instead of blocking tables. The twin replays
+    // seed pick, assignment argmin, and the within-cluster prune verbatim;
+    // every double (d², cos) is bit-identical cross-engine via the pinned
+    // fold order, so the removed SET is hash-checked, not just counted.
+    QEntry.sql(
+      "dedup_semantic",
+      """WITH vecs AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |sd AS (SELECT vec_id AS sid, e AS ce,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+        |  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |asg AS (SELECT v.vec_id, v.e, s.r,
+        |    (list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, s.ce))
+        |      + list_dot_product(s.ce, s.ce) AS d2
+        |  FROM vecs v CROSS JOIN sd s),
+        |best AS (SELECT vec_id, e, r FROM (SELECT vec_id, e, r,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, r) AS rn FROM asg) t
+        |  WHERE rn = 1),
+        |pairs AS (SELECT b.vec_id AS bid, a.vec_id AS aid, b.r,
+        |    round(list_dot_product(a.e, b.e) /
+        |          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+        |          6) AS cos
+        |  FROM best a JOIN best b ON a.r = b.r AND a.vec_id < b.vec_id)
+        |SELECT bid AS vec_id, CAST(r AS BIGINT) AS cluster, aid AS dup_of, cos
+        |FROM (SELECT bid, r, aid, cos,
+        |    row_number() OVER (PARTITION BY bid ORDER BY aid) AS rn
+        |  FROM pairs WHERE cos >= 0.35) t WHERE rn = 1"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Similarity.semanticDedup(embeddings(s, d), "vec_id", "embedding", k = 8, threshold = 0.35)
     },
 
     // Brute-force cosine top-10 for the first 5 vectors (the exact baseline).

@@ -866,4 +866,33 @@ class PipelineOpsSpec extends SparkSpec {
       .toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("semantic dedup removes only smaller-id near-dups within a cluster") {
+    val s = spark
+    import s.implicits._
+    val removed = Similarity
+      .semanticDedup(
+        s.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, threshold = 0.35)
+      .collect()
+    assert(removed.nonEmpty, "synthetic corpus should contain semantic near-dups")
+    // one row per removed vector, dominated by a strictly smaller id, with
+    // the pair's cosine at or above the prune threshold
+    val ids = removed.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length)
+    removed.foreach { r =>
+      assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("cluster") >= 1L && r.getAs[Long]("cluster") <= 8L)
+      assert(r.getAs[Double]("cos") >= 0.35)
+    }
+    // seed pick, assignment, and prune are RNG-free — a second run must
+    // reproduce the removed set exactly
+    val again = Similarity
+      .semanticDedup(
+        s.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, threshold = 0.35)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(again == removed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet)
+  }
 }
