@@ -363,6 +363,60 @@ object Curation {
       .select(col(idCol), col("n_tokens"), round(col("_w"), 6).as("dsir_weight"))
   }
 
+  /** fastText-style linear quality-classifier INFERENCE (Joulin et al. 2017,
+    * the model family behind CCNet/GPT-3-era quality filters): each token
+    * hashes into one of `buckets` weight slots, a document's logit is the
+    * mean weight of its tokens, and the keep/drop label is the logit's sign.
+    * The model arrives as a DataFrame — (bucket BIGINT, weight
+    * DECIMAL(18,9)) — because at 100 TB the classifier IS data: a
+    * `buckets`-row broadcast table joined against exploded tokens, partial
+    * aggregation collapsing each doc map-side. Training happens offline
+    * (this engine only scores); the oracle entry fabricates a deterministic
+    * md5-derived weight table so inference is hash-checked end to end.
+    *
+    * Determinism ladder: weights are 9-dp DECIMAL quantized, the per-doc
+    * sum is an order-free exact DECIMAL(28,9) aggregate, and the mean is
+    * one correctly-rounded double division — bit-identical cross-engine
+    * (same contract as [[dsirWeights]]). The label compares that identical
+    * double against 0, so the cut is engine-stable too.
+    *
+    * @return one row per doc: (id, n_tokens, logit, label) — label 'keep'
+    *         iff logit ≥ 0; empty-token docs carry n_tokens = 0,
+    *         logit = 0.0, 'keep' (a classifier abstains on empty input)
+    */
+  def linearQualityScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int = 256
+  ): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode_outer(graft.functions.TextAnalysis.tokens(col(textCol))).as("_t"))
+      .withColumn(
+        "_b",
+        when(
+          col("_t").isNotNull && col("_t") =!= "",
+          pmod(conv(substring(md5(col("_t")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+        )
+      )
+    toks
+      .join(broadcast(weights.select(col("bucket").as("_b"), col("weight").as("_w"))), Seq("_b"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("_w")).as("n_tokens"),
+        sum("_w").cast("decimal(28,9)").cast("double").as("_s")
+      )
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round(col("_s") / col("n_tokens"), 6))
+          .as("logit")
+      )
+      .withColumn("label", when(col("logit") >= 0.0, lit("keep")).otherwise(lit("drop")))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4), deterministic: a
     * span STARTS at token `p` of a document iff the md5 hash position of
     * `"<id>:<p>"` falls below `rate / spanLen` — the same engine/run/

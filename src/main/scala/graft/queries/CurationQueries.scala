@@ -321,6 +321,44 @@ object CurationQueries {
       Curation.dsirWeights(documents(s, d), "doc_id", "text", col("lang") === "en", 1024)
     },
 
+    // fastText-style linear quality-classifier inference: the model is a
+    // 256-row broadcast weight table (here fabricated deterministically from
+    // md5 so the twin can regenerate it value-for-value); logit = mean slot
+    // weight over hashed tokens via the exact-DECIMAL ladder, label = sign.
+    // Verifies the score AND the keep/drop cut bit-for-bit.
+    QEntry.sql(
+      "cur_quality_classifier",
+      s"""WITH wt AS (SELECT b AS bucket,
+         |    CAST(round(CAST(list_sum(list_transform(range(1, 9), i ->
+         |      (strpos('0123456789abcdef',
+         |              substr(md5('qw|' || CAST(b AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+         |      * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0 * 2 - 1, 9)
+         |      AS DECIMAL(18,9)) AS w
+         |  FROM (SELECT unnest(range(0, 256)) AS b) t),
+         |tk AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9), i ->
+         |      (strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1)
+         |      * pow(16, 8 - i))) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest($wordsSql) AS t FROM documents) x WHERE t <> ''),
+         |agg AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(CAST(CAST(sum(wt.w) AS DECIMAL(28,9)) AS DOUBLE) / count(*), 6) AS logit
+         |  FROM tk JOIN wt ON tk.b = wt.bucket GROUP BY tk.doc_id)
+         |SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+         |  COALESCE(agg.logit, 0.0) AS logit,
+         |  CASE WHEN COALESCE(agg.logit, 0.0) >= 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM documents d LEFT JOIN agg USING (doc_id)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val wtab = s.range(256).select(
+        col("id").as("bucket"),
+        round(
+          conv(substring(md5(concat(lit("qw|"), col("id").cast("string"))), 1, 8), 16, 10)
+            .cast("double") / lit(4294967296.0) * 2 - 1,
+          9
+        ).cast("decimal(18,9)").as("weight")
+      )
+      Curation.linearQualityScore(documents(s, d), "doc_id", "text", wtab, 256)
+    },
+
     // Mixture concentration (Herfindahl–Hirschman index) of the source
     // mix: HHI = Σ shareᵢ² in exact ppm — the single number a curation
     // run monitors to catch one source swamping the blend (1/HHI = the

@@ -110,6 +110,54 @@ object TextQueries {
         .select(col("doc_id"), size(bpeTokens(col("text"))).cast("bigint").as("bpe_tokens"))
     },
 
+    // Tokenizer fertility by language: BPE-ish tokens per whitespace word
+    // and chars per token, exact ppm ratios per lang — the multilingual
+    // tokenizer-budget audit (high fertility = a language is paying more
+    // sequence length per word). One lang-keyed partial agg over per-doc
+    // counts; all sums exact BIGINTs.
+    QEntry.sql(
+      "txt_fertility",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS words,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '''[a-z]+|[a-zA-Z]+| ?[0-9]+|[^a-zA-Z0-9 ]+'))) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |      '''[a-z]+|[a-zA-Z]+| ?[0-9]+|[^a-zA-Z0-9 ]+'))) * 1000000
+        |    // sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS fertility_ppm,
+        |  CAST(sum(length(text)) * 1000000
+        |    // sum(len(regexp_extract_all(text,
+        |         '''[a-z]+|[a-zA-Z]+| ?[0-9]+|[^a-zA-Z0-9 ]+'))) AS BIGINT)
+        |    AS chars_per_token_ppm
+        |FROM documents GROUP BY lang"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d)
+        .select(
+          col("lang"),
+          size(tokens(col("text"))).cast("long").as("_w"),
+          size(bpeTokens(col("text"))).cast("long").as("_b"),
+          length(col("text")).cast("long").as("_c")
+        )
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("_w").as("words"),
+          sum("_b").as("bpe_tokens"),
+          sum("_c").as("chars")
+        )
+        .select(
+          col("lang"),
+          col("n_docs"),
+          col("words"),
+          col("bpe_tokens"),
+          col("chars"),
+          expr("bpe_tokens * 1000000L div words").as("fertility_ppm"),
+          expr("chars * 1000000L div bpe_tokens").as("chars_per_token_ppm")
+        )
+    },
+
     // Winnowing fingerprints: char-8-gram rolling hashes, min per window of
     // 4, distinct survivors — the classic near-dup/plagiarism sketch. The
     // oracled slice is the deterministic 1-in-10 doc subset: the md5-per-char

@@ -212,4 +212,37 @@ class CurationSpec extends SparkSpec {
     assert(out.map(r => r.getLong(0) -> r.getString(5)).toMap ==
       shuffled.map(r => r.getLong(0) -> r.getString(5)).toMap)
   }
+
+  test("linear quality classifier scores every doc and labels by logit sign") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wtab = s.range(256).select(
+      col("id").as("bucket"),
+      round(
+        conv(substring(md5(concat(lit("qw|"), col("id").cast("string"))), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0) * 2 - 1,
+        9
+      ).cast("decimal(18,9)").as("weight")
+    )
+    val out = graft.operators.Curation
+      .linearQualityScore(docs, "doc_id", "text", wtab, 256)
+      .collect()
+    assert(out.length.toLong == docs.count())
+    out.foreach { r =>
+      val logit = r.getAs[Double]("logit")
+      val label = r.getAs[String]("label")
+      assert(math.abs(logit) <= 1.0, r.toString) // mean of weights in [-1,1]
+      assert(label == (if (logit >= 0.0) "keep" else "drop"), r.toString)
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    }
+    // both labels occur on the synthetic corpus — the cut is non-degenerate
+    assert(out.map(_.getAs[String]("label")).distinct.sorted.toSeq == Seq("drop", "keep"))
+    // a doc with no tokens abstains: n_tokens 0, logit 0, keep
+    val empty = graft.operators.Curation
+      .linearQualityScore(Seq((1L, " ")).toDF("doc_id", "text"), "doc_id", "text", wtab, 256)
+      .collect()
+    assert(empty.length == 1 && empty.head.getAs[Long]("n_tokens") == 0L &&
+      empty.head.getAs[Double]("logit") == 0.0 && empty.head.getAs[String]("label") == "keep")
+  }
 }
