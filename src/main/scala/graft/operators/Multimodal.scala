@@ -119,6 +119,48 @@ object Multimodal {
         .as("height")
     )
 
+  /** Per-asset byte histogram + Shannon entropy over the raw payload — the
+    * codec-free screen a multimodal ingest runs FIRST: near-8-bits/byte
+    * entropy says already-compressed (or encrypted) media, low entropy says
+    * structured/padded payloads worth recompressing, and a wrong
+    * entropy-for-magic combination flags mislabeled assets. Works on the
+    * opaque bytes (no decode stub involved), so it is real production
+    * compute, not plumbing.
+    *
+    * Shape: payload → hex → fixed 2-char slices (explode bounded by byte
+    * length), one (asset, byte) partial-agg, then a per-asset rollup whose
+    * state is ≤ 256 rows per asset at any corpus size. Entropy is the
+    * q_entropy_groups ladder: -Σ p·log2 p rounded to 4 to absorb libm ulp
+    * drift (counts and distinct-byte totals stay exact BIGINTs).
+    */
+  def payloadByteEntropy(media: DataFrame): DataFrame = {
+    val bytes = media
+      .select(col("media_id"), col("modality"), hex(col("payload")).as("_hx"))
+      .select(
+        col("media_id"),
+        col("modality"),
+        // empty payload → explicit empty array (sequence(1, 0) would run
+        // DESCENDING — same guard as frameSlices)
+        explode_outer(expr(
+          """CASE WHEN length(_hx) >= 2
+            |THEN transform(sequence(1, length(_hx) div 2),
+            |               i -> substring(_hx, 2 * i - 1, 2))
+            |ELSE array() END""".stripMargin.replaceAll("\\s+", " ")
+        )).as("_b")
+      )
+    val c = bytes
+      .filter(col("_b").isNotNull)
+      .groupBy("media_id", "modality", "_b")
+      .agg(count(lit(1)).as("cnt"))
+    val t = c
+      .groupBy("media_id")
+      .agg(sum("cnt").cast("long").as("n_bytes"), count(lit(1)).as("n_distinct"))
+    val p = col("cnt").cast("double") / col("n_bytes")
+    c.join(t, "media_id")
+      .groupBy(col("media_id"), col("modality"), col("n_bytes"), col("n_distinct"))
+      .agg(round(-sum(p * log2(p)), 4).as("entropy"))
+  }
+
   /** Frame sampling: fixed-stride byte-range slices of the payload (a real
     * video path would seek keyframes; the slicing/fan-out shape is the same).
     * One row per sampled frame, md5 of the slice as the stand-in frame feature.

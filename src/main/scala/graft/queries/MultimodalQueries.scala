@@ -29,6 +29,33 @@ object MultimodalQueries {
          |FROM documents""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Multimodal.metaColumns(Multimodal.fromDocuments(documents(s, d))) },
 
+    // Codec-free payload screen: per-asset byte histogram + Shannon entropy
+    // over the raw bytes (compressed/encrypted ≈ 8 bits/byte; structured
+    // payloads much lower; entropy⊥magic mismatches flag mislabeled
+    // assets). Bounded per-asset state (≤ 256 byte values); the twin
+    // replays the hex slicing byte-for-byte.
+    QEntry.sql(
+      "mm_byte_entropy",
+      s"""WITH hx AS (SELECT doc_id AS media_id, $modalitySql AS modality,
+         |    hex(encode(text)) AS h FROM documents),
+         |b AS (SELECT media_id, modality,
+         |    unnest(list_transform(range(1, length(h) // 2 + 1),
+         |      i -> substr(h, CAST(2 * i - 1 AS INT), 2))) AS byte
+         |  FROM hx WHERE length(h) >= 2),
+         |c AS (SELECT media_id, modality, byte, count(*) AS cnt
+         |  FROM b GROUP BY media_id, modality, byte),
+         |t AS (SELECT media_id, CAST(sum(cnt) AS BIGINT) AS n_bytes,
+         |    count(*) AS n_distinct FROM c GROUP BY media_id)
+         |SELECT c.media_id, c.modality, t.n_bytes, t.n_distinct,
+         |  round(-sum((CAST(cnt AS DOUBLE) / n_bytes)
+         |    * log2(CAST(cnt AS DOUBLE) / n_bytes)), 4) AS entropy
+         |FROM c JOIN t ON c.media_id = t.media_id
+         |GROUP BY c.media_id, c.modality, t.n_bytes, t.n_distinct"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Multimodal.payloadByteEntropy(Multimodal.fromDocuments(documents(s, d)))
+    },
+
     // Frame sampling: fixed-stride 256-byte slices, ≤4 frames per payload,
     // md5 of each slice as the stand-in frame feature.
     QEntry.sql(
