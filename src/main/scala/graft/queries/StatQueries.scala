@@ -989,6 +989,133 @@ object StatQueries {
         )
     },
 
+    // HLL MERGEABILITY — the property that makes the sketch distributed:
+    // per-priority customer registers union via element-wise max (no
+    // re-scan of the data), and a pairwise intersection estimate falls out
+    // of inclusion-exclusion over three register unions. Every register,
+    // union, estimate AND signed error is exact integer arithmetic on the
+    // q_hll_estimate machinery (64 regs, 46-bit ranks, α·m² fixed-point),
+    // so all 7 rows hash-match. Register state: 6 sets × 64 rows.
+    QEntry.sql(
+      "q_hll_merge", {
+        val hexFold =
+          """CAST(list_sum(list_transform(range(1, 14), i ->
+            |  (strpos('0123456789abcdef',
+            |     substr(md5(CAST(o_custkey AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+            |  * pow(16, 13 - i))) AS BIGINT)""".stripMargin
+        s"""WITH h AS (SELECT o_orderpriority AS grp, $hexFold AS hv FROM orders),
+           |reg AS (SELECT grp, hv // 70368744177664 AS idx,
+           |    max(CASE WHEN hv % 70368744177664 = 0 THEN 47
+           |      ELSE 47 - length(bin(hv % 70368744177664)) END) AS m
+           |  FROM h GROUP BY grp, idx),
+           |allreg AS (
+           |  SELECT grp, idx, m FROM reg
+           |  UNION ALL SELECT '__union__' AS grp, idx, max(m) AS m FROM reg GROUP BY idx
+           |  UNION ALL SELECT '__uAB__' AS grp, idx, max(m) AS m FROM reg
+           |    WHERE grp IN ('1-URGENT', '5-LOW') GROUP BY idx),
+           |est AS (SELECT grp,
+           |    CAST((CAST(2904064 AS HUGEINT) * 140737488355328) // (1000 *
+           |      (CAST(sum(CAST(1 AS BIGINT) << CAST(47 - m AS INT)) AS BIGINT)
+           |       + (64 - CAST(count(*) AS BIGINT)) * 140737488355328)) AS BIGINT) AS hll_est
+           |  FROM allreg GROUP BY grp),
+           |tru AS (
+           |  SELECT o_orderpriority AS grp,
+           |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_true FROM orders GROUP BY grp
+           |  UNION ALL SELECT '__union__' AS grp,
+           |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_true FROM orders
+           |  UNION ALL SELECT '__intersect__' AS grp, CAST(count(*) AS BIGINT) AS n_true
+           |  FROM (SELECT o_custkey FROM orders GROUP BY o_custkey
+           |    HAVING max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 1
+           |       AND max(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) = 1) t),
+           |fin AS (
+           |  SELECT grp, hll_est FROM est WHERE grp <> '__uAB__'
+           |  UNION ALL SELECT '__intersect__' AS grp,
+           |    (SELECT hll_est FROM est WHERE grp = '1-URGENT')
+           |    + (SELECT hll_est FROM est WHERE grp = '5-LOW')
+           |    - (SELECT hll_est FROM est WHERE grp = '__uAB__') AS hll_est)
+           |SELECT tru.grp, tru.n_true, fin.hll_est,
+           |  CAST((fin.hll_est - tru.n_true) * 1000000 // tru.n_true AS BIGINT) AS err_ppm
+           |FROM tru JOIN fin ON tru.grp = fin.grp"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val h = orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        conv(substring(md5(col("o_custkey").cast("string")), 1, 13), 16, 10)
+          .cast("long")
+          .as("hv")
+      )
+      val reg = h
+        .groupBy(col("grp"), expr("hv div 70368744177664").as("idx"))
+        .agg(
+          max(
+            when(expr("hv % 70368744177664") === 0, lit(47))
+              .otherwise(lit(47) - length(expr("bin(hv % 70368744177664)")))
+          ).as("m")
+        )
+        .localCheckpoint() // three register unions + the estimate scan reuse it
+      val regU = reg
+        .groupBy("idx")
+        .agg(max("m").as("m"))
+        .select(lit("__union__").as("grp"), col("idx"), col("m"))
+      val regAB = reg
+        .filter(col("grp").isin("1-URGENT", "5-LOW"))
+        .groupBy("idx")
+        .agg(max("m").as("m"))
+        .select(lit("__uAB__").as("grp"), col("idx"), col("m"))
+      val est = reg
+        .unionByName(regU)
+        .unionByName(regAB)
+        .groupBy("grp")
+        .agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(47 - m AS INT))")).cast("long").as("s"),
+          count(lit(1)).as("nreg")
+        )
+        .select(col("grp"), (col("s") + (lit(64L) - col("nreg")) * 140737488355328L).as("zn"))
+        .withColumn(
+          "hll_est",
+          expr("CAST((CAST(2904064 AS DECIMAL(38,0)) * 140737488355328) div (1000 * zn) AS BIGINT)")
+        )
+        .select("grp", "hll_est")
+        .localCheckpoint() // consumed by the direct rows AND the I-E pivot
+      val estI = est
+        .agg(
+          sum(when(col("grp") === "1-URGENT", col("hll_est"))).as("ea"),
+          sum(when(col("grp") === "5-LOW", col("hll_est"))).as("eb"),
+          sum(when(col("grp") === "__uAB__", col("hll_est"))).as("eab")
+        )
+        .select(
+          lit("__intersect__").as("grp"),
+          (col("ea") + col("eb") - col("eab")).cast("long").as("hll_est")
+        )
+      val fin = est.filter(col("grp") =!= "__uAB__").unionByName(estI)
+      val truG = orders(s, d)
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(countDistinct("o_custkey").as("n_true"))
+      val truU = orders(s, d)
+        .agg(countDistinct("o_custkey").as("n_true"))
+        .select(lit("__union__").as("grp"), col("n_true"))
+      val truI = orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("a"),
+          max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0)).as("b")
+        )
+        .filter(col("a") === 1 && col("b") === 1)
+        .agg(count(lit(1)).as("n_true"))
+        .select(lit("__intersect__").as("grp"), col("n_true"))
+      truG
+        .unionByName(truU)
+        .unionByName(truI)
+        .join(fin, "grp")
+        .select(
+          col("grp"),
+          col("n_true"),
+          col("hll_est"),
+          expr("(hll_est - n_true) * 1000000L div n_true").cast("long").as("err_ppm")
+        )
+    },
+
     // Hill tail-index of the customer-spend distribution — α̂ = k / Σ
     // ln(xᵢ/x_k) over the top-k order statistics: the heavy-tail
     // exponent behind "do whales dominate revenue", complementing
