@@ -87,6 +87,55 @@ object Retrieval {
       )
   }
 
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) of two rankings — the
+    * hybrid-search combiner (lexical ⊕ semantic, BM25 ⊕ dense retrieval)
+    * every modern retrieval pipeline runs. RRF(d) = Σ_r 1/(c + rank_r(d)),
+    * defined here in exact integer micro-units — `10⁹ div (c + rank)`,
+    * summed as BIGINTs — so fusion scores and the fused order are
+    * engine-deterministic with no float division anywhere (the object-doc
+    * discipline). Documents absent from one list contribute 0 from it and
+    * carry a −1 sentinel rank.
+    *
+    * Inputs are (keyCols..., id, rank) frames — rank lists, typically
+    * top-k-bounded, so the full-outer union and the fused window are
+    * list-sized, never corpus-sized: at 100 TB the upstream retrievers
+    * bound their own output and fusion cost is O(k) per query key.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      c: Int = 60,
+      k: Int = 10
+  ): DataFrame = {
+    val keys = keyCols.map(col) :+ col(idCol)
+    val ra = a.select(keys :+ col("rank").as("_ra"): _*)
+    val rb = b.select(keys :+ col("rank").as("_rb"): _*)
+    val fused = ra
+      .join(rb, keyCols :+ idCol, "full_outer")
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(idCol),
+          coalesce(col("_ra"), lit(-1L)).as("rank_a"),
+          coalesce(col("_rb"), lit(-1L)).as("rank_b"),
+          // integer `div`, not `/`: the DSL slash would promote to double
+          (when(col("_ra").isNull, lit(0L))
+            .otherwise(expr(s"1000000000L div (${c}L + _ra)")) +
+            when(col("_rb").isNull, lit(0L))
+              .otherwise(expr(s"1000000000L div (${c}L + _rb)")))
+            .cast("long")
+            .as("rrf_micro")
+        ): _*
+      )
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("rrf_micro").desc, col(idCol))
+    fused
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+  }
+
   /** Inverted index: per term, document frequency, collection frequency and a
     * sorted, capped posting list rendered as a comma-joined string (strings
     * hash portably across engines; the cap bounds per-term state — see the

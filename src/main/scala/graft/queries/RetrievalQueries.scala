@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -44,6 +45,71 @@ object RetrievalQueries {
         Seq("spark", "join", "vector", "stream"),
         k = 5
       )
+    },
+
+    // Reciprocal Rank Fusion of the BM25 ranking with a plain
+    // length-normalized-TF ranking (two genuinely different orders over
+    // the same query terms) — the hybrid-search combiner. RRF in exact
+    // integer micro-units (10⁹ div (60 + rank), summed BIGINTs), so the
+    // fused order is engine-deterministic; -1 sentinels mark single-list
+    // docs. List-sized frames end to end (top-20 in, top-10 out).
+    QEntry.sql(
+      "txt_rrf_fusion",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark', 'join', 'vector', 'stream') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (SELECT tf.term, tf.doc_id,
+         |    (((s.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5) + 1.0)
+         |    * ((tf.tf * (1.2 + 1.0)) / (tf.tf + (1.2 * ((1.0 - 0.75)
+         |       + (0.75 * (dl.dl / (CAST(s.tot AS DOUBLE) / s.n_docs))))))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |ra AS (SELECT term, doc_id, rank FROM (SELECT scored.*, row_number() OVER
+         |    (PARTITION BY term ORDER BY score DESC, doc_id) AS rank FROM scored) t
+         |  WHERE rank <= 20),
+         |rb AS (SELECT term, doc_id, rank FROM (SELECT tf.term, tf.doc_id,
+         |    row_number() OVER (PARTITION BY tf.term
+         |      ORDER BY CAST(tf.tf AS DOUBLE) / dl.dl DESC, tf.doc_id) AS rank
+         |  FROM tf JOIN dl USING (doc_id)) t WHERE rank <= 20),
+         |u AS (SELECT term, doc_id FROM ra UNION SELECT term, doc_id FROM rb),
+         |f AS (SELECT u.term, u.doc_id,
+         |    CAST(COALESCE(ra.rank, -1) AS BIGINT) AS rank_a,
+         |    CAST(COALESCE(rb.rank, -1) AS BIGINT) AS rank_b,
+         |    CAST(CASE WHEN ra.rank IS NULL THEN 0
+         |          ELSE 1000000000 // (60 + ra.rank) END
+         |       + CASE WHEN rb.rank IS NULL THEN 0
+         |          ELSE 1000000000 // (60 + rb.rank) END AS BIGINT) AS rrf_micro
+         |  FROM u LEFT JOIN ra USING (term, doc_id) LEFT JOIN rb USING (term, doc_id))
+         |SELECT term, doc_id, rank_a, rank_b, rrf_micro,
+         |  CAST(fused_rank AS BIGINT) AS fused_rank
+         |FROM (SELECT f.*, row_number() OVER
+         |    (PARTITION BY term ORDER BY rrf_micro DESC, doc_id) AS fused_rank FROM f) t
+         |WHERE fused_rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val terms = Seq("spark", "join", "vector", "stream")
+      val base = documents(s, d)
+      val a = Retrieval.bm25TopDocs(base, "doc_id", "text", terms, k = 20)
+        .select("term", "doc_id", "rank")
+      val dl = base.select(
+        col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("dl")
+      )
+      val tf = base
+        .select(col("doc_id"), explode_outer(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val wB = Window
+        .partitionBy("term")
+        .orderBy((col("tf").cast("double") / col("dl")).desc, col("doc_id"))
+      val b = tf
+        .join(dl, "doc_id")
+        .withColumn("rank", row_number().over(wB).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("term", "doc_id", "rank")
+      Retrieval.rrfFuse(a, b, Seq("term"), "doc_id", c = 60, k = 10)
     },
 
     // Inverted index: df, cf, sorted capped posting list per term.
