@@ -236,4 +236,41 @@ object Multimodal {
         ).as("energy")
       )
   }
+
+  /** Shot-boundary (scene-cut) detection over the frame stand-ins: a cut is
+    * a jump of ≥ `minJump` quantization levels between CONSECUTIVE frames'
+    * quantized energies (q = energy div `quantum`) — the codec-free analog
+    * of the histogram-difference detector real video pipelines run. Exact
+    * integer arithmetic end to end (byte-sum energy, integer division,
+    * integer deltas), so the oracle replays it bit-for-bit.
+    *
+    * Per-media census output: frame count, cut count, shot count
+    * (= cuts + 1). The lag window is keyed by media id over ≤ `maxFrames`
+    * rows — bounded per-key state, shuffle key = window key, embarrassingly
+    * parallel across media at any corpus size.
+    */
+  def sceneCuts(
+      media: DataFrame,
+      frameBytes: Int = 256,
+      maxFrames: Int = 8,
+      quantum: Long = 2048L,
+      minJump: Long = 2L
+  ): DataFrame = {
+    require(quantum > 0 && minJump > 0, "quantum and minJump must be positive")
+    val frames = stridedWindows(media, frameBytes, frameBytes, maxFrames)
+      // `div`, not `/`: Column./ on longs is DOUBLE division, whose
+      // truncation could land one level low for a non-power-of-two quantum
+      .select(col("media_id"), col("win_idx"), expr(s"energy div $quantum").as("_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id")
+      .orderBy("win_idx")
+    frames
+      .withColumn("_dq", abs(col("_q") - lag(col("_q"), 1).over(w)))
+      .groupBy("media_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("_dq") >= minJump, 1L).otherwise(0L)).cast("long").as("n_cuts")
+      )
+      .withColumn("n_shots", col("n_cuts") + 1L)
+  }
 }

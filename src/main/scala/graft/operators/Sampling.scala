@@ -127,4 +127,89 @@ object Sampling {
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col(keyCol), col(weightCol), round(col("_sk"), 6).as("sample_key"), col("rank"))
   }
+
+  /** Deterministic 2-arm experiment assignment + sample-ratio-mismatch
+    * check: each distinct key lands in arm md5(salt|key) mod 2, and the
+    * summary row carries the exact-integer SRM statistic — for two equal
+    * expected halves, χ² = (n_a − n_b)²/n, reported in ppm. An SRM gate is
+    * the first validity check any experimentation pipeline runs; hash
+    * assignment makes it replayable across engines, runs and partitionings.
+    * Plan: distinct (one keyed shuffle) → narrow hash → single partial agg
+    * to one row.
+    */
+  def srmCheck(df: DataFrame, keyCol: String, salt: String = "ab"): DataFrame =
+    df.select(col(keyCol))
+      .distinct()
+      .select(
+        pmod(
+          conv(substring(md5(concat(lit(s"$salt|"), col(keyCol).cast("string"))), 1, 8), 16, 10)
+            .cast("long"),
+          lit(2L)
+        ).as("_arm")
+      )
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(when(col("_arm") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("_arm") === 1, 1L).otherwise(0L)).cast("long").as("n_b")
+      )
+      .select(
+        col("n_units"),
+        col("n_a"),
+        col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 div n_units").cast("long").as("srm_ppm")
+      )
+
+  // Cumulative Poisson(1) thresholds scaled to 16^13 (the 13-hex-digit hash
+  // range): P(W ≤ k) for k = 0..3; mass beyond 4 is capped into w = 4.
+  // Integer literals so both engines compare BIGINTs — no float CDF at
+  // query time.
+  private val PoissonCum: Seq[Long] =
+    Seq(1656781714176974L, 3313563428353948L, 4141954285442435L, 4418084571138597L)
+
+  /** Poissonized bootstrap replicate means (the scalable bootstrap): row i's
+    * weight in replicate j is Poisson(1)-distributed, derived from
+    * md5(j|key) so every engine replays the same resample — the standard
+    * trick that turns B bootstrap resamples into one linear pass (B× row
+    * expansion, all map-side + one 32-group partial agg; no per-replicate
+    * shuffles, no driver state). Weights cap at 4 (P ≈ 0.4%, folded into
+    * the top band). `valueCol` must be an exact integer metric (cents);
+    * replicate means report as exact-BIGINT millis via one integer
+    * division, so the whole replicate table is bit-deterministic.
+    */
+  def poissonBootstrapMeans(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      b: Int = 32,
+      salt: String = "bs"
+  ): DataFrame = {
+    require(b > 0, "replicate count must be positive")
+    val hv = conv(
+      substring(
+        md5(concat(col("rep").cast("string"), lit(s"|$salt|"), col(keyCol).cast("string"))),
+        1,
+        13
+      ),
+      16,
+      10
+    ).cast("long")
+    val weight = when(hv < PoissonCum(0), 0L)
+      .when(hv < PoissonCum(1), 1L)
+      .when(hv < PoissonCum(2), 2L)
+      .when(hv < PoissonCum(3), 3L)
+      .otherwise(4L)
+    df.select(col(keyCol), col(valueCol))
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("_w", weight)
+      .groupBy(col("rep").cast("long").as("rep"))
+      .agg(
+        sum("_w").cast("long").as("n_eff"),
+        sum(col("_w") * col(valueCol)).cast("long").as("_s")
+      )
+      .select(
+        col("rep"),
+        col("n_eff"),
+        expr("_s * 1000 div n_eff").cast("long").as("mean_milli")
+      )
+  }
 }

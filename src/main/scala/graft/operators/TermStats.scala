@@ -61,4 +61,85 @@ object TermStats {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf_cnt"), col("doc_freq"), col("tfidf"), col("rank"))
   }
+
+  /** Signed hashing-trick features (Weinberger et al. 2009): each token maps
+    * to bucket h(t) mod `dim` with a ±1 sign from an independent hash bit,
+    * and the doc's feature value at a bucket is the signed token-count sum —
+    * the unbiased sparse representation linear models train on when the
+    * vocabulary is unbounded.
+    *
+    * Hashes are md5-derived so a SQL oracle replays them: bucket from the
+    * first 8 hex chars, sign from the parity of the 9th — independent
+    * digits of one digest, the cheap stand-in for two hash functions.
+    * Plan: explode → narrow hash projection → one (doc, bucket) hash-agg
+    * with map-side combine. State per group is one BIGINT; output is at most
+    * `dim` rows per doc regardless of doc length. Zero-sum buckets (equal
+    * +1/−1 mass) are kept: dropping them would make the representation
+    * depend on which collisions occurred, and downstream consumers treat
+    * absent ≡ never-touched.
+    */
+  def featureHash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64
+  ): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val toks = docs
+      .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+    toks
+      .select(
+        col(idCol),
+        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+          .as("bucket"),
+        when(conv(substring(md5(col("term")), 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L)
+          .as("_sign")
+      )
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("_sign")).cast("long").as("feat"))
+  }
+
+  /** Per-group dictionary coverage: the share of tokens covered by the
+    * corpus's top-`vocabK` vocabulary, reported as an exact-integer OOV
+    * rate in ppm — the vocabulary-coverage audit run before committing to a
+    * tokenizer or a pruned embedding table. Vocabulary rank ties break on
+    * the term itself, so the vocab set (and therefore every downstream
+    * number) is deterministic.
+    *
+    * Plan: token explode → vocabulary hash-agg (vocabulary-sized, thanks to
+    * map-side combine) → top-k TakeOrdered (never a global sort) →
+    * BROADCAST membership join (vocab is k rows by construction) → one
+    * per-group partial agg. No data-sized shuffle after the TF agg.
+    */
+  def dictionaryCoverage(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      vocabK: Int = 1000
+  ): DataFrame = {
+    val toks = docs
+      .select(col(groupCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+    val vocab = toks
+      .groupBy("term")
+      .agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("term"))
+      .limit(vocabK)
+      .select(col("term"), lit(1L).as("_in"))
+    toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("tokens"),
+        sum(coalesce(col("_in"), lit(0L))).cast("long").as("in_vocab")
+      )
+      .select(
+        col(groupCol),
+        col("tokens"),
+        col("in_vocab"),
+        expr("(tokens - in_vocab) * 1000000 div tokens").cast("long").as("oov_ppm")
+      )
+  }
 }

@@ -389,6 +389,63 @@ object GraphQueries {
               " div (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)"
           ).as("q_ppm")
         )
+    },
+
+    // Adamic–Adar link prediction on the recurring part graph: for each
+    // NON-adjacent pair (u, v), score = Σ_z 1/ln(deg z) over common
+    // neighbors z, top-50. The scale story is the hub cap: wedges fan out
+    // only from common neighbors of degree ≤ 64 (their AA weight ≈ 0
+    // anyway — 1/ln d vanishes as hubs grow), so per-node wedge work is
+    // bounded by cap² instead of Σdeg², the standard production bound for
+    // neighborhood-intersection scoring. Determinism ladder as PageRank:
+    // per-term round-12 DECIMAL, exact decimal sum (order-independent),
+    // round-4 report, (u, v) tiebreak total order.
+    QEntry.sql(
+      "q_adamic_adar",
+      s"""WITH $GraphSql,
+        |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) GROUP BY x),
+        |adj AS (SELECT u AS z, v AS n FROM und UNION ALL SELECT v, u FROM und),
+        |capped AS (SELECT adj.z, adj.n, deg.d FROM adj
+        |  JOIN deg ON adj.z = deg.node WHERE deg.d <= 64),
+        |wz AS (SELECT a.n AS u, b.n AS v,
+        |    CAST(round(1.0 / ln(a.d), 12) AS DECIMAL(18,12)) AS wt
+        |  FROM capped a JOIN capped b ON a.z = b.z AND a.n < b.n),
+        |sc AS (SELECT u, v,
+        |    round(CAST(sum(CAST(wt AS DECIMAL(28,12))) AS DOUBLE), 4) AS aa_score
+        |  FROM wz GROUP BY u, v)
+        |SELECT sc.u, sc.v, sc.aa_score FROM sc
+        |LEFT JOIN und ON sc.u = und.u AND sc.v = und.v
+        |WHERE und.u IS NULL
+        |ORDER BY sc.aa_score DESC, sc.u, sc.v LIMIT 50"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val und = recurringPartGraph(s, d)
+        .localCheckpoint() // degree pass, both wedge legs, and the anti-join probe reuse it
+      val deg = degrees(und)
+      val adj = und
+        .select(col("u").as("z"), col("v").as("n"))
+        .unionAll(und.select(col("v").as("z"), col("u").as("n")))
+      val capped = adj
+        .join(broadcast(deg.filter(col("d") <= 64).toDF("z", "d")), "z")
+        .localCheckpoint() // both wedge legs consume it — don't rebuild adj⋈deg twice
+      val wedges = capped
+        .toDF("z", "u", "du")
+        .join(capped.toDF("z", "v", "dv"), "z")
+        .filter(col("u") < col("v"))
+        .select(
+          col("u"),
+          col("v"),
+          round(lit(1.0) / log(col("du").cast("double")), 12)
+            .cast("decimal(18,12)")
+            .as("wt")
+        )
+      wedges
+        .groupBy("u", "v")
+        .agg(round(sum(col("wt").cast("decimal(28,12)")).cast("double"), 4).as("aa_score"))
+        .join(und, Seq("u", "v"), "left_anti")
+        .orderBy(col("aa_score").desc, col("u"), col("v"))
+        .limit(50)
     }
   )
 }

@@ -152,6 +152,38 @@ object MultimodalQueries {
           octet_length(col("payload")).as("bytes"),
           md5(col("payload")).as("payload_md5")
         )
+    },
+
+    // Shot-boundary detection over the video-modality payloads: quantized
+    // frame energy (exact byte sum div 2048), a cut where consecutive
+    // frames jump ≥ 2 levels — the codec-free stand-in for histogram-diff
+    // scene segmentation. Keyed lag window over ≤ 8 frames per media:
+    // bounded per-key state, parallel across media at any corpus size.
+    QEntry.sql(
+      "mm_scene_cuts",
+      """WITH f AS (
+        |  SELECT media_id, win_idx,
+        |    CAST(list_sum(list_transform(
+        |      range(1, length(substr(text, CAST(win_idx * 256 + 1 AS INT), 256)) + 1),
+        |      i -> ord(substr(substr(text, CAST(win_idx * 256 + 1 AS INT), 256),
+        |                      CAST(i AS INT), 1)))) AS BIGINT) // 2048 AS q
+        |  FROM (SELECT doc_id AS media_id, text,
+        |      unnest(range(0, least(
+        |        CASE WHEN octet_length(encode(text)) >= 256
+        |               THEN (octet_length(encode(text)) - 256) // 256 + 1
+        |             WHEN octet_length(encode(text)) > 0 THEN 1 ELSE 0 END,
+        |        8))) AS win_idx
+        |    FROM documents WHERE doc_id % 3 = 2) t),
+        |l AS (SELECT media_id, q,
+        |    lag(q) OVER (PARTITION BY media_id ORDER BY win_idx) AS pq FROM f)
+        |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN abs(q - pq) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  CAST(sum(CASE WHEN abs(q - pq) >= 2 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots
+        |FROM l GROUP BY media_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Multimodal.sceneCuts(
+        Multimodal.fromDocuments(documents(s, d)).filter(col("modality") === "video")
+      )
     }
   )
 }

@@ -868,6 +868,58 @@ object PipelineQueries {
       Sampling.weightedTopK(documents(s, d), "doc_id", "n_chars", 50)
     },
 
+    // Deterministic 2-arm assignment + sample-ratio-mismatch gate
+    // ([[Sampling.srmCheck]]): arm = md5(salt|user) mod 2 over distinct
+    // users; χ² for two equal halves = (n_a − n_b)²/n, reported as exact
+    // ppm. One distinct shuffle + one partial agg to a single row.
+    QEntry.sql(
+      "sample_srm_check",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 2 AS arm FROM u),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM a)
+        |SELECT n_units, n_a, n_b,
+        |  CAST((n_a - n_b) * (n_a - n_b) * 1000000 // n_units AS BIGINT) AS srm_ppm
+        |FROM c""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Sampling.srmCheck(events(s, d), "user_id") },
+
+    // Poissonized bootstrap over order totals ([[Sampling
+    // .poissonBootstrapMeans]]): 32 replicate means of cents, each row's
+    // per-replicate weight Poisson(1) via integer hash thresholds — B
+    // resamples in ONE linear pass (map-side expansion + a 32-group agg),
+    // the formulation that makes bootstrap CIs tractable at 100 TB.
+    // Exact-integer replicate means (millis).
+    QEntry.sql(
+      "q_bootstrap_means",
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |x AS (SELECT r.rep, o.cents,
+        |    CAST(('0x' || substr(md5(CAST(r.rep AS VARCHAR) || '|bs|'
+        |      || CAST(o.o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        |  FROM o CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r),
+        |w AS (SELECT rep, cents,
+        |    CASE WHEN hv < 1656781714176974 THEN 0
+        |         WHEN hv < 3313563428353948 THEN 1
+        |         WHEN hv < 4141954285442435 THEN 2
+        |         WHEN hv < 4418084571138597 THEN 3
+        |         ELSE 4 END AS w FROM x)
+        |SELECT CAST(rep AS BIGINT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(CAST(sum(CAST(w AS BIGINT) * cents) AS BIGINT) * 1000
+        |    // CAST(sum(w) AS BIGINT) AS BIGINT) AS mean_milli
+        |FROM w GROUP BY rep""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Sampling.poissonBootstrapMeans(
+        orders(s, d).select(
+          col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents")
+        ),
+        "o_orderkey",
+        "cents"
+      )
+    },
+
     // End-to-end training-data curation pipeline in ONE declarative plan:
     // quality-score filter → language filter → exact dedup keep-first →
     // per-source rollup. The point: composition stays a single Catalyst plan

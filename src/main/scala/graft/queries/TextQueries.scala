@@ -692,6 +692,49 @@ object TextQueries {
             .cast("long")
             .as("flesch_milli")
         )
+    },
+
+    // Signed hashing-trick features ([[graft.operators.TermStats.featureHash]]):
+    // token → bucket h mod 64 with a ±1 sign from an independent md5 digit,
+    // per-doc signed count sums — the sparse representation linear models
+    // train on over an unbounded vocabulary. Exact BIGINT sums; one keyed
+    // hash-agg with map-side combine, ≤ 64 rows per doc regardless of length.
+    QEntry.sql(
+      "txt_feature_hash",
+      """SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bucket,
+        |  CAST(sum(CASE WHEN sv % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS feat
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS hv,
+        |    CAST(('0x' || substr(md5(term), 9, 1)) AS BIGINT) AS sv
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents) t
+        |  WHERE term IS NOT NULL AND term <> '') h
+        |GROUP BY doc_id, bucket""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => graft.operators.TermStats.featureHash(documents(s, d), "doc_id", "text", 64) },
+
+    // Dictionary coverage per source ([[graft.operators.TermStats
+    // .dictionaryCoverage]]): share of tokens covered by the corpus top-1000
+    // vocabulary, OOV rate as exact ppm. Vocab ranking ties break on the
+    // term, so the set is deterministic; membership joins via BROADCAST
+    // (vocab is 1000 rows by construction).
+    QEntry.sql(
+      "txt_dict_coverage",
+      """WITH tk AS (SELECT source, term FROM (
+        |    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents) t
+        |  WHERE term IS NOT NULL AND term <> ''),
+        |vocab AS (SELECT term FROM (
+        |    SELECT term, count(*) AS cnt FROM tk GROUP BY term) g
+        |  ORDER BY cnt DESC, term LIMIT 1000),
+        |c AS (SELECT tk.source, CAST(count(*) AS BIGINT) AS tokens,
+        |    CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS in_vocab
+        |  FROM tk LEFT JOIN vocab v ON tk.term = v.term GROUP BY tk.source)
+        |SELECT source, tokens, in_vocab,
+        |  CAST((tokens - in_vocab) * 1000000 // tokens AS BIGINT) AS oov_ppm
+        |FROM c""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      graft.operators.TermStats.dictionaryCoverage(documents(s, d), "text", "source", 1000)
     }
   )
 }

@@ -79,6 +79,28 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(Multimodal.stridedWindows(Multimodal.fromDocuments(long), 512, 256, 6).count() == 6)
   }
 
+  test("sceneCuts: a quantized-energy jump between consecutive frames is a cut") {
+    val s = spark
+    import s.implicits._
+    // frames of 'a'·256 (energy 24832, q=12) then 'z'·256 (31232, q=15):
+    // deltas 0, 3, 0 → exactly one cut, two shots, four frames
+    val docs = Seq(
+      (1L, "a" * 512 + "z" * 512),
+      (2L, "a" * 512), // flat media: q deltas 0 → no cuts, one shot
+      (3L, "")         // empty payload → no frames, absent from output
+    ).toDF("doc_id", "text")
+    val out = Multimodal
+      .sceneCuts(Multimodal.fromDocuments(docs))
+      .collect()
+      .map(r => r.getAs[Long]("media_id") -> r)
+      .toMap
+    assert(out(1L).getAs[Long]("n_frames") == 4L)
+    assert(out(1L).getAs[Long]("n_cuts") == 1L)
+    assert(out(1L).getAs[Long]("n_shots") == 2L)
+    assert(out(2L).getAs[Long]("n_cuts") == 0L && out(2L).getAs[Long]("n_shots") == 1L)
+    assert(!out.contains(3L))
+  }
+
   test("binaryFile source reads a media directory with inferred modality") {
     val dir = Files.createTempDirectory("graft-media")
     Files.write(dir.resolve("a.png"), Array[Byte](0x50, 0x4E, 0x47, 0x21))

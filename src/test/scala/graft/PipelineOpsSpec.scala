@@ -895,4 +895,75 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(again == removed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet)
   }
+
+  test("featureHash: signed sums bound by token count, buckets within dim, partition-invariant") {
+    val df = docs(
+      1L -> "alpha beta alpha gamma",
+      2L -> "alpha alpha alpha alpha",
+      3L -> ""
+    )
+    val out = graft.operators.TermStats.featureHash(df, "doc_id", "text", dim = 8).collect()
+    assert(out.forall(r => r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < 8))
+    // doc 2: one term, 4 occurrences → a single bucket at feat = ±4
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.length == 1 && math.abs(d2.head.getAs[Long]("feat")) == 4L)
+    // doc 1 total |mass| ≤ 4 tokens; empty doc contributes no rows
+    assert(out.filter(_.getAs[Long]("doc_id") == 1L).map(r => math.abs(r.getAs[Long]("feat"))).sum <= 4)
+    assert(!out.exists(_.getAs[Long]("doc_id") == 3L))
+    // the same term always lands in the same signed bucket: repartitioned input agrees
+    val again = graft.operators.TermStats
+      .featureHash(df.repartition(7), "doc_id", "text", dim = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("dictionaryCoverage: full coverage when vocab holds all terms, exact OOV ppm otherwise") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "x x x y"),
+      ("b", "x rare1 rare2 rare3")
+    ).toDF("source", "text")
+    // vocabK = 2 → vocab = {x, rare1}: x wins on count (4), then the
+    // count-1 tie breaks on the term itself ("rare1" < "rare2" < ... < "y")
+    val out = graft.operators.TermStats
+      .dictionaryCoverage(df, "text", "source", vocabK = 2)
+      .collect()
+      .map(r => r.getAs[String]("source") -> r)
+      .toMap
+    assert(out("a").getAs[Long]("tokens") == 4L && out("a").getAs[Long]("in_vocab") == 3L)
+    assert(out("a").getAs[Long]("oov_ppm") == 250000L) // y is OOV
+    assert(out("b").getAs[Long]("in_vocab") == 2L)     // x, rare1
+    assert(out("b").getAs[Long]("oov_ppm") == 500000L)
+  }
+
+  test("srmCheck: arms partition the distinct units and ppm matches the closed form") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 500).map(i => (i.toLong % 250, s"e$i")).toDF("user_id", "x")
+    val r = graft.operators.Sampling.srmCheck(df, "user_id").collect().head
+    val (n, a, b) = (r.getAs[Long]("n_units"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(n == 250L && a + b == n)
+    assert(r.getAs[Long]("srm_ppm") == (a - b) * (a - b) * 1000000L / n)
+  }
+
+  test("poissonBootstrapMeans: one row per replicate, weights replay across partitionings") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 300).map(i => (i.toLong, 100L + i)).toDF("id", "cents")
+    val out = graft.operators.Sampling.poissonBootstrapMeans(df, "id", "cents", b = 16)
+    val rows = out.collect()
+    assert(rows.length == 16)
+    assert(rows.map(_.getAs[Long]("rep")).toSet == (0L until 16L).toSet)
+    // Poisson(1) weights: n_eff concentrates near n (±5 sd = ±87 here)
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("n_eff") - 300L) < 90L, r.toString))
+    // mean of means stays near the true mean (cents ∈ [101, 400], μ = 250.5)
+    val grand = rows.map(_.getAs[Long]("mean_milli")).sum / 16
+    assert(grand > 230000L && grand < 270000L, grand.toString)
+    val again = graft.operators.Sampling
+      .poissonBootstrapMeans(df.repartition(11), "id", "cents", b = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
 }
