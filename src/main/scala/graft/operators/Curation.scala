@@ -481,4 +481,30 @@ object Curation {
         ).as("corrupted_text")
       )
   }
+
+  /** Code-vs-prose screen: the symbol-density heuristic curation pipelines
+    * run to route source code away from (or into) a text corpus — braces,
+    * brackets, semicolons, operators as a ppm of characters, thresholded.
+    * Everything is exact integer arithmetic on regexp-stripped lengths
+    * (codegen'd, no UDF); per-doc columns so callers can filter, flag, or
+    * aggregate. A doc with no characters is prose by definition (0 ppm).
+    */
+  def codeScreen(
+      df: DataFrame,
+      textCol: String,
+      thresholdPpm: Long = 20000L
+  ): DataFrame = {
+    val t = col(textCol)
+    val symbols = length(t) - length(regexp_replace(t, "[{}\\[\\]();=<>]", ""))
+    df.withColumn("n_chars_", length(t).cast("long"))
+      .withColumn("symbols", symbols.cast("long"))
+      .withColumn(
+        "symbol_ppm",
+        when(col("n_chars_") === 0L, 0L)
+          .otherwise(expr("symbols * 1000000L div n_chars_"))
+          .cast("long")
+      )
+      .withColumn("is_code", col("symbol_ppm") >= thresholdPpm)
+      .drop("n_chars_")
+  }
 }

@@ -534,6 +534,54 @@ object Dedup {
       )
   }
 
+  /** Span-novelty attribution — the provenance inverse of
+    * [[spanDuplication]]: a doc's DISTINCT k-token spans are "novel" when
+    * this doc is the span's first appearance corpus-wide (minimum doc id
+    * owns the span). High-novelty docs contribute new text to the corpus;
+    * low-novelty docs are recombinations — the attribution view a dedup
+    * postmortem reads alongside the duplication share.
+    *
+    * Plan: per-doc DISTINCT span digests (two-level partial agg collapses
+    * hot spans map-side), one digest-keyed min-agg for the owner, one
+    * equi-join back on the digest, one per-doc agg. Only 32-hex digests and
+    * BIGINT ids shuffle; exact integral ppm; empty-span docs carry the −1
+    * sentinel like spanDuplication.
+    */
+  def spanNovelty(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    val docs = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
+    val spans = docs
+      .select(col(idCol), explode_outer(shinglesFromWords(col("_ws"), k)).as("_sp"))
+      .select(col(idCol), md5(col("_sp")).as("_h"))
+      .distinct() // novelty is over a doc's distinct spans, not positions
+      .localCheckpoint() // owner agg + per-doc side both consume it
+    val owner = spans
+      .filter(col("_h").isNotNull)
+      .groupBy("_h")
+      .agg(min(col(idCol)).as("_fd"))
+    spans
+      .join(owner, Seq("_h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(col("_h")).as("n_spans"),
+        sum(when(col("_fd") === col(idCol), 1L).otherwise(0L)).cast("long").as("n_novel")
+      )
+      .select(
+        col(idCol),
+        col("n_spans"),
+        col("n_novel"),
+        when(col("n_spans") === 0L, lit(-1L))
+          .otherwise(expr("n_novel * 1000000L div n_spans"))
+          .cast("long")
+          .as("novel_ppm")
+      )
+  }
+
   /** SimHash near-duplicate pairs: block on the sketch's 4 16-bit bands
     * (pigeonhole: any pair within Hamming distance 3 of each other shares at
     * least one identical band, so recall at `maxHamming` ≤ 3 is EXACT — no

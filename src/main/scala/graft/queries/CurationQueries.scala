@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 
 /** Corpus-curation battery: eval-set decontamination, PII scrub, repetition
   * quality signals, token-budget packing. All DuckDB-oracled value-for-value.
@@ -429,6 +429,59 @@ object CurationQueries {
               " AS BIGINT)"
           ).as("boiler_share_ppm")
         )
-    }
+    },
+
+    // Code-vs-prose screen ([[Curation.codeScreen]]) rolled up per source:
+    // symbol density ({}[]();=<> chars as ppm of characters) thresholded at
+    // 2% — the router curation pipelines use to keep source code out of (or
+    // in) a text corpus. Exact integer arithmetic; narrow per-doc exprs +
+    // one partial agg.
+    QEntry.sql(
+      "cur_code_detect",
+      """WITH s AS (SELECT source, length(text) AS n,
+        |    length(text) - length(regexp_replace(text, '[{}\[\]();=<>]', '', 'g')) AS sym
+        |  FROM documents),
+        |p AS (SELECT source,
+        |    CASE WHEN n = 0 THEN 0 ELSE sym * 1000000 // n END AS ppm FROM s)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN ppm >= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS code_docs,
+        |  CAST(sum(ppm) // count(*) AS BIGINT) AS mean_symbol_ppm
+        |FROM p GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation
+        .codeScreen(documents(s, d), "text")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("is_code"), 1L).otherwise(0L)).cast("long").as("code_docs"),
+          expr("sum(symbol_ppm) div count(*)").cast("long").as("mean_symbol_ppm")
+        )
+    },
+
+    // Span-novelty attribution ([[graft.operators.Dedup.spanNovelty]]): a
+    // doc's distinct 8-token spans are novel when this doc is the span's
+    // corpus-wide first appearance (min doc id owns it) — the provenance
+    // view a dedup postmortem reads alongside dedup_exact_substring's
+    // duplication share. Digest-keyed aggs and one equi-join; sentinel −1
+    // for docs under 8 tokens, reinstated in the twin by the documents
+    // LEFT JOIN.
+    QEntry.sql(
+      "cur_ngram_novelty",
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        |sp AS (SELECT DISTINCT doc_id, md5(s) AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+        |      || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6]
+        |      || ' ' || words[i+7])) AS s FROM w) t),
+        |own AS (SELECT h, min(doc_id) AS fd FROM sp GROUP BY h),
+        |agg AS (SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN own.fd = sp.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM sp JOIN own ON sp.h = own.h GROUP BY sp.doc_id)
+        |SELECT w.doc_id, COALESCE(agg.n_spans, 0) AS n_spans,
+        |  COALESCE(agg.n_novel, 0) AS n_novel,
+        |  CAST(CASE WHEN COALESCE(agg.n_spans, 0) = 0 THEN -1
+        |       ELSE agg.n_novel * 1000000 // agg.n_spans END AS BIGINT) AS novel_ppm
+        |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Dedup.spanNovelty(documents(s, d), "doc_id", "text", k = 8) }
   )
 }

@@ -1348,6 +1348,86 @@ object StatQueries {
           col("true_cents"),
           expr("(est_cents - true_cents) * 1000000L div true_cents").cast("long").as("err_ppm")
         )
+    },
+
+    // Welch's unequal-variance t between urgent (1-URGENT/2-HIGH) and
+    // regular orders per status, with the Welch–Satterthwaite df. All
+    // sufficient statistics are exact (BIGINT sums, DECIMAL(38,0) squared
+    // sums — cents² × corpus overflows int64 at sf0.1); the float tail is
+    // IEEE-exact-rounded ops only (casts, +−×÷, sqrt — no libm pow/ln), so
+    // the identical expression tree is bit-stable cross-engine before the
+    // courtesy round. One partial-agg shuffle into ≤ |status| rows.
+    QEntry.sql(
+      "q_welch_ttest",
+      """WITH o AS (SELECT o_orderstatus AS st,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS hi,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |g AS (SELECT st,
+        |    CAST(sum(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN hi = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN hi = 0 THEN cents ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN hi = 1 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS q1,
+        |    CAST(sum(CASE WHEN hi = 0 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS q2
+        |  FROM o GROUP BY st),
+        |v AS (SELECT st, n1, n2,
+        |    s1 * 1000 // n1 - s2 * 1000 // n2 AS mean_diff_milli,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2,
+        |    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md
+        |  FROM g WHERE n1 >= 2 AND n2 >= 2)
+        |SELECT st AS o_orderstatus, n1, n2, CAST(mean_diff_milli AS BIGINT) AS mean_diff_milli,
+        |  round(md / sqrt(v1 / n1 + v2 / n2), 4) AS welch_t,
+        |  round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+        |    / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2)
+        |    AS welch_df
+        |FROM v""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        col("o_orderstatus").as("st"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("hi"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents")
+      )
+      val g = o
+        .groupBy("st")
+        .agg(
+          sum(when(col("hi") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+          sum(when(col("hi") === 0, 1L).otherwise(0L)).cast("long").as("n2"),
+          sum(when(col("hi") === 1, col("cents")).otherwise(0L)).cast("long").as("s1"),
+          sum(when(col("hi") === 0, col("cents")).otherwise(0L)).cast("long").as("s2"),
+          sum(
+            when(col("hi") === 1, (col("cents") * col("cents")).cast("decimal(38,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))
+          ).cast("decimal(38,0)").as("q1"),
+          sum(
+            when(col("hi") === 0, (col("cents") * col("cents")).cast("decimal(38,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))
+          ).cast("decimal(38,0)").as("q2")
+        )
+        .filter(col("n1") >= 2 && col("n2") >= 2)
+      g.select(
+        col("st").as("o_orderstatus"),
+        col("n1"),
+        col("n2"),
+        expr("s1 * 1000 div n1 - s2 * 1000 div n2").cast("long").as("mean_diff_milli"),
+        expr(
+          "round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / sqrt(" +
+            "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1 + " +
+            "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2), 4)"
+        ).as("welch_t"),
+        expr(
+          "round(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1 + " +
+            "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2) * " +
+            "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1 + " +
+            "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2) / (" +
+            "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1) * " +
+            "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1) / (n1 - 1) + " +
+            "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2) * " +
+            "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2) / (n2 - 1)), 2)"
+        ).as("welch_df")
+      )
     }
   )
 }

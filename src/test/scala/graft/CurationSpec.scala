@@ -245,4 +245,45 @@ class CurationSpec extends SparkSpec {
     assert(empty.length == 1 && empty.head.getAs[Long]("n_tokens") == 0L &&
       empty.head.getAs[Double]("logit") == 0.0 && empty.head.getAs[String]("label") == "keep")
   }
+
+  test("codeScreen: symbol density routes code-like text, zero-length is prose") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "def f(x) { return (x < y); }"), // dense in {}();=<>
+      (2L, "plain prose with no special symbols at all"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .codeScreen(df, "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    // doc 1: symbols (){}();< → 8 of 28 chars ≈ 285714 ppm
+    assert(out(1L).getAs[Long]("symbols") == 8L)
+    assert(out(1L).getAs[Boolean]("is_code"))
+    assert(out(2L).getAs[Long]("symbols") == 0L && !out(2L).getAs[Boolean]("is_code"))
+    assert(out(3L).getAs[Long]("symbol_ppm") == 0L && !out(3L).getAs[Boolean]("is_code"))
+  }
+
+  test("spanNovelty: first appearance owns the span; copies score zero novelty") {
+    val s = spark
+    import s.implicits._
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      (1L, eight),                 // introduces the span
+      (2L, eight),                 // verbatim copy → 0 novel
+      (3L, "a b c d e f g h i"),   // 2 distinct spans, both novel
+      (4L, "too short")            // < 8 tokens → sentinel
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .spanNovelty(df, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    assert(out(1L).getAs[Long]("n_novel") == 1L && out(1L).getAs[Long]("novel_ppm") == 1000000L)
+    assert(out(2L).getAs[Long]("n_novel") == 0L && out(2L).getAs[Long]("novel_ppm") == 0L)
+    assert(out(3L).getAs[Long]("n_spans") == 2L && out(3L).getAs[Long]("novel_ppm") == 1000000L)
+    assert(out(4L).getAs[Long]("n_spans") == 0L && out(4L).getAs[Long]("novel_ppm") == -1L)
+  }
 }
