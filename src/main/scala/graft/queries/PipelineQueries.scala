@@ -1438,6 +1438,88 @@ object PipelineQueries {
       )
     },
 
+    // Top principal direction of the embedding second-moment matrix by
+    // MATRIX-FREE power iteration (2 unrolled rounds from the uniform
+    // start 1/8 — exact in binary): w ← M²w0, normalized once at the
+    // report. The 64×64 matrix is never materialized — each round is two
+    // equi-join + partial-agg passes over the exploded (vec, dim, value)
+    // table (re-used via localCheckpoint), which is what makes PCA's
+    // leading component tractable at 100 TB: no per-pair explode, no
+    // driver linear algebra.
+    //
+    // Float discipline, learned the hard way: an early draft requantized
+    // between stages via round(CAST(x AS DOUBLE), 10) and drifted 1e-10
+    // cross-engine — DuckDB's DECIMAL→DOUBLE conversion and fp round()
+    // each round once more than Spark's BigDecimal path, and two
+    // iterations amplify the boundary flips. This version never leaves
+    // DECIMAL until the final normalize: products (18,10)×(19,11) →
+    // (38,21) exact, sums exact, inter-stage requantization is a pure
+    // DECIMAL round-then-cast (DuckDB's bare decimal downcast TRUNCATES
+    // while Spark's rounds HALF_UP — round() first makes both exact
+    // half-away-from-zero), and the single double
+    // division + sqrt at the end reports at scale 6, where a 1-ulp input
+    // difference cannot flip the digit. No between-round normalization —
+    // power iteration only needs the direction, and two rounds of pure
+    // scaling stay inside the decimal ranges (documented per stage).
+    // Sign is pinned by the all-positive start.
+    QEntry.sql(
+      "emb_power_iteration", {
+        def iterSql(wIn: String, k: Int) =
+          s"""s$k AS (SELECT e.vec_id,
+             |    CAST(round(sum(e.v * w.w), 11) AS DECIMAL(19,11)) AS sv
+             |  FROM ex e JOIN $wIn w ON e.i = w.i GROUP BY e.vec_id),
+             |w$k AS (SELECT e.i,
+             |    CAST(round(sum(e.v * s.sv), 11) AS DECIMAL(19,11)) AS w
+             |  FROM ex e JOIN s$k s ON e.vec_id = s.vec_id GROUP BY e.i)"""
+        s"""WITH ex AS (SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+           |    CAST(CAST(t.v AS DOUBLE) AS DECIMAL(18,10)) AS v
+           |  FROM (SELECT vec_id, unnest(list_transform(range(0, $EmbDim),
+           |      i -> struct_pack(i := i, v := embedding[i + 1]))) AS t FROM embeddings)),
+           |w0 AS (SELECT unnest(range(0, $EmbDim)) AS i, CAST(0.125 AS DECIMAL(19,11)) AS w),
+           |${iterSql("w0", 1)},
+           |${iterSql("w1", 2)},
+           |yq AS (SELECT i, CAST(round(w, 4) AS DECIMAL(18,4)) AS y FROM w2),
+           |nn AS (SELECT CAST(sum(CAST(y * y AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS n2
+           |  FROM yq)
+           |SELECT i AS dim,
+           |  round(CAST(y AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 6) AS eig_w
+           |FROM yq CROSS JOIN nn"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val exploded = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(
+          col("vec_id"),
+          col("i").cast("bigint").as("i"),
+          col("v").cast("double").cast("decimal(18,10)").as("v")
+        )
+        .localCheckpoint() // two joins per round × two rounds re-read it
+      val w0 = s
+        .range(0, EmbDim.toLong)
+        .select(col("id").as("i"), lit(BigDecimal("0.125")).cast("decimal(19,11)").as("w"))
+      def iter(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val sPerVec = exploded
+          .join(broadcast(w), "i") // w is EmbDim rows — always broadcastable
+          .groupBy("vec_id")
+          .agg(sum(col("v") * col("w")).cast("decimal(19,11)").as("sv"))
+        exploded
+          .join(sPerVec, "vec_id") // vec-keyed equi-join, co-partitioned shuffle
+          .groupBy("i")
+          .agg(sum(col("v") * col("sv")).cast("decimal(19,11)").as("w"))
+      }
+      val w2 = iter(iter(w0))
+      val yq = w2.select(col("i"), col("w").cast("decimal(18,4)").as("y"))
+      val nrm = yq.agg(
+        sum((col("y") * col("y")).cast("decimal(38,8)")).cast("decimal(38,8)").as("n2")
+      )
+      yq.crossJoin(broadcast(nrm))
+        .select(
+          col("i").as("dim"),
+          round(col("y").cast("double") / sqrt(col("n2").cast("double")), 6).as("eig_w")
+        )
+    },
+
     // One deterministic Lloyd assignment step (k = 8) — the clustering
     // pass a curation pipeline runs to diversity-sample or balance a
     // corpus. Seeds are the 8 md5-smallest vec_ids (TakeOrdered — no

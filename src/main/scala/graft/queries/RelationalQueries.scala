@@ -490,6 +490,40 @@ object RelationalQueries {
         )
     },
 
+    // Full-outer time-bracket join — the audit variant: organic errors
+    // (no click in the preceding hour) AND dead clicks (no error in the
+    // following hour) surface in one result with nulls on the other side.
+    // Batch run of StreamingOps.timeBracketFullJoin (the one streaming
+    // outer join needing BOTH watermarks); same bounded-state story.
+    QEntry.sql(
+      "q_time_bracket_full_join",
+      """SELECT l.event_id AS error_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+        |  r.event_id AS click_id,
+        |  strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+        |FULL JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') r
+        |ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ev = events(s, d)
+      val errors = ev
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.streaming.StreamingOps
+        .timeBracketFullJoin(errors, clicks, "user_id", "interval 1 hour")
+        .select(
+          col("l.event_id").as("error_id"),
+          date_format(col("l.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+          col("r.event_id").as("click_id"),
+          date_format(col("r.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts")
+        )
+    },
+
     // Approximate sketches, made deterministically oracle-able: the output
     // carries the EXACT statistic (portable) plus a boolean asserting the
     // sketch estimate landed within tolerance — so the DuckDB twin is the

@@ -34,6 +34,10 @@ object SourceQueries {
         // correct even for text with embedded quotes/newlines/separators
         case "csv" => w.option("header", "true").option("escape", "\"").csv(path)
         case "json" => w.json(path)
+        // gzip: the codec 100 TB archives actually arrive in. NOT splittable
+        // — one task per file, so parallelism = file count; the write side
+        // keeps the input partitioning (many files) for exactly that reason.
+        case "json_gzip" => w.option("compression", "gzip").json(path)
         case "orc" => w.orc(path)
       }
     }
@@ -46,8 +50,44 @@ object SourceQueries {
           .option("multiLine", "true")
           .csv(path)
       case "json" => s.read.schema(base.schema).json(path)
+      case "json_gzip" => s.read.schema(base.schema).json(path)
       case "orc" => s.read.orc(path)
     }
+  }
+
+  /** Nested complex types through a text source: documents re-shaped as
+    * `(doc_id, meta: struct(lang, source), toks: array(string))`, written as
+    * JSON, read back with an explicit nested schema, then flattened. Proves
+    * struct/array round-tripping — the shape real corpus metadata arrives
+    * in — not just flat scalars; the oracle reads the flat original, so a
+    * green row certifies the nesting cost nothing semantically.
+    */
+  private def nestedJson(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.documents(s, d)
+    val sf = d.stripSuffix("/").split('/').last
+    val path = s"target/graft_src_cache/nested_$sf"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      base
+        .select(
+          col("doc_id"),
+          struct(col("lang"), col("source")).as("meta"),
+          split(trim(col("text")), "\\s+").as("toks")
+        )
+        .write.mode("overwrite").json(path)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, meta STRUCT<lang: STRING, source: STRING>, toks ARRAY<STRING>"
+    )
+    s.read
+      .schema(schema)
+      .json(path)
+      .select(
+        col("doc_id"),
+        col("meta.lang").as("lang"),
+        col("meta.source").as("source"),
+        size(col("toks")).cast("bigint").as("n_toks"),
+        md5(array_join(col("toks"), " ")).as("toks_md5")
+      )
   }
 
   /** Hive-partitioned parquet layout (`lang=<v>/` directories) — the standard
@@ -110,6 +150,14 @@ object SourceQueries {
     QEntry.sql("src_json_docs", docsSql)((s, d) => roundTrip(s, d, "json")),
     QEntry.sql("src_csv_docs", docsSql)((s, d) => roundTrip(s, d, "csv")),
     QEntry.sql("src_orc_docs", docsSql)((s, d) => roundTrip(s, d, "orc")),
+    QEntry.sql("src_json_gzip_docs", docsSql)((s, d) => roundTrip(s, d, "json_gzip")),
+    QEntry.sql(
+      "src_json_nested",
+      """SELECT doc_id, lang, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS toks_md5
+        |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+    )((s, d) => nestedJson(s, d)),
     // partition-pruned aggregate over the lang=en directory only; the oracle
     // reads the ORIGINAL parquet, proving the partitioned write→read (incl.
     // the partition-column round-trip through directory names) is lossless.

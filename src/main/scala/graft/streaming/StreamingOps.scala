@@ -158,6 +158,34 @@ object StreamingOps {
     )
   }
 
+  /** Full-outer variant of [[timeBracketJoin]]: both the left rows with no
+    * bracketed match AND the right rows that never fell into any left
+    * bracket emit (with nulls on the other side). The audit shape: a
+    * conversions⋈clicks attribution wants organic conversions (left-only)
+    * and dead clicks (right-only) in the SAME result. Streaming-wise this
+    * is the one outer join that needs watermarks on BOTH sides to emit
+    * either null side (each is held until its match window is provably
+    * closed); state stays bounded by the same bracket-eviction argument as
+    * the inner variant.
+    */
+  def timeBracketFullJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      lookback: String = "interval 1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+      r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") - expr(lookback) &&
+        col("r.ts") <= col("l.ts"),
+      "full_outer"
+    )
+  }
+
   /** Stream-static enrichment join: every micro-batch of the stream joins
     * the (small) static dimension, broadcast to executors — the standard
     * "attach dimension attributes on ingest" shape. No state store and no

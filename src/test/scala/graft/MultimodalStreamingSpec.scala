@@ -405,6 +405,52 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out.contains((202L, None)), out.toString) // unmatched left, null right
   }
 
+  test("timeBracketFullJoin surfaces unmatched rows from BOTH sides after watermark close") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    // conv 201 (u1@10:45) matches click 101@10:00; conv 202 (u3@10:00) has no
+    // click (organic); click 102 (u2@10:00) has no conversion (dead click) —
+    // the full-outer audit wants all three rows
+    val memC = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val memV = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val joined = StreamingOps
+      .timeBracketFullJoin(
+        memV.toDF().toDF("ts", "user_id", "conv_id"),
+        memC.toDF().toDF("ts", "user_id", "click_id"),
+        "user_id"
+      )
+      .select(col("conv_id"), col("click_id"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("ssfull_out")
+      .outputMode("append")
+      .start()
+    memC.addData((at(0), "u1", 101L), (at(0), "u2", 102L))
+    memV.addData((at(45), "u1", 201L), (at(0), "u3", 202L))
+    q.processAllAvailable()
+    memC.addData((at(600), "w1", 900L))
+    memV.addData((at(600), "w2", 901L))
+    q.processAllAvailable()
+    memC.addData((at(620), "w1", 902L))
+    memV.addData((at(620), "w2", 903L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark
+      .table("ssfull_out")
+      .collect()
+      .map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))
+      ))
+      .toSet
+    assert(out.contains((Some(201L), Some(101L))), out.toString) // matched
+    assert(out.contains((Some(202L), None)), out.toString) // organic conversion
+    assert(out.contains((None, Some(102L))), out.toString) // dead click
+  }
+
   test("foreachBatch round-robin router continues the insert counter") {
     val s = spark
     import s.implicits._
