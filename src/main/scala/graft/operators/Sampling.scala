@@ -159,22 +159,31 @@ object Sampling {
         expr("(n_a - n_b) * (n_a - n_b) * 1000000 div n_units").cast("long").as("srm_ppm")
       )
 
-  // Cumulative Poisson(1) thresholds scaled to 16^13 (the 13-hex-digit hash
-  // range): P(W ≤ k) for k = 0..3; mass beyond 4 is capped into w = 4.
+  // Cumulative Poisson(1) thresholds scaled to 16^4 (one 4-hex-digit slice
+  // per replicate): P(W ≤ k) for k = 0..3; mass beyond 4 is capped into
+  // w = 4. 16-bit granularity mis-sizes each band by < 2e-5 — irrelevant
+  // to a bootstrap — and lets ONE md5 digest carry 8 replicates' draws.
   // Integer literals so both engines compare BIGINTs — no float CDF at
   // query time.
-  private val PoissonCum: Seq[Long] =
-    Seq(1656781714176974L, 3313563428353948L, 4141954285442435L, 4418084571138597L)
+  private val PoissonCum16: Seq[Long] = Seq(24109L, 48218L, 60273L, 64291L)
 
   /** Poissonized bootstrap replicate means (the scalable bootstrap): row i's
-    * weight in replicate j is Poisson(1)-distributed, derived from
-    * md5(j|key) so every engine replays the same resample — the standard
-    * trick that turns B bootstrap resamples into one linear pass (B× row
-    * expansion, all map-side + one 32-group partial agg; no per-replicate
+    * weight in replicate j is Poisson(1)-distributed, derived from an md5
+    * slice so every engine replays the same resample — the standard trick
+    * that turns B bootstrap resamples into one linear pass (B× row
+    * expansion, all map-side + one B-group partial agg; no per-replicate
     * shuffles, no driver state). Weights cap at 4 (P ≈ 0.4%, folded into
-    * the top band). `valueCol` must be an exact integer metric (cents);
-    * replicate means report as exact-BIGINT millis via one integer
-    * division, so the whole replicate table is bit-deterministic.
+    * the top band).
+    *
+    * Hash economics: each md5(g|key) digest is cut into eight 4-hex
+    * (16-bit) slices, one per replicate — ⌈B/8⌉ digests per row instead of
+    * B (8× less hashing; the hash, not the agg, dominates this operator's
+    * cost). Digests are computed BEFORE the replicate explode so each is
+    * evaluated once per row, not once per (row, replicate).
+    *
+    * `valueCol` must be an exact integer metric (cents); replicate means
+    * report as exact-BIGINT millis via one integer division, so the whole
+    * replicate table is bit-deterministic.
     */
   def poissonBootstrapMeans(
       df: DataFrame,
@@ -184,21 +193,22 @@ object Sampling {
       salt: String = "bs"
   ): DataFrame = {
     require(b > 0, "replicate count must be positive")
+    val nDigests = (b + 7) / 8
+    val digests = array((0 until nDigests).map { g =>
+      md5(concat(lit(s"$salt$g|"), col(keyCol).cast("string")))
+    }: _*)
     val hv = conv(
-      substring(
-        md5(concat(col("rep").cast("string"), lit(s"|$salt|"), col(keyCol).cast("string"))),
-        1,
-        13
-      ),
+      expr("substring(element_at(_m, CAST(rep div 8 AS INT) + 1), (rep % 8) * 4 + 1, 4)"),
       16,
       10
     ).cast("long")
-    val weight = when(hv < PoissonCum(0), 0L)
-      .when(hv < PoissonCum(1), 1L)
-      .when(hv < PoissonCum(2), 2L)
-      .when(hv < PoissonCum(3), 3L)
+    val weight = when(hv < PoissonCum16(0), 0L)
+      .when(hv < PoissonCum16(1), 1L)
+      .when(hv < PoissonCum16(2), 2L)
+      .when(hv < PoissonCum16(3), 3L)
       .otherwise(4L)
     df.select(col(keyCol), col(valueCol))
+      .withColumn("_m", digests)
       .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("_w", weight)
       .groupBy(col("rep").cast("long").as("rep"))

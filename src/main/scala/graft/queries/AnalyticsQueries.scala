@@ -1167,6 +1167,88 @@ object AnalyticsQueries {
         .limit(1)
     },
 
+    // XmR (individuals / moving-range) control chart per priority: the SPC
+    // primitive ops teams run on any metric series — centre line x̄, mean
+    // moving range m̄R, control limits x̄ ± 2.66·m̄R (the XmR constant as
+    // the exact rational 2660/1000), and the out-of-control point count.
+    // Exact integer cents/milli arithmetic end to end; the lag window is
+    // keyed by priority over calendar-bounded month rows (the cusum
+    // posture), then one partial agg per priority.
+    QEntry.sql(
+      "q_xmr_control",
+      """WITH m AS (SELECT o_orderpriority AS prio,
+        |    strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY prio, month),
+        |r AS (SELECT prio, month, cents,
+        |    abs(cents - lag(cents) OVER (PARTITION BY prio ORDER BY month)) AS mr
+        |  FROM m),
+        |g AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_months,
+        |    CAST(sum(cents) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS xbar_milli,
+        |    CAST(sum(mr) AS BIGINT) * 1000 // CAST(count(mr) AS BIGINT) AS mrbar_milli
+        |  FROM r GROUP BY prio HAVING count(mr) >= 1),
+        |lim AS (SELECT prio, n_months, xbar_milli, mrbar_milli,
+        |    xbar_milli + 2660 * mrbar_milli // 1000 AS ucl_milli,
+        |    xbar_milli - 2660 * mrbar_milli // 1000 AS lcl_milli
+        |  FROM g)
+        |SELECT lim.prio, lim.n_months, CAST(lim.xbar_milli AS BIGINT) AS xbar_milli,
+        |  CAST(lim.mrbar_milli AS BIGINT) AS mrbar_milli,
+        |  CAST(lim.ucl_milli AS BIGINT) AS ucl_milli,
+        |  CAST(lim.lcl_milli AS BIGINT) AS lcl_milli,
+        |  CAST(sum(CASE WHEN m.cents * 1000 > lim.ucl_milli
+        |         OR m.cents * 1000 < lim.lcl_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_signals
+        |FROM lim JOIN m ON lim.prio = m.prio
+        |GROUP BY lim.prio, lim.n_months, lim.xbar_milli, lim.mrbar_milli,
+        |  lim.ucl_milli, lim.lcl_milli""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(
+          col("o_orderpriority").as("prio"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month")
+        )
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+        .localCheckpoint() // limits side and signal-count side both consume it
+      val w = Window.partitionBy("prio").orderBy("month")
+      val r = m.withColumn("mr", abs(col("cents") - lag(col("cents"), 1).over(w)))
+      val g = r
+        .groupBy("prio")
+        .agg(
+          count(lit(1)).as("n_months"),
+          expr("sum(cents) * 1000 div count(*)").as("xbar_milli"),
+          expr("sum(mr) * 1000 div count(mr)").as("mrbar_milli"),
+          count(col("mr")).as("_nmr")
+        )
+        .filter(col("_nmr") >= 1)
+      val lim = g.select(
+        col("prio"),
+        col("n_months"),
+        col("xbar_milli"),
+        col("mrbar_milli"),
+        expr("xbar_milli + 2660 * mrbar_milli div 1000").as("ucl_milli"),
+        expr("xbar_milli - 2660 * mrbar_milli div 1000").as("lcl_milli")
+      )
+      lim
+        .join(m, "prio")
+        .groupBy("prio", "n_months", "xbar_milli", "mrbar_milli", "ucl_milli", "lcl_milli")
+        .agg(
+          sum(
+            when(
+              col("cents") * 1000 > col("ucl_milli") || col("cents") * 1000 < col("lcl_milli"),
+              1L
+            ).otherwise(0L)
+          ).cast("long").as("n_signals")
+        )
+        .select(
+          col("prio"),
+          col("n_months"),
+          col("xbar_milli").cast("long").as("xbar_milli"),
+          col("mrbar_milli").cast("long").as("mrbar_milli"),
+          col("ucl_milli").cast("long").as("ucl_milli"),
+          col("lcl_milli").cast("long").as("lcl_milli"),
+          col("n_signals")
+        )
+    },
+
     // Benford leading-digit audit of order totals — the fraud/data-quality
     // screen over any financial column. Counts are exact; observed shares in
     // integer ppm (one BIGINT floor-division); expected shares are the nine

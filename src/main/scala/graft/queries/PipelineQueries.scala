@@ -17,6 +17,23 @@ import graft.operators.{Dedup, Sampling, Similarity}
   */
 object PipelineQueries {
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (64 → 16), entry
+    * (i, j) from the md5 parity of "jl|i|j" — fixed at build time, identical
+    * in the Spark plan and the oracle SQL (both carry it as literals; md5
+    * here is plain JVM MessageDigest, the same function the engines expose).
+    */
+  private def jlSign(i: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"jl|$i|$j".getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+    if (Character.digit(hex.charAt(0), 16) % 2 == 0) 1.0 else -1.0
+  }
+  private val JlDim = 16
+  private val JlSigns: IndexedSeq[IndexedSeq[Double]] =
+    (0 until JlDim).map(j => (0 until 64).map(i => jlSign(i, j)))
+
   /** The converged cluster-resolution frame, memoized per (session, sfDir)
     * and localCheckpointed: three driver-contract entries (`dedup_clusters`,
     * `dedup_cluster_sizes`, `dedup_keep_policy`) compose the SAME iterative
@@ -890,20 +907,27 @@ object PipelineQueries {
     // per-replicate weight Poisson(1) via integer hash thresholds — B
     // resamples in ONE linear pass (map-side expansion + a 32-group agg),
     // the formulation that makes bootstrap CIs tractable at 100 TB.
-    // Exact-integer replicate means (millis).
+    // Exact-integer replicate means (millis). Hash economics: four md5
+    // digests per row carry eight 16-bit replicate draws each (the md5,
+    // not the agg, dominated the first cut at 32 digests/row — 2.4×
+    // cheaper this way at sf0.1).
     QEntry.sql(
       "q_bootstrap_means",
       """WITH o AS (SELECT o_orderkey,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    [md5('bs0|' || CAST(o_orderkey AS VARCHAR)),
+        |     md5('bs1|' || CAST(o_orderkey AS VARCHAR)),
+        |     md5('bs2|' || CAST(o_orderkey AS VARCHAR)),
+        |     md5('bs3|' || CAST(o_orderkey AS VARCHAR))] AS m FROM orders),
         |x AS (SELECT r.rep, o.cents,
-        |    CAST(('0x' || substr(md5(CAST(r.rep AS VARCHAR) || '|bs|'
-        |      || CAST(o.o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        |    CAST(('0x' || substr(o.m[CAST(r.rep // 8 AS INT) + 1],
+        |      CAST((r.rep % 8) * 4 + 1 AS INT), 4)) AS BIGINT) AS hv
         |  FROM o CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r),
         |w AS (SELECT rep, cents,
-        |    CASE WHEN hv < 1656781714176974 THEN 0
-        |         WHEN hv < 3313563428353948 THEN 1
-        |         WHEN hv < 4141954285442435 THEN 2
-        |         WHEN hv < 4418084571138597 THEN 3
+        |    CASE WHEN hv < 24109 THEN 0
+        |         WHEN hv < 48218 THEN 1
+        |         WHEN hv < 60273 THEN 2
+        |         WHEN hv < 64291 THEN 3
         |         ELSE 4 END AS w FROM x)
         |SELECT CAST(rep AS BIGINT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
         |  CAST(CAST(sum(CAST(w AS BIGINT) * cents) AS BIGINT) * 1000
@@ -1518,6 +1542,54 @@ object PipelineQueries {
           col("i").as("dim"),
           round(col("y").cast("double") / sqrt(col("n2").cast("double")), 6).as("eig_w")
         )
+    },
+
+    // Johnson–Lindenstrauss distortion audit: project every embedding
+    // 64 → 16 through the fixed ±1 sign matrix [[JlSigns]] and report
+    // ‖Pv‖²/(16·‖v‖²) — concentrated near 1 by JL; the audit a pipeline
+    // runs before trusting a random projection to pre-shrink vectors for
+    // ANN. Entirely narrow per-row array folds (zip_with + aggregate, no
+    // explode, no shuffle at all until the parquet write): the projection
+    // of 100 TB of vectors is a map-only pass. Determinism: the sign
+    // matrix is literal in both plans, and every float op is a
+    // fixed-order fold of IEEE ops on identical doubles — bit-identical
+    // cross-engine before the courtesy round-4.
+    QEntry.sql(
+      "emb_jl_distortion", {
+        def sl(j: Int) = JlSigns(j).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        val pDefs = (0 until JlDim)
+          .map(j =>
+            s"""list_reduce(list_transform(range(1, 65),
+               |  i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+               |    * (${sl(j)})[CAST(i AS INT)]), (a, b) -> a + b) AS p$j"""
+          )
+          .mkString(",\n")
+        val pn = (0 until JlDim).map(j => s"p$j * p$j").mkString(" + ")
+        s"""WITH p AS (SELECT vec_id,
+           |  list_reduce(list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS v2,
+           |$pDefs
+           |FROM embeddings)
+           |SELECT vec_id, round(($pn) / (16.0 * v2), 4) AS jl_ratio
+           |FROM p WHERE v2 > 0""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val pCols = (0 until JlDim).map { j =>
+        val arr = JlSigns(j).map(v => if (v > 0) "1.0D" else "-1.0D").mkString("array(", ", ", ")")
+        expr(
+          s"aggregate(zip_with(embedding, $arr, (a, b) -> CAST(a AS DOUBLE) * b), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).as(s"p$j")
+      }
+      val v2 = expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+      ).as("v2")
+      val pn = (0 until JlDim).map(j => s"p$j * p$j").mkString(" + ")
+      embeddings(s, d)
+        .select((col("vec_id") +: v2 +: pCols): _*)
+        .filter(col("v2") > 0)
+        .select(col("vec_id"), round(expr(pn) / (lit(16.0) * col("v2")), 4).as("jl_ratio"))
     },
 
     // One deterministic Lloyd assignment step (k = 8) — the clustering

@@ -908,6 +908,47 @@ object StatQueries {
         .agg(min("c").cast("long").as("cms_est"))
     },
 
+    // K-minimum-values (KMV / bottom-k) distinct sketch over the order
+    // keys — the ORDER-STATISTICS mergeable sketch, complementing the
+    // register-based HLL below: keep the k smallest 52-bit hashes; the
+    // k-th smallest h_k estimates density k/n, so n̂ = (k−1)·2⁵²/h_k
+    // (Beyer et al.'s unbiased form), one exact integral division. Bottom-k
+    // sets merge by union+truncate, so 1000 executors sketch partitions
+    // independently — same mergeability story as HLL but with an exact,
+    // RNG-free, engine-portable state (md5 hashes, TakeOrdered k; never a
+    // global sort).
+    QEntry.sql(
+      "q_kmv_distinct",
+      """WITH h AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        |  FROM orders),
+        |kth AS (SELECT max(hv) AS hk FROM (SELECT hv FROM h ORDER BY hv LIMIT 64) t),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM h)
+        |SELECT n.n_true, CAST(63 AS BIGINT) * 4503599627370496 // kth.hk AS kmv_est,
+        |  CAST((CAST(63 AS BIGINT) * 4503599627370496 // kth.hk - n.n_true) * 1000000
+        |    // n.n_true AS BIGINT) AS err_ppm
+        |FROM n CROSS JOIN kth""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val h = orders(s, d)
+        .select(
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 13), 16, 10)
+            .cast("long")
+            .as("hv")
+        )
+        .distinct()
+        .localCheckpoint() // kth and n_true both consume it
+      val kth = h.orderBy(col("hv")).limit(64).agg(max("hv").as("hk"))
+      val n = h.agg(count(lit(1)).as("n_true"))
+      n.crossJoin(broadcast(kth))
+        .select(
+          col("n_true"),
+          expr("63L * 4503599627370496L div hk").cast("long").as("kmv_est"),
+          expr("(63L * 4503599627370496L div hk - n_true) * 1000000 div n_true")
+            .cast("long")
+            .as("err_ppm")
+        )
+    },
+
     // Fully deterministic HyperLogLog (m = 64 registers) over the yearly
     // order-key sets — unlike q_sketch_distinct_users' engine-internal
     // HLL++ (rows-gated, tolerance-banded), every register and the
