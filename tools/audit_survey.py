@@ -26,6 +26,14 @@ BEGIN = "<!-- BEGIN GENERATED ENTRY INDEX (tools/audit_survey.py) -->"
 END = "<!-- END GENERATED ENTRY INDEX -->"
 
 
+# Driver-entry namespaces. The src scan's regex also matches ordinary column
+# aliases ("_b", "gap", "doc_id" ...); restricting to these prefixes keeps the
+# fallback path from polluting the index when no Verify dump is supplied (the
+# r8 regression: 35 alias names entered §2.6 via a dump-less run).
+ENTRY_PREFIX = re.compile(
+    r"^(q|frag|dedup|ann|txt|cur|sample|mm|emb|src|pipe|g)_")
+
+
 def entry_names_from_src():
     out = subprocess.run(
         # the third alternation catches `"name", {`-style registrations whose
@@ -37,7 +45,7 @@ def entry_names_from_src():
     names = {}
     for line in out.splitlines():
         m = re.search(r'"([a-z0-9_]+)"', line)
-        if m:
+        if m and ENTRY_PREFIX.match(m.group(1)):
             path = line.split(":", 1)[0]
             names.setdefault(m.group(1), os.path.relpath(path, REPO))
     return names
