@@ -1249,6 +1249,40 @@ object AnalyticsQueries {
         )
     },
 
+    // Heavy-CHANGE detection (Cormode–Muthukrishnan's "what's new"): the
+    // parts whose shipment count moved most between 1997 and 1998 — trend
+    // mining wants the largest DELTAS, which top-k-by-count misses (a
+    // perennially popular part can be flat). Year predicate pushes to the
+    // scan, one conditional partial agg per part, TakeOrdered top-20;
+    // exact integer deltas, abs-delta ties broken on the key.
+    QEntry.sql(
+      "q_heavy_change",
+      """WITH c AS (SELECT l_partkey AS pk,
+        |    sum(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN year(l_shipdate) = 1998 THEN 1 ELSE 0 END) AS c2
+        |  FROM lineitem WHERE year(l_shipdate) IN (1997, 1998) GROUP BY pk)
+        |SELECT pk AS l_partkey, CAST(c1 AS BIGINT) AS cnt_1997,
+        |  CAST(c2 AS BIGINT) AS cnt_1998, CAST(c2 - c1 AS BIGINT) AS delta
+        |FROM c ORDER BY abs(c2 - c1) DESC, pk LIMIT 20"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      lineitem(s, d)
+        .filter(year(col("l_shipdate")).isin(1997, 1998))
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(when(year(col("l_shipdate")) === 1997, 1L).otherwise(0L)).cast("long").as("cnt_1997"),
+          sum(when(year(col("l_shipdate")) === 1998, 1L).otherwise(0L)).cast("long").as("cnt_1998")
+        )
+        .select(
+          col("l_partkey"),
+          col("cnt_1997"),
+          col("cnt_1998"),
+          (col("cnt_1998") - col("cnt_1997")).as("delta")
+        )
+        .orderBy(abs(col("delta")).desc, col("l_partkey"))
+        .limit(20)
+    },
+
     // Benford leading-digit audit of order totals — the fraud/data-quality
     // screen over any financial column. Counts are exact; observed shares in
     // integer ppm (one BIGINT floor-division); expected shares are the nine

@@ -446,6 +446,68 @@ object GraphQueries {
         .join(und, Seq("u", "v"), "left_anti")
         .orderBy(col("aa_score").desc, col("u"), col("v"))
         .limit(50)
+    },
+
+    // Label propagation (2 unrolled rounds, synchronous): every node starts
+    // as its own community; each round it adopts the MODE of its neighbors'
+    // labels, ties to the smallest label — fully deterministic (no RNG, no
+    // visit order: synchronous update + total tie order). Community census
+    // output. Each round is one edge-keyed equi-join + two partial aggs —
+    // the same shuffle shape as a PageRank step; the argmax is
+    // max(struct(cnt, −label)) so no window. At production depth, rounds
+    // run under localCheckpoint until the label fingerprint fixes (the
+    // connectedComponents convergence pattern).
+    QEntry.sql(
+      "q_label_propagation", {
+        def roundSql(lIn: String, k: Int) =
+          s"""cnt$k AS (SELECT a.node, l.lab, count(*) AS c
+             |  FROM adj a JOIN $lIn l ON a.nbr = l.node GROUP BY a.node, l.lab),
+             |pick$k AS (SELECT node, min(lab) AS lab FROM cnt$k c1
+             |  WHERE c = (SELECT max(c) FROM cnt$k c2 WHERE c2.node = c1.node)
+             |  GROUP BY node),
+             |lab$k AS (SELECT n.node, COALESCE(p.lab, n.node) AS lab
+             |  FROM nodes n LEFT JOIN pick$k p ON n.node = p.node)"""
+        s"""WITH $GraphSql,
+           |adj AS (SELECT u AS node, v AS nbr FROM und
+           |  UNION ALL SELECT v, u FROM und),
+           |nodes AS (SELECT DISTINCT node FROM adj),
+           |lab0 AS (SELECT node, node AS lab FROM nodes),
+           |${roundSql("lab0", 1)},
+           |${roundSql("lab1", 2)}
+           |SELECT lab AS community, CAST(count(*) AS BIGINT) AS size
+           |FROM lab2 GROUP BY lab HAVING count(*) >= 2
+           |ORDER BY size DESC, community LIMIT 25"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val und = recurringPartGraph(s, d).localCheckpoint()
+      val adj = und
+        .select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+        .localCheckpoint() // both rounds join against it
+      val nodes = adj.select("node").distinct().localCheckpoint()
+      def round1(labels: DataFrame): DataFrame = {
+        val cnt = adj
+          .join(labels.toDF("nbr", "lab"), "nbr")
+          .groupBy("node", "lab")
+          .agg(count(lit(1)).as("c"))
+        // mode with min-label ties: max over (count, −label) packs the
+        // argmax into one agg — no per-node window at any scale
+        val pick = cnt
+          .groupBy("node")
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lab"))
+        nodes
+          .join(pick, Seq("node"), "left")
+          .select(col("node"), coalesce(col("lab"), col("node")).as("lab"))
+      }
+      val lab2 = round1(round1(nodes.select(col("node"), col("node").as("lab"))))
+      lab2
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .filter(col("size") >= 2)
+        .orderBy(col("size").desc, col("community"))
+        .limit(25)
     }
   )
 }
