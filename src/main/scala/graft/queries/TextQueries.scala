@@ -735,6 +735,85 @@ object TextQueries {
         |FROM c""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       graft.operators.TermStats.dictionaryCoverage(documents(s, d), "text", "source", 1000)
+    },
+
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+    // stopword/punctuation-delimited runs; a word scores degree/frequency
+    // (degree = Σ phrase-length over its instance occurrences) and a phrase
+    // scores the sum over its words — computed as exact per-word integral
+    // ppm divisions, summed exactly, so ranking is engine-stable. The
+    // stopword delimiting is TWO regexp passes (RE2 has no lookahead;
+    // consecutive stopwords leave a leftover the second pass catches —
+    // both engines run the identical normalization, which is the contract
+    // that matters). Corpus top-20 phrase types by score, ties on the
+    // phrase. All stages are explode → partial-agg → broadcast-join shapes.
+    QEntry.sql(
+      "txt_rake_keywords", {
+        val sw = Stopwords.mkString("|")
+        val norm =
+          s"""regexp_replace(regexp_replace(regexp_replace(
+             |  ' ' || text || ' ', '[.,;:!?]+', ' | ', 'g'),
+             |  '\\s($sw)\\s', ' | ', 'g'), '\\s($sw)\\s', ' | ', 'g')"""
+        s"""WITH ph AS (SELECT trim(p) AS phrase FROM (
+           |    SELECT unnest(string_split($norm, '|')) AS p FROM documents) t
+           |  WHERE trim(p) <> ''),
+           |inst AS (SELECT phrase, string_split_regex(phrase, '\\s+') AS ws FROM ph
+           |  WHERE len(string_split_regex(phrase, '\\s+')) <= 4),
+           |iw AS (SELECT unnest(ws) AS w, len(ws) AS plen FROM inst),
+           |stats AS (SELECT w, CAST(count(*) AS BIGINT) AS f,
+           |    CAST(sum(plen) AS BIGINT) AS deg FROM iw GROUP BY w),
+           |types AS (SELECT phrase, CAST(count(*) AS BIGINT) AS occurrences FROM inst
+           |  GROUP BY phrase),
+           |tw AS (SELECT t.phrase, t.occurrences, u.w,
+           |    CAST(len(string_split_regex(t.phrase, '\\s+')) AS BIGINT) AS n_words
+           |  FROM types t, unnest(string_split_regex(t.phrase, '\\s+')) AS u(w))
+           |SELECT tw.phrase, max(tw.n_words) AS n_words, max(tw.occurrences) AS occurrences,
+           |  CAST(sum(s.deg * 1000000 // s.f) AS BIGINT) AS score_ppm
+           |FROM tw JOIN stats s ON tw.w = s.w
+           |GROUP BY tw.phrase
+           |ORDER BY score_ppm DESC, tw.phrase LIMIT 20"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val sw = Stopwords.mkString("|")
+      val norm = regexp_replace(
+        regexp_replace(
+          regexp_replace(concat(lit(" "), col("text"), lit(" ")), "[.,;:!?]+", " | "),
+          s"\\s($sw)\\s",
+          " | "
+        ),
+        s"\\s($sw)\\s",
+        " | "
+      )
+      val ph = documents(s, d)
+        .select(explode(split(norm, "\\|")).as("p"))
+        .select(trim(col("p")).as("phrase"))
+        .filter(col("phrase") =!= "")
+      val inst = ph
+        .withColumn("ws", split(col("phrase"), "\\s+"))
+        .filter(size(col("ws")) <= 4)
+        .localCheckpoint() // word stats and type counts both consume it
+      val stats = inst
+        .select(explode(col("ws")).as("w"), size(col("ws")).cast("long").as("plen"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("f"), sum("plen").cast("long").as("deg"))
+      val types = inst.groupBy("phrase").agg(count(lit(1)).as("occurrences"))
+      val tw = types
+        .select(
+          col("phrase"),
+          col("occurrences"),
+          size(split(col("phrase"), "\\s+")).cast("long").as("n_words"),
+          explode(split(col("phrase"), "\\s+")).as("w")
+        )
+      tw.join(stats, "w")
+        .groupBy("phrase")
+        .agg(
+          max("n_words").as("n_words"),
+          max("occurrences").as("occurrences"),
+          sum(expr("deg * 1000000 div f")).cast("long").as("score_ppm")
+        )
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(20)
     }
   )
 }
