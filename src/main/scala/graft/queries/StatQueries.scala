@@ -532,6 +532,91 @@ object StatQueries {
         .select(col("a.k").as("k"), col("a.n").as("n_left"), col("b.n").as("n_right"))
     },
 
+    // Order-independent table checksum — the migration/replication diff
+    // primitive at 100 TB: fingerprint a table WITHOUT sorting it by
+    // summing per-row 52-bit digest slices (addition commutes, so any
+    // partitioning/ordering yields the same checksum, and two sides of a
+    // copy compare with one number each). Floats are rendered through
+    // DECIMAL(18,2) so both engines hash identical strings; the sum rides
+    // DECIMAL(38,0) (2^52 × corpus overflows int64). One narrow scan +
+    // single partial agg.
+    QEntry.sql(
+      "q_table_checksum",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)), 1, 13)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        |FROM orders""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      orders(s, d)
+        .select(
+          conv(
+            substring(
+              md5(
+                concat_ws(
+                  "|",
+                  col("o_orderkey").cast("string"),
+                  col("o_custkey").cast("string"),
+                  col("o_orderstatus"),
+                  col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                  col("o_orderdate").cast("date").cast("string"),
+                  col("o_orderpriority")
+                )
+              ),
+              1,
+              13
+            ),
+            16,
+            10
+          ).cast("long").as("_h")
+        )
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("_h").cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").as("checksum")
+        )
+    },
+
+    // Recency-decayed engagement per user: each event contributes
+    // cents // 2^(age-weeks) relative to the corpus's newest event — the
+    // exact integer formulation of exponential decay (binary halving per
+    // week; truncating division is identical on both engines), so scores
+    // replay bit-for-bit with no float powers. One broadcast 1-row max-ts,
+    // one user-keyed partial agg.
+    QEntry.sql(
+      "q_decayed_engagement",
+      """WITH ref AS (SELECT max(ts) AS mts FROM events),
+        |e AS (SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    least(CAST(date_diff('day', CAST(ts AS DATE), CAST(mts AS DATE)) AS BIGINT) // 7,
+        |          40) AS wk
+        |  FROM events CROSS JOIN ref)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents // (CAST(1 AS BIGINT) << CAST(wk AS INT))) AS BIGINT)
+        |    AS decayed_cents,
+        |  CAST(min(wk) AS BIGINT) AS freshest_week
+        |FROM e GROUP BY user_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ref = events(s, d).agg(max("ts").as("mts"))
+      events(s, d)
+        .crossJoin(broadcast(ref))
+        .select(
+          col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          least(
+            expr("CAST(datediff(CAST(mts AS DATE), CAST(ts AS DATE)) AS BIGINT) div 7"),
+            lit(40L)
+          ).as("wk")
+        )
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(expr("cents div shiftleft(1L, CAST(wk AS INT))")).cast("long").as("decayed_cents"),
+          min("wk").cast("long").as("freshest_week")
+        )
+    },
+
     // Data-quality gate (QualityChecks operator): uniqueness, non-null,
     // accepted values, row predicate and FK integrity over orders, one
     // violations row per check — the dbt-test/Deequ shape a pipeline runs
