@@ -915,6 +915,111 @@ object BehaviorQueries {
               s" + ((acc % $nx) * ($nx - $dx)) div $nx)"
           ).as("surv_e12")
         )
+    },
+
+    // SAX-style symbolic discretization of each nation's monthly-revenue
+    // series: every month is mapped to a quartile letter a–d (ntile(4) over
+    // exact cent totals, month tie-break → total order, so both engines
+    // assign identical tiles) and the letters concatenate in month order
+    // into one symbolic word per nation — the alphabet form used for motif
+    // mining / symbolic anomaly matching over time series. Shuffles are
+    // nation-keyed; the per-key window is calendar-sized (≤ ~80 months)
+    // regardless of corpus size, so the shape holds at 100 TB.
+    QEntry.sql(
+      "q_sax_symbols",
+      """WITH m AS (
+        |  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, month),
+        |t AS (SELECT n_name, month,
+        |    ntile(4) OVER (PARTITION BY n_name ORDER BY cents, month) AS tile
+        |  FROM m)
+        |SELECT n_name, string_agg(chr(CAST(96 + tile AS INT)), '' ORDER BY month) AS sax
+        |FROM t GROUP BY n_name""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val monthly = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(
+          col("n_name"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month")
+        )
+        .agg(
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .as("cents")
+        )
+      val tile = ntile(4).over(
+        Window.partitionBy("n_name").orderBy(col("cents"), col("month"))
+      )
+      monthly
+        .withColumn("letter", expr("char(96 + tile)"))
+        .withColumn("tile", tile) // placeholder replaced below; see select
+        .select(col("n_name"), col("month"), expr("char(96 + tile)").as("letter"))
+        .groupBy("n_name")
+        .agg(
+          expr(
+            "array_join(transform(sort_array(collect_list(struct(month, letter)))," +
+              " x -> x.letter), '')"
+          ).as("sax")
+        )
+    },
+
+    // Customer–customer Jaccard similarity on distinct purchased parts —
+    // the pair-similarity primitive behind collaborative filtering and
+    // record blocking, formulated the scalable way: candidate pairs come
+    // from a PART-keyed equi-join (never an all-pairs product) with a
+    // frequency cap (parts held by > 50 customers are dropped, exactly the
+    // stop-word cut MinHash banding literature applies) that bounds fan-out
+    // per part at 50²/2 rows independent of corpus size. Jaccard is exact
+    // integer ppm: |A∩B|·10⁶ // (|A|+|B|−|A∩B|); top-100 by (ppm, pair) is
+    // a total order, TakeOrdered on the Spark side.
+    QEntry.sql(
+      "q_jaccard_customer_pairs",
+      """WITH lp AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |pc AS (SELECT pk FROM lp GROUP BY pk HAVING count(*) <= 50),
+        |lpf AS (SELECT ck, lp.pk FROM lp JOIN pc ON lp.pk = pc.pk),
+        |sz AS (SELECT ck, CAST(count(*) AS BIGINT) AS n FROM lpf GROUP BY ck),
+        |pairs AS (
+        |  SELECT a.ck AS ca, b.ck AS cb, CAST(count(*) AS BIGINT) AS shared
+        |  FROM lpf a JOIN lpf b ON a.pk = b.pk AND a.ck < b.ck
+        |  GROUP BY ca, cb HAVING count(*) >= 3)
+        |SELECT ca, cb, shared,
+        |  CAST(shared * 1000000 // (sa.n + sb.n - shared) AS BIGINT) AS jaccard_ppm
+        |FROM pairs JOIN sz sa ON ca = sa.ck JOIN sz sb ON cb = sb.ck
+        |ORDER BY jaccard_ppm DESC, ca, cb LIMIT 100"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val lp = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+        .distinct()
+      val pc = lp.groupBy("pk").agg(count(lit(1)).as("_c")).filter(col("_c") <= 50).select("pk")
+      val lpf = lp.join(pc, "pk").localCheckpoint() // scanned by sz + both join sides
+      val sz = lpf.groupBy("ck").agg(count(lit(1)).as("n"))
+      val pairs = lpf
+        .toDF("pk", "ca")
+        .join(lpf.toDF("pk", "cb"), "pk")
+        .filter(col("ca") < col("cb"))
+        .groupBy("ca", "cb")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+      pairs
+        .join(sz.toDF("ca", "na"), "ca")
+        .join(sz.toDF("cb", "nb"), "cb")
+        .select(
+          col("ca"),
+          col("cb"),
+          col("shared"),
+          expr("shared * 1000000 div (na + nb - shared)").as("jaccard_ppm")
+        )
+        .orderBy(col("jaccard_ppm").desc, col("ca"), col("cb"))
+        .limit(100)
     }
   )
 }

@@ -508,6 +508,50 @@ object GraphQueries {
         .filter(col("size") >= 2)
         .orderBy(col("size").desc, col("community"))
         .limit(25)
+    },
+
+    // Multi-source BFS hop levels over the recurring part graph: every node
+    // reachable within 3 hops of a seed (partkey ≡ 0 mod 100) gets its exact
+    // BFS distance. Spark side is the standard distributed frontier
+    // expansion — per iteration one edge-keyed join + a min-level partial
+    // agg, lineage truncated per round, so depth extends linearly at any
+    // scale; min-level makes the result order-independent (a node reached
+    // twice in one wave keeps the smaller level). The DuckDB twin is a
+    // recursive CTE — same fixpoint, declarative form. All levels exact
+    // BIGINTs.
+    QEntry.sql(
+      "q_bfs_levels",
+      s"""WITH RECURSIVE $GraphSql,
+         |edges AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+         |bfs AS (
+         |  SELECT u AS node, 0 AS lvl FROM (SELECT DISTINCT u FROM edges)
+         |    WHERE u % 100 = 0
+         |  UNION
+         |  SELECT e.v AS node, b.lvl + 1 AS lvl
+         |  FROM bfs b JOIN edges e ON e.u = b.node WHERE b.lvl < 3)
+         |SELECT CAST(node AS BIGINT) AS node, CAST(min(lvl) AS BIGINT) AS lvl
+         |FROM bfs GROUP BY node""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val und = recurringPartGraph(s, d)
+      val edges = und
+        .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint() // joined every wave; truncate the self-join lineage
+      val seeds = edges
+        .select(col("u").as("node"))
+        .distinct()
+        .filter(col("node") % 100 === 0)
+        .withColumn("lvl", lit(0L))
+      val levels = (1 to 3).foldLeft(seeds) { (lv, depth) =>
+        val frontier = lv.filter(col("lvl") === (depth - 1)).select(col("node").as("u"))
+        val next = edges
+          .join(frontier, "u")
+          .select(col("v").as("node"), lit(depth.toLong).as("lvl"))
+        lv.unionAll(next)
+          .groupBy("node")
+          .agg(min("lvl").as("lvl"))
+          .localCheckpoint()
+      }
+      levels.select(col("node"), col("lvl"))
     }
   )
 }
