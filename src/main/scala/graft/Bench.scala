@@ -68,17 +68,25 @@ object Bench {
     // one lap's garbage from billing the next lap's queries.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     (1 to iters).foreach { _ =>
       picked.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        // a run that throws contributes NO sample — error-path time is not a
+        // measurement, and recording it poisoned the r8 round-over-round
+        // comparison for every events query
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+        }
       }
       System.gc()
     }
-    val results = picked.map { case (name, _) => name -> best(name) }
+    val results = picked.collect { case (name, _) if best.contains(name) => name -> best(name) }
     // full per-query map to a file for local inspection (the printed line
     // keeps only regression-relevant queries — see renderJson)
     sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
@@ -87,7 +95,7 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), all + "\n")
     }
-    println(renderJson(results, sfDir))
+    println(renderJson(results, sfDir, failed.toSeq))
     spark.stop()
   }
 
@@ -95,7 +103,8 @@ object Bench {
     * test suite can guard the contract (valid JSON, expected keys, no
     * logger prefixes are the caller's job via run/outputStrategy).
     */
-  def renderJson(results: Map[String, Double], sfDir: String): String = {
+  def renderJson(results: Map[String, Double], sfDir: String,
+                 failed: Seq[String] = Nil): String = {
     // HARD BUDGET: the driver keeps only the LAST 2000 characters of the run
     // output (measured: every BENCH_r{N}.json has len(tail)==2000), and a
     // longer line gets its HEAD truncated, leaving unparseable JSON (the
@@ -110,6 +119,16 @@ object Bench {
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sf = sfDir.stripSuffix("/").split('/').last // basename: every byte of margin counts
+    // failed queries are EXCLUDED from total/queries and reported by name —
+    // a green-looking bench line must not be achievable by crashing. Names
+    // are capped so a mass failure can't blow the tail budget.
+    val failKey =
+      if (failed.isEmpty) ""
+      else {
+        val shown = failed.take(5).map("\"" + _ + "\"")
+        val more = if (failed.size > 5) Seq("\"+" + (failed.size - 5) + " more\"") else Nil
+        s""","failed_n":${failed.size},"failed":${(shown ++ more).mkString("[", ",", "]")}"""
+      }
     def render(floorSec: Double): String = {
       val (big, small) = results.partition(_._2 >= floorSec)
       val qs = big.toSeq.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + f2(v) }
@@ -117,7 +136,7 @@ object Bench {
       val rest =
         if (small.isEmpty) ""
         else s""","rest_n":${small.size},"rest_sec":${f2(small.values.sum)}"""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$rest,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$rest$failKey,"sf":"$sf"}"""
     }
     // smallest floor whose line fits the tail budget (with headroom for the
     // trailing newline and any straggler log line)

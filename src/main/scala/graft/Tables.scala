@@ -24,14 +24,33 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` ships TIMESTAMP(NANOS) parquet which Spark cannot read natively;
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` the raw column arrives
-    * as nano-of-epoch long. We expose `ts` as a proper TimestampType truncated
-    * to microseconds — the same truncation DuckDB applies when it reads nanos,
-    * so both engines see identical instants.
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations, so the reader dispatches on the ACTUAL parquet dtype:
+    *
+    *  - TIMESTAMP(NANOS), which Spark only reads with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` as a nano-of-epoch long —
+    *    truncated here to micros (the same truncation DuckDB applies), or
+    *  - TIMESTAMP(MICROS) (current generations), read natively; NTZ is cast
+    *    to session-local TimestampType so downstream date/window functions
+    *    behave identically on either input.
+    *
+    * Either way callers see one canonical `ts: TimestampType` column.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame =
+    canonicalizeEventsTs(table(s, d, "events"))
+
+  /** Normalize an events-shaped DataFrame's `ts` to TimestampType regardless
+    * of physical input form. Shared by the batch reader above and any
+    * `readStream` over the same layout (streams carry the same schema drift).
+    */
+  def canonicalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
   }
 }

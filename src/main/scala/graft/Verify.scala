@@ -16,11 +16,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD: a query that throws gets a row in errors.json
+    // (name → first line of the exception) so a missing correctness row is
+    // always distinguishable from a passing one. Round 8 lost 42 entries
+    // silently because a skipped query left no artifact at all.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" | ")
+        errors(name) = s"${e.getClass.getSimpleName}: $msg"
+        System.err.println(s"[verify] FAILED $name: ${errors(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +53,15 @@ object Verify {
       Paths.get(s"$outDir/entry_names.json"),
       SparkEntry.queries.keys.map(q).mkString("[", ",", "]")
     )
+    // error manifest — ALWAYS written (empty object when clean) so its
+    // absence is itself a signal that Verify never completed
+    Files.writeString(
+      Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    )
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} FAILED entries: ${errors.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }

@@ -956,8 +956,7 @@ object BehaviorQueries {
         Window.partitionBy("n_name").orderBy(col("cents"), col("month"))
       )
       monthly
-        .withColumn("letter", expr("char(96 + tile)"))
-        .withColumn("tile", tile) // placeholder replaced below; see select
+        .withColumn("tile", tile)
         .select(col("n_name"), col("month"), expr("char(96 + tile)").as("letter"))
         .groupBy("n_name")
         .agg(

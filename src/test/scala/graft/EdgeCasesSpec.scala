@@ -56,6 +56,14 @@ class EdgeCasesSpec extends SparkSpec {
     assert(bounded.length <= 1900, s"line too long: ${bounded.length}")
     assert(bounded.contains("\"rest_n\":90") && bounded.contains("\"rest_sec\":4.50"), bounded)
     assert(bounded.contains("q_some_rather_long_query_name_1\":2.00"), bounded)
+    // failed queries: excluded from total/queries, reported by name, capped
+    val withFail = Bench.renderJson(Map("q1" -> 1.5), "/x/sf0.1", Seq("q_bad"))
+    assert(withFail.contains("\"failed_n\":1") && withFail.contains("\"failed\":[\"q_bad\"]"), withFail)
+    assert(withFail.contains("\"value\":1.500"), withFail) // q_bad not billed
+    val massFail = Bench.renderJson(Map.empty[String, Double], "/x/sf0.1",
+      (1 to 40).map(i => s"q_f$i"))
+    assert(massFail.contains("\"failed_n\":40") && massFail.contains("+35 more"), massFail)
+    assert(massFail.length <= 1900, s"mass-failure line too long: ${massFail.length}")
   }
 
   test("generic round-robin fragment: k-th row by order key goes to k mod n") {

@@ -122,10 +122,11 @@ class MultimodalStreamingSpec extends SparkSpec {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       streamDir.resolve("events.parquet")
     )
-    val stream = spark.readStream
-      .schema(Tables.table(spark, "/root/testdata/sf0.001", "events").schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.canonicalizeEventsTs(
+      spark.readStream
+        .schema(Tables.table(spark, "/root/testdata/sf0.001", "events").schema)
+        .parquet(streamDir.toString)
+    )
     val q = StreamingOps
       .hourlyEventCounts(stream, watermark = "10 days")
       .writeStream
