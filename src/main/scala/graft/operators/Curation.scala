@@ -507,4 +507,65 @@ object Curation {
       .withColumn("is_code", col("symbol_ppm") >= thresholdPpm)
       .drop("n_chars_")
   }
+
+  /** k-anonymity audit over a quasi-identifier column set: how many
+    * equivalence classes fall below k, and what share of rows they expose.
+    * The release gate privacy review runs AFTER piiScrub — a scrubbed corpus
+    * can still re-identify via rare attribute combinations. One partial agg
+    * over the class keys + a one-row rollup; class cardinality (≤ the QI
+    * domain product) bounds state regardless of corpus size.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "kAnonymity needs columns and k >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .agg(
+        lit(k.toLong).as("k"),
+        count(lit(1)).cast("long").as("n_classes"),
+        min(col("class_size")).cast("long").as("min_class_size"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L)).cast("long")
+          .as("n_risky_classes"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .cast("long").as("n_risky_rows"),
+        sum(col("class_size")).cast("long").as("n_rows")
+      )
+      .withColumn(
+        "risky_ppm",
+        expr("n_risky_rows * 1000000L div n_rows").cast("long")
+      )
+  }
+
+  /** Temperature-scaled source mixture at α = 0.5 (UNICODE-style
+    * multilingual rebalancing, Lample & Conneau 2019: wᵢ ∝ nᵢ^α — α < 1
+    * upsamples small sources): per-source doc counts, √n quantized to
+    * integer micro-units (sqrt and one double multiply are both IEEE
+    * correctly-rounded, so the quantized value is bit-identical in any
+    * engine; summation is then EXACT integer arithmetic — no float-sum
+    * order anywhere), mixture weight in ppm, and milli-epochs each source
+    * runs under a character budget. Two partial aggs, source-cardinality
+    * state.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      srcCol: String,
+      sizeCol: String,
+      budgetChars: Long
+  ): DataFrame = {
+    val bySrc = df
+      .groupBy(col(srcCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("chars")
+      )
+      .withColumn("sq_micro", floor(sqrt(col("n_docs")) * lit(1000000.0)).cast("long"))
+    val total = bySrc.agg(sum(col("sq_micro")).cast("long").as("sq_total"))
+    bySrc
+      .crossJoin(broadcast(total))
+      .withColumn("w_ppm", expr("sq_micro * 1000000L div sq_total").cast("long"))
+      .withColumn(
+        "epochs_milli",
+        expr(s"(${budgetChars}L * w_ppm div 1000000L) * 1000L div chars").cast("long")
+      )
+      .select(srcCol, "n_docs", "chars", "w_ppm", "epochs_milli")
+  }
 }

@@ -1023,6 +1023,40 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // Equi-height histogram per status class — the optimizer-statistics
+    // companion of q_histogram_bins' equal-width form: ntile(8) over the
+    // exact-cent total order (cents, orderkey — unique, so bucket assignment
+    // is deterministic and identical cross-engine by ntile's first-buckets-
+    // get-the-remainder definition), then per-bucket count and exact cent
+    // boundaries. Keyed by o_orderstatus: the sort is per-partition, never
+    // global — the fixed-depth histogram a cost model reads for range
+    // selectivity.
+    QEntry.sql(
+      "q_histogram_equiheight",
+      """WITH c AS (SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderkey FROM orders),
+        |t AS (SELECT o_orderstatus, cents,
+        |    ntile(8) OVER (PARTITION BY o_orderstatus ORDER BY cents, o_orderkey)
+        |      AS bucket FROM c)
+        |SELECT o_orderstatus, CAST(bucket AS BIGINT) AS bucket,
+        |  count(*) AS n, min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM t GROUP BY o_orderstatus, bucket"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("cents"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderstatus"), cents.as("cents"), col("o_orderkey"))
+        .withColumn("bucket", ntile(8).over(w).cast("long"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents")
+        )
+    },
+
     // Relative-standing window functions: percent_rank and cume_dist of each
     // order's price within its status class. Both are single divisions of
     // exact integer rank/count components — (rank−1)/(n−1) and peers/n — so

@@ -482,6 +482,53 @@ object CurationQueries {
         |  CAST(CASE WHEN COALESCE(agg.n_spans, 0) = 0 THEN -1
         |       ELSE agg.n_novel * 1000000 // agg.n_spans END AS BIGINT) AS novel_ppm
         |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin.replaceAll("\\s+", " ")
-    ) { (s, d) => Dedup.spanNovelty(documents(s, d), "doc_id", "text", k = 8) }
+    ) { (s, d) => Dedup.spanNovelty(documents(s, d), "doc_id", "text", k = 8) },
+
+    // k-anonymity audit ([[Curation.kAnonymity]]) over the corpus
+    // quasi-identifier (lang, source) at k = 5: the release-gate privacy
+    // review a scrubbed corpus still needs — rare attribute combinations
+    // re-identify where direct identifiers don't. All counts exact BIGINTs;
+    // class-cardinality state (≤ |lang|·|source|) at any corpus size.
+    QEntry.sql(
+      "cur_kanonymity",
+      """WITH c AS (SELECT lang, source, count(*) AS class_size
+        |  FROM documents GROUP BY lang, source)
+        |SELECT CAST(5 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(class_size) AS BIGINT) AS min_class_size,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_classes,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) * 1000000
+        |    // sum(class_size) AS BIGINT) AS risky_ppm
+        |FROM c""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.kAnonymity(documents(s, d), Seq("lang", "source"), k = 5)
+    },
+
+    // Temperature-scaled mixture weights at α = 0.5 with per-source epoch
+    // budgets ([[Curation.temperatureMixture]]): wᵢ ∝ √nᵢ upsamples small
+    // sources (the multilingual rebalancing rule), then a 10⁹-char budget
+    // splits by weight and converts to milli-epochs over each source's
+    // actual char mass — the repetition-rate plan a data-constrained run
+    // reads before sampling. √n is quantized to exact integer micro-units
+    // BEFORE summation, so no float sum-order exists on either engine.
+    QEntry.sql(
+      "cur_temperature_mix",
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(sq) AS BIGINT) AS sq_total FROM s)
+        |SELECT source, n_docs, chars,
+        |  CAST(sq * 1000000 // sq_total AS BIGINT) AS w_ppm,
+        |  CAST((1000000000 * (sq * 1000000 // sq_total) // 1000000) * 1000
+        |    // chars AS BIGINT) AS epochs_milli
+        |FROM s CROSS JOIN t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.temperatureMixture(
+        documents(s, d), "source", "n_chars", budgetChars = 1000000000L)
+    }
   )
 }

@@ -482,6 +482,74 @@ object PipelineQueries {
         )
     },
 
+    // MinHash-LSH counterpart of dedup_simhash_eval: precision/recall of
+    // the PRODUCTION banding path (8 perms, 4 bands of 2) against the same
+    // exact shingle-Jaccard ≥ 0.5 truth, on the truth's (lang, source)
+    // domain. Together the two evals rank the engine's two sketch-blocking
+    // schemes on the actual corpus — the measurement that decides which
+    // dedup pass a 100 TB run configures.
+    QEntry.sql(
+      "dedup_minhash_eval",
+      s"""WITH pred0 AS ($pairsSql),
+         |meta AS (SELECT doc_id, lang, source FROM documents),
+         |pred AS (SELECT pred0.id1, pred0.id2
+         |  FROM pred0
+         |  JOIN meta m1 ON pred0.id1 = m1.doc_id
+         |  JOIN meta m2 ON pred0.id2 = m2.doc_id
+         |  WHERE m1.lang = m2.lang AND m1.source = m2.source),
+         |sh AS (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w),
+         |tru AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) >= 1
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM pred JOIN tru ON pred.id1 = tru.id1 AND pred.id2 = tru.id2),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM pred),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tru)
+         |SELECT nt.n_true, np.n_pred, h.n_hit,
+         |  CASE WHEN np.n_pred = 0 THEN -1
+         |    ELSE CAST(h.n_hit * 1000000 // np.n_pred AS BIGINT) END AS precision_ppm,
+         |  CASE WHEN nt.n_true = 0 THEN -1
+         |    ELSE CAST(h.n_hit * 1000000 // nt.n_true AS BIGINT) END AS recall_ppm
+         |FROM nt CROSS JOIN np CROSS JOIN h"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val meta = documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      val pred = Dedup
+        .minhashCandidatePairs(documents(s, d), "doc_id", "text")
+        .join(broadcast(meta.toDF("id1", "l1", "s1_")), "id1")
+        .join(broadcast(meta.toDF("id2", "l2", "s2_")), "id2")
+        .filter(col("l1") === col("l2") && col("s1_") === col("s2_"))
+        .select("id1", "id2")
+        .localCheckpoint()
+      val tru = Dedup
+        .ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
+        .filter(col("jaccard") >= 0.5)
+        .select("id1", "id2")
+        .localCheckpoint()
+      val h = pred.join(tru, Seq("id1", "id2")).agg(count(lit(1)).as("n_hit"))
+      val np = pred.agg(count(lit(1)).as("n_pred"))
+      val nt = tru.agg(count(lit(1)).as("n_true"))
+      nt.crossJoin(broadcast(np))
+        .crossJoin(broadcast(h))
+        .select(
+          col("n_true"),
+          col("n_pred"),
+          col("n_hit"),
+          when(col("n_pred") === 0L, -1L)
+            .otherwise(expr("n_hit * 1000000L div n_pred"))
+            .cast("long")
+            .as("precision_ppm"),
+          when(col("n_true") === 0L, -1L)
+            .otherwise(expr("n_hit * 1000000L div n_true"))
+            .cast("long")
+            .as("recall_ppm")
+        )
+    },
+
     // Embedding-cosine near-dup pairs on the LSH-blocked scale path (the plan
     // you'd run at 100 TB: bucket equi-joins OR-ed over 4 independent 4-bit
     // hyperplane tables, candidate pairs deduplicated before the cosine —

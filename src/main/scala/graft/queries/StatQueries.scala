@@ -1554,6 +1554,64 @@ object StatQueries {
             "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2) / (n2 - 1)), 2)"
         ).as("welch_df")
       )
+    },
+
+    // Join-cardinality estimation audit — the textbook optimizer estimate
+    // |R ⋈ S| ≈ |R|·|S| / max(ndv_R(k), ndv_S(k)) measured against the
+    // ACTUAL join count for the two fact joins, with signed error in ppm.
+    // The System-R assumption check a cost model regression-tests against
+    // real data; every term (counts, NDVs, the estimate's integral
+    // division) is an exact BIGINT. Three scans + two partial-agg'd joins,
+    // two rows out at any scale.
+    QEntry.sql(
+      "q_join_card_est",
+      """WITH oc AS (SELECT count(*) AS n, count(DISTINCT o_custkey) AS d FROM orders),
+        |cc AS (SELECT count(*) AS n, count(DISTINCT c_custkey) AS d FROM customer),
+        |lo AS (SELECT count(*) AS n, count(DISTINCT l_orderkey) AS d FROM lineitem),
+        |oo AS (SELECT count(*) AS n, count(DISTINCT o_orderkey) AS d FROM orders),
+        |a1 AS (SELECT count(*) AS actual FROM orders
+        |  JOIN customer ON o_custkey = c_custkey),
+        |a2 AS (SELECT count(*) AS actual FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        |  SELECT 'orders_customer' AS join_name,
+        |    CAST(oc.n AS BIGINT) AS n_left, CAST(cc.n AS BIGINT) AS n_right,
+        |    CAST(oc.d AS BIGINT) AS ndv_left, CAST(cc.d AS BIGINT) AS ndv_right,
+        |    CAST(oc.n * cc.n // greatest(oc.d, cc.d) AS BIGINT) AS est,
+        |    CAST(a1.actual AS BIGINT) AS actual
+        |  FROM oc, cc, a1
+        |  UNION ALL
+        |  SELECT 'lineitem_orders',
+        |    CAST(lo.n AS BIGINT), CAST(oo.n AS BIGINT),
+        |    CAST(lo.d AS BIGINT), CAST(oo.d AS BIGINT),
+        |    CAST(lo.n * oo.n // greatest(lo.d, oo.d) AS BIGINT),
+        |    CAST(a2.actual AS BIGINT)
+        |  FROM lo, oo, a2)
+        |SELECT join_name, n_left, n_right, ndv_left, ndv_right, est, actual,
+        |  CAST((est - actual) * 1000000 // actual AS BIGINT) AS err_ppm
+        |FROM r""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      def stats(df: org.apache.spark.sql.DataFrame, k: String) =
+        df.agg(count(lit(1)).cast("long").as("n"), countDistinct(col(k)).cast("long").as("dv"))
+      def audit(name: String, left: org.apache.spark.sql.DataFrame, lk: String,
+                right: org.apache.spark.sql.DataFrame, rk: String) = {
+        val actual = left.join(right, col(lk) === col(rk))
+          .agg(count(lit(1)).cast("long").as("actual"))
+        stats(left, lk).toDF("n_left", "ndv_left")
+          .crossJoin(broadcast(stats(right, rk).toDF("n_right", "ndv_right")))
+          .crossJoin(broadcast(actual))
+          .select(
+            lit(name).as("join_name"),
+            col("n_left"), col("n_right"), col("ndv_left"), col("ndv_right"),
+            expr("n_left * n_right div greatest(ndv_left, ndv_right)")
+              .cast("long").as("est"),
+            col("actual")
+          )
+          .withColumn("err_ppm", expr("(est - actual) * 1000000L div actual").cast("long"))
+      }
+      audit("orders_customer", orders(s, d), "o_custkey", customer(s, d), "c_custkey")
+        .unionAll(
+          audit("lineitem_orders", lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey"))
     }
   )
 }

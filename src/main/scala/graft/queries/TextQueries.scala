@@ -814,6 +814,37 @@ object TextQueries {
         )
         .orderBy(col("score_ppm").desc, col("phrase"))
         .limit(20)
+    },
+
+    // Simpson lexical-diversity index per source: D = Σ fᵢ(fᵢ−1) / (N(N−1))
+    // — the probability two random tokens coincide, the repetition-diversity
+    // complement of txt_heaps_ttr's vocabulary-growth curve. An EXACT
+    // rational of token-frequency sums reported in ppm (one integral
+    // division); source-keyed partial aggs over (source, token) state, no
+    // windows, no float.
+    QEntry.sql(
+      "txt_simpson_diversity",
+      s"""WITH tok AS (SELECT source, unnest($wordsSql) AS w
+         |  FROM (SELECT source, text FROM documents) t),
+         |f AS (SELECT source, w, CAST(count(*) AS BIGINT) AS f
+         |  FROM tok GROUP BY source, w)
+         |SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(f * (f - 1)) * 1000000 // (sum(f) * (sum(f) - 1)) AS BIGINT)
+         |    AS simpson_ppm
+         |FROM f GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w")
+        .agg(count(lit(1)).as("f"))
+        .groupBy("source")
+        .agg(
+          sum(col("f")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_types"),
+          expr("sum(f * (f - 1)) * 1000000L div (sum(f) * (sum(f) - 1L))")
+            .cast("long").as("simpson_ppm")
+        )
     }
   )
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Ground truth for the corpus-audit operators added in round 9: k-anonymity
+  * classes, temperature-scaled mixture weights, and the optimizer-stats
+  * entries (equi-height histogram, join-cardinality audit) on hand-checkable
+  * inputs. The driver oracle proves cross-engine equality; these prove the
+  * SEMANTICS.
+  */
+class CurationAuditSpec extends SparkSpec {
+
+  test("kAnonymity: class counts, risky rows and ppm on a crafted frame") {
+    val s = spark
+    import s.implicits._
+    // classes: (a,x)=4 rows (risky at k=5), (a,y)=5 (safe), (b,x)=1 (risky)
+    val df = (Seq.fill(4)(("a", "x")) ++ Seq.fill(5)(("a", "y")) ++ Seq(("b", "x")))
+      .toDF("lang", "source")
+    val r = Curation.kAnonymity(df, Seq("lang", "source"), k = 5).collect()(0)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("min_class_size") == 1L)
+    assert(r.getAs[Long]("n_risky_classes") == 2L)
+    assert(r.getAs[Long]("n_risky_rows") == 5L)
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("risky_ppm") == 500000L)
+  }
+
+  test("temperatureMixture: sqrt upsamples the small source; epochs from char mass") {
+    val s = spark
+    import s.implicits._
+    // source a: 100 docs of 10 chars; source b: 1 doc of 10 chars.
+    // raw doc share a = 100/101 ≈ 99%; at alpha=0.5 w_a = 10/11 ≈ 91% — the
+    // small source is upsampled relative to its raw share.
+    val df = ((1 to 100).map(i => ("a", 10L)) ++ Seq(("b", 10L))).toDF("source", "n_chars")
+    val out = Curation.temperatureMixture(df, "source", "n_chars", budgetChars = 1000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val wa = out("a").getAs[Long]("w_ppm")
+    val wb = out("b").getAs[Long]("w_ppm")
+    assert(wa == 10000000L * 1000000L / 11000000L, s"w_a=$wa") // 10/11 in ppm (floor)
+    assert(wb == 1000000L * 1000000L / 11000000L, s"w_b=$wb")  // 1/11 in ppm (floor)
+    assert(wb * 100 > wa, "alpha=0.5 must upsample the small source vs raw 1%")
+    // epochs: alloc = 1000*w_ppm/1e6 chars; a: 909 chars over 1000 → 0.909 ep
+    assert(out("a").getAs[Long]("epochs_milli") == 909L * 1000L / 1000L)
+    assert(out("b").getAs[Long]("epochs_milli") == 90L * 1000L / 10L) // 90 chars / 10 = 9 ep
+  }
+
+  test("q_histogram_equiheight: buckets are equal-depth ±1 and boundaries nest") {
+    val out = SparkEntry.queries("q_histogram_equiheight")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byStatus = out.groupBy(_.getString(0))
+    byStatus.foreach { case (_, rows) =>
+      val ns = rows.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"equi-height depth spread: ${ns.toSeq}")
+      val sorted = rows.sortBy(_.getAs[Long]("bucket"))
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo.getAs[Long]("hi_cents") <= hi.getAs[Long]("lo_cents"),
+            "bucket boundaries must be non-overlapping and ordered")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_join_card_est: PK-FK join estimate is exact (err_ppm = 0)") {
+    val out = SparkEntry.queries("q_join_card_est")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // lineitem→orders is a true FK with full coverage: est = n_l * n_o /
+    // max(d_l, d_o) = n_l when every lineitem's order exists and d_o = n_o.
+    val lo = out("lineitem_orders")
+    assert(lo.getAs[Long]("est") == lo.getAs[Long]("actual"))
+    assert(lo.getAs[Long]("err_ppm") == 0L)
+    // orders→customer: not every customer orders, so NDV(c) = |C| makes the
+    // estimate exact there too (uniformity holds by construction); assert the
+    // audit at least brackets reality within 10%.
+    val oc = out("orders_customer")
+    assert(math.abs(oc.getAs[Long]("err_ppm")) <= 100000L,
+      s"orders_customer err_ppm=${oc.getAs[Long]("err_ppm")}")
+  }
+
+  test("dedup_minhash_eval: counts are consistent (hits bounded by both sides)") {
+    val r = SparkEntry.queries("dedup_minhash_eval")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val (nt, np, nh) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_pred"), r.getAs[Long]("n_hit"))
+    assert(nh <= nt && nh <= np)
+    if (np > 0) assert(r.getAs[Long]("precision_ppm") == nh * 1000000L / np)
+    if (nt > 0) assert(r.getAs[Long]("recall_ppm") == nh * 1000000L / nt)
+  }
+
+  test("txt_simpson_diversity: uniform tokens hit the closed form") {
+    val s = spark
+    import s.implicits._
+    val dir = withTempDir { dir =>
+      // one source, 2 docs, tokens: a a b b → f = {a:2, b:2}, N=4
+      // D = (2·1 + 2·1) / (4·3) = 4/12 → 333333 ppm
+      Seq((1L, "a a", "en", "s", 3L), (2L, "b b", "en", "s", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = SparkEntry.queries("txt_simpson_diversity")(spark, dir).collect()(0)
+      assert(r.getAs[Long]("n_tokens") == 4L)
+      assert(r.getAs[Long]("n_types") == 2L)
+      assert(r.getAs[Long]("simpson_ppm") == 333333L)
+    }
+  }
+}
