@@ -755,6 +755,57 @@ object RelationalQueries {
       )
     },
 
+    // Zone-map data-skipping audit: per-zone (ingest-order blocks of 4096
+    // orderkeys — the file-level granule a lakehouse writes) min/max
+    // shipdate stats, then the fraction of zones and rows a 1995 range
+    // predicate can prove away WITHOUT reading them — the measured
+    // effectiveness of min/max pruning on the actual layout, read before
+    // deciding whether a Z-order rewrite (q_zorder_values) pays. Zone key
+    // is pure arithmetic on the sort key (no windows, no global sort);
+    // state is zone-cardinality.
+    QEntry.sql(
+      "q_zonemap_prune",
+      """WITH z AS (SELECT l_orderkey // 4096 AS zone,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+        |  FROM lineitem),
+        |m AS (SELECT zone, count(*) AS n_rows, min(d) AS min_day, max(d) AS max_day
+        |  FROM z GROUP BY zone),
+        |lim AS (SELECT date_diff('day', DATE '1970-01-01', DATE '1995-01-01') AS lo,
+        |               date_diff('day', DATE '1970-01-01', DATE '1995-12-31') AS hi)
+        |SELECT CAST(count(*) AS BIGINT) AS n_zones,
+        |  CAST(sum(CASE WHEN max_day < lo OR min_day > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pruned_zones,
+        |  CAST(sum(CASE WHEN max_day < lo OR min_day > hi THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS zone_prune_ppm,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN max_day < lo OR min_day > hi THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS skipped_rows,
+        |  CAST(sum(CASE WHEN max_day < lo OR min_day > hi THEN n_rows ELSE 0 END)
+        |    * 1000000 // sum(n_rows) AS BIGINT) AS row_skip_ppm
+        |FROM m CROSS JOIN lim""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val zones = lineitem(s, d)
+        .select(
+          expr("l_orderkey div 4096").as("zone"),
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date")).as("d")
+        )
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_rows"), min("d").as("min_day"), max("d").as("max_day"))
+      val lo = datediff(lit("1995-01-01").cast("date"), lit("1970-01-01").cast("date"))
+      val hi = datediff(lit("1995-12-31").cast("date"), lit("1970-01-01").cast("date"))
+      val pruned = col("max_day") < lo || col("min_day") > hi
+      zones.agg(
+        count(lit(1)).cast("long").as("n_zones"),
+        sum(when(pruned, 1L).otherwise(0L)).cast("long").as("pruned_zones"),
+        sum(col("n_rows")).cast("long").as("n_rows"),
+        sum(when(pruned, col("n_rows")).otherwise(0L)).cast("long").as("skipped_rows")
+      )
+      .withColumn("zone_prune_ppm", expr("pruned_zones * 1000000L div n_zones").cast("long"))
+      .withColumn("row_skip_ppm", expr("skipped_rows * 1000000L div n_rows").cast("long"))
+      .select("n_zones", "pruned_zones", "zone_prune_ppm", "n_rows", "skipped_rows",
+        "row_skip_ppm")
+    },
+
     // Salted skew join: the build side (supplier) is replicated `salt` ways
     // and the probe's hot keys spread across salt sub-keys — identical
     // results to the plain equi-join (the twin), minus the straggler reducer.

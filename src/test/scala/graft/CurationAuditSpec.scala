@@ -88,6 +88,17 @@ class CurationAuditSpec extends SparkSpec {
     if (nt > 0) assert(r.getAs[Long]("recall_ppm") == nh * 1000000L / nt)
   }
 
+  test("q_zonemap_prune: skipped rows only come from provably-out-of-range zones") {
+    val r = SparkEntry.queries("q_zonemap_prune")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(r.getAs[Long]("pruned_zones") <= r.getAs[Long]("n_zones"))
+    assert(r.getAs[Long]("skipped_rows") <= r.getAs[Long]("n_rows"))
+    assert(r.getAs[Long]("zone_prune_ppm") ==
+      r.getAs[Long]("pruned_zones") * 1000000L / r.getAs[Long]("n_zones"))
+    assert(r.getAs[Long]("row_skip_ppm") ==
+      r.getAs[Long]("skipped_rows") * 1000000L / r.getAs[Long]("n_rows"))
+  }
+
   test("txt_simpson_diversity: uniform tokens hit the closed form") {
     val s = spark
     import s.implicits._
