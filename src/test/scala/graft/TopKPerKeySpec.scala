@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerKeyExec
+
+/** The custom physical operator: Filter(row_number <= k) over a window must
+  * plan as TopKPerKeyExec (partial + final, no WindowExec, no full sort) and
+  * return exactly what WindowExec returns on a total order.
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  /** Collect TopKPerKeyExec nodes, descending through AQE wrappers (collect
+    * alone stops at AdaptiveSparkPlanExec, which is a leaf).
+    */
+  private def topkExecs(df: org.apache.spark.sql.DataFrame): Seq[TopKPerKeyExec] = {
+    df.collect() // force AQE to finalize
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[TopKPerKeyExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case t: TopKPerKeyExec => Seq(t)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      }.flatten
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def hasWindowExec(df: org.apache.spark.sql.DataFrame): Boolean = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _: org.apache.spark.sql.execution.window.WindowExec => true
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      }.contains(true)
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def topkDf(k: Int) = {
+    val s = spark
+    import s.implicits._
+    // 3 keys × 200 rows, values crafted so the order is total per key
+    val df = (1 to 600)
+      .map(i => (i % 3, (i * 7919) % 601, i))
+      .toDF("key", "value", "uid")
+    val w = Window.partitionBy("key").orderBy(col("value").desc, col("uid"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  test("rewrite fires: TopKPerKeyExec partial+final, no WindowExec") {
+    val df = topkDf(5)
+    val execs = topkExecs(df)
+    assert(execs.size == 2, s"expected partial+final, got:\n${df.queryExecution.executedPlan}")
+    assert(execs.count(_.rankAttr.isDefined) == 1, "exactly one rank-emitting final")
+    assert(!hasWindowExec(df),
+      s"WindowExec must be replaced:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("results equal the WindowExec formulation on a total order") {
+    val got = topkDf(5)
+    val expected = withDisabled { topkDf(5) }
+    assert(got.count() == 15)
+    val g = got.collect().map(_.toSeq).toSet
+    val e = expected.collect().map(_.toSeq).toSet
+    assert(g == e, s"bounded-heap result diverges:\n got=${g.take(5)}\n exp=${e.take(5)}")
+  }
+
+  test("rank values are the true 1..k sequence per key") {
+    val rows = topkDf(3).collect()
+    val byKey = rows.groupBy(_.getInt(0))
+    assert(byKey.size == 3)
+    byKey.values.foreach { ks =>
+      assert(ks.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+    }
+  }
+
+  test("k=1 via rn = 1 equality predicate") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 10, 1), (1, 20, 2), (2, 30, 3)).toDF("key", "value", "uid")
+    val w = Window.partitionBy("key").orderBy(col("value").desc, col("uid"))
+    val top1 = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(topkExecs(top1).nonEmpty)
+    assert(top1.select("uid").as[Int].collect().toSet == Set(2, 3))
+  }
+
+  test("no rewrite for rank() or for conjunctive predicates") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 50).map(i => (i % 2, i)).toDF("key", "value")
+    val w = Window.partitionBy("key").orderBy("value")
+    val ranked = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    assert(topkExecs(ranked).isEmpty, "rank() must not rewrite")
+    assert(ranked.count() == 6)
+    val conj = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("value") > 10)
+    assert(topkExecs(conj).isEmpty, "conjunction must not rewrite")
+    // and the conjunction still computes correctly through WindowExec
+    assert(conj.count() == withDisabled { conj.count() })
+  }
+
+  test("global top-k (no partition keys) gathers to one group") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => ((i * 31) % 101, i)).toDF("value", "uid")
+    val w = Window.orderBy(col("value").desc, col("uid"))
+    val top = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+    assert(topkExecs(top).size == 2)
+    val expected = withDisabled { top.collect().map(_.toSeq).toSet }
+    assert(top.collect().map(_.toSeq).toSet == expected)
+  }
+
+  private def withDisabled[A](f: => A): A = {
+    spark.conf.set(graft.plans.TopKPerKey.EnabledKey, "false")
+    try f
+    finally spark.conf.set(graft.plans.TopKPerKey.EnabledKey, "true")
+  }
+}
