@@ -39,6 +39,9 @@ object SourceQueries {
         // keeps the input partitioning (many files) for exactly that reason.
         case "json_gzip" => w.option("compression", "gzip").json(path)
         case "orc" => w.orc(path)
+        // Spark 4's NATIVE XML source (spark-xml graduated into core) —
+        // enterprise feed formats without an external package
+        case "xml" => w.option("rootTag", "docs").option("rowTag", "doc").xml(path)
       }
     }
     fmt match {
@@ -52,6 +55,7 @@ object SourceQueries {
       case "json" => s.read.schema(base.schema).json(path)
       case "json_gzip" => s.read.schema(base.schema).json(path)
       case "orc" => s.read.orc(path)
+      case "xml" => s.read.schema(base.schema).option("rowTag", "doc").xml(path)
     }
   }
 
@@ -151,6 +155,7 @@ object SourceQueries {
     QEntry.sql("src_csv_docs", docsSql)((s, d) => roundTrip(s, d, "csv")),
     QEntry.sql("src_orc_docs", docsSql)((s, d) => roundTrip(s, d, "orc")),
     QEntry.sql("src_json_gzip_docs", docsSql)((s, d) => roundTrip(s, d, "json_gzip")),
+    QEntry.sql("src_xml_docs", docsSql)((s, d) => roundTrip(s, d, "xml")),
     QEntry.sql(
       "src_json_nested",
       """SELECT doc_id, lang, source,
