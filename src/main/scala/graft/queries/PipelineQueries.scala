@@ -1406,6 +1406,57 @@ object PipelineQueries {
       Similarity.recallAtK(bf, ap, 10)
     },
 
+    // Scalar-quantization (int8) recall@10 against the exact brute-force
+    // ranking — the measured-accuracy eval for the THIRD sketch path beside
+    // LSH (ann_recall_eval) and PQ: dequantized-cosine scores collapse to
+    // dot_int/(√qq·√cc) over exact BIGINT dots (per-vector scales cancel),
+    // so approximate and exact rankings are both bit-deterministic and the
+    // recall is an exact count.
+    QEntry.sql(
+      "ann_sq_recall",
+      s"""WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round(list_dot_product(q.e, c.e) /
+         |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         |        AS cos
+         |    FROM (SELECT * FROM vecs WHERE vec_id < 5) q, vecs c
+         |    WHERE c.vec_id != q.vec_id) s) r WHERE rank <= 10),
+         |q8 AS (SELECT vec_id,
+         |    CASE WHEN mx = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) END AS qv
+         |  FROM (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS mx
+         |        FROM vecs) t),
+         |qn AS (SELECT vec_id, qv,
+         |    CAST(list_sum(list_transform(range(1, 65), i ->
+         |      qv[CAST(i AS INT)] * qv[CAST(i AS INT)])) AS BIGINT) AS nn FROM q8),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, neighbor_id) AS rank
+         |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round(CAST(list_sum(list_transform(range(1, 65), i ->
+         |          q.qv[CAST(i AS INT)] * c.qv[CAST(i AS INT)])) AS DOUBLE) /
+         |        (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE))), 6) AS cos_q8
+         |    FROM (SELECT * FROM qn WHERE vec_id < 5) q, qn c
+         |    WHERE c.vec_id != q.vec_id) s) r WHERE rank <= 10),
+         |hits AS (SELECT bf.query_id, count(*) AS hits
+         |  FROM bf JOIN ap ON bf.query_id = ap.query_id AND bf.neighbor_id = ap.neighbor_id
+         |  GROUP BY bf.query_id)
+         |SELECT q.query_id, COALESCE(hits.hits, 0) AS hits,
+         |  COALESCE(hits.hits, 0) / 10.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN hits USING (query_id)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      val ap = Similarity.int8TopK(emb, queries, "vec_id", "embedding", 10)
+      Similarity.recallAtK(bf, ap, 10)
+    },
+
     // Pairwise cosine between per-label embedding centroids — the cluster-
     // separation diagnostic over a labeled corpus. Float sums are order-
     // dependent, so every per-dimension element is quantized to
