@@ -483,6 +483,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pq.size == 15)
     val pqRecall = exact.intersect(pq).size.toDouble / exact.size
     assert(pqRecall >= 0.4, s"PQ recall too low: $pqRecall")
+    // int8 scalar quantization is the gentlest sketch (full dimensionality,
+    // only 8-bit rounding noise): recall must beat the coarser sketches
+    val sq = Similarity
+      .int8TopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(sq.forall { case (q, n) => q != n })
+    assert(sq.size == 15)
+    val sqRecall = exact.intersect(sq).size.toDouble / exact.size
+    assert(sqRecall >= 0.8, s"int8 recall too low: $sqRecall")
     // exact re-rank of a deep PQ shortlist must recover at least plain-PQ
     // recall (and approaches exact as the shortlist grows)
     val rr = Similarity
