@@ -48,6 +48,11 @@ object GraftSession {
     // still gets the custom kernels (graft_dot etc.) — idempotent installs
     graft.functions.VectorExpressions.install(spark)
     graft.operators.SemiReduce.install(spark)
+    // ... and the top-k-per-key physical operator, via the runtime strategy
+    // hook (injectPlannerStrategy is build-time only)
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.TopKPerKeyStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new graft.plans.TopKPerKeyStrategy
     spark
   }
 }

@@ -112,6 +112,12 @@ class TopKPerKeySpec extends SparkSpec {
     assert(top.collect().map(_.toSeq).toSet == expected)
   }
 
+  test("driver entry q_window_top_order_per_cust runs through the operator") {
+    val df = SparkEntry.queries("q_window_top_order_per_cust")(spark, "/root/testdata/sf0.001")
+    assert(topkExecs(df).size == 2,
+      "the flagship top-k entry must exercise TopKPerKeyExec — pattern drift?")
+  }
+
   private def withDisabled[A](f: => A): A = {
     spark.conf.set(graft.plans.TopKPerKey.EnabledKey, "false")
     try f
