@@ -1,9 +1,63 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  private[graft] def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Dump every query to `outDir/<name>` parquet and return the error
+    * manifest (name → exception summary). Failures must be LOUD: a query
+    * that throws gets a manifest row so a missing correctness row is always
+    * distinguishable from a passing one — round 8 lost 42 entries silently
+    * because a skipped query left no artifact at all. Factored from main so
+    * the failure path itself is unit-testable.
+    */
+  private[graft] def dumpAll(
+      spark: SparkSession,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      sfDir: String,
+      outDir: String
+  ): collection.SeqMap[String, String] = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" | ")
+        errors(name) = s"${e.getClass.getSimpleName}: $msg"
+        System.err.println(s"[verify] FAILED $name: ${errors(name)}")
+      }
+    }
+    errors
+  }
+
+  /** Render and write the error manifest — ALWAYS written (empty object when
+    * clean) so its absence is itself a signal that Verify never completed.
+    */
+  private[graft] def writeErrorManifest(
+      outDir: String,
+      errors: collection.SeqMap[String, String]
+  ): String = {
+    val json = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), json)
+    json
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query names — dump (and emit oracle
@@ -16,33 +70,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Failures must be LOUD: a query that throws gets a row in errors.json
-    // (name → first line of the exception) so a missing correctness row is
-    // always distinguishable from a passing one. Round 8 lost 42 entries
-    // silently because a skipped query left no artifact at all.
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(3).mkString(" | ")
-        errors(name) = s"${e.getClass.getSimpleName}: $msg"
-        System.err.println(s"[verify] FAILED $name: ${errors(name)}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val errors = dumpAll(spark, SparkEntry.queries.filter(e => keep(e._1)).toSeq, sfDir, outDir)
     val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
@@ -53,12 +81,7 @@ object Verify {
       Paths.get(s"$outDir/entry_names.json"),
       SparkEntry.queries.keys.map(q).mkString("[", ",", "]")
     )
-    // error manifest — ALWAYS written (empty object when clean) so its
-    // absence is itself a signal that Verify never completed
-    Files.writeString(
-      Paths.get(s"$outDir/errors.json"),
-      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    )
+    writeErrorManifest(outDir, errors)
     if (errors.nonEmpty) {
       System.err.println(s"[verify] ${errors.size} FAILED entries: ${errors.keys.mkString(", ")}")
     }

@@ -31,6 +31,25 @@ class ContractCompletenessSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql keys without queries entry: $orphans")
   }
 
+  test("Verify failure path: a throwing query lands in the error manifest, loudly") {
+    withTempDir { dir =>
+      val good: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+        (s, _) => s.range(3).toDF("n")
+      val bad: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+        (_, _) => throw new IllegalStateException("boom\nsecond line")
+      val errors = Verify.dumpAll(spark, Seq("ok_entry" -> good, "bad_entry" -> bad), "unused", dir)
+      assert(errors.keySet == Set("bad_entry"))
+      assert(errors("bad_entry").contains("IllegalStateException"))
+      assert(new java.io.File(s"$dir/ok_entry").exists(), "good query still dumped")
+      val json = Verify.writeErrorManifest(dir, errors)
+      assert(json.contains("\"bad_entry\"") && !json.contains("\n"), json)
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/errors.json")) == json)
+      // clean run → empty object, file still present
+      val clean = Verify.writeErrorManifest(dir, scala.collection.mutable.LinkedHashMap.empty)
+      assert(clean == "{}")
+    }
+  }
+
   test("entry flagship runs and returns rows at sf0.001") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing on this host")
     assert(SparkEntry.entry(spark).limit(1).count() >= 0)
