@@ -87,8 +87,19 @@ class TopKPerKeyStrategy extends SparkStrategy {
       val maxK = SQLConf.get.getConfString(MaxKKey, "10000").toInt
       boundOf(cond, alias.toAttribute) match {
         case Some(k) if k >= 1 && k <= maxK =>
+          // InferWindowGroupLimit has usually inserted its own logical
+          // group-limit below the Window by now; planned as-is it would cost
+          // a full per-partition SORT on each side of the exchange before
+          // our heaps even run. The heaps enforce the same k bound, so
+          // strip it and plan its child directly (same keys/order — the
+          // node was derived from this very window).
+          val source = child match {
+            case org.apache.spark.sql.catalyst.plans.logical
+                  .WindowGroupLimit(_, _, _, _, grandchild) => grandchild
+            case c => c
+          }
           val partial =
-            TopKPerKeyExec(partSpec, orderSpec, k, rankAttr = None, planLater(child))
+            TopKPerKeyExec(partSpec, orderSpec, k, rankAttr = None, planLater(source))
           TopKPerKeyExec(partSpec, orderSpec, k, Some(alias.toAttribute), partial) :: Nil
         case _ => Nil
       }
