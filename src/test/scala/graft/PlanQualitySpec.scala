@@ -126,10 +126,12 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("tf-idf, quality band and cross-grid keep their scale shapes") {
-    // tf-idf: the top-k window partitions by doc id (shuffle key = window
-    // key); the 1-row corpus count arrives via broadcast
+    // tf-idf: the top-k prune partitions by doc id (shuffle key = window
+    // key); since round 9 the row_number filter plans as the TopKPerKey
+    // bounded-heap operator (no Window node at all); the 1-row corpus count
+    // arrives via broadcast
     val tfidf = executedPlan(SparkEntry.queries("txt_tfidf")(spark, sf))
-    assert(tfidf.contains("Window"), tfidf)
+    assert(tfidf.contains("TopKPerKey") || tfidf.contains("Window"), tfidf)
     assert(tfidf.contains("hashpartitioning(doc_id"), tfidf)
     // quality band: percentile window partitions by the stratum
     val band = executedPlan(SparkEntry.queries("cur_quality_bands")(spark, sf))
@@ -211,9 +213,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(ham.contains("BroadcastExchange"), ham)
     assert(ham.contains("hashpartitioning(query_id"), ham)
     // inverted index: posting rank prunes BEFORE the collect (bounded
-    // aggregate state) — WindowGroupLimit must appear below the final agg
+    // aggregate state) — a bounded group-limit operator (TopKPerKey since
+    // round 9; WindowGroupLimit in the stock plan) must appear below the
+    // final agg
     val idx = formatted(SparkEntry.queries("txt_inverted_index")(spark, sf))
-    assert(idx.contains("WindowGroupLimit"), idx)
+    assert(idx.contains("TopKPerKey") || idx.contains("WindowGroupLimit"), idx)
   }
 
   test("AQE re-plans a sort-merge join to broadcast once runtime stats reveal a small side") {
