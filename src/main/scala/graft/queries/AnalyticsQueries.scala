@@ -1936,6 +1936,67 @@ object AnalyticsQueries {
         )
     },
 
+    // Forecast backtest: naive (last month) vs seasonal-naive (same month
+    // last year) monthly-revenue forecasts scored by sMAPE — the eval that
+    // decides whether seasonality is worth modeling before anything fancier
+    // runs. Revenue in exact deci-dollar units; each month's sMAPE term is
+    // one integral division 2|f−a|·10⁶ div (f+a), the mean another — no
+    // float anywhere. One month-keyed lag per horizon; calendar-bounded
+    // state.
+    QEntry.sql(
+      "q_forecast_backtest",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      // 1000 AS rev
+        |  FROM orders GROUP BY ym),
+        |f AS (SELECT ym, rev,
+        |    lag(rev, 1) OVER (ORDER BY ym) AS f_naive,
+        |    lag(rev, 12) OVER (ORDER BY ym) AS f_seasonal
+        |  FROM m),
+        |t AS (SELECT 'naive' AS model, CAST(count(f_naive) AS BIGINT) AS n_months,
+        |    CAST(sum(CASE WHEN f_naive IS NULL THEN 0
+        |      ELSE 2 * abs(f_naive - rev) * 1000000 // (f_naive + rev) END)
+        |      AS BIGINT) AS terms
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 'seasonal_naive', CAST(count(f_seasonal) AS BIGINT),
+        |    CAST(sum(CASE WHEN f_seasonal IS NULL THEN 0
+        |      ELSE 2 * abs(f_seasonal - rev) * 1000000 // (f_seasonal + rev) END)
+        |      AS BIGINT)
+        |  FROM f)
+        |SELECT model, n_months,
+        |  CAST(terms // n_months AS BIGINT) AS smape_ppm
+        |FROM t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 1000")
+            .as("rev")
+        )
+      val w = Window.orderBy("ym")
+      val f = m
+        .withColumn("f_naive", lag(col("rev"), 1).over(w))
+        .withColumn("f_seasonal", lag(col("rev"), 12).over(w))
+        .localCheckpoint() // both model rows consume it
+      def score(model: String, fc: String) =
+        f.agg(
+          lit(model).as("model"),
+          count(col(fc)).cast("long").as("n_months"),
+          sum(
+            when(col(fc).isNull, 0L)
+              .otherwise(expr(s"2 * abs($fc - rev) * 1000000L div ($fc + rev)"))
+          ).cast("long").as("terms")
+        )
+      score("naive", "f_naive")
+        .unionAll(score("seasonal_naive", "f_seasonal"))
+        .select(
+          col("model"),
+          col("n_months"),
+          expr("terms div n_months").cast("long").as("smape_ppm")
+        )
+    },
+
     // RFM segmentation: recency / frequency / monetary quintile codes per
     // market segment, reported as cell counts. Each quintile is an exact
     // rank bucket (1 + 5·(rn−1) div n) over a (metric, custkey) total

@@ -1406,6 +1406,36 @@ object PipelineQueries {
       Similarity.recallAtK(bf, ap, 10)
     },
 
+    // LSH banding S-curve for the PRODUCTION MinHash config (r=2 rows/band,
+    // b=4 bands): P(candidate | Jaccard s) = 1 − (1 − s²)⁴ tabulated over a
+    // 5%-step similarity grid — the tuning table that justifies (b, r)
+    // before a 100 TB dedup run (threshold ≈ (1/b)^(1/r) = 0.5 here, where
+    // the curve crosses ~0.68). Powers written as explicit multiplication
+    // chains so both engines execute the identical correctly-rounded IEEE
+    // steps; probabilities floored to ppm.
+    QEntry.sql(
+      "dedup_lsh_curve",
+      """SELECT i, CAST(i * 50000 AS BIGINT) AS s_ppm,
+        |  CAST(floor((1 - ((1 - (CAST(i AS DOUBLE) / 20) * (CAST(i AS DOUBLE) / 20))
+        |    * (1 - (CAST(i AS DOUBLE) / 20) * (CAST(i AS DOUBLE) / 20)))
+        |    * ((1 - (CAST(i AS DOUBLE) / 20) * (CAST(i AS DOUBLE) / 20))
+        |    * (1 - (CAST(i AS DOUBLE) / 20) * (CAST(i AS DOUBLE) / 20)))) * 1000000)
+        |    AS BIGINT) AS p_candidate_ppm
+        |FROM (SELECT CAST(unnest(range(0, 21)) AS BIGINT) AS i)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val sCol = col("i").cast("double") / lit(20.0)
+      val q = lit(1.0) - sCol * sCol
+      val p = lit(1.0) - (q * q) * (q * q)
+      s.range(0, 21)
+        .toDF("i")
+        .select(
+          col("i"),
+          (col("i") * 50000L).cast("long").as("s_ppm"),
+          floor(p * lit(1000000.0)).cast("long").as("p_candidate_ppm")
+        )
+    },
+
     // Scalar-quantization (int8) recall@10 against the exact brute-force
     // ranking — the measured-accuracy eval for the THIRD sketch path beside
     // LSH (ann_recall_eval) and PQ: dequantized-cosine scores collapse to
