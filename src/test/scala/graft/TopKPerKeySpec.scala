@@ -112,6 +112,29 @@ class TopKPerKeySpec extends SparkSpec {
     assert(top.collect().map(_.toSeq).toSet == expected)
   }
 
+  test("randomized equivalence sweep: heap path == WindowExec path for many shapes") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random corpora: vary row count, key cardinality,
+    // k, and partition count; values made unique per key so the order is
+    // total and both paths are comparable row-for-row
+    for (seed <- 1 to 4; k <- Seq(1, 3, 7)) {
+      val n = 100 + seed * 137
+      val nk = 1 + (seed * 3) % 7
+      val rows = (1 to n).map { i =>
+        val h = (i * 2654435761L + seed * 40503L) & 0x7fffffffL
+        ((h % nk).toInt, (h / nk % 10007).toInt, i)
+      }
+      val df = rows.toDF("key", "value", "uid").repartition(1 + seed % 5)
+      val w = Window.partitionBy("key").orderBy(col("value").desc, col("uid"))
+      def run() = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .collect().map(_.toSeq).toSet
+      val got = run()
+      val exp = withDisabled { run() }
+      assert(got == exp, s"seed=$seed k=$k nk=$nk: ${got.size} vs ${exp.size}")
+    }
+  }
+
   test("driver entry q_window_top_order_per_cust runs through the operator") {
     val df = SparkEntry.queries("q_window_top_order_per_cust")(spark, "/root/testdata/sf0.001")
     assert(topkExecs(df).size == 2,
