@@ -2507,6 +2507,74 @@ object AnalyticsQueries {
         )
     },
 
+    // Paasche + Fisher price indices — the index-number completion of
+    // q_laspeyres_index (same (part, month) unit-value frame, same
+    // fixed-point discipline): Paasche weights by the CURRENT basket,
+    // Fisher is the geometric mean √(L·P) — computed as floor(sqrt) of the
+    // exact ppm product (≤ ~4·10¹² < 2⁵³, so the double sqrt is exact-input
+    // correctly-rounded and bit-identical cross-engine). Base month pins at
+    // 10⁶ for all three.
+    QEntry.sql(
+      "q_fisher_index",
+      """WITH pm AS (SELECT l_partkey AS pk, strftime(l_shipdate, '%Y-%m') AS mo,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS units
+        |  FROM lineitem GROUP BY pk, mo),
+        |b0 AS (SELECT min(mo) AS base FROM pm),
+        |bas AS (SELECT pm.pk, pm.rev AS rev0, pm.units AS q0
+        |  FROM pm CROSS JOIN b0 WHERE pm.mo = b0.base),
+        |t AS (SELECT pm.mo,
+        |    CAST(sum((CAST(pm.rev AS HUGEINT) * bas.q0 * 1000) // pm.units)
+        |      AS HUGEINT) AS l_num,
+        |    CAST(sum(CAST(bas.rev0 AS HUGEINT) * 1000) AS HUGEINT) AS l_den,
+        |    CAST(sum(CAST(pm.rev AS HUGEINT) * 1000) AS HUGEINT) AS p_num,
+        |    CAST(sum((CAST(bas.rev0 AS HUGEINT) * pm.units * 1000) // bas.q0)
+        |      AS HUGEINT) AS p_den
+        |  FROM pm JOIN bas ON pm.pk = bas.pk GROUP BY pm.mo)
+        |SELECT mo AS month,
+        |  CAST(l_num * 1000000 // l_den AS BIGINT) AS laspeyres_ppm,
+        |  CAST(p_num * 1000000 // p_den AS BIGINT) AS paasche_ppm,
+        |  CAST(floor(sqrt(CAST((l_num * 1000000 // l_den) *
+        |    (p_num * 1000000 // p_den) AS DOUBLE))) AS BIGINT) AS fisher_ppm
+        |FROM t"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val pm = lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"), date_format(col("l_shipdate"), "yyyy-MM").as("mo"))
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("rev"),
+          sum(round(col("l_quantity")).cast("long")).cast("long").as("units")
+        )
+        .localCheckpoint()
+      val b0 = pm.agg(min("mo").as("base"))
+      val bas = pm
+        .crossJoin(broadcast(b0))
+        .filter(col("mo") === col("base"))
+        .select(col("pk"), col("rev").as("rev0"), col("units").as("q0"))
+      pm.join(bas, "pk")
+        .groupBy(col("mo").as("month"))
+        .agg(
+          sum(expr("(CAST(rev AS DECIMAL(38,0)) * q0 * 1000) div units"))
+            .cast("decimal(38,0)").as("l_num"),
+          sum(expr("CAST(rev0 AS DECIMAL(38,0)) * 1000"))
+            .cast("decimal(38,0)").as("l_den"),
+          sum(expr("CAST(rev AS DECIMAL(38,0)) * 1000"))
+            .cast("decimal(38,0)").as("p_num"),
+          sum(expr("(CAST(rev0 AS DECIMAL(38,0)) * units * 1000) div q0"))
+            .cast("decimal(38,0)").as("p_den")
+        )
+        .select(
+          col("month"),
+          expr("CAST((l_num * 1000000) div l_den AS BIGINT)").as("laspeyres_ppm"),
+          expr("CAST((p_num * 1000000) div p_den AS BIGINT)").as("paasche_ppm"),
+          expr(
+            "CAST(floor(sqrt(CAST(((l_num * 1000000) div l_den) * " +
+              "((p_num * 1000000) div p_den) AS DOUBLE))) AS BIGINT)"
+          ).as("fisher_ppm")
+        )
+    },
+
     // Shift-share decomposition of nation revenue across the 1997
     // cutover: each nation's actual change splits into the NATIONAL
     // growth it would have had at the aggregate rate (expected =
