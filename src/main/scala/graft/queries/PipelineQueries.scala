@@ -727,6 +727,74 @@ object PipelineQueries {
         .withColumn("rank", col("rank").cast("bigint"))
     },
 
+    // IVF probe sweep: aggregate recall@10 vs brute force at nProbe ∈
+    // {1, 2, 4} — the accuracy-vs-cost tuning curve an IVF deployment is
+    // configured from (more probes = more cells scanned per query), the
+    // measured companion of dedup_lsh_curve's analytic S-curve. Hits are
+    // exact pair-set joins; recall one integral division.
+    QEntry.sql(
+      "ann_ivf_probe_sweep", {
+        def sweep(np: Int) =
+          s"""SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS hits FROM (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |    FROM (
+             |      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |        round(list_dot_product(q.e, n.e) /
+             |              (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))), 6) AS cos
+             |      FROM (SELECT * FROM assign WHERE vec_id < 5 AND cr <= $np) q
+             |      JOIN (SELECT * FROM assign WHERE cr <= 1) n
+             |      ON q.cell = n.cell AND n.vec_id != q.vec_id) s) r
+             |  WHERE rank <= 10) ap
+             |JOIN bf ON ap.query_id = bf.query_id AND ap.neighbor_id = bf.neighbor_id"""
+        s"""WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |             FROM embeddings),
+           |cents AS (SELECT vec_id AS cell, e AS ce FROM vecs WHERE vec_id % 37 = 0),
+           |assign AS (
+           |  SELECT vec_id, e, cell, cr FROM (
+           |    SELECT v.vec_id, v.e, c.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |        list_dot_product(v.e, c.ce) /
+           |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+           |        c.cell) AS cr
+           |    FROM vecs v, cents c) t),
+           |bf AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      round(list_dot_product(q.e, c.e) /
+           |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+           |        AS cos
+           |    FROM (SELECT * FROM vecs WHERE vec_id < 5) q, vecs c
+           |    WHERE c.vec_id != q.vec_id) s) r WHERE rank <= 10),
+           |sw AS (${sweep(1)} UNION ALL ${sweep(2)} UNION ALL ${sweep(4)})
+           |SELECT nprobe, hits,
+           |  CAST(hits * 1000000 // 50 AS BIGINT) AS recall_ppm
+           |FROM sw""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val bf = Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+      def sweep(np: Int) =
+        Similarity
+          .ivfTopK(emb, queries, "vec_id", "embedding", 10, nProbe = np)
+          .select("query_id", "neighbor_id")
+          .join(bf, Seq("query_id", "neighbor_id"))
+          .agg(
+            lit(np.toLong).as("nprobe"),
+            count(lit(1)).cast("long").as("hits")
+          )
+      sweep(1)
+        .unionAll(sweep(2))
+        .unionAll(sweep(4))
+        .withColumn("recall_ppm", expr("hits * 1000000L div 50").cast("long"))
+    },
+
     // Deterministic hash sampling: reproducible across engines, runs, and
     // partitionings (rand()/sample() are none of those). hashpos = first 8
     // md5 hex digits of the key as a fraction of 16^8.
