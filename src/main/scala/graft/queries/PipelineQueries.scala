@@ -496,6 +496,53 @@ object PipelineQueries {
         )
     },
 
+    // Dedup threshold sweep: blocked-pair counts at Jaccard cutoffs 30–70%
+    // — the removal-volume table read against the accuracy evals before
+    // fixing the production threshold (each 10 points of τ trades recall
+    // for survivors; this is the size of that trade on the actual corpus).
+    // One pass over the blocked pair frame, five conditional counts,
+    // unpivoted to rows.
+    QEntry.sql(
+      "dedup_threshold_sweep",
+      s"""WITH sh AS (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w),
+         |p AS (SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS j
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS t30,
+         |    CAST(sum(CASE WHEN j >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS t40,
+         |    CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS t50,
+         |    CAST(sum(CASE WHEN j >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS t60,
+         |    CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS t70
+         |  FROM p)
+         |SELECT tau_pct, n_pairs FROM (
+         |  SELECT 30 AS tau_pct, t30 AS n_pairs FROM c
+         |  UNION ALL SELECT 40, t40 FROM c
+         |  UNION ALL SELECT 50, t50 FROM c
+         |  UNION ALL SELECT 60, t60 FROM c
+         |  UNION ALL SELECT 70, t70 FROM c) u"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val pairs = Dedup
+        .ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
+        .select(col("jaccard").as("j"))
+      val c = pairs.agg(
+        sum(when(col("j") >= 0.3, 1L).otherwise(0L)).cast("long").as("t30"),
+        sum(when(col("j") >= 0.4, 1L).otherwise(0L)).cast("long").as("t40"),
+        sum(when(col("j") >= 0.5, 1L).otherwise(0L)).cast("long").as("t50"),
+        sum(when(col("j") >= 0.6, 1L).otherwise(0L)).cast("long").as("t60"),
+        sum(when(col("j") >= 0.7, 1L).otherwise(0L)).cast("long").as("t70")
+      )
+      c.select(
+        expr(
+          "stack(5, 30, t30, 40, t40, 50, t50, 60, t60, 70, t70) AS (tau_pct, n_pairs)"
+        )
+      ).select(col("tau_pct").cast("int").as("tau_pct"), col("n_pairs").cast("long").as("n_pairs"))
+    },
+
     // MinHash-LSH counterpart of dedup_simhash_eval: precision/recall of
     // the PRODUCTION banding path (8 perms, 4 bands of 2) against the same
     // exact shingle-Jaccard ≥ 0.5 truth, on the truth's (lang, source)
