@@ -6,34 +6,47 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video handled as opaque `binary`
   * payloads with typed metadata, processed batch-at-a-time on executors.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * container): [[DecodeStub.decode]] derives deterministic fake features from
-  * the raw bytes. Everything around it — the schema, the binary column
-  * construction, the mapPartitions batch shape, partitioning behavior, and
-  * the column-expression fast paths (byte length, magic bytes, frame
-  * sampling by byte-range) — is real Spark plumbing, tested in
-  * MultimodalSpec and oracle-checked where portable.
+  * The decode step is REAL for two public uncompressed formats:
+  * [[MediaCodecs.decodeWav]] walks RIFF/WAVE chunks (`fmt ` + `data`,
+  * skipping unknown chunks with odd-size padding, 8-bit unsigned and
+  * 16-bit signed little-endian PCM) and [[MediaCodecs.decodePpm]] parses
+  * binary PPM `P6` headers (whitespace- and `#`-comment-tolerant) —
+  * formats per their public specs (RIFF: Microsoft/IBM Multimedia
+  * Programming Interface 1991; PPM: netpbm `ppm(5)`). Compressed codecs
+  * (JPEG/MP3/H.264) are out of scope for this container; the decode
+  * surface, schema, and batch shape are exactly where they would plug in.
   *
   * Scale notes: payloads stay on executors end-to-end (no collect); decode
-  * runs per-partition so a real codec would amortize native init per batch,
-  * exactly like an mapInPandas/mapInArrow UDF batch; metadata-only queries
-  * (byte length, magic) never touch payload internals thanks to parquet
-  * column pruning of the struct.
+  * runs per-partition via typed mapPartitions so a real native codec would
+  * amortize its init per batch, exactly like a mapInPandas/mapInArrow UDF
+  * batch; metadata-only queries (byte length, magic) never touch payload
+  * internals thanks to parquet column pruning.
   */
 object Multimodal {
 
   /** One media row: opaque payload + typed metadata. */
   case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte])
 
-  /** Decoded (stub) features — the shape a real decoder would emit. */
-  case class MediaFeatures(
+  /** Features extracted by the real decoders: container stats (bytes, fmt)
+    * plus per-sample amplitude stats — exact integers end-to-end so the
+    * oracle can replay them bit-for-bit. For WAV, `n_samples` counts sample
+    * frames and amp_* range over decoded sample values (unsigned 0..255 for
+    * 8-bit, signed −32768..32767 for 16-bit); for PPM, `n_samples` counts
+    * pixel channel bytes (w·h·3) and amp_* range over 0..255 channel values.
+    */
+  case class DecodedMedia(
       media_id: Long,
-      modality: String,
+      fmt: String,
       bytes: Long,
-      magic: String,
       width: Int,
       height: Int,
-      n_frames: Int
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_samples: Long,
+      amp_min: Int,
+      amp_max: Int,
+      amp_sum: Long
   )
 
   /** Read a directory of raw media files via Spark's `binaryFile` source —
@@ -72,51 +85,249 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload")
     )
 
-  /** STUB decoder: deterministic fake features derived from payload bytes.
-    * A production build replaces the body with a real codec call; the
-    * signature, batch iteration, and schema stay identical.
+  /** Real encoders/decoders for two public uncompressed media formats.
+    * Pure JVM byte-level code (no native deps), deterministic, and exact —
+    * which is what lets the driver hash-match decoded features against a
+    * SQL oracle computing the same stats from the source bytes.
     */
-  object DecodeStub {
-    def decode(r: MediaRecord): MediaFeatures = {
-      val n = r.payload.length.toLong
-      // ??? real codec goes here; deterministic fake below
-      val magic = r.payload.take(4).map(b => f"$b%02X").mkString
-      MediaFeatures(
-        media_id = r.media_id,
-        modality = r.modality,
-        bytes = n,
-        magic = magic,
-        width = (64 + n % 512).toInt,
-        height = (64 + (n * 7) % 384).toInt,
-        n_frames = if (r.modality == "video") (1 + n % 240).toInt else 1
-      )
+  object MediaCodecs {
+    private def leInt(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    private def leShort(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >>> 8).toByte)
+    private def readLeInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def readLeShort(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def fourCC(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Canonical RIFF/WAVE PCM container. `bits` ∈ {8, 16}; 8-bit data is
+      * unsigned, 16-bit is signed little-endian (per the WAV spec). Optional
+      * `extraChunks` (id → body) are emitted between `fmt ` and `data` so
+      * decoders must genuinely walk the chunk list.
+      */
+    def encodeWavPcm(
+        samples: Array[Byte],
+        sampleRate: Int,
+        bits: Int,
+        channels: Int = 1,
+        extraChunks: Seq[(String, Array[Byte])] = Nil
+    ): Array[Byte] = {
+      require(bits == 8 || bits == 16, s"PCM bits must be 8 or 16, got $bits")
+      require(samples.length % (bits / 8 * channels) == 0, "ragged final frame")
+      val blockAlign = channels * bits / 8
+      val byteRate = sampleRate * blockAlign
+      val fmt = new java.io.ByteArrayOutputStream()
+      fmt.write(leShort(1)) // audioFormat = PCM
+      fmt.write(leShort(channels)); fmt.write(leInt(sampleRate))
+      fmt.write(leInt(byteRate)); fmt.write(leShort(blockAlign)); fmt.write(leShort(bits))
+      // assemble the inner chunk list first so the RIFF size field is exact
+      val inner = new java.io.ByteArrayOutputStream()
+      def chunk(id: String, body: Array[Byte]): Unit = {
+        inner.write(id.getBytes("US-ASCII")); inner.write(leInt(body.length))
+        inner.write(body)
+        if (body.length % 2 == 1) inner.write(0) // RIFF chunks are word-aligned
+      }
+      inner.write("WAVE".getBytes("US-ASCII"))
+      chunk("fmt ", fmt.toByteArray)
+      extraChunks.foreach { case (id, body) => chunk(id, body) }
+      chunk("data", samples)
+      val body = inner.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII")); out.write(leInt(body.length)); out.write(body)
+      out.toByteArray
+    }
+
+    /** Decode a RIFF/WAVE PCM payload by walking its chunk list: unknown
+      * chunks are skipped (with odd-size pad bytes), `fmt ` supplies the
+      * format fields, `data` the samples. Amplitude stats are exact integer
+      * min/max/sum over decoded sample values.
+      */
+    def decodeWav(id: Long, b: Array[Byte]): DecodedMedia = {
+      require(b.length >= 12 && fourCC(b, 0) == "RIFF" && fourCC(b, 8) == "WAVE",
+        s"media $id: not a RIFF/WAVE payload")
+      var off = 12
+      var channels = 0; var sampleRate = 0; var bits = 0; var blockAlign = 0
+      var nSamples = 0L; var ampMin = 0; var ampMax = 0; var ampSum = 0L
+      var sawData = false
+      while (off + 8 <= b.length) {
+        val cid = fourCC(b, off)
+        val sz = readLeInt(b, off + 4)
+        val body = off + 8
+        cid match {
+          case "fmt " =>
+            require(readLeShort(b, body) == 1, s"media $id: not uncompressed PCM")
+            channels = readLeShort(b, body + 2)
+            sampleRate = readLeInt(b, body + 4)
+            blockAlign = readLeShort(b, body + 12)
+            bits = readLeShort(b, body + 14)
+          case "data" =>
+            require(bits != 0, s"media $id: data chunk before fmt")
+            sawData = true
+            nSamples = sz.toLong / blockAlign
+            var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+            var i = body
+            val end = body + sz
+            if (bits == 8) {
+              while (i < end) { // 8-bit PCM is unsigned 0..255
+                val v = b(i) & 0xff
+                if (v < mn) mn = v; if (v > mx) mx = v; sum += v; i += 1
+              }
+            } else {
+              while (i + 1 < end) { // 16-bit PCM is signed LE
+                val v = readLeShort(b, i).toShort.toInt
+                if (v < mn) mn = v; if (v > mx) mx = v; sum += v; i += 2
+              }
+            }
+            if (sz == 0) { mn = 0; mx = 0 }
+            ampMin = mn; ampMax = mx; ampSum = sum
+          case _ => () // unknown chunk (LIST, fact, …): skip
+        }
+        off = body + sz + (sz % 2) // word-aligned
+      }
+      require(sawData, s"media $id: no data chunk")
+      DecodedMedia(id, "wav", b.length.toLong, 0, 0, channels, sampleRate, bits,
+        nSamples, ampMin, ampMax, ampSum)
+    }
+
+    /** Canonical binary PPM (`P6`) with maxval 255: header then w·h·3 RGB
+      * bytes. Requires exactly-sized pixel data.
+      */
+    def encodePpm(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(pixels.length == width * height * 3, "pixel buffer must be w*h*3")
+      val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pixels, 0, out, header.length, pixels.length)
+      out
+    }
+
+    /** Decode a binary PPM payload: `P6`, then whitespace-separated width,
+      * height, maxval tokens (with `#` comments legal anywhere between
+      * tokens, per ppm(5)), one whitespace, then raster bytes. Amplitude
+      * stats are exact integers over the w·h·3 channel bytes.
+      */
+    def decodePpm(id: Long, b: Array[Byte]): DecodedMedia = {
+      require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"media $id: not a P6 PPM")
+      var off = 2
+      def skipSpaceAndComments(): Unit = {
+        var going = true
+        while (going && off < b.length) {
+          val c = b(off)
+          if (c == ' ' || c == '\t' || c == '\n' || c == '\r') off += 1
+          else if (c == '#') { while (off < b.length && b(off) != '\n') off += 1 }
+          else going = false
+        }
+      }
+      def token(): Int = {
+        skipSpaceAndComments()
+        var v = 0
+        while (off < b.length && b(off) >= '0' && b(off) <= '9') {
+          v = v * 10 + (b(off) - '0'); off += 1
+        }
+        v
+      }
+      val width = token(); val height = token(); val maxval = token()
+      require(maxval == 255, s"media $id: only maxval 255 supported, got $maxval")
+      off += 1 // exactly one whitespace byte separates header from raster
+      val n = width * height * 3
+      require(off + n <= b.length, s"media $id: truncated raster")
+      var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+      var i = off
+      val end = off + n
+      while (i < end) {
+        val v = b(i) & 0xff
+        if (v < mn) mn = v; if (v > mx) mx = v; sum += v; i += 1
+      }
+      if (n == 0) { mn = 0; mx = 0 }
+      DecodedMedia(id, "ppm", b.length.toLong, width, height, 3, 0, 8,
+        n.toLong, mn, mx, sum)
+    }
+
+    /** Magic-byte dispatch — the shape a real multi-codec ingest has. */
+    def decode(r: MediaRecord): DecodedMedia = {
+      val b = r.payload
+      if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+        decodeWav(r.media_id, b)
+      else if (b.length >= 2 && b(0) == 'P' && b(1) == '6')
+        decodePpm(r.media_id, b)
+      else
+        throw new IllegalArgumentException(
+          s"media ${r.media_id}: unsupported container (magic ${b.take(4).map(x => f"$x%02X").mkString})")
     }
   }
 
-  /** Batch decode via mapPartitions — per-partition iterator is where a real
-    * decoder would hold its native context.
+  /** Synthesize real, decodable media payloads from the documents corpus —
+    * the text bytes become the sample/pixel data, wrapped in genuine
+    * containers: image docs → PPM P6 (8×⌊len/24⌋, data truncated to fit),
+    * audio docs → 16-bit PCM WAV at 16 kHz (sample = (byte−128)·256), video
+    * docs → 8-bit PCM WAV at 8 kHz carrying an extra LIST/INFO chunk the
+    * decoder must skip. Runs as a typed map on executors; payload bytes
+    * never touch the driver.
     */
-  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def synthesizeMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val listInfo = {
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("INFO".getBytes("US-ASCII"))
+      body.write("ISFT".getBytes("US-ASCII"))
+      val soft = "graft".getBytes("US-ASCII") // 5 bytes → odd, exercises padding
+      body.write(Array[Byte](soft.length.toByte, 0, 0, 0))
+      body.write(soft)
+      body.write(0) // word-align pad
+      body.toByteArray
+    }
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .as[(Long, Array[Byte])]
+      .map { case (docId, data) =>
+        (docId % 3) match {
+          case 0 =>
+            val h = data.length / 24 // width 8, 3 channels → 24 bytes per row
+            MediaRecord(docId, "image", MediaCodecs.encodePpm(data.take(h * 24), 8, h))
+          case 1 =>
+            val pcm16 = new Array[Byte](data.length * 2)
+            var i = 0
+            while (i < data.length) {
+              val s = ((data(i) & 0xff) - 128) * 256 // center then scale to s16
+              pcm16(2 * i) = s.toByte
+              pcm16(2 * i + 1) = (s >> 8).toByte
+              i += 1
+            }
+            MediaRecord(docId, "audio", MediaCodecs.encodeWavPcm(pcm16, 16000, 16))
+          case _ =>
+            MediaRecord(
+              docId,
+              "video",
+              MediaCodecs.encodeWavPcm(data, 8000, 8, extraChunks = Seq("LIST" -> listInfo))
+            )
+        }
+      }
+  }
+
+  /** Batch decode via mapPartitions — the per-partition iterator is where a
+    * native codec would hold its context; here the pure-JVM RIFF/PPM
+    * decoders run per record.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(DecodeStub.decode))
+    media.mapPartitions(_.map(MediaCodecs.decode))
   }
 
   /** Column-expression fast path for metadata-only queries (no row-by-row
-    * JVM object churn): byte length, magic bytes, stub dimensions.
+    * JVM object churn): byte length and magic bytes straight off the binary
+    * column — parquet prunes everything else.
     */
   def metaColumns(media: DataFrame): DataFrame =
     media.select(
       col("media_id"),
       col("modality"),
       octet_length(col("payload")).cast("bigint").as("bytes"),
-      hex(substring(col("payload"), 1, 4)).as("magic"),
-      (lit(64) + pmod(octet_length(col("payload")).cast("bigint"), lit(512L)))
-        .cast("int")
-        .as("width"),
-      (lit(64) + pmod(octet_length(col("payload")).cast("bigint") * 7, lit(384L)))
-        .cast("int")
-        .as("height")
+      hex(substring(col("payload"), 1, 4)).as("magic")
     )
 
   /** Per-asset byte histogram + Shannon entropy over the raw payload — the

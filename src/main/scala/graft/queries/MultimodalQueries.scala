@@ -17,17 +17,56 @@ object MultimodalQueries {
     "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]"
 
   val entries: Seq[QEntry] = Seq(
-    // Metadata-only pass over the media table: byte length, magic bytes,
-    // stub-decoded dimensions. Payload bytes never leave the executors.
+    // Metadata-only pass over the media table: byte length + magic bytes
+    // straight off the binary column. Payload bytes never leave the executors.
     QEntry.sql(
       "mm_binary_meta",
       s"""SELECT doc_id AS media_id, $modalitySql AS modality,
          |  octet_length(encode(text)) AS bytes,
-         |  hex(substr(text, 1, 4)) AS magic,
-         |  CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
-         |  CAST(64 + (octet_length(encode(text)) * 7) % 384 AS INT) AS height
+         |  hex(substr(text, 1, 4)) AS magic
          |FROM documents""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Multimodal.metaColumns(Multimodal.fromDocuments(documents(s, d))) },
+
+    // REAL decode: documents wrapped in genuine containers (PPM P6 for
+    // image docs; 16-bit/16 kHz PCM WAV for audio docs; 8-bit/8 kHz PCM WAV
+    // with an extra LIST/INFO chunk for video docs), then parsed back by
+    // the chunk-walking RIFF decoder / PPM header parser. The twin computes
+    // the identical container sizes and exact integer amplitude stats
+    // directly from the source bytes — byte-level proof the codec decodes
+    // what the encoder wrote. ASCII corpus ⇒ ord(char) = payload byte.
+    QEntry.sql(
+      "mm_decode_stats",
+      """WITH t AS (SELECT doc_id, text, strlen(text) AS len,
+        |    CAST(doc_id % 3 AS INT) AS m FROM documents),
+        |a AS (SELECT doc_id, len, m,
+        |    list_transform(
+        |      range(1, CASE WHEN m = 0 THEN (len // 24) * 24 ELSE len END + 1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1))) AS bs
+        |  FROM t)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN m = 0 THEN 'ppm' ELSE 'wav' END AS fmt,
+        |  CAST(CASE WHEN m = 0
+        |         THEN 10 + strlen(CAST(len // 24 AS VARCHAR)) + (len // 24) * 24
+        |       WHEN m = 1 THEN 44 + 2 * len
+        |       ELSE 70 + len + len % 2 END AS BIGINT) AS bytes,
+        |  CAST(CASE WHEN m = 0 THEN 8 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN m = 0 THEN len // 24 ELSE 0 END AS INT) AS height,
+        |  CAST(CASE WHEN m = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE WHEN m = 0 THEN 0 WHEN m = 1 THEN 16000 ELSE 8000 END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN m = 1 THEN 16 ELSE 8 END AS INT) AS bits,
+        |  CAST(CASE WHEN m = 0 THEN (len // 24) * 24 ELSE len END AS BIGINT)
+        |    AS n_samples,
+        |  CAST(CASE WHEN m = 1 THEN (list_min(bs) - 128) * 256
+        |       ELSE list_min(bs) END AS INT) AS amp_min,
+        |  CAST(CASE WHEN m = 1 THEN (list_max(bs) - 128) * 256
+        |       ELSE list_max(bs) END AS INT) AS amp_max,
+        |  CAST(CASE WHEN m = 1 THEN (list_sum(bs) - 128 * len) * 256
+        |       ELSE list_sum(bs) END AS BIGINT) AS amp_sum
+        |FROM a""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Multimodal.decodeFeatures(Multimodal.synthesizeMedia(documents(s, d))).toDF()
+    },
 
     // Codec-free payload screen: per-asset byte histogram + Shannon entropy
     // over the raw bytes (compressed/encrypted ≈ 8 bits/byte; structured

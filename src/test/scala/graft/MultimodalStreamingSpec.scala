@@ -10,33 +10,93 @@ import graft.streaming.StreamingOps
 
 class MultimodalStreamingSpec extends SparkSpec {
 
-  test("media table: payload is real binary, stub decode matches column fast path") {
+  test("media table: payload is real binary; metaColumns reads length + magic") {
     val s = spark
     import s.implicits._
     val docs = Seq((1L, "hello world of binary payloads"), (2L, "tiny")).toDF("doc_id", "text")
     val media = Multimodal.fromDocuments(docs)
     assert(media.schema("payload").dataType.typeName == "binary")
-
-    // typed mapPartitions decode == column-expression metadata fast path
-    val typed = media.as[Multimodal.MediaRecord]
-    val decoded = Multimodal
-      .decodeFeatures(typed)
-      .collect()
-      .map(f => f.media_id -> f)
-      .toMap
     val fast = Multimodal
       .metaColumns(media)
       .collect()
       .map(r => r.getAs[Long]("media_id") -> r)
       .toMap
-    for (id <- Seq(1L, 2L)) {
-      assert(decoded(id).bytes == fast(id).getAs[Long]("bytes"))
-      assert(decoded(id).magic == fast(id).getAs[String]("magic"))
-      assert(decoded(id).width == fast(id).getAs[Int]("width"))
-      assert(decoded(id).height == fast(id).getAs[Int]("height"))
-    }
+    assert(fast(1L).getAs[Long]("bytes") == 30L)
     // magic bytes of "hell" = 68656C6C
     assert(fast(1L).getAs[String]("magic") == "68656C6C")
+  }
+
+  test("WAV codec: encode/decode round-trips 8- and 16-bit PCM, walking extra chunks") {
+    import Multimodal.MediaCodecs
+    // 8-bit unsigned PCM: bytes ARE the samples
+    val data8 = "abcz".getBytes("US-ASCII") // 97,98,99,122
+    val wav8 = MediaCodecs.encodeWavPcm(data8, 8000, 8)
+    assert(wav8.length == 44 + 4)
+    val d8 = MediaCodecs.decodeWav(7L, wav8)
+    assert(d8.fmt == "wav" && d8.sample_rate == 8000 && d8.bits == 8 && d8.channels == 1)
+    assert(d8.n_samples == 4L && d8.amp_min == 97 && d8.amp_max == 122)
+    assert(d8.amp_sum == 97L + 98 + 99 + 122)
+
+    // an unknown odd-sized chunk between fmt and data must be skipped with pad
+    val wavX = MediaCodecs.encodeWavPcm(
+      data8, 8000, 8, extraChunks = Seq("junk" -> Array[Byte](1, 2, 3)))
+    assert(wavX.length == 44 + 4 + 8 + 3 + 1) // chunk header + body + pad byte
+    val dx = MediaCodecs.decodeWav(8L, wavX)
+    assert(dx.n_samples == 4L && dx.amp_sum == d8.amp_sum && dx.bytes == wavX.length)
+
+    // 16-bit signed LE PCM, including negative samples
+    val samples16 = Array[Short](-32768, -1, 0, 1, 32767)
+    val pcm16 = samples16.flatMap(v => Array(v.toByte, (v >> 8).toByte))
+    val d16 = MediaCodecs.decodeWav(9L, MediaCodecs.encodeWavPcm(pcm16, 16000, 16))
+    assert(d16.bits == 16 && d16.sample_rate == 16000 && d16.n_samples == 5L)
+    assert(d16.amp_min == -32768 && d16.amp_max == 32767)
+    assert(d16.amp_sum == samples16.map(_.toLong).sum)
+  }
+
+  test("PPM codec: P6 header parse tolerates comments and arbitrary whitespace") {
+    import Multimodal.MediaCodecs
+    val pixels = Array.tabulate[Byte](2 * 2 * 3)(i => (40 + i).toByte)
+    val canonical = MediaCodecs.encodePpm(pixels, 2, 2)
+    val d = MediaCodecs.decodePpm(1L, canonical)
+    assert(d.width == 2 && d.height == 2 && d.channels == 3 && d.bits == 8)
+    assert(d.n_samples == 12L && d.amp_min == 40 && d.amp_max == 51)
+    assert(d.amp_sum == (40 until 52).sum.toLong)
+
+    // hand-built header with a comment and mixed whitespace — per ppm(5)
+    val hairy = ("P6 # a comment\n  2\t2 # dims\n255\n".getBytes("US-ASCII") ++ pixels)
+    val dh = MediaCodecs.decodePpm(2L, hairy)
+    assert(dh.width == 2 && dh.height == 2 && dh.amp_sum == d.amp_sum)
+
+    // magic dispatch: RIFF → wav, P6 → ppm, anything else rejected
+    val rec = Multimodal.MediaRecord(3L, "image", canonical)
+    assert(MediaCodecs.decode(rec).fmt == "ppm")
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decode(Multimodal.MediaRecord(4L, "binary", Array[Byte](1, 2, 3, 4)))
+    }
+  }
+
+  test("synthesizeMedia emits decodable containers whose stats match the source bytes") {
+    val s = spark
+    import s.implicits._
+    // doc_id 0 → ppm, 1 → wav16, 2 → wav8+LIST; 48 chars ⇒ ppm height 2
+    val txt = ("ab" * 24)
+    val docs = Seq((0L, txt), (1L, txt), (2L, txt)).toDF("doc_id", "text")
+    val out = Multimodal
+      .decodeFeatures(Multimodal.synthesizeMedia(docs))
+      .collect()
+      .map(f => f.media_id -> f)
+      .toMap
+    val byteSum = txt.map(_.toLong).sum // 24·(97+98)
+    assert(out(0L).fmt == "ppm" && out(0L).width == 8 && out(0L).height == 2)
+    assert(out(0L).n_samples == 48L && out(0L).amp_sum == byteSum)
+    assert(out(0L).bytes == 10 + 1 + 48) // "P6\n8 2\n255\n" + raster
+    assert(out(1L).fmt == "wav" && out(1L).bits == 16 && out(1L).sample_rate == 16000)
+    assert(out(1L).n_samples == 48L && out(1L).bytes == 44 + 96)
+    assert(out(1L).amp_sum == (byteSum - 128L * 48) * 256)
+    assert(out(1L).amp_min == (97 - 128) * 256 && out(1L).amp_max == (98 - 128) * 256)
+    assert(out(2L).fmt == "wav" && out(2L).bits == 8 && out(2L).sample_rate == 8000)
+    assert(out(2L).n_samples == 48L && out(2L).amp_sum == byteSum)
+    assert(out(2L).bytes == 70 + 48) // 44-byte canonical + 26-byte LIST/INFO
   }
 
   test("frame slices cover the payload with the configured stride") {
