@@ -101,25 +101,67 @@ object Fragmentation {
     spark.read.parquet(path)
   }
 
+  /** Global 1-based row number over a total order WITHOUT a single-reducer
+    * window: two-phase rank. Phase 1 range-partitions on the order key and
+    * sorts within partitions (parallel sort, same physical shape as a
+    * distributed ORDER BY); phase 2 counts rows per partition (one tiny
+    * row per shuffle partition), turns the counts into cumulative offsets,
+    * and broadcast-joins them back so each partition numbers its rows
+    * locally as `offset + local row_number`. The only unpartitioned window
+    * runs over the ≤ `spark.sql.shuffle.partitions` offset rows — bounded
+    * at any data scale. Rows with equal keys land in one range partition
+    * (RangePartitioner), so ties behave exactly as in a global window.
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      orderCols: Seq[String],
+      outCol: String = "rn"
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "globalRowNumber needs at least one order column")
+    val W = org.apache.spark.sql.expressions.Window
+    val sorted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("_gpid", spark_partition_id())
+    // Metadata-sized action (the zipWithIndex pattern): ONE (pid, count) row
+    // per shuffle partition reaches the driver; cumulative offsets become a
+    // literal lookup map. Both jobs derive from the same deterministic
+    // range-exchange, so partition ids agree across them.
+    val counts = sorted
+      .groupBy("_gpid")
+      .agg(count(lit(1)).as("_gcnt"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+    val wLocal = W.partitionBy("_gpid").orderBy(orderCols.map(col): _*)
+    sorted
+      .withColumn(
+        outCol,
+        row_number().over(wLocal).cast("bigint") +
+          coalesce(element_at(typedLit(offsets), col("_gpid")), lit(0L))
+      )
+      .drop("_gpid")
+  }
+
   /** Round-robin by explicit order key — k-th row (0-based) → k mod n.
     * The order columns make the assignment reproducible under any read
     * parallelism (Spark's own repartition round-robin is not row-stable).
     *
-    * SCALE WARNING: a global row number needs a TOTAL order, so this window
-    * (no partitionBy) funnels every row through one reducer — correct, and
-    * exactly the oracle's definition, but single-threaded by construction.
-    * Fine for verification entries and small-to-medium frames; for bulk data
-    * use [[FragmentEngine.loadRatings]]'s `zipWithIndex` path (stable order
-    * from split offsets, no shuffle) or [[hashFragment]], which is what a
-    * distributed engine actually round-robins with.
+    * Built on [[globalRowNumber]]'s two-phase rank, so the total order is
+    * computed by a parallel range-partitioned sort plus per-partition count
+    * offsets — no single-reducer `WindowExec: No Partition Defined` shape
+    * anywhere on the path. For bulk ingest the engine instead uses
+    * [[FragmentEngine.loadRatings]]'s `zipWithIndex` (stable order from
+    * split offsets, zero extra shuffle) or [[hashFragment]].
     */
   def roundRobinFragment(
       df: DataFrame,
       orderCols: Seq[String],
       n: Int,
       partCol: String = "part"
-  ): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols.map(col): _*)
-    df.withColumn(partCol, ((row_number().over(w) - 1) % n).cast("int"))
-  }
+  ): DataFrame =
+    globalRowNumber(df, orderCols, outCol = partCol)
+      .withColumn(partCol, ((col(partCol) - 1L) % n).cast("int"))
 }

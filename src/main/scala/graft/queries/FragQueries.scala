@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.RangeBuckets
@@ -66,18 +65,19 @@ object FragQueries {
 
     // roundRobinPartition: row k (0-based, load order) → fragment k mod n.
     // Load order here = the deterministic (l_orderkey, l_linenumber) key.
+    // The oracle DEFINES the assignment with a global row_number; the Spark
+    // side computes the same total order via the two-phase rank (parallel
+    // range-partitioned sort + per-partition count offsets) — no
+    // single-reducer window anywhere in the plan.
     QEntry.sql(
       "frag_rr_assign_counts",
       """SELECT part, count(*) AS cnt FROM (
         |  SELECT (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) % 7 AS part
         |  FROM lineitem) t GROUP BY part""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
-      lineitem(s, d)
-        .withColumn(
-          "part",
-          ((row_number().over(Window.orderBy("l_orderkey", "l_linenumber")) - 1) % 7)
-            .cast("bigint")
-        )
+      Fragmentation
+        .roundRobinFragment(lineitem(s, d), Seq("l_orderkey", "l_linenumber"), 7)
+        .select(col("part").cast("bigint").as("part"))
         .groupBy("part")
         .agg(count(lit(1)).as("cnt"))
     },

@@ -90,4 +90,27 @@ class FragmentationPropsSpec extends SparkSpec {
     // 400 keys over 8 buckets: expect ~50 each; loose 3-sigma-ish bound
     assert(counts.values.forall(c => c > 20 && c < 90), s"skewed: ${counts.toMap}")
   }
+
+  test("globalRowNumber: two-phase rank is a dense global 1..N order with no global window") {
+    val s = spark
+    import s.implicits._
+    // enough rows to span many range partitions; shuffled input order
+    val keys = rnd.shuffle((1L to 5000L).toVector)
+    val df = keys.toDF("k").repartition(16)
+    val out = Fragmentation.globalRowNumber(df, Seq("k"), "rn")
+    // the plan must contain no unpartitioned window (that is the point)
+    val findings = graft.plans.PlanAudit.audit(out)
+    assert(!findings.exists(_.rule == "global-window"), findings.mkString("; "))
+    val got = out.select("k", "rn").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 5000)
+    // rank by key: k-th smallest key gets rn = k, densely, exactly once
+    got.foreach { case (k, rn) => assert(rn == k, s"key $k got rn $rn") }
+    // round-robin on top of it: part = (rn-1) mod n, balanced to within 1
+    val parts = Fragmentation
+      .roundRobinFragment(df, Seq("k"), 7)
+      .groupBy("part").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(parts.keySet == (0 until 7).toSet)
+    assert(parts.values.max - parts.values.min <= 1, parts.toString)
+  }
 }
