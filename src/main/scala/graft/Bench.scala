@@ -86,6 +86,9 @@ object Bench {
       }
       System.gc()
     }
+    // a query that failed one iteration but produced a sample in another is
+    // measured, not failed — `failed` reports only queries with NO sample
+    failed --= best.keys
     val results = picked.collect { case (name, _) if best.contains(name) => name -> best(name) }
     // full per-query map to a file for local inspection (the printed line
     // keeps only regression-relevant queries — see renderJson)

@@ -562,9 +562,16 @@ object Curation {
     bySrc
       .crossJoin(broadcast(total))
       .withColumn("w_ppm", expr("sq_micro * 1000000L div sq_total").cast("long"))
+      // budget · w_ppm in DECIMAL(38,0): a BIGINT product silently wraps
+      // (ANSI off) once budgetChars exceeds ~9.2e12 chars with w_ppm near
+      // 1e6 — exactly the 100 TB corpora this mixer is for. The div brings
+      // the value back ≤ budgetChars, so the later ×1000 stays in range for
+      // any budget under ~9.2e15 chars (≈ 9 PB of text).
       .withColumn(
         "epochs_milli",
-        expr(s"(${budgetChars}L * w_ppm div 1000000L) * 1000L div chars").cast("long")
+        expr(
+          s"(CAST(${budgetChars} AS DECIMAL(38,0)) * w_ppm div 1000000L) * 1000L div chars"
+        ).cast("long")
       )
       .select(srcCol, "n_docs", "chars", "w_ppm", "epochs_milli")
   }

@@ -521,11 +521,17 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        round(
-          idot("qv", "cv").cast("double") /
-            (sqrt(col("qq").cast("double")) * sqrt(col("cc").cast("double"))),
-          6
-        ).as("cos_q8")
+        // zero-norm (all-zero) vectors: 0/0 = NaN, which Spark orders ABOVE
+        // every number under DESC — a degenerate vector would top every
+        // query's list. Pin them to -2.0 (below any true cosine) instead.
+        when(
+          col("qq") > 0L && col("cc") > 0L,
+          round(
+            idot("qv", "cv").cast("double") /
+              (sqrt(col("qq").cast("double")) * sqrt(col("cc").cast("double"))),
+            6
+          )
+        ).otherwise(lit(-2.0)).as("cos_q8")
       )
     val w = Window.partitionBy("query_id").orderBy(col("cos_q8").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -1582,9 +1582,11 @@ object PipelineQueries {
          |  SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, neighbor_id) AS rank
          |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      round(CAST(list_sum(list_transform(range(1, 65), i ->
-         |          q.qv[CAST(i AS INT)] * c.qv[CAST(i AS INT)])) AS DOUBLE) /
-         |        (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE))), 6) AS cos_q8
+         |      CASE WHEN q.nn > 0 AND c.nn > 0 THEN
+         |        round(CAST(list_sum(list_transform(range(1, 65), i ->
+         |            q.qv[CAST(i AS INT)] * c.qv[CAST(i AS INT)])) AS DOUBLE) /
+         |          (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE))), 6)
+         |      ELSE -2.0 END AS cos_q8
          |    FROM (SELECT * FROM qn WHERE vec_id < 5) q, qn c
          |    WHERE c.vec_id != q.vec_id) s) r WHERE rank <= 10),
          |hits AS (SELECT bf.query_id, count(*) AS hits

@@ -31,6 +31,24 @@ class CurationSpec extends SparkSpec {
     assert(out.map(t => ((t._1, t._2), t._3)).toMap == Map((1L, 100L) -> 2L, (3L, 100L) -> 1L))
   }
 
+  test("temperatureMixture survives a 100TB-class char budget without Long overflow") {
+    val s = spark
+    import s.implicits._
+    // one source → w_ppm = 1_000_000; budget 1e14 chars: the old BIGINT
+    // product budget·w_ppm = 1e20 wraps past Long.MaxValue (ANSI off) and
+    // silently corrupted epochs_milli — the DECIMAL(38,0) product must not
+    val docs = Seq((1L, "web", 500L), (2L, "web", 500L)).toDF("doc_id", "source", "n_chars")
+    val budget = 100_000_000_000_000L // 1e14
+    val row = graft.operators.Curation
+      .temperatureMixture(docs, "source", "n_chars", budget)
+      .head()
+    assert(row.getAs[Long]("w_ppm") == 1000000L)
+    // epochs = budget / chars = 1e14 / 1000 → 1e11 epochs = 1e14 milli
+    assert(row.getAs[Long]("epochs_milli") == 100_000_000_000_000L,
+      s"epochs_milli=${row.getAs[Long]("epochs_milli")}")
+    assert(row.getAs[Long]("epochs_milli") > 0, "overflow would go negative")
+  }
+
   test("pii scrub redacts emails, IPv4s, and long digit runs in order") {
     val df = docs(1L -> "mail bob.smith+x@corp.example.org from 192.168.0.1 acct 123456789 tail")
     val red = df.select(Curation.piiScrub(col("text"))).head().getString(0)

@@ -86,19 +86,93 @@ class TopKPerKeySpec extends SparkSpec {
     assert(top1.select("uid").as[Int].collect().toSet == Set(2, 3))
   }
 
-  test("no rewrite for rank() or for conjunctive predicates") {
+  test("no rewrite for conjunctive predicates or non-rank functions") {
     val s = spark
     import s.implicits._
     val df = (1 to 50).map(i => (i % 2, i)).toDF("key", "value")
     val w = Window.partitionBy("key").orderBy("value")
-    val ranked = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
-    assert(topkExecs(ranked).isEmpty, "rank() must not rewrite")
-    assert(ranked.count() == 6)
     val conj = df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3 && col("value") > 10)
     assert(topkExecs(conj).isEmpty, "conjunction must not rewrite")
     // and the conjunction still computes correctly through WindowExec
     assert(conj.count() == withDisabled { conj.count() })
+    val lagged = df.withColumn("lv", lag("value", 1).over(w)).filter(col("lv") <= 3)
+    assert(topkExecs(lagged).isEmpty, "lag() must not rewrite")
+  }
+
+  test("rank() and dense_rank() rewrite and match WindowExec, ties included") {
+    val s = spark
+    import s.implicits._
+    // heavy ties: value = i/10 gives 10-row tie groups per key
+    val df = (1 to 400).map(i => (i % 2, i / 10, i)).toDF("key", "value", "uid")
+      .repartition(4)
+    val w = Window.partitionBy("key").orderBy(col("value"))
+    for (fn <- Seq(rank(), dense_rank())) {
+      def run() = df.withColumn("rn", fn.over(w)).filter(col("rn") <= 4)
+        .collect().map(_.toSeq).toSet
+      val planned = df.withColumn("rn", fn.over(w)).filter(col("rn") <= 4)
+      assert(topkExecs(planned).size == 2, s"$fn must rewrite:\n${planned.queryExecution.executedPlan}")
+      val got = run()
+      val exp = withDisabled { run() }
+      assert(got == exp, s"$fn diverges: got=${got.size} exp=${exp.size}")
+      assert(got.nonEmpty)
+    }
+    // rank ≤ k keeps MORE than k rows under ties — the superset partial must not clip
+    val rk = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 4).count()
+    assert(rk == withDisabled {
+      df.withColumn("rn", rank().over(w)).filter(col("rn") <= 4).count()
+    })
+  }
+
+  test("maxBufferedRows cap: pass-through fallback stays correct under a tiny budget") {
+    val s = spark
+    import s.implicits._
+    // 500 keys × 4 rows in one task with a 16-row buffer: almost everything
+    // passes through unreduced; the final stage must still filter exactly
+    spark.conf.set(graft.plans.TopKPerKey.MaxBufferedKey, "16")
+    try {
+      val df = (1 to 2000).map(i => (i % 500, (i * 7919) % 2003, i))
+        .toDF("key", "value", "uid").repartition(2)
+      val w = Window.partitionBy("key").orderBy(col("value").desc, col("uid"))
+      def run() = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .collect().map(_.toSeq).toSet
+      val got = run()
+      assert(topkExecs(df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)).size == 2)
+      val exp = withDisabled { run() }
+      assert(got == exp, s"capped partial diverges: ${got.size} vs ${exp.size}")
+      // rank mode under the same cap (tie buckets + pass-through interleave)
+      val wr = Window.partitionBy("key").orderBy(col("value").desc)
+      def runRank() = df.withColumn("rn", rank().over(wr)).filter(col("rn") <= 2)
+        .collect().map(_.toSeq).toSet
+      assert(runRank() == withDisabled { runRank() })
+    } finally spark.conf.unset(graft.plans.TopKPerKey.MaxBufferedKey)
+  }
+
+  test("shuffle volume is bounded by k·keys·partitions, not input size") {
+    val s = spark
+    import s.implicits._
+    // 30k rows, 3 keys, 6 input partitions, k=5 → the partial must shuffle
+    // ≤ 5·3·6 = 90 rows (vs 30,000 unreduced)
+    val df = (1 to 30000).map(i => (i % 3, (i * 7919) % 30011, i))
+      .toDF("key", "value", "uid").repartition(6)
+    val w = Window.partitionBy("key").orderBy(col("value").desc, col("uid"))
+    val top = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    top.collect()
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shuffles(a.executedPlan)
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics.collect {
+            case (name, m) if name.toLowerCase.contains("records") => m.value
+          }.toSeq
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => shuffles(q.plan)
+      }.flatten
+    val recs = shuffles(top.queryExecution.executedPlan)
+      .filter(_ > 0) // the repartition(6) exchange carries the full 30k — skip it
+      .filter(_ <= 30000 - 1)
+    assert(recs.nonEmpty, s"no reduced shuffle found:\n${top.queryExecution.executedPlan}")
+    assert(recs.min <= 90, s"partial did not bound the shuffle: $recs")
   }
 
   test("global top-k (no partition keys) gathers to one group") {
