@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Sampling, Similarity}
+import graft.operators.{Compaction, Dedup, Sampling, Similarity}
 
 /** Training-data pipeline inventory: deduplication (exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine) and similarity search
@@ -1944,6 +1944,83 @@ object PipelineQueries {
             6
           ).as("inertia")
         )
+    },
+
+    // E152 selective-compaction planner: NEXT-FIT bin packing of undersized
+    // files as ONE keyed window, big files exempt (bin -1). The documents
+    // listing stands in for a file listing (path = doc_<id>, bytes =
+    // n_chars, partition key = source); the twin replays the running-sum
+    // shelf formula bin = (cumsum − bytes) // target exactly — all BIGINTs.
+    QEntry.sql(
+      "pipe_plan_bins",
+      """WITH f AS (SELECT source, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+        |    CAST(n_chars AS BIGINT) AS bytes FROM documents),
+        |c AS (SELECT source, path, bytes,
+        |    sum(CASE WHEN bytes < 500 THEN bytes ELSE 0 END)
+        |      OVER (PARTITION BY source ORDER BY bytes DESC, path
+        |            ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+        |b AS (SELECT source, path, bytes,
+        |    CASE WHEN bytes < 500 THEN (cum - bytes) // 500 ELSE -1 END AS bin
+        |  FROM c)
+        |SELECT source, path, bytes, CAST(bin AS BIGINT) AS bin,
+        |  CAST(CASE WHEN bin >= 0
+        |    THEN sum(bytes) OVER (PARTITION BY source, bin)
+        |    ELSE bytes END AS BIGINT) AS bin_bytes
+        |FROM b""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val files = documents(s, d).select(
+        col("source"),
+        concat(lit("doc_"), col("doc_id").cast("string")).as("path"),
+        col("n_chars").cast("long").as("bytes")
+      )
+      Compaction.planBins(files, Seq("source"), "path", "bytes", targetBytes = 500L)
+    },
+
+    // E72 compaction kernel round-trip: write the documents 8-ways, compact
+    // into one ~1 GiB-target file via the directory-swap kernel, read the
+    // result BACK from disk, and pin content preservation with an order-free
+    // md5-prefix checksum plus exact aggregates. The twin computes the same
+    // numbers straight from the source table — equal hashes prove the
+    // rewrite lost and duplicated nothing; the literal file counts pin the
+    // 8 → 1 consolidation itself.
+    QEntry.sql(
+      "pipe_compaction_roundtrip",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    CAST(doc_id AS VARCHAR), source, md5(text))), 1, 13)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
+        |  CAST(8 AS BIGINT) AS n_files_before,
+        |  CAST(1 AS BIGINT) AS n_files_after
+        |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-compact").resolve("docs").toString
+      documents(s, d).repartition(8).write.mode("overwrite").parquet(dir)
+      val (before, after) = Compaction.compactParquet(s, dir, targetBytes = 1L << 30)
+      s.read
+        .parquet(dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("n_chars"),
+          conv(
+            substring(
+              md5(concat_ws("|", col("doc_id").cast("string"), col("source"), md5(col("text")))),
+              1, 13
+            ),
+            16, 10
+          ).cast("long").as("_h")
+        )
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("_h").cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").as("checksum")
+        )
+        .withColumn("n_files_before", lit(before.toLong))
+        .withColumn("n_files_after", lit(after.toLong))
     }
   )
 }

@@ -845,6 +845,62 @@ object TextQueries {
           expr("sum(f * (f - 1)) * 1000000L div (sum(f) * (sum(f) - 1L))")
             .cast("long").as("simpson_ppm")
         )
+    },
+
+    // E110 BPE merge LEARNING, oracled: the Sennrich loop's merge table for
+    // 6 iterations, hash-matched against a DuckDB twin that replays the
+    // identical algorithm — words as chr(31)-delimited symbol strings
+    // ('␟t1␟␟t2␟…', every token delimited on BOTH sides so a merge pattern
+    // can never match a token suffix), pair counts via list windows, argmax
+    // by (count DESC, left, right), and the left-to-right non-overlapping
+    // merge as a single string replace() (scan resumes AFTER each
+    // replacement — exactly the carry-fold's semantics). Six unrolled CTE
+    // iterations; one row per learned merge.
+    QEntry.sql("txt_bpe_merges", bpeMergeOracleSql(6)) { (s, d) =>
+      graft.operators.BpeTrain
+        .learnMerges(documents(s, d), "text", nMerges = 6)
+        .select(
+          col("rank").cast("long").as("rank"),
+          col("left"), col("right"), col("merged"),
+          col("pair_count").cast("long").as("pair_count")
+        )
     }
   )
+
+  /** DuckDB replay of [[graft.operators.BpeTrain.learnMerges]], unrolled to
+    * `n` iterations. Symbol sequences are strings of chr(31)-delimited
+    * tokens; see the txt_bpe_merges comment for why replace() is exactly
+    * the carry-fold.
+    */
+  private def bpeMergeOracleSql(n: Int): String = {
+    val S = "chr(31)"
+    val SS = "chr(31) || chr(31)"
+    val head =
+      s"""WITH toks AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY w),
+         |w0 AS (SELECT $S || array_to_string(
+         |    list_append(string_split(w, ''), '</w>'), $SS) || $S AS seq, freq FROM toks)"""
+    val iters = (1 to n).map { i =>
+      s""",
+         |p$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(tl)), j ->
+         |        struct_pack(l := tl[CAST(j AS INT)], r := tl[CAST(j + 1 AS INT)]))) AS p,
+         |      freq
+         |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), $SS) AS tl, freq
+         |          FROM w${i - 1}) s) q
+         |  GROUP BY 1, 2 HAVING cnt >= 2),
+         |b$i AS (SELECT CAST(${i - 1} AS BIGINT) AS rank, l, r, l || r AS merged,
+         |    cnt AS pair_count
+         |  FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS (SELECT replace(seq, $S || b.l || $SS || b.r || $S,
+         |    $S || b.l || b.r || $S) AS seq, freq
+         |  FROM w${i - 1} CROSS JOIN b$i b)"""
+    }
+    val union = (1 to n)
+      .map(i => s"""SELECT rank, l AS "left", r AS "right", merged, pair_count FROM b$i""")
+      .mkString(" UNION ALL ")
+    (head + iters.mkString + "\n" + union)
+      .stripMargin.replaceAll("\\s+", " ")
+  }
 }
