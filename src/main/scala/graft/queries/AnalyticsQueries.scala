@@ -1883,14 +1883,12 @@ object AnalyticsQueries {
             .as("rev"),
           count(lit(1)).as("cnt")
         )
-      val series = m.select(
-        row_number()
-          .over(Window.partitionBy(pmod(lit(0), lit(1))).orderBy("month"))
-          .cast("long")
-          .as("i"),
-        col("rev"),
-        col("cnt")
-      )
+      // two-phase global rank (no single-reducer window; the optimizer
+      // folds constant partition keys away, so partitionBy(lit) is not a
+      // real escape) — the series index the oracle defines by row_number
+      val series = graft.operators.Fragmentation
+        .globalRowNumber(m, Seq("month"), "i")
+        .select(col("i"), col("rev"), col("cnt"))
       val lagRows = s.range(0, 4).toDF("lag")
       series
         .toDF("i", "x", "_c")

@@ -54,15 +54,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("flagship engine entries audit clean of error-severity findings") {
+  test("EVERY driver entry audits clean of error-severity findings") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory)
-    for (name <- Seq("q_join_revenue_rollup", "dedup_minhash_pairs",
-                     "txt_tfidf", "q_window_top_order_per_cust")) {
-      val errors = PlanAudit.audit(SparkEntry.queries(name)(spark, sfDir))
-        .filter(_.severity == "error")
-      assert(errors.isEmpty, s"$name: $errors")
+    // Documented exemptions — each justified by a bound the auditor cannot
+    // see. Any NEW entry that introduces a cartesian or global-window shape
+    // fails this spec until it is either fixed or argued onto this list.
+    val whitelisted: Map[String, String] = Map(
+      "sample_weighted_topk" ->
+        ("rank window runs AFTER .limit(k): its input is ≤ k rows by " +
+          "construction (TakeOrderedAndProject feeds it), never the corpus")
+    )
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val errors =
+        try PlanAudit.audit(fn(spark, sfDir)).filter(_.severity == "error")
+        catch { case e: Throwable => failures += s"$name: audit threw $e"; Nil }
+      if (errors.nonEmpty && !whitelisted.contains(name))
+        failures += s"$name: ${errors.map(_.rule).mkString(",")}"
     }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("auditDF returns the findings as rows") {
