@@ -67,7 +67,7 @@ object Bench {
     // samples (~suite-length apart), and an explicit GC between laps keeps
     // one lap's garbage from billing the next lap's queries.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     (1 to iters).foreach { _ =>
       picked.foreach { case (name, fn) =>
@@ -78,7 +78,7 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
-          best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+          samples(name) = sec :: samples.getOrElse(name, Nil)
         } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
@@ -86,10 +86,18 @@ object Bench {
       }
       System.gc()
     }
+    val best = samples.view.mapValues(_.min).toMap
     // a query that failed one iteration but produced a sample in another is
     // measured, not failed — `failed` reports only queries with NO sample
     failed --= best.keys
     val results = picked.collect { case (name, _) if best.contains(name) => name -> best(name) }
+    // in-run noise signal: per-query (max−min)/min across laps, p95 over the
+    // suite — quantifies the round-9 192s→210s drift question (plan changes
+    // move `best`; sandbox/GC noise moves the spread)
+    val spreads = samples.values.collect {
+      case s if s.size >= 2 && s.min > 0 => (s.max - s.min) / s.min
+    }.toSeq
+    val spreadP95 = if (spreads.isEmpty) None else Some(percentile(spreads, 0.95))
     // full per-query map to a file for local inspection (the printed line
     // keeps only regression-relevant queries — see renderJson)
     sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
@@ -98,8 +106,14 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), all + "\n")
     }
-    println(renderJson(results, sfDir, failed.toSeq))
+    println(renderJson(results, sfDir, failed.toSeq, spreadP95))
     spark.stop()
+  }
+
+  /** Nearest-rank percentile (q ∈ (0,1]) of a non-empty sample. */
+  def percentile(xs: Seq[Double], q: Double): Double = {
+    val sorted = xs.sorted
+    sorted(math.min(sorted.size - 1, math.max(0, math.ceil(q * sorted.size).toInt - 1)))
   }
 
   /** The single machine-parsed output line — kept as a pure function so the
@@ -107,7 +121,8 @@ object Bench {
     * logger prefixes are the caller's job via run/outputStrategy).
     */
   def renderJson(results: Map[String, Double], sfDir: String,
-                 failed: Seq[String] = Nil): String = {
+                 failed: Seq[String] = Nil,
+                 spreadP95: Option[Double] = None): String = {
     // HARD BUDGET: the driver keeps only the LAST 2000 characters of the run
     // output (measured: every BENCH_r{N}.json has len(tail)==2000), and a
     // longer line gets its HEAD truncated, leaving unparseable JSON (the
@@ -132,6 +147,16 @@ object Bench {
         val more = if (failed.size > 5) Seq("\"+" + (failed.size - 5) + " more\"") else Nil
         s""","failed_n":${failed.size},"failed":${(shown ++ more).mkString("[", ",", "]")}"""
       }
+    // per-entry distribution (p50/p95 of best-of-lap times) + in-run noise
+    // (p95 of per-query lap spread): ~45 bytes that let a reader separate
+    // "one query regressed" from "the whole run was slow/noisy"
+    val stats =
+      if (results.isEmpty) ""
+      else {
+        val times = results.values.toSeq
+        val sp = spreadP95.map(v => s""","spread_p95":${f2(v)}""").getOrElse("")
+        s""","p50":${f2(percentile(times, 0.5))},"p95":${f2(percentile(times, 0.95))}$sp"""
+      }
     def render(floorSec: Double): String = {
       val (big, small) = results.partition(_._2 >= floorSec)
       val qs = big.toSeq.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + f2(v) }
@@ -139,7 +164,7 @@ object Bench {
       val rest =
         if (small.isEmpty) ""
         else s""","rest_n":${small.size},"rest_sec":${f2(small.values.sum)}"""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$rest$failKey,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$rest$stats$failKey,"sf":"$sf"}"""
     }
     // smallest floor whose line fits the tail budget (with headroom for the
     // trailing newline and any straggler log line)

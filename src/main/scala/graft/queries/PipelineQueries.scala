@@ -2021,6 +2021,82 @@ object PipelineQueries {
         )
         .withColumn("n_files_before", lit(before.toLong))
         .withColumn("n_files_after", lit(after.toLong))
+    },
+
+    // E48 batch twin, oracled: the replayable definition of streaming
+    // dedup-within-watermark — per (user, event_type), scan events in time
+    // order and keep one iff it is ≥ 1 h past the last KEPT event (the
+    // streaming state lifecycle: kept state expires horizon after its event
+    // time, the next arrival re-admits). One keyed agg to sorted per-key
+    // time lists, then a codegen'd fold; the twin replays the identical
+    // fold with list_reduce over struct accumulators.
+    // Oracle note: the fold state is PACKED into one BIGINT (last_micros ·
+    // 1000 + kept_count) because DuckDB 1.0's list_reduce mis-evaluates
+    // CASE over STRUCT accumulators when vectorized across many rows
+    // (verified: 25/750 keys wrong in the full query, correct row-filtered).
+    // Packing is exact: 2024 micros ≈ 1.7e15 → ·1000 ≈ 1.7e18 < 2^63, and
+    // kept_count per key stays far under 1000 at any sf.
+    QEntry.sql(
+      "dedup_within_watermark",
+      """WITH l AS (SELECT user_id, event_type,
+        |    list_sort(list(epoch_us(ts))) AS xs,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type, n_events,
+        |  CAST((list_reduce(
+        |    list_transform(xs, t -> t * 1000 + 1),
+        |    (acc, x) -> CASE WHEN x // 1000 >= acc // 1000 + 3600000000
+        |      THEN (x // 1000) * 1000 + (acc % 1000) + 1
+        |      ELSE acc END)) % 1000 AS BIGINT) AS n_kept
+        |FROM l""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      graft.streaming.StreamingOps
+        .horizonDedupCounts(events(s, d), Seq("user_id", "event_type"))
+    },
+
+    // E86 exactly-once sink, oracled: drive the idempotent foreachBatch
+    // sink with two batches PLUS a replay of batch 0 (the crash-recovery
+    // path), read the sink directory back, and hash-match content against
+    // the source table — a duplicated or lost row breaks the checksum, so
+    // the exactly-once property is pinned by hash, not just by the spec.
+    QEntry.sql(
+      "pipe_exactly_once_sink",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    CAST(doc_id AS VARCHAR), source, md5(text))), 1, 13)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sink").resolve("out").toString
+      val sink = graft.streaming.StreamingOps.idempotentAppend(dir)
+      val docs = documents(s, d).select("doc_id", "source", "n_chars", "text")
+      val b0 = docs.filter(col("doc_id") % 2 === 0)
+      sink(b0, 0L)
+      sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+      sink(b0, 0L) // epoch replay after a simulated failure — must be a no-op
+      s.read
+        .parquet(dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("n_chars"),
+          conv(
+            substring(
+              md5(concat_ws("|", col("doc_id").cast("string"), col("source"), md5(col("text")))),
+              1, 13
+            ),
+            16, 10
+          ).cast("long").as("_h")
+        )
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("_h").cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").as("checksum")
+        )
     }
   )
 }

@@ -101,6 +101,43 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Deterministic BATCH twin of [[dedupWithinWatermark]]'s state contract:
+    * per key, scan events in time order and KEEP one iff it is at least
+    * `horizonMicros` past the last KEPT event — exactly the streaming state
+    * lifecycle (a kept key's state expires `horizon` after its event time,
+    * so the next arrival re-admits). The stream may keep or drop dups whose
+    * gap exceeds the horizon (its guarantee is only within-horizon), so the
+    * batch twin is the REPLAYABLE definition a backfill must use.
+    *
+    * Shape: one keyed partial agg to per-key sorted event-time lists
+    * (bounded per-key state), then a codegen'd `aggregate` HOF fold per key
+    * — no shuffle beyond the groupBy, parallel across keys at any scale.
+    * Returns (keyCols..., n_events, n_kept).
+    */
+  def horizonDedupCounts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      horizonMicros: Long = 3600L * 1000000L
+  ): DataFrame =
+    df.select(keyCols.map(col) :+ unix_micros(col(tsCol)).as("_us"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sort_array(collect_list(col("_us"))).as("_xs"),
+        count(lit(1)).as("n_events")
+      )
+      .withColumn(
+        "n_kept",
+        expr(
+          s"""aggregate(slice(_xs, 2, size(_xs) - 1),
+             |  named_struct('last', element_at(_xs, 1), 'cnt', 1L),
+             |  (acc, x) -> CASE WHEN x >= acc.last + ${horizonMicros}L
+             |    THEN named_struct('last', x, 'cnt', acc.cnt + 1L)
+             |    ELSE acc END).cnt""".stripMargin.replaceAll("\\s+", " ")
+        )
+      )
+      .drop("_xs")
+
   /** Watermarked stream-stream inner join: for every `left` event, matching
     * `right` events of the same key within `[left.ts - lookback, left.ts]` —
     * the click→conversion attribution shape. Both sides carry watermarks and

@@ -44,8 +44,16 @@ class EdgeCasesSpec extends SparkSpec {
     // minimal structural check without a JSON lib: balanced + expected fields
     assert(json.startsWith("{") && json.endsWith("}"))
     for (k <- Seq("\"metric\":\"total\"", "\"value\":1.750", "\"unit\":\"sec\"",
-                  "\"queries\":{", "\"q1\":1.50", "\"sf\":\"sf0.1\""))
+                  "\"queries\":{", "\"q1\":1.50", "\"sf\":\"sf0.1\"",
+                  "\"p50\":0.25", "\"p95\":1.50"))
       assert(json.contains(k), s"missing $k in $json")
+    // spread (lap noise) appears only when lap samples existed
+    val withSpread = Bench.renderJson(Map("q1" -> 1.5), "/x/sf0.1", Nil, Some(0.073))
+    assert(withSpread.contains("\"spread_p95\":0.07"), withSpread)
+    // percentile: nearest-rank on small samples
+    assert(Bench.percentile(Seq(3.0, 1.0, 2.0), 0.5) == 2.0)
+    assert(Bench.percentile(Seq(3.0, 1.0, 2.0), 0.95) == 3.0)
+    assert(Bench.percentile(Seq(5.0), 0.5) == 5.0)
     // and the driver-side parser accepts it (same shape json.loads expects)
     assert(json.count(_ == '{') == json.count(_ == '}'))
     // tail budget: the driver keeps only the last 2000 chars of output, so
