@@ -119,14 +119,24 @@ object Fragmentation {
   ): DataFrame = {
     require(orderCols.nonEmpty, "globalRowNumber needs at least one order column")
     val W = org.apache.spark.sql.expressions.Window
+    // localCheckpoint PINS the range exchange: the counts job and the final
+    // job below are separate actions, and without materialization each
+    // re-plans the shuffle from scratch — RangePartitioner re-SAMPLES under
+    // fresh RDD ids and AQE re-coalesces by runtime sizes, so the two jobs
+    // can disagree about what partition id K contains (observed at sf0.1:
+    // offsets keyed to one partitioning applied to another → wrong ranks;
+    // invisible at sf0.01 where both jobs coalesce to one partition).
+    // Checkpointing materializes the exchange once, so `_gpid` means the
+    // same thing in both jobs. Same reliability trade as the pagerank /
+    // BFS loops' localCheckpoint: executor-local blocks, no lineage replay.
     val sorted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("_gpid", spark_partition_id())
+      .localCheckpoint()
     // Metadata-sized action (the zipWithIndex pattern): ONE (pid, count) row
     // per shuffle partition reaches the driver; cumulative offsets become a
-    // literal lookup map. Both jobs derive from the same deterministic
-    // range-exchange, so partition ids agree across them.
+    // literal lookup map.
     val counts = sorted
       .groupBy("_gpid")
       .agg(count(lit(1)).as("_gcnt"))

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance (IVM): keep a small per-key STATE table
+  * of mergeable partial aggregates and fold each new delta into it, instead
+  * of rescanning all of history — the only way a daily pipeline over a
+  * 100 TB fact table stays O(delta) instead of O(history) per run.
+  *
+  * The state carries the classic commutative-monoid tuple (count, sum, min,
+  * max): merging two states is just re-aggregating the partials with
+  * (sum, sum, min, max), so merge is associative and commutative and the
+  * maintained invariant is
+  *
+  *   merge(state(h1), …, state(hn)) ≡ state(h1 ∪ … ∪ hn)
+  *
+  * — exactly what the `pipe_incr_agg` driver entry pins by hash against a
+  * full-recompute DuckDB oracle, and what IncrementalAggSpec replays over
+  * random splits. Derived values (avg) are finalized FROM the state
+  * (sum/count), never maintained directly — avg is not mergeable.
+  *
+  * At scale: the state table is key-cardinality-sized (not fact-sized), each
+  * delta pass is one partial-agg shuffle over the delta only, and the merge
+  * is a shuffle over |keys| rows. Non-mergeable aggregates (exact distinct,
+  * exact median) need a sketch state instead — see the HLL/KMV/CMS operators
+  * (`q_hll_merge` demonstrates the same merge identity for distincts).
+  */
+object IncrementalAgg {
+
+  private val StateCols = Seq("st_cnt", "st_sum", "st_min", "st_max")
+
+  /** Per-key mergeable state over an exact-integer value column (use integer
+    * cents/ppm units so sums are exact and engine-portable — the repo-wide
+    * determinism rule).
+    */
+  def state(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "state needs at least one key column")
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).cast("long").as("st_cnt"),
+        sum(col(valueCol)).cast("long").as("st_sum"),
+        min(col(valueCol)).cast("long").as("st_min"),
+        max(col(valueCol)).cast("long").as("st_max")
+      )
+  }
+
+  /** Merge state frames produced by [[state]] over disjoint (or not — the
+    * algebra doesn't care) slices of the fact table: re-aggregate the
+    * partials. Keys present in only some states merge correctly because
+    * absent rows simply contribute nothing.
+    */
+  def merge(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "merge needs at least one state frame")
+    states
+      .reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("st_cnt").cast("long").as("st_cnt"),
+        sum("st_sum").cast("long").as("st_sum"),
+        min("st_min").cast("long").as("st_min"),
+        max("st_max").cast("long").as("st_max")
+      )
+  }
+
+  /** Finalize user-facing aggregates from the state: count, sum, min, max
+    * pass through; avg is derived as floor(sum/cnt) in exact integer units.
+    */
+  def finalize(stateDf: DataFrame, keys: Seq[String]): DataFrame =
+    stateDf.select(
+      keys.map(col) ++ Seq(
+        col("st_cnt").as("cnt"),
+        col("st_sum").as("sum_units"),
+        col("st_min").as("min_units"),
+        col("st_max").as("max_units"),
+        expr("st_sum div st_cnt").cast("long").as("avg_units")
+      ): _*
+    )
+}

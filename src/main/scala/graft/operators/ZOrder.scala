@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) clustering — the multi-dimensional data-skipping layout:
@@ -51,4 +51,97 @@ object ZOrder {
       .repartitionByRange(numPartitions, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+
+  /** The persisted form of [[cluster2]] — a lakehouse `OPTIMIZE ZORDER BY`
+    * rewrite: Morton-cluster, write one Hive directory per cluster zone
+    * (`zone=K/`), and write a `zones/` SIDECAR of per-zone (count, min/max x,
+    * min/max y) stats — the table-level zone map that [[prunedRead]] consults
+    * so a 2-D box query opens only the zone directories whose bounding box
+    * intersects it. The sidecar is zone-cardinality-sized (metadata, like
+    * the IVF centroids or the LSH bucket index E123), and the stats are
+    * computed by re-reading what was actually written, so they describe the
+    * persisted layout, not an assumption about it.
+    */
+  def writeClustered(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      path: String,
+      numPartitions: Int,
+      bits: Int = 16
+  ): Unit = {
+    val spark = df.sparkSession
+    cluster2(df, xCol, yCol, numPartitions, bits)
+      .withColumn("zone", spark_partition_id())
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("zone")
+      .parquet(s"$path/data")
+    spark.read
+      .parquet(s"$path/data")
+      .groupBy("zone")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("min_x"),
+        max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"),
+        max(col(yCol)).as("max_y")
+      )
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/zones")
+  }
+
+  /** Zones whose bbox intersects the query box, from the sidecar alone —
+    * (selected, total). Metadata-scale: one tiny parquet read, ≤ one row
+    * per zone on the driver (the same scale as a file-listing).
+    */
+  def selectZones(
+      spark: SparkSession,
+      path: String,
+      xLo: Long,
+      xHi: Long,
+      yLo: Long,
+      yHi: Long
+  ): (Seq[Int], Int) = {
+    val zones = spark.read.parquet(s"$path/zones")
+    val total = zones.count().toInt
+    val keep = zones
+      .filter(
+        !(col("max_x") < xLo || col("min_x") > xHi ||
+          col("max_y") < yLo || col("min_y") > yHi)
+      )
+      .select(col("zone").cast("int"))
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+      .sorted
+    (keep, total)
+  }
+
+  /** Box query against the clustered layout: consult the sidecar, read ONLY
+    * the intersecting `zone=K/` directories (Hive partition pruning — the
+    * scan never lists the skipped zones' files), then apply the exact box
+    * filter to drop the false positives inside surviving zones. Equivalent
+    * to the full-scan filter by construction (zone stats are true bounds,
+    * so no qualifying row lives in a skipped zone) — pinned in
+    * ZOrderLayoutSpec.
+    */
+  def prunedRead(
+      spark: SparkSession,
+      path: String,
+      xCol: String,
+      yCol: String,
+      xLo: Long,
+      xHi: Long,
+      yLo: Long,
+      yHi: Long
+  ): DataFrame = {
+    val (keep, _) = selectZones(spark, path, xLo, xHi, yLo, yHi)
+    spark.read
+      .parquet(s"$path/data")
+      .filter(col("zone").isin(keep: _*))
+      .filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextAnalysis
-import graft.operators.{Compaction, Dedup, Sampling, Similarity}
+import graft.operators.{Compaction, Dedup, IncrementalAgg, Sampling, Similarity}
 
 /** Training-data pipeline inventory: deduplication (exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine) and similarity search
@@ -2097,6 +2097,41 @@ object PipelineQueries {
           sum(col("n_chars")).cast("long").as("sum_chars"),
           sum(col("_h").cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").as("checksum")
         )
+    },
+
+    // E250 incremental aggregate maintenance: per-(status, year) order
+    // aggregates computed as merge(state(history), state(delta)) — the
+    // O(delta)-per-run pipeline shape — hash-matched against the oracle's
+    // FULL recompute over the whole table. The identity merge∘state ≡
+    // state∘union is what lets a daily job over a 100 TB fact table touch
+    // only the new partition; sums in exact integer cents (decimal-cast
+    // before the ×100, the repo's FP-safe money idiom), avg finalized from
+    // the state as floor(sum/cnt).
+    QEntry.sql(
+      "pipe_incr_agg",
+      """SELECT o_orderstatus AS status,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_units,
+        |  CAST(min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS min_units,
+        |  CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS max_units,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    // count(*) AS BIGINT) AS avg_units
+        |FROM orders GROUP BY 1, 2""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = orders(s, d).select(
+        col("o_orderstatus").as("status"),
+        year(col("o_orderdate").cast("date")).cast("long").as("yr"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+        col("o_orderdate").cast("date").as("od")
+      )
+      val keys = Seq("status", "yr")
+      val history = IncrementalAgg.state(base.filter(col("od") < "1997-01-01"), keys, "cents")
+      val delta = IncrementalAgg.state(base.filter(col("od") >= "1997-01-01"), keys, "cents")
+      IncrementalAgg.finalize(IncrementalAgg.merge(Seq(history, delta), keys), keys)
     }
   )
 }

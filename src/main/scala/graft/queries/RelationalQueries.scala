@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{AsOfJoin, Bucketing, SemiReduce, SkewJoin}
+import graft.operators.{AsOfJoin, Bucketing, Fragmentation, SemiReduce, SkewJoin, ZOrder}
 
 /** SQL-operator inventory (SURVEY.md §2.3) plus the general analytics layer a
   * complete engine needs: scans, literal projection, range/equality
@@ -804,6 +804,103 @@ object RelationalQueries {
       .withColumn("row_skip_ppm", expr("skipped_rows * 1000000L div n_rows").cast("long"))
       .select("n_zones", "pruned_zones", "zone_prune_ppm", "n_rows", "skipped_rows",
         "row_skip_ppm")
+    },
+
+    // Z-order pruning GAIN — the payoff measurement E240's audit is the
+    // read for: the same 1024-row zones + min/max stats + a 2-D box
+    // predicate (customer band × order-date band), once on the linear
+    // (ingest-order) layout and once on the Morton-clustered layout, in one
+    // row. Linear zones span all customers so only the date dimension ever
+    // prunes; Z-order zones are compact rectangles in (cx, dy), so BOTH
+    // dimensions prune — z_skipped_rows ≥ lin_skipped_rows is the measured
+    // case for an OPTIMIZE ZORDER rewrite (the physical rewrite itself is
+    // ZOrder.writeClustered, spec-held with a persisted zone-stats sidecar).
+    // Both global orders come from the two-phase rank (range-partitioned
+    // sort + per-partition offsets) — no single-reducer window; the twin
+    // replays the interleave shift-for-shift and the rank as a window.
+    QEntry.sql(
+      "q_zorder_prune_gain", {
+        val terms = (0 until 14)
+          .flatMap(i =>
+            Seq(
+              s"(((cx >> $i) & 1) << ${2 * i})",
+              s"(((dy >> $i) & 1) << ${2 * i + 1})"
+            )
+          )
+          .mkString(" | ")
+        s"""WITH base AS (SELECT o_orderkey,
+           |    (o_custkey & 16383) AS cx,
+           |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 16383)
+           |      AS dy
+           |  FROM orders),
+           |zv AS (SELECT o_orderkey, cx, dy, CAST($terms AS BIGINT) AS zval FROM base),
+           |lin AS (SELECT ((row_number() OVER (ORDER BY o_orderkey)) - 1) // 1024 AS zone,
+           |    cx, dy FROM zv),
+           |zz AS (SELECT ((row_number() OVER (ORDER BY zval, o_orderkey)) - 1) // 1024
+           |    AS zone, cx, dy FROM zv),
+           |lm AS (SELECT zone, count(*) AS n_rows, min(cx) AS min_cx, max(cx) AS max_cx,
+           |    min(dy) AS min_dy, max(dy) AS max_dy FROM lin GROUP BY zone),
+           |zm AS (SELECT zone, count(*) AS n_rows, min(cx) AS min_cx, max(cx) AS max_cx,
+           |    min(dy) AS min_dy, max(dy) AS max_dy FROM zz GROUP BY zone),
+           |lr AS (SELECT CAST(count(*) AS BIGINT) AS n_zones,
+           |    CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           |    CAST(sum(CASE WHEN max_cx < 10 OR min_cx > 80 OR max_dy < 1095
+           |      OR min_dy > 1460 THEN 1 ELSE 0 END) AS BIGINT) AS lin_pruned_zones,
+           |    CAST(sum(CASE WHEN max_cx < 10 OR min_cx > 80 OR max_dy < 1095
+           |      OR min_dy > 1460 THEN n_rows ELSE 0 END) AS BIGINT) AS lin_skipped_rows
+           |  FROM lm),
+           |zr AS (SELECT
+           |    CAST(sum(CASE WHEN max_cx < 10 OR min_cx > 80 OR max_dy < 1095
+           |      OR min_dy > 1460 THEN 1 ELSE 0 END) AS BIGINT) AS z_pruned_zones,
+           |    CAST(sum(CASE WHEN max_cx < 10 OR min_cx > 80 OR max_dy < 1095
+           |      OR min_dy > 1460 THEN n_rows ELSE 0 END) AS BIGINT) AS z_skipped_rows
+           |  FROM zm)
+           |SELECT n_zones, n_rows, lin_pruned_zones, lin_skipped_rows,
+           |  CAST(lin_skipped_rows * 1000000 // n_rows AS BIGINT) AS lin_skip_ppm,
+           |  z_pruned_zones, z_skipped_rows,
+           |  CAST(z_skipped_rows * 1000000 // n_rows AS BIGINT) AS z_skip_ppm
+           |FROM lr CROSS JOIN zr""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val base = orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey").bitwiseAND(lit(16383L)).as("cx"),
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long")
+            .bitwiseAND(lit(16383L))
+            .as("dy")
+        )
+        .withColumn("zval", ZOrder.zValue2(col("cx"), col("dy"), 14))
+      def zoneStats(ord: Seq[String]) =
+        Fragmentation
+          .globalRowNumber(base, ord, "rn")
+          .withColumn("zone", expr("(rn - 1) div 1024"))
+          .groupBy("zone")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min("cx").as("min_cx"),
+            max("cx").as("max_cx"),
+            min("dy").as("min_dy"),
+            max("dy").as("max_dy")
+          )
+      val pruned = col("max_cx") < 10 || col("min_cx") > 80 ||
+        col("max_dy") < 1095 || col("min_dy") > 1460
+      val lr = zoneStats(Seq("o_orderkey")).agg(
+        count(lit(1)).cast("long").as("n_zones"),
+        sum(col("n_rows")).cast("long").as("n_rows"),
+        sum(when(pruned, 1L).otherwise(0L)).cast("long").as("lin_pruned_zones"),
+        sum(when(pruned, col("n_rows")).otherwise(0L)).cast("long").as("lin_skipped_rows")
+      )
+      val zr = zoneStats(Seq("zval", "o_orderkey")).agg(
+        sum(when(pruned, 1L).otherwise(0L)).cast("long").as("z_pruned_zones"),
+        sum(when(pruned, col("n_rows")).otherwise(0L)).cast("long").as("z_skipped_rows")
+      )
+      lr.crossJoin(zr)
+        .withColumn("lin_skip_ppm", expr("lin_skipped_rows * 1000000L div n_rows").cast("long"))
+        .withColumn("z_skip_ppm", expr("z_skipped_rows * 1000000L div n_rows").cast("long"))
+        .select("n_zones", "n_rows", "lin_pruned_zones", "lin_skipped_rows", "lin_skip_ppm",
+          "z_pruned_zones", "z_skipped_rows", "z_skip_ppm")
     },
 
     // Salted skew join: the build side (supplier) is replicated `salt` ways

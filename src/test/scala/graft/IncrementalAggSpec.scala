@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalAgg
+
+/** The IVM identity on synthetic fixtures: merge(state(slices)) must equal
+  * state(union) — and the finalized report must equal a direct full-table
+  * aggregation — for ANY slicing, including slices that miss some keys
+  * entirely. (The sf-data entry `pipe_incr_agg` pins the same identity by
+  * hash against DuckDB's full recompute.)
+  */
+class IncrementalAggSpec extends SparkSpec {
+
+  private def rows(n: Int) = {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random values: key in 0..6, value from a hash mix
+    (1 to n)
+      .map(i => (i % 7, ((i * 2654435761L) % 1000).toInt, i))
+      .toDF("k", "v", "slice_src")
+  }
+
+  test("merge of per-slice states equals the state of the union, any slicing") {
+    val df = rows(500).cache()
+    val keys = Seq("k")
+    val slices = Seq(
+      df.filter(col("slice_src") % 3 === 0),
+      df.filter(col("slice_src") % 3 === 1),
+      df.filter(col("slice_src") % 3 === 2)
+    )
+    val merged = IncrementalAgg
+      .merge(slices.map(s => IncrementalAgg.state(s, keys, "v")), keys)
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val full = IncrementalAgg
+      .state(df, keys, "v")
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(merged == full)
+  }
+
+  test("keys missing from some slices still merge correctly") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1, 10), (1, 20)).toDF("k", "v")
+    val b = Seq((2, 5)).toDF("k", "v")
+    val merged = IncrementalAgg
+      .merge(Seq(IncrementalAgg.state(a, Seq("k"), "v"), IncrementalAgg.state(b, Seq("k"), "v")),
+        Seq("k"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(merged(1) == ((2L, 30L, 10L, 20L)))
+    assert(merged(2) == ((1L, 5L, 5L, 5L)))
+  }
+
+  test("finalize derives avg as floor(sum/cnt) and matches a direct aggregation") {
+    val df = rows(300)
+    val keys = Seq("k")
+    val fin = IncrementalAgg
+      .finalize(IncrementalAgg.state(df, keys, "v"), keys)
+      .collect()
+      .map(r =>
+        (r.getInt(0),
+          (r.getAs[Long]("cnt"), r.getAs[Long]("sum_units"), r.getAs[Long]("min_units"),
+            r.getAs[Long]("max_units"), r.getAs[Long]("avg_units"))))
+      .toMap
+    val direct = df
+      .groupBy("k")
+      .agg(
+        count(lit(1)).cast("long").as("cnt"),
+        sum("v").cast("long").as("s"),
+        min("v").cast("long").as("mn"),
+        max("v").cast("long").as("mx")
+      )
+      .collect()
+      .map(r =>
+        (r.getInt(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            Math.floorDiv(r.getLong(2), r.getLong(1)))))
+      .toMap
+    assert(fin == direct)
+  }
+}
