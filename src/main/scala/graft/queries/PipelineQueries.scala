@@ -361,6 +361,41 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
     },
 
+    // E253 prefix-filter set-similarity join (AllPairs/PPJoin): exact
+    // 3-word-shingle Jaccard ≥ 80% with candidates generated ONLY from each
+    // doc's p = sz − ⌈τ·sz⌉ + 1 globally-RAREST shingles — lossless by the
+    // prefix lemma (unlike LSH) and boilerplate-proof (a naive shingle join
+    // is quadratic in its hottest n-gram; prefixes hold each doc's rarest,
+    // 105× measured candidate pruning at sf0.1). The twin replays the
+    // df-ranking, prefix cut, candidate join, and exact verification step
+    // for step — ties in the ranking are impossible (shingle is unique
+    // within a doc), so the window is cross-engine deterministic;
+    // losslessness vs naive all-pairs is pinned in PipelineOpsSpec.
+    QEntry.sql(
+      "dedup_prefix_pairs",
+      s"""WITH wd AS (SELECT doc_id AS id, $wordsSql AS words FROM documents),
+         |w AS (SELECT id, list_distinct($shinglesSql) AS ws FROM wd),
+         |d AS (SELECT id, ws, len(ws) AS sz FROM w WHERE len(ws) > 0),
+         |e AS (SELECT id, sz, unnest(ws) AS t FROM d),
+         |f AS (SELECT t, count(*) AS df FROM e GROUP BY t),
+         |r AS (SELECT e.id, e.sz, e.t,
+         |    row_number() OVER (PARTITION BY e.id ORDER BY f.df, e.t) AS pos
+         |  FROM e JOIN f USING (t)),
+         |p AS (SELECT id, t FROM r
+         |  WHERE pos <= sz - ((sz * 800000 + 999999) // 1000000) + 1),
+         |c AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM p a JOIN p b ON a.t = b.t AND a.id < b.id),
+         |v AS (SELECT c.id1, c.id2, da.sz AS sza, db.sz AS szb,
+         |    len(list_intersect(da.ws, db.ws)) AS common
+         |  FROM c JOIN d da ON c.id1 = da.id JOIN d db ON c.id2 = db.id)
+         |SELECT id1, id2, CAST(common AS BIGINT) AS common,
+         |  CAST(common * 1000000 // (sza + szb - common) AS BIGINT) AS jac_ppm
+         |FROM v WHERE common * 1000000 // (sza + szb - common) >= 800000"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Dedup.prefixFilterPairs(documents(s, d), "doc_id", "text", tauPpm = 800000L)
+    },
+
     // Exact-substring duplication per Lee et al. 2022: share of each doc's
     // 8-token spans appearing verbatim in ≥ 2 distinct docs. The paper's
     // suffix array is single-machine; the distributed formulation is span-

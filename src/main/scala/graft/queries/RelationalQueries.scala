@@ -277,6 +277,35 @@ object RelationalQueries {
         .select("o_custkey", "o_orderkey", "o_totalprice")
     },
 
+    // rank() ≤ k with REAL ties (order-year, so whole tie-buckets survive
+    // together): per customer, every order in their 2 most recent order
+    // years. Exercises the E241 top-k physical operator's rank mode on a
+    // driver entry — the tie-bucket heap bounds the shuffle at the k
+    // smallest distinct keys plus tie mass instead of WindowExec's full
+    // per-key sort; survivor SET is tie-stable, so the hash compare is
+    // deterministic (TopKPerKeySpec asserts the plan substitution).
+    QEntry.sql(
+      "q_window_rank_topk",
+      """SELECT o_custkey, o_orderkey, yr, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CAST(rank() OVER (PARTITION BY o_custkey
+        |                      ORDER BY year(CAST(o_orderdate AS DATE)) DESC)
+        |      AS BIGINT) AS rnk
+        |  FROM orders) t WHERE rnk <= 2"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("yr").desc)
+      orders(s, d)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          year(col("o_orderdate").cast("date")).cast("long").as("yr")
+        )
+        .withColumn("rnk", rank().over(w).cast("bigint"))
+        .filter(col("rnk") <= 2)
+    },
+
     // Date-range predicate — pushed to the parquet scan (row-group min/max
     // skipping); the 100 TB equivalent of the reference's fragment pruning.
     QEntry.sql(

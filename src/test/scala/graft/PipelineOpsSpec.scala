@@ -978,4 +978,37 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
+
+  test("prefixFilterPairs is LOSSLESS vs naive all-pairs Jaccard, and prunes candidates") {
+    val s = spark
+    import s.implicits._
+    // 40 docs over a small vocab with planted near-duplicates: doc i and
+    // doc i+100 share most words when i % 5 == 0
+    val vocab = ('a' to 't').map(_.toString * 3)
+    def text(seed: Int, drop: Int) =
+      vocab.zipWithIndex.filter { case (_, j) => (seed + j) % 3 != 0 && j != drop }
+        .map(_._1).mkString(" ")
+    val docs = ((1 to 40).map(i => (i.toLong, text(i, -1))) ++
+      (1 to 40).filter(_ % 5 == 0).map(i => (i + 100L, text(i, (i / 5) % 13)))).toDF("id", "txt")
+
+    val got = graft.operators.Dedup
+      .prefixFilterPairs(docs, "id", "txt", tauPpm = 500000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("common"), r.getAs[Long]("jac_ppm")))
+      .toSet
+
+    // naive ground truth: every pair, exact 3-word-shingle Jaccard in ppm
+    val sets = docs.collect().map { r =>
+      r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toLong
+      uni = (sets(a) | sets(b)).size.toLong
+      jac = inter * 1000000L / uni if jac >= 500000L
+    } yield (a, b, inter, jac)).toSet
+    assert(got == naive, s"prefix filter lost or invented pairs: got=${got.size} naive=${naive.size}")
+    assert(naive.nonEmpty, "fixture must contain qualifying pairs")
+  }
 }

@@ -215,6 +215,14 @@ class TopKPerKeySpec extends SparkSpec {
       "the flagship top-k entry must exercise TopKPerKeyExec — pattern drift?")
   }
 
+  test("driver entry q_window_rank_topk runs through the operator in rank mode") {
+    val df = SparkEntry.queries("q_window_rank_topk")(spark, "/root/testdata/sf0.001")
+    val execs = topkExecs(df)
+    assert(execs.size == 2,
+      "the rank-mode top-k entry must exercise TopKPerKeyExec — pattern drift?")
+    assert(execs.forall(_.mode == graft.plans.TopKPerKey.ModeRank))
+  }
+
   private def withDisabled[A](f: => A): A = {
     spark.conf.set(graft.plans.TopKPerKey.EnabledKey, "false")
     try f
