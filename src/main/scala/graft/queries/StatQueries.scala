@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{GeoJoin, Profiling, QualityChecks}
+import graft.operators.{GeoJoin, Profiling, QualityChecks, Selection}
 
 /** Statistical-analytics inventory: per-group linear regression, distribution
   * entropy, frequency heavy hitters, rolling medians, bitmap aggregates and
@@ -1612,6 +1612,32 @@ object StatQueries {
       audit("orders_customer", orders(s, d), "o_custkey", customer(s, d), "c_custkey")
         .unionAll(
           audit("lineitem_orders", lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey"))
+    },
+
+    // E254 exact global median by TWO-PHASE SELECTION — no global sort, no
+    // window, no sketch: a coarse (value >> 16) histogram locates the rank-k
+    // bucket, an exact value histogram inside that one bucket (≤ 2^16 rows
+    // by construction) finishes. Driver traffic is bounded by CONFIG, not
+    // data, so the exact median of a 100 TB cents column costs two
+    // partial-agg scans. The twin ranks with a window — the oracle may sort,
+    // the engine must not; SelectionSpec pins kth-vs-sorted-array ground
+    // truth incl. ties, negatives, and rank edges.
+    QEntry.sql(
+      "q_kth_element",
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM c),
+        |o AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+        |SELECT n.n_rows, CAST((n.n_rows + 1) // 2 AS BIGINT) AS k,
+        |  o.cents AS kth_cents
+        |FROM n JOIN o ON o.rn = (n.n_rows + 1) // 2"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val cents = orders(s, d).select(
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      val (n, med) = Selection.exactMedian(cents, "cents")
+      import s.implicits._
+      Seq((n, (n + 1) / 2, med)).toDF("n_rows", "k", "kth_cents")
     }
   )
 }

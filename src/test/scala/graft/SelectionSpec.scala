@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Selection
+
+/** Two-phase selection vs sorted-array ground truth: every rank of several
+  * shapes (ties, negatives, skew into one bucket), plus the median wrapper
+  * and the bucket-boundary edges the histogram walk must get right.
+  */
+class SelectionSpec extends SparkSpec {
+
+  private def df(xs: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    xs.toDF("v")
+  }
+
+  test("kthSmallest equals the sorted array at every rank, ties included") {
+    val xs = Seq[Long](5, 3, 3, 3, 9, 1, 1, 70000, 70001, 70001, 131072, -4, -70000, 0)
+    val sorted = xs.sorted
+    val frame = df(xs)
+    for (k <- 1 to xs.length) {
+      assert(Selection.kthSmallest(frame, "v", k.toLong) == sorted(k - 1),
+        s"rank $k mismatch")
+    }
+  }
+
+  test("values denser than one bucket still resolve exactly (skewed bucket)") {
+    // all values land in bucket 0 (< 2^16): phase 2 does all the work
+    val xs = (1L to 500L).map(i => (i * 7919L) % 60000L)
+    val sorted = xs.sorted
+    val frame = df(xs)
+    for (k <- Seq(1, 2, 250, 499, 500)) {
+      assert(Selection.kthSmallest(frame, "v", k.toLong) == sorted(k - 1))
+    }
+  }
+
+  test("negative values bucket in order under the arithmetic shift") {
+    val xs = Seq[Long](-1, -65536, -65537, -131073, 0, 65536, -2)
+    val sorted = xs.sorted
+    val frame = df(xs)
+    for (k <- 1 to xs.length) {
+      assert(Selection.kthSmallest(frame, "v", k.toLong) == sorted(k - 1))
+    }
+  }
+
+  test("exactMedian returns (n, lower median) and matches a direct sort") {
+    val xs = (1L to 101L).map(i => (i * 2654435761L) % 1000000L)
+    val (n, med) = Selection.exactMedian(df(xs), "v")
+    assert(n == 101L)
+    assert(med == xs.sorted.apply(50))
+    val even = xs.take(100)
+    val (n2, med2) = Selection.exactMedian(df(even), "v")
+    assert(n2 == 100L && med2 == even.sorted.apply(49))
+  }
+
+  test("k out of range and empty input are rejected loudly") {
+    intercept[IllegalArgumentException](Selection.kthSmallest(df(Seq(1L, 2L)), "v", 3L))
+    intercept[IllegalArgumentException](Selection.kthSmallest(df(Seq(1L)), "v", 0L))
+    intercept[IllegalArgumentException](Selection.exactMedian(df(Seq.empty[Long]), "v"))
+  }
+}
