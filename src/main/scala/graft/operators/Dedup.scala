@@ -796,11 +796,20 @@ object Dedup {
       .withColumn("pos", row_number().over(W.partitionBy("id").orderBy(col("df"), col("t"))))
     val prefix = ranked
       .filter(col("pos") <= expr(s"sz - ((sz * ${tauPpm}L + 999999L) div 1000000L) + 1"))
-      .select("id", "t")
+      .select("id", "t", "sz")
       .localCheckpoint()
+    // LENGTH filter (the PPJoin companion bound): J ≥ τ forces
+    // |∩| ≥ τ/(1+τ)·(sza+szb) ≤ min(sza, szb), hence τ·max ≤ min — a pair
+    // whose sizes differ more can never qualify, so dropping it keeps the
+    // join lossless while cutting candidates before the distinct.
     val cands = prefix
       .as("a")
-      .join(prefix.as("b"), col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .join(
+        prefix.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
+          col("a.sz") * lit(tauPpm) <= col("b.sz") * lit(1000000L) &&
+          col("b.sz") * lit(tauPpm) <= col("a.sz") * lit(1000000L)
+      )
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     cands

@@ -368,9 +368,11 @@ object PipelineQueries {
     // is quadratic in its hottest n-gram; prefixes hold each doc's rarest,
     // 105× measured candidate pruning at sf0.1). The twin replays the
     // df-ranking, prefix cut, candidate join, and exact verification step
-    // for step — ties in the ranking are impossible (shingle is unique
-    // within a doc), so the window is cross-engine deterministic;
-    // losslessness vs naive all-pairs is pinned in PipelineOpsSpec.
+    // for step (minus the engine's extra PPJoin length filter, which only
+    // drops non-qualifying candidates, so final rows agree) — ties in the
+    // ranking are impossible (shingle is unique within a doc), so the
+    // window is cross-engine deterministic; losslessness vs naive
+    // all-pairs is pinned in PipelineOpsSpec.
     QEntry.sql(
       "dedup_prefix_pairs",
       s"""WITH wd AS (SELECT doc_id AS id, $wordsSql AS words FROM documents),
