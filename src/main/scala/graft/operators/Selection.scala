@@ -34,8 +34,22 @@ object Selection {
       valueCol: String,
       k: Long,
       shiftBits: Int = 16
-  ): Long = {
-    require(k >= 1, s"k must be >= 1, got $k")
+  ): Long =
+    kthSmallestMulti(df, valueCol, Seq(k), shiftBits)(k)
+
+  /** Several exact order statistics sharing ONE coarse histogram pass —
+    * the quantile-set form (p25/p50/p75/p99 of a 100 TB column in
+    * 1 + distinct-winning-buckets scans). Phase 2 runs once per DISTINCT
+    * winning bucket; adjacent quantiles frequently share one.
+    */
+  def kthSmallestMulti(
+      df: DataFrame,
+      valueCol: String,
+      ks: Seq[Long],
+      shiftBits: Int = 16
+  ): Map[Long, Long] = {
+    require(ks.nonEmpty, "need at least one rank")
+    require(ks.forall(_ >= 1), s"ranks must be >= 1, got $ks")
     val v = col(valueCol).cast("long")
     val hist = df
       .select(expr(s"shiftright(cast($valueCol as long), $shiftBits)").as("b"))
@@ -45,31 +59,37 @@ object Selection {
       .map(r => r.getLong(0) -> r.getLong(1))
       .sortBy(_._1)
     val total = hist.map(_._2).sum
-    require(k <= total, s"k=$k exceeds row count $total")
-    var before = 0L
-    var bucket = 0L
-    var found = false
-    var i = 0
-    while (!found && i < hist.length) {
-      val (b, c) = hist(i)
-      if (before + c >= k) { bucket = b; found = true }
-      else { before += c; i += 1 }
+    require(ks.forall(_ <= total), s"a rank in $ks exceeds row count $total")
+    // cumulative walk: rank k lives in the first bucket whose running total
+    // reaches k; `before` = rows in strictly earlier buckets
+    val cum = hist.scanLeft(0L)(_ + _._2)
+    def locate(k: Long): (Long, Long) = {
+      var i = 0
+      while (cum(i + 1) < k) i += 1
+      (hist(i)._1, cum(i))
     }
-    val lo = bucket << shiftBits
-    val hi = ((bucket + 1) << shiftBits) - 1
-    val localK = k - before
-    val values = df
-      .select(v.as("_v"))
-      .filter(col("_v") >= lo && col("_v") <= hi)
-      .groupBy("_v")
-      .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .sortBy(_._1)
-    var seen = 0L
-    var j = 0
-    while (seen + values(j)._2 < localK) { seen += values(j)._2; j += 1 }
-    values(j)._1
+    val located = ks.distinct.map(k => k -> locate(k))
+    located
+      .groupBy(_._2._1) // distinct winning bucket → its ranks
+      .flatMap { case (bucket, ranks) =>
+        val lo = bucket << shiftBits
+        val hi = ((bucket + 1) << shiftBits) - 1
+        val values = df
+          .select(v.as("_v"))
+          .filter(col("_v") >= lo && col("_v") <= hi)
+          .groupBy("_v")
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .sortBy(_._1)
+        ranks.map { case (k, (_, before)) =>
+          val localK = k - before
+          var seen = 0L
+          var j = 0
+          while (seen + values(j)._2 < localK) { seen += values(j)._2; j += 1 }
+          k -> values(j)._1
+        }
+      }
   }
 
   /** Exact global median (lower median for even n) in two scans + the

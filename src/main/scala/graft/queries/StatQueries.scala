@@ -1638,6 +1638,37 @@ object StatQueries {
       val (n, med) = Selection.exactMedian(cents, "cents")
       import s.implicits._
       Seq((n, (n + 1) / 2, med)).toDF("n_rows", "k", "kth_cents")
+    },
+
+    // E255 exact global quantile SET by shared-histogram selection: p25/p50/
+    // p75/p99 (rank = ceil(pct·n/100)) from ONE coarse histogram pass plus
+    // one in-bucket pass per distinct winning bucket — ≤ 5 partial-agg
+    // scans for four exact quantiles of a 100 TB column, vs the sketch
+    // entries' approximate one-pass and a sort's terabyte shuffle. Twin
+    // ranks with a window and picks the same ceil ranks.
+    QEntry.sql(
+      "q_exact_quartiles",
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM c),
+        |o AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+        |SELECT n.n_rows,
+        |  (SELECT cents FROM o WHERE rn = (25 * n.n_rows + 99) // 100) AS p25_cents,
+        |  (SELECT cents FROM o WHERE rn = (50 * n.n_rows + 99) // 100) AS p50_cents,
+        |  (SELECT cents FROM o WHERE rn = (75 * n.n_rows + 99) // 100) AS p75_cents,
+        |  (SELECT cents FROM o WHERE rn = (99 * n.n_rows + 99) // 100) AS p99_cents
+        |FROM n"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val cents = orders(s, d).select(
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      val n = cents.count()
+      def kOf(pct: Long): Long = (pct * n + 99) / 100
+      val ks = Seq(kOf(25), kOf(50), kOf(75), kOf(99))
+      val got = Selection.kthSmallestMulti(cents, "cents", ks)
+      import s.implicits._
+      Seq((n, got(ks(0)), got(ks(1)), got(ks(2)), got(ks(3))))
+        .toDF("n_rows", "p25_cents", "p50_cents", "p75_cents", "p99_cents")
     }
   )
 }

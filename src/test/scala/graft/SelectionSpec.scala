@@ -53,6 +53,20 @@ class SelectionSpec extends SparkSpec {
     assert(n2 == 100L && med2 == even.sorted.apply(49))
   }
 
+  test("kthSmallestMulti agrees with single-rank calls and shares buckets") {
+    val xs = (1L to 400L).map(i => (i * 48271L) % 300000L)
+    val sorted = xs.sorted
+    val frame = df(xs)
+    val ks = Seq(1L, 100L, 101L, 200L, 399L, 400L)
+    val multi = graft.operators.Selection.kthSmallestMulti(frame, "v", ks)
+    ks.foreach { k =>
+      assert(multi(k) == sorted((k - 1).toInt), s"rank $k")
+    }
+    // duplicate ranks in the request are fine
+    val dup = graft.operators.Selection.kthSmallestMulti(frame, "v", Seq(7L, 7L, 7L))
+    assert(dup == Map(7L -> sorted(6)))
+  }
+
   test("k out of range and empty input are rejected loudly") {
     intercept[IllegalArgumentException](Selection.kthSmallest(df(Seq(1L, 2L)), "v", 3L))
     intercept[IllegalArgumentException](Selection.kthSmallest(df(Seq(1L)), "v", 0L))
