@@ -38,6 +38,21 @@ object Bench {
       "x_mlm_mask_fast" -> ((s, d) =>
         graft.operators.Curation
           .mlmMask(Tables.documents(s, d), "doc_id", "text", 0.15, fast = true)),
+      // global-sort median baseline: the formulation E254's two-phase
+      // selection replaces — timed here so the structural win (two
+      // partial-agg scans vs a full exchange+sort) stays measured against
+      // q_kth_element round over round
+      "x_median_via_sort" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val cents = Tables.orders(s, d).select(
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+        val n = cents.count()
+        val w = org.apache.spark.sql.expressions.Window.orderBy("cents")
+        cents
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === (n + 1) / 2)
+          .select(lit(n).as("n_rows"), col("cents").as("kth_cents"))
+      }),
       // Lloyd-refined IVF (ann_ivf_topk's oracle twin replays the stride
       // seed, so the k-means path is timed here instead)
       "x_ivf_kmeans_topk" -> ((s, d) => {
