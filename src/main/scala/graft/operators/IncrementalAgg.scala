@@ -65,6 +65,10 @@ object IncrementalAgg {
 
   /** Finalize user-facing aggregates from the state: count, sum, min, max
     * pass through; avg is derived as floor(sum/cnt) in exact integer units.
+    * TRUE floor, not Spark `div`'s truncation-toward-zero — the two differ
+    * on negative sums (refunds in cents), and the DuckDB `//` the oracles
+    * use floors. cnt is always > 0, so floor = div minus one when the
+    * division is inexact and the sum is negative.
     */
   def finalize(stateDf: DataFrame, keys: Seq[String]): DataFrame =
     stateDf.select(
@@ -73,7 +77,9 @@ object IncrementalAgg {
         col("st_sum").as("sum_units"),
         col("st_min").as("min_units"),
         col("st_max").as("max_units"),
-        expr("st_sum div st_cnt").cast("long").as("avg_units")
+        expr(
+          "st_sum div st_cnt - (CASE WHEN st_sum % st_cnt != 0 AND st_sum < 0 THEN 1 ELSE 0 END)"
+        ).cast("long").as("avg_units")
       ): _*
     )
 }

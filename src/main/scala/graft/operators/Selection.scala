@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * histogram (≤ 2¹⁶ rows) plus one scalar — so the exact global median of a
   * 100 TB fact column costs two scans, not a terabyte-scale sort.
   *
+  * Nulls are EXCLUDED, SQL-style: ranks are over non-null values, and the
+  * row counts reported by [[exactMedian]]/[[quantiles]] count non-null
+  * values only (the convention every rank-window oracle twin shares).
+  *
   * Contrast with the repo's other quantile machinery: `q_median_groups` /
   * `q_mad_per_group` sort WITHIN keys (group-bounded), approx sketches trade
   * exactness for one pass. This is the exact-global rung: deterministic to
@@ -18,16 +22,68 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** The k-th smallest (1-based) value of an integral column, exactly.
-    *
-    * Phase 1: histogram of value >> shiftBits (arithmetic shift, so negative
-    * values bucket in order; bucket count is value-range / 2^shiftBits —
-    * metadata-scale for money-like magnitudes), cumulated on the driver to
-    * find the bucket holding rank k. Phase 2: an exact VALUE histogram
-    * restricted to that one bucket — a pushable range predicate, and at most
-    * 2^shiftBits distinct values regardless of row count, so both driver
-    * payloads are bounded by configuration, not data. No TakeOrdered, no
-    * per-row collection anywhere: the 100 TB cost is two partial-agg scans.
+  /** Phase 1: (bucket, count) histogram over non-null values, sorted by
+    * bucket. Arithmetic shift, so negative values bucket in order; bucket
+    * count is value-range / 2^shiftBits — metadata-scale for money-like
+    * magnitudes.
+    */
+  private def bucketHistogram(
+      df: DataFrame,
+      valueCol: String,
+      shiftBits: Int
+  ): Array[(Long, Long)] =
+    df.select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .select(expr(s"shiftright(_v, $shiftBits)").as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+
+  /** Resolve ranks against a phase-1 histogram: one exact value-histogram
+    * scan per DISTINCT winning bucket (≤ 2^shiftBits rows each, by
+    * construction — driver payloads bounded by config, not data).
+    */
+  private def resolve(
+      df: DataFrame,
+      valueCol: String,
+      ks: Seq[Long],
+      shiftBits: Int,
+      hist: Array[(Long, Long)]
+  ): Map[Long, Long] = {
+    val cum = hist.scanLeft(0L)(_ + _._2)
+    def locate(k: Long): (Long, Long) = {
+      var i = 0
+      while (cum(i + 1) < k) i += 1
+      (hist(i)._1, cum(i))
+    }
+    val located = ks.distinct.map(k => k -> locate(k))
+    located
+      .groupBy(_._2._1) // distinct winning bucket → its ranks
+      .flatMap { case (bucket, ranks) =>
+        val lo = bucket << shiftBits
+        val hi = ((bucket + 1) << shiftBits) - 1
+        val values = df
+          .select(col(valueCol).cast("long").as("_v"))
+          .filter(col("_v").isNotNull && col("_v") >= lo && col("_v") <= hi)
+          .groupBy("_v")
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .sortBy(_._1)
+        ranks.map { case (k, (_, before)) =>
+          val localK = k - before
+          var seen = 0L
+          var j = 0
+          while (seen + values(j)._2 < localK) { seen += values(j)._2; j += 1 }
+          k -> values(j)._1
+        }
+      }
+  }
+
+  /** The k-th smallest (1-based) non-null value of an integral column,
+    * exactly.
     */
   def kthSmallest(
       df: DataFrame,
@@ -50,55 +106,41 @@ object Selection {
   ): Map[Long, Long] = {
     require(ks.nonEmpty, "need at least one rank")
     require(ks.forall(_ >= 1), s"ranks must be >= 1, got $ks")
-    val v = col(valueCol).cast("long")
-    val hist = df
-      .select(expr(s"shiftright(cast($valueCol as long), $shiftBits)").as("b"))
-      .groupBy("b")
-      .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .sortBy(_._1)
+    val hist = bucketHistogram(df, valueCol, shiftBits)
     val total = hist.map(_._2).sum
-    require(ks.forall(_ <= total), s"a rank in $ks exceeds row count $total")
-    // cumulative walk: rank k lives in the first bucket whose running total
-    // reaches k; `before` = rows in strictly earlier buckets
-    val cum = hist.scanLeft(0L)(_ + _._2)
-    def locate(k: Long): (Long, Long) = {
-      var i = 0
-      while (cum(i + 1) < k) i += 1
-      (hist(i)._1, cum(i))
-    }
-    val located = ks.distinct.map(k => k -> locate(k))
-    located
-      .groupBy(_._2._1) // distinct winning bucket → its ranks
-      .flatMap { case (bucket, ranks) =>
-        val lo = bucket << shiftBits
-        val hi = ((bucket + 1) << shiftBits) - 1
-        val values = df
-          .select(v.as("_v"))
-          .filter(col("_v") >= lo && col("_v") <= hi)
-          .groupBy("_v")
-          .agg(count(lit(1)).as("c"))
-          .collect()
-          .map(r => r.getLong(0) -> r.getLong(1))
-          .sortBy(_._1)
-        ranks.map { case (k, (_, before)) =>
-          val localK = k - before
-          var seen = 0L
-          var j = 0
-          while (seen + values(j)._2 < localK) { seen += values(j)._2; j += 1 }
-          k -> values(j)._1
-        }
-      }
+    require(ks.forall(_ <= total), s"a rank in $ks exceeds non-null row count $total")
+    resolve(df, valueCol, ks, shiftBits, hist)
   }
 
-  /** Exact global median (lower median for even n) in two scans + the
-    * phase-2 bucket read.
+  /** Exact global median (lower median for even n) of the non-null values.
+    * n comes from the phase-1 histogram itself — no separate count pass.
     */
   def exactMedian(df: DataFrame, valueCol: String): (Long, Long) = {
-    val n = df.count()
-    require(n > 0, "median of an empty frame")
+    val hist = bucketHistogram(df, valueCol, 16)
+    val n = hist.map(_._2).sum
+    require(n > 0, "median of an empty (or all-null) frame")
     val k = (n + 1) / 2
-    (n, kthSmallest(df, valueCol, k))
+    (n, resolve(df, valueCol, Seq(k), 16, hist)(k))
+  }
+
+  /** Exact global quantile set at rank ⌈pct·n/100⌉ over the non-null
+    * values: (n, pct → value). One histogram pass, one in-bucket pass per
+    * distinct winning bucket — n is read off the histogram, so four exact
+    * quantiles cost at most five partial-agg scans total.
+    */
+  def quantiles(
+      df: DataFrame,
+      valueCol: String,
+      pcts: Seq[Int],
+      shiftBits: Int = 16
+  ): (Long, Map[Int, Long]) = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $pcts")
+    val hist = bucketHistogram(df, valueCol, shiftBits)
+    val n = hist.map(_._2).sum
+    require(n > 0, "quantiles of an empty (or all-null) frame")
+    val kOf = pcts.map(p => p -> ((p.toLong * n + 99) / 100)).toMap
+    val byRank = resolve(df, valueCol, kOf.values.toSeq, shiftBits, hist)
+    (n, kOf.map { case (p, k) => p -> byRank(k) })
   }
 }

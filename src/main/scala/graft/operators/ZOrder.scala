@@ -105,19 +105,26 @@ object ZOrder {
       yLo: Long,
       yHi: Long
   ): (Seq[Int], Int) = {
-    val zones = spark.read.parquet(s"$path/zones")
-    val total = zones.count().toInt
-    val keep = zones
-      .filter(
-        !(col("max_x") < xLo || col("min_x") > xHi ||
-          col("max_y") < yLo || col("min_y") > yHi)
+    // one collect serves both the total and the intersection test — the
+    // sidecar is ≤ one row per zone, so the bbox filter runs on the driver
+    // instead of paying a second parquet job on this hot read path
+    val zones = spark.read
+      .parquet(s"$path/zones")
+      .select(
+        col("zone").cast("int").as("zone"),
+        col("min_x").cast("long"), col("max_x").cast("long"),
+        col("min_y").cast("long"), col("max_y").cast("long")
       )
-      .select(col("zone").cast("int"))
       .collect()
+    val keep = zones.iterator
+      .filter { r =>
+        !(r.getLong(2) < xLo || r.getLong(1) > xHi ||
+          r.getLong(4) < yLo || r.getLong(3) > yHi)
+      }
       .map(_.getInt(0))
       .toSeq
       .sorted
-    (keep, total)
+    (keep, zones.length)
   }
 
   /** Box query against the clustered layout: consult the sidecar, read ONLY

@@ -1662,12 +1662,9 @@ object StatQueries {
     ) { (s, d) =>
       val cents = orders(s, d).select(
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
-      val n = cents.count()
-      def kOf(pct: Long): Long = (pct * n + 99) / 100
-      val ks = Seq(kOf(25), kOf(50), kOf(75), kOf(99))
-      val got = Selection.kthSmallestMulti(cents, "cents", ks)
+      val (n, q) = Selection.quantiles(cents, "cents", Seq(25, 50, 75, 99))
       import s.implicits._
-      Seq((n, got(ks(0)), got(ks(1)), got(ks(2)), got(ks(3))))
+      Seq((n, q(25), q(50), q(75), q(99)))
         .toDF("n_rows", "p25_cents", "p50_cents", "p75_cents", "p99_cents")
     }
   )

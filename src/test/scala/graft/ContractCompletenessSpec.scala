@@ -7,8 +7,13 @@ package graft
   * expression — fails this suite by name instead of silently dropping the
   * entry from the round's correctness report.
   *
-  * Analysis-only: nothing is executed, so the whole contract checks in
-  * seconds even as the entry count grows.
+  * Mostly analysis-only: for declarative entries nothing executes, so the
+  * contract checks in seconds even as the entry count grows. A handful of
+  * entries are EAGER at construction by design — the two-phase selection
+  * pair (q_kth_element/q_exact_quartiles: driver-histogram actions),
+  * localCheckpoint-pinned shapes (dedup pair joins, globalRowNumber users)
+  * — and run bounded sf0.001 jobs here; their plan-time failures still
+  * surface by name, which is this suite's contract.
   */
 class ContractCompletenessSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"

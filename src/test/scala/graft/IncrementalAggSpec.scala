@@ -57,6 +57,19 @@ class IncrementalAggSpec extends SparkSpec {
     assert(merged(2) == ((1L, 5L, 5L, 5L)))
   }
 
+  test("finalize floors avg on NEGATIVE sums (refund cents), matching DuckDB //") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1, -3), (1, -4), (2, -5), (2, 2), (3, 7), (3, 2)).toDF("k", "v")
+    val fin = IncrementalAgg
+      .finalize(IncrementalAgg.state(a, Seq("k"), "v"), Seq("k"))
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("avg_units")))
+      .toMap
+    // floor(-7/2) = -4 (not div's -3); floor(-3/2) = -2; floor(9/2) = 4
+    assert(fin == Map(1 -> -4L, 2 -> -2L, 3 -> 4L))
+  }
+
   test("finalize derives avg as floor(sum/cnt) and matches a direct aggregation") {
     val df = rows(300)
     val keys = Seq("k")

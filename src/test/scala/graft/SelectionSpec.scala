@@ -72,4 +72,31 @@ class SelectionSpec extends SparkSpec {
     intercept[IllegalArgumentException](Selection.kthSmallest(df(Seq(1L)), "v", 0L))
     intercept[IllegalArgumentException](Selection.exactMedian(df(Seq.empty[Long]), "v"))
   }
+
+  test("nulls are excluded SQL-style: ranks and n count non-null values only") {
+    val s = spark
+    import s.implicits._
+    val frame = Seq[Option[Long]](Some(10L), None, Some(30L), Some(20L), None)
+      .toDF("v")
+    assert(Selection.kthSmallest(frame, "v", 2L) == 20L)
+    val (n, med) = Selection.exactMedian(frame, "v")
+    assert(n == 3L && med == 20L)
+    // rank 4 exceeds the NON-NULL count even though the frame has 5 rows
+    intercept[IllegalArgumentException](Selection.kthSmallest(frame, "v", 4L))
+    val allNull = Seq[Option[Long]](None, None).toDF("v")
+    intercept[IllegalArgumentException](Selection.exactMedian(allNull, "v"))
+  }
+
+  test("quantiles: ceil-rank percentiles off one histogram, n from the histogram") {
+    val xs = (1L to 200L).map(i => (i * 69621L) % 500000L)
+    val sorted = xs.sorted
+    val (n, q) = graft.operators.Selection.quantiles(df(xs), "v", Seq(25, 50, 75, 99, 100))
+    assert(n == 200L)
+    for (p <- Seq(25, 50, 75, 99, 100)) {
+      val k = ((p.toLong * n + 99) / 100).toInt
+      assert(q(p) == sorted(k - 1), s"p$p")
+    }
+    intercept[IllegalArgumentException](
+      graft.operators.Selection.quantiles(df(xs), "v", Seq(0)))
+  }
 }
