@@ -766,8 +766,9 @@ object Dedup {
     * join — never enter a prefix). Document frequency is one partial-agg
     * pass; the per-doc ordering is a doc-keyed window; verification joins
     * only candidate pairs against the exploded shingle table. All
-    * arithmetic exact integer ppm. Measured at sf0.1/τ=0.8: 118,826
-    * candidates for 12.5M possible pairs — 105× pruning at exact recall.
+    * arithmetic exact integer ppm. Measured at sf0.1/τ=0.8 with the
+    * length + position bounds below: 12,784 candidates for 12.5M possible
+    * pairs — 978× pruning at exact recall.
     */
   def prefixFilterPairs(
       df: DataFrame,
@@ -777,46 +778,68 @@ object Dedup {
       shingleK: Int = 3
   ): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // recompute guard at the DOC level (one array row per doc — the
+    // smallest frame that spares re-tokenizing): the shingle-set frame
+    // feeds the exploded df/prefix path AND the verification join.
+    // The checkpoint sits BEFORE the size()/filter projection: deriving
+    // `sz` from the un-materialized alias makes CollapseProject re-inline
+    // the whole shingle lambda (each element_at re-splitting the text —
+    // measured 8 s vs 0.5 s on the sf0.1 corpus, the shinglesFromWords
+    // scaladoc trap); size() over the materialized array is free.
     val docs = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_ws"))
       .select(col("id"), array_distinct(shinglesFromWords(col("_ws"), shingleK)).as("ws"))
+      .localCheckpoint()
       .select(col("id"), col("ws"), size(col("ws")).as("sz"))
       .filter(col("sz") > 0)
     // one row per (doc, distinct shingle); explode_outer + isNotNull (not a
     // bare explode) — see ngramJaccardPairs' InferFiltersFromGenerate note.
-    // Recompute guard: this frame feeds the doc-frequency agg, the prefix
-    // window, AND the verification join.
     val tok = docs
       .select(col("id"), col("sz"), explode_outer(col("ws")).as("t"))
       .filter(col("t").isNotNull)
-      .localCheckpoint()
     val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
     val ranked = tok
       .join(dfreq, "t")
       .withColumn("pos", row_number().over(W.partitionBy("id").orderBy(col("df"), col("t"))))
     val prefix = ranked
       .filter(col("pos") <= expr(s"sz - ((sz * ${tauPpm}L + 999999L) div 1000000L) + 1"))
-      .select("id", "t", "sz")
+      .select("id", "t", "pos", "sz")
       .localCheckpoint()
-    // LENGTH filter (the PPJoin companion bound): J ≥ τ forces
-    // |∩| ≥ τ/(1+τ)·(sza+szb) ≤ min(sza, szb), hence τ·max ≤ min — a pair
-    // whose sizes differ more can never qualify, so dropping it keeps the
-    // join lossless while cutting candidates before the distinct.
+    // Two PPJoin candidate bounds, both necessary conditions for J ≥ τ so
+    // dropping failures keeps the join lossless:
+    //  - LENGTH: |∩| ≤ min and |∪| ≥ max force τ·max ≤ min — size-mismatched
+    //    pairs can never qualify;
+    //  - POSITION: J ≥ τ ⟺ |∩| ≥ ⌈τ·(sza+szb)/(1+τ)⌉, and a match at
+    //    df-order positions (posa, posb) caps the overlap at
+    //    1 + min(sza − posa, szb − posb) (everything before either position
+    //    is exhausted) — matches too deep into both prefixes can't reach
+    //    the required overlap.
+    val need = s"(${tauPpm}L * (a.sz + b.sz) + ${1000000L + tauPpm - 1L}L) " +
+      s"div ${1000000L + tauPpm}L"
     val cands = prefix
       .as("a")
       .join(
         prefix.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
           col("a.sz") * lit(tauPpm) <= col("b.sz") * lit(1000000L) &&
-          col("b.sz") * lit(tauPpm) <= col("a.sz") * lit(1000000L)
+          col("b.sz") * lit(tauPpm) <= col("a.sz") * lit(1000000L) &&
+          expr(s"1L + least(a.sz - a.pos, b.sz - b.pos) >= $need")
       )
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    // verification: two id-keyed joins attach the candidate docs' shingle
+    // ARRAYS, one codegen'd array_intersect per pair — candidate-count rows
+    // through the shuffle (vs candidate×set-size for an exploded re-join)
     cands
-      .join(tok.as("ea"), col("id1") === col("ea.id"))
-      .join(tok.as("eb"), col("id2") === col("eb.id") && col("ea.t") === col("eb.t"))
-      .groupBy(col("id1"), col("id2"), col("ea.sz").as("sza"), col("eb.sz").as("szb"))
-      .agg(count(lit(1)).cast("long").as("common"))
+      .join(docs.as("da"), col("id1") === col("da.id"))
+      .join(docs.as("db"), col("id2") === col("db.id"))
+      .select(
+        col("id1"),
+        col("id2"),
+        size(array_intersect(col("da.ws"), col("db.ws"))).cast("long").as("common"),
+        col("da.sz").as("sza"),
+        col("db.sz").as("szb")
+      )
       .withColumn("jac_ppm", expr("common * 1000000L div (sza + szb - common)").cast("long"))
       .filter(col("jac_ppm") >= tauPpm)
       .select(col("id1"), col("id2"), col("common"), col("jac_ppm"))
