@@ -113,4 +113,27 @@ class FragmentationPropsSpec extends SparkSpec {
     assert(parts.keySet == (0 until 7).toSet)
     assert(parts.values.max - parts.values.min <= 1, parts.toString)
   }
+
+  test("globalRowNumber: identical assignment under any input partitioning (drift regression)") {
+    // Regression for the round-10 sf0.1 bug: the counts job and numbering
+    // job re-planned the range exchange independently (fresh sampler seeds,
+    // AQE re-coalescing), so offsets keyed to one partitioning were applied
+    // to another. The failure needs MULTIPLE shuffle partitions to surface
+    // (with everything coalesced to 1 both jobs trivially agree), so this
+    // runs the same frame through very different input partitionings and
+    // demands bit-identical rank maps.
+    val s = spark
+    import s.implicits._
+    val keys = rnd.shuffle((1L to 4000L).toVector)
+    def ranks(parts: Int): Map[Long, Long] =
+      Fragmentation
+        .globalRowNumber(keys.toDF("k").repartition(parts), Seq("k"), "rn")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+    val base = ranks(1)
+    assert(ranks(3) == base)
+    assert(ranks(16) == base)
+    assert(ranks(64) == base)
+  }
 }

@@ -73,6 +73,23 @@ class SelectionSpec extends SparkSpec {
     intercept[IllegalArgumentException](Selection.exactMedian(df(Seq.empty[Long]), "v"))
   }
 
+  test("randomized sweep: arbitrary multisets, signs, and shift widths vs sorted truth") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 8) {
+      val n = 50 + rnd.nextInt(300)
+      val span = 1L << (8 + rnd.nextInt(16)) // exercises one-bucket and many-bucket regimes
+      val xs = Vector.fill(n)(rnd.nextLong() % span) // signed, with duplicates likely
+      val sorted = xs.sorted
+      val frame = df(xs)
+      val shift = Seq(4, 12, 16, 24)(rnd.nextInt(4))
+      val ks = Seq(1L, n.toLong) ++ Seq.fill(4)(1L + rnd.nextInt(n).toLong)
+      val got = graft.operators.Selection.kthSmallestMulti(frame, "v", ks, shiftBits = shift)
+      ks.distinct.foreach { k =>
+        assert(got(k) == sorted((k - 1).toInt), s"trial $trial shift $shift rank $k")
+      }
+    }
+  }
+
   test("nulls are excluded SQL-style: ranks and n count non-null values only") {
     val s = spark
     import s.implicits._
