@@ -57,6 +57,31 @@ class IncrementalAggSpec extends SparkSpec {
     assert(merged(2) == ((1L, 5L, 5L, 5L)))
   }
 
+  test("state survives a parquet round trip: catch-up merge of persisted state == full recompute") {
+    // the production IVM flow: yesterday's state lives on disk, today's run
+    // reads it back, folds in the delta, and rewrites — snapshot parity must
+    // hold across the persistence boundary, not just in one lineage
+    withTempDir { dir =>
+      val df = rows(400)
+      val keys = Seq("k")
+      val history = df.filter(col("slice_src") <= 300)
+      val delta = df.filter(col("slice_src") > 300)
+      IncrementalAgg.state(history, keys, "v").write.parquet(s"$dir/state")
+      val loaded = spark.read.parquet(s"$dir/state")
+      val caught = IncrementalAgg
+        .merge(Seq(loaded, IncrementalAgg.state(delta, keys, "v")), keys)
+        .collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val full = IncrementalAgg
+        .state(df, keys, "v")
+        .collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(caught == full)
+    }
+  }
+
   test("finalize floors avg on NEGATIVE sums (refund cents), matching DuckDB //") {
     val s = spark
     import s.implicits._
