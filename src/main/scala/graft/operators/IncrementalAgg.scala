@@ -64,11 +64,14 @@ object IncrementalAgg {
   }
 
   /** Finalize user-facing aggregates from the state: count, sum, min, max
-    * pass through; avg is derived as floor(sum/cnt) in exact integer units.
-    * TRUE floor, not Spark `div`'s truncation-toward-zero — the two differ
-    * on negative sums (refunds in cents), and the DuckDB `//` the oracles
-    * use floors. cnt is always > 0, so floor = div minus one when the
-    * division is inexact and the sum is negative.
+    * pass through; avg is derived as sum div cnt in exact integer units —
+    * TRUNCATION toward zero, the shared semantics of Spark's `div` AND
+    * DuckDB 1.0's `//` (verified: `-7 // 2` = -3 in DuckDB, not floor's -4;
+    * an earlier revision "corrected" toward floor on negative sums based on
+    * a wrong reading of DuckDB and would have diverged engine-vs-oracle by 1
+    * on refund-cents columns — pinned by the negative-sum cases in
+    * IncrementalAggSpec and the signed-cents driver entry
+    * `pipe_incr_agg_signed`).
     */
   def finalize(stateDf: DataFrame, keys: Seq[String]): DataFrame =
     stateDf.select(
@@ -77,9 +80,7 @@ object IncrementalAgg {
         col("st_sum").as("sum_units"),
         col("st_min").as("min_units"),
         col("st_max").as("max_units"),
-        expr(
-          "st_sum div st_cnt - (CASE WHEN st_sum % st_cnt != 0 AND st_sum < 0 THEN 1 ELSE 0 END)"
-        ).cast("long").as("avg_units")
+        expr("st_sum div st_cnt").cast("long").as("avg_units")
       ): _*
     )
 }

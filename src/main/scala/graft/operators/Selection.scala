@@ -4,12 +4,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Exact distributed order statistics WITHOUT a global sort — the classic
-  * two-phase selection algorithm: a coarse histogram pass locates the bucket
-  * containing the k-th value, a second pass order-statistics only that
-  * bucket's residents. Each pass is a partial-agg scan; nothing resembling
-  * `ORDER BY` over the full data ever runs, and driver state is one bucket
-  * histogram (≤ 2¹⁶ rows) plus one scalar — so the exact global median of a
-  * 100 TB fact column costs two scans, not a terabyte-scale sort.
+  * multi-phase selection algorithm: a coarse histogram pass locates the
+  * bucket containing the k-th value, recursing into the bucket until it is
+  * narrow enough for an exact distinct-value scan. Each pass is a
+  * partial-agg scan; nothing resembling `ORDER BY` over the full data ever
+  * runs, and every driver payload is CONFIG-bounded unconditionally:
+  *
+  *   - phase 0: one (min, max, count) row — picks the coarse shift from the
+  *     ACTUAL value range, so a full-domain int64 column (hashes, ids) gets
+  *     a wide shift instead of a 2⁴⁸-bucket histogram (the failure mode of
+  *     an earlier fixed-shift revision),
+  *   - each histogram pass: ≤ [[Selection.MaxBuckets]] (bucket, count) rows
+  *     by construction of the shift,
+  *   - the final exact scan: ≤ 2^shiftBits distinct values.
+  *
+  * Every refinement level shrinks the candidate range by ≥ 2¹⁵×, so even the
+  * adversarial ±2⁶² domain resolves in ≤ 5 histogram levels (money-like
+  * magnitudes resolve in one). The exact global median of a 100 TB fact
+  * column costs three partial-agg scans, not a terabyte-scale sort.
   *
   * Nulls are EXCLUDED, SQL-style: ranks are over non-null values, and the
   * row counts reported by [[exactMedian]]/[[quantiles]] count non-null
@@ -22,64 +34,98 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** Phase 1: (bucket, count) histogram over non-null values, sorted by
-    * bucket. Arithmetic shift, so negative values bucket in order; bucket
-    * count is value-range / 2^shiftBits — metadata-scale for money-like
-    * magnitudes.
-    */
-  private def bucketHistogram(
-      df: DataFrame,
-      valueCol: String,
-      shiftBits: Int
-  ): Array[(Long, Long)] =
-    df.select(col(valueCol).cast("long").as("_v"))
-      .filter(col("_v").isNotNull)
-      .select(expr(s"shiftright(_v, $shiftBits)").as("b"))
-      .groupBy("b")
-      .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .sortBy(_._1)
+  /** Hard cap on histogram rows collected to the driver per pass. */
+  private val MaxBuckets = 1 << 16
 
-  /** Resolve ranks against a phase-1 histogram: one exact value-histogram
-    * scan per DISTINCT winning bucket (≤ 2^shiftBits rows each, by
-    * construction — driver payloads bounded by config, not data).
+  /** Smallest shift ≥ floorShift whose bucket span over [lo, hi] fits
+    * [[MaxBuckets]] (BigInt span arithmetic — the range itself can overflow
+    * a long on full-domain columns).
     */
-  private def resolve(
+  private def shiftFor(lo: Long, hi: Long, floorShift: Int): Int = {
+    var s = floorShift
+    while (s < 63 && BigInt(hi >> s) - BigInt(lo >> s) + 1 > MaxBuckets) s += 1
+    s
+  }
+
+  /** Exact ranks within [lo, hi]: each (key, localRank) pair resolves to the
+    * localRank-th smallest non-null value in the range, keyed by the caller's
+    * key. Recursion: histogram at a span-capped shift → locate each rank's
+    * bucket → recurse per DISTINCT winning bucket with ranks rebased to the
+    * bucket; base case (range ≤ 2^shiftBits wide) is one exact
+    * distinct-value scan.
+    */
+  private def resolveRange(
       df: DataFrame,
       valueCol: String,
-      ks: Seq[Long],
-      shiftBits: Int,
-      hist: Array[(Long, Long)]
+      ks: Seq[(Long, Long)],
+      lo: Long,
+      hi: Long,
+      shiftBits: Int
   ): Map[Long, Long] = {
-    val cum = hist.scanLeft(0L)(_ + _._2)
-    def locate(k: Long): (Long, Long) = {
-      var i = 0
-      while (cum(i + 1) < k) i += 1
-      (hist(i)._1, cum(i))
-    }
-    val located = ks.distinct.map(k => k -> locate(k))
-    located
-      .groupBy(_._2._1) // distinct winning bucket → its ranks
-      .flatMap { case (bucket, ranks) =>
-        val lo = bucket << shiftBits
-        val hi = ((bucket + 1) << shiftBits) - 1
-        val values = df
-          .select(col(valueCol).cast("long").as("_v"))
-          .filter(col("_v").isNotNull && col("_v") >= lo && col("_v") <= hi)
-          .groupBy("_v")
-          .agg(count(lit(1)).as("c"))
-          .collect()
-          .map(r => r.getLong(0) -> r.getLong(1))
-          .sortBy(_._1)
-        ranks.map { case (k, (_, before)) =>
-          val localK = k - before
-          var seen = 0L
-          var j = 0
-          while (seen + values(j)._2 < localK) { seen += values(j)._2; j += 1 }
-          k -> values(j)._1
-        }
+    val inRange = df
+      .select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull && col("_v") >= lo && col("_v") <= hi)
+    if (BigInt(hi) - BigInt(lo) + 1 <= (BigInt(1) << shiftBits)) {
+      val values = inRange
+        .groupBy("_v")
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .sortBy(_._1)
+      ks.map { case (key, localK) =>
+        var seen = 0L
+        var j = 0
+        while (seen + values(j)._2 < localK) { seen += values(j)._2; j += 1 }
+        key -> values(j)._1
+      }.toMap
+    } else {
+      val s = shiftFor(lo, hi, shiftBits)
+      val hist = inRange
+        .select(expr(s"shiftright(_v, $s)").as("b"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .sortBy(_._1)
+      val cum = hist.scanLeft(0L)(_ + _._2)
+      def locate(k: Long): (Long, Long) = {
+        var i = 0
+        while (cum(i + 1) < k) i += 1
+        (hist(i)._1, cum(i))
       }
+      ks.map { case (key, k) => (key, k, locate(k)) }
+        .groupBy(_._3._1) // distinct winning bucket → its ranks
+        .flatMap { case (bucket, group) =>
+          // bucket << s cannot overflow (bucket came from an arithmetic
+          // shiftright by s), but (bucket + 1) << s wraps negative for the
+          // topmost bucket — clamp to Long.MaxValue there (the wrap made an
+          // earlier revision scan an empty range and walk off the end).
+          val blo = math.max(lo, bucket << s)
+          val bhi =
+            if (bucket == (Long.MaxValue >> s)) Long.MaxValue
+            else math.min(hi, ((bucket + 1) << s) - 1)
+          resolveRange(
+            df,
+            valueCol,
+            group.map { case (key, k, (_, before)) => (key, k - before) }.toSeq,
+            blo,
+            bhi,
+            shiftBits
+          )
+        }
+    }
+  }
+
+  /** Phase 0: (min, max, non-null count) in one partial-agg scan — one row
+    * to the driver, and the basis for the range-adaptive shift.
+    */
+  private def domainOf(df: DataFrame, valueCol: String): (Long, Long, Long) = {
+    val r = df
+      .select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .agg(min("_v"), max("_v"), count(lit(1)))
+      .collect()(0)
+    if (r.isNullAt(0)) (0L, 0L, 0L) else (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** The k-th smallest (1-based) non-null value of an integral column,
@@ -93,10 +139,10 @@ object Selection {
   ): Long =
     kthSmallestMulti(df, valueCol, Seq(k), shiftBits)(k)
 
-  /** Several exact order statistics sharing ONE coarse histogram pass —
-    * the quantile-set form (p25/p50/p75/p99 of a 100 TB column in
-    * 1 + distinct-winning-buckets scans). Phase 2 runs once per DISTINCT
-    * winning bucket; adjacent quantiles frequently share one.
+  /** Several exact order statistics sharing ONE domain pass and one coarse
+    * histogram pass — the quantile-set form (p25/p50/p75/p99 of a 100 TB
+    * column in 2 + distinct-winning-buckets scans). Refinement runs once per
+    * DISTINCT winning bucket; adjacent quantiles frequently share one.
     */
   def kthSmallestMulti(
       df: DataFrame,
@@ -106,27 +152,27 @@ object Selection {
   ): Map[Long, Long] = {
     require(ks.nonEmpty, "need at least one rank")
     require(ks.forall(_ >= 1), s"ranks must be >= 1, got $ks")
-    val hist = bucketHistogram(df, valueCol, shiftBits)
-    val total = hist.map(_._2).sum
+    require(shiftBits >= 1 && shiftBits <= 32, s"shiftBits must be in [1, 32], got $shiftBits")
+    val (lo, hi, total) = domainOf(df, valueCol)
     require(ks.forall(_ <= total), s"a rank in $ks exceeds non-null row count $total")
-    resolve(df, valueCol, ks, shiftBits, hist)
+    resolveRange(df, valueCol, ks.distinct.map(k => (k, k)), lo, hi, shiftBits)
   }
 
   /** Exact global median (lower median for even n) of the non-null values.
-    * n comes from the phase-1 histogram itself — no separate count pass.
+    * n comes from the phase-0 domain scan itself — no separate count pass.
     */
   def exactMedian(df: DataFrame, valueCol: String): (Long, Long) = {
-    val hist = bucketHistogram(df, valueCol, 16)
-    val n = hist.map(_._2).sum
+    val (lo, hi, n) = domainOf(df, valueCol)
     require(n > 0, "median of an empty (or all-null) frame")
     val k = (n + 1) / 2
-    (n, resolve(df, valueCol, Seq(k), 16, hist)(k))
+    (n, resolveRange(df, valueCol, Seq((k, k)), lo, hi, 16)(k))
   }
 
   /** Exact global quantile set at rank ⌈pct·n/100⌉ over the non-null
-    * values: (n, pct → value). One histogram pass, one in-bucket pass per
-    * distinct winning bucket — n is read off the histogram, so four exact
-    * quantiles cost at most five partial-agg scans total.
+    * values: (n, pct → value). One domain pass, one coarse histogram pass,
+    * one refinement chain per distinct winning bucket — n is read off the
+    * domain row, so four exact quantiles cost at most six partial-agg scans
+    * on any money-like column.
     */
   def quantiles(
       df: DataFrame,
@@ -136,11 +182,11 @@ object Selection {
   ): (Long, Map[Int, Long]) = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1, 100], got $pcts")
-    val hist = bucketHistogram(df, valueCol, shiftBits)
-    val n = hist.map(_._2).sum
+    val (lo, hi, n) = domainOf(df, valueCol)
     require(n > 0, "quantiles of an empty (or all-null) frame")
     val kOf = pcts.map(p => p -> ((p.toLong * n + 99) / 100)).toMap
-    val byRank = resolve(df, valueCol, kOf.values.toSeq, shiftBits, hist)
+    val byRank =
+      resolveRange(df, valueCol, kOf.values.toSeq.distinct.map(k => (k, k)), lo, hi, shiftBits)
     (n, kOf.map { case (p, k) => p -> byRank(k) })
   }
 }

@@ -2144,7 +2144,7 @@ object PipelineQueries {
     // state∘union is what lets a daily job over a 100 TB fact table touch
     // only the new partition; sums in exact integer cents (decimal-cast
     // before the ×100, the repo's FP-safe money idiom), avg finalized from
-    // the state as floor(sum/cnt).
+    // the state as sum div cnt (truncating — Spark div ≡ DuckDB //).
     QEntry.sql(
       "pipe_incr_agg",
       """SELECT o_orderstatus AS status,
@@ -2169,6 +2169,44 @@ object PipelineQueries {
       val keys = Seq("status", "yr")
       val history = IncrementalAgg.state(base.filter(col("od") < "1997-01-01"), keys, "cents")
       val delta = IncrementalAgg.state(base.filter(col("od") >= "1997-01-01"), keys, "cents")
+      IncrementalAgg.finalize(IncrementalAgg.merge(Seq(history, delta), keys), keys)
+    },
+
+    // E256 signed-units IVM finalize: the same merge∘state pipeline over a
+    // SIGNED cents column (returned lineitems negated — the refund-ledger
+    // shape), keyed by returnflag so the 'R' group's sum is strictly
+    // negative and its inexact division exercises the engine-vs-oracle
+    // division-semantics boundary. Pins that avg_units truncates toward
+    // zero on BOTH engines (Spark `div` ≡ DuckDB `//`): an avg that floored
+    // would hash-mismatch here by exactly 1 on the negative group — this
+    // entry exists because an earlier finalize() did floor, justified by a
+    // wrong claim about DuckDB, and nothing in the all-positive
+    // pipe_incr_agg could catch it.
+    QEntry.sql(
+      "pipe_incr_agg_signed",
+      """SELECT l_returnflag AS rflag,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(sc) AS BIGINT) AS sum_units,
+        |  CAST(min(sc) AS BIGINT) AS min_units,
+        |  CAST(max(sc) AS BIGINT) AS max_units,
+        |  CAST(sum(sc) // count(*) AS BIGINT) AS avg_units
+        |FROM (SELECT l_returnflag,
+        |        CASE WHEN l_returnflag = 'R' THEN
+        |          -CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        ELSE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        END AS sc
+        |      FROM lineitem) t
+        |GROUP BY 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+      val base = lineitem(s, d).select(
+        col("l_returnflag").as("rflag"),
+        when(col("l_returnflag") === "R", -cents).otherwise(cents).as("sc"),
+        col("l_linenumber")
+      )
+      val keys = Seq("rflag")
+      val history = IncrementalAgg.state(base.filter(col("l_linenumber") <= 3), keys, "sc")
+      val delta = IncrementalAgg.state(base.filter(col("l_linenumber") > 3), keys, "sc")
       IncrementalAgg.finalize(IncrementalAgg.merge(Seq(history, delta), keys), keys)
     }
   )

@@ -82,7 +82,7 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
-  test("finalize floors avg on NEGATIVE sums (refund cents), matching DuckDB //") {
+  test("finalize TRUNCATES avg toward zero on NEGATIVE sums, matching DuckDB //") {
     val s = spark
     import s.implicits._
     val a = Seq((1, -3), (1, -4), (2, -5), (2, 2), (3, 7), (3, 2)).toDF("k", "v")
@@ -91,11 +91,14 @@ class IncrementalAggSpec extends SparkSpec {
       .collect()
       .map(r => (r.getInt(0), r.getAs[Long]("avg_units")))
       .toMap
-    // floor(-7/2) = -4 (not div's -3); floor(-3/2) = -2; floor(9/2) = 4
-    assert(fin == Map(1 -> -4L, 2 -> -2L, 3 -> 4L))
+    // DuckDB 1.0 `//` truncates toward zero (verified: -7 // 2 = -3), same as
+    // Spark `div`: trunc(-7/2) = -3 (NOT floor's -4); trunc(-3/2) = -1;
+    // trunc(9/2) = 4. An earlier revision floored here and would have
+    // diverged from the oracle by 1 on every inexact negative division.
+    assert(fin == Map(1 -> -3L, 2 -> -1L, 3 -> 4L))
   }
 
-  test("finalize derives avg as floor(sum/cnt) and matches a direct aggregation") {
+  test("finalize derives avg as trunc(sum/cnt) and matches a direct aggregation") {
     val df = rows(300)
     val keys = Seq("k")
     val fin = IncrementalAgg
@@ -118,7 +121,7 @@ class IncrementalAggSpec extends SparkSpec {
       .map(r =>
         (r.getInt(0),
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-            Math.floorDiv(r.getLong(2), r.getLong(1)))))
+            r.getLong(2) / r.getLong(1)))) // JVM / truncates — same as div and //
       .toMap
     assert(fin == direct)
   }

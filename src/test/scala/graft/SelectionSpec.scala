@@ -104,6 +104,40 @@ class SelectionSpec extends SparkSpec {
     intercept[IllegalArgumentException](Selection.exactMedian(allNull, "v"))
   }
 
+  test("adversarial full-domain values: ±2^62 and Long extremes resolve without driver blow-up") {
+    // a fixed-shift revision would have collected a 2^46-bucket histogram
+    // here (the value range is ~2^63); the adaptive shift caps every driver
+    // payload and the top-bucket hi-clamp keeps Long.MaxValue reachable
+    val xs = Seq(
+      Long.MaxValue, Long.MaxValue - 1, Long.MinValue, Long.MinValue + 7,
+      (1L << 62), -(1L << 62), (1L << 62) + 12345L, -(1L << 62) - 99L,
+      0L, 1L, -1L, 42L, (1L << 40), -(1L << 40)
+    )
+    val sorted = xs.sorted
+    val frame = df(xs)
+    for (k <- 1 to xs.length) {
+      assert(Selection.kthSmallest(frame, "v", k.toLong) == sorted(k - 1), s"rank $k")
+    }
+    val (n, med) = Selection.exactMedian(frame, "v")
+    assert(n == xs.length.toLong && med == sorted((xs.length + 1) / 2 - 1))
+  }
+
+  test("adversarial dense wide-domain sweep: hashed values spanning the int64 range") {
+    // 300 spread-out values (multiplicative-hash mixed, full signed domain):
+    // forces multi-level refinement (coarse shift near 48, then narrower)
+    val xs = (1L to 300L).map(i => i * -7046029254386353131L + 99991L)
+    val sorted = xs.sorted
+    val frame = df(xs)
+    for (k <- Seq(1, 2, 149, 150, 151, 299, 300)) {
+      assert(Selection.kthSmallest(frame, "v", k.toLong) == sorted(k - 1), s"rank $k")
+    }
+    val (_, q) = Selection.quantiles(frame, "v", Seq(1, 25, 50, 75, 100))
+    for (p <- Seq(1, 25, 50, 75, 100)) {
+      val k = ((p.toLong * 300 + 99) / 100).toInt
+      assert(q(p) == sorted(k - 1), s"p$p")
+    }
+  }
+
   test("quantiles: ceil-rank percentiles off one histogram, n from the histogram") {
     val xs = (1L to 200L).map(i => (i * 69621L) % 500000L)
     val sorted = xs.sorted
