@@ -595,6 +595,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3
+  ): DataFrame =
+    hammingBandPairs(simhash(df, idCol, textCol), idCol, "simhash", maxHamming)
+
+  /** Near-duplicate pairs of ANY 64-bit sketch carried as a 64-char
+    * bitstring column — the band-block + exact-Hamming-verify kernel shared
+    * by SimHash text sketches ([[simhashPairs]]) and perceptual image
+    * hashes (`Multimodal.imageDHashes`). Blocks on the sketch's 4 16-bit
+    * bands (pigeonhole: any pair within Hamming distance 3 shares at least
+    * one identical band, so recall at `maxHamming` ≤ 3 is EXACT; above 3
+    * the banding is a high-recall prefilter), then verifies with the exact
+    * distance on candidates only — never all pairs.
+    */
+  def hammingBandPairs(
+      sketches: DataFrame,
+      idCol: String,
+      bitsCol: String,
+      maxHamming: Int = 3
   ): DataFrame = {
     // Bands travel as 16-bit INTEGERS (not 16-char strings): the candidate
     // join carries 4 longs per side and the Hamming distance is 4 codegen'd
@@ -602,7 +619,6 @@ object Dedup {
     // homogeneous corpus band collisions are the cost driver (similar word
     // distributions ⇒ similar sketch bits), so keeping the per-candidate
     // payload/compute minimal is what keeps the blocking viable.
-    val sk = simhash(df, idCol, textCol)
     // localCheckpoint: the self-join below would otherwise execute the whole
     // sketch pipeline (token explode → md5 → 64 bit-sum aggregates) once per
     // side — Spark's ReuseExchange does not fire across the aliased branches
@@ -610,9 +626,9 @@ object Dedup {
     // relation is one row of 5 longs per doc — negligible to materialize,
     // and it halves the expensive phase. On a multi-node cluster prefer
     // reliable checkpoint() (same caveat as connectedComponents).
-    val withBands = sk.select(
+    val withBands = sketches.select(
       col(idCol) +: (0 until 4).map(b =>
-        conv(substring(col("simhash"), b * 16 + 1, 16), 2, 10).cast("long").as(s"_i$b")
+        conv(substring(col(bitsCol), b * 16 + 1, 16), 2, 10).cast("long").as(s"_i$b")
       ): _*
     ).localCheckpoint()
     val banded = withBands.select(
@@ -843,5 +859,93 @@ object Dedup {
       .withColumn("jac_ppm", expr("common * 1000000L div (sza + szb - common)").cast("long"))
       .filter(col("jac_ppm") >= tauPpm)
       .select(col("id1"), col("id2"), col("common"), col("jac_ppm"))
+  }
+
+  /** Persist the corpus's MinHash LSH band keys as a parquet index — one
+    * (id, band) row per document per band, directory-partitioned by a
+    * 16-way hash prefix of the band key (md5 band keys are
+    * high-cardinality, so partitioning by the key itself — the E123 LSH
+    * layout, viable there because hyperplane buckets number 2^bits — would
+    * explode the directory count; the prefix bounds it at 16 while keeping
+    * same-band rows colocated for the incremental join's scan).
+    *
+    * This is the state that makes near-dup dedup INCREMENTAL: a daily batch
+    * is signed once and paired against these persisted bands
+    * ([[incrementalNearDupPairs]]) instead of re-signing and re-joining the
+    * whole corpus — the O(delta)-per-ingest shape. After accepting a batch,
+    * append its bands (same schema, `mode("append")`) so tomorrow's batch
+    * sees it; signatures never need recomputing because MinHash is
+    * content-functional.
+    */
+  def buildMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
+  ): Unit = {
+    val nBands = numPerm / rowsPerBand
+    minhashSignatures(df, idCol, textCol, numPerm, rowsPerBand, fast)
+      .select(
+        col(idCol).as("id"),
+        explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("band")
+      )
+      .withColumn("band_pfx", pmod(xxhash64(col("band")), lit(16)))
+      .write
+      .mode("overwrite")
+      .partitionBy("band_pfx")
+      .parquet(path)
+  }
+
+  /** Near-dup candidate pairs of a NEW batch against a corpus indexed by
+    * [[buildMinhashIndex]], without touching corpus text: sign the batch
+    * (the only text pass — O(batch)), then band-equi-join the batch's band
+    * keys against the persisted bands unioned with the batch's own (so
+    * batch-internal duplicates surface too). Pairs are normalized
+    * (id1 < id2) and deduplicated across bands; corpus-internal pairs are
+    * NOT re-reported — they were found when the corpus itself was ingested.
+    *
+    * Scale shape: the batch side is broadcast (a daily delta is small next
+    * to the corpus), so the index is scanned once with no shuffle — only
+    * the candidate pairs (banding-bounded, never all-pairs) reach the
+    * distinct's exchange. Equivalence with the monolithic path — these
+    * pairs ≡ [[minhashCandidatePairs]] over corpus ∪ batch restricted to
+    * batch-touching pairs — is pinned in PipelineOpsSpec; the
+    * `dedup_incremental_near` driver entry replays sign → band → join in
+    * DuckDB by hash.
+    */
+  def incrementalNearDupPairs(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
+  ): DataFrame = {
+    val nBands = numPerm / rowsPerBand
+    // one row per doc per band after the signature aggregate; checkpointed
+    // for the same reason as minhashCandidatePairs — both join branches
+    // reuse it without re-running the shingle/digest pipeline
+    val batchBands = minhashSignatures(batch, idCol, textCol, numPerm, rowsPerBand, fast)
+      .select(
+        col(idCol).as("bid"),
+        explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("band")
+      )
+      .localCheckpoint()
+    val indexed = batch.sparkSession.read
+      .parquet(path)
+      .select(col("id").as("nid"), col("band"))
+    val allBands = indexed.unionByName(batchBands.select(col("bid").as("nid"), col("band")))
+    broadcast(batchBands)
+      .join(allBands, "band")
+      .filter(col("bid") =!= col("nid"))
+      .select(
+        least(col("bid"), col("nid")).as("id1"),
+        greatest(col("bid"), col("nid")).as("id2")
+      )
+      .distinct()
   }
 }

@@ -209,7 +209,11 @@ object Multimodal {
       * tokens, per ppm(5)), one whitespace, then raster bytes. Amplitude
       * stats are exact integers over the w·h·3 channel bytes.
       */
-    def decodePpm(id: Long, b: Array[Byte]): DecodedMedia = {
+    /** Parse a P6 header: returns (width, height, rasterOffset). `#`
+      * comments are legal anywhere between tokens per ppm(5); exactly one
+      * whitespace byte separates the maxval token from the raster.
+      */
+    def ppmHeader(id: Long, b: Array[Byte]): (Int, Int, Int) = {
       require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"media $id: not a P6 PPM")
       var off = 2
       def skipSpaceAndComments(): Unit = {
@@ -231,7 +235,11 @@ object Multimodal {
       }
       val width = token(); val height = token(); val maxval = token()
       require(maxval == 255, s"media $id: only maxval 255 supported, got $maxval")
-      off += 1 // exactly one whitespace byte separates header from raster
+      (width, height, off + 1) // one whitespace byte separates header from raster
+    }
+
+    def decodePpm(id: Long, b: Array[Byte]): DecodedMedia = {
+      val (width, height, off) = ppmHeader(id, b)
       val n = width * height * 3
       require(off + n <= b.length, s"media $id: truncated raster")
       var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
@@ -244,6 +252,61 @@ object Multimodal {
       if (n == 0) { mn = 0; mx = 0 }
       DecodedMedia(id, "ppm", b.length.toLong, width, height, 3, 0, 8,
         n.toLong, mn, mx, sum)
+    }
+
+    /** 64-bit perceptual DIFFERENCE hash (dHash) of a decoded P6 raster,
+      * as a 64-char bitstring: sample a fixed 8-column × 9-row grid by
+      * nearest-neighbor (col j → pixel column ⌊j·w/8⌋, row i → ⌊i·h/9⌋),
+      * take each cell's channel sum (3× luma — no division, exact), and
+      * emit bit (8i + j) = [g(j, rᵢ) < g(j, rᵢ₊₁)] — the vertical gradient
+      * sign. Relative-position sampling is what buys the PERCEPTUAL
+      * property exact digests lack: a nearest-neighbor rescale of the same
+      * image samples (nearly) the same source pixels, so re-encoded/resized
+      * duplicates land at small Hamming distance instead of hashing to
+      * unrelated digests. Requires h ≥ 9 (None below — nothing to gradient).
+      */
+    def dhash64(b: Array[Byte]): Option[String] = {
+      val (w, h, off) = ppmHeader(-1L, b)
+      if (h < 9 || w < 1 || off + w * h * 3 > b.length) None
+      else {
+        def gray(x: Int, y: Int): Int = {
+          val o = off + (y * w + x) * 3
+          (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < 8) {
+          val r0 = i * h / 9
+          val r1 = (i + 1) * h / 9
+          var j = 0
+          while (j < 8) {
+            val x = j * w / 8
+            sb.append(if (gray(x, r0) < gray(x, r1)) '1' else '0')
+            j += 1
+          }
+          i += 1
+        }
+        Some(sb.toString)
+      }
+    }
+
+    /** Nearest-neighbor vertical downsample of a P6 payload by an integer
+      * factor: keep source rows 0, factor, 2·factor, … (new height
+      * ⌊h/factor⌋), re-encode. The pixel-level transform behind the
+      * resized-duplicate scenario [[Multimodal.imageDHashes]] is built to
+      * catch.
+      */
+    def resizePpmVertical(b: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, s"factor must be >= 1, got $factor")
+      val (w, h, off) = ppmHeader(-1L, b)
+      val h2 = h / factor
+      val out = new Array[Byte](w * h2 * 3)
+      var y = 0
+      while (y < h2) {
+        System.arraycopy(b, off + (y * factor) * w * 3, out, y * w * 3, w * 3)
+        y += 1
+      }
+      encodePpm(out, w, h2)
     }
 
     /** Magic-byte dispatch — the shape a real multi-codec ingest has. */
@@ -316,6 +379,43 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map(MediaCodecs.decode))
+  }
+
+  /** Perceptual image hashes: one (media_id, dhash) row per decodable P6
+    * image tall enough to gradient (h ≥ 9) — see [[MediaCodecs.dhash64]].
+    * Runs as a typed flatMap on executors (payload bytes never shuffle;
+    * only 64-char sketches leave the scan), so the downstream pair join —
+    * [[Dedup.hammingBandPairs]] over the dhash column, the same
+    * pigeonhole-banded machinery SimHash uses — is sketch-sized at any
+    * corpus scale. This is what catches re-encoded/resized duplicates that
+    * exact content digests (`mm_frame_dedup`) structurally miss.
+    */
+  def imageDHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .flatMap { r =>
+        val b = r.payload
+        if (b.length >= 2 && b(0) == 'P' && b(1) == '6')
+          MediaCodecs.dhash64(b).map(h => (r.media_id, h))
+        else None
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  /** Nearest-neighbor vertical resize of every P6 payload in the frame by
+    * `factor` (non-PPM rows pass through unchanged) — executor-side
+    * byte-level work, driver sees nothing.
+    */
+  def resizeVertical(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val b = r.payload
+      if (b.length >= 2 && b(0) == 'P' && b(1) == '6')
+        r.copy(payload = MediaCodecs.resizePpmVertical(b, factor))
+      else r
+    }
   }
 
   /** Column-expression fast path for metadata-only queries (no row-by-row

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 
 /** Multimodal-column inventory: the binary payload table derived from
   * `documents` (UTF-8 bytes as the opaque payload), metadata extraction, and
@@ -15,6 +15,26 @@ object MultimodalQueries {
 
   private val modalitySql =
     "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]"
+
+  /** Twin of MediaCodecs.dhash64 over the 8×h PPM rasters synthesized from
+    * the ASCII text bytes: `row` maps the grid row index expression (bits
+    * use rows i and i+1) to a SOURCE pixel row, so the same generator
+    * renders the original (identity sampling at height h) and its factor-2
+    * vertical resize (source row 2·y at height h//2). Cell gray = channel
+    * sum of the 3 payload bytes at ((row·8 + k%8)·3 …) — byte-exact ord()
+    * on the ASCII corpus.
+    */
+  private def dhashSqlWith(row: String => String): String = {
+    def gray(r: String) =
+      s"""(ord(substr(text, CAST((($r) * 8 + (k % 8)) * 3 + 1 AS INT), 1))
+         | + ord(substr(text, CAST((($r) * 8 + (k % 8)) * 3 + 2 AS INT), 1))
+         | + ord(substr(text, CAST((($r) * 8 + (k % 8)) * 3 + 3 AS INT), 1)))"""
+        .stripMargin.replaceAll("\\s+", " ")
+    s"""array_to_string(list_transform(range(0, 64), k ->
+       |  CASE WHEN ${gray(row("(k // 8)"))} < ${gray(row("((k // 8) + 1)"))}
+       |       THEN '1' ELSE '0' END), '')"""
+      .stripMargin.replaceAll("\\s+", " ")
+  }
 
   val entries: Seq[QEntry] = Seq(
     // Metadata-only pass over the media table: byte length + magic bytes
@@ -141,6 +161,55 @@ object MultimodalQueries {
         count(lit(1)).as("n_distinct"),
         sum(when(col("c") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_groups"),
         sum(col("c") - 1).cast("long").as("dup_frames")
+      )
+    },
+
+    // E258 perceptual image near-dup (dHash): every synthesized PPM image
+    // plus its factor-2 nearest-neighbor vertical resize (re-ingested under
+    // a shifted id — the planted re-encoded-duplicate scenario), hashed with
+    // the 64-bit difference hash over DECODED pixels and paired through the
+    // banded-Hamming kernel (Dedup.hammingBandPairs, the SimHash machinery
+    // reused on image sketches). Relative-position grid sampling makes a
+    // resize land at small-but-nonzero Hamming distance — caught here,
+    // structurally missed by the exact digests of mm_frame_dedup. The twin
+    // replays the decode → sample-grid → gradient → band → verify chain
+    // byte-for-byte from the source text.
+    QEntry.sql(
+      "mm_dhash_pairs", {
+        val dhOrig = dhashSqlWith(i => s"(($i * h) // 9)")
+        val dhResz = dhashSqlWith(i => s"(2 * (($i * (h // 2)) // 9))")
+        val ham =
+          """CAST(list_sum(list_transform(range(1, 65), i ->
+            |  CASE WHEN substr(x.dh, CAST(i AS INT), 1) != substr(y.dh, CAST(i AS INT), 1)
+            |       THEN 1 ELSE 0 END)) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH t AS (SELECT doc_id, text, strlen(text) // 24 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |o AS (SELECT doc_id AS media_id, $dhOrig AS dh FROM t WHERE h >= 9),
+           |r AS (SELECT doc_id + 1000000 AS media_id, $dhResz AS dh
+           |      FROM t WHERE h // 2 >= 9),
+           |a AS (SELECT * FROM o UNION ALL SELECT * FROM r),
+           |bb AS (SELECT media_id, dh, bidx,
+           |         substr(dh, CAST(bidx * 16 + 1 AS INT), 16) AS bv
+           |       FROM (SELECT media_id, dh, unnest(range(0, 4)) AS bidx FROM a) z)
+           |SELECT DISTINCT id1, id2, hamming FROM (
+           |  SELECT x.media_id AS id1, y.media_id AS id2, $ham AS hamming
+           |  FROM bb x JOIN bb y
+           |    ON x.bidx = y.bidx AND x.bv = y.bv AND x.media_id < y.media_id) p
+           |WHERE hamming <= 6""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val images = Multimodal
+        .synthesizeMedia(documents(s, d))
+        .filter((r: Multimodal.MediaRecord) => r.modality == "image")
+      val resized = Multimodal
+        .resizeVertical(images, 2)
+        .map(r => r.copy(media_id = r.media_id + 1000000L))
+      Dedup.hammingBandPairs(
+        Multimodal.imageDHashes(images.union(resized)),
+        "media_id",
+        "dhash",
+        maxHamming = 6
       )
     },
 

@@ -106,6 +106,21 @@ object PipelineQueries {
       .stripMargin.replaceAll("\\s+", " ")
   }
 
+  /** Twin of the band-key derivation over an arbitrary (doc_id, text)
+    * relation — the [[pairsSql]] inner shape parameterized so the
+    * incremental entry can band the corpus and a synthetic batch
+    * separately.
+    */
+  private def bandsSqlOver(rel: String): String = {
+    val ms = (0 until 8).map(j => s"${minhashSql(j)} AS m$j").mkString(", ")
+    s"""SELECT doc_id, unnest([md5(m0 || '|' || m1), md5(m2 || '|' || m3),
+       |              md5(m4 || '|' || m5), md5(m6 || '|' || m7)]) AS band
+       |      FROM (SELECT doc_id, $ms
+       |            FROM (SELECT doc_id, $shinglesSql AS sh
+       |                  FROM (SELECT doc_id, $wordsSql AS words FROM $rel) w) s) t"""
+      .stripMargin.replaceAll("\\s+", " ")
+  }
+
   /** DuckDB CTEs regenerating the EXACT hyperplanes of
     * [[graft.operators.Similarity.hyperplanes]] (md5-derived, float-rounded,
     * widened back to double — bit-identical, validated) plus per-vector
@@ -921,6 +936,39 @@ object PipelineQueries {
       val existing = docs.filter(col("doc_id") % 2 === 0)
         .select(md5(col("text")).as("h"))
       newDocs.join(existing, Seq("h"), "left_anti").select("doc_id")
+    },
+
+    // E257 incremental NEAR-dup dedup: a synthetic daily batch (every 100th
+    // document re-ingested under a shifted id — guaranteed planted
+    // duplicates with identical MinHash signatures) paired against the
+    // PERSISTED band index of the full corpus, plus batch-internal pairs —
+    // without re-signing or re-joining corpus text. The twin replays
+    // sign → band → join over corpus ∪ batch restricted to batch-touching
+    // pairs; every planted (d, d+1000000) pair must surface, so the oracle
+    // has real rows even though the natural corpus's LSH candidate set is
+    // empty at this banding threshold.
+    QEntry.sql(
+      "dedup_incremental_near", {
+        val corpusBands = bandsSqlOver("documents")
+        val batchBands = bandsSqlOver(
+          "(SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0)")
+        s"""WITH cb AS ($corpusBands),
+           |bb AS ($batchBands),
+           |ab AS (SELECT * FROM cb UNION ALL SELECT * FROM bb)
+           |SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+           |  greatest(a.doc_id, b.doc_id) AS id2
+           |FROM bb a JOIN ab b ON a.band = b.band AND a.doc_id != b.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-mhidx").resolve("idx").toString
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", dir)
+      val batch = docs
+        .filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.incrementalNearDupPairs(batch, "doc_id", "text", dir)
     },
 
     // Deterministic shard shuffle: reproducible pseudo-random training order

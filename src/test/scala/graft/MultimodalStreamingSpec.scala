@@ -75,6 +75,48 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("dHash: aligned vertical resize is Hamming-0; banded pairs catch what exact digests miss") {
+    import Multimodal.MediaCodecs
+    // h ≡ 0 (mod 18): the factor-2 resize's nearest-neighbor grid samples
+    // EXACTLY the original's source rows (r_i = 4i both ways), so the
+    // perceptual hash is identical even though the payload bytes differ
+    val h = 36
+    val pix = Array.tabulate[Byte](8 * h * 3)(i => ((i * 2654435761L >> 7) & 0xff).toByte)
+    val img = MediaCodecs.encodePpm(pix, 8, h)
+    val resized = MediaCodecs.resizePpmVertical(img, 2)
+    assert(!java.util.Arrays.equals(img, resized)) // exact digests diverge…
+    val d1 = MediaCodecs.dhash64(img).get
+    val d2 = MediaCodecs.dhash64(resized).get
+    assert(d1.length == 64 && d1.forall(c => c == '0' || c == '1'))
+    assert(d1 == d2) // …but the perceptual hash is identical
+    // an unrelated image hashes far away (well past the pair threshold)
+    val pix2 = Array.tabulate[Byte](8 * h * 3)(i => ((i * 48271L >> 3) & 0xff).toByte)
+    val d3 = MediaCodecs.dhash64(MediaCodecs.encodePpm(pix2, 8, h)).get
+    assert(d1.zip(d3).count { case (a, b) => a != b } > 6)
+    // too short to gradient (h < 9) → no hash
+    assert(MediaCodecs.dhash64(MediaCodecs.encodePpm(Array.fill(8 * 8 * 3)(0.toByte), 8, 8)).isEmpty)
+
+    // end-to-end: media frame → executor-side hashes → banded-Hamming pairs
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", img),
+      Multimodal.MediaRecord(2L, "image", resized),
+      Multimodal.MediaRecord(3L, "image", MediaCodecs.encodePpm(pix2, 8, h)),
+      Multimodal.MediaRecord(4L, "audio", Array[Byte]('R', 'I', 'F', 'F')) // non-PPM: skipped
+    ).toDS()
+    val hashes = Multimodal.imageDHashes(media)
+    assert(hashes.count() == 3L)
+    val pairs = graft.operators.Dedup
+      .hammingBandPairs(hashes, "media_id", "dhash", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), pairs.toString)
+    // the exact-digest path structurally misses the same duplicate
+    val exactGroups = media.toDF()
+      .groupBy(md5(col("payload"))).count().filter(col("count") >= 2).count()
+    assert(exactGroups == 0L)
+  }
+
   test("synthesizeMedia emits decodable containers whose stats match the source bytes") {
     val s = spark
     import s.implicits._

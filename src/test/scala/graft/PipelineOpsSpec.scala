@@ -752,6 +752,53 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup pairs ≡ full-corpus MinHash pairs restricted to batch-touching") {
+    val s = spark
+    import s.implicits._
+    // corpus with an internal near-dup pair (1, 2); batch re-ingests doc 1's
+    // text under id 101 (planted batch-vs-corpus dup), carries an internal
+    // dup pair (102, 103), and a novel doc 104
+    val a = Array.fill(25)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val b = Array.fill(25)("one two three four five six seven eight").mkString(" ")
+    val c = Array.fill(25)("red green blue cyan magenta yellow").mkString(" ")
+    val corpus = Seq((1L, a), (2L, a + " tail"), (3L, b)).toDF("doc_id", "text")
+    val batch = Seq((101L, a), (102L, c), (103L, c + " tail"), (104L, b.reverse))
+      .toDF("doc_id", "text")
+    withTempDir { dir =>
+      graft.operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      val inc = graft.operators.Dedup
+        .incrementalNearDupPairs(batch, "doc_id", "text", s"$dir/idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // monolithic recompute over corpus ∪ batch, restricted to pairs with a
+      // batch member — the equivalence that makes the incremental path a
+      // drop-in for the full join
+      val mono = graft.operators.Dedup
+        .minhashCandidatePairs(corpus.unionByName(batch), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (i, j) => i > 100L || j > 100L }
+        .toSet
+      assert(inc === mono, s"inc=$inc mono=$mono")
+      // planted batch-vs-corpus and batch-internal dups must surface;
+      // corpus-internal pair (1,2) must NOT be re-reported
+      assert(inc.contains((1L, 101L)) && inc.contains((2L, 101L)), inc.toString)
+      assert(inc.contains((102L, 103L)))
+      assert(!inc.contains((1L, 2L)))
+      // the index layout is 16-way hash-prefix partitioned (bounded dirs)
+      val dirs = new java.io.File(s"$dir/idx").listFiles.map(_.getName)
+        .filter(_.startsWith("band_pfx="))
+      assert(dirs.nonEmpty && dirs.length <= 16, dirs.mkString(","))
+      // append-style ingestion: fold the accepted batch's bands in, then a
+      // later batch re-sending doc 101's text pairs with BOTH copies
+      graft.operators.Dedup.buildMinhashIndex(
+        corpus.unionByName(batch), "doc_id", "text", s"$dir/idx2")
+      val later = Seq((201L, a)).toDF("doc_id", "text")
+      val inc2 = graft.operators.Dedup
+        .incrementalNearDupPairs(later, "doc_id", "text", s"$dir/idx2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc2.contains((1L, 201L)) && inc2.contains((101L, 201L)), inc2.toString)
+    }
+  }
+
   test("weighted sampling overrepresents heavy rows and plans a TakeOrdered top-k") {
     val s = spark
     import s.implicits._
