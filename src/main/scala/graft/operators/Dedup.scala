@@ -582,6 +582,80 @@ object Dedup {
       )
   }
 
+  /** Exact-substring dedup as a REWRITE — the mitigation step behind
+    * [[spanDuplication]]'s measurement (Lee et al. 2022 remove duplicated
+    * substrings from the corpus rather than dropping whole documents):
+    * tokens covered by any corpus-duplicated k-token span are CUT from
+    * every document except the span's owner (min doc id — keep-first, the
+    * repo-wide policy), and the surviving tokens are rejoined in order.
+    * Emits per doc: token count, dropped-token count, and the md5 of the
+    * rewritten text (the compact hash-verifiable witness of the rewrite).
+    *
+    * Plan shape at scale: span digests + positions (32-hex + two ints per
+    * span) are the only per-span payload; ownership is one digest-keyed agg
+    * over per-doc-distinct digests; coverage expansion fans out exactly k
+    * positions per REMOVED span (never per span); the rebuild groups each
+    * doc's kept tokens — per-group state is one document's tokens, the
+    * irreducible cost of producing rewritten text. No all-pairs anything.
+    */
+  def spanRewrite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    // token + span paths both consume the tokenized frame — truncate the
+    // lineage once (see simhashPairs' recompute-guard note)
+    val docs = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .localCheckpoint()
+    val tok = docs
+      .select(col(idCol), posexplode_outer(col("_ws")).as(Seq("_j", "_w")))
+      .filter(col("_w").isNotNull)
+    val spans = docs
+      .select(col(idCol), posexplode_outer(shinglesFromWords(col("_ws"), k)).as(Seq("_p", "_sp")))
+      .filter(col("_sp").isNotNull)
+      .select(col(idCol), col("_p"), md5(col("_sp")).as("_h"))
+      .localCheckpoint() // ownership agg + removal join both consume it
+    // span owner = min doc id over the distinct docs containing the digest;
+    // only df >= 2 digests ever travel further
+    val owners = spans
+      .select(col(idCol), col("_h"))
+      .distinct()
+      .groupBy("_h")
+      .agg(min(col(idCol)).as("_own"), count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2)
+      .select("_h", "_own")
+    // positions to cut: non-owner occurrences, expanded to the k covered
+    // token slots, deduplicated (overlapping cut spans cover shared tokens)
+    val cov = spans
+      .join(owners, "_h")
+      .filter(col(idCol) =!= col("_own"))
+      .select(col(idCol), explode(sequence(col("_p"), col("_p") + lit(k - 1))).as("_j"))
+      .distinct()
+    val rebuilt = tok
+      .join(cov, Seq(idCol, "_j"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("_nk"),
+        md5(
+          array_join(
+            transform(array_sort(collect_list(struct(col("_j"), col("_w")))), x => x.getField("_w")),
+            " "
+          )
+        ).as("_kmd5")
+      )
+    docs
+      .select(col(idCol), size(col("_ws")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_nk"), lit(0L))).cast("long").as("n_dropped"),
+        coalesce(col("_kmd5"), md5(lit(""))).as("kept_md5")
+      )
+  }
+
   /** SimHash near-duplicate pairs: block on the sketch's 4 16-bit bands
     * (pigeonhole: any pair within Hamming distance 3 of each other shares at
     * least one identical band, so recall at `maxHamming` ≤ 3 is EXACT — no

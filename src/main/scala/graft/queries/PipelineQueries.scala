@@ -443,6 +443,42 @@ object PipelineQueries {
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Dedup.spanDuplication(documents(s, d), "doc_id", "text", k = 8) },
 
+    // E259 exact-substring dedup as a REWRITE — the mitigation behind
+    // dedup_exact_substring's measurement: tokens covered by any 8-token
+    // span appearing in ≥ 2 docs are cut from every NON-owner doc
+    // (keep-first: the min doc id keeps its text), survivors rejoined in
+    // order. The twin replays span ownership, coverage expansion, and the
+    // token-level rebuild position-for-position; the rewritten text is
+    // witnessed by its md5 so whole documents never need comparing.
+    QEntry.sql(
+      "dedup_span_rewrite",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |           FROM documents),
+        |sp AS (SELECT doc_id, s.p AS p, s.h AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+        |    i -> struct_pack(p := i,
+        |      h := md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+        |        || words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' '
+        |        || words[i+6] || ' ' || words[i+7])))) AS s FROM w) t),
+        |own AS (SELECT h, min(doc_id) AS own FROM (SELECT DISTINCT doc_id, h FROM sp) d
+        |        GROUP BY h HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, j FROM (
+        |  SELECT sp.doc_id, unnest(range(sp.p, sp.p + 8)) AS j
+        |  FROM sp JOIN own ON sp.h = own.h WHERE sp.doc_id != own.own) c),
+        |tk AS (SELECT doc_id, t.j AS j, t.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+        |    i -> struct_pack(j := i, w := words[i]))) AS t FROM w) z),
+        |kept AS (SELECT tk.doc_id, tk.j, tk.w FROM tk LEFT JOIN cov
+        |         ON tk.doc_id = cov.doc_id AND tk.j = cov.j WHERE cov.j IS NULL),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+        |          md5(string_agg(w, ' ' ORDER BY j)) AS kmd5 FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+        |  CAST(len(words) - COALESCE(nk, 0) AS BIGINT) AS n_dropped,
+        |  COALESCE(kmd5, md5('')) AS kept_md5
+        |FROM w LEFT JOIN reb USING (doc_id)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Dedup.spanRewrite(documents(s, d), "doc_id", "text", k = 8) },
+
     // Asymmetric shingle CONTAINMENT over the same blocked candidates —
     // C(A→B) = |∩|/|S_A| in both directions per pair: near 1 when one
     // document (almost) embeds in the other, which symmetric Jaccard
@@ -789,6 +825,37 @@ object PipelineQueries {
       Similarity
         .lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
           bits = 4, dim = EmbDim)
+        .withColumn("rank", col("rank").cast("bigint"))
+    },
+
+    // E90/E123 persisted-index READ path, oracled: the entry WRITES the
+    // LSH index (bucket-partitioned parquet) and answers the fixed query
+    // set FROM it — candidate fetch via partition-pruned bucket join over
+    // persisted codes, never the in-memory corpus. The twin recomputes the
+    // same bucketing + ranking directly; index≡direct equality is also
+    // pinned in PipelineOpsSpec, so this entry closes the loop by hashing
+    // the on-disk read path itself.
+    QEntry.sql(
+      "ann_lsh_index_fetch",
+      s"""WITH ${bucketsSql(bits = 4)}
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round(list_dot_product(q.e, c.e) /
+         |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos
+         |    FROM (SELECT * FROM buckets WHERE vec_id < 5) q
+         |    JOIN buckets c ON q.bucket = c.bucket AND c.vec_id != q.vec_id) s) r
+         |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lshidx").resolve("lsh").toString
+      Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, bits = 4, dim = EmbDim)
+      Similarity
+        .lshTopKFromIndex(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          dir, bits = 4, dim = EmbDim)
         .withColumn("rank", col("rank").cast("bigint"))
     },
 

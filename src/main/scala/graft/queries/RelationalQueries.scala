@@ -519,6 +519,72 @@ object RelationalQueries {
         )
     },
 
+    // E50 inner time-bracket join — the BATCH run of the streaming
+    // attribution join (StreamingOps.timeBracketJoin; watermarks are no-ops
+    // on batch frames): every (error, click-in-preceding-hour) pair, the
+    // state-bounded stream-stream join's exact output on complete data.
+    // Same construction as the already-oracled left/full variants — only
+    // the join type differs.
+    QEntry.sql(
+      "q_time_bracket_inner_join",
+      """SELECT l.event_id AS error_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+        |  r.event_id AS click_id,
+        |  strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+        |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') r
+        |ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ev = events(s, d)
+      val errors = ev
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.streaming.StreamingOps
+        .timeBracketJoin(errors, clicks, "user_id", "interval 1 hour")
+        .select(
+          col("l.event_id").as("error_id"),
+          date_format(col("l.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+          col("r.event_id").as("click_id"),
+          date_format(col("r.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts")
+        )
+    },
+
+    // E21 running totals — the BATCH run of the mapGroupsWithState custom-
+    // state operator (on a complete batch each key's iterator folds every
+    // row, so the emitted state IS the final per-type total): values fed as
+    // integer cents carried in doubles (exact and ORDER-INDEPENDENT under
+    // addition below 2^53 — the fold order inside a group iterator is not
+    // guaranteed), so the twin is a plain exact group sum.
+    QEntry.sql(
+      "q_running_totals",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      import s.implicits._
+      val evs = events(s, d)
+        .select(
+          col("ts"),
+          col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("bigint").cast("double").as("value")
+        )
+        .as[graft.streaming.StreamingOps.EventRow]
+      graft.streaming.StreamingOps
+        .runningTotals(evs)
+        .toDF()
+        .select(
+          col("event_type"),
+          col("cnt"),
+          col("sum_value").cast("bigint").as("sum_cents")
+        )
+    },
+
     // Full-outer time-bracket join — the audit variant: organic errors
     // (no click in the preceding hour) AND dead clicks (no error in the
     // following hour) surface in one result with nulls on the other side.

@@ -304,4 +304,50 @@ class CurationSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_spans") == 2L && out(3L).getAs[Long]("novel_ppm") == 1000000L)
     assert(out(4L).getAs[Long]("n_spans") == 0L && out(4L).getAs[Long]("novel_ppm") == -1L)
   }
+
+  test("spanRewrite: non-owner copies lose covered tokens; owner and unique text survive") {
+    val s = spark
+    import s.implicits._
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      (1L, eight),                              // owner (min id): keeps everything
+      (2L, "pre " + eight + " post"),           // copy inside unique text → loses the 8
+      (3L, "a b c d e f g h i"),                // unique spans → untouched
+      (4L, eight)                               // another verbatim copy → fully cut
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .spanRewrite(df, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    def md5Hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // owner: 8 tokens, none dropped, text intact
+    assert(out(1L).getAs[Long]("n_dropped") == 0L)
+    assert(out(1L).getAs[String]("kept_md5") == md5Hex(eight))
+    // copy with flanks: exactly the 8 covered tokens cut, flanks rejoined
+    assert(out(2L).getAs[Long]("n_tokens") == 10L && out(2L).getAs[Long]("n_dropped") == 8L)
+    assert(out(2L).getAs[String]("kept_md5") == md5Hex("pre post"))
+    // unique doc untouched
+    assert(out(3L).getAs[Long]("n_dropped") == 0L)
+    assert(out(3L).getAs[String]("kept_md5") == md5Hex("a b c d e f g h i"))
+    // verbatim copy: everything cut, md5 of the empty rewrite
+    assert(out(4L).getAs[Long]("n_dropped") == 8L)
+    assert(out(4L).getAs[String]("kept_md5") == md5Hex(""))
+    // overlapping duplicated spans cover shared tokens ONCE: doc 6 contains
+    // a 9-token run whose two overlapping 8-spans both exist in doc 5 —
+    // 9 tokens cut, not 16
+    val df2 = Seq(
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+      (6L, "lead x1 x2 x3 x4 x5 x6 x7 x8 x9 tail")
+    ).toDF("doc_id", "text")
+    val out2 = graft.operators.Dedup
+      .spanRewrite(df2, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    assert(out2(5L).getAs[Long]("n_dropped") == 0L)
+    assert(out2(6L).getAs[Long]("n_dropped") == 9L)
+    assert(out2(6L).getAs[String]("kept_md5") == md5Hex("lead tail"))
+  }
 }

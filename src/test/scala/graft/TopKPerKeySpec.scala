@@ -148,6 +148,32 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKPerKey.MaxBufferedKey)
   }
 
+  test("adversarial cardinality: far more distinct keys per task than the buffer admits") {
+    val s = spark
+    import s.implicits._
+    // 50k rows, EVERY key distinct, single task, 64-row budget: the partial
+    // can reduce at most ~64 keys and must pass ~49,936 rows through
+    // unreduced — the worst case for any per-key map-side structure. The
+    // final stage still filters exactly and the rewrite stays planned
+    // (fallback is row-level, not plan-level).
+    spark.conf.set(graft.plans.TopKPerKey.MaxBufferedKey, "64")
+    try {
+      val df = (1 to 50000).map(i => (i, (i * 48271) % 99991, i)).toDF("key", "value", "uid")
+        .coalesce(1)
+      val w = Window.partitionBy("key").orderBy(col("value").desc, col("uid"))
+      val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      assert(topkExecs(q).size == 2, "rewrite must stay planned under the cap")
+      val got = q.collect()
+      // every key has exactly one row → all 50k survive with rn = 1
+      assert(got.length == 50000 && got.forall(_.getAs[Int]("rn") == 1))
+      val exp = withDisabled {
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(got.map(_.toSeq).toSet == exp)
+    } finally spark.conf.unset(graft.plans.TopKPerKey.MaxBufferedKey)
+  }
+
   test("shuffle volume is bounded by k·keys·partitions, not input size") {
     val s = spark
     import s.implicits._
