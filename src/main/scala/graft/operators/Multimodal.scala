@@ -192,6 +192,74 @@ object Multimodal {
         nSamples, ampMin, ampMax, ampSum)
     }
 
+    /** Decoded PCM samples of a RIFF/WAVE payload plus (sampleRate, bits) —
+      * the raw-sample sibling of [[decodeWav]]'s stats (same chunk walk;
+      * 8-bit unsigned, 16-bit signed LE, per the WAV spec).
+      */
+    def wavSamples(id: Long, b: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(b.length >= 12 && fourCC(b, 0) == "RIFF" && fourCC(b, 8) == "WAVE",
+        s"media $id: not a RIFF/WAVE payload")
+      var off = 12
+      var sampleRate = 0; var bits = 0; var blockAlign = 0
+      var out: Array[Int] = null
+      while (off + 8 <= b.length) {
+        val cid = fourCC(b, off)
+        val sz = readLeInt(b, off + 4)
+        val body = off + 8
+        cid match {
+          case "fmt " =>
+            require(readLeShort(b, body) == 1, s"media $id: not uncompressed PCM")
+            sampleRate = readLeInt(b, body + 4)
+            blockAlign = readLeShort(b, body + 12)
+            bits = readLeShort(b, body + 14)
+          case "data" =>
+            require(bits != 0, s"media $id: data chunk before fmt")
+            val n = sz / (bits / 8)
+            out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              out(i) =
+                if (bits == 8) b(body + i) & 0xff
+                else readLeShort(b, body + 2 * i).toShort.toInt
+              i += 1
+            }
+          case _ => ()
+        }
+        off = body + sz + (sz % 2)
+      }
+      require(out != null, s"media $id: no data chunk")
+      (sampleRate, bits, out)
+    }
+
+    /** 64-bit perceptual energy-gradient hash of a PCM sample stream — the
+      * audio sibling of [[dhash64]]: 65 nearest-neighbor frames (frame i
+      * covers samples [⌊i·n/65⌋, ⌊(i+1)·n/65⌋)), frame energy = Σ|sample|,
+      * bit i = [E_i < E_{i+1}]. Relative-position framing survives
+      * resampling; comparing energies (not thresholding them) survives
+      * uniform amplitude scaling — the two re-encodes exact digests miss.
+      * None below 65 samples (nothing to frame).
+      */
+    def audioEnergyHash(samples: Array[Int]): Option[String] = {
+      val n = samples.length
+      if (n < 65) None
+      else {
+        val es = new Array[Long](65)
+        var i = 0
+        while (i < 65) {
+          var j = (i.toLong * n / 65).toInt
+          val end = ((i + 1).toLong * n / 65).toInt
+          var sum = 0L
+          while (j < end) { sum += math.abs(samples(j).toLong); j += 1 }
+          es(i) = sum
+          i += 1
+        }
+        val sb = new java.lang.StringBuilder(64)
+        i = 0
+        while (i < 64) { sb.append(if (es(i) < es(i + 1)) '1' else '0'); i += 1 }
+        Some(sb.toString)
+      }
+    }
+
     /** Canonical binary PPM (`P6`) with maxval 255: header then w·h·3 RGB
       * bytes. Requires exactly-sized pixel data.
       */
@@ -401,6 +469,82 @@ object Multimodal {
         else None
       }
       .toDF("media_id", "dhash")
+  }
+
+  /** Perceptual audio hashes: one (media_id, aphash) row per decodable
+    * RIFF/WAVE payload with ≥ 65 samples — see
+    * [[MediaCodecs.audioEnergyHash]]. Executor-side like [[imageDHashes]];
+    * pair downstream with [[Dedup.hammingBandPairs]] on the `aphash`
+    * column. Catches resampled / volume-scaled re-encodes whose exact
+    * digests diverge.
+    */
+  def audioEnergyHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .flatMap { r =>
+        val b = r.payload
+        if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+          val (_, bits, samples) = MediaCodecs.wavSamples(r.media_id, b)
+          // center 8-bit unsigned PCM at its 128 midpoint so "energy" means
+          // deviation from silence for both bit depths (16-bit is already
+          // signed around 0)
+          val centered = if (bits == 8) samples.map(_ - 128) else samples
+          MediaCodecs.audioEnergyHash(centered).map(h => (r.media_id, h))
+        } else None
+      }
+      .toDF("media_id", "aphash")
+  }
+
+  /** Polarity inversion of every RIFF/WAVE payload (16-bit: v → −v, with
+    * the one unrepresentable case −32768 saturating to 32767, the standard
+    * DSP convention; 8-bit unsigned: v → 255 − v, a flip around 127.5) —
+    * a real audio re-encode that changes every payload byte while
+    * preserving 16-bit |sample| exactly, so [[audioEnergyHashes]] is
+    * INVARIANT to it on 16-bit streams (8-bit centering is off by one per
+    * sample, so 8-bit inversion is near- rather than exactly-invariant)
+    * and exact digests are not. Non-WAV rows pass through unchanged.
+    */
+  def invertAudio(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val b = r.payload
+      if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+        val (rate, bits, samples) = MediaCodecs.wavSamples(r.media_id, b)
+        val inv = samples.map { v =>
+          if (bits == 8) 255 - v
+          else if (v == -32768) 32767
+          else -v
+        }
+        val bytes =
+          if (bits == 8) inv.map(_.toByte)
+          else inv.flatMap(v => Array(v.toByte, (v >> 8).toByte))
+        r.copy(payload = MediaCodecs.encodeWavPcm(bytes, rate, bits))
+      } else r
+    }
+  }
+
+  /** Nearest-neighbor temporal downsample of every RIFF/WAVE payload by
+    * `factor` (keep samples 0, factor, 2·factor, …; non-WAV rows pass
+    * through unchanged), re-encoded at the same bit depth — the
+    * resampled-duplicate scenario [[audioEnergyHashes]] is built to catch.
+    */
+  def downsampleAudio(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val b = r.payload
+      if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+        val (rate, bits, samples) = MediaCodecs.wavSamples(r.media_id, b)
+        val kept = Array.tabulate((samples.length + factor - 1) / factor)(i => samples(i * factor))
+        val bytes =
+          if (bits == 8) kept.map(_.toByte)
+          else kept.flatMap(v => Array(v.toByte, (v >> 8).toByte))
+        r.copy(payload = MediaCodecs.encodeWavPcm(bytes, rate, bits))
+      } else r
+    }
   }
 
   /** Nearest-neighbor vertical resize of every P6 payload in the frame by

@@ -213,6 +213,70 @@ object MultimodalQueries {
       )
     },
 
+    // E260 perceptual AUDIO near-dup (energy-gradient hash): every
+    // synthesized 16-bit PCM WAV plus its POLARITY-INVERTED re-encode
+    // (sample v → −v, re-ingested under a shifted id — every payload byte
+    // changes, |sample| does not), hashed with the 64-bit frame-energy
+    // gradient over DECODED samples and paired through the banded-Hamming
+    // kernel — the audio sibling of mm_dhash_pairs. Comparing frame
+    // energies (never thresholding) makes the hash exactly invariant to
+    // polarity/uniform-gain re-encodes, so every planted copy pairs at
+    // Hamming 0 while its exact digest diverges. The twin replays
+    // decode → frame → energy → gradient → band → verify from the source
+    // bytes; its inverted branch reuses the original energy expression
+    // BECAUSE |−v| = |v| — the identity under test. (|ord−128| vs the
+    // engine's |(ord−128)·256|: a positive scale factor on both sides of
+    // every comparison, so bits agree exactly.)
+    QEntry.sql(
+      "mm_aphash_pairs", {
+        def esSql(nExpr: String, pos: String => String) =
+          s"""list_transform(range(0, 65), i ->
+             |  list_sum(list_transform(
+             |    range((i * ($nExpr)) // 65 + 1, ((i + 1) * ($nExpr)) // 65 + 1),
+             |    j -> abs(ord(substr(text, CAST(${pos("j")} AS INT), 1)) - 128))))"""
+            .stripMargin.replaceAll("\\s+", " ")
+        val dh =
+          """array_to_string(list_transform(range(0, 64), i ->
+            |  CASE WHEN es[CAST(i + 1 AS INT)] < es[CAST(i + 2 AS INT)]
+            |       THEN '1' ELSE '0' END), '')""".stripMargin.replaceAll("\\s+", " ")
+        val ham =
+          """CAST(list_sum(list_transform(range(1, 65), i ->
+            |  CASE WHEN substr(x.dh, CAST(i AS INT), 1) != substr(y.dh, CAST(i AS INT), 1)
+            |       THEN 1 ELSE 0 END)) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH t AS (SELECT doc_id, text, strlen(text) AS n
+           |           FROM documents WHERE doc_id % 3 = 1),
+           |o AS (SELECT media_id, $dh AS dh FROM (
+           |  SELECT doc_id AS media_id, ${esSql("n", j => j)} AS es
+           |  FROM t WHERE n >= 65) z1),
+           |r AS (SELECT media_id, $dh AS dh FROM (
+           |  SELECT doc_id + 1000000 AS media_id, ${esSql("n", j => j)} AS es
+           |  FROM t WHERE n >= 65) z2),
+           |a AS (SELECT * FROM o UNION ALL SELECT * FROM r),
+           |bb AS (SELECT media_id, dh, bidx,
+           |         substr(dh, CAST(bidx * 16 + 1 AS INT), 16) AS bv
+           |       FROM (SELECT media_id, dh, unnest(range(0, 4)) AS bidx FROM a) z)
+           |SELECT DISTINCT id1, id2, hamming FROM (
+           |  SELECT x.media_id AS id1, y.media_id AS id2, $ham AS hamming
+           |  FROM bb x JOIN bb y
+           |    ON x.bidx = y.bidx AND x.bv = y.bv AND x.media_id < y.media_id) p
+           |WHERE hamming <= 8""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val audio = Multimodal
+        .synthesizeMedia(documents(s, d))
+        .filter((r: Multimodal.MediaRecord) => r.modality == "audio")
+      val inverted = Multimodal
+        .invertAudio(audio)
+        .map(r => r.copy(media_id = r.media_id + 1000000L))
+      Dedup.hammingBandPairs(
+        Multimodal.audioEnergyHashes(audio.union(inverted)),
+        "media_id",
+        "aphash",
+        maxHamming = 8
+      )
+    },
+
     // Overlapping strided windows (hop < window — the spectrogram frame
     // shape) over the audio-modality payloads: md5 + exact integer byte-sum
     // energy per window. ASCII corpus ⇒ DuckDB's per-char ord() sums equal

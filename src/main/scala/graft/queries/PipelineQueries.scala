@@ -1451,6 +1451,55 @@ object PipelineQueries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     },
 
+    // E90 persisted-PQ-index READ path, oracled (the PQ sibling of
+    // ann_lsh_index_fetch): the entry writes codebook + codes parquet, then
+    // answers the query set from the ON-DISK codes alone — raw corpus
+    // vectors are touched only at encode time, the PQ byte-budget story.
+    // The twin replays quantize → codebook → assign → LUT → rank exactly
+    // as ann_pq_topk's does; index ≡ direct equality is also specced.
+    QEntry.sql(
+      "ann_pq_index_fetch",
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding, x ->
+        |                CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) END AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+        |        FROM embeddings) e),
+        |subs AS (
+        |  SELECT vec_id, s, list_slice(qv, CAST(s * 16 + 1 AS INT), CAST(s * 16 + 16 AS INT)) AS sv
+        |  FROM q, (SELECT unnest(range(0, 4)) AS s) ss),
+        |cb AS (SELECT vec_id AS code, s, sv AS cv FROM subs WHERE vec_id % 31 = 0),
+        |dists AS (
+        |  SELECT subs.vec_id, subs.s, cb.code,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      (sv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |      * (sv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS BIGINT) AS dist
+        |  FROM subs JOIN cb ON subs.s = cb.s),
+        |codes AS (
+        |  SELECT vec_id AS neighbor_id, s, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        |    FROM dists) t WHERE rn = 1),
+        |lut AS (SELECT vec_id AS query_id, s, code, dist AS pdist
+        |        FROM dists WHERE vec_id < 5),
+        |ad AS (
+        |  SELECT lut.query_id, codes.neighbor_id, CAST(sum(lut.pdist) AS BIGINT) AS adist
+        |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+        |  WHERE codes.neighbor_id != lut.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+        |  FROM ad) t
+        |WHERE rn <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-pqidx").resolve("pq").toString
+      Similarity.buildPqIndex(emb, "vec_id", "embedding", dir)
+      Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, dir)
+    },
+
     // IVF-PQ — the full production ANN composition: IVF cells restrict
     // candidates, PQ codes + broadcast LUT rank them. Stride centroids and
     // exact integer PQ distances keep the whole pipeline replayable.

@@ -117,6 +117,52 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(exactGroups == 0L)
   }
 
+  test("audio energy hash: polarity inversion is Hamming-0; gain-scaling invariant; dups pair") {
+    import Multimodal.MediaCodecs
+    // deterministic 16-bit samples, small enough that ×2 gain cannot clip
+    val n = 400
+    val samples = Array.tabulate(n)(i => (((i * 2654435761L) % 2001L) - 1000L).toInt)
+    def wav(xs: Array[Int]) =
+      MediaCodecs.encodeWavPcm(xs.flatMap(v => Array(v.toByte, (v >> 8).toByte)), 16000, 16)
+    val orig = wav(samples)
+    val h0 = MediaCodecs.audioEnergyHash(samples).get
+    assert(h0.length == 64 && h0.forall(c => c == '0' || c == '1'))
+    // |−v| = |v|: inversion leaves every frame energy — hence the hash — intact
+    assert(MediaCodecs.audioEnergyHash(samples.map(-_)).get == h0)
+    // uniform gain: ×2 scales every energy by 2, preserving every comparison
+    assert(MediaCodecs.audioEnergyHash(samples.map(_ * 2)).get == h0)
+    // < 65 samples: nothing to frame
+    assert(MediaCodecs.audioEnergyHash(Array.fill(64)(5)).isEmpty)
+
+    // end-to-end: WAV → invertAudio re-encode (all payload bytes change) →
+    // hashes → banded pairs; unrelated stream stays unpaired
+    val s = spark
+    import s.implicits._
+    val other = Array.tabulate(n)(i => (((i * 48271L) % 1801L) - 900L).toInt)
+    val media = Seq(Multimodal.MediaRecord(1L, "audio", orig),
+      Multimodal.MediaRecord(3L, "audio", wav(other))).toDS()
+    val inv = Multimodal.invertAudio(media.filter((r: Multimodal.MediaRecord) => r.media_id == 1L))
+      .map(r => r.copy(media_id = 2L))
+    assert(!java.util.Arrays.equals(inv.head().payload, orig))
+    val pairs = graft.operators.Dedup
+      .hammingBandPairs(
+        Multimodal.audioEnergyHashes(media.union(inv)), "media_id", "aphash", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L)), pairs.toString)
+    assert(pairs.head._3 == 0L) // exact invariance, not just small distance
+    // 8-bit path: centering at 128 makes a quiet stream hash like silence
+    val eight = MediaCodecs.encodeWavPcm(Array.tabulate(200)(i => (128 + (i % 3) - 1).toByte), 8000, 8)
+    val h8 = Multimodal.audioEnergyHashes(
+      Seq(Multimodal.MediaRecord(9L, "audio", eight)).toDS()).collect()
+    assert(h8.length == 1 && h8.head.getString(1).length == 64)
+    // temporal downsample: ceil(n/2) samples kept, every 2nd source sample
+    val down = Multimodal.downsampleAudio(media.filter(
+      (r: Multimodal.MediaRecord) => r.media_id == 1L), 2).head()
+    val (_, _, ds) = MediaCodecs.wavSamples(1L, down.payload)
+    assert(ds.length == (n + 1) / 2)
+    assert(ds.toSeq == samples.indices.collect { case i if i % 2 == 0 => samples(i) }.toSeq)
+  }
+
   test("synthesizeMedia emits decodable containers whose stats match the source bytes") {
     val s = spark
     import s.implicits._
