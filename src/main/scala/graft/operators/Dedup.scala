@@ -973,6 +973,86 @@ object Dedup {
       .parquet(path)
   }
 
+  /** Persist 64-bit sketches (any [[hammingBandPairs]]-compatible bitstring
+    * column — SimHash, image dHash, audio energy hash) as a parquet index:
+    * one row per id carrying the 4 16-bit band integers, partitioned by the
+    * first band's low nibble (16 dirs — bounded layout, same rationale as
+    * [[buildMinhashIndex]]'s prefix). The bands ARE the sketch (concatenated
+    * they reconstruct all 64 bits), so the index serves both candidate
+    * blocking and exact Hamming verification without any other state —
+    * what makes PERCEPTUAL dedup incremental: media decode + hashing (the
+    * expensive per-payload work) happens once per asset, ever.
+    */
+  def buildHammingIndex(
+      sketches: DataFrame,
+      idCol: String,
+      bitsCol: String,
+      path: String
+  ): Unit =
+    sketches
+      .select(
+        col(idCol).as("id") +: (0 until 4).map(b =>
+          conv(substring(col(bitsCol), b * 16 + 1, 16), 2, 10).cast("long").as(s"i$b")
+        ): _*
+      )
+      .withColumn("band_pfx", pmod(col("i0"), lit(16)))
+      .write
+      .mode("overwrite")
+      .partitionBy("band_pfx")
+      .parquet(path)
+
+  /** Near-dup pairs of a NEW batch of sketches against a corpus indexed by
+    * [[buildHammingIndex]]: the batch's sketches (computed once, O(batch))
+    * band-join against the persisted bands unioned with their own, exact
+    * Hamming verifies candidates, pairs normalize/dedup as in
+    * [[hammingBandPairs]] — corpus-internal pairs are not re-reported.
+    * Broadcast batch side, single index scan, candidate-bounded exchange:
+    * the same O(delta)-per-ingest shape as [[incrementalNearDupPairs]],
+    * for the perceptual family.
+    */
+  def incrementalHammingPairs(
+      batch: DataFrame,
+      idCol: String,
+      bitsCol: String,
+      path: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val bb = batch
+      .select(
+        col(idCol).as("bid") +: (0 until 4).map(b =>
+          conv(substring(col(bitsCol), b * 16 + 1, 16), 2, 10).cast("long").as(s"b$b")
+        ): _*
+      )
+      .localCheckpoint() // sketch pipeline runs once, not once per join branch
+    val idx = batch.sparkSession.read
+      .parquet(path)
+      .select(col("id").as("nid") +: (0 until 4).map(b => col(s"i$b").as(s"n$b")): _*)
+    val all = idx.unionByName(
+      bb.select(col("bid").as("nid") +: (0 until 4).map(b => col(s"b$b").as(s"n$b")): _*))
+    val bandedBatch = bb.select(
+      (col("bid") +: (0 until 4).map(b => col(s"b$b"))) :+
+        posexplode(array((0 until 4).map(b => col(s"b$b")): _*)).as(Seq("_band", "_bv")): _*
+    )
+    val bandedAll = all.select(
+      (col("nid") +: (0 until 4).map(b => col(s"n$b"))) :+
+        posexplode(array((0 until 4).map(b => col(s"n$b")): _*)).as(Seq("_band", "_bv")): _*
+    )
+    broadcast(bandedBatch)
+      .join(bandedAll, Seq("_band", "_bv"))
+      .filter(col("bid") =!= col("nid"))
+      .select(
+        least(col("bid"), col("nid")).as("id1"),
+        greatest(col("bid"), col("nid")).as("id2"),
+        (0 until 4)
+          .map(b => bit_count(col(s"b$b").bitwiseXOR(col(s"n$b"))))
+          .reduce(_ + _)
+          .cast("bigint")
+          .as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Near-dup candidate pairs of a NEW batch against a corpus indexed by
     * [[buildMinhashIndex]], without touching corpus text: sign the batch
     * (the only text pass — O(batch)), then band-equi-join the batch's band

@@ -213,6 +213,61 @@ object MultimodalQueries {
       )
     },
 
+    // E261 INCREMENTAL perceptual dedup — E257's persisted-index shape
+    // composed with E258's image hashing: the corpus's dHashes persist once
+    // (band-integer parquet index; decode+hash is per-asset-ever work), and
+    // a new batch — the grid-ALIGNED images (h ≡ 0 mod 18: a factor-2
+    // resize samples exactly the original's source rows, so each planted
+    // copy pairs at Hamming 0) re-ingested as factor-2 resizes under
+    // shifted ids — pairs against the on-disk bands without re-decoding
+    // any corpus payload. The twin replays hash → band → join → Hamming
+    // over corpus ∪ batch restricted to batch-touching pairs.
+    QEntry.sql(
+      "mm_dhash_incremental", {
+        val dhOrig = dhashSqlWith(i => s"(($i * h) // 9)")
+        val dhResz = dhashSqlWith(i => s"(2 * (($i * (h // 2)) // 9))")
+        val ham =
+          """CAST(list_sum(list_transform(range(1, 65), i ->
+            |  CASE WHEN substr(x.dh, CAST(i AS INT), 1) != substr(y.dh, CAST(i AS INT), 1)
+            |       THEN 1 ELSE 0 END)) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH t AS (SELECT doc_id, text, strlen(text) // 24 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |o AS (SELECT doc_id AS media_id, $dhOrig AS dh FROM t WHERE h >= 9),
+           |r AS (SELECT doc_id + 1000000 AS media_id, $dhResz AS dh
+           |      FROM t WHERE h % 18 = 0 AND h >= 18),
+           |a AS (SELECT * FROM o UNION ALL SELECT * FROM r),
+           |ab AS (SELECT media_id, dh, bidx,
+           |         substr(dh, CAST(bidx * 16 + 1 AS INT), 16) AS bv
+           |       FROM (SELECT media_id, dh, unnest(range(0, 4)) AS bidx FROM a) z),
+           |rb AS (SELECT media_id, dh, bidx,
+           |         substr(dh, CAST(bidx * 16 + 1 AS INT), 16) AS bv
+           |       FROM (SELECT media_id, dh, unnest(range(0, 4)) AS bidx FROM r) z)
+           |SELECT DISTINCT least(id1r, id2r) AS id1, greatest(id1r, id2r) AS id2, hamming
+           |FROM (
+           |  SELECT x.media_id AS id1r, y.media_id AS id2r, $ham AS hamming
+           |  FROM rb x JOIN ab y
+           |    ON x.bidx = y.bidx AND x.bv = y.bv AND x.media_id != y.media_id) p
+           |WHERE hamming <= 6""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val images = Multimodal
+        .synthesizeMedia(documents(s, d))
+        .filter((r: Multimodal.MediaRecord) => r.modality == "image")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dhidx").resolve("idx").toString
+      Dedup.buildHammingIndex(Multimodal.imageDHashes(images), "media_id", "dhash", dir)
+      val aligned = images.filter { (r: Multimodal.MediaRecord) =>
+        val (_, h, _) = Multimodal.MediaCodecs.ppmHeader(r.media_id, r.payload)
+        h % 18 == 0 && h >= 18
+      }
+      val batch = Multimodal
+        .resizeVertical(aligned, 2)
+        .map(r => r.copy(media_id = r.media_id + 1000000L))
+      Dedup.incrementalHammingPairs(
+        Multimodal.imageDHashes(batch), "media_id", "dhash", dir, maxHamming = 6)
+    },
+
     // E260 perceptual AUDIO near-dup (energy-gradient hash): every
     // synthesized 16-bit PCM WAV plus its POLARITY-INVERTED re-encode
     // (sample v → −v, re-ingested under a shifted id — every payload byte

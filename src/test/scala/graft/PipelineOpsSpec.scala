@@ -799,6 +799,43 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental Hamming pairs ≡ full hammingBandPairs restricted to batch-touching") {
+    val s = spark
+    import s.implicits._
+    // synthetic 64-bit sketches: corpus pair (1, 2) at Hamming 1; batch
+    // re-ingests sketch 1 exactly (101), carries an internal near-pair
+    // (102, 103) and a far-away stranger (104)
+    def bits(seed: Long): String =
+      (0 until 64).map(i => if (((seed >> (i % 63)) & 1L) == 1L) '1' else '0').mkString
+    val base = bits(0x5a5a5a5a5a5aL)
+    def flip(b: String, is: Int*): String =
+      is.foldLeft(b)((acc, i) => acc.updated(i, if (acc(i) == '1') '0' else '1'))
+    val corpus = Seq((1L, base), (2L, flip(base, 7)), (3L, bits(0x123456789abL)))
+      .toDF("id", "bits")
+    val batch = Seq(
+      (101L, base), (102L, flip(base, 20, 21)), (103L, flip(base, 20, 21, 40)),
+      (104L, bits(0x0f0f0f0f0f0fL))
+    ).toDF("id", "bits")
+    withTempDir { dir =>
+      graft.operators.Dedup.buildHammingIndex(corpus, "id", "bits", s"$dir/hidx")
+      val inc = graft.operators.Dedup
+        .incrementalHammingPairs(batch, "id", "bits", s"$dir/hidx", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val mono = graft.operators.Dedup
+        .hammingBandPairs(corpus.unionByName(batch), "id", "bits", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter { case (i, j, _) => i > 100L || j > 100L }
+        .toSet
+      assert(inc === mono, s"inc=$inc mono=$mono")
+      // exact re-ingest at distance 0; its corpus near-dup at 1; batch pair at 1
+      assert(inc.contains((1L, 101L, 0L)) && inc.contains((2L, 101L, 1L)))
+      assert(inc.contains((102L, 103L, 1L)))
+      // corpus-internal pair (1, 2) not re-reported; stranger unpaired
+      assert(!inc.exists { case (i, j, _) => (i, j) == ((1L, 2L)) })
+      assert(!inc.exists { case (i, j, _) => i == 104L || j == 104L })
+    }
+  }
+
   test("weighted sampling overrepresents heavy rows and plans a TakeOrdered top-k") {
     val s = spark
     import s.implicits._
