@@ -942,6 +942,55 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Incremental embedding near-dup against a persisted LSH index
+    * ([[buildLshIndex]]) — the vector-space member of the O(delta)-per-
+    * ingest family (`Dedup.incrementalNearDupPairs` for text MinHash,
+    * `Dedup.incrementalHammingPairs` for perceptual sketches): a new batch
+    * is bucketed once (b plane dot products per vector, the only
+    * embedding-side work), broadcast, and bucket-joined against the
+    * on-disk (id, vector, norm, bucket) rows unioned with its own, with
+    * the exact rounded cosine verifying candidates — so the corpus is
+    * never re-bucketed and only same-bucket candidates are ever scored.
+    * Pairs normalize (id1 < id2) and corpus-internal pairs are NOT
+    * re-reported. `bits`/`seed`/`dim` must match the build.
+    */
+  def incrementalCosinePairs(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double,
+      bits: Int = 8,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame = {
+    VectorExpressions.install(batch.sparkSession)
+    val planes = hyperplanes(bits, dimOf(batch, vecCol, dim), seed)
+    val bb = batch
+      .select(
+        col(idCol).as("bid"),
+        col(vecCol).as("bv"),
+        concat(lit("b"), lshBucket(col(vecCol), planes)).as("bucket")
+      )
+      .withColumn("bn", sqrt(expr("graft_dot(bv, bv)")))
+      .localCheckpoint() // bucket once; both join branches reuse the rows
+    val idx = batch.sparkSession.read
+      .parquet(path)
+      .select(col("neighbor_id").as("nid"), col("nv"), col("nn"), col("bucket"))
+    val all = idx.unionByName(
+      bb.select(col("bid").as("nid"), col("bv").as("nv"), col("bn").as("nn"), col("bucket")))
+    broadcast(bb)
+      .join(all, "bucket")
+      .filter(col("bid") =!= col("nid"))
+      .select(
+        least(col("bid"), col("nid")).as("id1"),
+        greatest(col("bid"), col("nid")).as("id2"),
+        pairCos("bv", "nv", "bn", "nn").as("cos")
+      )
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
   /** 1-bit (sign) quantization: the embedding as a bitstring plus its
     * positive-component count. 64× smaller than float32 — the coarsest rung
     * of the quantization ladder (float → int8 → PQ → binary); retrieval over

@@ -1451,6 +1451,40 @@ object PipelineQueries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     },
 
+    // E262 incremental EMBEDDING near-dup against the persisted LSH index —
+    // the vector-space member of the O(delta)-per-ingest family (text
+    // MinHash E257, perceptual sketches E261): a batch of re-ingested
+    // vectors (every 40th, shifted ids — exact copies, cosine 1.0) buckets
+    // once and pairs against the on-disk (vector, norm, bucket) rows, so
+    // the corpus is never re-bucketed and only same-bucket candidates are
+    // cosine-scored. The twin replays plane regeneration → bucketing →
+    // bucket join → rounded-cosine threshold over corpus ∪ batch.
+    QEntry.sql(
+      "emb_incremental_neardup",
+      s"""WITH ${bucketsSql(bits = 8)},
+         |bb AS (SELECT vec_id + 1000000 AS vec_id, e, bucket
+         |       FROM buckets WHERE vec_id % 40 = 0),
+         |ab AS (SELECT vec_id, e, bucket FROM buckets
+         |       UNION ALL SELECT vec_id, e, bucket FROM bb)
+         |SELECT DISTINCT id1, id2, cos FROM (
+         |  SELECT least(a.vec_id, b.vec_id) AS id1,
+         |    greatest(a.vec_id, b.vec_id) AS id2,
+         |    round(list_dot_product(a.e, b.e) /
+         |          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+         |  FROM bb a JOIN ab b ON a.bucket = b.bucket AND a.vec_id != b.vec_id) p
+         |WHERE cos >= 0.99""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-emblsh").resolve("lsh").toString
+      Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, bits = 8, dim = EmbDim)
+      val batch = emb
+        .filter(col("vec_id") % 40 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.incrementalCosinePairs(batch, "vec_id", "embedding", dir, 0.99,
+        bits = 8, dim = EmbDim)
+    },
+
     // E90 persisted-PQ-index READ path, oracled (the PQ sibling of
     // ann_lsh_index_fetch): the entry writes codebook + codes parquet, then
     // answers the query set from the ON-DISK codes alone — raw corpus

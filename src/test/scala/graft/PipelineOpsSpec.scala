@@ -836,6 +836,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental cosine pairs: batch vs persisted LSH index, corpus never re-bucketed") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    withTempDir { dir =>
+      graft.operators.Similarity
+        .buildLshIndex(emb, "vec_id", "embedding", s"$dir/lsh", bits = 8, dim = 64)
+      // batch: exact copies of every 25th vector under shifted ids
+      val batch = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val nBatch = batch.count()
+      assert(nBatch > 0)
+      val pairs = graft.operators.Similarity
+        .incrementalCosinePairs(batch, "vec_id", "embedding", s"$dir/lsh", 0.999,
+          bits = 8, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // every copy pairs with its original at cosine 1.0 (same bucket by
+      // construction — identical vector, identical planes)
+      val planted = pairs.filter { case (i, j, _) => j == i + 1000000L }
+      assert(planted.length == nBatch, s"${planted.length} of $nBatch planted pairs found")
+      assert(planted.forall(_._3 == 1.0))
+      // every reported pair touches the batch (ids >= 1000000 — vec_id 0
+      // maps to exactly 1000000); none is corpus-internal
+      assert(pairs.forall { case (i, j, _) => i >= 1000000L || j >= 1000000L })
+    }
+  }
+
   test("weighted sampling overrepresents heavy rows and plans a TakeOrdered top-k") {
     val s = spark
     import s.implicits._
