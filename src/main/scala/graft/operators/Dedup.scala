@@ -594,9 +594,15 @@ object Dedup {
     * Plan shape at scale: span digests + positions (32-hex + two ints per
     * span) are the only per-span payload; ownership is one digest-keyed agg
     * over per-doc-distinct digests; coverage expansion fans out exactly k
-    * positions per REMOVED span (never per span); the rebuild groups each
-    * doc's kept tokens — per-group state is one document's tokens, the
-    * irreducible cost of producing rewritten text. No all-pairs anything.
+    * positions per REMOVED span (never per span); and the explode → anti-
+    * join → regroup rebuild runs ONLY for documents that actually lost a
+    * token (a semi-join gate — at sf0.1 that is 24 of 5000 docs, and on a
+    * deduplicated production corpus the touched fraction is similarly
+    * small). Untouched documents emit `md5(array_join(tokens))` straight
+    * off their token array — same bytes as the rebuild path would produce,
+    * no explode. Per-rebuild-group state is one touched document's tokens,
+    * the irreducible cost of producing rewritten text. No all-pairs
+    * anything.
     */
   def spanRewrite(
       df: DataFrame,
@@ -609,9 +615,6 @@ object Dedup {
     val docs = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
       .localCheckpoint()
-    val tok = docs
-      .select(col(idCol), posexplode_outer(col("_ws")).as(Seq("_j", "_w")))
-      .filter(col("_w").isNotNull)
     val spans = docs
       .select(col(idCol), posexplode_outer(shinglesFromWords(col("_ws"), k)).as(Seq("_p", "_sp")))
       .filter(col("_sp").isNotNull)
@@ -633,6 +636,23 @@ object Dedup {
       .filter(col(idCol) =!= col("_own"))
       .select(col(idCol), explode(sequence(col("_p"), col("_p") + lit(k - 1))).as("_j"))
       .distinct()
+      .localCheckpoint() // gates the rebuild AND feeds the anti-join
+    val cutDocs = cov.select(col(idCol)).distinct()
+    // untouched docs (the overwhelming majority): no explode, no regroup —
+    // the rewrite is the identity, so the witness hashes the token array
+    val untouched = docs
+      .join(cutDocs, Seq(idCol), "left_anti")
+      .select(
+        col(idCol),
+        size(col("_ws")).cast("long").as("n_tokens"),
+        lit(0L).as("n_dropped"),
+        md5(array_join(col("_ws"), " ")).as("kept_md5")
+      )
+    // touched docs: explode to positions, cut covered slots, regroup in order
+    val touchedDocs = docs.join(cutDocs, Seq(idCol), "left_semi")
+    val tok = touchedDocs
+      .select(col(idCol), posexplode_outer(col("_ws")).as(Seq("_j", "_w")))
+      .filter(col("_w").isNotNull)
     val rebuilt = tok
       .join(cov, Seq(idCol, "_j"), "left_anti")
       .groupBy(col(idCol))
@@ -645,7 +665,7 @@ object Dedup {
           )
         ).as("_kmd5")
       )
-    docs
+    val touched = touchedDocs
       .select(col(idCol), size(col("_ws")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq(idCol), "left")
       .select(
@@ -654,6 +674,7 @@ object Dedup {
         (col("n_tokens") - coalesce(col("_nk"), lit(0L))).cast("long").as("n_dropped"),
         coalesce(col("_kmd5"), md5(lit(""))).as("kept_md5")
       )
+    untouched.unionByName(touched)
   }
 
   /** SimHash near-duplicate pairs: block on the sketch's 4 16-bit bands
