@@ -968,9 +968,12 @@ object Dedup {
     * is signed once and paired against these persisted bands
     * ([[incrementalNearDupPairs]]) instead of re-signing and re-joining the
     * whole corpus — the O(delta)-per-ingest shape. After accepting a batch,
-    * append its bands (same schema, `mode("append")`) so tomorrow's batch
-    * sees it; signatures never need recomputing because MinHash is
-    * content-functional.
+    * fold its bands in with [[appendMinhashIndex]] so tomorrow's batch sees
+    * it; signatures never need recomputing because MinHash is
+    * content-functional. The outer `ingest_id` partition level (0 for the
+    * initial build, the ingest's own id thereafter) is what makes appends
+    * REPLAY-IDEMPOTENT: a re-run of the same ingest dynamically overwrites
+    * its own partition instead of duplicating rows.
     */
   def buildMinhashIndex(
       df: DataFrame,
@@ -980,7 +983,49 @@ object Dedup {
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
       fast: Boolean = false
+  ): Unit =
+    minhashBandRows(df, idCol, textCol, numPerm, rowsPerBand, fast)
+      .withColumn("ingest_id", lit(0L))
+      .write
+      .mode("overwrite")
+      .partitionBy("ingest_id", "band_pfx")
+      .parquet(path)
+
+  /** Fold one accepted ingest's band keys into a [[buildMinhashIndex]]
+    * index. Dynamic partition overwrite on the ingest's own `ingest_id`
+    * partition makes the call idempotent under replay — the at-least-once
+    * retry a streaming `foreachBatch` (or a re-run daily job) performs
+    * replaces its previous partial output rather than appending a second
+    * copy. Use ids > 0 (0 is the initial build's partition).
+    */
+  def appendMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      ingestId: Long,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
   ): Unit = {
+    require(ingestId > 0L, s"ingest ids start at 1 (0 is the initial build), got $ingestId")
+    minhashBandRows(df, idCol, textCol, numPerm, rowsPerBand, fast)
+      .withColumn("ingest_id", lit(ingestId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic") // replace ONLY this ingest's partition
+      .partitionBy("ingest_id", "band_pfx")
+      .parquet(path)
+  }
+
+  private def minhashBandRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerm: Int,
+      rowsPerBand: Int,
+      fast: Boolean
+  ): DataFrame = {
     val nBands = numPerm / rowsPerBand
     minhashSignatures(df, idCol, textCol, numPerm, rowsPerBand, fast)
       .select(
@@ -988,10 +1033,6 @@ object Dedup {
         explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("band")
       )
       .withColumn("band_pfx", pmod(xxhash64(col("band")), lit(16)))
-      .write
-      .mode("overwrite")
-      .partitionBy("band_pfx")
-      .parquet(path)
   }
 
   /** Persist 64-bit sketches (any [[hammingBandPairs]]-compatible bitstring

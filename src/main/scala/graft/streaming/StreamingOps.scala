@@ -256,6 +256,48 @@ object StreamingOps {
     }
   }
 
+  /** Streaming near-dup ingest loop — the `foreachBatch` lifecycle of the
+    * incremental dedup family: per micro-batch of documents, (1) fold the
+    * batch's MinHash bands into the persisted index (FIRST, because the
+    * dynamic-partition append is replay-idempotent — a crash between the
+    * two writes replays into an index that already holds this batch's
+    * bands, which changes nothing: the pair join deduplicates band hits),
+    * then (2) write the batch's near-dup pairs against everything ingested
+    * so far into the pairs sink's `_batch=<id>` partition, guarded by the
+    * [[idempotentAppend]] `_SUCCESS` idiom so an epoch replay cannot
+    * duplicate pair rows. Seed an index with `Dedup.buildMinhashIndex`
+    * over the existing corpus (parquet schema inference needs at least one
+    * band row on disk), then
+    * `.writeStream.foreachBatch(nearDupIngestLoop(...))`: each arriving
+    * batch pays one signing pass over ITSELF only — corpus text is never
+    * re-read, the O(delta)-per-ingest contract, now as a running stream.
+    */
+  def nearDupIngestLoop(
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      pairsPath: String,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
+  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val dir = new org.apache.hadoop.fs.Path(pairsPath, s"_batch=$batchId")
+    val fs = dir.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      // the un-materialized batch frame is consumed by two actions (band
+      // append + pair join); pin it so both see the same rows
+      val pinned = batch.localCheckpoint()
+      graft.operators.Dedup
+        .appendMinhashIndex(pinned, idCol, textCol, indexPath, ingestId = batchId + 1,
+          numPerm, rowsPerBand, fast)
+      graft.operators.Dedup
+        .incrementalNearDupPairs(pinned, idCol, textCol, indexPath, numPerm, rowsPerBand, fast)
+        .write
+        .mode("overwrite")
+        .parquet(dir.toString)
+    }
+  }
+
   /** Streaming round-robin ingestion: every micro-batch is appended to the
     * master dataset AND round-robin-routed to fragments, continuing the
     * engine's `lastInserted` counter exactly like sequential

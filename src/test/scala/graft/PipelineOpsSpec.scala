@@ -783,8 +783,11 @@ class PipelineOpsSpec extends SparkSpec {
       assert(inc.contains((1L, 101L)) && inc.contains((2L, 101L)), inc.toString)
       assert(inc.contains((102L, 103L)))
       assert(!inc.contains((1L, 2L)))
-      // the index layout is 16-way hash-prefix partitioned (bounded dirs)
-      val dirs = new java.io.File(s"$dir/idx").listFiles.map(_.getName)
+      // the index layout: ingest partitions outside, 16-way hash prefix inside
+      val top = new java.io.File(s"$dir/idx").listFiles.map(_.getName)
+        .filter(_.startsWith("ingest_id="))
+      assert(top.sameElements(Array("ingest_id=0")), top.mkString(","))
+      val dirs = new java.io.File(s"$dir/idx/ingest_id=0").listFiles.map(_.getName)
         .filter(_.startsWith("band_pfx="))
       assert(dirs.nonEmpty && dirs.length <= 16, dirs.mkString(","))
       // append-style ingestion: fold the accepted batch's bands in, then a
@@ -858,6 +861,43 @@ class PipelineOpsSpec extends SparkSpec {
       // every reported pair touches the batch (ids >= 1000000 — vec_id 0
       // maps to exactly 1000000); none is corpus-internal
       assert(pairs.forall { case (i, j, _) => i >= 1000000L || j >= 1000000L })
+    }
+  }
+
+  test("nearDupIngestLoop: cross-batch pairs accumulate, index grows, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    val a = Array.fill(25)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val b = Array.fill(25)("one two three four five six seven eight").mkString(" ")
+    withTempDir { dir =>
+      val idx = s"$dir/idx"; val pairsDir = s"$dir/pairs"
+      // seed: corpus of two distinct docs
+      graft.operators.Dedup.buildMinhashIndex(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text", idx)
+      val loop = graft.streaming.StreamingOps
+        .nearDupIngestLoop("doc_id", "text", idx, pairsDir)
+      def pairsOf(batchId: Long) = spark.read.parquet(s"$pairsDir/_batch=$batchId")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 0: re-sends doc 1's text → pairs with the seeded corpus
+      loop(Seq((101L, a)).toDF("doc_id", "text"), 0L)
+      assert(pairsOf(0L) === Set((1L, 101L)))
+      // batch 1: duplicates BATCH 0's doc — the cross-batch case the index
+      // append exists for — and brings a novel doc
+      loop(Seq((201L, a), (202L, "nine ten eleven " * 30)).toDF("doc_id", "text"), 1L)
+      assert(pairsOf(1L) === Set((1L, 201L), (101L, 201L)))
+      // index now holds seed + both ingests as separate partitions
+      val parts = new java.io.File(idx).listFiles.map(_.getName)
+        .filter(_.startsWith("ingest_id=")).sorted
+      assert(parts.sameElements(Array("ingest_id=0", "ingest_id=1", "ingest_id=2")), parts.mkString(","))
+      val idxRows = spark.read.parquet(idx).count()
+      // epoch replay of batch 0 (at-least-once foreachBatch): _SUCCESS guard
+      // skips it — pairs unchanged, index row count unchanged
+      loop(Seq((101L, a)).toDF("doc_id", "text"), 0L)
+      assert(pairsOf(0L) === Set((1L, 101L)))
+      assert(spark.read.parquet(idx).count() == idxRows)
+      // a NEW batch after the replay still sees everything ingested so far
+      loop(Seq((301L, a)).toDF("doc_id", "text"), 2L)
+      assert(pairsOf(2L) === Set((1L, 301L), (101L, 301L), (201L, 301L)))
     }
   }
 
