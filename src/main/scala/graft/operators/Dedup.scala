@@ -392,6 +392,31 @@ object Dedup {
       )
   }
 
+  /** End-to-end near-dup clustering over 64-bit SKETCHES — the
+    * [[dedupClusters]] shape for the perceptual family (image dHash, audio
+    * energy hash, SimHash): [[hammingBandPairs]] edges → connected
+    * components → (id, cluster_id, cluster_size). A re-encode chain (the
+    * original, its resize, the resize's re-encode…) that pairs only
+    * link-by-link still resolves to ONE canonical cluster, which is what a
+    * keep-policy needs — pairs alone under-count duplicates whenever
+    * near-dup relations chain. Assets with no near-dup are singleton
+    * clusters of themselves; size window partitions by cluster_id.
+    */
+  def hammingClusters(
+      sketches: DataFrame,
+      idCol: String,
+      bitsCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val pairs = hammingBandPairs(sketches, idCol, bitsCol, maxHamming).select("id1", "id2")
+    val cc = connectedComponents(pairs, sketches.select(col(idCol)))
+    cc.select(col("id").as(idCol), col("comp").as("cluster_id"))
+      .withColumn(
+        "cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id")))
+      )
+  }
+
   /** Chunk-level ("line-level") exact dedup — the corpus-wide boilerplate
     * remover every web-scale curation pipeline runs (headers, footers, cookie
     * banners repeated across millions of pages). The classic formulation

@@ -268,6 +268,58 @@ object MultimodalQueries {
         Multimodal.imageDHashes(batch), "media_id", "dhash", dir, maxHamming = 6)
     },
 
+    // E264 perceptual cluster resolution: the mm_dhash_pairs universe
+    // (corpus images ∪ their factor-2 resizes) through connected components
+    // to one canonical cluster per asset — near-dup relations CHAIN (the
+    // original pairs with its resize, the resize with its own re-encode),
+    // so a keep-policy needs components, not pairs. Same iterative
+    // min-label propagation as dedup_clusters; the twin computes the same
+    // fixpoint as a recursive transitive-closure CTE over the banded-
+    // Hamming edges.
+    QEntry.sql(
+      "mm_dhash_clusters", {
+        val dhOrig = dhashSqlWith(i => s"(($i * h) // 9)")
+        val dhResz = dhashSqlWith(i => s"(2 * (($i * (h // 2)) // 9))")
+        val ham =
+          """CAST(list_sum(list_transform(range(1, 65), i ->
+            |  CASE WHEN substr(x.dh, CAST(i AS INT), 1) != substr(y.dh, CAST(i AS INT), 1)
+            |       THEN 1 ELSE 0 END)) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH RECURSIVE t AS (SELECT doc_id, text, strlen(text) // 24 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |o AS (SELECT doc_id AS media_id, $dhOrig AS dh FROM t WHERE h >= 9),
+           |r AS (SELECT doc_id + 1000000 AS media_id, $dhResz AS dh
+           |      FROM t WHERE h // 2 >= 9),
+           |a AS (SELECT * FROM o UNION ALL SELECT * FROM r),
+           |bb AS (SELECT media_id, dh, bidx,
+           |         substr(dh, CAST(bidx * 16 + 1 AS INT), 16) AS bv
+           |       FROM (SELECT media_id, dh, unnest(range(0, 4)) AS bidx FROM a) z),
+           |pairs AS (SELECT DISTINCT id1, id2 FROM (
+           |  SELECT x.media_id AS id1, y.media_id AS id2, $ham AS hamming
+           |  FROM bb x JOIN bb y
+           |    ON x.bidx = y.bidx AND x.bv = y.bv AND x.media_id < y.media_id) p
+           |  WHERE hamming <= 6),
+           |edges AS (SELECT id1 AS s2, id2 AS d2 FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT media_id, media_id FROM a
+           |  UNION
+           |  SELECT e.s2, c.comp FROM edges e JOIN cc c ON e.d2 = c.id)
+           |SELECT id AS media_id, min(comp) AS cluster_id,
+           |       count(*) OVER (PARTITION BY min(comp)) AS cluster_size
+           |FROM cc GROUP BY id""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val images = Multimodal
+        .synthesizeMedia(documents(s, d))
+        .filter((r: Multimodal.MediaRecord) => r.modality == "image")
+      val resized = Multimodal
+        .resizeVertical(images, 2)
+        .map(r => r.copy(media_id = r.media_id + 1000000L))
+      Dedup.hammingClusters(
+        Multimodal.imageDHashes(images.union(resized)), "media_id", "dhash", maxHamming = 6)
+    },
+
     // E260 perceptual AUDIO near-dup (energy-gradient hash): every
     // synthesized 16-bit PCM WAV plus its POLARITY-INVERTED re-encode
     // (sample v → −v, re-ingested under a shifted id — every payload byte

@@ -163,6 +163,35 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(ds.toSeq == samples.indices.collect { case i if i % 2 == 0 => samples(i) }.toSeq)
   }
 
+  test("hammingClusters: a chained re-encode family resolves to one canonical cluster") {
+    import Multimodal.MediaCodecs
+    val s = spark
+    import s.implicits._
+    // chain: original (h=72) → resize/2 (h=36) → resize/2 again (h=18).
+    // All heights are multiples of 18, so EVERY adjacent pair is grid-
+    // aligned (Hamming 0) and the whole chain must land in one component.
+    val h = 72
+    val pix = Array.tabulate[Byte](8 * h * 3)(i => ((i * 2654435761L >> 7) & 0xff).toByte)
+    val img = MediaCodecs.encodePpm(pix, 8, h)
+    val half = MediaCodecs.resizePpmVertical(img, 2)
+    val quarter = MediaCodecs.resizePpmVertical(half, 2)
+    val pix2 = Array.tabulate[Byte](8 * h * 3)(i => ((i * 48271L >> 3) & 0xff).toByte)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", img),
+      Multimodal.MediaRecord(2L, "image", half),
+      Multimodal.MediaRecord(3L, "image", quarter),
+      Multimodal.MediaRecord(9L, "image", MediaCodecs.encodePpm(pix2, 8, h)) // unrelated
+    ).toDS()
+    val out = graft.operators.Dedup
+      .hammingClusters(Multimodal.imageDHashes(media), "media_id", "dhash", maxHamming = 6)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // the chain clusters under the min id with size 3; the stranger is a singleton
+    assert(out(1L) == ((1L, 3L)) && out(2L) == ((1L, 3L)) && out(3L) == ((1L, 3L)), out.toString)
+    assert(out(9L) == ((9L, 1L)))
+  }
+
   test("synthesizeMedia emits decodable containers whose stats match the source bytes") {
     val s = spark
     import s.implicits._
