@@ -320,6 +320,89 @@ object MultimodalQueries {
         Multimodal.imageDHashes(images.union(resized)), "media_id", "dhash", maxHamming = 6)
     },
 
+    // E266 media keep-policy: per perceptual cluster keep the HIGHEST-
+    // RESOLUTION member (tallest decoded raster; ties to min id) — the
+    // media analog of dedup_keep_policy's quality rule, and the decision
+    // min-id alone gets exactly backwards here (the resized re-encode has
+    // the smaller id space in a typical ingest, but the ORIGINAL is the
+    // asset worth keeping). One row per cluster with the kept asset, its
+    // height, and the cluster size; heights come off the decoded headers
+    // executor-side, the twin derives them as h / h//2 per branch.
+    QEntry.sql(
+      "mm_keep_best_res", {
+        val dhOrig = dhashSqlWith(i => s"(($i * h) // 9)")
+        val dhResz = dhashSqlWith(i => s"(2 * (($i * (h // 2)) // 9))")
+        val ham =
+          """CAST(list_sum(list_transform(range(1, 65), i ->
+            |  CASE WHEN substr(x.dh, CAST(i AS INT), 1) != substr(y.dh, CAST(i AS INT), 1)
+            |       THEN 1 ELSE 0 END)) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH RECURSIVE t AS (SELECT doc_id, text, strlen(text) // 24 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |o AS (SELECT doc_id AS media_id, CAST(h AS BIGINT) AS height, $dhOrig AS dh
+           |      FROM t WHERE h >= 9),
+           |r AS (SELECT doc_id + 1000000 AS media_id, CAST(h // 2 AS BIGINT) AS height,
+           |        $dhResz AS dh
+           |      FROM t WHERE h // 2 >= 9),
+           |a AS (SELECT * FROM o UNION ALL SELECT * FROM r),
+           |bb AS (SELECT media_id, dh, bidx,
+           |         substr(dh, CAST(bidx * 16 + 1 AS INT), 16) AS bv
+           |       FROM (SELECT media_id, dh, unnest(range(0, 4)) AS bidx FROM a) z),
+           |pairs AS (SELECT DISTINCT id1, id2 FROM (
+           |  SELECT x.media_id AS id1, y.media_id AS id2, $ham AS hamming
+           |  FROM bb x JOIN bb y
+           |    ON x.bidx = y.bidx AND x.bv = y.bv AND x.media_id < y.media_id) p
+           |  WHERE hamming <= 6),
+           |edges AS (SELECT id1 AS s2, id2 AS d2 FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT media_id, media_id FROM a
+           |  UNION
+           |  SELECT e.s2, c.comp FROM edges e JOIN cc c ON e.d2 = c.id)
+           |SELECT cluster_id, media_id AS keep_id, height AS keep_height, cluster_size
+           |FROM (
+           |  SELECT cl.cluster_id, a.media_id, a.height,
+           |    count(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size,
+           |    row_number() OVER (PARTITION BY cl.cluster_id
+           |      ORDER BY a.height DESC, a.media_id) AS rn
+           |  FROM (SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id) cl
+           |  JOIN a ON a.media_id = cl.id) w
+           |WHERE rn = 1""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val images = Multimodal
+        .synthesizeMedia(documents(s, d))
+        .filter((r: Multimodal.MediaRecord) => r.modality == "image")
+      val resized = Multimodal
+        .resizeVertical(images, 2)
+        .map(r => r.copy(media_id = r.media_id + 1000000L))
+      val all = images.union(resized)
+      val clusters = Dedup.hammingClusters(
+        Multimodal.imageDHashes(all), "media_id", "dhash", maxHamming = 6)
+      val heights = all
+        .flatMap { r =>
+          val b = r.payload
+          if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+            val (_, h, _) = Multimodal.MediaCodecs.ppmHeader(r.media_id, b)
+            if (h >= 9) Some((r.media_id, h.toLong)) else None
+          } else None
+        }
+        .toDF("media_id", "height")
+      clusters
+        .join(heights, "media_id")
+        .groupBy(col("cluster_id"))
+        .agg(
+          min(struct((-col("height")).as("nh"), col("media_id").as("mid"))).as("b"),
+          count(lit(1)).as("cluster_size")
+        )
+        .select(
+          col("cluster_id"),
+          col("b.mid").as("keep_id"),
+          (-col("b.nh")).cast("long").as("keep_height"),
+          col("cluster_size")
+        )
+    },
+
     // E260 perceptual AUDIO near-dup (energy-gradient hash): every
     // synthesized 16-bit PCM WAV plus its POLARITY-INVERTED re-encode
     // (sample v → −v, re-ingested under a shifted id — every payload byte

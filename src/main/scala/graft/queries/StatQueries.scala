@@ -1666,6 +1666,41 @@ object StatQueries {
       import s.implicits._
       Seq((n, q(25), q(50), q(75), q(99)))
         .toDF("n_rows", "p25_cents", "p50_cents", "p75_cents", "p99_cents")
+    },
+
+    // E265 exact order statistics on a WIDE-domain column — the adaptive
+    // refinement path the money-like entries never exercise: a signed
+    // md5-derived value spanning ±2^60 (the hash/id-column shape), where a
+    // fixed value>>16 histogram would be 2^45 buckets. The range-derived
+    // coarse shift + per-bucket recursion keeps every driver payload under
+    // the 2^16 config bound while still answering exactly; the twin ranks
+    // with a window over the identically-derived values. (Portable value:
+    // 15 md5 hex chars → [0, 2^60), sign from the 16th nibble's parity —
+    // both engines reproduce it bit-for-bit.)
+    QEntry.sql(
+      "q_kth_wide_domain",
+      """WITH c AS (SELECT CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 16, 1)
+        |      AS BIGINT) % 2 = 1
+        |    THEN -CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+        |    ELSE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+        |    END AS v FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM c),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+        |SELECT n.n_rows,
+        |  (SELECT v FROM o WHERE rn = (25 * n.n_rows + 99) // 100) AS p25_v,
+        |  (SELECT v FROM o WHERE rn = (50 * n.n_rows + 99) // 100) AS p50_v,
+        |  (SELECT v FROM o WHERE rn = (99 * n.n_rows + 99) // 100) AS p99_v
+        |FROM n"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val sign = conv(substring(md5(col("o_orderkey").cast("string")), 16, 1), 16, 10)
+        .cast("long") % 2
+      val v = orders(s, d).select(when(sign === 1, -base).otherwise(base).as("v"))
+      val (n, q) = Selection.quantiles(v, "v", Seq(25, 50, 99))
+      import s.implicits._
+      Seq((n, q(25), q(50), q(99))).toDF("n_rows", "p25_v", "p50_v", "p99_v")
     }
   )
 }

@@ -192,6 +192,32 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out(9L) == ((9L, 1L)))
   }
 
+  test("keep-best-resolution policy keeps the tallest cluster member, not the min id") {
+    import Multimodal.MediaCodecs
+    val s = spark
+    import s.implicits._
+    val h = 36
+    val pix = Array.tabulate[Byte](8 * h * 3)(i => ((i * 2654435761L >> 7) & 0xff).toByte)
+    val img = MediaCodecs.encodePpm(pix, 8, h)
+    // the RESIZE carries the SMALLER id — min-id would keep the degraded copy
+    val media = Seq(
+      Multimodal.MediaRecord(10L, "image", img),
+      Multimodal.MediaRecord(5L, "image", MediaCodecs.resizePpmVertical(img, 2))
+    ).toDS()
+    val clusters = graft.operators.Dedup
+      .hammingClusters(Multimodal.imageDHashes(media), "media_id", "dhash", maxHamming = 6)
+    val heights = media.map { r =>
+      (r.media_id, Multimodal.MediaCodecs.ppmHeader(r.media_id, r.payload)._2.toLong)
+    }.toDF("media_id", "height")
+    val kept = clusters
+      .join(heights, "media_id")
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("height")).as("nh"), col("media_id").as("mid"))).as("b"))
+      .select(col("b.mid"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L), kept.toString) // the original survives, 36 > 18
+  }
+
   test("synthesizeMedia emits decodable containers whose stats match the source bytes") {
     val s = spark
     import s.implicits._
