@@ -1164,7 +1164,8 @@ object Dedup {
       path: String,
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
-      fast: Boolean = false
+      fast: Boolean = false,
+      maxBandDf: Long = Long.MaxValue
   ): DataFrame = {
     val nBands = numPerm / rowsPerBand
     // one row per doc per band after the signature aggregate; checkpointed
@@ -1180,8 +1181,29 @@ object Dedup {
       .parquet(path)
       .select(col("id").as("nid"), col("band"))
     val allBands = indexed.unionByName(batchBands.select(col("bid").as("nid"), col("band")))
+    // Hot-band cap — the skew guard for boilerplate-saturated corpora: a
+    // band key shared by d documents fans the join out d ways PER BATCH
+    // MEMBER carrying it, so one million-document boilerplate band turns a
+    // daily ingest into a million-row-per-doc candidate storm. Bands with
+    // df > maxBandDf are dropped BEFORE the join (one band-keyed partial
+    // agg over index ∪ batch; the hot set is a handful of keys, broadcast
+    // into an anti-join). Recall loss is bounded and biased the right way:
+    // a pair is missed only if EVERY band the two docs share is corpus-hot
+    // — with b independent bands, near-dups whose overlap is genuine (not
+    // boilerplate) virtually always share a non-hot band. Default ∞ = off
+    // (exact banding semantics, the oracle path).
+    val joinable =
+      if (maxBandDf == Long.MaxValue) allBands
+      else {
+        val hot = allBands
+          .groupBy("band")
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxBandDf)
+          .select("band")
+        allBands.join(broadcast(hot), Seq("band"), "left_anti")
+      }
     broadcast(batchBands)
-      .join(allBands, "band")
+      .join(joinable, "band")
       .filter(col("bid") =!= col("nid"))
       .select(
         least(col("bid"), col("nid")).as("id1"),

@@ -864,6 +864,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("maxBandDf hot-band cap bounds boilerplate fan-out, keeps genuinely-near pairs") {
+    val s = spark
+    import s.implicits._
+    // 40 corpus docs of IDENTICAL boilerplate: every band is shared by all
+    // 40 — the candidate storm shape. Two docs of distinct prose form a
+    // genuine near-dup pair with an incoming batch copy.
+    val boiler = Array.fill(30)("terms of service apply all rights reserved").mkString(" ")
+    val real = Array.fill(30)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val corpus = ((1L to 40L).map(i => (i, boiler)) :+ (50L, real)).toDF("doc_id", "text")
+    val batch = Seq((101L, boiler), (102L, real + " tail")).toDF("doc_id", "text")
+    withTempDir { dir =>
+      graft.operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      // uncapped: the boilerplate batch doc pairs with all 40 copies
+      val open = graft.operators.Dedup
+        .incrementalNearDupPairs(batch, "doc_id", "text", s"$dir/idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(open.count(_._2 == 101L) == 40)
+      assert(open.contains((50L, 102L)))
+      // capped at df 10: the 41-doc-hot boilerplate bands are dropped —
+      // no candidate storm — while the genuine pair's low-df bands survive
+      val capped = graft.operators.Dedup
+        .incrementalNearDupPairs(batch, "doc_id", "text", s"$dir/idx", maxBandDf = 10L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!capped.exists(p => p._1 == 101L || p._2 == 101L), capped.toString)
+      assert(capped === Set((50L, 102L)), capped.toString)
+    }
+  }
+
   test("nearDupIngestLoop: cross-batch pairs accumulate, index grows, replay is a no-op") {
     val s = spark
     import s.implicits._
