@@ -836,6 +836,68 @@ object Dedup {
       )
   }
 
+  /** Multi-signal dedup SCORECARD — the decision table a keep/drop policy
+    * layer reads instead of any single similarity score: for every blocked
+    * candidate pair ([[ngramJaccardPairs]]' shingle-sharing pairs within
+    * `blockCols`), all four families' verdicts side by side — exact
+    * (content digests equal), set (exact shingle Jaccard), sketch
+    * (MinHash signature agreement out of `numPerm`), and bitwise
+    * (SimHash Hamming distance). Signals DISAGREE in instructive ways
+    * (a doc plus its quote superset: Jaccard low, containment-style
+    * signals high, exact 0; boilerplate twins: SimHash near 0 while
+    * Jaccard middling), and the matrix is what makes the disagreement
+    * auditable per pair.
+    *
+    * Cost shape: each doc's three sketch families compute ONCE into one
+    * feature row (digest + 8 minhash slices + 4 simhash band ints — a few
+    * dozen bytes), checkpointed, and joined twice by id onto the candidate
+    * list; every per-pair signal is then a codegen'd scalar expression.
+    * Nothing pairwise ever touches text.
+    */
+  def signalMatrix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2
+  ): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, blockCols)
+    val sigs = minhashSignatures(df, idCol, textCol, numPerm, rowsPerBand)
+      .select(col(idCol) +: (0 until numPerm).map(j => col(s"m$j")): _*)
+    val shb = simhash(df, idCol, textCol).select(
+      col(idCol) +: (0 until 4).map(b =>
+        conv(substring(col("simhash"), b * 16 + 1, 16), 2, 10).cast("long").as(s"sh$b")
+      ): _*
+    )
+    val feats = df
+      .select(col(idCol), md5(col(textCol)).as("xh"))
+      .join(sigs, Seq(idCol))
+      .join(shb, Seq(idCol))
+      .localCheckpoint() // three sketch pipelines run once, not once per side
+    def side(as: String, p: String) = feats.select(
+      col(idCol).as(as) +: (Seq("xh") ++ (0 until numPerm).map(j => s"m$j") ++
+        (0 until 4).map(b => s"sh$b")).map(c => col(c).as(s"$p$c")): _*
+    )
+    val mhMatches = (0 until numPerm)
+      .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val shHamming = (0 until 4)
+      .map(b => bit_count(col(s"a_sh$b").bitwiseXOR(col(s"b_sh$b"))))
+      .reduce(_ + _)
+    pairs
+      .join(side("id1", "a_"), "id1")
+      .join(side("id2", "b_"), "id2")
+      .select(
+        col("id1"),
+        col("id2"),
+        col("jaccard"),
+        when(col("a_xh") === col("b_xh"), 1L).otherwise(0L).as("exact_dup"),
+        mhMatches.cast("bigint").as("mh_perms"),
+        shHamming.cast("bigint").as("sh_hamming")
+      )
+  }
+
   /** Asymmetric shingle containment over the same blocked candidate pairs
     * as [[ngramJaccardPairs]]: C(A→B) = |S_A ∩ S_B| / |S_A| — near 1 when A
     * is (close to) a subset of B, which symmetric Jaccard dilutes whenever

@@ -357,6 +357,56 @@ object PipelineQueries {
          |WHERE hamming <= 8""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 8) },
 
+    // E267 multi-signal dedup scorecard: every (lang, source)-blocked
+    // candidate pair with all four signal families side by side — exact
+    // digest equality, exact shingle Jaccard, MinHash signature agreement,
+    // SimHash Hamming — the decision table a keep/drop policy reads
+    // instead of any single score. Per-doc sketches compute once into one
+    // feature row; per-pair signals are scalar expressions. The twin
+    // composes the already-oracled fragment generators for all four
+    // families into one feature CTE.
+    QEntry.sql(
+      "dedup_signal_matrix", {
+        val ms = (0 until 8).map(j => s"${minhashSql(j)} AS m$j").mkString(", ")
+        val mhMatches =
+          (0 until 8).map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH cand AS (
+           |  SELECT id1, id2, jaccard FROM (
+           |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           |      round(CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE) /
+           |            (len(a.sh2) + len(b.sh2) - len(list_intersect(a.sh2, b.sh2))), 4)
+           |        AS jaccard,
+           |      len(list_intersect(a.sh2, b.sh2)) AS common
+           |    FROM (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh2
+           |          FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) a
+           |    JOIN (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh2
+           |          FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
+           |  WHERE common >= 1),
+           |ft AS (
+           |  SELECT doc_id, xh, m0, m1, m2, m3, m4, m5, m6, m7, simhash FROM (
+           |    SELECT doc_id, md5(text) AS xh, $ms,
+           |      array_to_string(list_transform(range(0, 64), j ->
+           |        CASE WHEN 2 * list_sum(list_transform(words, t2 ->
+           |               ((strpos('0123456789abcdef',
+           |                        substr(md5(t2), CAST(j // 4 AS INT) + 1, 1)) - 1)
+           |                // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2))
+           |             >= len(words) THEN '1' ELSE '0' END), '') AS simhash
+           |    FROM (SELECT doc_id, text, words, $shinglesSql AS sh
+           |          FROM (SELECT doc_id, text, $wordsSql AS words FROM documents) w) s) z)
+           |SELECT c.id1, c.id2, c.jaccard,
+           |  CAST(CASE WHEN a.xh = b.xh THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+           |  CAST($mhMatches AS BIGINT) AS mh_perms,
+           |  CAST(len(list_filter(range(1, 65), i ->
+           |    substr(a.simhash, CAST(i AS INT), 1) != substr(b.simhash, CAST(i AS INT), 1)))
+           |    AS BIGINT) AS sh_hamming
+           |FROM cand c JOIN ft a ON c.id1 = a.doc_id JOIN ft b ON c.id2 = b.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Dedup.signalMatrix(documents(s, d), "doc_id", "text", Seq("lang", "source"))
+    },
+
     // Exact n-gram Jaccard within (lang, source) candidate blocks; only pairs
     // sharing ≥1 shingle appear (jaccard > 0), matching the join formulation.
     QEntry.sql(

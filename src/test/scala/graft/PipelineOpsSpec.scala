@@ -864,6 +864,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("signalMatrix: the four families agree on exact dups and disagree on subsets") {
+    val s = spark
+    import s.implicits._
+    val a = Array.fill(30)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val big = a + " " + Array.fill(60)("one two three four five six").mkString(" ")
+    val df = Seq(
+      (1L, a), (2L, a),      // exact duplicates
+      (3L, big)              // superset containing doc 1's text
+    ).toDF("doc_id", "text").withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val out = graft.operators.Dedup
+      .signalMatrix(df, "doc_id", "text", Seq("lang", "source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // exact pair: every family maxes out
+    val (j12, x12, mh12, sh12) = out((1L, 2L))
+    assert(x12 == 1L && j12 == 1.0 && mh12 == 8L && sh12 == 0L)
+    // subset pair: exact 0, Jaccard diluted by the superset's extra mass —
+    // the disagreement the matrix exists to surface
+    val (j13, x13, _, _) = out((1L, 3L))
+    assert(x13 == 0L && j13 < 0.5, s"j13=$j13")
+    assert(out.contains((2L, 3L)))
+  }
+
   test("maxBandDf hot-band cap bounds boilerplate fan-out, keeps genuinely-near pairs") {
     val s = spark
     import s.implicits._
