@@ -607,6 +607,81 @@ object Dedup {
       )
   }
 
+  /** Persist the corpus's DISTINCT k-token span digests — the state that
+    * makes exact-substring duplication measurement ([[spanDuplication]])
+    * incremental: a new batch's spans probe this set instead of re-hashing
+    * corpus text. One 32-hex row per distinct span, 16-way hash-prefix
+    * partitioned (same layout rationale as [[buildMinhashIndex]]); append
+    * an accepted batch's digests the same way (distinct rows, so replay
+    * duplicates are harmless to the membership semantics).
+    */
+  def buildSpanIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 8
+  ): Unit =
+    spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .select(explode_outer(shinglesFromWords(col("_ws"), k)).as("_sp"))
+      .filter(col("_sp").isNotNull)
+      .select(md5(col("_sp")).as("h"))
+      .distinct()
+      .withColumn("h_pfx", pmod(xxhash64(col("h")), lit(16)))
+      .write
+      .mode("overwrite")
+      .partitionBy("h_pfx")
+      .parquet(path)
+
+  /** [[spanDuplication]] for a NEW batch against a [[buildSpanIndex]]
+    * corpus: a batch span position counts as duplicated when its digest
+    * exists in the persisted corpus set OR in ≥ 2 distinct batch documents
+    * — exactly the monolithic measure over corpus ∪ batch restricted to
+    * batch rows, without touching corpus text (the batch's own spans are
+    * the only text pass). Probe = one digest-keyed semi-join against the
+    * index; per-doc shares exact integer ppm with the same −1 empty-doc
+    * sentinel as the monolithic op.
+    */
+  def incrementalSpanDuplication(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 8
+  ): DataFrame = {
+    val spans = spread(batch.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .select(col(idCol), explode_outer(shinglesFromWords(col("_ws"), k)).as("_sp"))
+      .select(col(idCol), md5(col("_sp")).as("_h"))
+      .localCheckpoint() // membership + per-doc agg both consume it
+    val idx = batch.sparkSession.read.parquet(path).select(col("h").as("_h"))
+    val batchDup = spans
+      .filter(col("_h").isNotNull)
+      .distinct()
+      .groupBy("_h")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2)
+      .select("_h")
+    val dup = idx.unionByName(batchDup).distinct().select(col("_h"), lit(1L).as("_isdup"))
+    spans
+      .join(dup, Seq("_h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(col("_h")).as("n_spans"),
+        count(col("_isdup")).as("n_dup")
+      )
+      .select(
+        col(idCol),
+        col("n_spans"),
+        col("n_dup"),
+        when(col("n_spans") === 0L, lit(-1L))
+          .otherwise(expr("n_dup * 1000000L div n_spans"))
+          .cast("long")
+          .as("dup_ppm")
+      )
+  }
+
   /** Exact-substring dedup as a REWRITE — the mitigation step behind
     * [[spanDuplication]]'s measurement (Lee et al. 2022 remove duplicated
     * substrings from the corpus rather than dropping whole documents):

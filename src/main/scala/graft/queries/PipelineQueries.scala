@@ -493,6 +493,61 @@ object PipelineQueries {
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Dedup.spanDuplication(documents(s, d), "doc_id", "text", k = 8) },
 
+    // E268 INCREMENTAL exact-substring duplication — the persisted-index
+    // family's fourth member (exact hash E88, MinHash E257, Hamming E261,
+    // cosine E262): the corpus's distinct 8-token span digests persist
+    // once, and a synthetic batch — every (doc_id % 10 = 7) doc re-sent
+    // verbatim (all spans duplicated) plus every (doc_id % 10 = 3) doc
+    // REVERSED (novel spans) — probes them with one digest semi-join, its
+    // only text pass over itself. The twin replays membership over
+    // corpus ∪ batch restricted to batch rows.
+    QEntry.sql(
+      "dedup_incremental_spans", {
+        val spanList =
+          """list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+            |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+            |    || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6]
+            |    || ' ' || words[i+7])""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH csp AS (SELECT DISTINCT md5(s) AS h FROM (
+           |  SELECT unnest($spanList) AS s
+           |  FROM (SELECT $wordsSql AS words FROM documents) w) t),
+           |bdocs AS (
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 7
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text
+           |  FROM documents WHERE doc_id % 10 = 3),
+           |bw AS (SELECT doc_id, $wordsSql AS words FROM bdocs),
+           |bsp AS (SELECT doc_id, md5(s) AS h FROM (
+           |  SELECT doc_id, unnest($spanList) AS s FROM bw) t),
+           |bdup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c
+           |                        FROM bsp GROUP BY h) t WHERE c >= 2),
+           |dup AS (SELECT h FROM csp UNION SELECT h FROM bdup),
+           |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |    CAST(count(*) FILTER (h IN (SELECT h FROM dup)) AS BIGINT) AS n_dup
+           |  FROM bsp GROUP BY doc_id)
+           |SELECT bw.doc_id, COALESCE(tot.n_spans, 0) AS n_spans,
+           |  COALESCE(tot.n_dup, 0) AS n_dup,
+           |  CAST(CASE WHEN COALESCE(tot.n_spans, 0) = 0 THEN -1
+           |       ELSE COALESCE(tot.n_dup, 0) * 1000000 // tot.n_spans END AS BIGINT)
+           |    AS dup_ppm
+           |FROM bw LEFT JOIN tot USING (doc_id)"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-spidx").resolve("idx").toString
+      Dedup.buildSpanIndex(docs, "doc_id", "text", dir)
+      val batch = docs
+        .filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(
+          docs
+            .filter(col("doc_id") % 10 === 3)
+            .select((col("doc_id") + 2000000L).as("doc_id"), reverse(col("text")).as("text")))
+      Dedup.incrementalSpanDuplication(batch, "doc_id", "text", dir)
+    },
+
     // E259 exact-substring dedup as a REWRITE — the mitigation behind
     // dedup_exact_substring's measurement: tokens covered by any 8-token
     // span appearing in ≥ 2 docs are cut from every NON-owner doc

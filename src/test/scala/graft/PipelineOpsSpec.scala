@@ -864,6 +864,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental span duplication ≡ monolithic spanDuplication restricted to batch rows") {
+    val s = spark
+    import s.implicits._
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val corpus = Seq((1L, eight), (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, eight),                      // span lives in the corpus → dup
+      (102L, "n1 n2 n3 n4 n5 n6 n7 n8"),  // batch-internal dup with 103
+      (103L, "n1 n2 n3 n4 n5 n6 n7 n8"),
+      (104L, "z1 z2 z3 z4 z5 z6 z7 z8"),  // novel
+      (105L, "too short")                 // < 8 tokens → sentinel
+    ).toDF("doc_id", "text")
+    withTempDir { dir =>
+      graft.operators.Dedup.buildSpanIndex(corpus, "doc_id", "text", s"$dir/idx")
+      val inc = graft.operators.Dedup
+        .incrementalSpanDuplication(batch, "doc_id", "text", s"$dir/idx")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val mono = graft.operators.Dedup
+        .spanDuplication(corpus.unionByName(batch), "doc_id", "text")
+        .filter(col("doc_id") > 100L)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(inc === mono, s"inc=$inc mono=$mono")
+      assert(inc(101L) == ((1L, 1L, 1000000L)))
+      assert(inc(102L) == ((1L, 1L, 1000000L)) && inc(103L) == ((1L, 1L, 1000000L)))
+      assert(inc(104L) == ((1L, 0L, 0L)))
+      assert(inc(105L) == ((0L, 0L, -1L)))
+    }
+  }
+
   test("signalMatrix: the four families agree on exact dups and disagree on subsets") {
     val s = spark
     import s.implicits._
