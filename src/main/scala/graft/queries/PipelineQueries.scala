@@ -224,6 +224,63 @@ object PipelineQueries {
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => resolvedClusters(s, d) },
 
+    // E269 post-dedup mixture report: per source, document share BEFORE
+    // dedup vs AFTER a min-id keep policy over the resolved near-dup
+    // clusters — the rebalancing check a mixture-weighted sampler must run
+    // after any dedup pass (duplicates concentrate in scraped sources, so
+    // dedup silently shifts the mix the weights were tuned against).
+    // Composes the SAME memoized cluster fixpoint as dedup_clusters; all
+    // shares exact integer ppm.
+    QEntry.sql(
+      "dedup_post_mix",
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |cc(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id),
+         |docs2 AS (SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id),
+         |keep AS (SELECT cluster_id, min(id) AS kid FROM docs2 GROUP BY cluster_id),
+         |j AS (SELECT d.source,
+         |        CASE WHEN k.kid = docs2.id THEN 1 ELSE 0 END AS kept
+         |      FROM docs2
+         |      JOIN keep k ON docs2.cluster_id = k.cluster_id
+         |      JOIN documents d ON d.doc_id = docs2.id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(count(*) * 1000000 // (SELECT count(*) FROM documents) AS BIGINT)
+         |    AS share_before_ppm,
+         |  CAST(sum(kept) * 1000000 // (SELECT count(*) FROM keep) AS BIGINT)
+         |    AS share_after_ppm
+         |FROM j GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val clusters = resolvedClusters(s, d) // (doc_id, cluster_id, cluster_size)
+      val keepers = clusters
+        .groupBy(col("cluster_id"))
+        .agg(min(col("doc_id")).as("kid"))
+      val nKeep = keepers.count()
+      val nDocs = docs.count()
+      clusters
+        .join(keepers, "cluster_id")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(
+          col("source"),
+          when(col("doc_id") === col("kid"), 1L).otherwise(0L).as("kept")
+        )
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").cast("long").as("n_kept"))
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("n_kept"),
+          expr(s"n_docs * 1000000L div ${nDocs}L").cast("long").as("share_before_ppm"),
+          expr(s"n_kept * 1000000L div ${nKeep}L").cast("long").as("share_after_ppm")
+        )
+    },
+
     // Cluster-size distribution — the dedup observability rollup (how much
     // mass sits in near-dup clusters vs singletons) read before choosing a
     // keep policy. Composes the cluster resolution with a two-level count.
