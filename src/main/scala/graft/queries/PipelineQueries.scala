@@ -359,6 +359,57 @@ object PipelineQueries {
         )
     },
 
+    // E270 end-to-end disposition audit — the per-document verdict of the
+    // composed curation pipeline (dedup first, then quality gate): 'dup'
+    // when another cluster member won the quality keep-policy,
+    // 'low_quality' when the doc survived dedup but scores under the gate,
+    // 'kept' otherwise. The audit row per INPUT doc — not just the
+    // survivors — is what makes a pipeline run explainable ("why did doc X
+    // disappear?") and is the lineage a compliance review asks for.
+    // Composes the memoized cluster fixpoint + the shared quality score;
+    // the twin chains the two already-oracled stage replays and a CASE.
+    QEntry.sql(
+      "pipe_disposition", {
+        val qualSql = TextQueries.qualityExprSql
+        s"""WITH RECURSIVE pairs AS ($pairsSql),
+           |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id),
+           |docs2 AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id),
+           |q AS (SELECT doc_id, $qualSql AS quality FROM documents),
+           |ranked AS (SELECT d.doc_id, d.cluster_id, q.quality,
+           |    row_number() OVER (PARTITION BY d.cluster_id
+           |      ORDER BY q.quality DESC, d.doc_id) AS rn
+           |  FROM docs2 d JOIN q ON d.doc_id = q.doc_id)
+           |SELECT doc_id, quality,
+           |  CASE WHEN rn > 1 THEN 'dup'
+           |       WHEN quality < 0.6 THEN 'low_quality'
+           |       ELSE 'kept' END AS disposition
+           |FROM ranked""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val cl = resolvedClusters(s, d).select("doc_id", "cluster_id")
+      val q = docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      val rnW = Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      cl.join(q, "doc_id")
+        .withColumn("_rn", row_number().over(rnW))
+        .select(
+          col("doc_id"),
+          col("quality"),
+          when(col("_rn") > 1, "dup")
+            .when(col("quality") < 0.6, "low_quality")
+            .otherwise("kept")
+            .as("disposition")
+        )
+    },
+
     // Precision stage over the LSH candidates: exact normalized Levenshtein
     // on candidate pairs only (both engines implement the classic DP edit
     // distance; the normalizer is one exact division — no rounding needed).
