@@ -1180,6 +1180,33 @@ object Dedup {
       .parquet(path)
   }
 
+  /** Delete documents from a [[buildMinhashIndex]] index — the
+    * right-to-be-forgotten flow: after this, [[incrementalNearDupPairs]]
+    * can no longer pair anything against the deleted ids, which is the
+    * auditable property a takedown needs (matching FUTURE ingests against
+    * deleted content would re-disclose it). Rewrites the surviving rows in
+    * place: the survivor frame is materialized (localCheckpoint) BEFORE
+    * the overwrite because Spark reads lazily — overwriting the path under
+    * an un-materialized self-read is the classic self-overwrite
+    * corruption. Cost is one index rewrite; when deletions are
+    * ingest-scoped, filter the read to the affected `ingest_id` partitions
+    * first and the rewrite touches only those.
+    */
+  def deleteFromMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame,
+      path: String
+  ): Unit = {
+    val survivors = spark.read
+      .parquet(path)
+      .join(ids.toDF("id"), Seq("id"), "left_anti")
+      .localCheckpoint()
+    survivors.write
+      .mode("overwrite")
+      .partitionBy("ingest_id", "band_pfx")
+      .parquet(path)
+  }
+
   private def minhashBandRows(
       df: DataFrame,
       idCol: String,

@@ -1251,6 +1251,39 @@ object PipelineQueries {
       Dedup.incrementalNearDupPairs(batch, "doc_id", "text", dir)
     },
 
+    // E271 right-to-be-forgotten flow: build the band index, DELETE every
+    // (doc_id % 4 = 1) document from it, then ingest a batch re-sending all
+    // odd docs — the batch pairs ONLY with the surviving (% 4 = 3)
+    // originals, proving the deleted content can no longer be matched
+    // against (re-pairing future ingests with taken-down content would
+    // re-disclose it). The twin replays sign → band → join over the
+    // POST-DELETION corpus ∪ batch.
+    QEntry.sql(
+      "dedup_forget_flow", {
+        val corpusBands = bandsSqlOver("(SELECT doc_id, text FROM documents WHERE doc_id % 4 != 1)")
+        val batchBands = bandsSqlOver(
+          "(SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 2 = 1)")
+        s"""WITH cb AS ($corpusBands),
+           |bb AS ($batchBands),
+           |ab AS (SELECT * FROM cb UNION ALL SELECT * FROM bb)
+           |SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+           |  greatest(a.doc_id, b.doc_id) AS id2
+           |FROM bb a JOIN ab b ON a.band = b.band AND a.doc_id != b.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-forget").resolve("idx").toString
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", dir)
+      Dedup.deleteFromMinhashIndex(
+        s, docs.filter(col("doc_id") % 4 === 1).select(col("doc_id").as("id")), dir)
+      val batch = docs
+        .filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.incrementalNearDupPairs(batch, "doc_id", "text", dir)
+    },
+
     // Deterministic shard shuffle: reproducible pseudo-random training order
     // (shard = key-hash mod n, position = within-shard hash order).
     QEntry.sql(

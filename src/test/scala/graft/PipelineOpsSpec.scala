@@ -950,6 +950,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromMinhashIndex: forgotten docs vanish from disk and from future pairings") {
+    val s = spark
+    import s.implicits._
+    val a = Array.fill(25)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val b = Array.fill(25)("one two three four five six seven").mkString(" ")
+    withTempDir { dir =>
+      val idx = s"$dir/idx"
+      graft.operators.Dedup.buildMinhashIndex(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text", idx)
+      // before deletion: a batch copy of doc 1 pairs with it
+      val before = graft.operators.Dedup
+        .incrementalNearDupPairs(Seq((101L, a)).toDF("doc_id", "text"), "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before === Set((1L, 101L)))
+      // forget doc 1: its rows leave the on-disk index entirely…
+      graft.operators.Dedup.deleteFromMinhashIndex(spark, Seq(1L).toDF("id"), idx)
+      assert(spark.read.parquet(idx).filter(col("id") === 1L).count() == 0L)
+      assert(spark.read.parquet(idx).filter(col("id") === 2L).count() > 0L)
+      // …and the same batch can no longer be paired against it
+      val after = graft.operators.Dedup
+        .incrementalNearDupPairs(Seq((101L, a)).toDF("doc_id", "text"), "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after.isEmpty, after.toString)
+    }
+  }
+
   test("nearDupIngestLoop: cross-batch pairs accumulate, index grows, replay is a no-op") {
     val s = spark
     import s.implicits._
