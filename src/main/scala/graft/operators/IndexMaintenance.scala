@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row deletion for ANY of the persisted index families — the generic
+  * right-to-be-forgotten primitive behind
+  * [[Dedup.deleteFromMinhashIndex]]'s text-specific flow: read the index,
+  * anti-join the condemned ids, MATERIALIZE the survivors (localCheckpoint —
+  * overwriting a path that an un-materialized frame is still lazily reading
+  * is the classic self-overwrite corruption), and rewrite with the layout's
+  * own partitioning so directory structure and pruning behavior survive the
+  * deletion.
+  *
+  * Works unchanged on every index this library writes, because they all
+  * carry a plain id column:
+  *   - MinHash band index (`id`, partitioned ingest_id/band_pfx)
+  *   - Hamming sketch index (`id`, partitioned band_pfx)
+  *   - span-digest index has no ids (pure membership) — deletion there is
+  *     a rebuild decision, not a row filter, and deliberately unsupported
+  *   - LSH vector index (`neighbor_id`, partitioned bucket)
+  *   - PQ `codes` table (`neighbor_id`, unpartitioned; the codebook holds
+  *     no per-document data and needs no edit)
+  *
+  * Cost is one index rewrite (restrict the read to affected partitions
+  * first when deletions are partition-scoped). The guarantee a takedown
+  * needs — future queries/ingests can no longer match the deleted rows —
+  * follows because these indexes ARE the only per-document state the
+  * retrieval paths read.
+  */
+object IndexMaintenance {
+
+  def deleteRows(
+      spark: SparkSession,
+      ids: DataFrame,
+      path: String,
+      idColName: String,
+      partitionCols: Seq[String]
+  ): Unit = {
+    val survivors = spark.read
+      .parquet(path)
+      .join(ids.toDF(idColName), Seq(idColName), "left_anti")
+      .localCheckpoint()
+    val w = survivors.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+}

@@ -976,6 +976,44 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("IndexMaintenance.deleteRows forgets vectors from the LSH and PQ indexes too") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    withTempDir { dir =>
+      // LSH: after deleting vector 7, no query may return it; others still do
+      graft.operators.Similarity
+        .buildLshIndex(emb, "vec_id", "embedding", s"$dir/lsh", bits = 4, dim = 64)
+      val pre = graft.operators.Similarity
+        .lshTopKFromIndex(queries, "vec_id", "embedding", 10, s"$dir/lsh", bits = 4, dim = 64)
+        .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSet
+      val victim = (pre - 0L - 1L - 2L - 3L - 4L).head // some returned neighbor
+      graft.operators.IndexMaintenance.deleteRows(
+        spark, Seq(victim).toDF("neighbor_id"), s"$dir/lsh", "neighbor_id", Seq("bucket"))
+      val post = graft.operators.Similarity
+        .lshTopKFromIndex(queries, "vec_id", "embedding", 10, s"$dir/lsh", bits = 4, dim = 64)
+        .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(!post.contains(victim) && post.nonEmpty)
+      // layout survives: bucket partitioning still prunes at the directory level
+      val dirs = new java.io.File(s"$dir/lsh").listFiles.map(_.getName).filter(_.startsWith("bucket="))
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=b")))
+
+      // PQ: delete from the codes table; the deleted vector vanishes from top-k
+      graft.operators.Similarity.buildPqIndex(emb, "vec_id", "embedding", s"$dir/pq")
+      val preP = graft.operators.Similarity
+        .pqTopKFromIndex(queries, "vec_id", "embedding", 10, s"$dir/pq")
+        .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSet
+      val victimP = (preP -- (0L to 4L)).head
+      graft.operators.IndexMaintenance.deleteRows(
+        spark, Seq(victimP).toDF("neighbor_id"), s"$dir/pq/codes", "neighbor_id", Nil)
+      val postP = graft.operators.Similarity
+        .pqTopKFromIndex(queries, "vec_id", "embedding", 10, s"$dir/pq")
+        .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(!postP.contains(victimP) && postP.nonEmpty)
+    }
+  }
+
   test("nearDupIngestLoop: cross-batch pairs accumulate, index grows, replay is a no-op") {
     val s = spark
     import s.implicits._
