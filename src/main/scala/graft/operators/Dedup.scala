@@ -1207,6 +1207,173 @@ object Dedup {
       .parquet(path)
   }
 
+  /** Persist the cluster-resolution state (`id`, `cluster_id`) that
+    * [[incrementalClusters]] maintains — the third piece of persisted dedup
+    * state beside the band index and the span index. Partitioned 16 ways by
+    * a cluster-id hash prefix (bounded directory layout; co-locates each
+    * cluster's members for the relabel join). Rows are two longs, so even a
+    * 100 TB corpus's state is metadata-scale next to its text.
+    */
+  def writeClusterState(clusters: DataFrame, idCol: String, clusterCol: String, path: String): Unit =
+    clusters
+      .select(col(idCol).as("id"), col(clusterCol).as("cluster_id"))
+      .withColumn("cl_pfx", pmod(xxhash64(col("cluster_id")), lit(16)))
+      .write
+      .mode("overwrite")
+      .partitionBy("cl_pfx")
+      .parquet(path)
+
+  /** Incremental CLUSTER maintenance — the missing stage after
+    * [[incrementalNearDupPairs]]: that call finds a new batch's near-dup
+    * PAIRS in O(batch), but a keep-policy needs canonical cluster ids, and
+    * re-running [[dedupClusters]] over corpus ∪ batch would re-sign and
+    * re-cluster the whole corpus per ingest. This maintains the persisted
+    * assignment instead, with all per-ingest text work O(batch):
+    *
+    *  1. batch pairs come from the band index ([[incrementalNearDupPairs]] —
+    *     the only text pass, O(batch));
+    *  2. each pair endpoint is CONTRACTED to its current label (batch ids
+    *     label themselves; corpus ids map to their persisted `cluster_id` —
+    *     fetched with a broadcast semi-join, so the state table is scanned
+    *     once and never shuffled);
+    *  3. [[connectedComponents]] runs on the contracted graph — nodes are
+    *     batch ids plus the touched corpus cluster ids, a graph bounded by
+    *     the batch's candidate fan-out, not the corpus;
+    *  4. the fixpoint labels broadcast back: batch docs adopt their node's
+    *     component, corpus docs relabel only where their cluster id merged
+    *     (broadcast left join + coalesce — one more single state scan).
+    *
+    * Contracting a corpus component to its min-id label preserves both
+    * connectivity and the component minimum, so the result is EXACTLY
+    * `dedupClusters(corpus ∪ batch)`'s assignment (pinned in
+    * PipelineOpsSpec, including a chimera batch doc that bridges two
+    * existing clusters into one). Batch ids must be fresh — an id already
+    * in the state would alias an existing node.
+    *
+    * @return (id, cluster_id) for corpus ∪ batch — the next state; persist
+    *         with [[writeClusterState]] to complete the ingest. The rewrite
+    *         is corpus-sized but two-long rows; the expensive signing and
+    *         clustering stayed O(batch). Callers tracking only the delta can
+    *         subtract: rows whose label changed are batch rows plus members
+    *         of merged clusters.
+    */
+  def incrementalClusters(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      bandIndexPath: String,
+      clusterStatePath: String,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false,
+      maxBandDf: Long = Long.MaxValue
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    val pairs = incrementalNearDupPairs(
+      batch, idCol, textCol, bandIndexPath, numPerm, rowsPerBand, fast, maxBandDf
+    ).localCheckpoint() // endpoints, contraction, and CC all reuse the pair set
+    val state = spark.read.parquet(clusterStatePath).select(col("id"), col("cluster_id"))
+    // touched state rows only: endpoint ids are batch-bounded, so the big
+    // state table is reduced with one broadcast semi-join scan — no shuffle
+    val endpoints = pairs
+      .select(col("id1").as("id"))
+      .union(pairs.select(col("id2").as("id")))
+      .distinct()
+    val touched = state.join(broadcast(endpoints), Seq("id")).localCheckpoint()
+    val contracted = pairs
+      .join(broadcast(touched.select(col("id").as("id1"), col("cluster_id").as("_c1"))),
+        Seq("id1"), "left")
+      .join(broadcast(touched.select(col("id").as("id2"), col("cluster_id").as("_c2"))),
+        Seq("id2"), "left")
+      .select(
+        coalesce(col("_c1"), col("id1")).as("s"),
+        coalesce(col("_c2"), col("id2")).as("d")
+      )
+    val nodes = batch
+      .select(col(idCol).as("id"))
+      .union(touched.select(col("cluster_id").as("id")))
+      .distinct()
+    val cc = connectedComponents(contracted, nodes).localCheckpoint() // label-space fixpoint, tiny
+    val batchAssign = batch
+      .select(col(idCol).as("id"))
+      .join(broadcast(cc.toDF("nid", "comp")), col("id") === col("nid"))
+      .select(col("id"), col("comp").as("cluster_id"))
+    // corpus relabel: only merged cluster ids appear in the map, so the
+    // untouched corpus (virtually all of it) passes through the coalesce
+    val relabel = cc.toDF("cluster_id", "_newc").filter(col("cluster_id") =!= col("_newc"))
+    val corpusAssign = state
+      .join(broadcast(relabel), Seq("cluster_id"), "left")
+      .select(col("id"), coalesce(col("_newc"), col("cluster_id")).as("cluster_id"))
+    corpusAssign.unionByName(batchAssign)
+  }
+
+  /** Near-dup DECONTAMINATION against a persisted band index — benchmark
+    * leakage checking at the scale the exact 13-gram check
+    * (Curation.decontaminate) cannot run: the benchmark set is small
+    * (thousands of eval documents), the training corpus is 100 TB, so the
+    * right plan signs the BENCHMARK (the only text pass — O(bench)),
+    * broadcasts its band keys, and equi-joins them against the corpus's
+    * already-persisted band index. The corpus's text is never touched and
+    * the index is scanned once with no shuffle; only band-matched
+    * candidates reach the aggregate. Near-dup banding catches the
+    * paraphrased/reformatted benchmark copies an exact n-gram match misses.
+    *
+    * @return (id, n_bench_matches) — one row per CONTAMINATED corpus
+    *         document (band-matched by ≥1 benchmark doc), with the count of
+    *         distinct benchmark documents it matched. Anti-join the ids
+    *         against the corpus to drop them.
+    */
+  def decontaminateByIndex(
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      indexPath: String,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
+  ): DataFrame = {
+    val nBands = numPerm / rowsPerBand
+    val benchBands = minhashSignatures(bench, benchIdCol, benchTextCol, numPerm, rowsPerBand, fast)
+      .select(
+        col(benchIdCol).as("bench_id"),
+        explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("band")
+      )
+    val indexed = bench.sparkSession.read
+      .parquet(indexPath)
+      .select(col("id"), col("band"))
+    indexed
+      .join(broadcast(benchBands), "band")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_matches"))
+  }
+
+  /** Compact a [[buildMinhashIndex]] index after a run of
+    * [[appendMinhashIndex]] ingests: every accepted batch added its own
+    * `ingest_id=<k>` partition (the price of replay-idempotent appends), so
+    * a long-running ingest loop accumulates many small files and many
+    * directories — the classic streaming-sink small-file problem, here on
+    * the index itself. Rewrites all rows into the initial build's single
+    * `ingest_id=0` layout; band semantics are untouched, so pairing before
+    * ≡ after (pinned in PipelineOpsSpec along with the file-count drop).
+    * The survivor frame is materialized before the in-place overwrite
+    * (self-overwrite guard). Run between ingests; the next append starts a
+    * fresh ingest_id sequence.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val rows = spark.read
+      .parquet(path)
+      .select(col("id"), col("band"), col("band_pfx"))
+      .withColumn("ingest_id", lit(0L))
+      .localCheckpoint()
+    // one writer task per band_pfx dir — the whole point is fewer files
+    rows
+      .repartition(16, col("band_pfx"))
+      .write
+      .mode("overwrite")
+      .partitionBy("ingest_id", "band_pfx")
+      .parquet(path)
+  }
+
   private def minhashBandRows(
       df: DataFrame,
       idCol: String,

@@ -83,4 +83,38 @@ object IncrementalAgg {
         expr("st_sum div st_cnt").cast("long").as("avg_units")
       ): _*
     )
+
+  /** Incremental maintenance of an inner-JOIN view — the join-side member of
+    * the IVM family beside the per-key aggregate state above. For a
+    * maintained view V = R ⋈ S and insert-only deltas ΔR, ΔS, the delta of
+    * the view is the standard bag-algebra derivative
+    *
+    *   ΔV = (ΔR ⋈ S_old) ∪ (R_old ⋈ ΔS) ∪ (ΔR ⋈ ΔS)
+    *
+    * so the maintained view V_old ∪ ΔV ≡ (R_old ∪ ΔR) ⋈ (S_old ∪ ΔS)
+    * without ever re-running the full join — which is what keeps a daily
+    * orders-×-customers view over a 100 TB fact table O(delta) per run. The
+    * `pipe_delta_join` driver entry pins the identity by hash against a
+    * full-recompute oracle; key-overlap, delta-only-key, and no-duplicate
+    * cases are in IncrementalAggSpec.
+    *
+    * Scale shape: deltas are small next to history, so BOTH old-side joins
+    * broadcast the delta — two scans of the big tables with broadcast-hash
+    * builds, no history shuffle; the ΔR ⋈ ΔS term is delta-×-delta. Insert-
+    * only deltas only (the training-pipeline ingest case); deletions need
+    * signed multiplicities on top of the same derivative.
+    */
+  def deltaJoin(
+      rOld: DataFrame,
+      rDelta: DataFrame,
+      sOld: DataFrame,
+      sDelta: DataFrame,
+      keys: Seq[String]
+  ): DataFrame = {
+    require(keys.nonEmpty, "deltaJoin needs at least one join key")
+    rOld
+      .join(broadcast(sDelta), keys)
+      .unionByName(broadcast(rDelta).join(sOld, keys))
+      .unionByName(broadcast(rDelta).join(broadcast(sDelta), keys))
+  }
 }

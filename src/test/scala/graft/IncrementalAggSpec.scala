@@ -125,4 +125,33 @@ class IncrementalAggSpec extends SparkSpec {
       .toMap
     assert(fin == direct)
   }
+
+  test("deltaJoin: V_old ∪ ΔV equals the full join under two-sided inserts, no duplicates") {
+    val s = spark
+    import s.implicits._
+    // R side: (orderkey, custkey); order 5 references customer 40, which only
+    // arrives in the S delta — the R_old ⋈ ΔS term. Order 4 references
+    // customer 30, ALSO delta-side on S — the ΔR ⋈ ΔS corner.
+    val rOld = Seq((1L, 10L), (2L, 20L), (5L, 40L)).toDF("ok", "custkey")
+    val rDelta = Seq((3L, 20L), (4L, 30L)).toDF("ok", "custkey")
+    val sOld = Seq((10L, "A"), (20L, "B")).toDF("custkey", "seg")
+    val sDelta = Seq((30L, "C"), (40L, "D")).toDF("custkey", "seg")
+    val maintained = rOld
+      .join(sOld, "custkey")
+      .unionByName(IncrementalAgg.deltaJoin(rOld, rDelta, sOld, sDelta, Seq("custkey")))
+      .select("ok", "custkey", "seg")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val full = rOld
+      .unionByName(rDelta)
+      .join(sOld.unionByName(sDelta), "custkey")
+      .select("ok", "custkey", "seg")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(maintained.sorted.toSeq == full.sorted.toSeq) // bag equality — no dupes, none lost
+    // each derivative term contributed: old⋈old (1), ΔR⋈S_old (3),
+    // R_old⋈ΔS (5), ΔR⋈ΔS (4)
+    val set = maintained.toSet
+    assert(Seq((1L, 10L, "A"), (3L, 20L, "B"), (5L, 40L, "D"), (4L, 30L, "C")).forall(set))
+  }
 }

@@ -1310,4 +1310,104 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == naive, s"prefix filter lost or invented pairs: got=${got.size} naive=${naive.size}")
     assert(naive.nonEmpty, "fixture must contain qualifying pairs")
   }
+
+  test("incrementalClusters ≡ monolithic dedupClusters, chimera batch doc merges two corpus clusters") {
+    val s = spark
+    import s.implicits._
+    // varied word streams — many distinct shingles, so a concatenated
+    // chimera sits at Jaccard ≈ 0.5 against each parent; the "4"/"4x"
+    // vocabulary seeds are the deterministically-verified choice whose
+    // chimera band-matches BOTH parents (md5 minhash is content-only, so
+    // this bridging is stable across runs and machines)
+    def varied(ws: Array[String], n: Int): String =
+      (0 until n).map(i => ws(i % ws.length) + " " + ws((i * 5 + 1) % ws.length)).mkString(" ")
+    val a = varied("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      .split(" ").map(w => s"${w}4"), 40)
+    val b = varied("one two three four five six seven eight nine ten eleven twelve"
+      .split(" ").map(w => s"${w}4x"), 40)
+    val c = Array.fill(25)("red green blue cyan magenta yellow").mkString(" ")
+    val dTxt = Array.fill(25)("north south east west up down").mkString(" ")
+    val eTxt = Array.fill(25)("spring summer autumn winter solstice equinox").mkString(" ")
+    // corpus clusters: {1,2} (text a), {3,4} (text b), singleton {5}
+    val corpus = Seq((1L, a), (2L, a), (3L, b), (4L, b), (5L, c)).toDF("doc_id", "text")
+    // batch: 101 bridges a AND b (the chimera), 102 joins 5, 103 is new,
+    // {104,105} are a batch-internal pair
+    val batch = Seq((101L, a + " " + b), (102L, c), (103L, dTxt), (104L, eTxt), (105L, eTxt))
+      .toDF("doc_id", "text")
+    withTempDir { dir =>
+      graft.operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      graft.operators.Dedup.writeClusterState(
+        graft.operators.Dedup.dedupClusters(corpus, "doc_id", "text"),
+        "doc_id", "cluster_id", s"$dir/state")
+      val inc = graft.operators.Dedup
+        .incrementalClusters(batch, "doc_id", "text", s"$dir/idx", s"$dir/state")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mono = graft.operators.Dedup
+        .dedupClusters(corpus.unionByName(batch), "doc_id", "text")
+        .select("doc_id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // the contraction equivalence: label-space CC over the persisted state
+      // reproduces the monolithic assignment exactly
+      assert(inc === mono, s"inc=$inc mono=$mono")
+      // the chimera MERGED two existing corpus clusters — all five members
+      // (both old clusters + the bridge doc) share the global min label 1;
+      // this is the case where corpus rows must be RELABELED, not just read
+      assert(Seq(1L, 2L, 3L, 4L, 101L).map(inc).toSet === Set(1L), inc.toString)
+      // batch doc joining an existing singleton adopts its label
+      assert(inc(102L) === 5L)
+      // batch-internal pair clusters to its own min id; stranger stays alone
+      assert(inc(104L) === 104L && inc(105L) === 104L && inc(103L) === 103L)
+      // full assignment covers corpus ∪ batch, nothing else
+      assert(inc.keySet === (1L to 5L).toSet ++ (101L to 105L).toSet)
+    }
+  }
+
+  test("compactMinhashIndex: one-layout rewrite, pairing unchanged, dirs collapse") {
+    val s = spark
+    import s.implicits._
+    val a = Array.fill(25)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val b = Array.fill(25)("one two three four five six seven").mkString(" ")
+    withTempDir { dir =>
+      val idx = s"$dir/idx"
+      graft.operators.Dedup.buildMinhashIndex(Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text", idx)
+      graft.operators.Dedup.appendMinhashIndex(Seq((2L, b)).toDF("doc_id", "text"), "doc_id", "text", idx, 1L)
+      graft.operators.Dedup.appendMinhashIndex(Seq((3L, a)).toDF("doc_id", "text"), "doc_id", "text", idx, 2L)
+      val probe = Seq((101L, a)).toDF("doc_id", "text")
+      val before = graft.operators.Dedup
+        .incrementalNearDupPairs(probe, "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rowsBefore = spark.read.parquet(idx).count()
+      graft.operators.Dedup.compactMinhashIndex(spark, idx)
+      // every ingest partition folded into the initial build's layout
+      val top = new java.io.File(idx).listFiles.map(_.getName).filter(_.startsWith("ingest_id="))
+      assert(top.sameElements(Array("ingest_id=0")), top.mkString(","))
+      assert(spark.read.parquet(idx).count() === rowsBefore)
+      val after = graft.operators.Dedup
+        .incrementalNearDupPairs(probe, "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after === before, s"after=$after before=$before")
+      assert(after === Set((1L, 101L), (3L, 101L)))
+    }
+  }
+
+  test("decontaminateByIndex: benchmark band-matches flag corpus docs without a corpus text pass") {
+    val s = spark
+    import s.implicits._
+    val a = Array.fill(25)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val b = Array.fill(25)("one two three four five six seven").mkString(" ")
+    val c = Array.fill(25)("red green blue cyan magenta yellow").mkString(" ")
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // bench: two near-copies of doc 1's content (verbatim + tail-perturbed),
+    // one stranger — doc 1 is contaminated twice over, docs 2 and 3 clean
+    val bench = Seq((901L, a), (902L, a + " tail"), (903L, "totally different words here"))
+      .toDF("doc_id", "text")
+    withTempDir { dir =>
+      val idx = s"$dir/idx"
+      graft.operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+      val got = graft.operators.Dedup
+        .decontaminateByIndex(bench, "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === Map(1L -> 2L), got.toString)
+    }
+  }
 }
