@@ -177,6 +177,87 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its own
+    * bucket PLUS the `nProbe − 1` buckets reached by flipping the
+    * hyperplane bits with the smallest |margin| (the planes the vector
+    * nearly straddles — where its true near-neighbors most likely landed on
+    * the other side). Recall rises toward multi-table LSH levels without a
+    * second hash table or a bigger index: the corpus side is untouched (one
+    * bucket per vector, same signatures, same persisted layout) and only
+    * the broadcast QUERY side fans out nProbe-fold, so the candidate join
+    * stays a scalar-key equi-join with nProbe× the candidates — not a wider
+    * shuffle. Probed buckets are pairwise distinct (each differs from the
+    * base in exactly one bit), so no candidate dedup is needed.
+    *
+    * Margin selection is pure codegen'd expressions: per-plane dots (the
+    * graft_dot kernel, in-order double accumulation — bit-identical to the
+    * oracle's replay, so the margin ORDER is engine-deterministic,
+    * ties broken by plane index), an array_sort over (|dot|, plane)
+    * structs, and per-probe conditional bit inversion.
+    */
+  def lshMultiProbeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 8,
+      nProbe: Int = 3,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame = {
+    require(nProbe >= 1 && nProbe <= bits + 1, s"nProbe must be in [1, bits+1], got $nProbe")
+    VectorExpressions.install(corpus.sparkSession)
+    val planes = hyperplanes(bits, dimOf(corpus, vecCol, dim), seed)
+    val cb = corpus
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("nv"),
+        lshBucket(col(vecCol), planes).as("bucket")
+      )
+      .withColumn("nn", sqrt(expr("graft_dot(nv, nv)")))
+    val withDots = queries
+      .select(
+        col(idCol).as("query_id") +: col(vecCol).as("qv") +:
+          planes.zipWithIndex.map { case (plane, p) =>
+            call_function("graft_dot", col(vecCol), array(plane.map(lit(_)): _*)).as(s"_d$p")
+          }: _*
+      )
+    val baseBucket = concat((0 until bits).map { p =>
+      when(col(s"_d$p") >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    // planes ranked by how nearly the query straddles them
+    val margins = array_sort(
+      array((0 until bits).map { p =>
+        struct(abs(col(s"_d$p")).as("m"), lit(p).as("p"))
+      }: _*)
+    )
+    def bucketFlippedAt(flipPos: Column): Column = concat((0 until bits).map { p =>
+      val bit = when(col(s"_d$p") >= 0, lit("1")).otherwise(lit("0"))
+      val inv = when(col(s"_d$p") >= 0, lit("0")).otherwise(lit("1"))
+      when(lit(p) === flipPos, inv).otherwise(bit)
+    }: _*)
+    val probeBuckets = array(
+      baseBucket +: (0 until nProbe - 1).map(j =>
+        bucketFlippedAt(element_at(margins, j + 1).getField("p"))): _*
+    )
+    val qb = broadcast(
+      withDots
+        .select(
+          col("query_id"),
+          col("qv"),
+          explode(probeBuckets).as("bucket")
+        )
+        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+    )
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cb.join(qb, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale path:
     * every `centroidStride`-th corpus vector serves as a deterministic
     * centroid (a production build would k-means; the plan shape is

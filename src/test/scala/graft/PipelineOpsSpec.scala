@@ -508,6 +508,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rrRecall >= pqRecall, s"re-rank degraded recall: $rrRecall < $pqRecall")
   }
 
+  test("multi-probe lsh: nProbe=1 ≡ single-bucket lshTopK, recall monotone in probes") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(j =>
+        math.sin(i * 0.7 + j * 1.3).toFloat + (if (j == i % 8) 2.0f else 0.0f)
+      )
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    def resultSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5))
+    val single = resultSet(
+      Similarity.lshTopK(df, queries, "vec_id", "embedding", 5, bits = 3, seed = 3))
+    // probing only the base bucket IS plain LSH — exact equality, not recall
+    val p1 = resultSet(Similarity.lshMultiProbeTopK(
+      df, queries, "vec_id", "embedding", 5, bits = 3, nProbe = 1, seed = 3))
+    assert(p1 === single, s"nProbe=1 diverged: $p1 vs $single")
+    // candidate sets grow monotonically with nProbe, and any global-top-5
+    // member among the candidates ranks within the candidate top-5, so
+    // recall vs brute force can only rise
+    val recalls = Seq(1, 2, 4).map { np =>
+      val r = resultSet(Similarity.lshMultiProbeTopK(
+        df, queries, "vec_id", "embedding", 5, bits = 3, nProbe = np, seed = 3))
+      assert(r.forall { case (q, n) => q != n })
+      exact.intersect(r).size.toDouble / exact.size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in nProbe: $recalls")
+    assert(recalls.last > recalls.head,
+      s"probing extra buckets never helped on this fixture: $recalls")
+  }
+
   test("z-order: interleaving matches reference morton code; clustering gives compact partition boxes") {
     val s = spark
     import s.implicits._
