@@ -1267,20 +1267,62 @@ object Dedup {
       rowsPerBand: Int = 2,
       fast: Boolean = false,
       maxBandDf: Long = Long.MaxValue
+  ): DataFrame =
+    incrementalClustersFromPairs(
+      batch.select(col(idCol).as("id")),
+      incrementalNearDupPairs(
+        batch, idCol, textCol, bandIndexPath, numPerm, rowsPerBand, fast, maxBandDf
+      ).select("id1", "id2"),
+      clusterStatePath
+    )
+
+  /** The perceptual member of the incremental-cluster family: maintain a
+    * persisted cluster assignment over 64-bit sketches (image dHash, audio
+    * energy hash, SimHash) — batch pairs come from the Hamming sketch index
+    * ([[incrementalHammingPairs]]), clusters from the same label-space
+    * contraction as [[incrementalClusters]]. Per-ingest media decode +
+    * hashing stays O(batch); the corpus is never re-hashed or re-clustered.
+    */
+  def incrementalHammingClusters(
+      batchSketches: DataFrame,
+      idCol: String,
+      bitsCol: String,
+      indexPath: String,
+      clusterStatePath: String,
+      maxHamming: Int = 3
+  ): DataFrame =
+    incrementalClustersFromPairs(
+      batchSketches.select(col(idCol).as("id")),
+      incrementalHammingPairs(batchSketches, idCol, bitsCol, indexPath, maxHamming)
+        .select("id1", "id2"),
+      clusterStatePath
+    )
+
+  /** The shared contraction engine behind [[incrementalClusters]] and
+    * [[incrementalHammingClusters]] — public because ANY incremental pair
+    * source with a persisted assignment (embedding bucket pairs, a custom
+    * blocker) composes the same way. `pairs` must be the batch-touching
+    * pair set; `batchIds` the batch's id column; ids must be fresh w.r.t.
+    * the state.
+    */
+  def incrementalClustersFromPairs(
+      batchIds: DataFrame,
+      pairs: DataFrame,
+      clusterStatePath: String
   ): DataFrame = {
-    val spark = batch.sparkSession
-    val pairs = incrementalNearDupPairs(
-      batch, idCol, textCol, bandIndexPath, numPerm, rowsPerBand, fast, maxBandDf
-    ).localCheckpoint() // endpoints, contraction, and CC all reuse the pair set
+    val spark = batchIds.sparkSession
+    val p = pairs.toDF("id1", "id2")
+      .localCheckpoint() // endpoints, contraction, and CC all reuse the pair set
+    val bIds = batchIds.toDF("id")
     val state = spark.read.parquet(clusterStatePath).select(col("id"), col("cluster_id"))
     // touched state rows only: endpoint ids are batch-bounded, so the big
     // state table is reduced with one broadcast semi-join scan — no shuffle
-    val endpoints = pairs
+    val endpoints = p
       .select(col("id1").as("id"))
-      .union(pairs.select(col("id2").as("id")))
+      .union(p.select(col("id2").as("id")))
       .distinct()
     val touched = state.join(broadcast(endpoints), Seq("id")).localCheckpoint()
-    val contracted = pairs
+    val contracted = p
       .join(broadcast(touched.select(col("id").as("id1"), col("cluster_id").as("_c1"))),
         Seq("id1"), "left")
       .join(broadcast(touched.select(col("id").as("id2"), col("cluster_id").as("_c2"))),
@@ -1289,13 +1331,11 @@ object Dedup {
         coalesce(col("_c1"), col("id1")).as("s"),
         coalesce(col("_c2"), col("id2")).as("d")
       )
-    val nodes = batch
-      .select(col(idCol).as("id"))
+    val nodes = bIds
       .union(touched.select(col("cluster_id").as("id")))
       .distinct()
     val cc = connectedComponents(contracted, nodes).localCheckpoint() // label-space fixpoint, tiny
-    val batchAssign = batch
-      .select(col(idCol).as("id"))
+    val batchAssign = bIds
       .join(broadcast(cc.toDF("nid", "comp")), col("id") === col("nid"))
       .select(col("id"), col("comp").as("cluster_id"))
     // corpus relabel: only merged cluster ids appear in the map, so the

@@ -320,6 +320,84 @@ object MultimodalQueries {
         Multimodal.imageDHashes(images.union(resized)), "media_id", "dhash", maxHamming = 6)
     },
 
+    // E278 incremental PERCEPTUAL cluster maintenance — E273's contraction
+    // engine composed with the Hamming sketch index: the corpus (images ∪
+    // their resizes — real multi-member perceptual clusters) is clustered
+    // once and persisted; a new ingest of grid-aligned re-resizes (fresh
+    // +2M ids) is folded in by pairing against the on-disk bands and
+    // contracting to cluster labels — per-ingest decode+hash work O(batch),
+    // the corpus never re-hashed or re-clustered. The twin recomputes the
+    // monolithic cluster fixpoint over all three generations, so the hash
+    // match proves the incremental path lands every batch asset in its
+    // family's canonical cluster (min id = the original image).
+    QEntry.sql(
+      "mm_dhash_inc_clusters", {
+        val dhOrig = dhashSqlWith(i => s"(($i * h) // 9)")
+        val dhResz = dhashSqlWith(i => s"(2 * (($i * (h // 2)) // 9))")
+        val ham =
+          """CAST(list_sum(list_transform(range(1, 65), i ->
+            |  CASE WHEN substr(x.dh, CAST(i AS INT), 1) != substr(y.dh, CAST(i AS INT), 1)
+            |       THEN 1 ELSE 0 END)) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH RECURSIVE t AS (SELECT doc_id, text, strlen(text) // 24 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |o AS (SELECT doc_id AS media_id, $dhOrig AS dh FROM t WHERE h >= 9),
+           |r AS (SELECT doc_id + 1000000 AS media_id, $dhResz AS dh
+           |      FROM t WHERE h // 2 >= 9),
+           |r2 AS (SELECT doc_id + 2000000 AS media_id, $dhResz AS dh
+           |      FROM t WHERE h % 18 = 0 AND h >= 18),
+           |a AS (SELECT * FROM o UNION ALL SELECT * FROM r UNION ALL SELECT * FROM r2),
+           |bb AS (SELECT media_id, dh, bidx,
+           |         substr(dh, CAST(bidx * 16 + 1 AS INT), 16) AS bv
+           |       FROM (SELECT media_id, dh, unnest(range(0, 4)) AS bidx FROM a) z),
+           |pairs AS (SELECT DISTINCT id1, id2 FROM (
+           |  SELECT x.media_id AS id1, y.media_id AS id2, $ham AS hamming
+           |  FROM bb x JOIN bb y
+           |    ON x.bidx = y.bidx AND x.bv = y.bv AND x.media_id < y.media_id) p
+           |  WHERE hamming <= 6),
+           |edges AS (SELECT id1 AS s2, id2 AS d2 FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT media_id, media_id FROM a
+           |  UNION
+           |  SELECT e.s2, c.comp FROM edges e JOIN cc c ON e.d2 = c.id)
+           |SELECT id AS media_id, min(comp) AS cluster_id,
+           |       count(*) OVER (PARTITION BY min(comp)) AS cluster_size
+           |FROM cc GROUP BY id""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val images = Multimodal
+        .synthesizeMedia(documents(s, d))
+        .filter((r: Multimodal.MediaRecord) => r.modality == "image")
+      val resized = Multimodal
+        .resizeVertical(images, 2)
+        .map(r => r.copy(media_id = r.media_id + 1000000L))
+      val corpus = Multimodal.imageDHashes(images.union(resized))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dhclu").toString
+      Dedup.buildHammingIndex(corpus, "media_id", "dhash", s"$dir/idx")
+      Dedup.writeClusterState(
+        Dedup.hammingClusters(corpus, "media_id", "dhash", maxHamming = 6),
+        "media_id", "cluster_id", s"$dir/state")
+      val aligned = images.filter { (r: Multimodal.MediaRecord) =>
+        val (_, h, _) = Multimodal.MediaCodecs.ppmHeader(r.media_id, r.payload)
+        h % 18 == 0 && h >= 18
+      }
+      val batch = Multimodal
+        .resizeVertical(aligned, 2)
+        .map(r => r.copy(media_id = r.media_id + 2000000L))
+      Dedup
+        .incrementalHammingClusters(
+          Multimodal.imageDHashes(batch), "media_id", "dhash",
+          s"$dir/idx", s"$dir/state", maxHamming = 6)
+        .select(col("id").as("media_id"), col("cluster_id"))
+        .withColumn(
+          "cluster_size",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id")))
+        )
+    },
+
     // E266 media keep-policy: per perceptual cluster keep the HIGHEST-
     // RESOLUTION member (tallest decoded raster; ties to min id) — the
     // media analog of dedup_keep_policy's quality rule, and the decision

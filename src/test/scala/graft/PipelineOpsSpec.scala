@@ -1396,6 +1396,47 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalHammingClusters ≡ monolithic, batch sketch bridges two corpus clusters") {
+    val s = spark
+    import s.implicits._
+    def bits(seed: Long): String =
+      (0 until 64).map(i => if (((seed >> (i % 63)) & 1L) == 1L) '1' else '0').mkString
+    def flip(b: String, is: Int*): String =
+      is.foldLeft(b)((acc, i) => acc.updated(i, if (acc(i) == '1') '0' else '1'))
+    val base = bits(0x5a5a5a5a5a5aL)
+    // corpus clusters at maxHamming=3: {1,2} (ham 1), {3,4} (ham 1, both 4
+    // flips away from base — NOT paired with cluster {1,2}), singleton {5}
+    val corpus = Seq(
+      (1L, base), (2L, flip(base, 7)),
+      (3L, flip(base, 20, 21, 22, 23)), (4L, flip(base, 20, 21, 22, 23, 40)),
+      (5L, bits(0x123456789abL))
+    ).toDF("id", "bits")
+    // batch: 101 sits BETWEEN the clusters (ham 2 to base, ham 2 to doc 3)
+    // — the chimera that merges them; 102 joins the singleton; 103 is new
+    val batch = Seq(
+      (101L, flip(base, 20, 21)),
+      (102L, bits(0x123456789abL)),
+      (103L, bits(0x0f0f0f0f0f0fL))
+    ).toDF("id", "bits")
+    withTempDir { dir =>
+      graft.operators.Dedup.buildHammingIndex(corpus, "id", "bits", s"$dir/idx")
+      graft.operators.Dedup.writeClusterState(
+        graft.operators.Dedup.hammingClusters(corpus, "id", "bits", maxHamming = 3),
+        "id", "cluster_id", s"$dir/state")
+      val inc = graft.operators.Dedup
+        .incrementalHammingClusters(batch, "id", "bits", s"$dir/idx", s"$dir/state", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mono = graft.operators.Dedup
+        .hammingClusters(corpus.unionByName(batch), "id", "bits", maxHamming = 3)
+        .select("id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(inc === mono, s"inc=$inc mono=$mono")
+      // the bridge merged {1,2} and {3,4} through 101 — five members, label 1
+      assert(Seq(1L, 2L, 3L, 4L, 101L).map(inc).toSet === Set(1L), inc.toString)
+      assert(inc(102L) === 5L && inc(103L) === 103L)
+    }
+  }
+
   test("compactMinhashIndex: one-layout rewrite, pairing unchanged, dirs collapse") {
     val s = spark
     import s.implicits._
