@@ -1116,6 +1116,79 @@ object PipelineQueries {
         .withColumn("rank", col("rank").cast("bigint"))
     },
 
+    // E279 multi-probe recall/cost sweep — the operating-curve read an
+    // operator tunes nProbe from (the multi-probe sibling of
+    // ann_ivf_probe_sweep): recall@10 vs brute-force truth at nProbe ∈
+    // {1,2,4}, exact integer ppm. The twin parameterizes its probe CTE by
+    // the same margin-rank cutoff.
+    QEntry.sql(
+      "ann_multiprobe_sweep", {
+        def sweep(np: Int) =
+          s"""SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS hits FROM (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |    FROM (
+             |      SELECT pr.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |        round(list_dot_product(pr.e, c.e) /
+             |              (sqrt(list_dot_product(pr.e, pr.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos
+             |      FROM (SELECT vec_id, e, bucket FROM qbase
+             |            UNION ALL
+             |            SELECT b.vec_id, b.e,
+             |              substr(b.bucket, 1, CAST(f.p AS INT)) ||
+             |              (CASE WHEN substr(b.bucket, CAST(f.p AS INT) + 1, 1) = '1'
+             |                    THEN '0' ELSE '1' END) ||
+             |              substr(b.bucket, CAST(f.p AS INT) + 2) AS bucket
+             |            FROM qbase b JOIN qflip f
+             |              ON b.vec_id = f.vec_id AND f.rk <= ${np - 1}) pr
+             |      JOIN buckets c ON pr.bucket = c.bucket AND c.vec_id != pr.vec_id) s) r
+             |  WHERE rank <= 10) ap
+             |JOIN bf ON ap.query_id = bf.query_id AND ap.neighbor_id = bf.neighbor_id"""
+        s"""WITH ${bucketsSql(bits = 4)},
+           |qd AS (SELECT vec_id, e, p, list_dot_product(e, w) AS dd
+           |       FROM vecs, planes WHERE vec_id < 5),
+           |qbase AS (SELECT vec_id, e,
+           |    string_agg(CASE WHEN dd >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+           |  FROM qd GROUP BY vec_id, e),
+           |qflip AS (SELECT vec_id, p,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(dd), p) AS rk FROM qd),
+           |bf AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      round(list_dot_product(q.e, c.e) /
+           |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+           |        AS cos
+           |    FROM (SELECT * FROM vecs WHERE vec_id < 5) q, vecs c
+           |    WHERE c.vec_id != q.vec_id) s) r WHERE rank <= 10),
+           |sw AS (${sweep(1)} UNION ALL ${sweep(2)} UNION ALL ${sweep(4)})
+           |SELECT nprobe, hits,
+           |  CAST(hits * 1000000 // 50 AS BIGINT) AS recall_ppm
+           |FROM sw""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val bf = Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+      def sweep(np: Int) =
+        Similarity
+          .lshMultiProbeTopK(emb, queries, "vec_id", "embedding", 10,
+            bits = 4, nProbe = np, dim = EmbDim)
+          .select("query_id", "neighbor_id")
+          .join(bf, Seq("query_id", "neighbor_id"))
+          .agg(
+            lit(np.toLong).as("nprobe"),
+            count(lit(1)).cast("long").as("hits")
+          )
+      sweep(1)
+        .unionAll(sweep(2))
+        .unionAll(sweep(4))
+        .withColumn("recall_ppm", expr("hits * 1000000L div 50").cast("long"))
+    },
+
     // IVF coarse-quantizer approximate top-k — the inverted-list ANN scale
     // path. Stride centroids are deterministic, so the twin replays the whole
     // assign → probe → rank pipeline (cell argmax on unrounded cosine, exact
