@@ -1414,6 +1414,91 @@ object Dedup {
       .parquet(path)
   }
 
+  /** Operational health read of a [[buildMinhashIndex]] index — the numbers
+    * an operator checks before picking [[incrementalNearDupPairs]]'s
+    * `maxBandDf` hot-band cap and before deciding a [[compactMinhashIndex]]
+    * run: row/doc/band cardinalities plus the band-frequency tail (max df
+    * and how many band keys sit at df ≥ 2 / ≥ 8 — the keys that drive
+    * candidate fan-out). One scan, two partial aggregates, a single summary
+    * row to the driver.
+    */
+  def minhashIndexStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val bandSummary = idx
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("_df"))
+      .agg(
+        sum(col("_df")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_bands"),
+        max(col("_df")).cast("long").as("max_band_df"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).cast("long").as("bands_df_ge_2"),
+        sum(when(col("_df") >= 8, 1L).otherwise(0L)).cast("long").as("bands_df_ge_8")
+      )
+    bandSummary.crossJoin(
+      idx.agg(countDistinct(col("id")).cast("long").as("n_docs"))
+    )
+  }
+
+  /** Repair a persisted cluster state after right-to-be-forgotten deletions
+    * — the step [[deleteFromMinhashIndex]] alone cannot provide, because
+    * deletion changes CLUSTER STRUCTURE in two ways a pass-through state
+    * would get wrong: a deleted doc may have been the only BRIDGE between
+    * its cluster's remaining members (the cluster must SPLIT), and the
+    * canonical label is the component's min id, which retires with the
+    * deleted doc (survivors must RELABEL). Re-clustering the corpus would
+    * be O(corpus); this repairs exactly the affected clusters:
+    *
+    *  1. affected labels = clusters containing a deleted id (broadcast
+    *     semi-join on the state — one scan, no shuffle);
+    *  2. surviving members of those clusters re-pair through their bands
+    *     READ FROM THE POST-DELETION INDEX — no text access, and the join
+    *     is restricted to the affected member set;
+    *  3. connected components over that small graph re-resolves splits and
+    *     minima; unaffected clusters pass through untouched.
+    *
+    * Call AFTER [[deleteFromMinhashIndex]] (the band read must not see
+    * deleted rows). Result ≡ `dedupClusters(corpus ∖ deleted)` — pinned in
+    * PipelineOpsSpec including a chimera-bridge deletion that splits a
+    * 3-member cluster, and by the `dedup_forget_repair` driver entry's
+    * monolithic post-deletion twin. Persist with [[writeClusterState]].
+    */
+  def repairClusterState(
+      spark: org.apache.spark.sql.SparkSession,
+      deletedIds: DataFrame,
+      indexPath: String,
+      clusterStatePath: String
+  ): DataFrame = {
+    val del = deletedIds.toDF("id")
+    val state = spark.read.parquet(clusterStatePath).select(col("id"), col("cluster_id"))
+    val affectedLabels = state
+      .join(broadcast(del), Seq("id"))
+      .select(col("cluster_id"))
+      .distinct()
+      .localCheckpoint()
+    // surviving members of affected clusters — deletion-bounded, tiny
+    val members = state
+      .join(broadcast(affectedLabels), Seq("cluster_id"))
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .select(col("id"))
+      .localCheckpoint()
+    val bands = spark.read
+      .parquet(indexPath)
+      .join(broadcast(members), Seq("id"))
+      .select(col("id"), col("band"))
+      .localCheckpoint()
+    val pairs = bands
+      .join(bands.select(col("id").as("_id2"), col("band")), "band")
+      .filter(col("id") < col("_id2"))
+      .select(col("id").as("id1"), col("_id2").as("id2"))
+      .distinct()
+    val repaired = connectedComponents(pairs, members)
+      .select(col("id"), col("comp").as("cluster_id"))
+    state
+      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+      .unionByName(repaired)
+  }
+
   private def minhashBandRows(
       df: DataFrame,
       idCol: String,

@@ -1524,6 +1524,92 @@ object PipelineQueries {
       Dedup.incrementalNearDupPairs(batch, "doc_id", "text", dir)
     },
 
+    // E280 index observability: the summary an operator reads before
+    // choosing the hot-band cap (maxBandDf) or scheduling a compaction —
+    // row/band/doc cardinalities plus the band-frequency tail that drives
+    // candidate fan-out. One index scan, two partial aggregates, a single
+    // exact-integer row; the twin recomputes the same rollup from the
+    // banding replay.
+    QEntry.sql(
+      "dedup_index_stats", {
+        val cb = bandsSqlOver("documents")
+        s"""WITH cb AS ($cb),
+           |g AS (SELECT band, CAST(count(*) AS BIGINT) AS df FROM cb GROUP BY band)
+           |SELECT CAST(sum(df) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_bands,
+           |  CAST(max(df) AS BIGINT) AS max_band_df,
+           |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS bands_df_ge_2,
+           |  CAST(sum(CASE WHEN df >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS bands_df_ge_8,
+           |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM cb) AS n_docs
+           |FROM g""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-idxstats").resolve("idx").toString
+      Dedup.buildMinhashIndex(documents(s, d), "doc_id", "text", dir)
+      Dedup.minhashIndexStats(s, dir)
+    },
+
+    // E281 cluster-state REPAIR after right-to-be-forgotten deletion:
+    // forgetting a document changes cluster STRUCTURE, not just membership
+    // — the deleted doc may have been the only bridge (split) and the
+    // canonical min-id label retires with it (relabel). The corpus here
+    // holds 3-generation clusters {d, d+1M, d+2M}; deleting every original
+    // d (%200) forces the survivors to relabel to d+1M — which the repair
+    // derives from the post-deletion index bands of the AFFECTED clusters
+    // only, never re-clustering the corpus. The twin recomputes clusters
+    // monolithically over the post-deletion corpus, so the hash match is
+    // the repair ≡ full-recompute proof; the split case is pinned in
+    // PipelineOpsSpec.
+    QEntry.sql(
+      "dedup_forget_repair", {
+        val postRel =
+          """(SELECT doc_id, text FROM documents WHERE doc_id % 200 != 0
+            | UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            |   WHERE doc_id % 100 = 0
+            | UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents
+            |   WHERE doc_id % 200 = 0)""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH RECURSIVE ab AS (${bandsSqlOver(postRel)}),
+           |pairs AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+           |    greatest(a.doc_id, b.doc_id) AS id2
+           |  FROM ab a JOIN ab b ON a.band = b.band AND a.doc_id != b.doc_id),
+           |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM $postRel u
+           |  UNION
+           |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id)
+           |SELECT id AS doc_id, min(comp) AS cluster_id,
+           |       count(*) OVER (PARTITION BY min(comp)) AS cluster_size
+           |FROM cc GROUP BY id""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-repair").toString
+      val corpus = docs
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 200 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      Dedup.writeClusterState(
+        Dedup.dedupClusters(corpus, "doc_id", "text"),
+        "doc_id", "cluster_id", s"$dir/state")
+      val deleted = docs
+        .filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("id"))
+      Dedup.deleteFromMinhashIndex(s, deleted, s"$dir/idx")
+      Dedup
+        .repairClusterState(s, deleted, s"$dir/idx", s"$dir/state")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .withColumn(
+          "cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+        )
+    },
+
     // Deterministic shard shuffle: reproducible pseudo-random training order
     // (shard = key-hash mod n, position = within-shard hash order).
     QEntry.sql(

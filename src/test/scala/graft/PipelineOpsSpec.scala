@@ -1437,6 +1437,55 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("repairClusterState: deleting the bridge splits the cluster, deleted minima retire") {
+    val s = spark
+    import s.implicits._
+    // the deterministically-verified chimera vocabulary (see the
+    // incrementalClusters spec): z band-matches both a and b, so
+    // {1,2} —z— {4,5} is ONE corpus cluster held together by doc 3
+    def varied(ws: Array[String], n: Int): String =
+      (0 until n).map(i => ws(i % ws.length) + " " + ws((i * 5 + 1) % ws.length)).mkString(" ")
+    val a = varied("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      .split(" ").map(w => s"${w}4"), 40)
+    val b = varied("one two three four five six seven eight nine ten eleven twelve"
+      .split(" ").map(w => s"${w}4x"), 40)
+    val z = a + " " + b
+    val c = Array.fill(25)("red green blue cyan magenta yellow").mkString(" ")
+    val e = Array.fill(25)("north south east west up down").mkString(" ")
+    val corpus = Seq(
+      (1L, a), (2L, a), (3L, z), (4L, b), (5L, b), // one bridged cluster
+      (10L, c), (11L, c), // untouched cluster
+      (20L, e) // untouched singleton
+    ).toDF("doc_id", "text")
+    withTempDir { dir =>
+      graft.operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      val full = graft.operators.Dedup.dedupClusters(corpus, "doc_id", "text")
+      val fullMap = full.select("doc_id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // precondition: the chimera really does bridge both halves
+      assert(Seq(1L, 2L, 3L, 4L, 5L).map(fullMap).toSet === Set(1L), fullMap.toString)
+      graft.operators.Dedup.writeClusterState(full, "doc_id", "cluster_id", s"$dir/state")
+      // forget the min-id member AND the bridge
+      val deleted = Seq(1L, 3L).toDF("id")
+      graft.operators.Dedup.deleteFromMinhashIndex(spark, deleted, s"$dir/idx")
+      val repaired = graft.operators.Dedup
+        .repairClusterState(spark, deleted, s"$dir/idx", s"$dir/state")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mono = graft.operators.Dedup
+        .dedupClusters(corpus.filter(!col("doc_id").isin(1L, 3L)), "doc_id", "text")
+        .select("doc_id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(repaired === mono, s"repaired=$repaired mono=$mono")
+      // the bridge's removal split the cluster: 2 alone, {4,5} together,
+      // neither keeping the retired label 1
+      assert(repaired(2L) === 2L && repaired(4L) === 4L && repaired(5L) === 4L, repaired.toString)
+      // untouched clusters pass through byte-for-byte
+      assert(repaired(10L) === 10L && repaired(11L) === 10L && repaired(20L) === 20L)
+      // deleted ids are gone from the state
+      assert(!repaired.contains(1L) && !repaired.contains(3L))
+    }
+  }
+
   test("compactMinhashIndex: one-layout rewrite, pairing unchanged, dirs collapse") {
     val s = spark
     import s.implicits._
