@@ -1072,6 +1072,87 @@ object Similarity {
       .distinct()
   }
 
+  /** Monolithic embedding near-dup pairs: LSH bucket self-join → exact
+    * rounded cosine ≥ threshold on same-bucket candidates only (never
+    * all-pairs). The corpus-side twin of [[incrementalCosinePairs]] — used
+    * to seed the initial cluster state and as the equivalence baseline in
+    * its specs.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 8,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
+    val b = lshBuckets(corpus, idCol, vecCol, bits, seed, dim)
+      .withColumn("_n", sqrt(call_function("graft_dot", col(vecCol), col(vecCol))))
+      .localCheckpoint() // bucket once; both self-join branches reuse the rows
+    b.select(col(idCol).as("id1"), col(vecCol).as("_v1"), col("_n").as("_n1"), col("bucket"))
+      .join(
+        b.select(col(idCol).as("id2"), col(vecCol).as("_v2"), col("_n").as("_n2"), col("bucket")),
+        "bucket")
+      .filter(col("id1") < col("id2"))
+      .select(
+        col("id1"),
+        col("id2"),
+        round(call_function("graft_dot", col("_v1"), col("_v2")) / (col("_n1") * col("_n2")), 6)
+          .as("cos")
+      )
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Monolithic embedding near-dup clusters: [[cosineNearDupPairs]] edges →
+    * connected components → (id, cluster_id). Seeds the persisted state
+    * that [[incrementalCosineClusters]] maintains.
+    */
+  def cosineClusters(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 8,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame =
+    Dedup
+      .connectedComponents(
+        cosineNearDupPairs(corpus, idCol, vecCol, threshold, bits, seed, dim)
+          .select("id1", "id2"),
+        corpus.select(col(idCol))
+      )
+      .select(col("id").as(idCol), col("comp").as("cluster_id"))
+
+  /** The embedding member of the incremental-cluster family (beside
+    * [[Dedup.incrementalClusters]] for text and
+    * [[Dedup.incrementalHammingClusters]] for perceptual sketches): batch
+    * pairs come from the persisted LSH vector index
+    * ([[incrementalCosinePairs]] — b plane dots per batch vector, the only
+    * embedding-side work), clusters from the shared label-space
+    * contraction. Per-ingest work O(batch); the corpus is never
+    * re-bucketed or re-clustered.
+    */
+  def incrementalCosineClusters(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      clusterStatePath: String,
+      threshold: Double,
+      bits: Int = 8,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame =
+    Dedup.incrementalClustersFromPairs(
+      batch.select(col(idCol).as("id")),
+      incrementalCosinePairs(batch, idCol, vecCol, indexPath, threshold, bits, seed, dim)
+        .select("id1", "id2"),
+      clusterStatePath
+    )
+
   /** 1-bit (sign) quantization: the embedding as a bitstring plus its
     * positive-component count. 64× smaller than float32 — the coarsest rung
     * of the quantization ladder (float → int8 → PQ → binary); retrieval over

@@ -2057,6 +2057,67 @@ object PipelineQueries {
         bits = 8, dim = EmbDim)
     },
 
+    // E282 incremental EMBEDDING cluster maintenance — the vector-space
+    // member of the incremental-cluster family (text E273, perceptual
+    // E278): the corpus (embeddings ∪ an exact-copy re-ingest, so the
+    // state holds real 2-vector clusters) is clustered once from its LSH
+    // bucket pairs and persisted; a second-generation batch buckets once
+    // against the persisted vector index and folds in through the shared
+    // label-space contraction. The twin recomputes the three-generation
+    // cluster fixpoint monolithically — every %80 vector must land in
+    // cluster {v, v+1M, v+2M} with cluster_id v.
+    QEntry.sql(
+      "emb_incremental_clusters",
+      s"""WITH RECURSIVE ${bucketsSql(bits = 8)},
+         |b1 AS (SELECT vec_id + 1000000 AS vec_id, e, bucket FROM buckets
+         |       WHERE vec_id % 40 = 0),
+         |b2 AS (SELECT vec_id + 2000000 AS vec_id, e, bucket FROM buckets
+         |       WHERE vec_id % 80 = 0),
+         |ab AS (SELECT vec_id, e, bucket FROM buckets
+         |       UNION ALL SELECT vec_id, e, bucket FROM b1
+         |       UNION ALL SELECT vec_id, e, bucket FROM b2),
+         |pairs AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS id1,
+         |    greatest(a.vec_id, b.vec_id) AS id2
+         |  FROM ab a JOIN ab b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+         |  WHERE round(list_dot_product(a.e, b.e) /
+         |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+         |        >= 0.99),
+         |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |cc(id, comp) AS (
+         |  SELECT vec_id, vec_id FROM ab
+         |  UNION
+         |  SELECT e2.s, c.comp FROM edges e2 JOIN cc c ON e2.d = c.id)
+         |SELECT id AS vec_id, min(comp) AS cluster_id,
+         |       count(*) OVER (PARTITION BY min(comp)) AS cluster_size
+         |FROM cc GROUP BY id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-embclu").toString
+      val corpus = emb
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 40 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Similarity.buildLshIndex(corpus, "vec_id", "embedding", s"$dir/lsh",
+        bits = 8, dim = EmbDim)
+      Dedup.writeClusterState(
+        Similarity.cosineClusters(corpus, "vec_id", "embedding", 0.99,
+          bits = 8, dim = EmbDim),
+        "vec_id", "cluster_id", s"$dir/state")
+      val batch = emb
+        .filter(col("vec_id") % 80 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      Similarity
+        .incrementalCosineClusters(batch, "vec_id", "embedding",
+          s"$dir/lsh", s"$dir/state", 0.99, bits = 8, dim = EmbDim)
+        .select(col("id").as("vec_id"), col("cluster_id"))
+        .withColumn(
+          "cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+        )
+    },
+
     // E90 persisted-PQ-index READ path, oracled (the PQ sibling of
     // ann_lsh_index_fetch): the entry writes codebook + codes parquet, then
     // answers the query set from the ON-DISK codes alone — raw corpus

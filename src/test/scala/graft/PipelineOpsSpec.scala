@@ -1437,6 +1437,48 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalCosineClusters ≡ monolithic cosineClusters, bridge vector merges clusters") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray.padTo(8, 0.0f)
+    // clusters at cos ≥ 0.99: {1,2} (same direction, cos 1), {3,4} (same
+    // direction), cos across = 0.9802 — separate; 5 is orthogonal
+    val corpus = Seq(
+      (1L, v(10, 1)), (2L, v(20, 2)),
+      (3L, v(10, -1)), (4L, v(20, -2)),
+      (5L, v(0, 0, 0, 0, 0, 0, 0, 10))
+    ).toDF("vec_id", "embedding")
+    // batch: 101 bisects the two clusters (cos 0.995 to each — the bridge),
+    // 102 re-sends 5's direction, 103 is new
+    val batch = Seq(
+      (101L, v(10, 0)),
+      (102L, v(0, 0, 0, 0, 0, 0, 0, 20)),
+      (103L, v(0, 0, 10))
+    ).toDF("vec_id", "embedding")
+    withTempDir { dir =>
+      graft.operators.Similarity.buildLshIndex(corpus, "vec_id", "embedding", s"$dir/lsh",
+        bits = 2, dim = 8)
+      graft.operators.Dedup.writeClusterState(
+        graft.operators.Similarity.cosineClusters(corpus, "vec_id", "embedding", 0.99,
+          bits = 2, dim = 8),
+        "vec_id", "cluster_id", s"$dir/state")
+      val inc = graft.operators.Similarity
+        .incrementalCosineClusters(batch, "vec_id", "embedding", s"$dir/lsh", s"$dir/state",
+          0.99, bits = 2, dim = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mono = graft.operators.Similarity
+        .cosineClusters(corpus.unionByName(batch), "vec_id", "embedding", 0.99,
+          bits = 2, dim = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(inc === mono, s"inc=$inc mono=$mono")
+      // the bridge merged {1,2} and {3,4} (all five share label 1) — this
+      // presupposes the five first-component-dominant vectors share their
+      // LSH bucket under the pinned seed, which mono confirms independently
+      assert(Seq(1L, 2L, 3L, 4L, 101L).map(inc).toSet === Set(1L), inc.toString)
+      assert(inc(102L) === 5L && inc(103L) === 103L)
+    }
+  }
+
   test("repairClusterState: deleting the bridge splits the cluster, deleted minima retire") {
     val s = spark
     import s.implicits._
