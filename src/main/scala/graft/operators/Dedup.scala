@@ -737,9 +737,19 @@ object Dedup {
       .select(col(idCol), explode(sequence(col("_p"), col("_p") + lit(k - 1))).as("_j"))
       .distinct()
       .localCheckpoint() // gates the rebuild AND feeds the anti-join
+    rebuildAfterCuts(docs, cov, idCol)
+  }
+
+  /** The rebuild tail shared by [[spanRewrite]] and
+    * [[incrementalSpanRewrite]]: given tokenized docs (`idCol`, `_ws`) and
+    * the covered positions to cut (`idCol`, `_j`), emit the per-doc
+    * rewrite witness. Untouched docs (the overwhelming majority) hash
+    * their token array straight — no explode, no regroup; only documents
+    * that actually lost a token pay the explode → anti-join → regroup
+    * rebuild (a semi-join gate).
+    */
+  private def rebuildAfterCuts(docs: DataFrame, cov: DataFrame, idCol: String): DataFrame = {
     val cutDocs = cov.select(col(idCol)).distinct()
-    // untouched docs (the overwhelming majority): no explode, no regroup —
-    // the rewrite is the identity, so the witness hashes the token array
     val untouched = docs
       .join(cutDocs, Seq(idCol), "left_anti")
       .select(
@@ -748,7 +758,6 @@ object Dedup {
         lit(0L).as("n_dropped"),
         md5(array_join(col("_ws"), " ")).as("kept_md5")
       )
-    // touched docs: explode to positions, cut covered slots, regroup in order
     val touchedDocs = docs.join(cutDocs, Seq(idCol), "left_semi")
     val tok = touchedDocs
       .select(col(idCol), posexplode_outer(col("_ws")).as(Seq("_j", "_w")))
@@ -775,6 +784,59 @@ object Dedup {
         coalesce(col("_kmd5"), md5(lit(""))).as("kept_md5")
       )
     untouched.unionByName(touched)
+  }
+
+  /** [[spanRewrite]] for a NEW batch against a [[buildSpanIndex]] corpus —
+    * the per-ingest mitigation pass: a batch token is cut when covered by a
+    * k-token span that exists in the persisted corpus span set (the corpus
+    * ingested earlier, so it owns — temporal keep-first) or that occurs in
+    * ≥ 2 distinct batch documents and this doc is not the batch's min-id
+    * owner. With batch ids greater than all corpus ids (the ingest-order
+    * contract every incremental entry here uses), this is EXACTLY
+    * `spanRewrite(corpus ∪ batch)` restricted to batch rows — the
+    * `dedup_incremental_rewrite` twin replays that monolithic construction.
+    *
+    * Per-ingest text work is O(batch): the batch's own spans are the only
+    * tokenization, and the corpus-membership probe reduces the index scan
+    * with a broadcast of the batch's distinct digests — the 100 TB span set
+    * is read once, never shuffled, and only batch-hitting digests leave it.
+    */
+  def incrementalSpanRewrite(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 8
+  ): DataFrame = {
+    val docs = spread(batch.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .localCheckpoint()
+    val spans = docs
+      .select(col(idCol), posexplode_outer(shinglesFromWords(col("_ws"), k)).as(Seq("_p", "_sp")))
+      .filter(col("_sp").isNotNull)
+      .select(col(idCol), col("_p"), md5(col("_sp")).as("_h"))
+      .localCheckpoint() // membership probe, ownership agg, and cut join reuse it
+    val batchDigests = spans.select(col("_h")).distinct()
+    val present = batch.sparkSession.read
+      .parquet(path)
+      .select(col("h").as("_h"))
+      .join(broadcast(batchDigests), Seq("_h"))
+      .distinct()
+      .localCheckpoint() // batch-bounded: only digests the batch carries
+    val batchOwn = spans
+      .select(col(idCol), col("_h"))
+      .distinct()
+      .groupBy("_h")
+      .agg(min(col(idCol)).as("_own"), count(lit(1)).as("_df"))
+    val cut = spans
+      .join(batchOwn, Seq("_h"))
+      .join(broadcast(present.withColumn("_in", lit(1L))), Seq("_h"), "left")
+      .filter(col("_in").isNotNull || (col("_df") >= 2 && col(idCol) =!= col("_own")))
+    val cov = cut
+      .select(col(idCol), explode(sequence(col("_p"), col("_p") + lit(k - 1))).as("_j"))
+      .distinct()
+      .localCheckpoint()
+    rebuildAfterCuts(docs, cov, idCol)
   }
 
   /** SimHash near-duplicate pairs: block on the sketch's 4 16-bit bands

@@ -656,6 +656,65 @@ object PipelineQueries {
       Dedup.incrementalSpanDuplication(batch, "doc_id", "text", dir)
     },
 
+    // E283 incremental exact-substring REWRITE — the per-ingest mitigation
+    // pass (E259's rewrite, E268's persisted-index shape): batch tokens
+    // covered by a span in the persisted corpus span set are cut (the
+    // corpus ingested earlier, so it owns — temporal keep-first), and
+    // batch-internal df ≥ 2 spans cut everywhere but their min-id batch
+    // owner. Batch ids exceed all corpus ids, so this is exactly the
+    // monolithic spanRewrite over corpus ∪ batch restricted to batch rows
+    // — which is what the twin replays. Plants: verbatim re-sends (fully
+    // cut, kept_md5 = md5('')) and a reversed-text batch-internal pair
+    // (min-id copy keeps everything, its twin is cut).
+    QEntry.sql(
+      "dedup_incremental_rewrite",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |    WHERE doc_id % 100 = 0
+        |  UNION ALL SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text
+        |    FROM documents WHERE doc_id % 137 = 0
+        |  UNION ALL SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
+        |    FROM documents WHERE doc_id % 137 = 0) u),
+        |sp AS (SELECT doc_id, s.p AS p, s.h AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+        |    i -> struct_pack(p := i,
+        |      h := md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+        |        || words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' '
+        |        || words[i+6] || ' ' || words[i+7])))) AS s FROM w) t),
+        |own AS (SELECT h, min(doc_id) AS own FROM (SELECT DISTINCT doc_id, h FROM sp) d
+        |        GROUP BY h HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, j FROM (
+        |  SELECT sp.doc_id, unnest(range(sp.p, sp.p + 8)) AS j
+        |  FROM sp JOIN own ON sp.h = own.h WHERE sp.doc_id != own.own) c),
+        |tk AS (SELECT doc_id, t.j AS j, t.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+        |    i -> struct_pack(j := i, w := words[i]))) AS t FROM w) z),
+        |kept AS (SELECT tk.doc_id, tk.j, tk.w FROM tk LEFT JOIN cov
+        |         ON tk.doc_id = cov.doc_id AND tk.j = cov.j WHERE cov.j IS NULL),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+        |          md5(string_agg(w, ' ' ORDER BY j)) AS kmd5 FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+        |  CAST(len(words) - COALESCE(nk, 0) AS BIGINT) AS n_dropped,
+        |  COALESCE(kmd5, md5('')) AS kept_md5
+        |FROM w LEFT JOIN reb USING (doc_id)
+        |WHERE w.doc_id >= 1000000"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sprw").resolve("idx").toString
+      Dedup.buildSpanIndex(docs, "doc_id", "text", dir)
+      val batch = docs
+        .filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 137 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), reverse(col("text")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 137 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), reverse(col("text")).as("text")))
+      Dedup.incrementalSpanRewrite(batch, "doc_id", "text", dir)
+    },
+
     // E259 exact-substring dedup as a REWRITE — the mitigation behind
     // dedup_exact_substring's measurement: tokens covered by any 8-token
     // span appearing in ≥ 2 docs are cut from every NON-owner doc

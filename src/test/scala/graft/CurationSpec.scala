@@ -350,4 +350,51 @@ class CurationSpec extends SparkSpec {
     assert(out2(6L).getAs[Long]("n_dropped") == 9L)
     assert(out2(6L).getAs[String]("kept_md5") == md5Hex("lead tail"))
   }
+
+  test("incrementalSpanRewrite ≡ monolithic spanRewrite restricted to batch rows") {
+    val s = spark
+    import s.implicits._
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val nine = "y1 y2 y3 y4 y5 y6 y7 y8 y9"
+    val corpus = Seq(
+      (1L, eight),
+      (2L, "a b c d e f g h i")
+    ).toDF("doc_id", "text")
+    // batch (ids above all corpus ids — the ingest-order contract):
+    // 101 re-sends corpus content inside flanks (corpus owns → 8 cut);
+    // 102/103 are a batch-internal pair of UNSEEN content (102 owns, 103
+    // fully cut); 104 is unseen and unique (identity)
+    val batch = Seq(
+      (101L, "pre " + eight + " post"),
+      (102L, nine),
+      (103L, nine),
+      (104L, "p q r s t u v w x")
+    ).toDF("doc_id", "text")
+    def md5Hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    withTempDir { dir =>
+      graft.operators.Dedup.buildSpanIndex(corpus, "doc_id", "text", s"$dir/sp")
+      val inc = graft.operators.Dedup
+        .incrementalSpanRewrite(batch, "doc_id", "text", s"$dir/sp")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dropped"), r.getAs[String]("kept_md5"))))
+        .toMap
+      val mono = graft.operators.Dedup
+        .spanRewrite(corpus.unionByName(batch), "doc_id", "text")
+        .filter(col("doc_id") >= 100L)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dropped"), r.getAs[String]("kept_md5"))))
+        .toMap
+      assert(inc === mono, s"inc=$inc mono=$mono")
+      // corpus-owned content cut, flanks survive
+      assert(inc(101L) === ((10L, 8L, md5Hex("pre post"))), inc(101L).toString)
+      // batch-internal: min-id owner keeps, its twin is emptied
+      assert(inc(102L) === ((9L, 0L, md5Hex(nine))))
+      assert(inc(103L) === ((9L, 9L, md5Hex(""))))
+      // unseen unique doc is the identity rewrite
+      assert(inc(104L) === ((9L, 0L, md5Hex("p q r s t u v w x"))))
+    }
+  }
 }
