@@ -298,6 +298,75 @@ object StreamingOps {
     }
   }
 
+  /** Streaming CLUSTER-maintaining ingest loop — [[nearDupIngestLoop]]
+    * upgraded from pairs to the maintained assignment: per micro-batch,
+    * (1) fold the batch's bands into the persisted index (replay-idempotent
+    * dynamic-partition append, first for the same crash-ordering reason),
+    * (2) advance the cluster state through
+    * [[graft.operators.Dedup.incrementalClusters]], and (3) emit the
+    * batch's own assignment rows under a `_SUCCESS`-guarded `_batch=<id>`
+    * partition.
+    *
+    * The state is VERSIONED (`statePath/v=<k>`) rather than overwritten in
+    * place, because replay safety demands that a re-run epoch read the
+    * SAME input state it read the first time: batch `b` always reads the
+    * newest version ≤ `b` and (over)writes `v=b+1`, so a crash after the
+    * state write but before the assignment commit replays into an
+    * identical recomputation instead of contracting against a state that
+    * already contains the batch's own ids (which would mislabel every
+    * batch doc as isolated). Readers take the max version; prune old
+    * versions on a schedule once their epochs are committed. Seed
+    * `v=0` with `writeClusterState` over the initial corpus clusters and
+    * the index with `buildMinhashIndex` before starting the stream.
+    *
+    * Replay no-op, crash-between-writes recovery, and ≡-monolithic final
+    * state are pinned in PipelineOpsSpec; each epoch's body is the oracled
+    * `dedup_incremental_clusters` construction.
+    */
+  def clusterIngestLoop(
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      statePath: String,
+      assignPath: String,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false
+  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val conf = batch.sparkSession.sessionState.newHadoopConf()
+    val outDir = new org.apache.hadoop.fs.Path(assignPath, s"_batch=$batchId")
+    val fs = outDir.getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(outDir, "_SUCCESS"))) {
+      val pinned = batch.localCheckpoint()
+      graft.operators.Dedup
+        .appendMinhashIndex(pinned, idCol, textCol, indexPath, ingestId = batchId + 1,
+          numPerm, rowsPerBand, fast)
+      val stDir = new org.apache.hadoop.fs.Path(statePath)
+      val stFs = stDir.getFileSystem(conf)
+      val versions =
+        if (stFs.exists(stDir))
+          stFs.listStatus(stDir).map(_.getPath.getName)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+        else Array.empty[Long]
+      require(
+        versions.contains(0L),
+        s"seed state v=0 missing under $statePath — writeClusterState the initial corpus clusters first"
+      )
+      val readV = versions.filter(_ <= batchId).max
+      val newState = graft.operators.Dedup
+        .incrementalClusters(pinned, idCol, textCol, indexPath, s"$statePath/v=$readV",
+          numPerm, rowsPerBand, fast)
+        .localCheckpoint() // materialize before any writes consume it twice
+      graft.operators.Dedup
+        .writeClusterState(newState, "id", "cluster_id", s"$statePath/v=${batchId + 1}")
+      newState
+        .join(broadcast(pinned.select(col(idCol).as("id"))), Seq("id"))
+        .write
+        .mode("overwrite")
+        .parquet(outDir.toString) // _SUCCESS lands last: the epoch's commit mark
+    }
+  }
+
   /** Streaming round-robin ingestion: every micro-batch is appended to the
     * master dataset AND round-robin-routed to fragments, continuing the
     * engine's `lastInserted` counter exactly like sequential

@@ -1479,6 +1479,58 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterIngestLoop: versioned state advances per epoch; replay and crash recovery converge") {
+    val s = spark
+    import s.implicits._
+    val a = Array.fill(25)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val b = Array.fill(25)("one two three four five six seven").mkString(" ")
+    val cNew = Array.fill(25)("red green blue cyan magenta yellow").mkString(" ")
+    val corpus = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    withTempDir { dir =>
+      graft.operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      graft.operators.Dedup.writeClusterState(
+        graft.operators.Dedup.dedupClusters(corpus, "doc_id", "text"),
+        "doc_id", "cluster_id", s"$dir/st/v=0")
+      val loop = graft.streaming.StreamingOps
+        .clusterIngestLoop("doc_id", "text", s"$dir/idx", s"$dir/st", s"$dir/asn")
+      val b0 = Seq((101L, a), (102L, cNew)).toDF("doc_id", "text")
+      val b1 = Seq((201L, cNew)).toDF("doc_id", "text") // pairs with 102 via epoch-0's appended bands
+      loop(b0, 0L)
+      loop(b1, 1L)
+      def stateMap(v: Int) = spark.read.parquet(s"$dir/st/v=$v")
+        .select("id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mono = graft.operators.Dedup
+        .dedupClusters(corpus.unionByName(b0).unionByName(b1), "doc_id", "text")
+        .select("doc_id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(stateMap(2) === mono, s"v2=${stateMap(2)} mono=$mono")
+      // cross-epoch pairing: 201 found 102 through the index, not through text
+      assert(stateMap(2)(201L) === 102L && stateMap(2)(101L) === 1L)
+      // per-epoch assignment partitions carry only that batch's docs
+      val asn1 = spark.read.parquet(s"$dir/asn/_batch=1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(asn1 === Map(201L -> 102L), asn1.toString)
+      // committed-epoch replay is a complete no-op (the _SUCCESS gate)
+      val v2Before = stateMap(2)
+      loop(b0, 0L)
+      assert(stateMap(2) === v2Before && stateMap(1) === stateMap(1))
+      // crash simulation: epoch 1's commit mark lost AFTER the state write —
+      // the replay must read v=1 again (not v=2, which contains 201) and
+      // land on an identical v=2 and identical assignment
+      val fs = new java.io.File(s"$dir/asn/_batch=1/_SUCCESS")
+      assert(fs.delete())
+      loop(b1, 1L)
+      assert(stateMap(2) === v2Before)
+      val asn1b = spark.read.parquet(s"$dir/asn/_batch=1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(asn1b === Map(201L -> 102L))
+      // the version ladder is complete
+      val vs = new java.io.File(s"$dir/st").listFiles.map(_.getName).filter(_.startsWith("v=")).sorted
+      assert(vs.sameElements(Array("v=0", "v=1", "v=2")), vs.mkString(","))
+    }
+  }
+
   test("repairClusterState: deleting the bridge splits the cluster, deleted minima retire") {
     val s = spark
     import s.implicits._
