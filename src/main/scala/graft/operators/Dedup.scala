@@ -1501,6 +1501,31 @@ object Dedup {
     )
   }
 
+  /** Cluster resolution straight FROM a persisted band index — the state
+    * bootstrap for a corpus whose [[buildMinhashIndex]] index already
+    * exists: candidate pairs are the index's band self-join (identical to
+    * [[minhashCandidatePairs]] by construction — the bands ARE the
+    * signatures), so seeding [[incrementalClusters]]' state costs one
+    * index read instead of a second full signing pass over corpus text.
+    * ≡ `dedupClusters(corpus)` assignment (pinned in PipelineOpsSpec).
+    */
+  def clustersFromMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): DataFrame = {
+    val bands = spark.read
+      .parquet(path)
+      .select(col("id"), col("band"))
+      .localCheckpoint() // one index read feeds both self-join branches + nodes
+    val pairs = bands
+      .join(bands.select(col("id").as("_id2"), col("band")), "band")
+      .filter(col("id") < col("_id2"))
+      .select(col("id").as("id1"), col("_id2").as("id2"))
+      .distinct()
+    connectedComponents(pairs, bands.select(col("id")).distinct())
+      .select(col("id"), col("comp").as("cluster_id"))
+  }
+
   /** Repair a persisted cluster state after right-to-be-forgotten deletions
     * — the step [[deleteFromMinhashIndex]] alone cannot provide, because
     * deletion changes CLUSTER STRUCTURE in two ways a pass-through state

@@ -1502,9 +1502,10 @@ object PipelineQueries {
           docs.filter(col("doc_id") % 100 === 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      // state bootstrap from the index just written — no second signing pass
       Dedup.writeClusterState(
-        Dedup.dedupClusters(corpus, "doc_id", "text"),
-        "doc_id", "cluster_id", s"$dir/state")
+        Dedup.clustersFromMinhashIndex(s, s"$dir/idx"),
+        "id", "cluster_id", s"$dir/state")
       val batch = docs
         .filter(col("doc_id") % 200 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
@@ -1653,9 +1654,10 @@ object PipelineQueries {
         .unionByName(docs.filter(col("doc_id") % 200 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      // state bootstrap from the index just written — no second signing pass
       Dedup.writeClusterState(
-        Dedup.dedupClusters(corpus, "doc_id", "text"),
-        "doc_id", "cluster_id", s"$dir/state")
+        Dedup.clustersFromMinhashIndex(s, s"$dir/idx"),
+        "id", "cluster_id", s"$dir/state")
       val deleted = docs
         .filter(col("doc_id") % 200 === 0)
         .select(col("doc_id").as("id"))
@@ -2160,6 +2162,10 @@ object PipelineQueries {
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
       Similarity.buildLshIndex(corpus, "vec_id", "embedding", s"$dir/lsh",
         bits = 8, dim = EmbDim)
+      // state seeded from the in-memory frame: at THIS corpus size the
+      // 256-bucket-dir index read costs more than re-bucketing (measured
+      // 6.4 s → 7.8 s); clustersFromLshIndex is the bootstrap once the
+      // corpus frame itself is the expensive thing to produce
       Dedup.writeClusterState(
         Similarity.cosineClusters(corpus, "vec_id", "embedding", 0.99,
           bits = 8, dim = EmbDim),

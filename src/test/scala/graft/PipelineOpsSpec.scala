@@ -1479,6 +1479,41 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("index-bootstrap clusters ≡ monolithic (MinHash band index and LSH vector index)") {
+    val s = spark
+    import s.implicits._
+    val a = Array.fill(25)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val b = Array.fill(25)("one two three four five six seven").mkString(" ")
+    val corpus = Seq((1L, a), (2L, a), (3L, b), (4L, b + " tail"), (5L, "lone text")).toDF("doc_id", "text")
+    withTempDir { dir =>
+      graft.operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      val fromIdx = graft.operators.Dedup
+        .clustersFromMinhashIndex(spark, s"$dir/idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mono = graft.operators.Dedup
+        .dedupClusters(corpus, "doc_id", "text")
+        .select("doc_id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(fromIdx === mono, s"fromIdx=$fromIdx mono=$mono")
+    }
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray.padTo(8, 0.0f)
+    val vecs = Seq(
+      (1L, v(10, 1)), (2L, v(20, 2)), (3L, v(10, -1)), (4L, v(0, 0, 7))
+    ).toDF("vec_id", "embedding")
+    withTempDir { dir =>
+      graft.operators.Similarity.buildLshIndex(vecs, "vec_id", "embedding", s"$dir/lsh",
+        bits = 2, dim = 8)
+      val fromIdx = graft.operators.Similarity
+        .clustersFromLshIndex(spark, s"$dir/lsh", 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mono = graft.operators.Similarity
+        .cosineClusters(vecs, "vec_id", "embedding", 0.99, bits = 2, dim = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(fromIdx === mono, s"fromIdx=$fromIdx mono=$mono")
+      assert(fromIdx(2L) === 1L, fromIdx.toString) // the copies really cluster
+    }
+  }
+
   test("clusterIngestLoop: versioned state advances per epoch; replay and crash recovery converge") {
     val s = spark
     import s.implicits._
