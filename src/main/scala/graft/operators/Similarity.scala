@@ -216,6 +216,62 @@ object Similarity {
         lshBucket(col(vecCol), planes).as("bucket")
       )
       .withColumn("nn", sqrt(expr("graft_dot(nv, nv)")))
+    val qb = broadcast(multiProbeQuerySide(queries, idCol, vecCol, planes, bits, nProbe, ""))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cb.join(qb, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-probe LSH top-k against a PERSISTED index ([[buildLshIndex]]) —
+    * the probe set meets the index's bucket-partitioned layout: each of a
+    * query's nProbe bucket keys names one partition directory, so the
+    * candidate fetch is a partition-pruned read of nProbe directories per
+    * query, never an index scan. Identical results to
+    * [[lshMultiProbeTopK]] over the indexed corpus (pinned in
+    * PipelineOpsSpec); `bits`/`seed`/`dim` must match the build.
+    */
+  def lshMultiProbeTopKFromIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      path: String,
+      bits: Int = 8,
+      nProbe: Int = 3,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame = {
+    require(nProbe >= 1 && nProbe <= bits + 1, s"nProbe must be in [1, bits+1], got $nProbe")
+    VectorExpressions.install(queries.sparkSession)
+    val planes = hyperplanes(bits, dimOf(queries, vecCol, dim), seed)
+    val cb = queries.sparkSession.read.parquet(path)
+    val qb = broadcast(multiProbeQuerySide(queries, idCol, vecCol, planes, bits, nProbe, "b"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cb.join(qb, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Shared query side of the multi-probe pair: per-plane dots, the base
+    * bucket, the (nProbe − 1) smallest-|margin| bit flips, exploded to one
+    * row per (query, probe bucket), with `bucketPrefix` matching the
+    * target layout ("" in-memory, "b" for the persisted index's
+    * type-safe directory values).
+    */
+  private def multiProbeQuerySide(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Array[Array[Float]],
+      bits: Int,
+      nProbe: Int,
+      bucketPrefix: String
+  ): DataFrame = {
     val withDots = queries
       .select(
         col(idCol).as("query_id") +: col(vecCol).as("qv") +:
@@ -241,21 +297,14 @@ object Similarity {
       baseBucket +: (0 until nProbe - 1).map(j =>
         bucketFlippedAt(element_at(margins, j + 1).getField("p"))): _*
     )
-    val qb = broadcast(
-      withDots
-        .select(
-          col("query_id"),
-          col("qv"),
-          explode(probeBuckets).as("bucket")
-        )
-        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
-    )
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cb.join(qb, "bucket")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    withDots
+      .select(col("query_id"), col("qv"), explode(probeBuckets).as("_bk")) // generator first
+      .select(
+        col("query_id"),
+        col("qv"),
+        concat(lit(bucketPrefix), col("_bk")).as("bucket")
+      )
+      .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
   }
 
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale path:

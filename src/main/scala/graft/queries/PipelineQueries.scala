@@ -1248,6 +1248,51 @@ object PipelineQueries {
         .withColumn("recall_ppm", expr("hits * 1000000L div 50").cast("long"))
     },
 
+    // E286 multi-probe against the PERSISTED index: each query's nProbe
+    // bucket keys name partition directories of the buildLshIndex layout,
+    // so the candidate fetch is a partition-pruned read of nProbe dirs per
+    // query — multi-probe recall at single-probe I/O shape. Same twin as
+    // the in-memory path (identical results through the on-disk read is
+    // the point; also pinned index≡direct in PipelineOpsSpec).
+    QEntry.sql(
+      "ann_multiprobe_index",
+      s"""WITH ${bucketsSql(bits = 4)},
+         |qd AS (SELECT vec_id, e, p, list_dot_product(e, w) AS dd
+         |       FROM vecs, planes WHERE vec_id < 5),
+         |qbase AS (SELECT vec_id, e,
+         |    string_agg(CASE WHEN dd >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM qd GROUP BY vec_id, e),
+         |qflip AS (SELECT vec_id, p,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(dd), p) AS rk FROM qd),
+         |probes AS (
+         |  SELECT vec_id, e, bucket FROM qbase
+         |  UNION ALL
+         |  SELECT b.vec_id, b.e,
+         |    substr(b.bucket, 1, CAST(f.p AS INT)) ||
+         |    (CASE WHEN substr(b.bucket, CAST(f.p AS INT) + 1, 1) = '1'
+         |          THEN '0' ELSE '1' END) ||
+         |    substr(b.bucket, CAST(f.p AS INT) + 2) AS bucket
+         |  FROM qbase b JOIN qflip f ON b.vec_id = f.vec_id AND f.rk <= 2)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT pr.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round(list_dot_product(pr.e, c.e) /
+         |            (sqrt(list_dot_product(pr.e, pr.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos
+         |    FROM probes pr JOIN buckets c ON pr.bucket = c.bucket AND c.vec_id != pr.vec_id) s) r
+         |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-mpidx").resolve("lsh").toString
+      Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, bits = 4, dim = EmbDim)
+      Similarity
+        .lshMultiProbeTopKFromIndex(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          dir, bits = 4, nProbe = 3, dim = EmbDim)
+        .withColumn("rank", col("rank").cast("bigint"))
+    },
+
     // IVF coarse-quantizer approximate top-k — the inverted-list ANN scale
     // path. Stride centroids are deterministic, so the twin replays the whole
     // assign → probe → rank pipeline (cell argmax on unrounded cosine, exact

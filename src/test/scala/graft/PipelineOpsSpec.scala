@@ -540,6 +540,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recalls == recalls.sorted, s"recall not monotone in nProbe: $recalls")
     assert(recalls.last > recalls.head,
       s"probing extra buckets never helped on this fixture: $recalls")
+    // the persisted-index path returns exactly the in-memory results —
+    // probes meet the bucket-partitioned layout as pruned directory reads
+    withTempDir { dir =>
+      Similarity.buildLshIndex(df, "vec_id", "embedding", s"$dir/lsh", bits = 3, seed = 3)
+      val fromIdx = resultSet(Similarity.lshMultiProbeTopKFromIndex(
+        queries, "vec_id", "embedding", 5, s"$dir/lsh", bits = 3, nProbe = 3, seed = 3))
+      val direct = resultSet(Similarity.lshMultiProbeTopK(
+        df, queries, "vec_id", "embedding", 5, bits = 3, nProbe = 3, seed = 3))
+      assert(fromIdx === direct, s"fromIdx=$fromIdx direct=$direct")
+    }
   }
 
   test("z-order: interleaving matches reference morton code; clustering gives compact partition boxes") {
