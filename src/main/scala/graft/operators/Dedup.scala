@@ -1554,7 +1554,78 @@ object Dedup {
       deletedIds: DataFrame,
       indexPath: String,
       clusterStatePath: String
-  ): DataFrame = {
+  ): DataFrame =
+    repairClusterStateWith(spark, deletedIds, clusterStatePath) { members =>
+      val bands = spark.read
+        .parquet(indexPath)
+        .join(broadcast(members), Seq("id"))
+        .select(col("id"), col("band"))
+        .localCheckpoint()
+      bands
+        .join(bands.select(col("id").as("_id2"), col("band")), "band")
+        .filter(col("id") < col("_id2"))
+        .select(col("id").as("id1"), col("_id2").as("id2"))
+        .distinct()
+    }
+
+  /** [[repairClusterState]] for the PERCEPTUAL family: surviving members
+    * of affected clusters re-pair through their stored band integers in a
+    * [[buildHammingIndex]] index (post-deletion — run
+    * `IndexMaintenance.deleteRows` first), with exact Hamming verification
+    * on the candidates. Result ≡ `hammingClusters(sketches ∖ deleted)` —
+    * bridge-split and relabel pinned in PipelineOpsSpec.
+    */
+  def repairHammingClusterState(
+      spark: org.apache.spark.sql.SparkSession,
+      deletedIds: DataFrame,
+      indexPath: String,
+      clusterStatePath: String,
+      maxHamming: Int = 3
+  ): DataFrame =
+    repairClusterStateWith(spark, deletedIds, clusterStatePath) { members =>
+      val rows = spark.read
+        .parquet(indexPath)
+        .join(broadcast(members), Seq("id"))
+        .select(col("id") +: (0 until 4).map(b => col(s"i$b")): _*)
+        .localCheckpoint()
+      val banded = rows.select(
+        (col("id") +: (0 until 4).map(b => col(s"i$b"))) :+
+          posexplode(array((0 until 4).map(b => col(s"i$b")): _*)).as(Seq("_band", "_bv")): _*
+      )
+      banded
+        .join(
+          banded.select(
+            (col("id").as("_id2") +: (0 until 4).map(b => col(s"i$b").as(s"j$b"))) :+
+              col("_band") :+ col("_bv"): _*),
+          Seq("_band", "_bv"))
+        .filter(col("id") < col("_id2"))
+        .select(
+          col("id").as("id1"),
+          col("_id2").as("id2"),
+          (0 until 4)
+            .map(b => bit_count(col(s"i$b").bitwiseXOR(col(s"j$b"))))
+            .reduce(_ + _)
+            .as("_ham")
+        )
+        .filter(col("_ham") <= maxHamming)
+        .select("id1", "id2")
+        .distinct()
+    }
+
+  /** The deletion-repair core shared by every index family: affected
+    * labels → surviving members (both broadcast-bounded state scans) →
+    * caller-supplied pairs among those members (from the family's
+    * POST-DELETION index) → connected components → merge with the
+    * untouched state. Public for the same reason as
+    * [[incrementalClustersFromPairs]]: any family with a persisted pair
+    * source composes the same way (`Similarity.clustersFromLshIndex`'s
+    * pair derivation serves the vector index).
+    */
+  def repairClusterStateWith(
+      spark: org.apache.spark.sql.SparkSession,
+      deletedIds: DataFrame,
+      clusterStatePath: String
+  )(pairsOf: DataFrame => DataFrame): DataFrame = {
     val del = deletedIds.toDF("id")
     val state = spark.read.parquet(clusterStatePath).select(col("id"), col("cluster_id"))
     val affectedLabels = state
@@ -1568,17 +1639,7 @@ object Dedup {
       .join(broadcast(del), Seq("id"), "left_anti")
       .select(col("id"))
       .localCheckpoint()
-    val bands = spark.read
-      .parquet(indexPath)
-      .join(broadcast(members), Seq("id"))
-      .select(col("id"), col("band"))
-      .localCheckpoint()
-    val pairs = bands
-      .join(bands.select(col("id").as("_id2"), col("band")), "band")
-      .filter(col("id") < col("_id2"))
-      .select(col("id").as("id1"), col("_id2").as("id2"))
-      .distinct()
-    val repaired = connectedComponents(pairs, members)
+    val repaired = connectedComponents(pairsOf(members), members)
       .select(col("id"), col("comp").as("cluster_id"))
     state
       .join(broadcast(affectedLabels), Seq("cluster_id"), "left_anti")

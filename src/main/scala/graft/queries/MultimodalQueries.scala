@@ -398,6 +398,78 @@ object MultimodalQueries {
         )
     },
 
+    // E287 perceptual forget-repair: every second ORIGINAL (media_id % 6 =
+    // 0 — the min-id member of its {original, resize} cluster) is deleted
+    // from the Hamming sketch index (IndexMaintenance.deleteRows) and the
+    // persisted cluster state is repaired from the POST-deletion band
+    // integers — orphaned resizes relabel to themselves, untouched
+    // clusters pass through. The twin recomputes the cluster fixpoint
+    // monolithically over the post-deletion universe, so the hash match is
+    // the perceptual-family repair ≡ full-recompute proof (the split case
+    // is pinned on synthetic sketches in PipelineOpsSpec).
+    QEntry.sql(
+      "mm_dhash_forget_repair", {
+        val dhOrig = dhashSqlWith(i => s"(($i * h) // 9)")
+        val dhResz = dhashSqlWith(i => s"(2 * (($i * (h // 2)) // 9))")
+        val ham =
+          """CAST(list_sum(list_transform(range(1, 65), i ->
+            |  CASE WHEN substr(x.dh, CAST(i AS INT), 1) != substr(y.dh, CAST(i AS INT), 1)
+            |       THEN 1 ELSE 0 END)) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH RECURSIVE t AS (SELECT doc_id, text, strlen(text) // 24 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |o AS (SELECT doc_id AS media_id, $dhOrig AS dh FROM t
+           |      WHERE h >= 9 AND doc_id % 6 != 0),
+           |r AS (SELECT doc_id + 1000000 AS media_id, $dhResz AS dh
+           |      FROM t WHERE h // 2 >= 9),
+           |a AS (SELECT * FROM o UNION ALL SELECT * FROM r),
+           |bb AS (SELECT media_id, dh, bidx,
+           |         substr(dh, CAST(bidx * 16 + 1 AS INT), 16) AS bv
+           |       FROM (SELECT media_id, dh, unnest(range(0, 4)) AS bidx FROM a) z),
+           |pairs AS (SELECT DISTINCT id1, id2 FROM (
+           |  SELECT x.media_id AS id1, y.media_id AS id2, $ham AS hamming
+           |  FROM bb x JOIN bb y
+           |    ON x.bidx = y.bidx AND x.bv = y.bv AND x.media_id < y.media_id) p
+           |  WHERE hamming <= 6),
+           |edges AS (SELECT id1 AS s2, id2 AS d2 FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT media_id, media_id FROM a
+           |  UNION
+           |  SELECT e.s2, c.comp FROM edges e JOIN cc c ON e.d2 = c.id)
+           |SELECT id AS media_id, min(comp) AS cluster_id,
+           |       count(*) OVER (PARTITION BY min(comp)) AS cluster_size
+           |FROM cc GROUP BY id""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val images = Multimodal
+        .synthesizeMedia(documents(s, d))
+        .filter((r: Multimodal.MediaRecord) => r.modality == "image")
+      val resized = Multimodal
+        .resizeVertical(images, 2)
+        .map(r => r.copy(media_id = r.media_id + 1000000L))
+      val corpus = Multimodal.imageDHashes(images.union(resized))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dhrep").toString
+      Dedup.buildHammingIndex(corpus, "media_id", "dhash", s"$dir/idx")
+      Dedup.writeClusterState(
+        Dedup.hammingClusters(corpus, "media_id", "dhash", maxHamming = 6),
+        "media_id", "cluster_id", s"$dir/state")
+      val deleted = images
+        .filter((r: Multimodal.MediaRecord) => r.media_id % 6 == 0)
+        .map((r: Multimodal.MediaRecord) => r.media_id)
+        .toDF("id")
+      graft.operators.IndexMaintenance.deleteRows(s, deleted, s"$dir/idx", "id", Seq("band_pfx"))
+      Dedup
+        .repairHammingClusterState(s, deleted, s"$dir/idx", s"$dir/state", maxHamming = 6)
+        .select(col("id").as("media_id"), col("cluster_id"))
+        .withColumn(
+          "cluster_size",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id")))
+        )
+    },
+
     // E266 media keep-policy: per perceptual cluster keep the HIGHEST-
     // RESOLUTION member (tallest decoded raster; ties to min id) — the
     // media analog of dedup_keep_policy's quality rule, and the decision

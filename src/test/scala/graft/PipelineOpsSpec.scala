@@ -1625,6 +1625,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("repairHammingClusterState: bridge deletion splits the chain; untouched clusters persist") {
+    val s = spark
+    import s.implicits._
+    def bits(seed: Long): String =
+      (0 until 64).map(i => if (((seed >> (i % 63)) & 1L) == 1L) '1' else '0').mkString
+    def flip(b: String, is: Int*): String =
+      is.foldLeft(b)((acc, i) => acc.updated(i, if (acc(i) == '1') '0' else '1'))
+    val base = bits(0x3c3c3c3c3c3cL)
+    val far = bits(0x9999aaaabbbbL)
+    // chain cluster {1,2,3}: 1–2 and 2–3 at Hamming 2, 1–3 at 4 — doc 2 is
+    // the only bridge; {10,11} is an untouched cluster
+    val corpus = Seq(
+      (1L, base), (2L, flip(base, 0, 1)), (3L, flip(base, 0, 1, 2, 3)),
+      (10L, far), (11L, flip(far, 9))
+    ).toDF("id", "bits")
+    withTempDir { dir =>
+      graft.operators.Dedup.buildHammingIndex(corpus, "id", "bits", s"$dir/idx")
+      graft.operators.Dedup.writeClusterState(
+        graft.operators.Dedup.hammingClusters(corpus, "id", "bits", maxHamming = 3),
+        "id", "cluster_id", s"$dir/state")
+      val deleted = Seq(2L).toDF("id")
+      graft.operators.IndexMaintenance.deleteRows(spark, deleted, s"$dir/idx", "id", Seq("band_pfx"))
+      val repaired = graft.operators.Dedup
+        .repairHammingClusterState(spark, deleted, s"$dir/idx", s"$dir/state", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mono = graft.operators.Dedup
+        .hammingClusters(corpus.filter(col("id") =!= 2L), "id", "bits", maxHamming = 3)
+        .select("id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(repaired === mono, s"repaired=$repaired mono=$mono")
+      assert(repaired(1L) === 1L && repaired(3L) === 3L, repaired.toString) // the chain split
+      assert(repaired(10L) === 10L && repaired(11L) === 10L) // untouched cluster intact
+      assert(!repaired.contains(2L))
+    }
+  }
+
   test("compactMinhashIndex: one-layout rewrite, pairing unchanged, dirs collapse") {
     val s = spark
     import s.implicits._
