@@ -1563,6 +1563,83 @@ object PipelineQueries {
         )
     },
 
+    // E288 per-INGEST disposition — the accept/reject surface a daily
+    // ingest actually acts on, composed from the maintained state: each
+    // batch doc is 'dup' when an earlier doc (corpus or batch sibling)
+    // owns its incremental cluster (cluster_id < own id ⇔ cluster_id ≠
+    // own id under min-label canonicalization), else gated on the
+    // oracle-agreed rounded quality of ITS OWN text — O(batch) text work
+    // end to end, state seeded from the index. Batch mixes verbatim
+    // re-sends (all 'dup') with novel reversed docs (kept / low_quality by
+    // the gate). Twin: the incremental-clusters replay restricted to batch
+    // rows, joined with the quality CASE.
+    QEntry.sql(
+      "pipe_incremental_disposition", {
+        val qualSql = TextQueries.qualityExprSql
+        val batchRel =
+          """(SELECT doc_id + 2000000 AS doc_id, text FROM documents
+            |   WHERE doc_id % 200 = 0
+            | UNION ALL SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
+            |   FROM documents WHERE doc_id % 137 = 0)""".stripMargin.replaceAll("\\s+", " ")
+        val unionRel =
+          s"""(SELECT doc_id, text FROM documents
+             | UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             |   WHERE doc_id % 100 = 0
+             | UNION ALL SELECT doc_id, text FROM $batchRel b)"""
+            .stripMargin.replaceAll("\\s+", " ")
+        s"""WITH RECURSIVE ab AS (${bandsSqlOver(unionRel)}),
+           |pairs AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+           |    greatest(a.doc_id, b.doc_id) AS id2
+           |  FROM ab a JOIN ab b ON a.band = b.band AND a.doc_id != b.doc_id),
+           |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM $unionRel u
+           |  UNION
+           |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id),
+           |docs2 AS (SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id),
+           |bq AS (SELECT doc_id, $qualSql AS quality FROM $batchRel bb)
+           |SELECT b.doc_id, d.cluster_id, b.quality,
+           |  CASE WHEN d.cluster_id != b.doc_id THEN 'dup'
+           |       WHEN b.quality < 0.6 THEN 'low_quality'
+           |       ELSE 'kept' END AS disposition
+           |FROM bq b JOIN docs2 d ON d.id = b.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-incdisp").toString
+      val corpus = docs
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      Dedup.writeClusterState(
+        Dedup.clustersFromMinhashIndex(s, s"$dir/idx"),
+        "id", "cluster_id", s"$dir/state")
+      val batch = docs
+        .filter(col("doc_id") % 200 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 137 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), reverse(col("text")).as("text")))
+      val assign = Dedup
+        .incrementalClusters(batch, "doc_id", "text", s"$dir/idx", s"$dir/state")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      batch
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .join(assign, "doc_id")
+        .select(
+          col("doc_id"),
+          col("cluster_id"),
+          col("quality"),
+          when(col("cluster_id") =!= col("doc_id"), "dup")
+            .when(col("quality") < 0.6, "low_quality")
+            .otherwise("kept")
+            .as("disposition")
+        )
+    },
+
     // E274 near-dup DECONTAMINATION against the persisted band index: the
     // benchmark set (an eval slice re-sent under fresh ids — every 50th
     // document verbatim, the test-set-leaked-into-train case) is signed
