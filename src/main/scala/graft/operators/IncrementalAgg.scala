@@ -117,4 +117,99 @@ object IncrementalAgg {
       .unionByName(broadcast(rDelta).join(sOld, keys))
       .unionByName(broadcast(rDelta).join(broadcast(sDelta), keys))
   }
+
+  /** [[deltaJoin]] with DELETIONS — the signed-multiplicity derivative the
+    * insert-only version documents out of scope. Delta frames carry a
+    * `mult` column (+1 insert, −1 delete, targeting an existing old row);
+    * the three derivative terms multiply multiplicities, so compound cases
+    * cancel algebraically (deleting an order AND its customer in one delta
+    * nets −1 −1 +1 = −1 against the old view row — exactly one removal).
+    * Apply with [[applySignedDelta]]. Same broadcast-the-delta scale shape
+    * as [[deltaJoin]].
+    */
+  def deltaJoinSigned(
+      rOld: DataFrame,
+      rDelta: DataFrame,
+      sOld: DataFrame,
+      sDelta: DataFrame,
+      keys: Seq[String]
+  ): DataFrame = {
+    require(keys.nonEmpty, "deltaJoinSigned needs at least one join key")
+    val r0 = rOld.withColumn("_rm", lit(1L))
+    val rd = rDelta.withColumnRenamed("mult", "_rm")
+    val s0 = sOld.withColumn("_sm", lit(1L))
+    val sd = sDelta.withColumnRenamed("mult", "_sm")
+    r0
+      .join(broadcast(sd), keys)
+      .unionByName(broadcast(rd).join(s0, keys))
+      .unionByName(broadcast(rd).join(broadcast(sd), keys))
+      .withColumn("mult", (col("_rm") * col("_sm")).cast("long"))
+      .drop("_rm", "_sm")
+  }
+
+  /** Fold a signed view delta into the maintained view: rows group on
+    * their full value tuple and net multiplicities; net-zero rows vanish.
+    * Contract: view rows are unique (the keyed-fact shape — TPC-H orders ×
+    * customers), so every net multiplicity is 0 or 1; a genuine bag view
+    * would re-expand multiplicities instead. The identity
+    * applySignedDelta(V_old, deltaJoinSigned(...)) ≡ (R∖D_R∪I_R) ⋈
+    * (S∖D_S∪I_S) is what the `pipe_delta_join_signed` entry pins against a
+    * full post-churn recompute.
+    */
+  def applySignedDelta(vOld: DataFrame, delta: DataFrame): DataFrame = {
+    val cols = vOld.columns.toSeq
+    vOld
+      .withColumn("mult", lit(1L))
+      .unionByName(delta.select((cols :+ "mult").map(col): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("mult")).as("_m"))
+      .filter(col("_m") =!= 0L)
+      .select(cols.map(col): _*)
+  }
+
+  /** Per-key RETRACTABLE state — the deletion-capable subset of [[state]]:
+    * (count, sum) are group homomorphisms, so a deletion is addition with
+    * multiplicity −1 and merge stays plain re-aggregation; min/max are NOT
+    * retractable (removing the current minimum needs a re-scan of that
+    * key's rows), so this state deliberately omits them — keyed
+    * recomputation of affected keys is the honest fallback when a pipeline
+    * needs retractable extrema. `multCol`: +1 inserts, −1 deletes.
+    */
+  def signedState(df: DataFrame, keys: Seq[String], valueCol: String, multCol: String): DataFrame = {
+    require(keys.nonEmpty, "signedState needs at least one key column")
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        sum(col(multCol)).cast("long").as("st_cnt"),
+        sum(col(multCol) * col(valueCol)).cast("long").as("st_sum")
+      )
+  }
+
+  /** Merge retractable states (re-aggregate the partials) and drop keys
+    * whose net count reached zero — a fully-retracted key leaves the state
+    * entirely, matching what a recompute over the post-deletion facts
+    * would produce.
+    */
+  def mergeSigned(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeSigned needs at least one state frame")
+    states
+      .reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("st_cnt").cast("long").as("st_cnt"),
+        sum("st_sum").cast("long").as("st_sum")
+      )
+      .filter(col("st_cnt") =!= 0L)
+  }
+
+  /** Finalize the retractable state: count, sum, truncating avg — the
+    * min/max-free counterpart of [[finalize]].
+    */
+  def finalizeSigned(stateDf: DataFrame, keys: Seq[String]): DataFrame =
+    stateDf.select(
+      keys.map(col) ++ Seq(
+        col("st_cnt").as("cnt"),
+        col("st_sum").as("sum_units"),
+        expr("st_sum div st_cnt").cast("long").as("avg_units")
+      ): _*
+    )
 }

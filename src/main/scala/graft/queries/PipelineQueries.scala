@@ -3259,6 +3259,80 @@ object PipelineQueries {
         .join(sOld, "custkey") // V_old — materialized once, before the deltas
         .unionByName(IncrementalAgg.deltaJoin(rOld, rDelta, sOld, sDelta, Seq("custkey")))
         .select("o_orderkey", "custkey", "segment", "cents")
+    },
+
+    // E289 delta-join maintenance WITH DELETIONS: the same view advanced
+    // under a churn delta — inserts (+1) AND deletes (−1) on both sides,
+    // including orders whose customer is deleted in the same delta (the
+    // compound case whose three derivative terms must cancel
+    // algebraically: −1 −1 +1 = −1). The oracle recomputes the join over
+    // the post-churn tables from scratch, so the hash match pins
+    // applySignedDelta(V_old, ΔV) ≡ (R ∖ D_R ∪ I_R) ⋈ (S ∖ D_S ∪ I_S).
+    QEntry.sql(
+      "pipe_delta_join_signed",
+      """SELECT o_orderkey, o_custkey AS custkey, c_mktsegment AS segment,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE ((o_orderkey % 10 < 9 AND o_orderkey % 17 != 0) OR o_orderkey % 10 = 9)
+        |  AND ((c_custkey % 10 < 9 AND c_custkey % 23 != 0) OR c_custkey % 10 = 9)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val r = orders(s, d).select(
+        col("o_orderkey"),
+        col("o_custkey").as("custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents")
+      )
+      val cust = customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+      val rOld = r.filter(col("o_orderkey") % 10 < 9)
+      val sOld = cust.filter(col("custkey") % 10 < 9)
+      val rDelta = r.filter(col("o_orderkey") % 10 === 9).withColumn("mult", lit(1L))
+        .unionByName(rOld.filter(col("o_orderkey") % 17 === 0).withColumn("mult", lit(-1L)))
+      val sDelta = cust.filter(col("custkey") % 10 === 9).withColumn("mult", lit(1L))
+        .unionByName(sOld.filter(col("custkey") % 23 === 0).withColumn("mult", lit(-1L)))
+      val vOld = rOld.join(sOld, "custkey").select("o_orderkey", "custkey", "segment", "cents")
+      IncrementalAgg
+        .applySignedDelta(
+          vOld,
+          IncrementalAgg.deltaJoinSigned(rOld, rDelta, sOld, sDelta, Seq("custkey"))
+            .select("o_orderkey", "custkey", "segment", "cents", "mult"))
+        .select("o_orderkey", "custkey", "segment", "cents")
+    },
+
+    // E290 retractable aggregate state: per-(status, year) order aggregates
+    // maintained under DELETIONS — (count, sum) are group homomorphisms,
+    // so a retraction is a −1-multiplicity partial and merge stays plain
+    // re-aggregation; min/max are deliberately absent (not retractable —
+    // removing the current extremum needs a keyed re-scan, the documented
+    // fallback). Fully-retracted groups leave the state entirely. Oracle:
+    // full recompute over the post-deletion facts.
+    QEntry.sql(
+      "pipe_incr_agg_retract",
+      """SELECT o_orderstatus AS status,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_units,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    // count(*) AS BIGINT) AS avg_units
+        |FROM orders WHERE o_orderkey % 17 != 0 GROUP BY 1, 2"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = orders(s, d).select(
+        col("o_orderstatus").as("status"),
+        year(col("o_orderdate").cast("date")).cast("long").as("yr"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+        col("o_orderkey")
+      )
+      val keys = Seq("status", "yr")
+      val full = IncrementalAgg
+        .signedState(base.withColumn("mult", lit(1L)), keys, "cents", "mult")
+      val retraction = IncrementalAgg
+        .signedState(
+          base.filter(col("o_orderkey") % 17 === 0).withColumn("mult", lit(-1L)),
+          keys, "cents", "mult")
+      IncrementalAgg.finalizeSigned(
+        IncrementalAgg.mergeSigned(Seq(full, retraction), keys), keys)
     }
   )
 }

@@ -154,4 +154,63 @@ class IncrementalAggSpec extends SparkSpec {
     val set = maintained.toSet
     assert(Seq((1L, 10L, "A"), (3L, 20L, "B"), (5L, 40L, "D"), (4L, 30L, "C")).forall(set))
   }
+
+  test("deltaJoinSigned + applySignedDelta equal the post-churn recompute, compound cases cancel") {
+    val s = spark
+    import s.implicits._
+    val rOld = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("ok", "custkey")
+    val sOld = Seq((10L, "A"), (20L, "B"), (30L, "C")).toDF("custkey", "seg")
+    // churn: insert order 4 (→ B); DELETE order 2 (→ B); DELETE order 3
+    // AND its customer 30 in the SAME delta (the −1·−1 = +1 term must
+    // cancel against the two single-sided −1s); insert order 5 referencing
+    // customer 30 deleted in this very delta (must NOT appear: +1 against
+    // old, −1 against the deletion, net 0)
+    val rDelta = Seq((4L, 20L, 1L), (2L, 20L, -1L), (3L, 30L, -1L), (5L, 30L, 1L))
+      .toDF("ok", "custkey", "mult")
+    val sDelta = Seq((30L, "C", -1L)).toDF("custkey", "seg", "mult")
+    val vOld = rOld.join(sOld, "custkey").select("ok", "custkey", "seg")
+    val maintained = IncrementalAgg
+      .applySignedDelta(
+        vOld,
+        IncrementalAgg.deltaJoinSigned(rOld, rDelta, sOld, sDelta, Seq("custkey"))
+          .select("ok", "custkey", "seg", "mult"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // post-churn truth: R = {1→10, 4→20}, S = {10, 20}
+    val full = Seq((1L, 10L), (4L, 20L)).toDF("ok", "custkey")
+      .join(Seq((10L, "A"), (20L, "B")).toDF("custkey", "seg"), "custkey")
+      .select("ok", "custkey", "seg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(maintained === full, s"maintained=$maintained full=$full")
+    assert(!maintained.exists(_._1 == 5L), "order referencing a same-delta-deleted customer leaked")
+  }
+
+  test("retractable state: deletion deltas equal the post-deletion recompute; drained keys vanish") {
+    val s = spark
+    import s.implicits._
+    val df = rows(400).withColumn("mult", lit(1L))
+    val keys = Seq("k")
+    // retract every 5th row; key 6 gets fully drained via a targeted pass
+    val retro = df.filter(col("slice_src") % 5 === 0).withColumn("mult", lit(-1L))
+    val drain = df.filter(col("k") === 6 && col("slice_src") % 5 =!= 0).withColumn("mult", lit(-1L))
+    val fin = IncrementalAgg
+      .finalizeSigned(
+        IncrementalAgg.mergeSigned(
+          Seq(
+            IncrementalAgg.signedState(df, keys, "v", "mult"),
+            IncrementalAgg.signedState(retro, keys, "v", "mult"),
+            IncrementalAgg.signedState(drain, keys, "v", "mult")
+          ), keys), keys)
+      .collect()
+      .map(r => (r.getInt(0), (r.getAs[Long]("cnt"), r.getAs[Long]("sum_units"), r.getAs[Long]("avg_units"))))
+      .toMap
+    val direct = rows(400)
+      .filter(col("slice_src") % 5 =!= 0 && col("k") =!= 6)
+      .groupBy("k")
+      .agg(count(lit(1)).cast("long").as("c"), sum("v").cast("long").as("s"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(2) / r.getLong(1))))
+      .toMap
+    assert(fin == direct, s"fin=$fin direct=$direct")
+    assert(!fin.contains(6), "fully-retracted key must leave the state")
+  }
 }
