@@ -87,6 +87,110 @@ object Retrieval {
       )
   }
 
+  /** Persist a BM25 retrieval index: per-(doc, term) tf POSTINGS
+    * (16-way term-hash-prefix partitioned — a query's terms prune to their
+    * prefix directories) plus a per-doc LENGTH sidecar. Deliberately NO
+    * materialized df/idf/score: global statistics go stale the moment a
+    * batch arrives, which is exactly why naive "index the scores" designs
+    * cannot ingest incrementally. Here df/N/avgdl are derived AT QUERY
+    * TIME from the current postings and sidecar ([[bm25TopDocsFromIndex]]),
+    * so [[appendBm25Index]] is a plain replay-idempotent partition append
+    * and every query automatically scores against up-to-date corpus
+    * statistics — ranking after any append sequence ≡ [[bm25TopDocs]] over
+    * the union corpus (the `txt_bm25_index` entry's oracle and
+    * RetrievalSpec pin it).
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    writeBm25(docs, idCol, textCol, path, 0L, dynamic = false)
+
+  /** Fold one accepted ingest into a [[buildBm25Index]] index — dynamic
+    * partition overwrite on the ingest's own partition, the replay-
+    * idempotence idiom shared with `Dedup.appendMinhashIndex`. Use ids > 0.
+    */
+  def appendBm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      ingestId: Long
+  ): Unit = {
+    require(ingestId > 0L, s"ingest ids start at 1 (0 is the initial build), got $ingestId")
+    writeBm25(docs, idCol, textCol, path, ingestId, dynamic = true)
+  }
+
+  private def writeBm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      ingestId: Long,
+      dynamic: Boolean
+  ): Unit = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("_t")).localCheckpoint()
+    def writer(df: DataFrame) = {
+      val w = df.withColumn("ingest_id", lit(ingestId)).write.mode("overwrite")
+      if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w
+    }
+    writer(
+      base
+        .select(col("id"), explode_outer(TextAnalysis.tokens(col("_t"))).as("term"))
+        .filter(col("term").isNotNull)
+        .groupBy(col("id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("term_pfx", pmod(xxhash64(col("term")), lit(16)))
+    ).partitionBy("ingest_id", "term_pfx").parquet(s"$path/postings")
+    writer(
+      base.select(col("id"), TextAnalysis.tokenCount(col("_t")).cast("long").as("dl"))
+    ).partitionBy("ingest_id").parquet(s"$path/docstats")
+  }
+
+  /** BM25 top-k per query term FROM a persisted index — identical
+    * arithmetic (and parenthesization) to [[bm25TopDocs]], with df, N and
+    * avgdl derived from the index's CURRENT state: one doc-count-sized
+    * sidecar scan for the corpus stats and a term-prefix-PRUNED postings
+    * read (the prefix predicates are constant-foldable, so only the query
+    * terms' 16ths of the postings are ever listed). Corpus text is never
+    * touched at query time.
+    */
+  def bm25TopDocsFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queryTerms: Seq[String],
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val dl = spark.read.parquet(s"$path/docstats").select(col("id"), col("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val pfxPred = queryTerms
+      .map(t => col("term_pfx") === pmod(xxhash64(lit(t)), lit(16)))
+      .reduce(_ || _)
+    val tf = spark.read
+      .parquet(s"$path/postings")
+      .filter(pfxPred && col("term").isin(queryTerms: _*))
+      .select(col("id"), col("term"), col("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    val score = idf * ((col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + (lit(k1) * ((lit(1.0) - lit(b)) + (lit(b) * (col("dl") / avgdl))))))
+    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("id"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("term"),
+        col("id"),
+        col("tf"),
+        col("dl"),
+        round(col("score"), 4).as("bm25"),
+        col("rank")
+      )
+  }
+
   /** Reciprocal Rank Fusion (Cormack et al. 2009) of two rankings — the
     * hybrid-search combiner (lexical ⊕ semantic, BM25 ⊕ dense retrieval)
     * every modern retrieval pipeline runs. RRF(d) = Σ_r 1/(c + rank_r(d)),

@@ -47,6 +47,42 @@ object RetrievalQueries {
       )
     },
 
+    // E291 persisted BM25 index with incremental ingest: build over the
+    // even docs, append the odds as ingest 1, query FROM the index — df,
+    // N and avgdl derive from the index's current postings+sidecar at
+    // query time (nothing score-shaped is materialized, which is what
+    // makes the append a plain idempotent partition write), so ranking
+    // after the append equals the monolithic BM25 over the whole corpus —
+    // the twin is txt_bm25_topdocs' full-corpus replay verbatim.
+    QEntry.sql(
+      "txt_bm25_index",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark', 'join', 'vector', 'stream') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+         |    (((s.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5) + 1.0)
+         |    * ((tf.tf * (1.2 + 1.0)) / (tf.tf + (1.2 * ((1.0 - 0.75)
+         |       + (0.75 * (dl.dl / (CAST(s.tot AS DOUBLE) / s.n_docs))))))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+         |SELECT term, doc_id, tf, dl, round(score, 4) AS bm25, rank
+         |FROM (SELECT scored.*, CAST(row_number() OVER
+         |        (PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |      FROM scored) t
+         |WHERE rank <= 5""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bm25idx").resolve("idx").toString
+      Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+      Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir, 1L)
+      Retrieval
+        .bm25TopDocsFromIndex(s, dir, Seq("spark", "join", "vector", "stream"), k = 5)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // Reciprocal Rank Fusion of the BM25 ranking with a plain
     // length-normalized-TF ranking (two genuinely different orders over
     // the same query terms) — the hybrid-search combiner. RRF in exact

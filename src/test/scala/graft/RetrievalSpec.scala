@@ -96,4 +96,46 @@ class RetrievalSpec extends SparkSpec {
     assert(rows("spark")._1 > rows("vector")._1)
     assert(rows.values.forall(_._1 >= 0.0))
   }
+
+  test("bm25 index: query-time stats make appends exact — ranking ≡ monolithic, idf moves") {
+    val s = spark
+    import s.implicits._
+    val corpus1 = Seq(
+      (1L, "apple banana cherry date elderberry fig grape"),
+      (2L, "apple apple kiwi lemon mango nectarine orange"),
+      (3L, "papaya quince raspberry strawberry tomato ugli vanilla")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "apple walnut xigua yam zucchini almond barley"),
+      (12L, "apple cashew dill endive fennel ginger herb")
+    ).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long](1), (r.getAs[Double]("bm25"), r.getAs[Long]("rank")))).toMap
+    withTempDir { dir =>
+      graft.operators.Retrieval.buildBm25Index(corpus1, "doc_id", "text", s"$dir/idx")
+      val before = rows(graft.operators.Retrieval
+        .bm25TopDocsFromIndex(spark, s"$dir/idx", Seq("apple"), k = 10))
+      val mono1 = rows(graft.operators.Retrieval
+        .bm25TopDocs(corpus1, "doc_id", "text", Seq("apple"), k = 10))
+      assert(before === mono1, s"before=$before mono1=$mono1")
+      graft.operators.Retrieval.appendBm25Index(batch, "doc_id", "text", s"$dir/idx", 1L)
+      val after = rows(graft.operators.Retrieval
+        .bm25TopDocsFromIndex(spark, s"$dir/idx", Seq("apple"), k = 10))
+      val mono2 = rows(graft.operators.Retrieval
+        .bm25TopDocs(corpus1.unionByName(batch), "doc_id", "text", Seq("apple"), k = 10))
+      // the append changed df (2→4) and N/avgdl — the index's query-time
+      // statistics must track, so post-append ranking equals the monolithic
+      // recompute over the union…
+      assert(after === mono2, s"after=$after mono2=$mono2")
+      // …and doc 1's score really moved even though doc 1 never changed —
+      // the staleness a materialized-score index would silently keep
+      assert(after(1L)._1 != before(1L)._1, s"idf did not move: $before -> $after")
+      assert(after.contains(11L) && after.contains(12L))
+      // replayed append is a no-op (dynamic overwrite of its own partition)
+      graft.operators.Retrieval.appendBm25Index(batch, "doc_id", "text", s"$dir/idx", 1L)
+      val replay = rows(graft.operators.Retrieval
+        .bm25TopDocsFromIndex(spark, s"$dir/idx", Seq("apple"), k = 10))
+      assert(replay === after)
+    }
+  }
 }
