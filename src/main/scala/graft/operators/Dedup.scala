@@ -1461,20 +1461,8 @@ object Dedup {
     * (self-overwrite guard). Run between ingests; the next append starts a
     * fresh ingest_id sequence.
     */
-  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val rows = spark.read
-      .parquet(path)
-      .select(col("id"), col("band"), col("band_pfx"))
-      .withColumn("ingest_id", lit(0L))
-      .localCheckpoint()
-    // one writer task per band_pfx dir — the whole point is fewer files
-    rows
-      .repartition(16, col("band_pfx"))
-      .write
-      .mode("overwrite")
-      .partitionBy("ingest_id", "band_pfx")
-      .parquet(path)
-  }
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    IndexMaintenance.compact(spark, path, Seq("ingest_id", "band_pfx"))
 
   /** Operational health read of a [[buildMinhashIndex]] index — the numbers
     * an operator checks before picking [[incrementalNearDupPairs]]'s

@@ -44,4 +44,31 @@ object IndexMaintenance {
     val w = survivors.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** Small-file compaction for ANY ingest-partitioned index — the generic
+    * counterpart of `Dedup.compactMinhashIndex` (which delegates here):
+    * replay-idempotent appends pay one `ingest_id=<k>` partition per
+    * accepted batch, so a long-running loop accumulates directories and
+    * tiny files; this folds every ingest back into the initial build's
+    * `ingest_id=0` layout with one writer task per remaining partition
+    * value. Row content is untouched, so any read path over the index is
+    * byte-equivalent before and after. Survivors materialize before the
+    * in-place overwrite (self-overwrite guard). Run between ingests.
+    *
+    * @param partitionCols the layout's partition columns, `ingestCol`
+    *                      first when present (it is reset to 0)
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      ingestCol: Option[String] = Some("ingest_id")
+  ): Unit = {
+    val rows0 = spark.read.parquet(path)
+    val rows = ingestCol.fold(rows0)(c => rows0.withColumn(c, lit(0L))).localCheckpoint()
+    val shuffled =
+      if (partitionCols.nonEmpty) rows.repartition(partitionCols.map(col): _*) else rows.coalesce(1)
+    val w = shuffled.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
 }

@@ -83,6 +83,47 @@ object RetrievalQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // E292 retrieval right-to-be-forgotten: every fifth document's rows
+    // leave postings AND sidecar via the generic index deletion, and —
+    // because nothing score-shaped is materialized — df, N and avgdl
+    // CORRECT THEMSELVES at the next query: the twin recomputes BM25 over
+    // the post-deletion corpus from scratch and the hash matches. A
+    // materialized-score index would keep ranking every survivor against
+    // the deleted doc's ghost statistics.
+    QEntry.sql(
+      "txt_bm25_forget",
+      s"""WITH d2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+         |dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl FROM d2),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM d2),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark', 'join', 'vector', 'stream') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+         |    (((s.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5) + 1.0)
+         |    * ((tf.tf * (1.2 + 1.0)) / (tf.tf + (1.2 * ((1.0 - 0.75)
+         |       + (0.75 * (dl.dl / (CAST(s.tot AS DOUBLE) / s.n_docs))))))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+         |SELECT term, doc_id, tf, dl, round(score, 4) AS bm25, rank
+         |FROM (SELECT scored.*, CAST(row_number() OVER
+         |        (PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |      FROM scored) t
+         |WHERE rank <= 5""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bm25fgt").resolve("idx").toString
+      Retrieval.buildBm25Index(docs, "doc_id", "text", dir)
+      val deleted = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id"))
+      graft.operators.IndexMaintenance
+        .deleteRows(s, deleted, s"$dir/postings", "id", Seq("ingest_id", "term_pfx"))
+      graft.operators.IndexMaintenance
+        .deleteRows(s, deleted, s"$dir/docstats", "id", Seq("ingest_id"))
+      Retrieval
+        .bm25TopDocsFromIndex(s, dir, Seq("spark", "join", "vector", "stream"), k = 5)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // Reciprocal Rank Fusion of the BM25 ranking with a plain
     // length-normalized-TF ranking (two genuinely different orders over
     // the same query terms) — the hybrid-search combiner. RRF in exact

@@ -136,6 +136,19 @@ class RetrievalSpec extends SparkSpec {
       val replay = rows(graft.operators.Retrieval
         .bm25TopDocsFromIndex(spark, s"$dir/idx", Seq("apple"), k = 10))
       assert(replay === after)
+      // generic compaction folds the ingest partitions back into one
+      // layout; ranking is byte-equivalent before and after
+      graft.operators.IndexMaintenance.compact(
+        spark, s"$dir/idx/postings", Seq("ingest_id", "term_pfx"))
+      graft.operators.IndexMaintenance.compact(
+        spark, s"$dir/idx/docstats", Seq("ingest_id"))
+      def ingestDirs(p: String) =
+        new java.io.File(p).listFiles.map(_.getName).filter(_.startsWith("ingest_id=")).sorted
+      assert(ingestDirs(s"$dir/idx/postings").sameElements(Array("ingest_id=0")))
+      assert(ingestDirs(s"$dir/idx/docstats").sameElements(Array("ingest_id=0")))
+      val compacted = rows(graft.operators.Retrieval
+        .bm25TopDocsFromIndex(spark, s"$dir/idx", Seq("apple"), k = 10))
+      assert(compacted === after, s"compacted=$compacted after=$after")
     }
   }
 }
