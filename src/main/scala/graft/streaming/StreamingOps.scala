@@ -348,9 +348,14 @@ object StreamingOps {
           stFs.listStatus(stDir).map(_.getPath.getName)
             .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
         else Array.empty[Long]
+      // some version ≤ this batch must exist: v=0 for a fresh stream, or a
+      // later version once pruneClusterStateVersions retired the early ones
+      // (legal — pruning runs after epochs commit, and committed epochs
+      // replay through the _SUCCESS gate, never through a state read)
       require(
-        versions.contains(0L),
-        s"seed state v=0 missing under $statePath — writeClusterState the initial corpus clusters first"
+        versions.exists(_ <= batchId),
+        s"no state version ≤ batch $batchId under $statePath — seed v=0 with " +
+          "writeClusterState first, or pruning outran an uncommitted epoch"
       )
       val readV = versions.filter(_ <= batchId).max
       val newState = graft.operators.Dedup
@@ -364,6 +369,29 @@ object StreamingOps {
         .write
         .mode("overwrite")
         .parquet(outDir.toString) // _SUCCESS lands last: the epoch's commit mark
+    }
+  }
+
+  /** Prune old cluster-state versions left by [[clusterIngestLoop]]: keep
+    * the newest `keepLast` `v=<k>` directories, delete the rest. Only
+    * versions strictly below every kept one are ever removed, so a replay
+    * of any COMMITTED epoch (which reads a version ≤ its batch id and
+    * whose `_SUCCESS` gate makes the read moot) is unaffected; run it on
+    * the same schedule as index compaction, after epochs commit.
+    */
+  def pruneClusterStateVersions(
+      spark: SparkSession,
+      statePath: String,
+      keepLast: Int = 2
+  ): Unit = {
+    require(keepLast >= 1, s"must keep at least the latest version, got $keepLast")
+    val dir = new org.apache.hadoop.fs.Path(statePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) {
+      val versions = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("v="))
+        .sortBy(_.getName.stripPrefix("v=").toLong)
+      versions.dropRight(keepLast).foreach(p => fs.delete(p, true))
     }
   }
 

@@ -1573,6 +1573,13 @@ class PipelineOpsSpec extends SparkSpec {
       // the version ladder is complete
       val vs = new java.io.File(s"$dir/st").listFiles.map(_.getName).filter(_.startsWith("v=")).sorted
       assert(vs.sameElements(Array("v=0", "v=1", "v=2")), vs.mkString(","))
+      // pruning keeps the newest versions; the next epoch still reads latest
+      graft.streaming.StreamingOps.pruneClusterStateVersions(spark, s"$dir/st", keepLast = 2)
+      val pruned = new java.io.File(s"$dir/st").listFiles.map(_.getName)
+        .filter(_.startsWith("v=")).sorted
+      assert(pruned.sameElements(Array("v=1", "v=2")), pruned.mkString(","))
+      loop(Seq((301L, a)).toDF("doc_id", "text"), 2L)
+      assert(stateMap(3)(301L) === 1L, stateMap(3).toString)
     }
   }
 
