@@ -93,6 +93,76 @@ object ZOrder {
       .parquet(s"$path/zones")
   }
 
+  /** Fold an ingest into a [[writeClustered]] layout WITHOUT re-clustering
+    * history — the lakehouse append path: the batch is Morton-clustered
+    * alone into fresh zone ids (offset past the current maximum, so the
+    * write only creates new `zone=K/` directories), and the sidecar gains
+    * the new zones' true-bounds rows. Box queries stay EXACT through any
+    * append sequence ([[prunedRead]] consults the union sidecar and zone
+    * stats remain true bounds) — but batch-local zones overlap history's
+    * boxes, so PRUNING degrades as ingests accumulate; [[reoptimize]] is
+    * the `OPTIMIZE ZORDER` rewrite that restores the single global
+    * clustering. Not replay-idempotent by itself — wrap ingests in the
+    * `_SUCCESS`-gate idiom (`StreamingOps.idempotentAppend`) like every
+    * other append in this library.
+    */
+  def appendClustered(
+      batch: DataFrame,
+      xCol: String,
+      yCol: String,
+      path: String,
+      numPartitions: Int,
+      bits: Int = 16
+  ): Unit = {
+    val spark = batch.sparkSession
+    val oldZones = spark.read.parquet(s"$path/zones").localCheckpoint() // pre-overwrite pin
+    val maxZone = oldZones.agg(max(col("zone").cast("int"))).head.getInt(0)
+    cluster2(batch, xCol, yCol, numPartitions, bits)
+      .withColumn("zone", spark_partition_id() + lit(maxZone + 1))
+      .write
+      .mode(SaveMode.Append) // fresh zone values → new directories only
+      .partitionBy("zone")
+      .parquet(s"$path/data")
+    val newStats = spark.read
+      .parquet(s"$path/data")
+      .filter(col("zone") > maxZone)
+      .groupBy("zone")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("min_x"),
+        max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"),
+        max(col(yCol)).as("max_y")
+      )
+    oldZones
+      .unionByName(newStats.select(oldZones.columns.map(col): _*))
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/zones")
+  }
+
+  /** Re-cluster the whole layout into one global Morton order — the
+    * `OPTIMIZE ZORDER` maintenance rewrite run after a stretch of
+    * [[appendClustered]] ingests has fragmented the zone map. Rows are
+    * materialized before the in-place overwrite (self-overwrite guard); on
+    * a real lakehouse, write to a fresh path and swap atomically instead.
+    * Reads are byte-equivalent before and after; the payoff is the pruning
+    * fraction returning to the freshly-clustered optimum (both pinned in
+    * ZOrderLayoutSpec).
+    */
+  def reoptimize(
+      spark: SparkSession,
+      path: String,
+      xCol: String,
+      yCol: String,
+      numPartitions: Int,
+      bits: Int = 16
+  ): Unit = {
+    val all = spark.read.parquet(s"$path/data").drop("zone").localCheckpoint()
+    writeClustered(all, xCol, yCol, path, numPartitions, bits)
+  }
+
   /** Zones whose bbox intersects the query box, from the sidecar alone —
     * (selected, total). Metadata-scale: one tiny parquet read, ≤ one row
     * per zone on the driver (the same scale as a file-listing).

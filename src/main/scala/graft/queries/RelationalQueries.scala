@@ -998,6 +998,39 @@ object RelationalQueries {
           "z_pruned_zones", "z_skipped_rows", "z_skip_ppm")
     },
 
+    // E293 clustered-layout INGEST: the persisted Z-layout (E252) gains its
+    // append path — history is clustered once, two later ingests cluster
+    // ONLY THEMSELVES into fresh zone directories and extend the sidecar,
+    // and the box query answered through the fragmented layout still
+    // matches the plain full-scan filter exactly (zone stats stay true
+    // bounds through any append sequence — losslessness is what this
+    // oracle pins; the degraded-pruning measurement and the reoptimize
+    // rewrite that restores it are ZOrderLayoutSpec's half).
+    QEntry.sql(
+      "q_zorder_append_read",
+      """SELECT o_orderkey, o_custkey AS custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 500
+        |  AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      BETWEEN 10000000 AND 20000000"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = orders(s, d).select(
+        col("o_orderkey"),
+        col("o_custkey").as("custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents")
+      )
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-zapp").resolve("zl").toString
+      ZOrder.writeClustered(base.filter(col("o_orderkey") % 10 < 8), "custkey", "cents", dir, 8)
+      ZOrder.appendClustered(base.filter(col("o_orderkey") % 10 === 8), "custkey", "cents", dir, 2)
+      ZOrder.appendClustered(base.filter(col("o_orderkey") % 10 === 9), "custkey", "cents", dir, 2)
+      ZOrder
+        .prunedRead(s, dir, "custkey", "cents", 100L, 500L, 10000000L, 20000000L)
+        .select("o_orderkey", "custkey", "cents")
+    },
+
     // Salted skew join: the build side (supplier) is replicated `salt` ways
     // and the probe's hot keys spread across salt sub-keys — identical
     // results to the plain equi-join (the twin), minus the straggler reducer.

@@ -92,4 +92,45 @@ class ZOrderLayoutSpec extends SparkSpec {
       assert(ZOrder.prunedRead(spark, dir, "gx", "gy", 1000L, 2000L, 1000L, 2000L).count() == 0L)
     }
   }
+
+  test("appendClustered keeps reads exact, degrades pruning; reoptimize restores it") {
+    withTempDir { dir =>
+      val s = spark
+      import s.implicits._
+      val all = grid(64).withColumn("slice", pmod(col("payload"), lit(4)))
+      ZOrder.writeClustered(
+        all.filter(col("slice") < 2).drop("slice"), "gx", "gy", dir, numPartitions = 8, bits = 8)
+      ZOrder.appendClustered(
+        all.filter(col("slice") === 2).drop("slice"), "gx", "gy", dir, numPartitions = 4, bits = 8)
+      ZOrder.appendClustered(
+        all.filter(col("slice") === 3).drop("slice"), "gx", "gy", dir, numPartitions = 4, bits = 8)
+      val (xLo, xHi, yLo, yHi) = (10L, 20L, 30L, 40L)
+      def boxRows() = ZOrder
+        .prunedRead(spark, dir, "gx", "gy", xLo, xHi, yLo, yHi)
+        .select("gx", "gy", "payload")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      val truth = all.drop("slice")
+        .filter(col("gx").between(xLo, xHi) && col("gy").between(yLo, yHi))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      // (a) exactness survives any append sequence — the union sidecar's
+      // stats are still true bounds, so skipping stays lossless
+      val appended = boxRows()
+      assert(appended === truth, s"appended-layout read diverged (${appended.size} vs ${truth.size})")
+      // fresh zone ids: 8 history zones + 4 + 4 ingest zones
+      val (keepFrag, totalFrag) = ZOrder.selectZones(spark, dir, xLo, xHi, yLo, yHi)
+      assert(totalFrag == 16, s"expected 16 zones after appends, got $totalFrag")
+      // (b) OPTIMIZE: a single global re-cluster restores the read AND
+      // improves (or equals) the selected-zone fraction for the same box
+      ZOrder.reoptimize(spark, dir, "gx", "gy", numPartitions = 16, bits = 8)
+      val (keepOpt, totalOpt) = ZOrder.selectZones(spark, dir, xLo, xHi, yLo, yHi)
+      assert(totalOpt == 16)
+      assert(boxRows() === truth, "reoptimized-layout read diverged")
+      assert(
+        keepOpt.size.toDouble / totalOpt <= keepFrag.size.toDouble / totalFrag,
+        s"reoptimize worsened pruning: kept ${keepOpt.size}/$totalOpt vs ${keepFrag.size}/$totalFrag"
+      )
+      assert(keepFrag.size > keepOpt.size,
+        s"fixture should show real fragmentation cost (${keepFrag.size} vs ${keepOpt.size})")
+    }
+  }
 }
