@@ -1600,6 +1600,35 @@ object Dedup {
         .distinct()
     }
 
+  /** Audit diff between two persisted cluster states — the "what did this
+    * ingest / takedown actually change" read over [[writeClusterState]]
+    * snapshots (e.g. two rungs of the streaming loop's versioned ladder):
+    * one full-outer join of two two-long-column tables, emitting ONLY the
+    * changed rows — batch arrivals (`added`), forgotten docs (`removed`),
+    * and survivors whose canonical label moved (`relabeled`, the signature
+    * of a merge or a post-deletion repair). Output is delta-sized; −1
+    * sentinels mark the absent side.
+    */
+  def clusterStateDiff(
+      spark: org.apache.spark.sql.SparkSession,
+      oldPath: String,
+      newPath: String
+  ): DataFrame = {
+    val o = spark.read.parquet(oldPath).select(col("id"), col("cluster_id").as("_old"))
+    val n = spark.read.parquet(newPath).select(col("id"), col("cluster_id").as("_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .filter(col("_old").isNull || col("_new").isNull || col("_old") =!= col("_new"))
+      .select(
+        col("id"),
+        coalesce(col("_old"), lit(-1L)).as("old_cluster_id"),
+        coalesce(col("_new"), lit(-1L)).as("new_cluster_id"),
+        when(col("_old").isNull, "added")
+          .when(col("_new").isNull, "removed")
+          .otherwise("relabeled")
+          .as("change")
+      )
+  }
+
   /** The deletion-repair core shared by every index family: affected
     * labels → surviving members (both broadcast-bounded state scans) →
     * caller-supplied pairs among those members (from the family's

@@ -1640,6 +1640,87 @@ object PipelineQueries {
         )
     },
 
+    // E294 cluster-state audit diff: one ingest and one takedown later,
+    // the delta-sized "what changed" read over two persisted state
+    // snapshots — batch arrivals ('added'), forgotten docs ('removed'),
+    // and survivors whose canonical label moved because the deletion
+    // retired their cluster's minimum ('relabeled'); unchanged rows (the
+    // corpus bulk) never appear. The twin replays BOTH monolithic
+    // clusterings (before: corpus; after: post-churn universe) and diffs
+    // them, so the hash match pins the incremental build→ingest→delete→
+    // repair pipeline's net effect row for row.
+    QEntry.sql(
+      "dedup_state_diff", {
+        val rel0 =
+          """(SELECT doc_id, text FROM documents
+            | UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            |   WHERE doc_id % 100 = 0)""".stripMargin.replaceAll("\\s+", " ")
+        val rel2 =
+          """(SELECT doc_id, text FROM documents WHERE doc_id % 200 != 0
+            | UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            |   WHERE doc_id % 100 = 0
+            | UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents
+            |   WHERE doc_id % 200 = 0)""".stripMargin.replaceAll("\\s+", " ")
+        s"""WITH RECURSIVE ab0 AS (${bandsSqlOver(rel0)}),
+           |pairs0 AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+           |    greatest(a.doc_id, b.doc_id) AS id2
+           |  FROM ab0 a JOIN ab0 b ON a.band = b.band AND a.doc_id != b.doc_id),
+           |edges0 AS (SELECT id1 AS se0, id2 AS de0 FROM pairs0
+           |           UNION ALL SELECT id2, id1 FROM pairs0),
+           |cc0(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM $rel0 u0
+           |  UNION
+           |  SELECT e.se0, c.comp FROM edges0 e JOIN cc0 c ON e.de0 = c.id),
+           |s0 AS (SELECT id, min(comp) AS cl FROM cc0 GROUP BY id),
+           |ab2 AS (${bandsSqlOver(rel2)}),
+           |pairs2 AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+           |    greatest(a.doc_id, b.doc_id) AS id2
+           |  FROM ab2 a JOIN ab2 b ON a.band = b.band AND a.doc_id != b.doc_id),
+           |edges2 AS (SELECT id1 AS se2, id2 AS de2 FROM pairs2
+           |           UNION ALL SELECT id2, id1 FROM pairs2),
+           |cc2(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM $rel2 u2
+           |  UNION
+           |  SELECT e.se2, c.comp FROM edges2 e JOIN cc2 c ON e.de2 = c.id),
+           |s2 AS (SELECT id, min(comp) AS cl FROM cc2 GROUP BY id)
+           |SELECT COALESCE(s0.id, s2.id) AS id,
+           |  CAST(COALESCE(s0.cl, -1) AS BIGINT) AS old_cluster_id,
+           |  CAST(COALESCE(s2.cl, -1) AS BIGINT) AS new_cluster_id,
+           |  CASE WHEN s0.id IS NULL THEN 'added'
+           |       WHEN s2.id IS NULL THEN 'removed'
+           |       ELSE 'relabeled' END AS change
+           |FROM s0 FULL OUTER JOIN s2 ON s0.id = s2.id
+           |WHERE s0.id IS NULL OR s2.id IS NULL OR s0.cl != s2.cl"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sdiff").toString
+      val corpus = docs
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+      Dedup.writeClusterState(
+        Dedup.clustersFromMinhashIndex(s, s"$dir/idx"), "id", "cluster_id", s"$dir/s0")
+      val batch = docs
+        .filter(col("doc_id") % 200 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.appendMinhashIndex(batch, "doc_id", "text", s"$dir/idx", 1L)
+      Dedup.writeClusterState(
+        Dedup.incrementalClusters(batch, "doc_id", "text", s"$dir/idx", s"$dir/s0")
+          .localCheckpoint(),
+        "id", "cluster_id", s"$dir/s1")
+      val deleted = docs.filter(col("doc_id") % 200 === 0).select(col("doc_id").as("id"))
+      Dedup.deleteFromMinhashIndex(s, deleted, s"$dir/idx")
+      Dedup.writeClusterState(
+        Dedup.repairClusterState(s, deleted, s"$dir/idx", s"$dir/s1")
+          .localCheckpoint(),
+        "id", "cluster_id", s"$dir/s2")
+      Dedup.clusterStateDiff(s, s"$dir/s0", s"$dir/s2")
+    },
+
     // E274 near-dup DECONTAMINATION against the persisted band index: the
     // benchmark set (an eval slice re-sent under fresh ids — every 50th
     // document verbatim, the test-set-leaked-into-train case) is signed

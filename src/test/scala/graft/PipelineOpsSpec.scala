@@ -1632,6 +1632,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterStateDiff: delta-sized, sentinel-marked, unchanged rows excluded") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      graft.operators.Dedup.writeClusterState(
+        Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L)).toDF("id", "cluster_id"),
+        "id", "cluster_id", s"$dir/s0")
+      graft.operators.Dedup.writeClusterState(
+        Seq((2L, 2L), (3L, 3L), (4L, 4L), (5L, 4L)).toDF("id", "cluster_id"),
+        "id", "cluster_id", s"$dir/s1")
+      val diff = graft.operators.Dedup
+        .clusterStateDiff(spark, s"$dir/s0", s"$dir/s1")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(diff === Map(
+        1L -> ((1L, -1L, "removed")),
+        2L -> ((1L, 2L, "relabeled")),
+        5L -> ((-1L, 4L, "added"))
+      ), diff.toString) // 3 and 4 are unchanged and must not appear
+    }
+  }
+
   test("repairHammingClusterState: bridge deletion splits the chain; untouched clusters persist") {
     val s = spark
     import s.implicits._
