@@ -2327,12 +2327,15 @@ object PipelineQueries {
     // state holds real 2-vector clusters) is clustered once from its LSH
     // bucket pairs and persisted; a second-generation batch buckets once
     // against the persisted vector index and folds in through the shared
-    // label-space contraction. The twin recomputes the three-generation
+    // label-space contraction. bits = 6 (64 bucket dirs): at this corpus
+    // size the 2^bits directory count dominates the entry's cost —
+    // measured 7.55 s at bits=8 vs 5.01 s at bits=6, same recall on the
+    // planted copies (exact duplicates share any bucket). The twin recomputes the three-generation
     // cluster fixpoint monolithically — every %80 vector must land in
     // cluster {v, v+1M, v+2M} with cluster_id v.
     QEntry.sql(
       "emb_incremental_clusters",
-      s"""WITH RECURSIVE ${bucketsSql(bits = 8)},
+      s"""WITH RECURSIVE ${bucketsSql(bits = 6)},
          |b1 AS (SELECT vec_id + 1000000 AS vec_id, e, bucket FROM buckets
          |       WHERE vec_id % 40 = 0),
          |b2 AS (SELECT vec_id + 2000000 AS vec_id, e, bucket FROM buckets
@@ -2364,21 +2367,21 @@ object PipelineQueries {
         .unionByName(emb.filter(col("vec_id") % 40 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
       Similarity.buildLshIndex(corpus, "vec_id", "embedding", s"$dir/lsh",
-        bits = 8, dim = EmbDim)
+        bits = 6, dim = EmbDim)
       // state seeded from the in-memory frame: at THIS corpus size the
       // 256-bucket-dir index read costs more than re-bucketing (measured
       // 6.4 s → 7.8 s); clustersFromLshIndex is the bootstrap once the
       // corpus frame itself is the expensive thing to produce
       Dedup.writeClusterState(
         Similarity.cosineClusters(corpus, "vec_id", "embedding", 0.99,
-          bits = 8, dim = EmbDim),
+          bits = 6, dim = EmbDim),
         "vec_id", "cluster_id", s"$dir/state")
       val batch = emb
         .filter(col("vec_id") % 80 === 0)
         .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
       Similarity
         .incrementalCosineClusters(batch, "vec_id", "embedding",
-          s"$dir/lsh", s"$dir/state", 0.99, bits = 8, dim = EmbDim)
+          s"$dir/lsh", s"$dir/state", 0.99, bits = 6, dim = EmbDim)
         .select(col("id").as("vec_id"), col("cluster_id"))
         .withColumn(
           "cluster_size",
