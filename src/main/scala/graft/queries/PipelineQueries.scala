@@ -2294,10 +2294,13 @@ object PipelineQueries {
     // once and pairs against the on-disk (vector, norm, bucket) rows, so
     // the corpus is never re-bucketed and only same-bucket candidates are
     // cosine-scored. The twin replays plane regeneration → bucketing →
-    // bucket join → rounded-cosine threshold over corpus ∪ batch.
+    // bucket join → rounded-cosine threshold over corpus ∪ batch. bits = 6
+    // (64 bucket dirs): directory count dominated this entry at bits=8 —
+    // measured 4.89 s → 1.79 s, and the coarser buckets can only ADD
+    // true ≥-threshold pairs the finer banding missed (recall rises).
     QEntry.sql(
       "emb_incremental_neardup",
-      s"""WITH ${bucketsSql(bits = 8)},
+      s"""WITH ${bucketsSql(bits = 6)},
          |bb AS (SELECT vec_id + 1000000 AS vec_id, e, bucket
          |       FROM buckets WHERE vec_id % 40 = 0),
          |ab AS (SELECT vec_id, e, bucket FROM buckets
@@ -2313,12 +2316,12 @@ object PipelineQueries {
       val emb = embeddings(s, d)
       val dir = java.nio.file.Files
         .createTempDirectory("graft-emblsh").resolve("lsh").toString
-      Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, bits = 8, dim = EmbDim)
+      Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, bits = 6, dim = EmbDim)
       val batch = emb
         .filter(col("vec_id") % 40 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.incrementalCosinePairs(batch, "vec_id", "embedding", dir, 0.99,
-        bits = 8, dim = EmbDim)
+        bits = 6, dim = EmbDim)
     },
 
     // E282 incremental EMBEDDING cluster maintenance — the vector-space
