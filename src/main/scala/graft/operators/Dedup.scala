@@ -1600,6 +1600,34 @@ object Dedup {
         .distinct()
     }
 
+  /** Runtime guard for the incremental family's id-freshness contract:
+    * every batch id must be absent from the persisted state, because an id
+    * collision silently ALIASES an existing node in the label contraction
+    * and corrupts the assignment without any error. One broadcast
+    * semi-join count — cheap next to any ingest — throwing with the first
+    * few offenders. Call it in an ingest loop's validation step; the
+    * operators themselves stay unguarded so a trusted pipeline pays
+    * nothing.
+    */
+  def assertFreshIds(
+      spark: org.apache.spark.sql.SparkSession,
+      batchIds: DataFrame,
+      clusterStatePath: String
+  ): Unit = {
+    val clash = spark.read
+      .parquet(clusterStatePath)
+      .select(col("id"))
+      .join(broadcast(batchIds.toDF("id")), Seq("id"))
+      .limit(5)
+      .collect()
+      .map(_.getLong(0))
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"batch ids already present in cluster state at $clusterStatePath: " +
+          clash.mkString(", ") + " — colliding ids alias existing cluster nodes"
+      )
+  }
+
   /** Audit diff between two persisted cluster states — the "what did this
     * ingest / takedown actually change" read over [[writeClusterState]]
     * snapshots (e.g. two rungs of the streaming loop's versioned ladder):

@@ -1632,6 +1632,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("assertFreshIds throws on a colliding batch id, passes on fresh ones") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      graft.operators.Dedup.writeClusterState(
+        Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id"), "id", "cluster_id", s"$dir/st")
+      graft.operators.Dedup.assertFreshIds(spark, Seq(101L, 102L).toDF("id"), s"$dir/st")
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Dedup.assertFreshIds(spark, Seq(2L, 103L).toDF("id"), s"$dir/st")
+      }
+      assert(e.getMessage.contains("2"), e.getMessage)
+    }
+  }
+
   test("clusterStateDiff: delta-sized, sentinel-marked, unchanged rows excluded") {
     val s = spark
     import s.implicits._
