@@ -212,4 +212,49 @@ object IncrementalAgg {
         expr("st_sum div st_cnt").cast("long").as("avg_units")
       ): _*
     )
+
+  /** Per-key TOP-K state — the rank-keeping member of the IVM family: keep
+    * each key's k best (value desc, id asc tiebreak) rows. The maintained
+    * identity is
+    *
+    *   mergeTopK(topKState(h1), …, topKState(hn)) ≡ topKState(h1 ∪ … ∪ hn)
+    *
+    * because any member of a key's GLOBAL top-k is necessarily in its own
+    * slice's top-k — so a daily job keeps k·|keys| rows of state and folds
+    * each delta with one delta-sized ranking plus one state-sized merge
+    * ranking, never rescanning history. Insert-only, like [[deltaJoin]]:
+    * rank state is not retractable (a deleted top member needs that key's
+    * re-scan — the same honest boundary as the extrema absent from
+    * [[signedState]]). Pinned by the `pipe_incr_topk` entry's full-
+    * recompute oracle and random-split/tie cases in IncrementalAggSpec.
+    */
+  def topKState(
+      df: DataFrame,
+      keys: Seq[String],
+      valCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    require(keys.nonEmpty && k >= 1, s"need keys and k >= 1 (got k=$k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(valCol).desc, col(idCol))
+    df.select((keys :+ valCol :+ idCol).map(col): _*)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Merge top-k states (union + re-rank — the shuffle is state-sized,
+    * k·|keys| + delta, never history-sized).
+    */
+  def mergeTopK(
+      states: Seq[DataFrame],
+      keys: Seq[String],
+      valCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    require(states.nonEmpty, "mergeTopK needs at least one state frame")
+    topKState(states.reduce(_.unionByName(_)).drop("rank"), keys, valCol, idCol, k)
+  }
 }

@@ -3420,6 +3420,40 @@ object PipelineQueries {
           keys, "cents", "mult")
       IncrementalAgg.finalizeSigned(
         IncrementalAgg.mergeSigned(Seq(full, retraction), keys), keys)
+    },
+
+    // E295 incremental TOP-K maintenance: each status's five most
+    // expensive orders kept as k·|keys| rows of state and advanced by
+    // merging the delta's own top-k — any global top-k member is in its
+    // slice's top-k, so history is never rescanned. The oracle recomputes
+    // the ranking over the whole table, so the hash match IS the
+    // merge∘topK ≡ topK∘union identity (the rank-state sibling of
+    // pipe_incr_agg's mergeable sums).
+    QEntry.sql(
+      "pipe_incr_topk",
+      """SELECT status, o_orderkey, cents, rank FROM (
+        |  SELECT o_orderstatus AS status, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+        |               o_orderkey) AS BIGINT) AS rank
+        |  FROM orders) t WHERE rank <= 5"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = orders(s, d).select(
+        col("o_orderstatus").as("status"),
+        col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+        col("o_orderdate").cast("date").as("od")
+      )
+      val keys = Seq("status")
+      val history = IncrementalAgg
+        .topKState(base.filter(col("od") < "1997-01-01"), keys, "cents", "o_orderkey", 5)
+      val delta = IncrementalAgg
+        .topKState(base.filter(col("od") >= "1997-01-01"), keys, "cents", "o_orderkey", 5)
+      IncrementalAgg
+        .mergeTopK(Seq(history, delta), keys, "cents", "o_orderkey", 5)
+        .select("status", "o_orderkey", "cents", "rank")
     }
   )
 }

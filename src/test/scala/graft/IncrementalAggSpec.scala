@@ -213,4 +213,39 @@ class IncrementalAggSpec extends SparkSpec {
     assert(fin == direct, s"fin=$fin direct=$direct")
     assert(!fin.contains(6), "fully-retracted key must leave the state")
   }
+
+  test("topK state: merge of per-slice top-k equals top-k of the union, any slicing, ties held") {
+    val s = spark
+    import s.implicits._
+    // duplicate values force the id tiebreak to decide membership at the cut
+    val df = rows(300).withColumn("v2", col("v") % 50)
+    val keys = Seq("k")
+    val slices = Seq(
+      df.filter(col("slice_src") % 3 === 0),
+      df.filter(col("slice_src") % 3 === 1),
+      df.filter(col("slice_src") % 3 === 2)
+    )
+    val merged = IncrementalAgg
+      .mergeTopK(
+        slices.map(sl => IncrementalAgg.topKState(sl, keys, "v2", "slice_src", 4)),
+        keys, "v2", "slice_src", 4)
+      .collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Int]("slice_src"), r.getAs[Long]("rank")))
+      .toSet
+    val full = IncrementalAgg
+      .topKState(df, keys, "v2", "slice_src", 4)
+      .collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Int]("slice_src"), r.getAs[Long]("rank")))
+      .toSet
+    assert(merged === full, s"merged=$merged full=$full")
+    // a slice that misses a key entirely contributes nothing and harms nothing
+    val withEmpty = IncrementalAgg.mergeTopK(
+      Seq(IncrementalAgg.topKState(df, keys, "v2", "slice_src", 4),
+        IncrementalAgg.topKState(df.filter(col("k") === -999), keys, "v2", "slice_src", 4)),
+      keys, "v2", "slice_src", 4)
+      .collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Int]("slice_src"), r.getAs[Long]("rank")))
+      .toSet
+    assert(withEmpty === full)
+  }
 }
