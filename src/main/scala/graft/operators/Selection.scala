@@ -189,4 +189,63 @@ object Selection {
       resolveRange(df, valueCol, kOf.values.toSeq.distinct.map(k => (k, k)), lo, hi, shiftBits)
     (n, kOf.map { case (p, k) => p -> byRank(k) })
   }
+
+  /** Mergeable coarse-histogram STATE for REPEATED exact selection — the
+    * IVM form of this module's phase 1: bucket counts are plain sums, so a
+    * daily median job maintains (bucket, cnt) per ingest with the same
+    * merge-≡-recompute algebra as `IncrementalAgg.state` and never
+    * re-scans history for the histogram. A query then costs ONE scan
+    * scoped to the winning bucket's value range (a pushed-down parquet
+    * range filter) instead of the fresh path's two full passes. The fixed
+    * shift is the price of mergeability: it fits money-like magnitudes
+    * ([[kthFromHistogramState]] fails LOUDLY past the bucket bound); wide
+    * domains (hashes, ids) keep the adaptive non-incremental
+    * [[quantiles]].
+    */
+  def histogramState(df: DataFrame, valueCol: String, shiftBits: Int = 16): DataFrame = {
+    require(shiftBits >= 1 && shiftBits <= 32, s"shiftBits must be in [1, 32], got $shiftBits")
+    df.select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(expr(s"shiftright(_v, $shiftBits)").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The k-th smallest value with phase 1 answered FROM maintained
+    * [[histogramState]] frames (merged here — pass every slice's state):
+    * locate the rank's bucket from the summed counts, then run the exact
+    * refinement ONLY over that bucket's value range of `df`. `df` must be
+    * the same data the states describe; `shiftBits` must match the build.
+    */
+  def kthFromHistogramState(
+      df: DataFrame,
+      valueCol: String,
+      states: Seq[DataFrame],
+      k: Long,
+      shiftBits: Int = 16
+  ): Long = {
+    require(states.nonEmpty, "need at least one histogram state")
+    require(k >= 1, s"rank must be >= 1, got $k")
+    val hist = states
+      .reduce(_.unionByName(_))
+      .groupBy("bucket")
+      .agg(sum("cnt").cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(
+      hist.length <= MaxBuckets,
+      s"maintained histogram holds ${hist.length} buckets (> $MaxBuckets) — the fixed-shift " +
+        "state fits money-like magnitudes; use the adaptive quantiles() for wide domains"
+    )
+    val cum = hist.scanLeft(0L)(_ + _._2)
+    require(k <= cum.last, s"rank $k exceeds the states' total count ${cum.last}")
+    var i = 0
+    while (cum(i + 1) < k) i += 1
+    val bucket = hist(i)._1
+    val blo = bucket << shiftBits
+    val bhi =
+      if (bucket == (Long.MaxValue >> shiftBits)) Long.MaxValue
+      else ((bucket + 1) << shiftBits) - 1
+    resolveRange(df, valueCol, Seq((0L, k - cum(i))), blo, bhi, shiftBits)(0L)
+  }
 }

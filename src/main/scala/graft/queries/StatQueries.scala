@@ -1640,6 +1640,37 @@ object StatQueries {
       Seq((n, (n + 1) / 2, med)).toDF("n_rows", "k", "kth_cents")
     },
 
+    // E296 exact median from MAINTAINED histogram state — the daily-median
+    // IVM composition: per-slice coarse (bucket, cnt) histograms merge by
+    // plain summation (the E250 algebra applied to selection's phase 1),
+    // so a repeated exact-median job pays O(delta) maintenance plus ONE
+    // scan scoped to the winning bucket's value range at query time —
+    // never the fresh path's two full passes. Same twin as q_kth_element:
+    // the answer must be the same number through the state-merged path.
+    QEntry.sql(
+      "pipe_incr_median",
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM c),
+        |o AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+        |SELECT n.n_rows, CAST((n.n_rows + 1) // 2 AS BIGINT) AS k,
+        |  o.cents AS kth_cents
+        |FROM n JOIN o ON o.rn = (n.n_rows + 1) // 2"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = orders(s, d).select(
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+        col("o_orderdate").cast("date").as("od")
+      )
+      val history = Selection.histogramState(base.filter(col("od") < "1997-01-01"), "cents")
+      val delta = Selection.histogramState(base.filter(col("od") >= "1997-01-01"), "cents")
+      val n = history.unionByName(delta).agg(sum("cnt").cast("long")).head.getLong(0)
+      val k = (n + 1) / 2
+      val med = Selection.kthFromHistogramState(base, "cents", Seq(history, delta), k)
+      import s.implicits._
+      Seq((n, k, med)).toDF("n_rows", "k", "kth_cents")
+    },
+
     // E255 exact global quantile SET by shared-histogram selection: p25/p50/
     // p75/p99 (rank = ceil(pct·n/100)) from ONE coarse histogram pass plus
     // one in-bucket pass per distinct winning bucket — ≤ 5 partial-agg

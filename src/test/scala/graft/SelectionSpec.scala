@@ -150,4 +150,31 @@ class SelectionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.operators.Selection.quantiles(df(xs), "v", Seq(0)))
   }
+
+  test("maintained histogram state: merged-slice phase 1 equals the fresh path at every rank") {
+    val xs = (1L to 300L).map(i => (i * 2654435761L) % 200000L - 50000L) // negatives + ties
+    val sorted = xs.sorted
+    val frame = df(xs).withColumn("slice", org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("v"), org.apache.spark.sql.functions.lit(3)))
+    val states = (0 until 3).map { sl =>
+      Selection.histogramState(
+        frame.filter(org.apache.spark.sql.functions.col("slice") === sl), "v")
+    }
+    for (k <- Seq(1L, 2L, 150L, 151L, 299L, 300L)) {
+      val got = Selection.kthFromHistogramState(df(xs), "v", states, k)
+      assert(got == sorted((k - 1).toInt), s"k=$k: $got vs ${sorted((k - 1).toInt)}")
+      assert(got == Selection.kthSmallest(df(xs), "v", k), s"k=$k diverged from fresh path")
+    }
+    // rank past the states' total fails loudly
+    intercept[IllegalArgumentException](
+      Selection.kthFromHistogramState(df(xs), "v", states, 301L))
+    // SPARSE wide-domain data stays fine: the driver bound is populated
+    // buckets (data-bounded), and the in-bucket refinement recurses
+    // adaptively even when one coarse bucket spans a huge range — the
+    // histogram guard exists for > 2^16 POPULATED buckets, not wide values
+    val wide = Seq(Long.MinValue + 7, -1L, 0L, 1L, Long.MaxValue - 7)
+    val wideState = Seq(Selection.histogramState(df(wide), "v"))
+    assert(Selection.kthFromHistogramState(df(wide), "v", wideState, 1L) == Long.MinValue + 7)
+    assert(Selection.kthFromHistogramState(df(wide), "v", wideState, 5L) == Long.MaxValue - 7)
+  }
 }
