@@ -297,7 +297,7 @@ object Dedup {
     // ANSI arithmetic; decimal(38,0) holds any realistic row count
     def fingerprint(df: DataFrame): String =
       String.valueOf(
-        df.agg(sum(xxhash64(col("id"), col("comp")).cast("decimal(38,0)"))).head.get(0)
+        df.agg(sum(xxhash64(col("id"), col("comp")).cast("decimal(38,0)"))).head().get(0)
       )
 
     var fp = fingerprint(labels)

@@ -104,11 +104,11 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val bitCols = planes.map { plane =>
-      val planeLit = array(plane.map(lit(_)): _*)
+      val planeLit = array(plane.toIndexedSeq.map(lit(_)): _*)
       val dot = call_function("graft_dot", vec, planeLit)
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
-    concat(bitCols: _*)
+    concat(bitCols.toIndexedSeq: _*)
   }
 
   /** Vector dimension: explicit when the caller knows it (no Spark job),
@@ -275,8 +275,8 @@ object Similarity {
     val withDots = queries
       .select(
         col(idCol).as("query_id") +: col(vecCol).as("qv") +:
-          planes.zipWithIndex.map { case (plane, p) =>
-            call_function("graft_dot", col(vecCol), array(plane.map(lit(_)): _*)).as(s"_d$p")
+          planes.toIndexedSeq.zipWithIndex.map { case (plane, p) =>
+            call_function("graft_dot", col(vecCol), array(plane.toIndexedSeq.map(lit(_)): _*)).as(s"_d$p")
           }: _*
       )
     val baseBucket = concat((0 until bits).map { p =>

@@ -28,7 +28,7 @@ object SkewJoin {
   ): DataFrame = {
     val saltedProbe = probe.withColumn(
       "_salt",
-      pmod(hash(probe.columns.map(col): _*), lit(salt))
+      pmod(hash(probe.columns.toIndexedSeq.map(col): _*), lit(salt))
     )
     val saltedBuild = build.withColumn(
       "_salt",

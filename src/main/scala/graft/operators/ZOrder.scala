@@ -116,7 +116,7 @@ object ZOrder {
   ): Unit = {
     val spark = batch.sparkSession
     val oldZones = spark.read.parquet(s"$path/zones").localCheckpoint() // pre-overwrite pin
-    val maxZone = oldZones.agg(max(col("zone").cast("int"))).head.getInt(0)
+    val maxZone = oldZones.agg(max(col("zone").cast("int"))).head().getInt(0)
     cluster2(batch, xCol, yCol, numPartitions, bits)
       .withColumn("zone", spark_partition_id() + lit(maxZone + 1))
       .write
@@ -135,7 +135,7 @@ object ZOrder {
         max(col(yCol)).as("max_y")
       )
     oldZones
-      .unionByName(newStats.select(oldZones.columns.map(col): _*))
+      .unionByName(newStats.select(oldZones.columns.toIndexedSeq.map(col): _*))
       .coalesce(1)
       .write
       .mode(SaveMode.Overwrite)

@@ -1664,7 +1664,7 @@ object StatQueries {
       )
       val history = Selection.histogramState(base.filter(col("od") < "1997-01-01"), "cents")
       val delta = Selection.histogramState(base.filter(col("od") >= "1997-01-01"), "cents")
-      val n = history.unionByName(delta).agg(sum("cnt").cast("long")).head.getLong(0)
+      val n = history.unionByName(delta).agg(sum("cnt").cast("long")).head().getLong(0)
       val k = (n + 1) / 2
       val med = Selection.kthFromHistogramState(base, "cents", Seq(history, delta), k)
       import s.implicits._
