@@ -395,6 +395,132 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Persist an IVF index with FROZEN centroids — the production IVF ingest
+    * contract: the coarse quantizer is fixed at build time (stride
+    * centroids here; a re-train is a new build) and persisted beside the
+    * cell-partitioned vector lists, so [[appendIvfIndex]] can fold a new
+    * batch in by assigning it against the frozen centroids — one broadcast
+    * argmax over the batch, NO corpus re-assignment, and the cell layout
+    * (`cell=K/` under replay-idempotent `ingest_id=<j>/`) keeps probe
+    * reads partition-pruned. [[ivfTopKFromIndex]] answers queries from the
+    * on-disk cells alone.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      centroidStride: Int = 37
+  ): Unit = {
+    VectorExpressions.install(corpus.sparkSession)
+    corpus
+      .filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(expr("graft_dot(cv, cv)")))
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/centroids")
+    writeIvfCells(corpus, idCol, vecCol, path, 0L, dynamic = false)
+  }
+
+  /** Fold one accepted ingest into a [[buildIvfIndex]] index: assign the
+    * batch against the FROZEN persisted centroids (cell boundaries do not
+    * move — the IVF ingest semantics every serving system uses between
+    * re-trains) and append under the ingest's own partition (dynamic
+    * overwrite → replay-idempotent, the `appendMinhashIndex` idiom).
+    */
+  def appendIvfIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      ingestId: Long
+  ): Unit = {
+    require(ingestId > 0L, s"ingest ids start at 1 (0 is the initial build), got $ingestId")
+    writeIvfCells(batch, idCol, vecCol, path, ingestId, dynamic = true)
+  }
+
+  private def writeIvfCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      ingestId: Long,
+      dynamic: Boolean
+  ): Unit = {
+    VectorExpressions.install(df.sparkSession)
+    val cents = broadcast(df.sparkSession.read.parquet(s"$path/centroids"))
+    // aggregate-argmax assignment — the ivfTopK corpus-side shape: partial
+    // aggregation collapses the ×nlist fan-out map-side
+    val assigned = df
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nn", sqrt(expr("graft_dot(nv, nv)")))
+      .crossJoin(cents)
+      .withColumn("_cellCos", expr("graft_dot(nv, cv)") / (col("nn") * col("cn")))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max(
+          struct(
+            col("_cellCos"),
+            (-col("cell")).as("_negCell"),
+            col("nv").as("_v"),
+            col("nn").as("_nn")
+          )
+        ).as("_best")
+      )
+      .select(
+        col("neighbor_id"),
+        col("_best._v").as("nv"),
+        col("_best._nn").as("nn"),
+        (-col("_best._negCell")).as("cell")
+      )
+    val w = assigned.withColumn("ingest_id", lit(ingestId)).write.mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("ingest_id", "cell")
+      .parquet(s"$path/cells")
+  }
+
+  /** IVF top-k FROM the persisted index: queries probe their nProbe best
+    * cells against the frozen centroids, the probe-cell set (nProbe ×
+    * |queries| ids, driver-bounded) statically prunes the `cell=K/`
+    * partition read, and exact cosine ranks inside the probed cells only —
+    * corpus vectors are read from the index, never recomputed or
+    * re-assigned.
+    */
+  def ivfTopKFromIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      path: String,
+      nProbe: Int = 3
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    VectorExpressions.install(spark)
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val wq = Window.partitionBy("query_id").orderBy(col("_cellCos").desc, col("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+      .crossJoin(cents)
+      .withColumn("_cellCos", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("_cr", row_number().over(wq))
+      .filter(col("_cr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+      .localCheckpoint() // probe-cell collect + candidate join reuse it
+    val probeCells = queryCells.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    spark.read
+      .parquet(s"$path/cells")
+      .filter(col("cell").isin(probeCells: _*))
+      .join(broadcast(queryCells), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** One Lloyd pass: assign every corpus vector to its nearest current
     * centroid (cosine argmax as a partial-aggregated max — the same 100 TB
     * shape as the IVF corpus assignment), then recompute each cell's centroid

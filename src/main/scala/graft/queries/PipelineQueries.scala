@@ -1328,6 +1328,51 @@ object PipelineQueries {
         .withColumn("rank", col("rank").cast("bigint"))
     },
 
+    // E297 persisted IVF index with FROZEN-centroid ingest: the coarse
+    // quantizer is fixed at build time (stride over the EVEN vectors), the
+    // odd vectors append later assigned against those frozen centroids —
+    // no corpus re-assignment, the between-retrains ingest semantics every
+    // IVF serving system uses — and queries answer from the on-disk cells
+    // with the probe set statically pruning the partition read. The twin
+    // assigns ALL vectors against the even-only centroid set and replays
+    // probe → rank.
+    QEntry.sql(
+      "ann_ivf_index_fetch",
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |             FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, e AS ce FROM vecs
+        |          WHERE vec_id % 37 = 0 AND vec_id % 2 = 0),
+        |assign AS (
+        |  SELECT vec_id, e, cell, cr FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.e, c.ce) /
+        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+        |        c.cell) AS cr
+        |    FROM vecs v, cents c) t)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      round(list_dot_product(q.e, n.e) /
+        |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))), 6) AS cos
+        |    FROM (SELECT * FROM assign WHERE vec_id < 5 AND cr <= 3) q
+        |    JOIN (SELECT * FROM assign WHERE cr <= 1) n
+        |    ON q.cell = n.cell AND n.vec_id != q.vec_id) s) r
+        |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivfidx").resolve("ivf").toString
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir)
+      Similarity.appendIvfIndex(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", dir, 1L)
+      Similarity
+        .ivfTopKFromIndex(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, dir,
+          nProbe = 3)
+        .withColumn("rank", col("rank").cast("bigint"))
+    },
+
     // IVF probe sweep: aggregate recall@10 vs brute force at nProbe ∈
     // {1, 2, 4} — the accuracy-vs-cost tuning curve an IVF deployment is
     // configured from (more probes = more cells scanned per query), the

@@ -1632,6 +1632,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF: frozen-centroid append equals a single build; replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    def v(i: Long): Array[Float] =
+      Array.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat + (if (j == (i % 8).toInt) 2.0f else 0.0f))
+    // even ids carry the stride centroids (0, 74); odd ids avoid % 37 = 0
+    // (111 excluded), so the union build's centroid set EQUALS the even
+    // build's — making append-vs-single-build an exact comparison
+    val evens = (0L to 80L by 2).map(i => (i, v(i))).toDF("vec_id", "embedding")
+    val odds = (101L to 179L by 2).filter(_ % 37 != 0).map(i => (i, v(i))).toDF("vec_id", "embedding")
+    val queries = evens.filter($"vec_id" < 6)
+    def rset(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    withTempDir { dir =>
+      graft.operators.Similarity.buildIvfIndex(evens, "vec_id", "embedding", s"$dir/inc")
+      graft.operators.Similarity.appendIvfIndex(odds, "vec_id", "embedding", s"$dir/inc", 1L)
+      graft.operators.Similarity.buildIvfIndex(
+        evens.unionByName(odds), "vec_id", "embedding", s"$dir/mono")
+      val inc = rset(graft.operators.Similarity
+        .ivfTopKFromIndex(queries, "vec_id", "embedding", 5, s"$dir/inc"))
+      val mono = rset(graft.operators.Similarity
+        .ivfTopKFromIndex(queries, "vec_id", "embedding", 5, s"$dir/mono"))
+      assert(inc === mono, s"inc=$inc mono=$mono")
+      assert(inc.exists(_._2 > 100L), "appended vectors must be retrievable")
+      // replayed append (same ingest id) is a no-op
+      graft.operators.Similarity.appendIvfIndex(odds, "vec_id", "embedding", s"$dir/inc", 1L)
+      assert(rset(graft.operators.Similarity
+        .ivfTopKFromIndex(queries, "vec_id", "embedding", 5, s"$dir/inc")) === inc)
+    }
+  }
+
   test("assertFreshIds throws on a colliding batch id, passes on fresh ones") {
     val s = spark
     import s.implicits._
