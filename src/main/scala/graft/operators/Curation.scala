@@ -535,6 +535,132 @@ object Curation {
       )
   }
 
+  // ---- HTML main-content extraction (jusText-lite) -----------------------
+  // Patterns are ASCII, quote-free and backslash-free so the IDENTICAL
+  // string runs under Java regex and DuckDB's RE2 (the oracle twin).
+
+  /** script/style payloads and comments — removed before segmentation. */
+  val HtmlNoisePattern =
+    "(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->"
+
+  /** Closing block-level tags: each one ends a candidate text block. */
+  val HtmlBlockBreakPattern =
+    "</p>|</div>|</li>|</h[1-6]>|</td>|</tr>|</title>|<br[^>]*>"
+
+  /** Any remaining tag (replaced by a space before tokenization). */
+  val HtmlTagPattern = "<[^>]*>"
+
+  /** Anchor inner text (group 1) — the link-density numerator. */
+  val HtmlAnchorPattern = "<a[^>]*>(.*?)</a>"
+
+  val HtmlStopwords: Seq[String] = Seq("the", "a")
+
+  /** Block-level boilerplate classification of an HTML column — a
+    * deterministic jusText-lite (Pomikálek 2011): strip script/style/
+    * comments, segment on closing block tags, and classify each block by
+    * three signals real extractors use — minimum token count, LINK density
+    * (anchor-text chars per plain-text char: navigation/footer blocks are
+    * mostly links) and STOPWORD density (genuine prose carries function
+    * words; token soup and SHOUTING navigation don't). Densities are exact
+    * integer ppm (`x·10⁶ div max(d,1)`) so the keep/drop cut is
+    * bit-identical cross-engine — no float division anywhere.
+    *
+    * Narrow per-row expressions (regex strip → split → posexplode →
+    * per-block arithmetic): no shuffle, fuses into the scan; output rows =
+    * blocks, the unavoidable fan-out. At 100 TB this is the first stage of
+    * the corpus — everything downstream (dedup, quality, packing) reads its
+    * survivors, so keeping it shuffle-free matters.
+    *
+    * @return (id, block_id, block_text, n_chars, n_tokens, link_ppm,
+    *         stop_ppm, is_content); empty blocks (no plain-text chars) are
+    *         dropped, block_id is the 1-based pre-drop segment position
+    */
+  def htmlBlocks(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      minTokens: Int = 5,
+      maxLinkPpm: Long = 250000L,
+      minStopPpm: Long = 20000L,
+      stopwords: Seq[String] = HtmlStopwords
+  ): DataFrame = {
+    val cleaned = regexp_replace(col(htmlCol), HtmlNoisePattern, " ")
+    val segmented = regexp_replace(cleaned, HtmlBlockBreakPattern, "\n")
+    val anchorChars = aggregate(
+      transform(
+        regexp_extract_all(col("_raw"), lit(HtmlAnchorPattern), lit(1)),
+        x => length(x).cast("long")
+      ),
+      lit(0L),
+      (a, x) => a + x
+    )
+    df.select(col(idCol), split(segmented, "\n").as("_bs"))
+      .select(col(idCol), posexplode(col("_bs")).as(Seq("_p", "_raw")))
+      .withColumn("block_id", (col("_p") + 1).cast("bigint"))
+      .withColumn("_anchor_chars", anchorChars)
+      .withColumn(
+        "block_text",
+        trim(regexp_replace(regexp_replace(col("_raw"), HtmlTagPattern, " "), "\\s+", " "))
+      )
+      .withColumn("_toks", filter(split(col("block_text"), " "), t => t =!= ""))
+      .withColumn("n_chars", length(col("block_text")).cast("bigint"))
+      .withColumn("n_tokens", size(col("_toks")).cast("bigint"))
+      .withColumn(
+        "_stop",
+        size(filter(col("_toks"), t => t.isin(stopwords: _*))).cast("bigint")
+      )
+      .withColumn("link_ppm", expr("_anchor_chars * 1000000L div greatest(n_chars, 1L)"))
+      .withColumn("stop_ppm", expr("_stop * 1000000L div greatest(n_tokens, 1L)"))
+      .withColumn(
+        "is_content",
+        col("n_tokens") >= minTokens &&
+          col("link_ppm") < maxLinkPpm &&
+          col("stop_ppm") >= minStopPpm
+      )
+      .filter(col("n_chars") > 0)
+      .select(
+        col(idCol),
+        col("block_id"),
+        col("block_text"),
+        col("n_chars"),
+        col("n_tokens"),
+        col("link_ppm"),
+        col("stop_ppm"),
+        col("is_content")
+      )
+  }
+
+  /** Main-content extraction: the per-document rollup of [[htmlBlocks]] —
+    * content blocks concatenated in document order (the extracted article),
+    * plus block/keep counts for the curation audit. One keyed aggregate;
+    * state bounded by document length. A doc whose every block is
+    * boilerplate survives with `n_kept = 0` and empty `main_text`, so the
+    * extraction stage never silently drops documents — the filter decision
+    * stays with the caller.
+    */
+  def extractMainContent(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      minTokens: Int = 5,
+      maxLinkPpm: Long = 250000L,
+      minStopPpm: Long = 20000L,
+      stopwords: Seq[String] = HtmlStopwords
+  ): DataFrame =
+    htmlBlocks(df, idCol, htmlCol, minTokens, maxLinkPpm, minStopPpm, stopwords)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("is_content"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          expr(
+            "transform(array_sort(collect_list(" +
+              "CASE WHEN is_content THEN struct(block_id, block_text) END)), x -> x.block_text)"
+          ),
+          " | "
+        ).as("main_text")
+      )
+
   /** Temperature-scaled source mixture at α = 0.5 (UNICODE-style
     * multilingual rebalancing, Lample & Conneau 2019: wᵢ ∝ nᵢ^α — α < 1
     * upsamples small sources): per-source doc counts, √n quantized to

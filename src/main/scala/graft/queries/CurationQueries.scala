@@ -17,6 +17,79 @@ object CurationQueries {
        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"""
       .stripMargin.replaceAll("\\s+", " ")
 
+  // deterministic synthetic HTML page per document, buildable identically in
+  // both engines — the corpus is plain text, so the extractor needs pages
+  // with real boilerplate: a title, a link-dense nav, a heading, the article
+  // body, a SHOUTED copy (no lowercase stopwords → fails stop density), and
+  // a link footer. Double quotes inside attributes keep both string
+  // literals single-quote-clean.
+  private val htmlFixtureSql =
+    """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+      |'</title><style>p{margin:0}</style><script>var x=1;</script></head><body>' ||
+      |'<div><a href="/">home page</a> <a href="/about">about the site</a> ' ||
+      |'<a href="/login">login now</a></div>' ||
+      |'<h1>' || array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 3), ' ') ||
+      |'</h1><p>' || text || '</p><p>' || upper(text) ||
+      |'</p><div><a href="/terms">terms</a> copyright ' ||
+      |CAST(2000 + doc_id % 20 AS VARCHAR) || '</div></body></html>'"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB twin of [[Curation.htmlBlocks]] over the fixture — ends in a
+    * relation `blk` with the operator's full per-block schema.
+    */
+  private val htmlBlocksSql =
+    s"""WITH h AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+       |c AS (SELECT doc_id, regexp_replace(html,
+       |    '${graft.operators.Curation.HtmlNoisePattern}', ' ', 'g') AS s FROM h),
+       |seg AS (SELECT doc_id, string_split(regexp_replace(s,
+       |    '${graft.operators.Curation.HtmlBlockBreakPattern}', chr(10), 'g'),
+       |    chr(10)) AS bs FROM c),
+       |b AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(bs) + 1), i -> i)) AS bi,
+       |    unnest(bs) AS raw FROM seg),
+       |p AS (SELECT doc_id, CAST(bi AS BIGINT) AS block_id,
+       |    trim(regexp_replace(regexp_replace(raw,
+       |      '${graft.operators.Curation.HtmlTagPattern}', ' ', 'g'),
+       |      '\\s+', ' ', 'g')) AS block_text,
+       |    CAST(COALESCE(list_sum(list_transform(regexp_extract_all(raw,
+       |      '${graft.operators.Curation.HtmlAnchorPattern}', 1),
+       |      x -> length(x))), 0) AS BIGINT) AS anchor_chars
+       |  FROM b),
+       |m AS (SELECT doc_id, block_id, block_text,
+       |    CAST(length(block_text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(string_split(block_text, ' '),
+       |      t -> t <> '')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(block_text, ' '),
+       |      t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+       |    anchor_chars FROM p),
+       |blk AS (SELECT doc_id, block_id, block_text, n_chars, n_tokens,
+       |    anchor_chars * 1000000 // greatest(n_chars, 1) AS link_ppm,
+       |    n_stop * 1000000 // greatest(n_tokens, 1) AS stop_ppm,
+       |    (n_tokens >= 5
+       |     AND anchor_chars * 1000000 // greatest(n_chars, 1) < 250000
+       |     AND n_stop * 1000000 // greatest(n_tokens, 1) >= 20000) AS is_content
+       |  FROM m WHERE n_chars > 0)"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  /** Spark twin of [[htmlFixtureSql]]. */
+  private def htmlFixture(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextAnalysis
+    df.select(
+      col("doc_id"),
+      concat(
+        lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{margin:0}</style><script>var x=1;</script></head><body>"),
+        lit("""<div><a href="/">home page</a> <a href="/about">about the site</a> """),
+        lit("""<a href="/login">login now</a></div>"""),
+        lit("<h1>"), array_join(slice(TextAnalysis.tokens(col("text")), 1, 3), " "),
+        lit("</h1><p>"), col("text"), lit("</p><p>"), upper(col("text")),
+        lit("""</p><div><a href="/terms">terms</a> copyright """),
+        (lit(2000) + col("doc_id") % 20).cast("string"),
+        lit("</div></body></html>")
+      ).as("html")
+    )
+  }
+
   // deterministic synthetic PII, buildable identically in both engines — the
   // documents corpus itself is clean, so the scrubber needs planted targets
   private val piiTextSql =
@@ -529,6 +602,39 @@ object CurationQueries {
     ) { (s, d) =>
       Curation.temperatureMixture(
         documents(s, d), "source", "n_chars", budgetChars = 1000000000L)
+    },
+
+    // jusText-lite block classification ([[Curation.htmlBlocks]]) over a
+    // synthesized page per document (title/nav/h1/article/SHOUTED-copy/
+    // footer). Verifies segmentation, tag stripping, integer link/stopword
+    // ppm densities and the keep cut block-by-block — the twin replays the
+    // identical regexes under RE2 and the identical integer arithmetic.
+    QEntry.sql(
+      "cur_html_blocks",
+      s"""$htmlBlocksSql
+         |SELECT doc_id, block_id, block_text, n_chars, n_tokens,
+         |  CAST(link_ppm AS BIGINT) AS link_ppm,
+         |  CAST(stop_ppm AS BIGINT) AS stop_ppm, is_content
+         |FROM blk""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.htmlBlocks(htmlFixture(documents(s, d)), "doc_id", "html")
+    },
+
+    // Main-content extraction ([[Curation.extractMainContent]]): per-doc
+    // rollup — content blocks joined in document order; boilerplate (nav,
+    // footer, title, heading, the no-stopword SHOUTED copy) dropped. Docs
+    // whose article block itself fails the stopword test survive with
+    // n_kept = 0 — extraction never silently drops documents.
+    QEntry.sql(
+      "cur_html_extract",
+      s"""$htmlBlocksSql
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN is_content THEN block_text END,
+         |    ' | ' ORDER BY block_id), '') AS main_text
+         |FROM blk GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.extractMainContent(htmlFixture(documents(s, d)), "doc_id", "html")
     }
   )
 }

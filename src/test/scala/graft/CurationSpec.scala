@@ -49,6 +49,60 @@ class CurationSpec extends SparkSpec {
     assert(row.getAs[Long]("epochs_milli") > 0, "overflow would go negative")
   }
 
+  test("extractMainContent keeps the article and drops nav/footer/script") {
+    val page =
+      """<html><head><title>tiny page</title>
+        |<style>body{color:red}</style><script>alert("the the the");</script>
+        |</head><body>
+        |<div class="nav"><a href="/">home page</a> <a href="/x">all the posts</a> <a href="/y">sign in</a></div>
+        |<h1>a heading</h1>
+        |<p>this is the real article text and it talks about a topic at length with the detail a reader wants</p>
+        |<div class="footer"><a href="/terms">terms</a> 2024</div>
+        |</body></html>""".stripMargin
+    val df = docs(1L -> page).withColumnRenamed("text", "html")
+    val blocks = Curation
+      .htmlBlocks(df, "doc_id", "html")
+      .orderBy("block_id")
+      .collect()
+    // script/style text never reaches any block
+    assert(!blocks.exists(_.getAs[String]("block_text").contains("alert")))
+    assert(!blocks.exists(_.getAs[String]("block_text").contains("color:red")))
+    val kept = blocks.filter(_.getAs[Boolean]("is_content"))
+    assert(kept.length == 1, blocks.map(_.mkString("|")).mkString("\n"))
+    assert(kept.head.getAs[String]("block_text").startsWith("this is the real article"))
+    // the nav block is rejected for link density specifically
+    val nav = blocks.find(_.getAs[String]("block_text").contains("home page")).get
+    assert(nav.getAs[Long]("link_ppm") >= 250000L)
+    // heading fails the minimum token count
+    val h1 = blocks.find(_.getAs[String]("block_text") == "a heading").get
+    assert(h1.getAs[Long]("n_tokens") < 5L)
+
+    val doc = Curation.extractMainContent(df, "doc_id", "html").head()
+    assert(doc.getAs[Long]("n_kept") == 1L)
+    assert(doc.getAs[String]("main_text").startsWith("this is the real article"))
+  }
+
+  test("extractMainContent keeps all-boilerplate docs with n_kept 0") {
+    val df = docs(7L -> """<div><a href="/a">one link</a> <a href="/b">two link</a> <a href="/c">the rest</a></div>""")
+      .withColumnRenamed("text", "html")
+    val doc = Curation.extractMainContent(df, "doc_id", "html").head()
+    assert(doc.getAs[Long]("n_kept") == 0L)
+    assert(doc.getAs[String]("main_text") == "")
+  }
+
+  test("htmlBlocks stopword-density gate rejects token soup") {
+    val df = docs(
+      1L -> "<p>the quick brown fox jumps over the lazy dog near a river</p>",
+      2L -> "<p>FOO BAR BAZ QUX QUUX CORGE GRAULT GARPLY WALDO FRED</p>"
+    ).withColumnRenamed("text", "html")
+    val m = Curation
+      .htmlBlocks(df, "doc_id", "html")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_content"))
+      .toMap
+    assert(m == Map(1L -> true, 2L -> false))
+  }
+
   test("pii scrub redacts emails, IPv4s, and long digit runs in order") {
     val df = docs(1L -> "mail bob.smith+x@corp.example.org from 192.168.0.1 acct 123456789 tail")
     val red = df.select(Curation.piiScrub(col("text"))).head().getString(0)
