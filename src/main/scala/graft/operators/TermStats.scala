@@ -113,6 +113,89 @@ object TermStats {
     * BROADCAST membership join (vocab is k rows by construction) → one
     * per-group partial agg. No data-sized shuffle after the TF agg.
     */
+  /** Interpolated add-one bigram cross-entropy per document (bits/bigram) —
+    * the KenLM-class perplexity quality filter one order up from the unigram
+    * signal (`txt_lm_cross_entropy`): score each document by how surprising
+    * its word TRANSITIONS are under the corpus's own bigram statistics.
+    * Repetitive/templated text (high-count transitions) scores low; novel
+    * word orderings score high — the standard "perplexity filter" cut.
+    *
+    * Model: p(cur|prev) = λ·(c₂+1)/(c₁+V) + (1−λ)·(c_uni+1)/(T+V) — add-one
+    * smoothed bigram interpolated with the add-one unigram (c₂ = bigram
+    * count, c₁ = context count, V = vocabulary size, T = token count; all
+    * EXACT BIGINTs, so both engines see identical probabilities up to two
+    * correctly-rounded double divisions). Per-bigram-TYPE bits quantize to
+    * 9 decimals → DECIMAL before the per-doc sum (summation-order-free, the
+    * same ladder as [[Curation.dsirWeights]]); the final bits/bigram is one
+    * double division rounded to 6.
+    *
+    * Shapes: bigram stream is a narrow per-row array transform (positions
+    * from the token array — no window, no self-join); stats are two partial
+    * aggs whose state is bigram-vocabulary-sized; the stats join back to
+    * the stream on the (prev, cur) key — vocabulary-sized build side, which
+    * AQE broadcasts when it fits and shuffles when a web-scale bigram table
+    * doesn't. Docs with fewer than two tokens have no transitions and drop
+    * out (no 0/0 row).
+    *
+    * @return (id, n_bigrams, bigram_entropy)
+    */
+  def bigramCrossEntropy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.75
+  ): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, "lambda in (0, 1]")
+    val ws = TextAnalysis.tokens(col(textCol))
+    val toks = docs
+      .select(col(idCol), explode(ws).as("term"))
+      .filter(col("term") =!= "")
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(
+      sum("cu").cast("long").as("t"),
+      count(lit(1)).cast("long").as("v")
+    )
+    val bgStream = docs
+      .select(col(idCol), ws.as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(
+        col(idCol),
+        // Spark SQL array indexing is 0-based: position i (1-based, 2..n)
+        // pairs _ws[i-2] (prev) with _ws[i-1] (cur)
+        explode(
+          expr("transform(sequence(2, size(_ws)), i -> struct(_ws[i-2] AS prev, _ws[i-1] AS cur))")
+        ).as("_bg")
+      )
+      .select(col(idCol), col("_bg.prev").as("prev"), col("_bg.cur").as("cur"))
+    val bg = bgStream.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val ctx = bg.groupBy("prev").agg(sum("c2").as("c1"))
+    val ratio = bg
+      .join(ctx, "prev")
+      .join(uni.withColumnRenamed("term", "cur"), "cur")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("prev"),
+        col("cur"),
+        round(
+          -log2(
+            lit(lambda) * ((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")) +
+              lit(1.0 - lambda) * ((col("cu") + 1).cast("double") / (col("t") + col("v")).cast("double"))
+          ),
+          9
+        ).cast("decimal(18,9)").as("bits")
+      )
+    bgStream
+      .join(ratio, Seq("prev", "cur"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(
+          sum(col("bits")).cast("decimal(28,9)").cast("double") / count(lit(1)),
+          6
+        ).as("bigram_entropy")
+      )
+  }
+
   def dictionaryCoverage(
       docs: DataFrame,
       textCol: String,

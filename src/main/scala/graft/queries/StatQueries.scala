@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{GeoJoin, Profiling, QualityChecks, Selection}
+import graft.operators.{GeoJoin, Profiling, QualityChecks, Selection, TermStats}
 
 /** Statistical-analytics inventory: per-group linear regression, distribution
   * entropy, frequency heavy hitters, rolling medians, bitmap aggregates and
@@ -351,6 +351,40 @@ object StatQueries {
             4
           ).as("cross_entropy")
         )
+    },
+
+    // Interpolated add-one bigram cross-entropy per doc
+    // ([[TermStats.bigramCrossEntropy]]): the KenLM-class perplexity filter
+    // one order above txt_lm_cross_entropy. All counts exact BIGINTs; the
+    // per-bigram bits quantize to 9 decimals → DECIMAL before the per-doc
+    // sum (order-free), final bits/bigram one rounded double division.
+    QEntry.sql(
+      "txt_bigram_perplexity",
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |tk AS (SELECT doc_id, t.term FROM
+         |  (SELECT doc_id, unnest(words) AS term FROM w) t WHERE t.term <> ''),
+         |uni AS (SELECT term, count(*) AS cu FROM tk GROUP BY term),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+         |  FROM uni),
+         |bgs AS (SELECT doc_id, unnest(list_transform(range(2, len(words) + 1),
+         |    i -> struct_pack(prev := words[i-1], cur := words[i]))) AS bp
+         |  FROM w WHERE len(words) >= 2),
+         |bstream AS (SELECT doc_id, bp.prev AS prev, bp.cur AS cur FROM bgs),
+         |bg AS (SELECT prev, cur, count(*) AS c2 FROM bstream GROUP BY prev, cur),
+         |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY prev),
+         |ratio AS (SELECT bg.prev, bg.cur,
+         |    CAST(round(-log2(0.75 * (CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+         |      + 0.25 * (CAST(cu + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))), 9)
+         |      AS DECIMAL(18,9)) AS bits
+         |  FROM bg JOIN ctx ON bg.prev = ctx.prev
+         |  JOIN uni ON bg.cur = uni.term CROSS JOIN tot)
+         |SELECT s.doc_id, count(*) AS n_bigrams,
+         |  round(CAST(CAST(sum(bits) AS DECIMAL(28,9)) AS DOUBLE) / count(*), 6)
+         |    AS bigram_entropy
+         |FROM bstream s JOIN ratio ON s.prev = ratio.prev AND s.cur = ratio.cur
+         |GROUP BY s.doc_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      TermStats.bigramCrossEntropy(documents(s, d), "doc_id", "text", 0.75)
     },
 
     // Pairwise covariance/correlation matrix of (quantity, price-cents,

@@ -17,6 +17,37 @@ class StatOpsSpec extends SparkSpec {
   private def entry(name: String) =
     StatQueries.entries.find(_.name == name).get.run(spark, sf)
 
+  test("bigramCrossEntropy: templated docs score measurably below novel text") {
+    import graft.operators.TermStats
+    // shared vocabulary, very different transition structure: doc 1 cycles
+    // one 4-word template; doc 2 visits many distinct transitions
+    val template = Seq.fill(10)("alpha beta gamma delta").mkString(" ")
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val novel = (0 until 40).map(i => words((i * 5 + i * i) % 8)).mkString(" ")
+    val df = Seq((1L, template), (2L, novel)).toDF("doc_id", "text")
+    val out = TermStats
+      .bigramCrossEntropy(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L)._1 == 39L && out(2L)._1 == 39L)
+    assert(
+      out(1L)._2 + 0.5 < out(2L)._2,
+      s"templated=${out(1L)._2} should be well below novel=${out(2L)._2}"
+    )
+  }
+
+  test("bigramCrossEntropy drops docs without transitions, keeps two-token docs") {
+    import graft.operators.TermStats
+    val df = Seq((1L, "solo"), (2L, ""), (3L, "pair pair")).toDF("doc_id", "text")
+    val out = TermStats
+      .bigramCrossEntropy(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map(3L -> 1L), s"got $out")
+  }
+
   test("gridProximityJoin equals the naive cross-join filter for several radii") {
     // deterministic pseudo-random points on a 100×100 plane
     val pts = (1L to 120L).map(k => (k, (k * 37 % 1000) / 10.0, (k * 73 % 1000) / 10.0))
