@@ -1469,8 +1469,11 @@ object Dedup {
     * `maxBandDf` hot-band cap and before deciding a [[compactMinhashIndex]]
     * run: row/doc/band cardinalities plus the band-frequency tail (max df
     * and how many band keys sit at df ≥ 2 / ≥ 8 — the keys that drive
-    * candidate fan-out). One scan, two partial aggregates, a single summary
-    * row to the driver.
+    * candidate fan-out). TWO column-pruned scans of the index — the band
+    * rollup and the distinct-doc count — joined into one summary row:
+    * folding both into a single pass needs a grouping-sets Expand that
+    * pushes every row through the shuffle twice, which costs more than the
+    * second parquet read of a one/two-column ReadSchema.
     */
   def minhashIndexStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val idx = spark.read.parquet(path)

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Optimistic commit protocol for the persisted-index family — the
+  * cross-JOB concurrency story the per-loop versioning (E284) doesn't give:
+  * every index this library writes (MinHash bands, Hamming sketches, LSH /
+  * IVF / PQ vectors, BM25 postings, cluster state) assumed a single writer,
+  * and the in-place rewrites in [[IndexMaintenance.deleteRows]] /
+  * [[IndexMaintenance.compact]] have a crash window in which the only copy
+  * of the index is half-overwritten.
+  *
+  * The protocol (Delta/Iceberg-shaped, filesystem-atomic-rename as the
+  * arbiter):
+  *
+  *   - `root/data/<staged>` — immutable full-snapshot directories, written
+  *     ONCE and never modified; the staging name carries the target
+  *     version, the writer id and the attempt count, so concurrent writers
+  *     never collide on a path.
+  *   - `root/manifest/commit-<n>` — the pointer written LAST: a one-line
+  *     file naming the snapshot directory for version n, renamed into
+  *     place from a writer-private temp file. Rename-without-replace is
+  *     atomic on HDFS and local filesystems, so exactly ONE writer owns
+  *     version n; the content is complete the instant the marker exists.
+  *   - Readers resolve max committed n → marker content → snapshot dir.
+  *     A reader never sees a partial write: either the marker exists (its
+  *     snapshot was fully written first) or it doesn't (the reader stays
+  *     on the previous version).
+  *   - A writer that loses the rename race REBASES: re-resolves the newest
+  *     committed snapshot, rebuilds its output from it, and retries at
+  *     n+1 — so two interleaved appenders both land and neither's batch is
+  *     lost (the lost-update failure of last-writer-wins overwrites).
+  *   - A crash at ANY point leaves either a stale staging directory (never
+  *     referenced, swept by [[vacuum]]) or nothing — the committed chain is
+  *     untouched, which is the recovery guarantee the right-to-be-forgotten
+  *     flow needs (the in-place path's failure mode was "rebuild the index
+  *     from corpus text").
+  *
+  * Object stores without atomic rename need a real commit service (the
+  * documented caveat of every rename-arbitrated table format); HDFS-like
+  * and local filesystems are covered.
+  */
+object IndexCommit {
+
+  private def hfs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestDir(root: String) = new Path(root, "manifest")
+  private def dataDir(root: String) = new Path(root, "data")
+
+  private val MarkerPrefix = "commit-"
+
+  /** Newest committed version, if any commit marker exists. */
+  def committedVersion(spark: SparkSession, root: String): Option[Long] = {
+    val dir = manifestDir(root)
+    val fs = hfs(spark, dir)
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs
+        .listStatus(dir)
+        .iterator
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith(MarkerPrefix) => n.drop(MarkerPrefix.length).toLong }
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Snapshot directory committed as version `n` (the marker's content). */
+  private def snapshotPath(spark: SparkSession, root: String, n: Long): Path = {
+    val marker = new Path(manifestDir(root), s"$MarkerPrefix$n")
+    val fs = hfs(spark, marker)
+    val in = fs.open(marker)
+    val name =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    new Path(dataDir(root), name)
+  }
+
+  /** Newest committed snapshot with its version; None before first commit. */
+  def readCommitted(spark: SparkSession, root: String): Option[(Long, DataFrame)] =
+    committedVersion(spark, root).map { n =>
+      (n, spark.read.parquet(snapshotPath(spark, root, n).toString))
+    }
+
+  /** Attempt to publish `stagedName` as version `n`: write the marker to a
+    * writer-private temp file, then rename-without-replace into
+    * `manifest/commit-<n>`. Returns false when another writer already owns
+    * n — the caller must rebase and retry. Exposed to tests to drive the
+    * race deterministically.
+    */
+  private[graft] def tryCommitMarker(
+      spark: SparkSession,
+      root: String,
+      n: Long,
+      stagedName: String,
+      writerId: String
+  ): Boolean = {
+    val dir = manifestDir(root)
+    val fs = hfs(spark, dir)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s"tmp-$writerId-$n")
+    val out = fs.create(tmp, true)
+    try out.write(stagedName.getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(dir, s"$MarkerPrefix$n")
+    val won = !fs.exists(dst) && fs.rename(tmp, dst)
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** Publish one atomic index transition. `build` receives the newest
+    * committed snapshot (None before the first commit) and returns the next
+    * full snapshot's rows; the protocol stages them, then commits the
+    * pointer, REBASING through `build` again each time another writer got
+    * there first. Returns the version this writer's transition landed as.
+    *
+    * `build` must be a pure function of its input snapshot (it re-runs on
+    * rebase) — exactly the shape of every maintenance op in this library:
+    * append = base ∪ batch, delete = base ⟕̸ condemned, compact = base
+    * re-bucketed.
+    */
+  def commit(
+      spark: SparkSession,
+      root: String,
+      writerId: String,
+      partitionCols: Seq[String] = Nil,
+      maxAttempts: Int = 20
+  )(build: Option[DataFrame] => DataFrame): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = readCommitted(spark, root)
+      val target = base.map(_._1).getOrElse(0L) + 1L
+      val stagedName = s"v$target-$writerId-$attempt"
+      val stagedPath = new Path(dataDir(root), stagedName)
+      val rows = build(base.map(_._2))
+      val w = rows.write.mode("errorifexists")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(stagedPath.toString)
+      if (tryCommitMarker(spark, root, target, stagedName, writerId)) return target
+      // lost the race: discard this attempt's snapshot, rebase, retry
+      hfs(spark, stagedPath).delete(stagedPath, true)
+    }
+    throw new IllegalStateException(
+      s"IndexCommit.commit: lost the commit race $maxAttempts times at $root — " +
+        "writer contention this high needs a coordination service, not optimistic retry"
+    )
+  }
+
+  /** Drop snapshots (and their markers) older than the newest `keep`
+    * committed versions, plus any staging directory no marker references —
+    * the abandoned remains of crashed or outraced writers. Never touches
+    * the newest committed chain, so concurrent readers on recent versions
+    * stay valid.
+    */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "must keep at least the newest committed version")
+    val mDir = manifestDir(root)
+    val fs = hfs(spark, mDir)
+    if (!fs.exists(mDir)) return
+    val committed = fs
+      .listStatus(mDir)
+      .iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(MarkerPrefix) => n.drop(MarkerPrefix.length).toLong }
+      .toSeq
+      .sorted
+    if (committed.isEmpty) return
+    val keepVs = committed.takeRight(keep).toSet
+    val keepDirs = keepVs.map(n => snapshotPath(spark, root, n).getName)
+    committed.filterNot(keepVs).foreach { n =>
+      fs.delete(new Path(mDir, s"$MarkerPrefix$n"), false)
+    }
+    val dDir = dataDir(root)
+    if (fs.exists(dDir)) {
+      fs.listStatus(dDir)
+        .iterator
+        .map(_.getPath)
+        .filterNot(p => keepDirs.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    }
+  }
+}

@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object IndexMaintenance {
 
+  /** CRASH-WINDOW CAVEAT (shared by [[deleteRows]], [[compact]] and
+    * `Dedup.deleteFromMinhashIndex`): these rewrite the index IN PLACE —
+    * localCheckpoint guards the lazy self-read, but a crash between the
+    * overwrite's delete and its write loses the only copy (checkpoint
+    * blocks die with the app), and recovery is a rebuild from corpus text.
+    * Acceptable for single-writer batch jobs that can rerun; anything
+    * needing crash safety or a second concurrent writer should hold the
+    * index under [[IndexCommit]] and use [[deleteRowsVersioned]] /
+    * [[compactVersioned]], where every transition is a fresh immutable
+    * snapshot behind an atomically-renamed pointer.
+    */
   def deleteRows(
       spark: SparkSession,
       ids: DataFrame,
@@ -71,4 +82,63 @@ object IndexMaintenance {
     val w = shuffled.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  // ---- versioned variants (crash-safe, multi-writer) ----------------------
+  // The same three maintenance transitions expressed as [[IndexCommit]]
+  // builds: each is a pure function of the committed base snapshot, so the
+  // protocol can rebase it when another writer commits first, and no
+  // in-place overwrite ever exists. The base read is lazy over an IMMUTABLE
+  // snapshot directory — no localCheckpoint materialization needed, which
+  // also drops the in-place path's memory spike at index scale.
+
+  /** Append a batch as a new committed version. Rebase-safe by
+    * construction: base ∪ batch re-evaluated against whoever won.
+    */
+  def appendVersioned(
+      spark: SparkSession,
+      batch: DataFrame,
+      root: String,
+      writerId: String,
+      partitionCols: Seq[String] = Nil
+  ): Long =
+    IndexCommit.commit(spark, root, writerId, partitionCols) {
+      case None       => batch
+      case Some(base) => base.unionByName(batch)
+    }
+
+  /** Right-to-be-forgotten under the commit protocol: survivors of the
+    * newest committed snapshot become the next version; a crash at any
+    * point leaves the previous version intact and committed.
+    */
+  def deleteRowsVersioned(
+      spark: SparkSession,
+      ids: DataFrame,
+      root: String,
+      idColName: String,
+      writerId: String,
+      partitionCols: Seq[String] = Nil
+  ): Long =
+    IndexCommit.commit(spark, root, writerId, partitionCols) {
+      case None       => throw new IllegalStateException(s"no committed index at $root")
+      case Some(base) => base.join(ids.toDF(idColName), Seq(idColName), "left_anti")
+    }
+
+  /** Small-file compaction as a version transition: rows unchanged,
+    * ingest column reset, layout re-bucketed — readers on the old version
+    * keep their directories until [[IndexCommit.vacuum]].
+    */
+  def compactVersioned(
+      spark: SparkSession,
+      root: String,
+      writerId: String,
+      partitionCols: Seq[String],
+      ingestCol: Option[String] = Some("ingest_id")
+  ): Long =
+    IndexCommit.commit(spark, root, writerId, partitionCols) {
+      case None => throw new IllegalStateException(s"no committed index at $root")
+      case Some(base) =>
+        val rows = ingestCol.fold(base)(c => base.withColumn(c, lit(0L)))
+        if (partitionCols.nonEmpty) rows.repartition(partitionCols.map(col): _*)
+        else rows.coalesce(1)
+    }
 }

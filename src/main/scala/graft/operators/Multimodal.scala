@@ -156,6 +156,10 @@ object Multimodal {
         val cid = fourCC(b, off)
         val sz = readLeInt(b, off + 4)
         val body = off + 8
+        // a corrupt size of -8 would leave off unchanged (executor hang);
+        // an oversized one would read past the payload
+        require(sz >= 0 && body + sz <= b.length,
+          s"media $id: corrupt $cid chunk size $sz at offset $off")
         cid match {
           case "fmt " =>
             require(readLeShort(b, body) == 1, s"media $id: not uncompressed PCM")
@@ -206,6 +210,10 @@ object Multimodal {
         val cid = fourCC(b, off)
         val sz = readLeInt(b, off + 4)
         val body = off + 8
+        // same guard as decodeWav: a negative size stalls the walk, an
+        // oversized one reads past the payload
+        require(sz >= 0 && body + sz <= b.length,
+          s"media $id: corrupt $cid chunk size $sz at offset $off")
         cid match {
           case "fmt " =>
             require(readLeShort(b, body) == 1, s"media $id: not uncompressed PCM")

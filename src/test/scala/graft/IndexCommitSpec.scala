@@ -1,0 +1,131 @@
+package graft
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import graft.operators.{IndexCommit, IndexMaintenance}
+
+/** The optimistic commit protocol for persisted indexes: atomic pointer
+  * swap, reader isolation mid-write, rebase on a lost race, interleaved
+  * appenders without lost updates, versioned delete/compact, vacuum.
+  * Filesystem-effect tier — no DuckDB oracle (like E252's layout specs).
+  */
+class IndexCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(root: String): Set[Long] =
+    IndexCommit
+      .readCommitted(spark, root)
+      .get
+      ._2
+      .select("id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+
+  test("first commit lands v=1 and is readable through the pointer") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      assert(IndexCommit.committedVersion(spark, root).isEmpty)
+      assert(IndexCommit.readCommitted(spark, root).isEmpty)
+      val v = IndexMaintenance.appendVersioned(
+        spark, Seq(1L, 2L).toDF("id"), root, writerId = "w0")
+      assert(v == 1L)
+      assert(IndexCommit.committedVersion(spark, root).contains(1L))
+      assert(ids(root) == Set(1L, 2L))
+    }
+  }
+
+  test("a reader mid-write sees the previous committed version until the marker lands") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      IndexMaintenance.appendVersioned(spark, Seq(1L).toDF("id"), root, "w0")
+      // a compaction/writer in flight: full snapshot staged, marker not yet
+      val staged = "v2-w1-1"
+      Seq(1L, 99L).toDF("id").write.parquet(s"$root/data/$staged")
+      assert(IndexCommit.committedVersion(spark, root).contains(1L))
+      assert(ids(root) == Set(1L), "reader must stay on v=1 while v=2 is unpublished")
+      // the marker rename is the publication point
+      assert(IndexCommit.tryCommitMarker(spark, root, 2L, staged, "w1"))
+      assert(ids(root) == Set(1L, 99L))
+    }
+  }
+
+  test("exactly one of two writers wins a version; the loser's marker attempt fails") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      Seq(1L).toDF("id").write.parquet(s"$root/data/v1-a-1")
+      Seq(2L).toDF("id").write.parquet(s"$root/data/v1-b-1")
+      assert(IndexCommit.tryCommitMarker(spark, root, 1L, "v1-a-1", "a"))
+      assert(!IndexCommit.tryCommitMarker(spark, root, 1L, "v1-b-1", "b"))
+      assert(ids(root) == Set(1L))
+    }
+  }
+
+  test("two interleaved appenders both land — no lost update, any interleaving") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      IndexMaintenance.appendVersioned(spark, Seq(0L).toDF("id"), root, "seed")
+      val fa = Future(
+        IndexMaintenance.appendVersioned(spark, Seq(101L).toDF("id"), root, "wa"))
+      val fb = Future(
+        IndexMaintenance.appendVersioned(spark, Seq(202L).toDF("id"), root, "wb"))
+      val (va, vb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+      assert(Set(va, vb) == Set(2L, 3L), s"each appender owns one version: $va, $vb")
+      assert(IndexCommit.committedVersion(spark, root).contains(3L))
+      assert(ids(root) == Set(0L, 101L, 202L), "the rebased loser must carry the winner's rows")
+    }
+  }
+
+  test("versioned delete publishes survivors; the prior snapshot stays on disk until vacuum") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      IndexMaintenance.appendVersioned(spark, Seq(1L, 2L, 3L).toDF("id"), root, "w0")
+      val v = IndexMaintenance.deleteRowsVersioned(
+        spark, Seq(2L).toDF("id"), root, "id", "w0")
+      assert(v == 2L && ids(root) == Set(1L, 3L))
+      // time-travel read of the superseded version still works pre-vacuum
+      val v1 = spark.read.parquet(s"$root/data/v1-w0-1").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(v1 == Set(1L, 2L, 3L))
+    }
+  }
+
+  test("vacuum drops superseded snapshots, abandoned stagings, and their markers") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      IndexMaintenance.appendVersioned(spark, Seq(1L).toDF("id"), root, "w0")
+      IndexMaintenance.appendVersioned(spark, Seq(2L).toDF("id"), root, "w0")
+      IndexMaintenance.appendVersioned(spark, Seq(3L).toDF("id"), root, "w0")
+      // an outraced writer's abandoned staging dir
+      Seq(9L).toDF("id").write.parquet(s"$root/data/v9-crashed-1")
+      IndexCommit.vacuum(spark, root, keep = 2)
+      val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
+      assert(dataDirs == Set("v2-w0-1", "v3-w0-1"), s"got $dataDirs")
+      val markers = new java.io.File(s"$root/manifest").listFiles().map(_.getName)
+        .filter(_.startsWith("commit-")).toSet
+      assert(markers == Set("commit-2", "commit-3"))
+      assert(IndexCommit.committedVersion(spark, root).contains(3L))
+      assert(ids(root) == Set(1L, 2L, 3L))
+    }
+  }
+
+  test("versioned compact preserves rows and resets the ingest column") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      IndexMaintenance.appendVersioned(
+        spark, Seq((1L, 0L), (2L, 1L)).toDF("id", "ingest_id"), root, "w0",
+        partitionCols = Seq("ingest_id"))
+      val v = IndexMaintenance.compactVersioned(
+        spark, root, "w0", partitionCols = Seq("ingest_id"))
+      assert(v == 2L)
+      // partition columns come back type-inferred from directory names
+      val rows = IndexCommit.readCommitted(spark, root).get._2
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Number]("ingest_id").longValue))
+        .toSet
+      assert(rows == Set((1L, 0L), (2L, 0L)))
+    }
+  }
+}

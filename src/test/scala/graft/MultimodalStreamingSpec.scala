@@ -414,6 +414,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     )
   }
 
+  test("wav chunk walk rejects corrupt chunk sizes instead of hanging or overreading") {
+    import graft.operators.Multimodal.MediaCodecs
+    val good = MediaCodecs.encodeWavPcm(Array[Byte](1, 0, 2, 0, 3, 0), 8000, 16)
+    // chunk size -8 keeps the walk's offset stationary — an executor hang
+    // without the guard; chunk starts at byte 12, size field at 16
+    val stuck = good.clone()
+    val neg = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-8).array()
+    System.arraycopy(neg, 0, stuck, 16, 4)
+    val eStuck = intercept[IllegalArgumentException](MediaCodecs.wavSamples(7L, stuck))
+    assert(eStuck.getMessage.contains("corrupt"))
+    intercept[IllegalArgumentException](MediaCodecs.decodeWav(7L, stuck))
+    // an oversized data size reads past the payload without the guard;
+    // the data chunk's size field sits 4+6 bytes from the end (size + samples)
+    val over = good.clone()
+    val big = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1 << 20).array()
+    System.arraycopy(big, 0, over, over.length - 6 - 4, 4)
+    val eOver = intercept[IllegalArgumentException](MediaCodecs.wavSamples(7L, over))
+    assert(eOver.getMessage.contains("corrupt"))
+    // the untouched payload still decodes
+    assert(MediaCodecs.wavSamples(7L, good)._3.toSeq == Seq(1, 2, 3))
+  }
+
   test("idempotent foreachBatch sink: batch replay does not duplicate rows") {
     val s = spark
     import s.implicits._
