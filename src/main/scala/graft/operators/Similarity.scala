@@ -513,7 +513,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     spark.read
       .parquet(s"$path/cells")
-      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
       .join(broadcast(queryCells), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
@@ -1426,6 +1426,157 @@ object Similarity {
     * evaluation loop an ANN deployment runs on a sample before trusting an
     * index at corpus scale.
     */
+  // ---- deterministic graph ANN (NSW-lite) --------------------------------
+
+  /** Deterministic approximate-kNN GRAPH over the corpus — the navigable
+    * small-world edge set a graph-ANN search walks. Classic NSW/HNSW builds
+    * are sequential (insert one point at a time); this is the
+    * Spark-distributable equivalent (DiskANN/Vamana-shaped): candidate
+    * edges come from `tables` independent md5-seeded LSH bucketings (each
+    * bucket self-joins — an equi-join on a scalar key, never all-pairs),
+    * each node keeps its `degree` best candidates by exact cosine, and
+    * every kept edge is mirrored (NSW links are bidirectional — the
+    * reverse of a pruned out-edge is what keeps hub nodes reachable).
+    * Multiple tables serve the role insertion order serves in NSW: each
+    * extra table is an independent chance for cross-cluster bucket
+    * collisions, which become the graph's long-range links.
+    *
+    * Fully deterministic: md5-derived planes, (cos desc, dst asc) pruning.
+    * At corpus scale, `bits` grows with log₂(n) to bound bucket sizes —
+    * the same contract as every LSH operator here; the edge table is
+    * ≤ 2·degree·n rows, the index a graph-partitioned parquet.
+    *
+    * @return (src, dst, cos) — directed edge rows, both directions present
+    */
+  def buildNswEdges(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      degree: Int = 12,
+      tables: Int = 4,
+      bits: Int = 6,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
+    val d = dimOf(corpus, vecCol, dim)
+    val c = withNorm(corpus, idCol, vecCol, "id", "v", "n")
+    val cands = (0 until tables)
+      .map { t =>
+        val planes = hyperplanes(bits, d, seed + t * 1009)
+        val b = c.select(col("id"), lshBucket(col("v"), planes).as("bucket"))
+        b.select(col("id").as("src"), col("bucket"))
+          .join(b.select(col("id").as("dst"), col("bucket")), "bucket")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst")
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+    val scored = cands
+      .join(c.select(col("id").as("src"), col("v").as("sv"), col("n").as("sn")), "src")
+      .join(c.select(col("id").as("dst"), col("v").as("dv"), col("n").as("dn")), "dst")
+      .select(col("src"), col("dst"), pairCos("sv", "dv", "sn", "dn").as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val pruned = scored
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= degree)
+      .select("src", "dst", "cos")
+    pruned
+      .unionByName(pruned.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .groupBy("src", "dst")
+      .agg(max("cos").as("cos"))
+  }
+
+  /** Greedy beam search over a prebuilt [[buildNswEdges]] graph from a
+    * FIXED entry point (the corpus node with minimal md5(id) — arbitrary
+    * but deterministic). Each hop expands the current beam's out-edges,
+    * exact-scores the frontier against every query (queries broadcast, one
+    * equi-join per hop on the node id), and keeps the `beam` best — the
+    * monotone best-so-far set makes an explicit visited-set unnecessary:
+    * revisited nodes dedupe into their existing row. `hops` bounds the walk
+    * (cost ≤ hops·beam·degree scored candidates per query — the measured
+    * knob [[graft.queries.PipelineQueries]]'s `ann_graph_sweep` sweeps);
+    * per-hop localCheckpoint cuts the iterative lineage exactly as the
+    * PageRank loop does.
+    *
+    * Output interface-matches [[bruteForceTopK]]: (query_id, neighbor_id,
+    * cos, rank), self-matches excluded — so [[recallAtK]] compares them
+    * directly. `beam` should exceed k (the self node occupies a slot).
+    */
+  def nswTopKFromEdges(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      edges: DataFrame,
+      k: Int,
+      beam: Int = 32,
+      hops: Int = 5
+  ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
+    val c = withNorm(corpus, idCol, vecCol, "node_id", "nv", "nn").localCheckpoint()
+    val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val entry = corpus
+      .select(col(idCol).cast("long").as("id"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .head()
+      .getLong(0)
+    def score(nodes: DataFrame): DataFrame =
+      nodes
+        .join(c, "node_id")
+        .join(q, "query_id")
+        .select(col("query_id"), col("node_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
+    val adj = edges.select(col("src").as("node_id"), col("dst")).localCheckpoint()
+    var frontier =
+      score(queries.select(col(idCol).as("query_id"), lit(entry).as("node_id")))
+        .localCheckpoint()
+    val wBeam = Window.partitionBy("query_id").orderBy(col("cos").desc, col("node_id"))
+    for (_ <- 1 to hops) {
+      val expanded = frontier
+        .select("query_id", "node_id")
+        .join(adj, "node_id")
+        .select(col("query_id"), col("dst").as("node_id"))
+        .distinct()
+      frontier = frontier
+        .unionByName(score(expanded))
+        .groupBy("query_id", "node_id")
+        .agg(max("cos").as("cos"))
+        .withColumn("_r", row_number().over(wBeam))
+        .filter(col("_r") <= beam)
+        .select("query_id", "node_id", "cos")
+        .localCheckpoint()
+    }
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    frontier
+      .filter(col("node_id") =!= col("query_id"))
+      .select(col("query_id"), col("node_id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+
+  /** Build + search in one call (the spec/entry surface; production holds
+    * the edge table as a persisted index and calls [[nswTopKFromEdges]]).
+    */
+  def nswTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      degree: Int = 12,
+      tables: Int = 4,
+      bits: Int = 6,
+      beam: Int = 32,
+      hops: Int = 5,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame = {
+    val edges = buildNswEdges(corpus, idCol, vecCol, degree, tables, bits, seed, dim)
+      .select("src", "dst")
+      .localCheckpoint()
+    nswTopKFromEdges(corpus, queries, idCol, vecCol, edges, k, beam, hops)
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val hits = exact
       .select(col("query_id"), col("neighbor_id"))

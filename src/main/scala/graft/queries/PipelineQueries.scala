@@ -144,6 +144,97 @@ object PipelineQueries {
        |  FROM vecs, planes GROUP BY vec_id, e)"""
       .stripMargin.replaceAll("\\s+", " ")
 
+  // ---- NSW graph-ANN twin SQL (ann_graph_topk / ann_graph_sweep) ---------
+  // [[Similarity.nswTopK]] defaults, mirrored here so the DuckDB twin
+  // rebuilds the identical graph and walks the identical beam search.
+  private val NswHops = 5
+  private val NswBeam = 32
+  private val NswDegree = 12
+  private val NswTables = 4
+  private val NswBits = 6
+
+  /** Plane CTE `pl$t` for NSW hash table t (seed 42 + t·1009 — the
+    * Similarity.nswTopK table-seed schedule).
+    */
+  private def nswPlaneSql(t: Int): String = {
+    val s = 42 + t * 1009
+    s"""pl$t AS (SELECT p, list_transform(range(0, $EmbDim), i ->
+       |  CAST(CAST(list_sum(list_transform(range(1, 9), ii ->
+       |    (strpos('0123456789abcdef',
+       |            substr(md5('plane|$s|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+       |                   CAST(ii AS INT), 1)) - 1) * pow(16, 8 - ii)))
+       |    / 4294967296.0 * 2 - 1 AS REAL) AS DOUBLE)) AS w
+       |FROM (SELECT unnest(range(0, $NswBits)) AS p))""".stripMargin
+  }
+
+  /** WITH-prefix building the graph (cand → degree-pruned → mirrored
+    * edges), the min-md5 entry point, the query set (vec_id < 5) and the
+    * seed frontier f0.
+    */
+  private def nswGraphSql: String = {
+    val planes = (0 until NswTables).map(nswPlaneSql).mkString(", ")
+    val bks = (0 until NswTables)
+      .map(t =>
+        s"""bk$t AS (SELECT nv.vec_id,
+           |  string_agg(CASE WHEN list_dot_product(nv.e, pl$t.w) >= 0 THEN '1' ELSE '0' END,
+           |             '' ORDER BY pl$t.p) AS bucket
+           |FROM nv, pl$t GROUP BY nv.vec_id)""".stripMargin
+      )
+      .mkString(", ")
+    val candUnion = (0 until NswTables)
+      .map(t =>
+        s"SELECT a.vec_id AS src, b.vec_id AS dst FROM bk$t a " +
+          s"JOIN bk$t b ON a.bucket = b.bucket AND a.vec_id != b.vec_id"
+      )
+      .mkString(" UNION ALL ")
+    s"""WITH nv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS n
+       |  FROM embeddings),
+       |$planes, $bks,
+       |cand AS (SELECT DISTINCT src, dst FROM ($candUnion) u),
+       |scored AS (SELECT cand.src, cand.dst,
+       |    round(list_dot_product(s.e, t.e) / (s.n * t.n), 6) AS cos
+       |  FROM cand JOIN nv s ON cand.src = s.vec_id JOIN nv t ON cand.dst = t.vec_id),
+       |pruned AS (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+       |  FROM scored) p WHERE rk <= $NswDegree),
+       |edges AS (SELECT src, dst FROM pruned
+       |  UNION SELECT dst AS src, src AS dst FROM pruned),
+       |ent AS (SELECT vec_id AS eid FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT 1),
+       |q AS (SELECT vec_id AS query_id, e AS qe, n AS qn FROM nv WHERE vec_id < 5),
+       |f0 AS (SELECT q.query_id, c.vec_id AS node_id,
+       |    round(list_dot_product(q.qe, c.e) / (q.qn * c.n), 6) AS cos
+       |  FROM q CROSS JOIN ent JOIN nv c ON ent.eid = c.vec_id)""".stripMargin
+  }
+
+  /** Unrolled beam-search hops: frontier CTEs `$prefix1..$prefix$hops`
+    * (hop 1 reads f0), each = top-`beam` of previous ∪ scored out-edges.
+    */
+  private def nswHopsSql(hops: Int, beam: Int, prefix: String = "f"): String =
+    (1 to hops)
+      .map { h =>
+        val prev = if (h == 1) "f0" else s"$prefix${h - 1}"
+        s"""e$prefix$h AS (SELECT DISTINCT f.query_id, e.dst AS node_id
+           |  FROM $prev f JOIN edges e ON f.node_id = e.src),
+           |s$prefix$h AS (SELECT query_id, node_id, cos FROM $prev
+           |  UNION
+           |  SELECT x.query_id, x.node_id,
+           |    round(list_dot_product(q.qe, c.e) / (q.qn * c.n), 6) AS cos
+           |  FROM e$prefix$h x JOIN nv c ON x.node_id = c.vec_id
+           |  JOIN q ON x.query_id = q.query_id),
+           |$prefix$h AS (SELECT query_id, node_id, cos FROM (
+           |  SELECT query_id, node_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id) AS rk
+           |  FROM s$prefix$h) z WHERE rk <= $beam)""".stripMargin
+      }
+      .mkString(", ")
+
+  private def nswSearchSql(hops: Int, beam: Int): String =
+    nswGraphSql + ", " + nswHopsSql(hops, beam)
+
   val entries: Seq[QEntry] = Seq(
     // Exact dedup: content-hash group, keep lowest id.
     QEntry.sql(
@@ -3499,6 +3590,82 @@ object PipelineQueries {
       IncrementalAgg
         .mergeTopK(Seq(history, delta), keys, "cents", "o_orderkey", 5)
         .select("status", "o_orderkey", "cents", "rank")
+    },
+
+    // Deterministic graph ANN (NSW-lite, [[Similarity.nswTopK]]): LSH-table
+    // candidate edges → degree-pruned kNN graph → mirrored links → greedy
+    // beam search from the min-md5 entry node. The twin regenerates the
+    // md5 planes per table, rebuilds the identical graph, and UNROLLS the
+    // fixed hop count as chained CTEs — every beam cut tie-broken
+    // (cos desc, node_id) on both engines.
+    QEntry.sql(
+      "ann_graph_topk",
+      nswSearchSql(hops = NswHops, beam = NswBeam) +
+        s""" SELECT query_id, node_id AS neighbor_id, cos,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, node_id) AS BIGINT) AS rank
+           |FROM f$NswHops WHERE node_id != query_id
+           |QUALIFY rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity
+        .nswTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, dim = EmbDim)
+        .withColumn("rank", col("rank").cast("bigint"))
+    },
+
+    // Graph-ANN beam sweep: measured recall@10 vs the exact ranking at
+    // beam ∈ {8, 16, 32} over one shared graph — the cost/recall curve
+    // beside ann_multiprobe_sweep (probes) and ann_ivf_probe_sweep
+    // (cells); cost per query is ≤ hops·beam·degree scored candidates.
+    QEntry.sql(
+      "ann_graph_sweep", {
+        def arm(beam: Int) =
+          s"""SELECT $beam AS beam, CAST(count(*) AS BIGINT) AS hits FROM (
+             |  SELECT query_id, node_id FROM (
+             |    SELECT query_id, node_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY cos DESC, node_id) AS rk
+             |    FROM fb${beam}_$NswHops WHERE node_id != query_id) t
+             |  WHERE rk <= 10) ap
+             |JOIN bf ON ap.query_id = bf.query_id AND ap.node_id = bf.neighbor_id"""
+        (nswGraphSql +
+          s""", ${Seq(8, 16, 32).map(b => nswHopsSql(hops = NswHops, beam = b, prefix = s"fb${b}_")).mkString(", ")},
+             |bf AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT q.query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.query_id
+             |      ORDER BY round(list_dot_product(q.qe, c.e) / (q.qn * c.n), 6) DESC,
+             |               c.vec_id) AS rank
+             |  FROM q JOIN nv c ON c.vec_id != q.query_id) r WHERE rank <= 10),
+             |sw AS (${arm(8)} UNION ALL ${arm(16)} UNION ALL ${arm(32)})
+             |SELECT beam, hits, CAST(hits * 1000000 // 50 AS BIGINT) AS recall_ppm
+             |FROM sw""").stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val bf = Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+      val edges = Similarity
+        .buildNswEdges(emb, "vec_id", "embedding", dim = EmbDim)
+        .select("src", "dst")
+        .localCheckpoint()
+      Seq(8, 16, 32)
+        .map { beam =>
+          Similarity
+            .nswTopKFromEdges(emb, queries, "vec_id", "embedding", edges, 10,
+              beam = beam, hops = NswHops)
+            .select("query_id", "neighbor_id")
+            .join(bf, Seq("query_id", "neighbor_id"))
+            .agg(count(lit(1)).as("hits"))
+            .select(
+              lit(beam).as("beam"),
+              col("hits"),
+              expr("hits * 1000000L div 50").cast("long").as("recall_ppm")
+            )
+        }
+        .reduce(_ unionByName _)
     }
   )
 }

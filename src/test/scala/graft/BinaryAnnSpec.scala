@@ -35,6 +35,55 @@ class BinaryAnnSpec extends SparkSpec {
     assert(out === Seq((2L, 0L, 1L), (4L, 2L, 2L), (3L, 4L, 3L)))
   }
 
+  test("NSW graph search: high recall at default beam, monotone in beam, deterministic") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val edges = Similarity
+      .buildNswEdges(emb, "vec_id", "embedding", dim = 64)
+      .select("src", "dst")
+      .localCheckpoint()
+    def recall(beam: Int): Double = Similarity
+      .recallAtK(
+        bf,
+        Similarity.nswTopKFromEdges(emb, queries, "vec_id", "embedding", edges, 10, beam = beam),
+        10
+      )
+      .agg(avg("recall"))
+      .head()
+      .getDouble(0)
+    val r32 = recall(32)
+    val r8 = recall(8)
+    // measured 0.955 at the defaults on this corpus (round-12 probe)
+    assert(r32 >= 0.9, s"default-beam recall $r32")
+    assert(r32 > r8, s"beam widening must not lose recall: beam32=$r32 beam8=$r8")
+    // fixed planes + md5 entry + total tie-breaks → bit-stable reruns
+    val a = Similarity
+      .nswTopKFromEdges(emb, queries, "vec_id", "embedding", edges, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity
+      .nswTopKFromEdges(emb, queries, "vec_id", "embedding", edges, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("NSW edges are mirrored and capped per direction before mirroring") {
+    import org.apache.spark.sql.functions._
+    val vs = (0L until 30L)
+      .map(i => (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val edges = Similarity
+      .buildNswEdges(vs, "vec_id", "embedding", degree = 4, tables = 2, bits = 3, dim = 8)
+    val pairs = edges.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (s, d) => pairs.contains((d, s)) }, "every edge must be mirrored")
+    assert(pairs.forall { case (s, d) => s != d }, "no self loops")
+  }
+
   test("recallAtK counts overlap per query and keeps zero-hit queries") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("query_id", "neighbor_id")
