@@ -74,6 +74,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(massFail.length <= 1900, s"mass-failure line too long: ${massFail.length}")
   }
 
+  test("bench FULL JSON shares the wrapper schema and carries every query") {
+    val many = (1 to 120).map(i => s"q_name_$i" -> (if (i <= 30) 2.0 else 0.05)).toMap
+    val full = Bench.renderFullJson(many, "/x/sf0.1", Seq("q_bad"), Some(0.073))
+    assert(!full.contains("\n") && full.startsWith("{") && full.endsWith("}"))
+    for (k <- Seq("\"metric\":\"total\"", "\"unit\":\"sec\"", "\"queries\":{",
+                  "\"p50\":", "\"p95\":", "\"spread_p95\":0.073",
+                  "\"failed_n\":1", "\"failed\":[\"q_bad\"]", "\"sf\":\"sf0.1\""))
+      assert(full.contains(k), s"missing $k")
+    // no truncation rollup in the full artifact — every query by name
+    assert(!full.contains("rest_n"))
+    (1 to 120).foreach(i => assert(full.contains(s"\"q_name_$i\":")))
+  }
+
   test("generic round-robin fragment: k-th row by order key goes to k mod n") {
     val s = spark
     import s.implicits._
