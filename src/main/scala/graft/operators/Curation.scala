@@ -661,6 +661,64 @@ object Curation {
         ).as("main_text")
       )
 
+  /** Naive single-pass HTML entity decode — the post-extraction cleanup a
+    * web corpus needs before tokenization (`&amp;` in anchor text, `&nbsp;`
+    * padding, numeric apostrophes): a fixed replace chain over the five
+    * named entities HTML4 guarantees plus `&#39;`. `&amp;` decodes LAST so
+    * the chain is one logical pass over the original text (the usual naive
+    * ordering; doubly-encoded text like `&amp;lt;` therefore decodes twice
+    * — acceptable for corpus cleaning, documented here). Pure narrow string
+    * expressions; the identical chain replays under DuckDB.
+    */
+  def decodeHtmlEntities(text: Column): Column = {
+    val steps = Seq(
+      "&lt;" -> "<",
+      "&gt;" -> ">",
+      "&quot;" -> "\"",
+      "&#39;" -> "'",
+      "&nbsp;" -> " ",
+      "&amp;" -> "&"
+    )
+    steps.foldLeft(text) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+  }
+
+  /** Entity occurrences in the raw text (decode-audit numerator). */
+  def htmlEntityCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("&(lt|gt|quot|amp|nbsp|#39);"), lit(0))).cast("bigint")
+
+  /** Canonical URL normalization — the fetch-dedup key of a web pipeline
+    * (the same raw page arrives as `HTTP://Site.COM:80/a/?utm_source=x` and
+    * `http://site.com/a`; crawling both doubles cost and duplicates the
+    * corpus). Deterministic, both-engine-replayable steps:
+    *   1. fragment stripped (never sent to the server),
+    *   2. scheme + host lowercased, default ports :80/:443 dropped,
+    *   3. tracking params (utm_ prefix) dropped, remaining query params
+    *      SORTED (param order is transport-irrelevant),
+    *   4. trailing path slashes stripped (`/a/` ≡ `/a`; the root path
+    *      normalizes to the bare host).
+    * Pure regex/array expressions — fuses into the scan; the normalized
+    * string is the group key for crawl dedup and per-site rollups.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[^:/]+://([^/?#]+)", 1))
+    val host = regexp_replace(hostport, ":(80|443)$", "")
+    val pathq = regexp_extract(noFrag, "^[^:/]+://[^/?#]+(.*)$", 1)
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pathq, "[?](.*)$", 1)
+    val params = array_sort(
+      filter(split(query, "&"), p => p =!= "" && substring(p, 1, 4) =!= "utm_")
+    )
+    concat(
+      scheme,
+      lit("://"),
+      host,
+      path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    )
+  }
+
   /** Temperature-scaled source mixture at α = 0.5 (UNICODE-style
     * multilingual rebalancing, Lample & Conneau 2019: wᵢ ∝ nᵢ^α — α < 1
     * upsamples small sources): per-source doc counts, √n quantized to

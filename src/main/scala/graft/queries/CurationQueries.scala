@@ -17,6 +17,35 @@ object CurationQueries {
        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"""
       .stripMargin.replaceAll("\\s+", " ")
 
+  // deterministic synthetic crawl URL per document — three shapes covering
+  // every normalization axis: 0) SHOUTED host, default :80, tracking params,
+  // unsorted query, fragment; 1) https:443 with interleaved utm_; 2) bare
+  // root with trailing slash (the shape that collides after normalization)
+  private val urlFixtureSql =
+    """CASE CAST(doc_id % 3 AS INT)
+      |WHEN 0 THEN 'HTTP://Site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |  '.COM:80/Path/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+      |WHEN 1 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |  '.com:443/a?z=9&utm_campaign=x&y=8'
+      |ELSE 'http://Site' || CAST(doc_id % 50 AS VARCHAR) || '.com/' END"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  /** Spark twin of [[urlFixtureSql]]. */
+  private def urlFixture(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = (col("doc_id") % 50).cast("string")
+    df.select(
+      col("doc_id"),
+      when(
+        col("doc_id") % 3 === 0,
+        concat(lit("HTTP://Site"), k, lit(".COM:80/Path/"), col("doc_id").cast("string"),
+          lit("/?utm_source=feed&b=2&a=1#frag"))
+      ).when(
+        col("doc_id") % 3 === 1,
+        concat(lit("https://site"), k, lit(".com:443/a?z=9&utm_campaign=x&y=8"))
+      ).otherwise(concat(lit("http://Site"), k, lit(".com/"))).as("url")
+    )
+  }
+
   // deterministic synthetic HTML page per document, buildable identically in
   // both engines — the corpus is plain text, so the extractor needs pages
   // with real boilerplate: a title, a link-dense nav, a heading, the article
@@ -602,6 +631,116 @@ object CurationQueries {
     ) { (s, d) =>
       Curation.temperatureMixture(
         documents(s, d), "source", "n_chars", budgetChars = 1000000000L)
+    },
+
+    // Canonical URL normalization ([[Curation.normalizeUrl]]) over planted
+    // crawl URLs (three shapes: uppercase host + default port + tracking
+    // params + fragment; https:443 with unsorted params; bare root with
+    // trailing slash). Verifies scheme/host lowering, default-port and
+    // fragment stripping, utm_ removal, param sorting and slash trimming
+    // value-for-value — path case intentionally PRESERVED.
+    QEntry.sql(
+      "cur_url_normalize", {
+        val norm =
+          """lower(regexp_extract(u0, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' ||
+            |regexp_replace(lower(regexp_extract(u0, '^[^:/]+://([^/?#]+)', 1)),
+            |               ':(80|443)$', '') ||
+            |regexp_replace(regexp_extract(regexp_extract(u0, '^[^:/]+://[^/?#]+(.*)$', 1),
+            |               '^([^?]*)', 1), '/+$', '') ||
+            |CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END"""
+            .stripMargin.replaceAll("\\s+", " ")
+        s"""WITH r AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+           |s AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u0 FROM r),
+           |p AS (SELECT doc_id, url, u0,
+           |    list_sort(list_filter(string_split(
+           |      regexp_extract(regexp_extract(u0, '^[^:/]+://[^/?#]+(.*)$$', 1),
+           |                     '[?](.*)$$', 1), '&'),
+           |      x -> x <> '' AND substr(x, 1, 4) <> 'utm_')) AS ps
+           |  FROM s)
+           |SELECT doc_id, url, $norm AS url_norm,
+           |  regexp_replace(lower(regexp_extract(u0, '^[^:/]+://([^/?#]+)', 1)),
+           |                 ':(80|443)$$', '') AS host
+           |FROM p""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      urlFixture(documents(s, d))
+        .select(
+          col("doc_id"),
+          col("url"),
+          Curation.normalizeUrl(col("url")).as("url_norm"),
+          regexp_replace(
+            lower(regexp_extract(regexp_replace(col("url"), "#.*$", ""), "^[^:/]+://([^/?#]+)", 1)),
+            ":(80|443)$",
+            ""
+          ).as("host")
+        )
+    },
+
+    // Crawl dedup on the normalized key: the planted root-path URLs (one
+    // per doc_id % 50 within the doc_id % 3 == 2 class) collapse to one
+    // fetch each — exactly the duplicate-crawl suppression the normalizer
+    // exists for. Exact counts + first-seen doc per canonical URL.
+    QEntry.sql(
+      "cur_url_dedup",
+      s"""WITH r AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         |s AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u0 FROM r),
+         |p AS (SELECT doc_id, url, u0,
+         |    list_sort(list_filter(string_split(
+         |      regexp_extract(regexp_extract(u0, '^[^:/]+://[^/?#]+(.*)$$', 1),
+         |                     '[?](.*)$$', 1), '&'),
+         |      x -> x <> '' AND substr(x, 1, 4) <> 'utm_')) AS ps
+         |  FROM s),
+         |n AS (SELECT doc_id,
+         |    lower(regexp_extract(u0, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' ||
+         |    regexp_replace(lower(regexp_extract(u0, '^[^:/]+://([^/?#]+)', 1)),
+         |                   ':(80|443)$$', '') ||
+         |    regexp_replace(regexp_extract(regexp_extract(u0, '^[^:/]+://[^/?#]+(.*)$$', 1),
+         |                   '^([^?]*)', 1), '/+$$', '') ||
+         |    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS url_norm
+         |  FROM p)
+         |SELECT url_norm, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM n GROUP BY url_norm""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      urlFixture(documents(s, d))
+        .select(col("doc_id"), Curation.normalizeUrl(col("url")).as("url_norm"))
+        .groupBy("url_norm")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+    },
+
+    // Naive-chain HTML entity decode ([[Curation.decodeHtmlEntities]]) on
+    // planted entities: counts pre-decode, decoded text value-for-value
+    // (the &amp;-last ordering replayed identically by the twin).
+    QEntry.sql(
+      "cur_html_entities",
+      s"""WITH r AS (SELECT doc_id,
+         |    'Tom &amp; Jerry say &quot;' ||
+         |    string_split_regex(trim(text), '\\s+')[1] ||
+         |    '&quot; &lt;i&gt;it&#39;s&nbsp;fine&lt;/i&gt;' AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '&(lt|gt|quot|amp|nbsp|#39);')) AS BIGINT)
+         |    AS n_entities,
+         |  replace(replace(replace(replace(replace(replace(raw,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&') AS decoded
+         |FROM r""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      import graft.functions.TextAnalysis
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          concat(
+            lit("Tom &amp; Jerry say &quot;"),
+            element_at(TextAnalysis.tokens(col("text")), 1),
+            lit("&quot; &lt;i&gt;it&#39;s&nbsp;fine&lt;/i&gt;")
+          ).as("raw")
+        )
+        .select(
+          col("doc_id"),
+          Curation.htmlEntityCount(col("raw")).as("n_entities"),
+          Curation.decodeHtmlEntities(col("raw")).as("decoded")
+        )
     },
 
     // jusText-lite block classification ([[Curation.htmlBlocks]]) over a

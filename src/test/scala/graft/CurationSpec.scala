@@ -103,6 +103,37 @@ class CurationSpec extends SparkSpec {
     assert(m == Map(1L -> true, 2L -> false))
   }
 
+  test("normalizeUrl canonicalizes scheme/host/port/params/slash, preserves path case") {
+    val cases = Seq(
+      "HTTP://Example.COM:80/Path/One/?utm_source=f&b=2&a=1#frag" ->
+        "http://example.com/Path/One?a=1&b=2",
+      "https://a.b.c:443/x?z=1" -> "https://a.b.c/x?z=1",
+      "http://Site.com/" -> "http://site.com",
+      // :8080 is NOT a default port and must survive
+      "http://h.io:8080/p" -> "http://h.io:8080/p",
+      // all params tracking → no '?' at all
+      "http://h.io/p?utm_a=1&utm_b=2" -> "http://h.io/p"
+    )
+    val df = docs(cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }: _*)
+      .toDF("id", "url")
+    val got = df
+      .select(col("id"), Curation.normalizeUrl(col("url")).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) == want, s"$u → ${got(i.toLong)} (want $want)")
+    }
+  }
+
+  test("decodeHtmlEntities decodes the five named entities with &amp; last") {
+    val df = docs(1L -> "a &lt;b&gt; &quot;c&quot; d&#39;s&nbsp;&amp; e")
+    val out = df.select(Curation.decodeHtmlEntities(col("text"))).head().getString(0)
+    assert(out == "a <b> \"c\" d's & e")
+    val n = df.select(Curation.htmlEntityCount(col("text"))).head().getLong(0)
+    assert(n == 7L)
+  }
+
   test("pii scrub redacts emails, IPv4s, and long digit runs in order") {
     val df = docs(1L -> "mail bob.smith+x@corp.example.org from 192.168.0.1 acct 123456789 tail")
     val red = df.select(Curation.piiScrub(col("text"))).head().getString(0)
