@@ -719,6 +719,97 @@ object Curation {
     )
   }
 
+  /** Host (lowercased, default ports stripped) of an absolute URL. */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, "^[^:/]+://([^/?#]+)", 1)), ":(80|443)$", "")
+
+  /** Path component of an absolute URL ('' for bare host). */
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^[^:/]+://[^/?#]+([^?#]*)", 1)
+
+  /** Outlink extraction + resolution — the step that turns an extracted
+    * page into crawl-frontier candidates: every `href="…"` anchor target,
+    * resolved against the page's own URL. Resolution tiers (each a regex
+    * test, both-engine replayable):
+    *   - absolute (`scheme://…`) → kept as-is,
+    *   - protocol-relative (`//host/…`) → base scheme prepended,
+    *   - root-relative (`/…`) → base scheme://host prepended,
+    *   - document-relative → base DIRECTORY prepended (no `../` algebra —
+    *     dot-segment links are a vanishing fraction of a crawl and a
+    *     correctness rabbit hole; they resolve textually, documented),
+    *   - fragment-only / javascript: / mailto: → dropped (not fetchable).
+    * Callers pipe the output through [[normalizeUrl]] for frontier dedup.
+    * Narrow explode — rows = anchors, the unavoidable fan-out.
+    *
+    * @return (id, href, url) — raw attribute value and resolved URL
+    */
+  def extractLinks(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      baseUrlCol: String
+  ): DataFrame = {
+    // resolution parts re-derive from the carried _base column (the raw
+    // base-url column does not survive the explode projection)
+    val scheme = lower(regexp_extract(col("_base"), "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostRoot = concat(scheme, lit("://"), urlHost(col("_base")))
+    val dir = concat(hostRoot, regexp_replace(urlPath(col("_base")), "[^/]*$", ""))
+    df.select(
+      col(idCol),
+      regexp_replace(col(baseUrlCol), "#.*$", "").as("_base"),
+      explode_outer(
+        regexp_extract_all(col(htmlCol), lit("<a[^>]*href=\"([^\"]*)\""), lit(1))
+      ).as("href")
+    ).filter(
+      col("href").isNotNull && col("href") =!= "" &&
+        !col("href").startsWith("#") &&
+        !col("href").startsWith("javascript:") &&
+        !col("href").startsWith("mailto:")
+    ).select(
+      col(idCol),
+      col("href"),
+      when(col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), col("href"))
+        .when(col("href").startsWith("//"), concat(scheme, lit(":"), col("href")))
+        .when(col("href").startsWith("/"), concat(hostRoot, col("href")))
+        .otherwise(concat(dir, col("href")))
+        .as("url")
+    )
+  }
+
+  /** robots.txt-style prefix screen: a URL is blocked iff ANY rule row
+    * (host, path prefix) matches its host exactly and its path by prefix —
+    * the crawl-politeness gate between frontier generation and fetch.
+    * Host-keyed equi-join (the rules table is per-site-small and
+    * broadcasts; a web-scale rule set shuffles on the host key), prefix
+    * test as a startswith filter, one keyed aggregate back to a row per
+    * URL with the matched-rule count.
+    *
+    * @param rules (host, prefix) disallow rows
+    * @return input columns + n_rules_matched + allowed
+    */
+  def robotsScreen(
+      urls: DataFrame,
+      urlCol: String,
+      rules: DataFrame
+  ): DataFrame = {
+    // rule matching runs over DISTINCT urls — a url shared by many input
+    // rows must not multiply its per-rule match count
+    val distinctUrls = urls
+      .select(col(urlCol))
+      .distinct()
+      .withColumn("_host", urlHost(col(urlCol)))
+      .withColumn("_path", urlPath(col(urlCol)))
+    val matched = distinctUrls
+      .join(rules.select(col("host").as("_host"), col("prefix")), Seq("_host"))
+      .filter(col("_path").startsWith(col("prefix")))
+      .groupBy(col(urlCol))
+      .agg(count(lit(1)).as("n_rules_matched"))
+    urls
+      .join(matched, Seq(urlCol), "left")
+      .withColumn("n_rules_matched", coalesce(col("n_rules_matched"), lit(0L)))
+      .withColumn("allowed", col("n_rules_matched") === 0L)
+  }
+
   /** Temperature-scaled source mixture at α = 0.5 (UNICODE-style
     * multilingual rebalancing, Lample & Conneau 2019: wᵢ ∝ nᵢ^α — α < 1
     * upsamples small sources): per-source doc counts, √n quantized to

@@ -46,6 +46,27 @@ object CurationQueries {
     )
   }
 
+  /** Reusable DuckDB twin of [[Curation.normalizeUrl]]: given a relation
+    * `$srcRel` with columns ($keyCols, url), emits CTEs ending in `nn`
+    * with ($keyCols, url, url_norm).
+    */
+  private def urlNormSql(srcRel: String, keyCols: String): String =
+    s"""ns AS (SELECT $keyCols, url, regexp_replace(url, '#.*$$', '') AS u0 FROM $srcRel),
+       |np AS (SELECT $keyCols, url, u0,
+       |    list_sort(list_filter(string_split(
+       |      regexp_extract(regexp_extract(u0, '^[^:/]+://[^/?#]+(.*)$$', 1),
+       |                     '[?](.*)$$', 1), '&'),
+       |      x -> x <> '' AND substr(x, 1, 4) <> 'utm_')) AS ps
+       |  FROM ns),
+       |nn AS (SELECT $keyCols, url,
+       |    lower(regexp_extract(u0, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' ||
+       |    regexp_replace(lower(regexp_extract(u0, '^[^:/]+://([^/?#]+)', 1)),
+       |                   ':(80|443)$$', '') ||
+       |    regexp_replace(regexp_extract(regexp_extract(u0, '^[^:/]+://[^/?#]+(.*)$$', 1),
+       |                   '^([^?]*)', 1), '/+$$', '') ||
+       |    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS url_norm
+       |  FROM np)""".stripMargin.replaceAll("\\s+", " ")
+
   // deterministic synthetic HTML page per document, buildable identically in
   // both engines — the corpus is plain text, so the extractor needs pages
   // with real boilerplate: a title, a link-dense nav, a heading, the article
@@ -741,6 +762,98 @@ object CurationQueries {
           Curation.htmlEntityCount(col("raw")).as("n_entities"),
           Curation.decodeHtmlEntities(col("raw")).as("decoded")
         )
+    },
+
+    // Crawl frontier generation: [[Curation.extractLinks]] over the fixture
+    // pages (root-relative hrefs) resolved against each page's own planted
+    // URL, normalized, and rolled up per canonical target — the
+    // extract→resolve→normalize→dedup chain a crawler runs per fetched
+    // page. The twin replays extraction regex, resolution tiers and the
+    // normalizer CTE for CTE.
+    QEntry.sql(
+      "cur_link_frontier",
+      s"""WITH pg AS (SELECT doc_id, $htmlFixtureSql AS html, $urlFixtureSql AS burl
+         |  FROM documents),
+         |b AS (SELECT doc_id, html, regexp_replace(burl, '#.*$$', '') AS base FROM pg),
+         |bx AS (SELECT doc_id, html, base,
+         |    lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
+         |    lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' ||
+         |      regexp_replace(lower(regexp_extract(base, '^[^:/]+://([^/?#]+)', 1)),
+         |                     ':(80|443)$$', '') AS hostroot,
+         |    regexp_extract(base, '^[^:/]+://[^/?#]+([^?#]*)', 1) AS bpath
+         |  FROM b),
+         |lk AS (SELECT doc_id, sch, hostroot,
+         |    hostroot || regexp_replace(bpath, '[^/]*$$', '') AS dir,
+         |    unnest(regexp_extract_all(html, '<a[^>]*href="([^"]*)"', 1)) AS href
+         |  FROM bx),
+         |res AS (SELECT doc_id,
+         |    CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+         |         WHEN href LIKE '//%' THEN sch || ':' || href
+         |         WHEN href LIKE '/%' THEN hostroot || href
+         |         ELSE dir || href END AS url
+         |  FROM lk
+         |  WHERE href <> '' AND href NOT LIKE '#%'
+         |    AND href NOT LIKE 'javascript:%' AND href NOT LIKE 'mailto:%'),
+         |${urlNormSql("res", "doc_id")}
+         |SELECT url_norm, CAST(count(*) AS BIGINT) AS n_refs,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM nn GROUP BY url_norm""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val pages = htmlFixture(documents(s, d))
+        .join(urlFixture(documents(s, d)), "doc_id")
+      Curation
+        .extractLinks(pages, "doc_id", "html", "url")
+        .select(col("doc_id"), Curation.normalizeUrl(col("url")).as("url_norm"))
+        .groupBy("url_norm")
+        .agg(
+          count(lit(1)).as("n_refs"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min("doc_id").as("first_doc")
+        )
+    },
+
+    // robots.txt-style prefix screen ([[Curation.robotsScreen]]): planted
+    // per-host disallow rules (every even host blocks /Path, every third
+    // blocks /a) against the planted crawl URLs — the politeness gate
+    // between frontier and fetch. Per-URL match counts computed over
+    // DISTINCT urls (shared root URLs must not inflate counts), joined
+    // back to every input row.
+    QEntry.sql(
+      "cur_robots_screen",
+      s"""WITH r AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         |parts AS (SELECT DISTINCT url,
+         |    regexp_replace(lower(regexp_extract(url, '^[^:/]+://([^/?#]+)', 1)),
+         |                   ':(80|443)$$', '') AS h,
+         |    regexp_extract(url, '^[^:/]+://[^/?#]+([^?#]*)', 1) AS pth
+         |  FROM r),
+         |rules AS (
+         |  SELECT 'site' || CAST(k AS VARCHAR) || '.com' AS host, '/Path' AS prefix
+         |  FROM range(0, 50) t(k) WHERE k % 2 = 0
+         |  UNION ALL
+         |  SELECT 'site' || CAST(k AS VARCHAR) || '.com', '/a'
+         |  FROM range(0, 50) t(k) WHERE k % 3 = 0),
+         |m AS (SELECT url, CAST(count(*) AS BIGINT) AS n_rules_matched
+         |  FROM parts JOIN rules ON parts.h = rules.host
+         |    AND starts_with(parts.pth, rules.prefix)
+         |  GROUP BY url)
+         |SELECT r.doc_id, r.url,
+         |  COALESCE(m.n_rules_matched, 0) AS n_rules_matched,
+         |  COALESCE(m.n_rules_matched, 0) = 0 AS allowed
+         |FROM r LEFT JOIN m ON r.url = m.url""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val rulesBase = s.range(0, 50).toDF("k")
+      val rules = rulesBase
+        .filter(col("k") % 2 === 0)
+        .select(concat(lit("site"), col("k").cast("string"), lit(".com")).as("host"),
+          lit("/Path").as("prefix"))
+        .unionByName(
+          rulesBase
+            .filter(col("k") % 3 === 0)
+            .select(concat(lit("site"), col("k").cast("string"), lit(".com")).as("host"),
+              lit("/a").as("prefix"))
+        )
+      Curation.robotsScreen(urlFixture(documents(s, d)), "url", rules)
     },
 
     // jusText-lite block classification ([[Curation.htmlBlocks]]) over a

@@ -134,6 +134,53 @@ class CurationSpec extends SparkSpec {
     assert(n == 7L)
   }
 
+  test("extractLinks resolves every href tier and drops unfetchable targets") {
+    val html =
+      """<a href="http://other.com/x">abs</a>
+        |<a href="//cdn.ex.com/lib.js">proto</a>
+        |<a href="/root/a">root</a>
+        |<a href="sib.html">rel</a>
+        |<a href="#sec">frag</a>
+        |<a href="mailto:a@b.c">mail</a>
+        |<a href="javascript:void(0)">js</a>""".stripMargin
+    val df = docs(1L -> html)
+      .withColumnRenamed("text", "html")
+      .withColumn("base", lit("HTTPS://Ex.COM:443/dir/page.html#top"))
+    val got = Curation
+      .extractLinks(df, "doc_id", "html", "base")
+      .collect()
+      .map(r => r.getAs[String]("href") -> r.getAs[String]("url"))
+      .toMap
+    assert(got == Map(
+      "http://other.com/x" -> "http://other.com/x",
+      "//cdn.ex.com/lib.js" -> "https://cdn.ex.com/lib.js",
+      "/root/a" -> "https://ex.com/root/a",
+      "sib.html" -> "https://ex.com/dir/sib.html"
+    ), s"got $got")
+  }
+
+  test("robotsScreen matches host+prefix, counts rules once per distinct url") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "http://a.com/private/x"),  // blocked by both a.com rules
+      (2L, "http://a.com/public"),     // allowed
+      (3L, "http://b.com/private/x"),  // no rules for b.com
+      (4L, "http://a.com/shared"),     // duplicated row below
+      (5L, "http://a.com/shared")
+    ).toDF("id", "url")
+    val rules = Seq(("a.com", "/private"), ("a.com", "/priv")).toDF("host", "prefix")
+    val out = Curation.robotsScreen(urls, "url", rules)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("n_rules_matched"), r.getAs[Boolean]("allowed"))))
+      .toMap
+    assert(out(1L) == ((2L, false)), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, true)))
+    assert(out(3L) == ((0L, true)))
+    // the shared url appears in two rows; each row reports the SAME count
+    assert(out(4L) == ((0L, true)) && out(5L) == ((0L, true)))
+  }
+
   test("pii scrub redacts emails, IPv4s, and long digit runs in order") {
     val df = docs(1L -> "mail bob.smith+x@corp.example.org from 192.168.0.1 acct 123456789 tail")
     val red = df.select(Curation.piiScrub(col("text"))).head().getString(0)
