@@ -1457,35 +1457,8 @@ object Similarity {
       bits: Int = 6,
       seed: Int = 42,
       dim: Int = 0
-  ): DataFrame = {
-    VectorExpressions.install(corpus.sparkSession)
-    val d = dimOf(corpus, vecCol, dim)
-    val c = withNorm(corpus, idCol, vecCol, "id", "v", "n")
-    val cands = (0 until tables)
-      .map { t =>
-        val planes = hyperplanes(bits, d, seed + t * 1009)
-        val b = c.select(col("id"), lshBucket(col("v"), planes).as("bucket"))
-        b.select(col("id").as("src"), col("bucket"))
-          .join(b.select(col("id").as("dst"), col("bucket")), "bucket")
-          .filter(col("src") =!= col("dst"))
-          .select("src", "dst")
-      }
-      .reduce(_ unionByName _)
-      .distinct()
-    val scored = cands
-      .join(c.select(col("id").as("src"), col("v").as("sv"), col("n").as("sn")), "src")
-      .join(c.select(col("id").as("dst"), col("v").as("dv"), col("n").as("dn")), "dst")
-      .select(col("src"), col("dst"), pairCos("sv", "dv", "sn", "dn").as("cos"))
-    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    val pruned = scored
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= degree)
-      .select("src", "dst", "cos")
-    pruned
-      .unionByName(pruned.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
-      .groupBy("src", "dst")
-      .agg(max("cos").as("cos"))
-  }
+  ): DataFrame =
+    nswEdgesFor(corpus, corpus, idCol, vecCol, degree, tables, bits, seed, dim)
 
   /** Greedy beam search over a prebuilt [[buildNswEdges]] graph from a
     * FIXED entry point (the corpus node with minimal md5(id) — arbitrary
@@ -1574,6 +1547,146 @@ object Similarity {
     val edges = buildNswEdges(corpus, idCol, vecCol, degree, tables, bits, seed, dim)
       .select("src", "dst")
       .localCheckpoint()
+    nswTopKFromEdges(corpus, queries, idCol, vecCol, edges, k, beam, hops)
+  }
+
+  /** Candidate edges for `srcSide` against `corpus` via the NSW hash
+    * tables, degree-pruned per src and mirrored — the shared kernel of
+    * [[buildNswEdges]] (srcSide = corpus) and the index append path
+    * (srcSide = batch, corpus = old ∪ batch).
+    */
+  private def nswEdgesFor(
+      srcSide: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      degree: Int,
+      tables: Int,
+      bits: Int,
+      seed: Int,
+      dim: Int
+  ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
+    val d = dimOf(corpus, vecCol, dim)
+    val c = withNorm(corpus, idCol, vecCol, "id", "v", "n")
+    val s = withNorm(srcSide, idCol, vecCol, "id", "v", "n")
+    val cands = (0 until tables)
+      .map { t =>
+        val planes = hyperplanes(bits, d, seed + t * 1009)
+        val bs = s.select(col("id").as("src"), lshBucket(col("v"), planes).as("bucket"))
+        val bc = c.select(col("id").as("dst"), lshBucket(col("v"), planes).as("bucket"))
+        bs.join(bc, "bucket").filter(col("src") =!= col("dst")).select("src", "dst")
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+    val scored = cands
+      .join(s.select(col("id").as("src"), col("v").as("sv"), col("n").as("sn")), "src")
+      .join(c.select(col("id").as("dst"), col("v").as("dv"), col("n").as("dn")), "dst")
+      .select(col("src"), col("dst"), pairCos("sv", "dv", "sn", "dn").as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val pruned = scored
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= degree)
+      .select("src", "dst", "cos")
+    pruned
+      .unionByName(pruned.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .groupBy("src", "dst")
+      .agg(max("cos").as("cos"))
+  }
+
+  /** Persist the NSW edge table as version 1 of an [[IndexCommit]]-managed
+    * index — the first index family born on the commit protocol: every
+    * transition below is a pure build function, so concurrent
+    * writers rebase instead of clobbering and a crash never corrupts the
+    * committed graph.
+    */
+  def buildNswIndexVersioned(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      writerId: String,
+      degree: Int = 12,
+      tables: Int = 4,
+      bits: Int = 6,
+      seed: Int = 42,
+      dim: Int = 0
+  ): Long = {
+    val edges = buildNswEdges(corpus, idCol, vecCol, degree, tables, bits, seed, dim)
+    IndexCommit.commit(corpus.sparkSession, root, writerId) {
+      case None    => edges
+      case Some(b) => b.unionByName(edges).groupBy("src", "dst").agg(max("cos").as("cos"))
+    }
+  }
+
+  /** Frozen-plane NSW ingest (the graph sibling of the frozen-centroid IVF
+    * append, E297): batch nodes get candidate edges from the SAME md5
+    * hash tables against old ∪ batch, degree-pruned per batch node and
+    * mirrored — existing nodes keep their out-edges (no corpus re-prune;
+    * the mirrored in-edges are how NSW absorbs inserts), so the append is
+    * O(batch) graph work plus one base-∪-delta snapshot write. Pure
+    * function of the committed base → rebase-safe under concurrent
+    * writers.
+    */
+  def appendNswIndexVersioned(
+      oldCorpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      writerId: String,
+      degree: Int = 12,
+      tables: Int = 4,
+      bits: Int = 6,
+      seed: Int = 42,
+      dim: Int = 0
+  ): Long = {
+    val newEdges = nswEdgesFor(
+      batch, oldCorpus.unionByName(batch), idCol, vecCol, degree, tables, bits, seed, dim)
+    IndexCommit.commit(batch.sparkSession, root, writerId) {
+      case None       => newEdges
+      case Some(base) =>
+        base.unionByName(newEdges).groupBy("src", "dst").agg(max("cos").as("cos"))
+    }
+  }
+
+  /** Right-to-be-forgotten on the graph: every edge touching a condemned
+    * id leaves the next version (blast radius = the deleted nodes'
+    * neighborhoods; survivors keep their other links, which is how NSW
+    * degrades gracefully under deletion).
+    */
+  def forgetNswIndexVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame,
+      root: String,
+      writerId: String
+  ): Long =
+    IndexCommit.commit(spark, root, writerId) {
+      case None       => throw new IllegalStateException(s"no committed NSW index at $root")
+      case Some(base) =>
+        val condemnedSrc = ids.toDF("src")
+        val condemnedDst = ids.toDF("dst")
+        base
+          .join(condemnedSrc, Seq("src"), "left_anti")
+          .join(condemnedDst, Seq("dst"), "left_anti")
+    }
+
+  /** Beam search over the newest committed graph version. */
+  def nswTopKFromCommitted(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      k: Int,
+      beam: Int = 32,
+      hops: Int = 5
+  ): DataFrame = {
+    val edges = IndexCommit
+      .readCommitted(corpus.sparkSession, root)
+      .getOrElse(throw new IllegalStateException(s"no committed NSW index at $root"))
+      ._2
+      .select("src", "dst")
     nswTopKFromEdges(corpus, queries, idCol, vecCol, edges, k, beam, hops)
   }
 

@@ -167,11 +167,10 @@ object PipelineQueries {
        |FROM (SELECT unnest(range(0, $NswBits)) AS p))""".stripMargin
   }
 
-  /** WITH-prefix building the graph (cand → degree-pruned → mirrored
-    * edges), the min-md5 entry point, the query set (vec_id < 5) and the
-    * seed frontier f0.
+  /** Shared WITH-prefix: double-cast vectors with norms plus the per-table
+    * plane and bucket CTEs (`pl$t`, `bk$t`).
     */
-  private def nswGraphSql: String = {
+  private def nswCoreSql: String = {
     val planes = (0 until NswTables).map(nswPlaneSql).mkString(", ")
     val bks = (0 until NswTables)
       .map(t =>
@@ -181,34 +180,66 @@ object PipelineQueries {
            |FROM nv, pl$t GROUP BY nv.vec_id)""".stripMargin
       )
       .mkString(", ")
-    val candUnion = (0 until NswTables)
-      .map(t =>
-        s"SELECT a.vec_id AS src, b.vec_id AS dst FROM bk$t a " +
-          s"JOIN bk$t b ON a.bucket = b.bucket AND a.vec_id != b.vec_id"
-      )
-      .mkString(" UNION ALL ")
     s"""WITH nv AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
        |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
        |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS n
        |  FROM embeddings),
-       |$planes, $bks,
-       |cand AS (SELECT DISTINCT src, dst FROM ($candUnion) u),
-       |scored AS (SELECT cand.src, cand.dst,
+       |$planes, $bks""".stripMargin
+  }
+
+  /** One candidate-union + degree-prune stage: candidates from the bucket
+    * tables with `srcPred` restricting the src side, pruned per src into
+    * `$out` (src, dst) WITHOUT mirroring (callers mirror).
+    */
+  private def nswPruneStageSql(out: String, srcPred: String): String = {
+    val candUnion = (0 until NswTables)
+      .map(t =>
+        s"SELECT a.vec_id AS src, b.vec_id AS dst FROM bk$t a " +
+          s"JOIN bk$t b ON a.bucket = b.bucket AND a.vec_id != b.vec_id AND ($srcPred)"
+      )
+      .mkString(" UNION ALL ")
+    s"""cand$out AS (SELECT DISTINCT src, dst FROM ($candUnion) u),
+       |scored$out AS (SELECT c.src, c.dst,
        |    round(list_dot_product(s.e, t.e) / (s.n * t.n), 6) AS cos
-       |  FROM cand JOIN nv s ON cand.src = s.vec_id JOIN nv t ON cand.dst = t.vec_id),
-       |pruned AS (SELECT src, dst FROM (
+       |  FROM cand$out c JOIN nv s ON c.src = s.vec_id JOIN nv t ON c.dst = t.vec_id),
+       |$out AS (SELECT src, dst FROM (
        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
-       |  FROM scored) p WHERE rk <= $NswDegree),
-       |edges AS (SELECT src, dst FROM pruned
-       |  UNION SELECT dst AS src, src AS dst FROM pruned),
-       |ent AS (SELECT vec_id AS eid FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  FROM scored$out) p WHERE rk <= $NswDegree)""".stripMargin
+  }
+
+  /** Monolithic-build edge table: one prune stage over the full corpus. */
+  private def nswFullEdgesSql: String =
+    nswPruneStageSql("pruned", "1 = 1") +
+      """, edges AS (SELECT src, dst FROM pruned
+        |  UNION SELECT dst AS src, src AS dst FROM pruned)""".stripMargin
+
+  /** Build-on-evens + frozen-plane append-of-odds edge table — the twin of
+    * buildNswIndexVersioned(evens) then appendNswIndexVersioned(odds):
+    * stage A prunes even→even candidates only; stage B prunes odd→any;
+    * both mirror; existing (even) nodes are never re-pruned.
+    */
+  private def nswSplitEdgesSql: String =
+    nswPruneStageSql("prA", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0") + ", " +
+      nswPruneStageSql("prB", "a.vec_id % 2 = 1") +
+      """, edges AS (SELECT src, dst FROM prA
+        |  UNION SELECT dst, src FROM prA
+        |  UNION SELECT src, dst FROM prB
+        |  UNION SELECT dst, src FROM prB)""".stripMargin
+
+  /** Entry point, query set (vec_id < 5) and seed frontier — needs nv and
+    * a preceding `edges` CTE.
+    */
+  private def nswSearchTailSql: String =
+    s"""ent AS (SELECT vec_id AS eid FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT 1),
        |q AS (SELECT vec_id AS query_id, e AS qe, n AS qn FROM nv WHERE vec_id < 5),
        |f0 AS (SELECT q.query_id, c.vec_id AS node_id,
        |    round(list_dot_product(q.qe, c.e) / (q.qn * c.n), 6) AS cos
        |  FROM q CROSS JOIN ent JOIN nv c ON ent.eid = c.vec_id)""".stripMargin
-  }
+
+  private def nswGraphSql: String =
+    nswCoreSql + ", " + nswFullEdgesSql + ", " + nswSearchTailSql
 
   /** Unrolled beam-search hops: frontier CTEs `$prefix1..$prefix$hops`
     * (hop 1 reads f0), each = top-`beam` of previous ∪ scored out-edges.
@@ -3610,6 +3641,38 @@ object PipelineQueries {
       val emb = embeddings(s, d)
       Similarity
         .nswTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, dim = EmbDim)
+        .withColumn("rank", col("rank").cast("bigint"))
+    },
+
+    // Persisted NSW graph index lifecycle on the COMMIT PROTOCOL
+    // ([[Similarity.buildNswIndexVersioned/appendNswIndexVersioned]]):
+    // build on the even vec_ids as version 1, frozen-plane-append the odds
+    // as version 2 (batch nodes pruned against old ∪ batch; existing nodes
+    // never re-pruned — their mirrored in-edges absorb the insert), then
+    // answer from the committed snapshot. The twin replays BOTH prune
+    // stages and the identical beam walk.
+    QEntry.sql(
+      "ann_graph_index_fetch",
+      nswCoreSql + ", " + nswSplitEdgesSql + ", " + nswSearchTailSql + ", " +
+        nswHopsSql(NswHops, NswBeam) +
+        s""" SELECT query_id, node_id AS neighbor_id, cos,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, node_id) AS BIGINT) AS rank
+           |FROM f$NswHops WHERE node_id != query_id
+           |QUALIFY rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-nswidx").resolve("nsw").toString
+      val evens = emb.filter(col("vec_id") % 2 === 0)
+      val odds = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.buildNswIndexVersioned(evens, "vec_id", "embedding", root, "builder",
+        dim = EmbDim)
+      Similarity.appendNswIndexVersioned(evens, odds, "vec_id", "embedding", root, "ingest",
+        dim = EmbDim)
+      Similarity
+        .nswTopKFromCommitted(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          root, 10)
         .withColumn("rank", col("rank").cast("bigint"))
     },
 

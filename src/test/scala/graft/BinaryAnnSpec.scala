@@ -84,6 +84,38 @@ class BinaryAnnSpec extends SparkSpec {
     assert(pairs.forall { case (s, d) => s != d }, "no self loops")
   }
 
+  test("NSW versioned index: append finds batch nodes, forget removes them, versions advance") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    withTempDir { dir =>
+      val root = s"$dir/nsw"
+      val v1 = Similarity.buildNswIndexVersioned(evens, "vec_id", "embedding", root, "b", dim = 64)
+      val v2 = Similarity.appendNswIndexVersioned(evens, odds, "vec_id", "embedding", root, "a", dim = 64)
+      assert((v1, v2) == ((1L, 2L)))
+      val queries = emb.filter(col("vec_id") < 10)
+      val got = Similarity
+        .nswTopKFromCommitted(emb, queries, "vec_id", "embedding", root, 10)
+      // appended (odd) nodes are reachable results, not just graph rows
+      assert(got.filter(col("neighbor_id") % 2 === 1).count() > 0)
+      // recall against brute force stays high through the append path
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      val rec = Similarity.recallAtK(bf, got, 10).agg(avg("recall")).head().getDouble(0)
+      assert(rec >= 0.85, s"post-append recall $rec")
+      // right-to-be-forgotten: a condemned id leaves both edge columns
+      val s = spark; import s.implicits._
+      val victim = got.filter(col("neighbor_id") % 2 === 1).head().getLong(1)
+      val v3 = Similarity.forgetNswIndexVersioned(spark, Seq(victim).toDF("id"), root, "forget")
+      assert(v3 == 3L)
+      val edges = graft.operators.IndexCommit.readCommitted(spark, root).get._2
+      assert(edges.filter(col("src") === victim || col("dst") === victim).count() == 0)
+      val after = Similarity
+        .nswTopKFromCommitted(emb, queries, "vec_id", "embedding", root, 10)
+      assert(after.filter(col("neighbor_id") === victim).count() == 0)
+    }
+  }
+
   test("recallAtK counts overlap per query and keeps zero-hit queries") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("query_id", "neighbor_id")
