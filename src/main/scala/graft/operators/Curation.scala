@@ -810,6 +810,38 @@ object Curation {
       .withColumn("allowed", col("n_rules_matched") === 0L)
   }
 
+  /** WARC-lite record splitting — the stage in FRONT of [[htmlBlocks]]:
+    * a crawl archive column (many concatenated `WARC/1.0` records, each
+    * headers + blank line + body) explodes into per-record rows with the
+    * target URI, declared Content-Length, the body, and a length audit
+    * flag. "Lite": newline-delimited (`\n`, not CRLF) and header
+    * extraction limited to the two fields a corpus pipeline consumes —
+    * the full spec's chunked/continuation records are out of scope.
+    *
+    * Narrow split + posexplode per archive row: parallelism = archives ×
+    * records, no shuffle — at 100 TB the archive FILES are the input
+    * splits and this operator is the map side of the whole corpus.
+    *
+    * @return (id, rec_id, uri, content_length, body, body_len, length_ok)
+    */
+  def parseWarcLite(df: DataFrame, idCol: String, warcCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      posexplode(split(col(warcCol), "WARC/1\\.0\n")).as(Seq("_p", "_r"))
+    ).filter(col("_p") >= 1)
+      .select(
+        col(idCol),
+        col("_p").cast("bigint").as("rec_id"),
+        regexp_extract(col("_r"), "(?m)^WARC-Target-URI: (.*)$", 1).as("uri"),
+        regexp_extract(col("_r"), "(?m)^Content-Length: (.*)$", 1)
+          .cast("long")
+          .as("content_length"),
+        regexp_replace(regexp_extract(col("_r"), "(?s)\\n\\n(.*)$", 1), "\\n$", "")
+          .as("body")
+      )
+      .withColumn("body_len", length(col("body")).cast("bigint"))
+      .withColumn("length_ok", col("body_len") === col("content_length"))
+
   /** Temperature-scaled source mixture at α = 0.5 (UNICODE-style
     * multilingual rebalancing, Lample & Conneau 2019: wᵢ ∝ nᵢ^α — α < 1
     * upsamples small sources): per-source doc counts, √n quantized to

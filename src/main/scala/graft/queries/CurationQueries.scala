@@ -764,6 +764,60 @@ object CurationQueries {
         )
     },
 
+    // WARC-lite archive round-trip ([[Curation.parseWarcLite]]): ten-doc
+    // archives synthesized by ordered concatenation of records, then split
+    // back into per-record rows — URI, declared length, body and length
+    // audit all verified value-for-value (body ≡ the original document
+    // text, so the parse is a proven inverse of the synthesis).
+    QEntry.sql(
+      "cur_warc_records",
+      s"""WITH rec AS (SELECT doc_id, CAST(doc_id // 10 AS BIGINT) AS g,
+         |    'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10) ||
+         |    'WARC-Target-URI: http://site' || CAST(doc_id % 50 AS VARCHAR) ||
+         |    '.com/doc/' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         |    'Content-Length: ' || CAST(n_chars AS VARCHAR) || chr(10) || chr(10) ||
+         |    text || chr(10) AS r
+         |  FROM documents),
+         |arc AS (SELECT g, string_agg(r, '' ORDER BY doc_id) AS a FROM rec GROUP BY g),
+         |sp AS (SELECT g, string_split(a, 'WARC/1.0' || chr(10)) AS parts FROM arc),
+         |ex AS (SELECT g, unnest(list_transform(range(2, len(parts) + 1), i -> i)) AS i,
+         |    parts FROM sp),
+         |pr AS (SELECT g AS archive_id, CAST(i - 1 AS BIGINT) AS rec_id,
+         |    regexp_extract(parts[i], '(?m)^WARC-Target-URI: (.*)$$', 1) AS uri,
+         |    CAST(regexp_extract(parts[i], '(?m)^Content-Length: (.*)$$', 1) AS BIGINT)
+         |      AS content_length,
+         |    regexp_replace(regexp_extract(parts[i], '(?s)\\n\\n(.*)$$', 1),
+         |                   '\\n$$', '') AS body
+         |  FROM ex)
+         |SELECT archive_id, rec_id, uri, content_length, body,
+         |  CAST(length(body) AS BIGINT) AS body_len,
+         |  length(body) = content_length AS length_ok
+         |FROM pr""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val rec = documents(s, d).select(
+        col("doc_id"),
+        expr("CAST(doc_id div 10 AS BIGINT)").as("g"),
+        concat(
+          lit("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://site"),
+          (col("doc_id") % 50).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string"),
+          lit("\nContent-Length: "), col("n_chars").cast("string"),
+          lit("\n\n"), col("text"), lit("\n")
+        ).as("r")
+      )
+      val arc = rec
+        .groupBy("g")
+        .agg(
+          array_join(
+            expr("transform(array_sort(collect_list(struct(doc_id, r))), x -> x.r)"),
+            ""
+          ).as("a")
+        )
+      Curation
+        .parseWarcLite(arc, "g", "a")
+        .withColumnRenamed("g", "archive_id")
+    },
+
     // Crawl frontier generation: [[Curation.extractLinks]] over the fixture
     // pages (root-relative hrefs) resolved against each page's own planted
     // URL, normalized, and rolled up per canonical target — the

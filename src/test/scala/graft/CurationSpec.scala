@@ -181,6 +181,26 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((0L, true)) && out(5L) == ((0L, true)))
   }
 
+  test("parseWarcLite splits records, reads headers, audits declared lengths") {
+    val archive =
+      "WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://a.com/1\n" +
+        "Content-Length: 11\n\nhello world\n" +
+        "WARC/1.0\nWARC-Target-URI: http://a.com/2\nContent-Length: 99\n\nshort\n" +
+        "WARC/1.0\nWARC-Target-URI: http://a.com/3\nContent-Length: 3\n\nabc\n"
+    val df = docs(7L -> archive).withColumnRenamed("text", "warc")
+    val out = Curation
+      .parseWarcLite(df, "doc_id", "warc")
+      .orderBy("rec_id")
+      .collect()
+      .map(r => (r.getAs[Long]("rec_id"), r.getAs[String]("uri"),
+        r.getAs[String]("body"), r.getAs[Boolean]("length_ok")))
+    assert(out.toSeq == Seq(
+      (1L, "http://a.com/1", "hello world", true),
+      (2L, "http://a.com/2", "short", false), // declared 99, actual 5
+      (3L, "http://a.com/3", "abc", true)
+    ), out.mkString("\n"))
+  }
+
   test("pii scrub redacts emails, IPv4s, and long digit runs in order") {
     val df = docs(1L -> "mail bob.smith+x@corp.example.org from 192.168.0.1 acct 123456789 tail")
     val red = df.select(Curation.piiScrub(col("text"))).head().getString(0)
