@@ -149,6 +149,35 @@ object IndexCommit {
     )
   }
 
+  /** Read a SPECIFIC committed version (time travel) — valid as long as
+    * [[vacuum]] hasn't swept it.
+    */
+  def readVersion(spark: SparkSession, root: String, n: Long): DataFrame =
+    spark.read.parquet(snapshotPath(spark, root, n).toString)
+
+  /** Version-transition audit — "what did this commit change": full-row
+    * diff of two committed versions as ('added' | 'removed', row...). The
+    * operational read behind every transition this protocol hosts: an
+    * append's diff is exactly its delta, a forget's exactly the condemned
+    * neighborhood, a compact's empty. Shuffle is two version-sized
+    * exceptAll passes — state-sized, never corpus-sized.
+    */
+  def diffVersions(
+      spark: SparkSession,
+      root: String,
+      from: Long,
+      to: Long
+  ): DataFrame = {
+    val a = readVersion(spark, root, from)
+    val b = readVersion(spark, root, to)
+    b.exceptAll(a)
+      .withColumn("change", org.apache.spark.sql.functions.lit("added"))
+      .unionByName(
+        a.exceptAll(b)
+          .withColumn("change", org.apache.spark.sql.functions.lit("removed"))
+      )
+  }
+
   /** Drop snapshots (and their markers) older than the newest `keep`
     * committed versions, plus any staging directory no marker references —
     * the abandoned remains of crashed or outraced writers. Never touches

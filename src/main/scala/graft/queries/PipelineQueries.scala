@@ -203,8 +203,9 @@ object PipelineQueries {
        |scored$out AS (SELECT c.src, c.dst,
        |    round(list_dot_product(s.e, t.e) / (s.n * t.n), 6) AS cos
        |  FROM cand$out c JOIN nv s ON c.src = s.vec_id JOIN nv t ON c.dst = t.vec_id),
-       |$out AS (SELECT src, dst FROM (
-       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+       |$out AS (SELECT src, dst, cos FROM (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
        |  FROM scored$out) p WHERE rk <= $NswDegree)""".stripMargin
   }
 
@@ -3674,6 +3675,33 @@ object PipelineQueries {
         .nswTopKFromCommitted(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           root, 10)
         .withColumn("rank", col("rank").cast("bigint"))
+    },
+
+    // Commit-protocol transition audit ([[IndexCommit.diffVersions]]) on
+    // the NSW index: build evens (v1), append odds (v2), diff — the added
+    // set is EXACTLY the append's delta (every new edge touches an odd
+    // node, so no base row changes and 'removed' is empty); the twin
+    // replays the batch prune stage + mirror alone.
+    QEntry.sql(
+      "ann_graph_index_diff",
+      nswCoreSql + ", " + nswPruneStageSql("prB", "a.vec_id % 2 = 1") +
+        """, added AS (SELECT src, dst, max(cos) AS cos FROM (
+          |  SELECT src, dst, cos FROM prB
+          |  UNION ALL SELECT dst AS src, src AS dst, cos FROM prB) u
+          |GROUP BY src, dst)
+          |SELECT src, dst, cos, 'added' AS change FROM added"""
+          .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-nswdiff").resolve("nsw").toString
+      val evens = emb.filter(col("vec_id") % 2 === 0)
+      val odds = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.buildNswIndexVersioned(evens, "vec_id", "embedding", root, "builder",
+        dim = EmbDim)
+      Similarity.appendNswIndexVersioned(evens, odds, "vec_id", "embedding", root, "ingest",
+        dim = EmbDim)
+      graft.operators.IndexCommit.diffVersions(s, root, 1L, 2L)
     },
 
     // Graph-ANN beam sweep: measured recall@10 vs the exact ranking at

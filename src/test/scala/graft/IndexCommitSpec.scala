@@ -111,6 +111,27 @@ class IndexCommitSpec extends SparkSpec {
     }
   }
 
+  test("diffVersions reports exactly the transition's delta, by change kind") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      IndexMaintenance.appendVersioned(spark, Seq(1L, 2L).toDF("id"), root, "w0")
+      IndexMaintenance.appendVersioned(spark, Seq(3L).toDF("id"), root, "w0")
+      IndexMaintenance.deleteRowsVersioned(spark, Seq(1L).toDF("id"), root, "id", "w0")
+      def diff(a: Long, b: Long) = IndexCommit
+        .diffVersions(spark, root, a, b)
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("change")))
+        .toSet
+      assert(diff(1L, 2L) == Set((3L, "added")))
+      assert(diff(2L, 3L) == Set((1L, "removed")))
+      assert(diff(1L, 3L) == Set((3L, "added"), (1L, "removed")))
+      assert(diff(1L, 1L).isEmpty)
+      // time travel still reads the superseded snapshots
+      assert(IndexCommit.readVersion(spark, root, 1L).count() == 2L)
+      assert(IndexCommit.readVersion(spark, root, 3L).count() == 2L)
+    }
+  }
+
   test("versioned compact preserves rows and resets the ingest column") {
     withTempDir { dir =>
       val root = s"$dir/idx"
