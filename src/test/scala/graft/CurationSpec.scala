@@ -201,6 +201,48 @@ class CurationSpec extends SparkSpec {
     ), out.mkString("\n"))
   }
 
+  test("web pipeline composes: archive → records → main text → links → frontier") {
+    val page1 =
+      """<html><body><div><a href="/nav1">all the nav</a> <a href="/nav2">more the nav</a> <a href="/nav3">still the nav</a></div>
+        |<p>this is the first article and it has a reasonable amount of the usual text</p>
+        |<p><a href="/next">read the next article on a page</a> plus the trailing words here</p>
+        |</body></html>""".stripMargin.replace("\n", "")
+    val page2 =
+      """<html><body><p>the second article talks about a different topic at the same length</p>
+        |<p><a href="http://other.com/x">an offsite link in the body</a> and more of the words</p>
+        |</body></html>""".stripMargin.replace("\n", "")
+    def rec(uri: String, body: String) =
+      s"WARC/1.0\nWARC-Target-URI: $uri\nContent-Length: ${body.length}\n\n$body\n"
+    val archive = rec("http://a.com/p/1", page1) + rec("http://b.com/q/2", page2)
+    val arc = docs(1L -> archive).withColumnRenamed("text", "warc")
+
+    val records = Curation.parseWarcLite(arc, "doc_id", "warc")
+    assert(records.count() == 2 &&
+      records.filter(col("length_ok")).count() == 2, "both records parse length-clean")
+
+    val main = Curation
+      .extractMainContent(records.select(col("uri"), col("body")), "uri", "body")
+      .collect()
+      .map(r => r.getAs[String]("uri") -> r.getAs[String]("main_text"))
+      .toMap
+    assert(main("http://a.com/p/1").startsWith("this is the first article"))
+    assert(main("http://b.com/q/2").startsWith("the second article"))
+    // the link-dense nav block never reaches the extracted text
+    assert(!main("http://a.com/p/1").contains("nav"))
+
+    val frontier = Curation
+      .extractLinks(records.select(col("uri"), col("body")), "uri", "body", "uri")
+      .select(Curation.normalizeUrl(col("url")).as("u"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    assert(frontier == Set(
+      "http://a.com/nav1", "http://a.com/nav2", "http://a.com/nav3",
+      "http://a.com/next", "http://other.com/x"
+    ), s"frontier $frontier")
+  }
+
   test("pii scrub redacts emails, IPv4s, and long digit runs in order") {
     val df = docs(1L -> "mail bob.smith+x@corp.example.org from 192.168.0.1 acct 123456789 tail")
     val red = df.select(Curation.piiScrub(col("text"))).head().getString(0)
