@@ -470,4 +470,47 @@ object StreamingOps {
         out.iterator
       }
   }
+
+  /** Streaming CRAWL-FRONTIER loop — the web tier's streaming leg beside
+    * [[nearDupIngestLoop]]/[[clusterIngestLoop]]: per micro-batch of
+    * discovered raw URLs, (1) canonicalize through
+    * [[graft.operators.Curation.normalizeUrl]], (2) anti-join the visited
+    * set (= every PRIOR epoch's scheduled partition of this same
+    * directory — one store serves as both schedule log and visited set),
+    * (3) emit only never-seen fetch targets under a replay-idempotent
+    * `ingest_id=<batch>` dynamic-partition overwrite.
+    *
+    * Replay safety uses the established "read state ≤ epoch" rule: the
+    * visited read EXCLUDES the batch's own ingest_id, so a crashed epoch's
+    * partial partition can't anti-join its own rows into an empty reschedule
+    * — the replay recomputes the identical fresh set and overwrites the
+    * same partition. Per-epoch semantics are the oracled `cur_url_dedup`
+    * construction; state grows one row per distinct canonical URL ever
+    * scheduled, the minimum any visited-set crawler carries.
+    */
+  def frontierIngestLoop(urlCol: String, frontierPath: String): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val spark = batch.sparkSession
+      val norm = batch
+        .select(graft.operators.Curation.normalizeUrl(col(urlCol)).as("url_norm"))
+        .distinct()
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(frontierPath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val fresh =
+        if (fs.exists(p)) {
+          val visited = spark.read
+            .parquet(frontierPath)
+            .filter(col("ingest_id") =!= batchId)
+            .select("url_norm")
+          norm.join(visited, Seq("url_norm"), "left_anti")
+        } else norm
+      fresh
+        .withColumn("ingest_id", lit(batchId))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_id")
+        .parquet(frontierPath)
+  }
 }

@@ -679,6 +679,42 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out.contains((None, Some(102L))), out.toString) // dead click
   }
 
+  test("streaming frontier loop schedules each canonical url once, replays idempotently") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val root = Files.createTempDirectory("graft-frontier").toString + "/frontier"
+
+    val mem = MemoryStream[String]
+    val q = mem
+      .toDF()
+      .toDF("url")
+      .writeStream
+      .foreachBatch(StreamingOps.frontierIngestLoop("url", root))
+      .start()
+    // batch 0: two distinct targets, one arriving as three variants
+    mem.addData(
+      "HTTP://A.com:80/x?utm_s=1", "http://a.com/x", "http://a.com/x#frag",
+      "http://b.com/y")
+    q.processAllAvailable()
+    // batch 1: one already-visited variant + one genuinely new target
+    mem.addData("http://a.com/x?utm_other=2", "http://c.com/z")
+    q.processAllAvailable()
+    q.stop()
+
+    def sched = spark.read.parquet(root)
+      .select(col("url_norm"), col("ingest_id").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = Set(
+      ("http://a.com/x", 0L), ("http://b.com/y", 0L), ("http://c.com/z", 1L))
+    assert(sched == expect, s"schedule $sched")
+
+    // replay of epoch 1 (crash recovery): identical partition content
+    StreamingOps.frontierIngestLoop("url", root)(
+      Seq("http://a.com/x?utm_other=2", "http://c.com/z").toDF("url"), 1L)
+    assert(sched == expect, s"post-replay schedule $sched")
+  }
+
   test("foreachBatch round-robin router continues the insert counter") {
     val s = spark
     import s.implicits._
