@@ -882,4 +882,71 @@ object Curation {
       )
       .select(srcCol, "n_docs", "chars", "w_ppm", "epochs_milli")
   }
+
+  /** URL template key for crawler-trap mining: long (≥ 8) lowercase-hex
+    * runs collapse to `{h}` FIRST (session ids, content hashes — a pure
+    * digit run of 8+ is hex too and must not split into two tokens), then
+    * any remaining digit run to `{n}`. Two global regex replaces — fuses
+    * into the scan; the template is the group key under which a calendar,
+    * pagination or session-id trap's unbounded URL space collapses to one
+    * row.
+    */
+  def urlTemplate(urlNorm: Column): Column =
+    regexp_replace(regexp_replace(urlNorm, "[0-9a-f]{8,}", "{h}"), "[0-9]+", "{n}")
+
+  /** Crawler-trap report: distinct canonical URLs grouped by
+    * [[urlTemplate]] — the fan-out audit a crawl scheduler runs before
+    * committing fetch budget. A template whose distinct-URL count reaches
+    * `minUrls` is flagged a trap candidate (calendar pages, faceted
+    * search, session-id explosions — the URL spaces that grow without
+    * bound while the content doesn't). One distinct pass + one
+    * template-keyed aggregate; state is template-cardinality-sized, and
+    * templates are bounded by site STRUCTURE, not corpus size — the 100 TB
+    * report is small even when the frontier isn't.
+    *
+    * @return (template, n_urls, n_hosts, urls_per_host, sample_url, is_trap)
+    */
+  def crawlTrapReport(urls: DataFrame, urlCol: String, minUrls: Long): DataFrame =
+    urls
+      .select(col(urlCol))
+      .distinct()
+      .select(col(urlCol), urlTemplate(col(urlCol)).as("template"), urlHost(col(urlCol)).as("_host"))
+      .groupBy(col("template"))
+      .agg(
+        count(lit(1)).cast("long").as("n_urls"),
+        countDistinct(col("_host")).cast("long").as("n_hosts"),
+        min(col(urlCol)).as("sample_url")
+      )
+      .withColumn("urls_per_host", expr("n_urls div n_hosts"))
+      .withColumn("is_trap", col("n_urls") >= minUrls)
+      .select("template", "n_urls", "n_hosts", "urls_per_host", "sample_url", "is_trap")
+
+  /** Per-host politeness schedule — the fetch-queue assignment between
+    * frontier and fetcher: each distinct URL gets a deterministic slot
+    * within its host (URLs ordered by their own string — no arrival-order
+    * nondeterminism) and an ETA of `(slot−1)·crawlDelayMs`, the earliest
+    * fetch time a one-request-per-delay politeness budget allows. The
+    * per-host URL count rides along so the dispatcher can see queue depth
+    * (`makespan = (n_host_urls−1)·delay`) without a second pass.
+    *
+    * One shuffle keyed by host; the window sorts within each host only.
+    * A pathological host holding a large share of the frontier serializes
+    * its own partition — which is exactly what politeness REQUIRES
+    * (those fetches must serialize anyway); if slot assignment itself ever
+    * bottlenecks, the two-phase global-rank idiom
+    * ([[Fragmentation]]'s round-robin ranking) applies per host.
+    *
+    * @return (url, host, slot, n_host_urls, eta_ms)
+    */
+  def fetchSchedule(urls: DataFrame, urlCol: String, crawlDelayMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host")).orderBy(col(urlCol))
+    urls
+      .select(col(urlCol))
+      .distinct()
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .withColumn("n_host_urls", count(lit(1)).over(Window.partitionBy(col("host"))).cast("long"))
+      .withColumn("eta_ms", (col("slot") - 1) * lit(crawlDelayMs))
+  }
 }

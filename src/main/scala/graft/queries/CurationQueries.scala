@@ -910,6 +910,67 @@ object CurationQueries {
       Curation.robotsScreen(urlFixture(documents(s, d)), "url", rules)
     },
 
+    // Crawler-trap mining ([[Curation.crawlTrapReport]]): distinct
+    // canonical URLs grouped by their digit/hex template — the planted
+    // per-doc path ids collapse into ONE template row whose n_urls is the
+    // doc count of that shape (the trap signature), while the per-host
+    // root and /a shapes stay at host cardinality. Threshold 100 flags
+    // exactly the id-bearing shape at every sf.
+    QEntry.sql(
+      "cur_url_templates",
+      s"""WITH r AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         |${urlNormSql("r", "doc_id")},
+         |d AS (SELECT DISTINCT url_norm FROM nn),
+         |t AS (SELECT url_norm,
+         |    regexp_replace(regexp_replace(url_norm, '[0-9a-f]{8,}', '{h}', 'g'),
+         |                   '[0-9]+', '{n}', 'g') AS template,
+         |    regexp_extract(url_norm, '^[^:/]+://([^/?#]+)', 1) AS h
+         |  FROM d),
+         |g AS (SELECT template, CAST(count(*) AS BIGINT) AS n_urls,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS n_hosts,
+         |    min(url_norm) AS sample_url
+         |  FROM t GROUP BY template)
+         |SELECT template, n_urls, n_hosts, n_urls // n_hosts AS urls_per_host,
+         |  sample_url, n_urls >= 100 AS is_trap
+         |FROM g""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.crawlTrapReport(
+        urlFixture(documents(s, d))
+          .select(Curation.normalizeUrl(col("url")).as("url_norm")),
+        "url_norm",
+        minUrls = 100L
+      )
+    },
+
+    // Per-host politeness schedule ([[Curation.fetchSchedule]]): every
+    // distinct canonical URL gets its deterministic per-host fetch slot
+    // (ordered by the URL string) and ETA under a 500 ms crawl delay, with
+    // the host's queue depth alongside — slot/eta/depth verified
+    // value-for-value against the twin's window functions.
+    QEntry.sql(
+      "cur_fetch_schedule",
+      s"""WITH r AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         |${urlNormSql("r", "doc_id")},
+         |d AS (SELECT DISTINCT url_norm FROM nn),
+         |h AS (SELECT url_norm,
+         |    regexp_extract(url_norm, '^[^:/]+://([^/?#]+)', 1) AS host
+         |  FROM d)
+         |SELECT url_norm, host,
+         |  CAST(row_number() OVER (PARTITION BY host ORDER BY url_norm) AS BIGINT)
+         |    AS slot,
+         |  CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_host_urls,
+         |  CAST((row_number() OVER (PARTITION BY host ORDER BY url_norm) - 1) * 500
+         |    AS BIGINT) AS eta_ms
+         |FROM h""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.fetchSchedule(
+        urlFixture(documents(s, d))
+          .select(Curation.normalizeUrl(col("url")).as("url_norm")),
+        "url_norm",
+        crawlDelayMs = 500L
+      )
+    },
+
     // jusText-lite block classification ([[Curation.htmlBlocks]]) over a
     // synthesized page per document (title/nav/h1/article/SHOUTED-copy/
     // footer). Verifies segmentation, tag stripping, integer link/stopword

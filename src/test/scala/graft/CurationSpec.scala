@@ -181,6 +181,60 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((0L, true)) && out(5L) == ((0L, true)))
   }
 
+  test("urlTemplate collapses hex ids before digit runs") {
+    val cases = Seq(
+      "http://s1.com/p/12345" -> "http://s{n}.com/p/{n}",
+      // 8+ hex chars (incl. a pure-digit run of 8) → {h}, not two {n}s
+      "http://s.com/d/deadbeef42" -> "http://s.com/d/{h}",
+      "http://s.com/d/12345678" -> "http://s.com/d/{h}",
+      "http://s.com/cal?y=2024&m=7" -> "http://s.com/cal?y={n}&m={n}"
+    )
+    val df = docs(cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }: _*)
+      .toDF("id", "url")
+    val got = df.select(col("id"), Curation.urlTemplate(col("url")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) == want, s"$u → ${got(i.toLong)}")
+    }
+  }
+
+  test("crawlTrapReport flags the unbounded template, keeps structural ones") {
+    val s = spark
+    import s.implicits._
+    // calendar trap: 30 urls one host; structural: 3 hosts' root pages
+    val urls = ((1 to 30).map(d => s"http://trap.com/cal/2024/$d") ++
+      Seq("http://a.com/about", "http://b.com/about", "http://c.com/about") ++
+      Seq("http://a.com/about")).toDF("url") // dup must not inflate counts
+    val out = Curation.crawlTrapReport(urls, "url", minUrls = 10L)
+      .collect()
+      .map(r => r.getAs[String]("template") ->
+        ((r.getAs[Long]("n_urls"), r.getAs[Long]("n_hosts"),
+          r.getAs[Long]("urls_per_host"), r.getAs[Boolean]("is_trap"))))
+      .toMap
+    assert(out("http://trap.com/cal/{n}/{n}") == ((30L, 1L, 30L, true)), out.toString)
+    assert(out("http://a.com/about") == ((1L, 1L, 1L, false)))
+    assert(out.size == 4) // a/b/c differ only in host letter → 3 templates + trap
+  }
+
+  test("fetchSchedule assigns deterministic per-host slots and ETAs") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      "http://a.com/z", "http://a.com/m", "http://a.com/b",
+      "http://b.com/only", "http://a.com/m" // dup collapses
+    ).toDF("url")
+    val out = Curation.fetchSchedule(urls, "url", crawlDelayMs = 100L)
+      .collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("host"), r.getAs[Long]("slot"),
+          r.getAs[Long]("n_host_urls"), r.getAs[Long]("eta_ms"))))
+      .toMap
+    assert(out("http://a.com/b") == (("a.com", 1L, 3L, 0L)), out.toString)
+    assert(out("http://a.com/m") == (("a.com", 2L, 3L, 100L)))
+    assert(out("http://a.com/z") == (("a.com", 3L, 3L, 200L)))
+    assert(out("http://b.com/only") == (("b.com", 1L, 1L, 0L)))
+  }
+
   test("parseWarcLite splits records, reads headers, audits declared lengths") {
     val archive =
       "WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://a.com/1\n" +
