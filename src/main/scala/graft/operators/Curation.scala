@@ -776,6 +776,94 @@ object Curation {
     )
   }
 
+  /** Anchor extraction with the LINK TEXT attached — the input to anchor-
+    * text aggregation ([[anchorTextRollup]]), the classic off-page
+    * relevance signal (what OTHER pages call a target). Same resolution
+    * tiers and unfetchable-target drops as [[extractLinks]]; the anchor's
+    * inner text comes along whitespace-collapsed and trimmed. The match is
+    * restricted to simple `<a …>text</a>` anchors (no nested tags inside
+    * the anchor body) — the dominant shape by far, and the one that's
+    * regex-exact in both engines.
+    *
+    * @return (id, href, anchor_text, url)
+    */
+  def extractAnchors(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      baseUrlCol: String
+  ): DataFrame = {
+    val scheme = lower(regexp_extract(col("_base"), "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostRoot = concat(scheme, lit("://"), urlHost(col("_base")))
+    val dir = concat(hostRoot, regexp_replace(urlPath(col("_base")), "[^/]*$", ""))
+    df.select(
+      col(idCol),
+      regexp_replace(col(baseUrlCol), "#.*$", "").as("_base"),
+      explode_outer(
+        regexp_extract_all(
+          col(htmlCol),
+          lit("<a[^>]*href=\"[^\"]*\"[^>]*>[^<]*</a>"),
+          lit(0)
+        )
+      ).as("_a")
+    ).filter(col("_a").isNotNull)
+      .select(
+        col(idCol),
+        col("_base"),
+        regexp_extract(col("_a"), "href=\"([^\"]*)\"", 1).as("href"),
+        trim(regexp_replace(regexp_extract(col("_a"), ">([^<]*)</a>", 1), "\\s+", " "))
+          .as("anchor_text")
+      )
+      .filter(
+        col("href") =!= "" &&
+          !col("href").startsWith("#") &&
+          !col("href").startsWith("javascript:") &&
+          !col("href").startsWith("mailto:")
+      )
+      .select(
+        col(idCol),
+        col("href"),
+        col("anchor_text"),
+        when(col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), col("href"))
+          .when(col("href").startsWith("//"), concat(scheme, lit(":"), col("href")))
+          .when(col("href").startsWith("/"), concat(hostRoot, col("href")))
+          .otherwise(concat(dir, col("href")))
+          .as("url")
+      )
+  }
+
+  /** Anchor-text aggregation per link target: for every (canonical) target
+    * URL, how many anchors point at it, how many distinct texts they use,
+    * and the dominant text with its count — ties on count break to the
+    * lexicographically GREATEST text (one `max(struct(count, text))`
+    * aggregate resolves count-then-text in a single pass, and the
+    * direction is deterministic in any engine). Empty anchor texts
+    * (image/icon links) are excluded. Two keyed partial aggs; state is
+    * (target, text)-cardinality-sized — anchors never ship twice.
+    *
+    * @return (url, n_anchors, n_texts, top_text, top_n)
+    */
+  def anchorTextRollup(anchors: DataFrame, urlCol: String, textCol: String): DataFrame = {
+    val cnt = anchors
+      .filter(col(textCol) =!= "")
+      .groupBy(col(urlCol), col(textCol))
+      .agg(count(lit(1)).as("cnt"))
+    cnt
+      .groupBy(col(urlCol))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_anchors"),
+        count(lit(1)).cast("long").as("n_texts"),
+        max(struct(col("cnt").as("cnt"), col(textCol).as("t"))).as("_top")
+      )
+      .select(
+        col(urlCol),
+        col("n_anchors"),
+        col("n_texts"),
+        col("_top.t").as("top_text"),
+        col("_top.cnt").cast("long").as("top_n")
+      )
+  }
+
   /** robots.txt-style prefix screen: a URL is blocked iff ANY rule row
     * (host, path prefix) matches its host exactly and its path by prefix —
     * the crawl-politeness gate between frontier generation and fetch.
@@ -808,6 +896,57 @@ object Curation {
       .join(matched, Seq(urlCol), "left")
       .withColumn("n_rules_matched", coalesce(col("n_rules_matched"), lit(0L)))
       .withColumn("allowed", col("n_rules_matched") === 0L)
+  }
+
+  /** RFC-9309-style robots decision — [[robotsScreen]] grown into the real
+    * Allow/Disallow semantics (one user-agent group; group selection is a
+    * per-site parse concern upstream of this set-oriented matcher): among
+    * all rules whose host matches exactly and whose path prefix matches,
+    * the MOST SPECIFIC (longest prefix) rule decides, and at equal length
+    * Allow beats Disallow; a URL no rule matches is allowed. The decision
+    * reduces to one aggregate: `max(struct(len, allow))` — struct ordering
+    * compares length first, then the boolean (false < true), which IS the
+    * longest-match-then-allow-wins precedence.
+    *
+    * Same shapes as [[robotsScreen]]: distinct-URL match (shared URLs
+    * can't multiply rule work), host-keyed equi-join (rule tables
+    * broadcast when per-site-small, shuffle on host at web scale), one
+    * keyed agg, left-join back to every input row.
+    *
+    * @param rules (host, prefix, allow) rows
+    * @return input columns + matched_len + allowed
+    */
+  def robotsDecision(
+      urls: DataFrame,
+      urlCol: String,
+      rules: DataFrame
+  ): DataFrame = {
+    val distinctUrls = urls
+      .select(col(urlCol))
+      .distinct()
+      .withColumn("_host", urlHost(col(urlCol)))
+      .withColumn("_path", urlPath(col(urlCol)))
+    val best = distinctUrls
+      .join(
+        rules.select(col("host").as("_host"), col("prefix"), col("allow")),
+        Seq("_host")
+      )
+      .filter(col("_path").startsWith(col("prefix")))
+      .groupBy(col(urlCol))
+      .agg(
+        max(
+          struct(length(col("prefix")).cast("long").as("len"), col("allow").as("allow"))
+        ).as("_best")
+      )
+      .select(
+        col(urlCol),
+        col("_best.len").as("matched_len"),
+        col("_best.allow").as("allowed")
+      )
+    urls
+      .join(best, Seq(urlCol), "left")
+      .withColumn("matched_len", coalesce(col("matched_len"), lit(0L)))
+      .withColumn("allowed", coalesce(col("allowed"), lit(true)))
   }
 
   /** WARC-lite record splitting — the stage in FRONT of [[htmlBlocks]]:

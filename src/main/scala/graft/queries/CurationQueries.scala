@@ -867,6 +867,67 @@ object CurationQueries {
         )
     },
 
+    // Anchor-text aggregation ([[Curation.extractAnchors]] →
+    // [[Curation.anchorTextRollup]]): anchors from the fixture pages
+    // resolved against each page's planted URL, normalized, and rolled up
+    // per canonical target — anchor counts, distinct-text counts and the
+    // dominant text (count-then-text precedence) verified value-for-value.
+    QEntry.sql(
+      "cur_anchor_text",
+      s"""WITH pg AS (SELECT doc_id, $htmlFixtureSql AS html, $urlFixtureSql AS burl
+         |  FROM documents),
+         |b AS (SELECT doc_id, html, regexp_replace(burl, '#.*$$', '') AS base FROM pg),
+         |bx AS (SELECT doc_id, html, base,
+         |    lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
+         |    lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' ||
+         |      regexp_replace(lower(regexp_extract(base, '^[^:/]+://([^/?#]+)', 1)),
+         |                     ':(80|443)$$', '') AS hostroot,
+         |    regexp_extract(base, '^[^:/]+://[^/?#]+([^?#]*)', 1) AS bpath
+         |  FROM b),
+         |ak AS (SELECT doc_id, sch, hostroot,
+         |    hostroot || regexp_replace(bpath, '[^/]*$$', '') AS dir,
+         |    unnest(regexp_extract_all(html, '<a[^>]*href="[^"]*"[^>]*>[^<]*</a>')) AS a
+         |  FROM bx),
+         |ah AS (SELECT doc_id, sch, hostroot, dir,
+         |    regexp_extract(a, 'href="([^"]*)"', 1) AS href,
+         |    trim(regexp_replace(regexp_extract(a, '>([^<]*)</a>', 1),
+         |                        '\\s+', ' ', 'g')) AS txt
+         |  FROM ak),
+         |res AS (SELECT doc_id, txt,
+         |    CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+         |         WHEN href LIKE '//%' THEN sch || ':' || href
+         |         WHEN href LIKE '/%' THEN hostroot || href
+         |         ELSE dir || href END AS url
+         |  FROM ah
+         |  WHERE href <> '' AND href NOT LIKE '#%'
+         |    AND href NOT LIKE 'javascript:%' AND href NOT LIKE 'mailto:%'),
+         |${urlNormSql("res", "doc_id, txt")},
+         |cnt AS (SELECT url_norm, txt, CAST(count(*) AS BIGINT) AS c
+         |  FROM nn WHERE txt <> '' GROUP BY url_norm, txt),
+         |m AS (SELECT url_norm, CAST(sum(c) AS BIGINT) AS n_anchors,
+         |    CAST(count(*) AS BIGINT) AS n_texts, max(c) AS mc
+         |  FROM cnt GROUP BY url_norm),
+         |tp AS (SELECT cnt.url_norm, max(cnt.txt) AS top_text
+         |  FROM cnt JOIN m ON cnt.url_norm = m.url_norm AND cnt.c = m.mc
+         |  GROUP BY cnt.url_norm)
+         |SELECT m.url_norm, m.n_anchors, m.n_texts, tp.top_text, m.mc AS top_n
+         |FROM m JOIN tp ON m.url_norm = tp.url_norm"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val pages = htmlFixture(documents(s, d))
+        .join(urlFixture(documents(s, d)), "doc_id")
+      Curation.anchorTextRollup(
+        Curation
+          .extractAnchors(pages, "doc_id", "html", "url")
+          .select(
+            Curation.normalizeUrl(col("url")).as("url_norm"),
+            col("anchor_text")
+          ),
+        "url_norm",
+        "anchor_text"
+      )
+    },
+
     // robots.txt-style prefix screen ([[Curation.robotsScreen]]): planted
     // per-host disallow rules (every even host blocks /Path, every third
     // blocks /a) against the planted crawl URLs — the politeness gate
@@ -908,6 +969,61 @@ object CurationQueries {
               lit("/a").as("prefix"))
         )
       Curation.robotsScreen(urlFixture(documents(s, d)), "url", rules)
+    },
+
+    // RFC-9309 longest-match robots decision ([[Curation.robotsDecision]]):
+    // layered Allow/Disallow rules — every host disallows /Path but
+    // re-allows /Path/1 (longer prefix wins), even hosts re-disallow
+    // /Path/12 (longer still), k%3 hosts disallow /a while k%5 hosts ALLOW
+    // /a (equal length → allow wins on the k%15 overlap). Exercises
+    // most-specific-match precedence and the allow-beats-disallow tie rule
+    // value-for-value per URL.
+    QEntry.sql(
+      "cur_robots_decision",
+      s"""WITH r AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         |parts AS (SELECT DISTINCT url,
+         |    regexp_replace(lower(regexp_extract(url, '^[^:/]+://([^/?#]+)', 1)),
+         |                   ':(80|443)$$', '') AS h,
+         |    regexp_extract(url, '^[^:/]+://[^/?#]+([^?#]*)', 1) AS pth
+         |  FROM r),
+         |rules AS (
+         |  SELECT 'site' || CAST(k AS VARCHAR) || '.com' AS host,
+         |    '/Path' AS prefix, FALSE AS allow FROM range(0, 50) t(k)
+         |  UNION ALL
+         |  SELECT 'site' || CAST(k AS VARCHAR) || '.com', '/Path/1', TRUE
+         |  FROM range(0, 50) t(k)
+         |  UNION ALL
+         |  SELECT 'site' || CAST(k AS VARCHAR) || '.com', '/Path/12', FALSE
+         |  FROM range(0, 50) t(k) WHERE k % 2 = 0
+         |  UNION ALL
+         |  SELECT 'site' || CAST(k AS VARCHAR) || '.com', '/a', FALSE
+         |  FROM range(0, 50) t(k) WHERE k % 3 = 0
+         |  UNION ALL
+         |  SELECT 'site' || CAST(k AS VARCHAR) || '.com', '/a', TRUE
+         |  FROM range(0, 50) t(k) WHERE k % 5 = 0),
+         |cand AS (SELECT parts.url, CAST(length(rules.prefix) AS BIGINT) AS len,
+         |    rules.allow
+         |  FROM parts JOIN rules ON parts.h = rules.host
+         |    AND starts_with(parts.pth, rules.prefix)),
+         |m AS (SELECT url, max(len) AS matched_len FROM cand GROUP BY url),
+         |a AS (SELECT c.url, max(CASE WHEN c.allow THEN 1 ELSE 0 END) = 1 AS allowed
+         |  FROM cand c JOIN m ON c.url = m.url AND c.len = m.matched_len
+         |  GROUP BY c.url)
+         |SELECT r.doc_id, r.url, COALESCE(m.matched_len, 0) AS matched_len,
+         |  COALESCE(a.allowed, TRUE) AS allowed
+         |FROM r LEFT JOIN m ON r.url = m.url
+         |LEFT JOIN a ON r.url = a.url""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ks = s.range(0, 50).toDF("k")
+      def hostCol = concat(lit("site"), col("k").cast("string"), lit(".com"))
+      def ruleSet(f: org.apache.spark.sql.DataFrame, prefix: String, allow: Boolean) =
+        f.select(hostCol.as("host"), lit(prefix).as("prefix"), lit(allow).as("allow"))
+      val rules = ruleSet(ks, "/Path", allow = false)
+        .unionByName(ruleSet(ks, "/Path/1", allow = true))
+        .unionByName(ruleSet(ks.filter(col("k") % 2 === 0), "/Path/12", allow = false))
+        .unionByName(ruleSet(ks.filter(col("k") % 3 === 0), "/a", allow = false))
+        .unionByName(ruleSet(ks.filter(col("k") % 5 === 0), "/a", allow = true))
+      Curation.robotsDecision(urlFixture(documents(s, d)), "url", rules)
     },
 
     // Crawler-trap mining ([[Curation.crawlTrapReport]]): distinct

@@ -181,6 +181,76 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((0L, true)) && out(5L) == ((0L, true)))
   }
 
+  test("extractAnchors carries cleaned link text; anchorTextRollup picks dominant text") {
+    val s = spark
+    import s.implicits._
+    val html =
+      """<a href="/t">click  here</a> <a href="/t">click here</a>
+        |<a href="/t">better name</a> <a href="/other">x</a>
+        |<a href="/t"><img src="i.png"></a>
+        |<a href="/icon"></a>""".stripMargin
+    val df = docs(1L -> html)
+      .withColumnRenamed("text", "html")
+      .withColumn("base", lit("http://ex.com/p/q.html"))
+    val anchors = Curation.extractAnchors(df, "doc_id", "html", "base")
+    val got = anchors.collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("anchor_text")))
+    // nested-tag anchor (<img> body) is out of the simple-anchor shape; the
+    // empty-body icon anchor IS matched but carries an empty text
+    assert(got.toSet == Set(
+      ("http://ex.com/t", "click here"), // whitespace collapsed → both rows equal
+      ("http://ex.com/t", "better name"),
+      ("http://ex.com/other", "x"),
+      ("http://ex.com/icon", "")
+    ), got.mkString(", "))
+    assert(got.count(_ == (("http://ex.com/t", "click here"))) == 2)
+
+    val roll = Curation.anchorTextRollup(anchors, "url", "anchor_text")
+      .collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Long]("n_anchors"), r.getAs[Long]("n_texts"),
+          r.getAs[String]("top_text"), r.getAs[Long]("top_n"))))
+      .toMap
+    assert(roll("http://ex.com/t") == ((3L, 2L, "click here", 2L)), roll.toString)
+    assert(roll("http://ex.com/other") == ((1L, 1L, "x", 1L)))
+    assert(!roll.contains("http://ex.com/icon")) // empty texts excluded
+
+    // tie on count → lexicographically greatest text wins
+    val tie = Curation.anchorTextRollup(
+      Seq(("u", "alpha"), ("u", "beta")).toDF("url", "anchor_text"),
+      "url", "anchor_text").head()
+    assert(tie.getAs[String]("top_text") == "beta" && tie.getAs[Long]("top_n") == 1L)
+  }
+
+  test("robotsDecision: longest prefix wins, allow beats disallow at equal length") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "http://a.com/pub/x"),     // /pub allow (len 4) beats / disallow (len 1)
+      (2L, "http://a.com/pub/sec/x"), // /pub/sec disallow (len 8) beats /pub allow
+      (3L, "http://a.com/other"),     // only / disallow matches
+      (4L, "http://a.com/tie"),       // /tie allow + /tie disallow → allow wins
+      (5L, "http://b.com/pub/x")      // no rules for b.com → allowed, len 0
+    ).toDF("id", "url")
+    val rules = Seq(
+      ("a.com", "/", false),
+      ("a.com", "/pub", true),
+      ("a.com", "/pub/sec", false),
+      ("a.com", "/tie", true),
+      ("a.com", "/tie", false)
+    ).toDF("host", "prefix", "allow")
+    val out = Curation.robotsDecision(urls, "url", rules)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("matched_len"), r.getAs[Boolean]("allowed"))))
+      .toMap
+    assert(out(1L) == ((4L, true)), out.toString)
+    assert(out(2L) == ((8L, false)))
+    assert(out(3L) == ((1L, false)))
+    assert(out(4L) == ((4L, true)))
+    assert(out(5L) == ((0L, true)))
+  }
+
   test("urlTemplate collapses hex ids before digit runs") {
     val cases = Seq(
       "http://s1.com/p/12345" -> "http://s{n}.com/p/{n}",
