@@ -196,6 +196,111 @@ object TermStats {
       )
   }
 
+  /** Stupid-backoff trigram cross-entropy (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the web-scale LM scoring
+    * scheme that skips normalization entirely): score `scoreDocs` under
+    * counts from `modelDocs` with
+    * S(w|u,v) = c(uvw)/c(uv) if the trigram was seen,
+    * else α·c(vw)/c(v) if the bigram was, else α²·(c(w)+1)/(N+V)
+    * (add-one unigram floor so unseen words stay finite — the one
+    * departure from pure stupid backoff, documented). The model/score
+    * split is what makes backoff REAL: scoring a corpus under its own
+    * counts never leaves the trigram tier.
+    *
+    * Exactness: all counts exact BIGINTs; each tier's score is
+    * correctly-rounded double arithmetic in a fixed expression shape, so
+    * both engines compute identical doubles; per-trigram-TYPE bits
+    * quantize to 9 decimals → DECIMAL before the order-free per-doc sum
+    * (the [[bigramCrossEntropy]] ladder). Per-tier hit counts ride along —
+    * the model-coverage diagnostic that tells a pipeline how much of a
+    * shard's probability mass came from backoff.
+    *
+    * Shapes: model tables are n-gram-vocabulary-sized partial aggs; the
+    * scoring stream joins them by n-gram key at TYPE granularity (distinct
+    * trigrams of the scored shard), then bits join back to the stream —
+    * the stream ships twice, the model tables once each, nothing
+    * quadratic.
+    *
+    * @return (id, n_trigrams, n_tri_hit, n_bi_hit, n_uni, backoff_entropy)
+    */
+  def stupidBackoffEntropy(
+      modelDocs: DataFrame,
+      scoreDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha in (0, 1)")
+    val ws = TextAnalysis.tokens(col(textCol))
+    val mToks = modelDocs.select(explode(ws).as("term")).filter(col("term") =!= "")
+    val cu = mToks.groupBy("term").agg(count(lit(1)).as("c1"))
+    val tot = cu.agg(
+      sum("c1").cast("long").as("n"),
+      count(lit(1)).cast("long").as("v")
+    )
+    val mW = modelDocs.select(ws.as("_ws"))
+    val bg = mW
+      .filter(size(col("_ws")) >= 2)
+      .select(
+        explode(
+          expr("transform(sequence(2, size(_ws)), i -> struct(_ws[i-2] AS p, _ws[i-1] AS c))")
+        ).as("_b")
+      )
+      .groupBy(col("_b.p").as("p"), col("_b.c").as("c"))
+      .agg(count(lit(1)).as("c2"))
+    val triExpr =
+      "transform(sequence(3, size(_ws)), i -> struct(_ws[i-3] AS p2, _ws[i-2] AS p1, _ws[i-1] AS cur))"
+    val tg = mW
+      .filter(size(col("_ws")) >= 3)
+      .select(explode(expr(triExpr)).as("_t"))
+      .groupBy(col("_t.p2").as("p2"), col("_t.p1").as("p1"), col("_t.cur").as("cur"))
+      .agg(count(lit(1)).as("c3"))
+    val ss = scoreDocs
+      .select(col(idCol), ws.as("_ws"))
+      .filter(size(col("_ws")) >= 3)
+      .select(col(idCol), explode(expr(triExpr)).as("_t"))
+      .select(
+        col(idCol),
+        col("_t.p2").as("p2"),
+        col("_t.p1").as("p1"),
+        col("_t.cur").as("cur")
+      )
+    val ty = ss.select("p2", "p1", "cur").distinct()
+    val joined = ty
+      .join(tg, Seq("p2", "p1", "cur"), "left")
+      .join(bg.select(col("p").as("p2"), col("c").as("p1"), col("c2").as("d3")), Seq("p2", "p1"), "left")
+      .join(bg.select(col("p").as("p1"), col("c").as("cur"), col("c2").as("n2")), Seq("p1", "cur"), "left")
+      .join(cu.select(col("term").as("p1"), col("c1").as("d2")), Seq("p1"), "left")
+      .join(cu.select(col("term").as("cur"), col("c1").as("u1")), Seq("cur"), "left")
+      .crossJoin(broadcast(tot))
+    val a = lit(alpha)
+    val sVal = when(col("c3").isNotNull, col("c3").cast("double") / col("d3"))
+      .when(col("n2").isNotNull, a * (col("n2").cast("double") / col("d2")))
+      .otherwise(
+        a * a * ((coalesce(col("u1"), lit(0L)) + 1).cast("double") / (col("n") + col("v")))
+      )
+    val tier = when(col("c3").isNotNull, 3).when(col("n2").isNotNull, 2).otherwise(1)
+    val bits = joined.select(
+      col("p2"),
+      col("p1"),
+      col("cur"),
+      tier.as("tier"),
+      round(-log2(sVal), 9).cast("decimal(18,9)").as("bits")
+    )
+    ss.join(bits, Seq("p2", "p1", "cur"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("tier") === 3, 1L).otherwise(0L)).cast("long").as("n_tri_hit"),
+        sum(when(col("tier") === 2, 1L).otherwise(0L)).cast("long").as("n_bi_hit"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).cast("long").as("n_uni"),
+        round(
+          sum(col("bits")).cast("decimal(28,9)").cast("double") / count(lit(1)),
+          6
+        ).as("backoff_entropy")
+      )
+  }
+
   def dictionaryCoverage(
       docs: DataFrame,
       textCol: String,

@@ -169,6 +169,86 @@ object GraphQueries {
         .select(col("node").as("s_suppkey"), col("r").cast("double").as("pagerank"))
     },
 
+    // HITS hubs/authorities over the customer→part bipartite purchase graph
+    // (customers are hubs, parts authorities): two full update rounds
+    // (h→a→h, then a again), each sum-normalized. Same exactness ladder as
+    // PageRank — per-node raw scores are EXACT DECIMAL sums of quantized
+    // inputs, the normalizing division is one correctly-rounded double op
+    // re-quantized to 12 decimals — so both engines walk identical score
+    // vectors. Each half-step is one edge-keyed join + partial agg plus a
+    // scalar-broadcast normalize; top-20 per side with id tie-break.
+    QEntry.sql(
+      "q_hits_scores", {
+        // one normalized half-step: scores `sIn(key idK)` pushed across
+        // edges to the other side's key `outK`
+        def sqlStep(sIn: String, idK: String, outK: String, out: String) =
+          s"""${out}r AS (SELECT e.$outK AS k, CAST(sum(s.score) AS DECIMAL(28,12)) AS raw
+             |  FROM edges e JOIN $sIn s ON e.$idK = s.k GROUP BY e.$outK),
+             |${out}s AS (SELECT CAST(sum(raw) AS DECIMAL(38,12)) AS t FROM ${out}r),
+             |$out AS (SELECT k, CAST(round(CAST(raw AS DOUBLE) / CAST(t AS DOUBLE), 12)
+             |    AS DECIMAL(18,12)) AS score
+             |  FROM ${out}r CROSS JOIN ${out}s)"""
+        s"""WITH edges AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |hn AS (SELECT CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT DISTINCT c FROM edges)),
+           |h0 AS (SELECT c AS k, CAST(round(CAST(1 AS DOUBLE) / n, 12)
+           |    AS DECIMAL(18,12)) AS score
+           |  FROM (SELECT DISTINCT c FROM edges) CROSS JOIN hn),
+           |${sqlStep("h0", "c", "p", "a1")},
+           |${sqlStep("a1", "p", "c", "h1")},
+           |${sqlStep("h1", "c", "p", "a2")},
+           |${sqlStep("a2", "p", "c", "h2")}
+           |SELECT * FROM (SELECT 'auth' AS side, k AS node,
+           |    CAST(score AS DOUBLE) AS score
+           |  FROM a2 ORDER BY score DESC, node LIMIT 20)
+           |UNION ALL
+           |SELECT * FROM (SELECT 'hub' AS side, k AS node,
+           |    CAST(score AS DOUBLE) AS score
+           |  FROM h2 ORDER BY score DESC, node LIMIT 20)"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val edges = orders(s, d)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+        .join(lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("p")), "ok")
+        .select("c", "p")
+        .distinct()
+        .localCheckpoint() // reused by all four half-steps
+      // one normalized half-step: push `sIn` (k, score) across edges from
+      // side `fromK` onto side `toK`, exact-decimal sum, sum-normalize
+      def step(sIn: DataFrame, fromK: String, toK: String): DataFrame = {
+        val raw = edges
+          .join(sIn.withColumnRenamed("k", fromK), fromK)
+          .groupBy(col(toK).as("k"))
+          .agg(sum(col("score")).cast("decimal(28,12)").as("raw"))
+        val tot = raw.agg(sum(col("raw")).cast("decimal(38,12)").as("t"))
+        raw
+          .crossJoin(broadcast(tot))
+          .select(
+            col("k"),
+            round(col("raw").cast("double") / col("t").cast("double"), 12)
+              .cast("decimal(18,12)")
+              .as("score")
+          )
+      }
+      val hubs0 = edges.select(col("c")).distinct()
+      val n = hubs0.count() // one scalar: hub-side cardinality is metadata
+      val h0 = hubs0.select(
+        col("c").as("k"),
+        round(lit(1.0 / n), 12).cast("decimal(18,12)").as("score")
+      )
+      val a1 = step(h0, "c", "p").localCheckpoint()
+      val h1 = step(a1, "p", "c").localCheckpoint()
+      val a2 = step(h1, "c", "p")
+      val h2 = step(a2, "p", "c")
+      def top(df: DataFrame, side: String) = df
+        .orderBy(col("score").desc, col("k"))
+        .limit(20)
+        .select(lit(side).as("side"), col("k").as("node"), col("score").cast("double").as("score"))
+      top(a2, "auth").unionAll(top(h2, "hub"))
+    },
+
     // Triangle census of the RECURRING part co-occurrence graph (parts that
     // share ≥ 2 orders — the threshold keeps the graph sparse where the raw
     // co-occurrence graph at sf0.1 would fan 41M wedges). Degree-ordered

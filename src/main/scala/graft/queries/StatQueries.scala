@@ -387,6 +387,77 @@ object StatQueries {
       TermStats.bigramCrossEntropy(documents(s, d), "doc_id", "text", 0.75)
     },
 
+    // Stupid-backoff trigram cross-entropy ([[TermStats.stupidBackoffEntropy]])
+    // under a held-out split: even docs are the model, odd docs get scored —
+    // the split is what makes the α-backoff chain REAL (a corpus scored
+    // under its own counts never leaves the trigram tier). Per-tier hit
+    // counts are exact BIGINTs; per-trigram-type bits go through the
+    // 9-decimal quantize → DECIMAL-sum ladder. α = 0.4 is CAST to DOUBLE in
+    // the twin (a bare 0.4 literal is DECIMAL in DuckDB and 0.4 isn't
+    // binary-exact — the one cross-engine trap this entry adds).
+    QEntry.sql(
+      "txt_backoff_trigram",
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |mt AS (SELECT t.term FROM (SELECT unnest(words) AS term FROM w
+         |    WHERE doc_id % 2 = 0) t WHERE t.term <> ''),
+         |cu AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM mt GROUP BY term),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+         |  FROM cu),
+         |mw AS (SELECT words FROM w WHERE doc_id % 2 = 0),
+         |bgs AS (SELECT unnest(list_transform(range(2, len(words) + 1),
+         |    i -> struct_pack(p := words[i-1], c := words[i]))) AS bp
+         |  FROM mw WHERE len(words) >= 2),
+         |bg AS (SELECT bp.p AS p, bp.c AS c, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bgs GROUP BY bp.p, bp.c),
+         |tgs AS (SELECT unnest(list_transform(range(3, len(words) + 1),
+         |    i -> struct_pack(p2 := words[i-2], p1 := words[i-1], cur := words[i]))) AS tp
+         |  FROM mw WHERE len(words) >= 3),
+         |tg AS (SELECT tp.p2 AS p2, tp.p1 AS p1, tp.cur AS cur,
+         |    CAST(count(*) AS BIGINT) AS c3
+         |  FROM tgs GROUP BY tp.p2, tp.p1, tp.cur),
+         |sts AS (SELECT doc_id, unnest(list_transform(range(3, len(words) + 1),
+         |    i -> struct_pack(p2 := words[i-2], p1 := words[i-1], cur := words[i]))) AS tp
+         |  FROM w WHERE doc_id % 2 = 1 AND len(words) >= 3),
+         |ss AS (SELECT doc_id, tp.p2 AS p2, tp.p1 AS p1, tp.cur AS cur FROM sts),
+         |ty AS (SELECT DISTINCT p2, p1, cur FROM ss),
+         |sc AS (SELECT ty.p2, ty.p1, ty.cur,
+         |    CASE WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / d3.c2
+         |         WHEN n2.c2 IS NOT NULL THEN CAST(0.4 AS DOUBLE)
+         |           * (CAST(n2.c2 AS DOUBLE) / d2.c1)
+         |         ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+         |           * (CAST(COALESCE(u1.c1, 0) + 1 AS DOUBLE) / (tot.n + tot.v)) END
+         |      AS s_val,
+         |    CASE WHEN t3.c3 IS NOT NULL THEN 3
+         |         WHEN n2.c2 IS NOT NULL THEN 2 ELSE 1 END AS tier
+         |  FROM ty
+         |  LEFT JOIN tg t3 ON t3.p2 = ty.p2 AND t3.p1 = ty.p1 AND t3.cur = ty.cur
+         |  LEFT JOIN bg d3 ON d3.p = ty.p2 AND d3.c = ty.p1
+         |  LEFT JOIN bg n2 ON n2.p = ty.p1 AND n2.c = ty.cur
+         |  LEFT JOIN cu d2 ON d2.term = ty.p1
+         |  LEFT JOIN cu u1 ON u1.term = ty.cur
+         |  CROSS JOIN tot),
+         |bits AS (SELECT p2, p1, cur, tier,
+         |    CAST(round(-log2(s_val), 9) AS DECIMAL(18,9)) AS bits FROM sc)
+         |SELECT ss.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+         |  CAST(sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_hit,
+         |  CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+         |  round(CAST(CAST(sum(bits) AS DECIMAL(28,9)) AS DOUBLE) / count(*), 6)
+         |    AS backoff_entropy
+         |FROM ss JOIN bits ON ss.p2 = bits.p2 AND ss.p1 = bits.p1
+         |  AND ss.cur = bits.cur
+         |GROUP BY ss.doc_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      TermStats.stupidBackoffEntropy(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id",
+        "text",
+        alpha = 0.4
+      )
+    },
+
     // Pairwise covariance/correlation matrix of (quantity, price-cents,
     // discount-bp) — all three integer-scalable, so the sufficient
     // statistics are exact and every matrix cell ships unrounded

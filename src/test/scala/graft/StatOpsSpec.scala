@@ -48,6 +48,47 @@ class StatOpsSpec extends SparkSpec {
     assert(out == Map(3L -> 1L), s"got $out")
   }
 
+  test("stupidBackoffEntropy walks the tier chain with exact hand-computed scores") {
+    import graft.operators.TermStats
+    // model: trigram "a b c" ×2 plus "b c d"; score doc exercises all tiers
+    val model = Seq((0L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+    // trigrams of score doc: (a,b,c) seen; (b,c,x): unseen trigram, unseen
+    // bigram (c,x) → unigram floor on x (OOV); (c,x,a): unseen trigram and
+    // (x,a) unseen → unigram floor on a (in-vocab)
+    val scoreD = Seq((1L, "a b c x a")).toDF("doc_id", "text")
+    val out = TermStats
+      .stupidBackoffEntropy(model, scoreD, "doc_id", "text")
+      .head()
+    assert(out.getAs[Long]("n_trigrams") == 3L)
+    assert(out.getAs[Long]("n_tri_hit") == 1L, out.toString)
+    assert(out.getAs[Long]("n_bi_hit") == 0L)
+    assert(out.getAs[Long]("n_uni") == 2L)
+    // model counts: N=7 tokens, V=4 terms; c(abc)=2, c(ab)=2 →
+    // S(abc)=1; floors: x OOV → 0.16·1/11, a → 0.16·3/11
+    val expected = (math.round((-math.log(1.0) / math.log(2.0)) * 1e9) +
+      math.round((-math.log(0.4 * 0.4 * (1.0 / 11)) / math.log(2.0)) * 1e9) +
+      math.round((-math.log(0.4 * 0.4 * (3.0 / 11)) / math.log(2.0)) * 1e9)) / 3.0 / 1e9
+    assert(
+      math.abs(out.getAs[Double]("backoff_entropy") - expected) < 1e-5,
+      s"got ${out.getAs[Double]("backoff_entropy")} want ~$expected"
+    )
+  }
+
+  test("stupidBackoffEntropy: bigram tier fires when only the trigram is novel") {
+    import graft.operators.TermStats
+    val model = Seq((0L, "p q r"), (2L, "s q r")).toDF("doc_id", "text")
+    // (p,q,r) seen as trigram; score "z q r" → (z,q,r): trigram unseen,
+    // bigram (q,r) seen with c=2, context c(q)=2 → tier 2
+    val out = TermStats
+      .stupidBackoffEntropy(model, Seq((1L, "z q r")).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(out.getAs[Long]("n_trigrams") == 1L)
+    assert(out.getAs[Long]("n_bi_hit") == 1L, out.toString)
+    // S = 0.4 · 2/2 = 0.4 → bits = −log2(0.4)
+    val want = -math.log(0.4) / math.log(2.0)
+    assert(math.abs(out.getAs[Double]("backoff_entropy") - want) < 1e-5)
+  }
+
   test("gridProximityJoin equals the naive cross-join filter for several radii") {
     // deterministic pseudo-random points on a 100×100 plane
     val pts = (1L to 120L).map(k => (k, (k * 37 % 1000) / 10.0, (k * 73 % 1000) / 10.0))
