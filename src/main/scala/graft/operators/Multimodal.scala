@@ -366,6 +366,84 @@ object Multimodal {
       }
     }
 
+    /** 8×32 quantized DCT-II cosine table, shared VERBATIM with the oracle
+      * twin (the SQL interpolates these exact integers): C(u,t) =
+      * round(cos(π(2t+1)u/64)·1000). Quantizing once here removes libm
+      * from the cross-engine contract entirely — both engines multiply and
+      * sum the same BIGINTs, so the whole DCT is exact integer arithmetic.
+      * Magnitude audit: gray ≤ 765, |C| ≤ 1000 → |G| ≤ 32·765·1000 ≈
+      * 2.45e7, |F| ≤ 32·|G|·1000 ≈ 7.8e11 — comfortably inside int64.
+      */
+    val PhashCos: Array[Array[Long]] =
+      Array.tabulate(8, 32)((u, t) =>
+        math.round(math.cos(math.Pi * (2 * t + 1) * u / 64.0) * 1000.0)
+      )
+
+    /** 64-bit perceptual DCT hash (pHash) of a P6 raster, as a 64-char
+      * bitstring: sample a 32×32 grid nearest-neighbor (row y → source row
+      * ⌊y·h/32⌋, col x → ⌊x·w/32⌋; cell gray = channel sum, exact), run a
+      * SEPARABLE integer 8×8-of-32×32 DCT-II with [[PhashCos]]
+      * (G(u,y) = Σₓ gray·C(u,x), F(u,v) = Σ_y G·C(v,y)), and emit bit
+      * (8u + v) = [F(u,v) > median], the median being the 32nd-smallest of
+      * the 64 coefficients (0-based index 31 ascending). Comparing against
+      * the own-image median is what dHash's fixed gradient lacks: the hash
+      * is invariant under any monotone intensity scaling, and an ALIGNED
+      * factor-2 vertical resize (h ≡ 0 mod 64) samples the identical
+      * source grid, reproducing the hash bit-for-bit.
+      */
+    def phash64(b: Array[Byte]): Option[String] = {
+      val (w, h, off) = ppmHeader(-1L, b)
+      if (w < 1 || h < 1 || off + w * h * 3 > b.length) None
+      else {
+        val g = Array.ofDim[Long](32, 32) // g(y)(x)
+        var y = 0
+        while (y < 32) {
+          val sy = y * h / 32
+          var x = 0
+          while (x < 32) {
+            val sx = x * w / 32
+            val o = off + (sy * w + sx) * 3
+            g(y)(x) = (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val gu = Array.ofDim[Long](8, 32) // G(u,y) = Σ_x g(y,x)·C(u,x)
+        var u = 0
+        while (u < 8) {
+          y = 0
+          while (y < 32) {
+            var s = 0L
+            var x = 0
+            while (x < 32) { s += g(y)(x) * PhashCos(u)(x); x += 1 }
+            gu(u)(y) = s
+            y += 1
+          }
+          u += 1
+        }
+        val f = new Array[Long](64) // F(u,v) at index 8u+v
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0L
+            y = 0
+            while (y < 32) { s += gu(u)(y) * PhashCos(v)(y); y += 1 }
+            f(8 * u + v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val sorted = f.clone()
+        java.util.Arrays.sort(sorted)
+        val med = sorted(31)
+        val sb = new java.lang.StringBuilder(64)
+        var k = 0
+        while (k < 64) { sb.append(if (f(k) > med) '1' else '0'); k += 1 }
+        Some(sb.toString)
+      }
+    }
+
     /** Nearest-neighbor vertical downsample of a P6 payload by an integer
       * factor: keep source rows 0, factor, 2·factor, … (new height
       * ⌊h/factor⌋), re-encode. The pixel-level transform behind the
@@ -477,6 +555,27 @@ object Multimodal {
         else None
       }
       .toDF("media_id", "dhash")
+  }
+
+  /** Perceptual DCT hashes: one (media_id, phash) row per decodable P6
+    * image — see [[MediaCodecs.phash64]]. Executor-side typed flatMap like
+    * [[imageDHashes]] (payload bytes never shuffle; only 64-char sketches
+    * leave the scan); pair downstream with [[Dedup.hammingBandPairs]] on
+    * the `phash` column. Complements dHash: the own-image-median threshold
+    * makes it invariant under monotone intensity scaling, where dHash's
+    * pairwise gradients are invariant under per-column monotone maps.
+    */
+  def imagePHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .flatMap { r =>
+        val b = r.payload
+        if (b.length >= 2 && b(0) == 'P' && b(1) == '6')
+          MediaCodecs.phash64(b).map(h => (r.media_id, h))
+        else None
+      }
+      .toDF("media_id", "phash")
   }
 
   /** Perceptual audio hashes: one (media_id, aphash) row per decodable

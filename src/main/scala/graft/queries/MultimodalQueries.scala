@@ -696,6 +696,50 @@ object MultimodalQueries {
       Multimodal.sceneCuts(
         Multimodal.fromDocuments(documents(s, d)).filter(col("modality") === "video")
       )
+    },
+
+    // E319 DCT pHash values ([[Multimodal.MediaCodecs.phash64]]): the twin
+    // replays the ENTIRE integer pipeline — 32×32 nearest-neighbor gray
+    // grid off the ASCII payload bytes, separable 8×8-of-32×32 DCT-II
+    // using the IDENTICAL quantized cosine integers (interpolated from
+    // [[Multimodal.MediaCodecs.PhashCos]], so libm never enters the
+    // contract), 32nd-smallest median threshold, bit order 8u+v — and the
+    // 64-char hash matches value-for-value per image.
+    QEntry.sql(
+      "mm_phash_values", {
+        val coefVals = Multimodal.MediaCodecs.PhashCos.zipWithIndex
+          .flatMap { case (row, u) =>
+            row.zipWithIndex.map { case (c, t) => s"($u,$t,$c)" }
+          }
+          .mkString(",")
+        def ch(k: Int) =
+          s"""ord(substr(text, CAST((((yy.y * h) // 32) * 8
+             | + (xx.x * 8) // 32) * 3 + $k AS INT), 1))""".stripMargin
+        s"""WITH t AS (SELECT doc_id, text, strlen(text) // 24 AS h
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |coef AS (SELECT * FROM (VALUES $coefVals) v(u, t, c)),
+           |px AS (SELECT doc_id, yy.y AS y, xx.x AS x,
+           |    (${ch(1)} + ${ch(2)} + ${ch(3)}) AS g
+           |  FROM t, range(0, 32) yy(y), range(0, 32) xx(x) WHERE h >= 1),
+           |gu AS (SELECT doc_id, cf.u AS u, px.y AS y, sum(px.g * cf.c) AS gv
+           |  FROM px JOIN coef cf ON cf.t = px.x GROUP BY doc_id, cf.u, px.y),
+           |fv AS (SELECT doc_id, gu.u AS u, c2.u AS v, sum(gu.gv * c2.c) AS f
+           |  FROM gu JOIN coef c2 ON c2.t = gu.y GROUP BY doc_id, gu.u, c2.u),
+           |md AS (SELECT doc_id, f AS med FROM (SELECT doc_id, f,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn FROM fv) z
+           |  WHERE rn = 32)
+           |SELECT fv.doc_id AS media_id,
+           |  string_agg(CASE WHEN fv.f > md.med THEN '1' ELSE '0' END, ''
+           |    ORDER BY fv.u, fv.v) AS phash
+           |FROM fv JOIN md ON fv.doc_id = md.doc_id
+           |GROUP BY fv.doc_id""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Multimodal.imagePHashes(
+        Multimodal
+          .synthesizeMedia(documents(s, d))
+          .filter((r: Multimodal.MediaRecord) => r.modality == "image")
+      )
     }
   )
 }

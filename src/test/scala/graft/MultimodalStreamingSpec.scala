@@ -75,6 +75,38 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("pHash: aligned resize and exact brightness halving are Hamming-0; unrelated images far") {
+    import Multimodal.MediaCodecs
+    // h ≡ 0 (mod 64): original samples source row 2my at h = 64m, the
+    // factor-2 resize samples its row my → source row 2my — identical grid
+    val h = 64
+    // EVEN bytes only, so per-byte halving divides every gray exactly —
+    // the monotone-intensity invariance the own-image-median threshold buys
+    val pix = Array.tabulate[Byte](8 * h * 3)(i => (((i * 2654435761L >> 7) & 0xfe)).toByte)
+    val img = MediaCodecs.encodePpm(pix, 8, h)
+    val p1 = MediaCodecs.phash64(img).get
+    assert(p1.length == 64 && p1.forall(c => c == '0' || c == '1'))
+    // bit 0 is the DC coefficient — the largest F by construction → always 1
+    assert(p1.charAt(0) == '1')
+    val p2 = MediaCodecs.phash64(MediaCodecs.resizePpmVertical(img, 2)).get
+    assert(p1 == p2, "aligned factor-2 resize must reproduce the hash")
+    val dimmed = pix.map(b => ((b & 0xff) / 2).toByte)
+    val p3 = MediaCodecs.phash64(MediaCodecs.encodePpm(dimmed, 8, h)).get
+    assert(p1 == p3, "exact brightness halving must reproduce the hash")
+    val pix2 = Array.tabulate[Byte](8 * h * 3)(i => ((i * 48271L >> 3) & 0xff).toByte)
+    val p4 = MediaCodecs.phash64(MediaCodecs.encodePpm(pix2, 8, h)).get
+    assert(p1.zip(p4).count { case (a, b) => a != b } > 8, "unrelated image must hash far")
+    // empty raster → no hash; executor path emits one row per P6 image
+    assert(MediaCodecs.phash64(MediaCodecs.encodePpm(Array.emptyByteArray, 8, 0)).isEmpty)
+    val s = spark
+    import s.implicits._
+    val hashes = Multimodal.imagePHashes(Seq(
+      Multimodal.MediaRecord(1L, "image", img),
+      Multimodal.MediaRecord(2L, "audio", Array[Byte]('R', 'I', 'F', 'F'))
+    ).toDS())
+    assert(hashes.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, p1)))
+  }
+
   test("dHash: aligned vertical resize is Hamming-0; banded pairs catch what exact digests miss") {
     import Multimodal.MediaCodecs
     // h ≡ 0 (mod 18): the factor-2 resize's nearest-neighbor grid samples
