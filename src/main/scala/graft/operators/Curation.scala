@@ -1060,6 +1060,90 @@ object Curation {
       .withColumn("is_trap", col("n_urls") >= minUrls)
       .select("template", "n_urls", "n_hosts", "urls_per_host", "sample_url", "is_trap")
 
+  /** Recrawl scheduling — the sitemap⋈fetch-log reconciliation a crawler
+    * runs between visits: full-outer join on the canonical URL classifies
+    * every URL as `new` (in the sitemap, never fetched), `stale`
+    * (modified since the last fetch), `fresh` (fetch is current), or
+    * `orphan` (fetched once, no longer advertised — the candidate for
+    * index cleanup); `needs_fetch` = new ∨ stale. One URL-keyed full-outer
+    * join, no windows — both inputs are URL-cardinality-sized state, and
+    * at web scale the join shuffles on the same canonical-URL key every
+    * other frontier op already uses.
+    *
+    * @param sitemap (url, lastmod DATE) rows
+    * @param fetchLog (url, fetched_at DATE) rows
+    * @return (url, lastmod, fetched_at, status, needs_fetch)
+    */
+  def recrawlSchedule(sitemap: DataFrame, fetchLog: DataFrame): DataFrame =
+    sitemap
+      .join(fetchLog, Seq("url"), "full_outer")
+      .withColumn(
+        "status",
+        when(col("lastmod").isNull, "orphan")
+          .when(col("fetched_at").isNull, "new")
+          .when(col("lastmod") > col("fetched_at"), "stale")
+          .otherwise("fresh")
+      )
+      .withColumn("needs_fetch", col("status").isin("new", "stale"))
+
+  /** Max-min fair crawl-budget allocation (progressive filling / water-
+    * filling, exact integers): split `budget` fetches across hosts so no
+    * host gets more than its queue, hosts that fit are fully served, and
+    * the rest share the remainder as evenly as integers allow — the
+    * classic max-min fairness definition, solved in closed form on the
+    * queue-sorted order. Host i (ascending by queue, ties on host) is
+    * fully served iff serving EVERYONE at its level is affordable:
+    * qᵢ·(n−i+1) + prefixᵢ₋₁ ≤ B. Past the last such rank k, each of the
+    * m = n−k unsatisfied hosts gets ⌊rem/m⌋ with the first rem mod m (in
+    * the same deterministic order) getting one extra; maximality of k
+    * guarantees the share never exceeds any unsatisfied queue. Σalloc =
+    * min(B, Σq) by construction.
+    *
+    * The global window ranks HOSTS — state is host-cardinality, orders of
+    * magnitude below the frontier; if even that bottlenecks, the
+    * two-phase global-rank idiom applies as in [[Fragmentation]].
+    *
+    * @return (host, queue, alloc, fully_served)
+    */
+  def maxMinFairBudget(
+      hosts: DataFrame,
+      hostCol: String,
+      queueCol: String,
+      budget: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("queue"), col(hostCol))
+    val ranked = hosts
+      .select(col(hostCol), col(queueCol).cast("long").as("queue"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("queue")).over(w).cast("long"))
+    val nRow = ranked.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("queue")).cast("long").as("totq")
+    )
+    val afford = ranked
+      .crossJoin(broadcast(nRow))
+      .withColumn(
+        "fully_served",
+        col("queue") * (col("n") - col("i") + 1) + (col("prefix") - col("queue")) <= budget
+      )
+    val kRow = afford.agg(
+      coalesce(max(when(col("fully_served"), col("i"))), lit(0L)).as("k"),
+      coalesce(max(when(col("fully_served"), col("prefix"))), lit(0L)).as("pk")
+    )
+    afford
+      .crossJoin(broadcast(kRow))
+      .withColumn("m", col("n") - col("k"))
+      .withColumn("rem", lit(budget) - col("pk"))
+      .withColumn(
+        "alloc",
+        when(col("fully_served"), col("queue")).otherwise(
+          expr("rem div m") + when(col("i") - col("k") <= expr("rem % m"), 1L).otherwise(0L)
+        )
+      )
+      .select(col(hostCol), col("queue"), col("alloc").cast("long"), col("fully_served"))
+  }
+
   /** Per-host politeness schedule — the fetch-queue assignment between
     * frontier and fetcher: each distinct URL gets a deterministic slot
     * within its host (URLs ordered by their own string — no arrival-order

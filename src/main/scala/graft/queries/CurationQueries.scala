@@ -1087,6 +1087,110 @@ object CurationQueries {
       )
     },
 
+    // Recrawl scheduling ([[Curation.recrawlSchedule]]): sitemap = the
+    // distinct canonical URLs with a lastmod derived from the URL string;
+    // fetch log = a deterministic subset with its own derived fetch date,
+    // plus planted gone-from-sitemap URLs. Exercises all four statuses
+    // (new/stale/fresh/orphan) with exact date comparisons.
+    QEntry.sql(
+      "cur_recrawl",
+      s"""WITH r AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         |${urlNormSql("r", "doc_id")},
+         |d AS (SELECT DISTINCT url_norm FROM nn),
+         |sm AS (SELECT url_norm AS url,
+         |    DATE '2024-01-01' + CAST(strlen(url_norm) % 30 AS INT) AS lastmod FROM d),
+         |fl AS (SELECT url_norm AS url,
+         |    DATE '2024-01-01' + CAST(strlen(url_norm) % 45 AS INT) AS fetched_at
+         |  FROM d WHERE strlen(url_norm) % 3 <> 0
+         |  UNION ALL
+         |  SELECT 'http://gone' || CAST(k AS VARCHAR) || '.com/x',
+         |    DATE '2024-01-10' FROM range(0, 10) t(k)),
+         |j AS (SELECT COALESCE(sm.url, fl.url) AS url, sm.lastmod, fl.fetched_at
+         |  FROM sm FULL OUTER JOIN fl ON sm.url = fl.url)
+         |SELECT url,
+         |  COALESCE(strftime(lastmod, '%Y-%m-%d'), '') AS lastmod_day,
+         |  COALESCE(strftime(fetched_at, '%Y-%m-%d'), '') AS fetched_day,
+         |  CASE WHEN lastmod IS NULL THEN 'orphan'
+         |       WHEN fetched_at IS NULL THEN 'new'
+         |       WHEN lastmod > fetched_at THEN 'stale' ELSE 'fresh' END AS status,
+         |  CASE WHEN lastmod IS NULL THEN FALSE
+         |       WHEN fetched_at IS NULL THEN TRUE
+         |       ELSE lastmod > fetched_at END AS needs_fetch
+         |FROM j""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val urls = urlFixture(documents(s, d))
+        .select(Curation.normalizeUrl(col("url")).as("url"))
+        .distinct()
+      val sitemap = urls.select(
+        col("url"),
+        date_add(to_date(lit("2024-01-01")), (length(col("url")) % 30).cast("int"))
+          .as("lastmod")
+      )
+      val fetchLog = urls
+        .filter(length(col("url")) % 3 =!= 0)
+        .select(
+          col("url"),
+          date_add(to_date(lit("2024-01-01")), (length(col("url")) % 45).cast("int"))
+            .as("fetched_at")
+        )
+        .unionByName(
+          s.range(0, 10)
+            .select(
+              concat(lit("http://gone"), col("id").cast("string"), lit(".com/x")).as("url"),
+              to_date(lit("2024-01-10")).as("fetched_at")
+            )
+        )
+      Curation
+        .recrawlSchedule(sitemap, fetchLog)
+        .select(
+          col("url"),
+          coalesce(date_format(col("lastmod"), "yyyy-MM-dd"), lit("")).as("lastmod_day"),
+          coalesce(date_format(col("fetched_at"), "yyyy-MM-dd"), lit("")).as("fetched_day"),
+          col("status"),
+          col("needs_fetch")
+        )
+    },
+
+    // Max-min fair crawl-budget split ([[Curation.maxMinFairBudget]]):
+    // per-host frontier queues (distinct canonical URLs) share 120 fetches
+    // — small hosts are fully served, the rest get the water-filling share
+    // with the integer remainder spread deterministically. The twin
+    // replays the closed-form rank/prefix solution window-for-window.
+    QEntry.sql(
+      "cur_crawl_budget",
+      s"""WITH r AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         |${urlNormSql("r", "doc_id")},
+         |d AS (SELECT DISTINCT url_norm FROM nn),
+         |hq AS (SELECT regexp_extract(url_norm, '^[^:/]+://([^/?#]+)', 1) AS host,
+         |    CAST(count(*) AS BIGINT) AS q FROM d GROUP BY host),
+         |ranked AS (SELECT host, q,
+         |    CAST(row_number() OVER (ORDER BY q, host) AS BIGINT) AS i,
+         |    CAST(sum(q) OVER (ORDER BY q, host ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS prefix
+         |  FROM hq),
+         |nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hq),
+         |af AS (SELECT ranked.*, nn2.n,
+         |    q * (n - i + 1) + (prefix - q) <= 120 AS fully_served
+         |  FROM ranked CROSS JOIN nn2),
+         |kk AS (SELECT COALESCE(max(CASE WHEN fully_served THEN i END), 0) AS k,
+         |    COALESCE(max(CASE WHEN fully_served THEN prefix END), 0) AS pk
+         |  FROM af)
+         |SELECT host, q AS queue,
+         |  CAST(CASE WHEN fully_served THEN q
+         |    ELSE (120 - pk) // (n - k)
+         |      + (CASE WHEN i - k <= (120 - pk) % (n - k) THEN 1 ELSE 0 END) END
+         |    AS BIGINT) AS alloc,
+         |  fully_served
+         |FROM af CROSS JOIN kk""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val hosts = urlFixture(documents(s, d))
+        .select(Curation.normalizeUrl(col("url")).as("u"))
+        .distinct()
+        .groupBy(Curation.urlHost(col("u")).as("host"))
+        .agg(count(lit(1)).as("q"))
+      Curation.maxMinFairBudget(hosts, "host", "q", budget = 120L)
+    },
+
     // jusText-lite block classification ([[Curation.htmlBlocks]]) over a
     // synthesized page per document (title/nav/h1/article/SHOUTED-copy/
     // footer). Verifies segmentation, tag stripping, integer link/stopword

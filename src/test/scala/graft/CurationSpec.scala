@@ -251,6 +251,56 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == ((0L, true)))
   }
 
+  test("recrawlSchedule classifies new/stale/fresh/orphan with date compares") {
+    val s = spark
+    import s.implicits._
+    val sitemap = Seq(
+      ("u/new", "2024-02-01"), ("u/stale", "2024-02-01"), ("u/fresh", "2024-01-01")
+    ).toDF("url", "lm").select(col("url"), to_date(col("lm")).as("lastmod"))
+    val log = Seq(
+      ("u/stale", "2024-01-15"), ("u/fresh", "2024-01-15"), ("u/orphan", "2024-01-15")
+    ).toDF("url", "f").select(col("url"), to_date(col("f")).as("fetched_at"))
+    val out = Curation.recrawlSchedule(sitemap, log)
+      .collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("status"), r.getAs[Boolean]("needs_fetch"))))
+      .toMap
+    assert(out == Map(
+      "u/new" -> (("new", true)), "u/stale" -> (("stale", true)),
+      "u/fresh" -> (("fresh", false)), "u/orphan" -> (("orphan", false))
+    ), out.toString)
+  }
+
+  test("maxMinFairBudget: water-filling with exact integer remainder spread") {
+    val s = spark
+    import s.implicits._
+    // queues 2, 5, 40, 41 with budget 20: host a fully served (2·4+0=8≤20),
+    // b fully served (5·3+2=17≤20); rem 13 over {c, d} → 6 each, first
+    // (smaller queue, c) takes the odd unit
+    val hosts = Seq(("a", 2L), ("b", 5L), ("c", 40L), ("d", 41L)).toDF("host", "q")
+    val out = Curation.maxMinFairBudget(hosts, "host", "q", budget = 20L)
+      .collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("alloc"), r.getAs[Boolean]("fully_served"))))
+      .toMap
+    assert(out == Map(
+      "a" -> ((2L, true)), "b" -> ((5L, true)),
+      "c" -> ((7L, false)), "d" -> ((6L, false))
+    ), out.toString)
+    assert(out.values.map(_._1).sum == 20L)
+
+    // budget covers everything → every host fully served, Σalloc = Σq
+    val all = Curation.maxMinFairBudget(hosts, "host", "q", budget = 1000L)
+      .collect().map(r => (r.getAs[Long]("alloc"), r.getAs[Boolean]("fully_served")))
+    assert(all.forall(_._2) && all.map(_._1).sum == 88L)
+
+    // extreme skew: one megahost can't starve the rest
+    val skew = Seq(("mega", 1000000L), ("s1", 3L), ("s2", 3L)).toDF("host", "q")
+    val sk = Curation.maxMinFairBudget(skew, "host", "q", budget = 30L)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Long]("alloc")).toMap
+    assert(sk == Map("s1" -> 3L, "s2" -> 3L, "mega" -> 24L), sk.toString)
+  }
+
   test("urlTemplate collapses hex ids before digit runs") {
     val cases = Seq(
       "http://s1.com/p/12345" -> "http://s{n}.com/p/{n}",
