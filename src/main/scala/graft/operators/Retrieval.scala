@@ -87,6 +87,80 @@ object Retrieval {
       )
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001) —
+    * the language-model dual to [[bm25TopDocs]], in its sparse
+    * decomposition: ln p(q|d) = Σ_{w∈q, tf>0} ln(1 + tf·N/(μ·cf)) +
+    * |q|·ln(μ/(dl+μ)). The first sum runs only over MATCHED postings (the
+    * decomposition is what keeps the plan sparse — no dense doc×term
+    * grid); the second is a pure per-doc length prior. Docs matching no
+    * query term rank by length alone and are excluded, the standard
+    * practical cut.
+    *
+    * Exactness: tf·N and μ·cf are exact BIGINT products, each ln argument
+    * is one correctly-rounded double division; per-posting and per-doc ln
+    * terms quantize to 9 decimals → DECIMAL, so the doc score is an exact
+    * order-free DECIMAL sum and the top-k cut compares exact decimals.
+    * Same shapes as BM25: corpus-sized token filter (pushed before the tf
+    * aggregate), term-keyed broadcast stats, one per-doc agg, global
+    * top-k via sort-limit (TakeOrdered, never a full sort).
+    *
+    * @return (id, n_matched, dl, ql_score) — top-k by score
+    */
+  def queryLikelihoodTopDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      mu: Long = 2000L,
+      k: Int = 20
+  ): DataFrame = {
+    val terms = queryTerms.distinct
+    val base = docs.select(col(idCol), col(textCol))
+    val dl = base.select(
+      col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl")
+    )
+    val stats = dl.agg(sum(col("dl")).cast("long").as("n"))
+    val toks = base
+      .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("long").as("tf"))
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).cast("long").as("cf"))
+    val b1 = tf
+      .join(broadcast(cf), "term")
+      .crossJoin(broadcast(stats))
+      .select(
+        col(idCol),
+        round(
+          log(
+            lit(1.0) + (col("tf") * col("n")).cast("double") /
+              (lit(mu) * col("cf")).cast("double")
+          ),
+          9
+        ).cast("decimal(18,9)").as("bits")
+      )
+    val m = b1
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("bits")).cast("decimal(28,9)").as("m1"),
+        count(lit(1)).cast("long").as("n_matched")
+      )
+    val prior = round(
+      log(lit(mu.toDouble) / (col("dl") + lit(mu)).cast("double")),
+      9
+    ).cast("decimal(18,9)")
+    m.join(dl, idCol)
+      .withColumn("_s", col("m1") + lit(terms.size) * prior)
+      .orderBy(col("_s").desc, col(idCol))
+      .limit(k)
+      .select(
+        col(idCol),
+        col("n_matched"),
+        col("dl"),
+        round(col("_s").cast("double"), 6).as("ql_score")
+      )
+  }
+
   /** Persist a BM25 retrieval index: per-(doc, term) tf POSTINGS
     * (16-way term-hash-prefix partitioned — a query's terms prune to their
     * prefix directories) plus a per-doc LENGTH sidecar. Deliberately NO

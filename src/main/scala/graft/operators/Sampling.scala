@@ -55,6 +55,52 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("bigint"))
   }
 
+  /** Consistent-hash shard assignment (Karger ring with virtual nodes) on
+    * an md5-hex ring: vnode position = md5("shard<s>:<v>"), key position =
+    * md5(key); a key belongs to the vnode with the smallest position ≥ its
+    * own, wrapping to the ring's minimum. Positions stay md5 hex STRINGS
+    * compared lexicographically — no numeric conversion, so both engines
+    * (and any re-implementation) order the ring identically.
+    *
+    * Why this beats `hash mod N` at fleet scale: growing N → N+1 shards
+    * keeps every existing vnode position fixed and only inserts the new
+    * shard's vnodes, so the ONLY keys that move are those landing on the
+    * new vnodes — ~1/(N+1) of the corpus — where mod-N reshuffles almost
+    * everything. The ring (nShards·vnodesPerShard rows) is collected once
+    * — config-bounded like Selection's histograms — and broadcast as
+    * LITERAL array/map expressions, so assignment is a pure
+    * codegen-friendly projection fused into the scan: no join, no
+    * shuffle, nothing but the columns.
+    *
+    * @return input columns + shard
+    */
+  def consistentShardAssign(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      vnodesPerShard: Int = 16
+  ): DataFrame = {
+    require(nShards > 0 && vnodesPerShard > 0, "positive ring dimensions")
+    val ring: Seq[(String, Int)] = (for {
+      s <- 0 until nShards
+      v <- 0 until vnodesPerShard
+    } yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md
+        .digest(s"shard$s:$v".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x")
+        .mkString
+      (hex, s)
+    }).sortBy(_._1)
+    val positions = ring.map(_._1)
+    val kpos = md5(col(keyCol).cast("string"))
+    val chosen = coalesce(
+      array_min(filter(typedLit(positions), p => p >= kpos)),
+      lit(positions.head)
+    )
+    df.withColumn("shard", element_at(typedLit(ring.toMap), chosen).cast("int"))
+  }
+
   /** Deterministic per-stratum sample: the k smallest key-hashes within each
     * stratum (one shuffle on the strata columns).
     */

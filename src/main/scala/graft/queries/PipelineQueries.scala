@@ -2062,6 +2062,51 @@ object PipelineQueries {
         .select("doc_id", "shard", "pos")
     },
 
+    // E323 consistent-hash resharding audit ([[Sampling
+    // .consistentShardAssign]]): every doc assigned on an 8-shard and a
+    // 9-shard md5 ring (16 vnodes each; shard-0..7 vnode positions are
+    // IDENTICAL in both rings), rolled up by (before, after). The output
+    // matrix is the minimal-movement proof: every off-diagonal row has
+    // shard_after = 8 — growing the fleet moves keys ONLY onto the new
+    // shard, ~1/9 of the corpus, where mod-N reshuffles nearly all of it.
+    QEntry.sql(
+      "pipe_consistent_hash", {
+        def ringSql(n: Int, rel: String) =
+          s"""${rel}v AS (SELECT CAST(k // 16 AS INT) AS shard,
+             |    md5('shard' || CAST(k // 16 AS VARCHAR) || ':'
+             |        || CAST(k % 16 AS VARCHAR)) AS vpos
+             |  FROM range(0, ${n * 16}) t(k)),
+             |${rel}s AS (SELECT doc_id,
+             |    min(CASE WHEN vpos >= kpos THEN vpos END) AS sp
+             |  FROM keys CROSS JOIN ${rel}v GROUP BY doc_id, kpos),
+             |${rel}w AS (SELECT min(vpos) AS wp FROM ${rel}v),
+             |${rel}a AS (SELECT doc_id, v.shard
+             |  FROM (SELECT doc_id, COALESCE(sp, wp) AS cp
+             |        FROM ${rel}s CROSS JOIN ${rel}w) c
+             |  JOIN ${rel}v v ON v.vpos = c.cp)"""
+        s"""WITH keys AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS kpos
+           |  FROM documents),
+           |${ringSql(8, "r8")},
+           |${ringSql(9, "r9")}
+           |SELECT r8a.shard AS shard_before, r9a.shard AS shard_after,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM r8a JOIN r9a ON r8a.doc_id = r9a.doc_id
+           |GROUP BY shard_before, shard_after"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val ids = documents(s, d).select("doc_id")
+      val a8 = Sampling
+        .consistentShardAssign(ids, "doc_id", 8, 16)
+        .withColumnRenamed("shard", "shard_before")
+      val a9 = Sampling
+        .consistentShardAssign(ids, "doc_id", 9, 16)
+        .withColumnRenamed("shard", "shard_after")
+      a8.join(a9, "doc_id")
+        .groupBy("shard_before", "shard_after")
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     // Deterministic per-stratum sample: the 5 smallest key-hashes per lang.
     QEntry.sql(
       "sample_stratified",

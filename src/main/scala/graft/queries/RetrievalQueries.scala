@@ -47,6 +47,48 @@ object RetrievalQueries {
       )
     },
 
+    // E322 Dirichlet query-likelihood top-20 ([[Retrieval
+    // .queryLikelihoodTopDocs]]): the LM-retrieval dual of BM25 in its
+    // sparse decomposition — matched postings contribute ln(1+tf·N/(μ·cf)),
+    // the length prior |q|·ln(μ/(dl+μ)) is per-doc; all ln terms through
+    // the 9-decimal quantize → DECIMAL-sum ladder, the top-20 cut compares
+    // exact decimals.
+    QEntry.sql(
+      "txt_ql_dirichlet",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl
+         |  FROM documents),
+         |st AS (SELECT CAST(sum(dl) AS BIGINT) AS n FROM dl),
+         |toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |qt AS (SELECT doc_id, term FROM toks
+         |  WHERE term IN ('spark', 'join', 'vector', 'stream')),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM qt GROUP BY doc_id, term),
+         |cfq AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM qt GROUP BY term),
+         |b1 AS (SELECT doc_id,
+         |    CAST(round(ln(CAST(1 AS DOUBLE)
+         |      + CAST(tf.tf * st.n AS DOUBLE) / CAST(2000 * cfq.cf AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9)) AS bits
+         |  FROM tf JOIN cfq USING (term) CROSS JOIN st),
+         |m AS (SELECT doc_id, CAST(sum(bits) AS DECIMAL(28,9)) AS m1,
+         |    CAST(count(*) AS BIGINT) AS n_matched FROM b1 GROUP BY doc_id),
+         |sc AS (SELECT m.doc_id, m.n_matched, dl.dl,
+         |    m.m1 + 4 * CAST(round(ln(CAST(2000 AS DOUBLE)
+         |      / CAST(dl.dl + 2000 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS s
+         |  FROM m JOIN dl USING (doc_id))
+         |SELECT doc_id, n_matched, dl, round(CAST(s AS DOUBLE), 6) AS ql_score
+         |FROM sc ORDER BY s DESC, doc_id LIMIT 20"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval.queryLikelihoodTopDocs(
+        documents(s, d),
+        "doc_id",
+        "text",
+        Seq("spark", "join", "vector", "stream"),
+        mu = 2000L,
+        k = 20
+      )
+    },
+
     // E291 persisted BM25 index with incremental ingest: build over the
     // even docs, append the odds as ingest 1, query FROM the index — df,
     // N and avgdl derive from the index's current postings+sidecar at

@@ -1785,4 +1785,23 @@ class PipelineOpsSpec extends SparkSpec {
       assert(got === Map(1L -> 2L), got.toString)
     }
   }
+
+  test("consistentShardAssign: deterministic, balanced-ish, minimal movement on growth") {
+    val s = spark
+    import s.implicits._
+    val keys = (1L to 500L).toDF("k")
+    def assign(n: Int) = graft.operators.Sampling
+      .consistentShardAssign(keys, "k", n, vnodesPerShard = 16)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Int]("shard")).toMap
+    val a8 = assign(8)
+    assert(assign(8) == a8) // deterministic
+    assert(a8.values.forall(v => v >= 0 && v < 8))
+    assert(a8.values.toSet.size == 8, "every shard should own keys at 500/8")
+    val a9 = assign(9)
+    val moved = a8.keys.filter(k => a8(k) != a9(k)).toSeq
+    // THE consistent-hashing property: growth moves keys only onto the new shard
+    assert(moved.forall(k => a9(k) == 8), s"moves not confined to new shard")
+    val frac = moved.size.toDouble / 500
+    assert(frac > 0.02 && frac < 0.35, s"moved fraction $frac out of band (~1/9 expected)")
+  }
 }

@@ -151,4 +151,28 @@ class RetrievalSpec extends SparkSpec {
       assert(compacted === after, s"compacted=$compacted after=$after")
     }
   }
+
+  test("queryLikelihoodTopDocs matches hand-computed Dirichlet scores, drops no-match docs") {
+    val docs = Seq(
+      (1L, "spark spark join"),
+      (2L, "spark other other other"),
+      (3L, "other other other")
+    ).toDF("doc_id", "text")
+    val out = Retrieval
+      .queryLikelihoodTopDocs(docs, "doc_id", "text", Seq("spark", "join"), mu = 10L, k = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // N = 10 tokens; cf(spark) = 3, cf(join) = 1
+    // d1 (dl 3): ln(1+2·10/(10·3)) + ln(1+1·10/(10·1)) + 2·ln(10/13)
+    val s1 = math.log(5.0 / 3) + math.log(2.0) + 2 * math.log(10.0 / 13)
+    // d2 (dl 4): ln(1+1·10/(10·3)) + 2·ln(10/14)
+    val s2 = math.log(4.0 / 3) + 2 * math.log(10.0 / 14)
+    assert(out.keySet == Set(1L, 2L), out.toString) // d3 matches nothing → excluded
+    assert(out(1L)._1 == 2L && out(1L)._2 == 3L)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 4L)
+    assert(math.abs(out(1L)._3 - s1) < 1e-5, s"${out(1L)._3} vs $s1")
+    assert(math.abs(out(2L)._3 - s2) < 1e-5, s"${out(2L)._3} vs $s2")
+    assert(out(1L)._3 > out(2L)._3)
+  }
 }
