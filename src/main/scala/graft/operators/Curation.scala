@@ -417,6 +417,49 @@ object Curation {
       .withColumn("label", when(col("logit") >= 0.0, lit("keep")).otherwise(lit("drop")))
   }
 
+  /** Calibration report (reliability diagram + expected calibration error)
+    * for a probabilistic quality classifier — the eval a pipeline runs
+    * before trusting a score as a sampling weight: scores (exact ppm
+    * integers in [0, 1e6]) bucket into `bins` equal-width bins; per bin
+    * the mean confidence, the empirical accuracy against the boolean
+    * label, and their gap; ECE = Σ n_b·|acc_b − conf_b| / N rides along
+    * on every row. ALL integer arithmetic (ppm means via integer
+    * division), so the report is hash-exact — no float summation
+    * anywhere. One keyed partial agg over bin (≤ `bins` groups), one
+    * scalar rollup.
+    *
+    * @param scored (…, scorePpmCol LONG in [0, 1e6], labelCol BOOLEAN)
+    * @return (bin, n_docs, conf_ppm, acc_ppm, gap_ppm, ece_ppm)
+    */
+  def calibrationReport(
+      scored: DataFrame,
+      scorePpmCol: String,
+      labelCol: String,
+      bins: Int = 10
+  ): DataFrame = {
+    val b = scored
+      .select(
+        expr(s"least($scorePpmCol * $bins div 1000000L, ${bins - 1}L)")
+          .cast("long").as("bin"),
+        col(scorePpmCol).as("_s"),
+        when(col(labelCol), 1L).otherwise(0L).as("_y")
+      )
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_s")).cast("long").as("_ssum"),
+        sum(col("_y")).cast("long").as("_pos")
+      )
+      .withColumn("conf_ppm", expr("_ssum div n_docs"))
+      .withColumn("acc_ppm", expr("_pos * 1000000L div n_docs"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
+    val ece = b.agg(
+      expr("sum(n_docs * gap_ppm) div sum(n_docs)").cast("long").as("ece_ppm")
+    )
+    b.crossJoin(broadcast(ece))
+      .select("bin", "n_docs", "conf_ppm", "acc_ppm", "gap_ppm", "ece_ppm")
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4), deterministic: a
     * span STARTS at token `p` of a document iff the md5 hash position of
     * `"<id>:<p>"` falls below `rate / spanLen` — the same engine/run/

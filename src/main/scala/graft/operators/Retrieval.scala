@@ -161,6 +161,54 @@ object Retrieval {
       )
   }
 
+  /** nDCG@k ranking evaluation — the graded-relevance IR metric computed
+    * engine-side, so ranker comparisons (BM25 vs [[queryLikelihoodTopDocs]]
+    * vs a fused list) run as one query instead of exporting rankings:
+    * DCG = Σ_{rank≤k} gain/log₂(rank+1) over the SYSTEM ranking, IDCG the
+    * same sum over the ideal (gain-sorted, id tie-break) ordering of ALL
+    * judged docs, nDCG their ratio. Per-position terms quantize to 9
+    * decimals → DECIMAL (order-free sums); the ratio is one double
+    * division rounded to 6. Retrieved-but-unjudged docs contribute gain 0
+    * (the standard convention). One join + two query-keyed aggs; the
+    * ideal ranking windows within each query's judged set only.
+    *
+    * @param ranked (qCol, idCol, rank) — system ranking, rank 1-based
+    * @param rels (qCol, idCol, gain LONG ≥ 0) — graded judgments
+    * @return (q, dcg, idcg, ndcg)
+    */
+  def ndcgAtK(
+      ranked: DataFrame,
+      rels: DataFrame,
+      qCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    def disc(rank: org.apache.spark.sql.Column, gain: org.apache.spark.sql.Column) =
+      round(gain.cast("double") / log2(rank.cast("double") + lit(1.0)), 9)
+        .cast("decimal(18,9)")
+    val dcg = ranked
+      .filter(col("rank") <= k)
+      .join(rels, Seq(qCol, idCol), "left")
+      .select(col(qCol), disc(col("rank"), coalesce(col("gain"), lit(0L))).as("_g"))
+      .groupBy(col(qCol))
+      .agg(sum(col("_g")).cast("decimal(28,9)").as("_dcg"))
+    val w = Window.partitionBy(col(qCol)).orderBy(col("gain").desc, col(idCol))
+    val ideal = rels
+      .withColumn("_ir", row_number().over(w))
+      .filter(col("_ir") <= k)
+      .select(col(qCol), disc(col("_ir"), col("gain")).as("_g"))
+      .groupBy(col(qCol))
+      .agg(sum(col("_g")).cast("decimal(28,9)").as("_idcg"))
+    dcg
+      .join(ideal, qCol)
+      .select(
+        col(qCol),
+        round(col("_dcg").cast("double"), 6).as("dcg"),
+        round(col("_idcg").cast("double"), 6).as("idcg"),
+        round(col("_dcg").cast("double") / col("_idcg").cast("double"), 6).as("ndcg")
+      )
+  }
+
   /** Persist a BM25 retrieval index: per-(doc, term) tf POSTINGS
     * (16-way term-hash-prefix partitioned — a query's terms prune to their
     * prefix directories) plus a per-doc LENGTH sidecar. Deliberately NO

@@ -482,6 +482,66 @@ object CurationQueries {
       Curation.linearQualityScore(documents(s, d), "doc_id", "text", wtab, 256)
     },
 
+    // E325 classifier calibration ([[Curation.calibrationReport]]): the
+    // E229 classifier's logit maps to a ppm confidence (floor((logit+1)·
+    // 5e5) clamped to [0, 1e6] — floor, not round: floor of a double is
+    // boundary-safe cross-engine where round is not), labeled against the
+    // independent length signal (n_chars ≥ 1000); reliability bins, gaps
+    // and the ECE are all exact integer ppm.
+    QEntry.sql(
+      "cur_classifier_ece",
+      s"""WITH wt AS (SELECT b AS bucket,
+         |    CAST(round(CAST(list_sum(list_transform(range(1, 9), i ->
+         |      (strpos('0123456789abcdef',
+         |              substr(md5('qw|' || CAST(b AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+         |      * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0 * 2 - 1, 9)
+         |      AS DECIMAL(18,9)) AS w
+         |  FROM (SELECT unnest(range(0, 256)) AS b) t),
+         |tk AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9), i ->
+         |      (strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1)
+         |      * pow(16, 8 - i))) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest($wordsSql) AS t FROM documents) x WHERE t <> ''),
+         |agg AS (SELECT tk.doc_id, round(CAST(CAST(sum(wt.w) AS DECIMAL(28,9))
+         |      AS DOUBLE) / count(*), 6) AS logit
+         |  FROM tk JOIN wt ON tk.b = wt.bucket GROUP BY tk.doc_id),
+         |sc AS (SELECT d.doc_id,
+         |    greatest(least(CAST(floor((COALESCE(agg.logit, 0.0) + 1.0) * 500000)
+         |      AS BIGINT), 1000000), 0) AS s_ppm,
+         |    d.n_chars >= 1000 AS y
+         |  FROM documents d LEFT JOIN agg USING (doc_id)),
+         |bi AS (SELECT least(s_ppm * 10 // 1000000, 9) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(s_ppm) AS BIGINT) // count(*) AS conf_ppm,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*)
+         |      AS acc_ppm
+         |  FROM sc GROUP BY bin),
+         |ec AS (SELECT CAST(sum(n_docs * abs(acc_ppm - conf_ppm)) // sum(n_docs)
+         |    AS BIGINT) AS ece_ppm FROM bi)
+         |SELECT bin, n_docs, conf_ppm, acc_ppm,
+         |  abs(acc_ppm - conf_ppm) AS gap_ppm, ece_ppm
+         |FROM bi CROSS JOIN ec""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val wtab = s.range(256).select(
+        col("id").as("bucket"),
+        round(
+          conv(substring(md5(concat(lit("qw|"), col("id").cast("string"))), 1, 8), 16, 10)
+            .cast("double") / lit(4294967296.0) * 2 - 1,
+          9
+        ).cast("decimal(18,9)").as("weight")
+      )
+      val scored = Curation
+        .linearQualityScore(documents(s, d), "doc_id", "text", wtab, 256)
+        .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        .select(
+          greatest(
+            least(floor((col("logit") + 1.0) * 500000).cast("long"), lit(1000000L)),
+            lit(0L)
+          ).as("s_ppm"),
+          (col("n_chars") >= 1000).as("y")
+        )
+      Curation.calibrationReport(scored, "s_ppm", "y", bins = 10)
+    },
+
     // Mixture concentration (Herfindahl–Hirschman index) of the source
     // mix: HHI = Σ shareᵢ² in exact ppm — the single number a curation
     // run monitors to catch one source swamping the blend (1/HHI = the

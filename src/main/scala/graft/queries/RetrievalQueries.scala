@@ -47,6 +47,55 @@ object RetrievalQueries {
       )
     },
 
+    // E326 nDCG@10 of the BM25 ranking against tf-graded relevance
+    // ([[Retrieval.ndcgAtK]]): the twin replays the BM25 scoring CTE, the
+    // rank-10 cut, the discount ladder and the ideal (tf-sorted) ordering
+    // — dcg/idcg/ndcg match value-for-value per query term. BM25 ranks by
+    // saturated-tf·idf, the gain is RAW tf, so nDCG < 1 exactly where
+    // length normalization reorders docs — the metric measures something
+    // real here, not a tautology.
+    QEntry.sql(
+      "txt_ndcg_eval",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+         |       WHERE term IN ('spark', 'join', 'vector', 'stream') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (SELECT tf.term, tf.doc_id, tf.tf,
+         |    (((s.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5) + 1.0)
+         |    * ((tf.tf * (1.2 + 1.0)) / (tf.tf + (1.2 * ((1.0 - 0.75)
+         |       + (0.75 * (dl.dl / (CAST(s.tot AS DOUBLE) / s.n_docs))))))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |rk AS (SELECT term, doc_id, tf, row_number() OVER
+         |    (PARTITION BY term ORDER BY score DESC, doc_id) AS rank FROM scored),
+         |dcg AS (SELECT term, CAST(sum(CAST(round(CAST(tf AS DOUBLE)
+         |      / log2(CAST(rank AS DOUBLE) + 1.0), 9) AS DECIMAL(18,9)))
+         |      AS DECIMAL(28,9)) AS dcg
+         |  FROM rk WHERE rank <= 10 GROUP BY term),
+         |ir AS (SELECT term, tf, row_number() OVER
+         |    (PARTITION BY term ORDER BY tf DESC, doc_id) AS irank FROM tf),
+         |idcg AS (SELECT term, CAST(sum(CAST(round(CAST(tf AS DOUBLE)
+         |      / log2(CAST(irank AS DOUBLE) + 1.0), 9) AS DECIMAL(18,9)))
+         |      AS DECIMAL(28,9)) AS idcg
+         |  FROM ir WHERE irank <= 10 GROUP BY term)
+         |SELECT dcg.term, round(CAST(dcg.dcg AS DOUBLE), 6) AS dcg,
+         |  round(CAST(idcg.idcg AS DOUBLE), 6) AS idcg,
+         |  round(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6) AS ndcg
+         |FROM dcg JOIN idcg USING (term)""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val terms = Seq("spark", "join", "vector", "stream")
+      val ranked = Retrieval
+        .bm25TopDocs(documents(s, d), "doc_id", "text", terms, k = 10)
+        .select(col("term"), col("doc_id"), col("rank"))
+      val rels = documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("gain"))
+      Retrieval.ndcgAtK(ranked, rels, "term", "doc_id", k = 10)
+    },
+
     // E322 Dirichlet query-likelihood top-20 ([[Retrieval
     // .queryLikelihoodTopDocs]]): the LM-retrieval dual of BM25 in its
     // sparse decomposition — matched postings contribute ln(1+tf·N/(μ·cf)),

@@ -1139,6 +1139,92 @@ object StatQueries {
         )
     },
 
+    // E324 KMV set-operation sketches: distinct/union/intersection
+    // estimates for two event-id sets from k = 128 bottom-hash sketches —
+    // the mergeable-sketch algebra (union = merge bottom-k's; ∩ via the
+    // union sketch's membership ratio, Beyer et al. 2007) that answers
+    // audience-overlap questions without ever joining the full sets. The
+    // small-set regime degrades to EXACT counts (sketch < k ⇒ the sketch
+    // IS the set — the CASE arms), so the entry is meaningful at every sf.
+    // All integer: 13-hex-digit md5 keys, (k−1)·16¹³ div h_k estimators,
+    // est_∩ = k_∩·est_∪ div |sketch_∪|.
+    QEntry.sql(
+      "q_kmv_setops", {
+        val hv = "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)"
+        s"""WITH a AS (SELECT DISTINCT $hv AS hv FROM events
+           |  WHERE event_type IN ('click', 'view')),
+           |b AS (SELECT DISTINCT $hv AS hv FROM events WHERE event_id % 3 <> 0),
+           |ska AS (SELECT hv FROM a ORDER BY hv LIMIT 128),
+           |skb AS (SELECT hv FROM b ORDER BY hv LIMIT 128),
+           |sku AS (SELECT hv FROM (SELECT hv FROM a UNION SELECT hv FROM b) u
+           |  ORDER BY hv LIMIT 128),
+           |sta AS (SELECT CAST(count(*) AS BIGINT) AS ka, max(hv) AS hka FROM ska),
+           |stb AS (SELECT CAST(count(*) AS BIGINT) AS kb, max(hv) AS hkb FROM skb),
+           |stu AS (SELECT CAST(count(*) AS BIGINT) AS ku, max(hv) AS hku FROM sku),
+           |ki AS (SELECT CAST(count(*) AS BIGINT) AS k_inter FROM sku
+           |  WHERE hv IN (SELECT hv FROM a) AND hv IN (SELECT hv FROM b)),
+           |ex AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM a WHERE hv IN
+           |      (SELECT hv FROM b)) AS n_inter)
+           |SELECT ex.n_a, ex.n_b, ex.n_inter,
+           |  CASE WHEN ka < 128 THEN ka
+           |       ELSE 127 * 4503599627370496 // hka END AS est_a,
+           |  CASE WHEN kb < 128 THEN kb
+           |       ELSE 127 * 4503599627370496 // hkb END AS est_b,
+           |  CASE WHEN ku < 128 THEN ku
+           |       ELSE 127 * 4503599627370496 // hku END AS est_union,
+           |  k_inter * (CASE WHEN ku < 128 THEN ku
+           |       ELSE 127 * 4503599627370496 // hku END) // ku AS est_inter
+           |FROM ex CROSS JOIN sta CROSS JOIN stb CROSS JOIN stu CROSS JOIN ki"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val hv = conv(substring(md5(col("event_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .as("hv")
+      val ev = events(s, d)
+      val a = ev
+        .filter(col("event_type").isin("click", "view"))
+        .select(hv)
+        .distinct()
+        .localCheckpoint() // sketch, exact count and memberships all consume it
+      val b = ev
+        .filter(col("event_id") % 3 =!= 0)
+        .select(hv)
+        .distinct()
+        .localCheckpoint()
+      def sk(df: org.apache.spark.sql.DataFrame) = df.orderBy(col("hv")).limit(128)
+      val sku = sk(a.unionByName(b).distinct()).localCheckpoint()
+      val sta = sk(a).agg(count(lit(1)).as("ka"), max("hv").as("hka"))
+      val stb = sk(b).agg(count(lit(1)).as("kb"), max("hv").as("hkb"))
+      val stu = sku.agg(count(lit(1)).as("ku"), max("hv").as("hku"))
+      val ki = sku
+        .join(a, "hv", "left_semi")
+        .join(b, "hv", "left_semi")
+        .agg(count(lit(1)).as("k_inter"))
+      val ex = a
+        .agg(count(lit(1)).as("n_a"))
+        .crossJoin(b.agg(count(lit(1)).as("n_b")))
+        .crossJoin(a.join(b, "hv", "left_semi").agg(count(lit(1)).as("n_inter")))
+      val estU = "CASE WHEN ku < 128 THEN ku ELSE 127L * 4503599627370496L div hku END"
+      ex.crossJoin(broadcast(sta))
+        .crossJoin(broadcast(stb))
+        .crossJoin(broadcast(stu))
+        .crossJoin(broadcast(ki))
+        .select(
+          col("n_a"),
+          col("n_b"),
+          col("n_inter"),
+          expr("CASE WHEN ka < 128 THEN ka ELSE 127L * 4503599627370496L div hka END")
+            .cast("long").as("est_a"),
+          expr("CASE WHEN kb < 128 THEN kb ELSE 127L * 4503599627370496L div hkb END")
+            .cast("long").as("est_b"),
+          expr(estU).cast("long").as("est_union"),
+          expr(s"k_inter * ($estU) div ku").cast("long").as("est_inter")
+        )
+    },
+
     // Fully deterministic HyperLogLog (m = 64 registers) over the yearly
     // order-key sets — unlike q_sketch_distinct_users' engine-internal
     // HLL++ (rows-gated, tolerance-banded), every register and the

@@ -251,6 +251,29 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == ((0L, true)))
   }
 
+  test("calibrationReport: exact ppm bins, gaps, and the weighted ECE") {
+    val s = spark
+    import s.implicits._
+    // bin 0 (scores < 100000): conf (20000+80000)/2=50000, 1 positive →
+    // acc 500000; bin 9: two docs conf 950000, both positive → acc 1000000
+    val scored = Seq(
+      (20000L, false), (80000L, true), (950000L, true), (950000L, true)
+    ).toDF("s_ppm", "y")
+    val out = Curation.calibrationReport(scored, "s_ppm", "y", bins = 10)
+      .collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("conf_ppm"),
+          r.getAs[Long]("acc_ppm"), r.getAs[Long]("gap_ppm"), r.getAs[Long]("ece_ppm"))))
+      .toMap
+    // ECE = (2·450000 + 2·50000) / 4 = 250000
+    assert(out(0L) == ((2L, 50000L, 500000L, 450000L, 250000L)), out.toString)
+    assert(out(1L * 9) == ((2L, 950000L, 1000000L, 50000L, 250000L)))
+    // a score of exactly 1e6 clamps into the top bin, not bin 10
+    val edge = Curation.calibrationReport(
+      Seq((1000000L, true)).toDF("s_ppm", "y"), "s_ppm", "y", bins = 10).head()
+    assert(edge.getAs[Long]("bin") == 9L)
+  }
+
   test("recrawlSchedule classifies new/stale/fresh/orphan with date compares") {
     val s = spark
     import s.implicits._

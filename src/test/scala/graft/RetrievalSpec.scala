@@ -152,6 +152,33 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("ndcgAtK: perfect ranking scores 1, inverted ranking below, unjudged gain 0") {
+    val ranked = Seq(
+      ("q1", 10L, 1L), ("q1", 11L, 2L), ("q1", 12L, 3L), // ideal order
+      ("q2", 12L, 1L), ("q2", 11L, 2L), ("q2", 10L, 3L), // inverted
+      ("q3", 10L, 1L), ("q3", 99L, 2L)                   // 99 unjudged → gain 0
+    ).toDF("q", "doc_id", "rank")
+    val rels = Seq(
+      ("q1", 10L, 3L), ("q1", 11L, 2L), ("q1", 12L, 1L),
+      ("q2", 10L, 3L), ("q2", 11L, 2L), ("q2", 12L, 1L),
+      ("q3", 10L, 3L), ("q3", 11L, 2L)
+    ).toDF("q", "doc_id", "gain")
+    val out = Retrieval.ndcgAtK(ranked, rels, "q", "doc_id", k = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    def d(gains: Seq[Long]) = gains.zipWithIndex.map { case (g, i) =>
+      math.round(g / (math.log(i + 2.0) / math.log(2.0)) * 1e9) / 1e9
+    }.sum
+    val ideal = d(Seq(3L, 2L, 1L))
+    assert(out("q1")._3 == 1.0, out.toString)
+    assert(math.abs(out("q2")._1 - d(Seq(1L, 2L, 3L))) < 1e-6)
+    assert(out("q2")._3 < 1.0 && math.abs(out("q2")._3 - d(Seq(1L, 2L, 3L)) / ideal) < 1e-5)
+    // q3: rank-2 doc unjudged → dcg = just gain 3 at rank 1; idcg over judged {3,2}
+    assert(math.abs(out("q3")._1 - 3.0) < 1e-6, out.toString)
+    assert(math.abs(out("q3")._2 - d(Seq(3L, 2L))) < 1e-6)
+  }
+
   test("queryLikelihoodTopDocs matches hand-computed Dirichlet scores, drops no-match docs") {
     val docs = Seq(
       (1L, "spark spark join"),
