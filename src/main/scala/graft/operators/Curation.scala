@@ -74,6 +74,42 @@ object Curation {
     ).cast("bigint")
   )
 
+  /** Luhn checksum validity of a digit string — the check that separates
+    * real card numbers from order ids and phone numbers, cutting the
+    * false-positive redactions a bare digit-run regex ([[piiScrub]])
+    * makes: from the right, double every second digit (folding > 9 by
+    * −9), sum, valid iff ≡ 0 (mod 10). Pure higher-order column
+    * expressions (transform/aggregate) — fuses into the scan, no UDF.
+    */
+  def luhnValid(digits: Column): Column = {
+    val chars = split(reverse(digits), "")
+    aggregate(
+      transform(
+        sequence(lit(1), length(digits)),
+        i => {
+          val d = element_at(chars, i).cast("int")
+          when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        }
+      ),
+      lit(0),
+      (a, x) => a + x
+    ) % 10 === 0
+  }
+
+  /** Redact every Luhn-VALID 13–19-digit run in `text` with `<CARD>`,
+    * leaving invalid runs (ids, timestamps, tracking numbers) untouched —
+    * checksum-gated PII scrubbing. Candidates come from one
+    * `regexp_extract_all`, validity from [[luhnValid]] inside a lambda,
+    * and the replacement folds over the valid list — still a single
+    * projection, no join, no UDF.
+    */
+  def redactValidCards(text: Column): Column =
+    aggregate(
+      filter(regexp_extract_all(text, lit("[0-9]{13,19}"), lit(0)), c => luhnValid(c)),
+      text,
+      (acc, c) => regexp_replace(acc, c, lit("<CARD>"))
+    )
+
   /** Word-repetition quality stats (the Gopher-style repetition signal):
     * per-doc total/distinct token counts, the most-frequent token's share,
     * and the duplicate-word ratio. Explode → two-level hash aggregate —

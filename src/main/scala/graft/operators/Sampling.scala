@@ -55,6 +55,52 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("bigint"))
   }
 
+  /** Apportioned stratified sample — EXACTLY `total` rows overall,
+    * allocated across strata by largest-remainder (Hamilton) apportionment:
+    * stratum g gets base ⌊total·n_g/N⌋ plus one extra for the L strata
+    * with the largest remainders (ties on the stratum key), where
+    * L = total − Σbase — the integer allocation closest to proportional
+    * that still sums EXACTLY to the budget, which per-stratum rounding
+    * cannot guarantee. Membership within a stratum is the md5-smallest
+    * `alloc_g` keys, so samples nest as the budget grows (same contract as
+    * [[exactStratifiedSample]], which fixes a RATE; this fixes a TOTAL —
+    * the eval-set construction case).
+    *
+    * Stratum-cardinality window for the remainder ranking; row selection
+    * is the usual per-stratum hash-order window. Strata counts are tiny
+    * next to the corpus at any scale.
+    *
+    * @return sampled rows (strataCols, keyCol)
+    */
+  def apportionedSample(
+      df: DataFrame,
+      strataCols: Seq[String],
+      keyCol: String,
+      total: Long
+  ): DataFrame = {
+    val sc = strataCols.map(col)
+    val counts = df.groupBy(sc: _*).agg(count(lit(1)).cast("long").as("_n"))
+    val tot = counts.agg(sum(col("_n")).cast("long").as("_t"))
+    val based = counts
+      .crossJoin(broadcast(tot))
+      .withColumn("_base", expr(s"$total * _n div _t"))
+      .withColumn("_rem", expr(s"$total * _n % _t"))
+    val left = based.agg((lit(total) - sum(col("_base"))).cast("long").as("_l"))
+    val wRem = Window.orderBy(col("_rem").desc +: strataCols.map(col): _*)
+    val alloc = based
+      .withColumn("_rr", row_number().over(wRem).cast("long"))
+      .crossJoin(broadcast(left))
+      .withColumn("_alloc", col("_base") + when(col("_rr") <= col("_l"), 1L).otherwise(0L))
+      .select(sc :+ col("_alloc"): _*)
+    val wPick = Window
+      .partitionBy(sc: _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rk", row_number().over(wPick).cast("long"))
+      .join(alloc, strataCols)
+      .filter(col("_rk") <= col("_alloc"))
+      .select(sc :+ col(keyCol): _*)
+  }
+
   /** Consistent-hash shard assignment (Karger ring with virtual nodes) on
     * an md5-hex ring: vnode position = md5("shard<s>:<v>"), key position =
     * md5(key); a key belongs to the vnode with the smallest position ≥ its

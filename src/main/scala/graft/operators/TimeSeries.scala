@@ -17,6 +17,72 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Wald's sequential probability ratio test (SPRT) per key over an
+    * ordered boolean observation stream — the "decide as early as the
+    * evidence allows" dual to fixed-horizon A/B tests (`q_ab_test_z`):
+    * each observation adds a log-likelihood-ratio increment (x → llrPos =
+    * ln(p1/p0), ¬x → llrNeg = ln((1−p1)/(1−p0))); the test stops at the
+    * FIRST crossing of ±bound (= ln((1−β)/α) for symmetric error rates),
+    * accepting H1 above, H0 below, else 'continue' at stream end.
+    *
+    * The increments and bound arrive as exact DECIMAL STRINGS — the
+    * quantization is part of the operator contract, so the cumulative LLR
+    * is an exact keyed decimal running sum and the crossing index is
+    * bit-deterministic in any engine: no float accumulation, no libm at
+    * run time. One keyed window (sort by the caller's order columns), one
+    * min-struct aggregate for the first crossing, one max-struct for the
+    * stream tail.
+    *
+    * @param obs   (keyCol, orderCols…, xCol BOOLEAN)
+    * @return (key, decision 'h1'|'h0'|'continue', n_obs, llr)
+    */
+  def sprtDecision(
+      obs: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      xCol: String,
+      llrPos: String = "0.182321557",
+      llrNeg: String = "-0.223143551",
+      bound: String = "2.944438979"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val stepped = obs
+      .withColumn(
+        "_llr",
+        when(col(xCol), lit(llrPos).cast("decimal(18,9)"))
+          .otherwise(lit(llrNeg).cast("decimal(18,9)"))
+      )
+      .withColumn("_seq", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum(col("_llr")).over(w).cast("decimal(28,9)"))
+    val b = lit(bound).cast("decimal(28,9)")
+    val crossed = stepped.withColumn(
+      "_dec",
+      when(col("_cum") >= b, "h1").when(col("_cum") <= -b, "h0")
+    )
+    val first = crossed
+      .filter(col("_dec").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(struct(col("_seq"), col("_dec"), col("_cum"))).as("_f"))
+      .select(
+        col(keyCol),
+        col("_f._seq").as("_fseq"),
+        col("_f._dec").as("_fdec"),
+        col("_f._cum").as("_fcum")
+      )
+    val tail = stepped
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("_seq"), col("_cum"))).as("_l"))
+      .select(col(keyCol), col("_l._seq").as("_lseq"), col("_l._cum").as("_lcum"))
+    tail
+      .join(first, Seq(keyCol), "left")
+      .select(
+        col(keyCol),
+        coalesce(col("_fdec"), lit("continue")).as("decision"),
+        coalesce(col("_fseq"), col("_lseq")).as("n_obs"),
+        round(coalesce(col("_fcum"), col("_lcum")).cast("double"), 6).as("llr")
+      )
+  }
+
   /** @param step any FIXED-LENGTH Spark interval (days/hours/minutes/...);
     *   calendar intervals (month/year) have no constant micro-length and are
     *   rejected. Events are snapped to `start + k*step` for integer k — the

@@ -1177,6 +1177,54 @@ object AnalyticsQueries {
     // EVERY step exact BIGINT; n ≤ months, S ≤ total cents, so n·S stays
     // far under 2^63 even at sf1000). Facts pre-aggregate to ~100 month
     // rows BEFORE any window; the cumulative window then runs over a
+    // E329 Wald SPRT ([[TimeSeries.sprtDecision]]): per event type,
+    // H0 p=0.5 vs H1 p=0.6 on the (value ≥ 25) indicator over the
+    // ts-ordered stream — the sequential test stops at the FIRST ±ln(19)
+    // crossing (α=β=0.05). LLR increments are exact 9-dp DECIMAL
+    // literals, the running sum an exact keyed decimal cumsum, so the
+    // stopping index is bit-deterministic; the twin replays window for
+    // window.
+    QEntry.sql(
+      "q_sprt_decision",
+      """WITH o AS (SELECT event_type, ts, event_id, value >= 25 AS x FROM events),
+        |st AS (SELECT event_type, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |      AS BIGINT) AS seq,
+        |    CAST(sum(CASE WHEN x THEN CAST(0.182321557 AS DECIMAL(18,9))
+        |        ELSE CAST(-0.223143551 AS DECIMAL(18,9)) END)
+        |      OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,9)) AS cum
+        |  FROM o),
+        |cr AS (SELECT event_type, seq, cum,
+        |    CASE WHEN cum >= CAST(2.944438979 AS DECIMAL(28,9)) THEN 'h1'
+        |         WHEN cum <= CAST(-2.944438979 AS DECIMAL(28,9)) THEN 'h0' END AS dcn
+        |  FROM st),
+        |fi AS (SELECT event_type, min(seq) AS fseq FROM cr WHERE dcn IS NOT NULL
+        |  GROUP BY event_type),
+        |fv AS (SELECT cr.event_type, cr.seq, cr.dcn, cr.cum FROM cr
+        |  JOIN fi ON cr.event_type = fi.event_type AND cr.seq = fi.fseq),
+        |la AS (SELECT event_type, max(seq) AS lseq FROM st GROUP BY event_type),
+        |lv AS (SELECT st.event_type, st.seq, st.cum FROM st
+        |  JOIN la ON st.event_type = la.event_type AND st.seq = la.lseq)
+        |SELECT lv.event_type, COALESCE(fv.dcn, 'continue') AS decision,
+        |  COALESCE(fv.seq, lv.seq) AS n_obs,
+        |  round(CAST(COALESCE(fv.cum, lv.cum) AS DOUBLE), 6) AS llr
+        |FROM lv LEFT JOIN fv ON lv.event_type = fv.event_type"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      TimeSeries.sprtDecision(
+        events(s, d).select(
+          col("event_type"),
+          col("ts"),
+          col("event_id"),
+          (col("value") >= 25).as("x")
+        ),
+        "event_type",
+        Seq("ts", "event_id"),
+        "x"
+      )
+    },
+
     // calendar-bounded series (partitioned by a constant key — single
     // partition by design, ~100 rows, not a data-sized global window). The
     // normalized statistic is one division of two exact BIGINTs.

@@ -207,6 +207,49 @@ object CurationQueries {
       )
     },
 
+    // E328 Luhn-gated card redaction ([[Curation.luhnValid]] /
+    // [[Curation.redactValidCards]]): every doc plants one 16-digit
+    // candidate derived from its id; the checksum decides redaction, so
+    // ~1 in 10 docs redact and the rest keep their digits — the
+    // false-positive cut a bare digit-run regex can't make. Validity and
+    // the redacted text verified value-for-value.
+    QEntry.sql(
+      "cur_pii_luhn", {
+        val luhn =
+          """list_sum(list_transform(range(1, 17), i ->
+            |  CASE WHEN i % 2 = 0 THEN
+            |    (CASE WHEN 2 * CAST(substr(reverse(cand), CAST(i AS INT), 1) AS INT) > 9
+            |          THEN 2 * CAST(substr(reverse(cand), CAST(i AS INT), 1) AS INT) - 9
+            |          ELSE 2 * CAST(substr(reverse(cand), CAST(i AS INT), 1) AS INT) END)
+            |  ELSE CAST(substr(reverse(cand), CAST(i AS INT), 1) AS INT) END)) % 10 = 0"""
+            .stripMargin.replaceAll("\\s+", " ")
+        s"""WITH c AS (SELECT doc_id,
+           |    '4' || lpad(CAST((doc_id * 37) % 1000000000000000 AS VARCHAR), 15, '0')
+           |      AS cand
+           |  FROM documents),
+           |v AS (SELECT doc_id, cand, ($luhn) AS luhn_ok,
+           |    'card ' || cand || ' end' AS t FROM c)
+           |SELECT doc_id, cand, luhn_ok,
+           |  CASE WHEN luhn_ok THEN replace(t, cand, '<CARD>') ELSE t END AS redacted
+           |FROM v""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val cand = concat(
+        lit("4"),
+        lpad(((col("doc_id") * 37) % 1000000000000000L).cast("string"), 15, "0")
+      )
+      documents(s, d)
+        .select(col("doc_id"), cand.as("cand"))
+        .select(
+          col("doc_id"),
+          col("cand"),
+          Curation.luhnValid(col("cand")).as("luhn_ok"),
+          Curation
+            .redactValidCards(concat(lit("card "), col("cand"), lit(" end")))
+            .as("redacted")
+        )
+    },
+
     // Repetition quality signal (Gopher-style): token totals, distincts,
     // top-token share, duplicate-word ratio.
     QEntry.sql(

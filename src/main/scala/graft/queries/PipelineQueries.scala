@@ -2122,6 +2122,31 @@ object PipelineQueries {
         .select("lang", "doc_id")
     },
 
+    // E327 apportioned sample ([[Sampling.apportionedSample]]): EXACTLY
+    // 100 rows overall, split across langs by largest-remainder (Hamilton)
+    // apportionment — base ⌊100·n_g/N⌋ each, the leftover units to the
+    // largest remainders. Per-stratum rounding can't hit a global budget;
+    // this does, by construction, in exact integers.
+    QEntry.sql(
+      "sample_apportionment",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c),
+        |b AS (SELECT lang, n, 100 * n // tt AS base, 100 * n % tt AS rem
+        |  FROM c CROSS JOIN t),
+        |l AS (SELECT CAST(100 - sum(base) AS BIGINT) AS lft FROM b),
+        |al AS (SELECT lang, base + (CASE WHEN row_number()
+        |    OVER (ORDER BY rem DESC, lang) <= lft THEN 1 ELSE 0 END) AS alloc
+        |  FROM b CROSS JOIN l),
+        |k AS (SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT k.lang, k.doc_id FROM k JOIN al ON k.lang = al.lang
+        |WHERE k.rn <= al.alloc""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Sampling.apportionedSample(documents(s, d), Seq("lang"), "doc_id", total = 100L)
+    },
+
     // Exact-count stratified sample: every stratum contributes EXACTLY
     // round(N_g · 20%) rows — the guarantee the hash-threshold Bernoulli
     // sampler can't give (binomial per-stratum counts). Membership is the

@@ -251,6 +251,27 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == ((0L, true)))
   }
 
+  test("luhnValid and redactValidCards: checksum gates the redaction") {
+    val s = spark
+    import s.implicits._
+    // 4532015112830366 is Luhn-valid; flipping the last digit breaks it
+    val df = Seq(
+      (1L, "pay 4532015112830366 now"),          // valid → redacted
+      (2L, "ref 4532015112830367 kept"),         // invalid → untouched
+      (3L, "a 4532015112830366 b 4532015112830367 c"), // mixed
+      (4L, "short 123456 stays")                 // below candidate length
+    ).toDF("id", "t")
+    val out = df.select(col("id"), Curation.redactValidCards(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "pay <CARD> now", out.toString)
+    assert(out(2L) == "ref 4532015112830367 kept")
+    assert(out(3L) == "a <CARD> b 4532015112830367 c")
+    assert(out(4L) == "short 123456 stays")
+    val v = Seq(("4532015112830366", true), ("4532015112830367", false), ("79927398713", true))
+      .toDF("d", "want")
+    assert(v.filter(Curation.luhnValid(col("d")) =!= col("want")).count() == 0)
+  }
+
   test("calibrationReport: exact ppm bins, gaps, and the weighted ECE") {
     val s = spark
     import s.implicits._

@@ -1786,6 +1786,45 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("apportionedSample: exact global budget, largest-remainder extras, nested membership") {
+    val s = spark
+    import s.implicits._
+    // strata sizes 7, 5, 3 (N=15), budget 10: bases ⌊70/15⌋=4, ⌊50/15⌋=3,
+    // ⌊30/15⌋=2 → 9; remainders 10, 5, 0 → the one leftover goes to 'a'
+    val df = (Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("g", "k")
+    val out = graft.operators.Sampling.apportionedSample(df, Seq("g"), "k", total = 10L)
+      .collect().map(r => r.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(out == Map("a" -> 5, "b" -> 3, "c" -> 2), out.toString)
+    // nesting: the budget-10 sample contains the budget-5 sample
+    val small = graft.operators.Sampling.apportionedSample(df, Seq("g"), "k", total = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val big = graft.operators.Sampling.apportionedSample(df, Seq("g"), "k", total = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(small.subsetOf(big), s"small $small not in big $big")
+  }
+
+  test("sprtDecision: crosses the right boundary at the right index, else continues") {
+    val s = spark
+    import s.implicits._
+    // llrPos 1.0, llrNeg -1.0, bound 2.5: stream of successes crosses +2.5
+    // at obs 3; failures cross −2.5 at obs 3; alternating never decides
+    def stream(key: String, xs: Seq[Boolean]) =
+      xs.zipWithIndex.map { case (x, i) => (key, i.toLong, x) }
+    val obs = (stream("up", Seq.fill(5)(true)) ++
+      stream("down", Seq.fill(5)(false)) ++
+      stream("flat", Seq(true, false, true, false, true)))
+      .toDF("g", "seq", "x")
+    val out = graft.operators.TimeSeries
+      .sprtDecision(obs, "g", Seq("seq"), "x", "1.0", "-1.0", "2.5")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("up") == (("h1", 3L, 3.0)), out.toString)
+    assert(out("down") == (("h0", 3L, -3.0)))
+    assert(out("flat") == (("continue", 5L, 1.0)))
+  }
+
   test("consistentShardAssign: deterministic, balanced-ish, minimal movement on growth") {
     val s = spark
     import s.implicits._
