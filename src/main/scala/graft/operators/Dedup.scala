@@ -494,6 +494,135 @@ object Dedup {
       )
   }
 
+  /** Content-defined chunk table (Rabin/Gear-style CDC, the storage-dedup
+    * standard of LBFS/Venti/FastCDC): a chunk boundary sits after char `i`
+    * (1-based, `i` ∈ [window, n−1]) whenever the polynomial hash of the
+    * trailing `window` chars — Σ_j c_{i−window+1+j}·131^{window−1−j}, exact
+    * BIGINT, no mid-fold overflow for window ≤ 8 — is ≡ 0 mod 2^maskBits.
+    * Boundaries depend ONLY on local content, so an insertion early in a
+    * document shifts every FIXED-grid chunk after it but re-synchronizes
+    * CDC chunks at the first boundary past the edit — the property that
+    * makes chunk-level dedup survive prefix/edit noise (asserted in
+    * PipelineOpsSpec; measured against the fixed grid in
+    * `dedup_cdc_chunks`).
+    *
+    * Pure higher-order column expressions over a materialized char array —
+    * the inner window fold references the array `window` times per
+    * position, so the split is projected ONCE per row first (the
+    * [[shinglesFromWords]] CollapseProject contract). O(n·window) per doc,
+    * fused into the scan, no shuffle until the caller aggregates chunks.
+    *
+    * @return (idCol, chunk_idx, chunk) — every doc yields ≥ 1 chunk (empty
+    *         text yields one empty chunk, like the fixed grid's ceil)
+    */
+  def cdcChunkTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      maskBits: Int = 6
+  ): DataFrame = {
+    val mod = 1L << maskBits
+    val bnd = filter(
+      // sequence() DESCENDS when start > stop, so the [window, n−1] range
+      // only materializes when n−1 ≥ window
+      when(col("_n") - 1 >= window, sequence(lit(window), col("_n") - 1))
+        .otherwise(array().cast("array<int>")),
+      i => {
+        val h = aggregate(
+          sequence(lit(0), lit(window - 1)),
+          lit(0L),
+          (acc, j) => acc * 131 + ascii(element_at(col("_cs"), i - (window - 1) + j))
+        )
+        h % mod === 0
+      }
+    )
+    spread(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol),
+        col(textCol),
+        split(col(textCol), "").as("_cs"),
+        length(col(textCol)).as("_n")
+      )
+      .select(col(idCol), col(textCol), col("_n"), bnd.as("_bnd"))
+      .select(
+        col(idCol),
+        col(textCol),
+        concat(array(lit(1)), transform(col("_bnd"), b => b + 1)).as("_starts"),
+        concat(col("_bnd"), array(col("_n"))).as("_ends")
+      )
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(1), size(col("_starts"))),
+            k =>
+              col(textCol).substr(
+                element_at(col("_starts"), k),
+                element_at(col("_ends"), k) - element_at(col("_starts"), k) + 1
+              )
+          )
+        ).as(Seq("chunk_idx", "chunk"))
+      )
+  }
+
+  /** Fixed-grid chunk table — the baseline CDC is measured against: chunk
+    * `i` covers chars [i·size+1, (i+1)·size]. Same output shape as
+    * [[cdcChunkTable]]; an empty text yields one empty chunk.
+    */
+  def fixedChunkTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int = 64
+  ): DataFrame = {
+    val nChunks = greatest(ceil(length(col(textCol)) / lit(size.toDouble)).cast("int"), lit(1))
+    spread(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), nChunks - 1),
+            i => col(textCol).substr(i * size + 1, lit(size))
+          )
+        ).as(Seq("chunk_idx", "chunk"))
+      )
+  }
+
+  /** Chunk-store dedup accounting per scheme: logical bytes (every chunk
+    * instance) vs stored bytes (each DISTINCT chunk once — the
+    * content-addressed store's footprint) and the exact saved-ppm ratio.
+    * Two hash-shuffles on (scheme, chunk) with map-side partial aggregation
+    * — a chunk repeated a billion times collapses per map task before
+    * either exchange; no window, no all-pairs.
+    */
+  def chunkStorageStats(chunks: DataFrame, schemeCol: String, chunkCol: String): DataFrame = {
+    val totals = chunks
+      .groupBy(col(schemeCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(length(col(chunkCol))).cast("long").as("logical_chars")
+      )
+    val uniq = chunks
+      .select(col(schemeCol), col(chunkCol))
+      .distinct()
+      .groupBy(col(schemeCol))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum(length(col(chunkCol))).cast("long").as("stored_chars")
+      )
+    totals
+      .join(uniq, Seq(schemeCol))
+      .select(
+        col(schemeCol),
+        col("n_chunks"),
+        col("n_unique"),
+        col("logical_chars"),
+        col("stored_chars"),
+        expr("(logical_chars - stored_chars) * 1000000 div logical_chars").as("saved_ppm")
+      )
+  }
+
   /** Exact-substring duplication measure (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): per document, the
     * fraction of its `k`-token spans that occur verbatim in at least one

@@ -2433,6 +2433,73 @@ object PipelineQueries {
          |GROUP BY t.doc_id, t.total""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Dedup.chunkDedup(documents(s, d), "doc_id", "text", chunkTokens = 10) },
 
+    // E330 content-defined chunking ([[Dedup.cdcChunkTable]]): boundary
+    // after char i whenever the 8-char trailing polynomial hash ≡ 0 mod 64
+    // (exact BIGINT, 131^7·127 < 2^63 — no mid-fold modulus). The corpus is
+    // replayed with a 5-char-prefixed slice under shifted ids; the fixed
+    // 64-char grid shares NO chunks with the prefixed copies (every grid
+    // cell shifts by 5) while CDC re-synchronizes at the first boundary —
+    // the saved_ppm gap between the two rows IS the content-defined
+    // property, measured. Store accounting = distinct-chunk footprint vs
+    // logical bytes, both exact.
+    QEntry.sql(
+      "dedup_cdc_chunks",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'DUP: ' || text AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |b AS (SELECT doc_id, text, length(text) AS n,
+        |  CASE WHEN length(text) - 1 >= 8 THEN
+        |    list_filter(range(8, length(text)), i ->
+        |      list_sum(list_transform(range(0, 8), j ->
+        |        ord(substr(text, CAST(i - 7 + j AS INT), 1)) *
+        |        ([662062621900811, 5053913144281, 38579489651, 294499921,
+        |          2248091, 17161, 131, 1])[CAST(j + 1 AS INT)])) % 64 = 0)
+        |  ELSE CAST([] AS BIGINT[]) END AS bnd
+        |  FROM corpus),
+        |st AS (SELECT doc_id, text, n,
+        |  list_prepend(CAST(1 AS BIGINT), list_transform(bnd, x -> x + 1)) AS starts,
+        |  list_append(bnd, n) AS ends FROM b),
+        |cdc AS (SELECT 'cdc' AS scheme, doc_id,
+        |  unnest(list_transform(range(1, len(starts) + 1), k ->
+        |    substr(text, CAST(starts[CAST(k AS INT)] AS INT),
+        |      CAST(ends[CAST(k AS INT)] - starts[CAST(k AS INT)] + 1 AS INT)))) AS chunk
+        |  FROM st),
+        |fx AS (SELECT 'fixed64' AS scheme, doc_id,
+        |  unnest(list_transform(
+        |    range(0, greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1)), i ->
+        |    substr(text, CAST(i * 64 + 1 AS INT), 64))) AS chunk
+        |  FROM corpus),
+        |al AS (SELECT * FROM cdc UNION ALL SELECT * FROM fx),
+        |t AS (SELECT scheme, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(length(chunk)) AS BIGINT) AS logical_chars
+        |  FROM al GROUP BY scheme),
+        |u AS (SELECT scheme, CAST(count(*) AS BIGINT) AS n_unique,
+        |    CAST(sum(length(chunk)) AS BIGINT) AS stored_chars
+        |  FROM (SELECT DISTINCT scheme, chunk FROM al) GROUP BY scheme)
+        |SELECT t.scheme, t.n_chunks, u.n_unique, t.logical_chars, u.stored_chars,
+        |  (t.logical_chars - u.stored_chars) * 1000000 // t.logical_chars AS saved_ppm
+        |FROM t JOIN u ON t.scheme = u.scheme"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val dup = base
+        .filter(col("doc_id") % 7 === 0)
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("DUP: "), col("text")).as("text")
+        )
+      val corpus = base.unionByName(dup)
+      val cdc = Dedup
+        .cdcChunkTable(corpus, "doc_id", "text")
+        .withColumn("scheme", lit("cdc"))
+      val fixed = Dedup
+        .fixedChunkTable(corpus, "doc_id", "text")
+        .withColumn("scheme", lit("fixed64"))
+      Dedup.chunkStorageStats(cdc.unionByName(fixed), "scheme", "chunk")
+    },
+
     // Symmetric int8 embedding quantization — every step is an exactly-
     // specified IEEE op (widen, multiply, divide, floor, max-of-abs), so the
     // quantized components verify bit-for-bit with no rounding mitigation.

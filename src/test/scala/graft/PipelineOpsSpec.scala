@@ -1825,6 +1825,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("flat") == (("continue", 5L, 1.0)))
   }
 
+  test("cdcChunkTable: lossless split, prefix re-sync, fixed grid does not re-sync") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random ASCII: 13 md5 hex blocks = 416 chars
+    def md5hex(x: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val text = (0 until 13).map(i => md5hex(s"cdc$i")).mkString
+    val df = Seq((1L, text), (2L, "DUP: " + text), (3L, "")).toDF("id", "t")
+    val ch = graft.operators.Dedup.cdcChunkTable(df, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // lossless: chunks concatenate back to the input
+    assert(ch(1L).mkString == text)
+    assert(ch(2L).mkString == "DUP: " + text)
+    assert(ch(3L) == Seq("")) // empty doc → one empty chunk
+    // content-defined: every original boundary b >= 8 survives the 5-char
+    // prefix (its window never reaches the prefix), so the tails agree
+    val k = ch(1L).size - 1
+    assert(k >= 2, s"fixture too smooth: only ${k + 1} chunks")
+    assert(ch(2L).takeRight(k) == ch(1L).takeRight(k), "CDC tail did not re-sync")
+    // the fixed grid shifts every cell by 5 — nothing re-syncs
+    val fx = graft.operators.Dedup.fixedChunkTable(df.filter(col("id") =!= 3L), "id", "t")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val f1 = fx.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fx.filter(_._1 == 2L).map(_._2).toSet
+    assert(f1.intersect(f2).isEmpty, "fixed grid unexpectedly shared chunks")
+    // storage accounting: the duplicated tail chunks are stored once
+    val stats = graft.operators.Dedup.chunkStorageStats(
+      graft.operators.Dedup.cdcChunkTable(df, "id", "t").withColumn("scheme", lit("cdc")),
+      "scheme", "chunk"
+    ).collect().head
+    assert(stats.getAs[Long]("n_chunks") > stats.getAs[Long]("n_unique"))
+    assert(stats.getAs[Long]("saved_ppm") > 0L)
+  }
+
   test("consistentShardAssign: deterministic, balanced-ish, minimal movement on growth") {
     val s = spark
     import s.implicits._
