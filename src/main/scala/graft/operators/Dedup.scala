@@ -623,6 +623,71 @@ object Dedup {
       )
   }
 
+  /** Exact pair-counting agreement between two clusterings of the same ids
+    * — Rand index and Adjusted Rand Index (Hubert & Arabie 1985), the
+    * standard answer to "do these two dedup passes group the corpus the
+    * same way?". All pair counts come from the CONTINGENCY table (≤ one
+    * row per label pair, built with one partial-agg shuffle; marginals are
+    * re-aggregations of the contingency, never of the data), so nothing
+    * all-pairs ever materializes: Σ_ij C(n_ij,2), Σ_i C(a_i,2),
+    * Σ_j C(b_j,2) and C(n,2) are exact BIGINT (products < 2^63 up to
+    * ~10^9 docs); RI is an exact ppm and ARI one final rounded double
+    * ratio, with the degenerate-denominator convention ARI = 1 (two
+    * trivial clusterings agree).
+    *
+    * @return one row: (n_docs, n_pairs, sum_a, sum_b, sum_ij, ri_ppm, ari)
+    */
+  def clusterAgreement(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      aLabel: String,
+      bLabel: String
+  ): DataFrame = {
+    val joined = a
+      .select(col(idCol), col(aLabel).as("_la"))
+      .join(b.select(col(idCol), col(bLabel).as("_lb")), idCol)
+    // contingency reused by three aggregates — materialize once
+    val cont = joined
+      .groupBy(col("_la"), col("_lb"))
+      .agg(count(lit(1)).cast("long").as("_n"))
+      .localCheckpoint()
+    val sij = cont.agg(
+      sum(expr("_n * (_n - 1) div 2")).cast("long").as("sum_ij"),
+      sum(col("_n")).cast("long").as("n_docs")
+    )
+    val sa = cont
+      .groupBy(col("_la"))
+      .agg(sum(col("_n")).as("_m"))
+      .agg(sum(expr("_m * (_m - 1) div 2")).cast("long").as("sum_a"))
+    val sb = cont
+      .groupBy(col("_lb"))
+      .agg(sum(col("_n")).as("_m"))
+      .agg(sum(expr("_m * (_m - 1) div 2")).cast("long").as("sum_b"))
+    sij
+      .crossJoin(sa)
+      .crossJoin(sb)
+      .withColumn("n_pairs", expr("n_docs * (n_docs - 1) div 2"))
+      .select(
+        col("n_docs"),
+        col("n_pairs"),
+        col("sum_a"),
+        col("sum_b"),
+        col("sum_ij"),
+        expr("(n_pairs - sum_a - sum_b + 2 * sum_ij) * 1000000 div n_pairs").as("ri_ppm"),
+        round(
+          when(expr("n_pairs * (sum_a + sum_b) - 2 * sum_a * sum_b = 0"), lit(1.0))
+            .otherwise(
+              expr(
+                "CAST(2 * (n_pairs * sum_ij - sum_a * sum_b) AS DOUBLE) / " +
+                  "(n_pairs * (sum_a + sum_b) - 2 * sum_a * sum_b)"
+              )
+            ),
+          6
+        ).as("ari")
+      )
+  }
+
   /** Exact-substring duplication measure (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): per document, the
     * fraction of its `k`-token spans that occur verbatim in at least one

@@ -588,6 +588,79 @@ object PipelineQueries {
          |WHERE hamming <= 8""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 8) },
 
+    // E331 clustering agreement ([[Dedup.clusterAgreement]]): exact
+    // Rand / Adjusted-Rand between the corpus's TWO near-dup clusterings —
+    // MinHash-LSH components vs SimHash-Hamming components — the
+    // pair-counting eval that says whether swapping sketches would regroup
+    // the corpus. Every pair count is derived from the label-pair
+    // contingency (one partial-agg shuffle), never from doc pairs; RI is
+    // exact ppm, ARI one final rounded ratio. The twin recomputes both
+    // fixpoints as recursive transitive closures and replays the identical
+    // integer algebra.
+    QEntry.sql(
+      "dedup_cluster_ari",
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |cc(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id),
+         |lla AS (SELECT id AS doc_id, min(comp) AS la FROM cc GROUP BY id),
+         |sk AS (SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+         |  CASE WHEN 2 * list_sum(list_transform(words, t ->
+         |         ((strpos('0123456789abcdef', substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |          // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2))
+         |       >= len(words) THEN '1' ELSE '0' END), '') AS simhash
+         |  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w),
+         |banded AS (SELECT doc_id, simhash,
+         |    b, substr(simhash, CAST(b * 16 + 1 AS INT), 16) AS bv
+         |  FROM sk, (SELECT unnest(range(0, 4)) AS b) bs),
+         |sp AS (SELECT id1, id2 FROM (
+         |  SELECT id1, id2,
+         |    CAST(len(list_filter(range(1, 65), i ->
+         |      substr(s1, CAST(i AS INT), 1) != substr(s2, CAST(i AS INT), 1))) AS BIGINT)
+         |      AS hamming
+         |  FROM (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |          a.simhash AS s1, b.simhash AS s2
+         |        FROM banded a JOIN banded b
+         |          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) p) t
+         |  WHERE hamming <= 8),
+         |sedges AS (SELECT id1 AS s, id2 AS d FROM sp
+         |           UNION ALL SELECT id2, id1 FROM sp),
+         |scc(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, c.comp FROM sedges e JOIN scc c ON e.d = c.id),
+         |llb AS (SELECT id AS doc_id, min(comp) AS lb FROM scc GROUP BY id),
+         |cont AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS n
+         |  FROM lla JOIN llb USING (doc_id) GROUP BY la, lb),
+         |s1 AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS sum_ij,
+         |    CAST(sum(n) AS BIGINT) AS n_docs FROM cont),
+         |s2 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS sum_a
+         |  FROM (SELECT CAST(sum(n) AS BIGINT) AS m FROM cont GROUP BY la)),
+         |s3 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS sum_b
+         |  FROM (SELECT CAST(sum(n) AS BIGINT) AS m FROM cont GROUP BY lb)),
+         |f AS (SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_pairs,
+         |    sum_ij, sum_a, sum_b FROM s1, s2, s3)
+         |SELECT n_docs, n_pairs, sum_a, sum_b, sum_ij,
+         |  (n_pairs - sum_a - sum_b + 2 * sum_ij) * 1000000 // n_pairs AS ri_ppm,
+         |  round(CASE WHEN n_pairs * (sum_a + sum_b) - 2 * sum_a * sum_b = 0 THEN 1.0
+         |    ELSE CAST(2 * (n_pairs * sum_ij - sum_a * sum_b) AS DOUBLE) /
+         |         (n_pairs * (sum_a + sum_b) - 2 * sum_a * sum_b) END, 6) AS ari
+         |FROM f""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val a = resolvedClusters(s, d).select(col("doc_id"), col("cluster_id"))
+      val sp = Dedup
+        .simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+        .select("id1", "id2")
+      val b = Dedup
+        .connectedComponents(sp, docs.select("doc_id"))
+        .toDF("doc_id", "comp")
+      Dedup.clusterAgreement(a, b, "doc_id", "cluster_id", "comp")
+    },
+
     // E267 multi-signal dedup scorecard: every (lang, source)-blocked
     // candidate pair with all four signal families side by side — exact
     // digest equality, exact shingle Jaccard, MinHash signature agreement,

@@ -1860,6 +1860,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stats.getAs[Long]("saved_ppm") > 0L)
   }
 
+  test("clusterAgreement: hand-computed RI/ARI, identity, and degenerate conventions") {
+    val s = spark
+    import s.implicits._
+    def agree(la: Seq[Int], lb: Seq[Int]) = {
+      val a = la.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "la")
+      val b = lb.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "lb")
+      val r = graft.operators.Dedup.clusterAgreement(a, b, "id", "la", "lb").collect().head
+      (r.getAs[Long]("ri_ppm"), r.getAs[Double]("ari"))
+    }
+    // A={12|34}, B={123|4}: contingency 2,1,1 → Σij=1, Σa=2, Σb=3, C=6:
+    // RI = (6-2-3+2)/6 = 1/2; ARI num = 2(6·1-6) = 0 → 0
+    assert(agree(Seq(1, 1, 2, 2), Seq(1, 1, 1, 2)) == ((500000L, 0.0)))
+    // identical clusterings → RI 1, ARI 1
+    assert(agree(Seq(1, 1, 2, 2), Seq(7, 7, 9, 9)) == ((1000000L, 1.0)))
+    // all-singletons vs all-singletons: denominator 0 → convention ARI 1
+    assert(agree(Seq(1, 2, 3, 4), Seq(4, 3, 2, 1)) == ((1000000L, 1.0)))
+    // opposite extremes: one big cluster vs singletons → RI 0, ARI 0
+    assert(agree(Seq(1, 1, 1, 1), Seq(1, 2, 3, 4)) == ((0L, 0.0)))
+  }
+
   test("consistentShardAssign: deterministic, balanced-ish, minimal movement on growth") {
     val s = spark
     import s.implicits._
