@@ -80,7 +80,8 @@ object Plans {
       "mm_phash_values", "cur_crawl_budget", "cur_recrawl",
       "txt_ql_dirichlet", "pipe_consistent_hash", "q_kmv_setops",
       "cur_classifier_ece", "txt_ndcg_eval", "sample_apportionment",
-      "cur_pii_luhn", "q_sprt_decision", "dedup_cdc_chunks", "dedup_cluster_ari"
+      "cur_pii_luhn", "q_sprt_decision", "dedup_cdc_chunks", "dedup_cluster_ari",
+      "ann_csls_topk"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

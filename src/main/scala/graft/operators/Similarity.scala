@@ -177,6 +177,88 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** CSLS-rescored LSH retrieval (cross-domain similarity local scaling,
+    * Conneau et al. 2018 — the hubness correction that made unsupervised
+    * bilingual lexicon induction work): csls(q,x) = 2·cos(q,x) − r(q) −
+    * r(x), where r(v) is the mean cosine of v to its `kR` nearest
+    * neighbors. Hub vectors — close to everything, so they crowd every
+    * cosine top-k — carry a large r(x) penalty and drop; isolated true
+    * matches rise.
+    *
+    * Scale shape: candidates AND the r(·) pools are the LSH bucket
+    * members of the query buckets only (broadcast bucket-set semi-join →
+    * per-bucket pair join) — never corpus×corpus; at serving scale r(x)
+    * is computed for retrieved candidates, exactly this plan. The pair
+    * frame is built once (localCheckpoint) and reused by the r aggregate
+    * and the query scoring. Determinism: per-pair cosine quantizes to
+    * 9 dp DECIMAL; r is a DECIMAL sum with one final rounded division;
+    * csls = three IEEE ops on already-rounded doubles — bit-identical in
+    * any engine.
+    *
+    * @return (query_id, neighbor_id, cos, r_q, r_x, csls, rank), rank by
+    *         csls desc (ties on neighbor id), top `k` per query
+    */
+  def cslsTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      kR: Int = 10,
+      bits: Int = 4,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame = {
+    VectorExpressions.install(corpus.sparkSession)
+    val planes = hyperplanes(bits, dimOf(corpus, vecCol, dim), seed)
+    val b = corpus
+      .select(
+        col(idCol).as("vid"),
+        col(vecCol).as("v"),
+        lshBucket(col(vecCol), planes).as("bucket")
+      )
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val qIds = broadcast(queries.select(col(idCol).as("vid")).distinct())
+    val qBuckets = broadcast(b.join(qIds, "vid").select("bucket").distinct())
+    val mem = b.join(qBuckets, "bucket")
+    val pairsAll = mem
+      .select(col("bucket"), col("vid").as("ia"), col("v").as("va"), col("nrm").as("na"))
+      .join(
+        mem.select(col("bucket"), col("vid").as("ib"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("bucket")
+      )
+      .filter(col("ia") =!= col("ib"))
+      .select(
+        col("ia"),
+        col("ib"),
+        round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 9)
+          .cast("decimal(18,9)")
+          .as("cos9")
+      )
+      .localCheckpoint()
+    val wR = Window.partitionBy("ia").orderBy(col("cos9").desc, col("ib"))
+    val r = pairsAll
+      .withColumn("_rn", row_number().over(wR))
+      .filter(col("_rn") <= kR)
+      .groupBy(col("ia").as("vid"))
+      .agg(round(sum(col("cos9")).cast("double") / count(lit(1)), 6).as("r"))
+    val wK = Window.partitionBy("query_id").orderBy(col("csls").desc, col("neighbor_id"))
+    pairsAll
+      .join(broadcast(qIds.withColumnRenamed("vid", "ia")), "ia")
+      .join(r.select(col("vid").as("ia"), col("r").as("r_q")), "ia")
+      .join(r.select(col("vid").as("ib"), col("r").as("r_x")), "ib")
+      .select(
+        col("ia").as("query_id"),
+        col("ib").as("neighbor_id"),
+        round(col("cos9").cast("double"), 6).as("cos"),
+        col("r_q"),
+        col("r_x"),
+        round(lit(2) * col("cos9").cast("double") - col("r_q") - col("r_x"), 6).as("csls")
+      )
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+  }
+
   /** Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its own
     * bucket PLUS the `nProbe − 1` buckets reached by flipping the
     * hyperplane bits with the smallest |margin| (the planes the vector

@@ -1296,6 +1296,46 @@ object PipelineQueries {
         .withColumn("rank", col("rank").cast("bigint"))
     },
 
+    // E332 CSLS hubness-corrected retrieval ([[Similarity.cslsTopK]]):
+    // csls(q,x) = 2cos − r(q) − r(x) with r = mean cosine to the 10
+    // bucket-nearest neighbors — hub vectors that crowd every cosine top-k
+    // get demoted by their own neighborhood density (Conneau et al. 2018).
+    // Candidate and r(·) pools are the query buckets' members only; the
+    // twin replays bucketing, the 9-dp DECIMAL cosine quantization, the
+    // DECIMAL-sum r, and the 3-op csls arithmetic.
+    QEntry.sql(
+      "ann_csls_topk",
+      s"""WITH ${bucketsSql(bits = 4)},
+         |qb AS (SELECT DISTINCT bucket FROM buckets WHERE vec_id < 5),
+         |mem AS (SELECT b.vec_id, b.bucket, b.e FROM buckets b JOIN qb USING (bucket)),
+         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    CAST(round(list_dot_product(a.e, b.e) /
+         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9)
+         |      AS DECIMAL(18,9)) AS cos9
+         |  FROM mem a JOIN mem b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+         |r AS (SELECT ia AS vid,
+         |    round(CAST(CAST(sum(cos9) AS DECIMAL(28,9)) AS DOUBLE) / count(*), 6) AS r
+         |  FROM (SELECT ia, ib, cos9,
+         |      row_number() OVER (PARTITION BY ia ORDER BY cos9 DESC, ib) AS rn FROM p) t
+         |  WHERE rn <= 10 GROUP BY ia),
+         |sc AS (SELECT p.ia AS query_id, p.ib AS neighbor_id,
+         |    round(CAST(p.cos9 AS DOUBLE), 6) AS cos, rq.r AS r_q, rx.r AS r_x,
+         |    round(2 * CAST(p.cos9 AS DOUBLE) - rq.r - rx.r, 6) AS csls
+         |  FROM p JOIN r rq ON p.ia = rq.vid JOIN r rx ON p.ib = rx.vid
+         |  WHERE p.ia < 5)
+         |SELECT query_id, neighbor_id, cos, r_q, r_x, csls, rank FROM (
+         |  SELECT query_id, neighbor_id, cos, r_q, r_x, csls,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY csls DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM sc) t WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity
+        .cslsTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, kR = 10, bits = 4, dim = EmbDim)
+        .withColumn("rank", col("rank").cast("bigint"))
+    },
+
     // E90/E123 persisted-index READ path, oracled: the entry WRITES the
     // LSH index (bucket-partitioned parquet) and answers the fixed query
     // set FROM it — candidate fetch via partition-pruned bucket join over

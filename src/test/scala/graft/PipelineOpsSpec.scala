@@ -1860,6 +1860,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stats.getAs[Long]("saved_ppm") > 0L)
   }
 
+  test("cslsTopK: hub neighbor demoted below the isolated true match") {
+    val s = spark
+    import s.implicits._
+    // q's plain-cosine ranking prefers the hub h (cos .9701) over the
+    // isolated match x (cos .9578); h sits in a dense clump of 6 clones, so
+    // r(h) ≈ .995 while r(x) ≈ .93 — CSLS flips the order.
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),      // query q
+      1L -> Array(1f, 0.3f, 0f, 0f),    // isolated true match x
+      2L -> Array(1f, 0f, 0.25f, 0f)    // hub h
+    ) ++ (3 to 8).map(i => i.toLong -> Array(1f, 0f, 0.25f, 0.01f * (i - 2)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // fixture assumption: one LSH bucket (all vectors share the dominant
+    // first coordinate) — assert it so a failure reads as fixture drift
+    val nb = graft.operators.Similarity
+      .lshBuckets(df, "vec_id", "embedding", bits = 1, dim = 4)
+      .select("bucket").distinct().count()
+    assert(nb == 1, s"fixture split across $nb buckets")
+    val out = graft.operators.Similarity
+      .cslsTopK(df, df.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 8, kR = 7, bits = 1, dim = 4)
+      .collect()
+      .map(r => r.getAs[Long]("neighbor_id") ->
+        ((r.getAs[Double]("cos"), r.getAs[Double]("csls"), r.getAs[Int]("rank"))))
+      .toMap
+    // plain cosine prefers the hub...
+    assert(out(2L)._1 > out(1L)._1, s"fixture: hub should win on cosine ($out)")
+    // ...CSLS prefers the isolated match
+    assert(out(1L)._2 > out(2L)._2, s"csls did not demote the hub ($out)")
+    assert(out(1L)._3 < out(2L)._3)
+    // csls = 2·cos − r_q − r_x holds row-wise (cos is the 6-dp view of the
+    // 9-dp quantized value the formula uses → 2e-6 slack)
+    val rows = graft.operators.Similarity
+      .cslsTopK(df, df.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 8, kR = 7, bits = 1, dim = 4)
+      .collect()
+    rows.foreach { r =>
+      val expect = 2 * r.getAs[Double]("cos") - r.getAs[Double]("r_q") - r.getAs[Double]("r_x")
+      assert(math.abs(r.getAs[Double]("csls") - expect) < 2e-6, r.toString)
+    }
+  }
+
   test("clusterAgreement: hand-computed RI/ARI, identity, and degenerate conventions") {
     val s = spark
     import s.implicits._
