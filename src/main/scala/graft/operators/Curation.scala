@@ -614,6 +614,68 @@ object Curation {
       )
   }
 
+  /** l-diversity + t-closeness audit per quasi-identifier class — the two
+    * follow-ups to [[kAnonymity]] (Machanavajjhala 2007; Li et al. 2007): a
+    * class can be k-large yet expose its members because every row shares
+    * one sensitive value (l = 1), or because its sensitive DISTRIBUTION
+    * diverges from the corpus's (t-closeness, measured as the exact 1-D
+    * earth-mover distance over the ordered sensitive domain). EMD is
+    * computed entirely in integers: prefix-sum differences are compared in
+    * units of 1/(n_g·N) — Σ_j |cumP_j·N − cumQ_j·n_g| — and normalized by
+    * (m−1) to ppm with one integral division, so the audit hash-verifies
+    * cross-engine.
+    *
+    * Plan shape: three key-partial aggregates (class, class×value,
+    * global value), a class×domain grid (domain cardinality m is tiny —
+    * broadcast), one keyed window for the prefix sums. Nothing scales
+    * beyond classes×m.
+    *
+    * @return one row per class: (quasiCols…, class_size, l_distinct,
+    *         emd_ppm)
+    */
+  def privacyAudit(df: DataFrame, quasiCols: Seq[String], sensCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "privacyAudit needs quasi-identifier columns")
+    val qc = quasiCols.map(col)
+    val base = df.select((quasiCols :+ sensCol).map(col): _*)
+    val classes = base.groupBy(qc: _*).agg(count(lit(1)).cast("long").as("class_size"))
+    val classBand = base
+      .groupBy((quasiCols :+ sensCol).map(col): _*)
+      .agg(count(lit(1)).cast("long").as("_p"))
+    val globalBand = base.groupBy(col(sensCol)).agg(count(lit(1)).cast("long").as("_q"))
+    val tot = base.agg(
+      count(lit(1)).cast("long").as("_n_total"),
+      countDistinct(col(sensCol)).cast("long").as("_m")
+    )
+    val win = Window
+      .partitionBy(qc: _*)
+      .orderBy(col(sensCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes
+      .crossJoin(broadcast(globalBand))
+      .join(classBand, quasiCols :+ sensCol, "left")
+      .na
+      .fill(0L, Seq("_p"))
+      .withColumn("_cp", sum(col("_p")).over(win))
+      .withColumn("_cq", sum(col("_q")).over(win))
+      .crossJoin(broadcast(tot))
+      .groupBy((qc :+ col("class_size") :+ col("_m") :+ col("_n_total")): _*)
+      .agg(
+        sum(abs(col("_cp") * col("_n_total") - col("_cq") * col("class_size")))
+          .cast("long")
+          .as("_dsum"),
+        sum(when(col("_p") > 0, 1L).otherwise(0L)).cast("long").as("l_distinct")
+      )
+      .select(
+        (qc :+ col("class_size") :+ col("l_distinct") :+
+          when(col("_m") <= 1, 0L)
+            .otherwise(
+              expr("_dsum * 1000000 div (class_size * _n_total * (_m - 1))")
+            )
+            .cast("long")
+            .as("emd_ppm")): _*
+      )
+  }
+
   // ---- HTML main-content extraction (jusText-lite) -----------------------
   // Patterns are ASCII, quote-free and backslash-free so the IDENTICAL
   // string runs under Java regex and DuckDB's RE2 (the oracle twin).

@@ -733,6 +733,50 @@ object CurationQueries {
       Curation.kAnonymity(documents(s, d), Seq("lang", "source"), k = 5)
     },
 
+    // E333 l-diversity + t-closeness audit ([[Curation.privacyAudit]]):
+    // per (lang, source) class over the length-band sensitive attribute
+    // (n_chars div 100) — l = distinct sensitive values in the class,
+    // t = exact integer 1-D earth-mover distance between the class's and
+    // the corpus's band distributions (prefix sums compared in 1/(n_g·N)
+    // units, ppm-normalized by m−1). The k-anon follow-up: a k-large class
+    // still leaks when l = 1 or its distribution diverges.
+    QEntry.sql(
+      "cur_privacy_audit",
+      """WITH d AS (SELECT lang, source, n_chars // 100 AS band FROM documents),
+        |cl AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size
+        |  FROM d GROUP BY lang, source),
+        |gb AS (SELECT band, CAST(count(*) AS BIGINT) AS q FROM d GROUP BY band),
+        |cb AS (SELECT lang, source, band, CAST(count(*) AS BIGINT) AS p
+        |  FROM d GROUP BY lang, source, band),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(DISTINCT band) AS BIGINT) AS m FROM d),
+        |grid AS (SELECT cl.lang, cl.source, cl.class_size, gb.band, gb.q,
+        |    COALESCE(cb.p, 0) AS p
+        |  FROM cl CROSS JOIN gb LEFT JOIN cb
+        |    ON cl.lang = cb.lang AND cl.source = cb.source AND gb.band = cb.band),
+        |cum AS (SELECT lang, source, class_size, p,
+        |    sum(p) OVER (PARTITION BY lang, source ORDER BY band
+        |      ROWS UNBOUNDED PRECEDING) AS cp,
+        |    sum(q) OVER (PARTITION BY lang, source ORDER BY band
+        |      ROWS UNBOUNDED PRECEDING) AS cq
+        |  FROM grid),
+        |ag AS (SELECT lang, source, class_size, m, n_total,
+        |    CAST(sum(abs(cp * n_total - cq * class_size)) AS BIGINT) AS dsum,
+        |    CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS l_distinct
+        |  FROM cum CROSS JOIN tot GROUP BY lang, source, class_size, m, n_total)
+        |SELECT lang, source, class_size, l_distinct,
+        |  CAST(CASE WHEN m <= 1 THEN 0
+        |    ELSE dsum * 1000000 // (class_size * n_total * (m - 1)) END AS BIGINT)
+        |    AS emd_ppm
+        |FROM ag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.privacyAudit(
+        documents(s, d).withColumn("band", expr("n_chars div 100")),
+        Seq("lang", "source"),
+        "band"
+      )
+    },
+
     // Temperature-scaled mixture weights at α = 0.5 with per-source epoch
     // budgets ([[Curation.temperatureMixture]]): wᵢ ∝ √nᵢ upsamples small
     // sources (the multilingual rebalancing rule), then a 10⁹-char budget

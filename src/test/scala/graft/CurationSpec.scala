@@ -272,6 +272,29 @@ class CurationSpec extends SparkSpec {
     assert(v.filter(Curation.luhnValid(col("d")) =!= col("want")).count() == 0)
   }
 
+  test("privacyAudit: hand-computed l-diversity and exact 1-D EMD") {
+    val s = spark
+    import s.implicits._
+    // classes: A = two rows of band 0, B = two of band 1, C = one of each.
+    // Global Q = (1/2, 1/2); P_A = (1, 0) → EMD 1/2; P_C = Q → EMD 0.
+    val df = Seq(
+      ("A", 0L), ("A", 0L), ("B", 1L), ("B", 1L), ("C", 0L), ("C", 1L)
+    ).toDF("g", "band")
+    val out = graft.operators.Curation.privacyAudit(df, Seq("g"), "band")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("class_size"), r.getAs[Long]("l_distinct"), r.getAs[Long]("emd_ppm"))))
+      .toMap
+    assert(out("A") == ((2L, 1L, 500000L)), out.toString)
+    assert(out("B") == ((2L, 1L, 500000L)))
+    assert(out("C") == ((2L, 2L, 0L)))
+    // degenerate one-value domain: EMD defined as 0
+    val one = Seq(("A", 7L), ("B", 7L)).toDF("g", "band")
+    val o1 = graft.operators.Curation.privacyAudit(one, Seq("g"), "band")
+      .collect().map(r => r.getAs[Long]("emd_ppm")).toSeq
+    assert(o1 == Seq(0L, 0L))
+  }
+
   test("calibrationReport: exact ppm bins, gaps, and the weighted ECE") {
     val s = spark
     import s.implicits._
