@@ -314,4 +314,80 @@ object Sampling {
         expr("_s * 1000 div n_eff").cast("long").as("mean_milli")
       )
   }
+
+  /** k-center greedy (Gonzalez 1985 max-min farthest-point traversal) over
+    * 64-bit Hamming sketches — the deterministic diverse-coreset selector a
+    * curation pipeline uses to pick maximally-spread exemplars (coverage
+    * seeding, eval-set diversity, dedup-cluster representatives). Seed =
+    * smallest id; each of the k−1 rounds picks the unchosen row whose
+    * distance to its NEAREST chosen center is LARGEST (ties on id). The
+    * greedy result is a 2-approximation of the optimal k-center cover.
+    *
+    * Iterative-driver shape (like kmeansStep / PageRank): the per-doc
+    * min-distance column updates with one codegen'd `least` per round —
+    * the sketch rides as 4 longs and each distance is 4 bit_count(xor)
+    * terms against center LITERALS, so a round is one narrow map + one
+    * ordered-limit-1 reduction (TakeOrdered, no global sort); k rows total
+    * ever reach the driver. localCheckpoint truncates the k-deep lineage.
+    *
+    * @param sketches (idCol: LONG, sketchCol: 64-char '0'/'1' string —
+    *                 [[Dedup.simhash]]'s shape)
+    * @return k rows: (sel_order, idCol, dist) — dist is the max-min
+    *         distance at selection time; the seed carries the -1 sentinel
+    */
+  def kCenterGreedy(
+      sketches: DataFrame,
+      idCol: String,
+      sketchCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "kCenterGreedy needs k >= 1")
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val base = sketches
+      .select(
+        col(idCol).cast("long").as("_id") +:
+          col(sketchCol).as("_sig") +:
+          (0 until 4).map(b =>
+            conv(substring(col(sketchCol), b * 16 + 1, 16), 2, 10).cast("long").as(s"_i$b")
+          ): _*
+      )
+      .localCheckpoint()
+    def hamTo(sig: String): Column =
+      (0 until 4)
+        .map { b =>
+          val word = java.lang.Long.parseLong(sig.substring(b * 16, b * 16 + 16), 2)
+          bit_count(col(s"_i$b").bitwiseXOR(lit(word)))
+        }
+        .reduce(_ + _)
+        .cast("long")
+    val seed = base.orderBy(col("_id")).limit(1).select("_id", "_sig").collect()
+    require(seed.nonEmpty, "kCenterGreedy on an empty frame")
+    var chosen = Vector((0L, seed(0).getLong(0), -1L))
+    var mind = base.withColumn("_d", hamTo(seed(0).getString(1))).localCheckpoint()
+    var i = 1
+    var exhausted = false
+    while (i < k && !exhausted) {
+      val ids = chosen.map(_._2)
+      val nxt = mind
+        .filter(!col("_id").isin(ids: _*))
+        .orderBy(col("_d").desc, col("_id"))
+        .limit(1)
+        .select("_id", "_d", "_sig")
+        .collect()
+      if (nxt.isEmpty) exhausted = true
+      else {
+        chosen :+= ((i.toLong, nxt(0).getLong(0), nxt(0).getLong(1)))
+        if (i < k - 1) {
+          val upd = mind
+            .withColumn("_d", least(col("_d"), hamTo(nxt(0).getString(2))))
+            .localCheckpoint()
+          mind.unpersist()
+          mind = upd
+        }
+        i += 1
+      }
+    }
+    chosen.toDF("sel_order", idCol, "dist")
+  }
 }

@@ -144,6 +144,44 @@ object PipelineQueries {
        |  FROM vecs, planes GROUP BY vec_id, e)"""
       .stripMargin.replaceAll("\\s+", " ")
 
+  /** Twin of [[Sampling.kCenterGreedy]] at k=8: the greedy max-min loop
+    * UNROLLED as k CTE steps over the `sk` (doc_id, simhash) relation —
+    * step i picks the unchosen doc with the largest min-distance (ORDER BY
+    * d DESC, doc_id LIMIT 1) and m_{i+1} folds the new center in with
+    * `least`. Exact string-level Hamming; bit-identical to the Spark
+    * bit_count(xor) path.
+    */
+  private def kCenterSql(k: Int): String = {
+    def ham(x: String, c: String) =
+      s"""CAST(len(list_filter(range(1, 65), i ->
+         |  substr($x, CAST(i AS INT), 1) != substr($c, CAST(i AS INT), 1))) AS BIGINT)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    val sb = new StringBuilder
+    sb.append("s0 AS MATERIALIZED (SELECT doc_id, simhash FROM sk ORDER BY doc_id LIMIT 1), ")
+    sb.append(
+      s"m1 AS MATERIALIZED (SELECT t.doc_id, t.simhash, ${ham("t.simhash", "c.simhash")} AS d " +
+        "FROM sk t CROSS JOIN s0 c)"
+    )
+    for (i <- 1 until k) {
+      val excl = (0 until i).map(j => s"SELECT doc_id FROM s$j").mkString(" UNION ALL ")
+      sb.append(
+        s", s$i AS MATERIALIZED (SELECT m.doc_id, m.simhash, m.d FROM m$i m " +
+          s"WHERE m.doc_id NOT IN ($excl) ORDER BY m.d DESC, m.doc_id LIMIT 1)"
+      )
+      if (i < k - 1)
+        sb.append(
+          s", m${i + 1} AS MATERIALIZED (SELECT m.doc_id, m.simhash, " +
+            s"least(m.d, ${ham("m.simhash", "c.simhash")}) AS d " +
+            s"FROM m$i m CROSS JOIN s$i c)"
+        )
+    }
+    val sel = (s"SELECT CAST(0 AS BIGINT) AS sel_order, doc_id, CAST(-1 AS BIGINT) AS dist FROM s0" +:
+      (1 until k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS sel_order, doc_id, CAST(d AS BIGINT) AS dist FROM s$i"
+      )).mkString(" UNION ALL ")
+    s"${sb.toString} $sel"
+  }
+
   // ---- NSW graph-ANN twin SQL (ann_graph_topk / ann_graph_sweep) ---------
   // [[Similarity.nswTopK]] defaults, mirrored here so the DuckDB twin
   // rebuilds the identical graph and walks the identical beam search.
@@ -2258,6 +2296,30 @@ object PipelineQueries {
         |WHERE k.rn <= al.alloc""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Sampling.apportionedSample(documents(s, d), Seq("lang"), "doc_id", total = 100L)
+    },
+
+    // E334 k-center greedy diverse selection ([[Sampling.kCenterGreedy]]):
+    // Gonzalez max-min farthest-point traversal over the corpus's SimHash
+    // sketches — 8 maximally-spread exemplars, each round picking the doc
+    // farthest from its nearest chosen center (exact Hamming, ties on id).
+    // The twin unrolls the identical greedy loop as 8 CTE steps and
+    // replays the string-level Hamming bit-for-bit.
+    QEntry.sql(
+      "sample_kcenter_diverse",
+      s"""WITH sk AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+         |  CASE WHEN 2 * list_sum(list_transform(words, t ->
+         |         ((strpos('0123456789abcdef', substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |          // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2))
+         |       >= len(words) THEN '1' ELSE '0' END), '') AS simhash
+         |  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w),
+         |${kCenterSql(8)}""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Sampling.kCenterGreedy(
+        Dedup.simhash(documents(s, d), "doc_id", "text"),
+        "doc_id",
+        "simhash",
+        k = 8
+      )
     },
 
     // Exact-count stratified sample: every stratum contributes EXACTLY

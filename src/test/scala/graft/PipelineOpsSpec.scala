@@ -1860,6 +1860,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stats.getAs[Long]("saved_ppm") > 0L)
   }
 
+  test("kCenterGreedy: max-min traversal picks the hand-computed order") {
+    val s = spark
+    import s.implicits._
+    val zeros = "0" * 64
+    val ones = "1" * 64
+    val half = "1" * 32 + "0" * 32
+    val nearZero = "0" * 63 + "1"
+    val df = Seq((1L, zeros), (2L, ones), (3L, half), (4L, nearZero))
+      .toDF("id", "sig")
+    val out = graft.operators.Sampling.kCenterGreedy(df, "id", "sig", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // seed = min id; then farthest-first: ones (64), half (min(32,32)=32),
+    // nearZero (min(1,63,31)=1)
+    assert(out.toSeq == Seq((0L, 1L, -1L), (1L, 2L, 64L), (2L, 3L, 32L), (3L, 4L, 1L)),
+      out.mkString(","))
+    // k larger than the frame: stops at 4 rows without error
+    val short = graft.operators.Sampling.kCenterGreedy(df, "id", "sig", k = 9)
+    assert(short.count() == 4)
+  }
+
   test("cslsTopK: hub neighbor demoted below the isolated true match") {
     val s = spark
     import s.implicits._
