@@ -81,7 +81,8 @@ object Plans {
       "txt_ql_dirichlet", "pipe_consistent_hash", "q_kmv_setops",
       "cur_classifier_ece", "txt_ndcg_eval", "sample_apportionment",
       "cur_pii_luhn", "q_sprt_decision", "dedup_cdc_chunks", "dedup_cluster_ari",
-      "ann_csls_topk", "cur_privacy_audit", "sample_kcenter_diverse"
+      "ann_csls_topk", "cur_privacy_audit", "sample_kcenter_diverse",
+      "q_snm_pairs"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

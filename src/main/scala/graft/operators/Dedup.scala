@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -620,6 +621,57 @@ object Dedup {
         col("logical_chars"),
         col("stored_chars"),
         expr("(logical_chars - stored_chars) * 1000000 div logical_chars").as("saved_ppm")
+      )
+  }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995) — the
+    * linkage-blocking complement to equi-join blocks: sort each block by a
+    * fuzzy-match-relevant key and pair every row with its `w` nearest sort
+    * neighbors. Where hash/band blocking misses near-matches that straddle
+    * a band boundary (the documented q_record_linkage recall gap), the
+    * sorted window catches them — adjacent sort positions ARE the
+    * near-in-key pairs, whatever side of a bucket edge they fall on.
+    *
+    * One keyed window per block (no global sort — the block key IS the
+    * shuffle key), `w` lead() columns materialized in a single pass, then
+    * a posexplode; pair count is ≤ w·n, linear in the corpus. Carry
+    * columns ride inside the lead struct so no self-join is ever needed to
+    * recover both sides' payloads.
+    *
+    * @return (blockCols…, id1, id2, gap, <carry>_1, <carry>_2) — gap is
+    *         the sort-rank distance in [1, w]
+    */
+  def sortedNeighborPairs(
+      df: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      sortCols: Seq[String],
+      w: Int,
+      carryCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(blockCols.nonEmpty && w >= 1, "sortedNeighborPairs needs blocks and w >= 1")
+    val win = Window
+      .partitionBy(blockCols.map(col): _*)
+      .orderBy(sortCols.map(col) :+ col(idCol): _*)
+    val payload = struct(col(idCol) +: carryCols.map(col): _*)
+    val leads = array((1 to w).map(j => lead(payload, j).over(win)): _*)
+    df.select(
+      blockCols.map(col) ++
+        (col(idCol).as("id1") +: carryCols.map(c0 => col(c0).as(s"${c0}_1"))) :+
+        leads.as("_ls"): _*
+    ).select(
+      blockCols.map(col) ++
+        (col("id1") +: carryCols.map(c0 => col(s"${c0}_1"))) :+
+        posexplode(col("_ls")).as(Seq("_g", "_p")): _*
+    ).filter(col("_p").isNotNull)
+      .select(
+        blockCols.map(col) ++
+          Seq(
+            col("id1"),
+            col("_p")(idCol).as("id2"),
+            (col("_g") + 1).cast("long").as("gap")
+          ) ++
+          carryCols.flatMap(c0 => Seq(col(s"${c0}_1"), col("_p")(c0).as(s"${c0}_2"))): _*
       )
   }
 

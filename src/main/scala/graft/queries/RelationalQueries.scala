@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{AsOfJoin, Bucketing, Fragmentation, SemiReduce, SkewJoin, ZOrder}
+import graft.operators.{AsOfJoin, Bucketing, Dedup, Fragmentation, SemiReduce, SkewJoin, ZOrder}
 
 /** SQL-operator inventory (SURVEY.md §2.3) plus the general analytics layer a
   * complete engine needs: scans, literal projection, range/equality
@@ -1600,6 +1600,57 @@ object RelationalQueries {
           + when(col("an") === col("bn"), 8L).otherwise(0L)).as("score")
       ).groupBy("score")
         .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // E335 sorted-neighborhood linkage pass ([[Dedup.sortedNeighborPairs]]):
+    // the blocking complement that recovers exactly what q_record_linkage's
+    // $2000 band-blocking documents as lost — near-balance pairs straddling
+    // a band boundary. Blocks on (nation, segment), sorts by exact cents,
+    // pairs each row with its 2 sort neighbors via lead() (one keyed
+    // window, ≤ 2n pairs); the rollup counts close pairs (≤ $100) and how
+    // many of those CROSS a band edge — the recall the equi-join blocks
+    // cannot see.
+    QEntry.sql(
+      "q_snm_pairs",
+      """WITH c AS (SELECT c_custkey AS ck, c_nationkey AS nk, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |l AS (SELECT nk, seg, ck AS id1, cents AS cents_1,
+        |    lead(ck, 1) OVER w AS i2a, lead(cents, 1) OVER w AS c2a,
+        |    lead(ck, 2) OVER w AS i2b, lead(cents, 2) OVER w AS c2b
+        |  FROM c WINDOW w AS (PARTITION BY nk, seg ORDER BY cents, ck)),
+        |p AS (SELECT id1, i2a AS id2, cents_1, c2a AS cents_2 FROM l WHERE i2a IS NOT NULL
+        |  UNION ALL
+        |  SELECT id1, i2b, cents_1, c2b FROM l WHERE i2b IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN abs(cents_1 - cents_2) <= 10000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_close,
+        |  CAST(sum(CASE WHEN abs(cents_1 - cents_2) <= 10000
+        |    AND cents_1 // 200000 != cents_2 // 200000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cross_band_close
+        |FROM p""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val c = customer(s, d).select(
+        col("c_custkey").as("ck"),
+        col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("cents")
+      )
+      Dedup
+        .sortedNeighborPairs(c, "ck", Seq("nk", "seg"), Seq("cents"), w = 2,
+          carryCols = Seq("cents"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(abs(col("cents_1") - col("cents_2")) <= 10000, 1L).otherwise(0L))
+            .cast("long")
+            .as("n_close"),
+          sum(
+            when(
+              abs(col("cents_1") - col("cents_2")) <= 10000 &&
+                expr("cents_1 div 200000") =!= expr("cents_2 div 200000"),
+              1L
+            ).otherwise(0L)
+          ).cast("long").as("n_cross_band_close")
+        )
     },
 
     // Snapshot reconciliation: classify every key across two table

@@ -1860,6 +1860,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stats.getAs[Long]("saved_ppm") > 0L)
   }
 
+  test("sortedNeighborPairs: window pairs within blocks, catches band-straddlers") {
+    val s = spark
+    import s.implicits._
+    // block X sorted by v: ids 1(98) 2(101) 3(300); block Y: id 4 alone
+    val df = Seq((1L, "X", 98L), (2L, "X", 101L), (3L, "X", 300L), (4L, "Y", 50L))
+      .toDF("id", "blk", "v")
+    val out = graft.operators.Dedup
+      .sortedNeighborPairs(df, "id", Seq("blk"), Seq("v"), w = 2, carryCols = Seq("v"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    // pairs: (1,2,gap1) (1,3,gap2) (2,3,gap1); singleton block Y yields none
+    assert(out == Set((1L, 2L, 1L, 98L, 101L), (1L, 3L, 2L, 98L, 300L),
+      (2L, 3L, 1L, 101L, 300L)), out.toString)
+    // the (98, 101) pair is close (diff 3) but straddles the v div 100
+    // bucket edge — the pair equi-join bucket blocking misses
+    val straddler = out.find(p => (p._4 - p._5).abs <= 10 && p._4 / 100 != p._5 / 100)
+    assert(straddler.nonEmpty)
+  }
+
   test("kCenterGreedy: max-min traversal picks the hand-computed order") {
     val s = spark
     import s.implicits._
