@@ -1225,6 +1225,48 @@ object AnalyticsQueries {
       )
     },
 
+    // E336 day-over-day EMD drift ([[TimeSeries.emdDriftByPeriod]]): exact
+    // integer 1-D Wasserstein between consecutive days' event-value band
+    // distributions — the adjacency-aware, empty-bin-safe complement to
+    // q_psi_drift. One (day, band) partial agg; the rest runs on the
+    // days×bands grid. The twin replays the identical prefix-sum algebra.
+    QEntry.sql(
+      "q_emd_drift",
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS p,
+        |    CAST(floor(value / 20) AS BIGINT) AS b FROM events),
+        |c AS (SELECT p, b, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY p, b),
+        |pt AS (SELECT p, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY p),
+        |pi AS (SELECT p, nt, CAST(row_number() OVER (ORDER BY p) AS BIGINT) AS idx
+        |  FROM pt),
+        |bs AS (SELECT DISTINCT b FROM c),
+        |g AS (SELECT pi.p, pi.idx, pi.nt, bs.b, COALESCE(c.n, 0) AS n
+        |  FROM pi CROSS JOIN bs LEFT JOIN c ON pi.p = c.p AND bs.b = c.b),
+        |cm AS (SELECT p, idx, nt, b,
+        |    sum(n) OVER (PARTITION BY p ORDER BY b ROWS UNBOUNDED PRECEDING) AS cp
+        |  FROM g),
+        |j AS (SELECT cur.p AS period, prv.p AS prev_period, cur.nt AS n_cur,
+        |    prv.nt AS n_prev, cur.cp AS cpv, prv.cp AS cqv
+        |  FROM cm cur JOIN cm prv ON cur.idx = prv.idx + 1 AND cur.b = prv.b),
+        |a AS (SELECT period, prev_period, n_cur, n_prev,
+        |    CAST(sum(abs(cpv * n_prev - cqv * n_cur)) AS BIGINT) AS dsum,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM j GROUP BY period, prev_period, n_cur, n_prev)
+        |SELECT period, prev_period, n_cur, n_prev,
+        |  CAST(CASE WHEN m <= 1 THEN 0
+        |    ELSE dsum * 1000000 // (n_cur * n_prev * (m - 1)) END AS BIGINT)
+        |    AS emd_ppm
+        |FROM a""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      TimeSeries.emdDriftByPeriod(
+        events(s, d).select(
+          date_format(col("ts"), "yyyy-MM-dd").as("p"),
+          floor(col("value") / 20).cast("long").as("b")
+        ),
+        "p",
+        "b"
+      )
+    },
+
     // calendar-bounded series (partitioned by a constant key — single
     // partition by design, ~100 rows, not a data-sized global window). The
     // normalized statistic is one division of two exact BIGINTs.

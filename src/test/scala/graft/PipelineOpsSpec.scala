@@ -1860,6 +1860,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stats.getAs[Long]("saved_ppm") > 0L)
   }
 
+  test("emdDriftByPeriod: full one-band shift = 1e6 ppm, identical periods = 0") {
+    val s = spark
+    import s.implicits._
+    // d1 all band 0, d2 all band 1 (full shift → EMD 1), d3 ≡ d2 (→ 0)
+    val df = Seq(
+      ("d1", 0L), ("d1", 0L), ("d2", 1L), ("d2", 1L), ("d3", 1L), ("d3", 1L)
+    ).toDF("p", "b")
+    val out = graft.operators.TimeSeries.emdDriftByPeriod(df, "p", "b")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getAs[Long]("emd_ppm"))))
+      .toMap
+    assert(out == Map("d2" -> (("d1", 1000000L)), "d3" -> (("d2", 0L))), out.toString)
+    // half shift: d2' = one row each band vs d1 all band0 → EMD 1/2
+    val half = Seq(("d1", 0L), ("d1", 0L), ("d2", 0L), ("d2", 1L)).toDF("p", "b")
+    val o2 = graft.operators.TimeSeries.emdDriftByPeriod(half, "p", "b")
+      .collect().map(r => r.getAs[Long]("emd_ppm")).toSeq
+    assert(o2 == Seq(500000L), o2.toString)
+  }
+
   test("sortedNeighborPairs: window pairs within blocks, catches band-straddlers") {
     val s = spark
     import s.implicits._
