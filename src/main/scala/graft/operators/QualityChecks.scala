@@ -54,6 +54,40 @@ object QualityChecks {
   def reportAll(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_))
 
+  /** Histogram-Based Outlier Score (Goldstein & Dengel 2012) over
+    * ALREADY-DISCRETIZED feature columns: hbos(row) = Σ_f −ln(p_f(row)),
+    * the log-product of inverse per-feature bin frequencies — the
+    * embarrassingly-parallel unsupervised outlier detector (no pairwise
+    * distances, no iterations) that screens event streams before the
+    * heavier per-group z-score/IQR fences. Assumes feature independence
+    * by construction — that trade-off IS the speed.
+    *
+    * Each feature costs one partial-agg frequency table (bin-cardinality
+    * rows, broadcast back) — the row side is touched once, every join is
+    * a broadcast hash join, the whole score is one codegen'd projection.
+    * Per-term −ln quantizes to 9-dp DECIMAL before the cross-feature sum
+    * (no float sum-order), one final rounded cast.
+    *
+    * @return input columns + `hbos` (rounded to 6 dp)
+    */
+  def hbosScores(df: DataFrame, idCol: String, featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "hbosScores needs at least one feature column")
+    val tot = df.agg(count(lit(1)).cast("long").as("_nt"))
+    var cur = df
+      .select(col(idCol) +: featureCols.map(col): _*)
+      .crossJoin(broadcast(tot))
+    featureCols.foreach { f =>
+      val freq = df.groupBy(col(f)).agg(count(lit(1)).cast("long").as(s"_nf_$f"))
+      cur = cur.join(broadcast(freq), f)
+    }
+    val terms = featureCols.map { f =>
+      round(-log(col(s"_nf_$f").cast("double") / col("_nt")), 9).cast("decimal(18,9)")
+    }
+    cur
+      .withColumn("hbos", round(terms.reduce(_ + _).cast("double"), 6))
+      .select(col(idCol) +: featureCols.map(col) :+ col("hbos"): _*)
+  }
+
   private def report(name: String, violations: DataFrame): DataFrame =
     violations
       .agg(count(lit(1)).as("violations"))

@@ -290,6 +290,45 @@ object StatQueries {
         .select(col("event_id"), col("event_type"), col("v").as("value"), round(z, 4).as("z"))
     },
 
+    // E337 HBOS outliers ([[QualityChecks.hbosScores]]): histogram-based
+    // outlier score over two discretized features (value band, hour of
+    // day) — Σ −ln(bin frequency), the no-distances no-iterations
+    // unsupervised screen (Goldstein & Dengel 2012) that runs before the
+    // per-group z-score fence. Per-term −ln quantizes to 9-dp DECIMAL
+    // before the sum; top-20 cut ties on event_id; twin replays the
+    // identical joins and ladder.
+    QEntry.sql(
+      "q_hbos_outliers",
+      """WITH e AS (SELECT event_id, CAST(floor(value / 20) AS BIGINT) AS vb,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod FROM events),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM e),
+        |f1 AS (SELECT vb, CAST(count(*) AS BIGINT) AS n1 FROM e GROUP BY vb),
+        |f2 AS (SELECT hod, CAST(count(*) AS BIGINT) AS n2 FROM e GROUP BY hod),
+        |sc AS (SELECT e.event_id, e.vb, e.hod,
+        |    round(CAST(
+        |      CAST(round(-ln(CAST(n1 AS DOUBLE) / nt), 9) AS DECIMAL(18,9)) +
+        |      CAST(round(-ln(CAST(n2 AS DOUBLE) / nt), 9) AS DECIMAL(18,9))
+        |      AS DOUBLE), 6) AS hbos
+        |  FROM e CROSS JOIN t JOIN f1 USING (vb) JOIN f2 USING (hod))
+        |SELECT event_id, vb, hod, hbos FROM (
+        |  SELECT event_id, vb, hod, hbos,
+        |    row_number() OVER (ORDER BY hbos DESC, event_id) AS rn FROM sc) q
+        |WHERE rn <= 20""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      QualityChecks
+        .hbosScores(
+          events(s, d).select(
+            col("event_id"),
+            floor(col("value") / 20).cast("long").as("vb"),
+            hour(col("ts")).cast("long").as("hod")
+          ),
+          "event_id",
+          Seq("vb", "hod")
+        )
+        .orderBy(col("hbos").desc, col("event_id"))
+        .limit(20)
+    },
+
     // Rolling 7-day distinct active users per event type. Spark lacks
     // DISTINCT window aggregates — size(collect_set) over a RANGE frame is
     // the equivalent (bounded by the window's user count); the day-grain

@@ -102,4 +102,20 @@ class ProfilingSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach(r => assert(math.abs(r.getAs[Double]("z")) >= 3.0, r.toString))
   }
+
+  test("hbosScores: rare-bin rows score highest, exact -ln sum") {
+    val s = spark
+    import s.implicits._
+    // feature a: 9× bin 0, 1× bin 1; feature b: uniform (no signal)
+    val df = (0 until 10).map(i => (i.toLong, if (i == 9) 1L else 0L, i.toLong % 2))
+      .toDF("id", "fa", "fb")
+    val out = graft.operators.QualityChecks.hbosScores(df, "id", Seq("fa", "fb"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("hbos")).toMap
+    // row 9: -ln(1/10) - ln(5/10); others: -ln(9/10) - ln(5/10)
+    val rare = math.rint((-math.log(0.1) - math.log(0.5)) * 1e6) / 1e6
+    val common = math.rint((-math.log(0.9) - math.log(0.5)) * 1e6) / 1e6
+    assert(math.abs(out(9L) - rare) < 2e-6, out.toString)
+    assert(math.abs(out(0L) - common) < 2e-6, out.toString)
+    assert(out(9L) > out(0L))
+  }
 }
