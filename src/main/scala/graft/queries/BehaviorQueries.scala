@@ -195,6 +195,51 @@ object BehaviorQueries {
         )
     },
 
+    // E338 sequential pattern support: contiguous length-3 event-type
+    // patterns per user stream (the GSP/PrefixSpan screening pass restricted
+    // to contiguous windows — the variant whose candidate count stays LINEAR
+    // in the stream instead of exploding combinatorially), ranked by
+    // distinct-USER support (how many users exhibit it at least once, the
+    // pattern-mining support notion) with raw occurrences alongside. Two
+    // leads in one keyed window, one partial-agg shuffle over ≤|types|³
+    // keys, TakeOrdered top-15 (support, occurrences, pattern — total
+    // order).
+    QEntry.sql(
+      "q_seq_patterns",
+      """WITH tri AS (
+        |  SELECT user_id,
+        |    event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        |  FROM events),
+        |p AS (SELECT user_id, t1 || '>' || t2 || '>' || t3 AS pattern FROM tri
+        |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+        |a AS (SELECT pattern, CAST(count(DISTINCT user_id) AS BIGINT) AS support_users,
+        |    CAST(count(*) AS BIGINT) AS occurrences
+        |  FROM p GROUP BY pattern)
+        |SELECT pattern, support_users, occurrences FROM a
+        |ORDER BY support_users DESC, occurrences DESC, pattern LIMIT 15"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(
+          col("user_id"),
+          col("event_type").as("t1"),
+          lead("event_type", 1).over(w).as("t2"),
+          lead("event_type", 2).over(w).as("t3")
+        )
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .select(col("user_id"), concat_ws(">", col("t1"), col("t2"), col("t3")).as("pattern"))
+        .groupBy("pattern")
+        .agg(
+          countDistinct(col("user_id")).cast("long").as("support_users"),
+          count(lit(1)).cast("long").as("occurrences")
+        )
+        .orderBy(col("support_users").desc, col("occurrences").desc, col("pattern"))
+        .limit(15)
+    },
+
     // Skyline (Pareto frontier) per priority class: orders not dominated on
     // (price, date) — dominated means some STRICTLY pricier order in the
     // class is also at least as recent. The classic quadratic NOT EXISTS is

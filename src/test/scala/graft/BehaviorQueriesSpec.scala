@@ -45,6 +45,29 @@ class BehaviorQueriesSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L)))
   }
 
+  test("q_seq_patterns: contiguous trigram support counts users, not occurrences") {
+    // user 1: a b c a b c → a>b>c twice (1 user), b>c>a once, c>a>b once
+    // user 2: a b c       → a>b>c once (2nd user)
+    val dir = eventsDir(
+      Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map { case (t, i) =>
+        (i.toLong, 1000L + i, 1L, t, 1.0)
+      } ++ Seq("a", "b", "c").zipWithIndex.map { case (t, i) =>
+        (100L + i, 2000L + i, 2L, t, 1.0)
+      }
+    )
+    val out = SparkEntry
+      .queries("q_seq_patterns")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("a>b>c") == ((2L, 3L)), out.toString)
+    assert(out("b>c>a") == ((1L, 1L)))
+    assert(out("c>a>b") == ((1L, 1L)))
+    // ranking: a>b>c first (max support)
+    val first = SparkEntry.queries("q_seq_patterns")(spark, dir).collect().head
+    assert(first.getString(0) == "a>b>c")
+  }
+
   test("q_event_pattern_match: error→purchase without signup in between") {
     val dir = eventsDir(
       Seq(
