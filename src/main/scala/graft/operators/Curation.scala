@@ -496,6 +496,75 @@ object Curation {
       .select("bin", "n_docs", "conf_ppm", "acc_ppm", "gap_ppm", "ece_ppm")
   }
 
+  /** Precision/recall/F1 threshold sweep for a ppm-scored binary
+    * classifier — the operating-point picker that pairs with
+    * [[calibrationReport]] (calibration says whether the score is honest;
+    * this says where to CUT it). One row per decision threshold
+    * k·(10^6/bins): predict positive when score_ppm lands in bin ≥ k, so
+    * TP/FP at every threshold come from ONE descending cumulative window
+    * over the bins-row bin table — the data is touched once by the binning
+    * aggregate, never per-threshold. All counts exact BIGINT; P/R/F1 are
+    * exact integer ppm with zero-denominator → 0 conventions.
+    *
+    * @return one row per threshold: (threshold_ppm, tp, fp, fn,
+    *         precision_ppm, recall_ppm, f1_ppm)
+    */
+  def prCurve(
+      scored: DataFrame,
+      scorePpmCol: String,
+      labelCol: String,
+      bins: Int = 10
+  ): DataFrame = {
+    val c = scored
+      .select(
+        expr(s"least($scorePpmCol * $bins div 1000000L, ${bins - 1}L)")
+          .cast("long").as("_bin"),
+        when(col(labelCol), 1L).otherwise(0L).as("_y")
+      )
+      .groupBy(col("_bin"))
+      .agg(
+        sum(col("_y")).cast("long").as("_np"),
+        sum(lit(1L) - col("_y")).cast("long").as("_nn")
+      )
+    val grid = scored.sparkSession
+      .range(bins)
+      .select(col("id").cast("long").as("_bin"))
+      .join(c, Seq("_bin"), "left")
+      .na
+      .fill(0L, Seq("_np", "_nn"))
+    val wDesc = Window
+      .partitionBy(lit(0))
+      .orderBy(col("_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum(col("_np")).cast("long").as("_post"))
+    grid
+      .withColumn("tp", sum(col("_np")).over(wDesc).cast("long"))
+      .withColumn("fp", sum(col("_nn")).over(wDesc).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(
+        expr(s"_bin * (1000000L div $bins)").cast("long").as("threshold_ppm"),
+        col("tp"),
+        col("fp"),
+        (col("_post") - col("tp")).as("fn"),
+        when(col("tp") + col("fp") === 0, 0L)
+          .otherwise(expr("tp * 1000000L div (tp + fp)"))
+          .cast("long")
+          .as("precision_ppm"),
+        when(col("_post") === 0, 0L)
+          .otherwise(expr("tp * 1000000L div _post"))
+          .cast("long")
+          .as("recall_ppm")
+      )
+      .withColumn(
+        "f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") === 0, 0L)
+          .otherwise(
+            expr("2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)")
+          )
+          .cast("long")
+      )
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4), deterministic: a
     * span STARTS at token `p` of a document iff the md5 hash position of
     * `"<id>:<p>"` falls below `rate / spanLen` — the same engine/run/

@@ -585,6 +585,79 @@ object CurationQueries {
       Curation.calibrationReport(scored, "s_ppm", "y", bins = 10)
     },
 
+    // E339 precision/recall threshold sweep ([[Curation.prCurve]]) for the
+    // same hashed-feature classifier, labeled n_chars ≥ 300 (a balanced
+    // label at every sf — the ≥ 1000 calibration label is all-negative
+    // here, fine for ECE, degenerate for PR): one descending cumulative
+    // window over the 10-bin table yields TP/FP at every threshold from a
+    // single data pass; P/R/F1 exact integer ppm with 0-denominator → 0.
+    QEntry.sql(
+      "cur_pr_curve",
+      s"""WITH wt AS (SELECT b AS bucket,
+         |    CAST(round(CAST(list_sum(list_transform(range(1, 9), i ->
+         |      (strpos('0123456789abcdef',
+         |              substr(md5('qw|' || CAST(b AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+         |      * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0 * 2 - 1, 9)
+         |      AS DECIMAL(18,9)) AS w
+         |  FROM (SELECT unnest(range(0, 256)) AS b) t),
+         |tk AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9), i ->
+         |      (strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1)
+         |      * pow(16, 8 - i))) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest($wordsSql) AS t FROM documents) x WHERE t <> ''),
+         |agg AS (SELECT tk.doc_id, round(CAST(CAST(sum(wt.w) AS DECIMAL(28,9))
+         |      AS DOUBLE) / count(*), 6) AS logit
+         |  FROM tk JOIN wt ON tk.b = wt.bucket GROUP BY tk.doc_id),
+         |sc AS (SELECT d.doc_id,
+         |    greatest(least(CAST(floor((COALESCE(agg.logit, 0.0) + 1.0) * 500000)
+         |      AS BIGINT), 1000000), 0) AS s_ppm,
+         |    d.n_chars >= 300 AS y
+         |  FROM documents d LEFT JOIN agg USING (doc_id)),
+         |bi AS (SELECT least(s_ppm * 10 // 1000000, 9) AS bin,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM sc GROUP BY bin),
+         |g AS (SELECT t.b AS bin, COALESCE(bi.np, 0) AS np, COALESCE(bi.nn, 0) AS nn
+         |  FROM (SELECT unnest(range(0, 10)) AS b) t LEFT JOIN bi ON t.b = bi.bin),
+         |cm AS (SELECT bin,
+         |    CAST(sum(np) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS tp,
+         |    CAST(sum(nn) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS fp,
+         |    CAST((SELECT sum(np) FROM g) AS BIGINT) AS post
+         |  FROM g),
+         |f AS (SELECT CAST(bin * 100000 AS BIGINT) AS threshold_ppm, tp, fp,
+         |    post - tp AS fn,
+         |    CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END
+         |      AS precision_ppm,
+         |    CASE WHEN post = 0 THEN 0 ELSE tp * 1000000 // post END AS recall_ppm
+         |  FROM cm)
+         |SELECT threshold_ppm, tp, fp, fn, precision_ppm, recall_ppm,
+         |  CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+         |    ELSE 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm) END
+         |    AS BIGINT) AS f1_ppm
+         |FROM f""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val wtab = s.range(256).select(
+        col("id").as("bucket"),
+        round(
+          conv(substring(md5(concat(lit("qw|"), col("id").cast("string"))), 1, 8), 16, 10)
+            .cast("double") / lit(4294967296.0) * 2 - 1,
+          9
+        ).cast("decimal(18,9)").as("weight")
+      )
+      val scored = Curation
+        .linearQualityScore(documents(s, d), "doc_id", "text", wtab, 256)
+        .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        .select(
+          greatest(
+            least(floor((col("logit") + 1.0) * 500000).cast("long"), lit(1000000L)),
+            lit(0L)
+          ).as("s_ppm"),
+          (col("n_chars") >= 300).as("y")
+        )
+      Curation.prCurve(scored, "s_ppm", "y", bins = 10)
+    },
+
     // Mixture concentration (Herfindahl–Hirschman index) of the source
     // mix: HHI = Σ shareᵢ² in exact ppm — the single number a curation
     // run monitors to catch one source swamping the blend (1/HHI = the

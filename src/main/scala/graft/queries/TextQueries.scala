@@ -88,6 +88,47 @@ object TextQueries {
       )
     },
 
+    // E340 language-ID confusion matrix: the langid heuristic evaluated
+    // against the corpus's ground-truth lang label — per (actual, guessed)
+    // cell count plus the within-language share in exact ppm, the accuracy
+    // read a pipeline runs before trusting lang gates (txt_langid emits
+    // per-doc guesses; this is the EVAL over them). Two partial aggs, one
+    // broadcast of the per-lang totals.
+    QEntry.sql(
+      "txt_langid_confusion", {
+        val scoreDefs = langScoreSql.map { case (c, e) => s"$e AS s_$c" }.mkString(", ")
+        val best = langScoreSql.map { case (c, _) => s"s_$c" }.mkString("greatest(", ", ", ")")
+        val cases = langScoreSql.map { case (c, _) => s"WHEN s_$c = m THEN '$c'" }.mkString(" ")
+        s"""WITH g AS (
+           |  SELECT doc_id, lang, CASE WHEN m = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess
+           |  FROM (SELECT doc_id, lang, $best AS m, s_en, s_de, s_es, s_fr, s_zh
+           |        FROM (SELECT doc_id, lang, $scoreDefs FROM documents) t1) t2),
+           |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS lt FROM g GROUP BY lang)
+           |SELECT g.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(*) * 1000000 // max(t.lt) AS BIGINT) AS row_ppm,
+           |  (g.lang = g.lang_guess) AS is_hit
+           |FROM g JOIN t ON g.lang = t.lang GROUP BY g.lang, g.lang_guess"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val g = documents(s, d).select(
+        col("doc_id"),
+        col("lang"),
+        langId(col("text")).as("lang_guess")
+      )
+      val t = g.groupBy("lang").agg(count(lit(1)).cast("long").as("_lt"))
+      g.join(broadcast(t), "lang")
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).cast("long").as("n"), max(col("_lt")).as("_lt"))
+        .select(
+          col("lang"),
+          col("lang_guess"),
+          col("n"),
+          expr("n * 1000000 div _lt").cast("long").as("row_ppm"),
+          (col("lang") === col("lang_guess")).as("is_hit")
+        )
+    },
+
     // Normalized-content fingerprint (md5 of casefolded, punct-collapsed text).
     QEntry.sql(
       "txt_fingerprint",

@@ -272,6 +272,29 @@ class CurationSpec extends SparkSpec {
     assert(v.filter(Curation.luhnValid(col("d")) =!= col("want")).count() == 0)
   }
 
+  test("prCurve: hand-computed confusion counts across thresholds") {
+    val s = spark
+    import s.implicits._
+    // scores 50k/150k/.../950k (bins 0..9), label = top 4 bins positive
+    val df = (0 until 10).map(i => (i * 100000L + 50000L, i >= 6)).toDF("s", "y")
+    val out = graft.operators.Curation.prCurve(df, "s", "y", bins = 10)
+      .collect()
+      .map(r => r.getAs[Long]("threshold_ppm") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          r.getAs[Long]("precision_ppm"), r.getAs[Long]("recall_ppm"))))
+      .toMap
+    // t=0: everything positive → P = 4/10, R = 1
+    assert(out(0L) == ((4L, 6L, 0L, 400000L, 1000000L)), out.toString)
+    // t=600000: exactly the 4 positives → P = R = 1
+    assert(out(600000L) == ((4L, 0L, 0L, 1000000L, 1000000L)))
+    // t=800000: 2 of 4 → P = 1, R = 1/2
+    assert(out(800000L) == ((2L, 0L, 2L, 1000000L, 500000L)))
+    // F1 at t=0: 2·0.4·1/(1.4) ppm, integral division
+    val f1 = graft.operators.Curation.prCurve(df, "s", "y", bins = 10)
+      .filter(col("threshold_ppm") === 0L).collect().head.getAs[Long]("f1_ppm")
+    assert(f1 == 2L * 400000L * 1000000L / 1400000L, f1.toString)
+  }
+
   test("privacyAudit: hand-computed l-diversity and exact 1-D EMD") {
     val s = spark
     import s.implicits._
