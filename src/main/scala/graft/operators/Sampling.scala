@@ -38,6 +38,62 @@ object Sampling {
   def splitTag(key: Column, testFraction: Double): Column =
     when(hashPosition(key) < testFraction, lit("test")).otherwise(lit("train"))
 
+  /** Leakage-safe train/test split report: the split is assigned at the
+    * NEAR-DUP-CLUSTER level (hash of the cluster id), never per document —
+    * a near-duplicate of a test document in the training set is exactly the
+    * contamination a held-out set exists to prevent, and per-doc hash
+    * splitting produces it whenever a cluster's members hash to different
+    * sides. One row per split with the doc/cluster census plus
+    * `naive_leaky_docs`: how many of this split's documents live in a
+    * cluster that per-DOC hashing would have straddled across splits — the
+    * leak this operator prevents, measured on the same corpus.
+    *
+    * Shuffle shape: two partial aggregates keyed on the cluster id and a
+    * data-sized equi-join on the same key (co-partitioned — one exchange
+    * feeds both), then a 2-row rollup. Nothing global, nothing all-pairs;
+    * singleton clusters (the overwhelming mass of a deduped corpus) cost
+    * one row each.
+    *
+    * @param clusters (document id, cluster id) — e.g. [[Dedup.dedupClusters]]
+    * @return one row per split: (split, n_docs, n_clusters, docs_ppm,
+    *         naive_leaky_docs)
+    */
+  def clusterSafeSplitReport(
+      clusters: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      testFraction: Double
+  ): DataFrame = {
+    val tagged = clusters.select(
+      col(idCol).as("_id"),
+      col(clusterCol).as("_cl"),
+      splitTag(col(clusterCol), testFraction).as("split"),
+      splitTag(col(idCol), testFraction).as("_naive")
+    )
+    val straddle = tagged
+      .groupBy(col("_cl"))
+      .agg(countDistinct(col("_naive")).as("_nsplits"))
+    val tot = tagged.agg(count(lit(1)).cast("long").as("_tot"))
+    tagged
+      .join(straddle, "_cl")
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("_cl")).cast("long").as("n_clusters"),
+        sum(when(col("_nsplits") > 1, 1L).otherwise(0L))
+          .cast("long")
+          .as("naive_leaky_docs")
+      )
+      .crossJoin(broadcast(tot))
+      .select(
+        col("split"),
+        col("n_docs"),
+        col("n_clusters"),
+        expr("n_docs * 1000000L div _tot").cast("long").as("docs_ppm"),
+        col("naive_leaky_docs")
+      )
+  }
+
   /** Deterministic training-order shard shuffle: every row gets a shard
     * (hash of key mod `nShards`) and a position within its shard (ordered
     * by key hash) — a reproducible pseudo-random global permutation, the

@@ -1736,6 +1736,67 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // E341 leakage-safe cluster-level split ([[Sampling.clusterSafeSplitReport]]):
+    // train/test assigned by hashing the NEAR-DUP CLUSTER id, with the leak a
+    // per-doc hash split would have caused measured alongside. Planted
+    // duplicates (every 20th doc re-ingested under a shifted id) make the
+    // clusters real: each (d, d+1000000) pair must land on ONE side, while
+    // doc-level hashing straddles ~2·f·(1−f) of them — the nonzero
+    // naive_leaky_docs this entry exists to surface. The twin replays
+    // band → CC fixpoint → both hash splits over the same union corpus.
+    QEntry.sql(
+      "sample_cluster_split", {
+        def hp(x: String) =
+          s"""CAST(list_sum(list_transform(range(1, 9), i ->
+             |  (strpos('0123456789abcdef',
+             |          substr(md5(CAST($x AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+             |  * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0""".stripMargin
+        val bands = bandsSqlOver("corpus")
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM ($bands) a JOIN ($bands) b
+           |  ON a.band = b.band AND a.doc_id < b.doc_id),
+           |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM corpus
+           |  UNION
+           |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id),
+           |docs2 AS (SELECT id, min(comp) AS cl FROM cc GROUP BY id),
+           |tagged AS (SELECT id, cl,
+           |    CASE WHEN ${hp("cl")} < 0.2 THEN 'test' ELSE 'train' END AS split,
+           |    CASE WHEN ${hp("id")} < 0.2 THEN 'test' ELSE 'train' END AS naive
+           |  FROM docs2),
+           |straddle AS (SELECT cl, count(DISTINCT naive) AS ns
+           |             FROM tagged GROUP BY cl)
+           |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT t.cl) AS BIGINT) AS n_clusters,
+           |  CAST(count(*) * 1000000 // (SELECT count(*) FROM docs2) AS BIGINT)
+           |    AS docs_ppm,
+           |  CAST(sum(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS naive_leaky_docs
+           |FROM tagged t JOIN straddle s ON t.cl = s.cl GROUP BY split"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val corpus = docs
+        .select(col("doc_id"), col("text"))
+        .unionAll(
+          docs
+            .filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        )
+      val clusters = Dedup
+        .dedupClusters(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("cluster_id"))
+      Sampling.clusterSafeSplitReport(clusters, "doc_id", "cluster_id", 0.2)
+    },
+
     // Incremental-ingest dedup: new documents (odd ids) kept only if their
     // content hash is absent from the existing corpus (even ids) — the
     // anti-join shape every continuous ingestion pipeline runs per batch

@@ -1999,4 +1999,40 @@ class PipelineOpsSpec extends SparkSpec {
     val frac = moved.size.toDouble / 500
     assert(frac > 0.02 && frac < 0.35, s"moved fraction $frac out of band (~1/9 expected)")
   }
+
+  test("clusterSafeSplitReport: cluster-unanimous splits, exact leak census") {
+    val s = spark
+    import s.implicits._
+    // 3 clusters: {1,2,3} (cluster 1), {10,11} (cluster 10), {20} singleton.
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L)
+    ).toDF("doc_id", "cluster_id")
+    val rep = graft.operators.Sampling
+      .clusterSafeSplitReport(clusters, "doc_id", "cluster_id", 0.5)
+      .collect()
+    // every doc of a cluster lands on ONE side: per-split cluster/doc counts
+    // must re-partition the input exactly
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == 6L)
+    assert(rep.map(_.getAs[Long]("n_clusters")).sum == 3L)
+    assert(rep.map(_.getAs[Long]("docs_ppm")).sum >= 999998L)
+    // the leak census replays the per-doc hash independently: recompute it
+    val naive = clusters
+      .select(col("doc_id"), col("cluster_id"),
+        graft.operators.Sampling.splitTag(col("doc_id"), 0.5).as("naive"),
+        graft.operators.Sampling.splitTag(col("cluster_id"), 0.5).as("split"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[String]("naive"), r.getAs[String]("split")))
+    val straddling = naive.groupBy(_._2).filter(_._2.map(_._3).distinct.size > 1).keySet
+    val wantLeaks = naive.filter(t => straddling(t._2)).groupBy(_._4)
+      .view.mapValues(_.length.toLong).toMap
+    rep.foreach { r =>
+      assert(r.getAs[Long]("naive_leaky_docs") ==
+        wantLeaks.getOrElse(r.getAs[String]("split"), 0L), r.toString)
+    }
+    // and the split really is a pure function of cluster_id
+    assert(naive.groupBy(_._2).values.forall(_.map(_._4).distinct.size == 1))
+  }
 }
