@@ -83,7 +83,8 @@ object Plans {
       "cur_pii_luhn", "q_sprt_decision", "dedup_cdc_chunks", "dedup_cluster_ari",
       "ann_csls_topk", "cur_privacy_audit", "sample_kcenter_diverse",
       "q_snm_pairs", "q_emd_drift", "q_hbos_outliers", "q_seq_patterns",
-      "cur_pr_curve", "txt_langid_confusion", "sample_cluster_split"
+      "cur_pr_curve", "txt_langid_confusion", "sample_cluster_split",
+      "cur_padding_waste"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

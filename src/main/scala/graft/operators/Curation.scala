@@ -165,6 +165,58 @@ object Curation {
     ).withColumn("pack_id", floor((sum("n_tokens").over(w) - 1) / budget).cast("bigint"))
   }
 
+  /** Length-bucketed batching report: docs padded to the next multiple of
+    * `bucketWidth` tokens batch with near-zero waste, vs padding everything
+    * to the corpus max — the throughput read that decides a training run's
+    * bucketing config before any GPU burns a cycle on pad tokens. Per
+    * bucket: doc count, real tokens, pad tokens, waste share; every row also
+    * carries `global_pad_ppm`, the waste of the UNBUCKETED pad-to-max
+    * baseline on the same corpus, so the win is read off one frame.
+    *
+    * One data-sized partial aggregate (bucket count is tokens/width —
+    * tiny); the baseline scalar is a broadcast crossJoin of the bucket
+    * table's own rollup, so the corpus is touched exactly once. All exact
+    * BIGINT; ppm by integer division.
+    *
+    * @param df      one row per doc with an integral token count
+    * @return one row per occupied bucket: (bucket, n_docs, sum_tokens,
+    *         pad_tokens, waste_ppm, global_pad_ppm)
+    */
+  def paddingWasteReport(df: DataFrame, tokensCol: String, bucketWidth: Int): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val buckets = df
+      .select(
+        expr(s"(($tokensCol + ${bucketWidth - 1}L) div ${bucketWidth}L) * ${bucketWidth}L")
+          .cast("long")
+          .as("bucket"),
+        col(tokensCol).cast("long").as("_t")
+      )
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_t")).cast("long").as("sum_tokens")
+      )
+    val global = buckets.agg(
+      max(col("bucket")).as("_mb"),
+      sum(col("n_docs")).cast("long").as("_n"),
+      sum(col("sum_tokens")).cast("long").as("_s")
+    )
+    buckets
+      .crossJoin(broadcast(global))
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        col("sum_tokens"),
+        (col("bucket") * col("n_docs") - col("sum_tokens")).as("pad_tokens"),
+        expr("(bucket * n_docs - sum_tokens) * 1000000L div (bucket * n_docs)")
+          .cast("long")
+          .as("waste_ppm"),
+        expr("(_mb * _n - _s) * 1000000L div (_mb * _n)")
+          .cast("long")
+          .as("global_pad_ppm")
+      )
+  }
+
   /** Quality-quantile band filter: keep documents whose heuristic quality
     * score sits in the [lo, hi] percentile band WITHIN each stratum (the
     * standard "drop the worst X% and the suspicious best Y%" curation step,

@@ -281,6 +281,33 @@ object CurationQueries {
       Curation.packByTokenBudget(documents(s, d), Seq("lang"), "doc_id", "text", 500)
     },
 
+    // E342 length-bucketed padding-waste report ([[Curation.paddingWasteReport]]):
+    // pad-to-next-64 bucketing vs pad-to-corpus-max, the batching-efficiency
+    // read that decides a training run's bucket config. One bucket-keyed
+    // partial agg; the unbucketed baseline rides every row as a broadcast
+    // scalar. All exact BIGINT, ppm by integer division.
+    QEntry.sql(
+      "cur_padding_waste",
+      s"""WITH t AS (SELECT CAST(len($wordsSql) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT ((n_tokens + 63) // 64) * 64 AS bucket,
+         |        CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |      FROM t GROUP BY 1),
+         |g AS (SELECT max(bucket) AS mb, sum(n_docs) AS n, sum(sum_tokens) AS s FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, sum_tokens,
+         |  CAST(bucket * n_docs - sum_tokens AS BIGINT) AS pad_tokens,
+         |  CAST((bucket * n_docs - sum_tokens) * 1000000 // (bucket * n_docs) AS BIGINT)
+         |    AS waste_ppm,
+         |  CAST((g.mb * g.n - g.s) * 1000000 // (g.mb * g.n) AS BIGINT) AS global_pad_ppm
+         |FROM b, g""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val toks = documents(s, d)
+        .select(
+          graft.functions.TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens")
+        )
+      Curation.paddingWasteReport(toks, "n_tokens", 64)
+    },
+
     // Quality-quantile band filter: keep the [20%, 80%] quality band per
     // language (drop the worst and the suspicious best). percent_rank is the
     // exact rational (rank-1)/(n-1) — engine-deterministic, no rounding.

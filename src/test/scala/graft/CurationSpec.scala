@@ -295,6 +295,27 @@ class CurationSpec extends SparkSpec {
     assert(f1 == 2L * 400000L * 1000000L / 1400000L, f1.toString)
   }
 
+  test("paddingWasteReport: exact pad accounting and the bucketing win") {
+    val s = spark
+    import s.implicits._
+    // lengths 10, 60, 64, 70: buckets 64 (three docs) and 128 (one doc)
+    val df = Seq(10L, 60L, 64L, 70L).toDF("n_tokens")
+    val out = graft.operators.Curation.paddingWasteReport(df, "n_tokens", 64)
+      .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out.keySet == Set(64L, 128L))
+    val b64 = out(64L)
+    assert(b64.getAs[Long]("n_docs") == 3L && b64.getAs[Long]("sum_tokens") == 134L)
+    assert(b64.getAs[Long]("pad_tokens") == 64L * 3 - 134) // 58
+    assert(b64.getAs[Long]("waste_ppm") == 58L * 1000000L / 192L)
+    val b128 = out(128L)
+    assert(b128.getAs[Long]("pad_tokens") == 128L - 70L)
+    // unbucketed baseline: everything padded to 128 → (4·128 − 204)/512
+    val glob = (4L * 128 - 204) * 1000000L / (4L * 128)
+    assert(out.values.forall(_.getAs[Long]("global_pad_ppm") == glob))
+    // the whole point: bucketing strictly beats pad-to-max on this frame
+    assert(out.values.forall(_.getAs[Long]("waste_ppm") < glob))
+  }
+
   test("privacyAudit: hand-computed l-diversity and exact 1-D EMD") {
     val s = spark
     import s.implicits._

@@ -63,7 +63,22 @@ class PlanAuditSpec extends SparkSpec {
     val whitelisted: Map[String, String] = Map(
       "sample_weighted_topk" ->
         ("rank window runs AFTER .limit(k): its input is ≤ k rows by " +
-          "construction (TakeOrderedAndProject feeds it), never the corpus")
+          "construction (TakeOrderedAndProject feeds it), never the corpus"),
+      "q_emd_drift" ->
+        ("period-index window runs over the per-PERIOD total table (one row " +
+          "per calendar day — bounded by the date domain, not the data); the " +
+          "data-sized aggregate upstream is keyed"),
+      "sample_apportionment" ->
+        ("largest-remainder rank runs over the per-STRATUM count table " +
+          "(≤ |strata| rows); the per-row pick window is stratum-keyed"),
+      "cur_pr_curve" ->
+        ("cumulative TP/FP window runs over the bins-row threshold grid " +
+          "(10 rows; partitionBy(lit(0)) is constant-folded away) — the " +
+          "corpus is touched only by the keyed binning aggregate"),
+      "cur_crawl_budget" ->
+        ("water-filling rank runs over the per-HOST queue table, already " +
+          "aggregated; maxMinFairBudget's scaladoc records the two-phase " +
+          "global-rank escape hatch if the host census ever bottlenecks")
     )
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
