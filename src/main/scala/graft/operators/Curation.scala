@@ -242,6 +242,39 @@ object Curation {
       .filter(col("pct") >= lo && col("pct") <= hi)
   }
 
+  /** Per-stratum quantile normalization: replace a raw score with its exact
+    * rank position inside its own stratum's distribution, in integer ppm —
+    * the cross-source calibration step that makes one global quality
+    * threshold meaningful when each source's scorer has a different scale
+    * ("keep top 30%" must mean top 30% OF EACH SOURCE, or the strictest
+    * scorer silently deletes its source from the mix). norm_ppm =
+    * (rank−1)·10⁶ div (n−1), rank by (value, tieCol) so ties are
+    * deterministic; single-row strata normalize to 0.
+    *
+    * One window keyed on the stratum — a per-source sort, the same shuffle
+    * shape as any stratified rank; nothing global.
+    *
+    * @return the input plus `norm_ppm`
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      valueCol: String,
+      strataCol: String,
+      tieCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(valueCol), col(tieCol))
+    val ws = Window.partitionBy(col(strataCol))
+    df.withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(ws).cast("long"))
+      .withColumn(
+        "norm_ppm",
+        when(col("_n") === 1L, 0L)
+          .otherwise(expr("(_rk - 1) * 1000000L div (_n - 1)"))
+          .cast("long")
+      )
+      .drop("_rk", "_n")
+  }
+
   /** Sliding-window token chunking with overlap — the standard context-prep
     * op (RAG indexing, long-doc training windows): chunk k covers tokens
     * `[k·stride, k·stride + chunkTokens)`, so consecutive chunks share

@@ -281,6 +281,30 @@ object CurationQueries {
       Curation.packByTokenBudget(documents(s, d), Seq("lang"), "doc_id", "text", 500)
     },
 
+    // E343 per-source quantile normalization ([[Curation.quantileNormalize]]):
+    // raw heuristic quality remapped to its exact rank-ppm WITHIN its source,
+    // so one global "keep top X%" threshold cuts every source at the same
+    // quantile no matter how each scorer is scaled. One source-keyed window;
+    // rank ties broken by doc_id, norm exact integer ppm.
+    QEntry.sql(
+      "cur_quantile_norm",
+      s"""SELECT doc_id, source, quality,
+         |  CAST(CASE WHEN n = 1 THEN 0
+         |            ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT) AS norm_ppm
+         |FROM (SELECT doc_id, source, quality,
+         |        row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM (SELECT doc_id, source, ${TextQueries.qualityExprSql} AS quality
+         |            FROM documents) q) t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val scored = documents(s, d).select(
+        col("doc_id"),
+        col("source"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality")
+      )
+      Curation.quantileNormalize(scored, "quality", "source", "doc_id")
+    },
+
     // E342 length-bucketed padding-waste report ([[Curation.paddingWasteReport]]):
     // pad-to-next-64 bucketing vs pad-to-corpus-max, the batching-efficiency
     // read that decides a training run's bucket config. One bucket-keyed

@@ -316,6 +316,33 @@ class CurationSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Long]("waste_ppm") < glob))
   }
 
+  test("quantileNormalize: cross-source calibration despite wild scale gaps") {
+    val s = spark
+    import s.implicits._
+    // source a scores in [0.1, 0.5]; source b in [900, 1300] — a raw global
+    // threshold would keep ALL of b and none of a
+    val df = (1 to 5).map(i => ("a", i.toLong, 0.1 * i)) ++
+      (1 to 5).map(i => ("b", 100L + i, 800.0 + 100 * i))
+    val out = graft.operators.Curation
+      .quantileNormalize(df.toDF("source", "id", "score"), "score", "source", "id")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("id"), r.getAs[Long]("norm_ppm")))
+    // each source spans the full [0, 1e6] ladder with the same steps
+    Seq("a", "b").foreach { src =>
+      val ppms = out.filter(_._1 == src).map(_._3).sorted
+      assert(ppms.toSeq == Seq(0L, 250000L, 500000L, 750000L, 1000000L), ppms.mkString(","))
+    }
+    // a global "top 40%" cut (norm_ppm >= 750000) keeps exactly 2 per source
+    val kept = out.filter(_._3 >= 750000L)
+    assert(kept.count(_._1 == "a") == 2 && kept.count(_._1 == "b") == 2)
+    // singleton stratum normalizes to 0, not a division by zero
+    val single = graft.operators.Curation
+      .quantileNormalize(Seq(("c", 1L, 7.0)).toDF("source", "id", "score"),
+        "score", "source", "id")
+      .collect().head.getAs[Long]("norm_ppm")
+    assert(single == 0L)
+  }
+
   test("privacyAudit: hand-computed l-diversity and exact 1-D EMD") {
     val s = spark
     import s.implicits._
