@@ -1158,6 +1158,71 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact GROUP-level shingle overlap matrix: the distinct shingle set of
+    * each group (source, dump, crawl snapshot…) compared pairwise — the
+    * corpus-overlap read that decides whether two sources are the same feed
+    * relabeled before both are mixed into a training blend. Every group pair
+    * is emitted (zeros included — "no overlap" is the answer worth reading),
+    * with exact distinct-shingle sizes, intersection, and integer-ppm
+    * Jaccard.
+    *
+    * Cost shape: one (group, shingle) distinct (data-sized partial agg), a
+    * shingle-keyed self-equi-join whose per-key fan-out is bounded by the
+    * GROUP count (never by rows — the distinct collapsed duplicates), and
+    * groups²-bounded rollups; the full matrix assembles on a broadcast
+    * grid. The corpus is scanned once — the distinct frame is checkpointed
+    * and reused by sizes and intersection alike.
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int = 3
+  ): DataFrame = {
+    val gs = spread(df.select(col(groupCol).as("_g"), col(textCol)))
+      .select(col("_g"), TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .select(col("_g"), explode(shinglesFromWords(col("_ws"), k)).as("_sh"))
+      .distinct()
+      .localCheckpoint()
+    // census the groups from the INPUT, not the shingle frame — a group
+    // whose every doc is shorter than k words still belongs in the matrix
+    // (with size 0), not silently dropped
+    val sizes = df
+      .select(col(groupCol).as("_g"))
+      .distinct()
+      .join(gs.groupBy(col("_g")).agg(count(lit(1)).cast("long").as("n")), Seq("_g"), "left")
+      .na
+      .fill(0L, Seq("n"))
+    val inter = gs
+      .select(col("_g").as("g1"), col("_sh"))
+      .join(gs.select(col("_g").as("g2"), col("_sh")), "_sh")
+      .filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).cast("long").as("_i"))
+    sizes
+      .select(col("_g").as("src1"), col("n").as("n1"))
+      .crossJoin(broadcast(sizes.select(col("_g").as("src2"), col("n").as("n2"))))
+      .filter(col("src1") < col("src2"))
+      .join(
+        broadcast(inter),
+        col("src1") === col("g1") && col("src2") === col("g2"),
+        "left"
+      )
+      .na
+      .fill(0L, Seq("_i"))
+      .select(
+        col("src1"),
+        col("src2"),
+        col("n1"),
+        col("n2"),
+        col("_i").as("n_shared"),
+        when(col("n1") + col("n2") - col("_i") === 0, 0L)
+          .otherwise(expr("_i * 1000000L div (n1 + n2 - _i)"))
+          .cast("long")
+          .as("jaccard_ppm")
+      )
+  }
+
   /** Exact n-gram Jaccard over pairs sharing ≥1 shingle within candidate
     * blocks (matching `blockCols`), id1 < id2, similarity rounded for
     * cross-engine stability. Formulated as a shingle equi-join + group count:

@@ -1736,6 +1736,37 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // E344 exact source-pair shingle-overlap matrix
+    // ([[Dedup.sourceOverlapMatrix]]): every source pair's distinct-3-shingle
+    // sizes, intersection, and integer-ppm Jaccard, zeros included — the
+    // "is source B just source A relabeled?" read run before two feeds are
+    // mixed into one blend. Distinct (source, shingle) partial agg, a
+    // shingle-keyed self-join whose fan-out is bounded by the source count,
+    // groups²-sized assembly on a broadcast grid.
+    QEntry.sql(
+      "dedup_source_overlap",
+      s"""WITH gs AS (
+         |  SELECT DISTINCT source AS g, sh FROM
+         |    (SELECT source, unnest($shinglesSql) AS sh
+         |     FROM (SELECT source, $wordsSql AS words FROM documents) w) x),
+         |sizes AS (SELECT d.g, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+         |          FROM (SELECT DISTINCT source AS g FROM documents) d
+         |          LEFT JOIN (SELECT g, count(*) AS n FROM gs GROUP BY g) c
+         |          ON d.g = c.g),
+         |inter AS (SELECT a.g AS g1, b.g AS g2, CAST(count(*) AS BIGINT) AS i
+         |          FROM gs a JOIN gs b ON a.sh = b.sh AND a.g < b.g GROUP BY 1, 2)
+         |SELECT s1.g AS src1, s2.g AS src2, s1.n AS n1, s2.n AS n2,
+         |  COALESCE(i.i, 0) AS n_shared,
+         |  CAST(CASE WHEN s1.n + s2.n - COALESCE(i.i, 0) = 0 THEN 0
+         |       ELSE COALESCE(i.i, 0) * 1000000 // (s1.n + s2.n - COALESCE(i.i, 0))
+         |       END AS BIGINT) AS jaccard_ppm
+         |FROM sizes s1 JOIN sizes s2 ON s1.g < s2.g
+         |LEFT JOIN inter i ON i.g1 = s1.g AND i.g2 = s2.g"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Dedup.sourceOverlapMatrix(documents(s, d), "source", "text")
+    },
+
     // E341 leakage-safe cluster-level split ([[Sampling.clusterSafeSplitReport]]):
     // train/test assigned by hashing the NEAR-DUP CLUSTER id, with the leak a
     // per-doc hash split would have caused measured alongside. Planted

@@ -2000,6 +2000,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frac > 0.02 && frac < 0.35, s"moved fraction $frac out of band (~1/9 expected)")
   }
 
+  test("sourceOverlapMatrix: relabeled feed detected, disjoint pair reads zero") {
+    val s = spark
+    import s.implicits._
+    // a and b share one doc verbatim (the relabeled-feed case);
+    // c is disjoint; d has no shingles (2 words) — sizes must still appear
+    val df = Seq(
+      ("a", "alpha beta gamma delta"),   // shingles: {abg, bgd'}
+      ("a", "one two three four"),
+      ("b", "alpha beta gamma delta"),   // == a's first doc
+      ("b", "five six seven eight"),
+      ("c", "nine ten eleven twelve"),
+      ("d", "too short")
+    ).toDF("source", "text")
+    val m = graft.operators.Dedup.sourceOverlapMatrix(df, "source", "text")
+      .collect()
+      .map(r => (r.getAs[String]("src1"), r.getAs[String]("src2")) ->
+        ((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("jaccard_ppm"))))
+      .toMap
+    assert(m.size == 6, m.keys.toString) // 4 groups → 6 pairs, zeros included
+    // a: 4 shingles (2 per doc), b: 4, shared: the duplicated doc's 2
+    assert(m(("a", "b")) == ((4L, 4L, 2L, 2L * 1000000L / 6L)), m(("a", "b")).toString)
+    assert(m(("a", "c")) == ((4L, 2L, 0L, 0L)))
+    // the shingle-less group pairs with jaccard 0 but non-crashing division
+    assert(m(("a", "d"))._3 == 0L && m(("a", "d"))._4 == 0L)
+    assert(m(("c", "d"))._2 == 0L, "d has no shingles -> size 0 via grid")
+  }
+
   test("clusterSafeSplitReport: cluster-unanimous splits, exact leak census") {
     val s = spark
     import s.implicits._
