@@ -84,7 +84,8 @@ object Plans {
       "ann_csls_topk", "cur_privacy_audit", "sample_kcenter_diverse",
       "q_snm_pairs", "q_emd_drift", "q_hbos_outliers", "q_seq_patterns",
       "cur_pr_curve", "txt_langid_confusion", "sample_cluster_split",
-      "cur_padding_waste", "cur_quantile_norm", "dedup_source_overlap"
+      "cur_padding_waste", "cur_quantile_norm", "dedup_source_overlap",
+      "cur_token_budget"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -242,6 +242,38 @@ object Curation {
       .filter(col("pct") >= lo && col("pct") <= hi)
   }
 
+  /** Token-budget trimming: training mixtures are specified in TOKENS, not
+    * documents — "100 B tokens of web, 20 B of code" — so the sampler must
+    * keep a deterministic prefix of each stratum until its token budget
+    * fills, never a doc-count quota that drifts with length distribution.
+    * Docs are taken in md5(id) order (a stable pseudo-random order —
+    * reproducible across runs, engines and partitionings, immune to
+    * ingest-order bias) and kept while the running token total stays within
+    * the stratum's budget; documents are never split.
+    *
+    * One window keyed on the stratum (per-source sort parallelizes across
+    * sources); budgets ride in on a broadcast join. At 100 TB this is the
+    * same shuffle as any stratified rank — no global order anywhere.
+    *
+    * @param budgets one row per stratum: (strataCol, budget) — token budget
+    * @return input plus (budget, cum_tokens, kept)
+    */
+  def tokenBudgetTrim(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      tokensCol: String,
+      budgets: DataFrame
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(budgets), strataCol)
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w).cast("long"))
+      .withColumn("kept", col("cum_tokens") <= col("budget"))
+  }
+
   /** Per-stratum quantile normalization: replace a raw score with its exact
     * rank position inside its own stratum's distribution, in integer ppm —
     * the cross-source calibration step that makes one global quality

@@ -281,6 +281,47 @@ object CurationQueries {
       Curation.packByTokenBudget(documents(s, d), Seq("lang"), "doc_id", "text", 500)
     },
 
+    // E345 token-budget mixture trim ([[Curation.tokenBudgetTrim]]): each
+    // source keeps its md5-ordered doc prefix until a 500-token budget
+    // fills — the token-denominated sampling a training mix actually
+    // specifies ("N tokens of web", never "N documents"). Rollup: per
+    // source, docs/tokens kept and exact fill ppm; never over budget.
+    QEntry.sql(
+      "cur_token_budget",
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT source, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT source, CAST(500 AS BIGINT) AS budget,
+         |  CAST(sum(CASE WHEN cum <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN cum <= 500 THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept,
+         |  CAST(sum(CASE WHEN cum <= 500 THEN n_tokens ELSE 0 END) * 1000000 // 500
+         |    AS BIGINT) AS fill_ppm
+         |FROM c GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val toks = documents(s, d).select(
+        col("doc_id"),
+        col("source"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens")
+      )
+      val budgets = toks.select(col("source")).distinct().withColumn("budget", lit(500L))
+      Curation
+        .tokenBudgetTrim(toks, "source", "doc_id", "n_tokens", budgets)
+        .groupBy(col("source"))
+        .agg(
+          max(col("budget")).as("budget"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+            .cast("long")
+            .as("tokens_kept")
+        )
+        .withColumn("fill_ppm", expr("tokens_kept * 1000000L div budget").cast("long"))
+    },
+
     // E343 per-source quantile normalization ([[Curation.quantileNormalize]]):
     // raw heuristic quality remapped to its exact rank-ppm WITHIN its source,
     // so one global "keep top X%" threshold cuts every source at the same

@@ -343,6 +343,32 @@ class CurationSpec extends SparkSpec {
     assert(single == 0L)
   }
 
+  test("tokenBudgetTrim: md5-order prefix fills but never exceeds the budget") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 10L).map(i => ("w", i, 30L)).toDF("source", "doc_id", "n_tokens")
+    val budgets = Seq(("w", 100L)).toDF("source", "budget")
+    val out = graft.operators.Curation
+      .tokenBudgetTrim(docs, "source", "doc_id", "n_tokens", budgets)
+      .collect()
+    val kept = out.filter(_.getAs[Boolean]("kept"))
+    // 30-token docs against 100: exactly 3 fit, 90 tokens, never 4
+    assert(kept.length == 3, kept.mkString(";"))
+    assert(kept.map(_.getAs[Long]("n_tokens")).sum == 90L)
+    assert(kept.forall(_.getAs[Long]("cum_tokens") <= 100L))
+    // the kept prefix is the md5 order, not ingestion order: recompute it
+    val md5Order = (1L to 10L).sortBy { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.take(3).toSet
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == md5Order)
+    // determinism: same frame again
+    val again = graft.operators.Curation
+      .tokenBudgetTrim(docs, "source", "doc_id", "n_tokens", budgets)
+      .filter(col("kept")).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == md5Order)
+  }
+
   test("privacyAudit: hand-computed l-diversity and exact 1-D EMD") {
     val s = spark
     import s.implicits._
