@@ -274,6 +274,85 @@ object Curation {
       .withColumn("kept", col("cum_tokens") <= col("budget"))
   }
 
+  /** Proportional stride-scheduled mixture interleave: assign every doc a
+    * virtual time vt = rank-within-source · 10⁶ div source-size (rank in
+    * md5(id) order), so reading the corpus in vt order yields a stream
+    * whose source mix matches the blend AT EVERY PREFIX — all sources
+    * exhaust together at vt = 10⁶, none front-loads. This is stride
+    * scheduling applied to data mixing: training stability cares about the
+    * LOCAL mix of the stream, not just the global shares, and a
+    * source-ordered concatenation (or an unlucky shuffle) feeds the model
+    * one distribution for hours before switching.
+    *
+    * One window keyed on the source (rank + size share a frame); vt is a
+    * narrow integer projection. Downstream, shard by hash and sort each
+    * shard by vt — never a global sort; consumers read shards round-robin.
+    *
+    * @return input plus (vt_ppm, src_rank, src_n)
+    */
+  def strideInterleave(df: DataFrame, strataCol: String, idCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val ws = Window.partitionBy(col(strataCol))
+    df.withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("src_n", count(lit(1)).over(ws).cast("long"))
+      .withColumn("vt_ppm", expr("src_rank * 1000000L div src_n").cast("long"))
+  }
+
+  /** Data-constrained epoch schedule (Muennighoff et al. 2023): when a
+    * source's available tokens fall short of its target share, repeat it —
+    * up to `maxEpochs` passes, beyond which repeated data stops helping —
+    * and account exactly for what each source serves and what stays
+    * unfilled. Per source: epochs = ⌈target/avail⌉ (capped), served =
+    * min(target, maxEpochs·avail), deficit = target − served, repeat
+    * factor in exact ppm of one pass.
+    *
+    * The avail side is a data-sized aggregate upstream of this call; the
+    * schedule itself is sources-sized arithmetic on a broadcast join —
+    * free at any corpus size.
+    *
+    * @param avail   one row per source: (strataCol, avail_tokens)
+    * @param targets one row per source: (strataCol, target_tokens)
+    */
+  def epochSchedule(
+      avail: DataFrame,
+      targets: DataFrame,
+      strataCol: String,
+      maxEpochs: Int
+  ): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    avail
+      .join(broadcast(targets), strataCol)
+      .select(
+        col(strataCol),
+        col("avail_tokens").cast("long").as("avail_tokens"),
+        col("target_tokens").cast("long").as("target_tokens")
+      )
+      .withColumn(
+        "epochs",
+        when(col("avail_tokens") === 0L, 0L)
+          .otherwise(
+            least(
+              expr("(target_tokens + avail_tokens - 1) div avail_tokens"),
+              lit(maxEpochs.toLong)
+            )
+          )
+          .cast("long")
+      )
+      .withColumn(
+        "served_tokens",
+        least(col("target_tokens"), col("epochs") * col("avail_tokens")).cast("long")
+      )
+      .withColumn("deficit_tokens", (col("target_tokens") - col("served_tokens")).cast("long"))
+      .withColumn(
+        "repeat_ppm",
+        when(col("avail_tokens") === 0L, 0L)
+          .otherwise(expr("served_tokens * 1000000L div avail_tokens"))
+          .cast("long")
+      )
+  }
+
   /** Per-stratum quantile normalization: replace a raw score with its exact
     * rank position inside its own stratum's distribution, in integer ppm —
     * the cross-source calibration step that makes one global quality

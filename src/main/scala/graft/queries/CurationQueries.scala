@@ -281,6 +281,77 @@ object CurationQueries {
       Curation.packByTokenBudget(documents(s, d), Seq("lang"), "doc_id", "text", 500)
     },
 
+    // E346 stride-scheduled mixture interleave ([[Curation.strideInterleave]]):
+    // virtual time = rank-within-source·10⁶ div source-size, so the vt-ordered
+    // stream carries the blend's mix at EVERY prefix (stride scheduling
+    // applied to data ordering). Entry = the stream's first 200 docs via
+    // TakeOrdered — top-k, never a global sort.
+    QEntry.sql(
+      "cur_stride_interleave",
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS src_rank,
+        |  CAST(rk * 1000000 // n AS BIGINT) AS vt_ppm
+        |FROM r ORDER BY vt_ppm, source, doc_id LIMIT 200"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation
+        .strideInterleave(documents(s, d).select(col("doc_id"), col("source")), "source", "doc_id")
+        .select(col("source"), col("doc_id"), col("src_rank"), col("vt_ppm"))
+        .orderBy(col("vt_ppm"), col("source"), col("doc_id"))
+        .limit(200)
+    },
+
+    // E347 data-constrained epoch schedule ([[Curation.epochSchedule]]):
+    // equal per-source token targets summing to 3× the corpus (a
+    // repetition-forcing mix), epoch cap 4 — per source the exact epochs,
+    // served tokens, unfilled deficit, and repeat factor. Sources-sized
+    // arithmetic on one broadcast join; only the avail aggregate touches
+    // data.
+    QEntry.sql(
+      "cur_epoch_schedule",
+      s"""WITH t AS (SELECT source, CAST(len($wordsSql) AS BIGINT) AS n FROM documents),
+         |a AS (SELECT source, CAST(sum(n) AS BIGINT) AS avail FROM t GROUP BY source),
+         |g AS (SELECT CAST(sum(avail) AS BIGINT) AS tt,
+         |             CAST(count(*) AS BIGINT) AS ns FROM a),
+         |tg AS (SELECT a.source, a.avail, CAST(3 * g.tt // g.ns AS BIGINT) AS target
+         |       FROM a, g)
+         |SELECT source, avail AS avail_tokens, target AS target_tokens,
+         |  CAST(CASE WHEN avail = 0 THEN 0
+         |       ELSE least((target + avail - 1) // avail, 4) END AS BIGINT) AS epochs,
+         |  CAST(least(target, CASE WHEN avail = 0 THEN 0
+         |       ELSE least((target + avail - 1) // avail, 4) END * avail) AS BIGINT)
+         |    AS served_tokens,
+         |  CAST(target - least(target, CASE WHEN avail = 0 THEN 0
+         |       ELSE least((target + avail - 1) // avail, 4) END * avail) AS BIGINT)
+         |    AS deficit_tokens,
+         |  CAST(CASE WHEN avail = 0 THEN 0
+         |       ELSE least(target, CASE WHEN avail = 0 THEN 0
+         |            ELSE least((target + avail - 1) // avail, 4) END * avail)
+         |            * 1000000 // avail END AS BIGINT) AS repeat_ppm
+         |FROM tg""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val avail = documents(s, d)
+        .select(
+          col("source"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).cast("bigint").as("_n")
+        )
+        .groupBy(col("source"))
+        .agg(sum(col("_n")).cast("long").as("avail_tokens"))
+      val totals = avail.agg(
+        sum(col("avail_tokens")).cast("long").as("_tt"),
+        count(lit(1)).cast("long").as("_ns")
+      )
+      val targets = avail
+        .select(col("source"))
+        .crossJoin(broadcast(totals))
+        .select(col("source"), expr("3L * _tt div _ns").cast("long").as("target_tokens"))
+      Curation.epochSchedule(avail, targets, "source", 4)
+    },
+
     // E345 token-budget mixture trim ([[Curation.tokenBudgetTrim]]): each
     // source keeps its md5-ordered doc prefix until a 500-token budget
     // fills — the token-denominated sampling a training mix actually

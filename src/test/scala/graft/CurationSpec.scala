@@ -369,6 +369,50 @@ class CurationSpec extends SparkSpec {
     assert(again == md5Order)
   }
 
+  test("strideInterleave: every prefix carries the blend, sources finish together") {
+    val s = spark
+    import s.implicits._
+    // source a: 4 docs, source b: 8 docs — b must appear twice as often
+    val df = ((1L to 4L).map(i => ("a", i)) ++ (11L to 18L).map(i => ("b", i)))
+      .toDF("source", "doc_id")
+    val out = graft.operators.Curation.strideInterleave(df, "source", "doc_id")
+      .orderBy(col("vt_ppm"), col("source"), col("doc_id"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("vt_ppm")))
+    // any prefix ending on a full stride: 1 a per 2 b
+    val first6 = out.take(6)
+    assert(first6.count(_._1 == "a") == 2 && first6.count(_._1 == "b") == 4, first6.mkString(","))
+    // all sources exhaust at vt = 1e6 exactly
+    assert(out.filter(_._1 == "a").map(_._2).max == 1000000L)
+    assert(out.filter(_._1 == "b").map(_._2).max == 1000000L)
+    // vt is monotone in rank within each source
+    Seq("a", "b").foreach { src =>
+      val vts = out.filter(_._1 == src).map(_._2)
+      assert(vts.zip(vts.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("epochSchedule: exact repetition accounting with a binding cap") {
+    val s = spark
+    import s.implicits._
+    val avail = Seq(("web", 100L), ("code", 10L), ("empty", 0L))
+      .toDF("source", "avail_tokens")
+    val targets = Seq(("web", 150L), ("code", 100L), ("empty", 50L))
+      .toDF("source", "target_tokens")
+    val out = graft.operators.Curation.epochSchedule(avail, targets, "source", 4)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("epochs"), r.getAs[Long]("served_tokens"),
+          r.getAs[Long]("deficit_tokens"), r.getAs[Long]("repeat_ppm"))))
+      .toMap
+    // web: 2 epochs cover 150 of 100-avail; served capped at target
+    assert(out("web") == ((2L, 150L, 0L, 1500000L)), out("web").toString)
+    // code: needs 10 epochs, cap 4 binds -> 40 served, 60 unfilled
+    assert(out("code") == ((4L, 40L, 60L, 4000000L)), out("code").toString)
+    // empty source: zero everything, no division blowup
+    assert(out("empty") == ((0L, 0L, 50L, 0L)), out("empty").toString)
+  }
+
   test("privacyAudit: hand-computed l-diversity and exact 1-D EMD") {
     val s = spark
     import s.implicits._
