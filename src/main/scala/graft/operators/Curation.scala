@@ -274,6 +274,54 @@ object Curation {
       .withColumn("kept", col("cum_tokens") <= col("budget"))
   }
 
+  /** Corpus card: the one-command dataset datasheet — the handful of
+    * numbers every drop ships with (size, mix breadth, duplication, PII
+    * exposure, length and quality tails) as a long (metric, value) frame,
+    * so downstream tooling diffs two drops with one join. ONE aggregate
+    * computes every metric in a single corpus scan (partial aggregation
+    * does the work; the distinct counts are the only shuffled state), then
+    * a 9-row unpivot — no metric costs a second pass.
+    *
+    * All values exact BIGINT: counts, sums, and count-distinct (exact, not
+    * approx — a datasheet is an audit artifact; swap in approx_count_distinct
+    * when 10⁹-key exactness is genuinely not worth its shuffle).
+    */
+  def corpusCard(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      langCol: String
+  ): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol))).cast("long").as("n_tokens"),
+      sum(length(col(textCol))).cast("long").as("n_chars"),
+      countDistinct(col(sourceCol)).cast("long").as("n_sources"),
+      countDistinct(col(langCol)).cast("long").as("n_langs"),
+      (count(lit(1)) - countDistinct(md5(col(textCol)))).cast("long").as("exact_dup_docs"),
+      sum(when(col(textCol).rlike(EmailPattern), 1L).otherwise(0L))
+        .cast("long")
+        .as("email_docs"),
+      sum(when(length(col(textCol)) < 100, 1L).otherwise(0L)).cast("long").as("short_docs"),
+      sum(when(TextAnalysis.qualityScore(col(textCol)) >= 0.5, 1L).otherwise(0L))
+        .cast("long")
+        .as("quality_hi_docs")
+    )
+    agg.selectExpr(
+      """stack(9,
+        |  'n_docs', n_docs,
+        |  'n_tokens', n_tokens,
+        |  'n_chars', n_chars,
+        |  'n_sources', n_sources,
+        |  'n_langs', n_langs,
+        |  'exact_dup_docs', exact_dup_docs,
+        |  'email_docs', email_docs,
+        |  'short_docs', short_docs,
+        |  'quality_hi_docs', quality_hi_docs
+        |) AS (metric, value)""".stripMargin.replaceAll("\\s+", " ")
+    )
+  }
+
   /** Proportional stride-scheduled mixture interleave: assign every doc a
     * virtual time vt = rank-within-source · 10⁶ div source-size (rank in
     * md5(id) order), so reading the corpus in vt order yields a stream

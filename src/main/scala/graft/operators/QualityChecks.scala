@@ -88,6 +88,44 @@ object QualityChecks {
       .select(col(idCol) +: featureCols.map(col) :+ col("hbos"): _*)
   }
 
+  /** Cohen's κ agreement between two boolean labelers — the calibration
+    * read run before a cheap gate (a length cut, a regex) is trusted to
+    * stand in for an expensive one (a classifier): raw agreement p_o
+    * overstates concordance when the base rate is skewed, κ subtracts the
+    * agreement two INDEPENDENT labelers with these marginals would reach by
+    * chance. κ = (p_o − p_e)/(1 − p_e), all exact integer ppm: p_o from the
+    * confusion diagonal, p_e from the marginal products, the final division
+    * on the ppm ladder. Degenerate p_e = 1 (both labelers constant) → 0.
+    *
+    * One partial aggregate over the corpus; everything else is scalar
+    * arithmetic on a 1-row frame.
+    *
+    * @return one row: (n, n11, n00, n10, n01, po_ppm, pe_ppm, kappa_ppm)
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(col(aCol) && col(bCol), 1L).otherwise(0L)).cast("long").as("n11"),
+      sum(when(!col(aCol) && !col(bCol), 1L).otherwise(0L)).cast("long").as("n00"),
+      sum(when(col(aCol) && !col(bCol), 1L).otherwise(0L)).cast("long").as("n10"),
+      sum(when(!col(aCol) && col(bCol), 1L).otherwise(0L)).cast("long").as("n01")
+    ).select(
+      col("n"),
+      col("n11"),
+      col("n00"),
+      col("n10"),
+      col("n01"),
+      expr("(n11 + n00) * 1000000L div n").cast("long").as("po_ppm"),
+      expr(
+        "((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) * 1000000L div (n * n)"
+      ).cast("long").as("pe_ppm")
+    ).withColumn(
+      "kappa_ppm",
+      when(col("pe_ppm") === 1000000L, 0L)
+        .otherwise(expr("(po_ppm - pe_ppm) * 1000000L div (1000000L - pe_ppm)"))
+        .cast("long")
+    )
+
   private def report(name: String, violations: DataFrame): DataFrame =
     violations
       .agg(count(lit(1)).as("violations"))

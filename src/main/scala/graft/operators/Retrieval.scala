@@ -87,6 +87,85 @@ object Retrieval {
       )
   }
 
+  /** Pseudo-relevance-feedback query expansion (RM3-lite, Lavrenko & Croft
+    * 2001 shape): run the query, mine the top `fbDocs` results for the
+    * `fbTerms` terms that best characterize them (ranked by how many
+    * pseudo-relevant docs contain the term, then total occurrences — the
+    * df-in-R signal, cheap and exact), expand the query with them, and
+    * rescore the corpus on the expanded set — the vocabulary-mismatch fix
+    * every retrieval stack reaches for before anything neural.
+    *
+    * Per-doc totals sum each term's BM25 contribution QUANTIZED to 9-dp
+    * DECIMAL first (the E160 ladder) — a float sum over terms would be
+    * partial-aggregation-order dependent and break cross-engine ranking.
+    *
+    * Cost shape: stage 1 is [[bm25TopDocs]] (query-term-filtered tf — the
+    * posting lists, never the corpus matrix); feedback mining scans only
+    * the fbDocs docs via a broadcast semi-join; stage 2 rescoring filters
+    * tokens to ≤ fbTerms+1 terms via a broadcast join. Top-k cuts are
+    * TakeOrdered.
+    *
+    * @return top-k docs on the expanded query: (doc_id…, n_terms,
+    *         bm25_total), TakeOrdered on (total desc, id)
+    */
+  def prfExpandedTopDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      fbDocs: Int = 10,
+      fbTerms: Int = 5,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+    val rel = bm25TopDocs(base, idCol, textCol, Seq(query), fbDocs, k1, b)
+      .select(col(idCol))
+    val fb = base
+      .join(broadcast(rel), idCol)
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= query && length(col("term")) >= 3)
+      .groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).cast("long").as("df_r"), count(lit(1)).cast("long").as("tf_r"))
+      .orderBy(col("df_r").desc, col("tf_r").desc, col("term"))
+      .limit(fbTerms)
+      .select(col("term"))
+    val expanded = fb
+      .unionAll(docs.sparkSession.range(1).select(lit(query).as("term")))
+      .localCheckpoint() // tiny; read twice (filter + doc census) and lazily self-derived
+    val dl = base.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = base
+      .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .join(broadcast(expanded), "term")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    val score = idf * ((col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + (lit(k1) * ((lit(1.0) - lit(b)) + (lit(b) * (col("dl") / avgdl))))))
+    val perDoc = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("_s", round(score, 9).cast("decimal(18,9)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_terms"),
+        sum(col("_s")).cast("decimal(28,9)").as("_tot")
+      )
+    perDoc
+      .orderBy(col("_tot").desc, col(idCol))
+      .limit(k)
+      .select(
+        col(idCol),
+        col("n_terms"),
+        round(col("_tot").cast("double"), 6).as("bm25_total")
+      )
+  }
+
   /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001) —
     * the language-model dual to [[bm25TopDocs]], in its sparse
     * decomposition: ln p(q|d) = Σ_{w∈q, tf>0} ln(1 + tf·N/(μ·cf)) +

@@ -281,6 +281,73 @@ object CurationQueries {
       Curation.packByTokenBudget(documents(s, d), Seq("lang"), "doc_id", "text", 500)
     },
 
+    // E350 corpus card ([[Curation.corpusCard]]): the dataset datasheet —
+    // size, mix breadth, duplication, PII exposure, length/quality tails —
+    // as a (metric, value) long frame from ONE corpus scan. The twin
+    // computes the same one-row aggregate and unpivots via UNION ALL.
+    QEntry.sql(
+      "cur_corpus_card", {
+        val email = Curation.EmailPattern
+        s"""WITH a AS (SELECT
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens,
+           |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS exact_dup_docs,
+           |  CAST(sum(CASE WHEN regexp_matches(text, '$email') THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS email_docs,
+           |  CAST(sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS short_docs,
+           |  CAST(sum(CASE WHEN (${TextQueries.qualityExprSql}) >= 0.5 THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS quality_hi_docs
+           |FROM documents)
+           |SELECT 'n_docs' AS metric, n_docs AS value FROM a
+           |UNION ALL SELECT 'n_tokens', n_tokens FROM a
+           |UNION ALL SELECT 'n_chars', n_chars FROM a
+           |UNION ALL SELECT 'n_sources', n_sources FROM a
+           |UNION ALL SELECT 'n_langs', n_langs FROM a
+           |UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM a
+           |UNION ALL SELECT 'email_docs', email_docs FROM a
+           |UNION ALL SELECT 'short_docs', short_docs FROM a
+           |UNION ALL SELECT 'quality_hi_docs', quality_hi_docs FROM a"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Curation.corpusCard(documents(s, d), "text", "source", "lang")
+    },
+
+    // E349 labeler agreement ([[QualityChecks.cohensKappa]]): Cohen's κ
+    // between the heuristic quality gate (score ≥ 0.5) and the cheap length
+    // gate (n_chars ≥ 300) — raw agreement p_o flatters any skewed-base-rate
+    // pair; κ subtracts chance agreement from the marginals. One partial
+    // aggregate; all exact integer ppm.
+    QEntry.sql(
+      "cur_labeler_kappa",
+      s"""WITH l AS (SELECT (${TextQueries.qualityExprSql}) >= 0.5 AS a,
+         |                  n_chars >= 300 AS b FROM documents),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |  CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         |  CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |  CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01
+         |  FROM l),
+         |p AS (SELECT *, CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+         |  CAST(((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+         |       * 1000000 // (n * n) AS BIGINT) AS pe_ppm FROM c)
+         |SELECT n, n11, n00, n10, n01, po_ppm, pe_ppm,
+         |  CAST(CASE WHEN pe_ppm = 1000000 THEN 0
+         |       ELSE (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) END AS BIGINT)
+         |    AS kappa_ppm
+         |FROM p""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val labeled = documents(s, d).select(
+        (graft.functions.TextAnalysis.qualityScore(col("text")) >= 0.5).as("a"),
+        (col("n_chars") >= 300).as("b")
+      )
+      graft.operators.QualityChecks.cohensKappa(labeled, "a", "b")
+    },
+
     // E346 stride-scheduled mixture interleave ([[Curation.strideInterleave]]):
     // virtual time = rank-within-source·10⁶ div source-size, so the vt-ordered
     // stream carries the blend's mix at EVERY prefix (stride scheduling

@@ -47,6 +47,54 @@ object RetrievalQueries {
       )
     },
 
+    // E348 pseudo-relevance-feedback expansion
+    // ([[Retrieval.prfExpandedTopDocs]]): BM25 top-10 for 'spark' → the 5
+    // terms most characteristic of those docs (df-in-R, then tf, then term)
+    // → rescore the corpus on the 6-term expanded query, per-doc totals on
+    // the 9-dp DECIMAL ladder (float term-sum order would break ranking).
+    // The twin replays all three stages with the dynamic term set via IN
+    // (SELECT …).
+    QEntry.sql(
+      "txt_prf_expansion",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf0 AS (SELECT doc_id, count(*) AS tf FROM toks
+         |        WHERE term = 'spark' GROUP BY doc_id),
+         |df0 AS (SELECT count(*) AS df FROM tf0),
+         |rel AS (SELECT doc_id FROM (
+         |  SELECT tf0.doc_id,
+         |    row_number() OVER (ORDER BY
+         |      (((s.n_docs - df0.df) + 0.5) / (df0.df + 0.5) + 1.0)
+         |      * ((tf0.tf * (1.2 + 1.0)) / (tf0.tf + (1.2 * ((1.0 - 0.75)
+         |         + (0.75 * (dl.dl / (CAST(s.tot AS DOUBLE) / s.n_docs))))))) DESC,
+         |      tf0.doc_id) AS rk
+         |  FROM tf0 CROSS JOIN df0 JOIN dl USING (doc_id) CROSS JOIN stats s) t
+         |  WHERE rk <= 10),
+         |fb AS (SELECT term FROM (
+         |  SELECT term, count(DISTINCT t.doc_id) AS df_r, count(*) AS tf_r
+         |  FROM toks t JOIN rel USING (doc_id)
+         |  WHERE term <> 'spark' AND length(term) >= 3
+         |  GROUP BY term ORDER BY df_r DESC, tf_r DESC, term LIMIT 5) f),
+         |exp AS (SELECT term FROM fb UNION ALL SELECT 'spark'),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN (SELECT term FROM exp) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (SELECT tf.doc_id,
+         |    CAST(round((((s.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5) + 1.0)
+         |    * ((tf.tf * (1.2 + 1.0)) / (tf.tf + (1.2 * ((1.0 - 0.75)
+         |       + (0.75 * (dl.dl / (CAST(s.tot AS DOUBLE) / s.n_docs))))))), 9)
+         |      AS DECIMAL(18,9)) AS sc
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(sc) AS DECIMAL(28,9)) AS tot FROM scored GROUP BY doc_id)
+         |SELECT doc_id, n_terms, round(CAST(tot AS DOUBLE), 6) AS bm25_total
+         |FROM agg ORDER BY tot DESC, doc_id LIMIT 10"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval.prfExpandedTopDocs(documents(s, d), "doc_id", "text", "spark")
+    },
+
     // E326 nDCG@10 of the BM25 ranking against tf-graded relevance
     // ([[Retrieval.ndcgAtK]]): the twin replays the BM25 scoring CTE, the
     // rank-10 cut, the discount ladder and the ideal (tf-sorted) ordering

@@ -413,6 +413,27 @@ class CurationSpec extends SparkSpec {
     assert(out("empty") == ((0L, 0L, 50L, 0L)), out("empty").toString)
   }
 
+  test("corpusCard: every datasheet metric exact on a hand corpus") {
+    val s = spark
+    import s.implicits._
+    val long = ("words " * 30).trim // 179 chars, 30 tokens
+    val df = Seq(
+      ("a", "en", long),
+      ("a", "en", long),                       // exact duplicate
+      ("b", "de", "short doc"),                // < 100 chars
+      ("b", "fr", s"mail me at bob@example.com today")
+    ).toDF("source", "lang", "text")
+    val card = graft.operators.Curation.corpusCard(df, "text", "source", "lang")
+      .collect().map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(card("n_docs") == 4L)
+    assert(card("n_sources") == 2L && card("n_langs") == 3L)
+    assert(card("exact_dup_docs") == 1L, card.toString)
+    assert(card("email_docs") == 1L, card.toString)
+    assert(card("short_docs") == 2L, card.toString) // "short doc" + the email doc
+    assert(card("n_tokens") == 30L + 30L + 2L + 5L, card.toString)
+    assert(card("n_chars") == 179L + 179L + 9L + 32L, card.toString)
+  }
+
   test("privacyAudit: hand-computed l-diversity and exact 1-D EMD") {
     val s = spark
     import s.implicits._

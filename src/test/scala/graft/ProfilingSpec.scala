@@ -118,4 +118,24 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(out(0L) - common) < 2e-6, out.toString)
     assert(out(9L) > out(0L))
   }
+
+  test("cohensKappa: hand confusion table, perfect and constant labelers") {
+    val s = spark
+    import s.implicits._
+    // n11=4, n00=3, n10=2, n01=1 → po=0.7, pe=(6·5+4·5)/100=0.5, κ=0.4
+    val df = (Seq.fill(4)((true, true)) ++ Seq.fill(3)((false, false)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(1)((false, true))).toDF("a", "b")
+    val r = graft.operators.QualityChecks.cohensKappa(df, "a", "b").collect().head
+    assert(r.getAs[Long]("po_ppm") == 700000L, r.toString)
+    assert(r.getAs[Long]("pe_ppm") == 500000L, r.toString)
+    assert(r.getAs[Long]("kappa_ppm") == 400000L, r.toString)
+    // perfect agreement with mixed marginals → κ = 1
+    val perfect = Seq((true, true), (false, false), (true, true)).toDF("a", "b")
+    assert(graft.operators.QualityChecks.cohensKappa(perfect, "a", "b")
+      .collect().head.getAs[Long]("kappa_ppm") == 1000000L)
+    // two constant labelers: pe = 1, κ defined to 0 (not a crash)
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    assert(graft.operators.QualityChecks.cohensKappa(const, "a", "b")
+      .collect().head.getAs[Long]("kappa_ppm") == 0L)
+  }
 }

@@ -202,4 +202,33 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(out(2L)._3 - s2) < 1e-5, s"${out(2L)._3} vs $s2")
     assert(out(1L)._3 > out(2L)._3)
   }
+
+  test("prfExpandedTopDocs: expansion recovers the doc the bare query misses") {
+    val s = spark
+    import s.implicits._
+    // docs 1-3 are pseudo-relevant ('spark' + the co-occurring 'engine');
+    // doc 4 talks about engines WITHOUT saying 'spark' — invisible to the
+    // bare query, recovered by the expanded one. docs 5-6 are noise.
+    val docs = Seq(
+      (1L, "spark engine fast engine run"),
+      (2L, "spark engine scale engine out"),
+      (3L, "spark engine core"),
+      (4L, "engine engine engine tuning tips"),
+      (5L, "cooking pasta with sauce"),
+      (6L, "gardening in the spring rain")
+    ).toDF("doc_id", "text")
+    val bare = graft.operators.Retrieval
+      .bm25TopDocs(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!bare.contains(4L), "bare query must miss doc 4")
+    val out = graft.operators.Retrieval
+      .prfExpandedTopDocs(docs, "doc_id", "text", "spark", fbDocs = 3, fbTerms = 2, k = 10)
+      .collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.contains(4L), s"expansion must recover doc 4: $ids")
+    assert(!ids.contains(5L) && !ids.contains(6L), s"noise stays out: $ids")
+    // docs matching both query and feedback terms outrank single-term docs
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_terms")).toMap
+    assert(byId(1L) >= 2L && byId(4L) >= 1L, byId.toString)
+  }
 }
