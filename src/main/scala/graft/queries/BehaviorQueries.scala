@@ -461,6 +461,67 @@ object BehaviorQueries {
     // bracket is a USER-keyed join with a µs range predicate, and the
     // position windows are purchase-keyed — both bounded by one user's
     // 7-day activity, never the event corpus.
+    // E351 data-driven Shapley attribution ([[graft.operators.Attribution
+    // .shapleyCreditFromExposures]]): per-channel average marginal
+    // contribution to the observed conversion rate across all channel-set
+    // orderings — exact factorial weights on the 2⁴ coalition table,
+    // v(S) = conversion rate of users exposed to exactly S in integer ppm,
+    // unobserved coalitions v = 0. Exposure here = the channel is
+    // OVER-REPRESENTED in the user's stream (5·count > total — presence
+    // alone is vacuous on this synthetic log where every user touches every
+    // type); same rule defines conversion. One user-keyed aggregate touches
+    // the log; everything after is a 16-row grid.
+    QEntry.sql(
+      "q_shapley_credit",
+      """WITH um AS (SELECT user_id,
+        |    (CASE WHEN 5 * sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |          > count(*) THEN 1 ELSE 0 END)
+        |    + (CASE WHEN 5 * sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |          > count(*) THEN 2 ELSE 0 END)
+        |    + (CASE WHEN 5 * sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |          > count(*) THEN 4 ELSE 0 END)
+        |    + (CASE WHEN 5 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |          > count(*) THEN 8 ELSE 0 END) AS mask,
+        |    CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         > count(*) THEN 1 ELSE 0 END AS c
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT mask, CAST(count(*) AS BIGINT) AS nu,
+        |       CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS v_ppm
+        |      FROM um GROUP BY mask),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4),
+        |       ('error', 8)) AS t(channel, bit)),
+        |ms AS (SELECT unnest(range(0, 16)) AS s),
+        |grid AS (SELECT ch.channel,
+        |    COALESCE(v0.v_ppm, 0) AS v0, COALESCE(v1.v_ppm, 0) AS v1,
+        |    CASE bit_count(ms.s) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+        |         WHEN 3 THEN 6 END AS wn
+        |  FROM ch JOIN ms ON (ms.s & ch.bit) = 0
+        |  LEFT JOIN v v0 ON v0.mask = ms.s
+        |  LEFT JOIN v v1 ON v1.mask = ms.s + ch.bit),
+        |phi AS (SELECT channel, CAST(sum((v1 - v0) * wn) // 24 AS BIGINT) AS phi_ppm
+        |        FROM grid GROUP BY channel),
+        |ex AS (SELECT ch.channel, CAST(sum(v.nu) AS BIGINT) AS exposed_users
+        |       FROM ch JOIN v ON (v.mask & ch.bit) <> 0 GROUP BY ch.channel)
+        |SELECT phi.channel, phi.phi_ppm, COALESCE(ex.exposed_users, 0) AS exposed_users
+        |FROM phi LEFT JOIN ex ON phi.channel = ex.channel"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      def over(t: String) =
+        (lit(5) * sum(when(col("event_type") === t, 1L).otherwise(0L)) >
+          count(lit(1)))
+      val exposures = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          over("click").as("click"),
+          over("view").as("view"),
+          over("signup").as("signup"),
+          over("error").as("error"),
+          over("purchase").as("_conv")
+        )
+      graft.operators.Attribution
+        .shapleyCreditFromExposures(exposures, Seq("click", "view", "signup", "error"), "_conv")
+    },
+
     QEntry.sql(
       "q_attribution_credit",
       """WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pts

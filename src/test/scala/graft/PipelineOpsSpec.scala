@@ -2028,6 +2028,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m(("c", "d"))._2 == 0L, "d has no shingles -> size 0 via grid")
   }
 
+  test("shapleyCredit: textbook two-channel values, efficiency, null player") {
+    val s = spark
+    import s.implicits._
+    // v({})=0, v({A})=0.6, v({B})=0.2, v({A,B})=1.0
+    // φ_A = ((0.6−0) + (1.0−0.2))/2 = 0.7 ; φ_B = 0.3
+    val users =
+      Seq.fill(2)((false, false, false)) ++
+        (Seq.fill(3)((true, false, true)) ++ Seq.fill(2)((true, false, false))) ++
+        (Seq.fill(1)((false, true, true)) ++ Seq.fill(4)((false, true, false))) ++
+        Seq.fill(2)((true, true, true))
+    val df = users.toDF("a", "b", "conv")
+    val out = graft.operators.Attribution
+      .shapleyCreditFromExposures(df, Seq("a", "b"), "conv")
+      .collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("phi_ppm"), r.getAs[Long]("exposed_users")))).toMap
+    assert(out("a") == ((700000L, 7L)), out.toString)
+    assert(out("b") == ((300000L, 7L)), out.toString)
+    // efficiency: Σφ = v(full) − v(∅)
+    assert(out.values.map(_._1).sum == 1000000L)
+    // null player: an EXPOSED channel that never moves conversion gets zero
+    // credit — duplicate the population with z on/off at identical rates so
+    // v(S∪z) = v(S) for every coalition
+    val withNull = df.withColumn("z", lit(false))
+      .unionAll(df.withColumn("z", lit(true)))
+    val phi0 = graft.operators.Attribution
+      .shapleyCreditFromExposures(withNull, Seq("a", "b", "z"), "conv")
+      .collect().map(r => r.getAs[String]("channel") -> r.getAs[Long]("phi_ppm")).toMap
+    assert(phi0("z") == 0L, phi0.toString)
+    assert(phi0("a") == 700000L && phi0("b") == 300000L, phi0.toString)
+    // the raw-events presence variant wires through the same core
+    val ev = Seq((1L, "x"), (1L, "buy"), (2L, "y"), (3L, "x"), (3L, "y"), (3L, "buy"))
+      .toDF("u", "t")
+    val pres = graft.operators.Attribution
+      .shapleyCredit(ev, "u", "t", Seq("x", "y"), "buy")
+      .collect().map(r => r.getAs[String]("channel") -> r.getAs[Long]("phi_ppm")).toMap
+    // v({x})=1, v({y})=0, v({x,y})=1 → φ_x = 1, φ_y = 0
+    assert(pres("x") == 1000000L && pres("y") == 0L, pres.toString)
+  }
+
   test("clusterSafeSplitReport: cluster-unanimous splits, exact leak census") {
     val s = spark
     import s.implicits._
