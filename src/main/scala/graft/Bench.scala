@@ -124,13 +124,39 @@ object Bench {
     // full per-query file for local inspection — SAME wrapper schema as the
     // printed line (round-over-round tooling reads one shape everywhere),
     // just with no tail budget: every query, 3-decimal precision
+    val eff = Some(effectiveCores(Runtime.getRuntime.availableProcessors()))
     sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(path),
-        renderFullJson(results, sfDir, failed.toSeq, spreadP95) + "\n")
+        renderFullJson(results, sfDir, failed.toSeq, spreadP95, eff) + "\n")
     }
-    println(renderJson(results, sfDir, failed.toSeq, spreadP95))
+    println(renderJson(results, sfDir, failed.toSeq, spreadP95, eff))
     spark.stop()
+  }
+
+  /** Measured host parallel throughput in EFFECTIVE CORES: single busy-loop
+    * wall time ÷ n-concurrent wall time × n. Carried in the bench line so a
+    * round-over-round reader can separate "the engine regressed" from "the
+    * host delivered fewer cycles" — co-tenant VMs routinely swing 1.5–2×
+    * (measured 17.4/32 effective on 2026-08-15 against ~30/32 when earlier
+    * rounds' artifacts were recorded; per-query ratios that round tracked
+    * the throughput ratio uniformly, confirming host noise, not code).
+    */
+  def effectiveCores(n: Int): Double = {
+    def burn(): Long = {
+      var s = 0L; var i = 0
+      while (i < 30000000) { s += i; i += 1 }
+      s
+    }
+    burn() // JIT warm
+    val t1 = System.nanoTime(); burn(); val single = System.nanoTime() - t1
+    val threads = (1 to n).map { _ =>
+      new Thread(new Runnable { def run(): Unit = { burn(); () } })
+    }
+    val t2 = System.nanoTime()
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val par = System.nanoTime() - t2
+    math.min(n.toDouble, single.toDouble / par * n)
   }
 
   /** The untruncated sibling of [[renderJson]]: identical wrapper keys
@@ -140,7 +166,8 @@ object Bench {
     */
   def renderFullJson(results: Map[String, Double], sfDir: String,
                      failed: Seq[String] = Nil,
-                     spreadP95: Option[Double] = None): String = {
+                     spreadP95: Option[Double] = None,
+                     effCores: Option[Double] = None): String = {
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sf = sfDir.stripSuffix("/").split('/').last
@@ -156,7 +183,8 @@ object Bench {
     val failKey =
       if (failed.isEmpty) ""
       else s""","failed_n":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$stats$failKey,"sf":"$sf"}"""
+    val effKey = effCores.map(v => s""","eff_cores":${f(v)}""").getOrElse("")
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$stats$failKey$effKey,"sf":"$sf"}"""
   }
 
   /** Nearest-rank percentile (q ∈ (0,1]) of a non-empty sample. */
@@ -171,7 +199,8 @@ object Bench {
     */
   def renderJson(results: Map[String, Double], sfDir: String,
                  failed: Seq[String] = Nil,
-                 spreadP95: Option[Double] = None): String = {
+                 spreadP95: Option[Double] = None,
+                 effCores: Option[Double] = None): String = {
     // HARD BUDGET: the driver keeps only the LAST 2000 characters of the run
     // output (measured: every BENCH_r{N}.json has len(tail)==2000), and a
     // longer line gets its HEAD truncated, leaving unparseable JSON (the
@@ -213,7 +242,8 @@ object Bench {
       val rest =
         if (small.isEmpty) ""
         else s""","rest_n":${small.size},"rest_sec":${f2(small.values.sum)}"""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$rest$stats$failKey,"sf":"$sf"}"""
+      val effKey = effCores.map(v => s""","eff_cores":${f2(v)}""").getOrElse("")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$rest$stats$failKey$effKey,"sf":"$sf"}"""
     }
     // smallest floor whose line fits the tail budget (with headroom for the
     // trailing newline and any straggler log line)

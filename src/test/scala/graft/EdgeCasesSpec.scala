@@ -72,6 +72,12 @@ class EdgeCasesSpec extends SparkSpec {
       (1 to 40).map(i => s"q_f$i"))
     assert(massFail.contains("\"failed_n\":40") && massFail.contains("+35 more"), massFail)
     assert(massFail.length <= 1900, s"mass-failure line too long: ${massFail.length}")
+    // host-throughput probe: carried when measured, sane bounds, absent otherwise
+    val withEff = Bench.renderJson(Map("q1" -> 1.5), "/x/sf0.1", Nil, None, Some(17.44))
+    assert(withEff.contains("\"eff_cores\":17.44"), withEff)
+    assert(!json.contains("eff_cores"), json)
+    val eff = Bench.effectiveCores(2)
+    assert(eff > 0.5 && eff <= 2.0, s"effectiveCores(2) = $eff out of [0.5, 2]")
   }
 
   test("bench FULL JSON shares the wrapper schema and carries every query") {
