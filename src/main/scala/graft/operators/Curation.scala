@@ -274,6 +274,101 @@ object Curation {
       .withColumn("kept", col("cum_tokens") <= col("budget"))
   }
 
+  /** Generalization-lattice k-anonymity search (Incognito/Samarati shape,
+    * restricted to full-domain generalization over two QI hierarchies):
+    * evaluate EVERY (level_a, level_b) node of the lattice — class census,
+    * min class size, rows below k — and flag the k-achieving node with the
+    * least generalization (lowest level sum, ties toward keeping attribute
+    * A specific). [[kAnonymity]] answers "is THIS release k-anonymous?";
+    * this answers the operational question behind it — "how much do I have
+    * to coarsen before it is?".
+    *
+    * One corpus scan projects all hierarchy levels into a narrow
+    * checkpointed frame; each lattice node is then a class-cardinality
+    * aggregate over that frame (grouping-sets in spirit — the shuffle
+    * state per node is the class census, never rows). The lattice itself
+    * is |levels_a|·|levels_b| rows of broadcast arithmetic.
+    *
+    * @param aLevels hierarchy for attribute A, most specific first, last
+    *                typically a constant (full suppression)
+    * @return one row per lattice node: (a_level, b_level, n_classes,
+    *         min_class_size, risky_rows, achieves_k, is_choice)
+    */
+  def kAnonLattice(
+      df: DataFrame,
+      aLevels: Seq[Column],
+      bLevels: Seq[Column],
+      k: Long
+  ): DataFrame = {
+    require(aLevels.nonEmpty && bLevels.nonEmpty, "need at least one level per attribute")
+    require(aLevels.size <= 9 && bLevels.size <= 9, "pick_key encoding assumes < 10 levels")
+    val proj = df
+      .select(
+        aLevels.zipWithIndex.map { case (c, i) => c.cast("string").as(s"_a$i") } ++
+          bLevels.zipWithIndex.map { case (c, i) => c.cast("string").as(s"_b$i") }: _*
+      )
+      .localCheckpoint()
+    val nodes = for { i <- aLevels.indices; j <- bLevels.indices } yield proj
+      .groupBy(col(s"_a$i"), col(s"_b$j"))
+      .agg(count(lit(1)).cast("long").as("_cs"))
+      .agg(
+        lit(i.toLong).as("a_level"),
+        lit(j.toLong).as("b_level"),
+        count(lit(1)).cast("long").as("n_classes"),
+        min(col("_cs")).cast("long").as("min_class_size"),
+        sum(when(col("_cs") < k, col("_cs")).otherwise(0L)).cast("long").as("risky_rows")
+      )
+    val grid = nodes
+      .reduce(_ unionAll _)
+      .withColumn("achieves_k", col("min_class_size") >= k)
+      // generalization cost: total levels climbed; ties keep A specific
+      .withColumn("_pick", expr("(a_level + b_level) * 100 + a_level * 10 + b_level"))
+    val best = grid
+      .filter(col("achieves_k"))
+      .agg(min(col("_pick")).as("_best"))
+    grid
+      .crossJoin(broadcast(best))
+      .withColumn(
+        "is_choice",
+        col("achieves_k") && col("_best").isNotNull && col("_pick") === col("_best")
+      )
+      .drop("_pick", "_best")
+  }
+
+  /** Per-entity date shifting (HIPAA Safe-Harbor-style de-identification):
+    * every entity's timestamps move by ONE deterministic md5-derived offset
+    * in [−maxShiftDays, +maxShiftDays], so absolute dates are destroyed but
+    * every within-entity interval — session gaps, retention windows,
+    * sequence order — is preserved exactly. The offset is a pure function
+    * of the entity key: reapplying the operator (or applying it on another
+    * engine, or to another table sharing the key) shifts consistently,
+    * which is what keeps cross-table joins on (entity, time) valid after
+    * de-identification.
+    *
+    * A narrow projection — no shuffle, no state; the md5 is computed once
+    * per row and the shift is integer µs arithmetic.
+    *
+    * @return input plus (offset_days, <tsCol>_shifted)
+    */
+  def dateShift(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      maxShiftDays: Int
+  ): DataFrame = {
+    require(maxShiftDays >= 1, "maxShiftDays must be positive")
+    val span = 2L * maxShiftDays + 1
+    val off = (conv(substring(md5(concat(lit("ds|"), col(entityCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % span - maxShiftDays).as("offset_days")
+    df.withColumn("offset_days", off)
+      .withColumn(
+        s"${tsCol}_shifted",
+        timestamp_micros(
+          unix_micros(col(tsCol)) + col("offset_days") * lit(86400000000L)
+        )
+      )
+  }
+
   /** Corpus card: the one-command dataset datasheet — the handful of
     * numbers every drop ships with (size, mix breadth, duplication, PII
     * exposure, length and quality tails) as a long (metric, value) frame,

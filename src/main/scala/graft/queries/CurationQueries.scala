@@ -281,6 +281,101 @@ object CurationQueries {
       Curation.packByTokenBudget(documents(s, d), Seq("lang"), "doc_id", "text", 500)
     },
 
+    // E353 k-anonymity generalization lattice ([[Curation.kAnonLattice]]):
+    // every (source-hierarchy × length-band-hierarchy) node's class census
+    // + the least-generalized node achieving k=5 flagged — the "how much
+    // must I coarsen?" search behind the cur_kanonymity gate. Hierarchies:
+    // source → publisher group (id mod 4) → * ; n_chars÷100 → ÷500 → *.
+    QEntry.sql(
+      "cur_kanon_lattice", {
+        val aL = Seq(
+          "source",
+          "'g' || CAST(CAST(substr(source, 4) AS INT) % 4 AS VARCHAR)",
+          "'*'"
+        )
+        val bL = Seq(
+          "CAST(n_chars // 100 AS VARCHAR)",
+          "CAST(n_chars // 500 AS VARCHAR)",
+          "'*'"
+        )
+        val nodes = (for { i <- 0 to 2; j <- 0 to 2 } yield
+          s"""SELECT ${i}::BIGINT AS a_level, ${j}::BIGINT AS b_level,
+             |  CAST(count(*) AS BIGINT) AS n_classes,
+             |  CAST(min(cs) AS BIGINT) AS min_class_size,
+             |  CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT) AS risky_rows
+             |FROM (SELECT ${aL(i)} AS a, ${bL(j)} AS b, count(*) AS cs
+             |      FROM documents GROUP BY 1, 2) c$i$j""".stripMargin)
+          .mkString(" UNION ALL ")
+        s"""WITH grid AS ($nodes),
+           |g2 AS (SELECT *, min_class_size >= 5 AS achieves_k,
+           |         (a_level + b_level) * 100 + a_level * 10 + b_level AS pick
+           |       FROM grid),
+           |best AS (SELECT min(pick) AS bp FROM g2 WHERE achieves_k)
+           |SELECT a_level, b_level, n_classes, min_class_size, risky_rows,
+           |  achieves_k,
+           |  (achieves_k AND bp IS NOT NULL AND pick = bp) AS is_choice
+           |FROM g2, best""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      Curation.kAnonLattice(
+        docs,
+        Seq(
+          col("source"),
+          concat(lit("g"), (substring(col("source"), 4, 10).cast("int") % 4).cast("string")),
+          lit("*")
+        ),
+        Seq(
+          expr("CAST(n_chars div 100 AS STRING)"),
+          expr("CAST(n_chars div 500 AS STRING)"),
+          lit("*")
+        ),
+        k = 5
+      )
+    },
+
+    // E352 de-identifying date shift ([[Curation.dateShift]]): one
+    // md5-derived offset in [−30, +30] days per user, applied to every
+    // event — absolute dates destroyed, within-user intervals preserved
+    // EXACTLY (the rollup proves both: spans equal, first-day moved by the
+    // offset). Narrow projection + one user-keyed rollup.
+    QEntry.sql(
+      "cur_date_shift",
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef',
+        |              substr(md5('ds|' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |      * pow(16, 8 - i))) AS BIGINT) % 61 - 30 AS offset_days
+        |  FROM events)
+        |SELECT user_id, CAST(max(offset_days) AS BIGINT) AS offset_days,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(us) - min(us) AS BIGINT) AS span_us,
+        |  CAST(max(us + offset_days * 86400000000) - min(us + offset_days * 86400000000)
+        |       AS BIGINT) AS span_us_shifted,
+        |  CAST(min(us) // 86400000000 AS BIGINT) AS first_day,
+        |  CAST(min(us + offset_days * 86400000000) // 86400000000 AS BIGINT)
+        |    AS first_day_shifted
+        |FROM s GROUP BY user_id""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation
+        .dateShift(events(s, d), "user_id", "ts", 30)
+        .select(
+          col("user_id"),
+          col("offset_days"),
+          unix_micros(col("ts")).as("_us"),
+          unix_micros(col("ts_shifted")).as("_uss")
+        )
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("offset_days")).cast("long").as("offset_days"),
+          count(lit(1)).cast("long").as("n_events"),
+          (max(col("_us")) - min(col("_us"))).cast("long").as("span_us"),
+          (max(col("_uss")) - min(col("_uss"))).cast("long").as("span_us_shifted"),
+          expr("min(_us) div 86400000000L").cast("long").as("first_day"),
+          expr("min(_uss) div 86400000000L").cast("long").as("first_day_shifted")
+        )
+    },
+
     // E350 corpus card ([[Curation.corpusCard]]): the dataset datasheet —
     // size, mix breadth, duplication, PII exposure, length/quality tails —
     // as a (metric, value) long frame from ONE corpus scan. The twin

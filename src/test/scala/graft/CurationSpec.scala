@@ -434,6 +434,72 @@ class CurationSpec extends SparkSpec {
     assert(card("n_chars") == 179L + 179L + 9L + 32L, card.toString)
   }
 
+  test("dateShift: intervals exact, offsets bounded, per-entity consistent") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000000L // µs epoch
+    val df = Seq(
+      (1L, base), (1L, base + 3600000000L), (1L, base + 7200000000L),
+      (2L, base + 100L)
+    ).map { case (u, us) => (u, new java.sql.Timestamp(us / 1000)) }
+      .toDF("user_id", "ts")
+    val out = graft.operators.Curation.dateShift(df, "user_id", "ts", 30)
+      .select(col("user_id"), col("offset_days"),
+        unix_micros(col("ts")).as("us"), unix_micros(col("ts_shifted")).as("uss"))
+      .collect()
+    out.foreach { r =>
+      val off = r.getAs[Long]("offset_days")
+      assert(off >= -30 && off <= 30, r.toString)
+      assert(r.getAs[Long]("uss") - r.getAs[Long]("us") == off * 86400000000L, r.toString)
+    }
+    // one offset per entity; intervals inside the entity survive exactly
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(_.getAs[Long]("offset_days")).distinct.length == 1)
+    val origGaps = u1.map(_.getAs[Long]("us")).sorted.sliding(2).map(p => p(1) - p(0)).toSeq
+    val shiftGaps = u1.map(_.getAs[Long]("uss")).sorted.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(origGaps == shiftGaps, s"$origGaps vs $shiftGaps")
+    // different entities get (generally) different offsets — deterministic fn of key
+    val offs = out.map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("offset_days")).toMap
+    val again = graft.operators.Curation.dateShift(df, "user_id", "ts", 30)
+      .select(col("user_id"), col("offset_days")).distinct().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("offset_days")).toMap
+    assert(again == offs)
+  }
+
+  test("kAnonLattice: least-generalized achieving node wins, grid complete") {
+    val s = spark
+    import s.implicits._
+    // engineered so (1,1) is the unique cheapest k=2 node:
+    // a1 singleton breaks every a_level=0 node and (2,0)/(1,0) via B=4
+    val rows =
+      Seq(("a1", 4)) ++
+        Seq(("a2", 3), ("a2", 3), ("a2", 1), ("a2", 1), ("a2", 2)) ++
+        Seq.fill(5)(("a3", 1)) ++ Seq.fill(5)(("a4", 3))
+    val df = rows.toDF("src", "band")
+    val grid = graft.operators.Curation.kAnonLattice(
+      df,
+      Seq(col("src"),
+        when(col("src").isin("a1", "a2"), "gA").otherwise("gB"),
+        lit("*")),
+      Seq(col("band").cast("string"),
+        when(col("band") <= 2, "x").otherwise("y"),
+        lit("*")),
+      k = 2
+    ).collect()
+    assert(grid.length == 9)
+    val byNode = grid.map(r => (r.getAs[Long]("a_level"), r.getAs[Long]("b_level")) -> r).toMap
+    assert(!byNode((0L, 0L)).getAs[Boolean]("achieves_k"))
+    assert(!byNode((0L, 2L)).getAs[Boolean]("achieves_k"), "a1 singleton survives B suppression")
+    assert(!byNode((2L, 0L)).getAs[Boolean]("achieves_k"), "B=4 singleton survives A suppression")
+    assert(byNode((1L, 1L)).getAs[Boolean]("achieves_k"))
+    assert(byNode((2L, 2L)).getAs[Boolean]("achieves_k"), "full suppression always achieves")
+    assert(byNode((2L, 2L)).getAs[Long]("min_class_size") == 16L)
+    // exactly one choice: the cheapest achieving node
+    val choices = grid.filter(_.getAs[Boolean]("is_choice"))
+    assert(choices.length == 1, grid.mkString(";"))
+    assert((choices.head.getAs[Long]("a_level"), choices.head.getAs[Long]("b_level")) == ((1L, 1L)))
+  }
+
   test("privacyAudit: hand-computed l-diversity and exact 1-D EMD") {
     val s = spark
     import s.implicits._
