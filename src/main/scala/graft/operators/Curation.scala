@@ -208,10 +208,14 @@ object Curation {
         col("n_docs"),
         col("sum_tokens"),
         (col("bucket") * col("n_docs") - col("sum_tokens")).as("pad_tokens"),
-        expr("(bucket * n_docs - sum_tokens) * 1000000L div (bucket * n_docs)")
+        // bucket 0 (a zero-token doc) pads nothing — avoid the ANSI
+        // divide-by-zero instead of crashing the report on degenerate rows
+        when(col("bucket") === 0L, 0L)
+          .otherwise(expr("(bucket * n_docs - sum_tokens) * 1000000L div (bucket * n_docs)"))
           .cast("long")
           .as("waste_ppm"),
-        expr("(_mb * _n - _s) * 1000000L div (_mb * _n)")
+        when(col("_mb") === 0L, 0L)
+          .otherwise(expr("(_mb * _n - _s) * 1000000L div (_mb * _n)"))
           .cast("long")
           .as("global_pad_ppm")
       )

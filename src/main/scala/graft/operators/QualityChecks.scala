@@ -115,10 +115,17 @@ object QualityChecks {
       col("n00"),
       col("n10"),
       col("n01"),
-      expr("(n11 + n00) * 1000000L div n").cast("long").as("po_ppm"),
-      expr(
-        "((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) * 1000000L div (n * n)"
-      ).cast("long").as("pe_ppm")
+      // n = 0 (empty frame): agreement is vacuous — report 0, don't crash
+      when(col("n") === 0L, 0L)
+        .otherwise(expr("(n11 + n00) * 1000000L div n"))
+        .cast("long")
+        .as("po_ppm"),
+      when(col("n") === 0L, 0L)
+        .otherwise(
+          expr("((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) * 1000000L div (n * n)")
+        )
+        .cast("long")
+        .as("pe_ppm")
     ).withColumn(
       "kappa_ppm",
       when(col("pe_ppm") === 1000000L, 0L)

@@ -314,6 +314,16 @@ class CurationSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Long]("global_pad_ppm") == glob))
     // the whole point: bucketing strictly beats pad-to-max on this frame
     assert(out.values.forall(_.getAs[Long]("waste_ppm") < glob))
+    // degenerate zero-token doc: bucket 0 reports 0 waste instead of
+    // dividing by zero; an all-empty frame likewise
+    val withZero = graft.operators.Curation
+      .paddingWasteReport(Seq(0L, 70L).toDF("n_tokens"), "n_tokens", 64)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("waste_ppm")).toMap
+    assert(withZero(0L) == 0L, withZero.toString)
+    val allZero = graft.operators.Curation
+      .paddingWasteReport(Seq(0L).toDF("n_tokens"), "n_tokens", 64)
+      .collect().head
+    assert(allZero.getAs[Long]("global_pad_ppm") == 0L, allZero.toString)
   }
 
   test("quantileNormalize: cross-source calibration despite wild scale gaps") {

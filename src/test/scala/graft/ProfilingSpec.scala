@@ -137,5 +137,9 @@ class ProfilingSpec extends SparkSpec {
     val const = Seq((true, true), (true, true)).toDF("a", "b")
     assert(graft.operators.QualityChecks.cohensKappa(const, "a", "b")
       .collect().head.getAs[Long]("kappa_ppm") == 0L)
+    // empty frame: vacuous agreement reports zeros, no division by zero
+    val empty = graft.operators.QualityChecks
+      .cohensKappa(const.filter(lit(false)), "a", "b").collect().head
+    assert(empty.getAs[Long]("n") == 0L && empty.getAs[Long]("kappa_ppm") == 0L, empty.toString)
   }
 }
