@@ -87,7 +87,8 @@ object Plans {
       "cur_padding_waste", "cur_quantile_norm", "dedup_source_overlap",
       "cur_token_budget", "cur_stride_interleave", "cur_epoch_schedule",
       "txt_prf_expansion", "cur_labeler_kappa", "cur_corpus_card",
-      "q_shapley_credit", "cur_date_shift", "cur_kanon_lattice"
+      "q_shapley_credit", "cur_date_shift", "cur_kanon_lattice",
+      "q_mv_rewrite"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

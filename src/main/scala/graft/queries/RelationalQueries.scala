@@ -35,6 +35,47 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // E354 aggregate materialized-view rewrite ([[graft.plans.MvRewrite]] +
+    // the injected MvRewriteRule): a (returnflag, linestatus) SUM/COUNT
+    // rollup is materialized once, then a returnflag-only query is
+    // REWRITTEN by the optimizer to re-aggregate the 6-row MV — the entry
+    // asserts the rewrite actually fired (physical plan reads the MV path,
+    // not the fact table) and the oracle checks the rewritten answer
+    // against DuckDB's scan of the BASE data: the strongest possible
+    // "rewrite is invisible" claim. The fact table is a private temp copy
+    // so the registry can't leak into other entries' plans; sums are over
+    // integral-valued l_quantity, so sum-of-sums is order-exact.
+    QEntry.sql(
+      "q_mv_rewrite",
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mvq").toString
+      val fact = s"$dir/fact.parquet"
+      lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").parquet(fact)
+      val defn = graft.plans.MvRewrite.MvDef(
+        fact,
+        s"$dir/mv.parquet",
+        Seq("l_returnflag", "l_linestatus"),
+        Map("sum_qty" -> "l_quantity"),
+        Some("cnt")
+      )
+      graft.plans.MvRewrite.build(s, defn)
+      graft.plans.MvRewrite.register(s, defn)
+      val out = s.read
+        .parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).cast("long").as("n_rows"))
+      require(
+        out.queryExecution.executedPlan.toString.contains("mv.parquet"),
+        "MV rewrite did not fire — the entry would silently test a plain aggregate"
+      )
+      out
+    },
+
     // TPC-H Q1 shape: the canonical scan→partial-agg→shuffle→final-agg. Six
     // groups total, so the shuffle moves ~6 rows per map task regardless of
     // input size — map-side combine is what makes this 100 TB-safe.
