@@ -681,11 +681,15 @@ object Dedup {
     * same way?". All pair counts come from the CONTINGENCY table (≤ one
     * row per label pair, built with one partial-agg shuffle; marginals are
     * re-aggregations of the contingency, never of the data), so nothing
-    * all-pairs ever materializes: Σ_ij C(n_ij,2), Σ_i C(a_i,2),
-    * Σ_j C(b_j,2) and C(n,2) are exact BIGINT (products < 2^63 up to
-    * ~10^9 docs); RI is an exact ppm and ARI one final rounded double
-    * ratio, with the degenerate-denominator convention ARI = 1 (two
-    * trivial clusterings agree).
+    * all-pairs ever materializes. Overflow posture: every C(m,2) product
+    * routes through DECIMAL(38,0) before the divide, so the pair counts are
+    * exact as long as they FIT in the BIGINT output columns (n up to ~4.3e9
+    * docs — n_pairs < 2^63); ri_ppm multiplies through DECIMAL(38,0) too,
+    * so it cannot wrap. The ARI ratio is computed in DOUBLE (its n^4-scale
+    * cross products overflow any fixed integer width long before the pair
+    * counts do) — exact below 2^53-sized products, ~1e-16 relative beyond,
+    * with the degenerate-denominator convention ARI = 1 (two trivial
+    * clusterings agree).
     *
     * @return one row: (n_docs, n_pairs, sum_a, sum_b, sum_ij, ri_ppm, ari)
     */
@@ -705,34 +709,40 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("_n"))
       .localCheckpoint()
     val sij = cont.agg(
-      sum(expr("_n * (_n - 1) div 2")).cast("long").as("sum_ij"),
+      sum(expr("CAST(_n AS DECIMAL(38,0)) * (_n - 1) div 2")).cast("long").as("sum_ij"),
       sum(col("_n")).cast("long").as("n_docs")
     )
     val sa = cont
       .groupBy(col("_la"))
       .agg(sum(col("_n")).as("_m"))
-      .agg(sum(expr("_m * (_m - 1) div 2")).cast("long").as("sum_a"))
+      .agg(sum(expr("CAST(_m AS DECIMAL(38,0)) * (_m - 1) div 2")).cast("long").as("sum_a"))
     val sb = cont
       .groupBy(col("_lb"))
       .agg(sum(col("_n")).as("_m"))
-      .agg(sum(expr("_m * (_m - 1) div 2")).cast("long").as("sum_b"))
+      .agg(sum(expr("CAST(_m AS DECIMAL(38,0)) * (_m - 1) div 2")).cast("long").as("sum_b"))
+    val ariDen =
+      "CAST(n_pairs AS DOUBLE) * (CAST(sum_a AS DOUBLE) + CAST(sum_b AS DOUBLE)) " +
+        "- 2 * (CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE))"
     sij
       .crossJoin(sa)
       .crossJoin(sb)
-      .withColumn("n_pairs", expr("n_docs * (n_docs - 1) div 2"))
+      .withColumn("n_pairs", expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) div 2 AS BIGINT)"))
       .select(
         col("n_docs"),
         col("n_pairs"),
         col("sum_a"),
         col("sum_b"),
         col("sum_ij"),
-        expr("(n_pairs - sum_a - sum_b + 2 * sum_ij) * 1000000 div n_pairs").as("ri_ppm"),
+        expr(
+          "CAST((CAST(n_pairs AS DECIMAL(38,0)) - sum_a - sum_b " +
+            "+ 2 * CAST(sum_ij AS DECIMAL(38,0))) * 1000000 div n_pairs AS BIGINT)"
+        ).as("ri_ppm"),
         round(
-          when(expr("n_pairs * (sum_a + sum_b) - 2 * sum_a * sum_b = 0"), lit(1.0))
+          when(expr(s"$ariDen = 0"), lit(1.0))
             .otherwise(
               expr(
-                "CAST(2 * (n_pairs * sum_ij - sum_a * sum_b) AS DOUBLE) / " +
-                  "(n_pairs * (sum_a + sum_b) - 2 * sum_a * sum_b)"
+                "(2 * (CAST(n_pairs AS DOUBLE) * CAST(sum_ij AS DOUBLE) " +
+                  s"- CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE))) / ($ariDen)"
               )
             ),
           6

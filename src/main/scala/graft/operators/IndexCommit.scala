@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[IndexMaintenance.compact]] have a crash window in which the only copy
   * of the index is half-overwritten.
   *
-  * The protocol (Delta/Iceberg-shaped, filesystem-atomic-rename as the
+  * The protocol (Delta/Iceberg-shaped, filesystem exclusive-create as the
   * arbiter):
   *
   *   - `root/data/<staged>` — immutable full-snapshot directories, written
@@ -19,10 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     version, the writer id and the attempt count, so concurrent writers
   *     never collide on a path.
   *   - `root/manifest/commit-<n>` — the pointer written LAST: a one-line
-  *     file naming the snapshot directory for version n, renamed into
-  *     place from a writer-private temp file. Rename-without-replace is
-  *     atomic on HDFS and local filesystems, so exactly ONE writer owns
-  *     version n; the content is complete the instant the marker exists.
+  *     file naming the snapshot directory for version n, claimed with
+  *     create-if-absent (`FileSystem.create(dst, overwrite = false)`). The
+  *     filesystem rejects the second creator, so exactly ONE writer owns
+  *     version n; readers tolerate the microsecond create→write window by
+  *     re-reading an empty marker briefly.
   *   - Readers resolve max committed n → marker content → snapshot dir.
   *     A reader never sees a partial write: either the marker exists (its
   *     snapshot was fully written first) or it doesn't (the reader stays
@@ -67,15 +68,32 @@ object IndexCommit {
     }
   }
 
-  /** Snapshot directory committed as version `n` (the marker's content). */
+  /** Snapshot directory committed as version `n` (the marker's content).
+    * The marker is claimed with an exclusive create and its one-line content
+    * written immediately after, so a reader that lists the marker during
+    * that microsecond window can observe it empty — retry briefly before
+    * declaring the manifest corrupt (a writer that crashes BETWEEN create
+    * and write leaves a permanently empty marker; that crash window is this
+    * protocol's local-filesystem caveat, the analogue of the no-atomic-
+    * rename caveat on object stores).
+    */
   private def snapshotPath(spark: SparkSession, root: String, n: Long): Path = {
     val marker = new Path(manifestDir(root), s"$MarkerPrefix$n")
     val fs = hfs(spark, marker)
-    val in = fs.open(marker)
-    val name =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    new Path(dataDir(root), name)
+    var attempt = 0
+    while (attempt < 50) {
+      attempt += 1
+      val in = fs.open(marker)
+      val name =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (name.nonEmpty) return new Path(dataDir(root), name)
+      Thread.sleep(20L)
+    }
+    throw new IllegalStateException(
+      s"IndexCommit: marker $marker exists but stayed empty — " +
+        "a writer crashed between claiming the version and writing the pointer"
+    )
   }
 
   /** Newest committed snapshot with its version; None before first commit. */
@@ -84,11 +102,16 @@ object IndexCommit {
       (n, spark.read.parquet(snapshotPath(spark, root, n).toString))
     }
 
-  /** Attempt to publish `stagedName` as version `n`: write the marker to a
-    * writer-private temp file, then rename-without-replace into
-    * `manifest/commit-<n>`. Returns false when another writer already owns
-    * n — the caller must rebase and retry. Exposed to tests to drive the
-    * race deterministically.
+  /** Attempt to publish `stagedName` as version `n` by creating
+    * `manifest/commit-<n>` with create-if-absent (`overwrite = false`) and
+    * writing the snapshot pointer into it. The exclusive create is the
+    * arbitration primitive: the filesystem rejects the second creator, so
+    * exactly one writer owns version n. (The previous exists()-then-rename()
+    * implementation was check-then-act — POSIX rename(2) REPLACES an
+    * existing destination, so two racers could both believe they won and
+    * one snapshot silently vanished.) Returns false when another writer
+    * already owns n — the caller must rebase and retry. Exposed to tests to
+    * drive the race deterministically.
     */
   private[graft] def tryCommitMarker(
       spark: SparkSession,
@@ -100,14 +123,27 @@ object IndexCommit {
     val dir = manifestDir(root)
     val fs = hfs(spark, dir)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s"tmp-$writerId-$n")
-    val out = fs.create(tmp, true)
-    try out.write(stagedName.getBytes("UTF-8"))
-    finally out.close()
     val dst = new Path(dir, s"$MarkerPrefix$n")
-    val won = !fs.exists(dst) && fs.rename(tmp, dst)
-    if (!won) fs.delete(tmp, false)
-    won
+    val out =
+      try fs.create(dst, false)
+      catch {
+        // lost the race: any creator-rejection means version n has an owner
+        case _: java.io.IOException if fs.exists(dst) => return false
+      }
+    try {
+      out.write(stagedName.getBytes("UTF-8"))
+      out.close()
+      true
+    } catch {
+      case e: Throwable =>
+        // our claim succeeded but the pointer write failed (disk full, …):
+        // retract the marker so the version number stays claimable rather
+        // than leaving a permanently empty marker at the head of the chain
+        try out.close()
+        catch { case _: Throwable => () }
+        fs.delete(dst, false)
+        throw e
+    }
   }
 
   /** Publish one atomic index transition. `build` receives the newest
@@ -179,12 +215,25 @@ object IndexCommit {
   }
 
   /** Drop snapshots (and their markers) older than the newest `keep`
-    * committed versions, plus any staging directory no marker references —
-    * the abandoned remains of crashed or outraced writers. Never touches
-    * the newest committed chain, so concurrent readers on recent versions
-    * stay valid.
+    * committed versions, plus abandoned staging directories — the remains
+    * of crashed or outraced writers. Never touches the newest committed
+    * chain, so concurrent readers on recent versions stay valid.
+    *
+    * A staging directory that was NEVER referenced by a marker is only
+    * swept once it is older than `unreferencedGraceMs`: a concurrent writer
+    * stages its snapshot BEFORE attempting the marker, so an eager sweep
+    * would delete an in-flight commit's data and let its subsequent marker
+    * publish a pointer to nothing (the same reason Delta/Iceberg vacuum
+    * has a retention window). Snapshots referenced by the EXPIRED markers
+    * being dropped are deleted regardless of age — that is the explicit
+    * `keep` contract.
     */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+  def vacuum(
+      spark: SparkSession,
+      root: String,
+      keep: Int = 2,
+      unreferencedGraceMs: Long = 30L * 60L * 1000L
+  ): Unit = {
     require(keep >= 1, "must keep at least the newest committed version")
     val mDir = manifestDir(root)
     val fs = hfs(spark, mDir)
@@ -199,16 +248,22 @@ object IndexCommit {
     if (committed.isEmpty) return
     val keepVs = committed.takeRight(keep).toSet
     val keepDirs = keepVs.map(n => snapshotPath(spark, root, n).getName)
+    // resolve the expiring markers' snapshot dirs BEFORE dropping the markers
+    val expiredDirs =
+      committed.filterNot(keepVs).map(n => snapshotPath(spark, root, n).getName).toSet
     committed.filterNot(keepVs).foreach { n =>
       fs.delete(new Path(mDir, s"$MarkerPrefix$n"), false)
     }
     val dDir = dataDir(root)
     if (fs.exists(dDir)) {
+      val cutoff = System.currentTimeMillis() - unreferencedGraceMs
       fs.listStatus(dDir)
         .iterator
-        .map(_.getPath)
-        .filterNot(p => keepDirs.contains(p.getName))
-        .foreach(p => fs.delete(p, true))
+        .filterNot(st => keepDirs.contains(st.getPath.getName))
+        .filter { st =>
+          expiredDirs.contains(st.getPath.getName) || st.getModificationTime < cutoff
+        }
+        .foreach(st => fs.delete(st.getPath, true))
     }
   }
 }

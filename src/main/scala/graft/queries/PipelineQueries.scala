@@ -673,19 +673,24 @@ object PipelineQueries {
          |llb AS (SELECT id AS doc_id, min(comp) AS lb FROM scc GROUP BY id),
          |cont AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS n
          |  FROM lla JOIN llb USING (doc_id) GROUP BY la, lb),
-         |s1 AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS sum_ij,
+         |s1 AS (SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT) AS sum_ij,
          |    CAST(sum(n) AS BIGINT) AS n_docs FROM cont),
-         |s2 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS sum_a
+         |s2 AS (SELECT CAST(sum(CAST(m AS HUGEINT) * (m - 1) // 2) AS BIGINT) AS sum_a
          |  FROM (SELECT CAST(sum(n) AS BIGINT) AS m FROM cont GROUP BY la)),
-         |s3 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS sum_b
+         |s3 AS (SELECT CAST(sum(CAST(m AS HUGEINT) * (m - 1) // 2) AS BIGINT) AS sum_b
          |  FROM (SELECT CAST(sum(n) AS BIGINT) AS m FROM cont GROUP BY lb)),
-         |f AS (SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_pairs,
+         |f AS (SELECT n_docs,
+         |    CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2 AS BIGINT) AS n_pairs,
          |    sum_ij, sum_a, sum_b FROM s1, s2, s3)
          |SELECT n_docs, n_pairs, sum_a, sum_b, sum_ij,
-         |  (n_pairs - sum_a - sum_b + 2 * sum_ij) * 1000000 // n_pairs AS ri_ppm,
-         |  round(CASE WHEN n_pairs * (sum_a + sum_b) - 2 * sum_a * sum_b = 0 THEN 1.0
-         |    ELSE CAST(2 * (n_pairs * sum_ij - sum_a * sum_b) AS DOUBLE) /
-         |         (n_pairs * (sum_a + sum_b) - 2 * sum_a * sum_b) END, 6) AS ari
+         |  CAST((CAST(n_pairs AS HUGEINT) - sum_a - sum_b + 2 * CAST(sum_ij AS HUGEINT))
+         |    * 1000000 // n_pairs AS BIGINT) AS ri_ppm,
+         |  round(CASE WHEN CAST(n_pairs AS DOUBLE) * (CAST(sum_a AS DOUBLE) + CAST(sum_b AS DOUBLE))
+         |      - 2 * (CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE)) = 0 THEN 1.0
+         |    ELSE (2 * (CAST(n_pairs AS DOUBLE) * CAST(sum_ij AS DOUBLE)
+         |      - CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE))) /
+         |      (CAST(n_pairs AS DOUBLE) * (CAST(sum_a AS DOUBLE) + CAST(sum_b AS DOUBLE))
+         |      - 2 * (CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE))) END, 6) AS ari
          |FROM f""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val docs = documents(s, d)

@@ -98,9 +98,10 @@ class IndexCommitSpec extends SparkSpec {
       IndexMaintenance.appendVersioned(spark, Seq(1L).toDF("id"), root, "w0")
       IndexMaintenance.appendVersioned(spark, Seq(2L).toDF("id"), root, "w0")
       IndexMaintenance.appendVersioned(spark, Seq(3L).toDF("id"), root, "w0")
-      // an outraced writer's abandoned staging dir
+      // an outraced writer's abandoned staging dir — swept only once it is
+      // older than the grace window (zero here to simulate age)
       Seq(9L).toDF("id").write.parquet(s"$root/data/v9-crashed-1")
-      IndexCommit.vacuum(spark, root, keep = 2)
+      IndexCommit.vacuum(spark, root, keep = 2, unreferencedGraceMs = 0L)
       val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
       assert(dataDirs == Set("v2-w0-1", "v3-w0-1"), s"got $dataDirs")
       val markers = new java.io.File(s"$root/manifest").listFiles().map(_.getName)
@@ -108,6 +109,39 @@ class IndexCommitSpec extends SparkSpec {
       assert(markers == Set("commit-2", "commit-3"))
       assert(IndexCommit.committedVersion(spark, root).contains(3L))
       assert(ids(root) == Set(1L, 2L, 3L))
+    }
+  }
+
+  test("vacuum spares an in-flight writer's fresh staging; its commit then lands intact") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      IndexMaintenance.appendVersioned(spark, Seq(1L).toDF("id"), root, "w0")
+      IndexMaintenance.appendVersioned(spark, Seq(2L).toDF("id"), root, "w0")
+      // a concurrent writer has staged v3 but not yet attempted the marker
+      val staged = "v3-inflight-1"
+      Seq(1L, 2L, 3L).toDF("id").write.parquet(s"$root/data/$staged")
+      // default grace window: the unreferenced-but-fresh staging survives
+      IndexCommit.vacuum(spark, root, keep = 1)
+      assert(new java.io.File(s"$root/data/$staged").exists(),
+        "vacuum deleted a concurrent writer's in-flight snapshot")
+      // the in-flight writer publishes; its pointer references intact data
+      assert(IndexCommit.tryCommitMarker(spark, root, 3L, staged, "inflight"))
+      assert(ids(root) == Set(1L, 2L, 3L))
+    }
+  }
+
+  test("losing a marker race leaves no marker debris and the winner's pointer intact") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      Seq(1L).toDF("id").write.parquet(s"$root/data/v1-a-1")
+      Seq(2L).toDF("id").write.parquet(s"$root/data/v1-b-1")
+      assert(IndexCommit.tryCommitMarker(spark, root, 1L, "v1-a-1", "a"))
+      assert(!IndexCommit.tryCommitMarker(spark, root, 1L, "v1-b-1", "b"))
+      // ignore Hadoop's checksum sidecars (.commit-1.crc) — only real files count
+      val names = new java.io.File(s"$root/manifest").listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).toSet
+      assert(names == Set("commit-1"), s"loser left debris: $names")
+      assert(ids(root) == Set(1L), "the loser's attempt must not disturb the winner's pointer")
     }
   }
 
