@@ -23,9 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // engine-knowledge pruning: rating predicates imply fragment predicates
     ext.injectOptimizerRule(_ => graft.plans.DeriveFragmentPruning())
-    // aggregate materialized-view rewrite: SUM/COUNT rollups answered from
-    // a registered MV instead of the fact table (graft.plans.MvRewrite)
-    ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule())
+    // aggregate materialized-view rewrite: SUM/MIN/MAX/AVG/COUNT rollups
+    // answered from a registered MV instead of the fact table
+    // (graft.plans.MvRewrite); a persisted MV catalog auto-loads when
+    // spark.graft.mvCatalog names one (stale definitions are dropped)
+    ext.injectOptimizerRule { session =>
+      graft.plans.MvRewrite.loadCatalogIfConfigured(session)
+      graft.plans.MvRewriteRule(session)
+    }
     // bounded-heap top-k-per-key physical operator replacing the
     // Filter(row_number <= k) WindowExec pattern (graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)

@@ -88,7 +88,9 @@ object Plans {
       "cur_token_budget", "cur_stride_interleave", "cur_epoch_schedule",
       "txt_prf_expansion", "cur_labeler_kappa", "cur_corpus_card",
       "q_shapley_credit", "cur_date_shift", "cur_kanon_lattice",
-      "q_mv_rewrite"
+      "q_mv_rewrite",
+      // round 13 additions
+      "q_mv_rewrite_minmax", "q_mv_rewrite_filter"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

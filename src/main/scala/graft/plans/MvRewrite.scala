@@ -2,58 +2,106 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Average, Complete, Count, Max, Min, Sum
+}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Aggregate materialized-view rewrite — the warehouse capability that turns
   * "we precomputed the rollup" into queries that never touch the fact table:
   * an `Aggregate` whose grouping columns are a SUBSET of a registered MV's
-  * grouping columns and whose aggregates are all MV-derivable (SUM of a
-  * materialized measure, COUNT(*) against a materialized count) is rewritten
-  * to RE-aggregate the MV — sums of sums and sums of counts are exact, so a
-  * (returnflag, linestatus) rollup answers any returnflag-only query from
-  * |groups| rows instead of the corpus. At 100 TB this is the difference
-  * between a broadcast-sized scan and a fact-table scan per dashboard tile.
+  * grouping columns and whose aggregates are all MV-derivable is rewritten
+  * to RE-aggregate the MV — sums of sums, sums of counts, mins of mins and
+  * maxes of maxes are exact, and AVG re-derives as total-sum ÷ total-count —
+  * so a (returnflag, linestatus) rollup answers any returnflag-only query
+  * from |groups| rows instead of the corpus. At 100 TB this is the
+  * difference between a broadcast-sized scan and a fact-table scan per
+  * dashboard tile.
   *
   * Scope (strict by design — a wrong rewrite is silent data corruption):
-  * grouping exprs must be bare base columns; every aggregate must be an
-  * undistinct, unfiltered SUM of a materialized measure or COUNT(*)/COUNT(1)
-  * with a materialized count; the aggregate must sit DIRECTLY on the base
-  * relation (modulo a column-pruning Project of bare attributes) — any
-  * Filter in between disables the rewrite (residual-predicate pushdown into
-  * the MV is a correctness minefield when the predicate references
-  * non-grouped columns). AVG/MIN/MAX are not derivable from this MV shape
-  * and block the rewrite. FRESHNESS is the caller's contract, exactly as in
-  * every rename-arbitrated warehouse: register the MV after building it,
-  * re-register (or [[MvRewrite.clear]]) after base-table churn.
+  *
+  *   - Grouping exprs must be bare base columns, each materialized as an MV
+  *     grouping column.
+  *   - Every aggregate must be an undistinct, unfiltered SUM / MIN / MAX of
+  *     a materialized measure, COUNT(*)/COUNT(1) with a materialized count,
+  *     or AVG of a measure with BOTH a sum and a count materialized (AVG is
+  *     rewritten to re-sum ÷ re-count; restricted to DOUBLE-typed results —
+  *     decimal AVG has engine-specific scale promotion that a derived
+  *     division would have to replicate bit-for-bit, so it blocks).
+  *   - The aggregate must sit on the base relation modulo column-pruning
+  *     Projects and Filters whose references are all MV GROUPING columns
+  *     (such predicates commute with the rollup: filtering base rows by
+  *     group key ≡ filtering MV rows by the same key, so they are pushed
+  *     into the MV scan). A filter touching any non-grouping column
+  *     disables the rewrite — residual predicates over aggregated-away
+  *     rows cannot be answered from the rollup.
+  *   - The base-table match is FULLY-QUALIFIED-URI equality (both sides
+  *     resolved against the session Hadoop conf), never a suffix
+  *     heuristic: `/backup/tmp/x/base.parquet` must not be served from the
+  *     MV registered for `/tmp/x/base.parquet`.
+  *   - When several registered MVs cover the same base, the rewrite
+  *     deterministically prefers the SMALLEST one that can answer the query
+  *     (fewest grouping columns, ties broken on mvPath) — plan choice never
+  *     depends on registry iteration order.
+  *
+  * FRESHNESS is the caller's contract, exactly as in every rename-arbitrated
+  * warehouse: register the MV after building it, re-register (or
+  * [[MvRewrite.clear]]) after base-table churn. For cross-session use,
+  * [[MvRewrite.persist]] records the definition plus a base-table signature
+  * under a catalog directory, and [[MvRewrite.loadCatalog]] (invoked
+  * automatically by [[graft.GraftExtensions]] when
+  * `spark.graft.mvCatalog` is set) re-registers only the definitions whose
+  * base signature still matches — a stale MV is silently DROPPED rather
+  * than served.
   *
   * Output fidelity: the rewritten plan reuses the original output exprIds
-  * (aliases pinned to them) and casts re-aggregated sums back to the
-  * original aggregate's data type where decimal widening would otherwise
-  * change it — downstream operators see byte-identical schema.
+  * (aliases pinned to them) and casts re-aggregated values back to the
+  * original aggregate's data type where widening would otherwise change it —
+  * downstream operators see byte-identical schema. A global (no GROUP BY)
+  * COUNT(*) re-aggregated from a zero-row MV coalesces to 0, matching the
+  * original aggregate's empty-input contract.
   */
 object MvRewrite {
 
   /** One registered rollup: `mvPath` holds `SELECT groupCols, sum(base) AS
-    * measure…, count(*) AS countCol FROM basePath GROUP BY groupCols`.
+    * sumCol…, min(base) AS minCol…, max(base) AS maxCol…, count(*) AS
+    * countCol FROM basePath GROUP BY groupCols`.
     *
     * @param sums mv measure column -> base column it sums
+    * @param mins mv measure column -> base column it mins
+    * @param maxs mv measure column -> base column it maxes
     */
   case class MvDef(
       basePath: String,
       mvPath: String,
       groupCols: Seq[String],
       sums: Map[String, String],
-      countCol: Option[String]
+      countCol: Option[String],
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty
   )
 
-  private[plans] case class Registered(defn: MvDef, plan: LogicalPlan)
+  private[plans] case class Registered(defn: MvDef, qualifiedBase: String, plan: LogicalPlan)
   private val registry = TrieMap.empty[String, Registered]
+
+  /** Fully-qualified URI form of a path string under the session's Hadoop
+    * conf — the only comparison key the rewrite trusts (suffix matching
+    * silently served the wrong table).
+    */
+  private def qualified(spark: SparkSession, p: String): String = {
+    val path = new Path(p)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    path.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+  }
 
   /** Build the MV parquet from the base table — the one corpus-sized
     * aggregation this rule amortizes away for every later query.
@@ -62,6 +110,10 @@ object MvRewrite {
     val base = spark.read.parquet(defn.basePath)
     val aggs = defn.sums.toSeq.sortBy(_._1).map { case (mvCol, baseCol) =>
       sum(col(baseCol)).as(mvCol)
+    } ++ defn.mins.toSeq.sortBy(_._1).map { case (mvCol, baseCol) =>
+      min(col(baseCol)).as(mvCol)
+    } ++ defn.maxs.toSeq.sortBy(_._1).map { case (mvCol, baseCol) =>
+      max(col(baseCol)).as(mvCol)
     } ++ defn.countCol.map(c => count(lit(1)).cast("long").as(c)).toSeq
     base
       .groupBy(defn.groupCols.map(col): _*)
@@ -77,37 +129,184 @@ object MvRewrite {
     */
   def register(spark: SparkSession, defn: MvDef): Unit = {
     val plan = spark.read.parquet(defn.mvPath).queryExecution.analyzed
-    registry.put(defn.mvPath, Registered(defn, plan))
+    registry.put(defn.mvPath, Registered(defn, qualified(spark, defn.basePath), plan))
   }
 
   def clear(): Unit = registry.clear()
 
   private[plans] def registered: Seq[Registered] = registry.values.toSeq
 
-  /** Root paths of the file relation under `plan`, looking through a
-    * bare-attribute Project (column pruning); None for anything else.
+  // ---------------------------------------------------------------- catalog
+
+  /** JSON-file record for one persisted MV definition: the definition plus
+    * the base table's content signature at persist time. Flat types only —
+    * jackson-scala round-trips it without bespoke (de)serializers.
     */
-  private def baseScanPaths(plan: LogicalPlan): Option[Seq[String]] = plan match {
+  private case class MvRecord(
+      basePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Map[String, String],
+      countCol: Option[String],
+      mins: Map[String, String],
+      maxs: Map[String, String],
+      baseSignature: String
+  )
+
+  private lazy val mapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  /** Content signature of a base table directory: file count, total bytes,
+    * newest mtime. Any append / overwrite / compaction perturbs at least one
+    * component, which is exactly the staleness the loader must catch. A
+    * listing-level probe (metadata-sized, like every FileIndex refresh) —
+    * never reads data.
+    */
+  private[plans] def baseSignature(spark: SparkSession, basePath: String): String = {
+    val path = new Path(basePath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return "absent"
+    var count = 0L
+    var bytes = 0L
+    var maxM = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (!st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_")) {
+        count += 1
+        bytes += st.getLen
+        maxM = math.max(maxM, st.getModificationTime)
+      }
+    }
+    s"$count:$bytes:$maxM"
+  }
+
+  /** Persist `defn` (plus the CURRENT base-table signature) as a JSON file
+    * under `catalogDir`, so a later session can [[loadCatalog]] it. One file
+    * per MV, keyed on the MV path digest — re-persisting the same MV
+    * overwrites its record.
+    */
+  def persist(spark: SparkSession, catalogDir: String, defn: MvDef): Unit = {
+    val rec = MvRecord(
+      defn.basePath,
+      defn.mvPath,
+      defn.groupCols,
+      defn.sums,
+      defn.countCol,
+      defn.mins,
+      defn.maxs,
+      baseSignature(spark, defn.basePath)
+    )
+    val dir = new Path(catalogDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(defn.mvPath.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+    val out = fs.create(new Path(dir, s"mv-$key.json"), true)
+    try out.write(mapper.writeValueAsBytes(rec))
+    finally out.close()
+  }
+
+  /** Load every persisted definition under `catalogDir` and register the
+    * FRESH ones: a record whose base-table signature no longer matches the
+    * live base (the base churned since persist) or whose MV parquet is gone
+    * is dropped — serving a stale rollup is wrong answers, serving none is
+    * just the un-rewritten plan. Returns the definitions actually
+    * registered.
+    */
+  def loadCatalog(spark: SparkSession, catalogDir: String): Seq[MvDef] = {
+    val dir = new Path(catalogDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir)
+      .iterator
+      .filter(st => st.getPath.getName.startsWith("mv-") && st.getPath.getName.endsWith(".json"))
+      .flatMap { st =>
+        val in: java.io.InputStream = fs.open(st.getPath)
+        val rec =
+          try mapper.readValue(in, classOf[MvRecord])
+          finally in.close()
+        val fresh = baseSignature(spark, rec.basePath) == rec.baseSignature &&
+          fs.exists(new Path(rec.mvPath))
+        if (!fresh) None
+        else {
+          val defn = MvDef(
+            rec.basePath, rec.mvPath, rec.groupCols, rec.sums, rec.countCol, rec.mins, rec.maxs)
+          register(spark, defn)
+          Some(defn)
+        }
+      }
+      .toSeq
+  }
+
+  /** Session conf key naming an MV catalog directory to auto-load at
+    * optimizer-injection time (see [[graft.GraftExtensions]]).
+    */
+  val CatalogConfKey = "spark.graft.mvCatalog"
+
+  /** Auto-load hook for [[graft.GraftExtensions]]: a no-op unless the
+    * session sets [[CatalogConfKey]].
+    */
+  def loadCatalogIfConfigured(spark: SparkSession): Unit =
+    spark.conf.getOption(CatalogConfKey).foreach(dir => loadCatalog(spark, dir))
+
+  // ---------------------------------------------------------------- rewrite
+
+  /** Scan paths plus the Filter predicates collected between the aggregate
+    * and the file relation, looking through bare-attribute Projects (column
+    * pruning); None for any other operator.
+    */
+  private def stripToScan(
+      plan: LogicalPlan,
+      conds: Seq[Expression]
+  ): Option[(Seq[String], Seq[Expression])] = plan match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      baseScanPaths(child)
+      stripToScan(child, conds)
+    case Filter(cond, child) =>
+      stripToScan(child, conds :+ cond)
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some(fs.location.rootPaths.map(_.toString))
+      Some((fs.location.rootPaths.map(_.toString), conds))
     case _ => None
   }
 
-  private def pathMatches(scanPaths: Seq[String], basePath: String): Boolean = {
-    val b = basePath.stripSuffix("/")
-    scanPaths.exists { p =>
-      val s = p.stripSuffix("/")
-      s == b || s.endsWith("/" + b.stripPrefix("/")) || b.endsWith("/" + s.stripPrefix("/"))
-    }
+  /** The rewrite, or None when any strictness condition fails. Candidate
+    * MVs are tried smallest-first (fewest grouping columns, then mvPath) so
+    * plan choice is deterministic and the cheapest rollup that can answer
+    * wins.
+    */
+  private[plans] def rewrite(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+    val (scanPaths, filterConds) = stripToScan(agg.child, Nil).getOrElse(return None)
+    if (scanPaths.isEmpty) return None
+    val qualifiedScan = scanPaths.map(p => qualified(spark, p))
+    val candidates = registry.values.toSeq
+      .filter(r => qualifiedScan.forall(_ == r.qualifiedBase))
+      .sortBy(r => (r.defn.groupCols.size, r.defn.mvPath))
+    candidates.view.flatMap(r => rewriteWith(agg, filterConds, r)).headOption
   }
 
-  /** The rewrite, or None when any strictness condition fails. */
-  private[plans] def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val scan = baseScanPaths(agg.child).getOrElse(return None)
-    val reg = registry.values.find(r => pathMatches(scan, r.defn.basePath)).getOrElse(return None)
+  private def rewriteWith(
+      agg: Aggregate,
+      filterConds: Seq[Expression],
+      reg: Registered
+  ): Option[LogicalPlan] = {
     val defn = reg.defn
+
+    // filters between aggregate and scan: only deterministic predicates over
+    // MV grouping columns commute with the rollup; anything else blocks
+    val filtersOk = filterConds.forall { cond =>
+      cond.deterministic && cond.references.forall {
+        case a: AttributeReference => defn.groupCols.contains(a.name)
+        case _ => false
+      }
+    }
+    if (!filtersOk) return None
 
     // grouping: bare base columns, all materialized in the MV
     val groupAttrs = agg.groupingExpressions.map {
@@ -124,11 +323,16 @@ object MvRewrite {
     def mvAttr(name: String): AttributeReference =
       mvPlan.output.collectFirst { case a: AttributeReference if a.name == name => a }.get
 
-    def reSum(srcMvCol: String, original: NamedExpression): NamedExpression = {
-      val summed = AggregateExpression(Sum(mvAttr(srcMvCol)), Complete, isDistinct = false)
-      val fixed: Expression =
-        if (summed.dataType == original.dataType) summed else Cast(summed, original.dataType)
-      Alias(fixed, original.name)(exprId = original.exprId)
+    def typed(e: Expression, original: NamedExpression): Expression =
+      if (e.dataType == original.dataType) e else Cast(e, original.dataType)
+
+    def reAgg(
+        fn: AttributeReference => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+        srcMvCol: String,
+        original: NamedExpression
+    ): NamedExpression = {
+      val rewrapped = AggregateExpression(fn(mvAttr(srcMvCol)), Complete, isDistinct = false)
+      Alias(typed(rewrapped, original), original.name)(exprId = original.exprId)
     }
 
     val rewritten = agg.aggregateExpressions.map {
@@ -140,14 +344,44 @@ object MvRewrite {
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Sum(a: AttributeReference, _) =>
-            val mvCol = defn.sums.collectFirst { case (mv, base) if base == a.name => mv }
-            mvCol match {
-              case Some(mv) => reSum(mv, al)
+            defn.sums.collectFirst { case (mv, base) if base == a.name => mv } match {
+              case Some(mv) => reAgg(x => Sum(x), mv, al)
               case None => return None
+            }
+          case Min(a: AttributeReference) =>
+            defn.mins.collectFirst { case (mv, base) if base == a.name => mv } match {
+              // min of per-group mins over a PARTITION of the rows is exact
+              case Some(mv) => reAgg(x => Min(x), mv, al)
+              case None => return None
+            }
+          case Max(a: AttributeReference) =>
+            defn.maxs.collectFirst { case (mv, base) if base == a.name => mv } match {
+              case Some(mv) => reAgg(x => Max(x), mv, al)
+              case None => return None
+            }
+          case Average(a: AttributeReference, _) if al.dataType == DoubleType =>
+            // AVG = re-sum ÷ re-count, both over the MV. Double-typed only:
+            // the division is exact whenever the sums are (integral values
+            // below 2^53), and decimal AVG's scale promotion stays blocked.
+            (
+              defn.sums.collectFirst { case (mv, base) if base == a.name => mv },
+              defn.countCol
+            ) match {
+              case (Some(sumMv), Some(cntMv)) =>
+                val s = AggregateExpression(Sum(mvAttr(sumMv)), Complete, isDistinct = false)
+                val c = AggregateExpression(Sum(mvAttr(cntMv)), Complete, isDistinct = false)
+                Alias(Divide(Cast(s, DoubleType), Cast(c, DoubleType)), al.name)(
+                  exprId = al.exprId)
+              case _ => return None
             }
           case Count(Seq(Literal(1, _))) | Count(Seq()) =>
             defn.countCol match {
-              case Some(c) => reSum(c, al)
+              case Some(cntMv) =>
+                // coalesce to 0: a GLOBAL count over an empty base must stay
+                // 0, but SUM over the zero-row MV would return NULL
+                val s = AggregateExpression(Sum(mvAttr(cntMv)), Complete, isDistinct = false)
+                val fixed = Coalesce(Seq(typed(s, al), Literal(0L, LongType)))
+                Alias(typed(fixed, al), al.name)(exprId = al.exprId)
               case None => return None
             }
           case _ => return None
@@ -155,18 +389,22 @@ object MvRewrite {
       case _ => return None
     }
     val newGrouping = groupAttrs.map(a => mvAttr(a.name))
-    Some(Aggregate(newGrouping, rewritten, mvPlan))
+    val remappedFilters = filterConds.map(_.transform {
+      case a: AttributeReference => mvAttr(a.name)
+    })
+    val newChild = remappedFilters.foldLeft(mvPlan)((p, c) => Filter(c, p))
+    Some(Aggregate(newGrouping, rewritten, newChild))
   }
 }
 
 /** The optimizer rule (see [[MvRewrite]]); injected via
   * [[graft.GraftExtensions]], a no-op until an MV is registered.
   */
-case class MvRewriteRule() extends Rule[LogicalPlan] {
+case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvRewrite.registered.isEmpty) return plan
     plan.transform { case agg: Aggregate =>
-      MvRewrite.rewrite(agg).getOrElse(agg)
+      MvRewrite.rewrite(session, agg).getOrElse(agg)
     }
   }
 }

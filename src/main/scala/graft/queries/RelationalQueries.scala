@@ -76,6 +76,91 @@ object RelationalQueries {
       out
     },
 
+    // E355 MIN/MAX/AVG derivability through the MV rewrite: the rollup
+    // additionally materializes per-group min/max, so min-of-min /
+    // max-of-max re-aggregation is exact, and AVG re-derives as
+    // total-sum ÷ total-count (bit-exact here — l_quantity is integral, so
+    // every sum is an exact double). Same private-fact-copy discipline as
+    // q_mv_rewrite; the oracle recomputes all four aggregates from the BASE
+    // rows, so a wrong derivation cannot hash-match.
+    QEntry.sql(
+      "q_mv_rewrite_minmax",
+      """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  avg(l_quantity) AS avg_qty, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mvq2").toString
+      val fact = s"$dir/fact.parquet"
+      lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").parquet(fact)
+      val defn = graft.plans.MvRewrite.MvDef(
+        fact,
+        s"$dir/mv.parquet",
+        Seq("l_returnflag", "l_linestatus"),
+        Map("sum_qty" -> "l_quantity"),
+        Some("cnt"),
+        mins = Map("min_qty" -> "l_quantity"),
+        maxs = Map("max_qty" -> "l_quantity")
+      )
+      graft.plans.MvRewrite.build(s, defn)
+      graft.plans.MvRewrite.register(s, defn)
+      val out = s.read
+        .parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          avg("l_quantity").as("avg_qty"),
+          sum("l_quantity").as("sum_qty")
+        )
+      require(
+        out.queryExecution.executedPlan.toString.contains("mv.parquet"),
+        "MV min/max/avg rewrite did not fire"
+      )
+      out
+    },
+
+    // E356 grouping-column filter pushdown through the MV rewrite: a
+    // predicate over MV grouping columns commutes with the rollup
+    // (filtering base rows by group key ≡ filtering MV rows by the same
+    // key), so the filtered dashboard tile STILL never touches the fact
+    // table — l_linestatus is an MV grouping column that is absent from the
+    // query's own grouping. The oracle applies the same predicate to the
+    // base rows.
+    QEntry.sql(
+      "q_mv_rewrite_filter",
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mvq3").toString
+      val fact = s"$dir/fact.parquet"
+      lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").parquet(fact)
+      val defn = graft.plans.MvRewrite.MvDef(
+        fact,
+        s"$dir/mv.parquet",
+        Seq("l_returnflag", "l_linestatus"),
+        Map("sum_qty" -> "l_quantity"),
+        Some("cnt")
+      )
+      graft.plans.MvRewrite.build(s, defn)
+      graft.plans.MvRewrite.register(s, defn)
+      val out = s.read
+        .parquet(fact)
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).cast("long").as("n_rows"))
+      require(
+        out.queryExecution.executedPlan.toString.contains("mv.parquet"),
+        "MV filter-pushdown rewrite did not fire"
+      )
+      out
+    },
+
     // TPC-H Q1 shape: the canonical scan→partial-agg→shuffle→final-agg. Six
     // groups total, so the shuffle moves ~6 rows per map task regardless of
     // input size — map-side combine is what makes this 100 TB-safe.
