@@ -62,12 +62,29 @@ object Bench {
           .select(lit(n).as("n_rows"), col("cents").as("kth_cents"))
       }),
       // Lloyd-refined IVF (ann_ivf_topk's oracle twin replays the stride
-      // seed, so the k-means path is timed here instead)
+      // seed, so the k-means path is timed here instead). Stride stays
+      // PINNED at the default 37 for round-over-round comparability — which
+      // makes nlist grow linearly with n and the assignment cost n²/37:
+      // the known scale-killer configuration the sf1 lap flags.
       "x_ivf_kmeans_topk" -> ((s, d) => {
         val emb = Tables.embeddings(s, d)
         graft.operators.Similarity.ivfTopK(
           emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
           "vec_id", "embedding", 10, kmeansIters = 2)
+      }),
+      // The production IVF contract: stride ∝ √n keeps nlist ≈ √n, so the
+      // broadcast assignment costs n·√n/√n = O(n·√n / √n)… concretely
+      // n·nlist with nlist ≈ √n on BOTH sides of the probe — total work
+      // ~n^1.5/stride ≈ linear in n per probed cell. Timed at every sf so
+      // SCALING.md carries a MEASURED exponent for the configuration the
+      // 100 TB deployment would actually run (the count() that sizes the
+      // stride is part of the honest cost).
+      "x_ivf_sqrt_stride" -> ((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val stride = math.max(37L, math.sqrt(emb.count().toDouble).toLong)
+        graft.operators.Similarity.ivfTopK(
+          emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+          "vec_id", "embedding", 10, centroidStride = stride.toInt, kmeansIters = 2)
       })
     )
     // optional comma-separated name filter for single-query iteration
