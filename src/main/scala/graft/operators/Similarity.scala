@@ -99,13 +99,19 @@ object Similarity {
     }
 
   /** b-bit LSH bucket signature for each vector: bit p = sign(v · plane_p).
-    * Plane dot products run through the codegen'd graft_dot kernel (plane
-    * literals are array<float>).
+    * Plane dot products run through the codegen'd graft_dot kernel. Each
+    * plane is ONE ArrayType literal (`typedLit`), not dim stacked scalar
+    * literals wrapped in `array(...)`: the scalar form put bits·dim Literal
+    * nodes into every plan that hashes (NSW builds carry tables·bits of
+    * these on both join sides), inflating serialized task binaries past the
+    * 1 MiB DAGScheduler warning threshold — per-task overhead that
+    * multiplies with query fan-out at scale. As a single literal the plane
+    * lands in the codegen references array: same generated kernel, ~64×
+    * fewer plan nodes.
     */
   def lshBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val bitCols = planes.map { plane =>
-      val planeLit = array(plane.toIndexedSeq.map(lit(_)): _*)
-      val dot = call_function("graft_dot", vec, planeLit)
+      val dot = call_function("graft_dot", vec, typedLit(plane))
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bitCols.toIndexedSeq: _*)
@@ -358,7 +364,9 @@ object Similarity {
       .select(
         col(idCol).as("query_id") +: col(vecCol).as("qv") +:
           planes.toIndexedSeq.zipWithIndex.map { case (plane, p) =>
-            call_function("graft_dot", col(vecCol), array(plane.toIndexedSeq.map(lit(_)): _*)).as(s"_d$p")
+            // one ArrayType literal per plane (see lshBucket) — not dim
+            // scalar literals — to keep serialized plan size flat
+            call_function("graft_dot", col(vecCol), typedLit(plane)).as(s"_d$p")
           }: _*
       )
     val baseBucket = concat((0 until bits).map { p =>
@@ -1568,7 +1576,8 @@ object Similarity {
       beam: Int = 32,
       hops: Int = 5
   ): DataFrame = {
-    VectorExpressions.install(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    VectorExpressions.install(spark)
     val c = withNorm(corpus, idCol, vecCol, "node_id", "nv", "nn").localCheckpoint()
     val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"))
     val entry = corpus
@@ -1582,31 +1591,48 @@ object Similarity {
         .join(q, "query_id")
         .select(col("query_id"), col("node_id"), pairCos("qv", "nv", "qn", "nn").as("cos"))
     val adj = edges.select(col("src").as("node_id"), col("dst")).localCheckpoint()
-    var frontier =
-      score(queries.select(col(idCol).as("query_id"), lit(entry).as("node_id")))
-        .localCheckpoint()
-    val wBeam = Window.partitionBy("query_id").orderBy(col("cos").desc, col("node_id"))
-    for (_ <- 1 to hops) {
-      val expanded = frontier
-        .select("query_id", "node_id")
-        .join(adj, "node_id")
-        .select(col("query_id"), col("dst").as("node_id"))
-        .distinct()
-      frontier = frontier
-        .unionByName(score(expanded))
-        .groupBy("query_id", "node_id")
-        .agg(max("cos").as("cos"))
-        .withColumn("_r", row_number().over(wBeam))
-        .filter(col("_r") <= beam)
-        .select("query_id", "node_id", "cos")
-        .localCheckpoint()
+    // Runtime bloom-filter injection is counterproductive on the hop loop:
+    // every join here has a FRONTIER-sized side (≤ queries·beam rows), so
+    // the injected filter is built over a handful of keys yet sized by the
+    // no-stats default (1M items → 1 MiB of bloom bytes), and the evaluated
+    // subquery result is embedded in EVERY hop stage's task binary — the
+    // ~1.1 MiB "Broadcasting large task binary" tail the bench used to
+    // carry, pure per-task overhead that multiplies with query fan-out at
+    // cluster scale. Suspend injection for the loop's eager checkpoints and
+    // restore the caller's setting after.
+    val bloomKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val priorBloom = spark.conf.getOption(bloomKey)
+    spark.conf.set(bloomKey, "false")
+    try {
+      var frontier =
+        score(queries.select(col(idCol).as("query_id"), lit(entry).as("node_id")))
+          .localCheckpoint()
+      val wBeam = Window.partitionBy("query_id").orderBy(col("cos").desc, col("node_id"))
+      for (_ <- 1 to hops) {
+        val expanded = frontier
+          .select("query_id", "node_id")
+          .join(adj, "node_id")
+          .select(col("query_id"), col("dst").as("node_id"))
+          .distinct()
+        frontier = frontier
+          .unionByName(score(expanded))
+          .groupBy("query_id", "node_id")
+          .agg(max("cos").as("cos"))
+          .withColumn("_r", row_number().over(wBeam))
+          .filter(col("_r") <= beam)
+          .select("query_id", "node_id", "cos")
+          .localCheckpoint()
+      }
+      val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      frontier
+        .filter(col("node_id") =!= col("query_id"))
+        .select(col("query_id"), col("node_id").as("neighbor_id"), col("cos"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= k)
+    } finally priorBloom match {
+      case Some(v) => spark.conf.set(bloomKey, v)
+      case None => spark.conf.unset(bloomKey)
     }
-    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    frontier
-      .filter(col("node_id") =!= col("query_id"))
-      .select(col("query_id"), col("node_id").as("neighbor_id"), col("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
   }
 
   /** Build + search in one call (the spec/entry surface; production holds
