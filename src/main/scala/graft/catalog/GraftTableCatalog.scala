@@ -1,0 +1,128 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{
+  Column, Identifier, Table, TableCatalog, TableChange
+}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetDataSourceV2
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-V2 catalog plugin: the production TABLE surface over the
+  * engine's warehouse, so the fragment datasets are consumable from plain
+  * SQL with no Scala API in sight —
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.catalog.GraftTableCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/fragment/warehouse
+  *
+  *   spark.table("graft.range_ratings")
+  *   spark.sql("SELECT * FROM graft.range_ratings WHERE rating >= 4.0")
+  * }}}
+  *
+  * Each warehouse directory (the [[FragmentCatalog]] layout: one directory
+  * per dataset, Hive `part=` subdirectories for fragments) is served as a
+  * parquet [[Table]] via Spark's own `ParquetDataSourceV2`, i.e. the stock
+  * v2 file table with partition-column inference. Spark's
+  * `FallBackFileSourceV2` analyzer rule then lowers the file table to the
+  * v1 `LogicalRelation` path — exactly the relation shape every optimizer
+  * rule in this engine already matches, so BOTH pruning tiers compose with
+  * zero extra code: a literal `part = 3` predicate prunes at the FileIndex,
+  * and a `rating >= x` predicate is rewritten by
+  * [[graft.plans.DeriveFragmentPruning]] into the implied `part IN (…)`
+  * (the session conf published at fragmentation time carries the bucket
+  * arithmetic), so non-surviving fragment DIRECTORIES are never listed or
+  * read — asserted by GraftTableCatalogSpec against the actual scan's
+  * selected partitions.
+  *
+  * Read-only by design: writes go through the engine (fragment routing is
+  * an engine invariant, not something INSERT INTO should bypass).
+  * `CatalogPlugin.initialize` receives the `spark.sql.catalog.graft.*`
+  * options; only `warehouse` is required.
+  */
+class GraftTableCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def tableDir(ident: Identifier): Path = {
+    // flat namespace: the warehouse has one directory per dataset
+    if (ident.namespace().nonEmpty)
+      throw new NoSuchTableException(ident.asMultipartIdentifier)
+    new Path(warehouse, ident.name())
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace.toSeq)
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root)
+      .iterator
+      .filter(_.isDirectory)
+      .map(st => Identifier.of(Array.empty, st.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && fs.exists(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(dir)) throw new NoSuchTableException(ident.asMultipartIdentifier)
+    // serving the range-fragmented dataset publishes its bucket metadata, so
+    // a pure-SQL consumer gets DeriveFragmentPruning with no engine API
+    // call anywhere in sight — the table surface is self-contained
+    if (ident.name() == graft.operators.FragmentEngine.RangeDataset) {
+      new FragmentCatalog(warehouse).readRangeMeta().foreach { m =>
+        graft.plans.DeriveFragmentPruning.publish(
+          spark, "ref", "rating", m.totalPartitions, m.minValue, m.maxValue,
+          new java.io.File(dir.toUri.getPath).getAbsolutePath)
+      }
+    }
+    val opts = new util.HashMap[String, String]()
+    opts.put("path", dir.toString)
+    new ParquetDataSourceV2().getTable(new CaseInsensitiveStringMap(opts))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: create datasets through the engine " +
+        "(FragmentEngine / Fragmentation), which owns the routing invariants")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: use FragmentEngine.deleteTables")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  private implicit class IdentOps(ident: Identifier) {
+    def asMultipartIdentifier: Seq[String] = ident.namespace().toSeq :+ ident.name()
+  }
+}

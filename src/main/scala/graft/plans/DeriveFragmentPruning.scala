@@ -101,21 +101,33 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
     * a file relation whose root paths sit at/under `dsPath`. Matching by
     * column names alone would misfire on ANY DataFrame that happens to carry
     * `part` + the value column (the engine's own round-robin dataset does!)
-    * and silently drop its rows; the dataset path is the identity.
+    * and silently drop its rows; the dataset path is the identity. Both scan
+    * tiers match: the v1 `LogicalRelation` (DataFrame reads) and the v2
+    * `DataSourceV2Relation` over a `FileTable` (reads through the
+    * [[graft.catalog.GraftTableCatalog]] table surface) — this rule runs in
+    * the operator-optimization batch, BEFORE V2ScanRelationPushDown, so the
+    * conjoined `part` predicate reaches the v2 scan's partition filters.
     */
-  private def scansFragmentedDataset(plan: LogicalPlan, dsPath: String): Boolean =
+  private def scansFragmentedDataset(plan: LogicalPlan, dsPath: String): Boolean = {
+    def underDs(rp: org.apache.hadoop.fs.Path): Boolean = {
+      val p = rp.toUri.getPath
+      p == dsPath || p.startsWith(dsPath + "/")
+    }
     dsPath.nonEmpty && plan.collectLeaves().exists {
       case lr: LogicalRelation =>
         lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.exists { rp =>
-              val p = rp.toUri.getPath
-              p == dsPath || p.startsWith(dsPath + "/")
-            }
+          case fs: HadoopFsRelation => fs.location.rootPaths.exists(underDs)
+          case _ => false
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+            ft.fileIndex.rootPaths.exists(underDs)
           case _ => false
         }
       case _ => false
     }
+  }
 
   /** Collect the literal values the conjunctive predicate pins the key column
     * to via `=` or `IN` — None when unconstrained (or constrained only under

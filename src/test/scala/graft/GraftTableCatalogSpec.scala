@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.FragmentEngine
+
+/** The DataSource-V2 table surface (graft.catalog.GraftTableCatalog): the
+  * fragment datasets must be reachable as `spark.table("graft.<name>")` /
+  * plain SQL with BOTH pruning tiers intact — literal `part` predicates
+  * prune at the FileIndex, and value predicates are rewritten by
+  * DeriveFragmentPruning into fragment predicates THROUGH the catalog
+  * surface (the catalog publishes the bucket metadata itself when serving
+  * the range dataset, so a pure-SQL consumer never touches the engine API).
+  * The catalog is read-only; writes must route through the engine.
+  *
+  * Each test registers the catalog under a UNIQUE name: Spark's
+  * CatalogManager caches plugin instances per name per session, so reusing
+  * one name across tests with different warehouse roots would silently keep
+  * serving the first root (and pass or fail for the wrong reason).
+  */
+class GraftTableCatalogSpec extends SparkSpec {
+
+  private def withoutAqe[A](f: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def finalPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Distinct fragment directories the executed scan actually reads — the
+    * catalog surface plans a v2 BatchScan, so count `part=` dirs across its
+    * planned input files (v1 FileSourceScan kept for completeness).
+    */
+  private def scannedPartitions(df: DataFrame): Option[Int] =
+    finalPlan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.flatMap {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.urlEncodedPath)
+          case _ => Seq.empty[String]
+        }.flatMap(p => "part=(\\d+)".r.findFirstMatchIn(p).map(_.group(1)))
+          .distinct.size
+    }.headOption
+
+  /** fragment warehouse + catalog conf under `cat`, torn down after `f`. */
+  private def withCatalog[A](cat: String)(f: FragmentEngine => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    val e = new FragmentEngine(spark, root)
+    e.loadRatings("ratings", "/root/reference/test_data1.txt")
+    e.rangePartition("ratings", 5)
+    e.roundRobinPartition("ratings", 5)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    try f(e)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      // the meta published by loadTable names this test's tempdir — drop it
+      spark.conf.unset(graft.plans.DeriveFragmentPruning.MetaKey)
+    }
+  }
+
+  test("fragment datasets resolve through spark.table and plain SQL") {
+    withCatalog("graft") { e =>
+      val viaCatalog = spark.table("graft.range_ratings")
+      val direct = e.rangeFragments()
+      assert(viaCatalog.count() == direct.count())
+      assert(viaCatalog.columns.sorted.toSeq == direct.columns.sorted.toSeq)
+      val sqlCount = spark
+        .sql("SELECT count(*) AS n FROM graft.round_robin_ratings")
+        .collect().head.getLong(0)
+      assert(sqlCount == direct.count(), "round-robin rows = range rows = master rows")
+      // SHOW TABLES-level listing
+      val names = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
+      assert(names.contains("range_ratings") && names.contains("round_robin_ratings"), names)
+    }
+  }
+
+  test("a literal part predicate through the table surface prunes at the FileIndex") {
+    withCatalog("graft_c2") { _ => withoutAqe {
+      val one = spark.sql("SELECT * FROM graft_c2.range_ratings WHERE part = 3")
+      assert(scannedPartitions(one).contains(1), s"got ${scannedPartitions(one)}")
+    } }
+  }
+
+  test("a rating predicate through the table surface reads only surviving fragment dirs") {
+    withCatalog("graft_c3") { _ => withoutAqe {
+      // DeriveFragmentPruning: rating ∈ [1.5, 3.5] overlaps fragments 1..3.
+      // No engine API call anywhere — the catalog published the bucket meta.
+      val range = spark
+        .table("graft_c3.range_ratings")
+        .filter(col("rating") >= 1.5 && col("rating") <= 3.5)
+      assert(scannedPartitions(range).contains(3), s"got ${scannedPartitions(range)}")
+      // equality → exactly one fragment directory, via SQL text
+      val point = spark.sql("SELECT * FROM graft_c3.range_ratings WHERE rating = 4.5")
+      assert(scannedPartitions(point).contains(1), s"got ${scannedPartitions(point)}")
+      // and the rows are the same as the direct path (pruning is invisible)
+      val viaEngine = spark.read
+        .parquet(s"${spark.conf.get("spark.sql.catalog.graft_c3.warehouse")}/range_ratings")
+        .filter(col("rating") === 4.5).count()
+      assert(point.count() == viaEngine)
+    } }
+  }
+
+  test("the catalog surface is read-only; unknown tables raise cleanly") {
+    withCatalog("graft_c4") { _ =>
+      intercept[UnsupportedOperationException] {
+        spark.sql("DROP TABLE graft_c4.range_ratings")
+      }
+      val err = intercept[Exception] {
+        spark.table("graft_c4.no_such_dataset").collect()
+      }
+      assert(err.getMessage.toLowerCase.contains("no_such_dataset"), err.getMessage)
+    }
+  }
+}
