@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source-agnostic offset + epoch contract — the replay story of the
+  * engine's `foreachBatch` ingest loops (near-dup, cluster, router, crawl
+  * frontier) factored into ONE documented protocol, shaped exactly like the
+  * guarantee a message bus would provide. Structured Streaming gives this
+  * to its built-in sources via the checkpoint's offset WAL + commit log;
+  * this module gives the SAME two-phase discipline to any seekable source
+  * the sandbox cannot host a broker for (a Kafka topic, a DB cursor, a
+  * file-sequence, a remote queue):
+  *
+  *   1. An epoch is CLAIMED by logging `(epochId, startOffset, endOffset)`
+  *      to `logDir/epoch-<id>` BEFORE any processing — an exclusive-create
+  *      one-line file (the [[graft.operators.IndexCommit]] marker idiom),
+  *      so the range is durable and unambiguous no matter where the run
+  *      dies.
+  *   2. The epoch's rows are `fetch(start, end)` — the ONLY thing a source
+  *      must support is deterministic range reads, which is precisely
+  *      Kafka's (partition, offset) contract — and land through
+  *      [[StreamingOps.idempotentAppend]]'s `_batch=<epoch>`/`_SUCCESS`
+  *      sink guard.
+  *   3. Recovery needs no coordination: the next run reads the newest
+  *      logged epoch; if its sink partition lacks `_SUCCESS` the epoch is
+  *      REPLAYED from the LOGGED range (never from the source's current
+  *      position — the source may have grown since), otherwise the run
+  *      advances to fresh offsets. A crash at any point therefore yields
+  *      exactly-once sink contents: before the log write the epoch never
+  *      existed; between log and sink-commit the replay re-lands the same
+  *      logged range idempotently; after sink-commit the replay is a no-op
+  *      skip.
+  *
+  * At cluster scale the log is one tiny file per epoch next to the sink —
+  * the same metadata-not-data footprint as Structured Streaming's own
+  * checkpoint, and the reason swapping the simulated source for a real
+  * broker changes `fetch` and NOTHING else.
+  */
+object SourceOffsets {
+
+  /** One claimed epoch: rows with offset in [start, end) — Kafka's
+    * half-open per-partition range convention.
+    */
+  case class Epoch(id: Long, start: Long, end: Long)
+
+  private def epochPath(logDir: String, id: Long) = new Path(logDir, s"epoch-$id")
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Newest logged epoch, if any — the recovery read. */
+  def lastLogged(spark: SparkSession, logDir: String): Option[Epoch] = {
+    val dir = new Path(logDir)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return None
+    val ids = f
+      .listStatus(dir)
+      .iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("epoch-") => n.stripPrefix("epoch-").toLong }
+      .toSeq
+    if (ids.isEmpty) None
+    else {
+      val id = ids.max
+      val in = f.open(epochPath(logDir, id))
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val Array(s, e) = line.split(",", 2)
+      Some(Epoch(id, s.toLong, e.toLong))
+    }
+  }
+
+  /** Claim an epoch: exclusive-create `epoch-<id>` holding "start,end".
+    * False when the id is already claimed (a concurrent or replayed
+    * driver) — the caller re-reads [[lastLogged]] and follows the winner.
+    */
+  def logEpoch(spark: SparkSession, logDir: String, e: Epoch): Boolean = {
+    val dir = new Path(logDir)
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    val dst = epochPath(logDir, e.id)
+    val out =
+      try f.create(dst, false)
+      catch { case _: java.io.IOException if f.exists(dst) => return false }
+    try { out.write(s"${e.start},${e.end}".getBytes("UTF-8")); out.close(); true }
+    catch {
+      case t: Throwable =>
+        try out.close() catch { case _: Throwable => () }
+        f.delete(dst, false)
+        throw t
+    }
+  }
+
+  /** True iff `epoch`'s sink partition committed (`_SUCCESS` present). */
+  def committed(spark: SparkSession, sinkPath: String, epoch: Long): Boolean = {
+    val marker = new Path(new Path(sinkPath, s"_batch=$epoch"), "_SUCCESS")
+    fs(spark, marker).exists(marker)
+  }
+
+  /** One recovery-aware scheduling step: replay the newest logged epoch if
+    * its sink never committed (fetching the LOGGED range), else claim and
+    * process [lastEnd, availableEnd). Returns the epoch that ran, or None
+    * when there was neither a pending replay nor fresh data. Drive it in a
+    * loop (or from a foreachBatch trigger) for continuous ingest.
+    */
+  def runEpoch(
+      spark: SparkSession,
+      logDir: String,
+      sinkPath: String,
+      availableEnd: Long,
+      fetch: (Long, Long) => DataFrame
+  ): Option[Epoch] = {
+    val sink = StreamingOps.idempotentAppend(sinkPath)
+    lastLogged(spark, logDir) match {
+      case Some(last) if !committed(spark, sinkPath, last.id) =>
+        // crash between offset log and sink commit: replay the LOGGED range
+        sink(fetch(last.start, last.end), last.id)
+        Some(last)
+      case last =>
+        val start = last.map(_.end).getOrElse(0L)
+        if (availableEnd <= start) None
+        else {
+          val next = Epoch(last.map(_.id + 1).getOrElse(0L), start, availableEnd)
+          if (!logEpoch(spark, logDir, next)) {
+            // another driver claimed this id first — defer to its log
+            runEpoch(spark, logDir, sinkPath, availableEnd, fetch)
+          } else {
+            sink(fetch(next.start, next.end), next.id)
+            Some(next)
+          }
+        }
+    }
+  }
+}
