@@ -85,6 +85,18 @@ object Bench {
         graft.operators.Similarity.ivfTopK(
           emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
           "vec_id", "embedding", 10, centroidStride = stride.toInt, kmeansIters = 2)
+      }),
+      // PQ sibling of the √n contract: the oracled ann_pq_* entries pin
+      // codebookStride = 31 for DuckDB replay, which makes the codebook ∝ n
+      // and the all-pairs code assignment ∝ n²/31 — the same scale-killer
+      // knob the IVF family carries. Measured here with stride ∝ √n so the
+      // production configuration has a recorded exponent too.
+      "x_pq_sqrt_stride" -> ((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val stride = math.max(31L, math.sqrt(emb.count().toDouble).toLong)
+        graft.operators.Similarity.pqTopK(
+          emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+          "vec_id", "embedding", 10, codebookStride = stride.toInt)
       })
     )
     // optional comma-separated name filter for single-query iteration

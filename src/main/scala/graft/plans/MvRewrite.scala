@@ -33,10 +33,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *     grouping column.
   *   - Every aggregate must be an undistinct, unfiltered SUM / MIN / MAX of
   *     a materialized measure, COUNT(*)/COUNT(1) with a materialized count,
-  *     or AVG of a measure with BOTH a sum and a count materialized (AVG is
-  *     rewritten to re-sum ÷ re-count; restricted to DOUBLE-typed results —
-  *     decimal AVG has engine-specific scale promotion that a derived
-  *     division would have to replicate bit-for-bit, so it blocks).
+  *     COUNT(col) with a materialized per-group non-null count of THAT
+  *     column (count(*) would overcount null measures, so it never
+  *     substitutes), or AVG of a measure with BOTH a sum and a count
+  *     materialized (AVG is rewritten to re-sum ÷ re-count; restricted to
+  *     DOUBLE-typed results — decimal AVG has engine-specific scale
+  *     promotion that a derived division would have to replicate
+  *     bit-for-bit, so it blocks).
   *   - The aggregate must sit on the base relation modulo column-pruning
   *     Projects and Filters whose references are all MV GROUPING columns
   *     (such predicates commute with the rollup: filtering base rows by
@@ -73,12 +76,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object MvRewrite {
 
   /** One registered rollup: `mvPath` holds `SELECT groupCols, sum(base) AS
-    * sumCol…, min(base) AS minCol…, max(base) AS maxCol…, count(*) AS
-    * countCol FROM basePath GROUP BY groupCols`.
+    * sumCol…, min(base) AS minCol…, max(base) AS maxCol…, count(base) AS
+    * countColOf…, count(*) AS countCol FROM basePath GROUP BY groupCols`.
     *
     * @param sums mv measure column -> base column it sums
     * @param mins mv measure column -> base column it mins
     * @param maxs mv measure column -> base column it maxes
+    * @param counts mv measure column -> base column whose NON-NULL count it
+    *               holds (COUNT(col) semantics; countCol is COUNT(*))
     */
   case class MvDef(
       basePath: String,
@@ -87,7 +92,8 @@ object MvRewrite {
       sums: Map[String, String],
       countCol: Option[String],
       mins: Map[String, String] = Map.empty,
-      maxs: Map[String, String] = Map.empty
+      maxs: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty
   )
 
   private[plans] case class Registered(defn: MvDef, qualifiedBase: String, plan: LogicalPlan)
@@ -114,6 +120,8 @@ object MvRewrite {
       min(col(baseCol)).as(mvCol)
     } ++ defn.maxs.toSeq.sortBy(_._1).map { case (mvCol, baseCol) =>
       max(col(baseCol)).as(mvCol)
+    } ++ defn.counts.toSeq.sortBy(_._1).map { case (mvCol, baseCol) =>
+      count(col(baseCol)).cast("long").as(mvCol)
     } ++ defn.countCol.map(c => count(lit(1)).cast("long").as(c)).toSeq
     base
       .groupBy(defn.groupCols.map(col): _*)
@@ -150,7 +158,8 @@ object MvRewrite {
       countCol: Option[String],
       mins: Map[String, String],
       maxs: Map[String, String],
-      baseSignature: String
+      baseSignature: String,
+      counts: Map[String, String] = Map.empty
   )
 
   private lazy val mapper = {
@@ -199,7 +208,8 @@ object MvRewrite {
       defn.countCol,
       defn.mins,
       defn.maxs,
-      baseSignature(spark, defn.basePath)
+      baseSignature(spark, defn.basePath),
+      defn.counts
     )
     val dir = new Path(catalogDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -238,7 +248,8 @@ object MvRewrite {
         if (!fresh) None
         else {
           val defn = MvDef(
-            rec.basePath, rec.mvPath, rec.groupCols, rec.sums, rec.countCol, rec.mins, rec.maxs)
+            rec.basePath, rec.mvPath, rec.groupCols, rec.sums, rec.countCol, rec.mins,
+            rec.maxs, Option(rec.counts).getOrElse(Map.empty))
           register(spark, defn)
           Some(defn)
         }
@@ -335,6 +346,14 @@ object MvRewrite {
       Alias(typed(rewrapped, original), original.name)(exprId = original.exprId)
     }
 
+    // count re-aggregation coalesces to 0: a GLOBAL count over an empty base
+    // must stay 0, but SUM over the zero-row MV would return NULL
+    def reCount(cntMv: String, original: NamedExpression): NamedExpression = {
+      val s = AggregateExpression(Sum(mvAttr(cntMv)), Complete, isDistinct = false)
+      val fixed = Coalesce(Seq(typed(s, original), Literal(0L, LongType)))
+      Alias(typed(fixed, original), original.name)(exprId = original.exprId)
+    }
+
     val rewritten = agg.aggregateExpressions.map {
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
@@ -376,12 +395,14 @@ object MvRewrite {
             }
           case Count(Seq(Literal(1, _))) | Count(Seq()) =>
             defn.countCol match {
-              case Some(cntMv) =>
-                // coalesce to 0: a GLOBAL count over an empty base must stay
-                // 0, but SUM over the zero-row MV would return NULL
-                val s = AggregateExpression(Sum(mvAttr(cntMv)), Complete, isDistinct = false)
-                val fixed = Coalesce(Seq(typed(s, al), Literal(0L, LongType)))
-                Alias(typed(fixed, al), al.name)(exprId = al.exprId)
+              case Some(cntMv) => reCount(cntMv, al)
+              case None => return None
+            }
+          case Count(Seq(a: AttributeReference)) =>
+            // COUNT(col) = non-null count: derivable only from a materialized
+            // per-group count(col) (count(*) would overcount null measures)
+            defn.counts.collectFirst { case (mv, base) if base == a.name => mv } match {
+              case Some(cntMv) => reCount(cntMv, al)
               case None => return None
             }
           case _ => return None

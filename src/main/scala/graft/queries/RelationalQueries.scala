@@ -161,6 +161,49 @@ object RelationalQueries {
       out
     },
 
+    // E355 continuation — COUNT(col) derivability: the rollup materializes a
+    // per-group NON-NULL count of a genuinely nullable measure (qty_hi is
+    // NULL for quantities ≤ 25), so sum-of-counts re-aggregation preserves
+    // COUNT(col) semantics exactly; substituting COUNT(*) would overcount
+    // and hash-mismatch — the oracle recomputes both counts from BASE rows,
+    // and n_hi < n_rows in every group makes the distinction observable.
+    QEntry.sql(
+      "q_mv_rewrite_countcol",
+      """SELECT l_returnflag,
+        |  CAST(count(CASE WHEN l_quantity > 25 THEN l_quantity END) AS BIGINT) AS n_hi,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mvq4").toString
+      val fact = s"$dir/fact.parquet"
+      lineitem(s, d)
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          when(col("l_quantity") > 25, col("l_quantity")).as("qty_hi")
+        )
+        .write.mode("overwrite").parquet(fact)
+      val defn = graft.plans.MvRewrite.MvDef(
+        fact,
+        s"$dir/mv.parquet",
+        Seq("l_returnflag", "l_linestatus"),
+        Map.empty,
+        Some("cnt"),
+        counts = Map("cnt_hi" -> "qty_hi")
+      )
+      graft.plans.MvRewrite.build(s, defn)
+      graft.plans.MvRewrite.register(s, defn)
+      val out = s.read
+        .parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(count(col("qty_hi")).as("n_hi"), count(lit(1)).cast("long").as("n_rows"))
+      require(
+        out.queryExecution.executedPlan.toString.contains("mv.parquet"),
+        "MV COUNT(col) rewrite did not fire"
+      )
+      out
+    },
+
     // TPC-H Q1 shape: the canonical scan→partial-agg→shuffle→final-agg. Six
     // groups total, so the shuffle moves ~6 rows per map task regardless of
     // input size — map-side combine is what makes this 100 TB-safe.

@@ -203,6 +203,33 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("COUNT(col) derives from a materialized non-null count; COUNT(*) never substitutes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-cnt").toString
+    val base = s"$dir/base.parquet"
+    val mv = s"$dir/mv.parquet"
+    val s = spark
+    import s.implicits._
+    // m is NULL on odd i — COUNT(m) ≠ COUNT(*) in every group
+    (1 to 40).map(i => ("g" + (i % 2), if (i % 2 == 0) Some(i.toDouble) else None))
+      .toDF("ga", "m").write.parquet(base)
+    val defn = MvDef(base, mv, Seq("ga"), Map.empty, Some("cnt"),
+      counts = Map("cnt_m" -> "m"))
+    MvRewrite.build(spark, defn)
+    MvRewrite.register(spark, defn)
+    try {
+      val q = spark.read.parquet(base)
+        .groupBy("ga").agg(count(col("m")).as("nm"), count(lit(1)).as("n"))
+      assert(physOf(q).contains("mv.parquet"), physOf(q))
+      val rows = q.orderBy("ga").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq(("g0", 20L, 20L), ("g1", 0L, 20L)), rows.toString)
+      // a COUNT over a column with no materialized count blocks (COUNT(*)
+      // must never stand in for COUNT(col))
+      val blocked = spark.read.parquet(base).groupBy("ga").agg(count(col("ga")).as("x"))
+      assert(!physOf(blocked).contains("mv.parquet"), physOf(blocked))
+    } finally MvRewrite.clear()
+  }
+
   test("a global COUNT(*) over an empty base re-aggregates to 0, not NULL") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-empty").toString
     val base = s"$dir/base.parquet"
