@@ -90,7 +90,8 @@ object Plans {
       "q_shapley_credit", "cur_date_shift", "cur_kanon_lattice",
       "q_mv_rewrite",
       // round 13 additions
-      "q_mv_rewrite_minmax", "q_mv_rewrite_filter"
+      "q_mv_rewrite_minmax", "q_mv_rewrite_filter", "q_mv_rewrite_countcol",
+      "ann_mmr_rerank", "txt_kn_bigram"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -80,6 +80,95 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversification stage between "top-n most similar" and "k results
+    * worth showing/training on": greedily select, per query,
+    * argmax over unselected candidates of
+    * `λ·rel(cand) − (1−λ)·max_{s∈selected} sim(cand, s)`, so each pick
+    * trades relevance against redundancy with what's already picked.
+    * step 0 is the plain relevance argmax.
+    *
+    * Distributed shape: candidates are the exact top-`n` per query (n per
+    * query, NOT corpus-sized), their per-query pairwise cosines are one
+    * bounded self-join (≤ n² rows per query), and each greedy step is a
+    * query-partitioned window argmax over the remainder — every step
+    * shuffles ≤ |queries|·n rows on the query id, so a million queries run
+    * the same k steps in parallel with no driver participation; the
+    * sequential dependency is over k (small), never over data. Per-step
+    * localCheckpoint truncates the iterative lineage exactly as the
+    * PageRank/beam-search loops do.
+    *
+    * Determinism: rel and sim are round-6 cosines ([[bruteForceTopK]]'s
+    * contract), the MMR score is one rounded double expression, ties break
+    * on neighbor id — an external engine replays the greedy bit-for-bit.
+    *
+    * @return (query_id, neighbor_id, sel_order, mmr) — sel_order 0-based;
+    *         mmr at step 0 is the relevance itself
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n: Int,
+      k: Int,
+      lambda: Double = 0.7
+  ): DataFrame = {
+    require(k >= 1 && n >= k, "mmrRerank needs n >= k >= 1")
+    VectorExpressions.install(corpus.sparkSession)
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, n)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
+      .localCheckpoint()
+    val cv = cand.join(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),
+      "neighbor_id")
+    val a = cv.select(col("query_id"), col("neighbor_id").as("a"), col("v").as("va"))
+      .withColumn("na", sqrt(expr("graft_dot(va, va)")))
+    val b = cv.select(col("query_id"), col("neighbor_id").as("b"), col("v").as("vb"))
+      .withColumn("nb", sqrt(expr("graft_dot(vb, vb)")))
+    val pairs = a
+      .join(b, Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"), pairCos("va", "vb", "na", "nb").as("sim"))
+      .localCheckpoint()
+    val wPick = Window.partitionBy("query_id").orderBy(col("_mmr").desc, col("neighbor_id"))
+    var selected = cand
+      .withColumn("_mmr", round(col("rel"), 6))
+      .withColumn("_rn", row_number().over(wPick))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(0L).as("sel_order"), col("_mmr").as("mmr"))
+      .localCheckpoint()
+    for (step <- 1 until k) {
+      val rem = cand.join(
+        selected.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"),
+        "left_anti")
+      val pen = pairs
+        .join(
+          selected.select(col("query_id"), col("neighbor_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("neighbor_id"))
+        .agg(max("sim").as("_pen"))
+      selected = selected
+        .unionByName(
+          rem
+            .join(pen, Seq("query_id", "neighbor_id"), "left")
+            .withColumn(
+              "_mmr",
+              round(lit(lambda) * col("rel") - lit(1 - lambda) * coalesce(col("_pen"), lit(0.0)), 6))
+            .withColumn("_rn", row_number().over(wPick))
+            .filter(col("_rn") === 1)
+            .select(
+              col("query_id"),
+              col("neighbor_id"),
+              lit(step.toLong).as("sel_order"),
+              col("_mmr").as("mmr"))
+        )
+        .localCheckpoint()
+    }
+    selected
+  }
+
   /** Deterministic pseudo-random hyperplanes: weight (p, i) = the first 8 hex
     * digits of md5("plane|seed|p|i") as a fraction of 2^32, mapped to [-1, 1)
     * and rounded to float. Generated driver-side as literals (b·dim floats —

@@ -330,4 +330,81 @@ object TermStats {
         expr("(tokens - in_vocab) * 1000000 div tokens").cast("long").as("oov_ppm")
       )
   }
+
+  /** Interpolated Kneser-Ney bigram table (Kneser & Ney 1995, Chen &
+    * Goodman 1999) — the smoothing the add-k / stupid-backoff tiers
+    * approximate: the corpus's top-`topN` bigrams with their full KN
+    * decomposition,
+    *
+    *   P_KN(cur|prev) = max(c(prev,cur) − D, 0) / c(prev)
+    *                  + D · N₁₊(prev,·) / c(prev) · P_cont(cur)
+    *   P_cont(cur)    = N₁₊(·,cur) / |bigram types|
+    *   D              = n₁ / (n₁ + 2·n₂)       (absolute discount estimate)
+    *
+    * where N₁₊ are distinct-continuation counts and n₁/n₂ the counts of
+    * bigram types seen exactly once/twice. Continuation probability — "how
+    * many contexts does this word FOLLOW" — is what distinguishes KN from
+    * every frequency-interpolated smoother, and all of it is count algebra:
+    * three grouped aggregates over the bigram stream plus one broadcast
+    * scalar row, so the only corpus-sized pass is the token explode (the
+    * shuffle carries bigram TYPES after map-side combine). Every ratio is
+    * exact-integer-count division in double, rounded once — an external
+    * engine replays it bit-for-bit.
+    *
+    * @return topN rows: (prev, cur, c2, c1, p_kn) ordered by c2 desc, then
+    *         (prev, cur)
+    */
+  def knBigramTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topN: Int = 30
+  ): DataFrame = {
+    val ws = TextAnalysis.tokens(col(textCol))
+    val bgStream = docs
+      .select(col(idCol), ws.as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(
+        explode(
+          expr("transform(sequence(2, size(_ws)), i -> struct(_ws[i-2] AS prev, _ws[i-1] AS cur))")
+        ).as("_bg")
+      )
+      .select(col("_bg.prev").as("prev"), col("_bg.cur").as("cur"))
+    val bg = bgStream.groupBy("prev", "cur").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val ctx = bg.groupBy("prev").agg(
+      sum("c2").cast("long").as("c1"),
+      count(lit(1)).cast("long").as("nf") // N₁₊(prev,·): distinct continuations
+    )
+    val cont = bg.groupBy("cur").agg(count(lit(1)).cast("long").as("np")) // N₁₊(·,cur)
+    val disc = bg.agg(
+      sum(when(col("c2") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+      sum(when(col("c2") === 2, 1L).otherwise(0L)).cast("long").as("n2"),
+      count(lit(1)).cast("long").as("bt") // |bigram types|
+    )
+    bg
+      .join(ctx, "prev")
+      .join(cont, "cur")
+      .crossJoin(broadcast(disc))
+      // degenerate corpus (no singleton/doubleton bigram types — every
+      // bigram frequent): the discount estimate is 0/0; D = 0 reduces KN to
+      // the MLE c2/c1, the correct no-discount limit
+      .withColumn(
+        "_d",
+        when(col("n1") + lit(2) * col("n2") === 0, lit(0.0))
+          .otherwise(col("n1").cast("double") / (col("n1") + lit(2) * col("n2"))))
+      .select(
+        col("prev"),
+        col("cur"),
+        col("c2"),
+        col("c1"),
+        round(
+          greatest(col("c2") - col("_d"), lit(0.0)) / col("c1") +
+            ((col("_d") * col("nf")) / col("c1")) *
+            (col("np").cast("double") / col("bt")),
+          6
+        ).as("p_kn")
+      )
+      .orderBy(col("c2").desc, col("prev"), col("cur"))
+      .limit(topN)
+  }
 }

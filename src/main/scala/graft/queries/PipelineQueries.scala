@@ -1282,6 +1282,80 @@ object PipelineQueries {
       Similarity.semanticDedup(embeddings(s, d), "vec_id", "embedding", k = 8, threshold = 0.35)
     },
 
+    // E360 Maximal-Marginal-Relevance re-ranking ([[Similarity.mmrRerank]],
+    // Carbonell & Goldstein 1998): the diversification stage between
+    // "top-n most similar" and "k results worth training on" — greedy
+    // per-query argmax of λ·rel − (1−λ)·max-sim-to-selected over the exact
+    // top-20 candidates, k = 8 picks, λ = 0.7. Every greedy step is a
+    // query-partitioned window argmax (|queries|·n rows shuffled per step,
+    // never corpus²); the twin unrolls the identical 8 steps as CTEs over
+    // the same round-6 cosines, with the λ literals injected as Scala's
+    // round-tripped doubles so 1−λ matches bit-for-bit.
+    QEntry.sql(
+      "ann_mmr_rerank", {
+        val lam = 0.7
+        val lamS = s"CAST('${lam}' AS DOUBLE)"
+        val lamC = s"CAST('${1 - lam}' AS DOUBLE)"
+        def score(rel: String, ms: String) =
+          s"round($lamS * $rel - $lamC * coalesce($ms, 0.0), 6)"
+        val sb = new StringBuilder
+        sb.append(
+          """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            |  FROM embeddings WHERE vec_id < 5),
+            |cc AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            |  FROM embeddings),
+            |cand AS MATERIALIZED (SELECT query_id, neighbor_id, rel FROM (
+            |  SELECT query_id, neighbor_id, rel,
+            |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rk
+            |  FROM (SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id,
+            |      round(list_dot_product(q.e, cc.e) /
+            |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cc.e, cc.e))),
+            |            6) AS rel
+            |    FROM q, cc WHERE cc.vec_id != q.vec_id) s) t WHERE rk <= 20),
+            |pr AS MATERIALIZED (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+            |    round(list_dot_product(ca.e, cb.e) /
+            |          (sqrt(list_dot_product(ca.e, ca.e)) * sqrt(list_dot_product(cb.e, cb.e))),
+            |          6) AS sim
+            |  FROM cand x JOIN cand y
+            |    ON x.query_id = y.query_id AND x.neighbor_id != y.neighbor_id
+            |  JOIN cc ca ON ca.vec_id = x.neighbor_id
+            |  JOIN cc cb ON cb.vec_id = y.neighbor_id),
+            |s0 AS MATERIALIZED (SELECT query_id, neighbor_id,
+            |    CAST(0 AS BIGINT) AS sel_order, round(rel, 6) AS mmr
+            |  FROM (SELECT query_id, neighbor_id, rel,
+            |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+            |    FROM cand) z WHERE rn = 1),
+            |u0 AS (SELECT * FROM s0)""".stripMargin
+        )
+        for (i <- 1 until 8) {
+          sb.append(
+            s""", s$i AS MATERIALIZED (SELECT query_id, neighbor_id,
+               |    CAST($i AS BIGINT) AS sel_order, mmr FROM (
+               |  SELECT r.query_id, r.neighbor_id,
+               |    ${score("r.rel", "p.ms")} AS mmr,
+               |    row_number() OVER (PARTITION BY r.query_id
+               |      ORDER BY ${score("r.rel", "p.ms")} DESC, r.neighbor_id) AS rn
+               |  FROM cand r
+               |  LEFT JOIN (SELECT pr.query_id, pr.a, max(pr.sim) AS ms FROM pr
+               |      JOIN u${i - 1} u ON pr.query_id = u.query_id AND pr.b = u.neighbor_id
+               |      GROUP BY pr.query_id, pr.a) p
+               |    ON p.query_id = r.query_id AND p.a = r.neighbor_id
+               |  WHERE NOT EXISTS (SELECT 1 FROM u${i - 1} u2
+               |    WHERE u2.query_id = r.query_id AND u2.neighbor_id = r.neighbor_id)
+               |  ) z WHERE rn = 1)
+               |, u$i AS (SELECT * FROM u${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+          )
+        }
+        sb.append(" SELECT query_id, neighbor_id, sel_order, mmr FROM u7")
+        sb.toString.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity.mmrRerank(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        n = 20, k = 8, lambda = 0.7)
+    },
+
     // Brute-force cosine top-10 for the first 5 vectors (the exact baseline).
     QEntry.sql(
       "ann_topk_bruteforce",

@@ -426,6 +426,38 @@ object StatQueries {
       TermStats.bigramCrossEntropy(documents(s, d), "doc_id", "text", 0.75)
     },
 
+    // E361 interpolated Kneser-Ney bigram table ([[TermStats.knBigramTable]]):
+    // the smoothing the add-k / stupid-backoff tiers approximate — top-30
+    // bigrams with P_KN = max(c2−D,0)/c1 + D·N₁₊(prev,·)/c1 · P_cont(cur),
+    // D = n₁/(n₁+2n₂), P_cont = distinct-predecessor share of bigram types.
+    // Pure count algebra: three grouped aggregates over the bigram stream +
+    // one broadcast scalar row; the twin replays the identical
+    // integer-count ratios in double and rounds once.
+    QEntry.sql(
+      "txt_kn_bigram",
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |bgs AS (SELECT unnest(list_transform(range(2, len(words) + 1),
+         |    i -> struct_pack(prev := words[i-1], cur := words[i]))) AS bp
+         |  FROM w WHERE len(words) >= 2),
+         |bg AS (SELECT bp.prev AS prev, bp.cur AS cur, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bgs GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS nf FROM bg GROUP BY prev),
+         |cont AS (SELECT cur, CAST(count(*) AS BIGINT) AS np FROM bg GROUP BY cur),
+         |disc AS (SELECT CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(count(*) AS BIGINT) AS bt FROM bg)
+         |SELECT prev, cur, c2, c1,
+         |  round(greatest(c2 - d, 0.0) / c1 + ((d * nf) / c1) * (CAST(np AS DOUBLE) / bt), 6)
+         |    AS p_kn
+         |FROM (SELECT bg.prev, bg.cur, bg.c2, ctx.c1, ctx.nf, cont.np, disc.bt,
+         |    CASE WHEN disc.n1 + 2 * disc.n2 = 0 THEN 0.0
+         |      ELSE CAST(disc.n1 AS DOUBLE) / (disc.n1 + 2 * disc.n2) END AS d
+         |  FROM bg JOIN ctx USING (prev) JOIN cont USING (cur) CROSS JOIN disc) t
+         |ORDER BY c2 DESC, prev, cur LIMIT 30"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => TermStats.knBigramTable(documents(s, d), "doc_id", "text", topN = 30) },
+
     // Stupid-backoff trigram cross-entropy ([[TermStats.stupidBackoffEntropy]])
     // under a held-out split: even docs are the model, odd docs get scored —
     // the split is what makes the α-backoff chain REAL (a corpus scored

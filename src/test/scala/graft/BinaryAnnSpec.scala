@@ -128,4 +128,35 @@ class BinaryAnnSpec extends SparkSpec {
     assert(out(1L) === ((1L, 0.5)))
     assert(out(2L) === ((0L, 0.0)))
   }
+
+  test("mmrRerank trades redundancy for diversity; plain top-k would keep the near-duplicate") {
+    // query 0 → c1 (rel≈1) and its near-clone c2 (rel≈0.999) vs a diverse
+    // c3 (rel≈0.7). Relevance-only top-2 = {c1, c2}; MMR's second pick must
+    // be c3: c2's redundancy penalty (sim to c1 ≈ 1) sinks it.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.02f, 0.0f, 0.0f)),
+      (3L, Array(0.7f, 0.0f, 0.714f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val query = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val picks = Similarity
+      .mmrRerank(corpus, query, "vec_id", "embedding", n = 3, k = 2, lambda = 0.5)
+      .orderBy("sel_order")
+      .collect()
+      .map(r => (r.getAs[Long]("sel_order"), r.getAs[Long]("neighbor_id")))
+      .toSeq
+    assert(picks == Seq((0L, 1L), (1L, 3L)), s"got $picks")
+    // relevance-only contrast: top-2 keeps the near-duplicate instead
+    val plain = Similarity.bruteForceTopK(corpus, query, "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(plain == Seq(1L, 2L), s"got $plain")
+    // determinism: same inputs, same selection, exact mmr scores replay
+    val again = Similarity
+      .mmrRerank(corpus, query, "vec_id", "embedding", n = 3, k = 2, lambda = 0.5)
+      .orderBy("sel_order").collect().map(_.toSeq).toSeq
+    val first = Similarity
+      .mmrRerank(corpus, query, "vec_id", "embedding", n = 3, k = 2, lambda = 0.5)
+      .orderBy("sel_order").collect().map(_.toSeq).toSeq
+    assert(again == first)
+  }
 }
