@@ -331,6 +331,46 @@ object TermStats {
       )
   }
 
+  /** Good-Turing count re-estimation table (Good 1953) — the
+    * frequency-of-frequencies view under every classical smoother: for each
+    * observed unigram count class r, the number of types N_r seen exactly r
+    * times and the Good-Turing adjusted count r* = (r+1)·N_{r+1}/N_r — the
+    * expected count a type seen r times "really" has, which is also where
+    * the probability mass for UNSEEN types (N_1/N) comes from. Restricted
+    * to classes whose successor class exists (raw GT is undefined across
+    * N_{r+1} = 0 gaps; smoothed variants interpolate, this table reports
+    * the raw estimator).
+    *
+    * Two grouped aggregates (term counts → class counts, both map-side
+    * combining) plus a self-join on r+1 over the CLASS table — at most
+    * max-count rows, metadata-sized at any corpus scale. Exact integer
+    * ratios in double, rounded once.
+    *
+    * @return up to `topN` rows, smallest r first: (r, n_r, r_star)
+    */
+  def goodTuringTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topN: Int = 20
+  ): DataFrame = {
+    val toks = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("r"))
+    val classes = tf.groupBy("r").agg(count(lit(1)).cast("long").as("n_r")).localCheckpoint()
+    val next = classes.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    classes
+      .join(next, "r")
+      .select(
+        col("r"),
+        col("n_r"),
+        round((col("r") + 1) * (col("n_r1").cast("double") / col("n_r")), 6).as("r_star")
+      )
+      .orderBy("r")
+      .limit(topN)
+  }
+
   /** Interpolated Kneser-Ney bigram table (Kneser & Ney 1995, Chen &
     * Goodman 1999) — the smoothing the add-k / stupid-backoff tiers
     * approximate: the corpus's top-`topN` bigrams with their full KN

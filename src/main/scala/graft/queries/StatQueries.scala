@@ -426,6 +426,25 @@ object StatQueries {
       TermStats.bigramCrossEntropy(documents(s, d), "doc_id", "text", 0.75)
     },
 
+    // E362 Good-Turing count re-estimation ([[TermStats.goodTuringTable]]):
+    // the frequency-of-frequencies table under every classical smoother —
+    // per unigram count class r: the type count N_r and the adjusted count
+    // r* = (r+1)·N_{r+1}/N_r (raw estimator; classes without a successor
+    // are excluded, as raw GT is undefined across N gaps). Two map-side
+    // combining aggregates + a self-join over the CLASS table (≤ max-count
+    // rows — metadata-sized at any corpus scale).
+    QEntry.sql(
+      "txt_good_turing",
+      s"""WITH toks AS (SELECT t.term FROM (SELECT unnest($wordsSql) AS term
+         |    FROM documents) t WHERE t.term <> ''),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY term),
+         |cls AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY r)
+         |SELECT a.r, a.n_r,
+         |  round((a.r + 1) * (CAST(b.n_r AS DOUBLE) / a.n_r), 6) AS r_star
+         |FROM cls a JOIN cls b ON b.r = a.r + 1
+         |ORDER BY a.r LIMIT 20""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => TermStats.goodTuringTable(documents(s, d), "doc_id", "text", topN = 20) },
+
     // E361 interpolated Kneser-Ney bigram table ([[TermStats.knBigramTable]]):
     // the smoothing the add-k / stupid-backoff tiers approximate — top-30
     // bigrams with P_KN = max(c2−D,0)/c1 + D·N₁₊(prev,·)/c1 · P_cont(cur),
