@@ -371,6 +371,48 @@ object TermStats {
       .limit(topN)
   }
 
+  /** Good-Turing missing-mass estimate — the scalar the [[goodTuringTable]]
+    * exists to justify: the probability that the NEXT token drawn is a type
+    * never seen in this corpus is P₀ = N₁/N (singleton types over total
+    * tokens, Good 1953), the standard coverage answer to "how much of the
+    * language does this corpus still miss". Reported with the raw
+    * ingredients so the estimate is auditable: type/token counts, singleton
+    * and doubleton type counts, P₀ in ppm (exact integral division) and as
+    * a rounded double.
+    *
+    * One corpus-sized token explode, then type-table aggregates — the
+    * shuffle carries term TYPES after map-side combine.
+    *
+    * @return one row: (n_types, n_tokens, n1, n2, p0_ppm, p_unseen)
+    */
+  def goodTuringUnseenMass(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    toks
+      .groupBy("term")
+      .agg(count(lit(1)).as("r"))
+      .agg(
+        count(lit(1)).cast("long").as("n_types"),
+        sum("r").cast("long").as("n_tokens"),
+        sum(when(col("r") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("r") === 2, 1L).otherwise(0L)).cast("long").as("n2")
+      )
+      .select(
+        col("n_types"),
+        col("n_tokens"),
+        col("n1"),
+        col("n2"),
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("n1 * 1000000 div n_tokens"))
+          .cast("long")
+          .as("p0_ppm"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(col("n1").cast("double") / col("n_tokens"), 6))
+          .as("p_unseen")
+      )
+  }
+
   /** Interpolated Kneser-Ney bigram table (Kneser & Ney 1995, Chen &
     * Goodman 1999) — the smoothing the add-k / stupid-backoff tiers
     * approximate: the corpus's top-`topN` bigrams with their full KN

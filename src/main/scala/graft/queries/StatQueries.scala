@@ -445,6 +445,29 @@ object StatQueries {
          |ORDER BY a.r LIMIT 20""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => TermStats.goodTuringTable(documents(s, d), "doc_id", "text", topN = 20) },
 
+    // E363 Good-Turing missing mass ([[TermStats.goodTuringUnseenMass]]):
+    // P₀ = N₁/N — the probability the NEXT token is a never-seen type, the
+    // coverage scalar GT smoothing reserves for unseen events — with its
+    // auditable ingredients (type/token/singleton/doubleton counts), exact
+    // ppm integral division plus one rounded double.
+    QEntry.sql(
+      "txt_gt_unseen_mass",
+      s"""WITH toks AS (SELECT t.term FROM (SELECT unnest($wordsSql) AS term
+         |    FROM documents) t WHERE t.term <> ''),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY term)
+         |SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(r) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(CASE WHEN sum(r) = 0 THEN 0 ELSE
+         |    sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) * 1000000 // sum(r) END AS BIGINT)
+         |    AS p0_ppm,
+         |  CASE WHEN sum(r) = 0 THEN 0.0 ELSE
+         |    round(CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(r), 6) END
+         |    AS p_unseen
+         |FROM tf""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => TermStats.goodTuringUnseenMass(documents(s, d), "doc_id", "text") },
+
     // E361 interpolated Kneser-Ney bigram table ([[TermStats.knBigramTable]]):
     // the smoothing the add-k / stupid-backoff tiers approximate — top-30
     // bigrams with P_KN = max(c2−D,0)/c1 + D·N₁₊(prev,·)/c1 · P_cont(cur),
