@@ -86,6 +86,24 @@ object Bench {
           emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
           "vec_id", "embedding", 10, centroidStride = stride.toInt, kmeansIters = 2)
       }),
+      // Hot-band-capped fuzzy pairs — the A/B twin of the oracled
+      // dedup_fuzzy_pairs (which must stay uncapped: default ∞ = exact
+      // banding semantics, the DuckDB-replayable path). The cap drops bands
+      // with document frequency > 64 before the self-join, so corpus-hot
+      // boilerplate bands can no longer fan out quadratically; the
+      // generator's 10-clone clusters (band df ≈ 10-20) all survive. Timed
+      // at every sf so SCALING.md carries a measured exponent for the
+      // configuration a web-scale corpus would actually run.
+      "x_fuzzy_capped" -> ((s, d) =>
+        graft.operators.Dedup.fuzzyPairs(
+          Tables.documents(s, d), "doc_id", "text", maxNorm = 0.4, maxBandDf = 64L)),
+      // Canonical-first verification (E364): d−1 Levenshtein calls per
+      // candidate cluster instead of C(d,2) — the linear-in-members
+      // production shape measured against the pairwise dedup_fuzzy_pairs
+      // baseline on the same clone-dense corpus.
+      "x_fuzzy_canonical" -> ((s, d) =>
+        graft.operators.Dedup.fuzzyCanonicalVerify(
+          Tables.documents(s, d), "doc_id", "text", maxNorm = 0.4, maxBandDf = 64L)),
       // PQ sibling of the √n contract: the oracled ann_pq_* entries pin
       // codebookStride = 31 for DuckDB replay, which makes the codebook ∝ n
       // and the all-pairs code assignment ∝ n²/31 — the same scale-killer

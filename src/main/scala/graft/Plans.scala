@@ -91,7 +91,9 @@ object Plans {
       "q_mv_rewrite",
       // round 13 additions
       "q_mv_rewrite_minmax", "q_mv_rewrite_filter", "q_mv_rewrite_countcol",
-      "ann_mmr_rerank", "txt_kn_bigram"
+      "ann_mmr_rerank", "txt_kn_bigram",
+      // round 14 additions
+      "dedup_fuzzy_canonical"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -130,6 +130,18 @@ object Dedup {
 
   /** Candidate pairs: equi-join per band (shuffle on the band key — scales to
     * any corpus because only same-bucket docs meet), deduplicated across bands.
+    *
+    * `maxBandDf` is the hot-band skew guard (same contract as the
+    * incremental index join below): a band shared by d documents fans the
+    * self-join into C(d,2) output rows on ONE shuffle key, so a single
+    * boilerplate band at web scale (d ~ 10⁶) is a 10¹²-row join output —
+    * the textbook skewed-key scale-killer. Bands with document frequency
+    * > maxBandDf are dropped BEFORE the join (one band-keyed partial agg;
+    * the hot set is a handful of keys, broadcast into an anti-join). Recall
+    * loss is bounded and biased the right way: a pair is missed only if
+    * EVERY band the two docs share is corpus-hot — genuine near-dups
+    * virtually always share a non-hot band. Default ∞ = off (exact banding
+    * semantics, the oracle path).
     */
   def minhashCandidatePairs(
       df: DataFrame,
@@ -137,7 +149,8 @@ object Dedup {
       textCol: String,
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
-      fast: Boolean = false
+      fast: Boolean = false,
+      maxBandDf: Long = Long.MaxValue
   ): DataFrame = {
     // localCheckpoint before the self-join: without it each aliased side
     // re-runs the whole signature pipeline (shingle explode → digest →
@@ -150,8 +163,18 @@ object Dedup {
       col(idCol).as("id"),
       explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("band")
     )
-    val a = exploded.as("a")
-    val b = exploded.as("b")
+    val joinable =
+      if (maxBandDf == Long.MaxValue) exploded
+      else {
+        val hot = exploded
+          .groupBy("band")
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxBandDf)
+          .select("band")
+        exploded.join(broadcast(hot), Seq("band"), "left_anti")
+      }
+    val a = joinable.as("a")
+    val b = joinable.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
@@ -354,9 +377,11 @@ object Dedup {
       maxNorm: Double = 0.4,
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
-      fast: Boolean = false
+      fast: Boolean = false,
+      maxBandDf: Long = Long.MaxValue
   ): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, numPerm, rowsPerBand, fast)
+    val pairs =
+      minhashCandidatePairs(df, idCol, textCol, numPerm, rowsPerBand, fast, maxBandDf)
     val texts = df.select(col(idCol), col(textCol))
     pairs
       .join(texts.select(col(idCol).as("id1"), col(textCol).as("_t1")), "id1")
@@ -367,6 +392,51 @@ object Dedup {
         levenshtein(col("_t1"), col("_t2")).cast("bigint").as("edit_dist"),
         (levenshtein(col("_t1"), col("_t2")).cast("double") /
           greatest(length(col("_t1")), length(col("_t2")), lit(1))).as("norm_dist")
+      )
+      .filter(col("norm_dist") <= maxNorm)
+  }
+
+  /** Canonical-first fuzzy verification — the linear-in-members alternative
+    * to [[fuzzyPairs]]' linear-in-pairs Levenshtein stage. Within a d-clone
+    * candidate cluster, pairwise verification runs C(d,2) edit distances;
+    * verifying each member against the cluster CANONICAL (the component-min
+    * id, the same label [[connectedComponents]] already converges to) runs
+    * d−1 — the asymptotic difference between output-quadratic and linear on
+    * clone-dense corpora. Semantics trade-off, stated: a member verifies
+    * against the canonical only, so a chain a—b—c where only adjacent links
+    * are close may reject c against canonical a even though [[fuzzyPairs]]
+    * would keep the (b,c) link — acceptable for a keep-one-per-cluster
+    * policy, which only needs member→canonical evidence. Output is one row
+    * per NON-canonical candidate-cluster member that verifies:
+    * (doc_id, canonical_id, edit_dist, norm_dist). The cluster resolution
+    * is the same band-keyed pair join (skew-cappable via `maxBandDf`) +
+    * min-label propagation as [[dedupClusters]]; the verification join is
+    * two id equi-joins fetching member and canonical text.
+    */
+  def fuzzyCanonicalVerify(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxNorm: Double = 0.4,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      fast: Boolean = false,
+      maxBandDf: Long = Long.MaxValue
+  ): DataFrame = {
+    val pairs =
+      minhashCandidatePairs(df, idCol, textCol, numPerm, rowsPerBand, fast, maxBandDf)
+    val cc = connectedComponents(pairs, df.select(col(idCol)))
+    val members = cc.filter(col("id") =!= col("comp"))
+    val texts = df.select(col(idCol), col(textCol))
+    members
+      .join(texts.select(col(idCol).as("id"), col(textCol).as("_t")), "id")
+      .join(texts.select(col(idCol).as("comp"), col(textCol).as("_c")), "comp")
+      .select(
+        col("id").as("doc_id"),
+        col("comp").as("canonical_id"),
+        levenshtein(col("_t"), col("_c")).cast("bigint").as("edit_dist"),
+        (levenshtein(col("_t"), col("_c")).cast("double") /
+          greatest(length(col("_t")), length(col("_c")), lit(1))).as("norm_dist")
       )
       .filter(col("norm_dist") <= maxNorm)
   }
@@ -382,9 +452,11 @@ object Dedup {
       textCol: String,
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
-      fast: Boolean = false
+      fast: Boolean = false,
+      maxBandDf: Long = Long.MaxValue
   ): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, numPerm, rowsPerBand, fast)
+    val pairs =
+      minhashCandidatePairs(df, idCol, textCol, numPerm, rowsPerBand, fast, maxBandDf)
     val cc = connectedComponents(pairs, df.select(col(idCol)))
     cc.select(col("id").as(idCol), col("comp").as("cluster_id"))
       .withColumn(

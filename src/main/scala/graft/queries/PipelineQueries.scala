@@ -587,6 +587,54 @@ object PipelineQueries {
          |WHERE norm_dist <= 0.4""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => Dedup.fuzzyPairs(documents(s, d), "doc_id", "text", maxNorm = 0.4) },
 
+    // E364 canonical-first fuzzy verification ([[Dedup.fuzzyCanonicalVerify]]):
+    // the linear-in-members alternative to dedup_fuzzy_pairs' pairwise
+    // Levenshtein — candidate clusters resolve first (same LSH band join +
+    // min-label fixpoint as dedup_clusters), then each NON-canonical member
+    // verifies against its component-min canonical only: d−1 edit distances
+    // per d-clone cluster instead of C(d,2). Planted verbatim clones
+    // (doc_id % 10 = 7 re-sent at +1000000) give every clone pair an
+    // edit_dist-0 verification row; the twin replays the same closure and
+    // the same member→canonical joins over the identical union.
+    QEntry.sql(
+      "dedup_fuzzy_canonical", {
+        val bandsU = bandsSqlOver("u")
+        s"""WITH RECURSIVE u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text
+           |  FROM documents WHERE doc_id % 10 = 7),
+           |bands AS ($bandsU),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+           |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM u
+           |  UNION
+           |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id),
+           |lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+           |SELECT doc_id, canonical_id, edit_dist, norm_dist FROM (
+           |  SELECT m.id AS doc_id, m.comp AS canonical_id,
+           |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           |    CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+           |      greatest(length(a.text), length(b.text), 1) AS norm_dist
+           |  FROM lab m
+           |  JOIN u a ON m.id = a.doc_id
+           |  JOIN u b ON m.comp = b.doc_id
+           |  WHERE m.id != m.comp) t
+           |WHERE norm_dist <= 0.4""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val u = docs
+        .select(col("doc_id"), col("text"))
+        .unionByName(
+          docs
+            .filter(col("doc_id") % 10 === 7)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.fuzzyCanonicalVerify(u, "doc_id", "text", maxNorm = 0.4)
+    },
+
     // SimHash-64 sketch (per-bit token majority over md5 nibbles).
     QEntry.sql(
       "dedup_simhash",

@@ -994,6 +994,51 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("maxBandDf on the monolithic paths: candidate storm collapses, genuine pair survives") {
+    val s = spark
+    import s.implicits._
+    // same shape as the incremental spec, through the monolithic entry
+    // points: 40 identical boilerplate docs make every band 40-hot (the
+    // C(40,2) = 780-pair storm); docs 50/51 are a genuine near-dup pair
+    // whose bands are 2-hot and must survive the cap.
+    val boiler = Array.fill(30)("terms of service apply all rights reserved").mkString(" ")
+    val real = Array.fill(30)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val df = ((1L to 40L).map(i => (i, boiler)) ++ Seq((50L, real), (51L, real + " tail")))
+      .toDF("doc_id", "text")
+    val open = graft.operators.Dedup
+      .minhashCandidatePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open.size == 40 * 39 / 2 + 1, s"uncapped size=${open.size}")
+    assert(open.contains((50L, 51L)))
+    val capped = graft.operators.Dedup
+      .minhashCandidatePairs(df, "doc_id", "text", maxBandDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((50L, 51L)), capped.toString)
+    // the cap threads through cluster resolution: boilerplate docs resolve
+    // to singletons (no edges), the genuine pair to one 2-cluster
+    val cl = graft.operators.Dedup
+      .dedupClusters(df, "doc_id", "text", maxBandDf = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cl(50L) == ((50L, 2L)) && cl(51L) == ((50L, 2L)))
+    assert(cl(7L) == ((7L, 1L)))
+  }
+
+  test("fuzzyCanonicalVerify: d-1 member rows per clone cluster, chain semantics stated") {
+    val s = spark
+    import s.implicits._
+    val a = Array.fill(30)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val b = Array.fill(30)("one two three four five six").mkString(" ")
+    // a 4-clone cluster of doc 10 and an untouched singleton 20
+    val df = Seq((10L, a), (11L, a), (12L, a), (13L, a + " tail"), (20L, b))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .fuzzyCanonicalVerify(df, "doc_id", "text", maxNorm = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 3 member rows (d−1 = 3 verifications, never C(4,2) = 6), all against
+    // the component-min canonical 10; verbatim clones verify at distance 0
+    assert(out === Set((11L, 10L, 0L), (12L, 10L, 0L), (13L, 10L, 5L)), out.toString)
+  }
+
   test("deleteFromMinhashIndex: forgotten docs vanish from disk and from future pairings") {
     val s = spark
     import s.implicits._
