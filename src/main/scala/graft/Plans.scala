@@ -93,7 +93,7 @@ object Plans {
       "q_mv_rewrite_minmax", "q_mv_rewrite_filter", "q_mv_rewrite_countcol",
       "ann_mmr_rerank", "txt_kn_bigram",
       // round 14 additions
-      "dedup_fuzzy_canonical"
+      "dedup_fuzzy_canonical", "q_mv_incremental"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -35,11 +35,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *     a materialized measure, COUNT(*)/COUNT(1) with a materialized count,
   *     COUNT(col) with a materialized per-group non-null count of THAT
   *     column (count(*) would overcount null measures, so it never
-  *     substitutes), or AVG of a measure with BOTH a sum and a count
-  *     materialized (AVG is rewritten to re-sum ÷ re-count; restricted to
-  *     DOUBLE-typed results — decimal AVG has engine-specific scale
+  *     substitutes), or AVG of a measure with BOTH a sum and a NON-NULL
+  *     count of that same measure materialized (AVG ignores NULLs, so the
+  *     re-count denominator must be COUNT(col), never COUNT(*); restricted
+  *     to DOUBLE-typed results — decimal AVG has engine-specific scale
   *     promotion that a derived division would have to replicate
-  *     bit-for-bit, so it blocks).
+  *     bit-for-bit, so it blocks permanently).
   *   - The aggregate must sit on the base relation modulo column-pruning
   *     Projects and Filters whose references are all MV GROUPING columns
   *     (such predicates commute with the rollup: filtering base rows by
@@ -112,9 +113,8 @@ object MvRewrite {
   /** Build the MV parquet from the base table — the one corpus-sized
     * aggregation this rule amortizes away for every later query.
     */
-  def build(spark: SparkSession, defn: MvDef): Unit = {
-    val base = spark.read.parquet(defn.basePath)
-    val aggs = defn.sums.toSeq.sortBy(_._1).map { case (mvCol, baseCol) =>
+  private def buildAggs(defn: MvDef): Seq[org.apache.spark.sql.Column] =
+    defn.sums.toSeq.sortBy(_._1).map { case (mvCol, baseCol) =>
       sum(col(baseCol)).as(mvCol)
     } ++ defn.mins.toSeq.sortBy(_._1).map { case (mvCol, baseCol) =>
       min(col(baseCol)).as(mvCol)
@@ -123,6 +123,10 @@ object MvRewrite {
     } ++ defn.counts.toSeq.sortBy(_._1).map { case (mvCol, baseCol) =>
       count(col(baseCol)).cast("long").as(mvCol)
     } ++ defn.countCol.map(c => count(lit(1)).cast("long").as(c)).toSeq
+
+  def build(spark: SparkSession, defn: MvDef): Unit = {
+    val base = spark.read.parquet(defn.basePath)
+    val aggs = buildAggs(defn)
     base
       .groupBy(defn.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -159,7 +163,8 @@ object MvRewrite {
       mins: Map[String, String],
       maxs: Map[String, String],
       baseSignature: String,
-      counts: Map[String, String] = Map.empty
+      counts: Map[String, String] = Map.empty,
+      baseManifest: Map[String, String] = Map.empty
   )
 
   private lazy val mapper = {
@@ -194,6 +199,28 @@ object MvRewrite {
     s"$count:$bytes:$maxM"
   }
 
+  /** Per-file manifest of a base table directory: data-file path →
+    * "length:mtime". The listing-level evidence that lets [[loadCatalog]]
+    * distinguish an APPEND (every manifest file still present, byte- and
+    * mtime-identical, plus new files) from arbitrary churn — append-only
+    * changes refresh the MV from the appended files alone; anything else
+    * drops it. One record per data file: at warehouse scale this is the
+    * same metadata volume a FileIndex snapshot already holds.
+    */
+  private[plans] def baseManifest(spark: SparkSession, basePath: String): Map[String, String] = {
+    val path = new Path(basePath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return Map.empty
+    val b = Map.newBuilder[String, String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (!st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+        b += (st.getPath.toString -> s"${st.getLen}:${st.getModificationTime}")
+    }
+    b.result()
+  }
+
   /** Persist `defn` (plus the CURRENT base-table signature) as a JSON file
     * under `catalogDir`, so a later session can [[loadCatalog]] it. One file
     * per MV, keyed on the MV path digest — re-persisting the same MV
@@ -209,7 +236,8 @@ object MvRewrite {
       defn.mins,
       defn.maxs,
       baseSignature(spark, defn.basePath),
-      defn.counts
+      defn.counts,
+      baseManifest(spark, defn.basePath)
     )
     val dir = new Path(catalogDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -225,11 +253,19 @@ object MvRewrite {
   }
 
   /** Load every persisted definition under `catalogDir` and register the
-    * FRESH ones: a record whose base-table signature no longer matches the
-    * live base (the base churned since persist) or whose MV parquet is gone
-    * is dropped — serving a stale rollup is wrong answers, serving none is
-    * just the un-rewritten plan. Returns the definitions actually
-    * registered.
+    * FRESH ones. A record whose base-table signature no longer matches the
+    * live base is first checked for APPEND-ONLY churn against its per-file
+    * manifest: when every persisted data file is still present with
+    * identical length and mtime and the only difference is NEW files, the
+    * MV is REFRESHED incrementally — the delta rollup aggregates the
+    * appended files alone (O(delta), never the fact table) and merges into
+    * the old MV by the partial-aggregate algebra (sums/counts add, mins
+    * min, maxs max — the [[graft.operators.IncrementalAgg]] state-merge
+    * generalized to the MV's column map; append-only means no retraction,
+    * so MIN/MAX stay exact). Any other churn (file removed, rewritten,
+    * truncated) or a missing MV parquet drops the record — serving a stale
+    * rollup is wrong answers, serving none is just the un-rewritten plan.
+    * Returns the definitions actually registered (fresh or refreshed).
     */
   def loadCatalog(spark: SparkSession, catalogDir: String): Seq[MvDef] = {
     val dir = new Path(catalogDir)
@@ -243,18 +279,67 @@ object MvRewrite {
         val rec =
           try mapper.readValue(in, classOf[MvRecord])
           finally in.close()
-        val fresh = baseSignature(spark, rec.basePath) == rec.baseSignature &&
-          fs.exists(new Path(rec.mvPath))
-        if (!fresh) None
-        else {
-          val defn = MvDef(
-            rec.basePath, rec.mvPath, rec.groupCols, rec.sums, rec.countCol, rec.mins,
-            rec.maxs, Option(rec.counts).getOrElse(Map.empty))
+        val defn = MvDef(
+          rec.basePath, rec.mvPath, rec.groupCols, rec.sums, rec.countCol, rec.mins,
+          rec.maxs, Option(rec.counts).getOrElse(Map.empty))
+        val mvExists = fs.exists(new Path(rec.mvPath))
+        if (!mvExists) None
+        else if (baseSignature(spark, rec.basePath) == rec.baseSignature) {
           register(spark, defn)
           Some(defn)
+        } else {
+          val old = Option(rec.baseManifest).getOrElse(Map.empty)
+          val now = baseManifest(spark, rec.basePath)
+          val appendOnly = old.nonEmpty &&
+            old.forall { case (p, sig) => now.get(p).contains(sig) } &&
+            now.size > old.size
+          if (!appendOnly) None
+          else {
+            val appended = (now.keySet -- old.keySet).toSeq.sorted
+            refreshAppended(spark, defn, appended)
+            persist(spark, catalogDir, defn) // new signature + manifest
+            register(spark, defn)
+            Some(defn)
+          }
         }
       }
       .toSeq
+  }
+
+  /** Merge the rollup of `appendedFiles` into the existing MV parquet —
+    * union of partial-aggregate states re-aggregated, each column cast back
+    * to its persisted MV type so the refreshed MV is schema-identical.
+    * The merged frame is eagerly materialized (localCheckpoint) before the
+    * overwrite: it lazily READS the MV path it is about to replace, and the
+    * MV is |groups|-sized by design, so materializing it is cheap at any
+    * base scale.
+    */
+  private def refreshAppended(
+      spark: SparkSession,
+      defn: MvDef,
+      appendedFiles: Seq[String]
+  ): Unit = {
+    val oldMv = spark.read.parquet(defn.mvPath)
+    val aggs = buildAggs(defn)
+    val delta = spark.read
+      .parquet(appendedFiles: _*)
+      .groupBy(defn.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val mvTypes = oldMv.schema.fields.map(f => f.name -> f.dataType).toMap
+    val mergeAggs =
+      defn.sums.keys.toSeq.sorted.map(c => sum(col(c)).cast(mvTypes(c)).as(c)) ++
+        defn.mins.keys.toSeq.sorted.map(c => min(col(c)).cast(mvTypes(c)).as(c)) ++
+        defn.maxs.keys.toSeq.sorted.map(c => max(col(c)).cast(mvTypes(c)).as(c)) ++
+        defn.counts.keys.toSeq.sorted.map(c => sum(col(c)).cast("long").as(c)) ++
+        defn.countCol.map(c => sum(col(c)).cast("long").as(c)).toSeq
+    val mvCols = oldMv.columns.toIndexedSeq.map(col)
+    val merged = oldMv
+      .unionByName(delta.select(mvCols: _*))
+      .groupBy(defn.groupCols.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .select(mvCols: _*)
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(defn.mvPath)
   }
 
   /** Session conf key naming an MV catalog directory to auto-load at
@@ -381,10 +466,19 @@ object MvRewrite {
           case Average(a: AttributeReference, _) if al.dataType == DoubleType =>
             // AVG = re-sum ÷ re-count, both over the MV. Double-typed only:
             // the division is exact whenever the sums are (integral values
-            // below 2^53), and decimal AVG's scale promotion stays blocked.
+            // below 2^53), and decimal AVG's scale promotion stays blocked
+            // PERMANENTLY (Spark's decimal Average divides at
+            // engine-internal intermediate precision then rounds into the
+            // promoted result scale; a derived division cannot replicate
+            // that bit-for-bit across overflow edges, and a near-miss here
+            // is silent data corruption — the bail-out is pinned in
+            // MvRewriteSpec). The denominator is the materialized NON-NULL
+            // count of THIS measure (defn.counts), never countCol: AVG
+            // ignores NULLs, so sum(col)/COUNT(*) silently undercounts any
+            // nullable measure. No materialized COUNT(col) → no rewrite.
             (
               defn.sums.collectFirst { case (mv, base) if base == a.name => mv },
-              defn.countCol
+              defn.counts.collectFirst { case (mv, base) if base == a.name => mv }
             ) match {
               case (Some(sumMv), Some(cntMv)) =>
                 val s = AggregateExpression(Sum(mvAttr(sumMv)), Complete, isDistinct = false)

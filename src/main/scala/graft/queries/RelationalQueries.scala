@@ -101,7 +101,10 @@ object RelationalQueries {
         Map("sum_qty" -> "l_quantity"),
         Some("cnt"),
         mins = Map("min_qty" -> "l_quantity"),
-        maxs = Map("max_qty" -> "l_quantity")
+        maxs = Map("max_qty" -> "l_quantity"),
+        // AVG's denominator: the materialized NON-NULL count of the measure
+        // itself (COUNT(*) never substitutes — it overcounts null measures)
+        counts = Map("cnt_qty" -> "l_quantity")
       )
       graft.plans.MvRewrite.build(s, defn)
       graft.plans.MvRewrite.register(s, defn)
@@ -200,6 +203,70 @@ object RelationalQueries {
       require(
         out.queryExecution.executedPlan.toString.contains("mv.parquet"),
         "MV COUNT(col) rewrite did not fire"
+      )
+      out
+    },
+
+    // E366 incremental MV refresh: the base table is APPENDED to after the
+    // MV was persisted (a new slice of lineitem lands as new parquet files
+    // under the same directory — the old part files untouched), and
+    // loadCatalog, instead of dropping the now-stale MV, detects the
+    // append-only churn from its per-file manifest and REFRESHES it by
+    // aggregating the appended files alone and merging into the old rollup
+    // (sums/counts add, mins min, maxs max — O(delta), never the fact
+    // table). The dashboard tile survives ingest. The oracle recomputes the
+    // full aggregate over base ∪ appended slice, so a refresh that missed
+    // rows, double-counted the old files, or broke the merge algebra
+    // hash-mismatches.
+    QEntry.sql(
+      "q_mv_incremental",
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  avg(l_quantity) AS avg_qty, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT l_returnflag, l_quantity FROM lineitem
+        |      UNION ALL SELECT l_returnflag, l_quantity FROM lineitem
+        |      WHERE l_orderkey % 7 = 0)
+        |GROUP BY l_returnflag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mvq5").toString
+      val fact = s"$dir/fact.parquet"
+      val cat = s"$dir/mvcatalog"
+      lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").parquet(fact)
+      val defn = graft.plans.MvRewrite.MvDef(
+        fact,
+        s"$dir/mv.parquet",
+        Seq("l_returnflag", "l_linestatus"),
+        Map("sum_qty" -> "l_quantity"),
+        Some("cnt"),
+        mins = Map("min_qty" -> "l_quantity"),
+        maxs = Map("max_qty" -> "l_quantity"),
+        counts = Map("cnt_qty" -> "l_quantity")
+      )
+      graft.plans.MvRewrite.build(s, defn)
+      graft.plans.MvRewrite.persist(s, cat, defn)
+      // ingest: a new slice appends as NEW part files
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("append").parquet(fact)
+      val loaded = graft.plans.MvRewrite.loadCatalog(s, cat)
+      require(loaded.map(_.mvPath).contains(s"$dir/mv.parquet"),
+        "append-only refresh did not re-register the MV")
+      val out = s.read
+        .parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          avg("l_quantity").as("avg_qty"),
+          count(lit(1)).cast("long").as("n_rows")
+        )
+      require(
+        out.queryExecution.executedPlan.toString.contains("mv.parquet"),
+        "refreshed MV rewrite did not fire"
       )
       out
     },

@@ -34,7 +34,8 @@ class MvRewriteSpec extends SparkSpec {
     rows.toDF("ga", "gb", "m1", "m2", "m3").write.mode("overwrite").parquet(base)
     val defn = MvDef(base, mv, Seq("ga", "gb"),
       Map("sum_m1" -> "m1", "sum_m2" -> "m2"), Some("cnt"),
-      mins = Map("min_m1" -> "m1"), maxs = Map("max_m1" -> "m1"))
+      mins = Map("min_m1" -> "m1"), maxs = Map("max_m1" -> "m1"),
+      counts = Map("cnt_m1" -> "m1", "cnt_m2" -> "m2"))
     MvRewrite.build(spark, defn)
     MvRewrite.register(spark, defn)
     try f(base, mv)
@@ -118,6 +119,41 @@ class MvRewriteSpec extends SparkSpec {
       val blocked = spark.read.parquet(base).groupBy("ga").agg(avg("m3").as("a"))
       assert(!physOf(blocked).contains("mv.parquet"), physOf(blocked))
     }
+  }
+
+  test("AVG of a nullable measure uses the materialized COUNT(col) denominator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-avgnull").toString
+    val base = s"$dir/base.parquet"
+    val s = spark
+    import s.implicits._
+    // m is NULL on odd i: avg = sum(m)/COUNT(m), and COUNT(*) = 2·COUNT(m)
+    // in every group — the exact null-overcount the denominator rule blocks
+    (1 to 40).map(i => ("g" + (i % 2), if (i % 4 < 2) Some(i.toDouble) else None))
+      .toDF("ga", "m").write.parquet(base)
+    // only COUNT(*) materialized → AVG must NOT rewrite (a countCol
+    // denominator would silently halve the average)
+    val noCnt = MvDef(base, s"$dir/mv1.parquet", Seq("ga"),
+      Map("sum_m" -> "m"), Some("cnt"))
+    MvRewrite.build(spark, noCnt)
+    MvRewrite.register(spark, noCnt)
+    try {
+      val blocked = spark.read.parquet(base).groupBy("ga").agg(avg("m").as("a"))
+      assert(!physOf(blocked).contains("mv1.parquet"), physOf(blocked))
+    } finally MvRewrite.clear()
+    // with COUNT(m) materialized the rewrite fires and matches the truth
+    val withCnt = MvDef(base, s"$dir/mv2.parquet", Seq("ga"),
+      Map("sum_m" -> "m"), Some("cnt"), counts = Map("cnt_m" -> "m"))
+    MvRewrite.build(spark, withCnt)
+    MvRewrite.register(spark, withCnt)
+    try {
+      val q = spark.read.parquet(base).groupBy("ga").agg(avg("m").as("a"))
+      assert(physOf(q).contains("mv2.parquet"), physOf(q))
+      val got = q.orderBy("ga").collect().map(_.toSeq).toSeq
+      MvRewrite.clear()
+      val truth = spark.read.parquet(base).groupBy("ga").agg(avg("m").as("a"))
+        .orderBy("ga").collect().map(_.toSeq).toSeq
+      assert(got == truth, s"$got vs $truth")
+    } finally MvRewrite.clear()
   }
 
   test("filters over grouping columns push into the MV; measure filters block") {
@@ -272,6 +308,46 @@ class MvRewriteSpec extends SparkSpec {
       MvRewrite.register(spark, defn)
       assert(q.orderBy("ga").collect().map(_.toSeq).toSeq ==
         truth.orderBy("ga").collect().map(_.toSeq).toSeq)
+    } finally MvRewrite.clear()
+  }
+
+  test("append-only base churn refreshes the MV incrementally; other churn drops it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-inc").toString
+    val base = s"$dir/base.parquet"
+    val mv = s"$dir/mv.parquet"
+    val cat = s"$dir/mvcatalog"
+    val s = spark
+    import s.implicits._
+    (1 to 30).map(i => ("g" + (i % 3), i.toDouble)).toDF("ga", "m")
+      .write.parquet(base)
+    val defn = MvDef(base, mv, Seq("ga"), Map("sum_m" -> "m"), Some("cnt"),
+      mins = Map("min_m" -> "m"), maxs = Map("max_m" -> "m"),
+      counts = Map("cnt_m" -> "m"))
+    MvRewrite.build(spark, defn)
+    MvRewrite.persist(spark, cat, defn)
+    MvRewrite.clear()
+    // append new files (old part files untouched) — includes a NEW group g9
+    ((31 to 40).map(i => ("g" + (i % 3), i.toDouble)) :+ ("g9", 100.0))
+      .toDF("ga", "m").write.mode("append").parquet(base)
+    try {
+      val loaded = MvRewrite.loadCatalog(spark, cat)
+      assert(loaded.map(_.mvPath) == Seq(mv), s"append-only refresh did not register: $loaded")
+      def q = spark.read.parquet(base).groupBy("ga")
+        .agg(sum("m").as("s"), count(lit(1)).as("n"), min("m").as("lo"),
+          max("m").as("hi"), avg("m").as("a"))
+      assert(physOf(q).contains("mv.parquet"), physOf(q))
+      val got = q.orderBy("ga").collect().map(_.toSeq).toSeq
+      MvRewrite.clear()
+      val truth = q // registry cleared → un-rewritten
+      assert(!physOf(truth).contains("mv.parquet"))
+      assert(got == truth.orderBy("ga").collect().map(_.toSeq).toSeq, got.toString)
+      // the refreshed record re-persisted: a second load is fresh (no churn)
+      assert(MvRewrite.loadCatalog(spark, cat).map(_.mvPath) == Seq(mv))
+      MvRewrite.clear()
+      // non-append churn: the base is REWRITTEN (old files replaced) → drop
+      (1 to 10).map(i => ("g" + (i % 3), i.toDouble)).toDF("ga", "m")
+        .write.mode("overwrite").parquet(base)
+      assert(MvRewrite.loadCatalog(spark, cat).isEmpty, "rewritten base must drop the MV")
     } finally MvRewrite.clear()
   }
 
