@@ -52,54 +52,99 @@ object IndexCommit {
 
   private val MarkerPrefix = "commit-"
 
-  /** Newest committed version, if any commit marker exists. */
-  def committedVersion(spark: SparkSession, root: String): Option[Long] = {
+  /** A claimed-but-never-pointed marker (writer died between the exclusive
+    * create and the pointer write) is reclaimable once this old — long
+    * enough that the create→write window (microseconds on a live writer)
+    * cannot be mistaken for a death.
+    */
+  private[graft] val EmptyMarkerGraceMs: Long = 60L * 1000L
+
+  /** Marker versions present under the manifest, descending. */
+  private def markerVersions(fs: FileSystem, root: String): Seq[Long] = {
     val dir = manifestDir(root)
-    val fs = hfs(spark, dir)
-    if (!fs.exists(dir)) None
-    else {
-      val vs = fs
-        .listStatus(dir)
+    if (!fs.exists(dir)) Nil
+    else
+      fs.listStatus(dir)
         .iterator
         .map(_.getPath.getName)
         .collect { case n if n.startsWith(MarkerPrefix) => n.drop(MarkerPrefix.length).toLong }
         .toSeq
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+        .sorted(Ordering[Long].reverse)
   }
 
+  /** The marker's pointer content, or None when the marker is EMPTY past
+    * the retry budget (the claimant died between create and pointer write —
+    * version n was never committed) or VANISHED mid-read (the claimant's
+    * failure path retracted it — same thing). Both cases are "uncommitted",
+    * never an error: the chain skips the version and writers reclaim the
+    * husk after [[EmptyMarkerGraceMs]]. `retries` > 1 only where an
+    * in-flight writer could still be inside the microsecond create→write
+    * window (the newest marker); older empty markers are always corpses.
+    */
+  private def markerContent(fs: FileSystem, marker: Path, retries: Int): Option[String] = {
+    var attempt = 0
+    while (attempt < retries) {
+      attempt += 1
+      val name =
+        try {
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch {
+          // retracted (or reclaimed) between list and open: uncommitted
+          case _: java.io.FileNotFoundException => return None
+        }
+      if (name.nonEmpty) return Some(name)
+      if (attempt < retries) Thread.sleep(20L)
+    }
+    None
+  }
+
+  /** Newest RESOLVABLE version with its snapshot dir name: empty markers
+    * are skipped (the head waits out the in-flight create→write window
+    * first; older ones are dead claims), so a crashed claimant can never
+    * wedge readers — they simply stay on the previous version.
+    */
+  private def resolveHead(spark: SparkSession, root: String): Option[(Long, String)] = {
+    val fs = hfs(spark, manifestDir(root))
+    val vs = markerVersions(fs, root)
+    vs.zipWithIndex.iterator
+      .flatMap { case (n, i) =>
+        val marker = new Path(manifestDir(root), s"$MarkerPrefix$n")
+        markerContent(fs, marker, retries = if (i == 0) 50 else 1).map(n -> _)
+      }
+      .nextOption()
+  }
+
+  /** Newest committed version, if any resolvable commit marker exists (a
+    * marker whose claimant died before writing the pointer is NOT a
+    * commit).
+    */
+  def committedVersion(spark: SparkSession, root: String): Option[Long] =
+    resolveHead(spark, root).map(_._1)
+
   /** Snapshot directory committed as version `n` (the marker's content).
-    * The marker is claimed with an exclusive create and its one-line content
-    * written immediately after, so a reader that lists the marker during
-    * that microsecond window can observe it empty — retry briefly before
-    * declaring the manifest corrupt (a writer that crashes BETWEEN create
-    * and write leaves a permanently empty marker; that crash window is this
-    * protocol's local-filesystem caveat, the analogue of the no-atomic-
-    * rename caveat on object stores).
+    * Throws for an explicitly-requested version that was never committed
+    * (no marker, or a claimed-but-dead empty marker) — head resolution
+    * never routes here for those.
     */
   private def snapshotPath(spark: SparkSession, root: String, n: Long): Path = {
     val marker = new Path(manifestDir(root), s"$MarkerPrefix$n")
     val fs = hfs(spark, marker)
-    var attempt = 0
-    while (attempt < 50) {
-      attempt += 1
-      val in = fs.open(marker)
-      val name =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (name.nonEmpty) return new Path(dataDir(root), name)
-      Thread.sleep(20L)
+    markerContent(fs, marker, retries = 50) match {
+      case Some(name) => new Path(dataDir(root), name)
+      case None =>
+        throw new NoSuchElementException(
+          s"IndexCommit: version $n at $root was never committed " +
+            "(no pointer — absent, retracted, or a dead claim)"
+        )
     }
-    throw new IllegalStateException(
-      s"IndexCommit: marker $marker exists but stayed empty — " +
-        "a writer crashed between claiming the version and writing the pointer"
-    )
   }
 
   /** Newest committed snapshot with its version; None before first commit. */
   def readCommitted(spark: SparkSession, root: String): Option[(Long, DataFrame)] =
-    committedVersion(spark, root).map { n =>
-      (n, spark.read.parquet(snapshotPath(spark, root, n).toString))
+    resolveHead(spark, root).map { case (n, name) =>
+      (n, spark.read.parquet(new Path(dataDir(root), name).toString))
     }
 
   /** Attempt to publish `stagedName` as version `n` by creating
@@ -157,12 +202,32 @@ object IndexCommit {
     * append = base ∪ batch, delete = base ⟕̸ condemned, compact = base
     * re-bucketed.
     */
+  /** True when `marker` was an expired dead claim (empty past `graceMs`)
+    * and this call deleted it — the version number is claimable again. A
+    * marker that vanished before the status probe counts as already
+    * reclaimed. Never touches a marker with content or a younger-than-grace
+    * empty one (an in-flight writer inside its create→write window).
+    */
+  private[graft] def reclaimDeadMarker(
+      fs: FileSystem,
+      marker: Path,
+      graceMs: Long = EmptyMarkerGraceMs
+  ): Boolean = {
+    val st =
+      try fs.getFileStatus(marker)
+      catch { case _: java.io.FileNotFoundException => return true }
+    st.getLen == 0 &&
+    st.getModificationTime < System.currentTimeMillis() - graceMs &&
+    fs.delete(marker, false)
+  }
+
   def commit(
       spark: SparkSession,
       root: String,
       writerId: String,
       partitionCols: Seq[String] = Nil,
-      maxAttempts: Int = 20
+      maxAttempts: Int = 20,
+      emptyMarkerGraceMs: Long = EmptyMarkerGraceMs
   )(build: Option[DataFrame] => DataFrame): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -176,7 +241,15 @@ object IndexCommit {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(stagedPath.toString)
       if (tryCommitMarker(spark, root, target, stagedName, writerId)) return target
-      // lost the race: discard this attempt's snapshot, rebase, retry
+      // lost the race. If the blocking marker is a dead claim (empty past
+      // grace — its writer crashed between create and pointer write),
+      // reclaim it and retry the SAME staged snapshot: the base did not
+      // move, so no rebase (and no build re-run) is needed.
+      val marker = new Path(manifestDir(root), s"$MarkerPrefix$target")
+      val fs = hfs(spark, marker)
+      if (reclaimDeadMarker(fs, marker, emptyMarkerGraceMs) &&
+        tryCommitMarker(spark, root, target, stagedName, writerId)) return target
+      // genuinely outraced: discard this attempt's snapshot, rebase, retry
       hfs(spark, stagedPath).delete(stagedPath, true)
     }
     throw new IllegalStateException(
@@ -232,26 +305,31 @@ object IndexCommit {
       spark: SparkSession,
       root: String,
       keep: Int = 2,
-      unreferencedGraceMs: Long = 30L * 60L * 1000L
+      unreferencedGraceMs: Long = 30L * 60L * 1000L,
+      emptyMarkerGraceMs: Long = EmptyMarkerGraceMs
   ): Unit = {
     require(keep >= 1, "must keep at least the newest committed version")
     val mDir = manifestDir(root)
     val fs = hfs(spark, mDir)
     if (!fs.exists(mDir)) return
-    val committed = fs
-      .listStatus(mDir)
-      .iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith(MarkerPrefix) => n.drop(MarkerPrefix.length).toLong }
-      .toSeq
-      .sorted
+    // resolve every marker ONCE: dead claims (empty / vanished) are not
+    // commits — they are reclaimed past their grace window and never wedge
+    // the sweep; their staged data (never referenced by any pointer) falls
+    // under the unreferenced-grace rule below
+    val resolved = markerVersions(fs, root).map { n =>
+      val marker = new Path(mDir, s"$MarkerPrefix$n")
+      (n, markerContent(fs, marker, retries = 1))
+    }
+    resolved.collect { case (n, None) => n }.foreach { n =>
+      reclaimDeadMarker(fs, new Path(mDir, s"$MarkerPrefix$n"), emptyMarkerGraceMs)
+    }
+    val committed = resolved.collect { case (n, Some(name)) => (n, name) }.sortBy(_._1)
     if (committed.isEmpty) return
-    val keepVs = committed.takeRight(keep).toSet
-    val keepDirs = keepVs.map(n => snapshotPath(spark, root, n).getName)
-    // resolve the expiring markers' snapshot dirs BEFORE dropping the markers
-    val expiredDirs =
-      committed.filterNot(keepVs).map(n => snapshotPath(spark, root, n).getName).toSet
-    committed.filterNot(keepVs).foreach { n =>
+    val keepVs = committed.takeRight(keep).map(_._1).toSet
+    val keepDirs = committed.filter(c => keepVs(c._1)).map(_._2).toSet
+    val expired = committed.filterNot(c => keepVs(c._1))
+    val expiredDirs = expired.map(_._2).toSet
+    expired.foreach { case (n, _) =>
       fs.delete(new Path(mDir, s"$MarkerPrefix$n"), false)
     }
     val dDir = dataDir(root)

@@ -1687,23 +1687,30 @@ object Similarity {
     // subquery result is embedded in EVERY hop stage's task binary — the
     // ~1.1 MiB "Broadcasting large task binary" tail the bench used to
     // carry, pure per-task overhead that multiplies with query fan-out at
-    // cluster scale. Suspend injection for the loop's eager checkpoints and
-    // restore the caller's setting after.
-    val bloomKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
-    val priorBloom = spark.conf.getOption(bloomKey)
-    spark.conf.set(bloomKey, "false")
-    try {
-      var frontier =
-        score(queries.select(col(idCol).as("query_id"), lit(entry).as("node_id")))
-          .localCheckpoint()
-      val wBeam = Window.partitionBy("query_id").orderBy(col("cos").desc, col("node_id"))
-      for (_ <- 1 to hops) {
-        val expanded = frontier
-          .select("query_id", "node_id")
-          .join(adj, "node_id")
-          .select(col("query_id"), col("dst").as("node_id"))
-          .distinct()
-        frontier = frontier
+    // cluster scale. The override is THREAD-SCOPED, never session-global:
+    // each eager checkpoint optimizes under a cloned SQLConf installed via
+    // SQLConf.withExistingConf for exactly that action, so concurrent
+    // queries on the same session keep their runtime bloom filters and two
+    // overlapping searches cannot restore each other's prior value (the
+    // earlier session-conf toggle had both failure modes).
+    val noBloomConf = spark.sessionState.conf.clone()
+    noBloomConf.setConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    def noBloom[T](body: => T): T =
+      org.apache.spark.sql.internal.SQLConf.withExistingConf(noBloomConf)(body)
+    var frontier = noBloom {
+      score(queries.select(col(idCol).as("query_id"), lit(entry).as("node_id")))
+        .localCheckpoint()
+    }
+    val wBeam = Window.partitionBy("query_id").orderBy(col("cos").desc, col("node_id"))
+    for (_ <- 1 to hops) {
+      val expanded = frontier
+        .select("query_id", "node_id")
+        .join(adj, "node_id")
+        .select(col("query_id"), col("dst").as("node_id"))
+        .distinct()
+      frontier = noBloom {
+        frontier
           .unionByName(score(expanded))
           .groupBy("query_id", "node_id")
           .agg(max("cos").as("cos"))
@@ -1712,16 +1719,13 @@ object Similarity {
           .select("query_id", "node_id", "cos")
           .localCheckpoint()
       }
-      val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      frontier
-        .filter(col("node_id") =!= col("query_id"))
-        .select(col("query_id"), col("node_id").as("neighbor_id"), col("cos"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= k)
-    } finally priorBloom match {
-      case Some(v) => spark.conf.set(bloomKey, v)
-      case None => spark.conf.unset(bloomKey)
     }
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    frontier
+      .filter(col("node_id") =!= col("query_id"))
+      .select(col("query_id"), col("node_id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
   }
 
   /** Build + search in one call (the spec/entry surface; production holds

@@ -101,31 +101,69 @@ object SourceOffsets {
 
   /** One recovery-aware scheduling step: replay the newest logged epoch if
     * its sink never committed (fetching the LOGGED range), else claim and
-    * process [lastEnd, availableEnd). Returns the epoch that ran, or None
-    * when there was neither a pending replay nor fresh data. Drive it in a
-    * loop (or from a foreachBatch trigger) for continuous ingest.
+    * process [lastEnd, min(availableEnd, lastEnd + maxRowsPerEpoch)).
+    * Returns the epoch that ran, or None when there was neither a pending
+    * replay nor fresh data — or when ANOTHER DRIVER owns the step. Drive it
+    * in a loop (or from a foreachBatch trigger) for continuous ingest.
+    *
+    * `maxRowsPerEpoch` is bounded admission, what every real bus gives a
+    * trigger (Kafka's maxOffsetsPerTrigger): a burst after downtime — the
+    * source grew by a week while the job was down — splits into capped
+    * epochs across successive steps instead of becoming one giant epoch
+    * whose replay-unit is the whole backlog. Replay semantics are
+    * unchanged: each capped epoch logs its own exact range.
+    *
+    * `replayLeaseMs` guards the replay path against a LIVE peer: an
+    * uncommitted logged epoch is only replayed once its log file is at
+    * least this old, so a concurrent driver that just claimed it (and is
+    * mid-processing) is not raced to the same `_batch=` partition —
+    * interleaved overwrite commits under one _SUCCESS marker are the one
+    * way to break the sink's exactly-once contract. The default 0 keeps
+    * the single-driver semantics (every crash replay is immediate);
+    * multi-driver deployments set it to a multiple of their epoch
+    * processing time. Symmetrically, a driver that LOSES the claim race
+    * returns None — it never re-executes the winner's in-flight epoch; the
+    * next step finds the winner's outcome (committed → advance;
+    * uncommitted past the lease → genuine crash replay).
     */
   def runEpoch(
       spark: SparkSession,
       logDir: String,
       sinkPath: String,
       availableEnd: Long,
-      fetch: (Long, Long) => DataFrame
+      fetch: (Long, Long) => DataFrame,
+      maxRowsPerEpoch: Long = Long.MaxValue,
+      replayLeaseMs: Long = 0L
   ): Option[Epoch] = {
+    require(maxRowsPerEpoch > 0, "maxRowsPerEpoch must be positive")
     val sink = StreamingOps.idempotentAppend(sinkPath)
     lastLogged(spark, logDir) match {
       case Some(last) if !committed(spark, sinkPath, last.id) =>
-        // crash between offset log and sink commit: replay the LOGGED range
-        sink(fetch(last.start, last.end), last.id)
-        Some(last)
+        val logAge = System.currentTimeMillis() -
+          fs(spark, epochPath(logDir, last.id))
+            .getFileStatus(epochPath(logDir, last.id))
+            .getModificationTime
+        if (logAge < replayLeaseMs) None // a live peer may own this epoch
+        else {
+          // crash between offset log and sink commit: replay the LOGGED range
+          sink(fetch(last.start, last.end), last.id)
+          Some(last)
+        }
       case last =>
         val start = last.map(_.end).getOrElse(0L)
         if (availableEnd <= start) None
         else {
-          val next = Epoch(last.map(_.id + 1).getOrElse(0L), start, availableEnd)
+          // subtraction form: start + maxRowsPerEpoch overflows at the
+          // Long.MaxValue (= uncapped) default
+          val end =
+            if (availableEnd - start > maxRowsPerEpoch) start + maxRowsPerEpoch
+            else availableEnd
+          val next = Epoch(last.map(_.id + 1).getOrElse(0L), start, end)
           if (!logEpoch(spark, logDir, next)) {
-            // another driver claimed this id first — defer to its log
-            runEpoch(spark, logDir, sinkPath, availableEnd, fetch)
+            // another driver claimed this id first: defer — NEVER re-execute
+            // the winner's in-flight epoch (two writers overwriting the same
+            // _batch= partition can interleave commits under one _SUCCESS)
+            None
           } else {
             sink(fetch(next.start, next.end), next.id)
             Some(next)

@@ -145,6 +145,38 @@ class IndexCommitSpec extends SparkSpec {
     }
   }
 
+  test("a dead claim (empty marker) never wedges readers, writers, or vacuum") {
+    withTempDir { dir =>
+      val root = s"$dir/idx"
+      IndexMaintenance.appendVersioned(spark, Seq(1L).toDF("id"), root, "w0")
+      // simulate a writer that died between the exclusive create and the
+      // pointer write: an empty commit-2 marker at the head of the chain
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      val marker = new org.apache.hadoop.fs.Path(s"$root/manifest/commit-2")
+      fs.create(marker, false).close()
+      // readers: the head resolves PAST the dead claim to v=1 — no throw
+      assert(IndexCommit.committedVersion(spark, root).contains(1L))
+      assert(ids(root) == Set(1L))
+      // vacuum: does not throw; the young husk survives (grace), data intact
+      IndexCommit.vacuum(spark, root, keep = 1)
+      assert(fs.exists(marker), "young empty marker must survive vacuum")
+      assert(ids(root) == Set(1L))
+      // a writer with grace 0 reclaims the husk and lands ITS v=2
+      val v = IndexCommit.commit(spark, root, "w1", emptyMarkerGraceMs = 0L) { base =>
+        base.get.unionByName(Seq(7L).toDF("id"))
+      }
+      assert(v == 2L, s"reclaimed version expected 2, got $v")
+      assert(ids(root) == Set(1L, 7L))
+      // vacuum past grace sweeps any remaining husk without touching commits
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/manifest/commit-9"), false).close()
+      IndexCommit.vacuum(spark, root, keep = 2, emptyMarkerGraceMs = 0L)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/manifest/commit-9")))
+      assert(IndexCommit.committedVersion(spark, root).contains(2L))
+      assert(ids(root) == Set(1L, 7L))
+    }
+  }
+
   test("diffVersions reports exactly the transition's delta, by change kind") {
     withTempDir { dir =>
       val root = s"$dir/idx"

@@ -96,6 +96,72 @@ class StreamingContractSpec extends SparkSpec {
     }
   }
 
+  test("bounded admission: a burst splits into capped epochs; union equals the uncapped run") {
+    withTempDir { dir =>
+      val src = s"$dir/topic"; val log = s"$dir/offsets"; val sink = s"$dir/sink"
+      // the job was down while the source grew by 20 rows — one uncapped
+      // epoch would make the whole backlog the replay unit
+      (0L until 20L).toDF("seq").write.parquet(src)
+      val got = Iterator
+        .continually(SourceOffsets.runEpoch(
+          spark, log, sink, 20L, tableSource(src), maxRowsPerEpoch = 6L))
+        .takeWhile(_.nonEmpty)
+        .flatten
+        .toSeq
+      assert(got == Seq(Epoch(0, 0, 6), Epoch(1, 6, 12), Epoch(2, 12, 18), Epoch(3, 18, 20)),
+        got.toString)
+      assert(sinkRows(sink) == (0L until 20L))
+      // replay semantics unchanged under the cap: crash a capped epoch
+      // pre-sink, the restart replays ITS logged range, then advances capped
+      assert(SourceOffsets.logEpoch(spark, log, Epoch(4, 20, 23)))
+      (0L until 29L).toDF("seq").write.mode("overwrite").parquet(src)
+      assert(SourceOffsets.runEpoch(spark, log, sink, 29L, tableSource(src), 6L)
+        .contains(Epoch(4, 20, 23)))
+      assert(SourceOffsets.runEpoch(spark, log, sink, 29L, tableSource(src), 6L)
+        .contains(Epoch(5, 23, 29)))
+      assert(sinkRows(sink) == (0L until 29L))
+    }
+  }
+
+  test("a live peer's in-flight epoch is deferred to, not raced (replay lease)") {
+    withTempDir { dir =>
+      val src = s"$dir/topic"; val log = s"$dir/offsets"; val sink = s"$dir/sink"
+      (0L until 8L).toDF("seq").write.parquet(src)
+      // peer A just claimed epoch 0 and is mid-processing (log file fresh,
+      // sink uncommitted): a lease-guarded step must NOT replay its range —
+      // two writers overwriting one _batch= partition can interleave
+      // FileOutputCommitter commits under a single _SUCCESS marker
+      assert(SourceOffsets.logEpoch(spark, log, Epoch(0, 0, 5)))
+      val deferred = SourceOffsets.runEpoch(
+        spark, log, sink, 8L, tableSource(src), replayLeaseMs = 600000L)
+      assert(deferred.isEmpty, s"must defer to the live peer, got $deferred")
+      // the peer turns out dead: past the lease (0 here) the replay runs
+      val replayed = SourceOffsets.runEpoch(spark, log, sink, 8L, tableSource(src))
+      assert(replayed.contains(Epoch(0, 0, 5)))
+      assert(sinkRows(sink) == (0L until 5L))
+    }
+  }
+
+  test("two concurrent steps: exactly one claims, the loser defers, sink lands once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    withTempDir { dir =>
+      val src = s"$dir/topic"; val log = s"$dir/offsets"; val sink = s"$dir/sink"
+      (0L until 8L).toDF("seq").write.parquet(src)
+      val step = () => SourceOffsets.runEpoch(
+        spark, log, sink, 8L, tableSource(src), replayLeaseMs = 600000L)
+      val results = Await.result(
+        Future.sequence(Seq(Future(step()), Future(step()))), 120.seconds)
+      val ran = results.flatten
+      // every interleaving is exactly-once: one driver claims [0,8) and the
+      // other defers (loses the create race, or sees the fresh in-flight
+      // claim, or arrives after the commit and has nothing to do)
+      assert(ran.size == 1 && ran.head == Epoch(0, 0, 8), results.toString)
+      assert(sinkRows(sink) == (0L until 8L))
+    }
+  }
+
   test("the same protocol drives a different source implementation unchanged") {
     withTempDir { dir =>
       val log = s"$dir/offsets"; val sink = s"$dir/sink"

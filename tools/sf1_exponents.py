@@ -28,6 +28,9 @@ print(f"|---|---|---|---|---|")
 for k, ta, tb, r, e in rows:
     mark = " **FLAG**" if e > thr else ""
     print(f"| {k}{mark} | {ta:.2f} | {tb:.2f} | {r:.2f}x | {e:.2f} |")
-exps = sorted(e for *_, e in rows)
-print(f"\nentries: {len(rows)}  median exponent: {exps[len(exps)//2]:.2f}  "
-      f"p90: {exps[int(len(exps)*0.9)]:.2f}  flagged(>{thr}): {flagged or 'none'}")
+if rows:
+    exps = sorted(e for *_, e in rows)
+    print(f"\nentries: {len(rows)}  median exponent: {exps[len(exps)//2]:.2f}  "
+          f"p90: {exps[int(len(exps)*0.9)]:.2f}  flagged(>{thr}): {flagged or 'none'}")
+else:
+    print("\nno common entries between the two bench artifacts — nothing to compare")
