@@ -1,0 +1,154 @@
+package graft.catalog
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{
+  Column, SupportsRead, SupportsWrite, Table, TableCapability
+}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  Write, WriteBuilder, WriterCommitMessage
+}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.FragmentEngine
+
+/** The INSERT surface over a fragment dataset — `INSERT INTO
+  * graft.range_ratings VALUES (u, m, r, NULL, NULL)` routes through the
+  * engine's DUAL-WRITE semantics (master + the one fragment whose interval
+  * contains the rating, boundary rule included; round-robin inserts advance
+  * the metadata counter), never a bare parquet append that would bypass the
+  * routing invariant.
+  *
+  * Reads delegate untouched to the stock parquet v2 table, so both pruning
+  * tiers keep composing (GraftTableCatalogSpec).
+  *
+  * Scale contract, stated: the inserted rows ride to the driver inside the
+  * task commit messages and are routed there, because fragment routing IS
+  * driver-side metadata arithmetic (the reference's singleton INSERT,
+  * `Interface1.py:225-256`) — exactly right for `INSERT … VALUES`
+  * (metadata-sized by construction) and WRONG for bulk loads, which is why
+  * each task hard-caps its row count and points bulk writers at the
+  * engine's batch router ([[FragmentEngine.roundRobinInsertBatch]] /
+  * streaming ingest), the path that writes fragments as one distributed
+  * job. The engine-derived columns (`_rowid`, `part`) must arrive NULL —
+  * an explicit value would be silently replaced by routing, so it is
+  * rejected instead.
+  */
+class FragmentWritableTable(
+    /** the stock parquet v2 table serving reads — exposed so plan rules
+      * (DeriveFragmentPruning) can unwrap to the FileTable identity
+      */
+    val delegate: Table,
+    warehouse: String,
+    dataset: String,
+    masterTable: String
+) extends Table
+    with SupportsRead
+    with SupportsWrite {
+
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def columns(): Array[Column] = delegate.columns()
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): util.Map[String, String] = delegate.properties()
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = new util.HashSet[TableCapability](delegate.capabilities())
+    caps.add(TableCapability.BATCH_WRITE)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new FragmentBatchWrite(schema, warehouse, dataset, masterTable)
+      }
+    }
+  }
+}
+
+/** Commit message carrying one task's (userid, movieid, rating) rows. */
+private case class FragmentInsertRows(rows: Seq[(Int, Int, Double)])
+    extends WriterCommitMessage
+
+private class FragmentBatchWrite(
+    schema: StructType,
+    warehouse: String,
+    dataset: String,
+    masterTable: String
+) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FragmentInsertWriterFactory(schema)
+
+  /** Nothing lands until the driver commit: task "writes" only buffer, so
+    * a failed/aborted statement leaves master and fragments untouched.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator
+      .collect { case m: FragmentInsertRows => m.rows }
+      .flatten
+      .toSeq
+    val engine = new FragmentEngine(SparkSession.active, warehouse)
+    rows.foreach { case (u, m, r) =>
+      if (dataset == FragmentEngine.RangeDataset)
+        engine.rangeInsertStrict(masterTable, u, m, r)
+      else engine.roundRobinInsertStrict(masterTable, u, m, r)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private class FragmentInsertWriterFactory(schema: StructType)
+    extends DataWriterFactory {
+
+  /** `INSERT … VALUES` stays metadata-sized; a bulk INSERT SELECT through
+    * this surface would turn the driver into the data path, so it is
+    * refused with a pointer at the engine's distributed batch router.
+    */
+  private val MaxRowsPerTask = 10000
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val useridAt = schema.fieldIndex("userid")
+      private val movieidAt = schema.fieldIndex("movieid")
+      private val ratingAt = schema.fieldIndex("rating")
+      private val rowidAt = schema.fieldNames.indexOf("_rowid") match { case -1 => None; case i => Some(i) }
+      private val partAt = schema.fieldNames.indexOf("part") match { case -1 => None; case i => Some(i) }
+      private val buf = ArrayBuffer.empty[(Int, Int, Double)]
+
+      override def write(row: InternalRow): Unit = {
+        require(
+          buf.size < MaxRowsPerTask,
+          s"INSERT through the catalog surface is for VALUES-sized statements " +
+            s"(> $MaxRowsPerTask rows per task): bulk-load through " +
+            "FragmentEngine.roundRobinInsertBatch / the streaming router instead"
+        )
+        rowidAt.foreach(i => require(
+          row.isNullAt(i),
+          "_rowid is engine-derived (the insert sequence): INSERT NULL for it"))
+        partAt.foreach(i => require(
+          row.isNullAt(i),
+          "part is engine-derived (fragment routing): INSERT NULL for it"))
+        buf += ((row.getInt(useridAt), row.getInt(movieidAt), row.getDouble(ratingAt)))
+      }
+
+      override def commit(): WriterCommitMessage = FragmentInsertRows(buf.toSeq)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}

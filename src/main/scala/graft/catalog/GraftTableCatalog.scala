@@ -39,21 +39,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * read — asserted by GraftTableCatalogSpec against the actual scan's
   * selected partitions.
   *
-  * Read-only by design: writes go through the engine (fragment routing is
-  * an engine invariant, not something INSERT INTO should bypass).
-  * `CatalogPlugin.initialize` receives the `spark.sql.catalog.graft.*`
-  * options; only `warehouse` is required.
+  * DDL stays engine-owned (CREATE/DROP/ALTER raise — dataset lifecycle is
+  * [[graft.operators.FragmentEngine]]'s), but the two fragment datasets are
+  * INSERTABLE: `INSERT INTO graft.range_ratings VALUES (u, m, r, NULL,
+  * NULL)` routes through the engine's dual-write semantics
+  * ([[FragmentWritableTable]] — master + the one correct `part=` fragment,
+  * boundary rule included; round-robin inserts advance the counter). A bare
+  * parquet append can never bypass the routing invariant because the write
+  * builder IS the router. `CatalogPlugin.initialize` receives the
+  * `spark.sql.catalog.graft.*` options; only `warehouse` is required
+  * (`masterTable` defaults to "ratings").
   */
 class GraftTableCatalog extends TableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+  private var masterTable: String = "ratings"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+    masterTable = Option(options.get("masterTable")).getOrElse("ratings")
   }
 
   override def name(): String = catalogName
@@ -99,7 +107,12 @@ class GraftTableCatalog extends TableCatalog {
     }
     val opts = new util.HashMap[String, String]()
     opts.put("path", dir.toString)
-    new ParquetDataSourceV2().getTable(new CaseInsensitiveStringMap(opts))
+    val parquetTable = new ParquetDataSourceV2().getTable(new CaseInsensitiveStringMap(opts))
+    // the fragment datasets are insertable THROUGH the routing semantics
+    if (ident.name() == graft.operators.FragmentEngine.RangeDataset ||
+      ident.name() == graft.operators.FragmentEngine.RoundRobinDataset)
+      new FragmentWritableTable(parquetTable, warehouse, ident.name(), masterTable)
+    else parquetTable
   }
 
   override def createTable(

@@ -134,17 +134,29 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     * partition" pattern used for streaming upserts.
     */
   def rangeInsert(tableName: String, userid: Int, itemid: Int, rating: Double): Unit =
-    try {
-      require(catalog.tableExists(tableName), s"$tableName table does not exist")
-      val rowid = appendToMaster(tableName, userid, itemid, rating)
-      val meta = catalog
-        .readRangeMeta()
-        .getOrElse(throw new IllegalStateException("RANGE_METADATA missing"))
-      require(meta.totalPartitions > 0, "Total partitions <= 0")
-      val buckets = RangeBuckets(meta.totalPartitions, meta.minValue, meta.maxValue)
-      val b = buckets.bucketOf(rating)
-      if (b >= 0) appendToFragment(RangeDataset, b, userid, itemid, rating, rowid)
-    } catch { case NonFatal(e) => logErr("rangeInsert")(e) }
+    try rangeInsertStrict(tableName, userid, itemid, rating)
+    catch { case NonFatal(e) => logErr("rangeInsert")(e) }
+
+  /** [[rangeInsert]] without the reference's error-swallowing contract —
+    * the SQL write path ([[graft.catalog.GraftTableCatalog]] INSERT) must
+    * FAIL the statement on a routing error, not log and return success.
+    */
+  private[graft] def rangeInsertStrict(
+      tableName: String,
+      userid: Int,
+      itemid: Int,
+      rating: Double
+  ): Unit = {
+    require(catalog.tableExists(tableName), s"$tableName table does not exist")
+    val rowid = appendToMaster(tableName, userid, itemid, rating)
+    val meta = catalog
+      .readRangeMeta()
+      .getOrElse(throw new IllegalStateException("RANGE_METADATA missing"))
+    require(meta.totalPartitions > 0, "Total partitions <= 0")
+    val buckets = RangeBuckets(meta.totalPartitions, meta.minValue, meta.maxValue)
+    val b = buckets.bucketOf(rating)
+    if (b >= 0) appendToFragment(RangeDataset, b, userid, itemid, rating, rowid)
+  }
 
   /** Insert into master + fragment `(lastInserted+1) mod n`, then advance the
     * metadata counter (reference `Interface1.py:193-209`). The counter is
@@ -152,17 +164,28 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     * exactly like the reference's singleton UPDATE.
     */
   def roundRobinInsert(tableName: String, userid: Int, itemid: Int, rating: Double): Unit =
-    try {
-      require(catalog.tableExists(tableName), s"$tableName table does not exist")
-      val rowid = appendToMaster(tableName, userid, itemid, rating)
-      val meta = catalog
-        .readRoundRobinMeta()
-        .getOrElse(throw new IllegalStateException("ROUND_ROBIN_METADATA missing"))
-      require(meta.totalPartitions > 0, "Total partitions <= 0")
-      val next = ((meta.lastInserted + 1) % meta.totalPartitions).toInt
-      appendToFragment(RoundRobinDataset, next, userid, itemid, rating, rowid)
-      catalog.writeRoundRobinMeta(meta.copy(lastInserted = next.toLong))
-    } catch { case NonFatal(e) => logErr("roundRobinInsert")(e) }
+    try roundRobinInsertStrict(tableName, userid, itemid, rating)
+    catch { case NonFatal(e) => logErr("roundRobinInsert")(e) }
+
+  /** [[roundRobinInsert]] without error swallowing — see
+    * [[rangeInsertStrict]].
+    */
+  private[graft] def roundRobinInsertStrict(
+      tableName: String,
+      userid: Int,
+      itemid: Int,
+      rating: Double
+  ): Unit = {
+    require(catalog.tableExists(tableName), s"$tableName table does not exist")
+    val rowid = appendToMaster(tableName, userid, itemid, rating)
+    val meta = catalog
+      .readRoundRobinMeta()
+      .getOrElse(throw new IllegalStateException("ROUND_ROBIN_METADATA missing"))
+    require(meta.totalPartitions > 0, "Total partitions <= 0")
+    val next = ((meta.lastInserted + 1) % meta.totalPartitions).toInt
+    appendToFragment(RoundRobinDataset, next, userid, itemid, rating, rowid)
+    catalog.writeRoundRobinMeta(meta.copy(lastInserted = next.toLong))
+  }
 
   /** Batch variant of roundRobinInsert for streaming ingestion (see
     * graft.streaming.StreamingOps.roundRobinRouter): appends a whole

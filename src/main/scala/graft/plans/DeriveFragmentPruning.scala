@@ -120,7 +120,13 @@ case class DeriveFragmentPruning() extends Rule[LogicalPlan] {
           case _ => false
         }
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-        r.table match {
+        // the insertable fragment tables wrap the parquet FileTable —
+        // unwrap so the table surface keeps both pruning tiers
+        val t = r.table match {
+          case w: graft.catalog.FragmentWritableTable => w.delegate
+          case other => other
+        }
+        t match {
           case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
             ft.fileIndex.rootPaths.exists(underDs)
           case _ => false

@@ -124,4 +124,37 @@ class GraftTableCatalogSpec extends SparkSpec {
       assert(err.getMessage.toLowerCase.contains("no_such_dataset"), err.getMessage)
     }
   }
+
+  test("INSERT INTO the fragment datasets routes through the dual-write semantics") {
+    withCatalog("graft_w1") { e =>
+      val root = spark.conf.get("spark.sql.catalog.graft_w1.warehouse")
+      val before = e.master("ratings").count()
+      // boundary rating 2.0 (Interface1.py:238-247 rule): buckets are
+      // (lo, hi] except the first, so 2.0 lands in fragment 1 — not 2
+      spark.sql("INSERT INTO graft_w1.range_ratings VALUES (99, 777, 2.0, NULL, NULL)")
+      assert(e.master("ratings").count() == before + 1, "dual write: master row missing")
+      val frag1 = spark.read.parquet(s"$root/range_ratings/part=1")
+        .filter(col("userid") === 99 && col("movieid") === 777).count()
+      assert(frag1 == 1, "boundary rating 2.0 must land in fragment 1 ((1,2])")
+      assert(spark.table("graft_w1.range_ratings").filter(col("userid") === 99).count() == 1,
+        "the row must exist in exactly one fragment directory")
+      // _rowid continues the master insert sequence
+      val rid = spark.read.parquet(s"$root/ratings")
+        .filter(col("userid") === 99).select("_rowid").head().getLong(0)
+      assert(rid == before, s"rowid $rid should continue the sequence at $before")
+      // round-robin INSERT: master + counter-routed fragment
+      spark.sql("INSERT INTO graft_w1.round_robin_ratings VALUES (98, 776, 4.5, NULL, NULL)")
+      assert(e.master("ratings").count() == before + 2)
+      assert(spark.table("graft_w1.round_robin_ratings")
+        .filter(col("userid") === 98).count() == 1)
+      // explicit engine-derived values are rejected — and NOTHING lands
+      // (buffer-then-route: a failed statement leaves master untouched)
+      val beforeRej = e.master("ratings").count()
+      intercept[Exception] {
+        spark.sql("INSERT INTO graft_w1.range_ratings VALUES (97, 775, 3.0, 123, 2)")
+      }
+      assert(e.master("ratings").count() == beforeRej, "failed INSERT must land nothing")
+      assert(spark.table("graft_w1.range_ratings").filter(col("userid") === 97).count() == 0)
+    }
+  }
 }
