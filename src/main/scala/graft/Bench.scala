@@ -104,6 +104,33 @@ object Bench {
       "x_fuzzy_canonical" -> ((s, d) =>
         graft.operators.Dedup.fuzzyCanonicalVerify(
           Tables.documents(s, d), "doc_id", "text", maxNorm = 0.4, maxBandDf = 64L)),
+      // KEY-SKEW lap family (the sf1 lap measures data scaling; these
+      // measure SKEW scaling): 10% of the corpus is replaced by one
+      // constant boilerplate text, so a single LSH band's document
+      // frequency grows linearly with n and the uncapped band self-join's
+      // output grows as C(0.1n, 2) ~ n² — the planted scale-killer. The
+      // capped twin drops the hot band pre-join; run both at sf0.1 and sf1
+      // (tools/sf1_exponents.py) and the open entry's exponent reads ~2
+      // while the capped one reads ~linear — the measured evidence for the
+      // maxBandDf contract.
+      "x_skew_band_open" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, d).withColumn(
+          "text",
+          when(col("doc_id") % 10 === 0,
+            lit("terms of service apply all rights reserved " * 12))
+            .otherwise(col("text")))
+        graft.operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      }),
+      "x_skew_band_capped" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, d).withColumn(
+          "text",
+          when(col("doc_id") % 10 === 0,
+            lit("terms of service apply all rights reserved " * 12))
+            .otherwise(col("text")))
+        graft.operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text", maxBandDf = 64L)
+      }),
       // PQ sibling of the √n contract: the oracled ann_pq_* entries pin
       // codebookStride = 31 for DuckDB replay, which makes the codebook ∝ n
       // and the all-pairs code assignment ∝ n²/31 — the same scale-killer
