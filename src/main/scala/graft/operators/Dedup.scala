@@ -1366,6 +1366,76 @@ object Dedup {
       )
   }
 
+  /** Set-similarity COEFFICIENT matrix over the blocked shingle pairs —
+    * the three classical normalizations of one intersection count, side by
+    * side, because dedup thresholds tuned on one do not transfer to the
+    * others (Jaccard penalizes size mismatch twice, Dice once, overlap not
+    * at all — a document inside its quote-superset scores ~0.5 Jaccard,
+    * ~0.67 Dice, 1.0 overlap):
+    *
+    *   jaccard = |A∩B| / |A∪B|
+    *   dice    = 2|A∩B| / (|A|+|B|)
+    *   overlap = |A∩B| / min(|A|,|B|)
+    *
+    * Same blocked shingle equi-join + checkpoint shape as
+    * [[ngramJaccardPairs]]; all three are exact-integer ratios rounded
+    * once, derived from ONE join (scoring three coefficients costs the
+    * same shuffle as scoring one).
+    */
+  def ngramSimilarityPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String]
+  ): DataFrame = {
+    val docs = spread(df.select(Seq(col(idCol), col(textCol)) ++ blockCols.map(col): _*))
+      .select(
+        Seq(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_ws")) ++
+          blockCols.map(col): _*
+      )
+      .select(
+        Seq(col("id"), array_distinct(shinglesFromWords(col("_ws"))).as("sh")) ++
+          blockCols.map(col): _*
+      )
+    val exploded = docs
+      .select(
+        Seq(col("id"), size(col("sh")).as("sz"), explode_outer(col("sh")).as("s")) ++
+          blockCols.map(col): _*
+      )
+      .filter(col("s").isNotNull)
+    val joinCond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.s") === col("b.s") && col("a.id") < col("b.id"))(_ && _)
+    val cached = exploded.localCheckpoint()
+    cached
+      .as("a")
+      .join(cached.as("b"), joinCond)
+      .groupBy(
+        col("a.id").as("id1"),
+        col("b.id").as("id2"),
+        col("a.sz").as("sza"),
+        col("b.sz").as("szb")
+      )
+      .agg(count(lit(1)).as("common"))
+      .select(
+        col("id1"),
+        col("id2"),
+        col("common").cast("long").as("common"),
+        round(
+          col("common").cast("double") / (col("sza") + col("szb") - col("common")),
+          4
+        ).as("jaccard"),
+        round(
+          (lit(2) * col("common")).cast("double") / (col("sza") + col("szb")),
+          4
+        ).as("dice"),
+        round(
+          col("common").cast("double") / least(col("sza"), col("szb")),
+          4
+        ).as("overlap")
+      )
+  }
+
   /** Multi-signal dedup SCORECARD — the decision table a keep/drop policy
     * layer reads instead of any single similarity score: for every blocked
     * candidate pair ([[ngramJaccardPairs]]' shingle-sharing pairs within

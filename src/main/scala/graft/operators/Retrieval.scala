@@ -51,7 +51,8 @@ object Retrieval {
       queryTerms: Seq[String],
       k: Int = 5,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      delta: Double = 0.0
   ): DataFrame = {
     val base = docs.select(col(idCol), col(textCol))
     val dl = base.select(
@@ -68,8 +69,13 @@ object Retrieval {
     // twin so every intermediate double matches bit-for-bit
     val avgdl = col("tot").cast("double") / col("n_docs")
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    // delta > 0 is BM25+ (Lv & Zhai 2011): a lower bound on the saturated
+    // tf term, fixing BM25's over-penalization of very long documents — a
+    // matched term can never contribute less than idf*delta no matter how
+    // long the doc. delta = 0 is classic BM25.
     val score = idf * ((col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + (lit(k1) * ((lit(1.0) - lit(b)) + (lit(b) * (col("dl") / avgdl))))))
+      (col("tf") + (lit(k1) * ((lit(1.0) - lit(b)) + (lit(b) * (col("dl") / avgdl))))) +
+      lit(delta))
     val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col(idCol))
     tf.join(broadcast(dfreq), "term")
       .join(dl, idCol)
@@ -237,6 +243,161 @@ object Retrieval {
         col("n_matched"),
         col("dl"),
         round(col("_s").cast("double"), 6).as("ql_score")
+      )
+  }
+
+  /** Jelinek-Mercer smoothed query likelihood — the λ-interpolation member
+    * of the classical LM-retrieval ladder beside [[queryLikelihoodTopDocs]]'
+    * Dirichlet prior (Zhai & Lafferty 2001: JM favors verbose queries,
+    * Dirichlet short ones; an engine shipping one should ship both):
+    *
+    *   score(q,d) = Σ_{t∈q} ln( λ·tf/dl + (1−λ)·cf/|C| )
+    *              = Σ_{t∈q} ln((1−λ)·cf/|C|)                 (doc-constant)
+    *              + Σ_{t∈q∩d} ln(1 + (λ/(1−λ))·tf·|C|/(cf·dl))  (sparse)
+    *
+    * — the same sparse decomposition as Dirichlet, so only MATCHED postings
+    * contribute rows and the doc-constant query term attaches as one
+    * broadcast scalar. All ln terms quantize to 9 decimals → DECIMAL sums
+    * (order-free), final score one rounded double. The default λ = 0.5
+    * makes λ/(1−λ) = 1 exactly, so every intermediate is a ratio of exact
+    * integers through one IEEE division — engine-deterministic.
+    * Shuffles: one tf partial agg; cf and corpus stats broadcast; top-k is
+    * TakeOrdered. Scale shape identical to the Dirichlet entry.
+    */
+  def jelinekMercerTopDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      lambda: Double = 0.5,
+      k: Int = 20
+  ): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0,1)")
+    val terms = queryTerms.distinct
+    val base = docs.select(col(idCol), col(textCol))
+    val dl = base.select(
+      col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl")
+    )
+    val stats = dl.agg(sum(col("dl")).cast("long").as("n"))
+    val toks = base
+      .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("long").as("tf"))
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).cast("long").as("cf"))
+    val ratio = lambda / (1.0 - lambda)
+    val matched = tf
+      .join(broadcast(cf), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(
+        col(idCol),
+        round(
+          log(
+            lit(1.0) + lit(ratio) * (col("tf") * col("n")).cast("double") /
+              (col("cf") * col("dl")).cast("double")
+          ),
+          9
+        ).cast("decimal(18,9)").as("bits")
+      )
+    val m = matched
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("bits")).cast("decimal(28,9)").as("m1"),
+        count(lit(1)).cast("long").as("n_matched")
+      )
+    // doc-constant query mass: Σ_t ln((1−λ)·cf_t/|C|) — one broadcast scalar
+    val qconst = cf
+      .crossJoin(broadcast(stats))
+      .agg(
+        sum(
+          round(
+            log(lit(1.0 - lambda) * col("cf").cast("double") / col("n").cast("double")),
+            9
+          ).cast("decimal(18,9)")
+        ).cast("decimal(28,9)").as("qc")
+      )
+    m.join(dl, idCol)
+      .crossJoin(broadcast(qconst))
+      .withColumn("_s", col("m1") + col("qc"))
+      .orderBy(col("_s").desc, col(idCol))
+      .limit(k)
+      .select(
+        col(idCol),
+        col("n_matched"),
+        col("dl"),
+        round(col("_s").cast("double"), 6).as("jm_score")
+      )
+  }
+
+  /** Pivoted-length-normalized VSM scoring (Singhal, Buckley & Mitra 1996;
+    * the SMART lnc.ltc lineage) — the vector-space member of the ranking
+    * ladder beside BM25 and the two LM smoothers, and the historical answer
+    * to "cosine normalization over-penalizes long documents":
+    *
+    *   w_d(t) = (1 + ln tf) / ((1−s) + s · dl/avgdl)
+    *   w_q(t) = ln((N+1)/df_t)
+    *   score  = Σ_{t∈q∩d} w_d·w_q
+    *
+    * with slope s = 0.2 (the paper's default). Only matched postings
+    * contribute; df/N/avgdl are broadcast scalars; each per-posting product
+    * quantizes to 9 decimals → DECIMAL sums, and dl/avgdl is computed as
+    * (dl·N)/Σdl so the numerator stays an exact integer product into one
+    * IEEE division. Same shuffle shape as the QL entries: one tf partial
+    * agg, broadcasts, TakeOrdered top-k.
+    */
+  def pivotedVsmTopDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      slope: Double = 0.2,
+      k: Int = 20
+  ): DataFrame = {
+    require(slope > 0.0 && slope < 1.0, "slope must be in (0,1)")
+    val terms = queryTerms.distinct
+    val base = docs.select(col(idCol), col(textCol))
+    val dl = base.select(
+      col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl")
+    )
+    val stats = dl.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("tot")
+    )
+    val toks = base
+      .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val bits = tf
+      .join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(
+        col(idCol),
+        round(
+          ((lit(1.0) + log(col("tf").cast("double"))) /
+            (lit(1.0 - slope) + lit(slope) *
+              (col("dl") * col("n_docs")).cast("double") / col("tot").cast("double"))) *
+            log((col("n_docs") + 1).cast("double") / col("df").cast("double")),
+          9
+        ).cast("decimal(18,9)").as("bits")
+      )
+    bits
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("bits")).cast("decimal(28,9)").as("_s"),
+        count(lit(1)).cast("long").as("n_matched")
+      )
+      .join(dl, idCol)
+      .orderBy(col("_s").desc, col(idCol))
+      .limit(k)
+      .select(
+        col(idCol),
+        col("n_matched"),
+        col("dl"),
+        round(col("_s").cast("double"), 6).as("vsm_score")
       )
   }
 

@@ -489,4 +489,64 @@ object TermStats {
       .orderBy(col("c2").desc, col("prev"), col("cur"))
       .limit(topN)
   }
+
+  /** Witten-Bell smoothing per domain (Witten & Bell 1991, method C — the
+    * escape-probability smoother of the PPM compressors and the third
+    * member of this engine's classical ladder beside Good-Turing and
+    * Kneser-Ney): within a domain with N tokens and T observed types,
+    *
+    *   P_wb(seen w)  = c(w) / (N + T)
+    *   escape mass   = T / (N + T)     (probability the next token is NEW)
+    *
+    * — the T "first occurrence" events stand in for the unseen-type count
+    * the way GT uses singletons. Reported per domain with its top term's
+    * raw and smoothed mass so the discount is auditable, everything an
+    * exact integer ppm division. One token explode; both aggregates
+    * map-side combine (the shuffle carries (domain, term) TYPES); the
+    * top-term window partitions by domain.
+    *
+    * @return one row per domain: (domainCols…, n_tokens, n_types,
+    *         escape_ppm, top_term, top_count, p_top_ppm)
+    */
+  def wittenBellTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCols: Seq[String] = Seq("source")
+  ): DataFrame = {
+    require(domainCols.nonEmpty, "wittenBellTable needs at least one domain column")
+    val dcols = domainCols.map(col)
+    val toks = docs
+      .select(dcols :+ explode(TextAnalysis.tokens(col(textCol))).as("term"): _*)
+      .filter(col("term") =!= "")
+    val tf = toks
+      .groupBy(dcols :+ col("term"): _*)
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint() // stats and top-term both re-read the type table
+    val stats = tf
+      .groupBy(dcols: _*)
+      .agg(
+        sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types")
+      )
+    val w = Window
+      .partitionBy(dcols: _*)
+      .orderBy(col("c").desc, col("term"))
+    val top = tf
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(dcols ++ Seq(col("term").as("top_term"), col("c").as("top_count")): _*)
+    stats
+      .join(top, domainCols)
+      .select(
+        dcols ++ Seq(
+          col("n_tokens"),
+          col("n_types"),
+          expr("n_types * 1000000 div (n_tokens + n_types)").cast("long").as("escape_ppm"),
+          col("top_term"),
+          col("top_count"),
+          expr("top_count * 1000000 div (n_tokens + n_types)").cast("long").as("p_top_ppm")
+        ): _*
+      )
+  }
 }

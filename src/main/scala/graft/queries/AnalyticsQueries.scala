@@ -2849,6 +2849,275 @@ object AnalyticsQueries {
         )
     },
 
+    // E374 Mann-Whitney U (Wilcoxon rank-sum) per order month: URGENT vs
+    // the rest on order value — the nonparametric two-sample location test
+    // beside q_welch_ttest's parametric one and q_ks_two_sample's shape
+    // test. Tie-exact via per-VALUE aggregation: 2U = Σ_v a(v)·(2·bBelow(v)
+    // + b(v)) held as an exact integer (the ½-credit for ties never leaves
+    // the integers), and the normal approximation applies the standard tie
+    // correction Σ(t³−t) — all month-keyed windows over the DISTINCT-value
+    // table, calendar-bounded partitions, never a global sort.
+    QEntry.sql(
+      "q_mannwhitney_u",
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        |  FROM orders),
+        |v AS (SELECT month, cents, CAST(sum(g) AS BIGINT) AS a,
+        |    CAST(sum(1 - g) AS BIGINT) AS b FROM o GROUP BY month, cents),
+        |r AS (SELECT month, a, b, a + b AS t,
+        |    COALESCE(CAST(sum(b) OVER (PARTITION BY month ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS b_below
+        |  FROM v),
+        |m AS (SELECT month, CAST(sum(a) AS BIGINT) AS n1,
+        |    CAST(sum(b) AS BIGINT) AS n2,
+        |    CAST(sum(a * (2 * b_below + b)) AS BIGINT) AS u2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS sum_t
+        |  FROM r GROUP BY month)
+        |SELECT month, n1, n2, u2,
+        |  round((CAST(u2 - n1 * n2 AS DOUBLE) / 2.0)
+        |    / sqrt((CAST(n1 * n2 AS DOUBLE) / 12.0)
+        |      * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |        - CAST(sum_t AS DOUBLE)
+        |          / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))), 6) AS z
+        |FROM m WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g")
+      )
+      val v = o
+        .groupBy("month", "cents")
+        .agg(sum("g").cast("long").as("a"), sum(lit(1L) - col("g")).cast("long").as("b"))
+      val below = Window
+        .partitionBy("month")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = v.select(
+        col("month"),
+        col("a"),
+        col("b"),
+        (col("a") + col("b")).as("t"),
+        coalesce(sum("b").over(below).cast("long"), lit(0L)).as("b_below")
+      )
+      r.groupBy("month")
+        .agg(
+          sum("a").cast("long").as("n1"),
+          sum("b").cast("long").as("n2"),
+          sum(col("a") * (lit(2L) * col("b_below") + col("b"))).cast("long").as("u2"),
+          sum(col("t") * col("t") * col("t") - col("t")).cast("long").as("sum_t")
+        )
+        .filter(col("n1") > 0 && col("n2") > 0 && col("n1") + col("n2") > 1)
+        .select(
+          col("month"),
+          col("n1"),
+          col("n2"),
+          col("u2"),
+          round(
+            (col("u2") - col("n1") * col("n2")).cast("double") / lit(2.0) /
+              sqrt(
+                (col("n1") * col("n2")).cast("double") / lit(12.0) *
+                  ((col("n1") + col("n2") + 1).cast("double") -
+                    col("sum_t").cast("double") /
+                      ((col("n1") + col("n2")) * (col("n1") + col("n2") - 1)).cast("double"))
+              ),
+            6
+          ).as("z")
+        )
+    },
+
+    // E375 Cliff's delta per order month — the EFFECT SIZE companion to
+    // the Mann-Whitney test above (a z-score says "statistically distinct",
+    // delta says "by how much"): δ = P(x>y) − P(x<y) = (2U − n1·n2)/(n1·n2),
+    // derived from the SAME tie-exact 2U integer, surfaced as an exact ppm
+    // integral division plus one rounded double. |δ| ≥ 0.474 reads "large"
+    // on the standard Romano thresholds.
+    QEntry.sql(
+      "q_cliffs_delta",
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        |  FROM orders),
+        |v AS (SELECT month, cents, CAST(sum(g) AS BIGINT) AS a,
+        |    CAST(sum(1 - g) AS BIGINT) AS b FROM o GROUP BY month, cents),
+        |r AS (SELECT month, a, b,
+        |    COALESCE(CAST(sum(b) OVER (PARTITION BY month ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS b_below
+        |  FROM v),
+        |m AS (SELECT month, CAST(sum(a) AS BIGINT) AS n1,
+        |    CAST(sum(b) AS BIGINT) AS n2,
+        |    CAST(sum(a * (2 * b_below + b)) AS BIGINT) AS u2
+        |  FROM r GROUP BY month)
+        |SELECT month, n1, n2,
+        |  CAST((u2 - n1 * n2) * 1000000 // (n1 * n2) AS BIGINT) AS delta_ppm,
+        |  round(CAST(u2 - n1 * n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6)
+        |    AS cliffs_delta
+        |FROM m WHERE n1 > 0 AND n2 > 0"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g")
+      )
+      val v = o
+        .groupBy("month", "cents")
+        .agg(sum("g").cast("long").as("a"), sum(lit(1L) - col("g")).cast("long").as("b"))
+      val below = Window
+        .partitionBy("month")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      v.select(
+        col("month"),
+        col("a"),
+        col("b"),
+        coalesce(sum("b").over(below).cast("long"), lit(0L)).as("b_below")
+      ).groupBy("month")
+        .agg(
+          sum("a").cast("long").as("n1"),
+          sum("b").cast("long").as("n2"),
+          sum(col("a") * (lit(2L) * col("b_below") + col("b"))).cast("long").as("u2")
+        )
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .select(
+          col("month"),
+          col("n1"),
+          col("n2"),
+          expr("CAST((u2 - n1 * n2) * 1000000 div (n1 * n2) AS BIGINT)").as("delta_ppm"),
+          round(
+            (col("u2") - col("n1") * col("n2")).cast("double") /
+              (col("n1") * col("n2")).cast("double"),
+            6
+          ).as("cliffs_delta")
+        )
+    },
+
+    // E376 Kendall tau-b trend per priority segment: is monthly revenue
+    // monotonically drifting? The rank-correlation dual of q_spearman_rank
+    // and the robust alternative to q_theilsen_trend's slope — concordant /
+    // discordant counts over the MONTHLY AGGREGATE series, so the pair
+    // stage is calendar-bounded (C(n_months, 2) pairs per segment — a few
+    // thousand rows regardless of fact-table size; the corpus-sized work is
+    // one partial agg). Months are strictly ordered (no x-ties), so
+    // tau_b = (C − D)/√(n0·(n0 − T_y)) with T_y the revenue-tied pairs —
+    // exact integers into one rooted division.
+    QEntry.sql(
+      "q_kendall_tau",
+      """WITH m AS (SELECT o_orderpriority AS priority,
+        |    strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.priority,
+        |    CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END AS conc,
+        |    CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END AS disc,
+        |    CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END AS tie
+        |  FROM m a JOIN m b ON a.priority = b.priority AND a.month < b.month),
+        |agg AS (SELECT priority, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(conc) AS BIGINT) AS c, CAST(sum(disc) AS BIGINT) AS d,
+        |    CAST(sum(tie) AS BIGINT) AS t_y
+        |  FROM p GROUP BY priority)
+        |SELECT priority, n0, c AS concordant, d AS discordant, t_y,
+        |  round(CAST(c - d AS DOUBLE)
+        |    / sqrt(CAST(n0 AS DOUBLE) * CAST(n0 - t_y AS DOUBLE)), 6) AS tau_b
+        |FROM agg WHERE n0 > t_y"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(
+          col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month")
+        )
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      val a = m.select(col("priority"), col("month").as("m1"), col("cents").as("c1"))
+      val b = m.select(col("priority"), col("month").as("m2"), col("cents").as("c2"))
+      a.join(b, Seq("priority"))
+        .filter(col("m1") < col("m2"))
+        .select(
+          col("priority"),
+          when(col("c2") > col("c1"), 1L).otherwise(0L).as("conc"),
+          when(col("c2") < col("c1"), 1L).otherwise(0L).as("disc"),
+          when(col("c2") === col("c1"), 1L).otherwise(0L).as("tie")
+        )
+        .groupBy("priority")
+        .agg(
+          count(lit(1)).cast("long").as("n0"),
+          sum("conc").cast("long").as("concordant"),
+          sum("disc").cast("long").as("discordant"),
+          sum("tie").cast("long").as("t_y")
+        )
+        .filter(col("n0") > col("t_y"))
+        .select(
+          col("priority"),
+          col("n0"),
+          col("concordant"),
+          col("discordant"),
+          col("t_y"),
+          round(
+            (col("concordant") - col("discordant")).cast("double") /
+              sqrt(col("n0").cast("double") * (col("n0") - col("t_y")).cast("double")),
+            6
+          ).as("tau_b")
+        )
+    },
+
+    // E377 Hodges-Lehmann shift estimator: the robust "how far apart are
+    // the two distributions" companion to q_mannwhitney_u's test and
+    // q_cliffs_delta's normalized effect — the median of ALL pairwise
+    // differences between URGENT and non-URGENT monthly revenue totals
+    // (the estimator the rank-sum test inverts). The pair set is
+    // calendar² (≤ months² rows, data-size independent); the lower median
+    // is taken VALUE-wise (kth smallest via TakeOrdered-k + max — no
+    // global window on the Spark side), so tie order cannot matter.
+    QEntry.sql(
+      "q_hodges_lehmann",
+      """WITH am AS (SELECT strftime(o_orderdate, '%Y-%m') AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |bm AS (SELECT strftime(o_orderdate, '%Y-%m') AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1),
+        |p AS (SELECT a.cents - b.cents AS diff FROM am a CROSS JOIN bm b),
+        |n AS (SELECT CAST((SELECT count(*) FROM am) AS BIGINT) AS n_a,
+        |    CAST((SELECT count(*) FROM bm) AS BIGINT) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |r AS (SELECT diff, row_number() OVER (ORDER BY diff) AS rn FROM p)
+        |SELECT n.n_a, n.n_b, n.n_pairs,
+        |  CAST(r.diff AS BIGINT) AS hl_shift_cents
+        |FROM r CROSS JOIN n WHERE r.rn = (n.n_pairs + 1) // 2"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      def monthly(f: org.apache.spark.sql.Column) =
+        orders(s, d)
+          .filter(f)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      val a = monthly(col("o_orderpriority") === "1-URGENT")
+      val b = monthly(col("o_orderpriority") =!= "1-URGENT")
+      val pairs = a
+        .select(col("cents").as("ca"))
+        .crossJoin(b.select(col("cents").as("cb")))
+        .select((col("ca") - col("cb")).as("diff"))
+        .localCheckpoint() // counted, then re-read for the kth-smallest cut
+      val nA = a.count()
+      val nB = b.count()
+      val nPairs = nA * nB
+      val k = ((nPairs + 1) / 2).toInt
+      pairs
+        .orderBy("diff")
+        .limit(k)
+        .agg(max("diff").cast("long").as("hl_shift_cents"))
+        .select(
+          lit(nA).as("n_a"),
+          lit(nB).as("n_b"),
+          lit(nPairs).as("n_pairs"),
+          col("hl_shift_cents")
+        )
+    },
+
     // Difference-in-differences estimator: did URGENT orders' average
     // value move differently across the 1997 cutover than everyone
     // else's? The 2×2 (treated × period) cell means are exact milli-cent

@@ -590,6 +590,89 @@ object GraphQueries {
         .limit(25)
     },
 
+    // E379 TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    // over the corpus WORD-ADJACENCY graph — undirected edges between
+    // consecutive ≥4-char words, 3 unrolled damped iterations with the
+    // SAME 12-decimal DECIMAL-quantized step as q_pagerank_suppliers (one
+    // shared `step` implementation), top-20 words. The graph-centrality
+    // keyphrase ranker beside txt_rake_keywords' frequency heuristic and
+    // txt_tfidf's contrastive weighting; the symmetric graph has no
+    // dangling nodes, so the rank mass argument is exact. Edge build is
+    // one bigram explode + distinct; each iteration broadcasts the
+    // node-sized rank vector over the stationary edge partitioning.
+    QEntry.sql(
+      "txt_textrank", {
+        val invN = "CAST(1 AS DOUBLE) / nn.n"
+        def sqlStep(rIn: String, rOut: String) =
+          s"""$rOut AS (SELECT n.node,
+             |  CAST(round((CAST(0.15 AS DOUBLE) * ($invN))
+             |    + CAST(0.85 AS DOUBLE) * COALESCE(CAST(f.inflow AS DOUBLE), CAST(0 AS DOUBLE)), 12)
+             |    AS DECIMAL(18,12)) AS r
+             |  FROM nodes n CROSS JOIN nn
+             |  LEFT JOIN (SELECT e.dst AS node,
+             |      CAST(sum(CAST(round(CAST(r.r AS DOUBLE) / o.outdeg, 12)
+             |        AS DECIMAL(18,12))) AS DECIMAL(28,12)) AS inflow
+             |    FROM edges e JOIN $rIn r ON e.src = r.node
+             |    JOIN outdeg o ON e.src = o.src
+             |    GROUP BY e.dst) f ON n.node = f.node)"""
+        s"""WITH w AS (SELECT string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+           |bgs AS (SELECT unnest(list_transform(range(2, len(ws) + 1),
+           |    i -> struct_pack(prev := ws[i-1], cur := ws[i]))) AS bp
+           |  FROM w WHERE len(ws) >= 2),
+           |und AS (SELECT DISTINCT least(bp.prev, bp.cur) AS u,
+           |    greatest(bp.prev, bp.cur) AS v
+           |  FROM bgs WHERE len(bp.prev) >= 4 AND len(bp.cur) >= 4
+           |    AND bp.prev <> bp.cur),
+           |edges AS (SELECT u AS src, v AS dst FROM und
+           |  UNION ALL SELECT v, u FROM und),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT node, CAST(round($invN, 12) AS DECIMAL(18,12)) AS r
+           |  FROM nodes CROSS JOIN nn),
+           |${sqlStep("r0", "r1")},
+           |${sqlStep("r1", "r2")},
+           |${sqlStep("r2", "r3")}
+           |SELECT node AS term, CAST(r AS DOUBLE) AS textrank
+           |FROM r3 ORDER BY r DESC, node LIMIT 20"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val bg = documents(s, d)
+        .select(graft.functions.TextAnalysis.tokens(col("text")).as("_ws"))
+        .filter(size(col("_ws")) >= 2)
+        .select(
+          explode(
+            expr("transform(sequence(2, size(_ws)), i -> struct(_ws[i-2] AS prev, _ws[i-1] AS cur))")
+          ).as("_bg")
+        )
+        .select(col("_bg.prev").as("prev"), col("_bg.cur").as("cur"))
+        .filter(length(col("prev")) >= 4 && length(col("cur")) >= 4 &&
+          col("prev") =!= col("cur"))
+      val und = bg
+        .select(least(col("prev"), col("cur")).as("u"), greatest(col("prev"), col("cur")).as("v"))
+        .distinct()
+      val edges = und
+        .select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint() // reused every iteration
+      val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+      val n = nodes.count()
+      val invN = 1.0 / n
+      val edgesW = edges
+        .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .localCheckpoint()
+      val r0 = nodes.select(
+        col("node"),
+        round(lit(invN), 12).cast("decimal(18,12)").as("r")
+      )
+      val r3 = (1 to Iters).foldLeft(r0)((r, _) => step(r, edgesW, nodes, invN))
+      r3
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("term"), col("r").cast("double").as("textrank"))
+    },
+
     // Multi-source BFS hop levels over the recurring part graph: every node
     // reachable within 3 hops of a seed (partkey ≡ 0 mod 100) gets its exact
     // BFS distance. Spark side is the standard distributed frontier

@@ -821,6 +821,33 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
     },
 
+    // E378 set-similarity coefficient matrix ([[Dedup
+    // .ngramSimilarityPairs]]): Jaccard, Dice and overlap side by side for
+    // every blocked shingle pair — thresholds tuned on one coefficient do
+    // not transfer (a doc inside its quote-superset scores ~0.5 / ~0.67 /
+    // 1.0 respectively), and all three derive from the SAME intersection
+    // count, so the matrix costs the same one join as any single score.
+    QEntry.sql(
+      "dedup_sim_coefficients",
+      s"""SELECT id1, id2, common, jaccard, dice, overlap FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard,
+         |    round(CAST(2 * len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          (len(a.sh) + len(b.sh)), 4) AS dice,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          least(len(a.sh), len(b.sh)), 4) AS overlap
+         |  FROM (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |        FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) a
+         |  JOIN (SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh
+         |        FROM (SELECT doc_id, lang, source, $wordsSql AS words FROM documents) w) b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
+         |WHERE common >= 1""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Dedup.ngramSimilarityPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
+    },
+
     // E253 prefix-filter set-similarity join (AllPairs/PPJoin): exact
     // 3-word-shingle Jaccard ≥ 80% with candidates generated ONLY from each
     // doc's p = sz − ⌈τ·sz⌉ + 1 globally-RAREST shingles — lossless by the

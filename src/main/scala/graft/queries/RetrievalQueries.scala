@@ -186,6 +186,128 @@ object RetrievalQueries {
       )
     },
 
+    // E370 Jelinek-Mercer query likelihood ([[Retrieval
+    // .jelinekMercerTopDocs]]): the λ-interpolation member of the classical
+    // LM ladder beside Dirichlet — same sparse decomposition (matched
+    // postings contribute ln(1 + (λ/(1−λ))·tf·|C|/(cf·dl)), the
+    // doc-constant query mass Σ ln((1−λ)cf/|C|) attaches as one broadcast
+    // scalar), λ = 0.5 so the odds ratio is exactly 1; 9-decimal quantize →
+    // DECIMAL sums, top-20 compares exact decimals.
+    QEntry.sql(
+      "txt_ql_jm",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl
+         |  FROM documents),
+         |st AS (SELECT CAST(sum(dl) AS BIGINT) AS n FROM dl),
+         |toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |qt AS (SELECT doc_id, term FROM toks
+         |  WHERE term IN ('spark', 'join', 'vector', 'stream')),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM qt GROUP BY doc_id, term),
+         |cfq AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM qt GROUP BY term),
+         |b1 AS (SELECT tf.doc_id,
+         |    CAST(round(ln(CAST(1 AS DOUBLE)
+         |      + 1.0 * CAST(tf.tf * st.n AS DOUBLE) / CAST(cfq.cf * dl.dl AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9)) AS bits
+         |  FROM tf JOIN cfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         |m AS (SELECT doc_id, CAST(sum(bits) AS DECIMAL(28,9)) AS m1,
+         |    CAST(count(*) AS BIGINT) AS n_matched FROM b1 GROUP BY doc_id),
+         |qc AS (SELECT CAST(sum(CAST(round(ln(0.5 * CAST(cf AS DOUBLE)
+         |      / CAST(st.n AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS qc
+         |  FROM cfq CROSS JOIN st)
+         |SELECT doc_id, n_matched, dl,
+         |  round(CAST(m.m1 + qc.qc AS DOUBLE), 6) AS jm_score
+         |FROM m JOIN dl USING (doc_id) CROSS JOIN qc
+         |ORDER BY m.m1 + qc.qc DESC, doc_id LIMIT 20"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval.jelinekMercerTopDocs(
+        documents(s, d),
+        "doc_id",
+        "text",
+        Seq("spark", "join", "vector", "stream"),
+        lambda = 0.5,
+        k = 20
+      )
+    },
+
+    // E372 pivoted-length-normalized VSM ([[Retrieval.pivotedVsmTopDocs]],
+    // Singhal/Buckley/Mitra 1996): w_d = (1+ln tf)/((1−s)+s·dl/avgdl),
+    // w_q = ln((N+1)/df), slope 0.2 — the vector-space ranker beside BM25
+    // and the LM smoothers. dl/avgdl computed as (dl·N)/Σdl (exact integer
+    // numerator into one division); per-posting products 9-decimal quantize
+    // → DECIMAL sums; top-20 compares exact decimals.
+    QEntry.sql(
+      "txt_pivoted_vsm",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl
+         |  FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |qt AS (SELECT doc_id, term FROM toks
+         |  WHERE term IN ('spark', 'join', 'vector', 'stream')),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM qt GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |b1 AS (SELECT tf.doc_id,
+         |    CAST(round(((1.0 + ln(CAST(tf.tf AS DOUBLE)))
+         |        / (0.8 + 0.2 * CAST(dl.dl * st.n_docs AS DOUBLE)
+         |            / CAST(st.tot AS DOUBLE)))
+         |      * ln(CAST(st.n_docs + 1 AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9)) AS bits
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         |m AS (SELECT doc_id, CAST(sum(bits) AS DECIMAL(28,9)) AS s,
+         |    CAST(count(*) AS BIGINT) AS n_matched FROM b1 GROUP BY doc_id)
+         |SELECT doc_id, n_matched, dl, round(CAST(s AS DOUBLE), 6) AS vsm_score
+         |FROM m JOIN dl USING (doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 20"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval.pivotedVsmTopDocs(
+        documents(s, d),
+        "doc_id",
+        "text",
+        Seq("spark", "join", "vector", "stream"),
+        slope = 0.2,
+        k = 20
+      )
+    },
+
+    // E373 BM25+ (Lv & Zhai 2011): the lower-bounded BM25 variant — a
+    // matched term contributes at least idf·δ (δ = 1) no matter how long
+    // the document, fixing classic BM25's over-penalization of very long
+    // docs (whose saturated-tf term can fall below what an UNMATCHED term
+    // would score under add-one smoothing). Same plan as txt_bm25_topdocs
+    // (posting-filtered tf agg, broadcast df/stats, term-keyed top-k
+    // window); the twin adds the identical +1.0 inside the idf product.
+    QEntry.sql(
+      "txt_bm25_plus",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark', 'join', 'vector', 'stream') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+         |    (((s.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5) + 1.0)
+         |    * (((tf.tf * (1.2 + 1.0)) / (tf.tf + (1.2 * ((1.0 - 0.75)
+         |       + (0.75 * (dl.dl / (CAST(s.tot AS DOUBLE) / s.n_docs))))))) + 1.0) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+         |SELECT term, doc_id, tf, dl, round(score, 4) AS bm25, rank
+         |FROM (SELECT scored.*, CAST(row_number() OVER
+         |        (PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |      FROM scored) t
+         |WHERE rank <= 5""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval.bm25TopDocs(
+        documents(s, d),
+        "doc_id",
+        "text",
+        Seq("spark", "join", "vector", "stream"),
+        k = 5,
+        delta = 1.0
+      )
+    },
+
     // E291 persisted BM25 index with incremental ingest: build over the
     // even docs, append the odds as ingest 1, query FROM the index — df,
     // N and avgdl derive from the index's current postings+sidecar at

@@ -468,6 +468,35 @@ object StatQueries {
          |FROM tf""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => TermStats.goodTuringUnseenMass(documents(s, d), "doc_id", "text") },
 
+    // E371 Witten-Bell smoothing per source ([[TermStats.wittenBellTable]]):
+    // the escape-probability smoother (PPM method C) completing the
+    // classical ladder beside Good-Turing and Kneser-Ney — per domain with
+    // N tokens and T types, P_wb(w) = c(w)/(N+T) and escape mass T/(N+T)
+    // (first-occurrence events stand in for the unseen count the way GT
+    // uses singletons). Per-source rows with the top term's raw and
+    // smoothed mass; exact integer ppm divisions throughout.
+    QEntry.sql(
+      "txt_witten_bell",
+      s"""WITH toks AS (SELECT source, t.term FROM (SELECT source,
+         |    unnest($wordsSql) AS term FROM documents) t WHERE t.term <> ''),
+         |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY source, term),
+         |stats AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types FROM tf GROUP BY source),
+         |top AS (SELECT source, term AS top_term, c AS top_count FROM (
+         |    SELECT source, term, c, row_number() OVER
+         |      (PARTITION BY source ORDER BY c DESC, term) AS rn FROM tf) r
+         |  WHERE rn = 1)
+         |SELECT stats.source, n_tokens, n_types,
+         |  CAST(n_types * 1000000 // (n_tokens + n_types) AS BIGINT) AS escape_ppm,
+         |  top_term, top_count,
+         |  CAST(top_count * 1000000 // (n_tokens + n_types) AS BIGINT) AS p_top_ppm
+         |FROM stats JOIN top USING (source)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      TermStats.wittenBellTable(documents(s, d), "doc_id", "text", Seq("source"))
+    },
+
     // E361 interpolated Kneser-Ney bigram table ([[TermStats.knBigramTable]]):
     // the smoothing the add-k / stupid-backoff tiers approximate — top-30
     // bigrams with P_KN = max(c2−D,0)/c1 + D·N₁₊(prev,·)/c1 · P_cont(cur),
