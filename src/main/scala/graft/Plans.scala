@@ -94,7 +94,7 @@ object Plans {
       "ann_mmr_rerank", "txt_kn_bigram",
       // round 14 additions
       "dedup_fuzzy_canonical", "q_mv_incremental", "txt_ql_jm", "txt_pivoted_vsm",
-      "txt_bm25_plus", "txt_witten_bell", "q_mannwhitney_u", "q_kendall_tau",
+      "txt_bm25_plus", "txt_witten_bell", "q_mannwhitney_u",
       "q_hodges_lehmann", "dedup_sim_coefficients", "txt_textrank", "q_cliffs_delta"
     )
     val sb = new StringBuilder

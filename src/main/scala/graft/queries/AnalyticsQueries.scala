@@ -2996,74 +2996,6 @@ object AnalyticsQueries {
         )
     },
 
-    // E376 Kendall tau-b trend per priority segment: is monthly revenue
-    // monotonically drifting? The rank-correlation dual of q_spearman_rank
-    // and the robust alternative to q_theilsen_trend's slope — concordant /
-    // discordant counts over the MONTHLY AGGREGATE series, so the pair
-    // stage is calendar-bounded (C(n_months, 2) pairs per segment — a few
-    // thousand rows regardless of fact-table size; the corpus-sized work is
-    // one partial agg). Months are strictly ordered (no x-ties), so
-    // tau_b = (C − D)/√(n0·(n0 − T_y)) with T_y the revenue-tied pairs —
-    // exact integers into one rooted division.
-    QEntry.sql(
-      "q_kendall_tau",
-      """WITH m AS (SELECT o_orderpriority AS priority,
-        |    strftime(o_orderdate, '%Y-%m') AS month,
-        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders GROUP BY 1, 2),
-        |p AS (SELECT a.priority,
-        |    CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END AS conc,
-        |    CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END AS disc,
-        |    CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END AS tie
-        |  FROM m a JOIN m b ON a.priority = b.priority AND a.month < b.month),
-        |agg AS (SELECT priority, CAST(count(*) AS BIGINT) AS n0,
-        |    CAST(sum(conc) AS BIGINT) AS c, CAST(sum(disc) AS BIGINT) AS d,
-        |    CAST(sum(tie) AS BIGINT) AS t_y
-        |  FROM p GROUP BY priority)
-        |SELECT priority, n0, c AS concordant, d AS discordant, t_y,
-        |  round(CAST(c - d AS DOUBLE)
-        |    / sqrt(CAST(n0 AS DOUBLE) * CAST(n0 - t_y AS DOUBLE)), 6) AS tau_b
-        |FROM agg WHERE n0 > t_y"""
-        .stripMargin.replaceAll("\\s+", " ")
-    ) { (s, d) =>
-      val m = orders(s, d)
-        .groupBy(
-          col("o_orderpriority").as("priority"),
-          date_format(col("o_orderdate"), "yyyy-MM").as("month")
-        )
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
-      val a = m.select(col("priority"), col("month").as("m1"), col("cents").as("c1"))
-      val b = m.select(col("priority"), col("month").as("m2"), col("cents").as("c2"))
-      a.join(b, Seq("priority"))
-        .filter(col("m1") < col("m2"))
-        .select(
-          col("priority"),
-          when(col("c2") > col("c1"), 1L).otherwise(0L).as("conc"),
-          when(col("c2") < col("c1"), 1L).otherwise(0L).as("disc"),
-          when(col("c2") === col("c1"), 1L).otherwise(0L).as("tie")
-        )
-        .groupBy("priority")
-        .agg(
-          count(lit(1)).cast("long").as("n0"),
-          sum("conc").cast("long").as("concordant"),
-          sum("disc").cast("long").as("discordant"),
-          sum("tie").cast("long").as("t_y")
-        )
-        .filter(col("n0") > col("t_y"))
-        .select(
-          col("priority"),
-          col("n0"),
-          col("concordant"),
-          col("discordant"),
-          col("t_y"),
-          round(
-            (col("concordant") - col("discordant")).cast("double") /
-              sqrt(col("n0").cast("double") * (col("n0") - col("t_y")).cast("double")),
-            6
-          ).as("tau_b")
-        )
-    },
-
     // E377 Hodges-Lehmann shift estimator: the robust "how far apart are
     // the two distributions" companion to q_mannwhitney_u's test and
     // q_cliffs_delta's normalized effect — the median of ALL pairwise
