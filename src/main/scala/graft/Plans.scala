@@ -95,7 +95,8 @@ object Plans {
       // round 14 additions
       "dedup_fuzzy_canonical", "q_mv_incremental", "txt_ql_jm", "txt_pivoted_vsm",
       "txt_bm25_plus", "txt_witten_bell", "q_mannwhitney_u",
-      "q_hodges_lehmann", "dedup_sim_coefficients", "txt_textrank", "q_cliffs_delta"
+      "q_hodges_lehmann", "dedup_sim_coefficients", "txt_textrank", "q_cliffs_delta",
+      "cur_ppl_buckets", "q_pettitt_change", "q_durbin_watson"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -2996,6 +2996,140 @@ object AnalyticsQueries {
         )
     },
 
+    // E380 Pettitt change-point test: the RANK-based changepoint beside
+    // q_cusum_changepoint's mean-shift statistic — U_t = Σ_{i≤t,j>t}
+    // sgn(x_i − x_j) over the corpus monthly revenue series, K = max|U_t|,
+    // split month = the argmax cut (ties to the earliest). Rank-based means
+    // a single outlier month cannot fake a changepoint the way it can for
+    // CUSUM. The straddle join is calendar³-bounded (pairs × cuts —
+    // data-size independent); the significance approximation
+    // p ≈ 2·exp(−6K²/(n³+n²)) is the one double step.
+    QEntry.sql(
+      "q_pettitt_change",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS mo,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT a.mo AS am, b.mo AS bm,
+        |    CASE WHEN a.cents > b.cents THEN 1
+        |         WHEN a.cents < b.cents THEN -1 ELSE 0 END AS sgn
+        |  FROM m a JOIN m b ON a.mo < b.mo),
+        |cuts AS (SELECT mo FROM m WHERE mo < (SELECT max(mo) FROM m)),
+        |u AS (SELECT c.mo, CAST(sum(p.sgn) AS BIGINT) AS u_t
+        |  FROM cuts c JOIN p ON p.am <= c.mo AND p.bm > c.mo GROUP BY c.mo),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+        |best AS (SELECT mo, u_t FROM u ORDER BY abs(u_t) DESC, mo LIMIT 1)
+        |SELECT nn.n AS n_months, best.mo AS change_month,
+        |  CAST(abs(best.u_t) AS BIGINT) AS k_stat,
+        |  round(2.0 * exp((-6.0 * abs(best.u_t) * abs(best.u_t))
+        |    / CAST(nn.n * nn.n * nn.n + nn.n * nn.n AS DOUBLE)), 6) AS p_approx
+        |FROM best CROSS JOIN nn"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mo"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+        .localCheckpoint() // pairs, cuts and the count all re-read it
+      val p = m
+        .select(col("mo").as("am"), col("cents").as("ca"))
+        .crossJoin(m.select(col("mo").as("bm"), col("cents").as("cb")))
+        .filter(col("am") < col("bm"))
+        .select(
+          col("am"),
+          col("bm"),
+          when(col("ca") > col("cb"), 1L).when(col("ca") < col("cb"), -1L)
+            .otherwise(0L).as("sgn")
+        )
+      val lastMo = m.agg(max("mo")).head().getString(0)
+      val cuts = m.filter(col("mo") < lastMo).select(col("mo"))
+      val u = cuts
+        .crossJoin(p)
+        .filter(col("am") <= col("mo") && col("bm") > col("mo"))
+        .groupBy("mo")
+        .agg(sum("sgn").cast("long").as("u_t"))
+      val nMonths = m.count()
+      u.orderBy(abs(col("u_t")).desc, col("mo"))
+        .limit(1)
+        .select(
+          lit(nMonths).as("n_months"),
+          col("mo").as("change_month"),
+          abs(col("u_t")).cast("long").as("k_stat"),
+          round(
+            lit(2.0) * exp((lit(-6.0) * abs(col("u_t")) * abs(col("u_t"))) /
+              lit(nMonths * nMonths * nMonths + nMonths * nMonths).cast("double")),
+            6
+          ).as("p_approx")
+        )
+    },
+
+    // E381 Durbin-Watson statistic per priority segment: first-order serial
+    // correlation in the monthly revenue residuals — the regression-
+    // diagnostics companion to q_xcorr_lags (DW ≈ 2 means white noise,
+    // → 0 positive autocorrelation, → 4 negative). ZERO-float residuals: DW
+    // is scale-invariant, so residuals are the integer d_t = n·cents_t − Σc
+    // (cents scaled by n — no mean division); squares go through
+    // DECIMAL(38,0) (HUGEINT on the twin) because (6·10¹³)² overflows
+    // BIGINT, and the statistic is ONE double division of two exact sums.
+    // The lag window partitions by priority over the calendar-bounded
+    // month series.
+    QEntry.sql(
+      "q_durbin_watson",
+      """WITH m AS (SELECT o_orderpriority AS priority,
+        |    strftime(o_orderdate, '%Y-%m') AS mo,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |st AS (SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s FROM m GROUP BY priority),
+        |r AS (SELECT m.priority, m.mo,
+        |    CAST(st.n * m.cents - st.s AS BIGINT) AS dt
+        |  FROM m JOIN st USING (priority)),
+        |lg AS (SELECT priority, dt,
+        |    lag(dt) OVER (PARTITION BY priority ORDER BY mo) AS pdt
+        |  FROM r),
+        |agg AS (SELECT priority,
+        |    sum(CASE WHEN pdt IS NOT NULL THEN
+        |      CAST(dt - pdt AS HUGEINT) * CAST(dt - pdt AS HUGEINT) END) AS num,
+        |    sum(CAST(dt AS HUGEINT) * CAST(dt AS HUGEINT)) AS den,
+        |    CAST(count(*) AS BIGINT) AS n_months
+        |  FROM lg GROUP BY priority)
+        |SELECT priority, n_months,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS dw
+        |FROM agg WHERE den > 0"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(
+          col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mo")
+        )
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      val st = m
+        .groupBy("priority")
+        .agg(count(lit(1)).cast("long").as("n"), sum("cents").cast("long").as("s"))
+      val r = m
+        .join(st, "priority")
+        .select(
+          col("priority"),
+          col("mo"),
+          (col("n") * col("cents") - col("s")).cast("long").as("dt")
+        )
+      val w = Window.partitionBy("priority").orderBy("mo")
+      val dtd = col("dt").cast("decimal(38,0)")
+      val pdtd = col("pdt").cast("decimal(38,0)")
+      r.withColumn("pdt", lag("dt", 1).over(w))
+        .groupBy("priority")
+        .agg(
+          sum(when(col("pdt").isNotNull, (dtd - pdtd) * (dtd - pdtd))).as("num"),
+          sum(dtd * dtd).as("den"),
+          count(lit(1)).cast("long").as("n_months")
+        )
+        .filter(col("den") > 0)
+        .select(
+          col("priority"),
+          col("n_months"),
+          round(col("num").cast("double") / col("den").cast("double"), 6).as("dw")
+        )
+    },
+
     // E377 Hodges-Lehmann shift estimator: the robust "how far apart are
     // the two distributions" companion to q_mannwhitney_u's test and
     // q_cliffs_delta's normalized effect — the median of ALL pairwise

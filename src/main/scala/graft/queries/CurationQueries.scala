@@ -606,6 +606,82 @@ object CurationQueries {
       Curation.paddingWasteReport(toks, "n_tokens", 64)
     },
 
+    // E376 CCNet-style perplexity buckets ([[graft.operators.TermStats
+    // .bigramCrossEntropy]] + value-cutoff tertiles): every scored doc is
+    // binned head / middle / tail by the corpus's OWN bigram cross-entropy
+    // tertiles — the Wenzek et al. 2020 disposition a production pipeline
+    // applies before mixing (head = fluent, tail = noisy, middle = the
+    // usual keep-with-caution band); docs too short to score (< 2 tokens)
+    // surface as 'unscored', never silently dropped. Cutoffs are the k-th
+    // smallest SCORE VALUES (k = n/3, 2n/3), fetched as two scalar probes
+    // via TakeOrdered — ties straddling a boundary go by value on both
+    // engines, and no global window enters the Spark plan. Per (source,
+    // bucket) counts: the mixture-shift audit for the filter.
+    QEntry.sql(
+      "cur_ppl_buckets",
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |tk AS (SELECT doc_id, t.term FROM
+         |  (SELECT doc_id, unnest(words) AS term FROM w) t WHERE t.term <> ''),
+         |uni AS (SELECT term, count(*) AS cu FROM tk GROUP BY term),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+         |  FROM uni),
+         |bgs AS (SELECT doc_id, unnest(list_transform(range(2, len(words) + 1),
+         |    i -> struct_pack(prev := words[i-1], cur := words[i]))) AS bp
+         |  FROM w WHERE len(words) >= 2),
+         |bstream AS (SELECT doc_id, bp.prev AS prev, bp.cur AS cur FROM bgs),
+         |bg AS (SELECT prev, cur, count(*) AS c2 FROM bstream GROUP BY prev, cur),
+         |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY prev),
+         |ratio AS (SELECT bg.prev, bg.cur,
+         |    CAST(round(-log2(0.75 * (CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+         |      + 0.25 * (CAST(cu + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))), 9)
+         |      AS DECIMAL(18,9)) AS bits
+         |  FROM bg JOIN ctx ON bg.prev = ctx.prev
+         |  JOIN uni ON bg.cur = uni.term CROSS JOIN tot),
+         |ent AS (SELECT s.doc_id,
+         |    round(CAST(CAST(sum(bits) AS DECIMAL(28,9)) AS DOUBLE) / count(*), 6) AS e
+         |  FROM bstream s JOIN ratio ON s.prev = ratio.prev AND s.cur = ratio.cur
+         |  GROUP BY s.doc_id),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ent),
+         |rk AS (SELECT e, row_number() OVER (ORDER BY e) AS rn FROM ent),
+         |c1 AS (SELECT max(e) AS c FROM rk CROSS JOIN n WHERE rn <= n // 3),
+         |c2 AS (SELECT max(e) AS c FROM rk CROSS JOIN n WHERE rn <= 2 * n // 3)
+         |SELECT d.source,
+         |  CASE WHEN ent.e IS NULL THEN 'unscored'
+         |       WHEN ent.e <= c1.c THEN 'head'
+         |       WHEN ent.e <= c2.c THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+         |CROSS JOIN c1 CROSS JOIN c2
+         |GROUP BY 1, 2""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val ent = graft.operators.TermStats
+        .bigramCrossEntropy(docs, "doc_id", "text", 0.75)
+        .select(col("doc_id"), col("bigram_entropy").as("e"))
+        .localCheckpoint() // counted + two cutoff probes + the disposition join
+      val n = ent.count()
+      // two scalar cutoff probes (metadata-sized, like the q_kth_element
+      // family): kth smallest VALUE via TakeOrdered-k + max
+      def kth(k: Long): Double =
+        ent.orderBy("e").limit(k.toInt).agg(max("e")).head().getDouble(0)
+      val cut1 = kth(n / 3)
+      val cut2 = kth(2 * n / 3)
+      docs
+        .select(col("doc_id"), col("source"))
+        .join(ent, Seq("doc_id"), "left")
+        .select(
+          col("source"),
+          when(col("e").isNull, "unscored")
+            .when(col("e") <= cut1, "head")
+            .when(col("e") <= cut2, "middle")
+            .otherwise("tail")
+            .as("bucket")
+        )
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+    },
+
     // Quality-quantile band filter: keep the [20%, 80%] quality band per
     // language (drop the worst and the suspicious best). percent_rank is the
     // exact rational (rank-1)/(n-1) — engine-deterministic, no rounding.
