@@ -2996,6 +2996,154 @@ object AnalyticsQueries {
         )
     },
 
+    // E383 Theil T inequality index per month: the decomposable
+    // entropy-based concentration measure beside q_gini_concentration's
+    // rank-based one (Theil is additively decomposable across subgroups —
+    // the property Gini lacks — which is why mixture audits prefer it):
+    // T = (1/n)·Σ (x/μ)·ln(x/μ) over order values. The share x/μ is the
+    // exact integer ratio x·n/S into ONE division; per-row terms quantize
+    // to 9-dp DECIMAL (order-free sums); month-keyed aggregates throughout.
+    QEntry.sql(
+      "q_theil_index",
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |st AS (SELECT month, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s FROM o GROUP BY month),
+        |terms AS (SELECT o.month,
+        |    CAST(round((CAST(o.cents * st.n AS DOUBLE) / CAST(st.s AS DOUBLE))
+        |      * ln(CAST(o.cents * st.n AS DOUBLE) / CAST(st.s AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS trm
+        |  FROM o JOIN st USING (month))
+        |SELECT t.month, st.n AS n_orders,
+        |  round(CAST(CAST(sum(t.trm) AS DECIMAL(28,9)) AS DOUBLE) / st.n, 6)
+        |    AS theil_t
+        |FROM terms t JOIN st ON t.month = st.month
+        |GROUP BY t.month, st.n"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+      val st = o
+        .groupBy("month")
+        .agg(count(lit(1)).cast("long").as("n"), sum("cents").cast("long").as("s"))
+      val ratio = (col("cents") * col("n")).cast("double") / col("s").cast("double")
+      o.join(st, "month")
+        .select(
+          col("month"),
+          col("n"),
+          round(ratio * log(ratio), 9).cast("decimal(18,9)").as("trm")
+        )
+        .groupBy("month", "n")
+        .agg(sum("trm").cast("decimal(28,9)").as("ts"))
+        .select(
+          col("month"),
+          col("n").as("n_orders"),
+          round(col("ts").cast("double") / col("n"), 6).as("theil_t")
+        )
+    },
+
+    // E384 Benjamini-Hochberg FDR over a test FAMILY: the multiple-testing
+    // correction every per-group testing entry in this battery implicitly
+    // needs — run one two-proportion z-test per month (URGENT share vs the
+    // global share), convert to two-sided p via the Abramowitz-Stegun
+    // 26.2.17 normal-CDF polynomial (pure +/×/÷/exp — identical doubles on
+    // both engines, no erf dependency), then BH at q = 0.05: sort p
+    // ascending, k* = max{i : p_(i) ≤ i·q/m}, reject ranks ≤ k*. Months
+    // whose raw p < 0.05 but survive ≠ reject is exactly the FDR lesson.
+    // p quantizes to 9 dp BEFORE the threshold comparison so boundary
+    // decisions are cross-engine identical; the rank window spans the
+    // calendar-bounded month family.
+    QEntry.sql(
+      "q_bh_fdr",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(a) AS BIGINT) AS aa,
+        |    CAST(count(*) AS BIGINT) AS fam FROM m),
+        |z AS (SELECT month, n, a,
+        |    (CAST(a AS DOUBLE) / n - CAST(aa AS DOUBLE) / nn)
+        |      / sqrt((CAST(aa AS DOUBLE) / nn) * (1.0 - CAST(aa AS DOUBLE) / nn) / n)
+        |      AS zv
+        |  FROM m CROSS JOIN g),
+        |pv AS (SELECT month, zv,
+        |    round(2.0 * (exp(-(abs(zv) * abs(zv)) / 2.0) / 2.5066282746310002)
+        |      * ((1.0 / (1.0 + 0.2316419 * abs(zv))) * (0.31938153
+        |        + (1.0 / (1.0 + 0.2316419 * abs(zv))) * (-0.356563782
+        |        + (1.0 / (1.0 + 0.2316419 * abs(zv))) * (1.781477937
+        |        + (1.0 / (1.0 + 0.2316419 * abs(zv))) * (-1.821255978
+        |        + (1.0 / (1.0 + 0.2316419 * abs(zv))) * 1.330274429))))), 9) AS p
+        |  FROM z),
+        |rk AS (SELECT month, zv, p, CAST(row_number() OVER (ORDER BY p, month)
+        |    AS BIGINT) AS rnk FROM pv),
+        |km AS (SELECT COALESCE(max(CASE WHEN rk.p <= rk.rnk * 0.05
+        |      / CAST(g.fam AS DOUBLE) THEN rk.rnk END), 0) AS kmax
+        |  FROM rk CROSS JOIN g)
+        |SELECT rk.month, round(rk.zv, 6) AS z, rk.p AS p_two_sided, rk.rnk AS rank,
+        |  CAST(CASE WHEN rk.rnk <= km.kmax THEN 1 ELSE 0 END AS BIGINT) AS rejected
+        |FROM rk CROSS JOIN km"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+            .cast("long").as("a")
+        )
+      val g = m.agg(
+        sum("n").cast("long").as("nn"),
+        sum("a").cast("long").as("aa"),
+        count(lit(1)).cast("long").as("fam")
+      )
+      val z = m
+        .crossJoin(broadcast(g))
+        .withColumn(
+          "zv",
+          expr(
+            """(CAST(a AS DOUBLE) / n - CAST(aa AS DOUBLE) / nn)
+              | / sqrt((CAST(aa AS DOUBLE) / nn) * (1.0 - CAST(aa AS DOUBLE) / nn) / n)"""
+              .stripMargin.replaceAll("\\s+", " ")
+          )
+        )
+        .withColumn(
+          "p",
+          expr(
+            """round(2.0 * (exp(-(abs(zv) * abs(zv)) / 2.0) / 2.5066282746310002)
+              | * ((1.0 / (1.0 + 0.2316419 * abs(zv))) * (0.31938153
+              |   + (1.0 / (1.0 + 0.2316419 * abs(zv))) * (-0.356563782
+              |   + (1.0 / (1.0 + 0.2316419 * abs(zv))) * (1.781477937
+              |   + (1.0 / (1.0 + 0.2316419 * abs(zv))) * (-1.821255978
+              |   + (1.0 / (1.0 + 0.2316419 * abs(zv))) * 1.330274429))))), 9)"""
+              .stripMargin.replaceAll("\\s+", " ")
+          )
+        )
+      // calendar-bounded family rank: the month domain, never fact rows
+      val w = Window.orderBy(col("p"), col("month"))
+      val rk = z
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .localCheckpoint() // kmax scalar probe + the output both re-read it
+      val km = rk
+        .agg(
+          coalesce(
+            max(when(col("p") <= col("rnk") * 0.05 / col("fam").cast("double"), col("rnk"))),
+            lit(0L)
+          ).as("kmax")
+        )
+      rk.crossJoin(broadcast(km))
+        .select(
+          col("month"),
+          round(col("zv"), 6).as("z"),
+          col("p").as("p_two_sided"),
+          col("rnk").as("rank"),
+          when(col("rnk") <= col("kmax"), 1L).otherwise(0L).as("rejected")
+        )
+    },
+
     // E380 Pettitt change-point test: the RANK-based changepoint beside
     // q_cusum_changepoint's mean-shift statistic — U_t = Σ_{i≤t,j>t}
     // sgn(x_i − x_j) over the corpus monthly revenue series, K = max|U_t|,

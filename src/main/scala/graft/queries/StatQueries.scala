@@ -497,6 +497,71 @@ object StatQueries {
       TermStats.wittenBellTable(documents(s, d), "doc_id", "text", Seq("source"))
     },
 
+    // E382 Min-K% probability score (Shi et al. 2023's membership-inference
+    // / contamination signal, unigram instantiation): per document, the
+    // mean surprisal of its K% = 20% LEAST-probable tokens under the
+    // corpus's own LM — memorized/duplicated text scores low (no surprising
+    // tokens), novel text high; the detection statistic behind
+    // "was this eval doc in the training set" audits. Per-token surprisal
+    // quantizes to 9-dp DECIMAL; the top-k cut is a doc-keyed window
+    // (partition = doc_id, the scalable direction), and boundary ties have
+    // EQUAL bits values so the sum is tie-order independent.
+    QEntry.sql(
+      "txt_min_k_prob",
+      s"""WITH toks AS (SELECT doc_id, t.term FROM (SELECT doc_id,
+         |    unnest($wordsSql) AS term FROM documents) t WHERE t.term <> ''),
+         |tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+         |tot AS (SELECT count(*) AS t FROM toks),
+         |bits AS (SELECT doc_id,
+         |    CAST(round(-log2(CAST(c AS DOUBLE) / t), 9) AS DECIMAL(18,9)) AS b
+         |  FROM toks JOIN tf USING (term) CROSS JOIN tot),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bits GROUP BY doc_id),
+         |rk AS (SELECT doc_id, b, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY b DESC) AS rn FROM bits),
+         |topk AS (SELECT rk.doc_id, CAST(sum(rk.b) AS DECIMAL(28,9)) AS s,
+         |    CAST(count(*) AS BIGINT) AS k
+         |  FROM rk JOIN dl USING (doc_id)
+         |  WHERE rk.rn <= greatest(1, dl.n // 5) GROUP BY rk.doc_id)
+         |SELECT topk.doc_id, dl.n AS n_tokens, topk.k,
+         |  round(CAST(topk.s AS DOUBLE) / topk.k, 6) AS min_k_bits
+         |FROM topk JOIN dl USING (doc_id)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      val bits = toks
+        .join(broadcast(tf), "term")
+        .crossJoin(broadcast(tot))
+        .select(
+          col("doc_id"),
+          round(-log2(col("c").cast("double") / col("t")), 9)
+            .cast("decimal(18,9)").as("b")
+        )
+        .localCheckpoint() // length table and ranked cut both re-read it
+      val dl = bits.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("b").desc)
+      bits
+        .withColumn("rn", row_number().over(w))
+        .join(dl, "doc_id")
+        .filter(col("rn") <= greatest(lit(1L), expr("n div 5")))
+        .groupBy("doc_id")
+        .agg(
+          sum("b").cast("decimal(28,9)").as("s"),
+          count(lit(1)).cast("long").as("k"),
+          max("n").as("n_tokens")
+        )
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("k"),
+          round(col("s").cast("double") / col("k"), 6).as("min_k_bits")
+        )
+    },
+
     // E361 interpolated Kneser-Ney bigram table ([[TermStats.knBigramTable]]):
     // the smoothing the add-k / stupid-backoff tiers approximate — top-30
     // bigrams with P_KN = max(c2−D,0)/c1 + D·N₁₊(prev,·)/c1 · P_cont(cur),
