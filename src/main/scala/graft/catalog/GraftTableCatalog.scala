@@ -92,9 +92,69 @@ class GraftTableCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty && fs.exists(tableDir(ident))
 
+  private def parquetTableAt(path: String): Table = {
+    val opts = new util.HashMap[String, String]()
+    opts.put("path", path)
+    new ParquetDataSourceV2().getTable(new CaseInsensitiveStringMap(opts))
+  }
+
+  /** A warehouse directory carrying the [[graft.operators.IndexCommit]]
+    * layout is served at its newest COMMITTED snapshot — readers through
+    * SQL get the same isolation as readers through the protocol (a staged
+    * or half-written snapshot is never visible).
+    */
+  private def indexRootOrNull(ident: Identifier): String = {
+    val dir = tableDir(ident)
+    if (fs.exists(dir) &&
+      graft.operators.IndexCommit.isCommitRoot(spark, dir.toString)) dir.toString
+    else null
+  }
+
+  /** SQL time travel over committed indexes: `VERSION AS OF n` serves the
+    * exact snapshot version n committed by the index protocol (valid until
+    * vacuum sweeps it) — the reference's "query the table as of the last
+    * load" story generalized to every persisted index this engine writes.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = indexRootOrNull(ident)
+    if (root == null)
+      throw new UnsupportedOperationException(
+        s"${ident.name()} is not a committed index — only IndexCommit roots time-travel")
+    val n =
+      try version.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"VERSION AS OF over graft indexes takes the numeric commit version, got '$version'")
+      }
+    parquetTableAt(graft.operators.IndexCommit.snapshotDir(spark, root, n))
+  }
+
+  /** `TIMESTAMP AS OF` resolves to the newest version whose commit-marker
+    * mtime is at or before the instant — the same clock every
+    * rename-arbitrated table format travels by. Spark hands micros.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = indexRootOrNull(ident)
+    if (root == null)
+      throw new UnsupportedOperationException(
+        s"${ident.name()} is not a committed index — only IndexCommit roots time-travel")
+    val n = graft.operators.IndexCommit
+      .versionAsOfTimestamp(spark, root, timestampMicros / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident.asMultipartIdentifier))
+    parquetTableAt(graft.operators.IndexCommit.snapshotDir(spark, root, n))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!fs.exists(dir)) throw new NoSuchTableException(ident.asMultipartIdentifier)
+    val indexRoot = indexRootOrNull(ident)
+    if (indexRoot != null) {
+      val snap = graft.operators.IndexCommit
+        .latestSnapshotDir(spark, indexRoot)
+        .getOrElse(throw new NoSuchTableException(ident.asMultipartIdentifier))
+      return parquetTableAt(snap)
+    }
     // serving the range-fragmented dataset publishes its bucket metadata, so
     // a pure-SQL consumer gets DeriveFragmentPruning with no engine API
     // call anywhere in sight — the table surface is self-contained

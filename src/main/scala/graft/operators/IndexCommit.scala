@@ -264,6 +264,43 @@ object IndexCommit {
   def readVersion(spark: SparkSession, root: String, n: Long): DataFrame =
     spark.read.parquet(snapshotPath(spark, root, n).toString)
 
+  /** True iff `root` carries this protocol's layout (a manifest dir) —
+    * how the SQL catalog distinguishes a committed index from a plain
+    * dataset directory.
+    */
+  def isCommitRoot(spark: SparkSession, root: String): Boolean = {
+    val m = manifestDir(root)
+    hfs(spark, m).exists(m)
+  }
+
+  /** Snapshot DIRECTORY of version `n` (for serving the version through a
+    * file-table surface rather than as a DataFrame).
+    */
+  def snapshotDir(spark: SparkSession, root: String, n: Long): String =
+    snapshotPath(spark, root, n).toString
+
+  /** Snapshot directory of the newest committed version, if any. */
+  def latestSnapshotDir(spark: SparkSession, root: String): Option[String] =
+    resolveHead(spark, root).map { case (_, name) => new Path(dataDir(root), name).toString }
+
+  /** Newest version COMMITTED at or before `tsMillis` (marker-file mtime —
+    * the same clock every rename-arbitrated table format time-travels by);
+    * None when nothing was committed yet at that instant.
+    */
+  def versionAsOfTimestamp(spark: SparkSession, root: String, tsMillis: Long): Option[Long] = {
+    val mDir = manifestDir(root)
+    val fs = hfs(spark, mDir)
+    markerVersions(fs, root).iterator
+      .filter { n =>
+        val marker = new Path(mDir, s"$MarkerPrefix$n")
+        val mt =
+          try Some(fs.getFileStatus(marker).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None } // retracted mid-list
+        mt.exists(_ <= tsMillis) && markerContent(fs, marker, retries = 1).nonEmpty
+      }
+      .nextOption()
+  }
+
   /** Version-transition audit — "what did this commit change": full-row
     * diff of two committed versions as ('added' | 'removed', row...). The
     * operational read behind every transition this protocol hosts: an

@@ -125,6 +125,44 @@ class GraftTableCatalogSpec extends SparkSpec {
     }
   }
 
+  test("committed indexes are SQL tables with VERSION AS OF / TIMESTAMP AS OF time travel") {
+    withCatalog("graft_tt") { _ =>
+      val root = spark.conf.get("spark.sql.catalog.graft_tt.warehouse")
+      val s = spark
+      import s.implicits._
+      // an IndexCommit-rooted dataset inside the warehouse: v1 then v2
+      val idx = s"$root/bands_index"
+      graft.operators.IndexCommit.commit(spark, idx, "w0") { _ =>
+        Seq(1L, 2L).toDF("id")
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+      val m1 = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$idx/manifest/commit-1")).getModificationTime
+      Thread.sleep(20)
+      graft.operators.IndexCommit.commit(spark, idx, "w0") { base =>
+        base.get.unionByName(Seq(3L).toDF("id"))
+      }
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("id").collect().map(_.getLong(0)).toSet
+      // bare read = newest committed snapshot
+      assert(ids(spark.table("graft_tt.bands_index")) == Set(1L, 2L, 3L))
+      // exact-version travel through plain SQL
+      assert(ids(spark.sql("SELECT * FROM graft_tt.bands_index VERSION AS OF 1"))
+        == Set(1L, 2L))
+      assert(ids(spark.sql("SELECT * FROM graft_tt.bands_index VERSION AS OF 2"))
+        == Set(1L, 2L, 3L))
+      // timestamp travel: an instant between the two commits resolves to v1
+      val t1 = java.time.Instant.ofEpochMilli(m1).toString
+      assert(ids(spark.sql(
+        s"SELECT * FROM graft_tt.bands_index TIMESTAMP AS OF '$t1'")) == Set(1L, 2L))
+      // non-index datasets refuse to time-travel with a clear error
+      val err = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_tt.range_ratings VERSION AS OF 1").collect()
+      }
+      assert(err.getMessage.contains("not a committed index"), err.getMessage)
+    }
+  }
+
   test("INSERT INTO the fragment datasets routes through the dual-write semantics") {
     withCatalog("graft_w1") { e =>
       val root = spark.conf.get("spark.sql.catalog.graft_w1.warehouse")
