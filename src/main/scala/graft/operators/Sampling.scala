@@ -157,6 +157,64 @@ object Sampling {
       .select(sc :+ col(keyCol): _*)
   }
 
+  /** Neyman-optimal stratified allocation (Neyman 1934): budget `total`
+    * split across strata ∝ N_h·σ_h — the allocation that MINIMIZES the
+    * variance of the stratified mean, versus [[apportionedSample]]'s
+    * proportional split (identical when within-stratum spreads are equal;
+    * a volatile stratum earns extra samples exactly when they buy the most
+    * precision). The weight stays exact as long as possible:
+    * N_h·σ_h = √(N_h·Σx² − (Σx)²) — the radicand an exact DECIMAL(38,0)
+    * integer (Σx² overflows BIGINT on cents columns), one correctly-rounded
+    * sqrt, quantized to 6 dp and re-scaled to an exact integer weight so
+    * the largest-remainder split runs in pure integer arithmetic
+    * (base = ⌊K·w_h/Σw⌋, extras to the largest remainders, priority-order
+    * ties) and sums EXACTLY to the budget. Strata tables are tiny at any
+    * scale; the one corpus pass is the moments aggregate.
+    *
+    * @param valueCol exact integer units (cents/ppm — the repo contract)
+    * @return one row per stratum: (strataCols…, n_rows, weight, alloc)
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      strataCols: Seq[String],
+      valueCol: String,
+      total: Long
+  ): DataFrame = {
+    require(total > 0, "total must be positive")
+    val sc = strataCols.map(col)
+    val xd = col(valueCol).cast("decimal(38,0)")
+    val stats = df
+      .groupBy(sc: _*)
+      .agg(
+        count(lit(1)).cast("long").as("_n"),
+        sum(xd).cast("decimal(38,0)").as("_s"),
+        sum(xd * xd).cast("decimal(38,0)").as("_s2")
+      )
+    val w = sqrt((col("_n") * col("_s2") - col("_s") * col("_s")).cast("double"))
+    val weighted = stats.withColumn(
+      "_wu",
+      (round(w, 6).cast("decimal(28,6)") * 1000000).cast("decimal(38,0)")
+    )
+    val sw = weighted.agg(sum(col("_wu")).cast("decimal(38,0)").as("_sw"))
+    val based = weighted
+      .crossJoin(broadcast(sw))
+      .withColumn("_base", expr(s"CAST(($total * _wu) div _sw AS BIGINT)"))
+      .withColumn("_rem", expr(s"($total * _wu) % _sw"))
+    val left = based.agg((lit(total) - sum(col("_base"))).cast("long").as("_l"))
+    val wRem = Window.orderBy(col("_rem").desc +: strataCols.map(col): _*)
+    based
+      .withColumn("_rr", row_number().over(wRem).cast("long"))
+      .crossJoin(broadcast(left))
+      .select(
+        sc ++ Seq(
+          col("_n").as("n_rows"),
+          round(w, 6).as("weight"),
+          (col("_base") + when(col("_rr") <= col("_l"), 1L).otherwise(0L))
+            .cast("long").as("alloc")
+        ): _*
+      )
+  }
+
   /** Consistent-hash shard assignment (Karger ring with virtual nodes) on
     * an md5-hex ring: vnode position = md5("shard<s>:<v>"), key position =
     * md5(key); a key belongs to the vnode with the smallest position ≥ its

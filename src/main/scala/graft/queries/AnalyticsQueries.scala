@@ -3044,6 +3044,75 @@ object AnalyticsQueries {
         )
     },
 
+    // E386 Friedman test: the repeated-measures rank test over COMPLETE
+    // blocks — months are blocks, priorities treatments, monthly revenue
+    // the response; "do the k segments rank consistently across months?"
+    // is the question the per-pair tests above can't ask. Within-block
+    // DOUBLED midranks (2·minrank + ties − 1, the E155 idiom) keep tie
+    // handling exact-integer; Q = 3·ΣR'²/(nk(k+1)) − 3n(k+1) with R' the
+    // doubled rank sums — one double step. Incomplete blocks are excluded,
+    // as the statistic requires.
+    QEntry.sql(
+      "q_friedman_test",
+      """WITH m AS (SELECT o_orderpriority AS priority,
+        |    strftime(o_orderdate, '%Y-%m') AS mo,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT priority) AS BIGINT) AS k FROM m),
+        |complete AS (SELECT mo FROM m CROSS JOIN kk GROUP BY mo, kk.k
+        |  HAVING count(*) = max(kk.k)),
+        |r AS (SELECT m.priority, m.mo,
+        |    CAST(2 * rank() OVER (PARTITION BY m.mo ORDER BY m.cents)
+        |      + count(*) OVER (PARTITION BY m.mo, m.cents) - 1 AS BIGINT) AS r2
+        |  FROM m JOIN complete USING (mo)),
+        |rj AS (SELECT priority, CAST(sum(r2) AS BIGINT) AS r2j,
+        |    CAST(count(*) AS BIGINT) AS nb FROM r GROUP BY priority),
+        |agg AS (SELECT CAST(sum(r2j * r2j) AS BIGINT) AS s2,
+        |    CAST(max(nb) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM rj)
+        |SELECT n AS n_blocks, k AS k_groups,
+        |  round(3.0 * s2 / CAST(n * k * (k + 1) AS DOUBLE)
+        |    - 3.0 * n * (k + 1), 6) AS q_stat
+        |FROM agg WHERE n > 0"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(
+          col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mo")
+        )
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+        .localCheckpoint() // k census, complete-block census and ranks all re-read
+      val k = m.select("priority").distinct().count()
+      val complete = m.groupBy("mo").agg(count(lit(1)).as("c")).filter(col("c") === k)
+        .select("mo")
+      val wR = Window.partitionBy("mo").orderBy("cents")
+      val wEq = Window.partitionBy("mo", "cents")
+      val r = m
+        .join(complete, "mo")
+        .select(
+          col("priority"),
+          (lit(2L) * rank().over(wR) + count(lit(1)).over(wEq) - 1)
+            .cast("long").as("r2")
+        )
+      r.groupBy("priority")
+        .agg(sum("r2").cast("long").as("r2j"), count(lit(1)).cast("long").as("nb"))
+        .agg(
+          sum(col("r2j") * col("r2j")).cast("long").as("s2"),
+          max("nb").cast("long").as("n"),
+          count(lit(1)).cast("long").as("k")
+        )
+        .filter(col("n") > 0)
+        .select(
+          col("n").as("n_blocks"),
+          col("k").as("k_groups"),
+          round(
+            lit(3.0) * col("s2") / (col("n") * col("k") * (col("k") + 1)).cast("double")
+              - lit(3.0) * col("n") * (col("k") + 1),
+            6
+          ).as("q_stat")
+        )
+    },
+
     // E384 Benjamini-Hochberg FDR over a test FAMILY: the multiple-testing
     // correction every per-group testing entry in this battery implicitly
     // needs — run one two-proportion z-test per month (URGENT share vs the

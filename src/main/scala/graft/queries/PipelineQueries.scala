@@ -848,6 +848,48 @@ object PipelineQueries {
       Dedup.ngramSimilarityPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
     },
 
+    // E387 Neyman-optimal allocation ([[graft.operators.Sampling
+    // .neymanAllocation]]): the budget split ∝ N_h·σ_h that minimizes the
+    // stratified-mean variance — E327's proportional apportionment weighted
+    // by within-stratum spread, so a volatile stratum earns extra samples
+    // exactly when they buy the most precision. N_h·σ_h stays the exact
+    // DECIMAL/HUGEINT radicand √(N·Σx²−(Σx)²) into one correctly-rounded
+    // sqrt; the largest-remainder split then runs in pure integer
+    // arithmetic and sums EXACTLY to the budget.
+    QEntry.sql(
+      "sample_neyman_alloc",
+      """WITH o AS (SELECT o_orderpriority AS priority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |st AS (SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS HUGEINT) AS s2
+        |  FROM o GROUP BY priority),
+        |wt AS (SELECT priority, n, sqrt(CAST(n * s2 - s * s AS DOUBLE)) AS w FROM st),
+        |wu AS (SELECT priority, n, w,
+        |    CAST(CAST(round(w, 6) AS DECIMAL(28,6)) * 1000000 AS HUGEINT) AS wu FROM wt),
+        |sw AS (SELECT CAST(sum(wu) AS HUGEINT) AS sw FROM wu),
+        |based AS (SELECT priority, n, w,
+        |    CAST((1000 * wu) // sw AS BIGINT) AS base,
+        |    (1000 * wu) % sw AS rem FROM wu CROSS JOIN sw),
+        |lft AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS l FROM based),
+        |rr AS (SELECT priority, n, w, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, priority) AS rr FROM based)
+        |SELECT priority, n AS n_rows, round(w, 6) AS weight,
+        |  CAST(base + CASE WHEN rr <= l THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rr CROSS JOIN lft"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      graft.operators.Sampling.neymanAllocation(
+        orders(s, d).select(
+          col("o_orderpriority").as("priority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")
+        ),
+        Seq("priority"),
+        "cents",
+        1000L
+      )
+    },
+
     // E253 prefix-filter set-similarity join (AllPairs/PPJoin): exact
     // 3-word-shingle Jaccard ≥ 80% with candidates generated ONLY from each
     // doc's p = sz − ⌈τ·sz⌉ + 1 globally-RAREST shingles — lossless by the

@@ -71,6 +71,9 @@ class PlanAuditSpec extends SparkSpec {
       "sample_apportionment" ->
         ("largest-remainder rank runs over the per-STRATUM count table " +
           "(≤ |strata| rows); the per-row pick window is stratum-keyed"),
+      "sample_neyman_alloc" ->
+        ("largest-remainder rank runs over the per-STRATUM weight table " +
+          "(≤ |strata| rows); the one corpus pass is the keyed moments agg"),
       "cur_pr_curve" ->
         ("cumulative TP/FP window runs over the bins-row threshold grid " +
           "(10 rows; partitionBy(lit(0)) is constant-folded away) — the " +
