@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1674,6 +1674,25 @@ object Similarity {
       .orderBy(md5(col("id").cast("string")), col("id"))
       .head()
       .getLong(0)
+    val seeds = queries.select(col(idCol).as("query_id"), lit(entry).as("node_id"))
+    nswBeamFromSeeds(spark, c, q, edges, seeds, k, beam, hops)
+  }
+
+  /** The beam-search core shared by the flat search (one global entry for
+    * every query) and the hierarchical search (per-query seeds descended
+    * from coarser levels). `seeds` is (query_id, node_id) — any node set;
+    * the first hop scores it exactly like any frontier.
+    */
+  private def nswBeamFromSeeds(
+      spark: SparkSession,
+      c: DataFrame,
+      q: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      k: Int,
+      beam: Int,
+      hops: Int
+  ): DataFrame = {
     def score(nodes: DataFrame): DataFrame =
       nodes
         .join(c, "node_id")
@@ -1699,8 +1718,7 @@ object Similarity {
     def noBloom[T](body: => T): T =
       org.apache.spark.sql.internal.SQLConf.withExistingConf(noBloomConf)(body)
     var frontier = noBloom {
-      score(queries.select(col(idCol).as("query_id"), lit(entry).as("node_id")))
-        .localCheckpoint()
+      score(seeds).localCheckpoint()
     }
     val wBeam = Window.partitionBy("query_id").orderBy(col("cos").desc, col("node_id"))
     for (_ <- 1 to hops) {
@@ -1749,6 +1767,74 @@ object Similarity {
       .select("src", "dst")
       .localCheckpoint()
     nswTopKFromEdges(corpus, queries, idCol, vecCol, edges, k, beam, hops)
+  }
+
+  /** HNSW-style HIERARCHICAL entry selection over the NSW graph (Malkov &
+    * Yashunin 2016, distilled to its load-bearing idea): a COARSE level —
+    * the deterministic md5-sampled 1/16 of the corpus, its own NSW graph —
+    * is searched first with a tiny beam, and each query's best coarse node
+    * seeds the full-graph search, replacing [[nswTopKFromEdges]]' one
+    * global entry.
+    * Why it matters at scale: from a fixed entry the first hops are spent
+    * TRAVELING to the query's region (wasted exact scorings that grow with
+    * graph diameter); the coarse level crosses the space in the same hop
+    * count over 1/16 the nodes, so the full-beam budget starts next to the
+    * answer. Membership by md5 prefix keeps the level nested, deterministic
+    * and engine-replayable (the DuckDB twin rebuilds both levels). Falls
+    * back to the flat search when the coarse level is empty (tiny corpora).
+    */
+  def nswTopKHierarchical(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      degree: Int = 12,
+      tables: Int = 4,
+      bits: Int = 6,
+      beam: Int = 32,
+      hops: Int = 5,
+      seed: Int = 42,
+      dim: Int = 0,
+      upperBeam: Int = 4,
+      upperHops: Int = 2
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorExpressions.install(spark)
+    val upper = corpus.filter(
+      substring(md5(col(idCol).cast("long").cast("string")), 1, 1) === "0")
+    val upperEntry = upper
+      .select(col(idCol).cast("long").as("id"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(1)
+      .collect()
+      .headOption
+      .map(_.getLong(0))
+    if (upperEntry.isEmpty)
+      return nswTopK(corpus, queries, idCol, vecCol, k, degree, tables, bits,
+        beam, hops, seed, dim)
+    val edges0 = buildNswEdges(corpus, idCol, vecCol, degree, tables, bits, seed, dim)
+      .select("src", "dst")
+      .localCheckpoint()
+    val edges1 = buildNswEdges(upper, idCol, vecCol, degree, tables, bits, seed, dim)
+      .select("src", "dst")
+      .localCheckpoint()
+    val c = withNorm(corpus, idCol, vecCol, "node_id", "nv", "nn").localCheckpoint()
+    val c1 = c.filter(
+      substring(md5(col("node_id").cast("string")), 1, 1) === "0")
+    val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val seeds1 = queries.select(
+      col(idCol).as("query_id"), lit(upperEntry.get).as("node_id"))
+    // coarse descent: tiny beam, few hops, k = 1 — each query's best coarse
+    // node becomes its full-graph entry
+    val coarse = nswBeamFromSeeds(spark, c1, q, edges1, seeds1, 1, upperBeam, upperHops)
+    // a query whose coarse walk yielded nothing (it IS the entry node and
+    // self-matches are excluded) falls back to the coarse entry itself
+    val seeds0 = queries
+      .select(col(idCol).as("query_id"))
+      .join(coarse.select(col("query_id"), col("neighbor_id")), Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("neighbor_id"), lit(upperEntry.get)).as("node_id"))
+    nswBeamFromSeeds(spark, c, q, edges0, seeds0, k, beam, hops)
   }
 
   /** Candidate edges for `srcSide` against `corpus` via the NSW hash

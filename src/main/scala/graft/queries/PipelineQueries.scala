@@ -281,14 +281,22 @@ object PipelineQueries {
     nswCoreSql + ", " + nswFullEdgesSql + ", " + nswSearchTailSql
 
   /** Unrolled beam-search hops: frontier CTEs `$prefix1..$prefix$hops`
-    * (hop 1 reads f0), each = top-`beam` of previous ∪ scored out-edges.
+    * (hop 1 reads `base`), each = top-`beam` of previous ∪ scored
+    * out-edges of `edgesCte` — parameterized so the hierarchical twin can
+    * run one ladder per level.
     */
-  private def nswHopsSql(hops: Int, beam: Int, prefix: String = "f"): String =
+  private def nswHopsSql(
+      hops: Int,
+      beam: Int,
+      prefix: String = "f",
+      edgesCte: String = "edges",
+      base: String = "f0"
+  ): String =
     (1 to hops)
       .map { h =>
-        val prev = if (h == 1) "f0" else s"$prefix${h - 1}"
+        val prev = if (h == 1) base else s"$prefix${h - 1}"
         s"""e$prefix$h AS (SELECT DISTINCT f.query_id, e.dst AS node_id
-           |  FROM $prev f JOIN edges e ON f.node_id = e.src),
+           |  FROM $prev f JOIN $edgesCte e ON f.node_id = e.src),
            |s$prefix$h AS (SELECT query_id, node_id, cos FROM $prev
            |  UNION
            |  SELECT x.query_id, x.node_id,
@@ -304,6 +312,40 @@ object PipelineQueries {
 
   private def nswSearchSql(hops: Int, beam: Int): String =
     nswGraphSql + ", " + nswHopsSql(hops, beam)
+
+  // hierarchical (HNSW-style) twin pieces: coarse level = md5-prefix 1/16
+  // sample, its own pruned graph, a tiny-beam descent seeding the full walk
+  private val NswUpperHops = 2
+  private val NswUpperBeam = 4
+  private val NswUpperPredA = "substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) = '0'"
+  private val NswUpperPredB = "substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 1) = '0'"
+
+  private def nswHierarchicalSql: String =
+    nswCoreSql + ", " + nswFullEdgesSql + ", " +
+      nswPruneStageSql("pr1", s"$NswUpperPredA AND $NswUpperPredB") + ", " +
+      """edges1 AS (SELECT src, dst FROM pr1
+        |  UNION SELECT dst AS src, src AS dst FROM pr1)""".stripMargin + ", " +
+      s"""ent1 AS (SELECT vec_id AS eid FROM nv
+         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+         |q AS (SELECT vec_id AS query_id, e AS qe, n AS qn FROM nv WHERE vec_id < 5),
+         |g0 AS (SELECT q.query_id, c.vec_id AS node_id,
+         |    round(list_dot_product(q.qe, c.e) / (q.qn * c.n), 6) AS cos
+         |  FROM q CROSS JOIN ent1 JOIN nv c ON ent1.eid = c.vec_id)""".stripMargin + ", " +
+      nswHopsSql(NswUpperHops, NswUpperBeam, prefix = "g", edgesCte = "edges1",
+        base = "g0") + ", " +
+      s"""best1 AS (SELECT query_id, node_id FROM (
+         |  SELECT query_id, node_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id) AS rk
+         |  FROM g$NswUpperHops WHERE node_id != query_id) z WHERE rk = 1),
+         |seeds0 AS (SELECT q.query_id,
+         |    COALESCE(b.node_id, (SELECT eid FROM ent1)) AS node_id
+         |  FROM q LEFT JOIN best1 b USING (query_id)),
+         |h0 AS (SELECT s.query_id, s.node_id,
+         |    round(list_dot_product(q.qe, c.e) / (q.qn * c.n), 6) AS cos
+         |  FROM seeds0 s JOIN nv c ON s.node_id = c.vec_id
+         |  JOIN q ON s.query_id = q.query_id)""".stripMargin + ", " +
+      nswHopsSql(NswHops, NswBeam, prefix = "h", edgesCte = "edges", base = "h0")
 
   val entries: Seq[QEntry] = Seq(
     // Exact dedup: content-hash group, keep lowest id.
@@ -4242,6 +4284,31 @@ object PipelineQueries {
       val emb = embeddings(s, d)
       Similarity
         .nswTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, dim = EmbDim)
+        .withColumn("rank", col("rank").cast("bigint"))
+    },
+
+    // E388 hierarchical (HNSW-style) graph-ANN search ([[Similarity
+    // .nswTopKHierarchical]]): a coarse md5-sampled 1/16 level with its own
+    // pruned NSW graph is walked first with a tiny beam (2 hops, beam 4),
+    // and each query's best coarse node seeds the full-graph walk —
+    // replacing the flat search's single global entry, whose first hops are
+    // spent TRAVELING to the query's region (cost that grows with graph
+    // diameter at corpus scale). The twin rebuilds BOTH levels and unrolls
+    // both ladders; queries whose coarse walk yields only themselves fall
+    // back to the coarse entry, replayed by the twin's COALESCE.
+    QEntry.sql(
+      "ann_hnsw_topk",
+      nswHierarchicalSql +
+        s""" SELECT query_id, node_id AS neighbor_id, cos,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, node_id) AS BIGINT) AS rank
+           |FROM h$NswHops WHERE node_id != query_id
+           |QUALIFY rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity
+        .nswTopKHierarchical(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, dim = EmbDim)
         .withColumn("rank", col("rank").cast("bigint"))
     },
 

@@ -71,6 +71,40 @@ class BinaryAnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hierarchical NSW: per-query coarse entries match or beat the flat fixed entry") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(bf, df, 10).agg(avg("recall")).head().getDouble(0)
+    val flat = meanRecall(Similarity.nswTopK(
+      emb, queries, "vec_id", "embedding", 10, dim = 64))
+    val hier = meanRecall(Similarity.nswTopKHierarchical(
+      emb, queries, "vec_id", "embedding", 10, dim = 64))
+    // better entries can only help a monotone best-so-far beam; allow tiny
+    // slack for walks that reach the same region from a different side
+    assert(hier >= flat - 0.02, s"hier=$hier flat=$flat")
+    assert(hier >= 0.9, s"hierarchical recall $hier")
+    // deterministic: md5 level membership + fixed planes + total tie-breaks
+    val a = Similarity.nswTopKHierarchical(
+      emb, queries, "vec_id", "embedding", 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.nswTopKHierarchical(
+      emb, queries, "vec_id", "embedding", 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+    // the degenerate corpus (no node in the coarse sample) falls back flat
+    val tiny = emb.filter(
+      substring(md5(col("vec_id").cast("string")), 1, 1) =!= "0").limit(40)
+    val t = Similarity.nswTopKHierarchical(
+      tiny, tiny.limit(2), "vec_id", "embedding", 3, dim = 64)
+    assert(t.count() > 0, "empty coarse level must fall back to the flat search")
+  }
+
   test("NSW edges are mirrored and capped per direction before mirroring") {
     import org.apache.spark.sql.functions._
     val vs = (0L until 30L)
