@@ -7,6 +7,30 @@ import org.apache.spark.sql.SparkSession
   * Results are forced through the `noop` sink so the full plan executes
   * (a bare count() would let Catalyst prune the projection work away).
   */
+/** Bench-only memoized NSW edge tables: the x_*_warm_search extras share
+  * one prebuilt graph per (session, sf dir), so with interleaved best-of-N
+  * laps the first lap pays the build and the best-of measures the WALK —
+  * the production cost shape, where edges live as a persisted index.
+  */
+private object BenchCaches {
+  private val lvl0 = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  private val lvl1 = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  def nswEdges(s: SparkSession, d: String,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lvl0.getOrElseUpdate((s, d),
+      graft.operators.Similarity.buildNswEdges(emb, "vec_id", "embedding", dim = 64)
+        .select("src", "dst").localCheckpoint())
+
+  def nswUpperEdges(s: SparkSession, d: String,
+      upper: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lvl1.getOrElseUpdate((s, d),
+      graft.operators.Similarity.buildNswEdges(upper, "vec_id", "embedding", dim = 64)
+        .select("src", "dst").localCheckpoint())
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,6 +128,30 @@ object Bench {
       "x_fuzzy_canonical" -> ((s, d) =>
         graft.operators.Dedup.fuzzyCanonicalVerify(
           Tables.documents(s, d), "doc_id", "text", maxNorm = 0.4, maxBandDf = 64L)),
+      // Warm-index graph-ANN A/B: production holds the NSW edge table as a
+      // PERSISTED index, so the honest search cost excludes the build. The
+      // edge tables memoize per (session, sf dir); with interleaved
+      // best-of-N laps the first lap pays the build and the best-of is the
+      // WALK alone — flat fixed-entry vs hierarchical coarse-entry (E388)
+      // on identical level-0 graphs.
+      "x_nsw_warm_search" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.embeddings(s, d)
+        val edges = BenchCaches.nswEdges(s, d, emb)
+        graft.operators.Similarity.nswTopKFromEdges(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", edges, 10)
+      }),
+      "x_hnsw_warm_search" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.embeddings(s, d)
+        val edges0 = BenchCaches.nswEdges(s, d, emb)
+        val upper = emb.filter(
+          substring(md5(col("vec_id").cast("string")), 1, 1) === "0")
+        val edges1 = BenchCaches.nswUpperEdges(s, d, upper)
+        graft.operators.Similarity.nswTopKFromPrebuilt(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          edges0, edges1, 10)
+      }),
       // KEY-SKEW lap family (the sf1 lap measures data scaling; these
       // measure SKEW scaling): 10% of the corpus is replaced by one
       // constant boilerplate text, so a single LSH band's document

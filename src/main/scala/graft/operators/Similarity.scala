@@ -1819,6 +1819,41 @@ object Similarity {
     val edges1 = buildNswEdges(upper, idCol, vecCol, degree, tables, bits, seed, dim)
       .select("src", "dst")
       .localCheckpoint()
+    nswTopKFromPrebuilt(corpus, queries, idCol, vecCol, edges0, edges1, k,
+      beam, hops, upperBeam, upperHops)
+  }
+
+  /** [[nswTopKHierarchical]] over PREBUILT level graphs — the production
+    * surface (both edge tables live as persisted indexes; only the walk is
+    * paid per query batch). `edges1` must span the md5-prefix coarse
+    * subset of `corpus` ([[nswTopKHierarchical]] builds exactly that).
+    */
+  def nswTopKFromPrebuilt(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      edges0: DataFrame,
+      edges1: DataFrame,
+      k: Int,
+      beam: Int = 32,
+      hops: Int = 5,
+      upperBeam: Int = 4,
+      upperHops: Int = 2
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorExpressions.install(spark)
+    val upper = corpus.filter(
+      substring(md5(col(idCol).cast("long").cast("string")), 1, 1) === "0")
+    val upperEntry = upper
+      .select(col(idCol).cast("long").as("id"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(1)
+      .collect()
+      .headOption
+      .map(_.getLong(0))
+    if (upperEntry.isEmpty)
+      return nswTopKFromEdges(corpus, queries, idCol, vecCol, edges0, k, beam, hops)
     val c = withNorm(corpus, idCol, vecCol, "node_id", "nv", "nn").localCheckpoint()
     val c1 = c.filter(
       substring(md5(col("node_id").cast("string")), 1, 1) === "0")
