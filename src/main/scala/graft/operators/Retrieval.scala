@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -754,6 +754,65 @@ object Retrieval {
         col("a").as("focus_cnt"),
         col("b").as("rest_cnt"),
         round(col("chi2"), 4).as("chi2"),
+        col("overrep")
+      )
+  }
+
+  /** Dunning log-likelihood-ratio keyness (Dunning 1993) — the keyness the
+    * corpus-linguistics literature standardized on, beside [[chi2Keyness]]
+    * (χ² over-weights rare events; G² stays calibrated at small expected
+    * counts, which is exactly where characteristic terms live):
+    * G² = 2·Σ_cells O·ln(O/E), E = rowTot·colTot/N, 0-cells contribute 0.
+    * The four cell terms are a FIXED-ORDER double expression (not an
+    * aggregation), each ln over a ratio of exact integer products — written
+    * identically on both engines, so ranking is engine-deterministic
+    * without the 9-dp ladder. Same one-pass contingency build as χ².
+    */
+  def llrKeyness(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      focus: String,
+      k: Int = 20
+  ): DataFrame = {
+    val toks = docs
+      .select(col(groupCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col(groupCol) === focus, 1L).otherwise(0L)).as("a"),
+        count(lit(1)).as("tot")
+      )
+      .withColumn("b", col("tot") - col("a"))
+    val totals = counts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    def cell(o: Column, rowTot: Column, colTot: Column, n: Column): Column =
+      when(o === 0, lit(0.0)).otherwise(
+        o.cast("double") * log(
+          (o * n).cast("double") / (rowTot * colTot).cast("double")))
+    counts
+      .crossJoin(broadcast(totals))
+      .withColumn("c", col("ta") - col("a"))
+      .withColumn("d", col("tb") - col("b"))
+      .withColumn("n", col("ta") + col("tb"))
+      .withColumn(
+        "llr",
+        lit(2.0) * (cell(col("a"), col("a") + col("b"), col("ta"), col("n")) +
+          cell(col("b"), col("a") + col("b"), col("tb"), col("n")) +
+          cell(col("c"), col("c") + col("d"), col("ta"), col("n")) +
+          cell(col("d"), col("c") + col("d"), col("tb"), col("n")))
+      )
+      .withColumn(
+        "overrep",
+        when(col("a") * col("tb") > col("b") * col("ta"), lit(focus)).otherwise(lit("rest"))
+      )
+      .orderBy(col("llr").desc, col("term"))
+      .limit(k)
+      .select(
+        col("term"),
+        col("a").as("focus_cnt"),
+        col("b").as("rest_cnt"),
+        round(col("llr"), 4).as("llr"),
         col("overrep")
       )
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -488,6 +488,59 @@ object TermStats {
       )
       .orderBy(col("c2").desc, col("prev"), col("cur"))
       .limit(topN)
+  }
+
+  /** Conditional bigram entropy H(cur|prev) = H(prev,cur) − H(prev) — the
+    * ENTROPY-RATE estimate of the corpus (bits of new information per
+    * token given one token of context) that sits under every perplexity
+    * number in this battery: unigram cross-entropy bounds it from above,
+    * and the gap H(unigram) − H(cond) is exactly the predictability that
+    * bigram LMs (add-k, backoff, KN) monetize. Both entropies compute over
+    * the SAME bigram stream (the prev-marginal, not the raw unigram table,
+    * so the chain rule holds exactly); per-type terms quantize to 9-dp
+    * DECIMAL (order-free sums), the subtraction is exact decimal, and the
+    * shuffle carries bigram TYPES after map-side combine.
+    *
+    * @return one row: (n_bigrams, h_joint, h_prev, h_cond)
+    */
+  def conditionalEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextAnalysis.tokens(col(textCol))
+    val bgStream = docs
+      .select(col(idCol), ws.as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(
+        explode(
+          expr("transform(sequence(2, size(_ws)), i -> struct(_ws[i-2] AS prev, _ws[i-1] AS cur))")
+        ).as("_bg")
+      )
+      .select(col("_bg.prev").as("prev"), col("_bg.cur").as("cur"))
+    val bg = bgStream.groupBy("prev", "cur").agg(count(lit(1)).cast("long").as("c2"))
+      .localCheckpoint() // joint terms, prev marginal and the total re-read it
+    val tot = bg.agg(sum("c2").cast("long").as("bt"))
+    def hTerm(c: Column): Column =
+      round(
+        -(c.cast("double") / col("bt")) * log2(c.cast("double") / col("bt")),
+        9
+      ).cast("decimal(18,9)")
+    val hJoint = bg
+      .crossJoin(broadcast(tot))
+      .agg(sum(hTerm(col("c2"))).cast("decimal(28,9)").as("hj"))
+    val hPrev = bg
+      .groupBy("prev")
+      .agg(sum("c2").cast("long").as("c1"))
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(hTerm(col("c1"))).cast("decimal(28,9)").as("hp"),
+        max("bt").as("n_bigrams")
+      )
+    hPrev
+      .crossJoin(broadcast(hJoint))
+      .select(
+        col("n_bigrams"),
+        round(col("hj").cast("double"), 6).as("h_joint"),
+        round(col("hp").cast("double"), 6).as("h_prev"),
+        round((col("hj") - col("hp")).cast("double"), 6).as("h_cond")
+      )
   }
 
   /** Witten-Bell smoothing per domain (Witten & Bell 1991, method C — the

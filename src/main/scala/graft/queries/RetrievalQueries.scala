@@ -521,6 +521,40 @@ object RetrievalQueries {
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Retrieval.chi2Keyness(documents(s, d), "text", "lang", "en", k = 20)
+    },
+
+    // E390 Dunning log-likelihood-ratio keyness ([[Retrieval.llrKeyness]]):
+    // the corpus-linguistics standard beside chi² — G² = 2·Σ O·ln(O/E)
+    // stays calibrated at the small expected counts where characteristic
+    // terms live, exactly where chi² over-weights. Fixed-order four-cell
+    // double expression, 0-cells contribute 0; identical text both engines.
+    QEntry.sql(
+      "txt_keyness_llr",
+      s"""WITH toks AS (SELECT lang, unnest($wordsSql) AS term FROM documents),
+         |counts AS (SELECT term,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    count(*) AS tot
+         |  FROM toks WHERE term <> '' GROUP BY term),
+         |cb AS (SELECT term, a, tot - a AS b FROM counts),
+         |totals AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM cb),
+         |cells AS (SELECT term, a, b, ta - a AS c, tb - b AS d, ta, tb, ta + tb AS n
+         |  FROM cb CROSS JOIN totals),
+         |scored AS (SELECT term, a, b,
+         |    2.0 * ((CASE WHEN a = 0 THEN 0.0 ELSE CAST(a AS DOUBLE)
+         |        * ln(CAST(a * n AS DOUBLE) / CAST((a + b) * ta AS DOUBLE)) END)
+         |      + (CASE WHEN b = 0 THEN 0.0 ELSE CAST(b AS DOUBLE)
+         |        * ln(CAST(b * n AS DOUBLE) / CAST((a + b) * tb AS DOUBLE)) END)
+         |      + (CASE WHEN c = 0 THEN 0.0 ELSE CAST(c AS DOUBLE)
+         |        * ln(CAST(c * n AS DOUBLE) / CAST((c + d) * ta AS DOUBLE)) END)
+         |      + (CASE WHEN d = 0 THEN 0.0 ELSE CAST(d AS DOUBLE)
+         |        * ln(CAST(d * n AS DOUBLE) / CAST((c + d) * tb AS DOUBLE)) END)) AS llr,
+         |    CASE WHEN a * tb > b * ta THEN 'en' ELSE 'rest' END AS overrep
+         |  FROM cells)
+         |SELECT term, a AS focus_cnt, b AS rest_cnt, round(llr, 4) AS llr, overrep
+         |FROM (SELECT * FROM scored ORDER BY llr DESC, term LIMIT 20) top"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Retrieval.llrKeyness(documents(s, d), "text", "lang", "en", k = 20)
     }
   )
 }

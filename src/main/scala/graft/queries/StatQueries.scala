@@ -497,6 +497,35 @@ object StatQueries {
       TermStats.wittenBellTable(documents(s, d), "doc_id", "text", Seq("source"))
     },
 
+    // E389 conditional bigram entropy ([[TermStats.conditionalEntropy]]):
+    // H(cur|prev) = H(prev,cur) − H(prev) over the SAME bigram stream (the
+    // chain rule holds exactly) — the entropy-rate estimate under every
+    // perplexity number here; the gap to the unigram entropy is the
+    // predictability bigram LMs monetize. 9-dp DECIMAL term sums, exact
+    // decimal subtraction, bigram-TYPE shuffles only.
+    QEntry.sql(
+      "txt_cond_entropy",
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |bgs AS (SELECT unnest(list_transform(range(2, len(words) + 1),
+         |    i -> struct_pack(prev := words[i-1], cur := words[i]))) AS bp
+         |  FROM w WHERE len(words) >= 2),
+         |bg AS (SELECT bp.prev AS prev, bp.cur AS cur, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bgs GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c2) AS BIGINT) AS bt FROM bg),
+         |hj AS (SELECT CAST(sum(CAST(round(
+         |      -(CAST(c2 AS DOUBLE) / bt) * log2(CAST(c2 AS DOUBLE) / bt), 9)
+         |    AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS hj FROM bg CROSS JOIN tot),
+         |mrg AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY prev),
+         |hp AS (SELECT CAST(sum(CAST(round(
+         |      -(CAST(c1 AS DOUBLE) / bt) * log2(CAST(c1 AS DOUBLE) / bt), 9)
+         |    AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS hp,
+         |    CAST(max(bt) AS BIGINT) AS n_bigrams FROM mrg CROSS JOIN tot)
+         |SELECT hp.n_bigrams, round(CAST(hj.hj AS DOUBLE), 6) AS h_joint,
+         |  round(CAST(hp.hp AS DOUBLE), 6) AS h_prev,
+         |  round(CAST(hj.hj - hp.hp AS DOUBLE), 6) AS h_cond
+         |FROM hp CROSS JOIN hj""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => TermStats.conditionalEntropy(documents(s, d), "doc_id", "text") },
+
     // E382 Min-K% probability score (Shi et al. 2023's membership-inference
     // / contamination signal, unigram instantiation): per document, the
     // mean surprisal of its K% = 20% LEAST-probable tokens under the
