@@ -2996,6 +2996,65 @@ object AnalyticsQueries {
         )
     },
 
+    // E392 log-log price elasticity per brand: the econometric read of the
+    // lineitem facts — elasticity = d ln(qty) / d ln(unit price), the OLS
+    // slope of ln(quantity) on ln(extendedprice/quantity) within each
+    // brand. Each ln quantizes to 9-dp DECIMAL, cross-products stay EXACT
+    // decimals through the brand-keyed moment aggregate, and the slope is
+    // one fixed-order double expression over the four moments — the same
+    // determinism ladder as the regression entries. One fact-scan partial
+    // agg; brands are a bounded domain.
+    QEntry.sql(
+      "q_price_elasticity",
+      """WITH j AS (SELECT p.p_brand AS brand,
+        |    CAST(round(ln(CAST(l_extendedprice AS DOUBLE)
+        |      / CAST(l_quantity AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+        |    CAST(round(ln(CAST(l_quantity AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |m AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DECIMAL(28,9)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(28,9)) AS sy,
+        |    CAST(sum(x * y) AS DECIMAL(38,18)) AS sxy,
+        |    CAST(sum(x * x) AS DECIMAL(38,18)) AS sx2
+        |  FROM j GROUP BY brand)
+        |SELECT brand, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |    AS elasticity
+        |FROM m WHERE n > 1"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val j = lineitem(s, d)
+        .join(part(s, d).select(col("p_partkey"), col("p_brand").as("brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(
+          col("brand"),
+          round(log(col("l_extendedprice").cast("double") /
+            col("l_quantity").cast("double")), 9).cast("decimal(18,9)").as("x"),
+          round(log(col("l_quantity").cast("double")), 9).cast("decimal(18,9)").as("y")
+        )
+      j.groupBy("brand")
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum("x").cast("decimal(28,9)").as("sx"),
+          sum("y").cast("decimal(28,9)").as("sy"),
+          sum(col("x") * col("y")).cast("decimal(38,18)").as("sxy"),
+          sum(col("x") * col("x")).cast("decimal(38,18)").as("sx2")
+        )
+        .filter(col("n") > 1)
+        .select(
+          col("brand"),
+          col("n"),
+          round(
+            (col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n") * col("sx2").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")),
+            6
+          ).as("elasticity")
+        )
+    },
+
     // E383 Theil T inequality index per month: the decomposable
     // entropy-based concentration measure beside q_gini_concentration's
     // rank-based one (Theil is additively decomposable across subgroups —

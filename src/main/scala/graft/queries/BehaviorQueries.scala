@@ -1023,6 +1023,95 @@ object BehaviorQueries {
         )
     },
 
+    // E391 Nelson-Aalen cumulative hazard: the SUM-form survival estimator
+    // beside q_kaplan_meier's product-limit (H(t) = Σ d_i/n_i — preferred
+    // when hazards are the modeling target and the basis of every
+    // Cox-model baseline; −ln S_KM ≈ H, so the pair cross-checks). Same
+    // repeat-purchase risk table (weeks to second order, censored at the
+    // horizon); the per-week hazard is an exact ppm integral division and
+    // the cumulative sum runs over the calendar-sized week table.
+    QEntry.sql(
+      "q_nelson_aalen",
+      s"""WITH o AS (SELECT o_custkey AS ck,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ad,
+         |    o_orderkey AS ok FROM orders),
+         |r AS (SELECT ck, ad,
+         |    row_number() OVER (PARTITION BY ck ORDER BY ad, ok) AS rn FROM o),
+         |f AS (SELECT ck, min(CASE WHEN rn = 1 THEN ad END) AS ad1,
+         |    min(CASE WHEN rn = 2 THEN ad END) AS ad2
+         |  FROM r WHERE rn <= 2 GROUP BY ck),
+         |mx AS (SELECT max(ad) AS m FROM o),
+         |ev AS (SELECT CASE WHEN f.ad2 IS NOT NULL THEN (f.ad2 - f.ad1) // 7
+         |      ELSE (mx.m - f.ad1) // 7 END AS t,
+         |    CASE WHEN f.ad2 IS NOT NULL THEN 1 ELSE 0 END AS e
+         |  FROM f CROSS JOIN mx),
+         |wk AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+         |    CAST(count(*) AS BIGINT) AS m FROM ev GROUP BY t),
+         |rk AS (SELECT t, d,
+         |    CAST(sum(m) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS n FROM wk),
+         |hz AS (SELECT t, d, n, CAST(d * 1000000 // n AS BIGINT) AS h_ppm FROM rk)
+         |SELECT t AS t_week, n AS n_risk, d AS d_events, h_ppm,
+         |  CAST(sum(h_ppm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS cum_hazard_ppm
+         |FROM hz""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("ad"),
+        col("o_orderkey").as("ok")
+      )
+      val r = o
+        .withColumn("rn", row_number().over(Window.partitionBy("ck").orderBy("ad", "ok")))
+        .filter(col("rn") <= 2)
+      val f = r
+        .groupBy("ck")
+        .agg(
+          min(when(col("rn") === 1, col("ad"))).as("ad1"),
+          min(when(col("rn") === 2, col("ad"))).as("ad2")
+        )
+      val mx = o.agg(max("ad").as("m"))
+      val ev = f
+        .crossJoin(broadcast(mx))
+        .select(
+          when(col("ad2").isNotNull, expr("(ad2 - ad1) div 7"))
+            .otherwise(expr("(m - ad1) div 7"))
+            .as("t"),
+          when(col("ad2").isNotNull, 1L).otherwise(0L).as("e")
+        )
+      val wk = ev.groupBy("t").agg(sum("e").cast("long").as("d"), count(lit(1)).as("m"))
+      val one = pmod(col("t"), lit(1)) // single-partition key, calendar-sized frame
+      val rk = wk.select(
+        col("t"),
+        col("d"),
+        sum("m")
+          .over(
+            Window
+              .partitionBy(one)
+              .orderBy(col("t").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          )
+          .cast("long")
+          .as("n")
+      )
+      rk.withColumn("h_ppm", expr("CAST(d * 1000000 div n AS BIGINT)"))
+        .select(
+          col("t").as("t_week"),
+          col("n").as("n_risk"),
+          col("d").as("d_events"),
+          col("h_ppm"),
+          sum("h_ppm")
+            .over(
+              Window
+                .partitionBy(pmod(col("t"), lit(1)))
+                .orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("long")
+            .as("cum_hazard_ppm")
+        )
+    },
+
     // SAX-style symbolic discretization of each nation's monthly-revenue
     // series: every month is mapped to a quartile letter a–d (ntile(4) over
     // exact cent totals, month tie-break → total order, so both engines
