@@ -3172,6 +3172,76 @@ object AnalyticsQueries {
         )
     },
 
+    // E393 Cochran-Armitage trend test: IS the URGENT share drifting
+    // monotonically across ordered months? — the trend-in-proportions test
+    // the per-month z family (q_bh_fdr) can't express, because it scores
+    // the ORDERING itself: Z = Σw(a − n·p̄) / √(p̄(1−p̄)(Σnw² − (Σnw)²/N))
+    // with w the dense month index. All sufficient statistics exact BIGINTs
+    // (one month-keyed partial agg + a calendar-table index window); the z
+    // is one fixed-order double expression.
+    QEntry.sql(
+      "q_cochran_armitage",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS mo,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT mo, n, a,
+        |    CAST(row_number() OVER (ORDER BY mo) - 1 AS BIGINT) AS wi FROM m),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |    CAST(sum(a) AS BIGINT) AS ta, CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(a * wi) AS BIGINT) AS s1,
+        |    CAST(sum(n * wi) AS BIGINT) AS s2,
+        |    CAST(sum(n * wi * wi) AS BIGINT) AS s3
+        |  FROM w)
+        |SELECT n_months, ta AS n_urgent, tn AS n_total,
+        |  round((CAST(s1 AS DOUBLE) - CAST(ta AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(tn AS DOUBLE))
+        |    / sqrt((CAST(ta AS DOUBLE) / tn) * (1.0 - CAST(ta AS DOUBLE) / tn)
+        |      * (CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |        / CAST(tn AS DOUBLE))), 6) AS z_trend
+        |FROM st WHERE ta > 0 AND ta < tn"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mo"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+            .cast("long").as("a")
+        )
+      val one = pmod(length(col("mo")), lit(1)) // calendar-table index window
+      val w = m.withColumn(
+        "wi",
+        (row_number().over(Window.partitionBy(one).orderBy("mo")) - 1).cast("long"))
+      w.agg(
+        count(lit(1)).cast("long").as("n_months"),
+        sum("a").cast("long").as("ta"),
+        sum("n").cast("long").as("tn"),
+        sum(col("a") * col("wi")).cast("long").as("s1"),
+        sum(col("n") * col("wi")).cast("long").as("s2"),
+        sum(col("n") * col("wi") * col("wi")).cast("long").as("s3")
+      ).filter(col("ta") > 0 && col("ta") < col("tn"))
+        .select(
+          col("n_months"),
+          col("ta").as("n_urgent"),
+          col("tn").as("n_total"),
+          round(
+            (col("s1").cast("double") -
+              col("ta").cast("double") * col("s2").cast("double") /
+                col("tn").cast("double")) /
+              sqrt(
+                (col("ta").cast("double") / col("tn")) *
+                  (lit(1.0) - col("ta").cast("double") / col("tn")) *
+                  (col("s3").cast("double") -
+                    col("s2").cast("double") * col("s2").cast("double") /
+                      col("tn").cast("double"))
+              ),
+            6
+          ).as("z_trend")
+        )
+    },
+
     // E384 Benjamini-Hochberg FDR over a test FAMILY: the multiple-testing
     // correction every per-group testing entry in this battery implicitly
     // needs — run one two-proportion z-test per month (URGENT share vs the
