@@ -99,7 +99,8 @@ object Plans {
       "cur_ppl_buckets", "q_pettitt_change", "q_durbin_watson",
       "txt_min_k_prob", "q_theil_index", "q_bh_fdr", "q_friedman_test",
       "sample_neyman_alloc", "ann_hnsw_topk", "txt_cond_entropy", "txt_keyness_llr",
-      "q_nelson_aalen", "q_price_elasticity", "q_cochran_armitage"
+      "q_nelson_aalen", "q_price_elasticity", "q_cochran_armitage",
+      "q_cohens_d", "txt_jsd_sources"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -3172,6 +3172,80 @@ object AnalyticsQueries {
         )
     },
 
+    // E394 Cohen's d per month: the PARAMETRIC effect size beside the Welch
+    // t (which answers "significant?") and Cliff's delta (its rank-based
+    // cousin) — d = (μ₁−μ₂)/s_pooled on the 0.2/0.5/0.8 smallness scale.
+    // One conditional-moment pass per month (Σx² through HUGEINT/DECIMAL —
+    // cents² × month volume overflows BIGINT), variances and the pooled SD
+    // a fixed-order double expression.
+    QEntry.sql(
+      "q_cohens_d",
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        |  FROM orders),
+        |m AS (SELECT month,
+        |    CAST(sum(g) AS BIGINT) AS n1, CAST(sum(1 - g) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN g = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN g = 0 THEN cents ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN g = 1 THEN CAST(cents AS HUGEINT) * cents
+        |      ELSE 0 END) AS HUGEINT) AS q1,
+        |    CAST(sum(CASE WHEN g = 0 THEN CAST(cents AS HUGEINT) * cents
+        |      ELSE 0 END) AS HUGEINT) AS q2
+        |  FROM o GROUP BY month)
+        |SELECT month, n1, n2,
+        |  round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        |    / sqrt((CAST(n1 - 1 AS DOUBLE)
+        |        * ((n1 * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |           / CAST(n1 * (n1 - 1) AS DOUBLE))
+        |      + CAST(n2 - 1 AS DOUBLE)
+        |        * ((n2 * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |           / CAST(n2 * (n2 - 1) AS DOUBLE)))
+        |      / CAST(n1 + n2 - 2 AS DOUBLE)), 6) AS cohens_d
+        |FROM m WHERE n1 > 1 AND n2 > 1"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g")
+      )
+      val cd = col("cents").cast("decimal(38,0)")
+      val m = o
+        .groupBy("month")
+        .agg(
+          sum("g").cast("long").as("n1"),
+          sum(lit(1L) - col("g")).cast("long").as("n2"),
+          sum(when(col("g") === 1, col("cents")).otherwise(0L)).cast("long").as("s1"),
+          sum(when(col("g") === 0, col("cents")).otherwise(0L)).cast("long").as("s2"),
+          sum(when(col("g") === 1, cd * col("cents")).otherwise(lit(0)))
+            .cast("decimal(38,0)").as("q1"),
+          sum(when(col("g") === 0, cd * col("cents")).otherwise(lit(0)))
+            .cast("decimal(38,0)").as("q2")
+        )
+      val var1 = (col("n1") * col("q1").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double")) /
+        (col("n1") * (col("n1") - 1)).cast("double")
+      val var2 = (col("n2") * col("q2").cast("double") -
+        col("s2").cast("double") * col("s2").cast("double")) /
+        (col("n2") * (col("n2") - 1)).cast("double")
+      m.filter(col("n1") > 1 && col("n2") > 1)
+        .select(
+          col("month"),
+          col("n1"),
+          col("n2"),
+          round(
+            (col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2")) /
+              sqrt(
+                ((col("n1") - 1).cast("double") * var1 +
+                  (col("n2") - 1).cast("double") * var2) /
+                  (col("n1") + col("n2") - 2).cast("double")
+              ),
+            6
+          ).as("cohens_d")
+        )
+    },
+
     // E393 Cochran-Armitage trend test: IS the URGENT share drifting
     // monotonically across ordered months? — the trend-in-proportions test
     // the per-month z family (q_bh_fdr) can't express, because it scores

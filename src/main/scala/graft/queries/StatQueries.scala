@@ -497,6 +497,86 @@ object StatQueries {
       TermStats.wittenBellTable(documents(s, d), "doc_id", "text", Seq("source"))
     },
 
+    // E395 pairwise Jensen-Shannon divergence between source unigram
+    // distributions — the SYMMETRIC, √-metrizable, [0,1]-bounded
+    // distribution distance beside txt_kl_sources' asymmetric KL (JSD is
+    // what mixture/dedup audits compare corpora with: no infinities on
+    // disjoint support). Decomposed so NO outer join is needed: shared
+    // terms contribute ½p·log₂(2p/(p+q)) + ½q·log₂(2q/(p+q)) (9-dp DECIMAL
+    // sums), and each side's UNSHARED mass contributes exactly (1−Σp)/2 —
+    // with Σp over shared terms an exact integer ratio. The pair stage is a
+    // term-keyed self-join (sources² pairs per term at most; the shuffle
+    // carries term TYPES).
+    QEntry.sql(
+      "txt_jsd_sources",
+      s"""WITH toks AS (SELECT source, t.term FROM (SELECT source,
+         |    unnest($wordsSql) AS term FROM documents) t WHERE t.term <> ''),
+         |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY source, term),
+         |tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM tf GROUP BY source),
+         |pr AS (SELECT a.source AS s1, b.source AS s2, a.term,
+         |    a.c AS c1, b.c AS c2, ta.tot AS t1, tb.tot AS t2,
+         |    CAST(a.c AS DOUBLE) / ta.tot AS pp,
+         |    CAST(b.c AS DOUBLE) / tb.tot AS qq
+         |  FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+         |  JOIN tt ta ON a.source = ta.source JOIN tt tb ON b.source = tb.source),
+         |contrib AS (SELECT s1, s2,
+         |    CAST(sum(CAST(round(0.5 * pp * log2(2.0 * pp / (pp + qq))
+         |      + 0.5 * qq * log2(2.0 * qq / (pp + qq)), 9) AS DECIMAL(18,9)))
+         |      AS DECIMAL(28,9)) AS shared_bits,
+         |    CAST(count(*) AS BIGINT) AS n_shared,
+         |    CAST(sum(c1) AS BIGINT) AS sc1, CAST(sum(c2) AS BIGINT) AS sc2,
+         |    CAST(max(t1) AS BIGINT) AS t1, CAST(max(t2) AS BIGINT) AS t2
+         |  FROM pr GROUP BY s1, s2)
+         |SELECT s1 AS source_a, s2 AS source_b, n_shared,
+         |  round(CAST(shared_bits AS DOUBLE)
+         |    + (1.0 - CAST(sc1 AS DOUBLE) / t1) / 2.0
+         |    + (1.0 - CAST(sc2 AS DOUBLE) / t2) / 2.0, 6) AS jsd_bits
+         |FROM contrib""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("source"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("source", "term").agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint() // both join sides and the totals re-read it
+      val tt = tf.groupBy("source").agg(sum("c").cast("long").as("tot"))
+      val a = tf.select(col("source").as("s1"), col("term"), col("c").as("c1"))
+      val b = tf.select(col("source").as("s2"), col("term"), col("c").as("c2"))
+      val pr = a
+        .join(b, Seq("term"))
+        .filter(col("s1") < col("s2"))
+        .join(broadcast(tt.select(col("source").as("s1"), col("tot").as("t1"))), "s1")
+        .join(broadcast(tt.select(col("source").as("s2"), col("tot").as("t2"))), "s2")
+        .withColumn("pp", col("c1").cast("double") / col("t1"))
+        .withColumn("qq", col("c2").cast("double") / col("t2"))
+      pr.groupBy("s1", "s2")
+        .agg(
+          sum(
+            round(
+              lit(0.5) * col("pp") * log2(lit(2.0) * col("pp") / (col("pp") + col("qq"))) +
+                lit(0.5) * col("qq") * log2(lit(2.0) * col("qq") / (col("pp") + col("qq"))),
+              9
+            ).cast("decimal(18,9)")
+          ).cast("decimal(28,9)").as("shared_bits"),
+          count(lit(1)).cast("long").as("n_shared"),
+          sum("c1").cast("long").as("sc1"),
+          sum("c2").cast("long").as("sc2"),
+          max("t1").cast("long").as("t1"),
+          max("t2").cast("long").as("t2")
+        )
+        .select(
+          col("s1").as("source_a"),
+          col("s2").as("source_b"),
+          col("n_shared"),
+          round(
+            col("shared_bits").cast("double") +
+              (lit(1.0) - col("sc1").cast("double") / col("t1")) / lit(2.0) +
+              (lit(1.0) - col("sc2").cast("double") / col("t2")) / lit(2.0),
+            6
+          ).as("jsd_bits")
+        )
+    },
+
     // E389 conditional bigram entropy ([[TermStats.conditionalEntropy]]):
     // H(cur|prev) = H(prev,cur) − H(prev) over the SAME bigram stream (the
     // chain rule holds exactly) — the entropy-rate estimate under every
