@@ -1941,6 +1941,102 @@ object Similarity {
     }
   }
 
+  /** md5-prefix membership predicate of the hierarchical coarse level —
+    * shared by build, append, and search so the three can never disagree
+    * on which nodes the coarse graph spans.
+    */
+  private def hnswUpperPred(idCol: String): Column =
+    substring(md5(col(idCol).cast("long").cast("string")), 1, 1) === "0"
+
+  /** Persisted TWO-LEVEL (hierarchical) NSW index on the commit protocol:
+    * one snapshot holds both graphs tagged by `lvl` (0 = full corpus,
+    * 1 = md5-sampled coarse level), so version semantics, vacuum, diff and
+    * time travel all apply to the pair atomically — a reader can never see
+    * a full graph without its matching coarse level.
+    */
+  def buildHnswIndexVersioned(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      writerId: String,
+      degree: Int = 12,
+      tables: Int = 4,
+      bits: Int = 6,
+      seed: Int = 42,
+      dim: Int = 0
+  ): Long = {
+    val e0 = buildNswEdges(corpus, idCol, vecCol, degree, tables, bits, seed, dim)
+      .withColumn("lvl", lit(0))
+    val e1 = buildNswEdges(
+      corpus.filter(hnswUpperPred(idCol)), idCol, vecCol, degree, tables, bits, seed, dim)
+      .withColumn("lvl", lit(1))
+    IndexCommit.commit(corpus.sparkSession, root, writerId) {
+      case None => e0.unionByName(e1)
+      case Some(b) =>
+        b.unionByName(e0).unionByName(e1)
+          .groupBy("lvl", "src", "dst").agg(max("cos").as("cos"))
+    }
+  }
+
+  /** Frozen-plane hierarchical ingest: batch nodes prune against
+    * old ∪ batch on BOTH levels (the batch's coarse members — the same
+    * md5-prefix rule — against the combined coarse set), existing nodes
+    * never re-pruned on either level. O(batch) graph work per level.
+    */
+  def appendHnswIndexVersioned(
+      oldCorpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      writerId: String,
+      degree: Int = 12,
+      tables: Int = 4,
+      bits: Int = 6,
+      seed: Int = 42,
+      dim: Int = 0
+  ): Long = {
+    val all = oldCorpus.unionByName(batch)
+    val new0 = nswEdgesFor(batch, all, idCol, vecCol, degree, tables, bits, seed, dim)
+      .withColumn("lvl", lit(0))
+    val new1 = nswEdgesFor(
+      batch.filter(hnswUpperPred(idCol)), all.filter(hnswUpperPred(idCol)),
+      idCol, vecCol, degree, tables, bits, seed, dim)
+      .withColumn("lvl", lit(1))
+    IndexCommit.commit(batch.sparkSession, root, writerId) {
+      case None => new0.unionByName(new1)
+      case Some(base) =>
+        base.unionByName(new0).unionByName(new1)
+          .groupBy("lvl", "src", "dst").agg(max("cos").as("cos"))
+    }
+  }
+
+  /** Hierarchical search over the committed two-level snapshot — the
+    * production read path of [[buildHnswIndexVersioned]]. */
+  def hnswTopKFromCommitted(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      k: Int,
+      beam: Int = 32,
+      hops: Int = 5,
+      upperBeam: Int = 4,
+      upperHops: Int = 2
+  ): DataFrame = {
+    val snap = IndexCommit
+      .readCommitted(corpus.sparkSession, root)
+      .getOrElse(throw new IllegalStateException(s"no committed HNSW index at $root"))
+      ._2
+      .localCheckpoint()
+    val e0 = snap.filter(col("lvl") === 0).select("src", "dst")
+    val e1 = snap.filter(col("lvl") === 1).select("src", "dst")
+    nswTopKFromPrebuilt(corpus, queries, idCol, vecCol, e0, e1, k,
+      beam, hops, upperBeam, upperHops)
+  }
+
   /** Frozen-plane NSW ingest (the graph sibling of the frozen-centroid IVF
     * append, E297): batch nodes get candidate edges from the SAME md5
     * hash tables against old ∪ batch, degree-pruned per batch node and

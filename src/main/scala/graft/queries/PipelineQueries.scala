@@ -196,7 +196,7 @@ object PipelineQueries {
     */
   private def nswPlaneSql(t: Int): String = {
     val s = 42 + t * 1009
-    s"""pl$t AS (SELECT p, list_transform(range(0, $EmbDim), i ->
+    s"""pl$t AS MATERIALIZED (SELECT p, list_transform(range(0, $EmbDim), i ->
        |  CAST(CAST(list_sum(list_transform(range(1, 9), ii ->
        |    (strpos('0123456789abcdef',
        |            substr(md5('plane|$s|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
@@ -212,13 +212,13 @@ object PipelineQueries {
     val planes = (0 until NswTables).map(nswPlaneSql).mkString(", ")
     val bks = (0 until NswTables)
       .map(t =>
-        s"""bk$t AS (SELECT nv.vec_id,
+        s"""bk$t AS MATERIALIZED (SELECT nv.vec_id,
            |  string_agg(CASE WHEN list_dot_product(nv.e, pl$t.w) >= 0 THEN '1' ELSE '0' END,
            |             '' ORDER BY pl$t.p) AS bucket
            |FROM nv, pl$t GROUP BY nv.vec_id)""".stripMargin
       )
       .mkString(", ")
-    s"""WITH nv AS (SELECT vec_id,
+    s"""WITH nv AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
        |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
        |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS n
@@ -320,18 +320,18 @@ object PipelineQueries {
   private val NswUpperPredA = "substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) = '0'"
   private val NswUpperPredB = "substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 1) = '0'"
 
-  private def nswHierarchicalSql: String =
-    nswCoreSql + ", " + nswFullEdgesSql + ", " +
-      nswPruneStageSql("pr1", s"$NswUpperPredA AND $NswUpperPredB") + ", " +
-      """edges1 AS (SELECT src, dst FROM pr1
-        |  UNION SELECT dst AS src, src AS dst FROM pr1)""".stripMargin + ", " +
-      s"""ent1 AS (SELECT vec_id AS eid FROM nv
-         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
-         |q AS (SELECT vec_id AS query_id, e AS qe, n AS qn FROM nv WHERE vec_id < 5),
-         |g0 AS (SELECT q.query_id, c.vec_id AS node_id,
-         |    round(list_dot_product(q.qe, c.e) / (q.qn * c.n), 6) AS cos
-         |  FROM q CROSS JOIN ent1 JOIN nv c ON ent1.eid = c.vec_id)""".stripMargin + ", " +
+  /** The two-level descent: coarse entry + tiny-beam ladder over `edges1`,
+    * best coarse node seeding the full ladder over `edges`. Needs nv plus
+    * preceding `edges` and `edges1` CTEs.
+    */
+  private def nswHierSearchTailSql: String =
+    s"""ent1 AS (SELECT vec_id AS eid FROM nv
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |q AS (SELECT vec_id AS query_id, e AS qe, n AS qn FROM nv WHERE vec_id < 5),
+       |g0 AS (SELECT q.query_id, c.vec_id AS node_id,
+       |    round(list_dot_product(q.qe, c.e) / (q.qn * c.n), 6) AS cos
+       |  FROM q CROSS JOIN ent1 JOIN nv c ON ent1.eid = c.vec_id)""".stripMargin + ", " +
       nswHopsSql(NswUpperHops, NswUpperBeam, prefix = "g", edgesCte = "edges1",
         base = "g0") + ", " +
       s"""best1 AS (SELECT query_id, node_id FROM (
@@ -346,6 +346,36 @@ object PipelineQueries {
          |  FROM seeds0 s JOIN nv c ON s.node_id = c.vec_id
          |  JOIN q ON s.query_id = q.query_id)""".stripMargin + ", " +
       nswHopsSql(NswHops, NswBeam, prefix = "h", edgesCte = "edges", base = "h0")
+
+  private def nswHierarchicalSql: String =
+    nswCoreSql + ", " + nswFullEdgesSql + ", " +
+      nswPruneStageSql("pr1", s"$NswUpperPredA AND $NswUpperPredB") + ", " +
+      """edges1 AS (SELECT src, dst FROM pr1
+        |  UNION SELECT dst AS src, src AS dst FROM pr1)""".stripMargin + ", " +
+      nswHierSearchTailSql
+
+  /** Two-level build-on-evens + frozen-plane append-of-odds edge tables —
+    * the twin of buildHnswIndexVersioned(evens) then
+    * appendHnswIndexVersioned(odds): each level gets its own A (even→even)
+    * and B (odd→any-of-that-level) prune stages, both mirrored.
+    */
+  private def nswHierSplitEdgesSql: String =
+    nswPruneStageSql("prA", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0") + ", " +
+      nswPruneStageSql("prB", "a.vec_id % 2 = 1") + ", " +
+      nswPruneStageSql(
+        "pr1A",
+        s"$NswUpperPredA AND $NswUpperPredB AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 0") + ", " +
+      nswPruneStageSql(
+        "pr1B",
+        s"$NswUpperPredA AND $NswUpperPredB AND a.vec_id % 2 = 1") +
+      """, edges AS (SELECT src, dst FROM prA
+        |  UNION SELECT dst, src FROM prA
+        |  UNION SELECT src, dst FROM prB
+        |  UNION SELECT dst, src FROM prB),
+        |edges1 AS (SELECT src, dst FROM pr1A
+        |  UNION SELECT dst, src FROM pr1A
+        |  UNION SELECT src, dst FROM pr1B
+        |  UNION SELECT dst, src FROM pr1B)""".stripMargin
 
   val entries: Seq[QEntry] = Seq(
     // Exact dedup: content-hash group, keep lowest id.
@@ -2719,7 +2749,7 @@ object PipelineQueries {
     // division; n ≥ 2 gates the degenerate group.
     QEntry.sql(
       "emb_pairwise_cos", {
-        s"""WITH nv AS (SELECT vec_id, label, embedding,
+        s"""WITH nv AS MATERIALIZED (SELECT vec_id, label, embedding,
            |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
            |      (a, b) -> a + b) AS norm2
            |  FROM embeddings),
@@ -4309,6 +4339,39 @@ object PipelineQueries {
       Similarity
         .nswTopKHierarchical(
           emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, dim = EmbDim)
+        .withColumn("rank", col("rank").cast("bigint"))
+    },
+
+    // E396 persisted hierarchical NSW index lifecycle ([[Similarity
+    // .buildHnswIndexVersioned/appendHnswIndexVersioned]]): both levels live
+    // in ONE committed snapshot tagged by lvl, so version semantics, diff
+    // and time travel apply to the pair atomically — a reader can never see
+    // a full graph without its matching coarse level. Build on the evens as
+    // v1, frozen-plane-append the odds as v2 (batch coarse members prune
+    // against the combined coarse set; existing nodes never re-pruned on
+    // either level), answer from the committed snapshot. The twin replays
+    // all FOUR prune stages (A/B per level) and both beam ladders.
+    QEntry.sql(
+      "ann_hnsw_index_fetch",
+      nswCoreSql + ", " + nswHierSplitEdgesSql + ", " + nswHierSearchTailSql +
+        s""" SELECT query_id, node_id AS neighbor_id, cos,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, node_id) AS BIGINT) AS rank
+           |FROM h$NswHops WHERE node_id != query_id
+           |QUALIFY rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hnswidx").resolve("hnsw").toString
+      val evens = emb.filter(col("vec_id") % 2 === 0)
+      val odds = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.buildHnswIndexVersioned(evens, "vec_id", "embedding", root, "builder",
+        dim = EmbDim)
+      Similarity.appendHnswIndexVersioned(evens, odds, "vec_id", "embedding", root,
+        "ingest", dim = EmbDim)
+      Similarity
+        .hnswTopKFromCommitted(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          root, 10)
         .withColumn("rank", col("rank").cast("bigint"))
     },
 
