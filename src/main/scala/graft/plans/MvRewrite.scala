@@ -294,13 +294,20 @@ object MvRewrite {
             old.forall { case (p, sig) => now.get(p).contains(sig) } &&
             now.size > old.size
           if (!appendOnly) None
-          else {
-            val appended = (now.keySet -- old.keySet).toSeq.sorted
-            refreshAppended(spark, defn, appended)
-            persist(spark, catalogDir, defn) // new signature + manifest
-            register(spark, defn)
-            Some(defn)
-          }
+          else
+            try {
+              val appended = (now.keySet -- old.keySet).toSeq.sorted
+              refreshAppended(spark, defn, appended)
+              persist(spark, catalogDir, defn) // new signature + manifest
+              register(spark, defn)
+              Some(defn)
+            } catch {
+              // a refresh that cannot run (e.g. a Hive-partitioned base whose
+              // bare-file delta read loses the partition columns) degrades to
+              // the DROP semantics — serving none is just the un-rewritten
+              // plan; a wedged loadCatalog would take every OTHER MV with it
+              case scala.util.control.NonFatal(_) => None
+            }
         }
       }
       .toSeq
