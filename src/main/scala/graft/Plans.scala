@@ -100,7 +100,8 @@ object Plans {
       "txt_min_k_prob", "q_theil_index", "q_bh_fdr", "q_friedman_test",
       "sample_neyman_alloc", "ann_hnsw_topk", "txt_cond_entropy", "txt_keyness_llr",
       "q_nelson_aalen", "q_price_elasticity", "q_cochran_armitage",
-      "q_cohens_d", "txt_jsd_sources", "ann_hnsw_index_fetch"
+      "q_cohens_d", "txt_jsd_sources", "ann_hnsw_index_fetch",
+      "q_gumbel_fit", "dedup_minhash_1bit"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

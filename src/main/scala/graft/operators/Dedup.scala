@@ -396,6 +396,52 @@ object Dedup {
       .filter(col("norm_dist") <= maxNorm)
   }
 
+  /** b-bit MinHash similarity estimate with b = 1 (Li & König 2010): keep
+    * only the LOWEST BIT of each permutation's min-hash — 1/32 the
+    * signature storage of the 4-hex-char slices — and estimate Jaccard from
+    * bit agreement, Ĵ = max(0, 2·A − 1) (a random unrelated pair agrees on
+    * half its bits, so agreement is debiased at 0.5). The storage/accuracy
+    * trade every web-scale dedup deployment prices out: variance per perm
+    * roughly doubles vs full hashes, so b-bit runs with more perms for the
+    * same precision at a fraction of the bytes. Bit = parity of the slice's
+    * last hex digit — engine-replayable like every md5 derivation here.
+    * Same two-equi-join shape as [[minhashJaccardEstimate]].
+    */
+  def oneBitMinhashEstimate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2
+  ): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numPerm, rowsPerBand)
+    val perms = 0 until numPerm
+    def bit(j: Int): Column =
+      (conv(substring(col(s"m$j"), 4, 1), 16, 10).cast("long") % 2).cast("long")
+    val a = sigs.select(col(idCol).as("id1") +: perms.map(j => bit(j).as(s"a$j")): _*)
+    val b = sigs.select(col(idCol).as("id2") +: perms.map(j => bit(j).as(s"b$j")): _*)
+    val agree = perms
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .select("id1", "id2")
+      .join(a, "id1")
+      .join(b, "id2")
+      .select(
+        col("id1"),
+        col("id2"),
+        agree.as("agree_bits"),
+        round(
+          greatest(
+            lit(0.0),
+            lit(2.0) * (agree.cast("double") / lit(numPerm.toDouble)) - lit(1.0)
+          ),
+          6
+        ).as("jaccard_1bit")
+      )
+  }
+
   /** Canonical-first fuzzy verification — the linear-in-members alternative
     * to [[fuzzyPairs]]' linear-in-pairs Levenshtein stage. Within a d-clone
     * candidate cluster, pairwise verification runs C(d,2) edit distances;

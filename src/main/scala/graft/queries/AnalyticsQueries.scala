@@ -3172,6 +3172,65 @@ object AnalyticsQueries {
         )
     },
 
+    // E397 Gumbel block-maxima fit (extreme-value theory, method of
+    // moments): monthly maxima of order value are the classic block-maxima
+    // sample; Gumbel params β = s·√6/π, μ = m − γ·β (γ Euler-Mascheroni)
+    // and the headline scalar P(next block sets a NEW RECORD) =
+    // 1 − exp(−exp(−(max−μ)/β)) — the tail-risk read none of the mean-level
+    // entries can give. Maxima and their moments are exact integers
+    // (squares through HUGEINT/DECIMAL); the fit is one fixed-order double
+    // expression with γ, √6, π as shared literals.
+    QEntry.sql(
+      "q_gumbel_fit",
+      """WITH mx AS (SELECT strftime(o_orderdate, '%Y-%m') AS mo,
+        |    CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s,
+        |    CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS q,
+        |    CAST(max(m) AS BIGINT) AS rec FROM mx),
+        |fit AS (SELECT n, rec,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt((n * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / CAST(n * (n - 1) AS DOUBLE))
+        |      * 2.449489742783178 / 3.141592653589793 AS beta
+        |  FROM st WHERE n > 1)
+        |SELECT n AS n_months, rec AS record_cents,
+        |  round(mean - 0.5772156649015329 * beta, 2) AS mu_cents,
+        |  round(beta, 2) AS beta_cents,
+        |  round(1.0 - exp(-exp(-((CAST(rec AS DOUBLE)
+        |    - (mean - 0.5772156649015329 * beta)) / beta))), 6) AS p_new_record
+        |FROM fit"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val mx = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mo"))
+        .agg(max(round(col("o_totalprice") * 100).cast("long")).cast("long").as("m"))
+      val st = mx.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum("m").cast("long").as("s"),
+        sum(col("m").cast("decimal(38,0)") * col("m")).cast("decimal(38,0)").as("q"),
+        max("m").cast("long").as("rec")
+      )
+      val mean = col("s").cast("double") / col("n")
+      val beta = sqrt(
+        (col("n") * col("q").cast("double") -
+          col("s").cast("double") * col("s").cast("double")) /
+          (col("n") * (col("n") - 1)).cast("double")
+      ) * lit(2.449489742783178) / lit(3.141592653589793)
+      st.filter(col("n") > 1)
+        .select(
+          col("n").as("n_months"),
+          col("rec").as("record_cents"),
+          round(mean - lit(0.5772156649015329) * beta, 2).as("mu_cents"),
+          round(beta, 2).as("beta_cents"),
+          round(
+            lit(1.0) - exp(-exp(-((col("rec").cast("double") -
+              (mean - lit(0.5772156649015329) * beta)) / beta))),
+            6
+          ).as("p_new_record")
+        )
+    },
+
     // E394 Cohen's d per month: the PARAMETRIC effect size beside the Welch
     // t (which answers "significant?") and Cliff's delta (its rank-based
     // cousin) — d = (μ₁−μ₂)/s_pooled on the 0.2/0.5/0.8 smallness scale.

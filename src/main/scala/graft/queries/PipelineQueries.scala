@@ -436,6 +436,43 @@ object PipelineQueries {
       Dedup.minhashJaccardEstimate(docs, "doc_id", "text", pairs)
     },
 
+    // E398 1-bit MinHash estimate ([[Dedup.oneBitMinhashEstimate]], Li &
+    // König 2010): Jaccard from the LOWEST BIT of each permutation's
+    // min-hash — 1/32 the signature bytes, Ĵ = max(0, 2A−1) debiasing the
+    // 0.5 agreement of unrelated pairs; the storage/accuracy trade web-scale
+    // dedup prices out, judged here on the same all-pairs eval sample as
+    // dedup_minhash_est so the two estimators compare row for row.
+    QEntry.sql(
+      "dedup_minhash_1bit", {
+        val ms = (0 until 8).map(j => s"${minhashSql(j)} AS m$j").mkString(", ")
+        val agree = (0 until 8)
+          .map(j =>
+            s"(CASE WHEN (strpos('0123456789abcdef', substr(a.m$j, 4, 1)) - 1) % 2" +
+              s" = (strpos('0123456789abcdef', substr(b.m$j, 4, 1)) - 1) % 2" +
+              " THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, $ms
+           |  FROM (SELECT doc_id, $shinglesSql AS sh
+           |        FROM (SELECT doc_id, $wordsSql AS words
+           |              FROM documents WHERE doc_id < 30) w) s)
+           |SELECT a.doc_id AS id1, b.doc_id AS id2,
+           |  CAST($agree AS BIGINT) AS agree_bits,
+           |  round(greatest(0.0, 2.0 * (CAST($agree AS DOUBLE) / 8.0) - 1.0), 6)
+           |    AS jaccard_1bit
+           |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d).filter(col("doc_id") < 30)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids
+        .select(col("doc_id").as("id1"))
+        .crossJoin(ids.select(col("doc_id").as("id2")))
+        .filter(col("id1") < col("id2"))
+      Dedup.oneBitMinhashEstimate(docs, "doc_id", "text", pairs)
+    },
+
     // Cluster resolution: near-dup pairs → connected components → one
     // canonical cluster id (min doc_id of the component) per document.
     // Spark side is iterative min-label propagation (join + min-agg per round,
