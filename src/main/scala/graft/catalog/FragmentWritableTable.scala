@@ -94,8 +94,14 @@ private class FragmentBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FragmentInsertWriterFactory(schema)
 
-  /** Nothing lands until the driver commit: task "writes" only buffer, so
-    * a failed/aborted statement leaves master and fragments untouched.
+  /** Nothing lands until the driver commit: task "writes" only buffer, and
+    * the commit routes through the engine's validate-everything-first batch
+    * inserts, so a statement that fails validation (task-phase row checks
+    * here, table/metadata/routing checks inside the engine) leaves master
+    * and fragments untouched — never a prefix of its rows. The one
+    * remaining exposure, shared with every non-transactional multi-file
+    * sink, is a filesystem fault mid-append; see
+    * [[FragmentEngine.rangeInsertAllStrict]].
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.iterator
@@ -103,11 +109,9 @@ private class FragmentBatchWrite(
       .flatten
       .toSeq
     val engine = new FragmentEngine(SparkSession.active, warehouse)
-    rows.foreach { case (u, m, r) =>
-      if (dataset == FragmentEngine.RangeDataset)
-        engine.rangeInsertStrict(masterTable, u, m, r)
-      else engine.roundRobinInsertStrict(masterTable, u, m, r)
-    }
+    if (dataset == FragmentEngine.RangeDataset)
+      engine.rangeInsertAllStrict(masterTable, rows)
+    else engine.roundRobinInsertAllStrict(masterTable, rows)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -187,6 +187,56 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     catalog.writeRoundRobinMeta(meta.copy(lastInserted = next.toLong))
   }
 
+  /** Validate-everything-then-append variant of the strict inserts, for
+    * the SQL INSERT surface ([[graft.catalog.FragmentWritableTable]]): the
+    * table-existence check, the metadata read and every row's routing
+    * decision happen BEFORE any append, so a statement that fails
+    * validation (missing metadata, zero partitions, absent table) lands
+    * NOTHING — not a prefix of its rows. The remaining exposure is
+    * filesystem append faults mid-loop, the same partial-append exposure
+    * any non-transactional multi-file sink has; the round-robin counter is
+    * advanced ONCE after all rows land, matching the sequential per-row
+    * routing exactly.
+    */
+  private[graft] def rangeInsertAllStrict(
+      tableName: String,
+      rows: Seq[(Int, Int, Double)]
+  ): Unit = {
+    require(catalog.tableExists(tableName), s"$tableName table does not exist")
+    val meta = catalog
+      .readRangeMeta()
+      .getOrElse(throw new IllegalStateException("RANGE_METADATA missing"))
+    require(meta.totalPartitions > 0, "Total partitions <= 0")
+    val buckets = RangeBuckets(meta.totalPartitions, meta.minValue, meta.maxValue)
+    // every routing decision made before the first append
+    val routed = rows.map { case (u, m, r) => (u, m, r, buckets.bucketOf(r)) }
+    routed.foreach { case (u, m, r, b) =>
+      val rowid = appendToMaster(tableName, u, m, r)
+      if (b >= 0) appendToFragment(RangeDataset, b, u, m, r, rowid)
+    }
+  }
+
+  /** See [[rangeInsertAllStrict]] — round-robin twin. */
+  private[graft] def roundRobinInsertAllStrict(
+      tableName: String,
+      rows: Seq[(Int, Int, Double)]
+  ): Unit = {
+    require(catalog.tableExists(tableName), s"$tableName table does not exist")
+    val meta = catalog
+      .readRoundRobinMeta()
+      .getOrElse(throw new IllegalStateException("ROUND_ROBIN_METADATA missing"))
+    require(meta.totalPartitions > 0, "Total partitions <= 0")
+    val n = meta.totalPartitions
+    rows.zipWithIndex.foreach { case ((u, m, r), i) =>
+      val rowid = appendToMaster(tableName, u, m, r)
+      appendToFragment(
+        RoundRobinDataset, ((meta.lastInserted + 1 + i) % n).toInt, u, m, r, rowid)
+    }
+    if (rows.nonEmpty)
+      catalog.writeRoundRobinMeta(
+        meta.copy(lastInserted = (meta.lastInserted + rows.size) % n))
+  }
+
   /** Batch variant of roundRobinInsert for streaming ingestion (see
     * graft.streaming.StreamingOps.roundRobinRouter): appends a whole
     * micro-batch of (userid, movieid, rating) rows to master + fragments,

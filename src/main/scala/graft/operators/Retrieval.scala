@@ -705,8 +705,9 @@ object Retrieval {
     * inputs, so scores — and the top-k cut — are engine-deterministic.
     *
     * @return top-`k` terms by χ² with their slice counts and the slice the
-    *         term is over-represented in (decided by exact integer
-    *         cross-multiplication, no float compare)
+    *         term is over-represented in (cross-multiplication with each
+    *         factor cast to double first — exact below 2^53 and, unlike the
+    *         BIGINT product, never sign-wraps at web-corpus token counts)
     */
   def chi2Keyness(
       docs: DataFrame,
@@ -745,7 +746,10 @@ object Retrieval {
       .withColumn("chi2", coalesce(try_divide(num, den), lit(0.0)))
       .withColumn(
         "overrep",
-        when(col("a") * col("tb") > col("b") * col("ta"), lit(focus)).otherwise(lit("rest"))
+        when(
+          col("a").cast("double") * col("tb").cast("double") >
+            col("b").cast("double") * col("ta").cast("double"),
+          lit(focus)).otherwise(lit("rest"))
       )
       .orderBy(col("chi2").desc, col("term"))
       .limit(k)
@@ -786,10 +790,16 @@ object Retrieval {
       )
       .withColumn("b", col("tot") - col("a"))
     val totals = counts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    // Each factor is cast to double BEFORE multiplying: o and n are token
+    // counts, and o*n as BIGINT wraps past ~9.2e18 — i.e. at exactly the
+    // multi-billion-token corpora this operator targets. The double ratio is
+    // taken immediately anyway, and below 2^53 the two forms are bit-equal,
+    // so the DuckDB twin (same factor-wise casts) stays hash-stable.
     def cell(o: Column, rowTot: Column, colTot: Column, n: Column): Column =
       when(o === 0, lit(0.0)).otherwise(
         o.cast("double") * log(
-          (o * n).cast("double") / (rowTot * colTot).cast("double")))
+          o.cast("double") * n.cast("double") /
+            (rowTot.cast("double") * colTot.cast("double"))))
     counts
       .crossJoin(broadcast(totals))
       .withColumn("c", col("ta") - col("a"))
@@ -804,7 +814,10 @@ object Retrieval {
       )
       .withColumn(
         "overrep",
-        when(col("a") * col("tb") > col("b") * col("ta"), lit(focus)).otherwise(lit("rest"))
+        when(
+          col("a").cast("double") * col("tb").cast("double") >
+            col("b").cast("double") * col("ta").cast("double"),
+          lit(focus)).otherwise(lit("rest"))
       )
       .orderBy(col("llr").desc, col("term"))
       .limit(k)

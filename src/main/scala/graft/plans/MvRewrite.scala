@@ -124,6 +124,19 @@ object MvRewrite {
       count(col(baseCol)).cast("long").as(mvCol)
     } ++ defn.countCol.map(c => count(lit(1)).cast("long").as(c)).toSeq
 
+  /** Per-file partial-aggregate sidecar location for an MV — what makes
+    * DELETE-only base churn (retention expiry) incrementally refreshable:
+    * sums/counts re-add and, unlike signed retraction, per-file MIN/MAX
+    * partials re-aggregate EXACTLY over the surviving files, so every MV
+    * measure survives deletes without touching the fact table. Sized
+    * |files|×|groups| — the same order as a FileIndex snapshot, not the
+    * corpus.
+    */
+  private[plans] def sidecarPath(mvPath: String): String = mvPath + "_files"
+
+  /** Sidecar file-identity column (the raw `input_file_name()` URI). */
+  private val FileCol = "_file"
+
   def build(spark: SparkSession, defn: MvDef): Unit = {
     val base = spark.read.parquet(defn.basePath)
     val aggs = buildAggs(defn)
@@ -133,6 +146,16 @@ object MvRewrite {
       .write
       .mode("overwrite")
       .parquet(defn.mvPath)
+    // second pass for the per-file partials — at warehouse scale production
+    // folds both rollups into one scan (grouping sets); two scans at the
+    // one-time build keep the MV bytes byte-identical to the direct build
+    // while buying O(files×groups) delete-churn refresh forever after
+    base
+      .groupBy((input_file_name().as(FileCol) +: defn.groupCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write
+      .mode("overwrite")
+      .parquet(sidecarPath(defn.mvPath))
   }
 
   /** Register (or refresh) an MV: resolves the MV parquet ONCE and keeps its
@@ -221,12 +244,54 @@ object MvRewrite {
     b.result()
   }
 
+  /** The signature [[baseSignature]] would produce on exactly the listing
+    * snapshot `manifest` was built from — count:bytes:maxMtime derived from
+    * the manifest entries, never a second listing. Deriving instead of
+    * re-listing is what makes a persisted (signature, manifest) pair
+    * internally consistent under concurrent appenders: a file landing
+    * between two listings can never be recorded as covered while its rows
+    * are absent.
+    */
+  private[plans] def signatureOf(manifest: Map[String, String]): String = {
+    var bytes = 0L
+    var maxM = 0L
+    manifest.values.foreach { v =>
+      val i = v.indexOf(':')
+      bytes += v.substring(0, i).toLong
+      maxM = math.max(maxM, v.substring(i + 1).toLong)
+    }
+    s"${manifest.size}:$bytes:$maxM"
+  }
+
   /** Persist `defn` (plus the CURRENT base-table signature) as a JSON file
     * under `catalogDir`, so a later session can [[loadCatalog]] it. One file
     * per MV, keyed on the MV path digest — re-persisting the same MV
-    * overwrites its record.
+    * overwrites its record. The signature is DERIVED from the single
+    * manifest listing (see [[signatureOf]]); an absent base keeps
+    * [[baseSignature]]'s "absent" sentinel.
     */
   def persist(spark: SparkSession, catalogDir: String, defn: MvDef): Unit = {
+    val manifest = baseManifest(spark, defn.basePath)
+    val sig =
+      if (manifest.isEmpty) baseSignature(spark, defn.basePath)
+      else signatureOf(manifest)
+    persistSnapshot(spark, catalogDir, defn, sig, manifest)
+  }
+
+  /** [[persist]] with an EXPLICIT (signature, manifest) snapshot — the
+    * refresh paths pass the very listing their refresh decision was made
+    * from, closing the refresh→persist TOCTOU window: re-listing inside
+    * persist would record files that landed after the refresh as covered
+    * while their rows are absent from the MV (a permanently-stale rollup
+    * served as fresh).
+    */
+  private def persistSnapshot(
+      spark: SparkSession,
+      catalogDir: String,
+      defn: MvDef,
+      signature: String,
+      manifest: Map[String, String]
+  ): Unit = {
     val rec = MvRecord(
       defn.basePath,
       defn.mvPath,
@@ -235,9 +300,9 @@ object MvRewrite {
       defn.countCol,
       defn.mins,
       defn.maxs,
-      baseSignature(spark, defn.basePath),
+      signature,
       defn.counts,
-      baseManifest(spark, defn.basePath)
+      manifest
     )
     val dir = new Path(catalogDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -283,24 +348,42 @@ object MvRewrite {
           rec.basePath, rec.mvPath, rec.groupCols, rec.sums, rec.countCol, rec.mins,
           rec.maxs, Option(rec.counts).getOrElse(Map.empty))
         val mvExists = fs.exists(new Path(rec.mvPath))
+        // ONE listing snapshot decides freshness, the churn class AND what
+        // gets persisted after a refresh — deriving the signature from it
+        // (signatureOf) instead of listing again closes both TOCTOU windows
+        // (decide-vs-refresh and refresh-vs-persist)
+        lazy val now = baseManifest(spark, rec.basePath)
+        lazy val nowSig =
+          if (now.isEmpty) baseSignature(spark, rec.basePath) else signatureOf(now)
         if (!mvExists) None
-        else if (baseSignature(spark, rec.basePath) == rec.baseSignature) {
+        else if (nowSig == rec.baseSignature) {
           register(spark, defn)
           Some(defn)
         } else {
           val old = Option(rec.baseManifest).getOrElse(Map.empty)
-          val now = baseManifest(spark, rec.basePath)
           val appendOnly = old.nonEmpty &&
             old.forall { case (p, sig) => now.get(p).contains(sig) } &&
             now.size > old.size
-          if (!appendOnly) None
+          // retention expiry: files removed, every survivor byte+mtime
+          // identical — refreshable from the per-file sidecar partials
+          val deleteOnly = old.nonEmpty && now.nonEmpty &&
+            now.forall { case (p, sig) => old.get(p).contains(sig) } &&
+            now.size < old.size
+          if (!appendOnly && !deleteOnly) None
           else
             try {
-              val appended = (now.keySet -- old.keySet).toSeq.sorted
-              refreshAppended(spark, defn, appended)
-              persist(spark, catalogDir, defn) // new signature + manifest
-              register(spark, defn)
-              Some(defn)
+              val refreshed =
+                if (appendOnly) {
+                  val appended = (now.keySet -- old.keySet).toSeq.sorted
+                  refreshAppended(spark, defn, appended)
+                  true
+                } else refreshDeleted(spark, defn, now.keySet)
+              if (!refreshed) None
+              else {
+                persistSnapshot(spark, catalogDir, defn, nowSig, now)
+                register(spark, defn)
+                Some(defn)
+              }
             } catch {
               // a refresh that cannot run (e.g. a Hive-partitioned base whose
               // bare-file delta read loses the partition columns) degrades to
@@ -321,6 +404,20 @@ object MvRewrite {
     * MV is |groups|-sized by design, so materializing it is cheap at any
     * base scale.
     */
+  /** Partial-state merge aggregates (sums/counts add, mins min, maxs max),
+    * each cast back to its persisted MV type so a refreshed MV is
+    * schema-identical to the direct build.
+    */
+  private def mergeAggs(
+      defn: MvDef,
+      mvTypes: Map[String, org.apache.spark.sql.types.DataType]
+  ): Seq[org.apache.spark.sql.Column] =
+    defn.sums.keys.toSeq.sorted.map(c => sum(col(c)).cast(mvTypes(c)).as(c)) ++
+      defn.mins.keys.toSeq.sorted.map(c => min(col(c)).cast(mvTypes(c)).as(c)) ++
+      defn.maxs.keys.toSeq.sorted.map(c => max(col(c)).cast(mvTypes(c)).as(c)) ++
+      defn.counts.keys.toSeq.sorted.map(c => sum(col(c)).cast("long").as(c)) ++
+      defn.countCol.map(c => sum(col(c)).cast("long").as(c)).toSeq
+
   private def refreshAppended(
       spark: SparkSession,
       defn: MvDef,
@@ -333,20 +430,75 @@ object MvRewrite {
       .groupBy(defn.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     val mvTypes = oldMv.schema.fields.map(f => f.name -> f.dataType).toMap
-    val mergeAggs =
-      defn.sums.keys.toSeq.sorted.map(c => sum(col(c)).cast(mvTypes(c)).as(c)) ++
-        defn.mins.keys.toSeq.sorted.map(c => min(col(c)).cast(mvTypes(c)).as(c)) ++
-        defn.maxs.keys.toSeq.sorted.map(c => max(col(c)).cast(mvTypes(c)).as(c)) ++
-        defn.counts.keys.toSeq.sorted.map(c => sum(col(c)).cast("long").as(c)) ++
-        defn.countCol.map(c => sum(col(c)).cast("long").as(c)).toSeq
     val mvCols = oldMv.columns.toIndexedSeq.map(col)
     val merged = oldMv
       .unionByName(delta.select(mvCols: _*))
       .groupBy(defn.groupCols.map(col): _*)
-      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .agg(mergeAggs(defn, mvTypes).head, mergeAggs(defn, mvTypes).tail: _*)
       .select(mvCols: _*)
       .localCheckpoint()
     merged.write.mode("overwrite").parquet(defn.mvPath)
+    // keep the per-file sidecar in step (when this MV has one): the
+    // appended files' partials APPEND — old sidecar rows are untouched, so
+    // a later delete-only churn still refreshes incrementally
+    val scPath = new Path(sidecarPath(defn.mvPath))
+    val fs = scPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(scPath)) {
+      val sidecar = spark.read.parquet(sidecarPath(defn.mvPath))
+      val scTypes = sidecar.schema.fields.map(f => f.name -> f.dataType).toMap
+      spark.read
+        .parquet(appendedFiles: _*)
+        .groupBy((input_file_name().as(FileCol) +: defn.groupCols.map(col)): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(sidecar.columns.toIndexedSeq.map(c => col(c).cast(scTypes(c)).as(c)): _*)
+        .write
+        .mode("append")
+        .parquet(sidecarPath(defn.mvPath))
+    }
+  }
+
+  /** Rebuild the MV from the sidecar partials of the SURVIVING base files —
+    * the delete-only-churn refresh. O(files×groups), never the fact table;
+    * exact for every measure (MIN/MAX re-aggregate from per-file extrema —
+    * no retraction needed). Returns false when this MV predates the sidecar
+    * (built before the feature): those keep the DROP semantics.
+    */
+  private def refreshDeleted(
+      spark: SparkSession,
+      defn: MvDef,
+      survivingFiles: Set[String]
+  ): Boolean = {
+    val scPath = new Path(sidecarPath(defn.mvPath))
+    val fs = scPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(scPath)) return false
+    val sidecar = spark.read.parquet(sidecarPath(defn.mvPath))
+    // input_file_name() URIs and listing URIs normalize differently
+    // (file:///x vs file:/x) — map BOTH through Path driver-side. The
+    // distinct file list is metadata-sized (what a FileIndex already holds).
+    val survivors = survivingFiles.map(k => new Path(k).toString)
+    val keep = sidecar
+      .select(col(FileCol))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .filter(raw => survivors.contains(new Path(raw).toString))
+      .toIndexedSeq
+    import spark.implicits._
+    val keepDf = keep.toDF(FileCol)
+    val kept = sidecar.join(broadcast(keepDf), FileCol).localCheckpoint()
+    val oldMv = spark.read.parquet(defn.mvPath)
+    val mvTypes = oldMv.schema.fields.map(f => f.name -> f.dataType).toMap
+    val mvCols = oldMv.columns.toIndexedSeq.map(col)
+    val refreshed = kept
+      .groupBy(defn.groupCols.map(col): _*)
+      .agg(mergeAggs(defn, mvTypes).head, mergeAggs(defn, mvTypes).tail: _*)
+      .select(mvCols: _*)
+      .localCheckpoint()
+    refreshed.write.mode("overwrite").parquet(defn.mvPath)
+    // prune the sidecar to survivors too (kept is already materialized, so
+    // overwriting the path it was read from is safe)
+    kept.write.mode("overwrite").parquet(sidecarPath(defn.mvPath))
+    true
   }
 
   /** Session conf key naming an MV catalog directory to auto-load at

@@ -514,7 +514,7 @@ object RetrievalQueries {
          |chi AS (SELECT term, a, b,
          |    CASE WHEN chi2raw IS NULL OR isnan(chi2raw) THEN 0.0
          |         ELSE chi2raw END AS chi2,
-         |    CASE WHEN a * tb > b * ta THEN 'en' ELSE 'rest' END AS overrep
+         |    CASE WHEN CAST(a AS DOUBLE) * CAST(tb AS DOUBLE) > CAST(b AS DOUBLE) * CAST(ta AS DOUBLE) THEN 'en' ELSE 'rest' END AS overrep
          |  FROM chi0)
          |SELECT term, a AS focus_cnt, b AS rest_cnt, round(chi2, 4) AS chi2, overrep
          |FROM (SELECT * FROM chi ORDER BY chi2 DESC, term LIMIT 20) top"""
@@ -541,14 +541,14 @@ object RetrievalQueries {
          |  FROM cb CROSS JOIN totals),
          |scored AS (SELECT term, a, b,
          |    2.0 * ((CASE WHEN a = 0 THEN 0.0 ELSE CAST(a AS DOUBLE)
-         |        * ln(CAST(a * n AS DOUBLE) / CAST((a + b) * ta AS DOUBLE)) END)
+         |        * ln(CAST(a AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(a + b AS DOUBLE) * CAST(ta AS DOUBLE))) END)
          |      + (CASE WHEN b = 0 THEN 0.0 ELSE CAST(b AS DOUBLE)
-         |        * ln(CAST(b * n AS DOUBLE) / CAST((a + b) * tb AS DOUBLE)) END)
+         |        * ln(CAST(b AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(a + b AS DOUBLE) * CAST(tb AS DOUBLE))) END)
          |      + (CASE WHEN c = 0 THEN 0.0 ELSE CAST(c AS DOUBLE)
-         |        * ln(CAST(c * n AS DOUBLE) / CAST((c + d) * ta AS DOUBLE)) END)
+         |        * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(c + d AS DOUBLE) * CAST(ta AS DOUBLE))) END)
          |      + (CASE WHEN d = 0 THEN 0.0 ELSE CAST(d AS DOUBLE)
-         |        * ln(CAST(d * n AS DOUBLE) / CAST((c + d) * tb AS DOUBLE)) END)) AS llr,
-         |    CASE WHEN a * tb > b * ta THEN 'en' ELSE 'rest' END AS overrep
+         |        * ln(CAST(d AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(c + d AS DOUBLE) * CAST(tb AS DOUBLE))) END)) AS llr,
+         |    CASE WHEN CAST(a AS DOUBLE) * CAST(tb AS DOUBLE) > CAST(b AS DOUBLE) * CAST(ta AS DOUBLE) THEN 'en' ELSE 'rest' END AS overrep
          |  FROM cells)
          |SELECT term, a AS focus_cnt, b AS rest_cnt, round(llr, 4) AS llr, overrep
          |FROM (SELECT * FROM scored ORDER BY llr DESC, term LIMIT 20) top"""

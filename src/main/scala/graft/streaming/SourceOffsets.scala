@@ -49,7 +49,59 @@ object SourceOffsets {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Newest logged epoch, if any — the recovery read. */
+  /** A writer hard-killed between [[logEpoch]]'s exclusive create and its
+    * content write leaves a zero-byte (or torn) `epoch-<id>` husk. Past this
+    * grace window the husk is a corpse: the claim is reclaimed (deleted) so
+    * the id becomes claimable again. Within the window it may be a LIVE
+    * peer inside the create→write microseconds, so recovery defers — the
+    * same discipline as [[graft.operators.IndexCommit.EmptyMarkerGraceMs]].
+    */
+  private[graft] val EmptyEpochGraceMs: Long = 60L * 1000L
+
+  /** Parse an epoch file's "start,end" line, retrying briefly: empty or
+    * torn content (the claimant died between create and write — the epoch
+    * NEVER ran, [[logEpoch]] returns true only after the content write) and
+    * a file that VANISHES mid-read (the claimant's failure path, or a
+    * reclaim, retracted it) are both "not logged", never an error.
+    * `retries` > 1 only for the newest file, where an in-flight writer
+    * could still be inside the create→write window; older husks are
+    * always corpses.
+    */
+  private def epochContent(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: Path,
+      retries: Int
+  ): Option[(Long, Long)] = {
+    var attempt = 0
+    while (attempt < retries) {
+      attempt += 1
+      val line =
+        try {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => return None
+        }
+      line.split(",", 2) match {
+        case Array(s, e) =>
+          (s.toLongOption, e.toLongOption) match {
+            case (Some(sl), Some(el)) => return Some((sl, el))
+            case _                    => () // torn write — retry then give up
+          }
+        case _ => ()
+      }
+      if (attempt < retries) Thread.sleep(20L)
+    }
+    None
+  }
+
+  /** Newest RESOLVABLE logged epoch, if any — the recovery read. Husk
+    * files (empty / torn, see [[EmptyEpochGraceMs]]) are skipped after the
+    * newest one's brief in-flight retry window, so a claimant that died
+    * mid-create can never permanently wedge recovery with a MatchError —
+    * recovery simply resumes from the previous fully-logged epoch.
+    */
   def lastLogged(spark: SparkSession, logDir: String): Option[Epoch] = {
     val dir = new Path(logDir)
     val f = fs(spark, dir)
@@ -60,16 +112,13 @@ object SourceOffsets {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("epoch-") => n.stripPrefix("epoch-").toLong }
       .toSeq
-    if (ids.isEmpty) None
-    else {
-      val id = ids.max
-      val in = f.open(epochPath(logDir, id))
-      val line =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      val Array(s, e) = line.split(",", 2)
-      Some(Epoch(id, s.toLong, e.toLong))
-    }
+      .sorted(Ordering[Long].reverse)
+    ids.zipWithIndex.iterator
+      .flatMap { case (id, i) =>
+        epochContent(f, epochPath(logDir, id), retries = if (i == 0) 50 else 1)
+          .map { case (s, e) => Epoch(id, s, e) }
+      }
+      .nextOption()
   }
 
   /** Claim an epoch: exclusive-create `epoch-<id>` holding "start,end".
@@ -159,7 +208,23 @@ object SourceOffsets {
             if (availableEnd - start > maxRowsPerEpoch) start + maxRowsPerEpoch
             else availableEnd
           val next = Epoch(last.map(_.id + 1).getOrElse(0L), start, end)
-          if (!logEpoch(spark, logDir, next)) {
+          def claim(): Boolean = logEpoch(spark, logDir, next)
+          val claimed = claim() || {
+            // the id may be blocked by a husk lastLogged skipped (a claimant
+            // dead between create and content write — that epoch never ran).
+            // Past the grace window reclaim it and retry the claim once;
+            // within the window it may be a live peer mid-write: defer.
+            val p = epochPath(logDir, next.id)
+            val f = fs(spark, p)
+            val deadHusk =
+              try {
+                val st = f.getFileStatus(p)
+                epochContent(f, p, retries = 1).isEmpty &&
+                st.getModificationTime < System.currentTimeMillis() - EmptyEpochGraceMs
+              } catch { case _: java.io.FileNotFoundException => true }
+            deadHusk && { f.delete(p, false); claim() }
+          }
+          if (!claimed) {
             // another driver claimed this id first: defer — NEVER re-execute
             // the winner's in-flight epoch (two writers overwriting the same
             // _batch= partition can interleave commits under one _SUCCESS)
