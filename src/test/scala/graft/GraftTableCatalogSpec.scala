@@ -195,4 +195,50 @@ class GraftTableCatalogSpec extends SparkSpec {
       assert(spark.table("graft_w1.range_ratings").filter(col("userid") === 97).count() == 0)
     }
   }
+
+  test("multi-row INSERT is all-or-nothing and routes identically to sequential inserts") {
+    withCatalog("graft_w2") { e =>
+      val root = spark.conf.get("spark.sql.catalog.graft_w2.warehouse")
+      val before = e.master("ratings").count()
+      // a multi-row statement with ONE invalid row (explicit _rowid on the
+      // third) must land NOTHING — not the valid prefix
+      intercept[Exception] {
+        spark.sql(
+          "INSERT INTO graft_w2.range_ratings VALUES " +
+            "(90, 700, 1.0, NULL, NULL), (91, 701, 3.0, NULL, NULL), (92, 702, 4.0, 55, NULL)")
+      }
+      assert(e.master("ratings").count() == before, "partial multi-row INSERT landed a prefix")
+      assert(spark.table("graft_w2.range_ratings")
+        .filter(col("userid").isin(90, 91, 92)).count() == 0)
+
+      // the valid multi-row statement lands every row, each routed to the
+      // fragment its rating selects — batch path ≡ per-row routing
+      spark.sql(
+        "INSERT INTO graft_w2.range_ratings VALUES " +
+          "(90, 700, 0.5, NULL, NULL), (91, 701, 2.0, NULL, NULL), (92, 702, 4.5, NULL, NULL)")
+      assert(e.master("ratings").count() == before + 3)
+      def fragOf(u: Int): Int =
+        spark.table("graft_w2.range_ratings").filter(col("userid") === u)
+          .select("part").head().getInt(0)
+      assert(fragOf(90) == 0, "0.5 lands in fragment 0 ([0,1])")
+      assert(fragOf(91) == 1, "boundary 2.0 lands in fragment 1 ((1,2])")
+      assert(fragOf(92) == 4, "4.5 lands in fragment 4 ((4,5])")
+
+      // round-robin multi-row: the counter advances ONCE by the row count,
+      // and per-row fragments match the sequential (lastInserted+1+i) mod n
+      val rrBefore = e.catalog.readRoundRobinMeta().get.lastInserted
+      val n = e.catalog.readRoundRobinMeta().get.totalPartitions
+      spark.sql(
+        "INSERT INTO graft_w2.round_robin_ratings VALUES " +
+          "(80, 800, 1.5, NULL, NULL), (81, 801, 2.5, NULL, NULL), (82, 802, 3.5, NULL, NULL)")
+      val rrAfter = e.catalog.readRoundRobinMeta().get.lastInserted
+      assert(rrAfter == (rrBefore + 3) % n, s"counter $rrBefore -> $rrAfter (n=$n)")
+      Seq(80, 81, 82).zipWithIndex.foreach { case (u, i) =>
+        val p = spark.table("graft_w2.round_robin_ratings")
+          .filter(col("userid") === u).select("part").head().getInt(0)
+        assert(p == ((rrBefore + 1 + i) % n).toInt, s"user $u routed to $p")
+      }
+      val _ = root
+    }
+  }
 }

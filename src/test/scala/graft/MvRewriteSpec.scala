@@ -351,6 +351,77 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("delete-only base churn (retention expiry) refreshes the MV from per-file partials") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-del").toString
+    val base = s"$dir/base.parquet"
+    val mv = s"$dir/mv.parquet"
+    val cat = s"$dir/mvcatalog"
+    val s = spark
+    import s.implicits._
+    // several data files so deleting a strict subset is delete-ONLY churn
+    (1 to 40).map(i => ("g" + (i % 3), i.toDouble)).toDF("ga", "m")
+      .repartition(4).write.parquet(base)
+    val defn = MvDef(base, mv, Seq("ga"), Map("sum_m" -> "m"), Some("cnt"),
+      mins = Map("min_m" -> "m"), maxs = Map("max_m" -> "m"),
+      counts = Map("cnt_m" -> "m"))
+    MvRewrite.build(spark, defn)
+    MvRewrite.persist(spark, cat, defn)
+    MvRewrite.clear()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    def dataFiles() = fs.listStatus(basePath).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    try {
+      // retention expiry: remove one part file, every survivor untouched
+      val victim = dataFiles().minBy(_.getName)
+      fs.delete(victim, false)
+      val loaded = MvRewrite.loadCatalog(spark, cat)
+      assert(loaded.map(_.mvPath) == Seq(mv), s"delete-only refresh did not register: $loaded")
+      def q = spark.read.parquet(base).groupBy("ga")
+        .agg(sum("m").as("s"), count(lit(1)).as("n"), min("m").as("lo"),
+          max("m").as("hi"), avg("m").as("a"))
+      assert(physOf(q).contains("mv.parquet"), physOf(q))
+      val got = q.orderBy("ga").collect().map(_.toSeq).toSeq
+      MvRewrite.clear()
+      val truth = q // registry cleared → un-rewritten, reads the survivors
+      assert(!physOf(truth).contains("mv.parquet"))
+      assert(got == truth.orderBy("ga").collect().map(_.toSeq).toSeq,
+        "refreshed MV must equal direct aggregation over the surviving files")
+      // re-persisted snapshot: a second load with no further churn is fresh
+      assert(MvRewrite.loadCatalog(spark, cat).map(_.mvPath) == Seq(mv))
+      MvRewrite.clear()
+      // MIXED churn (a delete AND an append) is neither class → drop
+      fs.delete(dataFiles().minBy(_.getName), false)
+      Seq(("g0", 999.0)).toDF("ga", "m").write.mode("append").parquet(base)
+      assert(MvRewrite.loadCatalog(spark, cat).isEmpty, "mixed churn must drop the MV")
+    } finally MvRewrite.clear()
+  }
+
+  test("delete-only churn on an MV without a sidecar keeps the DROP semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-nosc").toString
+    val base = s"$dir/base.parquet"
+    val mv = s"$dir/mv.parquet"
+    val cat = s"$dir/mvcatalog"
+    val s = spark
+    import s.implicits._
+    (1 to 20).map(i => ("g" + (i % 2), i.toDouble)).toDF("ga", "m")
+      .repartition(3).write.parquet(base)
+    val defn = MvDef(base, mv, Seq("ga"), Map("sum_m" -> "m"), Some("cnt"))
+    MvRewrite.build(spark, defn)
+    MvRewrite.persist(spark, cat, defn)
+    MvRewrite.clear()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    // simulate an MV built before the sidecar feature existed
+    fs.delete(new org.apache.hadoop.fs.Path(mv + "_files"), true)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(base)).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .minBy(_.getName)
+    fs.delete(victim, false)
+    try assert(MvRewrite.loadCatalog(spark, cat).isEmpty,
+      "no sidecar → a stale rollup must be dropped, never served")
+    finally MvRewrite.clear()
+  }
+
   test("persisted catalog re-registers across sessions; stale definitions are dropped") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-cat").toString
     val base = s"$dir/base.parquet"

@@ -178,4 +178,36 @@ class StreamingContractSpec extends SparkSpec {
       assert(sinkRows(sink) == (0L until 14L))
     }
   }
+
+  test("an empty epoch husk (claimant died between create and write) never wedges recovery") {
+    withTempDir { dir =>
+      val src = s"$dir/topic"; val log = s"$dir/offsets"; val sink = s"$dir/sink"
+      (0L until 20L).toDF("seq").write.parquet(src)
+      SourceOffsets.runEpoch(spark, log, sink, 10L, tableSource(src))
+
+      // a claimant hard-killed after the exclusive create but before the
+      // content write: epoch-1 exists as a zero-byte husk
+      val huskPath = new org.apache.hadoop.fs.Path(log, "epoch-1")
+      val fs = huskPath.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.create(huskPath, false).close()
+
+      // within the grace window the husk may be a live peer mid-write:
+      // lastLogged resumes from the previous fully-logged epoch (no
+      // MatchError), and the scheduler DEFERS rather than reclaiming
+      assert(SourceOffsets.lastLogged(spark, log).map(_.id).contains(0L))
+      assert(SourceOffsets.runEpoch(spark, log, sink, 20L, tableSource(src)).isEmpty,
+        "a fresh husk must be deferred to, not reclaimed")
+      assert(fs.exists(huskPath), "fresh husk must survive the deferral")
+
+      // age the husk past the grace window: it is a corpse — reclaimed, the
+      // id re-claimed, and the epoch runs with the normal range
+      val corpseAge = System.currentTimeMillis() - SourceOffsets.EmptyEpochGraceMs - 1000L
+      fs.setTimes(huskPath, corpseAge, corpseAge)
+      val ran = SourceOffsets.runEpoch(spark, log, sink, 20L, tableSource(src))
+      assert(ran.contains(Epoch(1, 10, 20)), s"husk not reclaimed: $ran")
+      assert(sinkRows(sink) == (0L until 20L), "exactly-once contents after reclaim")
+      // the reclaimed id is now a REAL log entry — recovery reads it directly
+      assert(SourceOffsets.lastLogged(spark, log).contains(Epoch(1, 10, 20)))
+    }
+  }
 }
