@@ -271,6 +271,79 @@ object RelationalQueries {
       out
     },
 
+    // E399 delete-only MV refresh: retention expiry removes the appended
+    // slice's parquet files AFTER the MV was persisted over base ∪ slice;
+    // loadCatalog classifies the churn as delete-only (every survivor
+    // byte+mtime identical) and REBUILDS the rollup from the per-file
+    // partial-aggregate sidecar of the SURVIVING files — O(files×groups),
+    // never the fact table, and exact for MIN/MAX because the sidecar holds
+    // per-file extrema (no retraction). The dashboard tile survives TTL
+    // cleanup the way q_mv_incremental shows it surviving ingest. The
+    // oracle recomputes the aggregate over exactly the surviving slice, so
+    // a refresh that kept deleted rows, dropped surviving ones, or broke
+    // the partial re-merge hash-mismatches.
+    QEntry.sql(
+      "q_mv_incremental_delete",
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  avg(l_quantity) AS avg_qty, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_orderkey % 7 <> 0
+        |GROUP BY l_returnflag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mvq6").toString
+      val fact = s"$dir/fact.parquet"
+      val cat = s"$dir/mvcatalog"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .getLocal(s.sessionState.newHadoopConf())
+      val factPath = new org.apache.hadoop.fs.Path(fact)
+      def dataFiles(): Set[String] = fs.listStatus(factPath).iterator
+        .map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .map(_.toString).toSet
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 7 =!= 0)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").parquet(fact)
+      val keepers = dataFiles()
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("append").parquet(fact)
+      val expiring = dataFiles() -- keepers
+      val defn = graft.plans.MvRewrite.MvDef(
+        fact,
+        s"$dir/mv.parquet",
+        Seq("l_returnflag", "l_linestatus"),
+        Map("sum_qty" -> "l_quantity"),
+        Some("cnt"),
+        mins = Map("min_qty" -> "l_quantity"),
+        maxs = Map("max_qty" -> "l_quantity"),
+        counts = Map("cnt_qty" -> "l_quantity")
+      )
+      graft.plans.MvRewrite.build(s, defn)
+      graft.plans.MvRewrite.persist(s, cat, defn)
+      // retention expiry: the second slice's files age out
+      expiring.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+      val loaded = graft.plans.MvRewrite.loadCatalog(s, cat)
+      require(loaded.map(_.mvPath).contains(s"$dir/mv.parquet"),
+        "delete-only refresh did not re-register the MV")
+      val out = s.read
+        .parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          avg("l_quantity").as("avg_qty"),
+          count(lit(1)).cast("long").as("n_rows")
+        )
+      require(
+        out.queryExecution.executedPlan.toString.contains("mv.parquet"),
+        "refreshed MV rewrite did not fire after delete-only churn"
+      )
+      out
+    },
+
     // TPC-H Q1 shape: the canonical scan→partial-agg→shuffle→final-agg. Six
     // groups total, so the shuffle moves ~6 rows per map task regardless of
     // input size — map-side combine is what makes this 100 TB-safe.
