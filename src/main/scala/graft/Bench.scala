@@ -184,6 +184,17 @@ object Bench {
       // and the all-pairs code assignment ∝ n²/31 — the same scale-killer
       // knob the IVF family carries. Measured here with stride ∝ √n so the
       // production configuration has a recorded exponent too.
+      // Batched-vs-sequential BPE training A/B (the round-14 weak): same
+      // merge table by construction (BpeTrainSpec proves equivalence), so
+      // the delta is pure scheduling — rounds of prefix-disjoint merges at
+      // 2 jobs/round vs 2 jobs/merge. 24 merges keeps the wall number in
+      // the suite's band while the job ratio scales with batch width.
+      "x_bpe_batched" -> ((s, d) =>
+        graft.operators.BpeTrain.learnMerges(
+          Tables.documents(s, d), "text", nMerges = 24)),
+      "x_bpe_sequential" -> ((s, d) =>
+        graft.operators.BpeTrain.learnMerges(
+          Tables.documents(s, d), "text", nMerges = 24, maxBatchPerRound = 1)),
       "x_pq_sqrt_stride" -> ((s, d) => {
         val emb = Tables.embeddings(s, d)
         val stride = math.max(31L, math.sqrt(emb.count().toDouble).toLong)

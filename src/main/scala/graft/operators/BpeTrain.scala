@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -8,24 +8,61 @@ import graft.functions.TextAnalysis
 /** BPE merge learning — the vocabulary-training half of byte-pair encoding
   * (the tokenizer-side `TextAnalysis.bpeTokens` is the inference regex).
   *
-  * Classic Sennrich et al. loop, each iteration fully distributed:
-  *   1. adjacent symbol pairs from every word, weighted by word frequency —
-  *      explode + hash aggregate (map-side combinable);
-  *   2. the argmax pair (count desc, then lexicographic — a total order, so
-  *      the learned merge table is deterministic) — ONE scalar row to the
-  *      driver per iteration, the only driver involvement;
-  *   3. apply the merge inside every word — a left-to-right greedy fold as a
-  *      codegen'd `aggregate` HOF over the symbol array (carry semantics:
-  *      non-overlapping occurrences merge once per pass), no shuffle.
+  * Classic Sennrich et al. semantics — the merge table is IDENTICAL to the
+  * one-merge-at-a-time argmax loop (count desc, then lexicographic left,
+  * right; left-to-right non-overlapping greedy application) — but trained in
+  * BATCHED ROUNDS: each round runs ONE distributed analysis job and then
+  * applies up to `maxBatchPerRound` merges in a single pass. A production
+  * tokenizer is 30k–100k merges; one Spark job per merge is 10⁴–10⁵
+  * sequential jobs regardless of cluster size, so the job count per merge —
+  * not the per-job plan — is the scale limiter this batching removes.
   *
-  * The word table is localCheckpoint'ed per iteration: each merge otherwise
+  * Why the batch is provably identical to sequential: a round's analysis
+  * aggregates SYMBOL TRIGRAMS (with a null end-of-word slot, so pair counts
+  * are exact marginals of the same aggregate), and the batch is the maximal
+  * PREFIX p₁..p_B of the (count desc, left, right)-sorted pair list such
+  * that, for each pᵢ (i ≥ 2):
+  *
+  *   1. pᵢ shares no symbol with p₁..pᵢ₋₁ and references no token those
+  *      merges created — merging disjoint pairs can neither destroy nor
+  *      create an occurrence of pᵢ, so cnt(pᵢ) is still exact when the
+  *      sequential loop reaches step i;
+  *   2. cnt(pᵢ) is STRICTLY above the created-pair ceiling: every pair a
+  *      batch merge (l,r) creates contains the token lr, and each created
+  *      adjacency instance maps to a distinct pre-round trigram instance in
+  *      the (·,l,r)/(l,r,·) family, so max trigram count over that family
+  *      bounds every created pair's count — created pairs cannot outrank pᵢ
+  *      (strict, so a lexicographic tie can't flip the argmax either);
+  *   3. the batch stops AT (inclusive) any member whose merged token lr
+  *      collides with an existing vocabulary symbol or another batch
+  *      member's symbol/created token — a collision lets created
+  *      adjacencies add to an existing pair's count, which invalidates the
+  *      ceiling argument for LATER steps only, so the colliding merge
+  *      itself is still taken.
+  *
+  * The prefix rule (stop at the first symbol-sharing pair, never skip past
+  * it) is what makes the induction closed: every pair ranked above a batch
+  * member is an earlier batch member (count now 0 — one greedy pass leaves
+  * no (l,r) adjacency), every pair ranked below can only have decreased,
+  * and created pairs sit under the ceiling. So the sequential argmax at
+  * step i is exactly pᵢ.
+  *
+  * Batch width is corpus-dependent: heavy symbol sharing (natural-language
+  * top pairs all touching 'e'/'</w>') ends rounds early — the algorithm
+  * degrades gracefully to the sequential loop (`maxBatchPerRound = 1` IS
+  * the sequential loop) and widens automatically where the pair spectrum
+  * allows. Jobs per round are constant (one analysis action + one
+  * localCheckpoint), so B merges in a round cost 2 jobs instead of 2B.
+  *
+  * The word table is localCheckpoint'ed per ROUND: each merge otherwise
   * stacks another HOF layer on the lineage and analysis cost grows
   * quadratically (same guard as connectedComponents; use reliable
   * checkpoint() on a multi-node cluster).
   *
-  * Scale: state per iteration is the distinct-WORD table (vocabulary-sized,
+  * Scale: state per round is the distinct-WORD table (vocabulary-sized,
   * like the tf relation in TermStats — corpus size only matters in the one
-  * initial word-count aggregate). Production tokenizer training batches
+  * initial word-count aggregate), plus the vocabulary-trigram aggregate the
+  * analysis job derives. Production tokenizer training batches
   * low-frequency pairs and stops on a frequency floor; `minPairCount` is
   * that floor.
   *
@@ -33,12 +70,86 @@ import graft.functions.TextAnalysis
   */
 object BpeTrain {
 
+  /** One greedy left-to-right merge of (l, r) over a symbol-array column:
+    * carry holds the previous unemitted symbol; (carry == l && x == r)
+    * emits the merged token and clears the carry so overlapping occurrences
+    * don't double-merge. Chaining B of these in rank order is exactly B
+    * sequential merge passes.
+    */
+  private def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      struct(array().cast("array<string>").as("out"), lit(null).cast("string").as("carry")),
+      (acc, x) =>
+        when(acc("carry").isNull, struct(acc("out").as("out"), x.as("carry")))
+          .when(
+            acc("carry") === lit(l) && x === lit(r),
+            struct(concat(acc("out"), array(lit(l + r))).as("out"),
+              lit(null).cast("string").as("carry"))
+          )
+          .otherwise(
+            struct(concat(acc("out"), array(acc("carry"))).as("out"), x.as("carry"))
+          ),
+      acc =>
+        when(acc("carry").isNull, acc("out"))
+          .otherwise(concat(acc("out"), array(acc("carry"))))
+    )
+
+  /** One analysis row: a candidate pair with its exact count, the maximum
+    * trigram count over its (·,l,r)/(l,r,·) family (the created-pair
+    * ceiling), and whether the merged token l+r already exists as a symbol.
+    */
+  private[operators] case class Candidate(
+      l: String, r: String, cnt: Long, maxT: Long, collides: Boolean)
+
+  /** Driver-side batch selection over the engine-sorted candidate window —
+    * implements exactly the three conditions in the object Scaladoc. The
+    * window arrives PRE-SORTED by the engine's own (cnt desc, l, r)
+    * ordering, and the selection never re-sorts, so engine/JVM collation
+    * differences can't flip a tie.
+    */
+  private[operators] def selectBatch(
+      window: Seq[Candidate],
+      budget: Int
+  ): Seq[Candidate] = {
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    var used = Set.empty[String] // symbols consumed by selected merges
+    var made = Set.empty[String] // tokens created by selected merges
+    var ceil = Long.MinValue // created-pair ceiling over selected merges
+    var open = true
+    val it = window.iterator
+    while (open && sel.size < budget && it.hasNext) {
+      val c = it.next()
+      if (sel.nonEmpty && (
+          c.cnt <= ceil || // a created pair could outrank (or lex-tie) c
+          used.contains(c.l) || used.contains(c.r) || // count may have changed
+          made.contains(c.l) || made.contains(c.r) // references a created token
+        )) {
+        open = false
+      } else {
+        sel += c
+        val tok = c.l + c.r
+        // a colliding created token can feed counts of EXISTING pairs from
+        // the next step on — take this merge, end the round after it
+        if (c.collides || used.contains(tok) || made.contains(tok)) open = false
+        used ++= Set(c.l, c.r)
+        made += tok
+        ceil = math.max(ceil, c.maxT)
+      }
+    }
+    sel.toSeq
+  }
+
   def learnMerges(
       docs: DataFrame,
       textCol: String,
       nMerges: Int,
-      minPairCount: Long = 2L
+      minPairCount: Long = 2L,
+      maxBatchPerRound: Int = 16,
+      candidateWindow: Int = 64
   ): DataFrame = {
+    require(maxBatchPerRound >= 1, "maxBatchPerRound must be >= 1")
+    require(candidateWindow >= maxBatchPerRound, "window must cover the batch")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -60,54 +171,75 @@ object BpeTrain {
     var rank = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
-      val best = words
+      // ONE analysis action per round: adjacent-symbol trigrams (third slot
+      // null at the word end, so pair counts are exact marginals), the
+      // per-pair trigram-family maxima, and merged-token collision flags.
+      // a fully-merged word is ONE symbol: sequence(1, size-1) would count
+      // DOWN from 1 to 0 there, so gate the transform (explode drops the
+      // null) — the word simply contributes no pairs
+      val tri = words
         .select(
           explode(
-            transform(
-              sequence(lit(1), size(col("syms")) - 1),
-              i => struct(
-                element_at(col("syms"), i).as("l"),
-                element_at(col("syms"), i + 1).as("r")
+            when(
+              size(col("syms")) >= 2,
+              transform(
+                sequence(lit(1), size(col("syms")) - 1),
+                i => struct(
+                  element_at(col("syms"), i).as("a"),
+                  element_at(col("syms"), i + 1).as("b"),
+                  when(i + 2 <= size(col("syms")), element_at(col("syms"), i + 2)).as("c")
+                )
               )
             )
-          ).as("p"),
+          ).as("t"),
           col("freq")
         )
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
+        .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+        .agg(sum(col("freq")).as("c3"))
+      val pairs = tri
+        .groupBy("a", "b")
+        .agg(
+          sum(col("c3")).as("cnt"),
+          max(when(col("c").isNotNull, col("c3"))).as("max_pre")
+        )
+      val sufMax = tri
+        .filter(col("c").isNotNull)
+        .groupBy(col("b").as("sa"), col("c").as("sb"))
+        .agg(max(col("c3")).as("max_suf"))
+      val vocabSyms = words.select(explode(col("syms")).as("sym")).distinct()
+      val window = pairs
         .filter(col("cnt") >= minPairCount)
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(candidateWindow)
+        .join(sufMax, col("a") === col("sa") && col("b") === col("sb"), "left")
+        .join(vocabSyms, concat(col("a"), col("b")) === col("sym"), "left")
+        .select(
+          col("a"), col("b"), col("cnt"),
+          greatest(coalesce(col("max_pre"), lit(0L)), coalesce(col("max_suf"), lit(0L)))
+            .as("max_t"),
+          col("sym").isNotNull.as("collides")
+        )
+        // the joins drop the limit's ordering — re-sort ENGINE-side so the
+        // collected prefix is Spark's own total order, never a JVM re-sort
+        .orderBy(col("cnt").desc, col("a"), col("b"))
         .collect()
-      best.headOption match {
-        case None => exhausted = true
-        case Some(row) =>
-          val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-          merges += ((rank, l, r, l + r, cnt))
-          // left-to-right greedy merge: carry holds the previous unemitted
-          // symbol; (carry == l && x == r) emits the merged token and clears
-          // the carry so overlapping occurrences don't double-merge
-          val stepped = aggregate(
-            col("syms"),
-            struct(array().cast("array<string>").as("out"), lit(null).cast("string").as("carry")),
-            (acc, x) =>
-              when(acc("carry").isNull, struct(acc("out").as("out"), x.as("carry")))
-                .when(
-                  acc("carry") === lit(l) && x === lit(r),
-                  struct(concat(acc("out"), array(lit(l + r))).as("out"),
-                    lit(null).cast("string").as("carry"))
-                )
-                .otherwise(
-                  struct(concat(acc("out"), array(acc("carry"))).as("out"), x.as("carry"))
-                ),
-            acc =>
-              when(acc("carry").isNull, acc("out"))
-                .otherwise(concat(acc("out"), array(acc("carry"))))
-          )
-          val next = words.select(stepped.as("syms"), col("freq")).localCheckpoint()
-          words.unpersist()
-          words = next
+        .map(r => Candidate(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+        .toSeq
+
+      val batch = selectBatch(window, math.min(maxBatchPerRound, nMerges - rank))
+      if (batch.isEmpty) exhausted = true
+      else {
+        batch.foreach { c =>
+          merges += ((rank, c.l, c.r, c.l + c.r, c.cnt))
           rank += 1
+        }
+        // apply the whole batch in rank order as chained folds — ONE narrow
+        // pass, one lineage-truncating checkpoint per round
+        val stepped = batch.foldLeft(col("syms")) { case (s, c) => mergeFold(s, c.l, c.r) }
+        val next = words.select(stepped.as("syms"), col("freq")).localCheckpoint()
+        words.unpersist()
+        words = next
       }
     }
     words.unpersist()
@@ -134,23 +266,7 @@ object BpeTrain {
       .filter(col("_w") =!= "")
       .withColumn("_syms", concat(split(col("_w"), ""), array(lit("</w>"))))
     val folded = merges.foldLeft(col("_syms")) { case (syms, (l, r)) =>
-      aggregate(
-        syms,
-        struct(array().cast("array<string>").as("out"), lit(null).cast("string").as("carry")),
-        (acc, x) =>
-          when(acc("carry").isNull, struct(acc("out").as("out"), x.as("carry")))
-            .when(
-              acc("carry") === lit(l) && x === lit(r),
-              struct(concat(acc("out"), array(lit(l + r))).as("out"),
-                lit(null).cast("string").as("carry"))
-            )
-            .otherwise(
-              struct(concat(acc("out"), array(acc("carry"))).as("out"), x.as("carry"))
-            ),
-        acc =>
-          when(acc("carry").isNull, acc("out"))
-            .otherwise(concat(acc("out"), array(acc("carry"))))
-      )
+      mergeFold(syms, l, r)
     }
     base.withColumn("_bpe", folded).drop("_syms")
   }

@@ -64,4 +64,88 @@ class BpeTrainSpec extends SparkSpec {
     val merges = BpeTrain.learnMerges(df, "text", nMerges = 10, minPairCount = 2).collect()
     assert(merges.isEmpty)
   }
+
+  private def mergeTable(
+      df: org.apache.spark.sql.DataFrame,
+      n: Int,
+      batch: Int
+  ): Seq[(Int, String, String, String, Long)] =
+    BpeTrain
+      .learnMerges(df, "text", nMerges = n, minPairCount = 2, maxBatchPerRound = batch)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+
+  test("batched rounds produce the merge table the sequential loop produces") {
+    // corpora chosen to attack every batching stop condition:
+    //  - created-pair dominance: after merging (a,b), the new pair (x,ab)
+    //    outranks the next disjoint candidate — the ceiling must end the
+    //    round so the sequential argmax picks (x,ab) next
+    val createdDominates = Seq(
+      (Seq.fill(50)("xab") ++ Seq.fill(45)("cd")).mkString(" "))
+    //  - lexicographic tie against a created pair: (a,bc)-style created
+    //    names that sort BEFORE remaining originals at equal count
+    val createdLexTie = Seq(
+      (Seq.fill(40)("zbc") ++ Seq.fill(40)("de")).mkString(" "))
+    //  - overlap/greedy semantics inside a batch (l == r members)
+    val overlaps = Seq(
+      (Seq.fill(30)("aaaa") ++ Seq.fill(28)("bc") ++ Seq.fill(26)("dd")).mkString(" "))
+    //  - the classic hand-checkable corpus
+    val classic = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lowest") ++ Seq.fill(6)("newer")).mkString(" "))
+    //  - pseudo-random tiny-alphabet corpora: maximal symbol sharing, heavy
+    //    ties, chained created-token reuse (deterministic seed)
+    val rnd = new scala.util.Random(41)
+    val randoms = (1 to 6).map { _ =>
+      Seq((1 to 300).map { _ =>
+        (1 to (1 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.mkString(" "))
+    }
+    val corpora = Seq(createdDominates, createdLexTie, overlaps, classic) ++ randoms
+    corpora.zipWithIndex.foreach { case (texts, i) =>
+      val df = texts.toDF("text")
+      val seq = mergeTable(df, 8, batch = 1)
+      val bat = mergeTable(df, 8, batch = 8)
+      assert(bat == seq, s"corpus #$i: batched $bat != sequential $seq")
+    }
+  }
+
+  test("batched rounds match sequential on the documents corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seq = mergeTable(docs, 12, batch = 1)
+    val bat = mergeTable(docs, 12, batch = 12)
+    assert(bat == seq, s"batched $bat != sequential $seq")
+  }
+
+  test("a disjoint pair spectrum trains in >=5x fewer Spark jobs than the sequential loop") {
+    // 12 symbol-disjoint frequent pairs with strictly graded counts; each
+    // pair occurs under 4 shared prefixes x 3 FAMILY-PRIVATE suffixes (so
+    // no suffix-</w> pair accumulates across families and no trigram family
+    // reaches a pair's count) — the whole spectrum batches in ONE round
+    val pairSyms = ('A' to 'X').map(_.toString).grouped(2).map(_.mkString).toSeq // 12 pairs
+    val sufPool = (('0' to '9') ++ ('a' to 'z')).map(_.toString) // 36 private suffixes
+    val pre = Seq("!", "#", "%", "&")
+    val words = pairSyms.zipWithIndex.flatMap { case (p, i) =>
+      val suf = sufPool.slice(i * 3, i * 3 + 3)
+      val contexts = for { a <- pre; b <- suf } yield s"$a$p$b" // 12 contexts
+      val freqPer = 40 - i * 2 // pair count = 12 * freqPer, strictly graded
+      contexts.flatMap(w => Seq.fill(freqPer)(w))
+    }
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val sc = spark.sparkContext
+    def jobsFor(group: String)(run: => Unit): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try run finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val seqTable = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val batTable = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val seqJobs = jobsFor("bpe-seq") { seqTable ++= mergeTable(df, 12, batch = 1) }
+    val batJobs = jobsFor("bpe-bat") { batTable ++= mergeTable(df, 12, batch = 12) }
+    assert(batTable == seqTable, "job-count A/B must be at EQUAL output")
+    assert(seqTable.size == 12, s"expected 12 merges, got ${seqTable.size}")
+    assert(seqJobs >= 5 * batJobs,
+      s"sequential $seqJobs jobs vs batched $batJobs — expected >=5x reduction")
+  }
 }
