@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{
-  Column, SupportsRead, SupportsWrite, Table, TableCapability
+  Column, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability
 }
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -52,7 +52,8 @@ class FragmentWritableTable(
     masterTable: String
 ) extends Table
     with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite
+    with SupportsDelete {
 
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
@@ -69,6 +70,26 @@ class FragmentWritableTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
 
+  /** The SQL DELETE surface: translatable predicates route to the engine's
+    * partition-granular copy-on-write delete, which removes each matching
+    * row from master AND exactly the fragment it routed to
+    * ([[FragmentEngine.deleteWhereStrict]]). An untranslatable condition
+    * makes `canDeleteWhere` return false, so Spark raises instead of
+    * half-applying — a DELETE never silently narrows.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => FragmentWritableTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond = filters.toSeq
+      .map(f => FragmentWritableTable.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(s"unsupported DELETE predicate: $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)) // unconditional DELETE
+    val engine = new FragmentEngine(SparkSession.active, warehouse)
+    engine.deleteWhereStrict(dataset, masterTable, cond)
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val schema = info.schema()
     new WriteBuilder {
@@ -77,6 +98,36 @@ class FragmentWritableTable(
           new FragmentBatchWrite(schema, warehouse, dataset, masterTable)
       }
     }
+  }
+}
+
+object FragmentWritableTable {
+  import org.apache.spark.sql.{functions => F, sources => S, Column => C}
+
+  /** v1 data-source Filter → Column, total over the shapes SQL DELETE
+    * conditions push (None = untranslatable, surfaced via canDeleteWhere).
+    */
+  private[catalog] def filterToColumn(f: S.Filter): Option[C] = f match {
+    case S.AlwaysTrue() => Some(F.lit(true))
+    case S.AlwaysFalse() => Some(F.lit(false))
+    case S.EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case S.EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
+    case S.GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case S.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case S.LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case S.LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case S.In(a, vs) => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case S.IsNull(a) => Some(F.col(a).isNull)
+    case S.IsNotNull(a) => Some(F.col(a).isNotNull)
+    case S.StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case S.StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
+    case S.StringContains(a, v) => Some(F.col(a).contains(v))
+    case S.And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case S.Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case S.Not(c) => filterToColumn(c).map(!_)
+    case _ => None
   }
 }
 

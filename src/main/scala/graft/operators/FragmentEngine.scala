@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -462,6 +463,83 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
         col("rating").cast(StringType)
       ).as("line")
     ).collect().map(_.getString(0))
+
+  // ---- row-level deletes (the SQL DELETE surface) ---------------------------
+
+  /** Delete every `dataset` row matching `cond`, plus the SAME rows from the
+    * master table (mirrored by `_rowid`) — the dual-write invariant run in
+    * reverse, so `DELETE FROM graft.range_ratings WHERE rating = 4.5`
+    * removes each row from master AND exactly the fragment its rating
+    * routed it to. Returns the number of fragment rows deleted.
+    *
+    * Copy-on-write at PARTITION granularity: only the fragment directories
+    * that actually contain matches are rewritten (survivors staged, then
+    * swapped in; a fragment whose rows are all deleted is removed outright),
+    * so a one-fragment delete touches one directory no matter how many
+    * fragments exist. The master table has no partition axis and is
+    * rewritten whole via the same stage-then-swap — the cost any
+    * copy-on-write table format pays for a delete against an unpartitioned
+    * table. All reads complete before the first swap; the one crash
+    * exposure is BETWEEN the master swap and the fragment swaps (master
+    * already misses rows a fragment still carries) — the same
+    * non-transactional multi-directory window as the dual-write insert,
+    * documented rather than hidden.
+    *
+    * Scope notes, deliberate: deleting from one fragmentation scheme does
+    * not touch the OTHER scheme's copies (symmetric with INSERT, which
+    * dual-writes one scheme only), and master rows that never routed to a
+    * fragment (out-of-domain ratings) are invisible to this surface.
+    * Metadata stays intact: `_rowid`s are never reused and the round-robin
+    * counter never moves on delete.
+    */
+  private[graft] def deleteWhereStrict(
+      dataset: String,
+      tableName: String,
+      cond: Column
+  ): Long = {
+    require(catalog.tableExists(tableName), s"$tableName table does not exist")
+    require(catalog.tableExists(dataset), s"$dataset dataset does not exist")
+    val dsPath = catalog.tablePath(dataset)
+    val masterPath = catalog.tablePath(tableName)
+    val frags = readFragments(dataset)
+    // SQL DELETE removes rows where the predicate is TRUE; null keeps
+    val hit = coalesce(cond, lit(false))
+    val matches = frags.filter(hit)
+    // fragment-count-bounded (metadata-sized) — decides which dirs rewrite
+    val affectedParts = matches.select("part").distinct().collect().map(_.getInt(0)).sorted
+    if (affectedParts.isEmpty) return 0L
+    val nDeleted = matches.count()
+    val hfs = new Path(dsPath).getFileSystem(spark.sessionState.newHadoopConf())
+    def stagingOf(p: String): Path = {
+      val orig = new Path(p)
+      new Path(orig.getParent, s".${orig.getName}.staging-delete")
+    }
+    // 1) stage master survivors (anti-join on the deleted load ids)
+    val masterStaging = stagingOf(masterPath)
+    master(tableName)
+      .join(matches.select("_rowid"), Seq("_rowid"), "left_anti")
+      .select("userid", "movieid", "rating", "_rowid")
+      .write.mode(SaveMode.Overwrite).parquet(masterStaging.toString)
+    // 2) stage survivors of ONLY the affected fragment directories
+    val fragStaging = stagingOf(dsPath)
+    frags
+      .filter(col("part").isin(affectedParts.toSeq: _*))
+      .filter(!hit)
+      .select(col("userid"), col("movieid"), col("rating"), col("_rowid"), col("part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(fragStaging.toString)
+    // 3) swap — every read above has executed; directory ops only from here
+    hfs.delete(new Path(masterPath), true)
+    hfs.rename(masterStaging, new Path(masterPath))
+    affectedParts.foreach { p =>
+      val orig = new Path(dsPath, s"part=$p")
+      val staged = new Path(fragStaging, s"part=$p")
+      hfs.delete(orig, true)
+      // no staged dir = every row of this fragment deleted: dir stays gone
+      if (hfs.exists(staged)) hfs.rename(staged, orig)
+    }
+    hfs.delete(fragStaging, true)
+    nDeleted
+  }
 
   // ---- DDL -------------------------------------------------------------------
 

@@ -241,4 +241,51 @@ class GraftTableCatalogSpec extends SparkSpec {
       val _ = root
     }
   }
+
+  test("DELETE FROM a fragment dataset removes rows from master and exactly the routed fragment") {
+    withCatalog("graft_d1") { e =>
+      val root = spark.conf.get("spark.sql.catalog.graft_d1.warehouse")
+      val masterBefore = e.master("ratings").count()
+      val hits = spark.table("graft_d1.range_ratings")
+        .filter(col("rating") === 4.5)
+      val nHit = hits.count()
+      assert(nHit > 0, "fixture must contain 4.5 ratings")
+      val hitParts = hits.select("part").distinct().collect().map(_.getInt(0)).toSet
+      assert(hitParts == Set(4), "4.5 routes to fragment 4 ((4,5])")
+      val otherFragBefore = spark.read.parquet(s"$root/range_ratings/part=2").count()
+      val rrBefore = spark.table("graft_d1.round_robin_ratings").count()
+
+      spark.sql("DELETE FROM graft_d1.range_ratings WHERE rating = 4.5")
+
+      // master mirror: the same rows are gone by _rowid
+      assert(e.master("ratings").count() == masterBefore - nHit,
+        "master must lose exactly the deleted rows")
+      assert(e.master("ratings").filter(col("rating") === 4.5).count() == 0)
+      // the routed fragment lost them; untouched fragments stay identical
+      assert(spark.table("graft_d1.range_ratings").filter(col("rating") === 4.5).count() == 0)
+      assert(spark.read.parquet(s"$root/range_ratings/part=2").count() == otherFragBefore,
+        "a fragment without matches must not be rewritten")
+      // the OTHER fragmentation scheme is untouched (symmetric with INSERT)
+      assert(spark.table("graft_d1.round_robin_ratings").count() == rrBefore)
+      // the round-robin counter did not move
+      assert(e.catalog.readRoundRobinMeta().get.lastInserted ==
+        (rrBefore - 1) % e.catalog.readRoundRobinMeta().get.totalPartitions)
+
+      // a DELETE that empties a fragment removes its directory outright and
+      // partition pruning over the survivors still works
+      spark.sql("DELETE FROM graft_d1.range_ratings WHERE part = 2")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/range_ratings/part=2")),
+        "an emptied fragment directory must be removed")
+      assert(spark.table("graft_d1.range_ratings")
+        .select("part").distinct().collect().map(_.getInt(0)).toSet == Set(0, 1, 3, 4))
+
+      // unsupported conditions are refused loudly, nothing half-applies
+      val before = spark.table("graft_d1.range_ratings").count()
+      intercept[Exception] {
+        spark.sql("DELETE FROM graft_d1.range_ratings WHERE rating * 2 = 3.0")
+      }
+      assert(spark.table("graft_d1.range_ratings").count() == before)
+    }
+  }
 }
