@@ -7,12 +7,14 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{
-  Column, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability
+  Column, SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite,
+  Table, TableCapability
 }
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo,
   Write, WriteBuilder, WriterCommitMessage
 }
 import org.apache.spark.sql.types.StructType
@@ -53,7 +55,8 @@ class FragmentWritableTable(
 ) extends Table
     with SupportsRead
     with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete
+    with SupportsRowLevelOperations {
 
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
@@ -74,8 +77,9 @@ class FragmentWritableTable(
     * partition-granular copy-on-write delete, which removes each matching
     * row from master AND exactly the fragment it routed to
     * ([[FragmentEngine.deleteWhereStrict]]). An untranslatable condition
-    * makes `canDeleteWhere` return false, so Spark raises instead of
-    * half-applying — a DELETE never silently narrows.
+    * makes `canDeleteWhere` return false, and Spark falls back to the
+    * row-level rewrite ([[FragmentRowLevelOperation]]) — complex deletes
+    * still apply exactly, never a silently narrowed predicate.
     */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => FragmentWritableTable.filterToColumn(f).isDefined)
@@ -96,6 +100,58 @@ class FragmentWritableTable(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new FragmentBatchWrite(schema, warehouse, dataset, masterTable)
+      }
+    }
+  }
+
+  /** The SQL UPDATE / MERGE surface: group-based copy-on-write where the
+    * one replacement group is the WHOLE dataset. The rewrite scan is
+    * deliberately pushdown-blind (a pushed filter could let parquet skip
+    * entire files, whose rows the replacement would then drop), so every
+    * row flows through the statement and the commit rebuilds master and
+    * fragments with the routing invariant intact — an UPDATE that moves a
+    * rating across a fragment boundary MOVES the row, and a MERGE insert
+    * routes exactly like `INSERT INTO` (engine-derived `_rowid`/`part` must
+    * arrive NULL). Spark still prefers the metadata [[deleteWhere]] path
+    * for DELETEs whose predicates translate; only complex deletes fall back
+    * to this rewrite. Same scale contract as INSERT: statements are
+    * VALUES-sized by construction of the driver-side routing, enforced by
+    * the per-task row cap; bulk rewrites belong to the engine's distributed
+    * batch paths.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new FragmentRowLevelOperation(delegate, warehouse, dataset, masterTable, info.command())
+    }
+}
+
+private class FragmentRowLevelOperation(
+    delegate: Table,
+    warehouse: String,
+    dataset: String,
+    masterTable: String,
+    cmd: RowLevelOperation.Command
+) extends RowLevelOperation {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** Pushdown-blind wrapper: implements ONLY ScanBuilder, so Catalyst can
+    * neither push filters nor prune columns — the full dataset reaches the
+    * rewrite, which is the correctness contract of whole-dataset groups.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+    new ScanBuilder { override def build(): Scan = inner.build() }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new FragmentReplaceBatchWrite(schema, warehouse, dataset, masterTable)
       }
     }
   }
@@ -129,6 +185,84 @@ object FragmentWritableTable {
     case S.Not(c) => filterToColumn(c).map(!_)
     case _ => None
   }
+}
+
+/** Commit message carrying one rewrite task's full-schema rows. */
+private case class FragmentReplacementRows(rows: Seq[FragmentEngine.ReplacementRow])
+    extends WriterCommitMessage
+
+/** The ReplaceData write of [[FragmentRowLevelOperation]]: tasks buffer the
+  * statement's full output (the whole-dataset group, post-update), the
+  * driver commit swaps it in through the engine's validate-first replace —
+  * nothing lands on a failed statement.
+  */
+private class FragmentReplaceBatchWrite(
+    schema: StructType,
+    warehouse: String,
+    dataset: String,
+    masterTable: String
+) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FragmentReplaceWriterFactory(schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator
+      .collect { case m: FragmentReplacementRows => m.rows }
+      .flatten
+      .toSeq
+    val engine = new FragmentEngine(SparkSession.active, warehouse)
+    engine.replaceDatasetStrict(dataset, masterTable, rows)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private class FragmentReplaceWriterFactory(schema: StructType)
+    extends DataWriterFactory {
+
+  /** Same contract as the INSERT surface: driver-side routing is right for
+    * VALUES-sized statements and wrong for bulk rewrites, so cap and point
+    * at the engine's distributed batch paths.
+    */
+  private val MaxRowsPerTask = 10000
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val useridAt = schema.fieldIndex("userid")
+      private val movieidAt = schema.fieldIndex("movieid")
+      private val ratingAt = schema.fieldIndex("rating")
+      private val rowidAt = schema.fieldIndex("_rowid")
+      private val partAt = schema.fieldIndex("part")
+      private val buf = ArrayBuffer.empty[FragmentEngine.ReplacementRow]
+
+      override def write(row: InternalRow): Unit = {
+        // ReplaceData rows arrive UNPROJECTED: the rewrite plan (MergeRows /
+        // the update Project) prepends a __row_operation marker that the
+        // LogicalWriteInfo schema does not carry, and Spark applies the
+        // stripping rowProjection only on the requested-metadata task. The
+        // data columns follow in schema order, so offset by the surplus.
+        val off = row.numFields - schema.length
+        require(off == 0 || off == 1,
+          s"unexpected rewrite row arity ${row.numFields} for schema ${schema.length}")
+        require(
+          buf.size < MaxRowsPerTask,
+          s"UPDATE/MERGE through the catalog surface rewrites the dataset " +
+            s"driver-side (> $MaxRowsPerTask rows per task): bulk rewrites " +
+            "belong to the engine's distributed batch paths")
+        buf += FragmentEngine.ReplacementRow(
+          row.getInt(off + useridAt),
+          row.getInt(off + movieidAt),
+          row.getDouble(off + ratingAt),
+          if (row.isNullAt(off + rowidAt)) None else Some(row.getLong(off + rowidAt)),
+          if (row.isNullAt(off + partAt)) None else Some(row.getInt(off + partAt))
+        )
+      }
+
+      override def commit(): WriterCommitMessage = FragmentReplacementRows(buf.toSeq)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
 
 /** Commit message carrying one task's (userid, movieid, rating) rows. */

@@ -541,6 +541,129 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     nDeleted
   }
 
+  /** Replace the ENTIRE fragment dataset with `rows` — the commit target of
+    * the SQL UPDATE / MERGE surface ([[graft.catalog.FragmentWritableTable]]
+    * group-based copy-on-write, where the one replacement group is the whole
+    * dataset because the scan is deliberately un-pushed so every row flows
+    * through the rewrite). Dual-write semantics run in both directions:
+    *
+    *   - rows carrying a `_rowid` are EXISTING rows (possibly updated):
+    *     their master mirror is replaced by id, and for the range dataset
+    *     the fragment is RE-ROUTED from the (possibly new) rating — an
+    *     UPDATE that moves a rating across a boundary moves the row to the
+    *     fragment the boundary rule selects, and an update to an
+    *     out-of-domain rating leaves the row master-only (exactly
+    *     rangeInsert's contract). Round-robin rows keep their positional
+    *     fragment — RR routing is insertion-order, not value, semantics.
+    *   - rows with a NULL `_rowid` are MERGE-inserted: they get fresh load
+    *     ids (in deterministic (userid, movieid, rating) order) and route
+    *     like inserts — range by rating, round-robin by advancing the
+    *     counter.
+    *   - dataset rows ABSENT from `rows` were deleted by the statement:
+    *     their master mirrors go with them (the old dataset ids are
+    *     superseded wholesale).
+    *
+    * A non-null `_rowid` that is NOT an existing dataset row id is rejected
+    * before anything lands (it would corrupt the master mirror — the only
+    * way to produce one is `UPDATE … SET _rowid`). Master rows that never
+    * routed to a fragment (out-of-domain ratings) are invisible to the
+    * statement and survive untouched.
+    */
+  private[graft] def replaceDatasetStrict(
+      dataset: String,
+      tableName: String,
+      rows: Seq[FragmentEngine.ReplacementRow]
+  ): Unit = {
+    require(catalog.tableExists(tableName), s"$tableName table does not exist")
+    require(catalog.tableExists(dataset), s"$dataset dataset does not exist")
+    val dsPath = catalog.tablePath(dataset)
+    val masterPath = catalog.tablePath(tableName)
+    val (existing, inserts) = rows.partition(_.rowid.isDefined)
+
+    // route the new dataset content BEFORE touching anything (validate-first)
+    val rrMeta =
+      if (dataset == RoundRobinDataset)
+        Some(catalog.readRoundRobinMeta()
+          .getOrElse(throw new IllegalStateException("ROUND_ROBIN_METADATA missing")))
+      else None
+    val rangeBuckets =
+      if (dataset == RangeDataset) {
+        val m = catalog.readRangeMeta()
+          .getOrElse(throw new IllegalStateException("RANGE_METADATA missing"))
+        require(m.totalPartitions > 0, "Total partitions <= 0")
+        Some(RangeBuckets(m.totalPartitions, m.minValue, m.maxValue))
+      } else None
+    rrMeta.foreach(m => require(m.totalPartitions > 0, "Total partitions <= 0"))
+    existing.foreach { row =>
+      if (dataset == RoundRobinDataset)
+        require(row.part.isDefined, s"round-robin row ${row.rowid.get} lost its fragment")
+    }
+    val nextId = nextRowId(tableName)
+    val sortedInserts = inserts.sortBy(r => (r.userid, r.movieid, r.rating))
+    def routedPart(r: Double): Option[Int] =
+      rangeBuckets.flatMap(b => Some(b.bucketOf(r)).filter(_ >= 0))
+    val newContent: Seq[(Int, Int, Double, Long, Option[Int])] =
+      existing.map { row =>
+        val part =
+          if (dataset == RangeDataset) routedPart(row.rating) else row.part
+        (row.userid, row.movieid, row.rating, row.rowid.get, part)
+      } ++ sortedInserts.zipWithIndex.map { case (row, i) =>
+        val part =
+          if (dataset == RangeDataset) routedPart(row.rating)
+          else Some(((rrMeta.get.lastInserted + 1 + i) % rrMeta.get.totalPartitions).toInt)
+        (row.userid, row.movieid, row.rating, nextId + i, part)
+      }
+
+    // identity check, distributed: every kept _rowid must be an old dataset
+    // row (catches UPDATE ... SET _rowid before anything is rewritten)
+    import spark.implicits._
+    val oldIds = readFragments(dataset).select("_rowid")
+    val keptIds = existing.map(_.rowid.get).toDF("_rowid")
+    val phantom = keptIds.join(oldIds, Seq("_rowid"), "left_anti").count()
+    require(phantom == 0L,
+      s"$phantom replacement row(s) carry a _rowid that is not in $dataset — " +
+        "_rowid is engine-derived row identity and cannot be assigned")
+
+    def stagingOf(p: String): Path = {
+      val orig = new Path(p)
+      new Path(orig.getParent, s".${orig.getName}.staging-replace")
+    }
+    val hfs = new Path(dsPath).getFileSystem(spark.sessionState.newHadoopConf())
+    // 1) stage the new master: unfragmented rows survive as-is, everything
+    //    the old dataset mirrored is superseded by the replacement rows
+    val newMasterRows = newContent.map { case (u, m, r, id, _) => (u, m, r, id) }
+      .toDF("userid", "movieid", "rating", "_rowid")
+      .select(col("userid").cast(IntegerType), col("movieid").cast(IntegerType),
+        col("rating").cast(DoubleType), col("_rowid").cast(LongType))
+    val masterStaging = stagingOf(masterPath)
+    master(tableName)
+      .join(oldIds, Seq("_rowid"), "left_anti")
+      .select("userid", "movieid", "rating", "_rowid")
+      .unionByName(newMasterRows)
+      .write.mode(SaveMode.Overwrite).parquet(masterStaging.toString)
+    // 2) stage the new dataset content (fragment-routed rows only)
+    val fragStaging = stagingOf(dsPath)
+    newContent.collect { case (u, m, r, id, Some(p)) => (u, m, r, id, p) }
+      .toDF("userid", "movieid", "rating", "_rowid", "part")
+      .select(col("userid").cast(IntegerType), col("movieid").cast(IntegerType),
+        col("rating").cast(DoubleType), col("_rowid").cast(LongType),
+        col("part").cast(IntegerType))
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(fragStaging.toString)
+    // 3) swap — every read above has executed; directory ops only from here
+    hfs.delete(new Path(masterPath), true)
+    hfs.rename(masterStaging, new Path(masterPath))
+    hfs.delete(new Path(dsPath), true)
+    hfs.rename(fragStaging, new Path(dsPath))
+    // 4) counters: fresh ids consumed, round-robin advanced by the inserts
+    if (sortedInserts.nonEmpty) {
+      catalog.writeNextRowId(tableName, nextId + sortedInserts.size)
+      rrMeta.foreach { m =>
+        catalog.writeRoundRobinMeta(m.copy(
+          lastInserted = (m.lastInserted + sortedInserts.size) % m.totalPartitions))
+      }
+    }
+  }
+
   // ---- DDL -------------------------------------------------------------------
 
   /** Drop one dataset, or everything when `name == "ALL"` (reference
@@ -554,6 +677,19 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
 }
 
 object FragmentEngine {
+
+  /** One row of a SQL UPDATE/MERGE rewrite stream: `rowid` present =
+    * existing row (possibly updated), absent = MERGE-inserted; `part` is
+    * the row's incoming fragment (kept for round-robin, recomputed from the
+    * rating for range). See [[FragmentEngine.replaceDatasetStrict]].
+    */
+  private[graft] case class ReplacementRow(
+      userid: Int,
+      movieid: Int,
+      rating: Double,
+      rowid: Option[Long],
+      part: Option[Int])
+
   /** Reference constants `Interface1.py:6-7`. */
   val RangePrefix = "range_ratings_part"
   val RoundRobinPrefix = "round_robin_ratings_part"

@@ -24,6 +24,13 @@ import graft.operators.FragmentEngine.bucketExpr
 object FragQueries {
   private val B5 = RangeBuckets(5, 0.0, 50.0)
 
+  /** Per-invocation catalog names for the SQL MERGE entry: Spark caches
+    * catalog plugin instances per name per session, so re-running the entry
+    * (bench laps, warmup) with one name would keep serving the FIRST
+    * invocation's temp warehouse.
+    */
+  private[queries] val mergeCatalogSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** DuckDB CASE expression mirroring the reference bucket rule for [0,50]/n=5
     * — bounds are exact binary doubles here, so the accumulated-float subtlety
     * (SURVEY §7.4.1) cannot diverge.
@@ -170,6 +177,89 @@ object FragQueries {
         .hashFragment(lineitem(s, d), "l_orderkey", 5)
         .groupBy(col("part").cast("bigint").as("part"))
         .agg(count(lit(1)).as("cnt"))
+    },
+
+    // E400 SQL MERGE through the catalog (the full DSv2 row-level write
+    // surface): a lineitem-derived ratings warehouse is built through the
+    // REAL engine path (loadRatings → rangePartition(5) over the hard-coded
+    // [0,5] domain), then one MERGE INTO statement updates every matched
+    // key and inserts every unmatched one — matched updates RE-ROUTE to the
+    // fragment their new rating selects and inserts route exactly like
+    // INSERT INTO, all through the group-based copy-on-write rewrite
+    // (FragmentRowLevelOperation). The oracle replays the merge as plain
+    // relational algebra (left join + anti join) and re-derives each row's
+    // fragment with the reference bucket rule, so a rewrite that dropped a
+    // row, kept a stale rating, mis-routed a boundary value, or leaked the
+    // __row_operation marker into the data columns hash-mismatches. Ratings
+    // are (int % 50)/10.0 — exact tenths in [0, 4.9], the same IEEE
+    // division on both engines.
+    QEntry.sql(
+      "frag_sql_merge",
+      """WITH base AS (
+        |  SELECT CAST(l_orderkey AS INT) AS userid, CAST(min(l_partkey) AS INT) AS movieid,
+        |         CAST(CAST(min(l_quantity) AS INT) % 50 AS DOUBLE) / 10.0 AS rating
+        |  FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY l_orderkey),
+        |src AS (
+        |  SELECT CAST(l_orderkey AS INT) AS u, CAST(min(l_partkey) AS INT) AS m,
+        |         CAST((CAST(min(l_quantity) AS INT) + 7) % 50 AS DOUBLE) / 10.0 AS r
+        |  FROM lineitem WHERE l_orderkey % 194 = 0 GROUP BY l_orderkey
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS INT) AS u, CAST(min(l_partkey) AS INT) AS m,
+        |         CAST((CAST(min(l_quantity) AS INT) + 7) % 50 AS DOUBLE) / 10.0 AS r
+        |  FROM lineitem WHERE l_orderkey % 97 = 1 GROUP BY l_orderkey),
+        |merged AS (
+        |  SELECT b.userid, b.movieid,
+        |         CASE WHEN s.u IS NOT NULL THEN s.r ELSE b.rating END AS rating
+        |  FROM base b LEFT JOIN src s ON b.userid = s.u AND b.movieid = s.m
+        |  UNION ALL
+        |  SELECT s.u, s.m, s.r FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b
+        |                    WHERE b.userid = s.u AND b.movieid = s.m))
+        |SELECT userid, movieid, rating,
+        |  CASE WHEN rating >= 0.0 AND rating <= 1.0 THEN 0
+        |       WHEN rating > 1.0 AND rating <= 2.0 THEN 1
+        |       WHEN rating > 2.0 AND rating <= 3.0 THEN 2
+        |       WHEN rating > 3.0 AND rating <= 4.0 THEN 3
+        |       WHEN rating > 4.0 AND rating <= 5.0 THEN 4
+        |  END AS part
+        |FROM merged""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlmerge").toString
+      val wh = s"$dir/wh"
+      def slice(filter: org.apache.spark.sql.Column, qtyShift: Int) =
+        lineitem(s, d)
+          .filter(filter)
+          .groupBy(col("l_orderkey"))
+          .agg(min("l_partkey").as("mk"), min("l_quantity").as("mq"))
+          .select(
+            col("l_orderkey").cast("int").as("u"),
+            col("mk").cast("int").as("m"),
+            (((col("mq").cast("int") + qtyShift) % 50).cast("double") / lit(10.0)).as("r"))
+      // base warehouse through the REAL load path (text → loadRatings)
+      val baseRows = slice(col("l_orderkey") % 97 === 0, 0).orderBy("u").collect()
+      val txt = s"$dir/ratings.txt"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(txt),
+        baseRows.map(r => s"${r.getInt(0)}::${r.getInt(1)}::${r.getDouble(2)}::0")
+          .mkString("\n").getBytes("UTF-8"))
+      val engine = new graft.operators.FragmentEngine(s, wh)
+      engine.loadRatings("ratings", txt)
+      engine.rangePartition("ratings", 5)
+      val cat = s"graft_mrg_${FragQueries.mergeCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      slice(col("l_orderkey") % 194 === 0, 7)
+        .unionByName(slice(col("l_orderkey") % 97 === 1, 7))
+        .createOrReplaceTempView("frag_merge_src")
+      s.sql(
+        s"""MERGE INTO $cat.range_ratings t USING frag_merge_src s0
+           |ON t.userid = s0.u AND t.movieid = s0.m
+           |WHEN MATCHED THEN UPDATE SET rating = s0.r
+           |WHEN NOT MATCHED THEN
+           |  INSERT (userid, movieid, rating, _rowid, part)
+           |  VALUES (s0.u, s0.m, s0.r, NULL, NULL)""".stripMargin)
+      s.table(s"$cat.range_ratings")
+        .select(col("userid"), col("movieid"), col("rating"), col("part"))
     },
 
     // Generalized fragmentation (extension): range scheme over a

@@ -280,12 +280,103 @@ class GraftTableCatalogSpec extends SparkSpec {
       assert(spark.table("graft_d1.range_ratings")
         .select("part").distinct().collect().map(_.getInt(0)).toSet == Set(0, 1, 3, 4))
 
-      // unsupported conditions are refused loudly, nothing half-applies
+      // a condition the metadata path can't translate (canDeleteWhere =
+      // false) FALLS BACK to the row-level rewrite — complex deletes still
+      // work, with the same dual-write semantics
       val before = spark.table("graft_d1.range_ratings").count()
+      val complexHits = spark.table("graft_d1.range_ratings")
+        .filter(col("rating") * 2 === 3.0).count()
+      assert(complexHits > 0, "fixture must contain 1.5 ratings")
+      spark.sql("DELETE FROM graft_d1.range_ratings WHERE rating * 2 = 3.0")
+      assert(spark.table("graft_d1.range_ratings").count() == before - complexHits)
+      assert(e.master("ratings").filter(col("rating") === 1.5).count() == 0,
+        "the rewrite fallback must mirror master too")
+    }
+  }
+
+  test("UPDATE through the catalog re-routes across fragment boundaries and mirrors master") {
+    withCatalog("graft_u1") { e =>
+      val root = spark.conf.get("spark.sql.catalog.graft_u1.warehouse")
+      val victims = spark.table("graft_u1.range_ratings")
+        .filter(col("rating") === 3.0)
+        .select("_rowid").collect().map(_.getLong(0)).toSet
+      assert(victims.nonEmpty, "fixture must contain 3.0 ratings (fragment 2)")
+      val total = spark.table("graft_u1.range_ratings").count()
+
+      // 3.0 lives in fragment 2 ((2,3]); 0.5 routes to fragment 0 ([0,1])
+      spark.sql("UPDATE graft_u1.range_ratings SET rating = 0.5 WHERE rating = 3.0")
+
+      val moved = spark.table("graft_u1.range_ratings")
+        .filter(col("_rowid").isin(victims.toSeq: _*))
+      assert(moved.count() == victims.size, "updated rows must survive the rewrite")
+      assert(moved.select("part").distinct().collect().map(_.getInt(0)).toSeq == Seq(0),
+        "an update across the boundary must MOVE the row to the routed fragment")
+      assert(moved.select("rating").distinct().head().getDouble(0) == 0.5)
+      assert(spark.table("graft_u1.range_ratings").count() == total, "no row gained or lost")
+      // master mirror carries the new value under the SAME _rowid
+      val inMaster = e.master("ratings").filter(col("_rowid").isin(victims.toSeq: _*))
+      assert(inMaster.count() == victims.size)
+      assert(inMaster.select("rating").distinct().head().getDouble(0) == 0.5)
+
+      // an update to an OUT-OF-DOMAIN rating leaves the row master-only
+      // (rangeInsert's contract run through UPDATE)
+      val v1 = victims.head
+      spark.sql(s"UPDATE graft_u1.range_ratings SET rating = 7.5 WHERE _rowid = $v1")
+      assert(spark.table("graft_u1.range_ratings").filter(col("_rowid") === v1).count() == 0)
+      assert(e.master("ratings").filter(col("_rowid") === v1).select("rating")
+        .head().getDouble(0) == 7.5)
+
+      // identity is engine-derived: SET _rowid is rejected and nothing lands
+      val snapshot = spark.table("graft_u1.range_ratings").count()
       intercept[Exception] {
-        spark.sql("DELETE FROM graft_d1.range_ratings WHERE rating * 2 = 3.0")
+        spark.sql("UPDATE graft_u1.range_ratings SET _rowid = 9999 WHERE rating = 0.5")
       }
-      assert(spark.table("graft_d1.range_ratings").count() == before)
+      assert(spark.table("graft_u1.range_ratings").count() == snapshot)
+      val _ = root
+    }
+  }
+
+  test("MERGE INTO routes matched updates and unmatched inserts through the dual-write") {
+    withCatalog("graft_m1") { e =>
+      val s = spark
+      import s.implicits._
+      val masterBefore = e.master("ratings").count()
+      val fragBefore = spark.table("graft_m1.range_ratings").count()
+      val nextIdBefore = e.master("ratings")
+        .agg(org.apache.spark.sql.functions.max("_rowid")).head().getLong(0) + 1
+      // source: one row matching an existing (userid, movieid) (1, 122) with
+      // a rating that crosses a boundary, one brand-new row
+      Seq((1, 122, 2.0), (555, 666, 4.5)).toDF("u", "m", "r")
+        .createOrReplaceTempView("merge_src")
+      val old = spark.table("graft_m1.range_ratings")
+        .filter(col("userid") === 1 && col("movieid") === 122)
+        .select("_rowid", "part").head()
+      val (oldId, oldPart) = (old.getLong(0), old.getInt(1))
+
+      spark.sql(
+        """MERGE INTO graft_m1.range_ratings t USING merge_src s
+          |ON t.userid = s.u AND t.movieid = s.m
+          |WHEN MATCHED THEN UPDATE SET rating = s.r
+          |WHEN NOT MATCHED THEN
+          |  INSERT (userid, movieid, rating, _rowid, part) VALUES (s.u, s.m, s.r, NULL, NULL)
+          |""".stripMargin)
+
+      // matched: same _rowid, new rating, re-routed to the boundary fragment
+      val updated = spark.table("graft_m1.range_ratings").filter(col("_rowid") === oldId)
+      assert(updated.count() == 1)
+      assert(updated.head().getAs[Double]("rating") == 2.0)
+      assert(updated.head().getAs[Int]("part") == 1, "boundary 2.0 must land in ((1,2])")
+      assert(oldPart != 1, "fixture row must actually move (1::122 was 5.0 -> part 4)")
+      // unmatched: inserted with a FRESH _rowid, routed, mirrored in master
+      val inserted = spark.table("graft_m1.range_ratings").filter(col("userid") === 555)
+      assert(inserted.count() == 1)
+      assert(inserted.head().getAs[Long]("_rowid") == nextIdBefore, "fresh load id")
+      assert(inserted.head().getAs[Int]("part") == 4, "4.5 routes to ((4,5])")
+      assert(spark.table("graft_m1.range_ratings").count() == fragBefore + 1)
+      assert(e.master("ratings").count() == masterBefore + 1)
+      assert(e.master("ratings").filter(col("userid") === 555).count() == 1)
+      assert(e.master("ratings").filter(col("_rowid") === oldId)
+        .head().getAs[Double]("rating") == 2.0, "master mirrors the matched update")
     }
   }
 }
