@@ -1797,29 +1797,23 @@ object Similarity {
       seed: Int = 42,
       dim: Int = 0,
       upperBeam: Int = 4,
-      upperHops: Int = 2
+      upperHops: Int = 2,
+      levels: Int = 2
   ): DataFrame = {
+    require(levels >= 2, "hierarchical search needs at least one coarse level")
     val spark = corpus.sparkSession
     VectorExpressions.install(spark)
-    val upper = corpus.filter(
-      substring(md5(col(idCol).cast("long").cast("string")), 1, 1) === "0")
-    val upperEntry = upper
-      .select(col(idCol).cast("long").as("id"))
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(1)
-      .collect()
-      .headOption
-      .map(_.getLong(0))
-    if (upperEntry.isEmpty)
+    requireNumericId(corpus, idCol, "nswTopKHierarchical")
+    if (topLevelEntry(corpus, idCol, levels - 1).isEmpty)
       return nswTopK(corpus, queries, idCol, vecCol, k, degree, tables, bits,
         beam, hops, seed, dim)
-    val edges0 = buildNswEdges(corpus, idCol, vecCol, degree, tables, bits, seed, dim)
-      .select("src", "dst")
-      .localCheckpoint()
-    val edges1 = buildNswEdges(upper, idCol, vecCol, degree, tables, bits, seed, dim)
-      .select("src", "dst")
-      .localCheckpoint()
-    nswTopKFromPrebuilt(corpus, queries, idCol, vecCol, edges0, edges1, k,
+    val edgesByLevel = (0 until levels).map { l =>
+      val nodes = if (l == 0) corpus else corpus.filter(hnswLevelPred(idCol, l))
+      buildNswEdges(nodes, idCol, vecCol, degree, tables, bits, seed, dim)
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    nswTopKFromPrebuiltLevels(corpus, queries, idCol, vecCol, edgesByLevel, k,
       beam, hops, upperBeam, upperHops)
   }
 
@@ -1840,36 +1834,58 @@ object Similarity {
       hops: Int = 5,
       upperBeam: Int = 4,
       upperHops: Int = 2
+  ): DataFrame =
+    nswTopKFromPrebuiltLevels(corpus, queries, idCol, vecCol, Seq(edges0, edges1), k,
+      beam, hops, upperBeam, upperHops)
+
+  /** L-level generalization of [[nswTopKFromPrebuilt]]: `edgesByLevel(l)`
+    * is the graph over the level-l node set ([[hnswLevelPred]] nesting —
+    * level 0 is the full corpus). The walk enters at the md5-min node of
+    * the topmost non-empty level and descends level by level: each coarse
+    * hop is a tiny (upperBeam, upperHops, k=1) walk whose best node seeds
+    * the level below, so at 10⁹+ nodes the full-beam budget starts next to
+    * the answer after O(log₁₆ n) cheap hops instead of paying
+    * diameter-growing travel from one global entry. A query whose coarse
+    * walk yields nothing (it IS that level's entry and self-matches are
+    * excluded) keeps its previous seed.
+    */
+  def nswTopKFromPrebuiltLevels(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      edgesByLevel: Seq[DataFrame],
+      k: Int,
+      beam: Int = 32,
+      hops: Int = 5,
+      upperBeam: Int = 4,
+      upperHops: Int = 2
   ): DataFrame = {
+    require(edgesByLevel.nonEmpty, "need at least the level-0 graph")
     val spark = corpus.sparkSession
     VectorExpressions.install(spark)
-    val upper = corpus.filter(
-      substring(md5(col(idCol).cast("long").cast("string")), 1, 1) === "0")
-    val upperEntry = upper
-      .select(col(idCol).cast("long").as("id"))
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(1)
-      .collect()
-      .headOption
-      .map(_.getLong(0))
-    if (upperEntry.isEmpty)
-      return nswTopKFromEdges(corpus, queries, idCol, vecCol, edges0, k, beam, hops)
+    requireNumericId(corpus, idCol, "nswTopKFromPrebuiltLevels")
+    val top = topLevelEntry(corpus, idCol, edgesByLevel.size - 1)
+    if (top.isEmpty)
+      return nswTopKFromEdges(corpus, queries, idCol, vecCol, edgesByLevel.head,
+        k, beam, hops)
+    val (topLvl, entry) = top.get
     val c = withNorm(corpus, idCol, vecCol, "node_id", "nv", "nn").localCheckpoint()
-    val c1 = c.filter(
-      substring(md5(col("node_id").cast("string")), 1, 1) === "0")
     val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"))
-    val seeds1 = queries.select(
-      col(idCol).as("query_id"), lit(upperEntry.get).as("node_id"))
-    // coarse descent: tiny beam, few hops, k = 1 — each query's best coarse
-    // node becomes its full-graph entry
-    val coarse = nswBeamFromSeeds(spark, c1, q, edges1, seeds1, 1, upperBeam, upperHops)
-    // a query whose coarse walk yielded nothing (it IS the entry node and
-    // self-matches are excluded) falls back to the coarse entry itself
-    val seeds0 = queries
-      .select(col(idCol).as("query_id"))
-      .join(coarse.select(col("query_id"), col("neighbor_id")), Seq("query_id"), "left")
-      .select(col("query_id"), coalesce(col("neighbor_id"), lit(upperEntry.get)).as("node_id"))
-    nswBeamFromSeeds(spark, c, q, edges0, seeds0, k, beam, hops)
+    var seeds = queries.select(
+      col(idCol).as("query_id"), lit(entry).as("node_id"))
+    // coarse descent: tiny beam, few hops, k = 1 per level — each query's
+    // best level-l node becomes its level-(l-1) entry
+    (topLvl to 1 by -1).foreach { l =>
+      val cl = c.filter(hnswLevelPred("node_id", l))
+      val coarse = nswBeamFromSeeds(spark, cl, q, edgesByLevel(l), seeds, 1,
+        upperBeam, upperHops)
+      seeds = seeds
+        .join(coarse.select(col("query_id"), col("neighbor_id")), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("neighbor_id"), col("node_id")).as("node_id"))
+    }
+    nswBeamFromSeeds(spark, c, q, edgesByLevel.head, seeds, k, beam, hops)
   }
 
   /** Candidate edges for `srcSide` against `corpus` via the NSW hash
@@ -1941,18 +1957,73 @@ object Similarity {
     }
   }
 
-  /** md5-prefix membership predicate of the hierarchical coarse level —
-    * shared by build, append, and search so the three can never disagree
-    * on which nodes the coarse graph spans.
+  /** md5-prefix membership predicate of hierarchical level `level` — level
+    * l spans the nodes whose md5 starts with l zero hex digits, so levels
+    * NEST (each ~1/16 of the one below) and build, append, and search can
+    * never disagree on which nodes a level spans. Level 1 with prefix "0"
+    * is the original two-level rule, byte-identical.
+    *
+    * Ids are hashed through their LONG form (the DuckDB twins replay
+    * exactly that), so the hierarchy requires numeric ids —
+    * [[requireNumericId]] makes the contract visible instead of silently
+    * yielding an empty coarse level on a string-id corpus.
     */
-  private def hnswUpperPred(idCol: String): Column =
-    substring(md5(col(idCol).cast("long").cast("string")), 1, 1) === "0"
+  private def hnswLevelPred(idCol: String, level: Int): Column =
+    substring(md5(col(idCol).cast("long").cast("string")), 1, level) === "0" * level
 
-  /** Persisted TWO-LEVEL (hierarchical) NSW index on the commit protocol:
-    * one snapshot holds both graphs tagged by `lvl` (0 = full corpus,
-    * 1 = md5-sampled coarse level), so version semantics, vacuum, diff and
-    * time travel all apply to the pair atomically — a reader can never see
-    * a full graph without its matching coarse level.
+  private def requireNumericId(df: DataFrame, idCol: String, api: String): Unit = {
+    val dt = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType,
+      s"$api hierarchy levels hash the id through its long form: " +
+        s"'$idCol' is ${dt.simpleString}, use a numeric id (or the flat nswTopK*)")
+  }
+
+  /** Topmost NON-EMPTY hierarchy level of `corpus`, capped at `maxLevel`
+    * (levels nest, so one max-of-leading-zero-run aggregate decides every
+    * level's emptiness at once), plus the level's deterministic entry node
+    * (md5-min, the same rule at every level). None when even level 1 is
+    * empty — callers fall back to the flat walk.
+    */
+  private def topLevelEntry(
+      corpus: DataFrame,
+      idCol: String,
+      maxLevel: Int
+  ): Option[(Int, Long)] = {
+    val h = md5(col(idCol).cast("long").cast("string"))
+    val run = length(regexp_extract(h, "^(0+)", 1))
+    val top = corpus
+      .agg(max(least(run, lit(maxLevel))).as("l"))
+      .head()
+      .getAs[Any]("l") match {
+      case null   => 0
+      case i: Int => i
+    }
+    if (top < 1) None
+    else {
+      val entry = corpus
+        .filter(hnswLevelPred(idCol, top))
+        .select(col(idCol).cast("long").as("id"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(1)
+        .collect()
+        .headOption
+        .map(_.getLong(0))
+      entry.map(e => (top, e))
+    }
+  }
+
+  /** Persisted HIERARCHICAL NSW index on the commit protocol: one snapshot
+    * holds every level's graph tagged by `lvl` (0 = full corpus, l ≥ 1 =
+    * the md5-prefix-nested 1/16ˡ coarse levels), so version semantics,
+    * vacuum, diff and time travel all apply to the whole hierarchy
+    * atomically — a reader can never see a full graph without its matching
+    * coarse levels. `levels = 2` is the original two-level snapshot,
+    * byte-identical; at 10⁹+ nodes pick levels ≈ log₁₆(n / beamable-size)
+    * so the top level is walkable in O(1) hops.
     */
   def buildHnswIndexVersioned(
       corpus: DataFrame,
@@ -1964,17 +2035,21 @@ object Similarity {
       tables: Int = 4,
       bits: Int = 6,
       seed: Int = 42,
-      dim: Int = 0
+      dim: Int = 0,
+      levels: Int = 2
   ): Long = {
-    val e0 = buildNswEdges(corpus, idCol, vecCol, degree, tables, bits, seed, dim)
-      .withColumn("lvl", lit(0))
-    val e1 = buildNswEdges(
-      corpus.filter(hnswUpperPred(idCol)), idCol, vecCol, degree, tables, bits, seed, dim)
-      .withColumn("lvl", lit(1))
+    require(levels >= 2, "a hierarchical index needs at least one coarse level")
+    requireNumericId(corpus, idCol, "buildHnswIndexVersioned")
+    val tagged = (0 until levels).map { l =>
+      val nodes = if (l == 0) corpus else corpus.filter(hnswLevelPred(idCol, l))
+      buildNswEdges(nodes, idCol, vecCol, degree, tables, bits, seed, dim)
+        .withColumn("lvl", lit(l))
+    }
+    val fresh = tagged.reduce(_ unionByName _)
     IndexCommit.commit(corpus.sparkSession, root, writerId) {
-      case None => e0.unionByName(e1)
+      case None => fresh
       case Some(b) =>
-        b.unionByName(e0).unionByName(e1)
+        b.unionByName(fresh)
           .groupBy("lvl", "src", "dst").agg(max("cos").as("cos"))
     }
   }
@@ -1995,25 +2070,43 @@ object Similarity {
       tables: Int = 4,
       bits: Int = 6,
       seed: Int = 42,
-      dim: Int = 0
+      dim: Int = 0,
+      levels: Int = 2
   ): Long = {
+    require(levels >= 2, "a hierarchical index needs at least one coarse level")
+    requireNumericId(batch, idCol, "appendHnswIndexVersioned")
     val all = oldCorpus.unionByName(batch)
-    val new0 = nswEdgesFor(batch, all, idCol, vecCol, degree, tables, bits, seed, dim)
-      .withColumn("lvl", lit(0))
-    val new1 = nswEdgesFor(
-      batch.filter(hnswUpperPred(idCol)), all.filter(hnswUpperPred(idCol)),
-      idCol, vecCol, degree, tables, bits, seed, dim)
-      .withColumn("lvl", lit(1))
+    val tagged = (0 until levels).map { l =>
+      val (b, a) =
+        if (l == 0) (batch, all)
+        else (batch.filter(hnswLevelPred(idCol, l)), all.filter(hnswLevelPred(idCol, l)))
+      nswEdgesFor(b, a, idCol, vecCol, degree, tables, bits, seed, dim)
+        .withColumn("lvl", lit(l))
+    }
+    val fresh = tagged.reduce(_ unionByName _)
     IndexCommit.commit(batch.sparkSession, root, writerId) {
-      case None => new0.unionByName(new1)
+      case None => fresh
       case Some(base) =>
-        base.unionByName(new0).unionByName(new1)
+        base.unionByName(fresh)
           .groupBy("lvl", "src", "dst").agg(max("cos").as("cos"))
     }
   }
 
-  /** Hierarchical search over the committed two-level snapshot — the
-    * production read path of [[buildHnswIndexVersioned]]. */
+  /** Hierarchical search over the committed snapshot — the production read
+    * path of [[buildHnswIndexVersioned]]. The level count comes from the
+    * snapshot's own `lvl` tags, so a 3-level index descends 3 levels with
+    * no caller coordination.
+    *
+    * SIZE GATE: below `hierarchyMinNodes` level-0 nodes the coarse descent
+    * is pure overhead — the graph's diameter is already within the full
+    * beam's hop budget, and the extra tiny-beam hops measured ~1 s slower
+    * at 50k nodes (SCALING.md x_hnsw_warm vs x_nsw_warm) — so small
+    * snapshots walk the full level directly from its fixed entry. One
+    * count against the checkpointed snapshot decides; recall is unaffected
+    * (the hierarchy's claim is entry placement at diameter scale, not
+    * result quality). Pass 0 to force the hierarchical walk (the oracled
+    * entries pin 0 for engine-replay comparability).
+    */
   def hnswTopKFromCommitted(
       corpus: DataFrame,
       queries: DataFrame,
@@ -2024,7 +2117,8 @@ object Similarity {
       beam: Int = 32,
       hops: Int = 5,
       upperBeam: Int = 4,
-      upperHops: Int = 2
+      upperHops: Int = 2,
+      hierarchyMinNodes: Long = 100000L
   ): DataFrame = {
     val snap = IndexCommit
       .readCommitted(corpus.sparkSession, root)
@@ -2032,8 +2126,17 @@ object Similarity {
       ._2
       .localCheckpoint()
     val e0 = snap.filter(col("lvl") === 0).select("src", "dst")
-    val e1 = snap.filter(col("lvl") === 1).select("src", "dst")
-    nswTopKFromPrebuilt(corpus, queries, idCol, vecCol, e0, e1, k,
+    if (hierarchyMinNodes > 0) {
+      val n0 = snap.filter(col("lvl") === 0)
+        .select(col("src")).distinct().count()
+      if (n0 < hierarchyMinNodes)
+        return nswTopKFromEdges(corpus, queries, idCol, vecCol, e0, k, beam, hops)
+    }
+    val maxLvl = snap.agg(max(col("lvl"))).head().getInt(0)
+    val edgesByLevel = (0 to maxLvl).map { l =>
+      snap.filter(col("lvl") === l).select("src", "dst")
+    }
+    nswTopKFromPrebuiltLevels(corpus, queries, idCol, vecCol, edgesByLevel, k,
       beam, hops, upperBeam, upperHops)
   }
 

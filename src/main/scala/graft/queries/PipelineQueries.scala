@@ -4407,8 +4407,11 @@ object PipelineQueries {
       Similarity.appendHnswIndexVersioned(evens, odds, "vec_id", "embedding", root,
         "ingest", dim = EmbDim)
       Similarity
+        // hierarchyMinNodes PINNED to 0: the DuckDB twin replays the
+        // hierarchical descent, so the small-corpus flat-walk gate (the
+        // production default) must not engage here
         .hnswTopKFromCommitted(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          root, 10)
+          root, 10, hierarchyMinNodes = 0L)
         .withColumn("rank", col("rank").cast("bigint"))
     },
 

@@ -105,6 +105,71 @@ class BinaryAnnSpec extends SparkSpec {
     assert(t.count() > 0, "empty coarse level must fall back to the flat search")
   }
 
+  test("L-level hierarchy: 3 levels keep recall, committed snapshots carry every level, small-n gate walks flat") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(bf, df, 10).agg(avg("recall")).head().getDouble(0)
+    // 500 vectors put ~3 nodes on level 2 (md5 "00" prefix) — degenerate
+    // but structurally complete: entry at level 2, descend 2, 1, then full
+    val flat = meanRecall(Similarity.nswTopK(
+      emb, queries, "vec_id", "embedding", 10, dim = 64))
+    val l3 = meanRecall(Similarity.nswTopKHierarchical(
+      emb, queries, "vec_id", "embedding", 10, dim = 64, levels = 3))
+    assert(l3 >= flat - 0.02, s"levels=3 recall $l3 vs flat $flat")
+    assert(l3 >= 0.9, s"levels=3 recall $l3")
+
+    withTempDir { dir =>
+      // 6000 vectors put ~23 nodes on level 2 — enough for a real level-2
+      // graph (3 nodes at sf0.001 rarely share an LSH bucket, so that
+      // level legitimately has no edges there)
+      val emb2 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      val q2 = emb2.filter(col("vec_id") < 10)
+      val bf2 = Similarity
+        .bruteForceTopK(emb2, q2, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+      val root = s"$dir/hnsw3"
+      Similarity.buildHnswIndexVersioned(
+        emb2, "vec_id", "embedding", root, "b", dim = 64, levels = 3)
+      val snap = graft.operators.IndexCommit.readCommitted(spark, root).get._2
+      assert(snap.select("lvl").distinct().collect().map(_.getInt(0)).sorted.toSeq
+        == Seq(0, 1, 2), "one snapshot must carry every level")
+      // the committed read derives the level count from the lvl tags
+      val hier = Similarity.hnswTopKFromCommitted(
+        emb2, q2, "vec_id", "embedding", root, 10, hierarchyMinNodes = 0L)
+      val hierRecall = Similarity.recallAtK(bf2, hier, 10)
+        .agg(avg("recall")).head().getDouble(0)
+      assert(hierRecall >= 0.9, s"3-level committed recall $hierRecall")
+      // size gate: below the threshold the walk is EXACTLY the flat walk
+      // over the committed level-0 graph (6000 nodes < the 100k default)
+      val gated = Similarity.hnswTopKFromCommitted(
+        emb2, q2, "vec_id", "embedding", root, 10)
+      val e0 = snap.filter(col("lvl") === 0).select("src", "dst")
+      val flatWalk = Similarity.nswTopKFromEdges(
+        emb2, q2, "vec_id", "embedding", e0, 10)
+      assert(gated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == flatWalk.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        "below the node threshold the committed read must walk the full level directly")
+    }
+
+    // the hierarchy hashes ids through their long form — a string-id corpus
+    // is refused visibly instead of silently losing its coarse levels
+    val s = spark
+    import s.implicits._
+    val strIds = emb.limit(30).select(
+      col("vec_id").cast("string").as("vec_id"), col("embedding"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.nswTopKHierarchical(strIds, strIds.limit(2), "vec_id", "embedding", 3, dim = 64)
+    }
+    assert(err.getMessage.contains("numeric id"), err.getMessage)
+  }
+
   test("NSW edges are mirrored and capped per direction before mirroring") {
     import org.apache.spark.sql.functions._
     val vs = (0L until 30L)
