@@ -168,7 +168,10 @@ object Bench {
           when(col("doc_id") % 10 === 0,
             lit("terms of service apply all rights reserved " * 12))
             .otherwise(col("text")))
-        graft.operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        // explicitly UNCAPPED: this entry measures the open path the
+        // AutoBandDf default now protects against
+        graft.operators.Dedup.minhashCandidatePairs(
+          docs, "doc_id", "text", maxBandDf = Long.MaxValue)
       }),
       "x_skew_band_capped" -> ((s, d) => {
         import org.apache.spark.sql.functions._

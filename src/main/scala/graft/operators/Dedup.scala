@@ -30,6 +30,29 @@ import graft.functions.TextAnalysis
   */
 object Dedup {
 
+  /** Sentinel for `maxBandDf` meaning AUTO: the hot-band cap is derived
+    * from corpus size as max(64, 16·⌈n^¼⌉), making the scale-safe path the
+    * default. The ⁴√n shape keeps the worst single band's self-join output
+    * ≤ cap² = Θ(√n) — sublinear in corpus size, so no one shuffle key can
+    * ever dominate the job — while the 64 floor and the ×16 margin keep
+    * every plausible GENUINE near-dup cluster (df ≈ tens) far under the
+    * cap at any n. Recall loss stays the bounded, right-biased kind
+    * documented on [[minhashCandidatePairs]]: only corpora whose clone
+    * CLUSTERS are themselves Θ(⁴√n)-sized see drops, and exact-duplicate
+    * mega-clusters are the exact hash-dedup operator's job, not LSH's.
+    * Pass `Long.MaxValue` for the explicit exact mode (every band joins,
+    * the uncapped oracle/bench baseline).
+    */
+  val AutoBandDf: Long = -1L
+
+  /** Resolve a requested `maxBandDf` against the corpus size (`nDocs` is
+    * only evaluated for [[AutoBandDf]]). */
+  private def resolveBandCap(requested: Long, nDocs: => Long): Long =
+    if (requested != AutoBandDf) requested
+    else math.max(
+      64L,
+      16L * math.ceil(math.pow(math.max(nDocs, 0L).toDouble, 0.25)).toLong)
+
   /** Fan a narrow input out to the cluster's parallelism before expensive
     * per-document compute. A small corpus parquet arrives as one input split
     * (maxPartitionBytes), which would serialize the shingle/hash stages on a
@@ -140,8 +163,10 @@ object Dedup {
     * the hot set is a handful of keys, broadcast into an anti-join). Recall
     * loss is bounded and biased the right way: a pair is missed only if
     * EVERY band the two docs share is corpus-hot — genuine near-dups
-    * virtually always share a non-hot band. Default ∞ = off (exact banding
-    * semantics, the oracle path).
+    * virtually always share a non-hot band. Default [[AutoBandDf]]: the
+    * cap derives from corpus size (max(64, 16·⌈n^¼⌉)) so the scale-safe
+    * path is the default path; `Long.MaxValue` = exact mode (every band
+    * joins — the uncapped baseline).
     */
   def minhashCandidatePairs(
       df: DataFrame,
@@ -150,7 +175,7 @@ object Dedup {
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
       fast: Boolean = false,
-      maxBandDf: Long = Long.MaxValue
+      maxBandDf: Long = AutoBandDf
   ): DataFrame = {
     // localCheckpoint before the self-join: without it each aliased side
     // re-runs the whole signature pipeline (shingle explode → digest →
@@ -163,13 +188,16 @@ object Dedup {
       col(idCol).as("id"),
       explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("band")
     )
+    // one row per doc in the checkpointed signature table — the cheap,
+    // exact n the auto cap derives from
+    val cap = resolveBandCap(maxBandDf, sigs.count())
     val joinable =
-      if (maxBandDf == Long.MaxValue) exploded
+      if (cap == Long.MaxValue) exploded
       else {
         val hot = exploded
           .groupBy("band")
           .agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > maxBandDf)
+          .filter(col("_df") > cap)
           .select("band")
         exploded.join(broadcast(hot), Seq("band"), "left_anti")
       }
@@ -378,7 +406,7 @@ object Dedup {
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
       fast: Boolean = false,
-      maxBandDf: Long = Long.MaxValue
+      maxBandDf: Long = AutoBandDf
   ): DataFrame = {
     val pairs =
       minhashCandidatePairs(df, idCol, textCol, numPerm, rowsPerBand, fast, maxBandDf)
@@ -467,7 +495,7 @@ object Dedup {
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
       fast: Boolean = false,
-      maxBandDf: Long = Long.MaxValue
+      maxBandDf: Long = AutoBandDf
   ): DataFrame = {
     val pairs =
       minhashCandidatePairs(df, idCol, textCol, numPerm, rowsPerBand, fast, maxBandDf)
@@ -499,7 +527,7 @@ object Dedup {
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
       fast: Boolean = false,
-      maxBandDf: Long = Long.MaxValue
+      maxBandDf: Long = AutoBandDf
   ): DataFrame = {
     val pairs =
       minhashCandidatePairs(df, idCol, textCol, numPerm, rowsPerBand, fast, maxBandDf)
@@ -1837,7 +1865,7 @@ object Dedup {
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
       fast: Boolean = false,
-      maxBandDf: Long = Long.MaxValue
+      maxBandDf: Long = AutoBandDf
   ): DataFrame =
     incrementalClustersFromPairs(
       batch.select(col(idCol).as("id")),
@@ -2326,7 +2354,7 @@ object Dedup {
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
       fast: Boolean = false,
-      maxBandDf: Long = Long.MaxValue
+      maxBandDf: Long = AutoBandDf
   ): DataFrame = {
     val nBands = numPerm / rowsPerBand
     // one row per doc per band after the signature aggregate; checkpointed
@@ -2351,15 +2379,18 @@ object Dedup {
     // into an anti-join). Recall loss is bounded and biased the right way:
     // a pair is missed only if EVERY band the two docs share is corpus-hot
     // — with b independent bands, near-dups whose overlap is genuine (not
-    // boilerplate) virtually always share a non-hot band. Default ∞ = off
-    // (exact banding semantics, the oracle path).
+    // boilerplate) virtually always share a non-hot band. Default
+    // [[AutoBandDf]] sizes the cap from |index ∪ batch| (one distinct-id
+    // count, only paid in auto mode); Long.MaxValue = exact mode.
+    val cap = resolveBandCap(
+      maxBandDf, allBands.select("nid").distinct().count())
     val joinable =
-      if (maxBandDf == Long.MaxValue) allBands
+      if (cap == Long.MaxValue) allBands
       else {
         val hot = allBands
           .groupBy("band")
           .agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > maxBandDf)
+          .filter(col("_df") > cap)
           .select("band")
         allBands.join(broadcast(hot), Seq("band"), "left_anti")
       }

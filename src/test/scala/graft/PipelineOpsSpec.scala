@@ -1023,6 +1023,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cl(7L) == ((7L, 1L)))
   }
 
+  test("AutoBandDf default: a corpus-hot band is capped while genuine clone bands survive") {
+    val s = spark
+    import s.implicits._
+    // 100 identical boilerplate docs: every band is 100-hot — above the
+    // auto cap max(64, 16*ceil(104^0.25)) = 64 — while the genuine pair's
+    // bands are 2-hot. The DEFAULT call must engage the cap.
+    val boiler = Array.fill(30)("terms of service apply all rights reserved").mkString(" ")
+    val real = Array.fill(30)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val fill1 = Array.fill(30)("lorem ipsum dolor sit amet consectetur").mkString(" ")
+    val fill2 = Array.fill(30)("sphinx of black quartz judge my vow").mkString(" ")
+    val df = ((1L to 100L).map(i => (i, boiler)) ++
+      Seq((200L, real), (201L, real + " tail"), (300L, fill1), (301L, fill2)))
+      .toDF("doc_id", "text")
+    val auto = graft.operators.Dedup
+      .minhashCandidatePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === Set((200L, 201L)),
+      s"auto must drop the 100-hot boilerplate bands and keep the clone pair: $auto")
+    // explicit exact mode still returns the full storm
+    val open = graft.operators.Dedup
+      .minhashCandidatePairs(df, "doc_id", "text", maxBandDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open.size == 100 * 99 / 2 + 1, s"exact mode size=${open.size}")
+    // below the 64 floor nothing engages: the 40-doc corpora of the specs
+    // above read identically under auto and exact (df 40 < 64)
+    val small = ((1L to 40L).map(i => (i, boiler)) ++
+      Seq((200L, real), (201L, real + " tail"))).toDF("doc_id", "text")
+    val smallAuto = graft.operators.Dedup
+      .minhashCandidatePairs(small, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(smallAuto.size == 40 * 39 / 2 + 1, s"below the floor auto = exact: ${smallAuto.size}")
+  }
+
   test("fuzzyCanonicalVerify: d-1 member rows per clone cluster, chain semantics stated") {
     val s = spark
     import s.implicits._
