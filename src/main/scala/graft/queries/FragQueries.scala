@@ -198,15 +198,15 @@ object FragQueries {
       """WITH base AS (
         |  SELECT CAST(l_orderkey AS INT) AS userid, CAST(min(l_partkey) AS INT) AS movieid,
         |         CAST(CAST(min(l_quantity) AS INT) % 50 AS DOUBLE) / 10.0 AS rating
-        |  FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY l_orderkey),
+        |  FROM lineitem WHERE l_orderkey % 271 = 0 GROUP BY l_orderkey),
         |src AS (
         |  SELECT CAST(l_orderkey AS INT) AS u, CAST(min(l_partkey) AS INT) AS m,
         |         CAST((CAST(min(l_quantity) AS INT) + 7) % 50 AS DOUBLE) / 10.0 AS r
-        |  FROM lineitem WHERE l_orderkey % 194 = 0 GROUP BY l_orderkey
+        |  FROM lineitem WHERE l_orderkey % 542 = 0 GROUP BY l_orderkey
         |  UNION ALL
         |  SELECT CAST(l_orderkey AS INT) AS u, CAST(min(l_partkey) AS INT) AS m,
         |         CAST((CAST(min(l_quantity) AS INT) + 7) % 50 AS DOUBLE) / 10.0 AS r
-        |  FROM lineitem WHERE l_orderkey % 97 = 1 GROUP BY l_orderkey),
+        |  FROM lineitem WHERE l_orderkey % 813 = 1 GROUP BY l_orderkey),
         |merged AS (
         |  SELECT b.userid, b.movieid,
         |         CASE WHEN s.u IS NOT NULL THEN s.r ELSE b.rating END AS rating
@@ -236,7 +236,9 @@ object FragQueries {
             col("mk").cast("int").as("m"),
             (((col("mq").cast("int") + qtyShift) % 50).cast("double") / lit(10.0)).as("r"))
       // base warehouse through the REAL load path (text → loadRatings)
-      val baseRows = slice(col("l_orderkey") % 97 === 0, 0).orderBy("u").collect()
+      // residue 271 keeps the rewrite stream under the documented
+      // VALUES-sized per-task cap at every lap scale (sf1: ~5.7k base rows)
+      val baseRows = slice(col("l_orderkey") % 271 === 0, 0).orderBy("u").collect()
       val txt = s"$dir/ratings.txt"
       java.nio.file.Files.write(
         java.nio.file.Paths.get(txt),
@@ -248,8 +250,8 @@ object FragQueries {
       val cat = s"graft_mrg_${FragQueries.mergeCatalogSeq.incrementAndGet()}"
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftTableCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-      slice(col("l_orderkey") % 194 === 0, 7)
-        .unionByName(slice(col("l_orderkey") % 97 === 1, 7))
+      slice(col("l_orderkey") % 542 === 0, 7)
+        .unionByName(slice(col("l_orderkey") % 813 === 1, 7))
         .createOrReplaceTempView("frag_merge_src")
       s.sql(
         s"""MERGE INTO $cat.range_ratings t USING frag_merge_src s0
