@@ -569,6 +569,161 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     * routed to a fragment (out-of-domain ratings) are invisible to the
     * statement and survive untouched.
     */
+  /** Distributed MERGE into a fragment dataset — the BULK path the SQL
+    * surface's VALUES-sized cap points at: `source` rows (userid, movieid,
+    * rating) update the rating of every (userid, movieid)-matched dataset
+    * row and insert the unmatched ones, entirely as DataFrame jobs — no
+    * row ever rides the driver, so a million-row merge is three joins and
+    * a couple of partition-directory writes.
+    *
+    * Semantics are EXACTLY the SQL `MERGE INTO … WHEN MATCHED THEN UPDATE
+    * SET rating WHEN NOT MATCHED THEN INSERT` shape: matched range rows
+    * RE-ROUTE to the fragment their new rating selects (out-of-domain →
+    * master-only), round-robin rows keep their positional fragment,
+    * inserts get fresh load ids in deterministic (userid, movieid, rating)
+    * order and route like inserts (range by rating; round-robin advancing
+    * the counter). Source keys must be unique — a multi-match merge is
+    * ambiguous, the same rule Spark enforces on MERGE INTO.
+    *
+    * Copy-on-write at PARTITION granularity: only fragment directories
+    * that lose, gain, or change a row are rewritten (old fragment of every
+    * matched row ∪ routed fragment of every changed/inserted row — a
+    * fragment-count-bounded set); the unpartitioned master is staged and
+    * swapped whole, the cost any COW format pays on an unpartitioned
+    * table. Returns (matched, inserted) counts.
+    */
+  def mergeIntoStrict(
+      dataset: String,
+      tableName: String,
+      source: DataFrame
+  ): (Long, Long) = {
+    require(catalog.tableExists(tableName), s"$tableName table does not exist")
+    require(catalog.tableExists(dataset), s"$dataset dataset does not exist")
+    val dsPath = catalog.tablePath(dataset)
+    val masterPath = catalog.tablePath(tableName)
+    val src = source
+      .select(
+        col("userid").cast(IntegerType),
+        col("movieid").cast(IntegerType),
+        col("rating").cast(DoubleType))
+      .localCheckpoint()
+    require(
+      src.count() == src.select("userid", "movieid").distinct().count(),
+      "MERGE source keys (userid, movieid) must be unique — multi-match is ambiguous")
+
+    val rangeBuckets =
+      if (dataset == RangeDataset) {
+        val m = catalog.readRangeMeta()
+          .getOrElse(throw new IllegalStateException("RANGE_METADATA missing"))
+        require(m.totalPartitions > 0, "Total partitions <= 0")
+        Some(RangeBuckets(m.totalPartitions, m.minValue, m.maxValue))
+      } else None
+    val rrMeta =
+      if (dataset == RoundRobinDataset)
+        Some(catalog.readRoundRobinMeta()
+          .getOrElse(throw new IllegalStateException("ROUND_ROBIN_METADATA missing")))
+      else None
+    rrMeta.foreach(m => require(m.totalPartitions > 0, "Total partitions <= 0"))
+    def routed(r: Column): Column = rangeBuckets match {
+      case Some(b) => bucketExpr(b, r)
+      case None    => col("part")
+    }
+
+    // matched rows: new rating, range rows re-routed by it (old part kept
+    // for the affected-directory set)
+    val ds = readFragments(dataset)
+    val joined = ds.join(
+      src.select(col("userid"), col("movieid"), col("rating").as("_new_r")),
+      Seq("userid", "movieid"), "left")
+    val matched = joined
+      .filter(col("_new_r").isNotNull)
+      .select(col("userid"), col("movieid"), col("_new_r").as("rating"),
+        col("_rowid"), col("part").as("_old_part"))
+      .withColumn("_new_part", routed(col("rating")).cast(IntegerType))
+      .localCheckpoint()
+    val nMatched = matched.count()
+
+    // inserts: unmatched source rows, fresh load ids in deterministic order
+    val nextId = nextRowId(tableName)
+    val insertRdd = src
+      .join(ds.select("userid", "movieid").distinct(), Seq("userid", "movieid"), "left_anti")
+      .orderBy("userid", "movieid", "rating")
+      .rdd
+      .zipWithIndex()
+      .map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getInt(0), r.getInt(1), r.getDouble(2), nextId + i)
+      }
+    val inserts = spark.createDataFrame(insertRdd, masterSchema).localCheckpoint()
+    val nInserted = inserts.count()
+    val insertsRouted = (rangeBuckets, rrMeta) match {
+      case (Some(b), _) =>
+        inserts.withColumn("part", bucketExpr(b, col("rating")))
+      case (_, Some(m)) =>
+        inserts.withColumn("part",
+          pmod(col("_rowid") + (m.lastInserted + 1 - nextId), lit(m.totalPartitions.toLong))
+            .cast(IntegerType))
+      case _ => inserts.withColumn("part", lit(null).cast(IntegerType))
+    }
+
+    // affected fragment dirs: fragment-count bounded, metadata-sized
+    val affectedParts = matched.select(col("_old_part").as("p"))
+      .unionByName(matched.select(col("_new_part").as("p")))
+      .unionByName(insertsRouted.select(col("part").as("p")))
+      .filter(col("p").isNotNull)
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (nMatched == 0 && nInserted == 0) return (0L, 0L)
+
+    def stagingOf(p: String): Path = {
+      val orig = new Path(p)
+      new Path(orig.getParent, s".${orig.getName}.staging-merge")
+    }
+    val hfs = new Path(dsPath).getFileSystem(spark.sessionState.newHadoopConf())
+    // 1) stage the new master: matched mirrors replaced by _rowid, inserts
+    //    appended, everything else untouched
+    val masterStaging = stagingOf(masterPath)
+    master(tableName)
+      .join(matched.select("_rowid"), Seq("_rowid"), "left_anti")
+      .select("userid", "movieid", "rating", "_rowid")
+      .unionByName(matched.select("userid", "movieid", "rating", "_rowid"))
+      .unionByName(inserts.select("userid", "movieid", "rating", "_rowid"))
+      .write.mode(SaveMode.Overwrite).parquet(masterStaging.toString)
+    // 2) stage the new content of ONLY the affected fragment directories:
+    //    untouched survivors + re-routed matches + routed inserts
+    val fragStaging = stagingOf(dsPath)
+    val affectedCol = affectedParts.toSeq
+    ds
+      .join(matched.select("_rowid"), Seq("_rowid"), "left_anti")
+      .filter(col("part").isin(affectedCol: _*))
+      .select("userid", "movieid", "rating", "_rowid", "part")
+      .unionByName(matched
+        .filter(col("_new_part").isNotNull)
+        .select(col("userid"), col("movieid"), col("rating"), col("_rowid"),
+          col("_new_part").as("part")))
+      .unionByName(insertsRouted
+        .filter(col("part").isNotNull)
+        .select("userid", "movieid", "rating", "_rowid", "part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(fragStaging.toString)
+    // 3) swap — reads done; directory ops only from here
+    hfs.delete(new Path(masterPath), true)
+    hfs.rename(masterStaging, new Path(masterPath))
+    affectedParts.foreach { p =>
+      val orig = new Path(dsPath, s"part=$p")
+      val staged = new Path(fragStaging, s"part=$p")
+      hfs.delete(orig, true)
+      if (hfs.exists(staged)) hfs.rename(staged, orig)
+    }
+    hfs.delete(fragStaging, true)
+    // 4) counters
+    if (nInserted > 0) {
+      catalog.writeNextRowId(tableName, nextId + nInserted)
+      rrMeta.foreach { m =>
+        catalog.writeRoundRobinMeta(m.copy(
+          lastInserted = (m.lastInserted + nInserted) % m.totalPartitions))
+      }
+    }
+    (nMatched, nInserted)
+  }
+
   private[graft] def replaceDatasetStrict(
       dataset: String,
       tableName: String,

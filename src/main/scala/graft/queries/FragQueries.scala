@@ -264,6 +264,77 @@ object FragQueries {
         .select(col("userid"), col("movieid"), col("rating"), col("part"))
     },
 
+    // E403 distributed engine MERGE — the BULK path the SQL surface's
+    // VALUES-sized cap points at: the same matched-update / unmatched-insert
+    // semantics as frag_sql_merge but through FragmentEngine.mergeIntoStrict,
+    // which runs entirely as DataFrame joins (no row rides the driver) and
+    // rewrites only the affected fragment directories. The slices here are
+    // DELIBERATELY the ones the SQL path refuses at sf1 (the rewrite stream
+    // exceeded the per-task cap) — the point of the entry is that the bulk
+    // path absorbs them at any scale. Oracle: the same merge algebra +
+    // reference bucket rule, recomputed by DuckDB.
+    QEntry.sql(
+      "frag_engine_merge",
+      """WITH base AS (
+        |  SELECT CAST(l_orderkey AS INT) AS userid, CAST(min(l_partkey) AS INT) AS movieid,
+        |         CAST(CAST(min(l_quantity) AS INT) % 50 AS DOUBLE) / 10.0 AS rating
+        |  FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY l_orderkey),
+        |src AS (
+        |  SELECT CAST(l_orderkey AS INT) AS u, CAST(min(l_partkey) AS INT) AS m,
+        |         CAST((CAST(min(l_quantity) AS INT) + 7) % 50 AS DOUBLE) / 10.0 AS r
+        |  FROM lineitem WHERE l_orderkey % 194 = 0 GROUP BY l_orderkey
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS INT) AS u, CAST(min(l_partkey) AS INT) AS m,
+        |         CAST((CAST(min(l_quantity) AS INT) + 7) % 50 AS DOUBLE) / 10.0 AS r
+        |  FROM lineitem WHERE l_orderkey % 97 = 1 GROUP BY l_orderkey),
+        |merged AS (
+        |  SELECT b.userid, b.movieid,
+        |         CASE WHEN s.u IS NOT NULL THEN s.r ELSE b.rating END AS rating
+        |  FROM base b LEFT JOIN src s ON b.userid = s.u AND b.movieid = s.m
+        |  UNION ALL
+        |  SELECT s.u, s.m, s.r FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b
+        |                    WHERE b.userid = s.u AND b.movieid = s.m))
+        |SELECT userid, movieid, rating,
+        |  CASE WHEN rating >= 0.0 AND rating <= 1.0 THEN 0
+        |       WHEN rating > 1.0 AND rating <= 2.0 THEN 1
+        |       WHEN rating > 2.0 AND rating <= 3.0 THEN 2
+        |       WHEN rating > 3.0 AND rating <= 4.0 THEN 3
+        |       WHEN rating > 4.0 AND rating <= 5.0 THEN 4
+        |  END AS part
+        |FROM merged""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-engmerge").toString
+      val wh = s"$dir/wh"
+      def slice(filter: org.apache.spark.sql.Column, qtyShift: Int) =
+        lineitem(s, d)
+          .filter(filter)
+          .groupBy(col("l_orderkey"))
+          .agg(min("l_partkey").as("mk"), min("l_quantity").as("mq"))
+          .select(
+            col("l_orderkey").cast("int").as("userid"),
+            col("mk").cast("int").as("movieid"),
+            (((col("mq").cast("int") + qtyShift) % 50).cast("double") / lit(10.0)).as("rating"))
+      val engine = new graft.operators.FragmentEngine(s, wh)
+      // distributed master build: the load-order ids come from the same
+      // deterministic (userid) sort the text loader would produce
+      val baseRows = slice(col("l_orderkey") % 97 === 0, 0)
+        .orderBy("userid").rdd.zipWithIndex()
+        .map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getInt(0), r.getInt(1), r.getDouble(2), i)
+        }
+      val master = s.createDataFrame(baseRows, graft.operators.FragmentEngine.masterSchema)
+      master.write.mode("overwrite").parquet(engine.catalog.tablePath("ratings"))
+      engine.catalog.writeNextRowId("ratings", master.count())
+      engine.rangePartition("ratings", 5)
+      engine.mergeIntoStrict(
+        graft.operators.FragmentEngine.RangeDataset, "ratings",
+        slice(col("l_orderkey") % 194 === 0, 7)
+          .unionByName(slice(col("l_orderkey") % 97 === 1, 7)))
+      engine.rangeFragments()
+        .select(col("userid"), col("movieid"), col("rating"), col("part"))
+    },
+
     // Generalized fragmentation (extension): range scheme over a
     // data-derived domain (closed-form width bucket, IEEE-identical across
     // engines), vs the reference's hard-coded [0,5].

@@ -186,4 +186,55 @@ class FragmentEngineSpec extends SparkSpec {
       assert(selected.size === 1)
     }
   }
+
+  test("mergeIntoStrict: distributed merge re-routes, inserts, and rewrites only affected dirs") {
+    withTempDir { root =>
+      val s = spark
+      import s.implicits._
+      val e = freshEngine(root)
+      e.rangePartition("ratings", 5)
+      e.roundRobinPartition("ratings", 5)
+      val masterBefore = e.master().count()
+      val old = e.rangeFragments()
+        .filter(col("userid") === 1 && col("movieid") === 122)
+        .select("_rowid", "part").head()
+      val (oldId, oldPart) = (old.getLong(0), old.getInt(1))
+      assert(oldPart === 4, "1::122 rated 5.0 starts in fragment 4")
+      // fragment 0's files must be untouched by a merge that never routes
+      // into or out of it (fixture ratings at 1.0 exist; source touches
+      // only (1,122)->2.0 and a brand-new key at 4.5)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+      def frag0Files() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/range_ratings/part=0"))
+        .map(st => (st.getPath.getName, st.getModificationTime, st.getLen)).toSet
+      val frag0Before = frag0Files()
+
+      val src = Seq((1, 122, 2.0), (555, 666, 4.5)).toDF("userid", "movieid", "rating")
+      val (nm, ni) = e.mergeIntoStrict(FragmentEngine.RangeDataset, "ratings", src)
+      assert((nm, ni) === ((1L, 1L)))
+
+      // matched row moved across the boundary with the same load id
+      val moved = e.rangeFragments().filter(col("_rowid") === oldId)
+      assert(moved.count() === 1)
+      assert(moved.head().getAs[Int]("part") === 1, "2.0 re-routes to ((1,2])")
+      assert(moved.head().getAs[Double]("rating") === 2.0)
+      // insert routed with a fresh id; master mirrors both
+      val ins = e.rangeFragments().filter(col("userid") === 555)
+      assert(ins.count() === 1 && ins.head().getAs[Int]("part") === 4)
+      assert(e.master().count() === masterBefore + 1)
+      assert(e.master().filter(col("_rowid") === oldId).head().getAs[Double]("rating") === 2.0)
+      // partition-granular: the uninvolved fragment directory is byte- and
+      // mtime-identical (never staged, never swapped)
+      assert(frag0Files() === frag0Before, "fragment 0 must not be rewritten")
+      // the OTHER scheme is untouched, symmetric with the SQL surface
+      assert(spark.read.parquet(s"$root/round_robin_ratings")
+        .filter(col("userid") === 555).count() === 0)
+      // duplicate source keys are refused before anything lands
+      val dup = Seq((9, 9, 1.0), (9, 9, 2.0)).toDF("userid", "movieid", "rating")
+      intercept[IllegalArgumentException] {
+        e.mergeIntoStrict(FragmentEngine.RangeDataset, "ratings", dup)
+      }
+      assert(e.master().filter(col("userid") === 9).count() === 0)
+    }
+  }
 }
