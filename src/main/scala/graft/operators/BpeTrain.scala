@@ -253,11 +253,86 @@ object BpeTrain {
     * Scale limit: each merge nests another `aggregate` HOF into ONE column
     * expression, so this Column-API replay is for small merge tables
     * (tests, analyses — tens of merges). A production tokenizer with a
-    * 30k-merge vocabulary applies the table imperatively per partition
-    * (`mapPartitions` with a trie/priority-queue encoder, the same shape as
-    * the multimodal decode plumbing) — the expression tree is the wrong
-    * representation at that depth, not the distribution.
+    * 30k-merge vocabulary uses [[bpeEncodeWords]] — the same semantics
+    * applied imperatively per partition, where the expression tree (the
+    * wrong representation at that depth, not the distribution) never
+    * appears.
     */
+  /** The PRODUCTION encode path: distinct words → BPE segmentation by
+    * replaying `merges` imperatively per partition — the scalable sibling
+    * of [[applyMerges]] for the 30k–100k-merge tables where the Column-HOF
+    * replay's expression depth (one nested `aggregate` per merge) is the
+    * limit. This is the one other place (beside the multimodal codecs)
+    * where `mapPartitions` is the right tool: the per-word loop is
+    * inherently imperative, the task closure carries only the merge table,
+    * and the output stays the vocabulary-sized (word, bpe) dictionary that
+    * callers join back to the corpus.
+    *
+    * Semantics are IDENTICAL to [[applyMerges]]' chained folds — merges
+    * replay in rank order, each as a greedy left-to-right non-overlapping
+    * pass — implemented as skip-absent-ranks: repeatedly find the minimal
+    * surviving rank ≥ floor among the word's adjacent pairs, apply it
+    * fully, advance the floor past it. Skipping a rank whose pair is
+    * absent is exactly what its fold pass would have done, and a pair of
+    * rank < floor CREATED by a later merge is equally dead in both replays
+    * (its pass already ran), so the outputs agree word for word
+    * (BpeTrainSpec proves it on learned tables). Cost per word is
+    * O(len · ranks-present) instead of O(len · |merges|).
+    */
+  def bpeEncodeWords(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = merges.toIndexedSeq
+    val rankOf: Map[(String, String), Int] =
+      table.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        it.map { w =>
+          var syms: Array[String] = (w.map(_.toString) :+ "</w>").toArray
+          var floor = 0
+          var done = false
+          while (!done) {
+            var best = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              rankOf.get((syms(i), syms(i + 1))) match {
+                case Some(r) if r >= floor && r < best => best = r
+                case _ => ()
+              }
+              i += 1
+            }
+            if (best == Int.MaxValue) done = true
+            else {
+              val (l, r) = table(best)
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                  out += l + r
+                  j += 2
+                } else {
+                  out += syms(j)
+                  j += 1
+                }
+              }
+              syms = out.toArray
+              floor = best + 1
+            }
+          }
+          (w, syms.toSeq)
+        }
+      }
+      .toDF("word", "bpe")
+  }
+
   def applyMerges(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val base = docs.select(
       col("*"),

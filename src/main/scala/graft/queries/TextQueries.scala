@@ -905,6 +905,28 @@ object TextQueries {
           col("left"), col("right"), col("merged"),
           col("pair_count").cast("long").as("pair_count")
         )
+    },
+
+    // E404 BPE ENCODE at production shape: learn 6 merges, then segment
+    // every distinct word through the imperative per-partition encoder
+    // ([[graft.operators.BpeTrain.bpeEncodeWords]] — the scalable sibling
+    // of the Column-HOF replay, whose expression depth caps at tens of
+    // merges). The oracle extends the unrolled merge-replay CTEs to CARRY
+    // the word identity through each replace() pass and reads the final
+    // segmentation per word, so an encoder that merged out of rank order,
+    // double-merged an overlap, or resurrected a dead lower-rank pair
+    // hash-mismatches.
+    QEntry.sql("txt_bpe_encode", bpeEncodeOracleSql(6)) { (s, d) =>
+      val docs = documents(s, d)
+      val merges = graft.operators.BpeTrain
+        .learnMerges(docs, "text", nMerges = 6)
+        .orderBy("rank")
+        .collect()
+        .map(r => (r.getString(1), r.getString(2)))
+        .toSeq
+      graft.operators.BpeTrain
+        .bpeEncodeWords(docs, "text", merges)
+        .select(col("word"), concat_ws(" ", col("bpe")).as("bpe"))
     }
   )
 
@@ -913,6 +935,43 @@ object TextQueries {
     * tokens; see the txt_bpe_merges comment for why replace() is exactly
     * the carry-fold.
     */
+  /** DuckDB replay of [[graft.operators.BpeTrain.bpeEncodeWords]] after
+    * learning `n` merges: the same unrolled argmax/replace chain as
+    * [[bpeMergeOracleSql]], but the word-table CTEs CARRY the word string
+    * so the final CTE reads each word's segmentation (chr(31) delimiters
+    * translated back to spaces).
+    */
+  private def bpeEncodeOracleSql(n: Int): String = {
+    val S = "chr(31)"
+    val SS = "chr(31) || chr(31)"
+    val head =
+      s"""WITH toks AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY w),
+         |w0 AS (SELECT w, $S || array_to_string(
+         |    list_append(string_split(w, ''), '</w>'), $SS) || $S AS seq, freq FROM toks)"""
+    val iters = (1 to n).map { i =>
+      s""",
+         |p$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(tl)), j ->
+         |        struct_pack(l := tl[CAST(j AS INT)], r := tl[CAST(j + 1 AS INT)]))) AS p,
+         |      freq
+         |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), $SS) AS tl, freq
+         |          FROM w${i - 1}) s) q
+         |  GROUP BY 1, 2 HAVING cnt >= 2),
+         |b$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS (SELECT w, replace(seq, $S || b.l || $SS || b.r || $S,
+         |    $S || b.l || b.r || $S) AS seq, freq
+         |  FROM w${i - 1} CROSS JOIN b$i b)"""
+    }
+    val tail =
+      s"""
+         |SELECT w AS word,
+         |  replace(substr(seq, 2, length(seq) - 2), $SS, ' ') AS bpe
+         |FROM w$n"""
+    (head + iters.mkString + tail).stripMargin.replaceAll("\\s+", " ")
+  }
+
   private def bpeMergeOracleSql(n: Int): String = {
     val S = "chr(31)"
     val SS = "chr(31) || chr(31)"

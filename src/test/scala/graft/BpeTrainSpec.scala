@@ -118,6 +118,50 @@ class BpeTrainSpec extends SparkSpec {
     assert(bat == seq, s"batched $bat != sequential $seq")
   }
 
+  test("bpeEncodeWords equals the Column-HOF replay word for word on learned tables") {
+    def foldSegs(df: org.apache.spark.sql.DataFrame, merges: Seq[(String, String)]) =
+      BpeTrain.applyMerges(df, "text", merges)
+        .select(col("_w"), col("_bpe")).distinct()
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    def fastSegs(df: org.apache.spark.sql.DataFrame, merges: Seq[(String, String)]) =
+      BpeTrain.bpeEncodeWords(df, "text", merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val rnd = new scala.util.Random(17)
+    val corpora = Seq(
+      // classic + created-pair chains
+      Seq.fill(5)("low").mkString(" ") + " " + Seq.fill(3)("lowest lower newest") .mkString(" "),
+      // overlap runs (l == r merges) and dead lower-rank pairs
+      (Seq.fill(20)("aaaa") ++ Seq.fill(18)("abab") ++ Seq.fill(16)("bcbc")).mkString(" ")
+    ) ++ (1 to 4).map { _ =>
+      (1 to 250).map { _ =>
+        (1 to (2 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.mkString(" ")
+    }
+    val s = spark
+    import s.implicits._
+    corpora.zipWithIndex.foreach { case (text, i) =>
+      val df = Seq(text).toDF("text")
+      val merges = BpeTrain.learnMerges(df, "text", nMerges = 10, minPairCount = 2)
+        .orderBy(col("rank")).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      if (merges.nonEmpty)
+        assert(fastSegs(df, merges) == foldSegs(df, merges), s"corpus #$i diverged")
+    }
+    // depth beyond the HOF replay's comfort: a 24-merge table still encodes
+    // (and round-trips the classic invariants) through the imperative path
+    val wide = ('a' to 'x').grouped(2).map(_.mkString).zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(40 - i)(w + "!") }.mkString(" ")
+    val wideDf = Seq(wide).toDF("text")
+    val wideMerges = BpeTrain.learnMerges(wideDf, "text", nMerges = 24, minPairCount = 2)
+      .orderBy(col("rank")).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(wideMerges.size >= 12, s"expected a wide table, got ${wideMerges.size}")
+    val encoded = fastSegs(wideDf, wideMerges)
+    assert(encoded.nonEmpty)
+    // segmentation is a partition of the word's characters + the end marker
+    encoded.foreach { case (w, segs) =>
+      assert(segs.mkString == w + "</w>", s"$w -> $segs is not a partition")
+    }
+  }
+
   test("a disjoint pair spectrum trains in >=5x fewer Spark jobs than the sequential loop") {
     // 12 symbol-disjoint frequent pairs with strictly graded counts; each
     // pair occurs under 4 shared prefixes x 3 FAMILY-PRIVATE suffixes (so
