@@ -194,12 +194,25 @@ object Dedup {
     val joinable =
       if (cap == Long.MaxValue) exploded
       else {
+        // the hot set is a handful of keys BY CONSTRUCTION of the cap, so
+        // collect it once and filter — a broadcast anti-join here would
+        // re-run the df aggregate under BOTH sides of the self-join below
         val hot = exploded
           .groupBy("band")
           .agg(count(lit(1)).as("_df"))
           .filter(col("_df") > cap)
           .select("band")
-        exploded.join(broadcast(hot), Seq("band"), "left_anti")
+          .limit(10001)
+          .collect()
+          .map(_.get(0))
+        if (hot.isEmpty) exploded
+        else if (hot.length > 10000)
+          // pathological corpus (everything hot): keep the join form
+          exploded.join(
+            broadcast(exploded.groupBy("band").agg(count(lit(1)).as("_df"))
+              .filter(col("_df") > cap).select("band")),
+            Seq("band"), "left_anti")
+        else exploded.filter(!col("band").isin(hot.toIndexedSeq: _*))
       }
     val a = joinable.as("a")
     val b = joinable.as("b")
@@ -2387,12 +2400,23 @@ object Dedup {
     val joinable =
       if (cap == Long.MaxValue) allBands
       else {
+        // hot keys are a handful by construction — collect once and filter
+        // (the anti-join form would recompute the df agg on the probe side)
         val hot = allBands
           .groupBy("band")
           .agg(count(lit(1)).as("_df"))
           .filter(col("_df") > cap)
           .select("band")
-        allBands.join(broadcast(hot), Seq("band"), "left_anti")
+          .limit(10001)
+          .collect()
+          .map(_.get(0))
+        if (hot.isEmpty) allBands
+        else if (hot.length > 10000)
+          allBands.join(
+            broadcast(allBands.groupBy("band").agg(count(lit(1)).as("_df"))
+              .filter(col("_df") > cap).select("band")),
+            Seq("band"), "left_anti")
+        else allBands.filter(!col("band").isin(hot.toIndexedSeq: _*))
       }
     broadcast(batchBands)
       .join(joinable, "band")

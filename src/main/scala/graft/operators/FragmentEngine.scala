@@ -538,7 +538,28 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       if (hfs.exists(staged)) hfs.rename(staged, orig)
     }
     hfs.delete(fragStaging, true)
+    ensureReadableDataset(dsPath, hfs)
     nDeleted
+  }
+
+
+  /** A fragment dataset whose every row was deleted has no `part=`
+    * directories left, and a bare directory breaks the next read's schema
+    * inference — so seed ONE zero-row fragment file carrying the schema:
+    * readers see an empty, well-typed dataset (the reference's
+    * empty-but-selectable table), and later inserts append normally.
+    */
+  private def ensureReadableDataset(
+      dsPath: String,
+      hfs: org.apache.hadoop.fs.FileSystem
+  ): Unit = {
+    val dir = new Path(dsPath)
+    val hasPart = hfs.exists(dir) && hfs.listStatus(dir).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("part="))
+    if (!hasPart)
+      spark
+        .createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), masterSchema)
+        .write.mode(SaveMode.Overwrite).parquet(new Path(dir, "part=0").toString)
   }
 
   /** Replace the ENTIRE fragment dataset with `rows` — the commit target of
@@ -713,6 +734,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       if (hfs.exists(staged)) hfs.rename(staged, orig)
     }
     hfs.delete(fragStaging, true)
+    ensureReadableDataset(dsPath, hfs)
     // 4) counters
     if (nInserted > 0) {
       catalog.writeNextRowId(tableName, nextId + nInserted)

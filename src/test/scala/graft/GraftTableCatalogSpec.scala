@@ -294,6 +294,22 @@ class GraftTableCatalogSpec extends SparkSpec {
     }
   }
 
+  test("an unconditional DELETE leaves an empty but readable dataset; inserts resume") {
+    withCatalog("graft_d2") { e =>
+      spark.sql("DELETE FROM graft_d2.range_ratings")
+      // the emptied dataset must stay selectable (schema survives) and the
+      // master mirror must be empty too
+      assert(spark.table("graft_d2.range_ratings").count() == 0)
+      assert(spark.sql("SELECT rating FROM graft_d2.range_ratings WHERE rating > 0").count() == 0)
+      assert(e.master("ratings").count() == 0)
+      // life goes on: a routed INSERT lands normally afterwards
+      spark.sql("INSERT INTO graft_d2.range_ratings VALUES (7, 8, 3.5, NULL, NULL)")
+      assert(spark.table("graft_d2.range_ratings").count() == 1)
+      assert(spark.table("graft_d2.range_ratings").head().getAs[Int]("part") == 3)
+      assert(e.master("ratings").count() == 1)
+    }
+  }
+
   test("UPDATE through the catalog re-routes across fragment boundaries and mirrors master") {
     withCatalog("graft_u1") { e =>
       val root = spark.conf.get("spark.sql.catalog.graft_u1.warehouse")
