@@ -101,7 +101,12 @@ object Plans {
       "sample_neyman_alloc", "ann_hnsw_topk", "txt_cond_entropy", "txt_keyness_llr",
       "q_nelson_aalen", "q_price_elasticity", "q_cochran_armitage",
       "q_cohens_d", "txt_jsd_sources", "ann_hnsw_index_fetch",
-      "q_gumbel_fit", "dedup_minhash_1bit"
+      "q_gumbel_fit", "dedup_minhash_1bit",
+      // round 15 additions (frag_sql_merge / frag_engine_merge build
+      // warehouses inside the entry body; the returned frame is the
+      // post-merge fragment READ — the part worth reviewing)
+      "q_mv_incremental_delete", "frag_sql_merge", "frag_engine_merge",
+      "txt_bpe_encode"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
