@@ -352,6 +352,54 @@ class GraftTableCatalogSpec extends SparkSpec {
     }
   }
 
+  test("round-robin dataset: DELETE mirrors master, MERGE keeps positional routing") {
+    withCatalog("graft_rr1") { e =>
+      val s = spark
+      import s.implicits._
+      val masterBefore = e.master("ratings").count()
+      val hits = spark.table("graft_rr1.round_robin_ratings").filter(col("rating") === 4.5)
+      val nHit = hits.count()
+      assert(nHit > 0)
+      spark.sql("DELETE FROM graft_rr1.round_robin_ratings WHERE rating = 4.5")
+      assert(e.master("ratings").count() == masterBefore - nHit)
+      assert(spark.table("graft_rr1.round_robin_ratings")
+        .filter(col("rating") === 4.5).count() == 0)
+      // the range scheme is untouched (symmetric independence)
+      assert(spark.table("graft_rr1.range_ratings").filter(col("rating") === 4.5).count() > 0)
+
+      // MERGE on round-robin: matched rows keep their POSITIONAL fragment
+      // even when the rating changes (RR routing is insertion-order, not
+      // value); inserts advance the counter
+      val anyRow = spark.table("graft_rr1.round_robin_ratings")
+        .orderBy("_rowid").limit(1).head()
+      val (u0, m0, oldPart) =
+        (anyRow.getAs[Int]("userid"), anyRow.getAs[Int]("movieid"), anyRow.getAs[Int]("part"))
+      val rrMetaBefore = e.catalog.readRoundRobinMeta().get
+      Seq((u0, m0, 0.5), (777, 888, 1.5)).toDF("u", "m", "r")
+        .createOrReplaceTempView("rr_merge_src")
+      spark.sql(
+        """MERGE INTO graft_rr1.round_robin_ratings t USING rr_merge_src s
+          |ON t.userid = s.u AND t.movieid = s.m
+          |WHEN MATCHED THEN UPDATE SET rating = s.r
+          |WHEN NOT MATCHED THEN
+          |  INSERT (userid, movieid, rating, _rowid, part) VALUES (s.u, s.m, s.r, NULL, NULL)
+          |""".stripMargin)
+      val upd = spark.table("graft_rr1.round_robin_ratings")
+        .filter(col("userid") === u0 && col("movieid") === m0)
+      assert(upd.count() == 1 && upd.head().getAs[Double]("rating") == 0.5)
+      assert(upd.head().getAs[Int]("part") == oldPart, "RR update must not move the row")
+      val ins = spark.table("graft_rr1.round_robin_ratings").filter(col("userid") === 777)
+      assert(ins.count() == 1)
+      val rrMetaAfter = e.catalog.readRoundRobinMeta().get
+      assert(rrMetaAfter.lastInserted ==
+        (rrMetaBefore.lastInserted + 1) % rrMetaBefore.totalPartitions,
+        "one insert advances the counter once")
+      assert(ins.head().getAs[Int]("part") ==
+        ((rrMetaBefore.lastInserted + 1) % rrMetaBefore.totalPartitions).toInt)
+      assert(e.master("ratings").filter(col("userid") === 777).count() == 1)
+    }
+  }
+
   test("MERGE INTO routes matched updates and unmatched inserts through the dual-write") {
     withCatalog("graft_m1") { e =>
       val s = spark
