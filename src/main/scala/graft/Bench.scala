@@ -49,8 +49,14 @@ object Bench {
       org.apache.logging.log4j.Level.ERROR)
     // bench-only extras: production variants whose engine-internal hashes
     // can't be DuckDB-oracled (their md5 twins in SparkEntry.queries can) —
-    // timed here so the md5-portability tax stays measured round over round
-    val allQueries = SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
+    // timed here so the md5-portability tax stays measured round over round.
+    // SLOW LANE: the extras are env-gated (SPARK_GRAFT_BENCH_EXTRAS=1)
+    // because they include deliberate A/B baselines (x_bpe_sequential,
+    // x_skew_band_open, the warm-search pairs) whose wall cost pushed the
+    // round-15 driver bench past its timeout — their exponents and A/B
+    // ratios live in SCALING.md, re-measured each sf1 lap, so the default
+    // lane carries only the oracled suite the 2× gate actually reads.
+    val extras = Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "x_minhash_sig_fast" -> ((s, d) =>
         graft.operators.Dedup
           .minhashSignatures(Tables.documents(s, d), "doc_id", "text", fast = true)),
@@ -206,8 +212,14 @@ object Bench {
           "vec_id", "embedding", 10, codebookStride = stride.toInt)
       })
     )
-    // optional comma-separated name filter for single-query iteration
+    // optional comma-separated name filter for single-query iteration; an
+    // explicit name list is an explicit opt-in, so it can reach the extras
+    // without the lane flag
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val allQueries =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_EXTRAS") || only.nonEmpty)
+        SparkEntry.queries ++ extras
+      else SparkEntry.queries
     val picked = allQueries.filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup lap at the smallest sf: JIT + codegen compilation + parquet
     // footer caches, so timed numbers reflect steady state
@@ -226,9 +238,20 @@ object Bench {
     // samples (~suite-length apart), and an explicit GC between laps keeps
     // one lap's garbage from billing the next lap's queries.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // WALL-BUDGET CLAMP: the driver runs this main under a hard timeout, and
+    // a slow host phase (measured 2–3× throughput swings between rounds) can
+    // push warmup + 3 laps past it — round 15's driver artifact was rc=124
+    // with NO parsed line, which is worse than fewer laps. So laps after the
+    // first stop once the elapsed wall exceeds the budget: lap 1 always
+    // completes (every query gets ≥1 sample), later laps only refine best-of.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    val wallStart = System.nanoTime()
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    (1 to iters).foreach { _ =>
+    var lap = 0
+    var clamped = false
+    while (lap < iters && !clamped) {
+      lap += 1
       picked.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // a run that throws contributes NO sample — error-path time is not a
@@ -244,6 +267,14 @@ object Bench {
         }
       }
       System.gc()
+      val elapsed = (System.nanoTime() - wallStart) / 1e9
+      if (lap < iters && elapsed > budgetSec) {
+        clamped = true
+        // no silent caps: the skipped laps are visible in the artifact tail
+        System.err.println(
+          s"[bench] wall budget ${budgetSec}s exceeded after lap $lap " +
+            s"(${"%.0f".format(elapsed)}s): skipping ${iters - lap} remaining lap(s)")
+      }
     }
     val best = samples.view.mapValues(_.min).toMap
     // a query that failed one iteration but produced a sample in another is
