@@ -114,10 +114,17 @@ class FragmentWritableTable(
     * routes exactly like `INSERT INTO` (engine-derived `_rowid`/`part` must
     * arrive NULL). Spark still prefers the metadata [[deleteWhere]] path
     * for DELETEs whose predicates translate; only complex deletes fall back
-    * to this rewrite. Same scale contract as INSERT: statements are
-    * VALUES-sized by construction of the driver-side routing, enforced by
-    * the per-task row cap; bulk rewrites belong to the engine's distributed
-    * batch paths.
+    * to this rewrite.
+    *
+    * Scale contract: DISTRIBUTED, unlike INSERT. A rewrite is dataset-sized
+    * by construction (the whole replacement group flows through it), so
+    * tasks spill their slice of the stream straight to per-task staging
+    * files on the warehouse filesystem — no row rides a commit message —
+    * and the driver commit re-reads the winners' files as a DataFrame and
+    * routes them through the engine's joins-only replace
+    * ([[FragmentEngine.replaceDatasetDistributed]]). The per-task row cap
+    * stays on the INSERT surface only, where VALUES-sized really is the
+    * contract.
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -148,10 +155,11 @@ private class FragmentRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val schema = info.schema()
+    val queryId = info.queryId()
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new FragmentReplaceBatchWrite(schema, warehouse, dataset, masterTable)
+          new FragmentReplaceBatchWrite(schema, warehouse, dataset, masterTable, queryId)
       }
     }
   }
@@ -187,45 +195,72 @@ object FragmentWritableTable {
   }
 }
 
-/** Commit message carrying one rewrite task's full-schema rows. */
-private case class FragmentReplacementRows(rows: Seq[FragmentEngine.ReplacementRow])
-    extends WriterCommitMessage
+/** Commit message naming the staging file one WINNING rewrite task wrote
+  * (None when the task saw no rows). Carrying paths instead of rows is what
+  * keeps the rewrite distributed — and reading ONLY the committed winners'
+  * files makes speculative or retried attempts harmless: a loser's orphan
+  * file is never read and is swept with the staging directory.
+  */
+private case class FragmentRewriteFile(path: Option[String]) extends WriterCommitMessage
 
-/** The ReplaceData write of [[FragmentRowLevelOperation]]: tasks buffer the
-  * statement's full output (the whole-dataset group, post-update), the
-  * driver commit swaps it in through the engine's validate-first replace —
-  * nothing lands on a failed statement.
+/** The ReplaceData write of [[FragmentRowLevelOperation]]: tasks spill the
+  * statement's full output (the whole-dataset group, post-update) to
+  * per-task staging files, the driver commit re-reads the winners' files
+  * and swaps the dataset through the engine's validate-first distributed
+  * replace — nothing lands on a failed statement, and no row rides the
+  * driver.
   */
 private class FragmentReplaceBatchWrite(
     schema: StructType,
     warehouse: String,
     dataset: String,
-    masterTable: String
+    masterTable: String,
+    queryId: String
 ) extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FragmentReplaceWriterFactory(schema)
+  private val stagingDir = s"$warehouse/_rewrite_staging/$queryId"
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rows = messages.iterator
-      .collect { case m: FragmentReplacementRows => m.rows }
-      .flatten
-      .toSeq
-    val engine = new FragmentEngine(SparkSession.active, warehouse)
-    engine.replaceDatasetStrict(dataset, masterTable, rows)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FragmentReplaceWriterFactory(schema, stagingDir)
+
+  /** The staging-file schema ([[FragmentReplaceWriterFactory]]'s line
+    * format): ints/longs verbatim, rating via Double.toString — which
+    * round-trips exactly through the CSV reader's Double.parseDouble —
+    * and NULLs as empty fields (the reader's default nullValue).
+    */
+  private def stagingSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("userid", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("movieid", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("rating", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("_rowid", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.IntegerType)))
+
+  private def cleanup(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    fs.delete(p, true)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val paths = messages.iterator
+      .collect { case FragmentRewriteFile(Some(p)) => p }
+      .toSeq
+    val rewrite =
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          java.util.List.of[org.apache.spark.sql.Row](), stagingSchema)
+      else spark.read.schema(stagingSchema).csv(paths: _*)
+    val engine = new FragmentEngine(spark, warehouse)
+    try engine.replaceDatasetDistributed(dataset, masterTable, rewrite)
+    finally cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
 }
 
-private class FragmentReplaceWriterFactory(schema: StructType)
+private class FragmentReplaceWriterFactory(schema: StructType, stagingDir: String)
     extends DataWriterFactory {
-
-  /** Same contract as the INSERT surface: driver-side routing is right for
-    * VALUES-sized statements and wrong for bulk rewrites, so cap and point
-    * at the engine's distributed batch paths.
-    */
-  private val MaxRowsPerTask = 10000
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -234,7 +269,20 @@ private class FragmentReplaceWriterFactory(schema: StructType)
       private val ratingAt = schema.fieldIndex("rating")
       private val rowidAt = schema.fieldIndex("_rowid")
       private val partAt = schema.fieldIndex("part")
-      private val buf = ArrayBuffer.empty[FragmentEngine.ReplacementRow]
+      // taskId is unique per ATTEMPT, so retries and speculative twins never
+      // collide on a path; only the committed attempt's file is ever read
+      private val path = new org.apache.hadoop.fs.Path(
+        stagingDir, f"rewrite-$partitionId%05d-$taskId.csv")
+      private var out: java.io.BufferedWriter = _
+
+      private def stream(): java.io.BufferedWriter = {
+        if (out == null) {
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          out = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(fs.create(path, true), "UTF-8"))
+        }
+        out
+      }
 
       override def write(row: InternalRow): Unit = {
         // ReplaceData rows arrive UNPROJECTED: the rewrite plan (MergeRows /
@@ -245,22 +293,27 @@ private class FragmentReplaceWriterFactory(schema: StructType)
         val off = row.numFields - schema.length
         require(off == 0 || off == 1,
           s"unexpected rewrite row arity ${row.numFields} for schema ${schema.length}")
-        require(
-          buf.size < MaxRowsPerTask,
-          s"UPDATE/MERGE through the catalog surface rewrites the dataset " +
-            s"driver-side (> $MaxRowsPerTask rows per task): bulk rewrites " +
-            "belong to the engine's distributed batch paths")
-        buf += FragmentEngine.ReplacementRow(
-          row.getInt(off + useridAt),
-          row.getInt(off + movieidAt),
-          row.getDouble(off + ratingAt),
-          if (row.isNullAt(off + rowidAt)) None else Some(row.getLong(off + rowidAt)),
-          if (row.isNullAt(off + partAt)) None else Some(row.getInt(off + partAt))
-        )
+        val rowid =
+          if (row.isNullAt(off + rowidAt)) "" else row.getLong(off + rowidAt).toString
+        val part =
+          if (row.isNullAt(off + partAt)) "" else row.getInt(off + partAt).toString
+        val w = stream()
+        w.write(s"${row.getInt(off + useridAt)},${row.getInt(off + movieidAt)}," +
+          s"${row.getDouble(off + ratingAt)},$rowid,$part")
+        w.newLine()
       }
 
-      override def commit(): WriterCommitMessage = FragmentReplacementRows(buf.toSeq)
-      override def abort(): Unit = ()
+      override def commit(): WriterCommitMessage = {
+        if (out != null) out.close()
+        FragmentRewriteFile(if (out != null) Some(path.toString) else None)
+      }
+
+      override def abort(): Unit = {
+        if (out != null) out.close()
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.delete(path, false)
+      }
+
       override def close(): Unit = ()
     }
 }

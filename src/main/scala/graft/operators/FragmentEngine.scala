@@ -48,6 +48,14 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     e.printStackTrace()
   }
 
+  /** Roll forward any crashed mutation's published journal before touching
+    * the warehouse (see [[FragmentTxn]]) — one existence probe when idle.
+    * Every public read and every mutation funnels through this, so a
+    * half-applied DELETE/UPDATE/MERGE is finished by the first subsequent
+    * engine operation rather than ever being served or overwritten.
+    */
+  private def recoverPending(): Unit = FragmentTxn.recoverIfPending(spark, dataRoot)
+
   // ---- load ----------------------------------------------------------------
 
   /** Parse MovieLens `::`-delimited text (`userid::movieid::rating::timestamp`,
@@ -61,6 +69,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     */
   def loadRatings(tableName: String, filePath: String): Unit =
     try {
+      recoverPending()
       val rows = spark.sparkContext
         .textFile(filePath)
         .filter(_.nonEmpty)
@@ -75,8 +84,10 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       catalog.writeNextRowId(tableName, master(tableName).count())
     } catch { case NonFatal(e) => logErr("loadRatings")(e) }
 
-  def master(tableName: String = "ratings"): DataFrame =
+  def master(tableName: String = "ratings"): DataFrame = {
+    recoverPending()
     spark.read.parquet(catalog.tablePath(tableName))
+  }
 
   // ---- partitioning --------------------------------------------------------
 
@@ -92,6 +103,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     */
   def rangePartition(tableName: String, n: Int): Unit =
     try {
+      recoverPending()
       require(n > 0, "numberofpartitions not an instance of int or <= 0")
       require(catalog.tableExists(tableName), s"$tableName table does not exist")
       val buckets = RangeBuckets(n, DomainMin, DomainMax)
@@ -112,6 +124,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     */
   def roundRobinPartition(tableName: String, n: Int): Unit =
     try {
+      recoverPending()
       require(n > 0, "numberofpartitions not an instance of int or <= 0")
       require(catalog.tableExists(tableName), s"$tableName table does not exist")
       val df = master(tableName)
@@ -148,6 +161,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       itemid: Int,
       rating: Double
   ): Unit = {
+    recoverPending()
     require(catalog.tableExists(tableName), s"$tableName table does not exist")
     val rowid = appendToMaster(tableName, userid, itemid, rating)
     val meta = catalog
@@ -177,6 +191,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       itemid: Int,
       rating: Double
   ): Unit = {
+    recoverPending()
     require(catalog.tableExists(tableName), s"$tableName table does not exist")
     val rowid = appendToMaster(tableName, userid, itemid, rating)
     val meta = catalog
@@ -203,6 +218,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       tableName: String,
       rows: Seq[(Int, Int, Double)]
   ): Unit = {
+    recoverPending()
     require(catalog.tableExists(tableName), s"$tableName table does not exist")
     val meta = catalog
       .readRangeMeta()
@@ -222,6 +238,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       tableName: String,
       rows: Seq[(Int, Int, Double)]
   ): Unit = {
+    recoverPending()
     require(catalog.tableExists(tableName), s"$tableName table does not exist")
     val meta = catalog
       .readRoundRobinMeta()
@@ -260,6 +277,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       orderCols: Seq[String] = Nil
   ): Unit =
     try {
+      recoverPending()
       require(catalog.tableExists(tableName), s"$tableName table does not exist")
       val meta = catalog
         .readRoundRobinMeta()
@@ -341,8 +359,10 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
 
   // ---- queries ---------------------------------------------------------------
 
-  private def readFragments(dataset: String): DataFrame =
+  private def readFragments(dataset: String): DataFrame = {
+    recoverPending()
     spark.read.parquet(catalog.tablePath(dataset))
+  }
 
   /** The range-fragmented dataset for ad-hoc querying. Publishes the bucket
     * metadata to the session conf so [[graft.plans.DeriveFragmentPruning]]
@@ -497,6 +517,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       tableName: String,
       cond: Column
   ): Long = {
+    recoverPending()
     require(catalog.tableExists(tableName), s"$tableName table does not exist")
     require(catalog.tableExists(dataset), s"$dataset dataset does not exist")
     val dsPath = catalog.tablePath(dataset)
@@ -510,10 +531,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     if (affectedParts.isEmpty) return 0L
     val nDeleted = matches.count()
     val hfs = new Path(dsPath).getFileSystem(spark.sessionState.newHadoopConf())
-    def stagingOf(p: String): Path = {
-      val orig = new Path(p)
-      new Path(orig.getParent, s".${orig.getName}.staging-delete")
-    }
+    val stagingOf = stagingNamer("delete")
     // 1) stage master survivors (anti-join on the deleted load ids)
     val masterStaging = stagingOf(masterPath)
     master(tableName)
@@ -527,69 +545,51 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       .filter(!hit)
       .select(col("userid"), col("movieid"), col("rating"), col("_rowid"), col("part"))
       .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(fragStaging.toString)
-    // 3) swap — every read above has executed; directory ops only from here
-    hfs.delete(new Path(masterPath), true)
-    hfs.rename(masterStaging, new Path(masterPath))
-    affectedParts.foreach { p =>
-      val orig = new Path(dsPath, s"part=$p")
-      val staged = new Path(fragStaging, s"part=$p")
-      hfs.delete(orig, true)
-      // no staged dir = every row of this fragment deleted: dir stays gone
-      if (hfs.exists(staged)) hfs.rename(staged, orig)
-    }
-    hfs.delete(fragStaging, true)
-    ensureReadableDataset(dsPath, hfs)
+    // 3) commit — every read above has executed; the swap plan is published
+    //    as one journal, so a crash mid-swap rolls FORWARD (FragmentTxn),
+    //    never serving a master missing rows a fragment still carries
+    FragmentTxn.run(spark, dataRoot, swapPlan(
+      masterPath, masterStaging, dsPath, fragStaging, affectedParts.toSeq, hfs))
     nDeleted
   }
 
-
-  /** A fragment dataset whose every row was deleted has no `part=`
-    * directories left, and a bare directory breaks the next read's schema
-    * inference — so seed ONE zero-row fragment file carrying the schema:
-    * readers see an empty, well-typed dataset (the reference's
-    * empty-but-selectable table), and later inserts append normally.
+  /** Per-mutation unique staging names: roll-forward recovery consumes a
+    * crashed mutation's staging dirs, but a crash INSIDE the grace window
+    * must not have the next mutation overwrite directories a pending
+    * journal still references.
     */
-  private def ensureReadableDataset(
-      dsPath: String,
-      hfs: org.apache.hadoop.fs.FileSystem
-  ): Unit = {
-    val dir = new Path(dsPath)
-    val hasPart = hfs.exists(dir) && hfs.listStatus(dir).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith("part="))
-    if (!hasPart)
-      spark
-        .createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), masterSchema)
-        .write.mode(SaveMode.Overwrite).parquet(new Path(dir, "part=0").toString)
+  private def stagingNamer(op: String): String => Path = {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    p => {
+      val orig = new Path(p)
+      new Path(orig.getParent, s".${orig.getName}.staging-$op-$id")
+    }
   }
 
-  /** Replace the ENTIRE fragment dataset with `rows` — the commit target of
-    * the SQL UPDATE / MERGE surface ([[graft.catalog.FragmentWritableTable]]
-    * group-based copy-on-write, where the one replacement group is the whole
-    * dataset because the scan is deliberately un-pushed so every row flows
-    * through the rewrite). Dual-write semantics run in both directions:
-    *
-    *   - rows carrying a `_rowid` are EXISTING rows (possibly updated):
-    *     their master mirror is replaced by id, and for the range dataset
-    *     the fragment is RE-ROUTED from the (possibly new) rating — an
-    *     UPDATE that moves a rating across a boundary moves the row to the
-    *     fragment the boundary rule selects, and an update to an
-    *     out-of-domain rating leaves the row master-only (exactly
-    *     rangeInsert's contract). Round-robin rows keep their positional
-    *     fragment — RR routing is insertion-order, not value, semantics.
-    *   - rows with a NULL `_rowid` are MERGE-inserted: they get fresh load
-    *     ids (in deterministic (userid, movieid, rating) order) and route
-    *     like inserts — range by rating, round-robin by advancing the
-    *     counter.
-    *   - dataset rows ABSENT from `rows` were deleted by the statement:
-    *     their master mirrors go with them (the old dataset ids are
-    *     superseded wholesale).
-    *
-    * A non-null `_rowid` that is NOT an existing dataset row id is rejected
-    * before anything lands (it would corrupt the master mirror — the only
-    * way to produce one is `UPDATE … SET _rowid`). Master rows that never
-    * routed to a fragment (out-of-domain ratings) are invisible to the
-    * statement and survive untouched.
+  /** The journaled swap plan shared by the partition-granular mutations:
+    * master swap, then per affected fragment a swap (staged survivors) or a
+    * delete (fragment emptied), then staging cleanup and the emptied-dataset
+    * schema seed.
     */
+  private def swapPlan(
+      masterPath: String,
+      masterStaging: Path,
+      dsPath: String,
+      fragStaging: Path,
+      affectedParts: Seq[Int],
+      hfs: org.apache.hadoop.fs.FileSystem
+  ): Seq[FragmentTxn.Op] =
+    Seq(FragmentTxn.Op("swap", masterPath, masterStaging.toString)) ++
+      affectedParts.map { p =>
+        val orig = new Path(dsPath, s"part=$p")
+        val staged = new Path(fragStaging, s"part=$p")
+        // no staged dir = every row of this fragment deleted: dir stays gone
+        if (hfs.exists(staged)) FragmentTxn.Op("swap", orig.toString, staged.toString)
+        else FragmentTxn.Op("delete", orig.toString)
+      } ++ Seq(
+        FragmentTxn.Op("rmstaging", fragStaging.toString),
+        FragmentTxn.Op("ensure", dsPath))
+
   /** Distributed MERGE into a fragment dataset — the BULK path the SQL
     * surface's VALUES-sized cap points at: `source` rows (userid, movieid,
     * rating) update the rating of every (userid, movieid)-matched dataset
@@ -618,6 +618,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       tableName: String,
       source: DataFrame
   ): (Long, Long) = {
+    recoverPending()
     require(catalog.tableExists(tableName), s"$tableName table does not exist")
     require(catalog.tableExists(dataset), s"$dataset dataset does not exist")
     val dsPath = catalog.tablePath(dataset)
@@ -694,10 +695,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       .distinct().collect().map(_.getInt(0)).sorted
     if (nMatched == 0 && nInserted == 0) return (0L, 0L)
 
-    def stagingOf(p: String): Path = {
-      val orig = new Path(p)
-      new Path(orig.getParent, s".${orig.getName}.staging-merge")
-    }
+    val stagingOf = stagingNamer("merge")
     val hfs = new Path(dsPath).getFileSystem(spark.sessionState.newHadoopConf())
     // 1) stage the new master: matched mirrors replaced by _rowid, inserts
     //    appended, everything else untouched
@@ -724,17 +722,10 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
         .filter(col("part").isNotNull)
         .select("userid", "movieid", "rating", "_rowid", "part"))
       .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(fragStaging.toString)
-    // 3) swap — reads done; directory ops only from here
-    hfs.delete(new Path(masterPath), true)
-    hfs.rename(masterStaging, new Path(masterPath))
-    affectedParts.foreach { p =>
-      val orig = new Path(dsPath, s"part=$p")
-      val staged = new Path(fragStaging, s"part=$p")
-      hfs.delete(orig, true)
-      if (hfs.exists(staged)) hfs.rename(staged, orig)
-    }
-    hfs.delete(fragStaging, true)
-    ensureReadableDataset(dsPath, hfs)
+    // 3) commit — reads done; the swap plan publishes as one journal so a
+    //    crash mid-swap rolls forward (FragmentTxn), never a mixed state
+    FragmentTxn.run(spark, dataRoot, swapPlan(
+      masterPath, masterStaging, dsPath, fragStaging, affectedParts.toSeq, hfs))
     // 4) counters
     if (nInserted > 0) {
       catalog.writeNextRowId(tableName, nextId + nInserted)
@@ -746,18 +737,68 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     (nMatched, nInserted)
   }
 
-  private[graft] def replaceDatasetStrict(
+  /** Replace the ENTIRE fragment dataset with the `rewrite` stream — the
+    * commit target of the SQL UPDATE / MERGE surface
+    * ([[graft.catalog.FragmentWritableTable]] group-based copy-on-write,
+    * where the one replacement group is the whole dataset because the scan
+    * is deliberately un-pushed so every row flows through the statement).
+    * FULLY DISTRIBUTED: the stream arrives as a DataFrame over the
+    * executors' staged spill files, every validation and routing decision
+    * is a join or a narrow projection, and the driver only publishes the
+    * journaled directory swap and advances counters — so the SQL surface
+    * rewrites a dataset of any size (the former VALUES-sized per-task cap
+    * applies to INSERT only). Dual-write semantics run in both directions:
+    *
+    *   - rows carrying a `_rowid` are EXISTING rows (possibly updated):
+    *     their master mirror is replaced by id, and for the range dataset
+    *     the fragment is RE-ROUTED from the (possibly new) rating — an
+    *     UPDATE that moves a rating across a boundary moves the row to the
+    *     fragment the boundary rule selects, and an update to an
+    *     out-of-domain rating leaves the row master-only (exactly
+    *     rangeInsert's contract). Round-robin rows keep their positional
+    *     fragment — RR routing is insertion-order, not value, semantics.
+    *   - rows with a NULL `_rowid` are MERGE-inserted: they get fresh load
+    *     ids (in deterministic (userid, movieid, rating) order) and route
+    *     like inserts — range by rating, round-robin by advancing the
+    *     counter.
+    *   - dataset rows ABSENT from the stream were deleted by the statement:
+    *     their master mirrors go with them (the old dataset ids are
+    *     superseded wholesale).
+    *
+    * Rejected before anything lands (one validation aggregate over a join
+    * against the old dataset): a non-null `_rowid` that is not an existing
+    * dataset row id (`UPDATE … SET _rowid` would corrupt the master
+    * mirror), and an existing row whose `part` differs from its original
+    * fragment (`UPDATE … SET part` — fragment placement is engine-derived:
+    * recomputed from the rating on range datasets, positional on
+    * round-robin, never assignable). Master rows that never routed to a
+    * fragment (out-of-domain ratings) are invisible to the statement and
+    * survive untouched.
+    */
+  private[graft] def replaceDatasetDistributed(
       dataset: String,
       tableName: String,
-      rows: Seq[FragmentEngine.ReplacementRow]
+      rewrite0: DataFrame
   ): Unit = {
+    recoverPending()
     require(catalog.tableExists(tableName), s"$tableName table does not exist")
     require(catalog.tableExists(dataset), s"$dataset dataset does not exist")
     val dsPath = catalog.tablePath(dataset)
     val masterPath = catalog.tablePath(tableName)
-    val (existing, inserts) = rows.partition(_.rowid.isDefined)
+    // ONE materialization of the rewrite stream; every later job re-reads
+    // the checkpoint, not the executors' staged spill files
+    val rewrite = rewrite0
+      .select(
+        col("userid").cast(IntegerType),
+        col("movieid").cast(IntegerType),
+        col("rating").cast(DoubleType),
+        col("_rowid").cast(LongType),
+        col("part").cast(IntegerType))
+      .localCheckpoint()
+    val existing = rewrite.filter(col("_rowid").isNotNull)
+    val inserts = rewrite.filter(col("_rowid").isNull)
 
-    // route the new dataset content BEFORE touching anything (validate-first)
+    // metadata reads (validate-everything-before-anything-lands)
     val rrMeta =
       if (dataset == RoundRobinDataset)
         Some(catalog.readRoundRobinMeta()
@@ -771,72 +812,86 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
         Some(RangeBuckets(m.totalPartitions, m.minValue, m.maxValue))
       } else None
     rrMeta.foreach(m => require(m.totalPartitions > 0, "Total partitions <= 0"))
-    existing.foreach { row =>
-      if (dataset == RoundRobinDataset)
-        require(row.part.isDefined, s"round-robin row ${row.rowid.get} lost its fragment")
-    }
-    val nextId = nextRowId(tableName)
-    val sortedInserts = inserts.sortBy(r => (r.userid, r.movieid, r.rating))
-    def routedPart(r: Double): Option[Int] =
-      rangeBuckets.flatMap(b => Some(b.bucketOf(r)).filter(_ >= 0))
-    val newContent: Seq[(Int, Int, Double, Long, Option[Int])] =
-      existing.map { row =>
-        val part =
-          if (dataset == RangeDataset) routedPart(row.rating) else row.part
-        (row.userid, row.movieid, row.rating, row.rowid.get, part)
-      } ++ sortedInserts.zipWithIndex.map { case (row, i) =>
-        val part =
-          if (dataset == RangeDataset) routedPart(row.rating)
-          else Some(((rrMeta.get.lastInserted + 1 + i) % rrMeta.get.totalPartitions).toInt)
-        (row.userid, row.movieid, row.rating, nextId + i, part)
-      }
 
-    // identity check, distributed: every kept _rowid must be an old dataset
-    // row (catches UPDATE ... SET _rowid before anything is rewritten)
-    import spark.implicits._
-    val oldIds = readFragments(dataset).select("_rowid")
-    val keptIds = existing.map(_.rowid.get).toDF("_rowid")
-    val phantom = keptIds.join(oldIds, Seq("_rowid"), "left_anti").count()
+    // identity + placement validation, ONE aggregate over one join: every
+    // kept _rowid must be an old dataset row, carrying its ORIGINAL part
+    val ds = readFragments(dataset)
+    val checks = existing
+      .join(ds.select(col("_rowid"), col("part").as("_old_part")), Seq("_rowid"), "left")
+      .agg(
+        sum(when(col("_old_part").isNull, 1L).otherwise(0L)).as("phantom"),
+        sum(when(!(col("part") <=> col("_old_part")), 1L).otherwise(0L)).as("moved"))
+      .head()
+    val phantom = Option(checks.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val moved = Option(checks.get(1)).fold(0L)(_.asInstanceOf[Long])
     require(phantom == 0L,
       s"$phantom replacement row(s) carry a _rowid that is not in $dataset — " +
         "_rowid is engine-derived row identity and cannot be assigned")
+    require(moved == 0L,
+      s"$moved replacement row(s) carry a part that is not the row's " +
+        s"fragment — part is engine-derived placement (recomputed from the " +
+        "rating on range datasets, positional on round-robin) and cannot " +
+        "be assigned")
 
-    def stagingOf(p: String): Path = {
-      val orig = new Path(p)
-      new Path(orig.getParent, s".${orig.getName}.staging-replace")
+    // inserts: fresh load ids in deterministic order, routed like inserts
+    val nextId = nextRowId(tableName)
+    val insertRdd = inserts
+      .orderBy("userid", "movieid", "rating")
+      .rdd
+      .zipWithIndex()
+      .map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getInt(0), r.getInt(1), r.getDouble(2), nextId + i)
+      }
+    val insertsDf = spark.createDataFrame(insertRdd, masterSchema).localCheckpoint()
+    val nInserted = insertsDf.count()
+    val insertsRouted = (rangeBuckets, rrMeta) match {
+      case (Some(b), _) =>
+        insertsDf.withColumn("part", bucketExpr(b, col("rating")))
+      case (_, Some(m)) =>
+        insertsDf.withColumn("part",
+          pmod(col("_rowid") + (m.lastInserted + 1 - nextId), lit(m.totalPartitions.toLong))
+            .cast(IntegerType))
+      case _ => insertsDf.withColumn("part", lit(null).cast(IntegerType))
     }
-    val hfs = new Path(dsPath).getFileSystem(spark.sessionState.newHadoopConf())
+    // existing rows: range re-routes from the (possibly updated) rating;
+    // round-robin keeps the validated positional part
+    val existingRouted = rangeBuckets match {
+      case Some(b) => existing.withColumn("part", bucketExpr(b, col("rating")))
+      case None => existing
+    }
+    val newContent = existingRouted
+      .select("userid", "movieid", "rating", "_rowid", "part")
+      .unionByName(insertsRouted.select("userid", "movieid", "rating", "_rowid", "part"))
+
+    val stagingOf = stagingNamer("replace")
     // 1) stage the new master: unfragmented rows survive as-is, everything
     //    the old dataset mirrored is superseded by the replacement rows
-    val newMasterRows = newContent.map { case (u, m, r, id, _) => (u, m, r, id) }
-      .toDF("userid", "movieid", "rating", "_rowid")
-      .select(col("userid").cast(IntegerType), col("movieid").cast(IntegerType),
-        col("rating").cast(DoubleType), col("_rowid").cast(LongType))
     val masterStaging = stagingOf(masterPath)
     master(tableName)
-      .join(oldIds, Seq("_rowid"), "left_anti")
+      .join(ds.select("_rowid"), Seq("_rowid"), "left_anti")
       .select("userid", "movieid", "rating", "_rowid")
-      .unionByName(newMasterRows)
+      .unionByName(newContent.select("userid", "movieid", "rating", "_rowid"))
       .write.mode(SaveMode.Overwrite).parquet(masterStaging.toString)
     // 2) stage the new dataset content (fragment-routed rows only)
     val fragStaging = stagingOf(dsPath)
-    newContent.collect { case (u, m, r, id, Some(p)) => (u, m, r, id, p) }
-      .toDF("userid", "movieid", "rating", "_rowid", "part")
-      .select(col("userid").cast(IntegerType), col("movieid").cast(IntegerType),
-        col("rating").cast(DoubleType), col("_rowid").cast(LongType),
-        col("part").cast(IntegerType))
+    newContent
+      .filter(col("part").isNotNull)
       .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(fragStaging.toString)
-    // 3) swap — every read above has executed; directory ops only from here
-    hfs.delete(new Path(masterPath), true)
-    hfs.rename(masterStaging, new Path(masterPath))
-    hfs.delete(new Path(dsPath), true)
-    hfs.rename(fragStaging, new Path(dsPath))
+    // 3) commit — every read above has executed; the whole-dataset swap
+    //    publishes as one journal (crash mid-swap rolls forward), and the
+    //    emptied-dataset schema seed keeps a rewrite that routed zero rows
+    //    (every row moved out-of-domain, or a row-level DELETE matched all)
+    //    readable for every subsequent read and DML
+    FragmentTxn.run(spark, dataRoot, Seq(
+      FragmentTxn.Op("swap", masterPath, masterStaging.toString),
+      FragmentTxn.Op("swap", dsPath, fragStaging.toString),
+      FragmentTxn.Op("ensure", dsPath)))
     // 4) counters: fresh ids consumed, round-robin advanced by the inserts
-    if (sortedInserts.nonEmpty) {
-      catalog.writeNextRowId(tableName, nextId + sortedInserts.size)
+    if (nInserted > 0) {
+      catalog.writeNextRowId(tableName, nextId + nInserted)
       rrMeta.foreach { m =>
         catalog.writeRoundRobinMeta(m.copy(
-          lastInserted = (m.lastInserted + sortedInserts.size) % m.totalPartitions))
+          lastInserted = (m.lastInserted + nInserted) % m.totalPartitions))
       }
     }
   }
@@ -848,24 +903,13 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     */
   def deleteTables(name: String): Unit =
     try {
+      recoverPending()
       if (name.equalsIgnoreCase("ALL")) catalog.dropAll()
       else catalog.dropTable(name)
     } catch { case NonFatal(e) => logErr("deleteTables")(e) }
 }
 
 object FragmentEngine {
-
-  /** One row of a SQL UPDATE/MERGE rewrite stream: `rowid` present =
-    * existing row (possibly updated), absent = MERGE-inserted; `part` is
-    * the row's incoming fragment (kept for round-robin, recomputed from the
-    * rating for range). See [[FragmentEngine.replaceDatasetStrict]].
-    */
-  private[graft] case class ReplacementRow(
-      userid: Int,
-      movieid: Int,
-      rating: Double,
-      rowid: Option[Long],
-      part: Option[Int])
 
   /** Reference constants `Interface1.py:6-7`. */
   val RangePrefix = "range_ratings_part"

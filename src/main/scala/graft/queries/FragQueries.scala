@@ -210,15 +210,15 @@ object FragQueries {
       """WITH base AS (
         |  SELECT CAST(l_orderkey AS INT) AS userid, CAST(min(l_partkey) AS INT) AS movieid,
         |         CAST(CAST(min(l_quantity) AS INT) % 50 AS DOUBLE) / 10.0 AS rating
-        |  FROM lineitem WHERE l_orderkey % 271 = 0 GROUP BY l_orderkey),
+        |  FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY l_orderkey),
         |src AS (
         |  SELECT CAST(l_orderkey AS INT) AS u, CAST(min(l_partkey) AS INT) AS m,
         |         CAST((CAST(min(l_quantity) AS INT) + 7) % 50 AS DOUBLE) / 10.0 AS r
-        |  FROM lineitem WHERE l_orderkey % 542 = 0 GROUP BY l_orderkey
+        |  FROM lineitem WHERE l_orderkey % 194 = 0 GROUP BY l_orderkey
         |  UNION ALL
         |  SELECT CAST(l_orderkey AS INT) AS u, CAST(min(l_partkey) AS INT) AS m,
         |         CAST((CAST(min(l_quantity) AS INT) + 7) % 50 AS DOUBLE) / 10.0 AS r
-        |  FROM lineitem WHERE l_orderkey % 813 = 1 GROUP BY l_orderkey),
+        |  FROM lineitem WHERE l_orderkey % 97 = 1 GROUP BY l_orderkey),
         |merged AS (
         |  SELECT b.userid, b.movieid,
         |         CASE WHEN s.u IS NOT NULL THEN s.r ELSE b.rating END AS rating
@@ -246,10 +246,15 @@ object FragQueries {
             col("mk").cast("int").as("m"),
             (((col("mq").cast("int") + qtyShift) % 50).cast("double") / lit(10.0)).as("r"))
       // base warehouse through the REAL load path (text → loadRatings),
-      // shared across bench laps (see mergeWarehouses)
+      // shared across bench laps (see mergeWarehouses). The slices are the
+      // BULK ones the pre-round-16 surface refused (the rewrite stream
+      // exceeded its 10k-per-task cap at sf1): the distributed spill-file
+      // rewrite absorbs them at any scale, so frag_sql_merge now proves the
+      // SQL statement itself runs the bulk path frag_engine_merge covers
+      // through the programmatic API.
       val wh = mergeWarehouses.getOrElseUpdate((s, d, "sql"), {
         val dir = java.nio.file.Files.createTempDirectory("graft-sqlmerge").toString
-        val baseRows = slice(col("l_orderkey") % 271 === 0, 0).orderBy("u").collect()
+        val baseRows = slice(col("l_orderkey") % 97 === 0, 0).orderBy("u").collect()
         val txt = s"$dir/ratings.txt"
         java.nio.file.Files.write(
           java.nio.file.Paths.get(txt),
@@ -263,8 +268,8 @@ object FragQueries {
       val cat = s"graft_mrg_${FragQueries.mergeCatalogSeq.incrementAndGet()}"
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftTableCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-      slice(col("l_orderkey") % 542 === 0, 7)
-        .unionByName(slice(col("l_orderkey") % 813 === 1, 7))
+      slice(col("l_orderkey") % 194 === 0, 7)
+        .unionByName(slice(col("l_orderkey") % 97 === 1, 7))
         .createOrReplaceTempView("frag_merge_src")
       s.sql(
         s"""MERGE INTO $cat.range_ratings t USING frag_merge_src s0

@@ -443,4 +443,90 @@ class GraftTableCatalogSpec extends SparkSpec {
         .head().getAs[Double]("rating") == 2.0, "master mirrors the matched update")
     }
   }
+
+  test("a bulk UPDATE (>10k-row rewrite stream) runs distributed through the SQL surface") {
+    // the round-15 surface REFUSED any rewrite whose stream exceeded 10k
+    // rows per task (AQE coalesces small exchanges to one task, so
+    // effectively per statement); the distributed spill-file path must
+    // absorb a stream bigger than that cap with routing intact
+    val root = java.nio.file.Files.createTempDirectory("graft-bulk").toString
+    val txt = s"$root/ratings.txt"
+    val n = 12345
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(txt),
+      (0 until n).map(i => s"$i::${i % 997}::${(i % 50) / 10.0}::0")
+        .mkString("\n").getBytes("UTF-8"))
+    val e = new FragmentEngine(spark, root)
+    e.loadRatings("ratings", txt)
+    e.rangePartition("ratings", 5)
+    spark.conf.set("spark.sql.catalog.graft_bulk",
+      classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_bulk.warehouse", root)
+    try {
+      val before = spark.table("graft_bulk.range_ratings").count()
+      val toMove = spark.table("graft_bulk.range_ratings")
+        .filter(col("rating") > 2.5).count()
+      assert(before > 10000 && toMove > 1000, s"fixture: $before rows, $toMove movers")
+      spark.sql("UPDATE graft_bulk.range_ratings SET rating = 0.5 WHERE rating > 2.5")
+      val after = spark.table("graft_bulk.range_ratings")
+      assert(after.count() == before, "no row gained or lost")
+      assert(after.filter(col("rating") > 2.5).count() == 0)
+      // every mover re-routed to fragment 0 ([0,1]) and mirrors master
+      assert(after.filter(col("rating") === 0.5 && col("part") =!= 0).count() == 0)
+      assert(e.master("ratings").filter(col("rating") > 2.5).count() == 0)
+      assert(e.master("ratings").count() == before)
+      // the rewrite's staging spill is swept after the commit
+      assert(!new java.io.File(s"$root/_rewrite_staging").exists() ||
+        new java.io.File(s"$root/_rewrite_staging").listFiles().isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_bulk")
+      spark.conf.unset("spark.sql.catalog.graft_bulk.warehouse")
+      spark.conf.unset(graft.plans.DeriveFragmentPruning.MetaKey)
+    }
+  }
+
+  test("an UPDATE that moves every row out-of-domain empties the dataset but keeps it readable") {
+    withCatalog("graft_u2") { e =>
+      val total = spark.table("graft_u2.range_ratings").count()
+      assert(total > 0)
+      // 7.5 is outside [0, 5]: every row becomes master-only (rangeInsert's
+      // contract run through UPDATE) and the fragment dataset empties —
+      // which must leave a schema-carrying, readable dataset, not a bare
+      // directory that bricks every subsequent read and DML
+      spark.sql("UPDATE graft_u2.range_ratings SET rating = 7.5")
+      assert(spark.table("graft_u2.range_ratings").count() == 0)
+      assert(spark.sql("SELECT rating FROM graft_u2.range_ratings WHERE rating > 0").count() == 0)
+      assert(e.master("ratings").count() == total, "rows survive master-only")
+      assert(e.master("ratings").filter(col("rating") === 7.5).count() == total)
+      // life goes on: insert and a second UPDATE both work on the emptied set
+      spark.sql("INSERT INTO graft_u2.range_ratings VALUES (7, 8, 3.5, NULL, NULL)")
+      assert(spark.table("graft_u2.range_ratings").count() == 1)
+      spark.sql("UPDATE graft_u2.range_ratings SET rating = 1.5 WHERE userid = 7")
+      assert(spark.table("graft_u2.range_ratings").head().getAs[Int]("part") == 1)
+    }
+  }
+
+  test("UPDATE ... SET part is rejected on both schemes — placement is engine-derived") {
+    withCatalog("graft_u3") { e =>
+      // round-robin: part is POSITIONAL; an assignable part would let a
+      // statement relocate rows to arbitrary (even out-of-range) fragments
+      // and corrupt the routing invariant
+      val rrBefore = spark.table("graft_u3.round_robin_ratings")
+        .groupBy("part").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      intercept[Exception] {
+        spark.sql("UPDATE graft_u3.round_robin_ratings SET part = 99 WHERE part = 1")
+      }
+      val rrAfter = spark.table("graft_u3.round_robin_ratings")
+        .groupBy("part").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(rrAfter == rrBefore, "nothing lands on a rejected statement")
+      // range: part is VALUE-derived; a SET part that disagrees with the
+      // row's fragment is equally rejected (a no-op SET rating keeps part
+      // consistent and still passes — covered by the UPDATE tests above)
+      intercept[Exception] {
+        spark.sql("UPDATE graft_u3.range_ratings SET part = 0 WHERE part = 4")
+      }
+      assert(spark.table("graft_u3.range_ratings").filter(col("part") === 4).count() > 0)
+      val _ = e
+    }
+  }
 }
