@@ -158,6 +158,30 @@ object MvRewrite {
       .parquet(sidecarPath(defn.mvPath))
   }
 
+  /** Build the per-file partial-aggregate sidecar for an EXISTING MV — the
+    * one-time backfill that retrofits delete-churn refresh (E399) onto MVs
+    * persisted before the sidecar existed (or built with sidecar writing
+    * unavailable). One scan of the base grouped by `input_file_name()`,
+    * O(files×groups) output.
+    *
+    * Freshness contract (the caller's, like [[register]]): run this while
+    * the MV is FRESH relative to the base — the sidecar must describe
+    * exactly the files whose rows the MV aggregates, so backfilling against
+    * a base that already churned would record partials the MV never saw.
+    * The natural call sites (right after [[loadCatalog]] re-registered the
+    * MV as fresh, or right after [[build]]) both satisfy it.
+    */
+  def backfillSidecar(spark: SparkSession, defn: MvDef): Unit = {
+    val aggs = buildAggs(defn)
+    spark.read
+      .parquet(defn.basePath)
+      .groupBy((input_file_name().as(FileCol) +: defn.groupCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write
+      .mode("overwrite")
+      .parquet(sidecarPath(defn.mvPath))
+  }
+
   /** Register (or refresh) an MV: resolves the MV parquet ONCE and keeps its
     * analyzed plan; the optimizer rule grafts fresh copies of it into
     * matching queries. Freshness is the caller's contract.
@@ -369,15 +393,39 @@ object MvRewrite {
           val deleteOnly = old.nonEmpty && now.nonEmpty &&
             now.forall { case (p, sig) => old.get(p).contains(sig) } &&
             now.size < old.size
-          if (!appendOnly && !deleteOnly) None
+          // the real retention+ingest epoch: files removed AND added in one
+          // churn, every file present in BOTH listings byte+mtime identical.
+          // The two incremental paths COMPOSE: prune the sidecar to the
+          // surviving files and rebuild the rollup from their partials
+          // (the delete half), then fold the appended files' delta in and
+          // append their partials to the sidecar (the append half). A
+          // survivor that was REWRITTEN (same path, different length/mtime)
+          // fails the common-files check and keeps the DROP semantics —
+          // its old rows are unretractable from partial states.
+          val mixedChurn = old.nonEmpty && !appendOnly && !deleteOnly && {
+            val common = old.keySet & now.keySet
+            common.nonEmpty &&
+            common.forall(p => old(p) == now(p)) &&
+            (old.keySet -- now.keySet).nonEmpty &&
+            (now.keySet -- old.keySet).nonEmpty
+          }
+          if (!appendOnly && !deleteOnly && !mixedChurn) None
           else
             try {
+              val appended = (now.keySet -- old.keySet).toSeq.sorted
               val refreshed =
                 if (appendOnly) {
-                  val appended = (now.keySet -- old.keySet).toSeq.sorted
                   refreshAppended(spark, defn, appended)
                   true
-                } else refreshDeleted(spark, defn, now.keySet)
+                } else if (deleteOnly) refreshDeleted(spark, defn, now.keySet)
+                else {
+                  // mixed: delete half first (sidecar rows for appended
+                  // files don't exist yet, so pruning to `now` keeps
+                  // exactly the surviving old partials), then append half
+                  val pruned = refreshDeleted(spark, defn, now.keySet)
+                  if (pruned) refreshAppended(spark, defn, appended)
+                  pruned
+                }
               if (!refreshed) None
               else {
                 persistSnapshot(spark, catalogDir, defn, nowSig, now)

@@ -344,6 +344,86 @@ object RelationalQueries {
       out
     },
 
+    // E405 mixed-churn MV refresh — the real retention+ingest epoch: ONE
+    // churn removes the expiring slice's files AND lands a new slice's
+    // files, every survivor byte+mtime identical. loadCatalog composes the
+    // two incremental paths (prune the per-file sidecar to survivors and
+    // rebuild the rollup from their partials — E399's delete half — then
+    // fold the appended files' delta in and append their partials — E366's
+    // append half), so the MV survives the churn class that used to drop
+    // it, still O(files×groups + delta), never the fact table. The oracle
+    // recomputes the aggregate over exactly (survivors ∪ new slice), so a
+    // refresh that kept expired rows, missed appended ones, or broke the
+    // compose order hash-mismatches.
+    QEntry.sql(
+      "q_mv_incremental_mixed",
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  avg(l_quantity) AS avg_qty, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey % 7 <> 0
+        |      UNION ALL SELECT l_returnflag, l_quantity FROM lineitem
+        |      WHERE l_orderkey % 5 = 0)
+        |GROUP BY l_returnflag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mvq7").toString
+      val fact = s"$dir/fact.parquet"
+      val cat = s"$dir/mvcatalog"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .getLocal(s.sessionState.newHadoopConf())
+      val factPath = new org.apache.hadoop.fs.Path(fact)
+      def dataFiles(): Set[String] = fs.listStatus(factPath).iterator
+        .map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .map(_.toString).toSet
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 7 =!= 0)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").parquet(fact)
+      val keepers = dataFiles()
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("append").parquet(fact)
+      val expiring = dataFiles() -- keepers
+      val defn = graft.plans.MvRewrite.MvDef(
+        fact,
+        s"$dir/mv.parquet",
+        Seq("l_returnflag", "l_linestatus"),
+        Map("sum_qty" -> "l_quantity"),
+        Some("cnt"),
+        mins = Map("min_qty" -> "l_quantity"),
+        maxs = Map("max_qty" -> "l_quantity"),
+        counts = Map("cnt_qty" -> "l_quantity")
+      )
+      graft.plans.MvRewrite.build(s, defn)
+      graft.plans.MvRewrite.persist(s, cat, defn)
+      // ONE churn epoch: retention expires the second slice while ingest
+      // lands a third — removed AND added files in the same manifest diff
+      expiring.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 5 === 0)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("append").parquet(fact)
+      val loaded = graft.plans.MvRewrite.loadCatalog(s, cat)
+      require(loaded.map(_.mvPath).contains(s"$dir/mv.parquet"),
+        "mixed-churn refresh did not re-register the MV")
+      val out = s.read
+        .parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          avg("l_quantity").as("avg_qty"),
+          count(lit(1)).cast("long").as("n_rows")
+        )
+      require(
+        out.queryExecution.executedPlan.toString.contains("mv.parquet"),
+        "refreshed MV rewrite did not fire after mixed churn"
+      )
+      out
+    },
+
     // TPC-H Q1 shape: the canonical scan→partial-agg→shuffle→final-agg. Six
     // groups total, so the shuffle moves ~6 rows per map task regardless of
     // input size — map-side combine is what makes this 100 TB-safe.

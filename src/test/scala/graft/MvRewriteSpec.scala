@@ -390,10 +390,74 @@ class MvRewriteSpec extends SparkSpec {
       // re-persisted snapshot: a second load with no further churn is fresh
       assert(MvRewrite.loadCatalog(spark, cat).map(_.mvPath) == Seq(mv))
       MvRewrite.clear()
-      // MIXED churn (a delete AND an append) is neither class → drop
+      // MIXED churn (a delete AND an append in ONE epoch — the real
+      // retention+ingest shape) composes the two refresh paths: prune the
+      // sidecar to survivors, then fold the appended files in
       fs.delete(dataFiles().minBy(_.getName), false)
-      Seq(("g0", 999.0)).toDF("ga", "m").write.mode("append").parquet(base)
-      assert(MvRewrite.loadCatalog(spark, cat).isEmpty, "mixed churn must drop the MV")
+      Seq(("g0", 999.0), ("g7", 5.0)).toDF("ga", "m").write.mode("append").parquet(base)
+      val mixedLoaded = MvRewrite.loadCatalog(spark, cat)
+      assert(mixedLoaded.map(_.mvPath) == Seq(mv),
+        s"mixed churn did not refresh the MV: $mixedLoaded")
+      assert(physOf(q).contains("mv.parquet"), physOf(q))
+      val gotMixed = q.orderBy("ga").collect().map(_.toSeq).toSeq
+      MvRewrite.clear()
+      assert(gotMixed == q.orderBy("ga").collect().map(_.toSeq).toSeq,
+        "mixed-refreshed MV must equal direct aggregation over survivors ∪ appended")
+      // a REWRITTEN survivor inside a mixed diff is NOT mixed churn — its
+      // old rows are unretractable from partial states, so it still drops
+      fs.delete(dataFiles().minBy(_.getName), false)
+      val survivor = dataFiles().minBy(_.getName)
+      val surviving = spark.read.parquet(survivor.toString).collect()
+      spark.createDataFrame(
+          java.util.Arrays.asList(surviving.take(math.max(1, surviving.length - 1)): _*),
+          spark.read.parquet(base).schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp-rewrite")
+      val rewritten = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/tmp-rewrite"))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      fs.delete(survivor, false)
+      fs.rename(rewritten, survivor)
+      Seq(("g1", 42.0)).toDF("ga", "m").write.mode("append").parquet(base)
+      assert(MvRewrite.loadCatalog(spark, cat).isEmpty,
+        "survivor-modified churn must still drop the MV")
+    } finally MvRewrite.clear()
+  }
+
+  test("backfillSidecar retrofits delete-refresh onto a pre-sidecar MV") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-bf").toString
+    val base = s"$dir/base.parquet"
+    val mv = s"$dir/mv.parquet"
+    val cat = s"$dir/mvcatalog"
+    val s = spark
+    import s.implicits._
+    (1 to 40).map(i => ("g" + (i % 3), i.toDouble)).toDF("ga", "m")
+      .repartition(4).write.parquet(base)
+    val defn = MvDef(base, mv, Seq("ga"), Map("sum_m" -> "m"), Some("cnt"),
+      mins = Map("min_m" -> "m"), maxs = Map("max_m" -> "m"),
+      counts = Map("cnt_m" -> "m"))
+    MvRewrite.build(spark, defn)
+    MvRewrite.persist(spark, cat, defn)
+    MvRewrite.clear()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    // an MV persisted before the sidecar feature existed…
+    fs.delete(new org.apache.hadoop.fs.Path(mv + "_files"), true)
+    def dataFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(base)).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    try {
+      // …backfilled ONCE while still fresh relative to the base…
+      MvRewrite.backfillSidecar(spark, defn)
+      // …gains delete-only refresh instead of dropping
+      fs.delete(dataFiles().minBy(_.getName), false)
+      val loaded = MvRewrite.loadCatalog(spark, cat)
+      assert(loaded.map(_.mvPath) == Seq(mv),
+        s"backfilled MV did not delete-refresh: $loaded")
+      def q = spark.read.parquet(base).groupBy("ga")
+        .agg(sum("m").as("s"), count(lit(1)).as("n"), min("m").as("lo"),
+          max("m").as("hi"), avg("m").as("a"))
+      assert(physOf(q).contains("mv.parquet"), physOf(q))
+      val got = q.orderBy("ga").collect().map(_.toSeq).toSeq
+      MvRewrite.clear()
+      assert(got == q.orderBy("ga").collect().map(_.toSeq).toSeq,
+        "refreshed MV must equal direct aggregation over the surviving files")
     } finally MvRewrite.clear()
   }
 
