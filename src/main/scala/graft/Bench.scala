@@ -204,6 +204,18 @@ object Bench {
       "x_bpe_sequential" -> ((s, d) =>
         graft.operators.BpeTrain.learnMerges(
           Tables.documents(s, d), "text", nMerges = 24, maxBatchPerRound = 1)),
+      // Delta-state A/B (round-16): the trigram aggregate maintained as
+      // state with touched-word retract/add instead of re-derived from
+      // every vocabulary word each round — identical merge table by
+      // construction (BpeTrainSpec), so the delta is pure analysis-input
+      // volume. Early rounds touch most of a natural-language vocabulary
+      // (top pairs all contain 'e'/'t'/'</w>'), so the 24-merge wall delta
+      // is modest — the win compounds over a 30k-merge production run
+      // where late rounds touch a sliver; SCALING.md records the measured
+      // per-round input shrink.
+      "x_bpe_delta" -> ((s, d) =>
+        graft.operators.BpeTrain.learnMerges(
+          Tables.documents(s, d), "text", nMerges = 24, deltaState = true)),
       "x_pq_sqrt_stride" -> ((s, d) => {
         val emb = Tables.embeddings(s, d)
         val stride = math.max(31L, math.sqrt(emb.count().toDouble).toLong)

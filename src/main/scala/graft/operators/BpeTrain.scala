@@ -140,13 +140,70 @@ object BpeTrain {
     sel.toSeq
   }
 
+  /** Adjacent-symbol trigram ROWS of a word table — (a, b, nullable c,
+    * freq), the shared analysis shape of both training modes. The third
+    * slot is null at the word end so pair counts are exact marginals of the
+    * same aggregate; a fully-merged word is ONE symbol, where
+    * `sequence(1, size-1)` would count DOWN from 1 to 0, so the transform
+    * is gated (explode drops the null) — the word contributes no pairs.
+    */
+  private def triRows(words: DataFrame): DataFrame =
+    words
+      .select(
+        explode(
+          when(
+            size(col("syms")) >= 2,
+            transform(
+              sequence(lit(1), size(col("syms")) - 1),
+              i => struct(
+                element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b"),
+                when(i + 2 <= size(col("syms")), element_at(col("syms"), i + 2)).as("c")
+              )
+            )
+          )
+        ).as("t"),
+        col("freq")
+      )
+      .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"), col("freq"))
+
+  /** True when the word's symbol sequence contains (l, r) adjacent — the
+    * touched-word predicate of the delta mode (a narrow scan, no explode,
+    * no shuffle).
+    */
+  private def hasAdjacentPair(l: String, r: String): Column =
+    coalesce(
+      when(
+        size(col("syms")) >= 2,
+        exists(
+          transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => element_at(col("syms"), i) === lit(l) &&
+              element_at(col("syms"), i + 1) === lit(r)),
+          x => x)),
+      lit(false))
+
+  /** @param deltaState maintain the trigram aggregate as ROUND-OVER-ROUND
+    *   STATE instead of re-deriving it from every vocabulary word each
+    *   round: a round retracts the old trigram contributions of exactly
+    *   the TOUCHED words (those containing a merged pair adjacency — a
+    *   narrow predicate scan) and adds their post-merge contributions, so
+    *   per-round analysis input shrinks from O(vocab trigrams) to
+    *   O(touched-word trigrams) — the production shape for 30k–100k-merge
+    *   training where late rounds touch a sliver of the vocabulary.
+    *   Provably identical to the recompute (BpeTrainSpec): merges change
+    *   no untouched word, retraction is exact by (a, b, c) key, and the
+    *   collision vocabulary re-derives from the state's symbol slots plus
+    *   the fully-merged singles.
+    */
   def learnMerges(
       docs: DataFrame,
       textCol: String,
       nMerges: Int,
       minPairCount: Long = 2L,
       maxBatchPerRound: Int = 16,
-      candidateWindow: Int = 64
+      candidateWindow: Int = 64,
+      deltaState: Boolean = false
   ): DataFrame = {
     require(maxBatchPerRound >= 1, "maxBatchPerRound must be >= 1")
     require(candidateWindow >= maxBatchPerRound, "window must cover the batch")
@@ -167,35 +224,25 @@ object BpeTrain {
       )
       .localCheckpoint()
 
+    // delta mode: the trigram aggregate initializes ONCE from the full
+    // vocabulary and then evolves by touched-word retract/add deltas
+    var triState: DataFrame =
+      if (deltaState)
+        triRows(words).groupBy("a", "b", "c").agg(sum(col("freq")).as("c3"))
+          .localCheckpoint()
+      else null
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
-      // ONE analysis action per round: adjacent-symbol trigrams (third slot
-      // null at the word end, so pair counts are exact marginals), the
-      // per-pair trigram-family maxima, and merged-token collision flags.
-      // a fully-merged word is ONE symbol: sequence(1, size-1) would count
-      // DOWN from 1 to 0 there, so gate the transform (explode drops the
-      // null) — the word simply contributes no pairs
-      val tri = words
-        .select(
-          explode(
-            when(
-              size(col("syms")) >= 2,
-              transform(
-                sequence(lit(1), size(col("syms")) - 1),
-                i => struct(
-                  element_at(col("syms"), i).as("a"),
-                  element_at(col("syms"), i + 1).as("b"),
-                  when(i + 2 <= size(col("syms")), element_at(col("syms"), i + 2)).as("c")
-                )
-              )
-            )
-          ).as("t"),
-          col("freq")
-        )
-        .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
-        .agg(sum(col("freq")).as("c3"))
+      // ONE analysis action per round: adjacent-symbol trigrams (see
+      // triRows), the per-pair trigram-family maxima, and merged-token
+      // collision flags — derived from the STATE in delta mode, re-derived
+      // from every word otherwise.
+      val tri =
+        if (deltaState) triState
+        else triRows(words).groupBy("a", "b", "c").agg(sum(col("freq")).as("c3"))
       val pairs = tri
         .groupBy("a", "b")
         .agg(
@@ -206,7 +253,17 @@ object BpeTrain {
         .filter(col("c").isNotNull)
         .groupBy(col("b").as("sa"), col("c").as("sb"))
         .agg(max(col("c3")).as("max_suf"))
-      val vocabSyms = words.select(explode(col("syms")).as("sym")).distinct()
+      // collision vocabulary: every symbol of a >=2-symbol word appears in
+      // the state's a/b slots (positions 1..n-1 in a, 2..n in b), so only
+      // fully-merged single-symbol words need the extra narrow scan
+      val vocabSyms =
+        if (deltaState)
+          triState.select(col("a").as("sym"))
+            .unionByName(triState.select(col("b").as("sym")))
+            .unionByName(words.filter(size(col("syms")) === 1)
+              .select(element_at(col("syms"), 1).as("sym")))
+            .distinct()
+        else words.select(explode(col("syms")).as("sym")).distinct()
       val window = pairs
         .filter(col("cnt") >= minPairCount)
         .orderBy(col("cnt").desc, col("a"), col("b"))
@@ -237,12 +294,44 @@ object BpeTrain {
         // apply the whole batch in rank order as chained folds — ONE narrow
         // pass, one lineage-truncating checkpoint per round
         val stepped = batch.foldLeft(col("syms")) { case (s, c) => mergeFold(s, c.l, c.r) }
-        val next = words.select(stepped.as("syms"), col("freq")).localCheckpoint()
-        words.unpersist()
-        words = next
+        if (deltaState) {
+          // only TOUCHED words (containing a merged adjacency) re-derive:
+          // retract their old trigram contributions, add the post-merge
+          // ones — exact by (a, b, c) key, untouched words contribute the
+          // same rows as before by definition of "untouched"
+          val hit = batch.map(c => hasAdjacentPair(c.l, c.r)).reduce(_ || _)
+          val touched = words.filter(hit)
+          // measurement hook (env-gated: two extra count jobs per round,
+          // only for SCALING.md instrumentation runs)
+          if (sys.env.contains("SPARK_GRAFT_BPE_STATS"))
+            System.err.println(
+              s"[bpe-delta] round ending at rank $rank: touched " +
+                s"${touched.count()} of ${words.count()} vocabulary words")
+          val merged = touched.select(stepped.as("syms"), col("freq"))
+          val delta = triRows(touched)
+            .withColumn("freq", -col("freq"))
+            .unionByName(triRows(merged))
+          val nextTri = triState
+            .select(col("a"), col("b"), col("c"), col("c3").as("freq"))
+            .unionByName(delta)
+            .groupBy("a", "b", "c")
+            .agg(sum(col("freq")).as("c3"))
+            .filter(col("c3") =!= 0L)
+            .localCheckpoint()
+          val nextWords = words.filter(!hit).unionByName(merged).localCheckpoint()
+          triState.unpersist()
+          triState = nextTri
+          words.unpersist()
+          words = nextWords
+        } else {
+          val next = words.select(stepped.as("syms"), col("freq")).localCheckpoint()
+          words.unpersist()
+          words = next
+        }
       }
     }
     words.unpersist()
+    if (triState != null) triState.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 

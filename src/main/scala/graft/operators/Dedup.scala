@@ -205,6 +205,16 @@ object Dedup {
           .limit(10001)
           .collect()
           .map(_.get(0))
+        // no silent caps: an auto-capped run must be distinguishable from an
+        // exact one — a dropped hot band bounds a clone cluster larger than
+        // the cap at its other (non-hot) bands' recall
+        if (hot.nonEmpty)
+          System.err.println(
+            s"[dedup] LSH hot-band cap (df > $cap) dropped " +
+              (if (hot.length > 10000) ">10000" else hot.length.toString) +
+              " band key(s) before the self-join; pairs inside clusters " +
+              "hotter than the cap in EVERY shared band are not candidates " +
+              "(pass maxBandDf = Long.MaxValue for exact banding)")
         if (hot.isEmpty) exploded
         else if (hot.length > 10000)
           // pathological corpus (everything hot): keep the join form
@@ -2410,6 +2420,13 @@ object Dedup {
           .limit(10001)
           .collect()
           .map(_.get(0))
+        // no silent caps (see minhashCandidatePairs)
+        if (hot.nonEmpty)
+          System.err.println(
+            s"[dedup] incremental-index hot-band cap (df > $cap) dropped " +
+              (if (hot.length > 10000) ">10000" else hot.length.toString) +
+              " band key(s) before the probe join " +
+              "(pass maxBandDf = Long.MaxValue for exact banding)")
         if (hot.isEmpty) allBands
         else if (hot.length > 10000)
           allBands.join(

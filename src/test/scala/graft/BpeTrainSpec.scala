@@ -118,6 +118,54 @@ class BpeTrainSpec extends SparkSpec {
     assert(bat == seq, s"batched $bat != sequential $seq")
   }
 
+  private def deltaTable(
+      df: org.apache.spark.sql.DataFrame,
+      n: Int,
+      batch: Int
+  ): Seq[(Int, String, String, String, Long)] =
+    BpeTrain
+      .learnMerges(df, "text", nMerges = n, minPairCount = 2,
+        maxBatchPerRound = batch, deltaState = true)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+
+  test("delta-state training produces the recompute's merge table on every corpus family") {
+    // the same adversarial families as the batching proof (created-pair
+    // dominance, lex ties, overlap greediness, classic, tiny-alphabet
+    // randoms): the maintained trigram state must be indistinguishable from
+    // the per-round recompute — counts, ceilings and collision flags alike
+    val createdDominates = Seq(
+      (Seq.fill(50)("xab") ++ Seq.fill(45)("cd")).mkString(" "))
+    val createdLexTie = Seq(
+      (Seq.fill(40)("zbc") ++ Seq.fill(40)("de")).mkString(" "))
+    val overlaps = Seq(
+      (Seq.fill(30)("aaaa") ++ Seq.fill(28)("bc") ++ Seq.fill(26)("dd")).mkString(" "))
+    val classic = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lowest") ++ Seq.fill(6)("newer")).mkString(" "))
+    val rnd = new scala.util.Random(43)
+    val randoms = (1 to 4).map { _ =>
+      Seq((1 to 300).map { _ =>
+        (1 to (1 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.mkString(" "))
+    }
+    val corpora = Seq(createdDominates, createdLexTie, overlaps, classic) ++ randoms
+    corpora.zipWithIndex.foreach { case (texts, i) =>
+      val df = texts.toDF("text")
+      // against BOTH schedulers: sequential (batch 1) and batched rounds
+      assert(deltaTable(df, 8, batch = 1) == mergeTable(df, 8, batch = 1),
+        s"corpus #$i: delta(seq) diverged")
+      assert(deltaTable(df, 8, batch = 8) == mergeTable(df, 8, batch = 8),
+        s"corpus #$i: delta(batched) diverged")
+    }
+  }
+
+  test("delta-state training matches the recompute on the documents corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(deltaTable(docs, 12, batch = 12) == mergeTable(docs, 12, batch = 12))
+  }
+
   test("bpeEncodeWords equals the Column-HOF replay word for word on learned tables") {
     def foldSegs(df: org.apache.spark.sql.DataFrame, merges: Seq[(String, String)]) =
       BpeTrain.applyMerges(df, "text", merges)
