@@ -344,7 +344,7 @@ object RelationalQueries {
       out
     },
 
-    // E405 mixed-churn MV refresh — the real retention+ingest epoch: ONE
+    // E406 mixed-churn MV refresh — the real retention+ingest epoch: ONE
     // churn removes the expiring slice's files AND lands a new slice's
     // files, every survivor byte+mtime identical. loadCatalog composes the
     // two incremental paths (prune the per-file sidecar to survivors and
