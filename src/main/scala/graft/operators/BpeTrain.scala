@@ -307,7 +307,12 @@ object BpeTrain {
             System.err.println(
               s"[bpe-delta] round ending at rank $rank: touched " +
                 s"${touched.count()} of ${words.count()} vocabulary words")
-          val merged = touched.select(stepped.as("syms"), col("freq"))
+          // checkpoint the merged TOUCHED rows once: the chained mergeFold
+          // HOFs are codegen-expensive to COMPILE, and without the cut the
+          // stepped expression would recompile inside every downstream job
+          // of the round (the trigram delta AND the word-state union) —
+          // measured 5× the whole round's cost at small vocabularies
+          val merged = touched.select(stepped.as("syms"), col("freq")).localCheckpoint()
           val delta = triRows(touched)
             .withColumn("freq", -col("freq"))
             .unionByName(triRows(merged))
@@ -318,11 +323,19 @@ object BpeTrain {
             .agg(sum(col("freq")).as("c3"))
             .filter(col("c3") =!= 0L)
             .localCheckpoint()
-          val nextWords = words.filter(!hit).unionByName(merged).localCheckpoint()
+          // coalesce the union back to the incoming partition count: union
+          // CONCATENATES partitions, so without the narrow coalesce the
+          // word state's partition count doubles every round (8 → 65k by
+          // round 13 — measured geometric per-round cost growth as every
+          // downstream job scheduled the accumulated empty tasks)
+          val nextWords = words.filter(!hit).unionByName(merged)
+            .coalesce(math.max(1, words.rdd.getNumPartitions))
+            .localCheckpoint()
           triState.unpersist()
           triState = nextTri
           words.unpersist()
           words = nextWords
+          merged.unpersist()
         } else {
           val next = words.select(stepped.as("syms"), col("freq")).localCheckpoint()
           words.unpersist()
