@@ -796,6 +796,99 @@ object Curation {
       .withColumn("label", when(col("logit") >= 0.0, lit("keep")).otherwise(lit("drop")))
   }
 
+  /** Full-batch gradient-descent TRAINING of the linear quality classifier
+    * (E412) — the missing half of [[linearQualityScore]]'s inference: given
+    * a boolean label (a seed heuristic, an annotated slice), learn the
+    * 256-bucket hashed bag-of-words weights by logistic regression, entirely
+    * as joins and aggregates. Per step: z_d = round₆(Σ w_b·cnt_db / n_d)
+    * (exact DECIMAL ladder, one division), p_d = ⌊10⁶·σ(z_d)⌋ quantized to
+    * ppm, residual r_d = p_d − 10⁶·y_d (INTEGER), gradient g_b = Σ_d
+    * r_d·cnt_db (an exact integer sum — summation-order-independent, so
+    * 1000 executors' partials merge bit-identically), update w_b ←
+    * round₉(w_b − g_b/(n_docs·10⁶/lr)). The only libm calls (exp in σ)
+    * happen on the round₆-pinned z and quantize immediately to an integer,
+    * per DETERMINISM.md: no float ever accumulates.
+    *
+    * Scale shape: the weight table is bucket-sized (broadcast both ways);
+    * each step is one broadcast join + two keyed partial aggs over the
+    * token instances; the token table is pinned once with localCheckpoint
+    * (steps reuse it), and the per-step weight table localCheckpoints to
+    * cut the iterative lineage — the [[graft.queries]] PageRank/HITS
+    * discipline.
+    *
+    * @param label boolean Column over `docs`' columns
+    * @return (bucket, weight DOUBLE) — `buckets` rows, feedable to
+    *         [[linearQualityScore]] after a decimal(18,9) cast
+    */
+  def trainLinearQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      buckets: Int = 256,
+      steps: Int = 3,
+      lr: Double = 4.0
+  ): DataFrame = {
+    require(buckets >= 2 && steps >= 1 && lr > 0.0, "need buckets>=2, steps>=1, lr>0")
+    val spark = docs.sparkSession
+    // one row per token instance; docs with no tokens have no features and
+    // contribute nothing to z or the gradient (they'd score logit 0 at
+    // inference regardless of weights)
+    val tk = docs
+      .select(
+        col(idCol).as("_doc"),
+        label.as("_y"),
+        explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("_t")
+      )
+      .filter(col("_t") =!= "")
+      .withColumn(
+        "_b",
+        pmod(conv(substring(md5(col("_t")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+      )
+      .select("_doc", "_y", "_b")
+      .localCheckpoint()
+    val nDocs = tk.select("_doc").distinct().count()
+    require(nDocs > 0, "trainLinearQuality needs at least one tokenized doc")
+    val divisor = nDocs * (1000000.0 / lr)
+    var w = spark
+      .range(buckets)
+      .select(col("id").as("bucket"), lit(0.0).cast("decimal(18,9)").as("weight"))
+    for (_ <- 1 to steps) {
+      val z = tk
+        .join(
+          broadcast(w.select(col("bucket").as("_b"), col("weight").as("_w"))),
+          Seq("_b")
+        )
+        .groupBy("_doc", "_y")
+        .agg(
+          count(lit(1)).as("_n"),
+          sum("_w").cast("decimal(28,9)").cast("double").as("_s")
+        )
+        .select(col("_doc"), col("_y"), round(col("_s") / col("_n"), 6).as("_z"))
+      val resid = z.select(
+        col("_doc"),
+        (floor(lit(1000000.0) / (lit(1.0) + exp(-col("_z")))).cast("long")
+          - when(col("_y"), 1000000L).otherwise(0L)).as("_r")
+      )
+      val grad = tk
+        .join(resid, Seq("_doc"))
+        .groupBy("_b")
+        .agg(sum("_r").cast("long").as("_g"))
+      w = w
+        .join(grad.select(col("_b").as("bucket"), col("_g")), Seq("bucket"), "left")
+        .select(
+          col("bucket"),
+          round(
+            col("weight").cast("double")
+              - coalesce(col("_g"), lit(0L)).cast("double") / lit(divisor),
+            9
+          ).cast("decimal(18,9)").as("weight")
+        )
+        .localCheckpoint()
+    }
+    w.select(col("bucket"), col("weight").cast("double").as("weight"))
+  }
+
   /** Calibration report (reliability diagram + expected calibration error)
     * for a probabilistic quality classifier — the eval a pipeline runs
     * before trusting a score as a sampling weight: scores (exact ppm
@@ -1724,5 +1817,78 @@ object Curation {
       .withColumn("slot", row_number().over(w).cast("long"))
       .withColumn("n_host_urls", count(lit(1)).over(Window.partitionBy(col("host"))).cast("long"))
       .withColumn("eta_ms", (col("slot") - 1) * lit(crawlDelayMs))
+  }
+
+  /** ε-differentially-private-STYLE Laplace release of group counts — the
+    * noisy-aggregate release that lets a curation pipeline publish corpus
+    * composition statistics (per-source doc counts, per-language token
+    * totals) without exposing any individual document's membership. The
+    * classic Laplace mechanism (Dwork et al. 2006): a COUNT has sensitivity
+    * 1, so adding Laplace(0, 1/ε) noise makes the release ε-DP; sequential
+    * composition means a pipeline releasing k such statistics spends k·ε
+    * of its budget (the `epsilon`/`sensitivity`/`scale` columns are the
+    * per-release ledger entries an accountant sums).
+    *
+    * The noise draw is SEEDED, not RNG: u = (h + 0.5)/2⁵², h the 52-bit
+    * md5 of (seed, group key), pushed through the Laplace inverse CDF
+    * −b·sgn(2u−1)·ln(1−|2u−1|). Determinism is a feature twice over — the
+    * release is reproducible for audit (re-running the pipeline cannot
+    * "re-roll" a luckier draw, which would silently burn budget), and the
+    * draw is engine-portable (the DuckDB twin replays it hash-for-hash;
+    * noisy_count rounds to 4 per DETERMINISM.md's libm policy — ln appears
+    * once, same expression order both engines, never a ranking key).
+    * The (h+0.5)/2⁵² form keeps u strictly inside (0, 1): 2u−1 =
+    * (2h+1−2⁵²)/2⁵² is an odd numerator over a power of two — never 0,
+    * never ±1 — so sgn and ln(1−|t|) are always finite, with no clamping
+    * branch to diverge between engines.
+    *
+    * One partial agg over the group keys + per-group scalar math: the
+    * noise attaches AFTER aggregation, so the plan is exactly the
+    * underlying count's (map-side combine, group-cardinality state) at any
+    * corpus size.
+    *
+    * @return one row per group: (groupCols…, noisy_count, epsilon,
+    *         sensitivity, scale)
+    */
+  def dpLaplaceCounts(
+      df: DataFrame,
+      groupCols: Seq[String],
+      eps: Double,
+      seed: String
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "dpLaplaceCounts needs group columns")
+    require(eps > 0.0, "epsilon must be positive")
+    val keyed = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("_n"))
+      .withColumn(
+        "_hv",
+        conv(
+          substring(
+            md5(concat_ws("|", lit(seed) +: groupCols.map(c => col(c).cast("string")): _*)),
+            1, 13),
+          16, 10
+        ).cast("long")
+      )
+      .withColumn("_t", (col("_hv").cast("double") * 2.0 + 1.0) / 4503599627370496.0 - 1.0)
+    keyed
+      .withColumn(
+        "_sgn",
+        when(col("_t") > 0.0, 1.0).when(col("_t") < 0.0, -1.0).otherwise(0.0)
+      )
+      .withColumn(
+        "noisy_count",
+        round(
+          col("_n").cast("double") +
+            (lit(-1.0 / eps)) * col("_sgn") * log(lit(1.0) - abs(col("_t"))),
+          4
+        )
+      )
+      .withColumn("epsilon", lit(eps))
+      .withColumn("sensitivity", lit(1.0))
+      .withColumn("scale", lit(1.0 / eps))
+      .select((groupCols.map(col) ++ Seq(
+        col("noisy_count"), col("epsilon"), col("sensitivity"), col("scale")
+      )): _*)
   }
 }

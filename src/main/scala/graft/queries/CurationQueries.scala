@@ -926,6 +926,56 @@ object CurationQueries {
       Curation.linearQualityScore(documents(s, d), "doc_id", "text", wtab, 256)
     },
 
+    // E412 classifier TRAINING ([[Curation.trainLinearQuality]]): 3 steps of
+    // full-batch logistic-regression GD over the 256-bucket hashed
+    // bag-of-words, labeled by the independent length heuristic (n_chars ≥
+    // 1000) — the seed-classifier bootstrap a curation pipeline runs before
+    // E229 inference and E325 calibration. Determinism is structural:
+    // exact-DECIMAL per-doc logits (one division, round₆), ppm-quantized
+    // sigmoid (floor — boundary-safe), INTEGER gradient sums
+    // (summation-order-independent across 1000 executors), round₉ weight
+    // updates. The twin unrolls the three steps CTE-for-CTE and
+    // hash-matches the final weight table — a trainer that mis-joined a
+    // residual, dropped an empty bucket, or let a float accumulate
+    // diverges.
+    QEntry.sql(
+      "cur_classifier_train", {
+        val bHash = "CAST(list_sum(list_transform(range(1, 9), i -> " +
+          "(strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1) " +
+          "* pow(16, 8 - i))) AS BIGINT) % 256"
+        val steps = (1 to 3).map { k =>
+          s""",
+             |z$k AS (SELECT tk.doc_id, tk.y, count(*) AS n,
+             |    round(CAST(CAST(sum(w${k - 1}.w) AS DECIMAL(28,9)) AS DOUBLE)
+             |      / count(*), 6) AS z
+             |  FROM tk JOIN w${k - 1} ON tk.b = w${k - 1}.bucket
+             |  GROUP BY tk.doc_id, tk.y),
+             |r$k AS (SELECT doc_id, CAST(floor(1000000.0 / (1.0 + exp(-z))) AS BIGINT)
+             |    - (CASE WHEN y THEN 1000000 ELSE 0 END) AS r FROM z$k),
+             |g$k AS (SELECT tk.b AS bucket, CAST(sum(r$k.r) AS BIGINT) AS g
+             |  FROM tk JOIN r$k USING (doc_id) GROUP BY tk.b),
+             |w$k AS (SELECT w${k - 1}.bucket,
+             |    CAST(round(CAST(w${k - 1}.w AS DOUBLE)
+             |      - CAST(COALESCE(g$k.g, 0) AS DOUBLE) / (nd.n_docs * 250000.0), 9)
+             |      AS DECIMAL(18,9)) AS w
+             |  FROM w${k - 1} LEFT JOIN g$k USING (bucket) CROSS JOIN nd)"""
+        }.mkString
+        s"""WITH tk AS (SELECT doc_id, (n_chars >= 1000) AS y, $bHash AS b
+           |  FROM (SELECT doc_id, n_chars, unnest($wordsSql) AS t FROM documents) x
+           |  WHERE t <> ''),
+           |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tk),
+           |w0 AS (SELECT b AS bucket, CAST(0 AS DECIMAL(18,9)) AS w
+           |  FROM (SELECT unnest(range(0, 256)) AS b) t)$steps
+           |SELECT bucket, CAST(w AS DOUBLE) AS weight FROM w3"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Curation.trainLinearQuality(
+        documents(s, d), "doc_id", "text",
+        label = col("n_chars") >= 1000,
+        buckets = 256, steps = 3, lr = 4.0)
+    },
+
     // E325 classifier calibration ([[Curation.calibrationReport]]): the
     // E229 classifier's logit maps to a ppm confidence (floor((logit+1)·
     // 5e5) clamped to [0, 1e6] — floor, not round: floor of a double is
@@ -1205,6 +1255,34 @@ object CurationQueries {
         |FROM c""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Curation.kAnonymity(documents(s, d), Seq("lang", "source"), k = 5)
+    },
+
+    // E411 ε-DP-style Laplace release ([[Curation.dpLaplaceCounts]]): the
+    // per-source doc-count release at ε = 0.5 with SEEDED noise — u =
+    // (h+0.5)/2⁵² from the md5 of (seed, group key), pushed through the
+    // Laplace inverse CDF −(1/ε)·sgn(2u−1)·ln(1−|2u−1|). Deterministic by
+    // design (reproducible audits, no re-rolling the draw) and replayed
+    // hash-for-hash by the twin; noisy_count rounds to 4 per the libm
+    // policy (ln once, same expression order, never a ranking key). The
+    // epsilon/sensitivity/scale columns are the per-release ledger entries
+    // a sequential-composition accountant sums. Plan = the count's own
+    // (map-side combine), noise attaches after aggregation.
+    QEntry.sql(
+      "cur_dp_release",
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |h AS (SELECT source, n,
+        |  CAST(('0x' || substr(md5('dp1|' || source), 1, 13)) AS BIGINT) AS hv FROM g),
+        |t AS (SELECT source, n,
+        |  (hv * 2.0 + 1.0) / 4503599627370496.0 - 1.0 AS t FROM h)
+        |SELECT source,
+        |  round(CAST(n AS DOUBLE) + (-2.0) * (CASE WHEN t > 0 THEN 1.0
+        |    WHEN t < 0 THEN -1.0 ELSE 0.0 END) * ln(1.0 - abs(t)), 4) AS noisy_count,
+        |  CAST(0.5 AS DOUBLE) AS epsilon, CAST(1.0 AS DOUBLE) AS sensitivity,
+        |  CAST(2.0 AS DOUBLE) AS scale
+        |FROM t""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.dpLaplaceCounts(documents(s, d), Seq("source"), eps = 0.5, seed = "dp1")
     },
 
     // E333 l-diversity + t-closeness audit ([[Curation.privacyAudit]]):

@@ -424,6 +424,81 @@ object RelationalQueries {
       out
     },
 
+    // E408 MV sidecar BACKFILL, end-to-end: an MV persisted WITHOUT the
+    // per-file partial-agg sidecar (the pre-E399 layout — simulated by
+    // deleting the `<mv>_files` dir the modern build writes) would drop on
+    // any delete churn. The one-time backfill — a single base scan grouped
+    // by input_file_name(), run while the MV is fresh — retrofits the
+    // sidecar, after which the SAME retention expiry that used to drop the
+    // MV refreshes it incrementally. The oracle recomputes the aggregate
+    // over exactly the surviving slice, so a backfill that recorded wrong
+    // partials (or a refresh that trusted a stale one) hash-mismatches.
+    QEntry.sql(
+      "q_mv_backfill_refresh",
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  avg(l_quantity) AS avg_qty, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_orderkey % 7 <> 0
+        |GROUP BY l_returnflag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mvq8").toString
+      val fact = s"$dir/fact.parquet"
+      val cat = s"$dir/mvcatalog"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .getLocal(s.sessionState.newHadoopConf())
+      val factPath = new org.apache.hadoop.fs.Path(fact)
+      def dataFiles(): Set[String] = fs.listStatus(factPath).iterator
+        .map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .map(_.toString).toSet
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 7 =!= 0)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").parquet(fact)
+      val keepers = dataFiles()
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("append").parquet(fact)
+      val expiring = dataFiles() -- keepers
+      val defn = graft.plans.MvRewrite.MvDef(
+        fact,
+        s"$dir/mv.parquet",
+        Seq("l_returnflag", "l_linestatus"),
+        Map("sum_qty" -> "l_quantity"),
+        Some("cnt"),
+        mins = Map("min_qty" -> "l_quantity"),
+        maxs = Map("max_qty" -> "l_quantity"),
+        counts = Map("cnt_qty" -> "l_quantity")
+      )
+      graft.plans.MvRewrite.build(s, defn)
+      graft.plans.MvRewrite.persist(s, cat, defn)
+      // simulate the pre-sidecar layout: the MV exists, its sidecar doesn't
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/mv.parquet_files"), true)
+      // the one-time retrofit, run while the MV is still fresh
+      graft.plans.MvRewrite.backfillSidecar(s, defn)
+      // NOW the churn: retention expires the second slice's files
+      expiring.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+      val loaded = graft.plans.MvRewrite.loadCatalog(s, cat)
+      require(loaded.map(_.mvPath).contains(s"$dir/mv.parquet"),
+        "backfilled MV did not delete-refresh — sidecar retrofit failed")
+      val out = s.read
+        .parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          avg("l_quantity").as("avg_qty"),
+          count(lit(1)).cast("long").as("n_rows")
+        )
+      require(
+        out.queryExecution.executedPlan.toString.contains("mv.parquet"),
+        "refreshed MV rewrite did not fire after backfill + delete churn"
+      )
+      out
+    },
+
     // TPC-H Q1 shape: the canonical scan→partial-agg→shuffle→final-agg. Six
     // groups total, so the shuffle moves ~6 rows per map task regardless of
     // input size — map-side combine is what makes this 100 TB-safe.
@@ -1385,6 +1460,131 @@ object RelationalQueries {
         .withColumn("z_skip_ppm", expr("z_skipped_rows * 1000000L div n_rows").cast("long"))
         .select("n_zones", "n_rows", "lin_pruned_zones", "lin_skipped_rows", "lin_skip_ppm",
           "z_pruned_zones", "z_skipped_rows", "z_skip_ppm")
+    },
+
+    // E410 Hilbert-curve values — the locality-optimal sibling of
+    // q_zorder_values: the classic xy2d rotate/reflect walk computes the
+    // index under which CONSECUTIVE cells are always grid neighbours
+    // (Manhattan distance 1 — the property Morton seams break, asserted in
+    // HilbertCurveSpec), so equal-count index ranges tile the plane into
+    // tighter bounding boxes. One chained projection per bit level, pure
+    // CASE/bit arithmetic, no UDF; the twin replays the walk CTE-for-CTE
+    // with alternating state names (DuckDB lateral-alias safety).
+    QEntry.sql(
+      "q_hilbert_values", {
+        val chain = graft.operators.HilbertCurve
+          .oracleCteChain(10, Seq("o_orderkey"))
+        s"""WITH h0 AS (SELECT o_orderkey, (o_custkey & 1023) AS _hx,
+           |  (o_orderkey & 1023) AS _hy, CAST(0 AS BIGINT) AS _hd FROM orders)$chain
+           |SELECT o_orderkey, CAST(_hd AS BIGINT) AS hval FROM h10"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      graft.operators.HilbertCurve
+        .withHilbert(
+          orders(s, d).select("o_orderkey", "o_custkey"),
+          "o_custkey", "o_orderkey", "hval", bits = 10)
+        .select(col("o_orderkey"), col("hval").cast("long").as("hval"))
+    },
+
+    // E410 Hilbert pruning GAIN over Z-order — the head-to-head that decides
+    // which OPTIMIZE layout a 100 TB table should pay for: the same
+    // 1024-row zones + min/max stats + 2-D box predicate as
+    // q_zorder_prune_gain, once on the Morton-clustered layout and once on
+    // the Hilbert-clustered layout, in one row. Hilbert's neighbour-step
+    // walk gives zones tighter bounding boxes, so h_skipped_rows ≥
+    // z_skipped_rows is the expected (measured, not assumed) outcome. Both
+    // global orders come from the two-phase rank — no single-reducer
+    // window; the twin replays interleave and walk bit-for-bit.
+    QEntry.sql(
+      "q_hilbert_prune_gain", {
+        val zterms = (0 until 14)
+          .flatMap(i =>
+            Seq(
+              s"(((cx >> $i) & 1) << ${2 * i})",
+              s"(((dy >> $i) & 1) << ${2 * i + 1})"
+            )
+          )
+          .mkString(" | ")
+        val chain = graft.operators.HilbertCurve
+          .oracleCteChain(14, Seq("o_orderkey", "cx", "dy", "zval"))
+        s"""WITH base AS (SELECT o_orderkey,
+           |    (o_custkey & 16383) AS cx,
+           |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 16383)
+           |      AS dy
+           |  FROM orders),
+           |h0 AS (SELECT o_orderkey, cx, dy, CAST($zterms AS BIGINT) AS zval,
+           |    cx AS _hx, dy AS _hy, CAST(0 AS BIGINT) AS _hd FROM base)$chain,
+           |hv AS (SELECT o_orderkey, cx, dy, zval, _hd AS hval FROM h14),
+           |zz AS (SELECT ((row_number() OVER (ORDER BY zval, o_orderkey)) - 1) // 1024
+           |    AS zone, cx, dy FROM hv),
+           |hh AS (SELECT ((row_number() OVER (ORDER BY hval, o_orderkey)) - 1) // 1024
+           |    AS zone, cx, dy FROM hv),
+           |zm AS (SELECT zone, count(*) AS n_rows, min(cx) AS min_cx, max(cx) AS max_cx,
+           |    min(dy) AS min_dy, max(dy) AS max_dy FROM zz GROUP BY zone),
+           |hm AS (SELECT zone, count(*) AS n_rows, min(cx) AS min_cx, max(cx) AS max_cx,
+           |    min(dy) AS min_dy, max(dy) AS max_dy FROM hh GROUP BY zone),
+           |zr AS (SELECT CAST(count(*) AS BIGINT) AS n_zones,
+           |    CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           |    CAST(sum(CASE WHEN max_cx < 10 OR min_cx > 80 OR max_dy < 1095
+           |      OR min_dy > 1460 THEN 1 ELSE 0 END) AS BIGINT) AS z_pruned_zones,
+           |    CAST(sum(CASE WHEN max_cx < 10 OR min_cx > 80 OR max_dy < 1095
+           |      OR min_dy > 1460 THEN n_rows ELSE 0 END) AS BIGINT) AS z_skipped_rows
+           |  FROM zm),
+           |hr AS (SELECT
+           |    CAST(sum(CASE WHEN max_cx < 10 OR min_cx > 80 OR max_dy < 1095
+           |      OR min_dy > 1460 THEN 1 ELSE 0 END) AS BIGINT) AS h_pruned_zones,
+           |    CAST(sum(CASE WHEN max_cx < 10 OR min_cx > 80 OR max_dy < 1095
+           |      OR min_dy > 1460 THEN n_rows ELSE 0 END) AS BIGINT) AS h_skipped_rows
+           |  FROM hm)
+           |SELECT n_zones, n_rows, z_pruned_zones, z_skipped_rows,
+           |  CAST(z_skipped_rows * 1000000 // n_rows AS BIGINT) AS z_skip_ppm,
+           |  h_pruned_zones, h_skipped_rows,
+           |  CAST(h_skipped_rows * 1000000 // n_rows AS BIGINT) AS h_skip_ppm
+           |FROM zr CROSS JOIN hr""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val base = orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey").bitwiseAND(lit(16383L)).as("cx"),
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long")
+            .bitwiseAND(lit(16383L))
+            .as("dy")
+        )
+        .withColumn("zval", ZOrder.zValue2(col("cx"), col("dy"), 14))
+      val hv = graft.operators.HilbertCurve
+        .withHilbert(base, "cx", "dy", "hval", bits = 14)
+      def zoneStats(ord: Seq[String]) =
+        Fragmentation
+          .globalRowNumber(hv, ord, "rn")
+          .withColumn("zone", expr("(rn - 1) div 1024"))
+          .groupBy("zone")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min("cx").as("min_cx"),
+            max("cx").as("max_cx"),
+            min("dy").as("min_dy"),
+            max("dy").as("max_dy")
+          )
+      val pruned = col("max_cx") < 10 || col("min_cx") > 80 ||
+        col("max_dy") < 1095 || col("min_dy") > 1460
+      val zr = zoneStats(Seq("zval", "o_orderkey")).agg(
+        count(lit(1)).cast("long").as("n_zones"),
+        sum(col("n_rows")).cast("long").as("n_rows"),
+        sum(when(pruned, 1L).otherwise(0L)).cast("long").as("z_pruned_zones"),
+        sum(when(pruned, col("n_rows")).otherwise(0L)).cast("long").as("z_skipped_rows")
+      )
+      val hr = zoneStats(Seq("hval", "o_orderkey")).agg(
+        sum(when(pruned, 1L).otherwise(0L)).cast("long").as("h_pruned_zones"),
+        sum(when(pruned, col("n_rows")).otherwise(0L)).cast("long").as("h_skipped_rows")
+      )
+      zr.crossJoin(hr)
+        .withColumn("z_skip_ppm", expr("z_skipped_rows * 1000000L div n_rows").cast("long"))
+        .withColumn("h_skip_ppm", expr("h_skipped_rows * 1000000L div n_rows").cast("long"))
+        .select("n_zones", "n_rows", "z_pruned_zones", "z_skipped_rows", "z_skip_ppm",
+          "h_pruned_zones", "h_skipped_rows", "h_skip_ppm")
     },
 
     // E293 clustered-layout INGEST: the persisted Z-layout (E252) gains its

@@ -907,6 +907,26 @@ object TextQueries {
         )
     },
 
+    // E409 DELTA-STATE BPE training, oracled against the SAME DuckDB replay
+    // as txt_bpe_merges: the trigram aggregate initializes once and then
+    // evolves by retracting exactly the touched words' old contributions and
+    // adding their post-merge ones — per-round analysis input shrinks from
+    // O(vocab trigrams) to O(touched trigrams), the production shape for
+    // 30k–100k-merge runs. The oracle replays the SEQUENTIAL argmax, so a
+    // delta scheduler that dropped a retraction, double-counted an
+    // insertion, or rebuilt the collision vocabulary wrong hash-mismatches
+    // on the merge table itself — the strongest equivalence the driver can
+    // check.
+    QEntry.sql("txt_bpe_merges_delta", bpeMergeOracleSql(6)) { (s, d) =>
+      graft.operators.BpeTrain
+        .learnMerges(documents(s, d), "text", nMerges = 6, deltaState = true)
+        .select(
+          col("rank").cast("long").as("rank"),
+          col("left"), col("right"), col("merged"),
+          col("pair_count").cast("long").as("pair_count")
+        )
+    },
+
     // E404 BPE ENCODE at production shape: learn 6 merges, then segment
     // every distinct word through the imperative per-partition encoder
     // ([[graft.operators.BpeTrain.bpeEncodeWords]] — the scalable sibling

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** E411 seeded-Laplace DP release + E412 classifier training. */
+class PrivacyTrainSpec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  test("dpLaplaceCounts replays the documented inverse-CDF draw exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.tabulate(400)(i => (s"g${i % 20}", i)).toDF("grp", "v")
+    val out = Curation
+      .dpLaplaceCounts(df, Seq("grp"), eps = 0.5, seed = "t1")
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(out.size == 20)
+    // replicate the draw in plain Scala for every group
+    (0 until 20).foreach { g =>
+      val key = s"g$g"
+      val hv = java.lang.Long.parseLong(md5Hex(s"t1|$key").take(13), 16)
+      val t = (hv * 2.0 + 1.0) / 4503599627370496.0 - 1.0
+      val sgn = if (t > 0) 1.0 else if (t < 0) -1.0 else 0.0
+      val expected = BigDecimal(20.0 + (-1.0 / 0.5) * sgn * math.log(1.0 - math.abs(t)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(math.abs(out(key) - expected) < 1e-9,
+        s"group $key: got ${out(key)}, expected $expected")
+    }
+  }
+
+  test("dpLaplaceCounts is deterministic, noise is two-sided and scale-bounded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.tabulate(3000)(i => (s"k${i % 100}", i)).toDF("grp", "v")
+    val a = Curation.dpLaplaceCounts(df, Seq("grp"), 0.5, "audit").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = Curation.dpLaplaceCounts(df, Seq("grp"), 0.5, "audit").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b, "the seeded draw must be reproducible — re-rolling burns budget")
+    val noises = a.values.map(_ - 30.0).toSeq
+    // |noise| <= b * ln(2^52): the largest draw the 52-bit grid can produce
+    val bound = 2.0 * 52 * math.log(2.0) + 1e-6
+    assert(noises.forall(n => math.abs(n) <= bound))
+    assert(noises.count(_ > 0) >= 20 && noises.count(_ < 0) >= 20,
+      "two-sided noise: both signs must appear across 100 groups")
+    assert(noises.count(n => math.abs(n) > 0.05) >= 50,
+      "noise at eps=0.5 (scale 2) must actually perturb most groups")
+    // a different seed is a different release
+    val c = Curation.dpLaplaceCounts(df, Seq("grp"), 0.5, "audit2").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a != c)
+  }
+
+  test("trainLinearQuality separates a marker-token corpus and is partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 200).map { i =>
+      val good = i % 2 == 0
+      val filler = s"w${i % 7} w${i % 11} common"
+      (i.toLong, if (good) s"goodmark $filler" else s"badmark $filler", good)
+    }.toDF("doc_id", "text", "y")
+    val w = Curation
+      .trainLinearQuality(docs, "doc_id", "text", col("y"), buckets = 64, steps = 3)
+    val w2 = Curation
+      .trainLinearQuality(docs.repartition(13), "doc_id", "text", col("y"),
+        buckets = 64, steps = 3)
+    val wm = w.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wm2 = w2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wm == wm2, "integer gradient sums must make training partition-invariant")
+    assert(wm.size == 64)
+
+    def bucketOf(tok: String): Long =
+      java.lang.Long.parseLong(md5Hex(tok).take(8), 16) % 64
+    val goodB = bucketOf("goodmark")
+    val badB = bucketOf("badmark")
+    assert(goodB != badB, "fixture tokens must not collide for the test to mean anything")
+    assert(wm(goodB) > 0.0, s"the positive marker's weight must rise, got ${wm(goodB)}")
+    assert(wm(badB) < 0.0, s"the negative marker's weight must fall, got ${wm(badB)}")
+
+    // the learned model separates the training corpus through the E229
+    // inference path (weights recast to the decimal contract)
+    val wtab = w.select(col("bucket"), col("weight").cast("decimal(18,9)").as("weight"))
+    val scored = Curation
+      .linearQualityScore(docs, "doc_id", "text", wtab, buckets = 64)
+      .join(docs.select("doc_id", "y"), "doc_id")
+      .select(col("y"), col("logit"))
+      .collect()
+    val acc = scored.count(r => (r.getDouble(1) >= 0.0) == r.getBoolean(0)).toDouble /
+      scored.length
+    assert(acc >= 0.95, s"3 GD steps must separate the marker corpus, accuracy $acc")
+  }
+
+  test("trainLinearQuality with zero steps of signal: all-equal labels push all weights one way") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"tok${i % 5} tok${i % 3}", true))
+      .toDF("doc_id", "text", "y")
+    val wm = Curation
+      .trainLinearQuality(docs, "doc_id", "text", col("y"), buckets = 16, steps = 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    // every doc is positive: residual = 500000 - 1000000 < 0, so every
+    // TOUCHED bucket's weight strictly rises and untouched buckets stay 0
+    val touched = (0 until 5).map(i => s"tok$i").map(t =>
+      java.lang.Long.parseLong(md5Hex(t).take(8), 16) % 16).toSet
+    wm.foreach { case (b, wt) =>
+      if (touched.contains(b)) assert(wt > 0.0, s"touched bucket $b must rise")
+      else assert(wt == 0.0, s"untouched bucket $b must stay at 0, got $wt")
+    }
+  }
+}
