@@ -947,8 +947,93 @@ object TextQueries {
       graft.operators.BpeTrain
         .bpeEncodeWords(docs, "text", merges)
         .select(col("word"), concat_ws(" ", col("bpe")).as("bpe"))
+    },
+
+    // E413 unigram-LM tokenizer ([[graft.operators.UnigramLm]]) — the
+    // SentencePiece-family sibling of BPE: candidate pieces = frequency-
+    // weighted substring counts (all single chars kept for coverage, top-48
+    // multi-char by (count DESC, piece ASC)); costs = INTEGER micro-nats
+    // round(ln(total/cnt)·10⁶); each word Viterbi-segments under exact
+    // min-plus integer DP with ties broken on the lexicographically smaller
+    // chr(31)-joined path; output = the hard-EM M-step usage counts. The
+    // twin replays the ENTIRE pipeline — candidate cut, cost quantization,
+    // and the DP unrolled position-for-position (12 CTEs, edges joined per
+    // predecessor) — so a segmenter that broke a tie the other way, let a
+    // dropped candidate win, or mis-quantized one cost hash-mismatches.
+    // Both sides segment the ≤12-char vocabulary slice (the oracle's unroll
+    // depth; the operator itself has no length cap).
+    QEntry.sql("txt_unigram_pieces", unigramOracleSql(12, 4, 48)) { (s, d) =>
+      val words = graft.operators.UnigramLm
+        .wordFreqs(documents(s, d), "text")
+        .filter(length(col("word")) <= 12)
+      val pieces = graft.operators.UnigramLm.candidatePieces(words, 4, 48)
+      val seg = graft.operators.UnigramLm.viterbiSegment(words, pieces, 4)
+      graft.operators.UnigramLm
+        .emRecount(seg)
+        .select(col("piece"), col("n_uses"))
     }
   )
+
+  /** DuckDB replay of the [[graft.operators.UnigramLm]] pipeline: word
+    * frequencies (≤ `maxWordLen` chars), substring candidates with the
+    * single-char/top-N split, micro-nat cost quantization, then the Viterbi
+    * DP unrolled to `maxWordLen` position CTEs — each position takes the
+    * row_number()-argmin over (cost, seg) of its ≤ `maxPieceLen`
+    * predecessors — and the M-step usage recount.
+    */
+  private def unigramOracleSql(maxWordLen: Int, maxPieceLen: Int, topN: Int): String = {
+    val S = "chr(31)"
+    val dps = (1 to maxWordLen).map { k =>
+      val arms = (math.max(0, k - maxPieceLen) until k).map { j =>
+        s"""SELECT e.word, d.cost + e.cost AS cost, d.seg || $S || e.piece AS seg
+           |      FROM ed e JOIN dp$j d ON e.word = d.word AND e.j = $j
+           |      WHERE e.i = $k"""
+      }.mkString("\n|      UNION ALL\n|      ")
+      s""",
+         |dp$k AS MATERIALIZED (SELECT word, cost, seg FROM (
+         |    SELECT word, cost, seg,
+         |      row_number() OVER (PARTITION BY word ORDER BY cost, seg) AS rn
+         |    FROM ($arms) c) r
+         |  WHERE rn = 1)"""
+    }.mkString
+    val fins = (1 to maxWordLen).map { k =>
+      s"""SELECT wf.word, wf.freq, d.seg FROM wf
+         |    JOIN dp$k d ON wf.word = d.word AND length(wf.word) = $k"""
+    }.mkString("\n|  UNION ALL\n|  ")
+    // wf / ed MATERIALIZED: DuckDB inlines CTEs by default, and the DP's
+    // unrolled positions reference them dozens of times — inlined, every
+    // reference re-opens the parquet scan (observed as an fd-exhaustion
+    // error at 12 positions × ≤4 predecessor arms)
+    s"""WITH wf AS MATERIALIZED (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($wordsSql) AS w FROM documents) t
+       |  WHERE w <> '' AND length(w) <= $maxWordLen GROUP BY w),
+       |sub AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(flatten(list_transform(range(1, length(word) + 1), i ->
+       |      list_transform(range(i, least(length(word), i + ${maxPieceLen - 1}) + 1), j ->
+       |        substr(word, CAST(i AS INT), CAST(j - i + 1 AS INT)))))) AS piece
+       |    FROM wf) s GROUP BY piece),
+       |multi AS (SELECT piece, cnt FROM sub WHERE length(piece) >= 2
+       |  ORDER BY cnt DESC, piece LIMIT $topN),
+       |p0 AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, cnt FROM multi),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM p0),
+       |pieces AS (SELECT piece,
+       |    CAST(round(ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0, 0)
+       |      AS BIGINT) AS cost
+       |  FROM p0 CROSS JOIN tot),
+       |ed AS MATERIALIZED (SELECT word, e.j AS j, e.i AS i, e.piece AS piece, p.cost
+       |  FROM (SELECT word, unnest(flatten(list_transform(range(0, length(word)), j ->
+       |      list_transform(range(j + 1, least(length(word), j + $maxPieceLen) + 1), i ->
+       |        struct_pack(j := j, i := i,
+       |          piece := substr(word, CAST(j + 1 AS INT), CAST(i - j AS INT))))))) AS e
+       |    FROM wf) u
+       |  JOIN pieces p ON e.piece = p.piece),
+       |dp0 AS (SELECT word, CAST(0 AS BIGINT) AS cost, '' AS seg FROM wf)$dps,
+       |fin AS ($fins),
+       |used AS (SELECT freq, unnest(string_split(substr(seg, 2), $S)) AS piece FROM fin)
+       |SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses FROM used GROUP BY piece"""
+      .stripMargin.replaceAll("\\s+", " ")
+  }
 
   /** DuckDB replay of [[graft.operators.BpeTrain.learnMerges]], unrolled to
     * `n` iterations. Symbol sequences are strings of chr(31)-delimited
