@@ -187,6 +187,10 @@ object MvRewrite {
     * matching queries. Freshness is the caller's contract.
     */
   def register(spark: SparkSession, defn: MvDef): Unit = {
+    // the MV parquet is overwritten in place by every refresh/rebuild;
+    // readers (and this very re-analysis) must not serve the session's
+    // cached FileStatus listing of the replaced files
+    spark.catalog.refreshByPath(defn.mvPath)
     val plan = spark.read.parquet(defn.mvPath).queryExecution.analyzed
     registry.put(defn.mvPath, Registered(defn, qualified(spark, defn.basePath), plan))
   }

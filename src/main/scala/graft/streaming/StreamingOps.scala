@@ -513,4 +513,62 @@ object StreamingOps {
         .partitionBy("ingest_id")
         .parquet(frontierPath)
   }
+
+  /** Streaming MV maintenance loop (E414) — the `foreachBatch` lifecycle
+    * that keeps a persisted materialized view fresh UNDER ingest, composing
+    * the incremental-refresh family (E366 append fold-in / E399+E406 sidecar
+    * paths) with an idempotent base-table append. Per micro-batch:
+    *
+    *   1. Land the batch in the base table under DETERMINISTIC per-batch
+    *      file names (`batch<id>-<k>.parquet`, staged then renamed): an
+    *      epoch replay rewrites exactly its own files instead of appending
+    *      duplicates — the rename-over idiom, idempotent like the
+    *      `_batch=` sinks but without imposing a partition column on the
+    *      base schema.
+    *   2. Re-load the MV catalog: the manifest diff sees only appended
+    *      files → the rollup folds the delta in (O(delta), never the base).
+    *   3. If the refresh DROPPED the MV instead (the replay-after-refresh
+    *      crash window rewrites files the manifest already holds — honest
+    *      survivor-modified churn), REBUILD and re-persist it: the
+    *      maintenance contract is "the MV exists and is fresh after every
+    *      epoch", with the incremental path as the fast case and the
+    *      rebuild as the self-healing fallback.
+    *
+    * Seed with `MvRewrite.build` + `persist` over the initial base before
+    * starting the stream, then `.writeStream.foreachBatch(mvMaintainLoop(
+    * catalogDir, defn))`.
+    */
+  def mvMaintainLoop(
+      catalogDir: String,
+      defn: graft.plans.MvRewrite.MvDef
+  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val base = new org.apache.hadoop.fs.Path(defn.basePath)
+    val fs = base.getFileSystem(conf)
+    // stage the batch, then rename into the base under deterministic names
+    val staging = new org.apache.hadoop.fs.Path(defn.basePath + s"_stage_b$batchId")
+    batch.write.mode("overwrite").parquet(staging.toString)
+    val dataFiles = fs
+      .listStatus(staging)
+      .map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .sortBy(_.getName)
+    dataFiles.zipWithIndex.foreach { case (src, k) =>
+      val dst = new org.apache.hadoop.fs.Path(base, f"batch$batchId-$k%05d.parquet")
+      if (fs.exists(dst)) fs.delete(dst, false)
+      fs.rename(src, dst)
+    }
+    fs.delete(staging, true)
+    // a replayed epoch REPLACES its own base files in place — drop the
+    // session's cached listing before anything re-reads the base
+    spark.catalog.refreshByPath(defn.basePath)
+    // incremental refresh; self-heal if the churn class forced a drop
+    val loaded = graft.plans.MvRewrite.loadCatalog(spark, catalogDir)
+    if (!loaded.exists(_.mvPath == defn.mvPath)) {
+      graft.plans.MvRewrite.build(spark, defn)
+      graft.plans.MvRewrite.persist(spark, catalogDir, defn)
+      graft.plans.MvRewrite.register(spark, defn)
+    }
+  }
 }
