@@ -354,6 +354,104 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Margin-based bitext pair MINING (E415; Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER extraction recipe): given one embedding table holding
+    * two disjoint sets (source vs target — two languages, two modalities,
+    * two crawls), extract the aligned pairs. Scoring is the DISTANCE margin
+    * — cos corrected by both sides' neighborhood density, exactly
+    * [[cslsTopK]]'s statistic (margin = 2·cos − r_fwd(a) − r_bwd(b)), which
+    * demotes hub vectors that would otherwise pair with everything. The
+    * MINING layer on top is what's new: a pair (a, b) is extracted iff b is
+    * a's margin-argmax AND a is b's margin-argmax (mutual best — the
+    * intersection filter that makes precision usable at corpus scale) and
+    * the margin clears `minMargin`.
+    *
+    * Scale shape: candidate pairs come from the shared LSH buckets (never
+    * all-pairs — the same Θ(bucket)² bound as every ANN path here); the two
+    * argmax passes are bucket-keyed windows over the candidate table; the
+    * mutual filter is one equi-join on (src, tgt). All statistics ride the
+    * 9-dp DECIMAL cosine ladder, so extraction is engine-portable.
+    *
+    * @param isSrc boolean Column over `emb` splitting the two sets
+    * @return (src_id, tgt_id, cos, margin) — at most one row per src_id and
+    *         per tgt_id (a partial matching, by construction of mutual-best)
+    */
+  def marginMinePairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      isSrc: org.apache.spark.sql.Column,
+      kR: Int = 10,
+      bits: Int = 4,
+      seed: Int = 42,
+      dim: Int = 0,
+      minMargin: Double = 0.0
+  ): DataFrame = {
+    VectorExpressions.install(emb.sparkSession)
+    val planes = hyperplanes(bits, dimOf(emb, vecCol, dim), seed)
+    val b = emb
+      .select(
+        col(idCol).as("vid"),
+        col(vecCol).as("v"),
+        isSrc.as("is_src"),
+        lshBucket(col(vecCol), planes).as("bucket")
+      )
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    // cross-set candidate pairs within shared buckets
+    val pairs = b
+      .filter(col("is_src"))
+      .select(col("bucket"), col("vid").as("ia"), col("v").as("va"), col("nrm").as("na"))
+      .join(
+        b.filter(!col("is_src"))
+          .select(col("bucket"), col("vid").as("ib"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("bucket")
+      )
+      .select(
+        col("ia"),
+        col("ib"),
+        round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 9)
+          .cast("decimal(18,9)")
+          .as("cos9")
+      )
+      .localCheckpoint()
+    val wFwd = Window.partitionBy("ia").orderBy(col("cos9").desc, col("ib"))
+    val rFwd = pairs
+      .withColumn("_rn", row_number().over(wFwd))
+      .filter(col("_rn") <= kR)
+      .groupBy("ia")
+      .agg(round(sum(col("cos9")).cast("double") / count(lit(1)), 6).as("r_fwd"))
+    val wBwd = Window.partitionBy("ib").orderBy(col("cos9").desc, col("ia"))
+    val rBwd = pairs
+      .withColumn("_rn", row_number().over(wBwd))
+      .filter(col("_rn") <= kR)
+      .groupBy("ib")
+      .agg(round(sum(col("cos9")).cast("double") / count(lit(1)), 6).as("r_bwd"))
+    val scored = pairs
+      .join(rFwd, "ia")
+      .join(rBwd, "ib")
+      .select(
+        col("ia"),
+        col("ib"),
+        round(col("cos9").cast("double"), 6).as("cos"),
+        round(lit(2) * col("cos9").cast("double") - col("r_fwd") - col("r_bwd"), 6)
+          .as("margin")
+      )
+    val fwdBest = scored
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("ia").orderBy(col("margin").desc, col("ib"))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    val bwdBest = scored
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("ib").orderBy(col("margin").desc, col("ia"))))
+      .filter(col("_rn") === 1)
+      .select(col("ia"), col("ib"))
+    fwdBest
+      .join(bwdBest, Seq("ia", "ib"))
+      .filter(col("margin") >= minMargin)
+      .select(col("ia").as("src_id"), col("ib").as("tgt_id"), col("cos"), col("margin"))
+  }
+
   /** Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its own
     * bucket PLUS the `nProbe − 1` buckets reached by flipping the
     * hyperplane bits with the smallest |margin| (the planes the vector

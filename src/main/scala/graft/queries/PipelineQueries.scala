@@ -1679,6 +1679,58 @@ object PipelineQueries {
         .withColumn("rank", col("rank").cast("bigint"))
     },
 
+    // E415 margin-based bitext pair MINING ([[Similarity.marginMinePairs]];
+    // Artetxe & Schwenk 2019, the CCMatrix extraction recipe): the table
+    // splits into source (even vec_id) and target (odd) sets; cross-set
+    // LSH-bucket candidates score by the distance margin (2·cos − r_fwd −
+    // r_bwd, both sides' top-10 neighborhood densities), and a pair is
+    // extracted iff each side is the OTHER's margin-argmax — the
+    // mutual-best filter that buys precision at corpus scale. The twin
+    // replays bucketing, the DECIMAL cosine ladder, both density means,
+    // both argmax windows with their tie-breaks, and the mutual join, so a
+    // miner that kept a one-directional best (or broke an argmax tie the
+    // other way) hash-mismatches.
+    QEntry.sql(
+      "emb_margin_mine",
+      s"""WITH ${bucketsSql(bits = 4)},
+         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    CAST(round(list_dot_product(a.e, b.e) /
+         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9)
+         |      AS DECIMAL(18,9)) AS cos9
+         |  FROM (SELECT * FROM buckets WHERE vec_id % 2 = 0) a
+         |  JOIN (SELECT * FROM buckets WHERE vec_id % 2 = 1) b
+         |    ON a.bucket = b.bucket),
+         |rf AS (SELECT ia,
+         |    round(CAST(CAST(sum(cos9) AS DECIMAL(28,9)) AS DOUBLE) / count(*), 6) AS r_fwd
+         |  FROM (SELECT ia, ib, cos9,
+         |      row_number() OVER (PARTITION BY ia ORDER BY cos9 DESC, ib) AS rn FROM p) t
+         |  WHERE rn <= 10 GROUP BY ia),
+         |rb AS (SELECT ib,
+         |    round(CAST(CAST(sum(cos9) AS DECIMAL(28,9)) AS DOUBLE) / count(*), 6) AS r_bwd
+         |  FROM (SELECT ia, ib, cos9,
+         |      row_number() OVER (PARTITION BY ib ORDER BY cos9 DESC, ia) AS rn FROM p) t
+         |  WHERE rn <= 10 GROUP BY ib),
+         |sc AS (SELECT p.ia, p.ib, round(CAST(p.cos9 AS DOUBLE), 6) AS cos,
+         |    round(2 * CAST(p.cos9 AS DOUBLE) - rf.r_fwd - rb.r_bwd, 6) AS margin
+         |  FROM p JOIN rf ON p.ia = rf.ia JOIN rb ON p.ib = rb.ib),
+         |fb AS (SELECT ia, ib, cos, margin FROM (
+         |    SELECT ia, ib, cos, margin,
+         |      row_number() OVER (PARTITION BY ia ORDER BY margin DESC, ib) AS rn
+         |    FROM sc) t WHERE rn = 1),
+         |bb AS (SELECT ia, ib FROM (
+         |    SELECT ia, ib,
+         |      row_number() OVER (PARTITION BY ib ORDER BY margin DESC, ia) AS rn
+         |    FROM sc) t WHERE rn = 1)
+         |SELECT fb.ia AS src_id, fb.ib AS tgt_id, fb.cos, fb.margin
+         |FROM fb JOIN bb ON fb.ia = bb.ia AND fb.ib = bb.ib
+         |WHERE fb.margin >= 0.0""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Similarity.marginMinePairs(
+        embeddings(s, d), "vec_id", "embedding",
+        isSrc = col("vec_id") % 2 === 0,
+        kR = 10, bits = 4, dim = EmbDim, minMargin = 0.0)
+    },
+
     // E90/E123 persisted-index READ path, oracled: the entry WRITES the
     // LSH index (bucket-partitioned parquet) and answers the fixed query
     // set FROM it — candidate fetch via partition-pruned bucket join over

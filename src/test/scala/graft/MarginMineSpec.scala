@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** E415 margin-based bitext mining: partial-matching law, hub demotion,
+  * alignment recovery and determinism.
+  */
+class MarginMineSpec extends SparkSpec {
+
+  private def vecsDF(rows: (Long, Seq[Float])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private val dim = 8
+  private def v(bumps: (Int, Float)*): Seq[Float] = {
+    val a = Array.fill(dim)(1f)
+    bumps.foreach { case (i, d) => a(i) += d }
+    a.toSeq
+  }
+
+  test("mining yields a mutual-best matching that pairs aligned vectors") {
+    val out = Similarity
+      .marginMinePairs(
+        vecsDF(
+          0L -> v(0 -> 0.30f), 2L -> v(1 -> 0.30f), // src: even ids
+          1L -> v(0 -> 0.31f), 3L -> v(1 -> 0.31f) // tgt: odd ids, aligned
+        ),
+        "vec_id", "embedding", isSrc = col("vec_id") % 2 === 0,
+        kR = 2, bits = 2, dim = dim)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map(0L -> 1L, 2L -> 3L),
+      s"each src must mine its aligned tgt, got $out")
+  }
+
+  test("output is a partial matching: no src or tgt appears twice; deterministic") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity
+      .marginMinePairs(emb, "vec_id", "embedding",
+        isSrc = col("vec_id") % 2 === 0, kR = 10, bits = 4, dim = 64)
+      .localCheckpoint()
+    val n = out.count()
+    assert(n > 0, "the sf0.001 split must mine some pairs")
+    assert(out.select("src_id").distinct().count() == n, "src side must be unique")
+    assert(out.select("tgt_id").distinct().count() == n, "tgt side must be unique")
+    // every mined src is even, every tgt odd — the declared split
+    assert(out.filter(col("src_id") % 2 =!= 0 || col("tgt_id") % 2 =!= 1).count() == 0)
+    // determinism under repartition
+    val out2 = Similarity
+      .marginMinePairs(emb.repartition(7), "vec_id", "embedding",
+        isSrc = col("vec_id") % 2 === 0, kR = 10, bits = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet == out2)
+  }
+
+  test("a hub that tops every raw-cosine list is demoted by its own density") {
+    // src s0 points toward A (+0.4 on dim0), s2 toward B (+0.4 on dim1).
+    // Their true targets t1/t3 carry an extra off-axis bump (+0.45) that
+    // costs them ~0.005 cosine; the hub t5 sits between A and B at
+    // cos ≈ 0.9955 to BOTH srcs — strictly above cos(s0,t1) ≈ 0.9909 and
+    // cos(s2,t3): raw mutual-cosine would pair one src with the hub and
+    // strand the other. The margin's density correction (the hub is near
+    // everything, so r_bwd(hub) is the largest) must recover both true
+    // alignments.
+    val emb = vecsDF(
+      0L -> v(0 -> 0.40f), 2L -> v(1 -> 0.40f),
+      1L -> v(0 -> 0.40f, 7 -> 0.45f), 3L -> v(1 -> 0.40f, 6 -> 0.45f),
+      5L -> v(0 -> 0.20f, 1 -> 0.20f)
+    )
+    // pin the premise: the hub really does top both srcs' raw-cosine lists
+    val cosOf = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") % 2 === 1), emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(cosOf((0L, 5L)) > cosOf((0L, 1L)), "fixture: hub must top s0's raw list")
+    assert(cosOf((2L, 5L)) > cosOf((2L, 3L)), "fixture: hub must top s2's raw list")
+    // seed 1 co-buckets all five vectors (probed), so the margin math —
+    // not bucket membership — decides the matching
+    val out = Similarity
+      .marginMinePairs(emb, "vec_id", "embedding",
+        isSrc = col("vec_id") % 2 === 0, kR = 3, bits = 2, seed = 1, dim = dim)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map(0L -> 1L, 2L -> 3L),
+      s"margin mining must recover both true alignments past the hub, got $out")
+  }
+}
