@@ -88,6 +88,27 @@ object MultimodalQueries {
       Multimodal.decodeFeatures(Multimodal.synthesizeMedia(documents(s, d))).toDF()
     },
 
+    // E416 ISO-BMFF (MP4) box walk ([[Multimodal.mp4BoxMeta]]): genuine
+    // big-endian MP4 containers synthesized per doc (ftyp + moov(mvhd +
+    // trak(tkhd)) + a free box the walker must skip + mdat = text bytes),
+    // parsed back by the recursive box walker in the same executor pass —
+    // the third real container format next to RIFF/WAVE and PPM. The twin
+    // recomputes every extracted field from the source text length (the
+    // synthesis contract), so a walker that misread a size, failed to
+    // descend into moov/trak, or miscounted a skipped box hash-mismatches.
+    QEntry.sql(
+      "mm_mp4_meta",
+      """SELECT doc_id AS media_id, 'isom' AS major_brand,
+        |  CAST(1000 AS INT) AS timescale,
+        |  CAST(strlen(text) AS INT) AS duration,
+        |  CAST(320 AS INT) AS width,
+        |  CAST(strlen(text) % 480 + 16 AS INT) AS height,
+        |  CAST(7 AS INT) AS n_boxes,
+        |  CAST(strlen(text) AS BIGINT) AS mdat_bytes,
+        |  CAST(264 + strlen(text) AS BIGINT) AS total_bytes
+        |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) => Multimodal.mp4BoxMeta(documents(s, d)).toDF() },
+
     // Codec-free payload screen: per-asset byte histogram + Shannon entropy
     // over the raw bytes (compressed/encrypted ≈ 8 bits/byte; structured
     // payloads much lower; entropy⊥magic mismatches flag mislabeled

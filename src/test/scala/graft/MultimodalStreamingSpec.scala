@@ -779,4 +779,59 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(placed == Map(100 -> 0, 101 -> 1, 102 -> 2))
     assert(eng.catalog.readRoundRobinMeta().get.lastInserted == 2L)
   }
+
+  test("ISO-BMFF box walk: round trip, unknown-box skipping, spec sizes") {
+    import graft.operators.Multimodal.MediaCodecs
+    val data = "hello mp4 world".getBytes("US-ASCII")
+    val b = MediaCodecs.encodeIsoBmff(data, timescale = 1000, duration = 15,
+      width = 320, height = 240)
+    assert(b.length == 264 + data.length, "spec box sizes: ftyp 24 + moov 216 + free 16 + mdat 8+n")
+    val (brand, ts, dur, w, h, nb, mdat) = MediaCodecs.parseIsoBmff(1L, b)
+    assert((brand, ts, dur, w, h, nb, mdat) == (("isom", 1000, 15, 320, 240, 7, 15L)))
+    // a foreign top-level box between moov and mdat must be skipped by its
+    // declared size and counted, nothing else changing
+    val udta = java.nio.ByteBuffer.allocate(12).putInt(12)
+      .put("udta".getBytes("US-ASCII")).putInt(0xdead).array()
+    val withU = b.take(240) ++ udta ++ b.drop(240) // after ftyp+moov (24+216)
+    val (brand2, ts2, dur2, w2, h2, nb2, mdat2) = MediaCodecs.parseIsoBmff(1L, withU)
+    assert((brand2, ts2, dur2, w2, h2, mdat2) == (("isom", 1000, 15, 320, 240, 15L)))
+    assert(nb2 == 8, "the foreign box is walked and counted")
+    // empty mdat round-trips
+    val empty = MediaCodecs.encodeIsoBmff(Array.emptyByteArray, 1000, 0, 16, 16)
+    assert(MediaCodecs.parseIsoBmff(2L, empty)._7 == 0L)
+  }
+
+  test("ISO-BMFF box walk rejects corrupt sizes instead of hanging or overreading") {
+    import graft.operators.Multimodal.MediaCodecs
+    val good = MediaCodecs.encodeIsoBmff("abc".getBytes("US-ASCII"), 1000, 3, 32, 32)
+    // size < 8 keeps the walk stationary (or claims largesize) — refuse
+    val stuck = good.clone()
+    System.arraycopy(java.nio.ByteBuffer.allocate(4).putInt(1).array(), 0, stuck, 0, 4)
+    val e1 = intercept[IllegalArgumentException](MediaCodecs.parseIsoBmff(7L, stuck))
+    assert(e1.getMessage.contains("unsupported box size"))
+    // a box overrunning its parent must refuse, not read past the buffer
+    val over = good.clone()
+    System.arraycopy(java.nio.ByteBuffer.allocate(4).putInt(1 << 20).array(), 0, over, 0, 4)
+    val e2 = intercept[IllegalArgumentException](MediaCodecs.parseIsoBmff(7L, over))
+    assert(e2.getMessage.contains("overruns"))
+    // truncated trailing header refuses
+    val trunc = good ++ java.nio.ByteBuffer.allocate(4).putInt(16).array()
+    val e3 = intercept[IllegalArgumentException](MediaCodecs.parseIsoBmff(7L, trunc))
+    assert(e3.getMessage.contains("truncated"))
+    // the untouched payload still parses
+    assert(MediaCodecs.parseIsoBmff(7L, good)._1 == "isom")
+  }
+
+  test("mp4BoxMeta: per-doc synthesis + walk matches the synthesis contract") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "short"), (2L, "a" * 500), (3L, "")).toDF("doc_id", "text")
+    val out = graft.operators.Multimodal.mp4BoxMeta(docs).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(1L).duration == 5 && out(1L).mdat_bytes == 5L && out(1L).height == 5 + 16)
+    assert(out(2L).duration == 500 && out(2L).height == 20 + 16)
+    assert(out(3L).mdat_bytes == 0L && out(3L).total_bytes == 264L)
+    assert(out.values.forall(m => m.major_brand == "isom" && m.n_boxes == 7 &&
+      m.timescale == 1000 && m.width == 320))
+  }
 }
