@@ -106,7 +106,14 @@ object Plans {
       // warehouses inside the entry body; the returned frame is the
       // post-merge fragment READ — the part worth reviewing)
       "q_mv_incremental_delete", "frag_sql_merge", "frag_engine_merge",
-      "txt_bpe_encode"
+      "txt_bpe_encode",
+      // round 16 additions (q_mv_backfill_refresh builds its warehouse in
+      // the entry body — the returned frame is the MV-rewritten read;
+      // txt_unigram_pieces' returned frame is the Viterbi + recount plan,
+      // the piece table having been collected as the broadcast model)
+      "q_hilbert_values", "q_hilbert_prune_gain", "cur_dp_release",
+      "cur_classifier_train", "txt_unigram_pieces", "emb_margin_mine",
+      "mm_mp4_meta", "q_mv_backfill_refresh"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -1554,8 +1554,13 @@ object RelationalQueries {
             .as("dy")
         )
         .withColumn("zval", ZOrder.zValue2(col("cx"), col("dy"), 14))
+      // pin the (zval, hval) frame: BOTH layouts' zone stats consume it, and
+      // without the cut each global rank would recompute the 14-level walk
+      // and the interleave from the scan (measured 7.9 s → the suite's
+      // normal band once shared)
       val hv = graft.operators.HilbertCurve
         .withHilbert(base, "cx", "dy", "hval", bits = 14)
+        .localCheckpoint()
       def zoneStats(ord: Seq[String]) =
         Fragmentation
           .globalRowNumber(hv, ord, "rn")
