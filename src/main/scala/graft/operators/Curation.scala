@@ -1819,6 +1819,88 @@ object Curation {
       .withColumn("eta_ms", (col("slot") - 1) * lit(crawlDelayMs))
   }
 
+  /** DoReMi-style domain mixture reweighting (E417; Xie et al. 2023's
+    * Domain Reweighting with Minimax Optimization, the deterministic-replay
+    * skeleton): domains whose corpus EXCESS loss is positive get their
+    * mixture weight multiplied up, exponentiated-gradient style —
+    * w'_d ∝ w_d · exp(η·(ℓ_d − Σ_e w_e·ℓ_e)) — iterated `rounds` times.
+    * Here ℓ_d is the domain's mean per-token surprisal under the CORPUS
+    * unigram LM (the "hard for the current mixture" signal a proxy model
+    * supplies in the full recipe; any per-domain loss column can replace
+    * it), so the weights shift toward domains the corpus blend explains
+    * worst — the same fixed point DoReMi's minimax inner loop tracks.
+    *
+    * Every accumulation is order-independent: surprisals quantize to
+    * 9-dp DECIMAL before the exact weighted sums; each round's mixture
+    * average and weight normalization run over 10⁹-scaled BIGINT
+    * quantizations (integer sums — exact on any executor layout), with the
+    * single exp() per (domain, round) applied to a pinned double. Domain
+    * cardinality bounds all state; the corpus enters only through one
+    * token-count aggregation.
+    *
+    * @return one row per domain: (groupCol, n_tokens, h_mean, w_1..w_rounds)
+    *         — the full per-round ledger, weights as round₆ fractions
+    */
+  def doremiWeights(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      eta: Double = 0.5,
+      rounds: Int = 5
+  ): DataFrame = {
+    require(rounds >= 1 && eta > 0.0, "need rounds>=1, eta>0")
+    val tok = docs
+      .select(col(groupCol).as("_d"), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy("_d", "_t")
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .localCheckpoint()
+    val corpus = tok.groupBy("_t").agg(sum(col("_c")).cast("long").as("_ct"))
+    val total = tok.agg(sum(col("_c")).cast("long").as("_n"))
+    // mean per-token corpus surprisal per domain, through the DECIMAL ladder
+    val h = tok
+      .join(corpus, "_t")
+      .crossJoin(broadcast(total))
+      .select(
+        col("_d"),
+        col("_c"),
+        (col("_c") * round(log(col("_n").cast("double") / col("_ct").cast("double")), 9)
+          .cast("decimal(18,9)")).as("_s")
+      )
+      .groupBy("_d")
+      .agg(
+        sum(col("_c")).cast("long").as("n_tokens"),
+        round(sum(col("_s")).cast("decimal(28,9)").cast("double") / sum(col("_c")), 6)
+          .as("h_mean")
+      )
+      .localCheckpoint()
+    val nDomains = h.count()
+    var cur = h.withColumn("_w", round(lit(1.0) / lit(nDomains.toDouble), 6))
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (k <- 1 to rounds) {
+      // mixture average as an exact integer sum of 1e9-quantized products
+      val mix = cur
+        .select((round(col("_w") * col("h_mean") * 1e9, 0).cast("long")).as("_q"))
+        .agg(sum(col("_q")).cast("long").as("_mq"))
+      val stepped = cur
+        .crossJoin(broadcast(mix))
+        .withColumn("_excess", col("h_mean") - col("_mq").cast("double") / 1e9)
+        .withColumn("_wq",
+          round(col("_w") * exp(lit(eta) * col("_excess")) * 1e9, 0).cast("long"))
+      val denom = stepped.agg(sum(col("_wq")).cast("long").as("_dq"))
+      cur = stepped
+        .crossJoin(broadcast(denom))
+        .withColumn(s"w_$k",
+          round(col("_wq").cast("double") / col("_dq").cast("double"), 6))
+        .withColumn("_w", col(s"w_$k"))
+        .drop("_excess", "_wq", "_mq", "_dq")
+        .localCheckpoint()
+      ledger += s"w_$k"
+    }
+    cur.select((Seq(col("_d").as(groupCol), col("n_tokens"), col("h_mean")) ++
+      ledger.map(col)): _*)
+  }
+
   /** ε-differentially-private-STYLE Laplace release of group counts — the
     * noisy-aggregate release that lets a curation pipeline publish corpus
     * composition statistics (per-source doc counts, per-language token

@@ -1257,6 +1257,56 @@ object CurationQueries {
       Curation.kAnonymity(documents(s, d), Seq("lang", "source"), k = 5)
     },
 
+    // E417 DoReMi-style domain reweighting ([[Curation.doremiWeights]]):
+    // five multiplicative-weights rounds over the per-source mean corpus
+    // surprisal — domains the corpus blend explains worst gain mixture
+    // weight, w'_d ∝ w_d·exp(η·(ℓ_d − Σ w·ℓ)). The twin replays the
+    // DECIMAL surprisal ladder, every round's 10⁹-quantized integer
+    // mixture/normalizer sums, and each exp on the pinned double, so the
+    // full per-round ledger hash-matches — a reweighter that normalized
+    // before quantizing (or let a float sum's order leak in) mismatches.
+    QEntry.sql(
+      "cur_doremi_weights", {
+        val roundsSql = (1 to 5).map { k =>
+          val prev = if (k == 1) "w0" else s"w${k - 1}"
+          val carry = (1 until k).map(j => s"w_$j").map(c => s", $c").mkString
+          // sK/wK MATERIALIZED: each is referenced twice downstream
+          // (dK+wK, mK+sK) — inlined, the reference count doubles per
+          // round and the h-chain replays 2^rounds times
+          s""",
+             |m$k AS (SELECT CAST(sum(CAST(round(w * h_mean * 1e9, 0) AS BIGINT))
+             |    AS BIGINT) AS mq FROM $prev),
+             |s$k AS MATERIALIZED (SELECT d, n_tokens, h_mean, w$carry,
+             |    CAST(round(w * exp(0.5 * (h_mean - CAST(mq AS DOUBLE) / 1e9)) * 1e9, 0)
+             |      AS BIGINT) AS wq
+             |  FROM $prev CROSS JOIN m$k),
+             |d$k AS (SELECT CAST(sum(wq) AS BIGINT) AS dq FROM s$k),
+             |w$k AS MATERIALIZED (SELECT d, n_tokens, h_mean$carry,
+             |    round(CAST(wq AS DOUBLE) / CAST(dq AS DOUBLE), 6) AS w_$k,
+             |    round(CAST(wq AS DOUBLE) / CAST(dq AS DOUBLE), 6) AS w
+             |  FROM s$k CROSS JOIN d$k)"""
+        }.mkString
+        s"""WITH tok AS MATERIALIZED (SELECT source AS d, t, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source, unnest($wordsSql) AS t FROM documents) x
+           |  WHERE t <> '' GROUP BY source, t),
+           |ct AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM tok GROUP BY t),
+           |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tok),
+           |h AS MATERIALIZED (SELECT d, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    round(CAST(CAST(sum(c * CAST(round(ln(CAST(n AS DOUBLE)
+           |      / CAST(ct AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DECIMAL(28,9))
+           |      AS DOUBLE) / sum(c), 6) AS h_mean
+           |  FROM tok JOIN ct USING (t) CROSS JOIN n GROUP BY d),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndom FROM h),
+           |w0 AS (SELECT d, n_tokens, h_mean, round(1.0 / ndom, 6) AS w
+           |  FROM h CROSS JOIN nd)$roundsSql
+           |SELECT d AS source, n_tokens, h_mean, w_1, w_2, w_3, w_4, w_5 FROM w5"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Curation.doremiWeights(documents(s, d), "source", "text", eta = 0.5, rounds = 5)
+        .withColumnRenamed("_d", "source")
+    },
+
     // E411 ε-DP-style Laplace release ([[Curation.dpLaplaceCounts]]): the
     // per-source doc-count release at ε = 0.5 with SEEDED noise — u =
     // (h+0.5)/2⁵² from the md5 of (seed, group key), pushed through the

@@ -100,6 +100,47 @@ class PrivacyTrainSpec extends SparkSpec {
     assert(acc >= 0.95, s"3 GD steps must separate the marker corpus, accuracy $acc")
   }
 
+  test("doremiWeights: hard domains gain weight monotonically, rounds renormalize, replay is exact") {
+    val s = spark
+    import s.implicits._
+    // three domains: 'easy' repeats one common token (low corpus surprisal),
+    // 'hard' is all rare singletons (high surprisal), 'mid' mixes
+    val docs = (
+      (0 until 60).map(i => ("easy", "common common common words here")) ++
+        (0 until 60).map(i => ("hard", s"rare$i unique$i single$i token$i odd$i")) ++
+        (0 until 60).map(i => ("mid", s"common words rare${i % 7} here"))
+      ).toDF("source", "text")
+    val out = graft.operators.Curation
+      .doremiWeights(docs, "source", "text", eta = 0.5, rounds = 5)
+      .collect()
+      .map(r => r.getString(0) -> (3 to 7).map(r.getDouble).toVector)
+      .toMap
+    val h = graft.operators.Curation
+      .doremiWeights(docs, "source", "text", eta = 0.5, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(h("hard") > h("mid") && h("mid") > h("easy"),
+      s"surprisal ladder must order the domains, got $h")
+    // each round's weights sum to 1 within quantization
+    (0 until 5).foreach { k =>
+      val tot = out.values.map(_(k)).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"round ${k + 1} weights sum to $tot")
+    }
+    // the hardest domain's weight strictly rises; the easiest strictly falls
+    val hard = out("hard"); val easy = out("easy")
+    (1 until 5).foreach { k =>
+      assert(hard(k) > hard(k - 1), s"hard domain must gain weight: $hard")
+      assert(easy(k) < easy(k - 1), s"easy domain must lose weight: $easy")
+    }
+    assert(hard(4) > 1.0 / 3.0 && easy(4) < 1.0 / 3.0)
+    // partition invariance (integer-quantized sums) and exact replay
+    val out2 = graft.operators.Curation
+      .doremiWeights(docs.repartition(11), "source", "text", eta = 0.5, rounds = 5)
+      .collect()
+      .map(r => r.getString(0) -> (3 to 7).map(r.getDouble).toVector)
+      .toMap
+    assert(out == out2)
+  }
+
   test("trainLinearQuality with zero steps of signal: all-equal labels push all weights one way") {
     val s = spark
     import s.implicits._
