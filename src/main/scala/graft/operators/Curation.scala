@@ -1819,6 +1819,75 @@ object Curation {
       .withColumn("eta_ms", (col("slot") - 1) * lit(crawlDelayMs))
   }
 
+  /** Split-conformal filtering gate (E418; Vovk's split-conformal recipe):
+    * calibrate a per-group nonconformity threshold at the
+    * ⌈(n_cal+1)·coverage⌉-th smallest calibration score — the
+    * finite-sample-correct quantile that guarantees ≥ coverage of
+    * exchangeable future points pass — then gate the test slice with it.
+    * This is the distribution-free answer to "keep documents that look
+    * like the calibration set", with a marginal coverage guarantee instead
+    * of a tuned cutoff; coverage is a RATIONAL (num/den), so the rank k is
+    * exact integer arithmetic, and the threshold is an order statistic of
+    * exact integer scores — no float anywhere.
+    *
+    * When k exceeds n_cal the conformal threshold is +∞ (everything
+    * passes) — reported as a null threshold with kept = all, the honest
+    * small-calibration degeneracy.
+    *
+    * Plan shape: one group-keyed window over the calibration slice (ranks
+    * within each group only), one broadcast-size threshold table, one
+    * gating join; group cardinality bounds all state.
+    *
+    * @param calibPred boolean Column over `df` marking the calibration rows
+    * @return one row per group: (groupCol, n_cal, k, threshold, n_test,
+    *         n_kept, kept_ppm)
+    */
+  def conformalGate(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      calibPred: Column,
+      coverageNum: Int = 9,
+      coverageDen: Int = 10
+  ): DataFrame = {
+    require(coverageNum > 0 && coverageDen > 0 && coverageNum < coverageDen,
+      "coverage must be a proper fraction")
+    val base = df.select(col(groupCol).as("_g"), col(scoreCol).cast("long").as("_s"),
+      calibPred.as("_cal"))
+    val cal = base.filter(col("_cal"))
+    val calStats = cal
+      .groupBy("_g")
+      .agg(count(lit(1)).cast("long").as("n_cal"))
+      // k = ceil((n_cal + 1) * num / den), exactly
+      .withColumn("k",
+        expr(s"((n_cal + 1) * $coverageNum + $coverageDen - 1) div $coverageDen")
+          .cast("long"))
+    val ranked = cal
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("_g").orderBy(col("_s"))).cast("long"))
+    val thresholds = calStats
+      .join(ranked.select(col("_g"), col("_s"), col("_rn")),
+        Seq("_g"), "left")
+      .filter(col("_rn") === col("k"))
+      .select(col("_g"), col("_s").as("threshold"))
+    val gate = calStats.join(thresholds, Seq("_g"), "left") // null = +∞ (k > n_cal)
+    val test = base.filter(!col("_cal"))
+    test
+      .join(broadcast(gate), Seq("_g"), "right")
+      .groupBy("_g", "n_cal", "k", "threshold")
+      .agg(
+        count(col("_s")).cast("long").as("n_test"),
+        sum(when(col("_s").isNotNull &&
+          (col("threshold").isNull || col("_s") <= col("threshold")), 1L)
+          .otherwise(0L)).cast("long").as("n_kept")
+      )
+      .withColumn("kept_ppm",
+        when(col("n_test") > 0, expr("n_kept * 1000000L div n_test")).otherwise(lit(null))
+          .cast("long"))
+      .select(col("_g").as(groupCol), col("n_cal"), col("k"), col("threshold"),
+        col("n_test"), col("n_kept"), col("kept_ppm"))
+  }
+
   /** DoReMi-style domain mixture reweighting (E417; Xie et al. 2023's
     * Domain Reweighting with Minimax Optimization, the deterministic-replay
     * skeleton): domains whose corpus EXCESS loss is positive get their

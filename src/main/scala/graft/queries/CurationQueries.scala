@@ -1257,6 +1257,44 @@ object CurationQueries {
       Curation.kAnonymity(documents(s, d), Seq("lang", "source"), k = 5)
     },
 
+    // E418 split-conformal filtering gate ([[Curation.conformalGate]]): per
+    // source, the ⌈(n_cal+1)·9/10⌉-th smallest calibration length becomes
+    // the distribution-free keep threshold for the test slice — the
+    // finite-sample quantile with a ≥90% marginal coverage guarantee,
+    // entirely in integer arithmetic (rational coverage, exact rank, exact
+    // order-stat threshold). Calibration = even doc_id BLOCKS of 20 (the
+    // corpus assigns source = doc_id mod 20, so plain parity would starve
+    // every source of test rows); the twin replays
+    // the rank, the ceil division, the null-threshold degeneracy and the
+    // gating counts.
+    QEntry.sql(
+      "cur_conformal_gate",
+      """WITH b AS (SELECT source AS g, n_chars AS s, (doc_id // 20) % 2 = 0 AS cal
+        |  FROM documents),
+        |cs AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
+        |    CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+        |  FROM b WHERE cal GROUP BY g),
+        |rk AS (SELECT g, s, CAST(row_number() OVER (PARTITION BY g ORDER BY s)
+        |    AS BIGINT) AS rn FROM b WHERE cal),
+        |th AS (SELECT cs.g, cs.n_cal, cs.k, rk.s AS threshold
+        |  FROM cs LEFT JOIN rk ON cs.g = rk.g AND rk.rn = cs.k),
+        |t AS (SELECT g, s FROM b WHERE NOT cal)
+        |SELECT th.g AS source, th.n_cal, th.k, CAST(th.threshold AS BIGINT) AS threshold,
+        |  CAST(count(t.s) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN t.s IS NOT NULL AND (th.threshold IS NULL
+        |    OR t.s <= th.threshold) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN count(t.s) > 0 THEN sum(CASE WHEN t.s IS NOT NULL
+        |    AND (th.threshold IS NULL OR t.s <= th.threshold) THEN 1 ELSE 0 END)
+        |    * 1000000 // count(t.s) ELSE NULL END AS BIGINT) AS kept_ppm
+        |FROM th LEFT JOIN t ON th.g = t.g
+        |GROUP BY th.g, th.n_cal, th.k, th.threshold"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Curation.conformalGate(documents(s, d), "source", "n_chars",
+        calibPred = expr("doc_id div 20") % 2 === 0,
+        coverageNum = 9, coverageDen = 10)
+    },
+
     // E417 DoReMi-style domain reweighting ([[Curation.doremiWeights]]):
     // five multiplicative-weights rounds over the per-source mean corpus
     // surprisal — domains the corpus blend explains worst gain mixture

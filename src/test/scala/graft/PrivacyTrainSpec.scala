@@ -141,6 +141,41 @@ class PrivacyTrainSpec extends SparkSpec {
     assert(out == out2)
   }
 
+  test("conformalGate: exact rank threshold, small-calibration degeneracy, coverage") {
+    val s = spark
+    import s.implicits._
+    // group A: calibration scores 1..10 at 9/10 coverage → k = ⌈11·9/10⌉ = 10
+    // → threshold = 10; test scores 5, 10, 11 → 2 of 3 kept
+    // group B: calibration of 3 → k = ⌈4·9/10⌉ = 4 > 3 → null threshold, all kept
+    val rows =
+      (1 to 10).map(i => ("A", i.toLong, true)) ++
+        Seq(("A", 5L, false), ("A", 10L, false), ("A", 11L, false)) ++
+        (1 to 3).map(i => ("B", (100 * i).toLong, true)) ++
+        Seq(("B", 999999L, false))
+    val out = graft.operators.Curation
+      .conformalGate(rows.toDF("g", "score", "cal"), "g", "score", col("cal"))
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val a = out("A")
+    assert(a.getLong(1) == 10L && a.getLong(2) == 10L && a.getLong(3) == 10L)
+    assert(a.getLong(4) == 3L && a.getLong(5) == 2L)
+    val b = out("B")
+    assert(b.getLong(2) == 4L && b.isNullAt(3), "k > n_cal must yield the +inf threshold")
+    assert(b.getLong(4) == 1L && b.getLong(5) == 1L, "null threshold keeps everything")
+
+    // marginal coverage on exchangeable data: both halves drawn identically
+    // → kept fraction concentrates near (at least) the 90% target
+    val big = (0 until 2000)
+      .map(i => ("x", ((i * 2654435761L) % 1000003L), i % 2 == 0))
+      .toDF("g", "score", "cal")
+    val kept = graft.operators.Curation
+      .conformalGate(big, "g", "score", col("cal"))
+      .collect()(0)
+    val ppm = kept.getLong(6)
+    assert(ppm >= 850000L, s"empirical coverage $ppm ppm too far below the 90% guarantee")
+  }
+
   test("trainLinearQuality with zero steps of signal: all-equal labels push all weights one way") {
     val s = spark
     import s.implicits._
