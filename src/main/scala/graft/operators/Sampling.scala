@@ -449,6 +449,89 @@ object Sampling {
     * @return k rows: (sel_order, idCol, dist) — dist is the max-min
     *         distance at selection time; the seed carries the -1 sentinel
     */
+  /** Facility-location greedy selection (E419) — the COVERAGE coreset next
+    * to [[kCenterGreedy]]'s outlier-chasing max-min: maximize
+    * F(S) = Σ_v max_{s∈S} sim(v, s), sim = 64 − Hamming over the SimHash
+    * sketches, by the classic greedy (1−1/e approximation — Nemhauser et
+    * al. 1978; the facility-location instance of submodular data selection
+    * à la CRAIG/similar coreset work). Where k-center picks the point
+    * FARTHEST from the selection (great for spread, hijacked by outliers),
+    * facility location picks the candidate whose adoption IMPROVES the most
+    * points — dense modes first, outliers last.
+    *
+    * Scale shape: candidates come from a bounded md5-spread pool
+    * (`poolSize`, the lazy-greedy pool standard at corpus scale), so each
+    * greedy step is ONE distributed pass — every candidate's marginal gain
+    * Σ_v max(0, sim_c(v) − best(v)) computed as `poolSize` aggregate
+    * columns over the points frame (no shuffle, scalar result), then one
+    * narrow `best`-update pass with the winner's sketch as a literal.
+    * Points state is (id, 4×long sketch words, best) — never a pairs
+    * materialization.
+    *
+    * @return k rows (sel_order, idCol, gain, objective) — marginal gains
+    *         and the running objective, both exact integers
+    */
+  def facilityLocationGreedy(
+      sketches: DataFrame,
+      idCol: String,
+      sketchCol: String,
+      k: Int,
+      poolSize: Int = 16
+  ): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need k >= 1 and poolSize >= k")
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val base = sketches
+      .select(
+        col(idCol).cast("long").as("_id") +:
+          (0 until 4).map(b =>
+            conv(substring(col(sketchCol), b * 16 + 1, 16), 2, 10).cast("long").as(s"_i$b")
+          ): _*
+      )
+    def simTo(sig: String): Column =
+      lit(64L) - (0 until 4)
+        .map { b =>
+          val word = java.lang.Long.parseLong(sig.substring(b * 16, b * 16 + 16), 2)
+          bit_count(col(s"_i$b").bitwiseXOR(lit(word)))
+        }
+        .reduce(_ + _)
+        .cast("long")
+    val pool: Array[(Long, String)] = sketches
+      .select(col(idCol).cast("long").as("_id"), col(sketchCol).as("_sig"))
+      .withColumn("_h", md5(col("_id").cast("string")))
+      .orderBy(col("_h"), col("_id"))
+      .limit(poolSize)
+      .select("_id", "_sig")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    require(pool.nonEmpty, "facilityLocationGreedy on an empty frame")
+    var pts = base.withColumn("_best", lit(0L)).localCheckpoint()
+    var chosen = Vector.empty[(Long, Long, Long, Long)]
+    var objective = 0L
+    var step = 0
+    while (step < k && chosen.size < pool.length) {
+      val remaining = pool.filterNot(c => chosen.exists(_._2 == c._1))
+      val aggs = remaining.zipWithIndex.map { case ((_, sig), i) =>
+        sum(greatest(simTo(sig) - col("_best"), lit(0L))).cast("long").as(s"_g$i")
+      }
+      val row = pts.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val (cid, csig, cgain) = remaining.indices
+        .map(i => (remaining(i)._1, remaining(i)._2, row.getLong(i)))
+        .minBy { case (id, _, g) => (-g, id) } // gain DESC, id ASC
+      objective += cgain
+      chosen :+= ((step.toLong, cid, cgain, objective))
+      if (step < k - 1) {
+        val upd = pts
+          .withColumn("_best", greatest(col("_best"), simTo(csig)))
+          .localCheckpoint()
+        pts.unpersist()
+        pts = upd
+      }
+      step += 1
+    }
+    chosen.toDF("sel_order", idCol, "gain", "objective")
+  }
+
   def kCenterGreedy(
       sketches: DataFrame,
       idCol: String,

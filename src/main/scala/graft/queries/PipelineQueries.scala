@@ -151,6 +151,52 @@ object PipelineQueries {
     * `least`. Exact string-level Hamming; bit-identical to the Spark
     * bit_count(xor) path.
     */
+  /** DuckDB replay of [[graft.operators.Sampling.facilityLocationGreedy]]
+    * over the `sk` (doc_id, simhash) CTE: the md5-spread candidate pool,
+    * then `k` unrolled greedy steps — each a per-candidate marginal-gain
+    * aggregate over the current best-coverage table, the (gain DESC, cid)
+    * argmax, and the coverage update. Steps MATERIALIZED (each state feeds
+    * two downstream CTEs; inlined, the reference count doubles per step).
+    */
+  private def facilitySql(k: Int, poolSize: Int): String = {
+    def ham(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN " +
+        s"substr($a, CAST(i AS INT), 1) <> substr($b, CAST(i AS INT), 1) " +
+        s"THEN 1 ELSE 0 END)) AS BIGINT)"
+    val steps = (1 to k).map { s =>
+      val prev = if (s == 1) "pts0" else s"pts${s - 1}"
+      val notIn =
+        if (s == 1) ""
+        else " WHERE c.cid NOT IN (" +
+          (1 until s).map(j => s"SELECT cid FROM pick$j").mkString(" UNION ALL ") + ")"
+      val ptsNext =
+        if (s == k) "" // the last coverage update feeds nothing
+        else s""",
+           |pts$s AS MATERIALIZED (SELECT p.doc_id, p.simhash,
+           |    greatest(p.best, 64 - ${ham("w.sig", "p.simhash")}) AS best
+           |  FROM $prev p CROSS JOIN pick$s w)"""
+      s""",
+         |g$s AS (SELECT c.cid, c.sig,
+         |    CAST(sum(greatest(64 - ${ham("c.sig", "p.simhash")} - p.best, 0))
+         |      AS BIGINT) AS gain
+         |  FROM pool c CROSS JOIN $prev p$notIn GROUP BY c.cid, c.sig),
+         |pick$s AS MATERIALIZED (SELECT cid, sig, gain FROM g$s
+         |  ORDER BY gain DESC, cid LIMIT 1)$ptsNext"""
+    }.mkString
+    val sel = (1 to k)
+      .map(s => s"SELECT CAST(${s - 1} AS BIGINT) AS sel_order, cid AS doc_id, gain FROM pick$s")
+      .mkString(" UNION ALL ")
+    s"""pool AS MATERIALIZED (SELECT doc_id AS cid, simhash AS sig FROM (
+       |    SELECT doc_id, simhash, md5(CAST(doc_id AS VARCHAR)) AS h FROM sk) z
+       |  ORDER BY h, doc_id LIMIT $poolSize),
+       |pts0 AS MATERIALIZED (SELECT doc_id, simhash, CAST(0 AS BIGINT) AS best FROM sk)$steps,
+       |sel AS ($sel)
+       |SELECT sel_order, doc_id, gain,
+       |  CAST(sum(gain) OVER (ORDER BY sel_order ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS objective
+       |FROM sel"""
+  }
+
   private def kCenterSql(k: Int): String = {
     def ham(x: String, c: String) =
       s"""CAST(len(list_filter(range(1, 65), i ->
@@ -2768,6 +2814,34 @@ object PipelineQueries {
         "doc_id",
         "simhash",
         k = 8
+      )
+    },
+
+    // E419 facility-location greedy selection
+    // ([[Sampling.facilityLocationGreedy]]): the COVERAGE coreset next to
+    // sample_kcenter_diverse's max-min — maximize Σ_v max_{s∈S} sim(v,s)
+    // over SimHash similarity by the (1−1/e) greedy, candidates from a
+    // bounded md5-spread pool (the at-scale lazy-greedy pool). The twin
+    // unrolls four steps CTE-for-CTE — per-candidate gain sums, the
+    // (gain DESC, id) argmax, the running best-coverage update — so a
+    // selector that double-counted coverage, kept a chosen candidate in the
+    // pool, or broke an argmax tie the other way hash-mismatches.
+    QEntry.sql(
+      "sample_facility_select",
+      s"""WITH sk AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+         |  CASE WHEN 2 * list_sum(list_transform(words, t ->
+         |         ((strpos('0123456789abcdef', substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |          // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2))
+         |       >= len(words) THEN '1' ELSE '0' END), '') AS simhash
+         |  FROM (SELECT doc_id, $wordsSql AS words FROM documents) w),
+         |${facilitySql(k = 4, poolSize = 16)}""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Sampling.facilityLocationGreedy(
+        Dedup.simhash(documents(s, d), "doc_id", "text"),
+        "doc_id",
+        "simhash",
+        k = 4,
+        poolSize = 16
       )
     },
 
