@@ -272,6 +272,69 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (E420) — the batch that
+    * actually teaches an embedding model: for each query, the top-k
+    * HIGHEST-cosine candidates with a DIFFERENT label (hard negatives —
+    * near the query yet wrong, the gradient-rich zone random negatives
+    * never supply), with a false-negative guard band `maxCos` dropping
+    * candidates so close they're likely mislabeled positives (the standard
+    * precaution: a "negative" at cos 0.99 is usually a labeling error that
+    * would push the model backwards).
+    *
+    * Scale shape: identical to [[lshTopK]] — broadcast query side, bucketed
+    * candidate equi-join (never all-pairs), partial top-k per query before
+    * any exchange; the label inequality and the guard band ride the join
+    * filter, so pruning happens before ranking.
+    *
+    * @return (query_id, neg_id, neg_label, cos, rank) — rank over the
+    *         surviving negatives by (cos DESC, neg_id)
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      maxCos: Double = 0.99,
+      bits: Int = 4,
+      seed: Int = 42,
+      dim: Int = 0
+  ): DataFrame = {
+    VectorExpressions.install(emb.sparkSession)
+    val planes = hyperplanes(bits, dimOf(emb, vecCol, dim), seed)
+    val cb = emb
+      .select(
+        col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"),
+        col(vecCol).as("nv"),
+        lshBucket(col(vecCol), planes).as("bucket")
+      )
+      .withColumn("nn", sqrt(expr("graft_dot(nv, nv)")))
+    val qb = broadcast(
+      queries
+        .select(
+          col(idCol).as("query_id"),
+          col(labelCol).as("q_label"),
+          col(vecCol).as("qv"),
+          lshBucket(col(vecCol), planes).as("bucket")
+        )
+        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+    )
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neg_id"))
+    cb.join(qb, "bucket")
+      .filter(col("neg_id") =!= col("query_id") && col("neg_label") =!= col("q_label"))
+      .select(
+        col("query_id"),
+        col("neg_id"),
+        col("neg_label"),
+        pairCos("qv", "nv", "qn", "nn").as("cos")
+      )
+      .filter(col("cos") <= maxCos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** CSLS-rescored LSH retrieval (cross-domain similarity local scaling,
     * Conneau et al. 2018 — the hubness correction that made unsupervised
     * bilingual lexicon induction work): csls(q,x) = 2·cos(q,x) − r(q) −

@@ -1725,6 +1725,41 @@ object PipelineQueries {
         .withColumn("rank", col("rank").cast("bigint"))
     },
 
+    // E420 hard-negative mining ([[Similarity.hardNegatives]]): per query,
+    // the top-10 highest-cosine candidates with a DIFFERENT label — the
+    // gradient-rich contrastive batch random negatives never supply — under
+    // the cos ≤ 0.99 false-negative guard band (a "negative" that close is
+    // usually a mislabeled positive). Same bucketed-join scale shape as
+    // ann_lsh_topk; the twin replays bucketing, the label inequality, the
+    // guard band and the (cos DESC, id) rank.
+    QEntry.sql(
+      "emb_hard_negatives",
+      s"""WITH ${bucketsSql(bits = 4)},
+         |lbl AS (SELECT vec_id, label FROM embeddings)
+         |SELECT query_id, neg_id, neg_label, cos, rank FROM (
+         |  SELECT query_id, neg_id, neg_label, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neg_id)
+         |      AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neg_id, cl.label AS neg_label,
+         |      round(list_dot_product(q.e, c.e) /
+         |            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         |        AS cos
+         |    FROM (SELECT b.vec_id, b.e, b.bucket, l.label FROM buckets b
+         |          JOIN lbl l USING (vec_id) WHERE b.vec_id < 5) q
+         |    JOIN buckets c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+         |    JOIN lbl cl ON cl.vec_id = c.vec_id
+         |    WHERE cl.label <> q.label) s
+         |  WHERE cos <= 0.99) r
+         |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity
+        .hardNegatives(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "label", k = 10, maxCos = 0.99, bits = 4, dim = EmbDim)
+        .withColumn("rank", col("rank").cast("bigint"))
+    },
+
     // E415 margin-based bitext pair MINING ([[Similarity.marginMinePairs]];
     // Artetxe & Schwenk 2019, the CCMatrix extraction recipe): the table
     // splits into source (even vec_id) and target (odd) sets; cross-set

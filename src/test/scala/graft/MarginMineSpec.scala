@@ -59,6 +59,39 @@ class MarginMineSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet == out2)
   }
 
+  test("hardNegatives: same-label excluded, guard band drops near-identical candidates") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    def v(bumps: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(1f)
+      bumps.foreach { case (i, d) => a(i) += d }
+      a.toSeq
+    }
+    // query 0 (label 1); 1: SAME label, closest — must be excluded;
+    // 2: different label, nearly identical (cos > 0.99) — guard band drops;
+    // 3 and 4: different label, genuinely hard — the mined negatives,
+    // ranked by cosine
+    val emb = Seq(
+      (0L, v(0 -> 0.40f), 1),
+      (1L, v(0 -> 0.41f), 1),
+      (2L, v(0 -> 0.40f, 7 -> 0.01f), 2),
+      (3L, v(0 -> 0.40f, 6 -> 0.60f), 2),
+      (4L, v(1 -> 0.40f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity
+      .hardNegatives(emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        "label", k = 10, maxCos = 0.99, bits = 1, seed = 1, dim = dim)
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .sortBy(_._4)
+    assert(!out.exists(_._1 == 1L), "same-label candidates must never be negatives")
+    assert(!out.exists(_._1 == 2L), s"the guard band must drop cos>0.99 candidates, got $out")
+    assert(out.map(_._1).toSeq == Seq(3L, 4L),
+      s"hard negatives ranked by cosine, got $out")
+    assert(out.forall(r => r._2 == 2 && r._3 <= 0.99))
+  }
+
   test("a hub that tops every raw-cosine list is demoted by its own density") {
     // src s0 points toward A (+0.4 on dim0), s2 toward B (+0.4 on dim1).
     // Their true targets t1/t3 carry an extra off-axis bump (+0.45) that
