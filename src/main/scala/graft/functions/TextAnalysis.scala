@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for a training-data pipeline, all expressed as
@@ -217,4 +217,41 @@ object TextAnalysis {
         )
       )
     ).otherwise(array().cast("array<string>")) // < w grams → no full window, no fingerprints
+
+  /** Multi-token phrase gazetteer tagging (E421) — the blocklist / entity /
+    * PII-phrase screen a curation pipeline runs with a curated phrase list:
+    * every occurrence of every gazetteer phrase, located by FIRST-TOKEN
+    * BLOCKING (a broadcast equi-join on the phrase's first token prunes
+    * the corpus to candidate positions; a sliced array equality verifies
+    * the full phrase) — the Aho-Corasick workload expressed as one
+    * broadcast join + a narrow filter instead of a per-row automaton, so
+    * codegen keeps the scan fused and nothing shuffles but matches.
+    *
+    * @param phrases token sequences (each non-empty); single-token phrases
+    *                degrade gracefully to vocabulary hits
+    * @return one row per occurrence: (idCol, phrase — space-joined, pos —
+    *         1-based token position)
+    */
+  def phraseTag(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[Seq[String]]
+  ): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty), "need non-empty phrases")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gaz = broadcast(
+      phrases
+        .map(p => (p.head, p.toArray, p.length, p.mkString(" ")))
+        .toDF("_first", "_arr", "_len", "phrase")
+    )
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), posexplode(col("_toks")).as(Seq("_p0", "_tok")))
+      .filter(col("_tok") =!= "")
+      .join(gaz, col("_tok") === col("_first"))
+      .filter(slice(col("_toks"), col("_p0") + 1, col("_len")) === col("_arr"))
+      .select(col(idCol), col("phrase"), (col("_p0") + 1).cast("long").as("pos"))
+  }
 }

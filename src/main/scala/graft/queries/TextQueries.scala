@@ -949,6 +949,61 @@ object TextQueries {
         .select(col("word"), concat_ws(" ", col("bpe")).as("bpe"))
     },
 
+    // E421 phrase gazetteer tagging ([[TextAnalysis.phraseTag]]): the
+    // blocklist/entity/PII-phrase screen — every occurrence of every
+    // gazetteer phrase located by FIRST-TOKEN BLOCKING (broadcast equi-join
+    // on the first token) + sliced array-equality verification, the
+    // Aho-Corasick workload as one join instead of a per-row automaton.
+    // The gazetteer derives deterministically from the corpus itself (top-8
+    // bigrams + top-4 trigrams by (count DESC, phrase ASC) — the deployment
+    // shape: a driver-side curated list, broadcast). The twin recounts
+    // every n-gram instance against the same cut, so a tagger that missed
+    // an overlap, matched across a doc boundary, or double-counted a
+    // position hash-mismatches.
+    QEntry.sql(
+      "txt_phrase_tag",
+      s"""WITH tk AS MATERIALIZED (SELECT doc_id, $wordsSql AS toks FROM documents),
+         |big AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS phrase
+         |  FROM tk),
+         |trig AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' '
+         |      || toks[CAST(i + 2 AS INT)])) AS phrase
+         |  FROM tk),
+         |bg AS MATERIALIZED (SELECT phrase, count(*) AS cnt FROM big
+         |  GROUP BY phrase ORDER BY cnt DESC, phrase LIMIT 8),
+         |tg AS MATERIALIZED (SELECT phrase, count(*) AS cnt FROM trig
+         |  GROUP BY phrase ORDER BY cnt DESC, phrase LIMIT 4),
+         |occ AS (SELECT b.doc_id, b.phrase FROM big b JOIN bg USING (phrase)
+         |  UNION ALL SELECT t.doc_id, t.phrase FROM trig t JOIN tg USING (phrase))
+         |SELECT phrase, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM occ GROUP BY phrase""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      def topGrams(n: Int, top: Int): Seq[String] = toks
+        .filter(size(col("toks")) >= n)
+        .select(explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"
+        )).as("phrase"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("phrase"))
+        .limit(top)
+        .collect()
+        .map(_.getString(0))
+        .toSeq
+      val gazetteer = (topGrams(2, 8) ++ topGrams(3, 4)).map(_.split(" ").toSeq)
+      graft.functions.TextAnalysis
+        .phraseTag(docs, "doc_id", "text", gazetteer)
+        .groupBy("phrase")
+        .agg(
+          count(lit(1)).cast("long").as("n_matches"),
+          countDistinct(col("doc_id")).cast("long").as("n_docs")
+        )
+    },
+
     // E413 unigram-LM tokenizer ([[graft.operators.UnigramLm]]) — the
     // SentencePiece-family sibling of BPE: candidate pieces = frequency-
     // weighted substring counts (all single chars kept for coverage, top-48

@@ -82,6 +82,31 @@ class UnigramLmSpec extends SparkSpec {
     assert(p1.count() > 0 && p2.count() > 0)
   }
 
+  test("phraseTag: exact occurrences, overlaps, blocking false-positives rejected") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the bad actor did a bad deed"),
+      (2L, "bad bad actor"),
+      (3L, "nothing here"),
+      (4L, "actor bad")
+    ).toDF("doc_id", "text")
+    val out = graft.functions.TextAnalysis
+      .phraseTag(docs, "doc_id", "text",
+        Seq(Seq("bad", "actor"), Seq("bad", "bad"), Seq("nothing"), Seq("bad", "deed", "x")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      (1L, "bad actor", 2L), // "the [bad actor] did…"
+      (2L, "bad actor", 2L), // second 'bad' starts the phrase
+      (2L, "bad bad", 1L),
+      (3L, "nothing", 1L) // single-token phrase degrades to a vocab hit
+      // "bad deed x": first-token candidates at doc1 pos 2/6 — slice check
+      // rejects both; doc 4's "bad" at the end can't head any 2-gram
+    ), s"got $out")
+  }
+
   test("segmentation and recount are partition-invariant") {
     val s = spark
     import s.implicits._
