@@ -28,6 +28,56 @@ import graft.functions.VectorExpressions
   */
 object Similarity {
 
+  /** Sentinel for `bits` meaning AUTO — the DEFAULT on every LSH-bucketed
+    * operator here: the hyperplane count is derived from corpus size so the
+    * EXPECTED bucket occupancy stays ~[[TargetBucketRows]] rows at any n.
+    * A fixed bucket count makes per-bucket candidate work grow with the
+    * corpus (quadratically for the corpus×corpus paths — the round-16
+    * weak on [[marginMinePairs]]); deriving buckets ∝ n/target makes total
+    * candidate volume LINEAR in n by construction, the same reasoning that
+    * made [[Dedup.AutoBandDf]] the dedup-family default. Resolving AUTO
+    * costs one `count()` pass over the corpus — pass explicit `bits` when
+    * the caller already knows the scale (every oracle entry pins bits for
+    * engine-portable replay).
+    */
+  val AutoBits: Int = -1
+
+  /** Auto-bits bucket-occupancy target: buckets = smallest power of two
+    * with n/buckets ≤ this. 256 keeps the corpus×corpus paths' per-bucket
+    * pair product ≤ ~128² and the broadcast-query paths' per-query
+    * candidate list ~256 at any corpus size.
+    */
+  val TargetBucketRows: Long = 256L
+
+  /** bits for a corpus of `n` vectors under the AUTO rule: the smallest
+    * b in [4, 32] with 2^b · [[TargetBucketRows]] ≥ n. Integer-exact (no
+    * floating log), so any engine derives the identical value — the
+    * DuckDB twin of `emb_margin_mine` replays exactly this scan. The 32
+    * ceiling covers n = 1.1e12 vectors (≈ a 100 TB corpus of 256-dim
+    * floats) before buckets saturate; plane literals stay ≤ 32·dim floats.
+    */
+  def autoBits(n: Long): Int =
+    (4 to 32).find(b => (1L << b) * TargetBucketRows >= math.max(n, 0L)).getOrElse(32)
+
+  private def resolveBits(requested: Int, n: => Long): Int =
+    if (requested != AutoBits) requested else autoBits(n)
+
+  /** Sentinel for [[marginMinePairs]]' `maxBucketDf` meaning AUTO: the
+    * hot-bucket skew cap is derived from corpus size as max(64, 16·⌈n^¼⌉)
+    * — [[Dedup.AutoBandDf]]'s exact recipe. Auto-bits bounds the EXPECTED
+    * bucket size; the cap bounds the worst bucket (duplicate-heavy corpora
+    * pile identical vectors into one signature no matter how many planes),
+    * keeping the worst single bucket's cross-set product ≤ cap² = Θ(√n).
+    * Pass `Long.MaxValue` for exact (uncapped) bucketing.
+    */
+  val AutoBucketDf: Long = -1L
+
+  private def resolveBucketCap(requested: Long, n: => Long): Long =
+    if (requested != AutoBucketDf) requested
+    else math.max(
+      64L,
+      16L * math.ceil(math.pow(math.max(n, 0L).toDouble, 0.25)).toLong)
+
   /** Cosine similarity between two `array<float>` columns (generic form —
     * the operators below precompute norms instead of calling this per pair).
     */
@@ -218,15 +268,16 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      bits: Int = 8,
+      bits: Int = AutoBits,
       seed: Int = 42,
       dim: Int = 0
   ): DataFrame = {
     VectorExpressions.install(corpus.sparkSession)
+    val b = resolveBits(bits, corpus.count())
     corpus.select(
       col(idCol),
       col(vecCol),
-      lshBucket(col(vecCol), hyperplanes(bits, dimOf(corpus, vecCol, dim), seed)).as("bucket")
+      lshBucket(col(vecCol), hyperplanes(b, dimOf(corpus, vecCol, dim), seed)).as("bucket")
     )
   }
 
@@ -240,14 +291,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      bits: Int = 8,
+      bits: Int = AutoBits,
       seed: Int = 42,
       dim: Int = 0
   ): DataFrame = {
     VectorExpressions.install(corpus.sparkSession)
     // planes built once and shared by both sides (a dim probe, when needed,
     // runs a single first-row job instead of one per lshBuckets call)
-    val planes = hyperplanes(bits, dimOf(corpus, vecCol, dim), seed)
+    val planes = hyperplanes(resolveBits(bits, corpus.count()), dimOf(corpus, vecCol, dim), seed)
     val cb = corpus
       .select(
         col(idCol).as("neighbor_id"),
@@ -297,12 +348,12 @@ object Similarity {
       labelCol: String,
       k: Int,
       maxCos: Double = 0.99,
-      bits: Int = 4,
+      bits: Int = AutoBits,
       seed: Int = 42,
       dim: Int = 0
   ): DataFrame = {
     VectorExpressions.install(emb.sparkSession)
-    val planes = hyperplanes(bits, dimOf(emb, vecCol, dim), seed)
+    val planes = hyperplanes(resolveBits(bits, emb.count()), dimOf(emb, vecCol, dim), seed)
     val cb = emb
       .select(
         col(idCol).as("neg_id"),
@@ -363,12 +414,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       kR: Int = 10,
-      bits: Int = 4,
+      bits: Int = AutoBits,
       seed: Int = 42,
       dim: Int = 0
   ): DataFrame = {
     VectorExpressions.install(corpus.sparkSession)
-    val planes = hyperplanes(bits, dimOf(corpus, vecCol, dim), seed)
+    val planes = hyperplanes(resolveBits(bits, corpus.count()), dimOf(corpus, vecCol, dim), seed)
     val b = corpus
       .select(
         col(idCol).as("vid"),
@@ -430,12 +481,23 @@ object Similarity {
     * the margin clears `minMargin`.
     *
     * Scale shape: candidate pairs come from the shared LSH buckets (never
-    * all-pairs — the same Θ(bucket)² bound as every ANN path here); the two
+    * all-pairs — the same Θ(bucket)² bound as every ANN path here), and the
+    * DEFAULTS are scale-safe on BOTH axes: [[AutoBits]] grows the bucket
+    * count with the corpus (expected bucket ~[[TargetBucketRows]] rows, so
+    * total candidate volume is LINEAR in n instead of the fixed-bucket
+    * quadratic), and [[AutoBucketDf]] drops the rare skew bucket hotter
+    * than 16·⌈n^¼⌉ on EITHER side before the cross-set join — bounding the
+    * worst bucket's pair product at Θ(√n), with the no-silent-caps stderr
+    * line so a capped run is distinguishable from an exact one. The two
     * argmax passes are bucket-keyed windows over the candidate table; the
     * mutual filter is one equi-join on (src, tgt). All statistics ride the
-    * 9-dp DECIMAL cosine ladder, so extraction is engine-portable.
+    * 9-dp DECIMAL cosine ladder, so extraction is engine-portable — the
+    * `emb_margin_mine` DuckDB twin replays the [[autoBits]] scan and the
+    * cap HAVING filter value-for-value.
     *
     * @param isSrc boolean Column over `emb` splitting the two sets
+    * @param maxBucketDf per-SIDE hot-bucket cap ([[AutoBucketDf]] derives it
+    *        from n; `Long.MaxValue` = exact, every bucket joins)
     * @return (src_id, tgt_id, cos, margin) — at most one row per src_id and
     *         per tgt_id (a partial matching, by construction of mutual-best)
     */
@@ -445,14 +507,17 @@ object Similarity {
       vecCol: String,
       isSrc: org.apache.spark.sql.Column,
       kR: Int = 10,
-      bits: Int = 4,
+      bits: Int = AutoBits,
       seed: Int = 42,
       dim: Int = 0,
-      minMargin: Double = 0.0
+      minMargin: Double = 0.0,
+      maxBucketDf: Long = AutoBucketDf
   ): DataFrame = {
     VectorExpressions.install(emb.sparkSession)
-    val planes = hyperplanes(bits, dimOf(emb, vecCol, dim), seed)
-    val b = emb
+    // one count pass resolves both AUTO knobs (skipped when both explicit)
+    lazy val nRows = emb.count()
+    val planes = hyperplanes(resolveBits(bits, nRows), dimOf(emb, vecCol, dim), seed)
+    val bAll = emb
       .select(
         col(idCol).as("vid"),
         col(vecCol).as("v"),
@@ -460,6 +525,42 @@ object Similarity {
         lshBucket(col(vecCol), planes).as("bucket")
       )
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val cap = resolveBucketCap(maxBucketDf, nRows)
+    val b =
+      if (cap == Long.MaxValue) bAll
+      else {
+        // the hot set is a handful of keys BY CONSTRUCTION of the cap
+        // (same collect-and-filter shape as Dedup's band cap — a broadcast
+        // anti-join would re-run the df aggregate under both join sides)
+        val hot = bAll
+          .groupBy("bucket")
+          .agg(
+            sum(when(col("is_src"), 1L).otherwise(0L)).as("_sdf"),
+            sum(when(col("is_src"), 0L).otherwise(1L)).as("_tdf"))
+          .filter(col("_sdf") > cap || col("_tdf") > cap)
+          .select("bucket")
+          .limit(10001)
+          .collect()
+          .map(_.getString(0))
+        if (hot.nonEmpty)
+          System.err.println(
+            s"[similarity] margin-mine hot-bucket cap (per-side df > $cap) dropped " +
+              (if (hot.length > 10000) ">10000" else hot.length.toString) +
+              " bucket(s) before the cross-set join; pairs whose ONLY shared " +
+              "bucket is hotter than the cap are not candidates " +
+              "(pass maxBucketDf = Long.MaxValue for exact bucketing)")
+        if (hot.isEmpty) bAll
+        else if (hot.length > 10000)
+          bAll.join(
+            broadcast(bAll.groupBy("bucket")
+              .agg(
+                sum(when(col("is_src"), 1L).otherwise(0L)).as("_sdf"),
+                sum(when(col("is_src"), 0L).otherwise(1L)).as("_tdf"))
+              .filter(col("_sdf") > cap || col("_tdf") > cap)
+              .select("bucket")),
+            Seq("bucket"), "left_anti")
+        else bAll.filter(!col("bucket").isin(hot.toIndexedSeq: _*))
+      }
     // cross-set candidate pairs within shared buckets
     val pairs = b
       .filter(col("is_src"))
@@ -539,14 +640,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      bits: Int = 8,
+      bits: Int = AutoBits,
       nProbe: Int = 3,
       seed: Int = 42,
       dim: Int = 0
   ): DataFrame = {
-    require(nProbe >= 1 && nProbe <= bits + 1, s"nProbe must be in [1, bits+1], got $nProbe")
+    val rBits = resolveBits(bits, corpus.count())
+    require(nProbe >= 1 && nProbe <= rBits + 1, s"nProbe must be in [1, bits+1], got $nProbe")
     VectorExpressions.install(corpus.sparkSession)
-    val planes = hyperplanes(bits, dimOf(corpus, vecCol, dim), seed)
+    val planes = hyperplanes(rBits, dimOf(corpus, vecCol, dim), seed)
     val cb = corpus
       .select(
         col(idCol).as("neighbor_id"),
@@ -554,7 +656,7 @@ object Similarity {
         lshBucket(col(vecCol), planes).as("bucket")
       )
       .withColumn("nn", sqrt(expr("graft_dot(nv, nv)")))
-    val qb = broadcast(multiProbeQuerySide(queries, idCol, vecCol, planes, bits, nProbe, ""))
+    val qb = broadcast(multiProbeQuerySide(queries, idCol, vecCol, planes, rBits, nProbe, ""))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cb.join(qb, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -914,7 +1016,7 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       blocked: Boolean = true,
-      bits: Int = 8,
+      bits: Int = AutoBits,
       dim: Int = 0,
       tables: Int = 1,
       seed: Int = 42
@@ -926,10 +1028,11 @@ object Similarity {
     val pairs =
       if (blocked) {
         val d = dimOf(corpus, vecCol, dim)
+        val rBits = resolveBits(bits, corpus.count())
         // one row per (vector, table): bucket key prefixed with the table id
         // so the equi-join never matches across tables
         val bucketByTable = array((0 until tables).map { t =>
-          concat(lit(s"$t:"), lshBucket(col(vecCol), hyperplanes(bits, d, seed + t)))
+          concat(lit(s"$t:"), lshBucket(col(vecCol), hyperplanes(rBits, d, seed + t)))
         }: _*)
         val tagged = corpus
           .select(col(idCol), explode(bucketByTable).as("bucket"))
@@ -1474,6 +1577,11 @@ object Similarity {
     * directory read (only the query buckets' directories are listed/scanned
     * — the FileIndex pruning the fragment engine already proves), not a
     * corpus scan. Bucketing and norms are computed once at build time.
+    *
+    * `bits` stays an EXPLICIT fixed default (not [[AutoBits]]) here: the
+    * reader regenerates the planes from (bits, seed) alone, so build and
+    * every later fetch must agree on the literal value — at scale pass
+    * `autoBits(n)` at build time and reuse that number on the fetch side.
     */
   def buildLshIndex(
       corpus: DataFrame,

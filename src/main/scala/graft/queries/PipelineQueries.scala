@@ -144,6 +144,41 @@ object PipelineQueries {
        |  FROM vecs, planes GROUP BY vec_id, e)"""
       .stripMargin.replaceAll("\\s+", " ")
 
+  /** AUTO-bits variant of [[bucketsSql]]: replays
+    * [[graft.operators.Similarity.autoBits]] (smallest b in [4, 32] with
+    * 2^b·256 ≥ n — integer-exact, no floating log) as the `nb` CTE and
+    * generates exactly that prefix of the plane family, plus the
+    * [[graft.operators.Similarity.AutoBucketDf]] hot-bucket cap (max(64,
+    * 16·⌈n^¼⌉) per side) as the `okb` CTE of cap-surviving buckets. The
+    * src/tgt split for the per-side dfs is `vec_id % 2` — the
+    * `emb_margin_mine` entry's split.
+    */
+  private def bucketsAutoSql(seed: Int = 42): String =
+    s"""n1 AS (SELECT count(*) AS n FROM embeddings),
+       |nb AS (SELECT COALESCE((SELECT min(b) FROM (SELECT unnest(range(4, 33)) AS b) bb
+       |         WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) * 256 >= (SELECT n FROM n1)), 32) AS b),
+       |planes AS (
+       |  SELECT p, list_transform(range(0, $EmbDim), i ->
+       |    CAST(CAST(list_sum(list_transform(range(1, 9), ii ->
+       |      (strpos('0123456789abcdef',
+       |              substr(md5('plane|$seed|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+       |                     CAST(ii AS INT), 1)) - 1) * pow(16, 8 - ii)))
+       |      / 4294967296.0 * 2 - 1 AS REAL) AS DOUBLE)) AS w
+       |  FROM (SELECT unnest(range(0, 32)) AS p) WHERE p < (SELECT b FROM nb)),
+       |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |         FROM embeddings),
+       |allb AS (
+       |  SELECT vec_id, e,
+       |    string_agg(CASE WHEN list_dot_product(e, w) >= 0 THEN '1' ELSE '0' END,
+       |               '' ORDER BY p) AS bucket
+       |  FROM vecs, planes GROUP BY vec_id, e),
+       |cp AS (SELECT GREATEST(64, 16 * CAST(ceil(pow((SELECT n FROM n1), 0.25)) AS BIGINT)) AS c),
+       |okb AS (SELECT bucket FROM allb GROUP BY bucket
+       |        HAVING sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) <= (SELECT c FROM cp)
+       |           AND sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) <= (SELECT c FROM cp)),
+       |buckets AS (SELECT a.vec_id, a.e, a.bucket FROM allb a JOIN okb USING (bucket))"""
+      .stripMargin.replaceAll("\\s+", " ")
+
   /** Twin of [[Sampling.kCenterGreedy]] at k=8: the greedy max-min loop
     * UNROLLED as k CTE steps over the `sk` (doc_id, simhash) relation —
     * step i picks the unchosen doc with the largest min-distance (ORDER BY
@@ -1658,7 +1693,7 @@ object PipelineQueries {
       s"WITH ${bucketsSql(bits = 8)} SELECT vec_id, bucket FROM buckets"
     ) { (s, d) =>
       Similarity
-        .lshBuckets(embeddings(s, d), "vec_id", "embedding", dim = EmbDim)
+        .lshBuckets(embeddings(s, d), "vec_id", "embedding", bits = 8, dim = EmbDim)
         .drop("embedding")
     },
 
@@ -1766,14 +1801,19 @@ object PipelineQueries {
     // LSH-bucket candidates score by the distance margin (2·cos − r_fwd −
     // r_bwd, both sides' top-10 neighborhood densities), and a pair is
     // extracted iff each side is the OTHER's margin-argmax — the
-    // mutual-best filter that buys precision at corpus scale. The twin
-    // replays bucketing, the DECIMAL cosine ladder, both density means,
-    // both argmax windows with their tie-breaks, and the mutual join, so a
-    // miner that kept a one-directional best (or broke an argmax tie the
-    // other way) hash-mismatches.
+    // mutual-best filter that buys precision at corpus scale. Runs under
+    // the SCALE-SAFE DEFAULTS (round-16 weak, closed): AutoBits derives
+    // the bucket count from n (so candidate volume is linear in corpus,
+    // not the fixed-bucket quadratic) and the AutoBucketDf hot-bucket cap
+    // bounds the worst skew bucket at 16·⌈n^¼⌉ per side. The twin replays
+    // the integer-exact autoBits scan, the cap HAVING filter, bucketing,
+    // the DECIMAL cosine ladder, both density means, both argmax windows
+    // with their tie-breaks, and the mutual join, so a miner that kept a
+    // one-directional best (or broke an argmax tie the other way)
+    // hash-mismatches.
     QEntry.sql(
       "emb_margin_mine",
-      s"""WITH ${bucketsSql(bits = 4)},
+      s"""WITH ${bucketsAutoSql()},
          |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
          |    CAST(round(list_dot_product(a.e, b.e) /
          |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9)
@@ -1809,7 +1849,7 @@ object PipelineQueries {
       Similarity.marginMinePairs(
         embeddings(s, d), "vec_id", "embedding",
         isSrc = col("vec_id") % 2 === 0,
-        kR = 10, bits = 4, dim = EmbDim, minMargin = 0.0)
+        kR = 10, dim = EmbDim, minMargin = 0.0)
     },
 
     // E90/E123 persisted-index READ path, oracled: the entry WRITES the

@@ -126,4 +126,80 @@ class MarginMineSpec extends SparkSpec {
     assert(out == Map(0L -> 1L, 2L -> 3L),
       s"margin mining must recover both true alignments past the hub, got $out")
   }
+
+  test("autoBits: integer-exact, floor 4, ceiling 32, covers 100 TB-scale counts") {
+    assert(Similarity.autoBits(0L) == 4)
+    assert(Similarity.autoBits(4096L) == 4) // 2^4 * 256 = 4096 exactly
+    assert(Similarity.autoBits(4097L) == 5)
+    assert(Similarity.autoBits(20000L) == 7)
+    assert(Similarity.autoBits(1000000L) == 12)
+    assert(Similarity.autoBits(400L * 1000L * 1000L * 1000L) == 31) // ~100 TB of 64-dim floats
+    assert(Similarity.autoBits(Long.MaxValue) == 32)
+    // monotone non-decreasing over a coarse sweep (a regression here would
+    // silently re-open the fixed-bucket quadratic)
+    val sweep = Seq(1L, 100L, 10000L, 1000000L, 100000000L, 10000000000L).map(Similarity.autoBits)
+    assert(sweep == sweep.sorted, s"autoBits must be monotone in n, got $sweep")
+  }
+
+  test("default bucketing keeps cross-set candidate volume linear as the corpus grows") {
+    val s = spark
+    import s.implicits._
+    val d4 = 4
+    // deterministic pseudo-random directions via md5-derived components —
+    // same recipe as the hyperplanes, so no RNG in the spec
+    def mk(n: Int) = s.range(n.toLong).select(col("id").as("vec_id"))
+      .withColumn("embedding",
+        expr("transform(sequence(0, 3), i -> " +
+          "cast(cast(conv(substr(md5(concat(cast(vec_id as string), ':', cast(i as string))), 1, 4), 16, 10) " +
+          "as double) / 65536.0 - 0.5 as float))"))
+    def candidateVolume(n: Int): Long = {
+      val bits = Similarity.autoBits(n.toLong)
+      Similarity.lshBuckets(mk(n), "vec_id", "embedding", bits = bits, dim = d4)
+        .groupBy("bucket")
+        .agg((sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)) *
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))).as("pairs"))
+        .agg(sum("pairs")).head().getLong(0)
+    }
+    val small = candidateVolume(4096)
+    val big = candidateVolume(16384)
+    // fixed-bits bucketing grows pairs quadratically: 4x corpus -> ~16x
+    // pairs. AutoBits grows the bucket count instead: 4x corpus -> ~4x
+    // pairs. 8x is the midpoint guard (dim-4 signatures are coarse, so
+    // occupancy is noisier than at dim 64).
+    assert(big.toDouble / small <= 8.0,
+      s"auto-bits candidate volume must grow ~linearly: $small -> $big " +
+        s"(ratio ${big.toDouble / small})")
+  }
+
+  test("hot-bucket cap drops the skew bucket, keeps the rest, and logs") {
+    // 200 identical src + 200 identical tgt vectors pile into ONE bucket
+    // (identical signatures at any bits): per-side df 200 > cap
+    // max(64, 16*ceil(404^0.25)) = 80 -> dropped. The aligned pair points
+    // the OPPOSITE direction, lands in the complementary bucket, survives.
+    val blobSrc = (0 until 200).map(i => (2L * i + 100000L) -> v(0 -> 0.2f))
+    val blobTgt = (0 until 200).map(i => (2L * i + 200001L) -> v(0 -> 0.2f))
+    def neg(bumps: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(-1f)
+      bumps.foreach { case (i, d) => a(i) += d }
+      a.toSeq
+    }
+    val pair = Seq(0L -> neg(0 -> -0.30f), 1L -> neg(0 -> -0.31f))
+    val emb = vecsDF((blobSrc ++ blobTgt ++ pair): _*)
+    val out = Similarity
+      .marginMinePairs(emb, "vec_id", "embedding",
+        isSrc = col("vec_id") % 2 === 0, kR = 2, dim = dim)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(!out.exists { case (a, b) => a >= 100000L || b >= 100000L },
+      s"the hot blob bucket must be capped out of the candidate join, got $out")
+    assert(out == Map(0L -> 1L), s"cap must not touch the cold bucket's pair, got $out")
+    // exact mode keeps the blob
+    val exact = Similarity
+      .marginMinePairs(emb, "vec_id", "embedding",
+        isSrc = col("vec_id") % 2 === 0, kR = 2, dim = dim, maxBucketDf = Long.MaxValue)
+      .collect()
+    assert(exact.exists(r => r.getLong(0) >= 100000L),
+      "exact mode (maxBucketDf = Long.MaxValue) must keep hot-bucket pairs")
+  }
 }
