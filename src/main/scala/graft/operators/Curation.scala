@@ -802,10 +802,15 @@ object Curation {
     * 256-bucket hashed bag-of-words weights by logistic regression, entirely
     * as joins and aggregates. Per step: z_d = round₆(Σ w_b·cnt_db / n_d)
     * (exact DECIMAL ladder, one division), p_d = ⌊10⁶·σ(z_d)⌋ quantized to
-    * ppm, residual r_d = p_d − 10⁶·y_d (INTEGER), gradient g_b = Σ_d
-    * r_d·cnt_db (an exact integer sum — summation-order-independent, so
-    * 1000 executors' partials merge bit-identically), update w_b ←
-    * round₉(w_b − g_b/(n_docs·10⁶/lr)). The only libm calls (exp in σ)
+    * ppm, residual r_d = p_d − 10⁶·y_d (INTEGER), then q_d =
+    * ⌊10³·r_d/n_d⌋ — the per-doc 1/n_d factor that makes the gradient
+    * match the MEAN-feature forward pass (without it long documents pull
+    * the weights proportionally harder than their own logit scaling, the
+    * round-16 advisory): gradient g_b = Σ_d q_d·cnt_db (an exact integer
+    * sum — summation-order-independent, so 1000 executors' partials merge
+    * bit-identically; q_d's single floor-of-IEEE-division is pinned per
+    * doc BEFORE the sum, never accumulated), update w_b ←
+    * round₉(w_b − g_b/(n_docs·10⁹/lr)). The only libm calls (exp in σ)
     * happen on the round₆-pinned z and quantize immediately to an integer,
     * per DETERMINISM.md: no float ever accumulates.
     *
@@ -849,7 +854,8 @@ object Curation {
       .localCheckpoint()
     val nDocs = tk.select("_doc").distinct().count()
     require(nDocs > 0, "trainLinearQuality needs at least one tokenized doc")
-    val divisor = nDocs * (1000000.0 / lr)
+    // q_d carries ppm·10³ scaling (the 10³ is the 1/n_d quantization grain)
+    val divisor = nDocs * (1000000000.0 / lr)
     var w = spark
       .range(buckets)
       .select(col("id").as("bucket"), lit(0.0).cast("decimal(18,9)").as("weight"))
@@ -864,11 +870,16 @@ object Curation {
           count(lit(1)).as("_n"),
           sum("_w").cast("decimal(28,9)").cast("double").as("_s")
         )
-        .select(col("_doc"), col("_y"), round(col("_s") / col("_n"), 6).as("_z"))
+        .select(col("_doc"), col("_y"), col("_n"), round(col("_s") / col("_n"), 6).as("_z"))
       val resid = z.select(
         col("_doc"),
-        (floor(lit(1000000.0) / (lit(1.0) + exp(-col("_z")))).cast("long")
-          - when(col("_y"), 1000000L).otherwise(0L)).as("_r")
+        // q_d = floor(1000 * r_d / n_d): the mean-feature gradient scaling,
+        // quantized to an integer per doc so the bucket sums stay exact
+        floor(
+          (floor(lit(1000000.0) / (lit(1.0) + exp(-col("_z")))).cast("long")
+            - when(col("_y"), 1000000L).otherwise(0L)).cast("double")
+            * 1000.0 / col("_n").cast("double"))
+          .cast("long").as("_r")
       )
       val grad = tk
         .join(resid, Seq("_doc"))
@@ -1835,8 +1846,12 @@ object Curation {
     * small-calibration degeneracy.
     *
     * Plan shape: one group-keyed window over the calibration slice (ranks
-    * within each group only), one broadcast-size threshold table, one
-    * gating join; group cardinality bounds all state.
+    * within each group only); the test slice is gated by an INNER
+    * broadcast-hash join with the group-cardinality gate table as the
+    * build side, and gate groups with no test rows are restored by a
+    * tiny-to-tiny left join after aggregation. Group cardinality bounds
+    * all state. Test rows in groups with zero calibration rows are
+    * excluded from the report (no threshold exists for them).
     *
     * @param calibPred boolean Column over `df` marking the calibration rows
     * @return one row per group: (groupCol, n_cal, k, threshold, n_test,
@@ -1872,15 +1887,27 @@ object Curation {
       .select(col("_g"), col("_s").as("threshold"))
     val gate = calStats.join(thresholds, Seq("_g"), "left") // null = +∞ (k > n_cal)
     val test = base.filter(!col("_cal"))
-    test
-      .join(broadcast(gate), Seq("_g"), "right")
-      .groupBy("_g", "n_cal", "k", "threshold")
+    // The corpus-size join is an INNER join with the group-cardinality gate
+    // table broadcast as the build side (an outer join preserving the gate
+    // cannot also broadcast it: BroadcastHashJoin only builds the
+    // non-preserved side). Gate groups with zero test rows are restored by
+    // the tiny-to-tiny left join below. Test rows whose group has NO
+    // calibration rows are EXCLUDED from the report by design — there is
+    // no threshold to gate them against; surface them upstream if a group
+    // can legitimately appear test-only.
+    val perGroup = test
+      .join(broadcast(gate), Seq("_g"))
+      .groupBy("_g")
       .agg(
         count(col("_s")).cast("long").as("n_test"),
         sum(when(col("_s").isNotNull &&
           (col("threshold").isNull || col("_s") <= col("threshold")), 1L)
           .otherwise(0L)).cast("long").as("n_kept")
       )
+    gate
+      .join(perGroup, Seq("_g"), "left")
+      .withColumn("n_test", coalesce(col("n_test"), lit(0L)))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
       .withColumn("kept_ppm",
         when(col("n_test") > 0, expr("n_kept * 1000000L div n_test")).otherwise(lit(null))
           .cast("long"))
@@ -1974,17 +2001,27 @@ object Curation {
     * noisy-aggregate release that lets a curation pipeline publish corpus
     * composition statistics (per-source doc counts, per-language token
     * totals) without exposing any individual document's membership. The
-    * classic Laplace mechanism (Dwork et al. 2006): a COUNT has sensitivity
-    * 1, so adding Laplace(0, 1/ε) noise makes the release ε-DP; sequential
-    * composition means a pipeline releasing k such statistics spends k·ε
-    * of its budget (the `epsilon`/`sensitivity`/`scale` columns are the
-    * per-release ledger entries an accountant sums).
+    * noise shape is the classic Laplace mechanism (Dwork et al. 2006): a
+    * COUNT has sensitivity 1, noise is Laplace(0, 1/ε).
     *
-    * The noise draw is SEEDED, not RNG: u = (h + 0.5)/2⁵², h the 52-bit
-    * md5 of (seed, group key), pushed through the Laplace inverse CDF
-    * −b·sgn(2u−1)·ln(1−|2u−1|). Determinism is a feature twice over — the
-    * release is reproducible for audit (re-running the pipeline cannot
-    * "re-roll" a luckier draw, which would silently burn budget), and the
+    * THE GUARANTEE IS CONDITIONAL, NOT ε-DP IN GENERAL: the draw is
+    * derived deterministically from (seed, group key) alone, so anyone
+    * who knows — or can guess — the seed inverts the noise exactly and
+    * recovers the true count. The release is ε-DP-STYLE only under the
+    * operational discipline that the seed is (a) secret from every
+    * release consumer and (b) used for AT MOST ONE release (reusing it
+    * across releases of overlapping statistics correlates the draws,
+    * which breaks the composition accounting too). Treat the
+    * `epsilon`/`sensitivity`/`scale` columns as a bookkeeping ledger of
+    * what the release WOULD spend under that discipline — not as a
+    * self-certifying privacy budget; a real adversarial deployment should
+    * mix a non-replayable secret (e.g. an HSM-held key) into the seed.
+    *
+    * Within that framing, the seeded draw is a feature twice over: u =
+    * (h + 0.5)/2⁵², h the 52-bit md5 of (seed, group key), pushed through
+    * the Laplace inverse CDF −b·sgn(2u−1)·ln(1−|2u−1|) — the release is
+    * reproducible for audit (re-running the pipeline cannot "re-roll" a
+    * luckier draw, which would silently burn budget), and the
     * draw is engine-portable (the DuckDB twin replays it hash-for-hash;
     * noisy_count rounds to 4 per DETERMINISM.md's libm policy — ln appears
     * once, same expression order both engines, never a ranking key).

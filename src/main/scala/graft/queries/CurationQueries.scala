@@ -932,9 +932,11 @@ object CurationQueries {
     // 1000) — the seed-classifier bootstrap a curation pipeline runs before
     // E229 inference and E325 calibration. Determinism is structural:
     // exact-DECIMAL per-doc logits (one division, round₆), ppm-quantized
-    // sigmoid (floor — boundary-safe), INTEGER gradient sums
-    // (summation-order-independent across 1000 executors), round₉ weight
-    // updates. The twin unrolls the three steps CTE-for-CTE and
+    // sigmoid (floor — boundary-safe), per-doc residuals scaled by 1/n_d
+    // (q_d = floor(1000·r_d/n_d) — the mean-feature gradient, so long docs
+    // pull exactly as hard as their logit scaling says), INTEGER gradient
+    // sums (summation-order-independent across 1000 executors), round₉
+    // weight updates. The twin unrolls the three steps CTE-for-CTE and
     // hash-matches the final weight table — a trainer that mis-joined a
     // residual, dropped an empty bucket, or let a float accumulate
     // diverges.
@@ -950,13 +952,15 @@ object CurationQueries {
              |      / count(*), 6) AS z
              |  FROM tk JOIN w${k - 1} ON tk.b = w${k - 1}.bucket
              |  GROUP BY tk.doc_id, tk.y),
-             |r$k AS (SELECT doc_id, CAST(floor(1000000.0 / (1.0 + exp(-z))) AS BIGINT)
-             |    - (CASE WHEN y THEN 1000000 ELSE 0 END) AS r FROM z$k),
+             |r$k AS (SELECT doc_id, CAST(floor(
+             |    CAST(CAST(floor(1000000.0 / (1.0 + exp(-z))) AS BIGINT)
+             |      - (CASE WHEN y THEN 1000000 ELSE 0 END) AS DOUBLE)
+             |    * 1000.0 / n) AS BIGINT) AS r FROM z$k),
              |g$k AS (SELECT tk.b AS bucket, CAST(sum(r$k.r) AS BIGINT) AS g
              |  FROM tk JOIN r$k USING (doc_id) GROUP BY tk.b),
              |w$k AS (SELECT w${k - 1}.bucket,
              |    CAST(round(CAST(w${k - 1}.w AS DOUBLE)
-             |      - CAST(COALESCE(g$k.g, 0) AS DOUBLE) / (nd.n_docs * 250000.0), 9)
+             |      - CAST(COALESCE(g$k.g, 0) AS DOUBLE) / (nd.n_docs * 250000000.0), 9)
              |      AS DECIMAL(18,9)) AS w
              |  FROM w${k - 1} LEFT JOIN g$k USING (bucket) CROSS JOIN nd)"""
         }.mkString

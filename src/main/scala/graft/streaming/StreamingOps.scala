@@ -554,10 +554,29 @@ object StreamingOps {
       .map(_.getPath)
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
       .sortBy(_.getName)
+    // a replay may legitimately produce FEWER files than the original
+    // attempt (different shuffle partitioning / AQE between attempts), so
+    // clearing only the indices being overwritten would leave the original
+    // attempt's higher-k files serving duplicate rows. Delete the epoch's
+    // ENTIRE previous file set first, then rename — and require each
+    // rename to succeed, or the batch would silently drop rows.
+    fs.listStatus(base)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(s"batch$batchId-") && n.endsWith(".parquet")
+      }
+      .foreach { stale =>
+        if (!fs.delete(stale, false))
+          throw new java.io.IOException(
+            s"mvMaintainLoop: failed to delete stale replay file $stale for batch $batchId")
+      }
     dataFiles.zipWithIndex.foreach { case (src, k) =>
       val dst = new org.apache.hadoop.fs.Path(base, f"batch$batchId-$k%05d.parquet")
-      if (fs.exists(dst)) fs.delete(dst, false)
-      fs.rename(src, dst)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"mvMaintainLoop: rename $src -> $dst failed for batch $batchId " +
+            "(rows would be silently dropped from the base)")
     }
     fs.delete(staging, true)
     // a replayed epoch REPLACES its own base files in place — drop the

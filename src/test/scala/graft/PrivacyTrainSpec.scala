@@ -174,6 +174,29 @@ class PrivacyTrainSpec extends SparkSpec {
       .collect()(0)
     val ppm = kept.getLong(6)
     assert(ppm >= 850000L, s"empirical coverage $ppm ppm too far below the 90% guarantee")
+
+    // the corpus-size join must actually BUILD on the gate side: the old
+    // right-outer shape put the broadcast hint on the preserved side,
+    // which Spark silently ignores (no BroadcastHashJoin materialized)
+    val plan = graft.operators.Curation
+      .conformalGate(big, "g", "score", col("cal"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"gate join must be a broadcast hash join, got:\n$plan")
+
+    // groups with zero calibration rows are excluded from the report by
+    // design (no threshold exists); gate groups with zero TEST rows survive
+    // with n_test = 0
+    val mixed = (
+      (1 to 10).map(i => ("calOnly", i.toLong, true)) ++
+        Seq(("testOnly", 5L, false))
+      ).toDF("g", "score", "cal")
+    val mix = graft.operators.Curation
+      .conformalGate(mixed, "g", "score", col("cal"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!mix.contains("testOnly"), "ungated test-only groups are excluded")
+    assert(mix("calOnly").getLong(4) == 0L && mix("calOnly").getLong(5) == 0L &&
+      mix("calOnly").isNullAt(6), "zero-test gate groups report n_test=0, null ppm")
   }
 
   test("trainLinearQuality with zero steps of signal: all-equal labels push all weights one way") {

@@ -78,6 +78,37 @@ class StreamingMvSpec extends SparkSpec {
     }
   }
 
+  test("a replay that writes FEWER files than the original attempt leaves no stale files") {
+    withTempDir { dir =>
+      MvRewrite.clear()
+      val defn = mkDefn(dir)
+      batchDF(0, 10).write.parquet(defn.basePath)
+      MvRewrite.build(spark, defn)
+      MvRewrite.persist(spark, s"$dir/cat", defn)
+      val loop = StreamingOps.mvMaintainLoop(s"$dir/cat", defn)
+
+      // original attempt lands epoch 0 as 4 files
+      loop(batchDF(10, 50).repartition(4), 0L)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+      def epochFiles(): Seq[String] = fs
+        .listStatus(new org.apache.hadoop.fs.Path(defn.basePath))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("batch0-") && n.endsWith(".parquet"))
+        .toSeq.sorted
+      assert(epochFiles().size == 4)
+
+      // replay the SAME epoch as 1 file (different partitioning between
+      // attempts — the AQE/shuffle case): the original's higher-k files
+      // must be deleted, not left serving duplicate rows
+      loop(batchDF(10, 50).repartition(1), 0L)
+      assert(epochFiles().size == 1,
+        s"replay must clear the original attempt's whole file set, got ${epochFiles()}")
+      assert(spark.read.parquet(defn.basePath).count() == 50L,
+        "a narrower replay must not leave duplicate rows behind")
+      assertFresh(defn)
+    }
+  }
+
   test("the happy path is the incremental one: MV bytes change without a full rebuild signature") {
     withTempDir { dir =>
       MvRewrite.clear()
