@@ -522,6 +522,9 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     require(catalog.tableExists(dataset), s"$dataset dataset does not exist")
     val dsPath = catalog.tablePath(dataset)
     val masterPath = catalog.tablePath(tableName)
+    // optimistic concurrency: the base signature at staging-read time is
+    // re-verified under the writer claim at commit (FragmentTxn.run)
+    val baseSig = FragmentTxn.signature(spark, Seq(masterPath, dsPath))
     val frags = readFragments(dataset)
     // SQL DELETE removes rows where the predicate is TRUE; null keeps
     val hit = coalesce(cond, lit(false))
@@ -549,7 +552,8 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     //    as one journal, so a crash mid-swap rolls FORWARD (FragmentTxn),
     //    never serving a master missing rows a fragment still carries
     FragmentTxn.run(spark, dataRoot, swapPlan(
-      masterPath, masterStaging, dsPath, fragStaging, affectedParts.toSeq, hfs))
+      masterPath, masterStaging, dsPath, fragStaging, affectedParts.toSeq, hfs),
+      expect = Some(FragmentTxn.Expect(Seq(masterPath, dsPath), baseSig)))
     nDeleted
   }
 
@@ -623,6 +627,8 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     require(catalog.tableExists(dataset), s"$dataset dataset does not exist")
     val dsPath = catalog.tablePath(dataset)
     val masterPath = catalog.tablePath(tableName)
+    // optimistic concurrency: verified under the writer claim at commit
+    val baseSig = FragmentTxn.signature(spark, Seq(masterPath, dsPath))
     val src = source
       .select(
         col("userid").cast(IntegerType),
@@ -725,7 +731,8 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     // 3) commit — reads done; the swap plan publishes as one journal so a
     //    crash mid-swap rolls forward (FragmentTxn), never a mixed state
     FragmentTxn.run(spark, dataRoot, swapPlan(
-      masterPath, masterStaging, dsPath, fragStaging, affectedParts.toSeq, hfs))
+      masterPath, masterStaging, dsPath, fragStaging, affectedParts.toSeq, hfs),
+      expect = Some(FragmentTxn.Expect(Seq(masterPath, dsPath), baseSig)))
     // 4) counters
     if (nInserted > 0) {
       catalog.writeNextRowId(tableName, nextId + nInserted)
@@ -785,6 +792,13 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     require(catalog.tableExists(dataset), s"$dataset dataset does not exist")
     val dsPath = catalog.tablePath(dataset)
     val masterPath = catalog.tablePath(tableName)
+    // optimistic concurrency: this signature covers everything the swap
+    // plan below is DERIVED from (the master anti-join and the validation
+    // join both read the state as of here). The SQL statement's own scan
+    // ran earlier; a writer that committed in between is caught by the
+    // identity/placement validation (its rows supersede the scanned ids)
+    // or by this check when it touched the same directories.
+    val baseSig = FragmentTxn.signature(spark, Seq(masterPath, dsPath))
     // ONE materialization of the rewrite stream; every later job re-reads
     // the checkpoint, not the executors' staged spill files
     val rewrite = rewrite0
@@ -885,7 +899,8 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     FragmentTxn.run(spark, dataRoot, Seq(
       FragmentTxn.Op("swap", masterPath, masterStaging.toString),
       FragmentTxn.Op("swap", dsPath, fragStaging.toString),
-      FragmentTxn.Op("ensure", dsPath)))
+      FragmentTxn.Op("ensure", dsPath)),
+      expect = Some(FragmentTxn.Expect(Seq(masterPath, dsPath), baseSig)))
     // 4) counters: fresh ids consumed, round-robin advanced by the inserts
     if (nInserted > 0) {
       catalog.writeNextRowId(tableName, nextId + nInserted)

@@ -45,8 +45,34 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * mixed state; the contract is "rolled forward by the first engine
   * operation past the grace", which shrinks the exposure from
   * until-manual-repair to at-most-grace.
+  *
+  * ISOLATION between LIVE writers (not just crash atomicity): every
+  * engine mutation captures the base [[signature]] of the directories its
+  * staging reads derive from, and [[run]] re-verifies it under the
+  * per-warehouse writer claim immediately before publishing the journal.
+  * Two writers that both staged from the same base state serialize at the
+  * claim: the first publishes, the second's signature check fails and the
+  * statement is rejected whole ([[ConcurrentWriteException]], staging
+  * swept, base untouched, retry-safe) — last-publish-wins lost updates
+  * cannot happen.
   */
 private[graft] object FragmentTxn {
+
+  /** Thrown when a journaled mutation loses the optimistic concurrency
+    * check: the dataset/master state changed between the statement's
+    * staging reads and its commit (another writer published first), or a
+    * live writer currently holds the mutation claim. The statement is
+    * REJECTED whole — its staging directories are swept, no live directory
+    * was touched — and is safe to retry from scratch against the new base.
+    */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  /** The optimistic-concurrency expectation a mutation carries to its
+    * commit: `paths` are the live directories the statement's staging
+    * reads were derived from, `signature` their [[signature]] at read
+    * time.
+    */
+  case class Expect(paths: Seq[String], signature: String)
 
   /** One journal step. `kind`:
     *   - `swap`: if `staged` exists — delete `target`, rename staged over it
@@ -79,30 +105,127 @@ private[graft] object FragmentTxn {
   private def graceMs(spark: SparkSession): Long =
     spark.conf.getOption(GraceConfKey).map(_.toLong).getOrElse(DefaultGraceMs)
 
+  /** Stable signature of the CURRENT on-disk state of `paths`: an md5 over
+    * the sorted (path, length, mtime) triples of every visible file under
+    * each root (hidden `.`-staging and `_`-metadata entries excluded — a
+    * concurrent writer's in-flight staging must not perturb the base
+    * signature). Parquet part-file names carry per-write UUIDs, so ANY
+    * committed rewrite of a directory changes the signature even when row
+    * bytes and timestamps collide. Listing cost is the mutation surface's
+    * own metadata scale: the same directories the statement is about to
+    * stage-and-swap.
+    */
+  def signature(spark: SparkSession, paths: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.sorted.foreach { root =>
+      val p = new Path(root)
+      val fs = hfs(spark, p)
+      def walk(d: Path): Unit =
+        fs.listStatus(d).sortBy(_.getPath.getName).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith(".") && !n.startsWith("_")) {
+            if (st.isDirectory) walk(st.getPath)
+            else md.update(
+              s"$n|${st.getLen}|${st.getModificationTime}\n"
+                .getBytes(StandardCharsets.UTF_8))
+          }
+        }
+      if (fs.exists(p)) { md.update(s"$root\n".getBytes(StandardCharsets.UTF_8)); walk(p) }
+      else md.update(s"$root|absent\n".getBytes(StandardCharsets.UTF_8))
+    }
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Acquire the per-warehouse writer claim (exclusive create), stealing a
+    * claim older than the dead-claim grace — IndexCommit's arbitration
+    * primitive applied to mutations. Returns false when a LIVE writer
+    * holds it.
+    */
+  private def acquireWriterClaim(fs: FileSystem, claim: Path, grace: Long): Boolean = {
+    def tryCreate(): Boolean =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (tryCreate()) true
+    else {
+      val stale =
+        try fs.getFileStatus(claim).getModificationTime <= System.currentTimeMillis() - grace
+        catch { case _: java.io.FileNotFoundException => true }
+      if (stale) { fs.delete(claim, false); tryCreate() }
+      else false
+    }
+  }
+
+  /** Sweep a rejected statement's staging directories (its live targets
+    * were never touched).
+    */
+  private def sweepStaging(fs: FileSystem, ops: Seq[Op]): Unit =
+    ops.foreach { op =>
+      if (op.staged.nonEmpty) fs.delete(new Path(op.staged), true)
+      if (op.kind == "rmstaging") fs.delete(new Path(op.target), true)
+    }
+
   /** Run one journaled mutation: publish the plan, apply it, clean up.
     * Must be called with every staging directory already written.
+    *
+    * With `expect` set, the commit is OPTIMISTICALLY CONCURRENT: under the
+    * per-warehouse writer claim (exclusive create + dead-claim grace), the
+    * expected base [[signature]] is re-verified immediately before the
+    * journal publishes — a second live writer that staged from the same
+    * base state as a first one is REJECTED with
+    * [[ConcurrentWriteException]] (staging swept, base untouched) instead
+    * of silently overwriting the first writer's committed mutation.
+    * Without `expect` the call is the bare crash-atomicity protocol
+    * (recovery roll-forward uses it — a recovered plan was already past
+    * its commit point).
     */
-  def run(spark: SparkSession, dataRoot: String, ops: Seq[Op]): Unit = {
+  def run(
+      spark: SparkSession,
+      dataRoot: String,
+      ops: Seq[Op],
+      expect: Option[Expect] = None
+  ): Unit = {
     val dir = txnDir(dataRoot)
     val fs = hfs(spark, dir)
     fs.mkdirs(dir)
-    val id = java.util.UUID.randomUUID().toString
-    val journal = new Path(dir, s"txn-$id.log")
-    val claim = new Path(dir, s"txn-$id.claim")
-    // claim BEFORE publishing: a concurrent recover must never start
-    // applying a plan whose writer is alive and about to apply it itself
-    fs.create(claim, false).close()
-    val tmp = new Path(dir, s".txn-$id.log.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
-      ops.map(o => s"${o.kind}\t${o.target}\t${o.staged}")
-        .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // atomic publish: the journal appears complete or not at all
-    fs.rename(tmp, journal)
-    apply(spark, fs, ops)
-    fs.delete(journal, false)
-    fs.delete(claim, false)
+    val writerClaim = new Path(dir, "writer.claim")
+    val locked = expect.isDefined && {
+      if (!acquireWriterClaim(fs, writerClaim, graceMs(spark))) {
+        sweepStaging(fs, ops)
+        throw new ConcurrentWriteException(
+          "another writer holds the mutation claim on this warehouse; " +
+            "statement rejected (staging swept) — retry after it commits")
+      }
+      true
+    }
+    try {
+      expect.foreach { e =>
+        val now = signature(spark, e.paths)
+        if (now != e.signature) {
+          sweepStaging(fs, ops)
+          throw new ConcurrentWriteException(
+            "concurrent write detected: the dataset changed between this " +
+              "statement's staging reads and its commit; statement rejected " +
+              "(staging swept, base intact) — retry against the new state")
+        }
+      }
+      val id = java.util.UUID.randomUUID().toString
+      val journal = new Path(dir, s"txn-$id.log")
+      val claim = new Path(dir, s"txn-$id.claim")
+      // claim BEFORE publishing: a concurrent recover must never start
+      // applying a plan whose writer is alive and about to apply it itself
+      fs.create(claim, false).close()
+      val tmp = new Path(dir, s".txn-$id.log.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        ops.map(o => s"${o.kind}\t${o.target}\t${o.staged}")
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // atomic publish: the journal appears complete or not at all
+      fs.rename(tmp, journal)
+      apply(spark, fs, ops)
+      fs.delete(journal, false)
+      fs.delete(claim, false)
+    } finally if (locked) fs.delete(writerClaim, false)
   }
 
   /** Roll forward any published-but-unfinished mutation under `dataRoot`.

@@ -110,4 +110,59 @@ class FragmentTxnSpec extends SparkSpec {
       assert(journals(root).isEmpty && stagingDirs(root).isEmpty)
     } finally spark.conf.unset(FragmentTxn.GraceConfKey)
   }
+
+  test("two live writers: the second (stale-base) commit is rejected, the first intact") {
+    val s = spark
+    import s.implicits._
+    val (e, root) = newEngine()
+    val masterPath = s"$root/ratings"
+    val dsPath = s"$root/${FragmentEngine.RangeDataset}"
+    // writer 2 captures its base signature FIRST (stale by commit time)
+    val staleSig = FragmentTxn.signature(spark, Seq(masterPath, dsPath))
+
+    // writer 1 commits a real mutation in between
+    val nHit = e.rangeFragments().filter(col("rating") === 4.5).count()
+    assert(nHit > 0)
+    val deleted = e.deleteWhereStrict(FragmentEngine.RangeDataset, "ratings",
+      col("rating") === 4.5)
+    assert(deleted == nHit)
+    val masterAfterW1 = e.master("ratings").count()
+
+    // writer 2 stages its own (now stale) rewrite and tries to commit
+    val w2Staging = s"$root/.ratings.staging-test-w2"
+    e.master("ratings").limit(1).write.parquet(w2Staging)
+    val ex = intercept[FragmentTxn.ConcurrentWriteException] {
+      FragmentTxn.run(spark, root,
+        Seq(FragmentTxn.Op("swap", masterPath, w2Staging)),
+        expect = Some(FragmentTxn.Expect(Seq(masterPath, dsPath), staleSig)))
+    }
+    assert(ex.getMessage.contains("concurrent write detected"))
+    // writer 1's state is intact, writer 2's staging was swept
+    assert(e.master("ratings").count() == masterAfterW1)
+    assert(e.rangeFragments().filter(col("rating") === 4.5).count() == 0)
+    assert(!new java.io.File(w2Staging).exists(), "rejected staging must be swept")
+    assert(journals(root).isEmpty)
+
+    // a LIVE writer claim blocks a second expect-carrying commit outright
+    val claim = new java.io.File(s"$root/_txn/writer.claim")
+    claim.getParentFile.mkdirs()
+    assert(claim.createNewFile())
+    val freshSig = FragmentTxn.signature(spark, Seq(masterPath, dsPath))
+    e.master("ratings").limit(1).write.parquet(w2Staging)
+    try {
+      val ex2 = intercept[FragmentTxn.ConcurrentWriteException] {
+        FragmentTxn.run(spark, root,
+          Seq(FragmentTxn.Op("swap", masterPath, w2Staging)),
+          expect = Some(FragmentTxn.Expect(Seq(masterPath, dsPath), freshSig)))
+      }
+      assert(ex2.getMessage.contains("holds the mutation claim"))
+    } finally claim.delete()
+
+    // and a fresh-signature, unclaimed commit goes through (retry works)
+    val retrySig = FragmentTxn.signature(spark, Seq(masterPath, dsPath))
+    assert(e.mergeIntoStrict(FragmentEngine.RangeDataset, "ratings",
+      Seq((9001, 9001, 3.0)).toDF("userid", "movieid", "rating"))._2 == 1L)
+    assert(FragmentTxn.signature(spark, Seq(masterPath, dsPath)) != retrySig,
+      "a committed mutation must change the base signature")
+  }
 }
