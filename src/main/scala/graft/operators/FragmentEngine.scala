@@ -79,14 +79,48 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
           org.apache.spark.sql.Row(f(0).toInt, f(1).toInt, f(2).toDouble, idx)
         }
       val df = spark.createDataFrame(rows, masterSchema)
-      df.write.mode(SaveMode.Overwrite).parquet(catalog.tablePath(tableName))
+      withMb(df).write.mode(SaveMode.Overwrite)
+        .partitionBy("mb").parquet(catalog.tablePath(tableName))
       // seed the insert counter (parquet metadata count — no data scan)
       catalog.writeNextRowId(tableName, master(tableName).count())
     } catch { case NonFatal(e) => logErr("loadRatings")(e) }
 
   def master(tableName: String = "ratings"): DataFrame = {
     recoverPending()
+    // project the internal mb bucket column out (absent on legacy flat
+    // masters) — the master CONTRACT is the 4-column schema either way
     spark.read.parquet(catalog.tablePath(tableName))
+      .select("userid", "movieid", "rating", "_rowid")
+  }
+
+  /** Master-mirror bucket span: masters persist Hive-partitioned by
+    * `mb = _rowid div span`, so a row-level mutation stages and swaps ONLY
+    * the buckets holding a removed/updated/inserted `_rowid` — partition-
+    * granular copy-on-write for the master, symmetric with the fragments
+    * (previously every mutation rewrote the master WHOLE, a full-table
+    * write for a 10-row UPDATE at any master size). Range-of-rowid
+    * bucketing (not hash) keeps inserts append-only in the LAST bucket and
+    * clusters a statement's fresh ids into few buckets. The layout is
+    * internal — readers go through [[master]], which projects `mb` out.
+    * Default 2²⁰ rows ≈ 24 MB buckets at this row width; override with
+    * `spark.graft.masterBucketSpan` (tests use tiny spans).
+    */
+  private def masterBucketSpan: Long =
+    spark.conf.getOption(FragmentEngine.MasterBucketSpanKey)
+      .map(_.toLong).getOrElse(1L << 20)
+
+  private def withMb(df: DataFrame): DataFrame =
+    df.withColumn("mb", expr(s"_rowid div ${masterBucketSpan}L"))
+
+  /** Legacy flat masters (written before bucketing, or handed in directly)
+    * have no `mb=` directories; they migrate to the bucketed layout on
+    * their first journaled mutation and stay flat for pure appends.
+    */
+  private def masterHasMbLayout(masterPath: String): Boolean = {
+    val p = new Path(masterPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("mb="))
   }
 
   // ---- partitioning --------------------------------------------------------
@@ -300,7 +334,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       val df = spark.createDataFrame(rows, masterSchema)
       val cnt = df.count()
       if (cnt > 0) {
-        df.write.mode(SaveMode.Append).parquet(catalog.tablePath(tableName))
+        appendMaster(tableName, df)
         df.withColumn("part", pmod(col("_rowid") + (meta.lastInserted + 1 - nextId), lit(n.toLong)).cast(IntegerType))
           .write
           .mode(SaveMode.Append)
@@ -332,9 +366,19 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       java.util.List.of(org.apache.spark.sql.Row(u, m, r, nextId)),
       masterSchema
     )
-    df.write.mode(SaveMode.Append).parquet(catalog.tablePath(tableName))
+    appendMaster(tableName, df)
     catalog.writeNextRowId(tableName, nextId + 1)
     nextId
+  }
+
+  /** Append rows to the master, matching its on-disk layout: bucketed
+    * (`mb=` dirs, mixed layouts break partition discovery) or legacy flat.
+    */
+  private def appendMaster(tableName: String, df: DataFrame): Unit = {
+    val path = catalog.tablePath(tableName)
+    if (masterHasMbLayout(path))
+      withMb(df).write.mode(SaveMode.Append).partitionBy("mb").parquet(path)
+    else df.write.mode(SaveMode.Append).parquet(path)
   }
 
   private def appendToFragment(
@@ -496,10 +540,11 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     * that actually contain matches are rewritten (survivors staged, then
     * swapped in; a fragment whose rows are all deleted is removed outright),
     * so a one-fragment delete touches one directory no matter how many
-    * fragments exist. The master table has no partition axis and is
-    * rewritten whole via the same stage-then-swap — the cost any
-    * copy-on-write table format pays for a delete against an unpartitioned
-    * table. All reads complete before the first swap; the one crash
+    * fragments exist. The master mirror is equally partition-granular:
+    * only the `mb=` row-id buckets holding a deleted `_rowid` are staged
+    * and swapped ([[stageMasterCow]] — a small delete against a huge
+    * master rewrites a bounded bucket set, not the whole table).
+    * All reads complete before the first swap; the one crash
     * exposure is BETWEEN the master swap and the fragment swaps (master
     * already misses rows a fragment still carries) — the same
     * non-transactional multi-directory window as the dual-write insert,
@@ -535,12 +580,14 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     val nDeleted = matches.count()
     val hfs = new Path(dsPath).getFileSystem(spark.sessionState.newHadoopConf())
     val stagingOf = stagingNamer("delete")
-    // 1) stage master survivors (anti-join on the deleted load ids)
+    // 1) stage master survivors of ONLY the affected mb buckets (anti-join
+    //    on the deleted load ids)
     val masterStaging = stagingOf(masterPath)
-    master(tableName)
-      .join(matches.select("_rowid"), Seq("_rowid"), "left_anti")
-      .select("userid", "movieid", "rating", "_rowid")
-      .write.mode(SaveMode.Overwrite).parquet(masterStaging.toString)
+    val masterOps = stageMasterCow(tableName, masterPath, masterStaging,
+      removedIds = matches.select("_rowid"),
+      replacements = spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](), masterSchema),
+      hfs = hfs)
     // 2) stage survivors of ONLY the affected fragment directories
     val fragStaging = stagingOf(dsPath)
     frags
@@ -552,7 +599,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     //    as one journal, so a crash mid-swap rolls FORWARD (FragmentTxn),
     //    never serving a master missing rows a fragment still carries
     FragmentTxn.run(spark, dataRoot, swapPlan(
-      masterPath, masterStaging, dsPath, fragStaging, affectedParts.toSeq, hfs),
+      masterOps, dsPath, fragStaging, affectedParts.toSeq, hfs),
       expect = Some(FragmentTxn.Expect(Seq(masterPath, dsPath), baseSig)))
     nDeleted
   }
@@ -570,20 +617,76 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     }
   }
 
-  /** The journaled swap plan shared by the partition-granular mutations:
-    * master swap, then per affected fragment a swap (staged survivors) or a
-    * delete (fragment emptied), then staging cleanup and the emptied-dataset
-    * schema seed.
+  /** Stage the post-mutation master copy-on-write and return its swap ops.
+    *
+    * Bucketed layout (every master [[loadRatings]] writes): only the `mb=`
+    * buckets holding a removed, updated, or inserted `_rowid` are staged
+    * and swapped — a small statement against a huge master touches a
+    * bounded set of bucket directories, never the whole table. Legacy flat
+    * layout: the whole master is staged BUCKETED and swapped whole — the
+    * one-time migration that makes every later mutation partition-granular.
+    *
+    * @param removedIds   `_rowid` frame of old-master rows the statement
+    *                     supersedes (anti-join key)
+    * @param replacements the statement's new/updated rows (4-col schema)
     */
-  private def swapPlan(
+  private def stageMasterCow(
+      tableName: String,
       masterPath: String,
       masterStaging: Path,
+      removedIds: DataFrame,
+      replacements: DataFrame,
+      hfs: org.apache.hadoop.fs.FileSystem
+  ): Seq[FragmentTxn.Op] = {
+    val repl = replacements.select("userid", "movieid", "rating", "_rowid")
+    if (!masterHasMbLayout(masterPath)) {
+      withMb(
+        master(tableName)
+          .join(removedIds.select("_rowid"), Seq("_rowid"), "left_anti")
+          .select("userid", "movieid", "rating", "_rowid")
+          .unionByName(repl))
+        .write.mode(SaveMode.Overwrite).partitionBy("mb").parquet(masterStaging.toString)
+      Seq(FragmentTxn.Op("swap", masterPath, masterStaging.toString))
+    } else {
+      val span = masterBucketSpan
+      // bucket set of every id the statement touches — metadata-sized
+      // (bounded by statement size / span, not master size)
+      val affectedMb = removedIds.select("_rowid")
+        .unionByName(repl.select("_rowid"))
+        .select(expr(s"_rowid div ${span}L").as("mb"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      withMb(master(tableName))
+        .filter(col("mb").isin(affectedMb.toSeq: _*))
+        .join(removedIds.select("_rowid"), Seq("_rowid"), "left_anti")
+        .select(col("userid"), col("movieid"), col("rating"), col("_rowid"), col("mb"))
+        .unionByName(withMb(repl)
+          .select(col("userid"), col("movieid"), col("rating"), col("_rowid"), col("mb")))
+        .write.mode(SaveMode.Overwrite).partitionBy("mb").parquet(masterStaging.toString)
+      affectedMb.map { b =>
+        val orig = new Path(masterPath, s"mb=$b")
+        val staged = new Path(masterStaging, s"mb=$b")
+        // no staged dir = the bucket emptied: its directory goes away
+        if (hfs.exists(staged)) FragmentTxn.Op("swap", orig.toString, staged.toString)
+        else FragmentTxn.Op("delete", orig.toString)
+      }.toSeq ++ Seq(
+        FragmentTxn.Op("rmstaging", masterStaging.toString),
+        FragmentTxn.Op("ensuremb", masterPath))
+    }
+  }
+
+  /** The journaled swap plan shared by the partition-granular mutations:
+    * the (already partition-granular) master ops, then per affected
+    * fragment a swap (staged survivors) or a delete (fragment emptied),
+    * then staging cleanup and the emptied-dataset schema seed.
+    */
+  private def swapPlan(
+      masterOps: Seq[FragmentTxn.Op],
       dsPath: String,
       fragStaging: Path,
       affectedParts: Seq[Int],
       hfs: org.apache.hadoop.fs.FileSystem
   ): Seq[FragmentTxn.Op] =
-    Seq(FragmentTxn.Op("swap", masterPath, masterStaging.toString)) ++
+    masterOps ++
       affectedParts.map { p =>
         val orig = new Path(dsPath, s"part=$p")
         val staged = new Path(fragStaging, s"part=$p")
@@ -613,9 +716,10 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     * Copy-on-write at PARTITION granularity: only fragment directories
     * that lose, gain, or change a row are rewritten (old fragment of every
     * matched row ∪ routed fragment of every changed/inserted row — a
-    * fragment-count-bounded set); the unpartitioned master is staged and
-    * swapped whole, the cost any COW format pays on an unpartitioned
-    * table. Returns (matched, inserted) counts.
+    * fragment-count-bounded set); the master is bucketed by row-id range
+    * and only the buckets holding a matched or inserted `_rowid` are
+    * staged and swapped ([[stageMasterCow]]). Returns (matched, inserted)
+    * counts.
     */
   def mergeIntoStrict(
       dataset: String,
@@ -703,15 +807,15 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
 
     val stagingOf = stagingNamer("merge")
     val hfs = new Path(dsPath).getFileSystem(spark.sessionState.newHadoopConf())
-    // 1) stage the new master: matched mirrors replaced by _rowid, inserts
-    //    appended, everything else untouched
+    // 1) stage the new master content of ONLY the affected mb buckets:
+    //    matched mirrors replaced by _rowid, inserts appended, every other
+    //    bucket untouched on disk
     val masterStaging = stagingOf(masterPath)
-    master(tableName)
-      .join(matched.select("_rowid"), Seq("_rowid"), "left_anti")
-      .select("userid", "movieid", "rating", "_rowid")
-      .unionByName(matched.select("userid", "movieid", "rating", "_rowid"))
-      .unionByName(inserts.select("userid", "movieid", "rating", "_rowid"))
-      .write.mode(SaveMode.Overwrite).parquet(masterStaging.toString)
+    val masterOps = stageMasterCow(tableName, masterPath, masterStaging,
+      removedIds = matched.select("_rowid"),
+      replacements = matched.select("userid", "movieid", "rating", "_rowid")
+        .unionByName(inserts.select("userid", "movieid", "rating", "_rowid")),
+      hfs = hfs)
     // 2) stage the new content of ONLY the affected fragment directories:
     //    untouched survivors + re-routed matches + routed inserts
     val fragStaging = stagingOf(dsPath)
@@ -731,7 +835,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     // 3) commit — reads done; the swap plan publishes as one journal so a
     //    crash mid-swap rolls forward (FragmentTxn), never a mixed state
     FragmentTxn.run(spark, dataRoot, swapPlan(
-      masterPath, masterStaging, dsPath, fragStaging, affectedParts.toSeq, hfs),
+      masterOps, dsPath, fragStaging, affectedParts.toSeq, hfs),
       expect = Some(FragmentTxn.Expect(Seq(masterPath, dsPath), baseSig)))
     // 4) counters
     if (nInserted > 0) {
@@ -878,14 +982,15 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
       .unionByName(insertsRouted.select("userid", "movieid", "rating", "_rowid", "part"))
 
     val stagingOf = stagingNamer("replace")
-    // 1) stage the new master: unfragmented rows survive as-is, everything
-    //    the old dataset mirrored is superseded by the replacement rows
+    // 1) stage the new master content of the affected mb buckets:
+    //    unfragmented rows survive as-is, everything the old dataset
+    //    mirrored is superseded by the replacement rows
     val masterStaging = stagingOf(masterPath)
-    master(tableName)
-      .join(ds.select("_rowid"), Seq("_rowid"), "left_anti")
-      .select("userid", "movieid", "rating", "_rowid")
-      .unionByName(newContent.select("userid", "movieid", "rating", "_rowid"))
-      .write.mode(SaveMode.Overwrite).parquet(masterStaging.toString)
+    val hfs = new Path(dsPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val masterOps = stageMasterCow(tableName, masterPath, masterStaging,
+      removedIds = ds.select("_rowid"),
+      replacements = newContent.select("userid", "movieid", "rating", "_rowid"),
+      hfs = hfs)
     // 2) stage the new dataset content (fragment-routed rows only)
     val fragStaging = stagingOf(dsPath)
     newContent
@@ -896,8 +1001,7 @@ final class FragmentEngine(val spark: SparkSession, val dataRoot: String) {
     //    emptied-dataset schema seed keeps a rewrite that routed zero rows
     //    (every row moved out-of-domain, or a row-level DELETE matched all)
     //    readable for every subsequent read and DML
-    FragmentTxn.run(spark, dataRoot, Seq(
-      FragmentTxn.Op("swap", masterPath, masterStaging.toString),
+    FragmentTxn.run(spark, dataRoot, masterOps ++ Seq(
       FragmentTxn.Op("swap", dsPath, fragStaging.toString),
       FragmentTxn.Op("ensure", dsPath)),
       expect = Some(FragmentTxn.Expect(Seq(masterPath, dsPath), baseSig)))
@@ -934,6 +1038,11 @@ object FragmentEngine {
   /** Hard-coded rating domain (reference `Interface1.py:122-123`). */
   val DomainMin = 0.0
   val DomainMax = 5.0
+
+  /** Conf key overriding the master-mirror bucket span (rows per `mb=`
+    * bucket, default 2²⁰) — see [[FragmentEngine.master]]'s layout notes.
+    */
+  val MasterBucketSpanKey = "spark.graft.masterBucketSpan"
 
   val masterSchema: StructType = StructType(
     Seq(

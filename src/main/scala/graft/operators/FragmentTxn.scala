@@ -83,6 +83,8 @@ private[graft] object FragmentTxn {
     *   - `ensure`: seed `target` with one zero-row schema-carrying fragment
     *     file when no `part=` directory survived (an emptied dataset must
     *     stay readable — schema inference fails on a bare directory).
+    *   - `ensuremb`: same seed for the bucketed MASTER mirror (`mb=`
+    *     directories).
     */
   case class Op(kind: String, target: String, staged: String = "")
 
@@ -296,31 +298,34 @@ private[graft] object FragmentTxn {
           }
         case "delete" => fs.delete(new Path(op.target), true)
         case "rmstaging" => fs.delete(new Path(op.target), true)
-        case "ensure" => ensureReadableDataset(spark, op.target, fs)
+        case "ensure" => ensureReadableDataset(spark, op.target, fs, "part")
+        case "ensuremb" => ensureReadableDataset(spark, op.target, fs, "mb")
         case other => throw new IllegalStateException(s"unknown txn op: $other")
       }
       applied += 1
     }
   }
 
-  /** A fragment dataset whose every row was deleted has no `part=`
-    * directories left, and a bare directory breaks the next read's schema
-    * inference — so seed ONE zero-row fragment file carrying the schema:
-    * readers see an empty, well-typed dataset (the reference's
-    * empty-but-selectable table), and later inserts append normally.
+  /** A dataset whose every row was deleted has no partition directories
+    * left, and a bare directory breaks the next read's schema inference —
+    * so seed ONE zero-row fragment file carrying the schema: readers see
+    * an empty, well-typed dataset (the reference's empty-but-selectable
+    * table), and later inserts append normally. `partitionCol` is `part`
+    * for fragment datasets and `mb` for the bucketed master mirror.
     */
   private def ensureReadableDataset(
       spark: SparkSession,
       dsPath: String,
-      fs: FileSystem
+      fs: FileSystem,
+      partitionCol: String
   ): Unit = {
     val dir = new Path(dsPath)
     val hasPart = fs.exists(dir) && fs.listStatus(dir).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith("part="))
+      st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
     if (!hasPart)
       spark
         .createDataFrame(
           java.util.List.of[org.apache.spark.sql.Row](), FragmentEngine.masterSchema)
-        .write.mode(SaveMode.Overwrite).parquet(new Path(dir, "part=0").toString)
+        .write.mode(SaveMode.Overwrite).parquet(new Path(dir, s"$partitionCol=0").toString)
   }
 }

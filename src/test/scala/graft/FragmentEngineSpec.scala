@@ -237,4 +237,60 @@ class FragmentEngineSpec extends SparkSpec {
       assert(e.master().filter(col("userid") === 9).count() === 0)
     }
   }
+
+  test("master mirror is bucketed: a small MERGE rewrites only the touched mb buckets") {
+    withTempDir { root =>
+      val s = spark
+      import s.implicits._
+      spark.conf.set(FragmentEngine.MasterBucketSpanKey, "4")
+      try {
+        val e = freshEngine(root) // 20 rows at span 4 -> mb=0..4
+        e.rangePartition("ratings", 5)
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+        def mbDirs(): Map[String, Set[(String, Long, Long)]] = fs
+          .listStatus(new org.apache.hadoop.fs.Path(s"$root/ratings"))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("mb="))
+          .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
+            .map(st => (st.getPath.getName, st.getModificationTime, st.getLen)).toSet)
+          .toMap
+        val before = mbDirs()
+        assert(before.keySet == Set("mb=0", "mb=1", "mb=2", "mb=3", "mb=4"),
+          s"20-row master at span 4 must hold 5 buckets, got ${before.keySet}")
+
+        // update the row with _rowid 0 (bucket mb=0) and insert one new row
+        // (fresh id 20 -> the NEW bucket mb=5); buckets 1..4 are untouched
+        val r0 = e.master().filter(col("_rowid") === 0L).head()
+        val src = Seq(
+          (r0.getInt(0), r0.getInt(1), 2.0),
+          (555, 666, 4.5)
+        ).toDF("userid", "movieid", "rating")
+        val (nm, ni) = e.mergeIntoStrict(FragmentEngine.RangeDataset, "ratings", src)
+        assert((nm, ni) === ((1L, 1L)))
+
+        val after = mbDirs()
+        assert(after.keySet == before.keySet + "mb=5",
+          "the insert's fresh id must open ONLY the next bucket")
+        for (b <- Seq("mb=1", "mb=2", "mb=3", "mb=4"))
+          assert(after(b) == before(b),
+            s"untouched master bucket $b must stay byte+mtime identical")
+        assert(after("mb=0") != before("mb=0"), "the updated row's bucket rewrites")
+        // content contract intact through the 4-column master surface
+        assert(e.master().count() == 21L)
+        assert(e.master().filter(col("_rowid") === 0L).head().getAs[Double]("rating") == 2.0)
+        assert(e.master().columns.toSeq ==
+          Seq("userid", "movieid", "rating", "_rowid"), "mb stays internal")
+
+        // a DELETE against one bucket equally leaves the others untouched
+        val beforeDel = mbDirs()
+        val del = e.deleteWhereStrict(FragmentEngine.RangeDataset, "ratings",
+          col("_rowid") === 5L) // bucket mb=1
+        assert(del == 1L)
+        val afterDel = mbDirs()
+        for (b <- Seq("mb=0", "mb=2", "mb=3", "mb=4", "mb=5"))
+          assert(afterDel(b) == beforeDel(b),
+            s"bucket $b must survive a one-row delete untouched")
+        assert(afterDel("mb=1") != beforeDel("mb=1"))
+      } finally spark.conf.unset(FragmentEngine.MasterBucketSpanKey)
+    }
+  }
 }
