@@ -26,6 +26,60 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** Manifest a compaction leaves INSIDE the rewritten directory: the
+    * replaced/produced data-file names plus an order-independent content
+    * stat (row count + exact DECIMAL sum of per-row xxhash64 over the
+    * name-sorted columns) computed on the source AND re-verified on the
+    * rewrite before the swap — the proof that the epoch changed FILES but
+    * not ROWS. The underscore prefix keeps it invisible to parquet readers
+    * and to [[graft.plans.MvRewrite]]'s base manifests; MvRewrite's
+    * compaction-aware refresh consumes it to remap an MV's per-file
+    * sidecar instead of dropping the MV.
+    */
+  val ManifestName = "_graft_compaction.json"
+
+  case class CompactionManifest(
+      replaced: Seq[String],
+      produced: Seq[String],
+      rows: Long,
+      contentHash: String
+  )
+
+  private lazy val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  /** Order-independent content stat of a parquet path: (rows, exact
+    * DECIMAL(38,0) sum of xxhash64 over the name-sorted columns). Sum (not
+    * xor) so duplicate rows count; DECIMAL so the sum can never overflow
+    * (ANSI-safe) and compares exactly cross-run.
+    */
+  def contentStat(spark: SparkSession, paths: Seq[String]): (Long, String) = {
+    val df = spark.read.parquet(paths: _*)
+    val cols = df.columns.sorted.map(col)
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(cols: _*).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h")
+    ).head()
+    (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
+  }
+
+  def readManifest(spark: SparkSession, dir: String): Option[CompactionManifest] = {
+    val p = new Path(dir, ManifestName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in: java.io.InputStream = fs.open(p)
+      try Some(mapper.readValue(in, classOf[CompactionManifest]))
+      finally in.close()
+    }
+  }
+
   /** @return (filesBefore, filesAfter) parquet data-file counts */
   def compactParquet(
       spark: SparkSession,
@@ -40,6 +94,7 @@ object Compaction {
     val before = dataFiles(path)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val (srcRows, srcHash) = contentStat(spark, Seq(dir))
     val tmp = new Path(path.getParent, path.getName + "_compacting")
     spark.read
       .parquet(dir)
@@ -47,6 +102,25 @@ object Compaction {
       .write
       .mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
+    // self-check BEFORE the swap: a rewrite that lost or duplicated a row
+    // must never replace the live copy
+    val (outRows, outHash) = contentStat(spark, Seq(tmp.toString))
+    if (outRows != srcRows || outHash != srcHash) {
+      fs.delete(tmp, true)
+      sys.error(
+        s"compaction: rewrite content mismatch (rows $srcRows -> $outRows, " +
+          s"hash $srcHash -> $outHash) — rewrite discarded, $dir untouched")
+    }
+    // the manifest travels INSIDE the rewrite so the swap publishes it
+    // atomically with the files it describes
+    val manifest = CompactionManifest(
+      replaced = before.map(_.getPath.getName).sorted.toSeq,
+      produced = dataFiles(tmp).map(_.getPath.getName).sorted.toSeq,
+      rows = srcRows,
+      contentHash = srcHash)
+    val mOut = fs.create(new Path(tmp, ManifestName), true)
+    try mOut.write(mapper.writeValueAsBytes(manifest))
+    finally mOut.close()
     val backup = new Path(path.getParent, path.getName + "_precompact")
     if (fs.exists(backup) && !fs.delete(backup, true))
       sys.error(s"compaction: could not clear stale backup $backup")

@@ -413,7 +413,24 @@ object MvRewrite {
             (old.keySet -- now.keySet).nonEmpty &&
             (now.keySet -- old.keySet).nonEmpty
           }
-          if (!appendOnly && !deleteOnly && !mixedChurn) None
+          // the engine's OWN compaction: files replaced wholesale but rows
+          // provably identical — the directory's compaction manifest names
+          // exactly the removed/produced files and its content stat
+          // re-verifies over the produced files. The ROLLUP is unchanged
+          // by construction; only the per-file sidecar needs remapping.
+          // (Covers the full-directory rewrite mixedChurn cannot: common
+          // may be EMPTY here.)
+          val compactionEpoch = old.nonEmpty && now.nonEmpty &&
+            !appendOnly && !deleteOnly && !mixedChurn && {
+              val common = old.keySet & now.keySet
+              common.forall(p => old(p) == now(p)) &&
+              scala.util.Try(compactionProof(
+                spark, rec.basePath,
+                removedNames = (old.keySet -- now.keySet).map(fileName),
+                addedPaths = (now.keySet -- old.keySet).toSeq.sorted
+              )).getOrElse(false)
+            }
+          if (!appendOnly && !deleteOnly && !mixedChurn && !compactionEpoch) None
           else
             try {
               val appended = (now.keySet -- old.keySet).toSeq.sorted
@@ -422,6 +439,10 @@ object MvRewrite {
                   refreshAppended(spark, defn, appended)
                   true
                 } else if (deleteOnly) refreshDeleted(spark, defn, now.keySet)
+                else if (compactionEpoch)
+                  // rollup provably identical: remap the sidecar only
+                  remapSidecarCompaction(
+                    spark, defn, old.keySet & now.keySet, appended)
                 else {
                   // mixed: delete half first (sidecar rows for appended
                   // files don't exist yet, so pruning to `now` keeps
@@ -507,6 +528,70 @@ object MvRewrite {
         .mode("append")
         .parquet(sidecarPath(defn.mvPath))
     }
+  }
+
+  private def fileName(p: String): String = new Path(p).getName
+
+  /** True iff the base directory's compaction manifest explains EXACTLY
+    * this listing diff — replaced names == the removed set, produced names
+    * == the added set — AND the produced files' recomputed content stat
+    * (rows + exact hash sum) matches what the compaction recorded. The
+    * re-verification costs one scan of the compacted slice, the same order
+    * as the sidecar remap that follows it.
+    */
+  private def compactionProof(
+      spark: SparkSession,
+      basePath: String,
+      removedNames: Set[String],
+      addedPaths: Seq[String]
+  ): Boolean =
+    graft.operators.Compaction.readManifest(spark, basePath).exists { m =>
+      removedNames.nonEmpty && addedPaths.nonEmpty &&
+      m.replaced.toSet == removedNames &&
+      m.produced.toSet == addedPaths.map(fileName).toSet && {
+        val (rows, hash) = graft.operators.Compaction.contentStat(spark, addedPaths)
+        rows == m.rows && hash == m.contentHash
+      }
+    }
+
+  /** Remap the per-file sidecar across a PROVEN compaction epoch: keep the
+    * surviving files' partials, recompute partials over the produced files
+    * (one scan of the compacted slice — never the whole base), and leave
+    * the MV rollup untouched: the manifest proves it aggregates exactly
+    * the same rows, so the refreshed MV is byte-identical to what a direct
+    * rebuild would produce. Returns false when this MV predates the
+    * sidecar (those keep the DROP semantics).
+    */
+  private def remapSidecarCompaction(
+      spark: SparkSession,
+      defn: MvDef,
+      survivingFiles: Set[String],
+      producedPaths: Seq[String]
+  ): Boolean = {
+    val scPath = new Path(sidecarPath(defn.mvPath))
+    val fs = scPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(scPath)) return false
+    val sidecar = spark.read.parquet(sidecarPath(defn.mvPath))
+    val scTypes = sidecar.schema.fields.map(f => f.name -> f.dataType).toMap
+    val survivors = survivingFiles.map(k => new Path(k).toString)
+    val keep = sidecar
+      .select(col(FileCol))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .filter(raw => survivors.contains(new Path(raw).toString))
+      .toIndexedSeq
+    import spark.implicits._
+    val kept = sidecar.join(broadcast(keep.toDF(FileCol)), FileCol)
+    val aggs = buildAggs(defn)
+    val fresh = spark.read
+      .parquet(producedPaths: _*)
+      .groupBy((input_file_name().as(FileCol) +: defn.groupCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(sidecar.columns.toIndexedSeq.map(c => col(c).cast(scTypes(c)).as(c)): _*)
+    val remapped = kept.unionByName(fresh).localCheckpoint()
+    remapped.write.mode("overwrite").parquet(sidecarPath(defn.mvPath))
+    true
   }
 
   /** Rebuild the MV from the sidecar partials of the SURVIVING base files —

@@ -424,6 +424,70 @@ object RelationalQueries {
       out
     },
 
+    // E422 compaction-aware MV refresh: the base directory is rewritten by
+    // the engine's OWN small-file compaction (every data file replaced,
+    // rows provably identical — the in-directory compaction manifest
+    // records the replaced/produced names and a content stat that
+    // loadCatalog re-verifies over the produced files). The churn class
+    // that used to DROP the MV (full-file-set replacement fails every
+    // listing-diff check) now remaps the per-file sidecar over the
+    // produced files and keeps the rollup untouched (the follow-up
+    // delete-churn that refreshes FROM the remapped sidecar is pinned in
+    // MvCompactionSpec — file boundaries aren't SQL-expressible). The
+    // oracle recomputes the aggregate over the slice, so a refresh that
+    // lost rows or broke the rollup hash-mismatches; the plan `require`
+    // proves the MV (not a direct scan) answered.
+    QEntry.sql(
+      "q_mv_compaction_refresh",
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_orderkey % 3 = 0
+        |GROUP BY l_returnflag""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mvq8").toString
+      val fact = s"$dir/fact.parquet"
+      val cat = s"$dir/mvcatalog"
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 3 === 0)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .repartition(6) // several small files for the compaction to merge
+        .write.mode("overwrite").parquet(fact)
+      val defn = graft.plans.MvRewrite.MvDef(
+        fact,
+        s"$dir/mv.parquet",
+        Seq("l_returnflag", "l_linestatus"),
+        Map("sum_qty" -> "l_quantity"),
+        Some("cnt"),
+        mins = Map("min_qty" -> "l_quantity"),
+        maxs = Map("max_qty" -> "l_quantity"),
+        counts = Map("cnt_qty" -> "l_quantity")
+      )
+      graft.plans.MvRewrite.build(s, defn)
+      graft.plans.MvRewrite.persist(s, cat, defn)
+      // the engine's own compaction rewrites the WHOLE file set
+      val (nBefore, nAfter) =
+        graft.operators.Compaction.compactParquet(s, fact, targetBytes = 1L << 30)
+      require(nBefore > nAfter, s"compaction must merge files ($nBefore -> $nAfter)")
+      val loaded = graft.plans.MvRewrite.loadCatalog(s, cat)
+      require(loaded.map(_.mvPath).contains(s"$dir/mv.parquet"),
+        "compaction epoch did not re-register the MV (sidecar remap failed)")
+      val out = s.read
+        .parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).cast("long").as("n_rows")
+        )
+      require(
+        out.queryExecution.executedPlan.toString.contains("mv.parquet"),
+        "MV rewrite did not fire after the compaction refresh"
+      )
+      out
+    },
+
     // E408 MV sidecar BACKFILL, end-to-end: an MV persisted WITHOUT the
     // per-file partial-agg sidecar (the pre-E399 layout — simulated by
     // deleting the `<mv>_files` dir the modern build writes) would drop on
