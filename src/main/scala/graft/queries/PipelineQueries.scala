@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextAnalysis
-import graft.operators.{Compaction, Dedup, IncrementalAgg, Sampling, Similarity}
+import graft.operators.{Compaction, Curation, Dedup, IncrementalAgg, Sampling, Similarity}
 
 /** Training-data pipeline inventory: deduplication (exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine) and similarity search
@@ -632,6 +632,117 @@ object PipelineQueries {
         )
     },
 
+    // E425 END-TO-END data-selection pipeline — the shape a real curation
+    // run uses, composed WITHOUT a driver round-trip between stages:
+    // (1) split-conformal quality gate per lang at 9/10 coverage (E418) on
+    // the token-count score, calibration = doc_id % 10 < 3; (2) near-dup
+    // dedup over the resolved cluster fixpoint — the min KEPT id of each
+    // cluster survives; (3) DoReMi reweighting (E417, 2 rounds) over the
+    // CURATED corpus yields per-lang mixture weights; (4) the mixture
+    // sampler keeps a doc iff its md5 hash position < min(1, 2·w_lang) —
+    // the E62 sampler driven by LEARNED weights through a broadcast join
+    // instead of a static map. Every stage hands the next a DataFrame;
+    // only DoReMi's internal rounds checkpoint. The twin replays the gate
+    // (exact-rank threshold), the recursive-CTE cluster fixpoint, the
+    // integer-quantized DoReMi ledger and the hash-position sampler, so a
+    // pipeline that broke ANY stage's contract — or the handoffs between
+    // them — hash-mismatches.
+    QEntry.sql(
+      "pipe_mixture_curation", {
+        val hashpos =
+          """CAST(list_sum(list_transform(range(1, 9), i ->
+            |  (strpos('0123456789abcdef',
+            |          substr(md5(CAST(ded.doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+            |  * pow(16, 8 - i))) AS DOUBLE) / 4294967296.0""".stripMargin
+        val doremiRounds = (1 to 2).map { k =>
+          val prev = if (k == 1) "w0" else s"w${k - 1}"
+          s""",
+             |dm$k AS (SELECT CAST(sum(CAST(round(w * h_mean * 1e9, 0) AS BIGINT))
+             |    AS BIGINT) AS mq FROM $prev),
+             |ds$k AS MATERIALIZED (SELECT dm, h_mean,
+             |    CAST(round(w * exp(0.5 * (h_mean - CAST(mq AS DOUBLE) / 1e9)) * 1e9, 0)
+             |      AS BIGINT) AS wq
+             |  FROM $prev CROSS JOIN dm$k),
+             |dd$k AS (SELECT CAST(sum(wq) AS BIGINT) AS dq FROM ds$k),
+             |w$k AS MATERIALIZED (SELECT dm, h_mean,
+             |    round(CAST(wq AS DOUBLE) / CAST(dq AS DOUBLE), 6) AS w
+             |  FROM ds$k CROSS JOIN dd$k)"""
+        }.mkString
+        s"""WITH RECURSIVE pairs AS ($pairsSql),
+           |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |cc(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id),
+           |docs2 AS (SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id),
+           |sc AS (SELECT doc_id, lang, text,
+           |    CAST(len($wordsSql) AS BIGINT) AS score,
+           |    doc_id % 10 < 3 AS cal FROM documents),
+           |cs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cal,
+           |    CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+           |  FROM sc WHERE cal GROUP BY lang),
+           |rk AS (SELECT lang, score,
+           |    row_number() OVER (PARTITION BY lang ORDER BY score) AS rn
+           |  FROM sc WHERE cal),
+           |thr AS (SELECT cs.lang, r.score AS threshold
+           |  FROM cs LEFT JOIN rk r ON r.lang = cs.lang AND r.rn = cs.k),
+           |kept AS (SELECT sc.doc_id, sc.lang, sc.text FROM sc
+           |  JOIN thr ON sc.lang = thr.lang
+           |  WHERE NOT sc.cal AND (thr.threshold IS NULL OR sc.score <= thr.threshold)),
+           |kd AS (SELECT kept.doc_id, kept.lang, kept.text, d2.cluster_id
+           |  FROM kept JOIN docs2 d2 ON d2.id = kept.doc_id),
+           |reps AS (SELECT cluster_id, min(doc_id) AS kid FROM kd GROUP BY cluster_id),
+           |ded AS MATERIALIZED (SELECT kd.doc_id, kd.lang, kd.text FROM kd
+           |  JOIN reps ON kd.cluster_id = reps.cluster_id AND kd.doc_id = reps.kid),
+           |tok AS MATERIALIZED (SELECT lang AS dm, t, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT lang, unnest($wordsSql) AS t
+           |        FROM (SELECT lang, text FROM ded) x0) x
+           |  WHERE t <> '' GROUP BY lang, t),
+           |ct AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM tok GROUP BY t),
+           |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tok),
+           |h AS MATERIALIZED (SELECT dm,
+           |    round(CAST(CAST(sum(c * CAST(round(ln(CAST(n AS DOUBLE)
+           |      / CAST(ct AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DECIMAL(28,9))
+           |      AS DOUBLE) / sum(c), 6) AS h_mean
+           |  FROM tok JOIN ct USING (t) CROSS JOIN n GROUP BY dm),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndom FROM h),
+           |w0 AS (SELECT dm, h_mean, round(1.0 / ndom, 6) AS w
+           |  FROM h CROSS JOIN nd)$doremiRounds
+           |SELECT ded.doc_id, ded.lang, w2.w AS w_2
+           |FROM ded JOIN w2 ON ded.lang = w2.dm
+           |WHERE $hashpos < least(1.0, w2.w * 2)"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val scored = docs.select(
+        col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("score"),
+        (col("doc_id") % 10 < 3).as("cal"))
+      // stage 1: split-conformal gate per lang (9/10 coverage)
+      val gate = Curation.conformalGate(scored, "lang", "score", col("cal"))
+        .select(col("lang"), col("threshold"))
+      val kept = scored
+        .filter(!col("cal"))
+        .join(broadcast(gate), Seq("lang"))
+        .filter(col("threshold").isNull || col("score") <= col("threshold"))
+      // stage 2: near-dup dedup — min KEPT id per resolved cluster survives
+      val kd = kept.join(
+        resolvedClusters(s, d).select(col("doc_id"), col("cluster_id")), "doc_id")
+      val reps = kd.groupBy("cluster_id").agg(min("doc_id").as("kid"))
+      val ded = kd.join(reps, "cluster_id")
+        .filter(col("doc_id") === col("kid"))
+        .select("doc_id", "lang", "text")
+      // stage 3: DoReMi weights over the CURATED corpus (2 rounds)
+      val w = Curation.doremiWeights(ded, "lang", "text", eta = 0.5, rounds = 2)
+        .select(col("lang"), col("w_2"))
+      // stage 4: mixture sample with the LEARNED weights via broadcast join
+      ded.join(broadcast(w), Seq("lang"))
+        .filter(Sampling.hashPosition(col("doc_id")) < least(lit(1.0), col("w_2") * 2))
+        .select(col("doc_id"), col("lang"), col("w_2"))
+    },
+
     // Cluster-size distribution — the dedup observability rollup (how much
     // mass sits in near-dup clusters vs singletons) read before choosing a
     // keep policy. Composes the cluster resolution with a two-level count.
@@ -1189,9 +1300,9 @@ object PipelineQueries {
       }
     ) { (s, d) =>
       val docs = documents(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-spidx").resolve("idx").toString
-      Dedup.buildSpanIndex(docs, "doc_id", "text", dir)
+      val dir = SharedBuild.dir(s, d, "spidx") { root =>
+        Dedup.buildSpanIndex(docs, "doc_id", "text", s"$root/idx")
+      } + "/idx"
       val batch = docs
         .filter(col("doc_id") % 10 === 7)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -1874,9 +1985,10 @@ object PipelineQueries {
          |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val emb = embeddings(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lshidx").resolve("lsh").toString
-      Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, bits = 4, dim = EmbDim)
+      val dir = SharedBuild.dir(s, d, "lshidx") { root =>
+        Similarity.buildLshIndex(emb, "vec_id", "embedding", s"$root/lsh",
+          bits = 4, dim = EmbDim)
+      } + "/lsh"
       Similarity
         .lshTopKFromIndex(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
           dir, bits = 4, dim = EmbDim)
@@ -2036,9 +2148,10 @@ object PipelineQueries {
          |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val emb = embeddings(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-mpidx").resolve("lsh").toString
-      Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, bits = 4, dim = EmbDim)
+      val dir = SharedBuild.dir(s, d, "lshidx") { root =>
+        Similarity.buildLshIndex(emb, "vec_id", "embedding", s"$root/lsh",
+          bits = 4, dim = EmbDim)
+      } + "/lsh"
       Similarity
         .lshMultiProbeTopKFromIndex(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
           dir, bits = 4, nProbe = 3, dim = EmbDim)
@@ -2115,10 +2228,11 @@ object PipelineQueries {
         |WHERE rank <= 10""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val emb = embeddings(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ivfidx").resolve("ivf").toString
-      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir)
-      Similarity.appendIvfIndex(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", dir, 1L)
+      val dir = SharedBuild.dir(s, d, "ivfidx") { root =>
+        val ivf = s"$root/ivf"
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", ivf)
+        Similarity.appendIvfIndex(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", ivf, 1L)
+      } + "/ivf"
       Similarity
         .ivfTopKFromIndex(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, dir,
           nProbe = 3)
@@ -2352,9 +2466,9 @@ object PipelineQueries {
       }
     ) { (s, d) =>
       val docs = documents(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-mhidx").resolve("idx").toString
-      Dedup.buildMinhashIndex(docs, "doc_id", "text", dir)
+      val dir = SharedBuild.dir(s, d, "mhidx") { root =>
+        Dedup.buildMinhashIndex(docs, "doc_id", "text", s"$root/idx")
+      } + "/idx"
       val batch = docs
         .filter(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -2631,9 +2745,9 @@ object PipelineQueries {
       }
     ) { (s, d) =>
       val docs = documents(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-decon").resolve("idx").toString
-      Dedup.buildMinhashIndex(docs, "doc_id", "text", dir)
+      val dir = SharedBuild.dir(s, d, "mhidx") { root =>
+        Dedup.buildMinhashIndex(docs, "doc_id", "text", s"$root/idx")
+      } + "/idx"
       val bench = docs
         .filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
@@ -2664,12 +2778,13 @@ object PipelineQueries {
       }
     ) { (s, d) =>
       val docs = documents(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-compidx").resolve("idx").toString
-      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
-      Dedup.appendMinhashIndex(docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", dir, 1L)
-      Dedup.appendMinhashIndex(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", dir, 2L)
-      Dedup.compactMinhashIndex(s, dir)
+      val dir = SharedBuild.dir(s, d, "compidx") { root =>
+        val idx = s"$root/idx"
+        Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        Dedup.appendMinhashIndex(docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", idx, 1L)
+        Dedup.appendMinhashIndex(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", idx, 2L)
+        Dedup.compactMinhashIndex(s, idx)
+      } + "/idx"
       val batch = docs
         .filter(col("doc_id") % 100 === 50)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -2696,9 +2811,9 @@ object PipelineQueries {
            |FROM g""".stripMargin.replaceAll("\\s+", " ")
       }
     ) { (s, d) =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-idxstats").resolve("idx").toString
-      Dedup.buildMinhashIndex(documents(s, d), "doc_id", "text", dir)
+      val dir = SharedBuild.dir(s, d, "mhidx") { root =>
+        Dedup.buildMinhashIndex(documents(s, d), "doc_id", "text", s"$root/idx")
+      } + "/idx"
       Dedup.minhashIndexStats(s, dir)
     },
 
@@ -3392,9 +3507,10 @@ object PipelineQueries {
          |WHERE cos >= 0.99""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val emb = embeddings(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-emblsh").resolve("lsh").toString
-      Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, bits = 6, dim = EmbDim)
+      val dir = SharedBuild.dir(s, d, "emblsh") { root =>
+        Similarity.buildLshIndex(emb, "vec_id", "embedding", s"$root/lsh",
+          bits = 6, dim = EmbDim)
+      } + "/lsh"
       val batch = emb
         .filter(col("vec_id") % 40 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -3513,9 +3629,9 @@ object PipelineQueries {
         |WHERE rn <= 10""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val emb = embeddings(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-pqidx").resolve("pq").toString
-      Similarity.buildPqIndex(emb, "vec_id", "embedding", dir)
+      val dir = SharedBuild.dir(s, d, "pqidx") { root =>
+        Similarity.buildPqIndex(emb, "vec_id", "embedding", s"$root/pq")
+      } + "/pq"
       Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, dir)
     },
 
@@ -4599,14 +4715,15 @@ object PipelineQueries {
            |QUALIFY rank <= 10""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val emb = embeddings(s, d)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-hnswidx").resolve("hnsw").toString
-      val evens = emb.filter(col("vec_id") % 2 === 0)
-      val odds = emb.filter(col("vec_id") % 2 === 1)
-      Similarity.buildHnswIndexVersioned(evens, "vec_id", "embedding", root, "builder",
-        dim = EmbDim)
-      Similarity.appendHnswIndexVersioned(evens, odds, "vec_id", "embedding", root,
-        "ingest", dim = EmbDim)
+      val root = SharedBuild.dir(s, d, "hnswidx") { base =>
+        val hnsw = s"$base/hnsw"
+        val evens = emb.filter(col("vec_id") % 2 === 0)
+        val odds = emb.filter(col("vec_id") % 2 === 1)
+        Similarity.buildHnswIndexVersioned(evens, "vec_id", "embedding", hnsw, "builder",
+          dim = EmbDim)
+        Similarity.appendHnswIndexVersioned(evens, odds, "vec_id", "embedding", hnsw,
+          "ingest", dim = EmbDim)
+      } + "/hnsw"
       Similarity
         // hierarchyMinNodes PINNED to 0: the DuckDB twin replays the
         // hierarchical descent, so the small-corpus flat-walk gate (the
@@ -4634,14 +4751,15 @@ object PipelineQueries {
            |QUALIFY rank <= 10""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val emb = embeddings(s, d)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-nswidx").resolve("nsw").toString
-      val evens = emb.filter(col("vec_id") % 2 === 0)
-      val odds = emb.filter(col("vec_id") % 2 === 1)
-      Similarity.buildNswIndexVersioned(evens, "vec_id", "embedding", root, "builder",
-        dim = EmbDim)
-      Similarity.appendNswIndexVersioned(evens, odds, "vec_id", "embedding", root, "ingest",
-        dim = EmbDim)
+      val root = SharedBuild.dir(s, d, "nswidx") { base =>
+        val nsw = s"$base/nsw"
+        val evens = emb.filter(col("vec_id") % 2 === 0)
+        val odds = emb.filter(col("vec_id") % 2 === 1)
+        Similarity.buildNswIndexVersioned(evens, "vec_id", "embedding", nsw, "builder",
+          dim = EmbDim)
+        Similarity.appendNswIndexVersioned(evens, odds, "vec_id", "embedding", nsw, "ingest",
+          dim = EmbDim)
+      } + "/nsw"
       Similarity
         .nswTopKFromCommitted(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           root, 10)
@@ -4664,14 +4782,15 @@ object PipelineQueries {
           .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       val emb = embeddings(s, d)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-nswdiff").resolve("nsw").toString
-      val evens = emb.filter(col("vec_id") % 2 === 0)
-      val odds = emb.filter(col("vec_id") % 2 === 1)
-      Similarity.buildNswIndexVersioned(evens, "vec_id", "embedding", root, "builder",
-        dim = EmbDim)
-      Similarity.appendNswIndexVersioned(evens, odds, "vec_id", "embedding", root, "ingest",
-        dim = EmbDim)
+      val root = SharedBuild.dir(s, d, "nswidx") { base =>
+        val nsw = s"$base/nsw"
+        val evens = emb.filter(col("vec_id") % 2 === 0)
+        val odds = emb.filter(col("vec_id") % 2 === 1)
+        Similarity.buildNswIndexVersioned(evens, "vec_id", "embedding", nsw, "builder",
+          dim = EmbDim)
+        Similarity.appendNswIndexVersioned(evens, odds, "vec_id", "embedding", nsw, "ingest",
+          dim = EmbDim)
+      } + "/nsw"
       graft.operators.IndexCommit.diffVersions(s, root, 1L, 2L)
     },
 

@@ -38,3 +38,26 @@ object QEntry {
   def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): QEntry =
     QEntry(name, run, None)
 }
+
+/** Memoized per-(session, sfDir, key) build directories for entries whose
+  * run is "build a persisted index, then answer FROM it": the build runs
+  * once per process and every later invocation reuses the directory, so
+  * Bench laps 2..N time the FETCH path the entry name describes instead of
+  * re-paying an identical build per lap (and Bench's prewarm pass runs the
+  * builds before lap 1, reported as an explicit setup cost). Verify calls
+  * each entry once, so oracled results never see the memo. ONLY entries
+  * that are read-only against the built directory may use this — a
+  * lifecycle entry that mutates its index per run (forget/repair/ingest)
+  * must keep its private per-run directory.
+  */
+object SharedBuild {
+  private val dirs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+
+  def dir(s: SparkSession, d: String, key: String)(build: String => Unit): String =
+    dirs.getOrElseUpdate((s, d, key), {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$key").toString
+      build(root)
+      root
+    })
+}
