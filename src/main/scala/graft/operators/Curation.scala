@@ -900,6 +900,83 @@ object Curation {
     w.select(col("bucket"), col("weight").cast("double").as("weight"))
   }
 
+  /** RHO-loss data selection (Mindermann et al. 2022, "Prioritized training
+    * on points that are learnable, worth learning, and not yet learnt"):
+    * rank training points by REDUCIBLE holdout loss — the gap between the
+    * point's loss under the model trained on the training split and its
+    * loss under a model trained on a held-out split:
+    *
+    *   rho(x) = L(x; θ_train) − L(x; θ_holdout)
+    *
+    * High rho = the training model still gets x wrong but the holdout model
+    * (which never saw the training split) finds x predictable — learnable
+    * and not yet learnt, exactly the batch worth spending compute on. Low
+    * (negative) rho = noise/mislabeled (both models lose) or already learnt.
+    * The selector the data-efficiency literature runs where loss-only
+    * selection keeps feeding the model unlearnable noise.
+    *
+    * Built entirely on the exact-integer classifier machinery: both models
+    * are [[trainLinearQuality]] runs (integer-gradient GD — bit-reproducible
+    * across engines and partitionings), scoring is [[linearQualityScore]]'s
+    * exact-DECIMAL mean-bucket-weight logit, probabilities are the
+    * boundary-safe floor-ppm sigmoid clamped to [1, 999999] so the log-loss
+    * is finite, and each loss lands as round(−ln(p), 9) → DECIMAL(18,9), so
+    * rho is an exact DECIMAL difference reported in integer NANO-nats. The
+    * top-k cut is (rho DESC, id ASC) via TakeOrdered — partial top-k per
+    * partition before one k-row exchange, never a global sort.
+    *
+    * Docs whose training-split text has no tokens score logit 0 under both
+    * models (rho = loss difference of identical constants = 0) — they stay
+    * in the ranking but never beat a genuinely learnable doc.
+    *
+    * @param holdout boolean column: true → row trains the REFERENCE model
+    *                and is excluded from selection; false → row trains the
+    *                training model and is a selection candidate
+    * @return k rows: (id, n_tokens, loss_tr_nano, loss_ho_nano, rho_nano)
+    */
+  def rhoLossSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      holdout: Column,
+      k: Int,
+      buckets: Int = 256,
+      steps: Int = 2,
+      lr: Double = 4.0
+  ): DataFrame = {
+    require(k > 0, "k > 0")
+    val ho = docs.filter(holdout)
+    val tr = docs.filter(!holdout)
+    def dec(w: DataFrame) =
+      w.select(col("bucket"), col("weight").cast("decimal(18,9)").as("weight"))
+    val wHo = dec(trainLinearQuality(ho, idCol, textCol, label, buckets, steps, lr))
+    val wTr = dec(trainLinearQuality(tr, idCol, textCol, label, buckets, steps, lr))
+    val zTr = linearQualityScore(tr, idCol, textCol, wTr, buckets)
+      .select(col(idCol), col("n_tokens"), col("logit").as("_ztr"))
+    val zHo = linearQualityScore(tr, idCol, textCol, wHo, buckets)
+      .select(col(idCol), col("logit").as("_zho"))
+    def pPpm(z: Column): Column =
+      greatest(least(floor(lit(1000000.0) / (lit(1.0) + exp(-z))).cast("long"),
+        lit(999999L)), lit(1L))
+    def lossNano(p: Column, y: Column): Column =
+      (when(y, round(-log(p.cast("double") / 1000000.0), 9))
+        .otherwise(round(-log((lit(1000000L) - p).cast("double") / 1000000.0), 9))
+        .cast("decimal(18,9)") * 1000000000L).cast("long")
+    tr.select(col(idCol), label.as("_y"))
+      .join(zTr, Seq(idCol))
+      .join(zHo, Seq(idCol))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        lossNano(pPpm(col("_ztr")), col("_y")).as("loss_tr_nano"),
+        lossNano(pPpm(col("_zho")), col("_y")).as("loss_ho_nano")
+      )
+      .withColumn("rho_nano", col("loss_tr_nano") - col("loss_ho_nano"))
+      .orderBy(col("rho_nano").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Calibration report (reliability diagram + expected calibration error)
     * for a probabilistic quality classifier — the eval a pipeline runs
     * before trusting a score as a sampling weight: scores (exact ppm

@@ -2444,4 +2444,84 @@ object Dedup {
       )
       .distinct()
   }
+
+  /** Prefix-filtered EXACT set-similarity self-join (AllPairs / PPJoin
+    * family, Bayardo et al. WWW'07 / Xiao et al. WWW'08): every pair of
+    * documents with shingle-Jaccard ≥ τ, with NO recall loss and NO
+    * equi-blocking columns — the lossless alternative to both the
+    * (lang, source)-blocked exact join ([[ngramJaccardPairs]], which misses
+    * cross-block near-dups by construction) and banded MinHash
+    * ([[minhashCandidatePairs]], which misses pairs probabilistically).
+    *
+    * The filter: order each doc's shingles by GLOBAL rarity (corpus df asc,
+    * shingle asc — one total order both engines agree on), and keep only the
+    * first |X| − ⌈τ·|X|⌉ + 1 as the doc's PREFIX. Theorem: if
+    * J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·(|A|+|B|)/(1+τ)⌉ ≥ ⌈τ·max(|A|,|B|)⌉, and
+    * two sets whose overlap is ≥ α must collide inside their first
+    * |X| − α + 1 elements of ANY shared total order — so every qualifying
+    * pair shares a PREFIX shingle and the equi-join on prefix tokens loses
+    * nothing. Candidates then pass the length filter
+    * (τ·|A| ≤ |B| ≤ |A|/τ, exact integers) and exact array-intersect
+    * verification; survivors report the exact-ppm Jaccard.
+    *
+    * Scale shape: prefix tokens are the RAREST shingles of each doc, so the
+    * candidate equi-join fans out by the df of rare tokens — at τ = 0.6 the
+    * prefix is ~40% of the doc and skips exactly the head-of-Zipf shingles
+    * that make an unfiltered shingle self-join quadratic. Cost is one
+    * df aggregate, one per-doc keyed window (rank by rarity), the
+    * prefix-token equi-join, and an id-keyed verify join — every shuffle
+    * keyed, nothing corpus×corpus. τ rides as exact ppm (⌈τ·n⌉ =
+    * (n·τ_ppm + 999999) div 10⁶) so both engines cut identical prefixes.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tauPpm: Long = 600000L
+  ): DataFrame = {
+    require(tauPpm > 0 && tauPpm <= 1000000L, "tauPpm in (0, 1e6]")
+    val docs = spread(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("id"),
+        array_distinct(shinglesFromWords(TextAnalysis.tokens(col(textCol)))).as("sh")
+      )
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val exploded = docs.select(
+      col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val sdf = exploded.groupBy("s").agg(count(lit(1)).as("sdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("sdf"), col("s"))
+    val prefix = exploded
+      .join(sdf, Seq("s"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= expr(s"sz - ((sz * ${tauPpm}L + 999999L) div 1000000L) + 1L"))
+      .select("id", "sz", "s")
+      .localCheckpoint()
+    val cand = prefix.as("a")
+      .join(
+        prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("b.sz") * 1000000L >= col("a.sz") * tauPpm &&
+          col("a.sz") * 1000000L >= col("b.sz") * tauPpm
+      )
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id1"), col("sh").as("_sha")), Seq("id1"))
+      .join(docs.select(col("id").as("id2"), col("sh").as("_shb")), Seq("id2"))
+      .select(
+        col("id1"),
+        col("id2"),
+        size(array_intersect(col("_sha"), col("_shb"))).cast("long").as("common"),
+        (size(col("_sha")) + size(col("_shb"))).cast("long").as("_tot")
+      )
+      .filter(col("common") * 1000000L >= lit(tauPpm) * (col("_tot") - col("common")))
+      .select(
+        col("id1"),
+        col("id2"),
+        col("common"),
+        expr("common * 1000000L div (_tot - common)").as("jaccard_ppm")
+      )
+  }
 }

@@ -2013,6 +2013,90 @@ object CurationQueries {
          |FROM blk GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Curation.extractMainContent(htmlFixture(documents(s, d)), "doc_id", "html")
+    },
+
+    // E428 RHO-loss selection ([[Curation.rhoLossSelect]]): top-100 training
+    // docs by reducible holdout loss — loss under the training-split model
+    // minus loss under the holdout-split model, both 2-step integer-gradient
+    // GD runs of the E412 trainer. The twin replays BOTH trainings
+    // CTE-for-CTE (split by doc_id % 4), both scoring passes, the clamped
+    // floor-ppm sigmoid, the round₉-DECIMAL log-losses and the
+    // (rho DESC, id) cut — a selector that mixed up its splits, skipped the
+    // clamp, or let a float into either gradient diverges in the hash.
+    QEntry.sql(
+      "cur_rho_select", {
+        val bHash = "CAST(list_sum(list_transform(range(1, 9), i -> " +
+          "(strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1) " +
+          "* pow(16, 8 - i))) AS BIGINT) % 256"
+        def train(p: String, cond: String) = {
+          val steps = (1 to 2).map { k =>
+            s""",
+               |z$p$k AS (SELECT tk.doc_id, tk.y, count(*) AS n,
+               |    round(CAST(CAST(sum(w$p${k - 1}.w) AS DECIMAL(28,9)) AS DOUBLE)
+               |      / count(*), 6) AS z
+               |  FROM tk$p tk JOIN w$p${k - 1} ON tk.b = w$p${k - 1}.bucket
+               |  GROUP BY tk.doc_id, tk.y),
+               |r$p$k AS (SELECT doc_id, CAST(floor(
+               |    CAST(CAST(floor(1000000.0 / (1.0 + exp(-z))) AS BIGINT)
+               |      - (CASE WHEN y THEN 1000000 ELSE 0 END) AS DOUBLE)
+               |    * 1000.0 / n) AS BIGINT) AS r FROM z$p$k),
+               |g$p$k AS (SELECT tk.b AS bucket, CAST(sum(r$p$k.r) AS BIGINT) AS g
+               |  FROM tk$p tk JOIN r$p$k USING (doc_id) GROUP BY tk.b),
+               |w$p$k AS (SELECT w$p${k - 1}.bucket,
+               |    CAST(round(CAST(w$p${k - 1}.w AS DOUBLE)
+               |      - CAST(COALESCE(g$p$k.g, 0) AS DOUBLE)
+               |        / (nd$p.n_docs * 250000000.0), 9)
+               |      AS DECIMAL(18,9)) AS w
+               |  FROM w$p${k - 1} LEFT JOIN g$p$k USING (bucket) CROSS JOIN nd$p)"""
+          }.mkString
+          s"""tk$p AS (SELECT doc_id, y, b FROM tk WHERE $cond),
+             |nd$p AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |  FROM tk$p),
+             |w${p}0 AS (SELECT b AS bucket, CAST(0 AS DECIMAL(18,9)) AS w
+             |  FROM (SELECT unnest(range(0, 256)) AS b) t)$steps"""
+        }
+        s"""WITH tk AS (SELECT doc_id, (n_chars >= 300) AS y, $bHash AS b
+           |  FROM (SELECT doc_id, n_chars, unnest($wordsSql) AS t FROM documents) x
+           |  WHERE t <> ''),
+           |${train("h", "doc_id % 4 = 0")},
+           |${train("t", "doc_id % 4 <> 0")},
+           |sc AS (SELECT d.doc_id, d.y, COALESCE(t.n, 0) AS n_tokens,
+           |    COALESCE(t.ztr, 0.0) AS ztr, COALESCE(t.zho, 0.0) AS zho
+           |  FROM (SELECT doc_id, (n_chars >= 300) AS y FROM documents
+           |        WHERE doc_id % 4 <> 0) d
+           |  LEFT JOIN (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n,
+           |      round(CAST(CAST(sum(wt.w) AS DECIMAL(28,9)) AS DOUBLE)
+           |        / count(*), 6) AS ztr,
+           |      round(CAST(CAST(sum(wh.w) AS DECIMAL(28,9)) AS DOUBLE)
+           |        / count(*), 6) AS zho
+           |    FROM tkt tk JOIN wt2 wt ON tk.b = wt.bucket
+           |    JOIN wh2 wh ON tk.b = wh.bucket
+           |    GROUP BY tk.doc_id) t USING (doc_id)),
+           |pl AS (SELECT doc_id, n_tokens,
+           |    greatest(least(CAST(floor(1000000.0 / (1.0 + exp(-ztr))) AS BIGINT),
+           |      999999), 1) AS ptr,
+           |    greatest(least(CAST(floor(1000000.0 / (1.0 + exp(-zho))) AS BIGINT),
+           |      999999), 1) AS pho, y
+           |  FROM sc),
+           |ls AS (SELECT doc_id, n_tokens,
+           |    CAST(CAST((CASE WHEN y THEN round(-ln(ptr / 1000000.0), 9)
+           |      ELSE round(-ln((1000000 - ptr) / 1000000.0), 9) END)
+           |      AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS loss_tr_nano,
+           |    CAST(CAST((CASE WHEN y THEN round(-ln(pho / 1000000.0), 9)
+           |      ELSE round(-ln((1000000 - pho) / 1000000.0), 9) END)
+           |      AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS loss_ho_nano
+           |  FROM pl)
+           |SELECT doc_id, n_tokens, loss_tr_nano, loss_ho_nano,
+           |  loss_tr_nano - loss_ho_nano AS rho_nano
+           |FROM ls ORDER BY rho_nano DESC, doc_id LIMIT 100"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Curation.rhoLossSelect(
+        documents(s, d), "doc_id", "text",
+        label = col("n_chars") >= 300,
+        holdout = pmod(col("doc_id"), lit(4)) === 0,
+        k = 100, buckets = 256, steps = 2, lr = 4.0)
     }
   )
 }

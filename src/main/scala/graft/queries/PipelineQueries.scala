@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextAnalysis
-import graft.operators.{Compaction, Curation, Dedup, IncrementalAgg, Sampling, Similarity}
+import graft.operators.{Compaction, Curation, Dedup, IncrementalAgg, Pca, Sampling, Similarity}
 
 /** Training-data pipeline inventory: deduplication (exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine) and similarity search
@@ -1120,6 +1120,35 @@ object PipelineQueries {
          |WHERE common >= 1""".stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) =>
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", Seq("lang", "source"))
+    },
+
+    // E426 prefix-filtered exact similarity join ([[Dedup
+    // .prefixJaccardPairs]]): every J ≥ 0.6 pair CORPUS-WIDE — no blocking
+    // columns, no MinHash false negatives. The oracle is the brute-force
+    // all-pairs definition (125k list_intersects at sf0.01), so the hash
+    // match proves the prefix filter's losslessness end to end: rarity-
+    // ranked prefixes + length filter + exact verify ≡ the full quadratic
+    // join, restricted to nothing. All thresholds exact integer ppm.
+    QEntry.sql(
+      "dedup_prefix_join",
+      s"""SELECT id1, id2, common, jaccard_ppm FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+         |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS tot,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+         |      // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      AS jaccard_ppm
+         |  FROM (SELECT doc_id, list_distinct($shinglesSql) AS sh
+         |        FROM (SELECT doc_id, $wordsSql AS words FROM documents) w
+         |        WHERE len(list_distinct($shinglesSql)) > 0) a
+         |  JOIN (SELECT doc_id, list_distinct($shinglesSql) AS sh
+         |        FROM (SELECT doc_id, $wordsSql AS words FROM documents) w
+         |        WHERE len(list_distinct($shinglesSql)) > 0) b
+         |  ON a.doc_id < b.doc_id) t
+         |WHERE common * 1000000 >= 600000 * (tot - common)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Dedup.prefixJaccardPairs(documents(s, d), "doc_id", "text", tauPpm = 600000L)
     },
 
     // E378 set-similarity coefficient matrix ([[Dedup
@@ -3171,6 +3200,89 @@ object PipelineQueries {
             9
           ).as("mean_cos")
         )
+    },
+
+    // E429 distributed power iteration for the top principal component
+    // ([[Pca.pcaTopComponent]]): matrix-free Cov·v = Σ yᵢ(yᵢᵀv), three
+    // iterations, every intermediate an exact integer re-quantized by a
+    // digit-length-derived power of ten — the twin replays the micro-unit
+    // quantization, the truncating mean, and all three d/e/u/v rounds
+    // value-for-value, so a single off-by-one in any truncation shifts the
+    // hash. 64-row output: the dominant eigendirection.
+    QEntry.sql(
+      "emb_pca_power", {
+        val iterCtes = (1 to 3).map { k =>
+          s""",
+             |d$k AS (SELECT vec_id, CAST(sum(y * vv) AS BIGINT) AS d
+             |  FROM y JOIN v${k - 1} USING (pos) GROUP BY vec_id),
+             |sd$k AS (SELECT CAST(pow(10, greatest(
+             |    length(CAST(max(abs(d)) AS VARCHAR)) - 5, 0)) AS BIGINT) AS p
+             |  FROM d$k),
+             |e$k AS (SELECT vec_id, d // (SELECT p FROM sd$k) AS e FROM d$k),
+             |u$k AS (SELECT pos, CAST(sum(y * e) AS BIGINT) AS u
+             |  FROM y JOIN e$k USING (vec_id) GROUP BY pos),
+             |su$k AS (SELECT CAST(pow(10, greatest(
+             |    length(CAST(max(abs(u)) AS VARCHAR)) - 4, 0)) AS BIGINT) AS p
+             |  FROM u$k),
+             |v$k AS (SELECT pos, u // (SELECT p FROM su$k) AS vv FROM u$k)"""
+        }.mkString
+        s"""WITH q AS (SELECT vec_id, CAST(t.i AS INT) AS pos,
+           |    CAST(round(CAST(t.v AS DOUBLE) * 1000000) AS BIGINT) AS y0
+           |  FROM (SELECT vec_id, unnest(list_transform(range(0, $EmbDim),
+           |      i -> struct_pack(i := i, v := embedding[i + 1]))) AS t
+           |    FROM embeddings) x),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+           |mu AS (SELECT pos, CAST(sum(y0) AS BIGINT) // (SELECT n FROM nn) AS mu
+           |  FROM q GROUP BY pos),
+           |y AS (SELECT vec_id, q.pos, y0 - mu AS y FROM q JOIN mu USING (pos)),
+           |v0 AS (SELECT CAST(p AS INT) AS pos, CAST(1000 AS BIGINT) AS vv
+           |  FROM (SELECT unnest(range(0, $EmbDim)) AS p) t)$iterCtes
+           |SELECT CAST(pos AS BIGINT) AS pos, vv AS v_unit FROM v3"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Pca.pcaTopComponent(embeddings(s, d), "vec_id", "embedding", dim = EmbDim, iters = 3)
+    },
+
+    // E430 all-but-the-top projections ([[Pca.abttProjections]]): the exact
+    // integer coordinate of every CENTERED vector along the learned top
+    // component — rank by |proj| to find the hub/boilerplate embeddings the
+    // shared direction inflates, subtract proj·v/‖v‖² to post-process. The
+    // twin re-runs the full power iteration then the projection join.
+    QEntry.sql(
+      "emb_abtt_proj", {
+        val iterCtes = (1 to 3).map { k =>
+          s""",
+             |d$k AS (SELECT vec_id, CAST(sum(y * vv) AS BIGINT) AS d
+             |  FROM y JOIN v${k - 1} USING (pos) GROUP BY vec_id),
+             |sd$k AS (SELECT CAST(pow(10, greatest(
+             |    length(CAST(max(abs(d)) AS VARCHAR)) - 5, 0)) AS BIGINT) AS p
+             |  FROM d$k),
+             |e$k AS (SELECT vec_id, d // (SELECT p FROM sd$k) AS e FROM d$k),
+             |u$k AS (SELECT pos, CAST(sum(y * e) AS BIGINT) AS u
+             |  FROM y JOIN e$k USING (vec_id) GROUP BY pos),
+             |su$k AS (SELECT CAST(pow(10, greatest(
+             |    length(CAST(max(abs(u)) AS VARCHAR)) - 4, 0)) AS BIGINT) AS p
+             |  FROM u$k),
+             |v$k AS (SELECT pos, u // (SELECT p FROM su$k) AS vv FROM u$k)"""
+        }.mkString
+        s"""WITH q AS (SELECT vec_id, CAST(t.i AS INT) AS pos,
+           |    CAST(round(CAST(t.v AS DOUBLE) * 1000000) AS BIGINT) AS y0
+           |  FROM (SELECT vec_id, unnest(list_transform(range(0, $EmbDim),
+           |      i -> struct_pack(i := i, v := embedding[i + 1]))) AS t
+           |    FROM embeddings) x),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+           |mu AS (SELECT pos, CAST(sum(y0) AS BIGINT) // (SELECT n FROM nn) AS mu
+           |  FROM q GROUP BY pos),
+           |y AS (SELECT vec_id, q.pos, y0 - mu AS y FROM q JOIN mu USING (pos)),
+           |v0 AS (SELECT CAST(p AS INT) AS pos, CAST(1000 AS BIGINT) AS vv
+           |  FROM (SELECT unnest(range(0, $EmbDim)) AS p) t)$iterCtes
+           |SELECT vec_id, CAST(sum(y * vv) AS BIGINT) AS proj
+           |FROM y JOIN v3 USING (pos) GROUP BY vec_id"""
+          .stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      Pca.abttProjections(embeddings(s, d), "vec_id", "embedding", dim = EmbDim, iters = 3)
     },
 
     // Deterministic weighted sampling without replacement (A-ES): longer

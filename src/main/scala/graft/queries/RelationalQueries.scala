@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{AsOfJoin, Bucketing, Dedup, Fragmentation, SemiReduce, SkewJoin, ZOrder}
+import graft.operators.{AsOfJoin, Bucketing, Dedup, Fragmentation, SemiReduce, SkewJoin, Skyline, ZOrder}
 
 /** SQL-operator inventory (SURVEY.md §2.3) plus the general analytics layer a
   * complete engine needs: scans, literal projection, range/equality
@@ -2411,6 +2411,37 @@ object RelationalQueries {
           expr("sum(lead_d) * 1000L div count(*)").cast("long").as("avg_to_first_milli"),
           expr("sum(span_d) * 1000L div count(*)").cast("long").as("avg_span_milli")
         )
+    },
+
+    // E427 distributed 2-D skyline ([[Skyline.skyline2D]]): the Pareto
+    // frontier of urgent orders maximizing (price, recency) — every order
+    // no other urgent order beats on both axes. The oracle is the
+    // DEFINITIONAL quadratic NOT EXISTS (9M dominance tests at sf0.01), so
+    // the hash match proves the sweep identity — per-x group max + strict-
+    // prefix max over x desc ≡ "no dominator exists" — including duplicate-
+    // point ties (neither dominates; both survive). Spark side: one keyed
+    // aggregate + the two-phase prefix-max window; nothing quadratic,
+    // nothing single-reducer over data.
+    QEntry.sql(
+      "q_skyline_orders",
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT p.o_orderkey, p.cents, p.day FROM o p
+        |WHERE NOT EXISTS (SELECT 1 FROM o q
+        |  WHERE q.cents >= p.cents AND q.day >= p.day
+        |    AND (q.cents > p.cents OR q.day > p.day))"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val o = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(
+          col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("day")
+        )
+      Skyline.skyline2D(o, "cents", "day")
     }
   )
 }

@@ -277,6 +277,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((1L, 4L)) == 0.125)
   }
 
+  test("prefix jaccard join: lossless vs brute force, exact ppm boundary, no blocking needed") {
+    // A/B share a 5-word run → 3 common shingles, 4 each, J = 3/5 = 0.6 exactly
+    val df = docs(
+      1L -> "c1 c2 c3 c4 c5 a1",
+      2L -> "c1 c2 c3 c4 c5 b1",
+      3L -> "c1 c2 c3 x1 x2 x3 x4 x5 x6 x7", // shares only 1 shingle with 1/2
+      4L -> "y1 y2 y3 y4 y5 z1",
+      5L -> "y1 y2 y3 y4 y5 z1", // exact dup of 4 → J = 1
+      6L -> "w1 w2" // too short for any shingle → excluded
+    )
+    val out = Dedup
+      .prefixJaccardPairs(df, "doc_id", "text", tauPpm = 600000L)
+      .collect()
+      .map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")), r.getAs[Long]("jaccard_ppm")))
+      .toMap
+    // boundary pair included at exactly tau, exact integer ppm
+    assert(out((1L, 2L)) == 600000L)
+    assert(out((4L, 5L)) == 1000000L)
+    assert(out.size == 2, s"unexpected pairs: $out")
+    // raising tau past the boundary drops the 0.6 pair but keeps the dup
+    val strict = Dedup
+      .prefixJaccardPairs(df, "doc_id", "text", tauPpm = 610000L)
+      .collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+      .toSet
+    assert(strict == Set((4L, 5L)))
+    // losslessness: equivalence to the brute-force all-pairs definition
+    val sh = df
+      .select(col("doc_id"), array_distinct(
+        Dedup.shinglesFromWords(TextAnalysis.tokens(col("text")))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sh.as("a")
+      .crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id1"),
+        col("b.doc_id").as("id2"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("c"),
+        (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("t")
+      )
+      .filter(col("c") * 1000000L >= lit(600000L) * (col("t") - col("c")))
+      .collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+      .toSet
+    assert(out.keySet == brute)
+  }
+
   test("winnowing: docs sharing a long substring share a fingerprint; bpe tokenizer splits punctuation") {
     val s = spark
     import s.implicits._

@@ -199,6 +199,60 @@ class PrivacyTrainSpec extends SparkSpec {
       mix("calOnly").isNullAt(6), "zero-test gate groups report n_test=0, null ppm")
   }
 
+  test("rhoLossSelect ranks learnable-but-not-yet-learnt docs first, rho identity holds") {
+    val s = spark
+    import s.implicits._
+    // raremark: 30 holdout positives but only 2 train positives → the
+    // holdout model learns it, the train model barely moves its bucket —
+    // the "learnable, not yet learnt" shape RHO exists to surface.
+    // goodmark: train-only positive marker → already learnt (rho < 0).
+    // class-DISTINCT token pairs: a shared filler token would let the train
+    // model learn the raremark docs THROUGH the filler (verified: it halves
+    // their rho below the plainword band) — the fixture isolates the signal
+    val rows = (0 until 200).map { i =>
+      val holdout = i % 4 == 0
+      if (holdout) {
+        if (i < 120) (i.toLong, "raremark raretail", true)
+        else (i.toLong, "plainword plaintail", false)
+      } else if (i == 1 || i == 2) (i.toLong, "raremark raretail", true)
+      else if (i % 2 == 1) (i.toLong, "goodmark goodtail", true)
+      else (i.toLong, "plainword plaintail", false)
+    }
+    val docs = rows.toDF("doc_id", "text", "y")
+    def bucketOf(tok: String): Long =
+      java.lang.Long.parseLong(md5Hex(tok).take(8), 16) % 256
+    assert(Seq("raremark", "raretail", "goodmark", "goodtail", "plainword",
+      "plaintail").map(bucketOf).toSet.size == 6,
+      "fixture markers must hash to distinct buckets")
+    val hold = pmod(col("doc_id"), lit(4)) === 0
+    val top2 = Curation
+      .rhoLossSelect(docs, "doc_id", "text", col("y"), hold, k = 2)
+      .collect()
+    assert(top2.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L),
+      s"raremark train docs must top the RHO ranking, got ${top2.mkString(";")}")
+    // full ranking: identity, membership, and already-learnt docs ranking low
+    val all = Curation
+      .rhoLossSelect(docs, "doc_id", "text", col("y"), hold, k = 200)
+      .collect()
+    assert(all.length == 150, "selection pool is exactly the train split")
+    all.foreach { r =>
+      assert(r.getAs[Long]("rho_nano") ==
+        r.getAs[Long]("loss_tr_nano") - r.getAs[Long]("loss_ho_nano"))
+      assert(r.getAs[Long]("doc_id") % 4 != 0, "holdout docs must never be selected")
+    }
+    val rho = all.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rho_nano")).toMap
+    val goodmarkIds = rows.collect { case (id, t, _) if t.startsWith("goodmark") => id }
+    assert(goodmarkIds.forall(id => rho(id) < 0L),
+      "already-learnt docs (train-only marker) must carry negative rho")
+    // partition invariance: integer ledgers make the whole selection stable
+    val rerun = Curation
+      .rhoLossSelect(docs.repartition(13), "doc_id", "text", col("y"), hold, k = 2)
+      .collect()
+      .map(_.getAs[Long]("doc_id"))
+      .toSet
+    assert(rerun == Set(1L, 2L))
+  }
+
   test("trainLinearQuality with zero steps of signal: all-equal labels push all weights one way") {
     val s = spark
     import s.implicits._
