@@ -763,6 +763,76 @@ object Multimodal {
       .toDF("media_id", "aphash")
   }
 
+  /** Audio QC report over decoded PCM — the per-asset screen a media
+    * pipeline runs before spending feature-extraction compute: stuck or
+    * silent streams, flatlined encoders and dynamic-range collapse are all
+    * visible in four integer statistics, computed in the same executor-side
+    * codec pass as [[audioEnergyHashes]] (payload bytes never shuffle, one
+    * 7-column row per asset does):
+    *
+    *   - mean_crossings: sign changes of the MEAN-centered signal — the
+    *     crossing count computed against the asset's own mean, not zero, so
+    *     it reads activity for unsigned 8-bit and DC-offset streams alike;
+    *     centering is division-free (t_i = n·s_i − Σs, exact integers) and
+    *     crossings compare SIGNS, never products, so nothing can overflow
+    *   - repeat_ppm: adjacent-equal sample share — stuck-encoder reading
+    *   - min/max_frame_energy + dyn_ppm: Σ|t| over `frames` equal slices;
+    *     min/max energy ratio ≈ 0 for bursty signals, 10⁶ for flat ones
+    *     (an all-constant asset reports dyn_ppm = 10⁶ by convention)
+    *
+    * 16-bit signed and 8-bit unsigned PCM per the WAV spec (8-bit stays
+    * raw 0..255 — mean-centering makes the statistics depth-agnostic
+    * without an off-by-half centering convention). Zero-sample payloads
+    * are skipped. |t| ≤ n·65536, frame sums ≤ n²·65536/frames — int64-exact
+    * through ~10⁶ samples per asset.
+    */
+  def audioQcReport(media: Dataset[MediaRecord], frames: Int = 8): DataFrame = {
+    require(frames >= 1, "frames >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .flatMap { r =>
+        val b = r.payload
+        if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+          val (_, _, samples) = MediaCodecs.wavSamples(r.media_id, b)
+          val n = samples.length
+          if (n == 0) None
+          else {
+            val s = samples.map(_.toLong)
+            val sm = s.sum
+            val t = s.map(x => n.toLong * x - sm)
+            var crossings = 0L
+            var repeats = 0L
+            var i = 0
+            while (i < n - 1) {
+              if ((t(i) > 0 && t(i + 1) < 0) || (t(i) < 0 && t(i + 1) > 0)) crossings += 1
+              if (s(i + 1) == s(i)) repeats += 1
+              i += 1
+            }
+            val energy = new Array[Long](frames)
+            i = 0
+            while (i < n) {
+              energy((i.toLong * frames / n).toInt) += math.abs(t(i))
+              i += 1
+            }
+            val maxE = energy.max
+            val minE = energy.min
+            Some((
+              r.media_id,
+              n.toLong,
+              crossings,
+              if (n >= 2) repeats * 1000000L / (n - 1) else 0L,
+              maxE,
+              minE,
+              if (maxE > 0) minE * 1000000L / maxE else 1000000L
+            ))
+          }
+        } else None
+      }
+      .toDF("media_id", "n_samples", "mean_crossings", "repeat_ppm",
+        "max_frame_energy", "min_frame_energy", "dyn_ppm")
+  }
+
   /** Polarity inversion of every RIFF/WAVE payload (16-bit: v → −v, with
     * the one unrepresentable case −32768 saturating to 32767, the standard
     * DSP convention; 8-bit unsigned: v → 255 − v, a flip around 127.5) —

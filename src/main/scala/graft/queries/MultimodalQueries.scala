@@ -88,6 +88,56 @@ object MultimodalQueries {
       Multimodal.decodeFeatures(Multimodal.synthesizeMedia(documents(s, d))).toDF()
     },
 
+    // E432 audio QC report ([[Multimodal.audioQcReport]]): mean-crossing
+    // rate, stuck-sample share, and 8-frame energy dynamics over the
+    // DECODED PCM of every WAV asset — division-free integer centering
+    // (t = n·s − Σs) makes the stats exact and depth-agnostic. The twin
+    // recomputes every sample from the synthesis contract (text bytes →
+    // 16-bit scaled / 8-bit raw PCM) and replays centering, sign-only
+    // crossing detection, the frame split and both ppm divisions.
+    QEntry.sql(
+      "mm_audio_qc",
+      """WITH t0 AS (SELECT doc_id, text, strlen(text) AS len,
+        |    CAST(doc_id % 3 AS INT) AS m FROM documents),
+        |a AS (SELECT doc_id, len, m,
+        |    list_transform(range(1, len + 1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1))) AS bs
+        |  FROM t0 WHERE m >= 1 AND len >= 1),
+        |s AS (SELECT doc_id, CAST(len AS BIGINT) AS n,
+        |    CASE WHEN m = 1
+        |      THEN list_transform(bs, b -> CAST((b - 128) * 256 AS BIGINT))
+        |      ELSE list_transform(bs, b -> CAST(b AS BIGINT)) END AS ss
+        |  FROM a),
+        |st AS (SELECT doc_id, n, ss, CAST(list_sum(ss) AS BIGINT) AS sm FROM s),
+        |tt AS (SELECT doc_id, n, ss, list_transform(ss, x -> n * x - sm) AS ts
+        |  FROM st),
+        |f AS (SELECT doc_id, n,
+        |    COALESCE(CAST(list_sum(list_transform(range(1, CAST(n AS INT)),
+        |      i -> CASE WHEN (ts[i] > 0 AND ts[i+1] < 0)
+        |             OR (ts[i] < 0 AND ts[i+1] > 0) THEN 1 ELSE 0 END))
+        |      AS BIGINT), 0) AS crossings,
+        |    COALESCE(CAST(list_sum(list_transform(range(1, CAST(n AS INT)),
+        |      i -> CASE WHEN ss[i+1] = ss[i] THEN 1 ELSE 0 END)) AS BIGINT), 0)
+        |      AS repeats,
+        |    list_transform(range(0, 8), k -> COALESCE(CAST(list_sum(
+        |      list_transform(range(1, CAST(n AS INT) + 1),
+        |        i -> CASE WHEN ((i - 1) * 8) // n = k THEN abs(ts[i])
+        |             ELSE 0 END)) AS BIGINT), 0)) AS fe
+        |  FROM tt)
+        |SELECT doc_id AS media_id, n AS n_samples, crossings AS mean_crossings,
+        |  CASE WHEN n >= 2 THEN repeats * 1000000 // (n - 1) ELSE 0 END
+        |    AS repeat_ppm,
+        |  CAST(list_max(fe) AS BIGINT) AS max_frame_energy,
+        |  CAST(list_min(fe) AS BIGINT) AS min_frame_energy,
+        |  CASE WHEN list_max(fe) > 0
+        |    THEN CAST(list_min(fe) AS BIGINT) * 1000000
+        |      // CAST(list_max(fe) AS BIGINT)
+        |    ELSE 1000000 END AS dyn_ppm
+        |FROM f""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Multimodal.audioQcReport(Multimodal.synthesizeMedia(documents(s, d)))
+    },
+
     // E416 ISO-BMFF (MP4) box walk ([[Multimodal.mp4BoxMeta]]): genuine
     // big-endian MP4 containers synthesized per doc (ftyp + moov(mvhd +
     // trak(tkhd)) + a free box the walker must skip + mdat = text bytes),

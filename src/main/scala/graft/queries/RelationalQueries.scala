@@ -1429,6 +1429,94 @@ object RelationalQueries {
         "row_skip_ppm")
     },
 
+    // E431 per-zone Bloom-filter data skipping ([[BloomSkip]]): the sidecar
+    // read zone maps cannot make — l_partkey is uncorrelated with ingest
+    // order, so every zone's (min, max) spans the whole part domain and
+    // minmax_pruned_zones lands at 0, while the per-zone 1024-bit Bloom
+    // prunes the overwhelming majority of zones for the l_partkey = 1 point
+    // lookup. false_negative_zones is STRUCTURALLY 0 (a Bloom never drops a
+    // member) and the oracle proves it; the twin rebuilds every mask and
+    // replays both probe bits md5-digit-for-digit.
+    QEntry.sql(
+      "q_bloom_zone_skip", {
+        def pos(i: Int, key: String) =
+          s"""CAST(list_sum(list_transform(range(1, 9), ii ->
+             |  (strpos('0123456789abcdef', substr(md5('$i:' || $key),
+             |     CAST(ii AS INT), 1)) - 1) * pow(16, 8 - ii))) AS BIGINT) % 1024"""
+            .stripMargin
+        s"""WITH base AS (SELECT l_orderkey // 32 AS zone, l_partkey AS pk
+           |  FROM lineitem),
+           |mp AS (SELECT zone, CASE WHEN u.i = 0
+           |      THEN ${pos(0, "CAST(pk AS VARCHAR)")}
+           |      ELSE ${pos(1, "CAST(pk AS VARCHAR)")} END AS p
+           |  FROM base CROSS JOIN (SELECT unnest(range(0, 2)) AS i) u),
+           |w AS (SELECT zone, p // 32 AS word,
+           |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS BIGINT) AS mask
+           |  FROM mp GROUP BY zone, p // 32),
+           |pr AS (SELECT CASE WHEN u.i = 0 THEN ${pos(0, "'100'")}
+           |    ELSE ${pos(1, "'100'")} END AS p
+           |  FROM (SELECT unnest(range(0, 2)) AS i) u),
+           |hit AS (SELECT w.zone, CAST(sum(CASE WHEN
+           |      (w.mask >> CAST(pr.p % 32 AS INT)) & 1 = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS hits
+           |  FROM w JOIN pr ON pr.p // 32 = w.word GROUP BY w.zone),
+           |surv AS (SELECT zone FROM hit WHERE hits = 2),
+           |zs AS (SELECT zone, count(*) AS n_rows, min(pk) AS min_pk,
+           |    max(pk) AS max_pk,
+           |    CAST(sum(CASE WHEN pk = 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+           |  FROM base GROUP BY zone),
+           |j AS (SELECT zs.n_rows, zs.min_pk, zs.max_pk, zs.n_true,
+           |    (surv.zone IS NOT NULL) AS kept
+           |  FROM zs LEFT JOIN surv ON zs.zone = surv.zone)
+           |SELECT CAST(count(*) AS BIGINT) AS n_zones,
+           |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS bloom_pruned_zones,
+           |  CAST(sum(CASE WHEN NOT kept THEN n_rows ELSE 0 END) AS BIGINT)
+           |    AS skipped_rows,
+           |  CAST(sum(CASE WHEN NOT kept THEN n_rows ELSE 0 END) * 1000000
+           |    // sum(n_rows) AS BIGINT) AS row_skip_ppm,
+           |  CAST(sum(CASE WHEN n_true > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS true_zones,
+           |  CAST(sum(CASE WHEN n_true > 0 AND NOT kept THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS false_negative_zones,
+           |  CAST(sum(CASE WHEN 100 < min_pk OR 100 > max_pk THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS minmax_pruned_zones
+           |FROM j""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      val base = lineitem(s, d)
+        .select(expr("l_orderkey div 32").as("zone"), col("l_partkey").as("pk"))
+      val blooms = graft.operators.BloomSkip.buildZoneBlooms(base, "zone", "pk")
+      val surv = graft.operators.BloomSkip
+        .zonesMaybeContaining(blooms, lit(100L))
+        .withColumn("kept", lit(true))
+      val zs = base
+        .groupBy("zone")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("pk").as("min_pk"),
+          max("pk").as("max_pk"),
+          sum(when(col("pk") === 100L, 1L).otherwise(0L)).cast("long").as("n_true")
+        )
+      zs.join(surv, Seq("zone"), "left")
+        .withColumn("kept", coalesce(col("kept"), lit(false)))
+        .agg(
+          count(lit(1)).cast("long").as("n_zones"),
+          sum("n_rows").cast("long").as("n_rows"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).cast("long").as("bloom_pruned_zones"),
+          sum(when(!col("kept"), col("n_rows")).otherwise(0L)).cast("long").as("skipped_rows"),
+          sum(when(col("n_true") > 0L, 1L).otherwise(0L)).cast("long").as("true_zones"),
+          sum(when(col("n_true") > 0L && !col("kept"), 1L).otherwise(0L))
+            .cast("long").as("false_negative_zones"),
+          sum(when(lit(100L) < col("min_pk") || lit(100L) > col("max_pk"), 1L).otherwise(0L))
+            .cast("long").as("minmax_pruned_zones")
+        )
+        .withColumn("row_skip_ppm", expr("skipped_rows * 1000000L div n_rows").cast("long"))
+        .select("n_zones", "n_rows", "bloom_pruned_zones", "skipped_rows", "row_skip_ppm",
+          "true_zones", "false_negative_zones", "minmax_pruned_zones")
+    },
+
     // Z-order pruning GAIN — the payoff measurement E240's audit is the
     // read for: the same 1024-row zones + min/max stats + a 2-D box
     // predicate (customer band × order-date band), once on the linear

@@ -1026,6 +1026,74 @@ object TextQueries {
       graft.operators.UnigramLm
         .emRecount(seg)
         .select(col("piece"), col("n_uses"))
+    },
+
+    // E433 CCNet-style perplexity terciles (Wenzek et al. 2020: per
+    // LANGUAGE, rank documents by LM perplexity and cut the corpus into
+    // head/middle/tail thirds — the quality stratification the CCNet
+    // pipeline samples from, always per-lang because perplexity is not
+    // comparable across languages): ranks are exact row_numbers over
+    // (entropy, doc_id) inside each lang partition, bucket = (rank−1)·3
+    // div n — exact thirds, no ntile ambiguity; per-bucket doc/bigram
+    // census plus the mean entropy through the DECIMAL-sum ladder. Docs
+    // under 2 tokens have no bigram perplexity and are excluded (the
+    // unrankable tail, documented). One keyed window per lang; nothing
+    // global.
+    QEntry.sql(
+      "txt_ccnet_buckets",
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+         |tk AS (SELECT doc_id, t.term FROM
+         |  (SELECT doc_id, unnest(words) AS term FROM w) t WHERE t.term <> ''),
+         |uni AS (SELECT term, count(*) AS cu FROM tk GROUP BY term),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+         |  FROM uni),
+         |bgs AS (SELECT doc_id, unnest(list_transform(range(2, len(words) + 1),
+         |    i -> struct_pack(prev := words[i-1], cur := words[i]))) AS bp
+         |  FROM w WHERE len(words) >= 2),
+         |bstream AS (SELECT doc_id, bp.prev AS prev, bp.cur AS cur FROM bgs),
+         |bg AS (SELECT prev, cur, count(*) AS c2 FROM bstream GROUP BY prev, cur),
+         |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY prev),
+         |ratio AS (SELECT bg.prev, bg.cur,
+         |    CAST(round(-log2(0.75 * (CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+         |      + 0.25 * (CAST(cu + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))), 9)
+         |      AS DECIMAL(18,9)) AS bits
+         |  FROM bg JOIN ctx ON bg.prev = ctx.prev
+         |  JOIN uni ON bg.cur = uni.term CROSS JOIN tot),
+         |perdoc AS (SELECT s.doc_id, count(*) AS n_bigrams,
+         |    round(CAST(CAST(sum(bits) AS DECIMAL(28,9)) AS DOUBLE) / count(*), 6)
+         |      AS ent
+         |  FROM bstream s JOIN ratio ON s.prev = ratio.prev AND s.cur = ratio.cur
+         |  GROUP BY s.doc_id),
+         |rk AS (SELECT d.lang, p.doc_id, p.n_bigrams, p.ent,
+         |    row_number() OVER (PARTITION BY d.lang ORDER BY p.ent, p.doc_id) AS r,
+         |    count(*) OVER (PARTITION BY d.lang) AS nl
+         |  FROM perdoc p JOIN documents d USING (doc_id))
+         |SELECT lang, CAST((r - 1) * 3 // nl AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         |  round(CAST(CAST(sum(CAST(ent AS DECIMAL(18,6))) AS DECIMAL(28,6))
+         |    AS DOUBLE) / count(*), 6) AS avg_entropy
+         |FROM rk GROUP BY lang, bucket""".stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      val ent = graft.operators.TermStats
+        .bigramCrossEntropy(documents(s, d), "doc_id", "text", 0.75)
+      val wRank = Window.partitionBy("lang").orderBy(col("bigram_entropy"), col("doc_id"))
+      val wAll = Window.partitionBy("lang")
+      ent
+        .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .withColumn("r", row_number().over(wRank))
+        .withColumn("nl", count(lit(1)).over(wAll))
+        .withColumn("bucket", expr("(r - 1) * 3 div nl").cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("n_bigrams").cast("long").as("n_bigrams"),
+          round(
+            sum(col("bigram_entropy").cast("decimal(18,6)"))
+              .cast("decimal(28,6)").cast("double") / count(lit(1)),
+            6
+          ).as("avg_entropy")
+        )
     }
   )
 

@@ -195,6 +195,40 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(ds.toSeq == samples.indices.collect { case i if i % 2 == 0 => samples(i) }.toSeq)
   }
 
+  test("audioQcReport: hand-computed crossings/repeats/frame energies; non-WAV skipped") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal.{MediaCodecs, MediaRecord}
+    // n=8, 8-bit: [100,100,100,100, 0,200,0,200] → mean 100, t = 8s−800 =
+    // [0,0,0,0,−800,800,−800,800]: 3 sign crossings (zeros never cross),
+    // 3 adjacent repeats, per-sample frames [0,0,0,0,800,800,800,800]
+    val burst = Array[Byte](100, 100, 100, 100, 0, 200.toByte, 0, 200.toByte)
+    val flat = Array.fill[Byte](8)(42)
+    val media = Seq(
+      MediaRecord(1L, "audio", MediaCodecs.encodeWavPcm(burst, 8000, 8)),
+      MediaRecord(2L, "audio", MediaCodecs.encodeWavPcm(flat, 8000, 8)),
+      MediaRecord(3L, "image", MediaCodecs.encodePpm(Array.fill[Byte](24)(7), 8, 1))
+    ).toDS()
+    val out = graft.operators.Multimodal
+      .audioQcReport(media)
+      .collect()
+      .map(r => r.getAs[Long]("media_id") -> r)
+      .toMap
+    assert(out.keySet == Set(1L, 2L), "PPM asset must be skipped")
+    val b = out(1L)
+    assert(b.getAs[Long]("n_samples") == 8L)
+    assert(b.getAs[Long]("mean_crossings") == 3L)
+    assert(b.getAs[Long]("repeat_ppm") == 3L * 1000000L / 7L)
+    assert(b.getAs[Long]("max_frame_energy") == 800L)
+    assert(b.getAs[Long]("min_frame_energy") == 0L)
+    assert(b.getAs[Long]("dyn_ppm") == 0L)
+    val f = out(2L)
+    assert(f.getAs[Long]("mean_crossings") == 0L)
+    assert(f.getAs[Long]("repeat_ppm") == 1000000L)
+    assert(f.getAs[Long]("max_frame_energy") == 0L)
+    assert(f.getAs[Long]("dyn_ppm") == 1000000L, "all-flat asset reads as fully flat")
+  }
+
   test("hammingClusters: a chained re-encode family resolves to one canonical cluster") {
     import Multimodal.MediaCodecs
     val s = spark

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{BloomSkip, Dedup, Similarity}
 
 /** Behavior tests for the training-data pipeline operators on synthetic
   * fixtures where ground truth is known (the sf-data oracle entries only
@@ -275,6 +275,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains((1L, 3L))) // no shared shingle → pair absent
     // docs 1 and 4 share exactly the shingle "a b c": 1/(4+5-1) = 0.125
     assert(out((1L, 4L)) == 0.125)
+  }
+
+  test("bloom zone skipping: zero false negatives, real pruning, driver-replayable masks") {
+    val s = spark
+    import s.implicits._
+    // 8 zones, 100 disjoint keys each — min/max could prune here, but the
+    // operator must prune via the Bloom bits alone
+    val df = s.range(800).select(
+      expr("id div 100").as("zone"), col("id").as("k"))
+    val blooms = BloomSkip.buildZoneBlooms(df, "zone", "k").localCheckpoint()
+    for (probe <- Seq(5L, 250L, 799L)) {
+      val surv = BloomSkip
+        .zonesMaybeContaining(blooms, lit(probe))
+        .collect()
+        .map(_.getAs[Long]("zone"))
+        .toSet
+      assert(surv.contains(probe / 100),
+        s"zone holding key $probe must survive (no false negatives), got $surv")
+      assert(surv.size < 8, s"probe $probe must prune some of the 8 zones, got $surv")
+    }
+    // an absent key may only survive via bounded false positives
+    val ghost = BloomSkip.zonesMaybeContaining(blooms, lit(999999L)).count()
+    assert(ghost < 8, "an absent key must not light up every zone")
+    // driver replay of zone 0's masks bit-for-bit
+    def md5Hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def posOf(i: Int, key: Long): Long =
+      java.lang.Long.parseLong(md5Hex(s"$i:$key").take(8), 16) % 1024
+    val expected = (0L until 100L)
+      .flatMap(k => Seq(posOf(0, k), posOf(1, k)))
+      .groupBy(_ / 32)
+      .view.mapValues(_.map(p => 1L << (p % 32).toInt).reduce(_ | _)).toMap
+    val got = blooms.filter(col("zone") === 0L).collect()
+      .map(r => r.getAs[Long]("word") -> r.getAs[Long]("mask")).toMap
+    assert(got == expected, "zone-0 masks must replay bit-for-bit")
   }
 
   test("prefix jaccard join: lossless vs brute force, exact ppm boundary, no blocking needed") {
