@@ -2445,6 +2445,64 @@ object Dedup {
       .distinct()
   }
 
+  /** Golden-record construction (MDM survivorship) over resolved near-dup
+    * clusters — after dedup finds that k records describe the same thing,
+    * something must DECIDE what the one surviving record says. Classic
+    * survivorship rules, each a deterministic total order so the golden
+    * record is a pure function of the cluster:
+    *
+    *   - canonical content: the member with the MOST content wins
+    *     (`lenCol` DESC, id ASC) — richest-record-wins; its id, length and
+    *     an md5 witness of its `textCol` are reported
+    *   - categorical attributes (`modeCols`): the cluster MODE
+    *     (count DESC, value ASC) — most-frequent-wins with a stable tie
+    *
+    * One cluster-keyed join attaches assignments, then one keyed window
+    * (canonical pick) and one (cluster, value) partial agg + keyed window
+    * per mode column — every shuffle keyed by cluster, state bounded by
+    * cluster×distinct-value. Compose with [[dedupClusters]] /
+    * [[hammingClusters]] / incremental cluster states — any (id,
+    * cluster_id) frame works.
+    */
+  def goldenRecords(
+      records: DataFrame,
+      idCol: String,
+      textCol: String,
+      lenCol: String,
+      modeCols: Seq[String],
+      clusters: DataFrame
+  ): DataFrame = {
+    val m = records
+      .join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol))
+      .localCheckpoint() // canonical pick + per-mode aggs + census all read it
+    val wCanon = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col(lenCol).desc, col(idCol))
+    val canon = m
+      .withColumn("_rn", row_number().over(wCanon))
+      .filter(col("_rn") === 1)
+      .select(
+        col("cluster_id"),
+        col(idCol).as("canon_id"),
+        col(lenCol).cast("long").as("canon_len"),
+        md5(col(textCol)).as("canon_md5")
+      )
+    val census = m.groupBy("cluster_id").agg(count(lit(1)).cast("long").as("n_members"))
+    modeCols
+      .foldLeft(census.join(canon, Seq("cluster_id"))) { (acc, c) =>
+        val wMode = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("_c").desc, col(c))
+        val top = m
+          .groupBy(col("cluster_id"), col(c))
+          .agg(count(lit(1)).as("_c"))
+          .withColumn("_rn", row_number().over(wMode))
+          .filter(col("_rn") === 1)
+          .select(col("cluster_id"), col(c).as(s"top_$c"))
+        acc.join(top, Seq("cluster_id"))
+      }
+  }
+
   /** Prefix-filtered EXACT set-similarity self-join (AllPairs / PPJoin
     * family, Bayardo et al. WWW'07 / Xiao et al. WWW'08): every pair of
     * documents with shingle-Jaccard ≥ τ, with NO recall loss and NO

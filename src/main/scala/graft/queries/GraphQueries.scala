@@ -715,6 +715,42 @@ object GraphQueries {
           .localCheckpoint()
       }
       levels.select(col("node"), col("lvl"))
+    },
+
+    // E434 label-propagation communities ([[graft.operators.GraphOps
+    // .labelPropagation]]): 3 deterministic synchronous rounds over the
+    // recurring-part graph — each node adopts the (count DESC, label ASC)
+    // winner among its neighbors' labels plus its own. Where connected
+    // components would merge the whole giant component, LPA splits it into
+    // dense part-families. Output is the community census; the twin unrolls
+    // all three vote/argmax rounds CTE-for-CTE, so one wrong tie-break in
+    // one round shifts the hash.
+    QEntry.sql(
+      "q_label_prop", {
+        val rounds = (1 to 3).map { k =>
+          s""",
+             |c$k AS (SELECT e.v AS node, l${k - 1}.lbl, count(*) AS c
+             |  FROM edges e JOIN l${k - 1} ON e.u = l${k - 1}.node
+             |  GROUP BY e.v, l${k - 1}.lbl),
+             |l$k AS (SELECT node, lbl FROM (SELECT node, lbl,
+             |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+             |  FROM c$k) t WHERE rn = 1)"""
+        }.mkString
+        s"""WITH $GraphSql,
+           |edges AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+           |  UNION ALL SELECT n AS u, n AS v
+           |    FROM (SELECT DISTINCT u AS n FROM (SELECT u FROM und
+           |          UNION ALL SELECT v FROM und) x) nn),
+           |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges)$rounds
+           |SELECT CAST(lbl AS BIGINT) AS community,
+           |  CAST(count(*) AS BIGINT) AS n_nodes
+           |FROM l3 GROUP BY lbl""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      graft.operators.GraphOps
+        .labelPropagation(recurringPartGraph(s, d).localCheckpoint(), rounds = 3)
+        .groupBy(col("community"))
+        .agg(count(lit(1)).cast("long").as("n_nodes"))
     }
   )
 }

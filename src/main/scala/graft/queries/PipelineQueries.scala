@@ -575,6 +575,51 @@ object PipelineQueries {
         .stripMargin.replaceAll("\\s+", " ")
     ) { (s, d) => resolvedClusters(s, d) },
 
+    // E435 golden-record survivorship ([[Dedup.goldenRecords]]): one fused
+    // record per resolved near-dup cluster — richest-member text (length
+    // DESC, id ASC; md5 witness), cluster-mode source and lang (count DESC,
+    // value ASC). The twin extends the recursive-CTE cluster replay with
+    // both survivorship windows, so a wrong tie-break in either rule
+    // shifts the hash.
+    QEntry.sql(
+      "dedup_golden_record",
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |cc(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, c.comp FROM edges e JOIN cc c ON e.d = c.id),
+         |docs2 AS (SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id),
+         |m AS (SELECT docs2.cluster_id, d.doc_id, d.text, d.lang, d.source,
+         |    d.n_chars
+         |  FROM docs2 JOIN documents d ON d.doc_id = docs2.id),
+         |canon AS (SELECT cluster_id, doc_id AS canon_id,
+         |    CAST(n_chars AS BIGINT) AS canon_len, md5(text) AS canon_md5
+         |  FROM (SELECT m.*, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id) AS rn FROM m) t WHERE rn = 1),
+         |src AS (SELECT cluster_id, source AS top_source
+         |  FROM (SELECT cluster_id, source, row_number() OVER
+         |      (PARTITION BY cluster_id ORDER BY count(*) DESC, source) AS rn
+         |    FROM m GROUP BY cluster_id, source) t WHERE rn = 1),
+         |lng AS (SELECT cluster_id, lang AS top_lang
+         |  FROM (SELECT cluster_id, lang, row_number() OVER
+         |      (PARTITION BY cluster_id ORDER BY count(*) DESC, lang) AS rn
+         |    FROM m GROUP BY cluster_id, lang) t WHERE rn = 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM m GROUP BY cluster_id)
+         |SELECT sz.cluster_id, sz.n_members, canon.canon_id, canon.canon_len,
+         |  canon.canon_md5, src.top_source, lng.top_lang
+         |FROM sz JOIN canon ON sz.cluster_id = canon.cluster_id
+         |JOIN src ON sz.cluster_id = src.cluster_id
+         |JOIN lng ON sz.cluster_id = lng.cluster_id"""
+        .stripMargin.replaceAll("\\s+", " ")
+    ) { (s, d) =>
+      Dedup.goldenRecords(
+        documents(s, d), "doc_id", "text", "n_chars", Seq("source", "lang"),
+        resolvedClusters(s, d).select(col("doc_id"), col("cluster_id")))
+    },
+
     // E269 post-dedup mixture report: per source, document share BEFORE
     // dedup vs AFTER a min-id keep policy over the resolved near-dup
     // clusters — the rebalancing check a mixture-weighted sampler must run

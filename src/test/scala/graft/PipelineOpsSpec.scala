@@ -277,6 +277,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((1L, 4L)) == 0.125)
   }
 
+  test("golden records: richest-wins canonical, mode attributes, deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(
+      (1L, "short", 5L, "web", "en"),
+      (2L, "the longest member text", 23L, "crawl", "en"),
+      (3L, "also short", 10L, "crawl", "de"),
+      (4L, "tie a", 5L, "b", "fr"),
+      (5L, "tie b", 5L, "a", "fr")
+    ).toDF("id", "text", "len", "src", "lang")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster_id")
+    val out = Dedup
+      .goldenRecords(recs, "id", "text", "len", Seq("src", "lang"), clusters)
+      .collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r)
+      .toMap
+    val c1 = out(1L)
+    assert(c1.getAs[Long]("n_members") == 3L)
+    assert(c1.getAs[Long]("canon_id") == 2L, "longest member wins")
+    assert(c1.getAs[Long]("canon_len") == 23L)
+    assert(c1.getAs[String]("top_src") == "crawl", "mode source (2 of 3)")
+    assert(c1.getAs[String]("top_lang") == "en")
+    val c4 = out(4L)
+    assert(c4.getAs[Long]("canon_id") == 4L, "length tie breaks to min id")
+    assert(c4.getAs[String]("top_src") == "a", "mode tie breaks lexicographically")
+    assert(c4.getAs[String]("top_lang") == "fr")
+  }
+
   test("bloom zone skipping: zero false negatives, real pruning, driver-replayable masks") {
     val s = spark
     import s.implicits._
