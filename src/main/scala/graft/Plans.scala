@@ -113,7 +113,15 @@ object Plans {
       // the piece table having been collected as the broadcast model)
       "q_hilbert_values", "q_hilbert_prune_gain", "cur_dp_release",
       "cur_classifier_train", "txt_unigram_pieces", "emb_margin_mine",
-      "mm_mp4_meta", "q_mv_backfill_refresh"
+      "mm_mp4_meta", "q_mv_backfill_refresh",
+      // round 17 additions (cur_rho_select trains both models inside the
+      // entry body — the returned frame is the scoring join + TakeOrdered
+      // cut; emb_pca_power's iterations run as actions, the returned frame
+      // is the final component table)
+      "dedup_prefix_join", "q_skyline_orders", "cur_rho_select",
+      "emb_abtt_proj", "q_bloom_zone_skip", "mm_audio_qc",
+      "txt_ccnet_buckets", "q_label_prop", "dedup_golden_record",
+      "q_mv_compaction_refresh", "pipe_mixture_curation"
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

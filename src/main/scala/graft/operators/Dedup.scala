@@ -2525,11 +2525,15 @@ object Dedup {
     * Scale shape: prefix tokens are the RAREST shingles of each doc, so the
     * candidate equi-join fans out by the df of rare tokens — at τ = 0.6 the
     * prefix is ~40% of the doc and skips exactly the head-of-Zipf shingles
-    * that make an unfiltered shingle self-join quadratic. Cost is one
-    * df aggregate, one per-doc keyed window (rank by rarity), the
-    * prefix-token equi-join, and an id-keyed verify join — every shuffle
-    * keyed, nothing corpus×corpus. τ rides as exact ppm (⌈τ·n⌉ =
-    * (n·τ_ppm + 999999) div 10⁶) so both engines cut identical prefixes.
+    * that make an unfiltered shingle self-join quadratic — and the PPJoin
+    * POSITIONAL filter prunes, still losslessly, the candidates whose
+    * match position leaves too little suffix to ever reach τ (the filter
+    * that keeps candidate growth in check when near-dup structure makes
+    * prefix tokens corpus-frequent). Cost is one df aggregate, one per-doc
+    * keyed window (rank by rarity), the prefix-token equi-join, and an
+    * id-keyed verify join — every shuffle keyed, nothing corpus×corpus.
+    * τ rides as exact ppm (⌈τ·n⌉ = (n·τ_ppm + 999999) div 10⁶) so both
+    * engines cut identical prefixes.
     */
   def prefixJaccardPairs(
       df: DataFrame,
@@ -2552,16 +2556,23 @@ object Dedup {
       .partitionBy("id").orderBy(col("sdf"), col("s"))
     val prefix = exploded
       .join(sdf, Seq("s"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= expr(s"sz - ((sz * ${tauPpm}L + 999999L) div 1000000L) + 1L"))
-      .select("id", "sz", "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= expr(s"sz - ((sz * ${tauPpm}L + 999999L) div 1000000L) + 1L"))
+      .select("id", "sz", "s", "rn")
       .localCheckpoint()
+    // PPJoin positional filter (lossless, Xiao et al. 2008): matching at
+    // canonical positions (i, j) leaves at most min(|A|−i, |B|−j) + 1
+    // tokens that can still overlap — if that bound misses the required
+    // α = ⌈τ(|A|+|B|)/(1+τ)⌉ the candidate cannot reach τ and is pruned
+    // BEFORE the verify join. α in exact ppm integers like everything else.
     val cand = prefix.as("a")
       .join(
         prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           col("b.sz") * 1000000L >= col("a.sz") * tauPpm &&
-          col("a.sz") * 1000000L >= col("b.sz") * tauPpm
+          col("a.sz") * 1000000L >= col("b.sz") * tauPpm &&
+          (least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1L) *
+            lit(1000000L + tauPpm) >= lit(tauPpm) * (col("a.sz") + col("b.sz"))
       )
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
