@@ -46,8 +46,19 @@ object Skyline {
       .withColumn("_gpid", spark_partition_id())
       .localCheckpoint()
     val pm = sorted.groupBy("_gpid").agg(max("_my").as("_pm"))
-    val wp = Window.orderBy("_gpid").rowsBetween(Window.unboundedPreceding, -1)
-    val prev = pm.select(col("_gpid"), max("_pm").over(wp).as("_prevpm"))
+    // strict-prefix max across partition summaries WITHOUT a global window
+    // (a no-PARTITION-BY window is the one shape PlanAudit errors on, even
+    // over this metadata-sized frame): a theta self-join over the ≤
+    // shuffle-partitions summary rows — bounded by cluster width, not data.
+    val prev = pm
+      .select(col("_gpid"))
+      .join(
+        broadcast(pm.select(col("_gpid").as("_bpid"), col("_pm"))),
+        col("_bpid") < col("_gpid"),
+        "left"
+      )
+      .groupBy("_gpid")
+      .agg(max("_pm").as("_prevpm"))
     val wLocal = Window
       .partitionBy("_gpid")
       .orderBy(col("_sx").desc)
