@@ -2542,12 +2542,17 @@ object Dedup {
       tauPpm: Long = 600000L
   ): DataFrame = {
     require(tauPpm > 0 && tauPpm <= 1000000L, "tauPpm in (0, 1e6]")
+    // tokenize into a projected column and gate on TOKEN count, not on
+    // size(sh) above the shingle alias: predicate pushdown substitutes
+    // aliases into the filter unconditionally, so a size(sh) > 0 filter
+    // re-evaluates the whole shingle lambda — with the split() inlined PER
+    // ELEMENT — against every raw row (measured 13 s vs 1 s on the bench
+    // corpus for this one stage). size(ws) >= k ⟺ sh non-empty by
+    // [[shinglesFromWords]]'s short-doc guard, so the gate is equivalent.
     val docs = spread(df.select(col(idCol), col(textCol)))
-      .select(
-        col(idCol).as("id"),
-        array_distinct(shinglesFromWords(TextAnalysis.tokens(col(textCol)))).as("sh")
-      )
-      .filter(size(col("sh")) > 0)
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .filter(size(col("_ws")) >= 3)
+      .select(col("id"), array_distinct(shinglesFromWords(col("_ws"))).as("sh"))
       .localCheckpoint()
     val exploded = docs.select(
       col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
