@@ -1080,7 +1080,7 @@ object Dedup {
       .select(col(idCol), explode_outer(shinglesFromWords(col("_ws"), k)).as("_sp"))
       .select(col(idCol), md5(col("_sp")).as("_h"))
       .localCheckpoint() // membership + per-doc agg both consume it
-    val idx = batch.sparkSession.read.parquet(path).select(col("h").as("_h"))
+    val idx = ParquetIO.read(batch.sparkSession, path).select(col("h").as("_h"))
     val batchDup = spans
       .filter(col("_h").isNotNull)
       .distinct()
@@ -1242,8 +1242,7 @@ object Dedup {
       .select(col(idCol), col("_p"), md5(col("_sp")).as("_h"))
       .localCheckpoint() // membership probe, ownership agg, and cut join reuse it
     val batchDigests = spans.select(col("_h")).distinct()
-    val present = batch.sparkSession.read
-      .parquet(path)
+    val present = ParquetIO.read(batch.sparkSession, path)
       .select(col("h").as("_h"))
       .join(broadcast(batchDigests), Seq("_h"))
       .distinct()
@@ -1819,8 +1818,7 @@ object Dedup {
       ids: DataFrame,
       path: String
   ): Unit = {
-    val survivors = spark.read
-      .parquet(path)
+    val survivors = ParquetIO.read(spark, path)
       .join(ids.toDF("id"), Seq("id"), "left_anti")
       .localCheckpoint()
     survivors.write
@@ -1936,7 +1934,7 @@ object Dedup {
     val p = pairs.toDF("id1", "id2")
       .localCheckpoint() // endpoints, contraction, and CC all reuse the pair set
     val bIds = batchIds.toDF("id")
-    val state = spark.read.parquet(clusterStatePath).select(col("id"), col("cluster_id"))
+    val state = ParquetIO.read(spark, clusterStatePath).select(col("id"), col("cluster_id"))
     // touched state rows only: endpoint ids are batch-bounded, so the big
     // state table is reduced with one broadcast semi-join scan — no shuffle
     val endpoints = p
@@ -2000,8 +1998,7 @@ object Dedup {
         col(benchIdCol).as("bench_id"),
         explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("band")
       )
-    val indexed = bench.sparkSession.read
-      .parquet(indexPath)
+    val indexed = ParquetIO.read(bench.sparkSession, indexPath)
       .select(col("id"), col("band"))
     indexed
       .join(broadcast(benchBands), "band")
@@ -2036,7 +2033,7 @@ object Dedup {
     * second parquet read of a one/two-column ReadSchema.
     */
   def minhashIndexStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val idx = spark.read.parquet(path)
+    val idx = ParquetIO.read(spark, path)
     val bandSummary = idx
       .groupBy(col("band"))
       .agg(count(lit(1)).as("_df"))
@@ -2064,8 +2061,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String
   ): DataFrame = {
-    val bands = spark.read
-      .parquet(path)
+    val bands = ParquetIO.read(spark, path)
       .select(col("id"), col("band"))
       .localCheckpoint() // one index read feeds both self-join branches + nodes
     val pairs = bands
@@ -2107,8 +2103,7 @@ object Dedup {
       clusterStatePath: String
   ): DataFrame =
     repairClusterStateWith(spark, deletedIds, clusterStatePath) { members =>
-      val bands = spark.read
-        .parquet(indexPath)
+      val bands = ParquetIO.read(spark, indexPath)
         .join(broadcast(members), Seq("id"))
         .select(col("id"), col("band"))
         .localCheckpoint()
@@ -2134,8 +2129,7 @@ object Dedup {
       maxHamming: Int = 3
   ): DataFrame =
     repairClusterStateWith(spark, deletedIds, clusterStatePath) { members =>
-      val rows = spark.read
-        .parquet(indexPath)
+      val rows = ParquetIO.read(spark, indexPath)
         .join(broadcast(members), Seq("id"))
         .select(col("id") +: (0 until 4).map(b => col(s"i$b")): _*)
         .localCheckpoint()
@@ -2177,8 +2171,7 @@ object Dedup {
       batchIds: DataFrame,
       clusterStatePath: String
   ): Unit = {
-    val clash = spark.read
-      .parquet(clusterStatePath)
+    val clash = ParquetIO.read(spark, clusterStatePath)
       .select(col("id"))
       .join(broadcast(batchIds.toDF("id")), Seq("id"))
       .limit(5)
@@ -2205,8 +2198,8 @@ object Dedup {
       oldPath: String,
       newPath: String
   ): DataFrame = {
-    val o = spark.read.parquet(oldPath).select(col("id"), col("cluster_id").as("_old"))
-    val n = spark.read.parquet(newPath).select(col("id"), col("cluster_id").as("_new"))
+    val o = ParquetIO.read(spark, oldPath).select(col("id"), col("cluster_id").as("_old"))
+    val n = ParquetIO.read(spark, newPath).select(col("id"), col("cluster_id").as("_new"))
     o.join(n, Seq("id"), "full_outer")
       .filter(col("_old").isNull || col("_new").isNull || col("_old") =!= col("_new"))
       .select(
@@ -2235,7 +2228,7 @@ object Dedup {
       clusterStatePath: String
   )(pairsOf: DataFrame => DataFrame): DataFrame = {
     val del = deletedIds.toDF("id")
-    val state = spark.read.parquet(clusterStatePath).select(col("id"), col("cluster_id"))
+    val state = ParquetIO.read(spark, clusterStatePath).select(col("id"), col("cluster_id"))
     val affectedLabels = state
       .join(broadcast(del), Seq("id"))
       .select(col("cluster_id"))
@@ -2323,8 +2316,7 @@ object Dedup {
         ): _*
       )
       .localCheckpoint() // sketch pipeline runs once, not once per join branch
-    val idx = batch.sparkSession.read
-      .parquet(path)
+    val idx = ParquetIO.read(batch.sparkSession, path)
       .select(col("id").as("nid") +: (0 until 4).map(b => col(s"i$b").as(s"n$b")): _*)
     val all = idx.unionByName(
       bb.select(col("bid").as("nid") +: (0 until 4).map(b => col(s"b$b").as(s"n$b")): _*))
@@ -2389,8 +2381,7 @@ object Dedup {
         explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("band")
       )
       .localCheckpoint()
-    val indexed = batch.sparkSession.read
-      .parquet(path)
+    val indexed = ParquetIO.read(batch.sparkSession, path)
       .select(col("id").as("nid"), col("band"))
     val allBands = indexed.unionByName(batchBands.select(col("bid").as("nid"), col("band")))
     // Hot-band cap — the skew guard for boilerplate-saturated corpora: a

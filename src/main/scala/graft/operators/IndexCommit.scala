@@ -144,7 +144,7 @@ object IndexCommit {
   /** Newest committed snapshot with its version; None before first commit. */
   def readCommitted(spark: SparkSession, root: String): Option[(Long, DataFrame)] =
     resolveHead(spark, root).map { case (n, name) =>
-      (n, spark.read.parquet(new Path(dataDir(root), name).toString))
+      (n, ParquetIO.read(spark, new Path(dataDir(root), name).toString))
     }
 
   /** Attempt to publish `stagedName` as version `n` by creating
@@ -262,7 +262,7 @@ object IndexCommit {
     * [[vacuum]] hasn't swept it.
     */
   def readVersion(spark: SparkSession, root: String, n: Long): DataFrame =
-    spark.read.parquet(snapshotPath(spark, root, n).toString)
+    ParquetIO.read(spark, snapshotPath(spark, root, n).toString)
 
   /** True iff `root` carries this protocol's layout (a manifest dir) —
     * how the SQL catalog distinguishes a committed index from a plain

@@ -75,7 +75,7 @@ object IndexMaintenance {
       partitionCols: Seq[String],
       ingestCol: Option[String] = Some("ingest_id")
   ): Unit = {
-    val rows0 = spark.read.parquet(path)
+    val rows0 = ParquetIO.read(spark, path)
     val rows = ingestCol.fold(rows0)(c => rows0.withColumn(c, lit(0L))).localCheckpoint()
     val shuffled =
       if (partitionCols.nonEmpty) rows.repartition(partitionCols.map(col): _*) else rows.coalesce(1)

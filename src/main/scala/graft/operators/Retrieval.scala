@@ -522,7 +522,7 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    val dl = spark.read.parquet(s"$path/docstats").select(col("id"), col("dl"))
+    val dl = ParquetIO.read(spark, s"$path/docstats").select(col("id"), col("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val pfxPred = queryTerms
       .map(t => col("term_pfx") === pmod(xxhash64(lit(t)), lit(16)))

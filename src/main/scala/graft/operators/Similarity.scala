@@ -687,7 +687,7 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= bits + 1, s"nProbe must be in [1, bits+1], got $nProbe")
     VectorExpressions.install(queries.sparkSession)
     val planes = hyperplanes(bits, dimOf(queries, vecCol, dim), seed)
-    val cb = queries.sparkSession.read.parquet(path)
+    val cb = ParquetIO.read(queries.sparkSession, path)
     val qb = broadcast(multiProbeQuerySide(queries, idCol, vecCol, planes, bits, nProbe, "b"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cb.join(qb, "bucket")
@@ -891,7 +891,7 @@ object Similarity {
       dynamic: Boolean
   ): Unit = {
     VectorExpressions.install(df.sparkSession)
-    val cents = broadcast(df.sparkSession.read.parquet(s"$path/centroids"))
+    val cents = broadcast(ParquetIO.read(df.sparkSession, s"$path/centroids"))
     // aggregate-argmax assignment — the ivfTopK corpus-side shape: partial
     // aggregation collapses the ×nlist fan-out map-side
     val assigned = df
@@ -939,7 +939,7 @@ object Similarity {
   ): DataFrame = {
     val spark = queries.sparkSession
     VectorExpressions.install(spark)
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val cents = broadcast(ParquetIO.read(spark, s"$path/centroids"))
     val wq = Window.partitionBy("query_id").orderBy(col("_cellCos").desc, col("cell"))
     val queryCells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -953,8 +953,7 @@ object Similarity {
     val probeCells = queryCells.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    spark.read
-      .parquet(s"$path/cells")
+    ParquetIO.read(spark, s"$path/cells")
       .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
       .join(broadcast(queryCells), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -1461,8 +1460,8 @@ object Similarity {
   ): DataFrame = {
     val spark = queries.sparkSession
     VectorExpressions.install(spark)
-    val codebook = spark.read.parquet(s"$path/codebook")
-    val codes = spark.read.parquet(s"$path/codes")
+    val codebook = ParquetIO.read(spark, s"$path/codebook")
+    val codes = ParquetIO.read(spark, s"$path/codes")
     val lut = pqLut(queries, idCol, vecCol, m, codebook)
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
     codes
@@ -1628,7 +1627,7 @@ object Similarity {
   ): DataFrame = {
     VectorExpressions.install(queries.sparkSession)
     val planes = hyperplanes(bits, dimOf(queries, vecCol, dim), seed)
-    val cb = queries.sparkSession.read.parquet(path)
+    val cb = ParquetIO.read(queries.sparkSession, path)
     val qb = broadcast(
       queries
         .select(
@@ -1678,8 +1677,7 @@ object Similarity {
       )
       .withColumn("bn", sqrt(expr("graft_dot(bv, bv)")))
       .localCheckpoint() // bucket once; both join branches reuse the rows
-    val idx = batch.sparkSession.read
-      .parquet(path)
+    val idx = ParquetIO.read(batch.sparkSession, path)
       .select(col("neighbor_id").as("nid"), col("nv"), col("nn"), col("bucket"))
     val all = idx.unionByName(
       bb.select(col("bid").as("nid"), col("bv").as("nv"), col("bn").as("nn"), col("bucket")))
@@ -1770,8 +1768,7 @@ object Similarity {
       threshold: Double
   ): DataFrame = {
     VectorExpressions.install(spark)
-    val rows = spark.read
-      .parquet(path)
+    val rows = ParquetIO.read(spark, path)
       .select(col("neighbor_id").as("id"), col("nv"), col("nn"), col("bucket"))
       .localCheckpoint() // one index read feeds both self-join branches + nodes
     val pairs = rows
