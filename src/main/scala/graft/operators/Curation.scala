@@ -835,7 +835,6 @@ object Curation {
       lr: Double = 4.0
   ): DataFrame = {
     require(buckets >= 2 && steps >= 1 && lr > 0.0, "need buckets>=2, steps>=1, lr>0")
-    val spark = docs.sparkSession
     // one row per token instance; docs with no tokens have no features and
     // contribute nothing to z or the gradient (they'd score logit 0 at
     // inference regardless of weights)
@@ -846,12 +845,30 @@ object Curation {
         explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("_t")
       )
       .filter(col("_t") =!= "")
-      .withColumn(
-        "_b",
-        pmod(conv(substring(md5(col("_t")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
-      )
+      .withColumn("_b", tokenBucket(col("_t"), buckets))
       .select("_doc", "_y", "_b")
       .localCheckpoint()
+    trainFromTokenBuckets(tk, buckets, steps, lr)
+  }
+
+  /** The md5-prefix hashed-bag bucket both the trainer and scorer key
+    * features by — factored out so multi-model callers ([[rhoLossSelect]])
+    * tokenize and hash the corpus ONCE and share the frame.
+    */
+  private def tokenBucket(t: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /** GD over an already-materialized token-instance frame (_doc, _y, _b) —
+    * the post-tokenize body of [[trainLinearQuality]]. `tk` must be pinned
+    * (localCheckpoint) by the caller: every step scans it twice.
+    */
+  private def trainFromTokenBuckets(
+      tk: DataFrame,
+      buckets: Int,
+      steps: Int,
+      lr: Double
+  ): DataFrame = {
+    val spark = tk.sparkSession
     val nDocs = tk.select("_doc").distinct().count()
     require(nDocs > 0, "trainLinearQuality needs at least one tokenized doc")
     // q_d carries ppm·10³ scaling (the 10³ is the 1/n_d quantization grain)
@@ -946,16 +963,55 @@ object Curation {
       lr: Double = 4.0
   ): DataFrame = {
     require(k > 0, "k > 0")
-    val ho = docs.filter(holdout)
-    val tr = docs.filter(!holdout)
+    // ONE tokenize + bucket-hash pass shared by both trainings and the
+    // scoring (the holdout flag rides along) — the four separate passes
+    // this used to run re-exploded and re-digested the same corpus each
+    // time. Null _b marks the explode_outer placeholder of a token-less
+    // doc (kept: such docs must still appear in the ranking at logit 0).
+    val tokAll = docs
+      .select(
+        col(idCol).as("_doc"),
+        label.as("_y"),
+        holdout.as("_ho"),
+        explode_outer(graft.functions.TextAnalysis.tokens(col(textCol))).as("_t")
+      )
+      .withColumn(
+        "_b",
+        when(col("_t").isNotNull && col("_t") =!= "", tokenBucket(col("_t"), buckets))
+      )
+      .select("_doc", "_y", "_ho", "_b")
+      .localCheckpoint()
     def dec(w: DataFrame) =
       w.select(col("bucket"), col("weight").cast("decimal(18,9)").as("weight"))
-    val wHo = dec(trainLinearQuality(ho, idCol, textCol, label, buckets, steps, lr))
-    val wTr = dec(trainLinearQuality(tr, idCol, textCol, label, buckets, steps, lr))
-    val zTr = linearQualityScore(tr, idCol, textCol, wTr, buckets)
-      .select(col(idCol), col("n_tokens"), col("logit").as("_ztr"))
-    val zHo = linearQualityScore(tr, idCol, textCol, wHo, buckets)
-      .select(col(idCol), col("logit").as("_zho"))
+    def tkSide(ho: Boolean) = tokAll
+      .filter(col("_ho") === ho && col("_b").isNotNull)
+      .select("_doc", "_y", "_b")
+    val wHo = dec(trainFromTokenBuckets(tkSide(ho = true), buckets, steps, lr)
+      .select(col("bucket"), col("weight").cast("double").as("weight")))
+    val wTr = dec(trainFromTokenBuckets(tkSide(ho = false), buckets, steps, lr)
+      .select(col("bucket"), col("weight").cast("double").as("weight")))
+    // one scoring pass with BOTH weight tables joined in (was two separate
+    // per-model aggregates over re-tokenized text): identical sums, the
+    // n_tokens count rides on the training-model join exactly as before
+    val scored = tokAll
+      .filter(!col("_ho"))
+      .join(broadcast(wTr.select(col("bucket").as("_b"), col("weight").as("_wt"))), Seq("_b"), "left")
+      .join(broadcast(wHo.select(col("bucket").as("_b"), col("weight").as("_wh"))), Seq("_b"), "left")
+      .groupBy(col("_doc"), col("_y"))
+      .agg(
+        count(col("_wt")).as("n_tokens"),
+        sum("_wt").cast("decimal(28,9)").cast("double").as("_st"),
+        sum("_wh").cast("decimal(28,9)").cast("double").as("_sh")
+      )
+      .select(
+        col("_doc").as(idCol),
+        col("_y"),
+        col("n_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round(col("_st") / col("n_tokens"), 6)).as("_ztr"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round(col("_sh") / col("n_tokens"), 6)).as("_zho")
+      )
     def pPpm(z: Column): Column =
       greatest(least(floor(lit(1000000.0) / (lit(1.0) + exp(-z))).cast("long"),
         lit(999999L)), lit(1L))
@@ -963,9 +1019,7 @@ object Curation {
       (when(y, round(-log(p.cast("double") / 1000000.0), 9))
         .otherwise(round(-log((lit(1000000L) - p).cast("double") / 1000000.0), 9))
         .cast("decimal(18,9)") * 1000000000L).cast("long")
-    tr.select(col(idCol), label.as("_y"))
-      .join(zTr, Seq(idCol))
-      .join(zHo, Seq(idCol))
+    scored
       .select(
         col(idCol),
         col("n_tokens"),
