@@ -11,24 +11,17 @@ import org.apache.spark.sql.functions._
   * and the same code path works against a 100 TB warehouse directory.
   */
 object Tables {
-  /** Memoized parquet SCHEMA per table path — metadata, not data. Every
-    * `spark.read.parquet` without an explicit schema re-runs footer-based
-    * schema inference (measured ~0.1 s per call on this host, paid by every
-    * entry for every table it opens — tens of seconds across a 479-entry
-    * bench lap). A production warehouse pins schemas in a catalog instead
-    * of re-inferring per query; this memo is that catalog for the
-    * driver-generated star schema, whose layout is immutable for the life
-    * of a run. Rows are still read from parquet on every invocation — only
-    * the footer-inference step is skipped.
+  /** Base-table reads go through [[graft.operators.ParquetIO]]'s memoized
+    * SCHEMA per path — metadata, not data (one cache with one invalidation
+    * story instead of a private duplicate, per the round-17 advisory).
+    * Footer-based schema inference costs ~0.1 s per call on this host, paid
+    * by every entry for every table it opens — tens of seconds across a
+    * 479-entry bench lap; a production warehouse pins schemas in a catalog
+    * instead of re-inferring per query. Rows are still read from parquet on
+    * every invocation — only the footer-inference step is skipped.
     */
-  private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
-
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
-    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
-  }
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.operators.ParquetIO.read(spark, s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

@@ -869,7 +869,17 @@ object Curation {
       lr: Double
   ): DataFrame = {
     val spark = tk.sparkSession
-    val nDocs = tk.select("_doc").distinct().count()
+    // collapse token INSTANCES to (doc, bucket) COUNTS once: both per-step
+    // scans (the z forward pass and the gradient scatter) are keyed sums
+    // over the same counts, so every later join and shuffle carries one row
+    // per distinct (doc, bucket) instead of one per token (guide §2.3 —
+    // aggregate before you shuffle). Exactness is untouched: Σ w = w·cnt
+    // and Σ r = r·cnt are exact in DECIMAL/integer arithmetic, so every
+    // z, q and gradient is bit-identical to the instance-level ladder.
+    // Within a step's job both branches contain the same aggregation
+    // exchange, which the engine reuses (one shuffle, two readers).
+    val db = tk.groupBy("_doc", "_y", "_b").agg(count(lit(1)).as("_cnt"))
+    val nDocs = db.select("_doc").distinct().count()
     require(nDocs > 0, "trainLinearQuality needs at least one tokenized doc")
     // q_d carries ppm·10³ scaling (the 10³ is the 1/n_d quantization grain)
     val divisor = nDocs * (1000000000.0 / lr)
@@ -877,15 +887,19 @@ object Curation {
       .range(buckets)
       .select(col("id").as("bucket"), lit(0.0).cast("decimal(18,9)").as("weight"))
     for (_ <- 1 to steps) {
-      val z = tk
+      val z = db
         .join(
           broadcast(w.select(col("bucket").as("_b"), col("weight").as("_w"))),
           Seq("_b")
         )
         .groupBy("_doc", "_y")
         .agg(
-          count(lit(1)).as("_n"),
-          sum("_w").cast("decimal(28,9)").cast("double").as("_s")
+          sum(col("_cnt")).cast("long").as("_n"),
+          // _cnt is cast to decimal(10,0) so the product type is
+          // decimal(29,9) — EXACT at scale 9; a bare bigint operand would
+          // push precision past 38 and Spark would round the scale to 8
+          sum(col("_w") * col("_cnt").cast("decimal(10,0)"))
+            .cast("decimal(28,9)").cast("double").as("_s")
         )
         .select(col("_doc"), col("_y"), col("_n"), round(col("_s") / col("_n"), 6).as("_z"))
       val resid = z.select(
@@ -898,10 +912,10 @@ object Curation {
             * 1000.0 / col("_n").cast("double"))
           .cast("long").as("_r")
       )
-      val grad = tk
+      val grad = db
         .join(resid, Seq("_doc"))
         .groupBy("_b")
-        .agg(sum("_r").cast("long").as("_g"))
+        .agg(sum(col("_r") * col("_cnt")).cast("long").as("_g"))
       w = w
         .join(grad.select(col("_b").as("bucket"), col("_g")), Seq("bucket"), "left")
         .select(

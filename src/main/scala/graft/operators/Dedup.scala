@@ -339,9 +339,11 @@ object Dedup {
     * and its neighbors; the fixpoint labels each node with the smallest id in
     * its component. Each round is one equi-join + one hash aggregate — both
     * key-partitioned shuffles that scale to any corpus. Convergence is
-    * detected with a scalar fingerprint aggregate (sum of per-row hashes):
-    * labels only ever decrease, so an unchanged fingerprint IS the fixpoint —
-    * no data ever reaches the driver.
+    * detected with a changed-label count OBSERVED on the round's own
+    * materializing action (`Dataset.observe` + the eager localCheckpoint):
+    * labels only ever decrease, so zero strict decreases IS the fixpoint —
+    * one job per round instead of the former checkpoint + separate
+    * fingerprint-aggregate pair, and no data ever reaches the driver.
     *
     * Rounds needed = graph diameter. Near-dup clusters are dense (diameter
     * 2-3); `maxIter` bounds adversarial chains. Lineage is truncated every
@@ -368,29 +370,30 @@ object Dedup {
     val touched = sym.select(col("s").as("id")).distinct().localCheckpoint()
     var labels = touched.select(col("id"), col("id").as("comp")).localCheckpoint()
 
-    // decimal accumulator: a long sum of 2^63-range hashes overflows under
-    // ANSI arithmetic; decimal(38,0) holds any realistic row count
-    def fingerprint(df: DataFrame): String =
-      String.valueOf(
-        df.agg(sum(xxhash64(col("id"), col("comp")).cast("decimal(38,0)"))).head().get(0)
-      )
-
-    var fp = fingerprint(labels)
+    val compType = labels.schema("comp").dataType
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val msgs = sym
         .join(labels, sym("d") === labels("id"))
         .select(sym("s").as("id"), col("comp"))
+      // the previous label rides along as `_old` (msgs contribute NULL, which
+      // min() ignores; every id occurs exactly once in `labels`, so
+      // min(_old) IS the old label) — the strict-decrease count is then a
+      // metric on the checkpoint action itself, not a second job
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val updated = labels
-        .union(msgs)
+        .select(col("id"), col("comp"), col("comp").as("_old"))
+        .union(msgs.select(col("id"), col("comp"), lit(null).cast(compType).as("_old")))
         .groupBy(col("id"))
-        .agg(min(col("comp")).as("comp"))
+        .agg(min(col("comp")).as("comp"), min(col("_old")).as("_old"))
+        .observe(obs, sum(when(col("comp") < col("_old"), 1L).otherwise(0L)).as("n_changed"))
+        .select(col("id"), col("comp"))
         .localCheckpoint()
-      val nfp = fingerprint(updated)
       labels.unpersist()
-      converged = nfp == fp
-      fp = nfp
+      val changed = Option(obs.get("n_changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      converged = changed == 0L
+      // (obs.get blocks until the checkpoint's own action reports the metric)
       labels = updated
       iter += 1
     }
@@ -1766,13 +1769,15 @@ object Dedup {
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
       fast: Boolean = false
-  ): Unit =
+  ): Unit = {
     minhashBandRows(df, idCol, textCol, numPerm, rowsPerBand, fast)
       .withColumn("ingest_id", lit(0L))
       .write
       .mode("overwrite")
       .partitionBy("ingest_id", "band_pfx")
       .parquet(path)
+    ParquetIO.invalidate(path) // full rebuild may replace a read path
+  }
 
   /** Fold one accepted ingest's band keys into a [[buildMinhashIndex]]
     * index. Dynamic partition overwrite on the ingest's own `ingest_id`
@@ -1825,6 +1830,7 @@ object Dedup {
       .mode("overwrite")
       .partitionBy("ingest_id", "band_pfx")
       .parquet(path)
+    ParquetIO.invalidate(path) // in-place rewrite: drop any memoized schema
   }
 
   /** Persist the cluster-resolution state (`id`, `cluster_id`) that
@@ -1834,7 +1840,7 @@ object Dedup {
     * cluster's members for the relabel join). Rows are two longs, so even a
     * 100 TB corpus's state is metadata-scale next to its text.
     */
-  def writeClusterState(clusters: DataFrame, idCol: String, clusterCol: String, path: String): Unit =
+  def writeClusterState(clusters: DataFrame, idCol: String, clusterCol: String, path: String): Unit = {
     clusters
       .select(col(idCol).as("id"), col(clusterCol).as("cluster_id"))
       .withColumn("cl_pfx", pmod(xxhash64(col("cluster_id")), lit(16)))
@@ -1842,6 +1848,8 @@ object Dedup {
       .mode("overwrite")
       .partitionBy("cl_pfx")
       .parquet(path)
+    ParquetIO.invalidate(path) // may overwrite a previously-read state path
+  }
 
   /** Incremental CLUSTER maintenance — the missing stage after
     * [[incrementalNearDupPairs]]: that call finds a new batch's near-dup
@@ -2280,7 +2288,7 @@ object Dedup {
       idCol: String,
       bitsCol: String,
       path: String
-  ): Unit =
+  ): Unit = {
     sketches
       .select(
         col(idCol).as("id") +: (0 until 4).map(b =>
@@ -2292,6 +2300,8 @@ object Dedup {
       .mode("overwrite")
       .partitionBy("band_pfx")
       .parquet(path)
+    ParquetIO.invalidate(path) // full rebuild may replace a read path
+  }
 
   /** Near-dup pairs of a NEW batch of sketches against a corpus indexed by
     * [[buildHammingIndex]]: the batch's sketches (computed once, O(batch))

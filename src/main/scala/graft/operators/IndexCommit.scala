@@ -378,7 +378,12 @@ object IndexCommit {
         .filter { st =>
           expiredDirs.contains(st.getPath.getName) || st.getModificationTime < cutoff
         }
-        .foreach(st => fs.delete(st.getPath, true))
+        .foreach { st =>
+          fs.delete(st.getPath, true)
+          // evict the swept snapshot's memoized schema so the cache does not
+          // accumulate one entry per vacuumed version forever
+          ParquetIO.invalidate(st.getPath.toString)
+        }
     }
   }
 }

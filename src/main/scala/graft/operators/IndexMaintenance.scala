@@ -54,6 +54,7 @@ object IndexMaintenance {
       .localCheckpoint()
     val w = survivors.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    ParquetIO.invalidate(path) // in-place rewrite: drop any memoized schema
   }
 
   /** Small-file compaction for ANY ingest-partitioned index — the generic
@@ -81,6 +82,7 @@ object IndexMaintenance {
       if (partitionCols.nonEmpty) rows.repartition(partitionCols.map(col): _*) else rows.coalesce(1)
     val w = shuffled.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    ParquetIO.invalidate(path) // in-place rewrite: drop any memoized schema
   }
 
   // ---- versioned variants (crash-safe, multi-writer) ----------------------

@@ -14,10 +14,12 @@ import org.apache.spark.sql.types.StructType
   * schema). A catalog-backed warehouse pins schemas instead of re-inferring
   * per query; this memo is that catalog for the engine's own index layouts.
   *
-  * Contract: a path's schema is fixed for the life of the JVM — every
-  * in-repo rewrite (index delete/compact, cluster-state overwrite, sidecar
-  * refresh) replaces FILE CONTENTS under the same schema. File listings and
-  * partition discovery are NOT cached here: each read sees the path's
+  * Contract: a path's schema is fixed between rewrites — every in-repo
+  * rewrite (index delete/compact, cluster-state overwrite, sidecar refresh)
+  * calls [[invalidate]] on the path it replaced, so a rewrite that DID
+  * change the column set is re-inferred on the next read instead of being
+  * silently served the stale entry (the round-17 advisory). File listings
+  * and partition discovery are NOT cached here: each read sees the path's
   * current files; only the column-type inference is skipped.
   */
 object ParquetIO {
@@ -27,5 +29,26 @@ object ParquetIO {
   def read(spark: SparkSession, path: String): DataFrame = {
     val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
+  }
+
+  /** Drop the memoized schema for `path` (and any nested partition-dir
+    * entries under it). Writers that replace a path in place call this right
+    * after the write commits; a fresh-path write needs nothing (a never-read
+    * path has no entry). Also bounds the cache for long-running committers
+    * that rewrite the same root many times.
+    */
+  def invalidate(path: String): Unit = {
+    // cache keys are whatever string the read sites passed; a filesystem
+    // listing hands back fully-qualified `file:` URIs for the same dirs, so
+    // match on the scheme-stripped form of both sides
+    def bare(p: String): String =
+      p.stripPrefix("file://").stripPrefix("file:").stripSuffix("/")
+    val norm = bare(path)
+    schemaCache.keysIterator
+      .filter { k =>
+        val kb = bare(k)
+        kb == norm || kb.startsWith(norm + "/")
+      }
+      .foreach(schemaCache.remove)
   }
 }

@@ -1914,8 +1914,9 @@ object Similarity {
     * revisited nodes dedupe into their existing row. `hops` bounds the walk
     * (cost ≤ hops·beam·degree scored candidates per query — the measured
     * knob [[graft.queries.PipelineQueries]]'s `ann_graph_sweep` sweeps);
-    * per-hop localCheckpoint cuts the iterative lineage exactly as the
-    * PageRank loop does.
+    * lineage is truncated with a localCheckpoint every TWO hops — the
+    * per-hop prune stays in the lineage (identical beam contents), but the
+    * sequential barrier count halves vs the former per-hop checkpoint.
     *
     * Output interface-matches [[bruteForceTopK]]: (query_id, neighbor_id,
     * cos, rank), self-matches excluded — so [[recallAtK]] compares them
@@ -1987,22 +1988,33 @@ object Similarity {
       score(seeds).localCheckpoint()
     }
     val wBeam = Window.partitionBy("query_id").orderBy(col("cos").desc, col("node_id"))
-    for (_ <- 1 to hops) {
-      val expanded = frontier
+    def hop(prev: DataFrame): DataFrame = {
+      val expanded = prev
         .select("query_id", "node_id")
         .join(adj, "node_id")
         .select(col("query_id"), col("dst").as("node_id"))
         .distinct()
-      frontier = noBloom {
-        frontier
-          .unionByName(score(expanded))
-          .groupBy("query_id", "node_id")
-          .agg(max("cos").as("cos"))
-          .withColumn("_r", row_number().over(wBeam))
-          .filter(col("_r") <= beam)
-          .select("query_id", "node_id", "cos")
-          .localCheckpoint()
-      }
+      prev
+        .unionByName(score(expanded))
+        .groupBy("query_id", "node_id")
+        .agg(max("cos").as("cos"))
+        .withColumn("_r", row_number().over(wBeam))
+        .filter(col("_r") <= beam)
+        .select("query_id", "node_id", "cos")
+    }
+    // TWO hops per checkpoint: the per-hop beam prune stays in the lineage
+    // (identical results — pruning is a deterministic window), but the
+    // materialization barrier count halves. The un-truncated segment holds
+    // ≤ 4 copies of the previous checkpoint's subtree (each hop references
+    // its input twice), which analysis absorbs; per-hop checkpointing
+    // existed to stop the GEOMETRIC growth of chaining many hops, and a
+    // 2-hop segment keeps that bound.
+    var remaining = hops
+    while (remaining > 0) {
+      val step = math.min(2, remaining)
+      val segment = (1 to step).foldLeft(frontier)((f, _) => hop(f))
+      frontier = noBloom { segment.localCheckpoint() }
+      remaining -= step
     }
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     frontier

@@ -4989,21 +4989,35 @@ object PipelineQueries {
         .buildNswEdges(emb, "vec_id", "embedding", dim = EmbDim)
         .select("src", "dst")
         .localCheckpoint()
-      Seq(8, 16, 32)
-        .map { beam =>
-          Similarity
-            .nswTopKFromEdges(emb, queries, "vec_id", "embedding", edges, 10,
-              beam = beam, hops = NswHops)
-            .select("query_id", "neighbor_id")
-            .join(bf, Seq("query_id", "neighbor_id"))
-            .agg(count(lit(1)).as("hits"))
-            .select(
-              lit(beam).as("beam"),
-              col("hits"),
-              expr("hits * 1000000L div 50").cast("long").as("recall_ppm")
-            )
-        }
-        .reduce(_ unionByName _)
+      // the three beam arms are INDEPENDENT searches over one shared graph:
+      // built on a 3-thread pool (guide §2.6 — overlap independent jobs) so
+      // one arm's sequential hop barriers back-fill the others' idle cores.
+      // Each arm's result is identical to the sequential build (per-arm
+      // checkpoint lineage is self-contained and the conf override inside
+      // the walk is thread-scoped); the union order is pinned by the Seq.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val arms =
+        try {
+          val fs = Seq(8, 16, 32).map { beam =>
+            scala.concurrent.Future {
+              Similarity
+                .nswTopKFromEdges(emb, queries, "vec_id", "embedding", edges, 10,
+                  beam = beam, hops = NswHops)
+                .select("query_id", "neighbor_id")
+                .join(bf, Seq("query_id", "neighbor_id"))
+                .agg(count(lit(1)).as("hits"))
+                .select(
+                  lit(beam).as("beam"),
+                  col("hits"),
+                  expr("hits * 1000000L div 50").cast("long").as("recall_ppm")
+                )
+            }(ec)
+          }
+          fs.map(f =>
+            scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      arms.reduce(_ unionByName _)
     }
   )
 }
