@@ -361,14 +361,28 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): DataFrame = {
     val half = edges.toDF("s", "d")
-    val sym = half.union(half.select(col("d"), col("s"))).localCheckpoint()
+    // hash-partitioned by the join side ONCE: localCheckpoint preserves the
+    // physical partitioning, and every round's label join keys sym by `d`
+    // against labels keyed by `id` (hash-partitioned by the previous
+    // round's aggregate) — co-partitioned inputs, so the per-round join
+    // needs NO exchange and each round pays exactly one shuffle (the
+    // min-label aggregate)
+    val sym = half.union(half.select(col("d"), col("s")))
+      .repartition(col("d"))
+      .localCheckpoint()
     // iterate ONLY over edge-touched nodes: in a dedup graph almost every
     // document is isolated, so propagating labels for the full corpus would
     // shuffle the whole node set every round for nothing. Isolated nodes are
     // their own component by definition and rejoin after the fixpoint.
     val allNodes = nodes.toDF("id")
-    val touched = sym.select(col("s").as("id")).distinct().localCheckpoint()
-    var labels = touched.select(col("id"), col("id").as("comp")).localCheckpoint()
+    // NOT materialized: round 1 references the label init twice (join +
+    // union), but both copies end in the identical distinct-exchange over
+    // the checkpointed `sym`, which executes once (ReusedExchange) — so the
+    // two checkpoint jobs this used to pay bought nothing. The final
+    // isolated-node anti-join uses the FINAL checkpointed labels' id set
+    // (identical to `touched` — rounds never add or drop ids).
+    val touched = sym.select(col("s").as("id")).distinct()
+    var labels = touched.select(col("id"), col("id").as("comp"))
 
     val compType = labels.schema("comp").dataType
     var converged = false
@@ -406,9 +420,11 @@ object Dedup {
       )
     sym.unpersist()
     // singletons (nodes with no edge) keep their own id; left-anti keeps the
-    // join narrow — touched is tiny relative to the corpus
+    // join narrow — the touched set is tiny relative to the corpus, and the
+    // FINAL labels (checkpointed, id set identical to `touched`) supply it
+    // without re-deriving the unpersisted edge frame
     val isolated = allNodes
-      .join(touched, Seq("id"), "left_anti")
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
     labels.union(isolated)
   }
