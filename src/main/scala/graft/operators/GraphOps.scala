@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Label-propagation community detection (Raghavan et al. 2007) — the
@@ -21,9 +20,9 @@ import org.apache.spark.sql.functions._
   * per-round localCheckpoint lineage truncation.
   *
   * Scale shape per round: one edge-keyed join (labels ride to neighbors),
-  * one (node, label) partial agg, one node-keyed window for the argmax —
-  * every shuffle keyed by node, state bounded by the label table. The vote
-  * ties and argmax are exact integers.
+  * one (node, label) partial agg, one node-keyed min(struct) argmax agg —
+  * every shuffle keyed by node, no per-node sort or window, state bounded
+  * by the label table. The vote ties and argmax are exact integers.
   */
 object GraphOps {
 
@@ -35,20 +34,26 @@ object GraphOps {
     val fwd = edges.select(col("u").cast("long").as("src"), col("v").cast("long").as("dst"))
     val both = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = both.select(col("src").as("node")).distinct()
-    // self-loop per node = the self-vote
+    // self-loop per node = the self-vote; hash-partitioned by the join key
+    // ONCE (localCheckpoint preserves the physical partitioning), so past
+    // the broadcast threshold every round's label join is co-partitioned
+    // with the previous round's node-keyed aggregate and pays no exchange
     val e = both
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
-    val w = Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))
     for (_ <- 1 to rounds) {
+      // (count DESC, label ASC) argmax as min(struct(−count, label)) — a
+      // partial-aggregating shape with no per-node sort/window; identical
+      // winner and tie-break to the former row_number formulation
       lbl = e
         .join(lbl.select(col("node").as("src"), col("lbl")), Seq("src"))
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select("node", "lbl")
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("_nc"), col("lbl").as("lbl"))).as("_m"))
+        .select(col("node"), col("_m.lbl").as("lbl"))
         .localCheckpoint()
     }
     lbl.select(col("node"), col("lbl").as("community"))

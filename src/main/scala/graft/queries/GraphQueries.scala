@@ -698,6 +698,7 @@ object GraphQueries {
       val und = recurringPartGraph(s, d)
       val edges = und
         .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")) // co-partitions every wave's frontier join
         .localCheckpoint() // joined every wave; truncate the self-join lineage
       val seeds = edges
         .select(col("u").as("node"))

@@ -2246,6 +2246,55 @@ object StatQueries {
       val (n, q) = Selection.quantiles(v, "v", Seq(25, 50, 99))
       import s.implicits._
       Seq((n, q(25), q(50), q(99))).toDF("n_rows", "p25_v", "p50_v", "p99_v")
+    },
+
+    // CPU-scaling SENTINEL (round-18 harness contract): an embarrassingly
+    // parallel md5-chain checksum whose wall time MUST track core count —
+    // the reference point that lets a scaling-lap reader separate
+    // "barrier-bound operator" from "host throughput swing" (the round-17
+    // c8/c32 lap pair was uninterpretable because every entry ratio ≈ 1 and
+    // nothing pinned the cause). 256 work items per document, each hashing
+    // a 32-deep md5 chain; the one shuffle (the doc-id repartition —
+    // partition count follows spark.sql.shuffle.partitions, so the lap's
+    // core count sets the parallelism) carries two longs per item, and the
+    // chain runs post-shuffle, so task compute dominates at any core count.
+    // Deterministic, data-derived (doc_id seeds), oracle-replayable. The
+    // doc ids are shuffled FIRST (a 2-long-per-row exchange) and the
+    // 256-way explode plus the chain run post-shuffle, so the heavy stage
+    // is always `shuffle.partitions`-wide — a single-file scan can never
+    // serialize the work generation.
+    QEntry.sql(
+      "q_cpu_scaling_sentinel", {
+        val chain = (1 to 32).foldLeft(
+          "CAST(doc_id AS VARCHAR) || '|' || CAST(rep AS VARCHAR)")((c, _) => s"md5($c)")
+        s"""WITH work AS (SELECT doc_id, rep FROM documents,
+           |    (SELECT unnest(range(0, 256)) AS rep) r),
+           |h AS (SELECT $chain AS hh FROM work)
+           |SELECT CAST(count(*) AS BIGINT) AS n_items,
+           |  CAST(sum(CAST(list_sum(list_transform(range(1, 9), ii ->
+           |    (strpos('0123456789abcdef', substr(hh, CAST(ii AS INT), 1)) - 1)
+           |      * pow(16, 8 - ii))) AS BIGINT)) AS BIGINT) AS checksum
+           |FROM h""".stripMargin.replaceAll("\\s+", " ")
+      }
+    ) { (s, d) =>
+      // the partition count is PINNED to the session's shuffle parallelism:
+      // an unpinned repartition of a 5000-row (80 KB) exchange is AQE-
+      // coalesced to ONE partition — the per-row work behind it is invisible
+      // to size-based coalescing, and the whole chain would serialize into
+      // a single task (measured: flat 13 s at c8 AND c32). Pinning restores
+      // the property the sentinel exists for: parallelism = core count.
+      val work = documents(s, d)
+        .select(col("doc_id"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(255L))).as("rep"))
+      val h0 = concat(col("doc_id").cast("string"), lit("|"), col("rep").cast("string"))
+      val hK = (1 to 32).foldLeft(h0)((c, _) => md5(c))
+      work
+        .select(conv(substring(hK, 1, 8), 16, 10).cast("long").as("_hv"))
+        .agg(
+          count(lit(1)).cast("long").as("n_items"),
+          sum(col("_hv")).cast("long").as("checksum")
+        )
     }
   )
 }
